@@ -1,13 +1,327 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ir._
+import graft.compile.{Aggregates, Compiler}
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] exercises one operator row of SURVEY.md §2
+  * (reference: /root/reference/src/lib.rs), compiled through the graft IR →
+  * DataFrame pipeline. [[oracleSql]] carries the DuckDB-equivalent SQL.
+  *
+  * Oracle-parity conventions (driver hashes values after sorting columns by
+  * name — BOTH sides must agree on names, types, and float bits):
+  *  - money-magnitude sums go through DECIMAL casts (exact, engine-
+  *    independent) and only then to DOUBLE;
+  *  - small-magnitude double aggregates are rounded (3dp for sums/counts,
+  *    6dp for means/percentiles) on both sides;
+  *  - timestamps are emitted as epoch-second BIGINTs (`ts_sec`, `w_start`)
+  *    to dodge ns-vs-us parquet precision mismatches between engines.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // epoch seconds for 2024-01-05 / 2024-01-20 00:00:00 UTC (events ts domain)
+  private val T0 = 1704412800L
+  private val T1 = 1705708800L
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Windowed weighted aggregation over events — the reference's core
+    * `run_unsorted` pipeline (lib.rs:191-218) end-to-end. */
+  def entry(spark: SparkSession): DataFrame = {
+    val q = ZxQuery(
+      selects = Seq(Select(Agg.Sum, "value"), Select(Agg.Count, "value"),
+        Select(Agg.Mean, "value")),
+      conditions = Seq(Condition(Cmp.Ne, "event_type", "view")),
+      groupBy = Seq("event_type"),
+      granularitySec = 3600L)
+    Compiler.runUnsorted(Tables.events(spark, "/root/testdata/sf0.001"), q)
+  }
+
+  private def round3(c: String): Column = round(col(c), 3).as(c)
+  private def round6(c: String): Column = round(col(c), 6).as(c)
+
+  // ---------------------------------------------------------------- T1: scan
+
+  /** T1 time-range scan + T3 projection (lib.rs:305-331, 502-536). */
+  private def t1TimeScan(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("ts_sec", col("ts").cast(LongType))
+    val q = ZxQuery(
+      selects = Seq("event_id", "user_id", "event_type", "value", "ts_sec")
+        .map(Select(Agg.Raw, _)),
+      tStart = Some(T0), tEnd = Some(T1))
+    Compiler.runRaw(ev, q)
+  }
+
+  // ------------------------------------------------------------- F1: filters
+
+  /** F1 numeric comparators + real `!=` (lib.rs:442-469; fixes expr.rs:66-74). */
+  private def f1Cmp(s: SparkSession, dir: String): DataFrame = {
+    val q = ZxQuery(
+      selects = Seq("event_id", "user_id", "event_type", "value").map(Select(Agg.Raw, _)),
+      conditions = Seq(
+        Condition(Cmp.Gt, "value", "50"),
+        Condition(Cmp.Lte, "value", "200"),
+        Condition(Cmp.Gte, "user_id", "10"),
+        Condition(Cmp.Lt, "user_id", "90"),
+        Condition(Cmp.Ne, "event_type", "view")))
+    Compiler.runRaw(Tables.events(s, dir), q)
+  }
+
+  /** F1 string comparators: STARTSWITH / CONTAINS / negations (lib.rs:476-495). */
+  private def f1String(s: SparkSession, dir: String): DataFrame = {
+    val q = ZxQuery(
+      selects = Seq("event_id", "event_type", "props").map(Select(Agg.Raw, _)),
+      conditions = Seq(
+        Condition(Cmp.StartsWith, "event_type", "c"),
+        Condition(Cmp.Contains, "props", "9"),
+        Condition(Cmp.NotContains, "props", "98"),
+        Condition(Cmp.NotStartsWith, "props", "{\"k\": 1")))
+    Compiler.runRaw(Tables.events(s, dir), q)
+  }
+
+  /** F1 EXISTS / NOTEXISTS (lib.rs:414-422, 470-475) over a derived nullable
+    * column (driver events are dense; reference rows are sparse). */
+  private def f1Null(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("etype_nn", nullif(col("event_type"), lit("error")))
+    val q = ZxQuery(
+      selects = Seq("event_id", "user_id", "value").map(Select(Agg.Raw, _)),
+      conditions = Seq(
+        Condition(Cmp.NotExists, "etype_nn"),
+        Condition(Cmp.Exists, "value")))
+    Compiler.runRaw(ev, q)
+  }
+
+  // ------------------------------------------------- G1 + A1..A6: aggregates
+
+  /** G1 nil-sentinel grouping (lib.rs:538-556) + A1 sum / A4 count / A6 mean
+    * / A5 count_distinct, unweighted (sample_rate defaults to 1). */
+  private def g1GroupNil(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("etype_n", nullif(col("event_type"), lit("view")))
+    val q = ZxQuery(
+      selects = Seq(Select(Agg.Sum, "value"), Select(Agg.Count, "value"),
+        Select(Agg.Mean, "value"), Select(Agg.CountDistinct, "user_id")),
+      groupBy = Seq("etype_n"))
+    Compiler.runSorted(ev, q)
+      .select(col("etype_n"), round3("sum_value"), round3("count_value"),
+        round6("mean_value"), col("count_distinct_user_id"))
+  }
+
+  /** A1/A4/A6 with a real per-row sample rate (lib.rs:563-573, 608-623,
+    * 637-657) — weight extracted from the props payload. */
+  private def a1Weighted(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn(Aggregates.SampleRateCol,
+      regexp_extract(col("props"), "[0-9]+", 0).try_cast(DoubleType))
+    val q = ZxQuery(
+      selects = Seq(Select(Agg.Sum, "value"), Select(Agg.Count, "value"),
+        Select(Agg.Mean, "value")),
+      groupBy = Seq("event_type"))
+    Compiler.runSorted(ev, q)
+      .select(col("event_type"), round3("sum_value"), round3("count_value"),
+        round6("mean_value"))
+  }
+
+  /** A2 max / A3 min (lib.rs:577-607) + A7 p50 (declared lib.rs:133-143,
+    * unimplemented lib.rs:659-661 — we implement exact percentile). */
+  private def a2Extremes(s: SparkSession, dir: String): DataFrame = {
+    val q = ZxQuery(
+      selects = Seq(Select(Agg.Max, "value"), Select(Agg.Min, "value"),
+        Select(Agg.P50, "value")),
+      groupBy = Seq("event_type"))
+    Compiler.runSorted(Tables.events(s, dir), q)
+      .select(col("event_type"), col("max_value"), col("min_value"),
+        round6("p50_value"))
+  }
+
+  /** A5 count_distinct with the reference's +1-for-nil bucket (lib.rs:626-635). */
+  private def a5CountDistinctNil(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("etype_n", nullif(col("event_type"), lit("purchase")))
+      .withColumn("bucket", col("user_id") % 10)
+    val q = ZxQuery(
+      selects = Seq(Select(Agg.CountDistinct, "etype_n"),
+        Select(Agg.CountDistinct, "user_id")),
+      groupBy = Seq("bucket"))
+    Compiler.runSorted(ev, q)
+  }
+
+  // ------------------------------------------------------- A7/A8: timeseries
+
+  /** A7 heatmap — 2-D time×value histogram (declared lib.rs:133-143). */
+  private def a7Heatmap(s: SparkSession, dir: String): DataFrame = {
+    val q = ZxQuery(selects = Nil, granularitySec = 86400L)
+    Compiler.heatmap(Tables.events(s, dir), q, "value", 0.0, 250.0, 10)
+      .select(col("t_bucket"), col("v_bucket"), round3("weight"), col("n"))
+  }
+
+  /** A8 windowed aggregation (lib.rs:665-732) — calendar-aligned tumbling
+    * 1h windows; one shuffle on (group, window) key. */
+  private def a8Window(s: SparkSession, dir: String): DataFrame = {
+    val q = ZxQuery(
+      selects = Seq(Select(Agg.Sum, "value"), Select(Agg.Count, "value"),
+        Select(Agg.Mean, "value")),
+      groupBy = Seq("event_type"),
+      granularitySec = 3600L)
+    Compiler.runUnsorted(Tables.events(s, dir), q)
+      .select(col("event_type"), col("w_start"), col("w_end"),
+        round3("sum_value"), round3("count_value"), round6("mean_value"))
+  }
+
+  // ----------------------------------------------------------- O1: top groups
+
+  /** O1 aggregate-then-sort, the "top groups" path (lib.rs:222-246, 735-784)
+    * — wired end-to-end (the reference's SQL path never reaches it). */
+  private def o1TopGroups(s: SparkSession, dir: String): DataFrame = {
+    val q = ZxQuery(
+      selects = Seq(Select(Agg.Sum, "value"), Select(Agg.Count, "value")),
+      groupBy = Seq("event_type"),
+      orderBy = Seq(OrderBy(Select(Agg.Sum, "value"), SortDir.Desc)))
+    Compiler.runSorted(Tables.events(s, dir), q)
+      .select(col("event_type"), round3("sum_value"), round3("count_value"))
+  }
+
+  // ------------------------------------------- beyond-reference: TPC-H-style
+
+  /** TPC-H Q1-style pricing summary: codegen'd scan→filter→partial-agg→final
+    * agg, one shuffle. DECIMAL sums for engine-exact results. */
+  private def q1Pricing(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_base"),
+        sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(BigDecimal(1)).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+        ).cast(DoubleType).as("sum_disc"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Broadcast-join chain: lineitem ⨝ orders (shuffle on the fact keys) ⨝
+    * broadcast(customer) ⨝ broadcast(nation) — the 100 TB join shape: only
+    * the two fact tables shuffle; dims ship to executors. */
+  private def j1RevenueNation(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast(TimestampType))
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val nat = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    val revenue = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(BigDecimal(1)).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revenue).cast(DoubleType).as("revenue"), count(lit(1)).as("n"))
+  }
+
+  // ----------------------------------------------------------------- contract
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_time_scan" -> (t1TimeScan _),
+    "f1_cmp" -> (f1Cmp _),
+    "f1_string" -> (f1String _),
+    "f1_null" -> (f1Null _),
+    "g1_group_nil" -> (g1GroupNil _),
+    "a1_weighted" -> (a1Weighted _),
+    "a2_extremes" -> (a2Extremes _),
+    "a5_count_distinct_nil" -> (a5CountDistinctNil _),
+    "a7_heatmap" -> (a7Heatmap _),
+    "a8_window" -> (a8Window _),
+    "o1_top_groups" -> (o1TopGroups _),
+    "q1_pricing" -> (q1Pricing _),
+    "j1_revenue_nation" -> (j1RevenueNation _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "t1_time_scan" ->
+      s"""SELECT event_id, user_id, event_type, value,
+         | CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+         |FROM events
+         |WHERE epoch(ts) >= $T0 AND epoch(ts) <= $T1""".stripMargin,
+    "f1_cmp" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE value > 50 AND value <= 200 AND user_id >= 10 AND user_id < 90
+        |  AND event_type != 'view'""".stripMargin,
+    "f1_string" ->
+      """SELECT event_id, event_type, props FROM events
+        |WHERE event_type LIKE 'c%' AND props LIKE '%9%'
+        |  AND props NOT LIKE '%98%' AND props NOT LIKE '{"k": 1%'""".stripMargin,
+    "f1_null" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE nullif(event_type, 'error') IS NULL AND value IS NOT NULL""".stripMargin,
+    "g1_group_nil" ->
+      """SELECT coalesce(nullif(event_type, 'view'), '__nil') AS etype_n,
+        | round(sum(coalesce(value, 0)), 3) AS sum_value,
+        | round(CAST(count(value) AS DOUBLE), 3) AS count_value,
+        | round(avg(value), 6) AS mean_value,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS count_distinct_user_id
+        |FROM events GROUP BY 1""".stripMargin,
+    "a1_weighted" ->
+      """SELECT event_type,
+        | round(sum(CAST(regexp_extract(props, '[0-9]+') AS DOUBLE) * coalesce(value, 0)), 3) AS sum_value,
+        | round(sum(CASE WHEN value IS NOT NULL THEN CAST(regexp_extract(props, '[0-9]+') AS DOUBLE) ELSE 0 END), 3) AS count_value,
+        | round(sum(CASE WHEN value IS NOT NULL THEN CAST(regexp_extract(props, '[0-9]+') AS DOUBLE) * value ELSE 0 END)
+        |   / nullif(sum(CASE WHEN value IS NOT NULL THEN CAST(regexp_extract(props, '[0-9]+') AS DOUBLE) ELSE 0 END), 0), 6) AS mean_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "a2_extremes" ->
+      """SELECT event_type, max(value) AS max_value, min(value) AS min_value,
+        | round(quantile_cont(value, 0.5), 6) AS p50_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "a5_count_distinct_nil" ->
+      """SELECT CAST(user_id % 10 AS VARCHAR) AS bucket,
+        | CAST(count(DISTINCT nullif(event_type, 'purchase'))
+        |   + max(CASE WHEN nullif(event_type, 'purchase') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS count_distinct_etype_n,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS count_distinct_user_id
+        |FROM events GROUP BY 1""".stripMargin,
+    "a7_heatmap" ->
+      """SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS t_bucket,
+        | CAST(least(greatest(floor((value - 0.0) / 25.0), 0), 9) AS BIGINT) AS v_bucket,
+        | round(CAST(count(*) AS DOUBLE), 3) AS weight,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM events WHERE value IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "a8_window" ->
+      """SELECT event_type,
+        | CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS w_start,
+        | CAST(floor(epoch(ts) / 3600) * 3600 + 3600 AS BIGINT) AS w_end,
+        | round(sum(coalesce(value, 0)), 3) AS sum_value,
+        | round(CAST(count(value) AS DOUBLE), 3) AS count_value,
+        | round(avg(value), 6) AS mean_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "o1_top_groups" ->
+      """SELECT event_type, round(sum(coalesce(value, 0)), 3) AS sum_value,
+        | round(CAST(count(value) AS DOUBLE), 3) AS count_value
+        |FROM events GROUP BY event_type
+        |ORDER BY sum(coalesce(value, 0)) DESC, event_type""".stripMargin,
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "j1_revenue_nation" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+  )
 }

@@ -1,0 +1,126 @@
+package graft.compile
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ir._
+
+/** Compiles a [[ZxQuery]] to declarative DataFrame transformations.
+  *
+  * The reference's hand-rolled pipeline (lib.rs:190: scan → filter → project
+  * → group → aggregate) maps 1:1 onto a Catalyst logical plan; every
+  * optimization it hard-codes (time pruning lib.rs:305-331, late
+  * materialization lib.rs:197-200, column pruning lib.rs:202-211, zone maps
+  * lib.rs:786-799) is subsumed by predicate pushdown, ColumnPruning and
+  * Parquet row-group stats (SURVEY §4). At cluster scale the only shuffle is
+  * the exchange on the group keys — scan + filter + partial aggregation are
+  * narrow and map-side.
+  *
+  * Two execution paths, as in the reference:
+  *  - [[runUnsorted]] — windowed time-series (lib.rs:191-218);
+  *  - [[runSorted]]  — whole-range aggregate + multi-key sort, the "top
+  *    groups" query (lib.rs:222-246). The reference never wires this to SQL
+  *    (dead `order_by`, lib.rs:840); we do.
+  */
+object Compiler {
+
+  /** Group sentinel for rows missing a group-by column — lib.rs:56, 547-551. */
+  val NilSentinel = "__nil"
+
+  val DefaultTsCol = "ts"
+
+  /** Scan + time range + conjunctive filter (lib.rs:195-200). The time bound
+    * lands directly on the timestamp column so Parquet row-group min/max
+    * stats (and directory partition pruning, when the table is date-
+    * partitioned) prune the scan. */
+  def scanFilter(df: DataFrame, q: ZxQuery, tsCol: String = DefaultTsCol): DataFrame = {
+    val ts = col(tsCol)
+    val timeBounded = (q.tStart, q.tEnd) match {
+      case (Some(s), Some(e)) => df.filter(ts >= timestamp_seconds(lit(s)) && ts <= timestamp_seconds(lit(e)))
+      case (Some(s), None)    => df.filter(ts >= timestamp_seconds(lit(s)))
+      case (None, Some(e))    => df.filter(ts <= timestamp_seconds(lit(e)))
+      case (None, None)       => df
+    }
+    Predicates.compileAll(q.conditions, df.schema)
+      .map(timeBounded.filter).getOrElse(timeBounded)
+  }
+
+  /** Group keys with the reference's `__nil` sentinel for missing values
+    * (lib.rs:547-551). Rendered as strings, as the reference does. */
+  def groupKeys(q: ZxQuery, schema: StructType): Seq[Column] =
+    q.groupBy.map { g =>
+      val c = col(g)
+      val s = schema.fields.find(_.name == g).map(_.dataType) match {
+        case Some(StringType) | None => c
+        case _                       => c.cast(StringType)
+      }
+      coalesce(s, lit(NilSentinel)).as(g)
+    }
+
+  /** Pipeline A — windowed time-series aggregation (lib.rs:191-218).
+    *
+    * Windows are calendar-aligned tumbling buckets (`w_start` = epoch seconds
+    * floored to the granularity), the idiomatic + oracle-checkable shape. The
+    * reference's windows are data-anchored and gap-based (lib.rs:689-714);
+    * exact replay lives in [[graft.operators.GapWindows]]. Bucketing via
+    * integer floor keeps the whole plan in whole-stage codegen and makes the
+    * group key a cheap LONG.
+    */
+  def runUnsorted(df: DataFrame, q: ZxQuery, tsCol: String = DefaultTsCol): DataFrame = {
+    val filtered = scanFilter(df, q, tsCol)
+    val wStart = (floor(col(tsCol).cast(LongType) / q.granularitySec) *
+      q.granularitySec).cast(LongType).as("w_start")
+    val keys = groupKeys(q, df.schema) :+ wStart
+    val aggs = Aggregates.compileAll(q.selects, df.schema)
+    val grouped = filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    grouped.withColumn("w_end", (col("w_start") + q.granularitySec).cast(LongType))
+  }
+
+  /** Pipeline B — whole-range aggregate + multi-key sort ("top groups",
+    * lib.rs:222-246, sort_group lib.rs:735-784). Group keys are appended as
+    * final tie-breakers so the output order is total (the reference breaks
+    * ties by GroupKey lexicographic order, lib.rs:768-779). */
+  def runSorted(df: DataFrame, q: ZxQuery, tsCol: String = DefaultTsCol): DataFrame = {
+    val filtered = scanFilter(df, q, tsCol)
+    val keys = groupKeys(q, df.schema)
+    val aggs = Aggregates.compileAll(q.selects, df.schema)
+    val grouped =
+      if (keys.nonEmpty) filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      else filtered.agg(aggs.head, aggs.tail: _*)
+    val ordCols = q.orderBy.map { ob =>
+      val c = col(ob.select.key)
+      ob.dir match { case SortDir.Asc => c.asc; case SortDir.Desc => c.desc }
+    } ++ q.groupBy.map(col(_).asc)
+    if (ordCols.nonEmpty) grouped.orderBy(ordCols: _*) else grouped
+  }
+
+  /** Raw projection — what a bare `SELECT col` parses to (expr.rs:120-125);
+    * `unimplemented!()` in the reference (lib.rs:659-661). Columns are pruned
+    * to the select list, so the Parquet scan reads only what is projected. */
+  def runRaw(df: DataFrame, q: ZxQuery, tsCol: String = DefaultTsCol): DataFrame = {
+    val filtered = scanFilter(df, q, tsCol)
+    val cols = q.selects.map(s => col(s.column))
+    if (cols.nonEmpty) filtered.select(cols: _*) else filtered
+  }
+
+  /** Heatmap — 2-D time × value histogram (declared lib.rs:133-143,
+    * unimplemented lib.rs:659-661). `buckets` equal-width value buckets over
+    * [lo, hi); bucket ids clamp at the edges. One shuffle on the compound
+    * (t_bucket, v_bucket) key; counts are weighted like Count (A4). */
+  def heatmap(df: DataFrame, q: ZxQuery, valueCol: String,
+              lo: Double, hi: Double, buckets: Int,
+              tsCol: String = DefaultTsCol): DataFrame = {
+    val filtered = scanFilter(df, q, tsCol)
+    val v = Aggregates.numeric(valueCol, df.schema)
+    val w = Aggregates.weight(df.schema)
+    val tBucket = (floor(col(tsCol).cast(LongType) / q.granularitySec) *
+      q.granularitySec).cast(LongType).as("t_bucket")
+    val width = (hi - lo) / buckets
+    val vBucket = least(greatest(floor((v - lo) / width), lit(0.0)),
+      lit((buckets - 1).toDouble)).cast(LongType).as("v_bucket")
+    filtered
+      .filter(v.isNotNull)
+      .groupBy(tBucket, vBucket)
+      .agg(sum(w).as("weight"), count(lit(1)).as("n"))
+  }
+}

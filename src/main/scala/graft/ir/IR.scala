@@ -1,0 +1,75 @@
+package graft.ir
+
+/** Typed query IR mirroring the reference's query model.
+  *
+  * Reference: /root/reference/src/lib.rs:51-188 — `Query`/`QueryFields`
+  * (lib.rs:51-69), `Select`+`Aggregate` (lib.rs:127-143), `Condition`+`Cmp`
+  * (lib.rs:145-176), `OrderBy`+`Order` (lib.rs:178-188). The IR is the only
+  * piece of the reference architecture we keep: everything downstream is
+  * compiled to declarative DataFrame transformations so Catalyst owns
+  * optimization and Tungsten owns execution.
+  */
+
+/** The 12 filter comparators — lib.rs:162-176. */
+sealed abstract class Cmp(val name: String)
+object Cmp {
+  case object Eq            extends Cmp("eq")
+  case object Ne            extends Cmp("ne")
+  case object Gt            extends Cmp("gt")
+  case object Lt            extends Cmp("lt")
+  case object Gte           extends Cmp("gte")
+  case object Lte           extends Cmp("lte")
+  case object Exists        extends Cmp("exists")
+  case object NotExists     extends Cmp("notexists")
+  case object StartsWith    extends Cmp("startswith")
+  case object NotStartsWith extends Cmp("notstartswith")
+  case object Contains      extends Cmp("contains")
+  case object NotContains   extends Cmp("notcontains")
+  val all: Seq[Cmp] = Seq(Eq, Ne, Gt, Lt, Gte, Lte, Exists, NotExists,
+    StartsWith, NotStartsWith, Contains, NotContains)
+}
+
+/** One conjunct; conditions AND-chain (lib.rs:197-200, expr.rs:75-80). */
+final case class Condition(cmp: Cmp, column: String, value: String = "")
+
+/** Aggregates — lib.rs:133-143. The reference leaves P50/Raw/Heatmap
+  * `unimplemented!()` (lib.rs:659-661); we implement all of them. */
+sealed abstract class Agg(val name: String)
+object Agg {
+  case object Sum           extends Agg("sum")
+  case object Max           extends Agg("max")
+  case object Min           extends Agg("min")
+  case object Count         extends Agg("count")
+  case object CountDistinct extends Agg("count_distinct")
+  case object Mean          extends Agg("mean")
+  case object P50           extends Agg("p50")
+  case object Raw           extends Agg("raw")
+  case object Heatmap       extends Agg("heatmap")
+}
+
+final case class Select(agg: Agg, column: String) {
+  /** Stable output-column name — the reference's `aggregate_key`
+    * "$$sum(foo)" scheme (lib.rs:801-813) made identifier-safe. */
+  def key: String = agg match {
+    case Agg.Raw => column
+    case a       => s"${a.name}_${column}"
+  }
+}
+
+sealed trait SortDir
+object SortDir { case object Asc extends SortDir; case object Desc extends SortDir }
+
+/** Sort key for the runSorted path — lib.rs:178-188. */
+final case class OrderBy(select: Select, dir: SortDir)
+
+/** Whole query — lib.rs:51-69. Time bounds are epoch seconds, inclusive,
+  * defaulting to (epoch 0, now) (expr.rs:107-108); granularity defaults to
+  * the reference's hard-coded 5 minutes (expr.rs:226). */
+final case class ZxQuery(
+    selects: Seq[Select],
+    conditions: Seq[Condition] = Nil,
+    groupBy: Seq[String] = Nil,
+    orderBy: Seq[OrderBy] = Nil,
+    tStart: Option[Long] = None,
+    tEnd: Option[Long] = None,
+    granularitySec: Long = 300L)
