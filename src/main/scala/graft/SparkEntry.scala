@@ -187,6 +187,41 @@ object SparkEntry {
       .select(col("event_type"), round3("sum_value"), round3("count_value"))
   }
 
+  /** A8 exact reference parity: data-anchored gap windows via the
+    * [[graft.operators.GapWindows]] secondary-sort operator. Not
+    * SQL-expressible → driver records the weaker rows-only check; semantics
+    * are pinned by FixtureSpec golden tests instead. */
+  private def a8GapWindow(s: SparkSession, dir: String): DataFrame = {
+    val q = ZxQuery(
+      selects = Seq(Select(Agg.Sum, "value"), Select(Agg.Count, "value"),
+        Select(Agg.Mean, "value")),
+      groupBy = Seq("event_type"),
+      granularitySec = 3600L)
+    graft.operators.GapWindows(Tables.events(s, dir), q, idCol = Some("event_id"))
+  }
+
+  // ------------------------------------------------------- P1: SQL front door
+
+  /** P1 `ZX.SQL` surface (lib.rs:815-844): SQL text → IR → windowed pipeline,
+    * with `$t_start`/`$t_end` pseudo-conditions (expr.rs:170-186). */
+  private def p1Sql(s: SparkSession, dir: String): DataFrame = {
+    val sql = s"select sum(value), count(value), mean(value) " +
+      s"where event_type = click and $$t_start = $T0 and $$t_end = $T1 " +
+      "group by user_id granularity 86400"
+    graft.sql.ZxSql.run(Tables.events(s, dir), sql)
+      .select(col("user_id"), col("w_start"), col("w_end"),
+        round3("sum_value"), round3("count_value"), round6("mean_value"))
+  }
+
+  /** P1+O1: ORDER BY on an aggregate routed to the sorted path — dead code in
+    * the reference (lib.rs:840), wired here. */
+  private def p2SqlSorted(s: SparkSession, dir: String): DataFrame = {
+    val sql = "select sum(value), count_distinct(user_id) from events " +
+      "where props like '%7%' group by event_type order by sum(value) desc"
+    graft.sql.ZxSql.run(Tables.events(s, dir), sql)
+      .select(col("event_type"), round3("sum_value"), col("count_distinct_user_id"))
+  }
+
   // ------------------------------------------- beyond-reference: TPC-H-style
 
   /** TPC-H Q1-style pricing summary: codegen'd scan→filter→partial-agg→final
@@ -237,6 +272,9 @@ object SparkEntry {
     "a5_count_distinct_nil" -> (a5CountDistinctNil _),
     "a7_heatmap" -> (a7Heatmap _),
     "a8_window" -> (a8Window _),
+    "a8_gap_window" -> (a8GapWindow _),
+    "p1_sql" -> (p1Sql _),
+    "p2_sql_sorted" -> (p2SqlSorted _),
     "o1_top_groups" -> (o1TopGroups _),
     "q1_pricing" -> (q1Pricing _),
     "j1_revenue_nation" -> (j1RevenueNation _),
@@ -297,6 +335,22 @@ object SparkEntry {
         | round(CAST(count(value) AS DOUBLE), 3) AS count_value,
         | round(avg(value), 6) AS mean_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "p1_sql" ->
+      s"""SELECT CAST(user_id AS VARCHAR) AS user_id,
+         | CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS w_start,
+         | CAST(floor(epoch(ts) / 86400) * 86400 + 86400 AS BIGINT) AS w_end,
+         | round(sum(coalesce(value, 0)), 3) AS sum_value,
+         | round(CAST(count(value) AS DOUBLE), 3) AS count_value,
+         | round(avg(value), 6) AS mean_value
+         |FROM events
+         |WHERE event_type = 'click' AND epoch(ts) >= $T0 AND epoch(ts) <= $T1
+         |GROUP BY 1, 2, 3""".stripMargin,
+    "p2_sql_sorted" ->
+      """SELECT event_type, round(sum(coalesce(value, 0)), 3) AS sum_value,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS count_distinct_user_id
+        |FROM events WHERE props LIKE '%7%'
+        |GROUP BY event_type
+        |ORDER BY sum(coalesce(value, 0)) DESC, event_type""".stripMargin,
     "o1_top_groups" ->
       """SELECT event_type, round(sum(coalesce(value, 0)), 3) AS sum_value,
         | round(CAST(count(value) AS DOUBLE), 3) AS count_value

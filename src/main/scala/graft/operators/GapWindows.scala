@@ -1,0 +1,178 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ir._
+import graft.compile.Compiler
+
+/** Exact replay of the reference's data-anchored, variable-width windows
+  * (lib.rs:665-732) — the one operator whose semantics Spark's built-in
+  * `window()` / `session_window()` cannot express (SURVEY §7.3/7.4):
+  *
+  *  - a window opens at the first event's ts and admits rows while
+  *    `ts - window_start <= granularity`;
+  *  - the first row that breaches the bound closes the window; the emitted
+  *    `w_end` is the ts of the LAST ADMITTED row (not start+size);
+  *  - the breaching row itself is dropped — it anchors the next window's
+  *    start timestamp but is excluded from its contents (lib.rs:710-714);
+  *    the next window only materializes if a later row lands within
+  *    `granularity` of that anchor;
+  *  - trailing rows are emitted as a final window (lib.rs:717-726).
+  *
+  * Documented divergence (SURVEY §7.4 "do not reproduce bugs"): when two
+  * consecutive rows both breach, the reference emits an EMPTY window slice
+  * whose end timestamp is stale from the previous window (lib.rs:702-707 with
+  * window_end_timestamp never reset) — we emit nothing for empty windows.
+  *
+  * Scale design: instead of `groupByKey(...).flatMapGroups` (which
+  * materializes each group on the heap), we repartition on the group key and
+  * do a secondary sort within partitions — `repartition(keys)` +
+  * `sortWithinPartitions(keys, ts, id)` + a single-pass `mapPartitions` that
+  * detects group boundaries. Spill-friendly (Spark's external sorter handles
+  * partitions bigger than memory), one shuffle, no per-group buffering beyond
+  * the current open window.
+  *
+  * Aggregate arithmetic replays lib.rs:560-657 exactly, including the
+  * incremental sample-rate-repeated mean (lib.rs:643-651) and the
+  * f64::MIN/MAX empty-window sentinels (lib.rs:578, 593) — this operator is
+  * the bit-parity path; the idiomatic calendar-tumbling path is
+  * [[graft.compile.Compiler.runUnsorted]].
+  */
+object GapWindows {
+
+  def apply(df: DataFrame, q: ZxQuery, tsCol: String = Compiler.DefaultTsCol,
+            idCol: Option[String] = None): DataFrame = {
+    require(q.selects.nonEmpty, "gap windows need at least one aggregate select")
+    val filtered = Compiler.scanFilter(df, q, tsCol)
+    val keys = Compiler.groupKeys(q, df.schema)
+
+    val aggCols: Seq[String] = q.selects.map(_.column).distinct
+    val hasSr = df.schema.fieldNames.contains("__sample_rate")
+
+    // Projection: group keys (nil-coalesced strings), epoch-second ts, the
+    // ordering id, sample rate, then each aggregate input twice — numeric
+    // view (parse-on-demand) and string view (count_distinct groups string
+    // values, lib.rs:626-635).
+    val idOrder = idCol.map(col).getOrElse(monotonically_increasing_id())
+    val proj = filtered.select(
+      keys ++
+        Seq(col(tsCol).cast(LongType).as("__ts_sec"), idOrder.as("__row_id"),
+          (if (hasSr) coalesce(col("__sample_rate").try_cast(DoubleType), lit(1.0))
+           else lit(1.0)).as("__sr")) ++
+        aggCols.map(c => graft.compile.Aggregates.numeric(c, df.schema).as(s"__num_$c")) ++
+        aggCols.map(c => col(c).cast(StringType).as(s"__str_$c")): _*)
+
+    val nKeys = q.groupBy.size
+    val keyIdx = 0 until nKeys
+    val tsIdx = nKeys
+    val srIdx = nKeys + 2
+    val numIdx = aggCols.zipWithIndex.map { case (c, i) => c -> (nKeys + 3 + i) }.toMap
+    val strIdx = aggCols.zipWithIndex.map { case (c, i) => c -> (nKeys + 3 + aggCols.size + i) }.toMap
+
+    val sortCols = keyIdx.map(i => col(proj.columns(i))) ++ Seq(col("__ts_sec"), col("__row_id"))
+    val arranged =
+      if (nKeys > 0)
+        proj.repartition(keyIdx.map(i => col(proj.columns(i))): _*)
+          .sortWithinPartitions(sortCols: _*)
+      else proj.coalesce(1).sortWithinPartitions(sortCols: _*)
+
+    val outSchema = StructType(
+      q.groupBy.map(StructField(_, StringType)) ++
+        Seq(StructField("w_start", LongType), StructField("w_end", LongType)) ++
+        q.selects.map(s => StructField(s.key, DoubleType)))
+    val selects = q.selects
+    val gran = q.granularitySec
+
+    val out = arranged.mapPartitions { it =>
+      new Iterator[Row] {
+        private var pending: Option[Row] = None
+        private val results = mutable.Queue.empty[Row]
+
+        // state of the open window within the current group
+        private var curKey: Seq[String] = null
+        private val winRows = mutable.ArrayBuffer.empty[Row]
+        private var wStartTs = -1L
+        private var wEndTs = -1L
+        // pending anchor from a breaching row (lib.rs:710-714): the next
+        // window starts at this ts but the breaching row is NOT included
+        private var anchorTs = -1L
+
+        private def aggWindow(rows: Seq[Row]): Row = {
+          val vals = selects.map { sel =>
+            val ni = numIdx(sel.column); val si = strIdx(sel.column)
+            sel.agg match {
+              case Agg.Sum =>
+                rows.foldLeft(0.0)((acc, r) =>
+                  acc + r.getDouble(srIdx) * (if (r.isNullAt(ni)) 0.0 else r.getDouble(ni)))
+              case Agg.Max =>
+                rows.foldLeft(Double.MinValue)((acc, r) =>
+                  if (!r.isNullAt(ni) && r.getDouble(ni) > acc) r.getDouble(ni) else acc)
+              case Agg.Min =>
+                rows.foldLeft(Double.MaxValue)((acc, r) =>
+                  if (!r.isNullAt(ni) && r.getDouble(ni) < acc) r.getDouble(ni) else acc)
+              case Agg.Count =>
+                rows.foldLeft(0.0)((acc, r) => if (r.isNullAt(si)) acc else acc + r.getDouble(srIdx))
+              case Agg.CountDistinct =>
+                val distinct = rows.collect { case r if !r.isNullAt(si) => r.getString(si) }.toSet
+                val nil = if (rows.exists(_.isNullAt(si))) 1 else 0
+                (distinct.size + nil).toDouble
+              case Agg.Mean =>
+                // incremental mean applied sample_rate(as int) times — lib.rs:643-651
+                var count = 0L; var mean = 0.0
+                rows.foreach { r =>
+                  if (!r.isNullAt(ni)) {
+                    val v = r.getDouble(ni)
+                    var rep = r.getDouble(srIdx).toLong
+                    while (rep > 0) { count += 1; mean += (v - mean) / count; rep -= 1 }
+                  }
+                }
+                mean
+              case other => throw new IllegalArgumentException(s"gap windows: unsupported agg $other")
+            }
+          }
+          Row.fromSeq(curKey ++ Seq(wStartTs, wEndTs) ++ vals)
+        }
+
+        private def closeWindow(): Unit = {
+          if (winRows.nonEmpty) results.enqueue(aggWindow(winRows.toSeq))
+          winRows.clear()
+        }
+
+        private def push(r: Row): Unit = {
+          val k = keyIdx.map(i => r.getString(i))
+          val ts = r.getLong(tsIdx)
+          if (curKey == null || k != curKey) {
+            closeWindow()
+            curKey = k; wStartTs = ts; wEndTs = ts; anchorTs = -1L
+            winRows += r
+          } else if (anchorTs >= 0L) {
+            // previous row breached; this window is anchored at its ts
+            if (ts - anchorTs <= gran) { wStartTs = anchorTs; wEndTs = ts; winRows += r; anchorTs = -1L }
+            else { anchorTs = ts } // breaches again: re-anchor, still empty
+          } else if (ts - wStartTs <= gran) {
+            wEndTs = ts; winRows += r
+          } else {
+            closeWindow()
+            anchorTs = ts
+          }
+        }
+
+        def hasNext: Boolean = {
+          while (results.isEmpty && (pending.nonEmpty || it.hasNext)) {
+            val r = pending.getOrElse(it.next()); pending = None
+            push(r)
+          }
+          if (results.isEmpty && !it.hasNext) { closeWindow(); curKey = null }
+          results.nonEmpty
+        }
+        def next(): Row = { if (!hasNext) throw new NoSuchElementException; results.dequeue() }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+
+    out.toDF()
+  }
+}

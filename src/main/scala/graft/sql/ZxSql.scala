@@ -1,0 +1,211 @@
+package graft.sql
+
+import org.apache.spark.sql.DataFrame
+import graft.ir._
+import graft.compile.Compiler
+import graft.operators.GapWindows
+
+/** SQL front door — the reference's `ZX.SQL` surface (lib.rs:815-844,
+  * expr.rs:106-230) as a hand-rolled recursive-descent parser to [[ZxQuery]].
+  *
+  * Accepted subset (reference-parity, lowercased like lib.rs:818-820):
+  *   select <item, …> [from <ignored>] [where <cond and …>]
+  *   [group by <col, …>] [order by <item> [asc|desc], …]
+  *   [granularity <seconds>]
+  * where item := col | count|sum|max|min|count_distinct|mean|p50|heatmap(col)
+  * and cond := col (=|!=|<>|>|<|>=|<=) value | col [not] like pattern.
+  * `$t_start` / `$t_end` equality conditions become the scan's time range
+  * (expr.rs:170-186).
+  *
+  * Fixes over the reference (SURVEY §7.4 — implement correct behavior):
+  *  - `!=` is real inequality (reference maps NotEq to Eq, expr.rs:66-74);
+  *  - LIKE handles `%` wildcards: `%x%`→contains, `x%`→startswith, plain →
+  *    equality (reference treats every pattern as raw contains, expr.rs:81-98);
+  *  - ORDER BY is wired to the sorted path (dead code in the reference,
+  *    lib.rs:840) — `order by mean(foo) desc` is the "top groups" query.
+  * Extensions: quoted string literals in WHERE (reference allows only bare
+  * identifiers/numbers, expr.rs:12-18) and a `granularity <sec>` clause
+  * (reference hard-codes 5 minutes, expr.rs:226).
+  */
+object ZxSql {
+
+  final case class ParseError(msg: String) extends RuntimeException(msg)
+
+  private val aggNames: Map[String, Agg] = Map(
+    "count" -> Agg.Count, "sum" -> Agg.Sum, "max" -> Agg.Max,
+    "min" -> Agg.Min, "count_distinct" -> Agg.CountDistinct,
+    "mean" -> Agg.Mean, "p50" -> Agg.P50, "heatmap" -> Agg.Heatmap)
+
+  // ------------------------------------------------------------------ lexer
+
+  private sealed trait Tok
+  private final case class Ident(v: String) extends Tok
+  private final case class Num(v: String) extends Tok
+  private final case class Str(v: String) extends Tok
+  private final case class Sym(v: String) extends Tok
+
+  private def lex(sql: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val s = sql
+    while (i < s.length) {
+      val c = s(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'') {
+        val end = s.indexOf('\'', i + 1)
+        if (end < 0) throw ParseError("unterminated string literal")
+        out += Str(s.substring(i + 1, end)); i = end + 1
+      } else if (c.isDigit || (c == '-' && i + 1 < s.length && s(i + 1).isDigit)) {
+        val j = Iterator.from(i + 1).find(k => k >= s.length || !(s(k).isDigit || s(k) == '.')).get
+        out += Num(s.substring(i, j)); i = j
+      } else if (c.isLetter || c == '_' || c == '$') {
+        val j = Iterator.from(i + 1).find(k =>
+          k >= s.length || !(s(k).isLetterOrDigit || s(k) == '_' || s(k) == '$' || s(k) == '.')).get
+        out += Ident(s.substring(i, j).toLowerCase); i = j // lowercase, lib.rs:820
+      } else if (s.startsWith("!=", i) || s.startsWith("<>", i) ||
+                 s.startsWith(">=", i) || s.startsWith("<=", i)) {
+        out += Sym(s.substring(i, i + 2)); i += 2
+      } else if ("=><(),*".contains(c)) { out += Sym(c.toString); i += 1 }
+      else throw ParseError(s"unexpected character '$c' at $i")
+    }
+    out.result()
+  }
+
+  // ----------------------------------------------------------------- parser
+
+  def parse(sql: String): ZxQuery = {
+    val toks = lex(sql)
+    var pos = 0
+    def peek: Option[Tok] = toks.lift(pos)
+    def next(): Tok = {
+      if (pos >= toks.length) throw ParseError("unexpected end of input")
+      val t = toks(pos); pos += 1; t
+    }
+    def expectIdent(v: String): Unit = next() match {
+      case Ident(`v`) => ()
+      case other      => throw ParseError(s"expected '$v', got $other")
+    }
+    def atIdent(v: String): Boolean = peek.contains(Ident(v))
+
+    def ident(): String = next() match {
+      case Ident(v) => v
+      case other    => throw ParseError(s"expected identifier, got $other")
+    }
+
+    def selectItem(): Select = {
+      val name = ident()
+      if (peek.contains(Sym("("))) {
+        val agg = aggNames.getOrElse(name,
+          throw ParseError(s"unknown aggregate '$name' (have: ${aggNames.keys.mkString(", ")})"))
+        next() // (
+        val c = ident()
+        next() match {
+          case Sym(")") => Select(agg, c)
+          case other    => throw ParseError(s"expected ')', got $other")
+        }
+      } else Select(Agg.Raw, name)
+    }
+
+    def value(): String = next() match {
+      case Num(v)   => v
+      case Ident(v) => v // bare-identifier values, expr.rs:12-18
+      case Str(v)   => v
+      case other    => throw ParseError(s"expected value, got $other")
+    }
+
+    def likeCond(c: String, negated: Boolean): Condition = {
+      val pat = value()
+      val inner = pat.stripPrefix("%").stripSuffix("%")
+      if (inner.contains("%") || inner.contains("_"))
+        throw ParseError(s"unsupported LIKE pattern '$pat' (only leading/trailing %)")
+      (pat.startsWith("%"), pat.endsWith("%")) match {
+        case (true, _)      => Condition(if (negated) Cmp.NotContains else Cmp.Contains, c, inner)
+        case (false, true)  => Condition(if (negated) Cmp.NotStartsWith else Cmp.StartsWith, c, inner)
+        case (false, false) => Condition(if (negated) Cmp.Ne else Cmp.Eq, c, inner)
+      }
+    }
+
+    def cond(): Condition = {
+      val c = ident()
+      next() match {
+        case Sym("=")             => Condition(Cmp.Eq, c, value())
+        case Sym("!=") | Sym("<>") => Condition(Cmp.Ne, c, value())
+        case Sym(">")             => Condition(Cmp.Gt, c, value())
+        case Sym("<")             => Condition(Cmp.Lt, c, value())
+        case Sym(">=")            => Condition(Cmp.Gte, c, value())
+        case Sym("<=")            => Condition(Cmp.Lte, c, value())
+        case Ident("like")        => likeCond(c, negated = false)
+        case Ident("not")         => expectIdent("like"); likeCond(c, negated = true)
+        case Ident("exists")      => Condition(Cmp.Exists, c)
+        case Ident("notexists")   => Condition(Cmp.NotExists, c)
+        case other                => throw ParseError(s"unsupported operator $other")
+      }
+    }
+
+    def commaList[T](one: () => T): Seq[T] = {
+      val buf = Seq.newBuilder[T]
+      buf += one()
+      while (peek.contains(Sym(","))) { next(); buf += one() }
+      buf.result()
+    }
+
+    expectIdent("select")
+    val selects = commaList(selectItem _)
+    if (atIdent("from")) { next(); ident() } // tolerated + ignored, like expr.rs (never reads FROM)
+
+    var conds = Seq.empty[Condition]
+    if (atIdent("where")) {
+      next()
+      val buf = Seq.newBuilder[Condition]
+      buf += cond()
+      while (atIdent("and")) { next(); buf += cond() }
+      conds = buf.result()
+    }
+
+    var groupBy = Seq.empty[String]
+    if (atIdent("group")) { next(); expectIdent("by"); groupBy = commaList(ident _) }
+
+    var orderBy = Seq.empty[OrderBy]
+    if (atIdent("order")) {
+      next(); expectIdent("by")
+      orderBy = commaList { () =>
+        val sel = selectItem()
+        val dir =
+          if (atIdent("desc")) { next(); SortDir.Desc }
+          else { if (atIdent("asc")) next(); SortDir.Asc }
+        OrderBy(sel, dir)
+      }
+    }
+
+    var gran = 300L // 5 minutes, expr.rs:226
+    if (atIdent("granularity")) {
+      next()
+      gran = next() match {
+        case Num(v) => v.toLong
+        case other  => throw ParseError(s"expected granularity seconds, got $other")
+      }
+    }
+    if (pos < toks.length) throw ParseError(s"trailing input from token $pos: ${toks.drop(pos).take(5)}")
+
+    // $t_start / $t_end pseudo-conditions → scan time range (expr.rs:170-186)
+    val tStart = conds.collectFirst { case Condition(Cmp.Eq, "$t_start", v) => v.toLong }
+    val tEnd = conds.collectFirst { case Condition(Cmp.Eq, "$t_end", v) => v.toLong }
+    val realConds = conds.filterNot(c => c.column == "$t_start" || c.column == "$t_end")
+
+    ZxQuery(selects, realConds, groupBy, orderBy, tStart, tEnd, gran)
+  }
+
+  // --------------------------------------------------------------- executor
+
+  /** Parse + route: ORDER BY → sorted "top groups" path; all-Raw select →
+    * plain projection; otherwise windowed time-series (`exact = true` replays
+    * the reference's gap windows via [[GapWindows]]). */
+  def run(df: DataFrame, sql: String, tsCol: String = Compiler.DefaultTsCol,
+          exact: Boolean = false, idCol: Option[String] = None): DataFrame = {
+    val q = parse(sql)
+    if (q.orderBy.nonEmpty) Compiler.runSorted(df, q, tsCol)
+    else if (q.selects.forall(_.agg == Agg.Raw)) Compiler.runRaw(df, q, tsCol)
+    else if (exact) GapWindows(df, q, tsCol, idCol)
+    else Compiler.runUnsorted(df, q, tsCol)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ir._
+import graft.sql.ZxSql
+import graft.compile.Compiler
+
+/** P1 SQL front door — parse + execute on the reference fixture. The
+  * reference never tests expr.rs; we do. */
+class SqlSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  test("parses aggregates, where, group by, order by, granularity") {
+    val q = ZxSql.parse("select sum(foo), mean(foo) where x > 2 and tag like '%t1%' " +
+      "group by y order by mean(foo) desc granularity 60")
+    assert(q.selects == Seq(Select(Agg.Sum, "foo"), Select(Agg.Mean, "foo")))
+    assert(q.conditions == Seq(Condition(Cmp.Gt, "x", "2"), Condition(Cmp.Contains, "tag", "t1")))
+    assert(q.groupBy == Seq("y"))
+    assert(q.orderBy == Seq(OrderBy(Select(Agg.Mean, "foo"), SortDir.Desc)))
+    assert(q.granularitySec == 60L)
+  }
+
+  test("$t_start/$t_end equality conditions become the time range (expr.rs:170-186)") {
+    val q = ZxSql.parse("select count(foo) where $t_start = 2 and $t_end = 8 and foo > 100")
+    assert(q.tStart.contains(2L) && q.tEnd.contains(8L))
+    assert(q.conditions == Seq(Condition(Cmp.Gt, "foo", "100")))
+  }
+
+  test("LIKE wildcard translation: %x% / x% / plain (fixes expr.rs:81-98)") {
+    assert(ZxSql.parse("select foo where tag like '%t1%'").conditions.head.cmp == Cmp.Contains)
+    assert(ZxSql.parse("select foo where tag like 't1%'").conditions.head.cmp == Cmp.StartsWith)
+    assert(ZxSql.parse("select foo where tag like 't1'").conditions.head.cmp == Cmp.Eq)
+    assert(ZxSql.parse("select foo where tag not like '%t1%'").conditions.head.cmp == Cmp.NotContains)
+  }
+
+  test("lowercases input like the reference (lib.rs:818-820)") {
+    val q = ZxSql.parse("SELECT SUM(FOO) GROUP BY Y")
+    assert(q.selects == Seq(Select(Agg.Sum, "foo")) && q.groupBy == Seq("y"))
+  }
+
+  test("rejects malformed input with a named error") {
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select median(foo)"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("sum(foo)"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select foo where x ="))
+  }
+
+  test("end-to-end: windowed sql on the fixture (time-ranged, 15s granularity)") {
+    val got = ZxSql.run(fixture,
+      "select sum(foo) where $t_start = 0 and $t_end = 9 group by y granularity 15")
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(got == Map("1" -> 100.0, "9" -> 1400.0, Compiler.NilSentinel -> 4000.0))
+  }
+
+  test("end-to-end: order by mean(foo) asc routes to the sorted path") {
+    val got = ZxSql.run(fixture, "select mean(foo) group by y order by mean(foo) asc")
+      .select("y").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("1", Compiler.NilSentinel, "9"))
+  }
+
+  test("end-to-end: bare select routes to raw projection") {
+    val got = ZxSql.run(fixture, "select foo, x where foo > 800")
+    assert(got.columns.toSeq == Seq("foo", "x") && got.count() == 2)
+  }
+}
