@@ -259,6 +259,105 @@ object SparkEntry {
       .agg(sum(revenue).cast(DoubleType).as("revenue"), count(lit(1)).as("n"))
   }
 
+  // --------------------------------------- training-data pipeline: text
+
+  /** Language-ID: stopword-hit argmax heuristic vs the labeled lang. Tokens
+    * materialize in their own projection so the text splits once, not once
+    * per language score. */
+  private def x1LangId(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), col("lang"),
+        langIdFromTokens(col("__toks")).as("lang_pred"))
+      .withColumn("agree", col("lang_pred") === col("lang"))
+  }
+
+  /** Quality scoring: exact int-ratio metrics + a C4-style boolean gate. */
+  private def x2Quality(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    Tables.documents(s, dir).select(col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      punctRatio(col("text")).as("punct_ratio"),
+      stopwordRatio(col("text")).as("stop_ratio"),
+      qualityOk(col("text")).as("quality_ok"))
+  }
+
+  /** Per-source token statistics (map-side combine → tiny shuffle). */
+  private def x3TokenStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text")).cast(LongType)).as("sum_tokens"),
+        max(tokenCount(col("text"))).as("max_tokens"),
+        round(avg(tokenCount(col("text")).cast(DoubleType)), 6).as("mean_tokens"))
+  }
+
+  /** Document fingerprinting: md5-64 content key + 16-bit SimHash. */
+  private def x4Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    Tables.documents(s, dir).select(col("doc_id"),
+      fingerprint(col("text")).as("fp"),
+      simhash16(col("text")).as("simhash16"))
+  }
+
+  // -------------------------------------- training-data pipeline: dedup
+
+  private def d1DedupExact(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.exactGroups(Tables.documents(s, dir))
+
+  private def d2MinhashSig(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.minhashSignatures(Tables.documents(s, dir))
+
+  private def d2bMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.minhashPairs(Tables.documents(s, dir), threshold = 0.5)
+
+  private def d3SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 1)
+
+  private def d4NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.4)
+
+  private def d5EmbedPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.embeddingPairs(Tables.embeddings(s, dir), threshold = 0.42)
+      .withColumn("cos", round(col("cos"), 6))
+
+  // --------------------------------- training-data pipeline: similarity
+
+  private def s1Knn(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.bruteForceKnn(Tables.embeddings(s, dir), queryId = 0L, k = 10)
+      .withColumn("cos", round(col("cos"), 6))
+
+  private def s2AnnLsh(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.annSignLsh(Tables.embeddings(s, dir), queryId = 0L,
+        k = 5, bits = 4)
+      .withColumn("cos", round(col("cos"), 6))
+
+  private def s3LshStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.lshBucketStats(Tables.embeddings(s, dir))
+
+  // ---------------------------------- training-data pipeline: multimodal
+
+  private def m1MmBytes(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.packBinary(Tables.documents(s, dir))
+      .select("doc_id", "media_type", "n_bytes")
+
+  /** Binary decode plumbing with the stubbed codec — rows-only check. */
+  private def m2MmDecode(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.decodeStub(
+      graft.operators.Multimodal.packBinary(Tables.documents(s, dir)))
+
+  // ---------------------------------------------- oracle SQL fragments
+
+  private val duckToks = "string_split(text, ' ')"
+  private def duckShingles(toks: String): String =
+    s"list_transform(range(1, greatest(len($toks) - 1, 1)), i -> array_to_string(($toks)[i:i+2], ' '))"
+  private def duckMinhash(salt: Int): String =
+    s"list_min(list_transform(sh, s -> md5('$salt:' || s)))"
+  private val duckJaccard =
+    "len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE"
+
   // ----------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -278,6 +377,21 @@ object SparkEntry {
     "o1_top_groups" -> (o1TopGroups _),
     "q1_pricing" -> (q1Pricing _),
     "j1_revenue_nation" -> (j1RevenueNation _),
+    "x1_lang_id" -> (x1LangId _),
+    "x2_quality" -> (x2Quality _),
+    "x3_token_stats" -> (x3TokenStats _),
+    "x4_fingerprint" -> (x4Fingerprint _),
+    "d1_dedup_exact" -> (d1DedupExact _),
+    "d2_minhash_sig" -> (d2MinhashSig _),
+    "d2b_minhash_pairs" -> (d2bMinhashPairs _),
+    "d3_simhash_pairs" -> (d3SimhashPairs _),
+    "d4_ngram_jaccard" -> (d4NgramJaccard _),
+    "d5_embed_pairs" -> (d5EmbedPairs _),
+    "s1_knn" -> (s1Knn _),
+    "s2_ann_lsh" -> (s2AnnLsh _),
+    "s3_lsh_stats" -> (s3LshStats _),
+    "m1_mm_bytes" -> (m1MmBytes _),
+    "m2_mm_decode" -> (m2MmDecode _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -377,5 +491,123 @@ object SparkEntry {
         | JOIN nation ON c_nationkey = n_nationkey
         |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
         |GROUP BY n_name""".stripMargin,
+    "x1_lang_id" -> {
+      val pred = graft.functions.TextFunctions.langIdSql("text")
+      s"""SELECT doc_id, lang, lang_pred, (lang_pred = lang) AS agree
+         |FROM (SELECT doc_id, lang, $pred AS lang_pred FROM documents) t""".stripMargin
+    },
+    "x2_quality" -> {
+      val en = graft.functions.TextFunctions.langStopwords.head._2
+        .map(w => s"'$w'").mkString(",")
+      val pc = graft.functions.TextFunctions.punctChars
+      s"""SELECT doc_id,
+         | CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         | (length(text) - length(regexp_replace(text, '[$pc]', '', 'g')))::DOUBLE
+         |   / length(text)::DOUBLE AS punct_ratio,
+         | len(list_filter(string_split(text, ' '), t -> list_contains([$en], t)))::DOUBLE
+         |   / len(string_split(text, ' '))::DOUBLE AS stop_ratio,
+         | (length(text) >= 100 AND len(string_split(text, ' ')) >= 20
+         |   AND (length(text) - length(regexp_replace(text, '[$pc]', '', 'g')))::DOUBLE / length(text)::DOUBLE <= 0.1
+         |   AND len(list_filter(string_split(text, ' '), t -> list_contains([$en], t)))::DOUBLE / len(string_split(text, ' '))::DOUBLE >= 0.01) AS quality_ok
+         |FROM documents""".stripMargin
+    },
+    "x3_token_stats" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        | CAST(max(len(string_split(text, ' '))) AS INT) AS max_tokens,
+        | round(avg(len(string_split(text, ' '))::DOUBLE), 6) AS mean_tokens
+        |FROM documents GROUP BY source""".stripMargin,
+    "x4_fingerprint" -> {
+      import graft.functions.TextFunctions._
+      s"""WITH nib AS (SELECT doc_id, md5(text) AS m,
+         |  ${simhashNibblesSql("text")} AS nibs FROM documents)
+         |SELECT doc_id, substr(m, 1, 16) AS fp,
+         | CAST(${simhashBitsSql("nibs")} AS BIGINT) AS simhash16
+         |FROM nib""".stripMargin
+    },
+    "d1_dedup_exact" ->
+      """SELECT substr(md5(text), 1, 16) AS fp, min(doc_id) AS keeper_id,
+        | CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d2_minhash_sig" -> {
+      val sigs = (0 until 8).map(i => s" ${duckMinhash(i)} AS sig_$i").mkString(",\n")
+      val bands = (0 until 4).map(b =>
+        s" md5(sig_${2 * b} || '|' || sig_${2 * b + 1}) AS band_$b").mkString(",\n")
+      s"""WITH sh AS (SELECT doc_id, ${duckShingles(duckToks)} AS sh FROM documents)
+         |SELECT doc_id,
+         |$sigs,
+         |$bands
+         |FROM sh""".stripMargin
+    },
+    "d2b_minhash_pairs" -> {
+      val sigs = (0 until 8).map(i => s" ${duckMinhash(i)} AS s$i").mkString(",\n")
+      s"""WITH sh0 AS (SELECT doc_id, ${duckShingles(duckToks)} AS sh FROM documents),
+         |sig AS (SELECT doc_id,
+         |$sigs
+         | FROM sh0),
+         |band AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS band_idx,
+         |  unnest([md5(s0 || '|' || s1), md5(s2 || '|' || s3),
+         |          md5(s4 || '|' || s5), md5(s6 || '|' || s7)]) AS bkey FROM sig),
+         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM band l JOIN band r ON l.band_idx = r.band_idx AND l.bkey = r.bkey
+         |   AND l.doc_id < r.doc_id
+         |  WHERE l.bkey IS NOT NULL),
+         |shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh0)
+         |SELECT id_a, id_b, $duckJaccard AS jac
+         |FROM cand JOIN shd a ON cand.id_a = a.doc_id JOIN shd b ON cand.id_b = b.doc_id
+         |WHERE $duckJaccard >= 0.5""".stripMargin
+    },
+    "d3_simhash_pairs" -> {
+      import graft.functions.TextFunctions._
+      s"""WITH nib AS (SELECT doc_id, ${simhashNibblesSql("text")} AS nibs FROM documents),
+         |sim AS (SELECT doc_id, CAST(${simhashBitsSql("nibs")} AS BIGINT) AS h FROM nib)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.h, b.h)) <= 1""".stripMargin
+    },
+    "d4_ngram_jaccard" ->
+      s"""WITH shd AS (SELECT doc_id, source, CAST(floor(n_chars / 20) AS BIGINT) AS len_b,
+         |  list_distinct(${duckShingles(duckToks)}) AS sh FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $duckJaccard AS jac
+         |FROM shd a JOIN shd b ON a.source = b.source AND a.len_b = b.len_b
+         | AND a.doc_id < b.doc_id
+         |WHERE $duckJaccard >= 0.4""".stripMargin,
+    "d5_embed_pairs" -> {
+      val cos = graft.functions.VectorFunctions.cosineSql("a.embedding", "b.embedding", 64)
+      s"""SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+         | round($cos, 6) AS cos
+         |FROM embeddings a JOIN embeddings b
+         | ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE $cos >= 0.42""".stripMargin
+    },
+    "s1_knn" -> {
+      val cos = graft.functions.VectorFunctions.cosineSql("embedding", "qe", 64)
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, round($cos, 6) AS cos
+         |FROM embeddings, q
+         |ORDER BY $cos DESC, vec_id
+         |LIMIT 10""".stripMargin
+    },
+    "s2_ann_lsh" -> {
+      import graft.functions.VectorFunctions._
+      val cos = cosineSql("e.embedding", "q.qe", 64)
+      s"""WITH q AS (SELECT CAST(${signBucketSql("embedding", 4)} AS BIGINT) AS bucket,
+         |  embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT q.bucket AS bucket, e.vec_id, e.label, round($cos, 6) AS cos
+         |FROM embeddings e JOIN q ON CAST(${signBucketSql("e.embedding", 4)} AS BIGINT) = q.bucket
+         |ORDER BY $cos DESC, e.vec_id
+         |LIMIT 5""".stripMargin
+    },
+    "s3_lsh_stats" -> {
+      val b = graft.functions.VectorFunctions.signBucketSql("embedding", 8)
+      s"""SELECT CAST($b AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+         | min(vec_id) AS min_id, max(vec_id) AS max_id
+         |FROM embeddings GROUP BY 1""".stripMargin
+    },
+    "m1_mm_bytes" ->
+      """SELECT doc_id, 'text/plain' AS media_type,
+        | CAST(strlen(text) AS INT) AS n_bytes
+        |FROM documents""".stripMargin,
   )
 }

@@ -1,0 +1,171 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis primitives for the training-data pipeline operators
+  * (BASELINE.json north star): tokenization, language-ID, quality scoring,
+  * fingerprinting, shingling, MinHash, SimHash.
+  *
+  * Design rules:
+  *  - everything is a composition of codegen'd built-ins (split/transform/
+  *    filter/aggregate/md5) — no UDFs, so whole-stage codegen and column
+  *    pruning survive, and the work distributes as a narrow map at 100 TB;
+  *  - all hashing is md5-hex-based so the DuckDB oracle can reproduce results
+  *    bit-for-bit (both engines emit identical lowercase hex);
+  *  - integer-ratio outputs (jaccard, ratios) divide exact ints/longs in
+  *    DOUBLE — deterministic across engines without rounding.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (documents are single-space word soup). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  // ------------------------------------------------------------ language id
+
+  /** Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
+    * Order matters: argmax ties resolve to the earlier language. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "los", "las", "y", "en", "que", "un", "una"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein", "eine", "zu", "mit"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "un", "une", "est", "dans", "pour"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai", "you", "wo", "ta", "men", "zhe"))
+
+  /** Stopword hits for one language over a token array. */
+  def langScore(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
+  /** Argmax language with first-wins tie-breaking — mirrors the CASE chain in
+    * the DuckDB oracle exactly. Prefer [[langIdFromTokens]] over a
+    * pre-materialized token column: inlining `tokens(text)` here re-splits
+    * the text once per language score. */
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
+  def langIdFromTokens(toks: Column): Column = {
+    val scores = langStopwords.map { case (l, ws) => l -> langScore(toks, ws) }
+    def pick(rest: List[(String, Column)]): Column = rest match {
+      case (l, _) :: Nil => lit(l)
+      case (l, s) :: tail =>
+        when(tail.map { case (_, s2) => s >= s2 }.reduce(_ && _), lit(l))
+          .otherwise(pick(tail))
+      case Nil => lit(null)
+    }
+    pick(scores.toList)
+  }
+
+  /** DuckDB rendering of the same argmax (identical tie-breaking). */
+  def langIdSql(textExpr: String): String = {
+    def score(words: Seq[String]): String =
+      s"len(list_filter(string_split($textExpr, ' '), t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
+    val scores = langStopwords.map { case (l, ws) => l -> score(ws) }
+    val cases = scores.toList.init.zipWithIndex.map { case ((l, s), i) =>
+      val rest = scores.toList.drop(i + 1).map(_._2)
+      s"WHEN ${rest.map(r => s"$s >= $r").mkString(" AND ")} THEN '$l'"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE '${langStopwords.last._1}' END"
+  }
+
+  // -------------------------------------------------------- quality scoring
+
+  val punctChars = ".,!?;:"
+
+  /** punctuation chars / total chars, as an exact int ratio in DOUBLE. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, s"[$punctChars]", "")))
+      .cast(DoubleType) / length(text).cast(DoubleType)
+
+  /** english-stopword tokens / total tokens. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    langScore(toks, langStopwords.head._2).cast(DoubleType) /
+      size(toks).cast(DoubleType)
+  }
+
+  /** Boolean quality gate in the C4/Gopher style: long enough, not
+    * punctuation-soup, has some function words. */
+  def qualityOk(text: Column): Column =
+    (length(text) >= 100) && (tokenCount(text) >= 20) &&
+      (punctRatio(text) <= 0.1) && (stopwordRatio(text) >= 0.01)
+
+  // --------------------------------------------------------- fingerprinting
+
+  /** 64-bit content fingerprint: first 16 md5 hex chars (exact-dup key). */
+  def fingerprint(text: Column): Column = substring(md5(text), 1, 16)
+
+  // ----------------------------------------------------- shingles + minhash
+
+  /** n-word shingles joined with a single space; empty array if the document
+    * has fewer than n tokens. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** One MinHash signature: lexicographic min of salted md5 over shingles.
+    * k independent salts ≈ k independent permutations. NULL for shingle-less
+    * docs (mirrors list_min([]) = NULL in DuckDB). */
+  def minhash(shingleCol: Column, salt: Int): Column =
+    array_min(transform(shingleCol, s => md5(concat(lit(s"$salt:"), s))))
+
+  /** Band key for LSH: md5 over the concatenation of a contiguous signature
+    * slice — docs sharing any band key are near-dup candidates. */
+  def bandKey(sigs: Seq[Column], bandIdx: Int, rowsPerBand: Int): Column = {
+    val slice = sigs.slice(bandIdx * rowsPerBand, (bandIdx + 1) * rowsPerBand)
+    // concat (not concat_ws): a NULL signature (shingle-less doc) must
+    // propagate to a NULL band key, matching SQL `||` semantics
+    md5(concat(slice.flatMap(s => Seq(s, lit("|"))).dropRight(1): _*))
+  }
+
+  /** Exact Jaccard over two string arrays (distinct semantics), as an exact
+    * int/int division — engine-deterministic. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    val union = size(array_union(a, b)).cast(DoubleType)
+    inter / union
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** Per-token md5 nibble lists (4 small ints via hex `conv`) — the shared
+    * input of the 16 SimHash bit-sums. ALWAYS materialize this as its own
+    * projected column before calling [[simhash16FromNibbles]]: the bit-sum
+    * expression references it 16 times, and Catalyst's CollapseProject keeps
+    * a non-cheap multi-referenced alias in its own project, so the md5 pass
+    * runs once per token instead of sixteen times. */
+  def simhashNibbles(text: Column): Column =
+    transform(tokens(text), t =>
+      transform(sequence(lit(0), lit(3)),
+        p => conv(substring(md5(t), 1, 4).substr(p + 1, lit(1)), 16, 10).cast(LongType)))
+
+  /** 16-bit SimHash from materialized nibbles: per bit, Σ(±1) over tokens;
+    * fingerprint bit = (sum > 0). 16 aggregate folds, all inside codegen. */
+  def simhash16FromNibbles(nibbles: Column): Column =
+    (0 until 16).map { j =>
+      val nib = j / 4; val weight = 1L << j
+      val bitSum = aggregate(nibbles, lit(0L), (acc, a) =>
+        acc + shiftright(element_at(a, nib + 1), j % 4).bitwiseAND(lit(1L)) * 2L - 1L)
+      when(bitSum > 0L, lit(weight)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Convenience single-expression form (tests / one-off selects). Inlines
+    * the nibble pass 16×; hot paths use the two-step form. */
+  def simhash16(text: Column): Column = simhash16FromNibbles(simhashNibbles(text))
+
+  /** DuckDB renderings of the same SimHash, split for CTE use:
+    * `simhashNibblesSql` computes the per-token nibble lists (alias it as
+    * `nibs`), `simhashBitsSql` folds them to the 16-bit fingerprint. */
+  def simhashNibblesSql(textExpr: String): String =
+    s"list_transform(string_split($textExpr, ' '), t -> " +
+      "list_transform(range(1, 5), p -> instr('0123456789abcdef', substr(md5(t), p::INT, 1)) - 1))"
+
+  def simhashBitsSql(nibsExpr: String): String =
+    (0 until 16).map { j =>
+      val idx = j / 4 + 1; val shift = j % 4; val weight = 1L << j
+      s"(CASE WHEN list_sum(list_transform($nibsExpr, a -> ((a[$idx] >> $shift) & 1) * 2 - 1)) > 0 THEN $weight ELSE 0 END)"
+    }.mkString(" + ")
+}

@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding-vector primitives over `array<float>` columns — pure
+  * higher-order-function compositions (zip_with/aggregate), codegen'd, no
+  * UDFs. All arithmetic is promoted to DOUBLE and folded strictly
+  * left-to-right; the DuckDB mirrors use `list_reduce` with the same fold
+  * order, so dot products agree bit-for-bit across engines ((0+x1)+x2+… ≡
+  * (x1+x2)+… in IEEE because 0+x = x). */
+object VectorFunctions {
+
+  def toDouble(a: Column): Column = transform(a, x => x.cast(DoubleType))
+
+  /** Left-fold dot product in DOUBLE. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-bit LSH bucket: bit d = (v[d] > 0), giving 2^bits buckets. The
+    * cheapest useful LSH for unit vectors — deterministic, engine-portable,
+    * and a real partition key at scale (bucket = shuffle key, so ANN probes
+    * touch one partition). */
+  def signBucket(a: Column, bits: Int): Column =
+    (0 until bits).map { d =>
+      when(element_at(a, d + 1) > lit(0f), lit(1L << d)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  // ------------------------------------------------------------ SQL mirrors
+
+  def dotSql(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_transform(range(1, ${dim + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (acc, x) -> acc + x)"
+
+  def cosineSql(a: String, b: String, dim: Int): String =
+    s"(${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)})))"
+
+  def signBucketSql(a: String, bits: Int): String =
+    (0 until bits).map(d => s"(CASE WHEN $a[${d + 1}] > 0 THEN ${1L << d} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+}

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextFunctions._
+
+/** Document deduplication for training-data pipelines, at four rungs of the
+  * exactness ladder: exact (hash groupBy), MinHash+LSH (shingle → signature
+  * → band bucket join → jaccard verify), SimHash (bit-sum fingerprint +
+  * banded hamming join), and blocked n-gram jaccard.
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup groups on a 64-bit md5 prefix, never on raw text — the
+  *    shuffle moves 8-byte keys, not documents;
+  *  - MinHash/LSH is the linear-time path: candidates come from equality
+  *    joins on band keys (shuffle on small hex keys); the quadratic jaccard
+  *    verify runs only inside buckets, whose size LSH keeps tiny;
+  *  - pair enumeration always emits (min_id, max_id) once, via id ordering
+  *    inside the bucket join;
+  *  - everything is built-in expressions — codegen'd, no UDF.
+  */
+object Dedup {
+
+  /** Exact dedup groups: fingerprint → keeper (min id) + multiplicity. */
+  def exactGroups(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact-dedup survivor set: one row per distinct text (the min-id row). */
+  def exactDedup(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val keepers = exactGroups(docs, textCol, idCol)
+      .select(col("keeper_id").as(idCol))
+    docs.join(keepers, idCol) // semi-ish inner on unique keeper ids
+  }
+
+  /** Per-doc MinHash signatures (k salted md5-min permutations over n-word
+    * shingles) as columns sig_0..sig_{k-1}, plus band keys band_0.. for LSH
+    * (rowsPerBand signatures per band). */
+  def minhashSignatures(docs: DataFrame, k: Int = 8, shingleN: Int = 3,
+                        rowsPerBand: Int = 2, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val sh = shingles(tokens(col(textCol)), shingleN)
+    val withSh = docs.select(col(idCol), sh.as("__sh"))
+    val sigs = (0 until k).map(i => minhash(col("__sh"), i).as(s"sig_$i"))
+    val sigDf = withSh.select(col(idCol) +: sigs: _*)
+    val sigCols = (0 until k).map(i => col(s"sig_$i"))
+    val bands = (0 until k / rowsPerBand).map(b =>
+      bandKey(sigCols, b, rowsPerBand).as(s"band_$b"))
+    sigDf.select((col(idCol) +: sigCols) ++ bands: _*)
+  }
+
+  /** MinHash-LSH near-dup pairs: docs sharing any band key become candidates;
+    * candidates are verified with exact shingle jaccard ≥ threshold.
+    * One equality-join shuffle on (band_idx, band_key); distinct on the pair
+    * id removes multi-band duplicates before the (expensive) verify. */
+  def minhashPairs(docs: DataFrame, threshold: Double, k: Int = 8,
+                   shingleN: Int = 3, rowsPerBand: Int = 2,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val nBands = k / rowsPerBand
+    val sigs = minhashSignatures(docs, k, shingleN, rowsPerBand, textCol, idCol)
+    val bands = sigs.select(col(idCol),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band_idx"), col(s"band_$b").as("bkey"))): _*)).as("b"))
+      .select(col(idCol), col("b.band_idx"), col("b.bkey"))
+      .filter(col("bkey").isNotNull)
+      // pre-shuffle on the join key so both self-join sides reuse one
+      // exchange — the 8-pass minhash scan runs once, not twice
+      .repartition(col("band_idx"), col("bkey"))
+    val left = bands.select(col(idCol).as("id_a"), col("band_idx"), col("bkey"))
+    val right = bands.select(col(idCol).as("id_b"), col("band_idx"), col("bkey"))
+    val cand = left.join(right, Seq("band_idx", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sh = docs.select(col(idCol),
+      array_distinct(shingles(tokens(col(textCol)), shingleN)).as("sh"))
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  /** Per-doc 16-bit SimHash fingerprints. Two-step projection: the md5
+    * nibble pass materializes once, the 16 bit-sums fold over it. */
+  def simhashes(docs: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), simhashNibbles(col(textCol)).as("__nibs"))
+      .select(col(idCol), simhash16FromNibbles(col("__nibs")).as("simhash16"))
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming, found via the
+    * banded-equality trick: split 16 bits into (maxHamming+1) chunks — any
+    * pair within the bound shares at least one exact chunk (pigeonhole), so
+    * candidates come from equality joins, then bit_count verifies. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 2,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 16 / chunks
+    val sh = simhashes(docs, textCol, idCol)
+    val banded = sh.select(col(idCol), col("simhash16"),
+      explode(array((0 until chunks).map(cix =>
+        struct(lit(cix).as("chunk_idx"),
+          shiftright(col("simhash16"), cix * bitsPer)
+            .bitwiseAND(lit((1L << bitsPer) - 1)).as("chunk"))): _*)).as("c"))
+      .select(col(idCol), col("simhash16"), col("c.chunk_idx"), col("c.chunk"))
+      // shuffle on the join key BEFORE aliasing the two sides: both join
+      // branches then share one identical exchange subplan, so ReuseExchange
+      // computes the simhash scan once instead of once per side
+      .repartition(col("chunk_idx"), col("chunk"))
+    val l = banded.select(col(idCol).as("id_a"), col("simhash16").as("h_a"),
+      col("chunk_idx"), col("chunk"))
+    val r = banded.select(col(idCol).as("id_b"), col("simhash16").as("h_b"),
+      col("chunk_idx"), col("chunk"))
+    l.join(r, Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b")).distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Blocked n-gram jaccard: candidate pairs share a blocking key (source +
+    * length bucket — cheap equality join, no cartesian), verified with exact
+    * shingle jaccard. The honest-quadratic baseline to MinHash's linear
+    * path; blocking bounds the quadratic term to within-block pairs. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double, shingleN: Int = 3,
+                        lenBucket: Int = 20, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(idCol), col("source"),
+      floor(col("n_chars") / lenBucket).as("len_b"),
+      array_distinct(shingles(tokens(col(textCol)), shingleN)).as("sh"))
+      .repartition(col("source"), col("len_b")) // shared exchange for both sides
+    val l = base.select(col(idCol).as("id_a"), col("source"), col("len_b"), col("sh").as("sh_a"))
+    val r = base.select(col(idCol).as("id_b"), col("source"), col("len_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("source", "len_b"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  /** Embedding near-dup pairs: same-label blocking, cosine ≥ threshold.
+    * Norms are precomputed per VECTOR (one pass over n rows) rather than per
+    * pair (n² passes); the per-pair work is a single dot product. Both sides
+    * share one pre-shuffled exchange. */
+  def embeddingPairs(emb: DataFrame, threshold: Double,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     blockCol: String = "label"): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val base = emb.select(col(idCol), col(blockCol), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"))
+      .repartition(col(blockCol))
+    val l = base.select(col(idCol).as("id_a"), col(blockCol),
+      col("v").as("v_a"), col("nrm").as("n_a"))
+    val r = base.select(col(idCol).as("id_b"), col(blockCol),
+      col("v").as("v_b"), col("nrm").as("n_b"))
+    l.join(r, Seq(blockCol))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cos") >= threshold)
+      .select(col(blockCol), col("id_a"), col("id_b"), col("cos"))
+  }
+}

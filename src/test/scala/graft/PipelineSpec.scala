@@ -1,0 +1,135 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Training-data pipeline operators: semantics pinned against independent
+  * in-JVM reference computations (MessageDigest md5, hand-built sets). */
+class PipelineSpec extends AnyFunSuite {
+  import SparkFixture.spark
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def docsDf(texts: (Long, String)*) = {
+    val schema = StructType(Seq(StructField("doc_id", LongType, false),
+      StructField("text", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType, false)))
+    val rows = texts.map { case (id, t) => Row(id, t, s"src${id % 2}", t.length.toLong) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  test("fingerprint = first 16 md5 hex chars") {
+    val got = docsDf((1L, "hello world")).select(TextFunctions.fingerprint(col("text")))
+      .head().getString(0)
+    assert(got == md5hex("hello world").take(16))
+  }
+
+  test("shingles: 3-word windows; short docs yield empty array") {
+    val df = docsDf((1L, "a b c d"), (2L, "a b"))
+    val got = df.select(col("doc_id"),
+      TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("a b c", "b c d"))
+    assert(got(2L).isEmpty)
+  }
+
+  test("minhash matches an independent md5-min computation") {
+    val text = "w1 w2 w3 w4 w5"
+    val shingles = Seq("w1 w2 w3", "w2 w3 w4", "w3 w4 w5")
+    val expected = shingles.map(s => md5hex(s"2:$s")).min
+    val got = docsDf((1L, text))
+      .select(TextFunctions.minhash(
+        TextFunctions.shingles(TextFunctions.tokens(col("text")), 3), 2))
+      .head().getString(0)
+    assert(got == expected)
+  }
+
+  test("simhash16 matches an independent bit-sum computation") {
+    val text = "alpha beta gamma delta epsilon"
+    val toks = text.split(" ")
+    val expected = (0 until 16).map { j =>
+      val sum = toks.map { t =>
+        val nib = Integer.parseInt(md5hex(t).substring(j / 4, j / 4 + 1), 16)
+        if (((nib >> (j % 4)) & 1) == 1) 1 else -1
+      }.sum
+      if (sum > 0) 1L << j else 0L
+    }.sum
+    val got = docsDf((1L, text)).select(TextFunctions.simhash16(col("text")))
+      .head().getLong(0)
+    assert(got == expected)
+  }
+
+  test("exact dedup keeps the min-id copy and counts multiplicity") {
+    val df = docsDf((1L, "same text here"), (2L, "same text here"), (3L, "different"))
+    val groups = Dedup.exactGroups(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(groups(md5hex("same text here").take(16)) == (1L, 2L))
+    assert(Dedup.exactDedup(df).select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
+  test("minhash LSH finds an exact-dup pair with jaccard 1.0 and skips disjoint docs") {
+    val df = docsDf(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "entirely unrelated words compose this other document text"))
+    val pairs = Dedup.minhashPairs(df, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("simhash banded pairs == brute-force hamming pairs (pigeonhole holds)") {
+    val texts = Seq.tabulate(30)(i => s"word$i common base tokens plus word${i % 7} word${i % 3}")
+    val df = docsDf(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+    val banded = Dedup.simhashPairs(df, maxHamming = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hashes = Dedup.simhashes(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      if java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= 1
+    } yield (a, b)).toSet
+    assert(banded == brute)
+  }
+
+  test("cosine: identical unit vectors → 1.0; orthogonal → 0.0") {
+    val schema = StructType(Seq(StructField("vec_id", LongType, false),
+      StructField("embedding", ArrayType(FloatType)), StructField("label", IntegerType, false)))
+    val rows = Seq(
+      Row(0L, Seq(1f, 0f, 0f, 0f), 0), Row(1L, Seq(1f, 0f, 0f, 0f), 0),
+      Row(2L, Seq(0f, 1f, 0f, 0f), 0), Row(3L, Seq(0.6f, 0.8f, 0f, 0f), 1))
+    val emb = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val knn = Similarity.bruteForceKnn(emb, queryId = 0L, k = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    assert(knn(0L) == 1.0 && knn(1L) == 1.0 && knn(2L) == 0.0)
+    assert(math.abs(knn(3L) - 0.6) < 1e-7)
+    val stats = Similarity.lshBucketStats(emb, bits = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // buckets: v0,v1 → bit0 only = 1; v2 → bit1 = 2; v3 → both = 3
+    assert(stats == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("multimodal: payload bytes survive packing; stub decode is deterministic") {
+    val df = docsDf((7L, "some document payload"))
+    val packed = Multimodal.packBinary(df)
+    assert(packed.head().getAs[Int]("n_bytes") == "some document payload".length)
+    val d1 = Multimodal.decodeStub(packed).collect()
+    val d2 = Multimodal.decodeStub(packed).collect()
+    assert(d1.sameElements(d2))
+    assert(d1.head.getAs[scala.collection.Seq[Double]]("features").length == 8)
+  }
+
+  test("lang id picks the language with the most stopword hits") {
+    val df = docsDf((1L, "the cat of the house and the dog"), (2L, "el gato de la casa y el perro"))
+    val got = df.select(col("doc_id"), TextFunctions.langId(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en" && got(2L) == "es")
+  }
+}

@@ -21,6 +21,10 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(list(v)) if hasattr(v, "__len__")
+                              and not isinstance(v, str) else v)
     df = df.sort_values(by=list(df.columns), kind="mergesort", ignore_index=True)
     return df
 
