@@ -35,12 +35,22 @@ object Compiler {
     * partitioned) prune the scan. */
   def scanFilter(df: DataFrame, q: ZxQuery, tsCol: String = DefaultTsCol): DataFrame = {
     val ts = col(tsCol)
-    val timeBounded = (q.tStart, q.tEnd) match {
-      case (Some(s), Some(e)) => df.filter(ts >= timestamp_seconds(lit(s)) && ts <= timestamp_seconds(lit(e)))
-      case (Some(s), None)    => df.filter(ts >= timestamp_seconds(lit(s)))
-      case (None, Some(e))    => df.filter(ts <= timestamp_seconds(lit(e)))
-      case (None, None)       => df
-    }
+    // When the source kept a raw epoch-nanos column (Tables.TsNanosCol), add
+    // equivalent bounds on it: the TimestampType `ts` is a derived expression
+    // the Parquet reader can't see, but the raw INT64 range predicate pushes
+    // down to row-group min/max stats. floor(ns/1000)-truncation makes
+    // [s*1e9, e*1e9 + 999] exactly equivalent to the µs-level bounds.
+    val nsBounds: Seq[Column] =
+      if (df.schema.fieldNames.contains(graft.sources.Tables.TsNanosCol)) {
+        val ns = col(graft.sources.Tables.TsNanosCol)
+        q.tStart.map(s => ns >= s * 1000000000L).toSeq ++
+          q.tEnd.map(e => ns <= e * 1000000000L + 999L).toSeq
+      } else Nil
+    val tsBounds: Seq[Column] =
+      q.tStart.map(s => ts >= timestamp_seconds(lit(s))).toSeq ++
+        q.tEnd.map(e => ts <= timestamp_seconds(lit(e))).toSeq
+    val timeBounded = (tsBounds ++ nsBounds).reduceOption(_ && _)
+      .map(df.filter).getOrElse(df)
     Predicates.compileAll(q.conditions, df.schema)
       .map(timeBounded.filter).getOrElse(timeBounded)
   }

@@ -16,10 +16,17 @@ object Tables {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Raw epoch-nanos companion column kept alongside the converted `ts` —
+    * [[graft.compile.Compiler.scanFilter]] mirrors time bounds onto it so the
+    * range predicate reaches the Parquet reader (row-group min/max pruning)
+    * even though the TimestampType `ts` is a derived expression. */
+  val TsNanosCol = "__ts_ns"
+
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
     * reader rejects by default (PARQUET_TYPE_ILLEGAL). Read nanos as LONG
     * (runtime-settable legacy conf, so this works under any driver-built
-    * session) and truncate to a microsecond TimestampType column. */
+    * session) and truncate to a microsecond TimestampType column, keeping the
+    * raw nanos as [[TsNanosCol]] for predicate pushdown. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, dir, "events")
@@ -27,7 +34,8 @@ object Tables {
     import org.apache.spark.sql.types.{LongType, TimestampType}
     raw.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+        raw.withColumn(TsNanosCol, col("ts"))
+          .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
       case Some(_: TimestampType) | _ => raw
     }
   }

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ir._
+import graft.compile.{Aggregates, Compiler, Predicates}
+
+/** Structured Streaming face of the engine.
+  *
+  * The reference's ingest is a synchronous per-row insert (`ZX.I`,
+  * lib.rs:263-303) and its "streaming" is only the windowed output shape of
+  * A8. Spark-natively both become one thing: a streaming DataFrame flowing
+  * through the SAME query compiler as batch — `readStream` on the event
+  * directory, the [[Compiler]]'s filters/groups/window aggregates, watermarks
+  * for bounded state, and any sink. Batch/stream parity falls out of sharing
+  * the Column-building code instead of maintaining two operator sets.
+  */
+object EventStream {
+
+  /** Driver-testdata events schema (streams need an explicit schema). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Open a streaming scan over a directory of event parquet/json files. */
+  def read(spark: SparkSession, path: String, format: String = "parquet"): DataFrame =
+    spark.readStream.schema(eventsSchema).format(format).load(path)
+
+  /** Streaming version of the windowed pipeline (A8): same predicate and
+    * aggregate compilers as batch, tumbling `window()` on event time, a
+    * watermark bounding state for late data. One shuffle on (keys, window) —
+    * partial aggregation happens map-side per micro-batch. */
+  def windowedAgg(stream: DataFrame, q: ZxQuery, watermark: String = "10 minutes",
+                  tsCol: String = Compiler.DefaultTsCol): DataFrame = {
+    require(!q.selects.exists(_.agg == Agg.CountDistinct),
+      "exact count_distinct is unsupported on streams; use approx_count_distinct")
+    val schema = stream.schema
+    val filtered = Predicates.compileAll(q.conditions, schema)
+      .map(stream.filter).getOrElse(stream)
+      .withWatermark(tsCol, watermark)
+    val keys = Compiler.groupKeys(q, schema) :+
+      window(col(tsCol), s"${q.granularitySec} seconds").as("window")
+    val aggs = Aggregates.compileAll(q.selects, schema)
+    filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      .select((q.groupBy.map(col) :+
+        col("window.start").cast(LongType).as("w_start") :+
+        col("window.end").cast(LongType).as("w_end")) ++
+        q.selects.map(s => col(s.key)): _*)
+  }
+
+  /** Continuous ingest: stream → parquet event store (the scalable
+    * replacement for the reference's fsync-per-column insert, lib.rs:295-296).
+    * Checkpointed, exactly-once into the store directory. */
+  def ingest(stream: DataFrame, storePath: String, checkpoint: String) =
+    stream.writeStream
+      .format("parquet")
+      .option("path", storePath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+}
