@@ -302,6 +302,12 @@ object SparkEntry {
       simhash16(col("text")).as("simhash16"))
   }
 
+  /** Custom codegen'd Catalyst expression: Karp-Rabin rolling hash
+    * (graft.expressions.RollingHash) — fused into whole-stage codegen. */
+  private def x5RollingHash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      graft.expressions.RollingHash.rolling_hash(col("text")).as("rhash"))
+
   // -------------------------------------- training-data pipeline: dedup
 
   private def d1DedupExact(s: SparkSession, dir: String): DataFrame =
@@ -381,6 +387,7 @@ object SparkEntry {
     "x2_quality" -> (x2Quality _),
     "x3_token_stats" -> (x3TokenStats _),
     "x4_fingerprint" -> (x4Fingerprint _),
+    "x5_rolling_hash" -> (x5RollingHash _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_minhash_sig" -> (d2MinhashSig _),
     "d2b_minhash_pairs" -> (d2bMinhashPairs _),
@@ -525,6 +532,14 @@ object SparkEntry {
          | CAST(${simhashBitsSql("nibs")} AS BIGINT) AS simhash16
          |FROM nib""".stripMargin
     },
+    "x5_rolling_hash" ->
+      // same polynomial over the (ASCII) bytes, HUGEINT-safe modular steps
+      s"""SELECT doc_id,
+         | list_reduce(list_prepend(0::BIGINT,
+         |   list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i::INT, 1))::BIGINT)),
+         |  (acc, x) -> ((acc::HUGEINT * ${graft.expressions.RollingHash.Base} + x)
+         |    % ${graft.expressions.RollingHash.Mod})::BIGINT) AS rhash
+         |FROM documents""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT substr(md5(text), 1, 16) AS fp, min(doc_id) AS keeper_id,
         | CAST(count(*) AS BIGINT) AS n_copies

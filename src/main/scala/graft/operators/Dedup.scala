@@ -74,11 +74,16 @@ object Dedup {
     val cand = left.join(right, Seq("band_idx", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val sh = docs.select(col(idCol),
-      array_distinct(shingles(tokens(col(textCol)), shingleN)).as("sh"))
+    // Verify only candidate docs: semi-join the (LSH-small) candidate id set
+    // before the shingle computation, so the expensive array build runs on
+    // survivors, not the whole corpus — then broadcast the tiny result into
+    // the pair join.
+    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+    val sh = docs.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), array_distinct(shingles(tokens(col(textCol)), shingleN)).as("sh"))
     cand
-      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(broadcast(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))), "id_a")
+      .join(broadcast(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))), "id_b")
       .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
