@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library session factory: the configuration every graft deployment wants —
+  * AQE on (runtime re-planning, skew-join splitting), shuffle partitions
+  * sized to the cluster rather than the 200 default, UTC, and the engine's
+  * custom SQL functions registered. */
+object GraftSession {
+  def create(master: String = "local[*]", shufflePartitions: Int = 32,
+             appName: String = "graft"): SparkSession = {
+    val s = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    register(s)
+    s
+  }
+
+  /** Register graft's SQL functions on an externally-built session. */
+  def register(s: SparkSession): Unit =
+    graft.expressions.RollingHash.register(s)
+}

@@ -340,6 +340,10 @@ object SparkEntry {
         k = 5, bits = 4)
       .withColumn("cos", round(col("cos"), 6))
 
+  private def s4IvfKnn(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.ivfKnn(Tables.embeddings(s, dir), queryId = 0L, k = 10)
+      .withColumn("cos", round(col("cos"), 6))
+
   private def s3LshStats(s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.lshBucketStats(Tables.embeddings(s, dir))
 
@@ -397,6 +401,7 @@ object SparkEntry {
     "s1_knn" -> (s1Knn _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_lsh_stats" -> (s3LshStats _),
+    "s4_ivf_knn" -> (s4IvfKnn _),
     "m1_mm_bytes" -> (m1MmBytes _),
     "m2_mm_decode" -> (m2MmDecode _),
   )
@@ -619,6 +624,23 @@ object SparkEntry {
       s"""SELECT CAST($b AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
          | min(vec_id) AS min_id, max(vec_id) AS max_id
          |FROM embeddings GROUP BY 1""".stripMargin
+    },
+    "s4_ivf_knn" -> {
+      import graft.functions.VectorFunctions._
+      val assignDot = dotSql("e.embedding", "c.cv", 64)
+      val qcellDot = dotSql("c.cv", "q.qe", 64)
+      val cos = cosineSql("e.embedding", "q.qe", 64)
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |assign AS (SELECT e.vec_id, arg_max(c.cid, $assignDot) AS cell
+         |  FROM embeddings e CROSS JOIN cent c GROUP BY e.vec_id),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |qcells AS (SELECT c.cid FROM cent c, q ORDER BY $qcellDot DESC, c.cid LIMIT 2)
+         |SELECT e.vec_id, e.label, a.cell, round($cos, 6) AS cos
+         |FROM embeddings e
+         | JOIN assign a ON e.vec_id = a.vec_id
+         | JOIN qcells ON a.cell = qcells.cid, q
+         |ORDER BY $cos DESC, e.vec_id
+         |LIMIT 10""".stripMargin
     },
     "m1_mm_bytes" ->
       """SELECT doc_id, 'text/plain' AS media_type,

@@ -131,6 +131,18 @@ object GapWindows {
                   }
                 }
                 mean
+              case Agg.P50 =>
+                // exact interpolated median (the reference declares p50 but
+                // panics, lib.rs:659-661 — we implement it)
+                val vs = rows.collect { case r if !r.isNullAt(ni) => r.getDouble(ni) }
+                  .sorted.toIndexedSeq
+                if (vs.isEmpty) Double.NaN
+                else {
+                  val pos = 0.5 * (vs.size - 1)
+                  val lo = pos.toInt; val frac = pos - lo
+                  if (lo + 1 < vs.size) vs(lo) * (1 - frac) + vs(lo + 1) * frac
+                  else vs(lo)
+                }
               case other => throw new IllegalArgumentException(s"gap windows: unsupported agg $other")
             }
           }

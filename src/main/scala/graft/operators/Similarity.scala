@@ -47,6 +47,37 @@ object Similarity {
       .drop("__q", "__qn", vecCol)
   }
 
+  /** IVF-flat ANN: `nlist` deterministic centroids (the first nlist vectors
+    * — a real deployment trains k-means and persists them), every vector
+    * assigned to its best cell by dot product, queries probe the `nProbe`
+    * nearest cells and score exactly within them.
+    *
+    * At scale the assignment is a one-off build step (the table is written
+    * partitioned by `cell`), so a probe reads nProbe/nlist of the data;
+    * centroids are a broadcast. Recall/latency trades via nProbe. */
+  def ivfKnn(emb: DataFrame, queryId: Long, k: Int, nlist: Int = 16,
+             nProbe: Int = 2, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val cent = emb.filter(col(idCol) < nlist)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val assign = emb.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cent))
+      .groupBy(col(idCol))
+      .agg(max_by(col("cid"), dot(col(vecCol), col("cv"))).as("cell"))
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__q"), norm(col(vecCol)).as("__qn"))
+    val qcells = cent.crossJoin(broadcast(q))
+      .orderBy(dot(col("cv"), col("__q")).desc, col("cid").asc)
+      .limit(nProbe).select("cid")
+    emb.join(assign, idCol)
+      .join(broadcast(qcells), col("cell") === col("cid"))
+      .crossJoin(broadcast(q))
+      .withColumn("cos", dot(col(vecCol), col("__q")) / (norm(col(vecCol)) * col("__qn")))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("label"), col("cell"), col("cos"))
+  }
+
   /** Bucket occupancy histogram — the skew diagnostic for the ANN path. */
   def lshBucketStats(emb: DataFrame, bits: Int = 8,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =

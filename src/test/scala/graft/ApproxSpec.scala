@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** The 100 TB alternates: sketch-based aggregates must land near their exact
+  * counterparts, and ANN must recover most of the exact top-k. */
+class ApproxSpec extends AnyFunSuite {
+  import SparkFixture.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("approx_count_distinct (HLL) within 5% of exact count_distinct") {
+    val ev = Tables.events(spark, dir)
+    val r = ev.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id")).as("approx")).head()
+    val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact <= 0.05)
+  }
+
+  test("percentile_approx within 2% of exact percentile") {
+    val ev = Tables.events(spark, dir)
+    val r = ev.agg(
+      percentile(col("value"), lit(0.5)).as("exact"),
+      percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx")).head()
+    assert(math.abs(r.getDouble(1) - r.getDouble(0)) / r.getDouble(0) <= 0.02)
+  }
+
+  test("IVF ANN: self is rank 1; probe set recovers most of exact top-10") {
+    val emb = Tables.embeddings(spark, dir)
+    val exact = Similarity.bruteForceKnn(emb, 0L, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfKnn(emb, 0L, 10)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(ivf.head == 0L)                       // query's own vector first
+    assert((ivf.toSet & exact).size >= 3)        // partial recall, nProbe=2/16
+  }
+
+  test("sign-LSH ANN keeps the query's bucket only") {
+    val emb = Tables.embeddings(spark, dir)
+    val got = Similarity.annSignLsh(emb, 0L, k = 5, bits = 4)
+    assert(got.select("bucket").distinct().count() == 1)
+    assert(got.head().getAs[Long]("vec_id") == 0L)
+  }
+}
