@@ -361,10 +361,24 @@ object SparkEntry {
   // ---------------------------------------------- oracle SQL fragments
 
   private val duckToks = "string_split(text, ' ')"
-  private def duckShingles(toks: String): String =
-    s"list_transform(range(1, greatest(len($toks) - 1, 1)), i -> array_to_string(($toks)[i:i+2], ' '))"
-  private def duckMinhash(salt: Int): String =
-    s"list_min(list_transform(sh, s -> md5('$salt:' || s)))"
+  /** 32-bit base hash: first 8 md5 hex nibbles, positionally weighted. */
+  private def duckShingleHash(sExpr: String): String =
+    (1 to 8).map { p =>
+      val mult = 1L << (4 * (8 - p))
+      s"(instr('0123456789abcdef', substr(md5($sExpr), $p, 1)) - 1) * $mult"
+    }.mkString("(", " + ", ")")
+  /** token-hash list `th` → Horner-combined 3-gram shingle hashes. */
+  private val duckTokenHashes =
+    s"list_transform($duckToks, t -> ${duckShingleHash("t")})"
+  private val duckHashedShingles: String = {
+    import graft.functions.TextFunctions.{MinhashP, ShingleB}
+    s"list_transform(range(1, greatest(len(th) - 1, 1)), " +
+      s"i -> ((th[i] * $ShingleB + th[i+1]) % $MinhashP * $ShingleB + th[i+2]) % $MinhashP)"
+  }
+  private def duckMinhash(i: Int): String = {
+    val (a, b) = graft.functions.TextFunctions.minhashCoeffs(i)
+    s"list_min(list_transform(hs, h -> (h * $a + $b) % ${graft.functions.TextFunctions.MinhashP}))"
+  }
   private val duckJaccard =
     "len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE"
 
@@ -552,27 +566,29 @@ object SparkEntry {
     "d2_minhash_sig" -> {
       val sigs = (0 until 8).map(i => s" ${duckMinhash(i)} AS sig_$i").mkString(",\n")
       val bands = (0 until 4).map(b =>
-        s" md5(sig_${2 * b} || '|' || sig_${2 * b + 1}) AS band_$b").mkString(",\n")
-      s"""WITH sh AS (SELECT doc_id, ${duckShingles(duckToks)} AS sh FROM documents)
+        s" md5(sig_${2 * b}::VARCHAR || '|' || sig_${2 * b + 1}::VARCHAR) AS band_$b").mkString(",\n")
+      s"""WITH th0 AS (SELECT doc_id, $duckTokenHashes AS th FROM documents),
+         |hsrc AS (SELECT doc_id, $duckHashedShingles AS hs FROM th0)
          |SELECT doc_id,
          |$sigs,
          |$bands
-         |FROM sh""".stripMargin
+         |FROM hsrc""".stripMargin
     },
     "d2b_minhash_pairs" -> {
       val sigs = (0 until 8).map(i => s" ${duckMinhash(i)} AS s$i").mkString(",\n")
-      s"""WITH sh0 AS (SELECT doc_id, ${duckShingles(duckToks)} AS sh FROM documents),
+      s"""WITH th0 AS (SELECT doc_id, $duckTokenHashes AS th FROM documents),
+         |hsrc AS (SELECT doc_id, $duckHashedShingles AS hs FROM th0),
          |sig AS (SELECT doc_id,
          |$sigs
-         | FROM sh0),
+         | FROM hsrc),
          |band AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS band_idx,
-         |  unnest([md5(s0 || '|' || s1), md5(s2 || '|' || s3),
-         |          md5(s4 || '|' || s5), md5(s6 || '|' || s7)]) AS bkey FROM sig),
+         |  unnest([md5(s0::VARCHAR || '|' || s1::VARCHAR), md5(s2::VARCHAR || '|' || s3::VARCHAR),
+         |          md5(s4::VARCHAR || '|' || s5::VARCHAR), md5(s6::VARCHAR || '|' || s7::VARCHAR)]) AS bkey FROM sig),
          |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
          |  FROM band l JOIN band r ON l.band_idx = r.band_idx AND l.bkey = r.bkey
          |   AND l.doc_id < r.doc_id
          |  WHERE l.bkey IS NOT NULL),
-         |shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh0)
+         |shd AS (SELECT doc_id, list_distinct(hs) AS sh FROM hsrc)
          |SELECT id_a, id_b, $duckJaccard AS jac
          |FROM cand JOIN shd a ON cand.id_a = a.doc_id JOIN shd b ON cand.id_b = b.doc_id
          |WHERE $duckJaccard >= 0.5""".stripMargin
@@ -587,8 +603,9 @@ object SparkEntry {
          |WHERE bit_count(xor(a.h, b.h)) <= 1""".stripMargin
     },
     "d4_ngram_jaccard" ->
-      s"""WITH shd AS (SELECT doc_id, source, CAST(floor(n_chars / 20) AS BIGINT) AS len_b,
-         |  list_distinct(${duckShingles(duckToks)}) AS sh FROM documents)
+      s"""WITH th0 AS (SELECT doc_id, source, CAST(floor(n_chars / 20) AS BIGINT) AS len_b,
+         |  $duckTokenHashes AS th FROM documents),
+         |shd AS (SELECT doc_id, source, len_b, list_distinct($duckHashedShingles) AS sh FROM th0)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $duckJaccard AS jac
          |FROM shd a JOIN shd b ON a.source = b.source AND a.len_b = b.len_b
          | AND a.doc_id < b.doc_id

@@ -106,16 +106,49 @@ object TextFunctions {
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
       .otherwise(array().cast(ArrayType(StringType)))
 
-  /** One MinHash signature: lexicographic min of salted md5 over shingles.
-    * k independent salts ≈ k independent permutations. NULL for shingle-less
-    * docs (mirrors list_min([]) = NULL in DuckDB). */
-  def minhash(shingleCol: Column, salt: Int): Column =
-    array_min(transform(shingleCol, s => md5(concat(lit(s"$salt:"), s))))
+  /** MinHash scheme: ONE md5 per shingle → 32-bit base hash → k affine
+    * permutations `(a·h + b) mod P` (fixed LCG-style coefficients, P prime >
+    * 2^32). Hashing cost is 1/k of the salted-md5-per-permutation approach —
+    * the dominant cost of MinHash at corpus scale — and the integer
+    * arithmetic is engine-portable (no 64-bit overflow: a < 2^31, h < 2^32).
+    * NULL signature for shingle-less docs (mirrors list_min([]) = NULL). */
+  val MinhashP: Long = 4294967311L
+  val minhashCoeffs: Seq[(Long, Long)] = Seq(
+    (1664525L, 1013904223L), (22695477L, 1L), (69069L, 362437L),
+    (1103515245L, 12345L), (134775813L, 1L), (214013L, 2531011L),
+    (16807L, 0L), (48271L, 0L))
+
+  /** 32-bit base hash: first 8 md5 hex chars as a long. */
+  def shingleHash(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast(LongType)
+
+  /** Per-token base hashes — materialize as a column, then shingle hashes
+    * and permutations are pure integer folds with no string churn. */
+  def tokenHashes(toks: Column): Column = transform(toks, shingleHash _)
+
+  /** n-gram shingle hashes via Horner combination of token hashes mod
+    * [[MinhashP]] — avoids building shingle STRINGS (the allocation-heavy
+    * part of shingling a corpus) and keeps every value < 2^33, so the affine
+    * permutations stay overflow-free. */
+  val ShingleB: Long = 1000003L
+  def hashedShingles(tokHashes: Column, n: Int): Column =
+    when(size(tokHashes) >= n,
+      transform(sequence(lit(0), size(tokHashes) - n), i =>
+        (1 until n).foldLeft(element_at(tokHashes, i + 1))((acc, j) =>
+          (acc * ShingleB + element_at(tokHashes, i + j + 1)) % MinhashP)))
+      .otherwise(array().cast(ArrayType(LongType)))
+
+  /** i-th MinHash signature over a materialized base-hash array. */
+  def minhashFromHashes(hashes: Column, i: Int): Column = {
+    val (a, b) = minhashCoeffs(i)
+    array_min(transform(hashes, h => (h * a + b) % MinhashP))
+  }
 
   /** Band key for LSH: md5 over the concatenation of a contiguous signature
     * slice — docs sharing any band key are near-dup candidates. */
   def bandKey(sigs: Seq[Column], bandIdx: Int, rowsPerBand: Int): Column = {
     val slice = sigs.slice(bandIdx * rowsPerBand, (bandIdx + 1) * rowsPerBand)
+      .map(_.cast(StringType))
     // concat (not concat_ws): a NULL signature (shingle-less doc) must
     // propagate to a NULL band key, matching SQL `||` semantics
     md5(concat(slice.flatMap(s => Seq(s, lit("|"))).dropRight(1): _*))

@@ -42,10 +42,13 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, k: Int = 8, shingleN: Int = 3,
                         rowsPerBand: Int = 2, textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
-    val sh = shingles(tokens(col(textCol)), shingleN)
-    val withSh = docs.select(col(idCol), sh.as("__sh"))
-    val sigs = (0 until k).map(i => minhash(col("__sh"), i).as(s"sig_$i"))
-    val sigDf = withSh.select(col(idCol) +: sigs: _*)
+    require(k <= minhashCoeffs.size, s"at most ${minhashCoeffs.size} permutations")
+    // two-step materialization: one md5 per TOKEN, then integer-only shingle
+    // hashes, then k cheap affine-permutation folds — no shingle strings
+    val withH = docs.select(col(idCol), tokenHashes(tokens(col(textCol))).as("__th"))
+      .select(col(idCol), hashedShingles(col("__th"), shingleN).as("__hs"))
+    val sigs = (0 until k).map(i => minhashFromHashes(col("__hs"), i).as(s"sig_$i"))
+    val sigDf = withH.select(col(idCol) +: sigs: _*)
     val sigCols = (0 until k).map(i => col(s"sig_$i"))
     val bands = (0 until k / rowsPerBand).map(b =>
       bandKey(sigCols, b, rowsPerBand).as(s"band_$b"))
@@ -80,7 +83,8 @@ object Dedup {
     // the pair join.
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
     val sh = docs.join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol), array_distinct(shingles(tokens(col(textCol)), shingleN)).as("sh"))
+      .select(col(idCol), tokenHashes(tokens(col(textCol))).as("__th"))
+      .select(col(idCol), array_distinct(hashedShingles(col("__th"), shingleN)).as("sh"))
     cand
       .join(broadcast(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))), "id_a")
       .join(broadcast(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))), "id_b")
@@ -136,7 +140,9 @@ object Dedup {
                         idCol: String = "doc_id"): DataFrame = {
     val base = docs.select(col(idCol), col("source"),
       floor(col("n_chars") / lenBucket).as("len_b"),
-      array_distinct(shingles(tokens(col(textCol)), shingleN)).as("sh"))
+      tokenHashes(tokens(col(textCol))).as("__th"))
+      .select(col(idCol), col("source"), col("len_b"),
+        array_distinct(hashedShingles(col("__th"), shingleN)).as("sh"))
       .repartition(col("source"), col("len_b")) // shared exchange for both sides
     val l = base.select(col(idCol).as("id_a"), col("source"), col("len_b"), col("sh").as("sh_a"))
     val r = base.select(col(idCol).as("id_b"), col("source"), col("len_b"), col("sh").as("sh_b"))

@@ -42,14 +42,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(2L).isEmpty)
   }
 
-  test("minhash matches an independent md5-min computation") {
+  test("minhash matches an independent token-hash + Horner + affine computation") {
+    import TextFunctions.{MinhashP => P, ShingleB => B}
     val text = "w1 w2 w3 w4 w5"
-    val shingles = Seq("w1 w2 w3", "w2 w3 w4", "w3 w4 w5")
-    val expected = shingles.map(s => md5hex(s"2:$s")).min
+    val th = text.split(" ").map(t => java.lang.Long.parseLong(md5hex(t).take(8), 16))
+    val shingleHashes = th.sliding(3).map(w => ((w(0) * B + w(1)) % P * B + w(2)) % P)
+    val (a, b) = TextFunctions.minhashCoeffs(2)
+    val expected = shingleHashes.map(h => (h * a + b) % P).min
     val got = docsDf((1L, text))
-      .select(TextFunctions.minhash(
-        TextFunctions.shingles(TextFunctions.tokens(col("text")), 3), 2))
-      .head().getString(0)
+      .select(TextFunctions.minhashFromHashes(
+        TextFunctions.hashedShingles(
+          TextFunctions.tokenHashes(TextFunctions.tokens(col("text"))), 3), 2))
+      .head().getLong(0)
     assert(got == expected)
   }
 
