@@ -222,6 +222,16 @@ object SparkEntry {
       .select(col("event_type"), round3("sum_value"), col("count_distinct_user_id"))
   }
 
+  /** O1 + LIMIT through SQL: sort+limit compiles to TakeOrderedAndProject
+    * (per-partition top-k, no global sort) — the scalable "top-k services"
+    * query the reference's observability UI wants. */
+  private def o2TopkLimit(s: SparkSession, dir: String): DataFrame = {
+    val sql = "select sum(value) from events group by user_id " +
+      "order by sum(value) desc limit 5"
+    graft.sql.ZxSql.run(Tables.events(s, dir), sql)
+      .select(col("user_id"), round3("sum_value"))
+  }
+
   // ------------------------------------------- beyond-reference: TPC-H-style
 
   /** TPC-H Q1-style pricing summary: codegen'd scan→filter→partial-agg→final
@@ -399,6 +409,7 @@ object SparkEntry {
     "p1_sql" -> (p1Sql _),
     "p2_sql_sorted" -> (p2SqlSorted _),
     "o1_top_groups" -> (o1TopGroups _),
+    "o2_topk_limit" -> (o2TopkLimit _),
     "q1_pricing" -> (q1Pricing _),
     "j1_revenue_nation" -> (j1RevenueNation _),
     "x1_lang_id" -> (x1LangId _),
@@ -496,6 +507,12 @@ object SparkEntry {
         | round(CAST(count(value) AS DOUBLE), 3) AS count_value
         |FROM events GROUP BY event_type
         |ORDER BY sum(coalesce(value, 0)) DESC, event_type""".stripMargin,
+    "o2_topk_limit" ->
+      """SELECT CAST(user_id AS VARCHAR) AS user_id,
+        | round(sum(coalesce(value, 0)), 3) AS sum_value
+        |FROM events GROUP BY 1
+        |ORDER BY sum(coalesce(value, 0)) DESC, CAST(user_id AS VARCHAR)
+        |LIMIT 5""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -89,11 +89,17 @@ object Compiler {
   /** Pipeline B — whole-range aggregate + multi-key sort ("top groups",
     * lib.rs:222-246, sort_group lib.rs:735-784). Group keys are appended as
     * final tie-breakers so the output order is total (the reference breaks
-    * ties by GroupKey lexicographic order, lib.rs:768-779). */
+    * ties by GroupKey lexicographic order, lib.rs:768-779). Sort keys naming
+    * aggregates outside the select list are computed for the sort and
+    * dropped from the output (the reference's order_by keys come from the
+    * same aggregate map). With `limit`, sort+limit compiles to Spark's
+    * TakeOrderedAndProject — per-partition top-k, no global sort. */
   def runSorted(df: DataFrame, q: ZxQuery, tsCol: String = DefaultTsCol): DataFrame = {
     val filtered = scanFilter(df, q, tsCol)
     val keys = groupKeys(q, df.schema)
-    val aggs = Aggregates.compileAll(q.selects, df.schema)
+    val extraSels = q.orderBy.map(_.select)
+      .filterNot(s => q.selects.contains(s) || s.agg == Agg.Raw).distinct
+    val aggs = Aggregates.compileAll(q.selects ++ extraSels, df.schema)
     val grouped =
       if (keys.nonEmpty) filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
       else filtered.agg(aggs.head, aggs.tail: _*)
@@ -101,7 +107,11 @@ object Compiler {
       val c = col(ob.select.key)
       ob.dir match { case SortDir.Asc => c.asc; case SortDir.Desc => c.desc }
     } ++ q.groupBy.map(col(_).asc)
-    if (ordCols.nonEmpty) grouped.orderBy(ordCols: _*) else grouped
+    val sorted = if (ordCols.nonEmpty) grouped.orderBy(ordCols: _*) else grouped
+    val limited = q.limit.map(sorted.limit).getOrElse(sorted)
+    if (extraSels.nonEmpty)
+      limited.select((q.groupBy.map(col) ++ q.selects.map(s => col(s.key))): _*)
+    else limited
   }
 
   /** Raw projection — what a bare `SELECT col` parses to (expr.rs:120-125);
@@ -110,7 +120,23 @@ object Compiler {
   def runRaw(df: DataFrame, q: ZxQuery, tsCol: String = DefaultTsCol): DataFrame = {
     val filtered = scanFilter(df, q, tsCol)
     val cols = q.selects.map(s => col(s.column))
-    if (cols.nonEmpty) filtered.select(cols: _*) else filtered
+    val projected = if (cols.nonEmpty) filtered.select(cols: _*) else filtered
+    q.limit.map(projected.limit).getOrElse(projected)
+  }
+
+  /** Heatmap with data-adaptive value bounds: one tiny min/max pre-aggregate
+    * (two doubles to the driver) sizes the buckets — the SQL-surface form
+    * where the caller can't supply bounds. */
+  def adaptiveHeatmap(df: DataFrame, q: ZxQuery, valueCol: String,
+                      buckets: Int = 20, tsCol: String = DefaultTsCol): DataFrame = {
+    val filtered = scanFilter(df, q, tsCol)
+    val v = Aggregates.numeric(valueCol, df.schema)
+    val bounds = filtered.agg(min(v), max(v)).head()
+    val (lo, hi) =
+      if (bounds.isNullAt(0)) (0.0, 1.0)
+      else (bounds.getDouble(0), bounds.getDouble(1))
+    heatmap(df, q, valueCol, lo, if (hi > lo) math.nextUp(hi) else lo + 1.0,
+      buckets, tsCol)
   }
 
   /** Heatmap — 2-D time × value histogram (declared lib.rs:133-143,

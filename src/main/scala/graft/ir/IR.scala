@@ -72,4 +72,5 @@ final case class ZxQuery(
     orderBy: Seq[OrderBy] = Nil,
     tStart: Option[Long] = None,
     tEnd: Option[Long] = None,
-    granularitySec: Long = 300L)
+    granularitySec: Long = 300L,
+    limit: Option[Int] = None)

@@ -11,7 +11,7 @@ import graft.operators.GapWindows
   * Accepted subset (reference-parity, lowercased like lib.rs:818-820):
   *   select <item, …> [from <ignored>] [where <cond and …>]
   *   [group by <col, …>] [order by <item> [asc|desc], …]
-  *   [granularity <seconds>]
+  *   [limit <n>] [granularity <seconds>]
   * where item := col | count|sum|max|min|count_distinct|mean|p50|heatmap(col)
   * and cond := col (=|!=|<>|>|<|>=|<=) value | col [not] like pattern.
   * `$t_start` / `$t_end` equality conditions become the scan's time range
@@ -24,8 +24,9 @@ import graft.operators.GapWindows
   *  - ORDER BY is wired to the sorted path (dead code in the reference,
   *    lib.rs:840) — `order by mean(foo) desc` is the "top groups" query.
   * Extensions: quoted string literals in WHERE (reference allows only bare
-  * identifiers/numbers, expr.rs:12-18) and a `granularity <sec>` clause
-  * (reference hard-codes 5 minutes, expr.rs:226).
+  * identifiers/numbers, expr.rs:12-18), `limit <n>` (sort+limit compiles to
+  * per-partition top-k), `heatmap(col)` with adaptive bounds, and a
+  * `granularity <sec>` clause (reference hard-codes 5 minutes, expr.rs:226).
   */
 object ZxSql {
 
@@ -177,6 +178,15 @@ object ZxSql {
       }
     }
 
+    var limitN: Option[Int] = None
+    if (atIdent("limit")) {
+      next()
+      limitN = next() match {
+        case Num(v) => Some(v.toInt)
+        case other  => throw ParseError(s"expected limit count, got $other")
+      }
+    }
+
     var gran = 300L // 5 minutes, expr.rs:226
     if (atIdent("granularity")) {
       next()
@@ -192,7 +202,7 @@ object ZxSql {
     val tEnd = conds.collectFirst { case Condition(Cmp.Eq, "$t_end", v) => v.toLong }
     val realConds = conds.filterNot(c => c.column == "$t_start" || c.column == "$t_end")
 
-    ZxQuery(selects, realConds, groupBy, orderBy, tStart, tEnd, gran)
+    ZxQuery(selects, realConds, groupBy, orderBy, tStart, tEnd, gran, limitN)
   }
 
   // --------------------------------------------------------------- executor
@@ -203,7 +213,11 @@ object ZxSql {
   def run(df: DataFrame, sql: String, tsCol: String = Compiler.DefaultTsCol,
           exact: Boolean = false, idCol: Option[String] = None): DataFrame = {
     val q = parse(sql)
-    if (q.orderBy.nonEmpty) Compiler.runSorted(df, q, tsCol)
+    if (q.selects.exists(_.agg == Agg.Heatmap)) {
+      if (q.selects.size != 1)
+        throw ParseError("heatmap(col) must be the only select item")
+      Compiler.adaptiveHeatmap(df, q, q.selects.head.column, tsCol = tsCol)
+    } else if (q.orderBy.nonEmpty) Compiler.runSorted(df, q, tsCol)
     else if (q.selects.forall(_.agg == Agg.Raw)) Compiler.runRaw(df, q, tsCol)
     else if (exact) GapWindows(df, q, tsCol, idCol)
     else Compiler.runUnsorted(df, q, tsCol)

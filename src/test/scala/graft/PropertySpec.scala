@@ -39,7 +39,8 @@ object ParserProps extends Properties("ZxSql") {
     ts <- Gen.option(Gen.choose(0L, 2000000000L))
     te <- Gen.option(Gen.choose(0L, 2000000000L))
     g <- Gen.choose(1L, 86400L)
-  } yield ZxQuery(sels, conds, gb, ob, ts, te, g)
+    lim <- Gen.option(Gen.choose(1, 10000))
+  } yield ZxQuery(sels, conds, gb, ob, ts, te, g, lim)
 
   private def render(q: ZxQuery): String = {
     def sel(s: Select): String = s"${s.agg.name}(${s.column})"
@@ -56,6 +57,7 @@ object ParserProps extends Properties("ZxSql") {
       if (q.groupBy.nonEmpty) Some(s"group by ${q.groupBy.mkString(", ")}") else None,
       if (q.orderBy.nonEmpty) Some("order by " + q.orderBy.map(o =>
         sel(o.select) + (if (o.dir == SortDir.Desc) " desc" else " asc")).mkString(", ")) else None,
+      q.limit.map(n => s"limit $n"),
       Some(s"granularity ${q.granularitySec}")
     ).flatten.mkString(" ")
   }

@@ -61,4 +61,25 @@ class SqlSpec extends AnyFunSuite {
     val got = ZxSql.run(fixture, "select foo, x where foo > 800")
     assert(got.columns.toSeq == Seq("foo", "x") && got.count() == 2)
   }
+
+  test("limit: top-k groups (sort+limit) and raw limit") {
+    val top1 = ZxSql.run(fixture, "select sum(foo) group by y order by sum(foo) desc limit 1")
+    assert(top1.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq((Compiler.NilSentinel, 4000.0)))
+    assert(ZxSql.run(fixture, "select foo limit 3").count() == 3)
+  }
+
+  test("order by an aggregate outside the select list computes it for the sort only") {
+    val got = ZxSql.run(fixture, "select sum(foo) group by y order by mean(foo) asc")
+    assert(got.columns.toSeq == Seq("y", "sum_foo"))
+    assert(got.select("y").collect().map(_.getString(0)).toSeq ==
+      Seq("1", Compiler.NilSentinel, "9"))
+  }
+
+  test("heatmap(col) routes to the adaptive 2-D histogram") {
+    val got = ZxSql.run(fixture, "select heatmap(foo) granularity 5")
+    // counts over (t_bucket, v_bucket) must cover all 10 rows
+    assert(got.columns.contains("t_bucket") && got.columns.contains("v_bucket"))
+    assert(got.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) == 10L)
+  }
 }
