@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.register(spark)
     // warm the JVM/session (codegen, parquet footer reads) so the first
     // timed query isn't charged session startup
     spark.range(1000).selectExpr("sum(id)").collect()

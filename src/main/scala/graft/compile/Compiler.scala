@@ -41,7 +41,8 @@ object Compiler {
     // down to row-group min/max stats. floor(ns/1000)-truncation makes
     // [s*1e9, e*1e9 + 999] exactly equivalent to the µs-level bounds.
     val nsBounds: Seq[Column] =
-      if (df.schema.fieldNames.contains(graft.sources.Tables.TsNanosCol)) {
+      if (tsCol == DefaultTsCol &&
+          df.schema.fieldNames.contains(graft.sources.Tables.TsNanosCol)) {
         val ns = col(graft.sources.Tables.TsNanosCol)
         q.tStart.map(s => ns >= s * 1000000000L).toSeq ++
           q.tEnd.map(e => ns <= e * 1000000000L + 999L).toSeq
@@ -98,7 +99,8 @@ object Compiler {
     val filtered = scanFilter(df, q, tsCol)
     val keys = groupKeys(q, df.schema)
     val extraSels = q.orderBy.map(_.select)
-      .filterNot(s => q.selects.contains(s) || s.agg == Agg.Raw).distinct
+      .filterNot(s => q.selects.contains(s) || s.agg == Agg.Raw || s.agg == Agg.Heatmap)
+      .distinct
     val aggs = Aggregates.compileAll(q.selects ++ extraSels, df.schema)
     val grouped =
       if (keys.nonEmpty) filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)

@@ -39,7 +39,10 @@ object Predicates {
       case Some(_: TimestampType) | Some(_: DateType) => c.cast(DoubleType)
       case _ => c.try_cast(DoubleType)
     }
-    def numV: Column = lit(cond.value.toDouble)
+    // unparseable numeric literal → NULL comparison → no rows match (the
+    // try_cast philosophy; the reference panics, lib.rs:443-444)
+    def numV: Column = cond.value.toDoubleOption
+      .map(lit).getOrElse(lit(null).cast(DoubleType))
     def strC: Column = fieldType match {
       case Some(StringType) | None => c
       case _ => c.cast(StringType)

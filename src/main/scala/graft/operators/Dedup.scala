@@ -79,15 +79,16 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     // Verify only candidate docs: semi-join the (LSH-small) candidate id set
     // before the shingle computation, so the expensive array build runs on
-    // survivors, not the whole corpus — then broadcast the tiny result into
-    // the pair join.
+    // survivors, not the whole corpus. No broadcast hint: on a dup-heavy
+    // corpus the candidate set is NOT small — let AQE pick the join strategy
+    // from the real size instead of forcing a driver collect.
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
     val sh = docs.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), tokenHashes(tokens(col(textCol))).as("__th"))
       .select(col(idCol), array_distinct(hashedShingles(col("__th"), shingleN)).as("sh"))
     cand
-      .join(broadcast(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))), "id_a")
-      .join(broadcast(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))), "id_b")
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))

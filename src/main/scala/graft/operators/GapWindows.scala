@@ -89,7 +89,6 @@ object GapWindows {
 
     val out = arranged.mapPartitions { it =>
       new Iterator[Row] {
-        private var pending: Option[Row] = None
         private val results = mutable.Queue.empty[Row]
 
         // state of the open window within the current group
@@ -174,10 +173,7 @@ object GapWindows {
         }
 
         def hasNext: Boolean = {
-          while (results.isEmpty && (pending.nonEmpty || it.hasNext)) {
-            val r = pending.getOrElse(it.next()); pending = None
-            push(r)
-          }
+          while (results.isEmpty && it.hasNext) push(it.next())
           if (results.isEmpty && !it.hasNext) { closeWindow(); curKey = null }
           results.nonEmpty
         }

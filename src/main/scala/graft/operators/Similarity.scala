@@ -75,7 +75,7 @@ object Similarity {
       .withColumn("cos", dot(col(vecCol), col("__q")) / (norm(col(vecCol)) * col("__qn")))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
-      .select(col(idCol), col("label"), col("cell"), col("cos"))
+      .drop("__q", "__qn", "cid", vecCol) // schema-agnostic: keep caller's cols + cell + cos
   }
 
   /** Bucket occupancy histogram — the skew diagnostic for the ANN path. */

@@ -30,12 +30,15 @@ object Tables {
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, dir, "events")
-    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampType}
     raw.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) =>
+        // integer `div`, NOT `/`: double division loses precision above 2^53
+        // (epoch-nanos ≈ 2^60) — a 1 µs error that can cross a second
+        // boundary and corrupt window assignment
         raw.withColumn(TsNanosCol, col("ts"))
-          .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case Some(_: TimestampType) | _ => raw
     }
   }

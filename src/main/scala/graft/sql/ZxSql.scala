@@ -178,11 +178,14 @@ object ZxSql {
       }
     }
 
+    def parseLong(v: String, what: String): Long =
+      v.toLongOption.getOrElse(throw ParseError(s"expected integer $what, got '$v'"))
+
     var limitN: Option[Int] = None
     if (atIdent("limit")) {
       next()
       limitN = next() match {
-        case Num(v) => Some(v.toInt)
+        case Num(v) => Some(parseLong(v, "limit count").toInt)
         case other  => throw ParseError(s"expected limit count, got $other")
       }
     }
@@ -191,15 +194,22 @@ object ZxSql {
     if (atIdent("granularity")) {
       next()
       gran = next() match {
-        case Num(v) => v.toLong
+        case Num(v) => parseLong(v, "granularity seconds")
         case other  => throw ParseError(s"expected granularity seconds, got $other")
       }
     }
     if (pos < toks.length) throw ParseError(s"trailing input from token $pos: ${toks.drop(pos).take(5)}")
 
-    // $t_start / $t_end pseudo-conditions → scan time range (expr.rs:170-186)
-    val tStart = conds.collectFirst { case Condition(Cmp.Eq, "$t_start", v) => v.toLong }
-    val tEnd = conds.collectFirst { case Condition(Cmp.Eq, "$t_end", v) => v.toLong }
+    // $t_start / $t_end pseudo-conditions → scan time range (expr.rs:170-186);
+    // only equality is meaningful there — anything else would otherwise be
+    // silently dropped, so reject it loudly
+    conds.find(c => (c.column == "$t_start" || c.column == "$t_end") && c.cmp != Cmp.Eq)
+      .foreach(c => throw ParseError(
+        s"${c.column} supports only '=' (it IS the time range), got ${c.cmp.name}"))
+    val tStart = conds.collectFirst { case Condition(Cmp.Eq, "$t_start", v) =>
+      parseLong(v, "$t_start epoch seconds") }
+    val tEnd = conds.collectFirst { case Condition(Cmp.Eq, "$t_end", v) =>
+      parseLong(v, "$t_end epoch seconds") }
     val realConds = conds.filterNot(c => c.column == "$t_start" || c.column == "$t_end")
 
     ZxQuery(selects, realConds, groupBy, orderBy, tStart, tEnd, gran, limitN)
@@ -213,12 +223,24 @@ object ZxSql {
   def run(df: DataFrame, sql: String, tsCol: String = Compiler.DefaultTsCol,
           exact: Boolean = false, idCol: Option[String] = None): DataFrame = {
     val q = parse(sql)
+    if (q.orderBy.exists(_.select.agg == Agg.Heatmap))
+      throw ParseError("cannot order by heatmap(...)")
     if (q.selects.exists(_.agg == Agg.Heatmap)) {
       if (q.selects.size != 1)
         throw ParseError("heatmap(col) must be the only select item")
       Compiler.adaptiveHeatmap(df, q, q.selects.head.column, tsCol = tsCol)
+    } else if (q.selects.forall(_.agg == Agg.Raw)) {
+      // raw projection; ORDER BY here sorts the projected columns directly
+      q.orderBy.find(_.select.agg != Agg.Raw).foreach(ob => throw ParseError(
+        s"cannot order a bare-column select by aggregate ${ob.select.agg.name}(...)"))
+      val base = Compiler.runRaw(df, q.copy(limit = None), tsCol)
+      val ord = q.orderBy.map { ob =>
+        val c = org.apache.spark.sql.functions.col(ob.select.column)
+        ob.dir match { case SortDir.Asc => c.asc; case SortDir.Desc => c.desc }
+      }
+      val sorted = if (ord.nonEmpty) base.orderBy(ord: _*) else base
+      q.limit.map(sorted.limit).getOrElse(sorted)
     } else if (q.orderBy.nonEmpty) Compiler.runSorted(df, q, tsCol)
-    else if (q.selects.forall(_.agg == Agg.Raw)) Compiler.runRaw(df, q, tsCol)
     else if (exact) GapWindows(df, q, tsCol, idCol)
     else Compiler.runUnsorted(df, q, tsCol)
   }

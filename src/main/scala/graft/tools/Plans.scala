@@ -11,13 +11,7 @@ object Plans {
     val names = if (args.length > 1) args.drop(1).toSeq else
       Seq("t1_time_scan", "a8_window", "o1_top_groups", "j1_revenue_nation",
         "q1_pricing", "s1_knn", "d2b_minhash_pairs", "d3_simhash_pairs")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.create(master = "local[4]", shufflePartitions = 4)
     names.foreach { n =>
       println(s"\n================= $n =================")
       val df = graft.SparkEntry.queries(n)(spark, dir)

@@ -76,6 +76,27 @@ class SqlSpec extends AnyFunSuite {
       Seq("1", Compiler.NilSentinel, "9"))
   }
 
+  test("raw select with ORDER BY sorts the projection; aggregates rejected there") {
+    val got = ZxSql.run(fixture, "select foo, x order by foo desc limit 2")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("900", "800")) // string-typed numeric sort semantics
+    assertThrows[ZxSql.ParseError](
+      ZxSql.run(fixture, "select foo order by mean(foo)"))
+  }
+
+  test("non-equality $t_start/$t_end and malformed numbers raise ParseError, not NFE") {
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select count(x) where $t_end <= 500"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select count(x) where $t_start = 1.5"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select count(x) limit 3.5"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select count(x) granularity 1.5"))
+    assertThrows[ZxSql.ParseError](
+      ZxSql.run(fixture, "select sum(foo) group by y order by heatmap(foo)"))
+  }
+
+  test("numeric comparator with unparseable literal matches nothing (no exception)") {
+    assert(ZxSql.run(fixture, "select foo where foo > abc").count() == 0)
+  }
+
   test("heatmap(col) routes to the adaptive 2-D histogram") {
     val got = ZxSql.run(fixture, "select heatmap(foo) granularity 5")
     // counts over (t_bucket, v_bucket) must cover all 10 rows
