@@ -152,6 +152,14 @@ object SparkEntry {
     Compiler.runSorted(ev, q)
   }
 
+  /** G1 under skew: salted two-phase aggregation — bit-equal semantics to
+    * the plain groupBy (the oracle IS the unsalted query), hot keys spread
+    * across 16 reducers. */
+  private def g2SaltedAgg(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Salted.aggregate(Tables.events(s, dir), Seq("event_type"), "value")
+      .select(col("event_type"), round3("sum_value"), col("count_value"),
+        col("min_value"), col("max_value"), round6("mean_value"))
+
   // ------------------------------------------------------- A7/A8: timeseries
 
   /** A7 heatmap — 2-D time×value histogram (declared lib.rs:133-143). */
@@ -400,6 +408,7 @@ object SparkEntry {
     "f1_string" -> (f1String _),
     "f1_null" -> (f1Null _),
     "g1_group_nil" -> (g1GroupNil _),
+    "g2_salted_agg" -> (g2SaltedAgg _),
     "a1_weighted" -> (a1Weighted _),
     "a2_extremes" -> (a2Extremes _),
     "a5_count_distinct_nil" -> (a5CountDistinctNil _),
@@ -455,6 +464,13 @@ object SparkEntry {
         | round(avg(value), 6) AS mean_value,
         | CAST(count(DISTINCT user_id) AS BIGINT) AS count_distinct_user_id
         |FROM events GROUP BY 1""".stripMargin,
+    "g2_salted_agg" ->
+      """SELECT event_type,
+        | round(sum(coalesce(value, 0)), 3) AS sum_value,
+        | CAST(count(value) AS BIGINT) AS count_value,
+        | min(value) AS min_value, max(value) AS max_value,
+        | round(sum(coalesce(value, 0)) / nullif(count(value), 0), 6) AS mean_value
+        |FROM events GROUP BY event_type""".stripMargin,
     "a1_weighted" ->
       """SELECT event_type,
         | round(sum(CAST(regexp_extract(props, '[0-9]+') AS DOUBLE) * coalesce(value, 0)), 3) AS sum_value,
