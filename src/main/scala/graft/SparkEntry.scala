@@ -45,6 +45,14 @@ object SparkEntry {
   private def round3(c: String): Column = round(col(c), 3).as(c)
   private def round6(c: String): Column = round(col(c), 6).as(c)
 
+  /** Oracle-stable mean: computed from the ALREADY-ROUNDED sum and count,
+    * which hash-match across engines bit-for-bit — so the division inputs
+    * are identical and a rounding tie can never fall on different sides
+    * (raw double means drift by engine-dependent summation order and DID
+    * flake at a 6dp tie at sf0.1). Call after round3 on both columns. */
+  private def stableMean(sumC: String, cntC: String): Column =
+    round(col(sumC) / col(cntC), 6).as("mean_value")
+
   // ---------------------------------------------------------------- T1: scan
 
   /** T1 time-range scan + T3 projection (lib.rs:305-331, 502-536). */
@@ -107,11 +115,12 @@ object SparkEntry {
       .withColumn("etype_n", nullif(col("event_type"), lit("view")))
     val q = ZxQuery(
       selects = Seq(Select(Agg.Sum, "value"), Select(Agg.Count, "value"),
-        Select(Agg.Mean, "value"), Select(Agg.CountDistinct, "user_id")),
+        Select(Agg.CountDistinct, "user_id")),
       groupBy = Seq("etype_n"))
     Compiler.runSorted(ev, q)
       .select(col("etype_n"), round3("sum_value"), round3("count_value"),
-        round6("mean_value"), col("count_distinct_user_id"))
+        col("count_distinct_user_id"))
+      .withColumn("mean_value", stableMean("sum_value", "count_value"))
   }
 
   /** A1/A4/A6 with a real per-row sample rate (lib.rs:563-573, 608-623,
@@ -120,12 +129,11 @@ object SparkEntry {
     val ev = Tables.events(s, dir).withColumn(Aggregates.SampleRateCol,
       regexp_extract(col("props"), "[0-9]+", 0).try_cast(DoubleType))
     val q = ZxQuery(
-      selects = Seq(Select(Agg.Sum, "value"), Select(Agg.Count, "value"),
-        Select(Agg.Mean, "value")),
+      selects = Seq(Select(Agg.Sum, "value"), Select(Agg.Count, "value")),
       groupBy = Seq("event_type"))
-    Compiler.runSorted(ev, q)
-      .select(col("event_type"), round3("sum_value"), round3("count_value"),
-        round6("mean_value"))
+    Compiler.runSorted(ev, q) // weighted by __sample_rate (lib.rs:563-573)
+      .select(col("event_type"), round3("sum_value"), round3("count_value"))
+      .withColumn("mean_value", stableMean("sum_value", "count_value"))
   }
 
   /** A2 max / A3 min (lib.rs:577-607) + A7 p50 (declared lib.rs:133-143,
@@ -158,7 +166,9 @@ object SparkEntry {
   private def g2SaltedAgg(s: SparkSession, dir: String): DataFrame =
     graft.operators.Salted.aggregate(Tables.events(s, dir), Seq("event_type"), "value")
       .select(col("event_type"), round3("sum_value"), col("count_value"),
-        col("min_value"), col("max_value"), round6("mean_value"))
+        col("min_value"), col("max_value"))
+      .withColumn("mean_value",
+        round(col("sum_value") / col("count_value"), 6))
 
   // ------------------------------------------------------- A7/A8: timeseries
 
@@ -173,13 +183,13 @@ object SparkEntry {
     * 1h windows; one shuffle on (group, window) key. */
   private def a8Window(s: SparkSession, dir: String): DataFrame = {
     val q = ZxQuery(
-      selects = Seq(Select(Agg.Sum, "value"), Select(Agg.Count, "value"),
-        Select(Agg.Mean, "value")),
+      selects = Seq(Select(Agg.Sum, "value"), Select(Agg.Count, "value")),
       groupBy = Seq("event_type"),
       granularitySec = 3600L)
     Compiler.runUnsorted(Tables.events(s, dir), q)
       .select(col("event_type"), col("w_start"), col("w_end"),
-        round3("sum_value"), round3("count_value"), round6("mean_value"))
+        round3("sum_value"), round3("count_value"))
+      .withColumn("mean_value", stableMean("sum_value", "count_value"))
   }
 
   // ----------------------------------------------------------- O1: top groups
@@ -213,12 +223,13 @@ object SparkEntry {
   /** P1 `ZX.SQL` surface (lib.rs:815-844): SQL text → IR → windowed pipeline,
     * with `$t_start`/`$t_end` pseudo-conditions (expr.rs:170-186). */
   private def p1Sql(s: SparkSession, dir: String): DataFrame = {
-    val sql = s"select sum(value), count(value), mean(value) " +
+    val sql = s"select sum(value), count(value) " +
       s"where event_type = click and $$t_start = $T0 and $$t_end = $T1 " +
       "group by user_id granularity 86400"
     graft.sql.ZxSql.run(Tables.events(s, dir), sql)
       .select(col("user_id"), col("w_start"), col("w_end"),
-        round3("sum_value"), round3("count_value"), round6("mean_value"))
+        round3("sum_value"), round3("count_value"))
+      .withColumn("mean_value", stableMean("sum_value", "count_value"))
   }
 
   /** P1+O1: ORDER BY on an aggregate routed to the sorted path — dead code in
@@ -308,8 +319,10 @@ object SparkEntry {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(tokenCount(col("text")).cast(LongType)).as("sum_tokens"),
-        max(tokenCount(col("text"))).as("max_tokens"),
-        round(avg(tokenCount(col("text")).cast(DoubleType)), 6).as("mean_tokens"))
+        max(tokenCount(col("text"))).as("max_tokens"))
+      // mean from the exact integer sum — engine-order-proof
+      .withColumn("mean_tokens",
+        round(col("sum_tokens").cast(DoubleType) / col("n_docs"), 6))
   }
 
   /** Document fingerprinting: md5-64 content key + 16-bit SimHash. */
@@ -461,22 +474,23 @@ object SparkEntry {
       """SELECT coalesce(nullif(event_type, 'view'), '__nil') AS etype_n,
         | round(sum(coalesce(value, 0)), 3) AS sum_value,
         | round(CAST(count(value) AS DOUBLE), 3) AS count_value,
-        | round(avg(value), 6) AS mean_value,
-        | CAST(count(DISTINCT user_id) AS BIGINT) AS count_distinct_user_id
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS count_distinct_user_id,
+        | round(round(sum(coalesce(value, 0)), 3)
+        |   / round(CAST(count(value) AS DOUBLE), 3), 6) AS mean_value
         |FROM events GROUP BY 1""".stripMargin,
     "g2_salted_agg" ->
       """SELECT event_type,
         | round(sum(coalesce(value, 0)), 3) AS sum_value,
         | CAST(count(value) AS BIGINT) AS count_value,
         | min(value) AS min_value, max(value) AS max_value,
-        | round(sum(coalesce(value, 0)) / nullif(count(value), 0), 6) AS mean_value
+        | round(round(sum(coalesce(value, 0)), 3) / count(value), 6) AS mean_value
         |FROM events GROUP BY event_type""".stripMargin,
     "a1_weighted" ->
       """SELECT event_type,
         | round(sum(CAST(regexp_extract(props, '[0-9]+') AS DOUBLE) * coalesce(value, 0)), 3) AS sum_value,
         | round(sum(CASE WHEN value IS NOT NULL THEN CAST(regexp_extract(props, '[0-9]+') AS DOUBLE) ELSE 0 END), 3) AS count_value,
-        | round(sum(CASE WHEN value IS NOT NULL THEN CAST(regexp_extract(props, '[0-9]+') AS DOUBLE) * value ELSE 0 END)
-        |   / nullif(sum(CASE WHEN value IS NOT NULL THEN CAST(regexp_extract(props, '[0-9]+') AS DOUBLE) ELSE 0 END), 0), 6) AS mean_value
+        | round(round(sum(CAST(regexp_extract(props, '[0-9]+') AS DOUBLE) * coalesce(value, 0)), 3)
+        |   / round(sum(CASE WHEN value IS NOT NULL THEN CAST(regexp_extract(props, '[0-9]+') AS DOUBLE) ELSE 0 END), 3), 6) AS mean_value
         |FROM events GROUP BY event_type""".stripMargin,
     "a2_extremes" ->
       """SELECT event_type, max(value) AS max_value, min(value) AS min_value,
@@ -500,7 +514,8 @@ object SparkEntry {
         | CAST(floor(epoch(ts) / 3600) * 3600 + 3600 AS BIGINT) AS w_end,
         | round(sum(coalesce(value, 0)), 3) AS sum_value,
         | round(CAST(count(value) AS DOUBLE), 3) AS count_value,
-        | round(avg(value), 6) AS mean_value
+        | round(round(sum(coalesce(value, 0)), 3)
+        |   / round(CAST(count(value) AS DOUBLE), 3), 6) AS mean_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
     "p1_sql" ->
       s"""SELECT CAST(user_id AS VARCHAR) AS user_id,
@@ -508,7 +523,8 @@ object SparkEntry {
          | CAST(floor(epoch(ts) / 86400) * 86400 + 86400 AS BIGINT) AS w_end,
          | round(sum(coalesce(value, 0)), 3) AS sum_value,
          | round(CAST(count(value) AS DOUBLE), 3) AS count_value,
-         | round(avg(value), 6) AS mean_value
+         | round(round(sum(coalesce(value, 0)), 3)
+         |   / round(CAST(count(value) AS DOUBLE), 3), 6) AS mean_value
          |FROM events
          |WHERE event_type = 'click' AND epoch(ts) >= $T0 AND epoch(ts) <= $T1
          |GROUP BY 1, 2, 3""".stripMargin,
@@ -574,7 +590,8 @@ object SparkEntry {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
         | CAST(max(len(string_split(text, ' '))) AS INT) AS max_tokens,
-        | round(avg(len(string_split(text, ' '))::DOUBLE), 6) AS mean_tokens
+        | round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+        |   / count(*), 6) AS mean_tokens
         |FROM documents GROUP BY source""".stripMargin,
     "x4_fingerprint" -> {
       import graft.functions.TextFunctions._
