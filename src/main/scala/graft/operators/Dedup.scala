@@ -77,12 +77,18 @@ object Dedup {
     val cand = left.join(right, Seq("band_idx", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // Verify only candidate docs: semi-join the (LSH-small) candidate id set
-    // before the shingle computation, so the expensive array build runs on
-    // survivors, not the whole corpus. No broadcast hint: on a dup-heavy
-    // corpus the candidate set is NOT small — let AQE pick the join strategy
-    // from the real size instead of forcing a driver collect.
-    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+    // Verify only candidate docs. The candidate ID SET is derived from the
+    // pre-shuffled `bands` frame (ids in buckets of size ≥ 2), NOT from
+    // `cand`: consuming `cand` twice would re-run the whole band join per
+    // consumer, while `bands` is already an exchange all consumers reuse.
+    // No broadcast hint: on a dup-heavy corpus the candidate set is NOT
+    // small — let AQE pick the join strategy from real sizes.
+    val candIds = bands
+      .withColumn("__bsize",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("bkey"))))
+      .filter(col("__bsize") > 1)
+      .select(col(idCol)).distinct()
     val sh = docs.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), tokenHashes(tokens(col(textCol))).as("__th"))
       .select(col(idCol), array_distinct(hashedShingles(col("__th"), shingleN)).as("sh"))

@@ -65,6 +65,62 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(e.getMessage.contains("approx_count_distinct"))
   }
 
+  test("stateful streaming gap windows match the batch operator on closed windows") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-gws").toString
+    def writeBatch(rows: Seq[(Long, Long, String, String, String, String)]): Unit = {
+      val data = rows.map { case (id, sec, foo, x, y, tag) =>
+        org.apache.spark.sql.Row(id,
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)), foo, x, y, tag)
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+        .write.mode("append").parquet(dir)
+    }
+    // batch 1: the canonical fixture rows, shifted to a realistic epoch —
+    // an event at ts == the initial watermark (epoch 0) is filtered as late
+    // by Spark's stateful-operator late-row filter, a degenerate boundary
+    // no real stream hits
+    val base = 1704067200L
+    val batch1 = Seq(
+      (1L, 0L, "100", "7", "1", "t1"), (2L, 1L, "200", "1", null, "t1,t2"),
+      (3L, 2L, "300", "3", null, "t3"), (4L, 3L, "400", "2", "9", "t2"),
+      (5L, 4L, "500", "4", null, null), (6L, 5L, "600", "5", null, "t3"),
+      (7L, 6L, "700", "6", null, null), (8L, 7L, "800", "9", null, null),
+      (9L, 8L, "900", "8", null, null), (10L, 9L, "1000", "0", "9", null))
+      .map { case (id, sec, foo, x, y, tag) => (id, base + sec, foo, x, y, tag) }
+    writeBatch(batch1)
+
+    val q = ZxQuery(selects = Seq(Select(Agg.Sum, "foo"), Select(Agg.Count, "foo")),
+      groupBy = Seq("y"), granularitySec = 15L)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val out = graft.streaming.GapWindowStream(stream, q, watermark = "0 seconds")
+    val query = out.writeStream.format("memory").queryName("gws_out")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      assert(spark.table("gws_out").count() == 0) // all windows still open
+      // batch 2: one far-future event per group closes the first windows
+      writeBatch(Seq((11L, base + 1000L, "1", "1", "1", null),
+        (12L, base + 1000L, "1", "1", "9", null),
+        (13L, base + 1000L, "1", "1", null, null)))
+      query.processAllAvailable()
+      val streamed = spark.table("gws_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getSeq[Double](3).head)).toSet
+      // batch operator over the same batch-1 rows is the semantics oracle
+      val batch1Df = spark.createDataFrame(
+        spark.sparkContext.parallelize(batch1.map { case (id, sec, foo, x, y, tag) =>
+          org.apache.spark.sql.Row(id,
+            java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)), foo, x, y, tag)
+        }, 2), schema)
+      val batch = graft.operators.GapWindows(batch1Df, q, idCol = Some("id"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(streamed == batch)
+      assert(streamed.map(_._4) == Set(100.0, 1400.0, 4000.0))
+    } finally query.stop()
+  }
+
   test("S4: JSON result shaper reproduces the reference's nested shape") {
     val q = ZxQuery(selects = Seq(Select(Agg.Sum, "foo")),
       groupBy = Seq("y"), granularitySec = 15L)
