@@ -57,6 +57,15 @@ class SqlSpec extends AnyFunSuite {
     assert(got == Seq("1", Compiler.NilSentinel, "9"))
   }
 
+  test("end-to-end: exact=true routes windowed sql through GapWindows") {
+    val sql = "select sum(foo) group by y granularity 15"
+    val got = ZxSql.run(fixture, sql, exact = true, idCol = Some("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // data-anchored windows: w_end is the last event's ts, not start+15
+    assert(got == Set(("1", 0L, 0L, 100.0), ("9", 3L, 9L, 1400.0),
+      (graft.compile.Compiler.NilSentinel, 1L, 8L, 4000.0)))
+  }
+
   test("end-to-end: bare select routes to raw projection") {
     val got = ZxSql.run(fixture, "select foo, x where foo > 800")
     assert(got.columns.toSeq == Seq("foo", "x") && got.count() == 2)
