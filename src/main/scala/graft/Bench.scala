@@ -1,6 +1,18 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 object Bench {
+  /** Force full evaluation: xxhash64 over EVERY output column, folded into
+    * one long. Unlike `count()` (under which Catalyst prunes all projections
+    * — map-only queries were being timed as near-pure scans), this makes
+    * every produced value flow through the hash, while still returning a
+    * single row to the driver. */
+  private def evaluate(df: DataFrame): Unit = {
+    val checksum = df.select(xxhash64(df.columns.map(col): _*).as("__h"))
+      .agg(sum(col("__h")))
+    checksum.collect()
+    ()
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -18,7 +30,7 @@ object Bench {
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try evaluate(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

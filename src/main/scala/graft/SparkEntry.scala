@@ -206,9 +206,11 @@ object SparkEntry {
   }
 
   /** A8 exact reference parity: data-anchored gap windows via the
-    * [[graft.operators.GapWindows]] secondary-sort operator. Not
-    * SQL-expressible → driver records the weaker rows-only check; semantics
-    * are pinned by FixtureSpec golden tests instead. */
+    * [[graft.operators.GapWindows]] secondary-sort operator. Hard oracle:
+    * [[gapWindowOracle]] replays the identical walk in DuckDB (recursive CTE
+    * over per-group event lists) with bit-identical scalar arithmetic, so
+    * the unrounded doubles hash-match; semantics are additionally pinned by
+    * FixtureSpec golden tests on the reference fixture. */
   private def a8GapWindow(s: SparkSession, dir: String): DataFrame = {
     val q = ZxQuery(
       selects = Seq(Select(Agg.Sum, "value"), Select(Agg.Count, "value"),
@@ -384,10 +386,19 @@ object SparkEntry {
     graft.operators.Multimodal.packBinary(Tables.documents(s, dir))
       .select("doc_id", "media_type", "n_bytes")
 
-  /** Binary decode plumbing with the stubbed codec — rows-only check. */
-  private def m2MmDecode(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Multimodal.decodeStub(
+  /** Binary decode plumbing with the stubbed codec. The feature vector is
+    * exploded to scalar columns f0..f7 (rounded 6dp) so the driver compare
+    * can sort/hash the result — `array<double>` is unhashable on the pandas
+    * side, and the stub's byte-fold is deterministic integer arithmetic DuckDB
+    * replays exactly (same trick as x5's HUGEINT oracle). */
+  private def m2MmDecode(s: SparkSession, dir: String): DataFrame = {
+    val dec = graft.operators.Multimodal.decodeStub(
       graft.operators.Multimodal.packBinary(Tables.documents(s, dir)))
+    val fCols = (0 until 8).map(i =>
+      round(element_at(col("features"), i + 1), 6).as(s"f$i"))
+    dec.select(Seq(col("doc_id"), col("width"), col("height"),
+      col("n_bytes")) ++ fCols: _*)
+  }
 
   // ---------------------------------------------- oracle SQL fragments
 
@@ -412,6 +423,74 @@ object SparkEntry {
   }
   private val duckJaccard =
     "len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE"
+
+  /** DuckDB replay of the data-anchored gap walk (reference lib.rs:689-726,
+    * our GapWindows operator): each group's events are packed once into a
+    * ts-then-id-ordered list (MATERIALIZED — aggregated a single time), then
+    * a recursive CTE advances every group one event per step by list index,
+    * applying the identical branch logic and the identical scalar arithmetic
+    * (fold-in-order sum, incremental mean) — so the unrounded doubles match
+    * Spark's bit-for-bit. Iterations = max events per group (~2k at sf0.01);
+    * the per-step join is group-count × group-count, not × table size. */
+  private def gapWindowOracle(gran: Long): String = {
+    val X = "list_extract(l.evs, w.rn + 1)"
+    val first = "(NOT w.has AND w.anch < 0)"
+    val reopen = s"(NOT w.has AND w.anch >= 0 AND $X.ets - w.anch <= $gran)"
+    val rean = s"(NOT w.has AND w.anch >= 0 AND $X.ets - w.anch > $gran)"
+    val admit = s"(w.has AND $X.ets - w.ws <= $gran)"
+    val breach = s"(w.has AND $X.ets - w.ws > $gran)"
+    s"""WITH RECURSIVE evl AS MATERIALIZED (
+       |  SELECT coalesce(event_type, '__nil') AS g,
+       |         list(struct_pack(
+       |                ets := CAST(floor(epoch(ts)) AS BIGINT),
+       |                v := value,
+       |                present := (value IS NOT NULL))
+       |              ORDER BY floor(epoch(ts)), event_id) AS evs,
+       |         count(*) AS n
+       |  FROM events
+       |  GROUP BY 1
+       |),
+       |walk AS (
+       |  SELECT g, 0::BIGINT AS rn,
+       |         (-1)::BIGINT AS ws, (-1)::BIGINT AS we, (-1)::BIGINT AS anch, FALSE AS has,
+       |         0.0::DOUBLE AS s, 0.0::DOUBLE AS c, 0.0::DOUBLE AS m, 0::BIGINT AS mn,
+       |         FALSE AS emitted,
+       |         CAST(NULL AS BIGINT) AS e_ws, CAST(NULL AS BIGINT) AS e_we,
+       |         CAST(NULL AS DOUBLE) AS e_s, CAST(NULL AS DOUBLE) AS e_c, CAST(NULL AS DOUBLE) AS e_m
+       |  FROM evl
+       |  UNION ALL
+       |  SELECT w.g, w.rn + 1,
+       |    CASE WHEN $first THEN $X.ets WHEN $reopen THEN w.anch
+       |         WHEN $admit THEN w.ws ELSE -1 END,
+       |    CASE WHEN $first OR $reopen OR $admit THEN $X.ets ELSE -1 END,
+       |    CASE WHEN $rean OR $breach THEN $X.ets ELSE -1 END,
+       |    ($first OR $reopen OR $admit),
+       |    CASE WHEN $first OR $reopen THEN coalesce($X.v, 0.0)
+       |         WHEN $admit THEN w.s + coalesce($X.v, 0.0) ELSE 0.0 END,
+       |    CASE WHEN $first OR $reopen THEN (CASE WHEN $X.present THEN 1.0 ELSE 0.0 END)
+       |         WHEN $admit THEN w.c + (CASE WHEN $X.present THEN 1.0 ELSE 0.0 END) ELSE 0.0 END,
+       |    CASE WHEN $first OR $reopen THEN (CASE WHEN $X.present THEN $X.v ELSE 0.0 END)
+       |         WHEN $admit AND $X.present THEN w.m + ($X.v - w.m) / (w.mn + 1)
+       |         WHEN $admit THEN w.m ELSE 0.0 END,
+       |    CASE WHEN $first OR $reopen THEN (CASE WHEN $X.present THEN 1 ELSE 0 END)
+       |         WHEN $admit THEN w.mn + (CASE WHEN $X.present THEN 1 ELSE 0 END) ELSE 0 END,
+       |    $breach,
+       |    CASE WHEN $breach THEN w.ws END,
+       |    CASE WHEN $breach THEN w.we END,
+       |    CASE WHEN $breach THEN w.s END,
+       |    CASE WHEN $breach THEN w.c END,
+       |    CASE WHEN $breach THEN w.m END
+       |  FROM walk w JOIN evl l USING (g)
+       |  WHERE w.rn < l.n
+       |)
+       |SELECT g AS event_type, e_ws AS w_start, e_we AS w_end,
+       |       e_s AS sum_value, e_c AS count_value, e_m AS mean_value
+       |FROM walk WHERE emitted
+       |UNION ALL
+       |SELECT w.g, w.ws, w.we, w.s, w.c, w.m
+       |FROM walk w JOIN evl l USING (g)
+       |WHERE w.has AND w.rn = l.n""".stripMargin
+  }
 
   // ----------------------------------------------------------------- contract
 
@@ -486,11 +565,13 @@ object SparkEntry {
         | round(round(sum(coalesce(value, 0)), 3) / count(value), 6) AS mean_value
         |FROM events GROUP BY event_type""".stripMargin,
     "a1_weighted" ->
+      // weight mirrors Aggregates.weight exactly: coalesce(TRY_CAST(...), 1.0)
+      // — a props row without digits must default to 1.0 on BOTH sides
       """SELECT event_type,
-        | round(sum(CAST(regexp_extract(props, '[0-9]+') AS DOUBLE) * coalesce(value, 0)), 3) AS sum_value,
-        | round(sum(CASE WHEN value IS NOT NULL THEN CAST(regexp_extract(props, '[0-9]+') AS DOUBLE) ELSE 0 END), 3) AS count_value,
-        | round(round(sum(CAST(regexp_extract(props, '[0-9]+') AS DOUBLE) * coalesce(value, 0)), 3)
-        |   / round(sum(CASE WHEN value IS NOT NULL THEN CAST(regexp_extract(props, '[0-9]+') AS DOUBLE) ELSE 0 END), 3), 6) AS mean_value
+        | round(sum(coalesce(TRY_CAST(regexp_extract(props, '[0-9]+') AS DOUBLE), 1.0) * coalesce(value, 0)), 3) AS sum_value,
+        | round(sum(CASE WHEN value IS NOT NULL THEN coalesce(TRY_CAST(regexp_extract(props, '[0-9]+') AS DOUBLE), 1.0) ELSE 0 END), 3) AS count_value,
+        | round(round(sum(coalesce(TRY_CAST(regexp_extract(props, '[0-9]+') AS DOUBLE), 1.0) * coalesce(value, 0)), 3)
+        |   / round(sum(CASE WHEN value IS NOT NULL THEN coalesce(TRY_CAST(regexp_extract(props, '[0-9]+') AS DOUBLE), 1.0) ELSE 0 END), 3), 6) AS mean_value
         |FROM events GROUP BY event_type""".stripMargin,
     "a2_extremes" ->
       """SELECT event_type, max(value) AS max_value, min(value) AS min_value,
@@ -713,5 +794,27 @@ object SparkEntry {
       """SELECT doc_id, 'text/plain' AS media_type,
         | CAST(strlen(text) AS INT) AS n_bytes
         |FROM documents""".stripMargin,
+    "m2_mm_decode" -> {
+      // replay of Multimodal.decodeStub's byte-fold: per feature i, fold
+      // acc = (acc*31 + byte) mod 2^24 over bytes i, i+8, ... (docs are
+      // ASCII, so 1-based char positions == 0-based byte offsets + 1),
+      // then normalize by 0xffffff; int division of identical ints is
+      // bit-exact across engines, rounded 6dp on both sides
+      def ffold(i: Int): String =
+        s"list_reduce(list_prepend(0::BIGINT, " +
+          s"list_transform(range(${i + 1}, strlen(text)::BIGINT + 1, 8), " +
+          s"j -> ascii(substr(text, j::INT, 1))::BIGINT)), " +
+          s"(acc, x) -> (acc * 31 + x) % 16777216)"
+      val fcols = (0 until 8)
+        .map(i => s" round(${ffold(i)} / 16777215.0, 6) AS f$i")
+        .mkString(",\n")
+      s"""SELECT doc_id,
+         | CAST(1 + (strlen(text)::BIGINT % 640) AS INT) AS width,
+         | CAST(1 + ((strlen(text)::BIGINT // 640) % 480) AS INT) AS height,
+         | CAST(strlen(text) AS INT) AS n_bytes,
+         |$fcols
+         |FROM documents""".stripMargin
+    },
+    "a8_gap_window" -> gapWindowOracle(3600L),
   )
 }

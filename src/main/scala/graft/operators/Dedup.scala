@@ -43,6 +43,8 @@ object Dedup {
                         rowsPerBand: Int = 2, textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
     require(k <= minhashCoeffs.size, s"at most ${minhashCoeffs.size} permutations")
+    require(k % rowsPerBand == 0,
+      s"rowsPerBand=$rowsPerBand must divide k=$k — trailing signatures would be silently excluded from all bands, cutting LSH recall")
     // two-step materialization: one md5 per TOKEN, then integer-only shingle
     // hashes, then k cheap affine-permutation folds — no shingle strings
     val withH = docs.select(col(idCol), tokenHashes(tokens(col(textCol))).as("__th"))

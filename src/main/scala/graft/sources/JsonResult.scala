@@ -32,7 +32,15 @@ object JsonResult {
     val grouped = rows.groupBy(r =>
       groupCols.map(g => g -> Option(r.getAs[Any](g)).map(_.toString)).toMap)
     def esc(s: String): String =
-      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case ch => ch.toString }
+      s.flatMap {
+        case '"'              => "\\\""
+        case '\\'             => "\\\\"
+        case '\n'             => "\\n"
+        case '\r'             => "\\r"
+        case '\t'             => "\\t"
+        case ch if ch < 0x20  => f"\\u${ch.toInt}%04x"
+        case ch               => ch.toString
+      }
     val entries = grouped.toSeq.sortBy(_._1.toSeq.sortBy(_._1).mkString).map {
       case (key, rs) =>
         val keyJson = "{" + key.toSeq.sortBy(_._1).map { case (k, v) =>
