@@ -734,13 +734,16 @@ object SparkEntry {
          |WHERE bit_count(xor(a.h, b.h)) <= 1""".stripMargin
     },
     "d4_ngram_jaccard" ->
+      // mirrors the maxBlock=256 hot-block cap (inert at this sf — max
+      // block is ~21 — but part of the operator's contract)
       s"""WITH th0 AS (SELECT doc_id, source, CAST(floor(n_chars / 20) AS BIGINT) AS len_b,
          |  $duckTokenHashes AS th FROM documents),
-         |shd AS (SELECT doc_id, source, len_b, list_distinct($duckHashedShingles) AS sh FROM th0)
+         |shd0 AS (SELECT doc_id, source, len_b, list_distinct($duckHashedShingles) AS sh FROM th0),
+         |shd AS (SELECT *, count(*) OVER (PARTITION BY source, len_b) AS bn FROM shd0)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $duckJaccard AS jac
          |FROM shd a JOIN shd b ON a.source = b.source AND a.len_b = b.len_b
          | AND a.doc_id < b.doc_id
-         |WHERE $duckJaccard >= 0.4""".stripMargin,
+         |WHERE $duckJaccard >= 0.4 AND a.bn <= 256""".stripMargin,
     "d5_embed_pairs" -> {
       val cos = graft.functions.VectorFunctions.cosineSql("a.embedding", "b.embedding", 64)
       s"""SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
@@ -774,19 +777,37 @@ object SparkEntry {
          |FROM embeddings GROUP BY 1""".stripMargin
     },
     "s4_ivf_knn" -> {
-      import graft.functions.VectorFunctions._
-      val assignDot = dotSql("e.embedding", "c.cv", 64)
-      val qcellDot = dotSql("c.cv", "q.qe", 64)
-      val cos = cosineSql("e.embedding", "q.qe", 64)
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
-         |assign AS (SELECT e.vec_id, arg_max(c.cid, $assignDot) AS cell
-         |  FROM embeddings e CROSS JOIN cent c GROUP BY e.vec_id),
-         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |qcells AS (SELECT c.cid FROM cent c, q ORDER BY $qcellDot DESC, c.cid LIMIT 2)
+      // replays Similarity.ivfTrain/ivfKnn: 2 Lloyd iterations with
+      // fixed-point (floor(v*2^20) BIGINT) component sums — exact and
+      // order-independent, so trained centroids and therefore assignments
+      // and scores match Spark bit-for-bit; argmax ties break to lowest cid
+      // on both sides (row_number ORDER BY s DESC, cid ≡ struct(s,-cid) max)
+      def dotL(a: String, b: String): String =
+        s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
+      def iterSql(i: Int): String =
+        s"""sc$i AS (SELECT e.vec_id, c.cid, ${dotL("e.v", "c.cv")} AS s FROM e CROSS JOIN cent$i c),
+           |as$i AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM sc$i) WHERE rn = 1),
+           |ex$i AS (SELECT a.cell, unnest(range(1, 65)) AS dim, unnest(e.v) AS val
+           |  FROM e JOIN as$i a USING (vec_id)),
+           |cent${i + 1} AS (SELECT cell AS cid, list(sq / qn ORDER BY dim) AS cv FROM (
+           |  SELECT cell, dim, sum(CAST(floor(val * 1048576.0) AS BIGINT))::DOUBLE AS sq,
+           |         (count(*) * 1048576.0) AS qn
+           |  FROM ex$i GROUP BY cell, dim) GROUP BY cell)""".stripMargin
+      val cos = s"${dotL("e.v", "q.qv")} / (sqrt(${dotL("e.v", "e.v")}) * sqrt(${dotL("q.qv", "q.qv")}))"
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+         |           FROM embeddings),
+         |cent0 AS (SELECT vec_id::INT AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |${iterSql(0)},
+         |${iterSql(1)},
+         |sc2 AS (SELECT e.vec_id, c.cid, ${dotL("e.v", "c.cv")} AS s FROM e CROSS JOIN cent2 c),
+         |as2 AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM sc2) WHERE rn = 1),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |qsel AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${dotL("c.cv", "q.qv")} DESC, c.cid) AS rn
+         |  FROM cent2 c, q) WHERE rn <= 2)
          |SELECT e.vec_id, e.label, a.cell, round($cos, 6) AS cos
-         |FROM embeddings e
-         | JOIN assign a ON e.vec_id = a.vec_id
-         | JOIN qcells ON a.cell = qcells.cid, q
+         |FROM e JOIN as2 a USING (vec_id) JOIN qsel ON a.cell = qsel.cid, q
          |ORDER BY $cos DESC, e.vec_id
          |LIMIT 10""".stripMargin
     },

@@ -47,35 +47,87 @@ object Similarity {
       .drop("__q", "__qn", vecCol)
   }
 
-  /** IVF-flat ANN: `nlist` deterministic centroids (the first nlist vectors
-    * — a real deployment trains k-means and persists them), every vector
-    * assigned to its best cell by dot product, queries probe the `nProbe`
-    * nearest cells and score exactly within them.
+  /** Fixed-point quantum for deterministic k-means accumulation: component
+    * sums are folded as `floor(v * 2^20)` LONGs, which are exact and
+    * order-independent — the trained centroids come out bit-identical across
+    * partitionings, executor counts, AND engines (the DuckDB oracle replays
+    * the same training). Plain double sums would drift with Spark's
+    * partition-parallel reduction order. */
+  private val FixedPointQ = 1048576.0 // 2^20
+
+  /** Row-local cell assignment against driver-held centroids: the per-row
+    * argmax over `nlist` broadcast-literal dot products — a narrow projection,
+    * ZERO exchanges (PlanSpec-pinned). Ties break to the lowest cid via the
+    * (score, -cid) struct max. At 100 TB this is the map-side step that lets
+    * the index build write the table partitioned by `cell`. */
+  def assignCells(emb: DataFrame, cents: Seq[(Int, Seq[Double])],
+                  vecCol: String = "embedding"): DataFrame = {
+    val scored = array(cents.sortBy(_._1).map { case (cid, cv) =>
+      struct(dot(col(vecCol), typedLit(cv)).as("s"), lit(-cid).as("nc"))
+    }: _*)
+    emb.withColumn("cell", (-array_max(scored).getField("nc")).cast(org.apache.spark.sql.types.IntegerType))
+  }
+
+  /** Lloyd k-means over the embedding column, `iters` centroid updates from
+    * deterministic seeds (the first `nlist` vectors). Each iteration is one
+    * narrow assignment pass + one tiny aggregation (nlist × dim longs to the
+    * driver); empty cells drop. Returns (cid, centroid) pairs for
+    * [[assignCells]] / persistence. */
+  def ivfTrain(emb: DataFrame, nlist: Int = 16, iters: Int = 2,
+               idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Seq[Double])] = {
+    var cents: Seq[(Int, Seq[Double])] = emb.filter(col(idCol) < nlist)
+      .select(col(idCol).cast(org.apache.spark.sql.types.IntegerType), toDouble(col(vecCol)))
+      .collect().toSeq
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toIndexedSeq)
+      .sortBy(_._1)
+    val dim = cents.head._2.size
+    for (_ <- 0 until iters) {
+      val sumCols = (0 until dim).map(j =>
+        sum(floor(element_at(col(vecCol), j + 1)
+          .cast(org.apache.spark.sql.types.DoubleType) * FixedPointQ)).as(s"s$j"))
+      val rows = assignCells(emb, cents, vecCol)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+        .collect()
+      cents = rows.toSeq.map { r =>
+        val n = r.getLong(1)
+        r.getInt(0) -> (0 until dim).map(j => r.getLong(2 + j).toDouble / (n * FixedPointQ)).toIndexedSeq
+      }.sortBy(_._1)
+    }
+    cents
+  }
+
+  /** IVF-flat ANN: k-means-trained centroids ([[ivfTrain]]), every vector
+    * assigned row-locally to its best cell ([[assignCells]] — no exchange),
+    * queries probe the `nProbe` nearest cells and score exactly within them.
     *
-    * At scale the assignment is a one-off build step (the table is written
-    * partitioned by `cell`), so a probe reads nProbe/nlist of the data;
-    * centroids are a broadcast. Recall/latency trades via nProbe. */
+    * The query path is join-free: the query vector and probe-cell ids are
+    * driver-computed (nlist dot products on ≤ a few KB of centroids, the
+    * same left-fold arithmetic the executors use), so the probe compiles to
+    * scan → narrow filter → TakeOrderedAndProject. At scale the assignment
+    * is a one-off build step (the table is written partitioned by `cell`),
+    * so a probe reads nProbe/nlist of the data; recall/latency trades via
+    * nProbe. */
   def ivfKnn(emb: DataFrame, queryId: Long, k: Int, nlist: Int = 16,
-             nProbe: Int = 2, idCol: String = "vec_id",
+             nProbe: Int = 2, iters: Int = 2, idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
-    val cent = emb.filter(col(idCol) < nlist)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    val assign = emb.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(cent))
-      .groupBy(col(idCol))
-      .agg(max_by(col("cid"), dot(col(vecCol), col("cv"))).as("cell"))
-    val q = emb.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("__q"), norm(col(vecCol)).as("__qn"))
-    val qcells = cent.crossJoin(broadcast(q))
-      .orderBy(dot(col("cv"), col("__q")).desc, col("cid").asc)
-      .limit(nProbe).select("cid")
-    emb.join(assign, idCol)
-      .join(broadcast(qcells), col("cell") === col("cid"))
-      .crossJoin(broadcast(q))
-      .withColumn("cos", dot(col(vecCol), col("__q")) / (norm(col(vecCol)) * col("__qn")))
+    val cents = ivfTrain(emb, nlist, iters, idCol, vecCol)
+    val q = emb.filter(col(idCol) === queryId).select(toDouble(col(vecCol)))
+      .head().getSeq[Double](0).toIndexedSeq
+    def fold(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.size) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val qn = math.sqrt(fold(q, q))
+    val probe = cents.sortBy { case (cid, cv) => (-fold(cv, q), cid) }
+      .take(nProbe).map(_._1)
+    assignCells(emb, cents, vecCol)
+      .filter(col("cell").isin(probe: _*))
+      .withColumn("cos", dot(col(vecCol), typedLit(q)) / (norm(col(vecCol)) * lit(qn)))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
-      .drop("__q", "__qn", "cid", vecCol) // schema-agnostic: keep caller's cols + cell + cos
+      .drop(vecCol) // schema-agnostic: keep caller's cols + cell + cos
   }
 
   /** Bucket occupancy histogram — the skew diagnostic for the ANN path. */

@@ -37,7 +37,9 @@ class ApproxSpec extends AnyFunSuite {
     val ivf = Similarity.ivfKnn(emb, 0L, 10)
       .select("vec_id").collect().map(_.getLong(0))
     assert(ivf.head == 0L)                       // query's own vector first
-    assert((ivf.toSet & exact).size >= 3)        // partial recall, nProbe=2/16
+    // trained centroids (2 Lloyd iterations): most of the exact top-10
+    // survives probing only 2 of 16 cells
+    assert((ivf.toSet & exact).size >= 7)
   }
 
   test("sign-LSH ANN keeps the query's bucket only") {

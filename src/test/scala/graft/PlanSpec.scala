@@ -39,6 +39,14 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n$p")
   }
 
+  test("IVF cell assignment is shuffle-free (row-local argmax over broadcast centroids)") {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val cents = graft.operators.Similarity.ivfTrain(emb, nlist = 16, iters = 1)
+    val p = graft.operators.Similarity.assignCells(emb, cents)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"assignment must not shuffle:\n$p")
+  }
+
   test("salted aggregation equals the plain aggregate") {
     import org.apache.spark.sql.functions._
     val ev = graft.sources.Tables.events(spark, dir)
