@@ -143,9 +143,18 @@ object Dedup {
   /** Blocked n-gram jaccard: candidate pairs share a blocking key (source +
     * length bucket — cheap equality join, no cartesian), verified with exact
     * shingle jaccard. The honest-quadratic baseline to MinHash's linear
-    * path; blocking bounds the quadratic term to within-block pairs. */
+    * path; blocking bounds the quadratic term to within-block pairs.
+    *
+    * `maxBlock` caps the quadratic: blocks larger than it are excluded from
+    * pairing (a single hot block — one popular source × one common length —
+    * is otherwise an unbounded O(n²) straggler at 100 TB). The count rides
+    * on the same exchange as the join (window partitioned by the shuffle
+    * keys — no extra shuffle). Dropped blocks are NOT silent: route them
+    * through [[minhashPairs]] (the linear-time path) or audit them with
+    * [[oversizedBlocks]]. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, shingleN: Int = 3,
-                        lenBucket: Int = 20, textCol: String = "text",
+                        lenBucket: Int = 20, maxBlock: Int = 256,
+                        textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
     val base = docs.select(col(idCol), col("source"),
       floor(col("n_chars") / lenBucket).as("len_b"),
@@ -153,6 +162,9 @@ object Dedup {
       .select(col(idCol), col("source"), col("len_b"),
         array_distinct(hashedShingles(col("__th"), shingleN)).as("sh"))
       .repartition(col("source"), col("len_b")) // shared exchange for both sides
+      .withColumn("__bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"), col("len_b"))))
+      .filter(col("__bn") <= maxBlock)
     val l = base.select(col(idCol).as("id_a"), col("source"), col("len_b"), col("sh").as("sh_a"))
     val r = base.select(col(idCol).as("id_b"), col("source"), col("len_b"), col("sh").as("sh_b"))
     l.join(r, Seq("source", "len_b"))
@@ -161,6 +173,15 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
   }
+
+  /** Audit companion to [[ngramJaccardPairs]]'s cap: the blocks it would
+    * exclude, with sizes — so a pipeline can count/route them explicitly
+    * instead of losing coverage silently. */
+  def oversizedBlocks(docs: DataFrame, lenBucket: Int = 20,
+                      maxBlock: Int = 256): DataFrame =
+    docs.groupBy(col("source"), floor(col("n_chars") / lenBucket).as("len_b"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBlock)
 
   /** Embedding near-dup pairs: same-label blocking, cosine ≥ threshold.
     * Norms are precomputed per VECTOR (one pass over n rows) rather than per

@@ -103,6 +103,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(banded == brute)
   }
 
+  test("ngram jaccard cap excludes oversized blocks and the audit reports them") {
+    // 4 near-identical docs in one block (same source parity + len bucket),
+    // 2 in another; cap=3 must drop every pair from the big block only
+    val big = (0 until 4).map(i => (i * 2L, "aaaa bbbb cccc dddd eeee ffff"))
+    val small = Seq(11L, 13L).map(id => (id, "zzzz yyyy xxxx wwww vvvv uuuu"))
+    val df = docsDf(big ++ small: _*)
+    val uncapped = Dedup.ngramJaccardPairs(df, threshold = 0.9, maxBlock = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == Set((0L, 2L), (0L, 4L), (0L, 6L), (2L, 4L), (2L, 6L), (4L, 6L), (11L, 13L)))
+    val capped = Dedup.ngramJaccardPairs(df, threshold = 0.9, maxBlock = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((11L, 13L)))
+    val audited = Dedup.oversizedBlocks(df, maxBlock = 3).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    assert(audited.toSeq == Seq(("src0", 4L)))
+  }
+
   test("cosine: identical unit vectors → 1.0; orthogonal → 0.0") {
     val schema = StructType(Seq(StructField("vec_id", LongType, false),
       StructField("embedding", ArrayType(FloatType)), StructField("label", IntegerType, false)))
