@@ -121,6 +121,45 @@ class StoreStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("gap windows: cross-batch out-of-order events match the batch operator") {
+    val dir = Files.createTempDirectory("graft-gwo").toString
+    def mkRows(t: Seq[(Long, Long, String)]) = t.map { case (id, sec, foo) =>
+      org.apache.spark.sql.Row(id,
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)), foo, null, "9", null)
+    }
+    def write(t: Seq[(Long, Long, String)]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(mkRows(t), 1), schema)
+        .write.mode("append").parquet(dir)
+    val base = 1704067200L
+    // batch A sees ts 0, 9, 30; batch B delivers 3 and 7 AFTER them — above
+    // the 50s watermark, so they must be buffered and folded in ts order,
+    // not walked in arrival order (the round-1 corruption case)
+    val a = Seq((1L, base + 0L, "100"), (2L, base + 9L, "200"), (5L, base + 30L, "500"))
+    val b = Seq((3L, base + 3L, "300"), (4L, base + 7L, "400"))
+    val q = ZxQuery(selects = Seq(Select(Agg.Sum, "foo")),
+      groupBy = Seq("y"), granularitySec = 15L)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val out = graft.streaming.GapWindowStream(stream, q, watermark = "50 seconds")
+    val query = out.writeStream.format("memory").queryName("gwo_out")
+      .outputMode("append").start()
+    try {
+      write(a); query.processAllAvailable()
+      write(b); query.processAllAvailable()
+      // far-future event advances the watermark past every deadline
+      write(Seq((6L, base + 5000L, "1"))); query.processAllAvailable()
+      val streamed = spark.table("gwo_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getSeq[Double](3).head)).toSet
+      val union = spark.createDataFrame(
+        spark.sparkContext.parallelize(mkRows(a ++ b), 2), schema)
+      val batch = graft.operators.GapWindows(union, q, idCol = Some("id"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(streamed == batch)
+      assert(streamed == Set(("9", base + 0L, base + 9L, 1000.0)))
+    } finally query.stop()
+  }
+
   test("S4: JSON result shaper reproduces the reference's nested shape") {
     val q = ZxQuery(selects = Seq(Select(Agg.Sum, "foo")),
       groupBy = Seq("y"), granularitySec = 15L)
