@@ -160,15 +160,21 @@ object SparkEntry {
     Compiler.runSorted(ev, q)
   }
 
-  /** G1 under skew: salted two-phase aggregation — bit-equal semantics to
-    * the plain groupBy (the oracle IS the unsalted query), hot keys spread
-    * across 16 reducers. */
-  private def g2SaltedAgg(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Salted.aggregate(Tables.events(s, dir), Seq("event_type"), "value")
-      .select(col("event_type"), round3("sum_value"), col("count_value"),
+  /** G1 under skew: the salted two-phase aggregation, reached through the
+    * main compiler via `ZxQuery.skewSalt` — same semantics as the plain
+    * groupBy (the oracle IS the unsalted query), hot keys spread across 16
+    * reducers. */
+  private def g2SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val q = ZxQuery(
+      selects = Seq(Select(Agg.Sum, "value"), Select(Agg.Count, "value"),
+        Select(Agg.Min, "value"), Select(Agg.Max, "value")),
+      groupBy = Seq("event_type"),
+      skewSalt = Some(16))
+    Compiler.runSorted(Tables.events(s, dir), q)
+      .select(col("event_type"), round3("sum_value"), round3("count_value"),
         col("min_value"), col("max_value"))
-      .withColumn("mean_value",
-        round(col("sum_value") / col("count_value"), 6))
+      .withColumn("mean_value", stableMean("sum_value", "count_value"))
+  }
 
   // ------------------------------------------------------- A7/A8: timeseries
 
@@ -560,9 +566,10 @@ object SparkEntry {
     "g2_salted_agg" ->
       """SELECT event_type,
         | round(sum(coalesce(value, 0)), 3) AS sum_value,
-        | CAST(count(value) AS BIGINT) AS count_value,
+        | round(CAST(count(value) AS DOUBLE), 3) AS count_value,
         | min(value) AS min_value, max(value) AS max_value,
-        | round(round(sum(coalesce(value, 0)), 3) / count(value), 6) AS mean_value
+        | round(round(sum(coalesce(value, 0)), 3)
+        |   / round(CAST(count(value) AS DOUBLE), 3), 6) AS mean_value
         |FROM events GROUP BY event_type""".stripMargin,
     "a1_weighted" ->
       // weight mirrors Aggregates.weight exactly: coalesce(TRY_CAST(...), 1.0)

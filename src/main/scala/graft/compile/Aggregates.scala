@@ -76,4 +76,66 @@ object Aggregates {
 
   def compileAll(sels: Seq[Select], schema: StructType): Seq[Column] =
     sels.map(compile(_, schema))
+
+  /** Aggregates a salted two-phase plan can decompose. CountDistinct needs
+    * the value set and P50 the full distribution — re-aggregating their
+    * partials is wrong, so they are rejected loudly. */
+  val decomposable: Set[Agg] = Set(Agg.Sum, Agg.Count, Agg.Max, Agg.Min, Agg.Mean)
+
+  /** Partial-phase columns and the final-phase merge for one Select under
+    * salting. The composition (final ∘ partial) reproduces [[compile]]'s
+    * semantics exactly: sums/counts re-sum, extremes re-extreme, mean keeps
+    * weighted (value-sum, weight-sum) partials and divides once at the end. */
+  private def saltPhases(sel: Select, i: Int, schema: StructType): (Seq[Column], Column) = {
+    val w = weight(schema)
+    val v = numeric(sel.column, schema)
+    val present = col(sel.column).isNotNull
+    val pa = s"__p${i}a"; val pb = s"__p${i}b"
+    sel.agg match {
+      case Agg.Sum =>
+        (Seq(sum(w * coalesce(v, lit(0.0))).as(pa)),
+          coalesce(sum(col(pa)), lit(0.0)).as(sel.key))
+      case Agg.Count =>
+        (Seq(sum(when(present, w).otherwise(lit(0.0))).as(pa)),
+          coalesce(sum(col(pa)), lit(0.0)).as(sel.key))
+      case Agg.Max => (Seq(max(v).as(pa)), max(col(pa)).as(sel.key))
+      case Agg.Min => (Seq(min(v).as(pa)), min(col(pa)).as(sel.key))
+      case Agg.Mean =>
+        (Seq(sum(when(present, w * v).otherwise(lit(0.0))).as(pa),
+          sum(when(present, w).otherwise(lit(0.0))).as(pb)),
+          try_divide(sum(col(pa)), sum(col(pb))).as(sel.key))
+      case other => throw new IllegalArgumentException(
+        s"skewSalt supports decomposable aggregates (${decomposable.map(_.name).mkString("/")}), not ${other.name}")
+    }
+  }
+
+  /** Group-and-aggregate, optionally through the salted two-phase plan.
+    *
+    * Plain path: one hash aggregate (with Spark's own map-side partials).
+    * Salted path (`skewSalt = Some(n)`): the first — heavy — aggregation
+    * groups on (keys, salt) so a hot key's rows spread across `n` reducers
+    * instead of one straggler; the second input is key-cardinality × n rows.
+    * The salt is `pmod(hash(every column), n)` — deterministic per row,
+    * uniform across a hot key's rows. AQE's skew handling covers joins;
+    * this is the aggregation-side counterpart, now reachable from the IR
+    * instead of a side entry point. */
+  def groupedAgg(df: org.apache.spark.sql.DataFrame, keys: Seq[Column],
+                 keyNames: Seq[String], sels: Seq[Select], schema: StructType,
+                 skewSalt: Option[Int]): org.apache.spark.sql.DataFrame =
+    skewSalt match {
+      case None =>
+        val aggs = compileAll(sels, schema)
+        if (keys.nonEmpty) df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+        else df.agg(aggs.head, aggs.tail: _*)
+      case Some(salts) =>
+        require(salts > 0, s"skewSalt must be positive, got $salts")
+        val (partials, finals) = sels.zipWithIndex
+          .map { case (s, i) => saltPhases(s, i, schema) }.unzip
+        val saltCol = pmod(hash(df.columns.map(col): _*), lit(salts)).as("__salt")
+        val pcols = partials.flatten
+        val partial = df.groupBy(keys :+ saltCol: _*).agg(pcols.head, pcols.tail: _*)
+        if (keyNames.nonEmpty)
+          partial.groupBy(keyNames.map(col): _*).agg(finals.head, finals.tail: _*)
+        else partial.agg(finals.head, finals.tail: _*)
+    }
 }

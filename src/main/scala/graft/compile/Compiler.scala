@@ -82,8 +82,8 @@ object Compiler {
     val wStart = (floor(col(tsCol).cast(LongType) / q.granularitySec) *
       q.granularitySec).cast(LongType).as("w_start")
     val keys = groupKeys(q, df.schema) :+ wStart
-    val aggs = Aggregates.compileAll(q.selects, df.schema)
-    val grouped = filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    val grouped = Aggregates.groupedAgg(filtered, keys, q.groupBy :+ "w_start",
+      q.selects, df.schema, q.skewSalt)
     grouped.withColumn("w_end", (col("w_start") + q.granularitySec).cast(LongType))
   }
 
@@ -101,10 +101,8 @@ object Compiler {
     val extraSels = q.orderBy.map(_.select)
       .filterNot(s => q.selects.contains(s) || s.agg == Agg.Raw || s.agg == Agg.Heatmap)
       .distinct
-    val aggs = Aggregates.compileAll(q.selects ++ extraSels, df.schema)
-    val grouped =
-      if (keys.nonEmpty) filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
-      else filtered.agg(aggs.head, aggs.tail: _*)
+    val grouped = Aggregates.groupedAgg(filtered, keys, q.groupBy,
+      q.selects ++ extraSels, df.schema, q.skewSalt)
     val ordCols = q.orderBy.map { ob =>
       val c = col(ob.select.key)
       ob.dir match { case SortDir.Asc => c.asc; case SortDir.Desc => c.desc }

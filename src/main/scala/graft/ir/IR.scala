@@ -64,7 +64,13 @@ final case class OrderBy(select: Select, dir: SortDir)
 
 /** Whole query — lib.rs:51-69. Time bounds are epoch seconds, inclusive,
   * defaulting to (epoch 0, now) (expr.rs:107-108); granularity defaults to
-  * the reference's hard-coded 5 minutes (expr.rs:226). */
+  * the reference's hard-coded 5 minutes (expr.rs:226).
+  *
+  * `skewSalt` (extension; no reference counterpart) opts the aggregation
+  * into a salted two-phase plan: partial aggregation on (keys, salt)
+  * spreads a hot group key across that many reducers, a second tiny
+  * aggregation merges the partials. Decomposable aggregates only
+  * (sum/count/max/min/mean). */
 final case class ZxQuery(
     selects: Seq[Select],
     conditions: Seq[Condition] = Nil,
@@ -73,4 +79,5 @@ final case class ZxQuery(
     tStart: Option[Long] = None,
     tEnd: Option[Long] = None,
     granularitySec: Long = 300L,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    skewSalt: Option[Int] = None)

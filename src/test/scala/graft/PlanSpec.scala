@@ -47,16 +47,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"assignment must not shuffle:\n$p")
   }
 
-  test("salted aggregation equals the plain aggregate") {
-    import org.apache.spark.sql.functions._
+  test("skewSalt aggregation equals the plain aggregate and adds one salted exchange") {
+    import graft.ir._
     val ev = graft.sources.Tables.events(spark, dir)
-    val salted = graft.operators.Salted.aggregate(ev, Seq("event_type"), "value")
-      .collect().map(r => r.getString(0) ->
-        (math.round(r.getDouble(1) * 1000), r.getLong(2))).toMap
-    val plain = ev.groupBy(col("event_type"))
-      .agg(sum(coalesce(col("value"), lit(0.0))), count(col("value")))
-      .collect().map(r => r.getString(0) ->
-        (math.round(r.getDouble(1) * 1000), r.getLong(2))).toMap
-    assert(salted == plain)
+    val q = ZxQuery(
+      selects = Seq(Select(Agg.Sum, "value"), Select(Agg.Count, "value"),
+        Select(Agg.Mean, "value")),
+      groupBy = Seq("event_type"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (math.round(r.getDouble(1) * 1000),
+        math.round(r.getDouble(2) * 1000), math.round(r.getDouble(3) * 1e6))).toMap
+    val salted = graft.compile.Compiler.runSorted(ev, q.copy(skewSalt = Some(16)))
+    val plain = graft.compile.Compiler.runSorted(ev, q)
+    assert(canon(salted) == canon(plain))
+    // two-phase shape: partial on (keys, pmod(hash(...))), final on keys —
+    // read the AQE final plan only (the Initial Plan section repeats it)
+    val p = salted.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("pmod(hash("), s"expected the salt key in the plan:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected partial+final exchanges, got $exchanges:\n$p")
+    // non-decomposable aggregates are rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.compile.Compiler.runSorted(ev,
+        q.copy(selects = Seq(Select(Agg.CountDistinct, "value")), skewSalt = Some(16)))
+    }
+    assert(e.getMessage.contains("decomposable"))
   }
 }
