@@ -249,6 +249,17 @@ object SparkEntry {
       .select(col("event_type"), round3("sum_value"), col("count_distinct_user_id"))
   }
 
+  /** P1 + count(*): the README's own example shape through the windowed SQL
+    * path — `*` counts every (weighted) row, a named column only presence. */
+  private def p3SqlStar(s: SparkSession, dir: String): DataFrame = {
+    val sql = s"select count(*), count(value) from events " +
+      s"where $$t_start = $T0 and $$t_end = $T1 " +
+      "group by event_type granularity 86400"
+    graft.sql.ZxSql.run(Tables.events(s, dir), sql)
+      .select(col("event_type"), col("w_start"), col("w_end"),
+        round3("count_star"), round3("count_value"))
+  }
+
   /** O1 + LIMIT through SQL: sort+limit compiles to TakeOrderedAndProject
     * (per-partition top-k, no global sort) — the scalable "top-k services"
     * query the reference's observability UI wants. */
@@ -515,6 +526,7 @@ object SparkEntry {
     "a8_gap_window" -> (a8GapWindow _),
     "p1_sql" -> (p1Sql _),
     "p2_sql_sorted" -> (p2SqlSorted _),
+    "p3_sql_star" -> (p3SqlStar _),
     "o1_top_groups" -> (o1TopGroups _),
     "o2_topk_limit" -> (o2TopkLimit _),
     "q1_pricing" -> (q1Pricing _),
@@ -622,6 +634,15 @@ object SparkEntry {
         |FROM events WHERE props LIKE '%7%'
         |GROUP BY event_type
         |ORDER BY sum(coalesce(value, 0)) DESC, event_type""".stripMargin,
+    "p3_sql_star" ->
+      s"""SELECT event_type,
+         | CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS w_start,
+         | CAST(floor(epoch(ts) / 86400) * 86400 + 86400 AS BIGINT) AS w_end,
+         | round(CAST(count(*) AS DOUBLE), 3) AS count_star,
+         | round(CAST(count(value) AS DOUBLE), 3) AS count_value
+         |FROM events
+         |WHERE epoch(ts) >= $T0 AND epoch(ts) <= $T1
+         |GROUP BY 1, 2, 3""".stripMargin,
     "o1_top_groups" ->
       """SELECT event_type, round(sum(coalesce(value, 0)), 3) AS sum_value,
         | round(CAST(count(value) AS DOUBLE), 3) AS count_value

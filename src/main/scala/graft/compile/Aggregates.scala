@@ -41,20 +41,24 @@ object Aggregates {
     else lit(1.0)
 
   /** Numeric view of a column: parse-on-demand for string storage
-    * (lib.rs:566-572), pass-through for native numerics. */
-  def numeric(column: String, schema: StructType): Column = {
-    val c = col(column)
-    schema.fields.find(_.name == column).map(_.dataType) match {
-      case Some(_: NumericType) => c.cast(DoubleType)
-      case _                    => c.try_cast(DoubleType)
+    * (lib.rs:566-572), pass-through for native numerics. `*` (the count(*)
+    * pseudo-column) reads as the constant 1. */
+  def numeric(column: String, schema: StructType): Column =
+    if (column == "*") lit(1.0)
+    else {
+      val c = col(column)
+      schema.fields.find(_.name == column).map(_.dataType) match {
+        case Some(_: NumericType) => c.cast(DoubleType)
+        case _                    => c.try_cast(DoubleType)
+      }
     }
-  }
 
   /** Compile one Select to an aliased aggregate Column. */
   def compile(sel: Select, schema: StructType): Column = {
     val w = weight(schema)
     val v = numeric(sel.column, schema)
-    val present = col(sel.column).isNotNull
+    // count(*) counts every row (weighted); a named column counts presence
+    val present = if (sel.column == "*") lit(true) else col(sel.column).isNotNull
     val agg: Column = sel.agg match {
       case Agg.Sum   => coalesce(sum(w * coalesce(v, lit(0.0))), lit(0.0))
       case Agg.Max   => max(v)
@@ -63,10 +67,16 @@ object Aggregates {
       case Agg.CountDistinct =>
         countDistinct(col(sel.column)) +
           coalesce(max(when(present, lit(0L)).otherwise(lit(1L))), lit(0L))
+      case Agg.ApproxCountDistinct =>
+        // HLL sketch with the reference's +1-nil convention (lib.rs:626-635)
+        // preserved, so approx→exact swaps don't shift null handling
+        approx_count_distinct(col(sel.column)) +
+          coalesce(max(when(present, lit(0L)).otherwise(lit(1L))), lit(0L))
       case Agg.Mean =>
         try_divide(sum(when(present, w * v).otherwise(lit(0.0))),
                    sum(when(present, w).otherwise(lit(0.0))))
-      case Agg.P50 => percentile(v, lit(0.5))
+      case Agg.P50       => percentile(v, lit(0.5))
+      case Agg.P50Approx => percentile_approx(v, lit(0.5), lit(10000))
       case Agg.Raw | Agg.Heatmap =>
         throw new IllegalArgumentException(
           s"${sel.agg.name} is handled at the pipeline level, not as an aggregate")

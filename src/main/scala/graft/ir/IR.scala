@@ -45,14 +45,20 @@ object Agg {
   case object P50           extends Agg("p50")
   case object Raw           extends Agg("raw")
   case object Heatmap       extends Agg("heatmap")
+  // 100 TB-scale sketch variants (extensions; no reference counterpart):
+  // HLL distinct and a bounded-memory quantile sketch
+  case object ApproxCountDistinct extends Agg("approx_count_distinct")
+  case object P50Approx           extends Agg("p50_approx")
 }
 
 final case class Select(agg: Agg, column: String) {
   /** Stable output-column name — the reference's `aggregate_key`
-    * "$$sum(foo)" scheme (lib.rs:801-813) made identifier-safe. */
+    * "$$sum(foo)" scheme (lib.rs:801-813) made identifier-safe.
+    * `count(*)` lands as `count_star`. */
   def key: String = agg match {
-    case Agg.Raw => column
-    case a       => s"${a.name}_${column}"
+    case Agg.Raw            => column
+    case a if column == "*" => s"${a.name}_star"
+    case a                  => s"${a.name}_${column}"
   }
 }
 
@@ -70,7 +76,12 @@ final case class OrderBy(select: Select, dir: SortDir)
   * into a salted two-phase plan: partial aggregation on (keys, salt)
   * spreads a hot group key across that many reducers, a second tiny
   * aggregation merges the partials. Decomposable aggregates only
-  * (sum/count/max/min/mean). */
+  * (sum/count/max/min/mean).
+  *
+  * `exact` routes the windowed path through the reference-parity
+  * data-anchored gap windows ([[graft.operators.GapWindows]]) instead of
+  * calendar tumbling — the SQL surface sets it via a trailing `exact`
+  * keyword. */
 final case class ZxQuery(
     selects: Seq[Select],
     conditions: Seq[Condition] = Nil,
@@ -80,4 +91,5 @@ final case class ZxQuery(
     tEnd: Option[Long] = None,
     granularitySec: Long = 300L,
     limit: Option[Int] = None,
-    skewSalt: Option[Int] = None)
+    skewSalt: Option[Int] = None,
+    exact: Boolean = false)

@@ -64,7 +64,8 @@ object GapWindows {
           (if (hasSr) coalesce(col("__sample_rate").try_cast(DoubleType), lit(1.0))
            else lit(1.0)).as("__sr")) ++
         aggCols.map(c => graft.compile.Aggregates.numeric(c, df.schema).as(s"__num_$c")) ++
-        aggCols.map(c => col(c).cast(StringType).as(s"__str_$c")): _*)
+        aggCols.map(c => (if (c == "*") lit("1") // count(*): every row present
+                          else col(c).cast(StringType)).as(s"__str_$c")): _*)
 
     val nKeys = q.groupBy.size
     val keyIdx = 0 until nKeys

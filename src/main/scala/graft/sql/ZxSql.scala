@@ -11,8 +11,9 @@ import graft.operators.GapWindows
   * Accepted subset (reference-parity, lowercased like lib.rs:818-820):
   *   select <item, …> [from <ignored>] [where <cond and …>]
   *   [group by <col, …>] [order by <item> [asc|desc], …]
-  *   [limit <n>] [granularity <seconds>]
-  * where item := col | count|sum|max|min|count_distinct|mean|p50|heatmap(col)
+  *   [limit <n>] [granularity <seconds>] [exact]
+  * where item := col | count|sum|max|min|count_distinct|mean|p50|heatmap
+  *               |approx_count_distinct|p50_approx(col) | count(*)
   * and cond := col (=|!=|<>|>|<|>=|<=) value | col [not] like pattern.
   * `$t_start` / `$t_end` equality conditions become the scan's time range
   * (expr.rs:170-186).
@@ -25,8 +26,12 @@ import graft.operators.GapWindows
   *    lib.rs:840) — `order by mean(foo) desc` is the "top groups" query.
   * Extensions: quoted string literals in WHERE (reference allows only bare
   * identifiers/numbers, expr.rs:12-18), `limit <n>` (sort+limit compiles to
-  * per-partition top-k), `heatmap(col)` with adaptive bounds, and a
-  * `granularity <sec>` clause (reference hard-codes 5 minutes, expr.rs:226).
+  * per-partition top-k), `heatmap(col)` with adaptive bounds, a
+  * `granularity <sec>` clause (reference hard-codes 5 minutes, expr.rs:226),
+  * `count(*)` (the README's own example shape — counts every row,
+  * weighted), sketch aggregates `approx_count_distinct`/`p50_approx` for
+  * 100 TB cardinalities, and a trailing `exact` keyword routing windows
+  * through the reference-parity gap walk.
   */
 object ZxSql {
 
@@ -35,7 +40,10 @@ object ZxSql {
   private val aggNames: Map[String, Agg] = Map(
     "count" -> Agg.Count, "sum" -> Agg.Sum, "max" -> Agg.Max,
     "min" -> Agg.Min, "count_distinct" -> Agg.CountDistinct,
-    "mean" -> Agg.Mean, "p50" -> Agg.P50, "heatmap" -> Agg.Heatmap)
+    "mean" -> Agg.Mean, "p50" -> Agg.P50, "heatmap" -> Agg.Heatmap,
+    // sketch variants for 100 TB cardinalities/quantiles (extensions)
+    "approx_count_distinct" -> Agg.ApproxCountDistinct,
+    "p50_approx" -> Agg.P50Approx)
 
   // ------------------------------------------------------------------ lexer
 
@@ -99,7 +107,12 @@ object ZxSql {
         val agg = aggNames.getOrElse(name,
           throw ParseError(s"unknown aggregate '$name' (have: ${aggNames.keys.mkString(", ")})"))
         next() // (
-        val c = ident()
+        // count(*) — the README's own example shape; * counts every row
+        val c =
+          if (peek.contains(Sym("*"))) { next(); "*" }
+          else ident()
+        if (c == "*" && agg != Agg.Count)
+          throw ParseError(s"* is only meaningful in count(*), not ${name}(*)")
         next() match {
           case Sym(")") => Select(agg, c)
           case other    => throw ParseError(s"expected ')', got $other")
@@ -198,6 +211,11 @@ object ZxSql {
         case other  => throw ParseError(s"expected granularity seconds, got $other")
       }
     }
+
+    // trailing `exact`: route windows through the reference-parity
+    // data-anchored gap walk instead of calendar tumbling
+    var exactWindows = false
+    if (atIdent("exact")) { next(); exactWindows = true }
     if (pos < toks.length) throw ParseError(s"trailing input from token $pos: ${toks.drop(pos).take(5)}")
 
     // $t_start / $t_end pseudo-conditions → scan time range (expr.rs:170-186);
@@ -212,7 +230,8 @@ object ZxSql {
       parseLong(v, "$t_end epoch seconds") }
     val realConds = conds.filterNot(c => c.column == "$t_start" || c.column == "$t_end")
 
-    ZxQuery(selects, realConds, groupBy, orderBy, tStart, tEnd, gran, limitN)
+    ZxQuery(selects, realConds, groupBy, orderBy, tStart, tEnd, gran, limitN,
+      exact = exactWindows)
   }
 
   // --------------------------------------------------------------- executor
@@ -241,7 +260,7 @@ object ZxSql {
       val sorted = if (ord.nonEmpty) base.orderBy(ord: _*) else base
       q.limit.map(sorted.limit).getOrElse(sorted)
     } else if (q.orderBy.nonEmpty) Compiler.runSorted(df, q, tsCol)
-    else if (exact) GapWindows(df, q, tsCol, idCol)
+    else if (exact || q.exact) GapWindows(df, q, tsCol, idCol)
     else Compiler.runUnsorted(df, q, tsCol)
   }
 }

@@ -106,6 +106,48 @@ class SqlSpec extends AnyFunSuite {
     assert(ZxSql.run(fixture, "select foo where foo > abc").count() == 0)
   }
 
+  test("count(*) counts every row; a named column only presence") {
+    val q = ZxSql.parse("select count(*), count(y)")
+    assert(q.selects == Seq(Select(Agg.Count, "*"), Select(Agg.Count, "y")))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select sum(*)"))
+    val got = ZxSql.run(fixture, "select count(*), count(y) group by y granularity 15")
+      .collect().map(r => r.getAs[String]("y") ->
+        (r.getAs[Double]("count_star"), r.getAs[Double]("count_y"))).toMap
+    // fixture: y present on rows {1, 4, 10} only; __nil group has 7 rows
+    assert(got(Compiler.NilSentinel) == (7.0, 0.0))
+    assert(got("9") == (2.0, 2.0) && got("1") == (1.0, 1.0))
+    // and through the exact gap-window path
+    val exact = ZxSql.run(fixture,
+      "select count(*) group by y granularity 15 exact", idCol = Some("id"))
+      .collect().map(r => r.getAs[String]("y") -> r.getAs[Double]("count_star")).toMap
+    assert(exact(Compiler.NilSentinel) == 7.0)
+  }
+
+  test("trailing `exact` keyword routes through GapWindows from the SQL text") {
+    val q = ZxSql.parse("select sum(foo) group by y granularity 15 exact")
+    assert(q.exact)
+    val viaKeyword = ZxSql.run(fixture,
+      "select sum(foo) group by y granularity 15 exact", idCol = Some("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val viaParam = ZxSql.run(fixture, "select sum(foo) group by y granularity 15",
+      exact = true, idCol = Some("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaKeyword == viaParam)
+    assert(viaKeyword.exists(_._4 == 1400.0)) // data-anchored, not tumbling
+  }
+
+  test("approx aggregates parse and land near their exact counterparts") {
+    val q = ZxSql.parse("select approx_count_distinct(x), p50_approx(foo)")
+    assert(q.selects == Seq(Select(Agg.ApproxCountDistinct, "x"),
+      Select(Agg.P50Approx, "foo")))
+    val r = ZxSql.run(fixture,
+      "select approx_count_distinct(x), p50_approx(foo), count_distinct(x), p50(foo)")
+      .head()
+    // 10 tiny distinct values: HLL is exact here; percentile sketch likewise
+    assert(r.getAs[Long]("approx_count_distinct_x") == r.getAs[Long]("count_distinct_x"))
+    assert(math.abs(r.getAs[Double]("p50_approx_foo") - r.getAs[Double]("p50_foo")) <= 50.0)
+  }
+
   test("heatmap(col) routes to the adaptive 2-D histogram") {
     val got = ZxSql.run(fixture, "select heatmap(foo) granularity 5")
     // counts over (t_bucket, v_bucket) must cover all 10 rows
