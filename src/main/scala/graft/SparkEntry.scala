@@ -773,12 +773,14 @@ object SparkEntry {
          | AND a.doc_id < b.doc_id
          |WHERE $duckJaccard >= 0.4 AND a.bn <= 256""".stripMargin,
     "d5_embed_pairs" -> {
+      // mirrors the maxBlock=4096 hot-label cap (inert at this sf)
       val cos = graft.functions.VectorFunctions.cosineSql("a.embedding", "b.embedding", 64)
-      s"""SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+      s"""WITH e AS (SELECT *, count(*) OVER (PARTITION BY label) AS bn FROM embeddings)
+         |SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
          | round($cos, 6) AS cos
-         |FROM embeddings a JOIN embeddings b
+         |FROM e a JOIN e b
          | ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE $cos >= 0.42""".stripMargin
+         |WHERE $cos >= 0.42 AND a.bn <= 4096""".stripMargin
     },
     "s1_knn" -> {
       val cos = graft.functions.VectorFunctions.cosineSql("embedding", "qe", 64)

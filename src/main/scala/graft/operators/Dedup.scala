@@ -186,14 +186,22 @@ object Dedup {
   /** Embedding near-dup pairs: same-label blocking, cosine ≥ threshold.
     * Norms are precomputed per VECTOR (one pass over n rows) rather than per
     * pair (n² passes); the per-pair work is a single dot product. Both sides
-    * share one pre-shuffled exchange. */
-  def embeddingPairs(emb: DataFrame, threshold: Double,
+    * share one pre-shuffled exchange.
+    *
+    * `maxBlock` caps the within-label quadratic exactly like
+    * [[ngramJaccardPairs]] — a label holding most of the corpus is otherwise
+    * one O(n²) straggler; route oversized labels through [[minhashPairs]] or
+    * an ANN index instead. */
+  def embeddingPairs(emb: DataFrame, threshold: Double, maxBlock: Int = 4096,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      blockCol: String = "label"): DataFrame = {
     import graft.functions.VectorFunctions._
     val base = emb.select(col(idCol), col(blockCol), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"))
       .repartition(col(blockCol))
+      .withColumn("__bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(blockCol))))
+      .filter(col("__bn") <= maxBlock)
     val l = base.select(col(idCol).as("id_a"), col(blockCol),
       col("v").as("v_a"), col("nrm").as("n_a"))
     val r = base.select(col(idCol).as("id_b"), col(blockCol),

@@ -97,6 +97,24 @@ object Similarity {
     cents
   }
 
+  /** Persist trained centroids — the index artifact a deployment builds
+    * once and reuses across every query and the partitioned-by-cell table
+    * write. Doubles round-trip exactly through Parquet, so assignments from
+    * re-read centroids are bit-identical to the training run's. */
+  def writeCentroids(spark: org.apache.spark.sql.SparkSession,
+                     cents: Seq[(Int, Seq[Double])], path: String): Unit = {
+    import spark.implicits._
+    cents.toDF("cid", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Seq[(Int, Seq[Double])] =
+    spark.read.parquet(path).select(col("cid"), col("centroid"))
+      .collect().toSeq
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toIndexedSeq)
+      .sortBy(_._1)
+
   /** IVF-flat ANN: k-means-trained centroids ([[ivfTrain]]), every vector
     * assigned row-locally to its best cell ([[assignCells]] — no exchange),
     * queries probe the `nProbe` nearest cells and score exactly within them.

@@ -42,6 +42,20 @@ class ApproxSpec extends AnyFunSuite {
     assert((ivf.toSet & exact).size >= 7)
   }
 
+  test("IVF centroids round-trip through parquet bit-exactly") {
+    val emb = Tables.embeddings(spark, dir)
+    val trained = Similarity.ivfTrain(emb, nlist = 8, iters = 1)
+    val path = java.nio.file.Files.createTempDirectory("graft-cent").toString + "/cents"
+    Similarity.writeCentroids(spark, trained, path)
+    val back = Similarity.readCentroids(spark, path)
+    assert(back == trained)
+    val a1 = Similarity.assignCells(emb, trained).select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2 = Similarity.assignCells(emb, back).select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 == a2)
+  }
+
   test("sign-LSH ANN keeps the query's bucket only") {
     val emb = Tables.embeddings(spark, dir)
     val got = Similarity.annSignLsh(emb, 0L, k = 5, bits = 4)

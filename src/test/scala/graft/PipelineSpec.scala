@@ -120,6 +120,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(audited.toSeq == Seq(("src0", 4L)))
   }
 
+  test("embedding pairs cap excludes an oversized label block") {
+    val schema = StructType(Seq(StructField("vec_id", LongType, false),
+      StructField("embedding", ArrayType(FloatType)), StructField("label", IntegerType, false)))
+    val rows = (0 until 4).map(i => Row(i.toLong, Seq(1f, 0f), 0)) :+
+      Row(10L, Seq(0f, 1f), 1) :+ Row(11L, Seq(0f, 1f), 1)
+    val emb = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val all = Dedup.embeddingPairs(emb, threshold = 0.99)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(all == Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)))
+    val capped = Dedup.embeddingPairs(emb, threshold = 0.99, maxBlock = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(capped == Set((10L, 11L)))
+  }
+
   test("cosine: identical unit vectors → 1.0; orthogonal → 0.0") {
     val schema = StructType(Seq(StructField("vec_id", LongType, false),
       StructField("embedding", ArrayType(FloatType)), StructField("label", IntegerType, false)))
