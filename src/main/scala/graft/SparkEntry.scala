@@ -331,14 +331,17 @@ object SparkEntry {
       qualityOk(col("text")).as("quality_ok"))
   }
 
-  /** Per-source token statistics (map-side combine → tiny shuffle). */
+  /** Per-source token statistics (map-side combine → tiny shuffle). The
+    * token count materializes in its own projection so the text splits once
+    * per row, not once per referencing aggregate. */
   private def x3TokenStats(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions._
     Tables.documents(s, dir)
+      .select(col("source"), tokenCount(col("text")).as("__tc"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(tokenCount(col("text")).cast(LongType)).as("sum_tokens"),
-        max(tokenCount(col("text"))).as("max_tokens"))
+        sum(col("__tc").cast(LongType)).as("sum_tokens"),
+        max(col("__tc")).as("max_tokens"))
       // mean from the exact integer sum — engine-order-proof
       .withColumn("mean_tokens",
         round(col("sum_tokens").cast(DoubleType) / col("n_docs"), 6))

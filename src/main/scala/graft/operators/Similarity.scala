@@ -34,13 +34,30 @@ object Similarity {
   }
 
   /** ANN: restrict the candidate set to the query's sign-LSH bucket, then
-    * exact cosine top-k within it. */
+    * exact cosine top-k within it.
+    *
+    * `probes > 1` trades latency for recall by also scanning the buckets at
+    * hamming distance 1 from the query's (flip one sign bit): nearest
+    * misses concentrate exactly there. The probe set stays a tiny
+    * deterministic broadcast — at scale each probe still touches only its
+    * bucket's partition. probes is capped at bits+1 (the query bucket plus
+    * every 1-bit flip). */
   def annSignLsh(emb: DataFrame, queryId: Long, k: Int, bits: Int = 8,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                 probes: Int = 1, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(probes >= 1 && probes <= bits + 1,
+      s"probes must be in [1, bits+1], got $probes for $bits bits")
     val bucketed = emb.withColumn("bucket", signBucket(col(vecCol), bits))
     val q = bucketed.filter(col(idCol) === queryId)
       .select(col(vecCol).as("__q"), norm(col(vecCol)).as("__qn"), col("bucket"))
-    bucketed.join(broadcast(q), "bucket")
+    val probeBuckets = q.select(
+      explode(array((lit(0L) +: (0 until bits).map(d => lit(1L << d))): _*)).as("__flip"),
+      col("bucket"), col("__q"), col("__qn"))
+      .withColumn("bucket", col("bucket").bitwiseXOR(col("__flip")))
+      .orderBy(col("__flip").asc) // query bucket first, then bit order
+      .limit(probes)
+      .drop("__flip")
+    bucketed.join(broadcast(probeBuckets), "bucket")
       .withColumn("cos", dot(col(vecCol), col("__q")) / (norm(col(vecCol)) * col("__qn")))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)

@@ -62,4 +62,20 @@ class ApproxSpec extends AnyFunSuite {
     assert(got.select("bucket").distinct().count() == 1)
     assert(got.head().getAs[Long]("vec_id") == 0L)
   }
+
+  test("multi-probe LSH widens the candidate set and never loses recall") {
+    val emb = Tables.embeddings(spark, dir)
+    val exact = Similarity.bruteForceKnn(emb, 0L, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def recall(probes: Int): Int = {
+      val got = Similarity.annSignLsh(emb, 0L, k = 10, bits = 4, probes = probes)
+      assert(got.select("bucket").distinct().count() <= probes)
+      (got.select("vec_id").collect().map(_.getLong(0)).toSet & exact).size
+    }
+    val r1 = recall(1); val r5 = recall(5)
+    assert(r5 >= r1)
+    assert(r5 >= 5, s"hamming-1 probing should recover most of top-10, got $r5")
+    assertThrows[IllegalArgumentException](
+      Similarity.annSignLsh(emb, 0L, k = 5, bits = 4, probes = 6))
+  }
 }
