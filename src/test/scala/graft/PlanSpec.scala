@@ -57,9 +57,12 @@ class PlanSpec extends AnyFunSuite {
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getString(0) -> (math.round(r.getDouble(1) * 1000),
         math.round(r.getDouble(2) * 1000), math.round(r.getDouble(3) * 1e6))).toMap
-    val salted = graft.compile.Compiler.runSorted(ev, q.copy(skewSalt = Some(16)))
     val plain = graft.compile.Compiler.runSorted(ev, q)
-    assert(canon(salted) == canon(plain))
+    // salts = 1 (degenerate), a non-power-of-two, and the real setting
+    for (salts <- Seq(1, 7, 16))
+      assert(canon(graft.compile.Compiler.runSorted(ev, q.copy(skewSalt = Some(salts))))
+        == canon(plain), s"salts=$salts diverged")
+    val salted = graft.compile.Compiler.runSorted(ev, q.copy(skewSalt = Some(16)))
     // two-phase shape: partial on (keys, pmod(hash(...))), final on keys —
     // read the AQE final plan only (the Initial Plan section repeats it)
     val p = salted.queryExecution.executedPlan.toString

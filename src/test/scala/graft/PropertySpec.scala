@@ -18,11 +18,12 @@ object ParserProps extends Properties("ZxSql") {
   } yield (h :: t).mkString
 
   private val aggGen: Gen[Agg] = Gen.oneOf(Agg.Sum, Agg.Max, Agg.Min,
-    Agg.Count, Agg.CountDistinct, Agg.Mean, Agg.P50)
+    Agg.Count, Agg.CountDistinct, Agg.Mean, Agg.P50,
+    Agg.ApproxCountDistinct, Agg.P50Approx)
 
-  private val selectGen: Gen[Select] = for {
-    a <- aggGen; c <- identGen
-  } yield Select(a, c)
+  private val selectGen: Gen[Select] = Gen.frequency(
+    9 -> (for { a <- aggGen; c <- identGen } yield Select(a, c)),
+    1 -> Gen.const(Select(Agg.Count, "*")))
 
   private val condGen: Gen[Condition] = for {
     cmp <- Gen.oneOf(Cmp.Eq, Cmp.Ne, Cmp.Gt, Cmp.Lt, Cmp.Gte, Cmp.Lte)
@@ -40,7 +41,8 @@ object ParserProps extends Properties("ZxSql") {
     te <- Gen.option(Gen.choose(0L, 2000000000L))
     g <- Gen.choose(1L, 86400L)
     lim <- Gen.option(Gen.choose(1, 10000))
-  } yield ZxQuery(sels, conds, gb, ob, ts, te, g, lim)
+    ex <- Gen.oneOf(true, false)
+  } yield ZxQuery(sels, conds, gb, ob, ts, te, g, lim, exact = ex)
 
   private def render(q: ZxQuery): String = {
     def sel(s: Select): String = s"${s.agg.name}(${s.column})"
@@ -58,7 +60,8 @@ object ParserProps extends Properties("ZxSql") {
       if (q.orderBy.nonEmpty) Some("order by " + q.orderBy.map(o =>
         sel(o.select) + (if (o.dir == SortDir.Desc) " desc" else " asc")).mkString(", ")) else None,
       q.limit.map(n => s"limit $n"),
-      Some(s"granularity ${q.granularitySec}")
+      Some(s"granularity ${q.granularitySec}"),
+      if (q.exact) Some("exact") else None
     ).flatten.mkString(" ")
   }
 
