@@ -36,6 +36,22 @@ object EventStore {
       .partitionBy("event_date")
       .parquet(path)
 
+  /** S1 at join scale: append as a BUCKETED catalog table. Bucketing
+    * pre-shuffles the data once at write time — every later equi-join or
+    * aggregation on the bucket key reads co-located buckets and skips its
+    * exchange entirely (PlanSpec-pinned). At 100 TB this converts the
+    * recurring per-query shuffle of fact⨝fact joins into a one-off write
+    * cost; pick the dominant join key (`user_id` for events) and a bucket
+    * count ~= the cluster's target parallelism. */
+  def appendBucketed(df: DataFrame, table: String, bucketCol: String,
+                     buckets: Int = 32, tsCol: String = "ts"): Unit =
+    df.withColumn("event_date", to_date(col(tsCol)))
+      .write.mode(SaveMode.Append)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** S2: reset the store (init/flushall) — recursive delete of the table
     * path through the Hadoop FS abstraction (works on local FS and object
     * stores alike). */

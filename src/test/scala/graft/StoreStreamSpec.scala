@@ -30,6 +30,33 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(!new java.io.File(dir).exists())
   }
 
+  test("bucketed table: self-join and aggregation on the bucket key skip the shuffle") {
+    val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "value") // ns-mirror col not needed here
+    spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+    EventStore.appendBucketed(src, "ev_bucketed", "user_id", buckets = 8)
+    // at this toy scale the planner would just broadcast the table — turn
+    // that off so the plan shows what bucketing buys on two FACT-sized sides
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val t = spark.table("ev_bucketed")
+      // equi-join on the bucket key: both sides read pre-bucketed files —
+      // no Exchange anywhere in the plan
+      val joined = t.as("a").join(t.as("b"), "user_id")
+      val jp = joined.queryExecution.executedPlan.toString
+      assert(!jp.contains("Exchange"), s"bucketed join must not shuffle:\n$jp")
+      assert(joined.count() > 0)
+      // aggregation on the bucket key: partial == final, zero exchanges
+      val agg = t.groupBy(col("user_id")).agg(sum(col("value")))
+      val ap = agg.queryExecution.executedPlan.toString
+      assert(!ap.contains("Exchange"), s"bucketed agg must not shuffle:\n$ap")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+    }
+  }
+
   test("streaming windowed agg matches the batch compiler on the same data") {
     val dir = Files.createTempDirectory("graft-stream").toString
     val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
