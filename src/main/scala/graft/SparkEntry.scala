@@ -378,6 +378,13 @@ object SparkEntry {
   private def d4NgramJaccard(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.4)
 
+  /** d6: transitive near-dup clusters (connected components over the
+    * MinHash pair graph) — the canonical-document step of a dedup pipeline:
+    * keep cluster_id (= min doc id), drop the rest. */
+  private def d6DupClusters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.dupClusters(
+      graft.operators.Dedup.minhashPairs(Tables.documents(s, dir), threshold = 0.5))
+
   private def d5EmbedPairs(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.embeddingPairs(Tables.embeddings(s, dir), threshold = 0.42)
       .withColumn("cos", round(col("cos"), 6))
@@ -420,6 +427,12 @@ object SparkEntry {
       col("n_bytes")) ++ fCols: _*)
   }
 
+  /** Frame-sampling plumbing over the packed payload (every 4th 64-byte
+    * frame) — one row per sampled frame with a digest, blob pruned out. */
+  private def m3MmFrames(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.sampleFrames(
+      graft.operators.Multimodal.packBinary(Tables.documents(s, dir)))
+
   // ---------------------------------------------- oracle SQL fragments
 
   private val duckToks = "string_split(text, ' ')"
@@ -443,6 +456,26 @@ object SparkEntry {
   }
   private val duckJaccard =
     "len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE"
+
+  /** Shared CTE prelude replicating minhashPairs' candidate generation:
+    * token hashes → shingle hashes → 8 minhash sigs → 4 band keys →
+    * band-equality candidates + distinct shingle sets for the verify. */
+  private def duckMinhashPairCtes: String = {
+    val sigs = (0 until 8).map(i => s" ${duckMinhash(i)} AS s$i").mkString(",\n")
+    s"""th0 AS (SELECT doc_id, $duckTokenHashes AS th FROM documents),
+       |hsrc AS (SELECT doc_id, $duckHashedShingles AS hs FROM th0),
+       |sig AS (SELECT doc_id,
+       |$sigs
+       | FROM hsrc),
+       |band AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS band_idx,
+       |  unnest([md5(s0::VARCHAR || '|' || s1::VARCHAR), md5(s2::VARCHAR || '|' || s3::VARCHAR),
+       |          md5(s4::VARCHAR || '|' || s5::VARCHAR), md5(s6::VARCHAR || '|' || s7::VARCHAR)]) AS bkey FROM sig),
+       |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM band l JOIN band r ON l.band_idx = r.band_idx AND l.bkey = r.bkey
+       |   AND l.doc_id < r.doc_id
+       |  WHERE l.bkey IS NOT NULL),
+       |shd AS (SELECT doc_id, list_distinct(hs) AS sh FROM hsrc)""".stripMargin
+  }
 
   /** DuckDB replay of the data-anchored gap walk (reference lib.rs:689-726,
     * our GapWindows operator): each group's events are packed once into a
@@ -545,12 +578,14 @@ object SparkEntry {
     "d3_simhash_pairs" -> (d3SimhashPairs _),
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
     "d5_embed_pairs" -> (d5EmbedPairs _),
+    "d6_dup_clusters" -> (d6DupClusters _),
     "s1_knn" -> (s1Knn _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_lsh_stats" -> (s3LshStats _),
     "s4_ivf_knn" -> (s4IvfKnn _),
     "m1_mm_bytes" -> (m1MmBytes _),
     "m2_mm_decode" -> (m2MmDecode _),
+    "m3_mm_frames" -> (m3MmFrames _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -736,25 +771,30 @@ object SparkEntry {
          |$bands
          |FROM hsrc""".stripMargin
     },
-    "d2b_minhash_pairs" -> {
-      val sigs = (0 until 8).map(i => s" ${duckMinhash(i)} AS s$i").mkString(",\n")
-      s"""WITH th0 AS (SELECT doc_id, $duckTokenHashes AS th FROM documents),
-         |hsrc AS (SELECT doc_id, $duckHashedShingles AS hs FROM th0),
-         |sig AS (SELECT doc_id,
-         |$sigs
-         | FROM hsrc),
-         |band AS (SELECT doc_id, unnest([0, 1, 2, 3]) AS band_idx,
-         |  unnest([md5(s0::VARCHAR || '|' || s1::VARCHAR), md5(s2::VARCHAR || '|' || s3::VARCHAR),
-         |          md5(s4::VARCHAR || '|' || s5::VARCHAR), md5(s6::VARCHAR || '|' || s7::VARCHAR)]) AS bkey FROM sig),
-         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-         |  FROM band l JOIN band r ON l.band_idx = r.band_idx AND l.bkey = r.bkey
-         |   AND l.doc_id < r.doc_id
-         |  WHERE l.bkey IS NOT NULL),
-         |shd AS (SELECT doc_id, list_distinct(hs) AS sh FROM hsrc)
+    "d2b_minhash_pairs" ->
+      s"""WITH $duckMinhashPairCtes
          |SELECT id_a, id_b, $duckJaccard AS jac
          |FROM cand JOIN shd a ON cand.id_a = a.doc_id JOIN shd b ON cand.id_b = b.doc_id
-         |WHERE $duckJaccard >= 0.5""".stripMargin
-    },
+         |WHERE $duckJaccard >= 0.5""".stripMargin,
+    "d6_dup_clusters" ->
+      // transitive closure over the verified pair graph: (id, lbl) ∈ reach
+      // iff a path from lbl's origin reaches id; UNION dedups so the
+      // recursion terminates; min(lbl) per id = the component's min doc id
+      s"""WITH RECURSIVE $duckMinhashPairCtes,
+         |p AS (SELECT id_a, id_b
+         |  FROM cand JOIN shd a ON cand.id_a = a.doc_id JOIN shd b ON cand.id_b = b.doc_id
+         |  WHERE $duckJaccard >= 0.5),
+         |edges AS (SELECT id_a AS ea, id_b AS eb FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach AS (
+         |  SELECT ea AS id, ea AS lbl FROM edges
+         |  UNION
+         |  SELECT e.eb AS id, r.lbl FROM reach r JOIN edges e ON r.id = e.ea
+         |),
+         |lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         |SELECT id AS doc_id, cluster_id,
+         | CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         |FROM lab""".stripMargin,
     "d3_simhash_pairs" -> {
       import graft.functions.TextFunctions._
       s"""WITH nib AS (SELECT doc_id, ${simhashNibblesSql("text")} AS nibs FROM documents),
@@ -870,5 +910,15 @@ object SparkEntry {
          |FROM documents""".stripMargin
     },
     "a8_gap_window" -> gapWindowOracle(3600L),
+    "m3_mm_frames" ->
+      // frames = 64-byte slices, every 4th sampled; docs are ASCII so text
+      // substr positions == payload byte offsets; md5 hex matches across
+      // engines. range() is end-exclusive like sequence(0, n-1, 4) inclusive
+      """SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        | CAST(ceil(strlen(text) / 64.0) AS INT) AS n_frames,
+        | md5(substr(text, fi::INT * 64 + 1, 64)) AS frame_md5
+        |FROM (SELECT doc_id, text,
+        |  unnest(range(0, greatest(CAST(ceil(strlen(text) / 64.0) AS BIGINT), 1), 4)) AS fi
+        |  FROM documents)""".stripMargin,
   )
 }

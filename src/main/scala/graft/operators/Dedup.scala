@@ -102,6 +102,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jac"))
   }
 
+  /** Transitive near-dup clusters from candidate pairs: connected
+    * components by iterative min-id label propagation. Returns one row per
+    * clustered doc — (doc id, cluster id = min doc id in its component,
+    * cluster size); docs in no pair are their own trivial cluster and are
+    * omitted.
+    *
+    * Scale design: the standard big-graph CC loop — each iteration is one
+    * equality join of the (cached, deduped, bidirectional) edge list with
+    * the current labels plus a min-aggregate, i.e. two bounded shuffles; it
+    * converges in O(component diameter) iterations, and near-dup components
+    * have tiny diameters (dup rings, not paths). The driver loop only reads
+    * a changed-row COUNT per iteration — no data is collected. */
+  def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                  maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist()
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+        .persist()
+      var changed = 1L
+      var it = 0
+      while (changed > 0 && it < maxIter) {
+        val next = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+          .select(col("src").as("id"), col("lbl"))
+          .union(labels)
+          .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+          .persist()
+        changed = next.join(labels.withColumnRenamed("lbl", "__old"), "id")
+          .filter(col("lbl") =!= col("__old")).count()
+        labels.unpersist()
+        labels = next
+        it += 1
+      }
+      require(changed == 0, s"label propagation did not converge in $maxIter iterations")
+      val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "lbl")
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+    } finally edges.unpersist()
+  }
+
   /** Per-doc 16-bit SimHash fingerprints. Two-step projection: the md5
     * nibble pass materializes once, the 16 bit-sums fold over it. */
   def simhashes(docs: DataFrame, textCol: String = "text",

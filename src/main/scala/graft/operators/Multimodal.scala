@@ -32,6 +32,26 @@ object Multimodal {
       col(textCol).cast(BinaryType).as("payload"),
       octet_length(col(textCol)).as("n_bytes"))
 
+  /** Frame-sample: treat the payload as fixed-size frames and keep every
+    * k-th one — the video/audio sampling shape with positional slicing
+    * standing in for the codec (a real decoder replaces the substring with
+    * frame extraction; the explosion, pruning, and per-frame digest
+    * plumbing stay identical). The blob column is pruned until this stage;
+    * the output carries a digest per sampled frame, not the bytes, so
+    * downstream stats never re-ship media. */
+  def sampleFrames(packed: DataFrame, frameBytes: Int = 64, every: Int = 4,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(frameBytes > 0 && every > 0, "frameBytes and every must be positive")
+    packed.select(col(idCol), col("payload"))
+      .withColumn("n_frames",
+        ceil(octet_length(col("payload")) / lit(frameBytes.toDouble)).cast(IntegerType))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(every))))
+      .select(col(idCol), col("frame_idx"), col("n_frames"),
+        md5(col("payload").substr(col("frame_idx") * frameBytes + 1,
+          lit(frameBytes))).as("frame_md5"))
+  }
+
   private val decodedSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("width", IntegerType),

@@ -90,6 +90,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("dup clusters: min-id label propagation finds transitive components") {
+    import SparkFixture.spark.implicits._
+    // chain 1-2-3 (transitive: 1 and 3 never paired directly) + island 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L)))
+  }
+
   test("simhash banded pairs == brute-force hamming pairs (pigeonhole holds)") {
     val texts = Seq.tabulate(30)(i => s"word$i common base tokens plus word${i % 7} word${i % 3}")
     val df = docsDf(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
