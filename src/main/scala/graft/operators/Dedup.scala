@@ -116,33 +116,45 @@ object Dedup {
     * a changed-row COUNT per iteration — no data is collected. */
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                   maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct()
+    // materialize the (possibly expensive) pair DAG ONCE; the reversed
+    // direction is then a cheap scan of the cached rows, not a recompute
+    val p = pairs.select(col(idA).as("src"), col(idB).as("dst")).persist()
+    p.count()
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
     try {
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("lbl", col("id"))
+      // first propagation round folded into the init: lbl = min(self, neighbors)
+      var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("__mn"))
+        .select(col("src").as("id"), least(col("src"), col("__mn")).as("lbl"))
         .persist()
-      var changed = 1L
+      // labels only ever decrease, so an unchanged sum ⇔ a fixpoint — one
+      // tiny scalar action per round instead of a join-and-count
+      var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
       var it = 0
-      while (changed > 0 && it < maxIter) {
-        val next = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+      var converged = false
+      while (!converged && it < maxIter) {
+        val prop = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
           .select(col("src").as("id"), col("lbl"))
           .union(labels)
           .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        // pointer halving: follow the label one hop through the new map —
+        // chains converge in O(log diameter) rounds instead of O(diameter)
+        val next = prop
+          .join(prop.select(col("id").as("lbl"), col("lbl").as("__lbl2")), Seq("lbl"), "left")
+          .select(col("id"), coalesce(col("__lbl2"), col("lbl")).as("lbl"))
           .persist()
-        changed = next.join(labels.withColumnRenamed("lbl", "__old"), "id")
-          .filter(col("lbl") =!= col("__old")).count()
+        val s = next.agg(sum(col("lbl"))).head().getLong(0)
+        converged = s == prevSum
+        prevSum = s
         labels.unpersist()
         labels = next
         it += 1
       }
-      require(changed == 0, s"label propagation did not converge in $maxIter iterations")
+      require(converged, s"label propagation did not converge in $maxIter iterations")
       val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, "lbl")
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
-    } finally edges.unpersist()
+    } finally { edges.unpersist(); p.unpersist() }
   }
 
   /** Per-doc 16-bit SimHash fingerprints. Two-step projection: the md5
