@@ -433,6 +433,30 @@ object SparkEntry {
     graft.operators.Multimodal.sampleFrames(
       graft.operators.Multimodal.packBinary(Tables.documents(s, dir)))
 
+  /** c1: the training-data pipeline end-to-end in ONE declarative DAG —
+    * language gate (predicted == labeled) ∧ quality gate, exact-dedup to
+    * the min-id canonical copy, then per-source corpus stats. Catalyst
+    * pipelines the gates into the scan (one pass), the dedup groupBy is the
+    * first shuffle, the stats agg the second — at 100 TB this whole curate
+    * step is two exchanges over pruned columns. */
+  private def c1Curate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        tokens(col("text")).as("__toks"))
+      .filter(qualityOk(col("text")) &&
+        langIdFromTokens(col("__toks")) === col("lang"))
+    val keepers = docs
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    docs.join(keepers, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("__toks")).cast(LongType)).as("sum_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+  }
+
   // ---------------------------------------------- oracle SQL fragments
 
   private val duckToks = "string_split(text, ' ')"
@@ -586,6 +610,7 @@ object SparkEntry {
     "m1_mm_bytes" -> (m1MmBytes _),
     "m2_mm_decode" -> (m2MmDecode _),
     "m3_mm_frames" -> (m3MmFrames _),
+    "c1_curate" -> (c1Curate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -910,6 +935,25 @@ object SparkEntry {
          |FROM documents""".stripMargin
     },
     "a8_gap_window" -> gapWindowOracle(3600L),
+    "c1_curate" -> {
+      val en = graft.functions.TextFunctions.langStopwords.head._2
+        .map(w => s"'$w'").mkString(",")
+      val pc = graft.functions.TextFunctions.punctChars
+      val quality =
+        s"""(length(text) >= 100 AND len(string_split(text, ' ')) >= 20
+           |   AND (length(text) - length(regexp_replace(text, '[$pc]', '', 'g')))::DOUBLE / length(text)::DOUBLE <= 0.1
+           |   AND len(list_filter(string_split(text, ' '), t -> list_contains([$en], t)))::DOUBLE / len(string_split(text, ' '))::DOUBLE >= 0.01)""".stripMargin
+      s"""WITH f AS (
+         |  SELECT doc_id, source, lang, text FROM documents
+         |  WHERE $quality AND ${graft.functions.TextFunctions.langIdSql("text")} = lang
+         |),
+         |k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY substr(md5(text), 1, 16))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+         | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |FROM f JOIN k USING (doc_id)
+         |GROUP BY source""".stripMargin
+    },
     "m3_mm_frames" ->
       // frames = 64-byte slices, every 4th sampled; docs are ASCII so text
       // substr positions == payload byte offsets; md5 hex matches across

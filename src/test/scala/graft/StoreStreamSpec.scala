@@ -92,6 +92,29 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(e.getMessage.contains("approx_count_distinct"))
   }
 
+  test("streaming approx_count_distinct (the suggested replacement) works") {
+    val dir = Files.createTempDirectory("graft-acd").toString
+    val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    src.coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = ZxQuery(
+      selects = Seq(Select(Agg.ApproxCountDistinct, "user_id")),
+      granularitySec = 86400L * 365) // one window over the whole testdata span
+    val agg = EventStream.windowedAgg(EventStream.read(spark, dir), q,
+      watermark = "0 seconds")
+    val query = agg.writeStream.format("memory").queryName("acd_out")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      assert(spark.table("acd_out").count() == 1)
+      val approx = spark.table("acd_out")
+        .agg(sum(col("approx_count_distinct_user_id"))).head().getLong(0)
+      val exact = src.select(countDistinct(col("user_id"))).head().getLong(0)
+      assert(math.abs(approx - exact).toDouble / exact <= 0.1)
+    } finally query.stop()
+  }
+
   test("stateful streaming gap windows match the batch operator on closed windows") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft-gws").toString
