@@ -441,16 +441,19 @@ object SparkEntry {
     * step is two exchanges over pruned columns. */
   private def c1Curate(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions._
-    val docs = Tables.documents(s, dir)
+    val gated = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("lang"), col("text"),
         tokens(col("text")).as("__toks"))
       .filter(qualityOk(col("text")) &&
         langIdFromTokens(col("__toks")) === col("lang"))
-    val keepers = docs
-      .groupBy(fingerprint(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    docs.join(keepers, "doc_id")
+    // canonical copy via window-min over the fingerprint: ONE scan + one
+    // shuffle (a groupBy-keepers + self-join shape would re-read and
+    // re-gate the whole corpus for the second branch)
+    val canonical = gated
+      .withColumn("__minid", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(fingerprint(col("text")))))
+      .filter(col("doc_id") === col("__minid"))
+    canonical
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(col("__toks")).cast(LongType)).as("sum_tokens"),
