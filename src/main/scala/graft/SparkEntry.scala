@@ -361,6 +361,17 @@ object SparkEntry {
     Tables.documents(s, dir).select(col("doc_id"),
       graft.expressions.RollingHash.rolling_hash(col("text")).as("rhash"))
 
+  /** Deterministic 20% hash-sample — reproducible corpus downsampling (a
+    * narrow filter; disjoint pct ranges give train/val/test in one pass). */
+  private def x6Sample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.sampleByHash(Tables.documents(s, dir), "doc_id", 20)
+      .select(col("doc_id"), col("source"))
+
+  /** Token-budget sequence packing: contiguous ~2000-token chunks per
+    * source via one window — no sequential driver loop. */
+  private def x7Pack(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.packByTokenBudget(Tables.documents(s, dir), 2000L)
+
   // -------------------------------------- training-data pipeline: dedup
 
   private def d1DedupExact(s: SparkSession, dir: String): DataFrame =
@@ -599,6 +610,8 @@ object SparkEntry {
     "x3_token_stats" -> (x3TokenStats _),
     "x4_fingerprint" -> (x4Fingerprint _),
     "x5_rolling_hash" -> (x5RollingHash _),
+    "x6_sample" -> (x6Sample _),
+    "x7_pack" -> (x7Pack _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_minhash_sig" -> (d2MinhashSig _),
     "d2b_minhash_pairs" -> (d2bMinhashPairs _),
@@ -784,6 +797,19 @@ object SparkEntry {
          |  (acc, x) -> ((acc::HUGEINT * ${graft.expressions.RollingHash.Base} + x)
          |    % ${graft.expressions.RollingHash.Mod})::BIGINT) AS rhash
          |FROM documents""".stripMargin,
+    "x6_sample" ->
+      // same md5-hex-to-int trick as the shingle hash, over the id's
+      // decimal string; % 100 < 20 keeps the same deterministic fifth
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${duckShingleHash("doc_id::VARCHAR")} % 100 < 20""".stripMargin,
+    "x7_pack" ->
+      """SELECT doc_id, source,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(floor(coalesce(sum(len(string_split(text, ' ')))
+        |   OVER (PARTITION BY source ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000)
+        |   AS BIGINT) AS chunk_id
+        |FROM documents""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT substr(md5(text), 1, 16) AS fp, min(doc_id) AS keeper_id,
         | CAST(count(*) AS BIGINT) AS n_copies

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-management operators for training-data pipelines: deterministic
+  * sampling and token-budget packing.
+  *
+  * Both are narrow or single-window transformations — no joins, no
+  * collect — and both use engine-portable arithmetic (md5-derived hashing,
+  * integer window sums) so the DuckDB oracle reproduces them exactly.
+  */
+object Corpus {
+
+  /** Deterministic hash bucket in [0, buckets): first 8 md5 hex digits of
+    * the key's decimal string. Stable across runs, partitionings, and
+    * engines — unlike `rand()` sampling, reruns and audits see the same
+    * subset, and the complement set is exactly the remainder. */
+  def hashBucket(key: Column, buckets: Int): Column =
+    conv(substring(md5(key.cast(StringType).cast(BinaryType)), 1, 8), 16, 10)
+      .cast(LongType) % buckets
+
+  /** Keep ~pct% of rows by key hash — the corpus downsampling primitive.
+    * A pure narrow filter: at 100 TB it runs inside the scan stage, and
+    * disjoint percent ranges give disjoint, reproducible splits
+    * (train/val/test from one pass). */
+  def sampleByHash(df: DataFrame, keyCol: String, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be 0..100, got $pct")
+    df.filter(hashBucket(col(keyCol), 100) < pct)
+  }
+
+  /** Pack documents into contiguous chunks of ~`budgetTokens` per group:
+    * chunk = exclusive-prefix token sum quantized by the budget, over a
+    * deterministic (idCol) order. The distributed-friendly formulation of
+    * greedy sequence packing — one window (= one shuffle on the group
+    * key), no sequential driver loop; a document larger than the budget
+    * gets its own chunk rather than splitting. */
+  def packByTokenBudget(docs: DataFrame, budgetTokens: Long,
+                        groupCol: String = "source", idCol: String = "doc_id",
+                        tokensCol: Column = null): DataFrame = {
+    val nTokens =
+      if (tokensCol == null) size(graft.functions.TextFunctions.tokens(col("text")))
+      else tokensCol
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), col(groupCol), nTokens.cast(LongType).as("n_tokens"))
+      .withColumn("chunk_id",
+        (coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budgetTokens)
+          .cast(LongType))
+  }
+}

@@ -171,6 +171,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(d1.head.getAs[scala.collection.Seq[Double]]("features").length == 8)
   }
 
+  test("hash sampling: disjoint pct ranges partition the corpus deterministically") {
+    import graft.operators.Corpus
+    val df = docsDf((0L until 50L).map(i => (i, s"doc number $i words")): _*)
+    val a = Corpus.sampleByHash(df, "doc_id", 30).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = Corpus.sampleByHash(df, "doc_id", 30).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b) // deterministic, not rand()
+    // complement = rows in [30, 100)
+    val all = df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val rest = df.filter(Corpus.hashBucket(col("doc_id"), 100) >= 30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((a ++ rest) == all && (a & rest).isEmpty)
+  }
+
+  test("token-budget packing: chunks are contiguous quantized prefix sums") {
+    import graft.operators.Corpus
+    // same source (even ids -> src0): tokens per doc = 4
+    val df = docsDf((0L until 10L).map(i => (i * 2, "a b c d")): _*)
+    val got = Corpus.packByTokenBudget(df, budgetTokens = 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // exclusive prefix sums 0,4,8,12,... -> chunks 0,0,0,1,1,2,2,2,3,3
+    assert(got == Map(0L -> 0L, 2L -> 0L, 4L -> 0L, 6L -> 1L, 8L -> 1L,
+      10L -> 2L, 12L -> 2L, 14L -> 2L, 16L -> 3L, 18L -> 3L))
+  }
+
   test("lang id picks the language with the most stopword hits") {
     val df = docsDf((1L, "the cat of the house and the dog"), (2L, "el gato de la casa y el perro"))
     val got = df.select(col("doc_id"), TextFunctions.langId(col("text")))
