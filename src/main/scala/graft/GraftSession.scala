@@ -23,6 +23,8 @@ object GraftSession {
   }
 
   /** Register graft's SQL functions on an externally-built session. */
-  def register(s: SparkSession): Unit =
+  def register(s: SparkSession): Unit = {
     graft.expressions.RollingHash.register(s)
+    graft.expressions.DotProduct.register(s)
+  }
 }

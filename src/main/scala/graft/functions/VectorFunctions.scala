@@ -14,8 +14,16 @@ object VectorFunctions {
 
   def toDouble(a: Column): Column = transform(a, x => x.cast(DoubleType))
 
-  /** Left-fold dot product in DOUBLE. */
+  /** Left-fold dot product in DOUBLE — the native codegen'd expression
+    * (graft.expressions.DotProduct); same fold, bit-identical results to
+    * [[dotHof]] and to the DuckDB `list_reduce` mirror. */
   def dot(a: Column, b: Column): Column =
+    graft.expressions.DotProduct.dot_product(a, b)
+
+  /** The higher-order-function formulation (interpreted lambdas) — kept as
+    * the independent reference implementation the native expression is
+    * pinned against in tests. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
 

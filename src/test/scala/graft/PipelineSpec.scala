@@ -130,6 +130,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(audited.toSeq == Seq(("src0", 4L)))
   }
 
+  test("native dot_product == HOF fold bit-for-bit on real embeddings") {
+    import graft.functions.VectorFunctions
+    val emb = graft.sources.Tables.embeddings(SparkFixture.spark, "/root/testdata/sf0.001")
+    val both = emb.select(
+      VectorFunctions.dot(col("embedding"), col("embedding")).as("native"),
+      VectorFunctions.dotHof(col("embedding"), col("embedding")).as("hof"))
+    // exact bit equality — same left-fold arithmetic, no tolerance
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() == 500)
+    // mismatched lengths yield NULL, like zip_with's null padding
+    graft.GraftSession.register(SparkFixture.spark)
+    val r = SparkFixture.spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D)) AS d").head()
+    assert(r.isNullAt(0))
+  }
+
   test("embedding pairs cap excludes an oversized label block") {
     val schema = StructType(Seq(StructField("vec_id", LongType, false),
       StructField("embedding", ArrayType(FloatType)), StructField("label", IntegerType, false)))
