@@ -138,10 +138,12 @@ object TextFunctions {
           (acc * ShingleB + element_at(tokHashes, i + j + 1)) % MinhashP)))
       .otherwise(array().cast(ArrayType(LongType)))
 
-  /** i-th MinHash signature over a materialized base-hash array. */
+  /** i-th MinHash signature over a materialized base-hash array — the
+    * native codegen'd loop (graft.expressions.AffineMinHash); identical
+    * integer arithmetic to the `array_min(transform(...))` form. */
   def minhashFromHashes(hashes: Column, i: Int): Column = {
     val (a, b) = minhashCoeffs(i)
-    array_min(transform(hashes, h => (h * a + b) % MinhashP))
+    graft.expressions.AffineMinHash.affine_minhash(hashes, a, b, MinhashP)
   }
 
   /** Band key for LSH: md5 over the concatenation of a contiguous signature
