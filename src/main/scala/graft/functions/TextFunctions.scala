@@ -178,14 +178,11 @@ object TextFunctions {
         p => conv(substring(md5(t), 1, 4).substr(p + 1, lit(1)), 16, 10).cast(LongType)))
 
   /** 16-bit SimHash from materialized nibbles: per bit, Σ(±1) over tokens;
-    * fingerprint bit = (sum > 0). 16 aggregate folds, all inside codegen. */
+    * fingerprint bit = (sum > 0). One native codegen'd pass over the tokens
+    * (graft.expressions.SimHash16) — the HOF composition folded the nibble
+    * array sixteen times through the lambda interpreter. */
   def simhash16FromNibbles(nibbles: Column): Column =
-    (0 until 16).map { j =>
-      val nib = j / 4; val weight = 1L << j
-      val bitSum = aggregate(nibbles, lit(0L), (acc, a) =>
-        acc + shiftright(element_at(a, nib + 1), j % 4).bitwiseAND(lit(1L)) * 2L - 1L)
-      when(bitSum > 0L, lit(weight)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.expressions.SimHash16.simhash16(nibbles)
 
   /** Convenience single-expression form (tests / one-off selects). Inlines
     * the nibble pass 16×; hot paths use the two-step form. */
