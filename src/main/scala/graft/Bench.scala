@@ -6,10 +6,11 @@ object Bench {
     * one long. Unlike `count()` (under which Catalyst prunes all projections
     * — map-only queries were being timed as near-pure scans), this makes
     * every produced value flow through the hash, while still returning a
-    * single row to the driver. */
+    * single row to the driver. The fold is bit_xor, not sum: summing 64-bit
+    * hashes overflows a long under ANSI mode and aborts the job mid-scan. */
   private def evaluate(df: DataFrame): Unit = {
     val checksum = df.select(xxhash64(df.columns.map(col): _*).as("__h"))
-      .agg(sum(col("__h")))
+      .agg(expr("bit_xor(__h)"))
     checksum.collect()
     ()
   }
@@ -28,15 +29,23 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     catch { case _: Throwable => () }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try evaluate(fn(spark, sfDir)) catch { case _: Throwable => () }
+      try evaluate(fn(spark, sfDir)) catch {
+        case e: Throwable =>
+          errors(name) = (e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(160))
+            .replaceAll("[\"\\\\]", "'")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
