@@ -113,20 +113,36 @@ object Dedup {
     * the current labels plus a min-aggregate, i.e. two bounded shuffles; it
     * converges in O(component diameter) iterations, and near-dup components
     * have tiny diameters (dup rings, not paths). The driver loop only reads
-    * a changed-row COUNT per iteration — no data is collected. */
+    * a changed-row COUNT per iteration — no data is collected.
+    *
+    * `pointerHalving` follows each label one extra hop per round (two more
+    * joins) so chains converge in O(log diameter) rounds — worth it only
+    * when components are long paths; near-dup graphs are clique-ish, so the
+    * default is off. */
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                  maxIter: Int = 20): DataFrame = {
+                  maxIter: Int = 20, pointerHalving: Boolean = false): DataFrame = {
     // materialize the (possibly expensive) pair DAG ONCE; the reversed
     // direction is then a cheap scan of the cached rows, not a recompute
     val p = pairs.select(col(idA).as("src"), col(idB).as("dst")).persist()
     p.count()
+    // cache edges already hash-partitioned on the per-iteration join key:
+    // the cached partitioning satisfies the join requirement, so only the
+    // (small) label side shuffles each round, never the edge list
     val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
       .persist()
     try {
+      // Each round is cut off from its ancestry with an EAGER localCheckpoint,
+      // not persist(): a persisted frame still carries its full logical plan,
+      // and the loop references the previous round twice (join + union), so
+      // lineage — and Catalyst's planning work — would DOUBLE per iteration.
+      // Checkpointing keeps every round's plan O(1). (GraphX does the same
+      // periodic materialization for its Pregel loops.)
+      //
       // first propagation round folded into the init: lbl = min(self, neighbors)
       var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("__mn"))
         .select(col("src").as("id"), least(col("src"), col("__mn")).as("lbl"))
-        .persist()
+        .localCheckpoint(true)
       // labels only ever decrease, so an unchanged sum ⇔ a fixpoint — one
       // tiny scalar action per round instead of a join-and-count
       var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
@@ -139,14 +155,16 @@ object Dedup {
           .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
         // pointer halving: follow the label one hop through the new map —
         // chains converge in O(log diameter) rounds instead of O(diameter)
-        val next = prop
-          .join(prop.select(col("id").as("lbl"), col("lbl").as("__lbl2")), Seq("lbl"), "left")
-          .select(col("id"), coalesce(col("__lbl2"), col("lbl")).as("lbl"))
-          .persist()
+        val propCached = if (pointerHalving) Some(prop.localCheckpoint(true)) else None
+        val next = (propCached match {
+          case Some(pp) => // the halving join reads prop twice — compute once
+            pp.join(pp.select(col("id").as("lbl"), col("lbl").as("__lbl2")), Seq("lbl"), "left")
+              .select(col("id"), coalesce(col("__lbl2"), col("lbl")).as("lbl"))
+          case None => prop
+        }).localCheckpoint(true)
         val s = next.agg(sum(col("lbl"))).head().getLong(0)
         converged = s == prevSum
         prevSum = s
-        labels.unpersist()
         labels = next
         it += 1
       }

@@ -100,6 +100,20 @@ class PipelineSpec extends AnyFunSuite {
       (10L, 10L, 2L), (11L, 10L, 2L)))
   }
 
+  test("dup clusters: pointer halving converges a long chain to one component") {
+    import SparkFixture.spark.implicits._
+    // a 12-node path stresses O(diameter): halving must reach the fixpoint
+    // within maxIter = ceil(log2(12)) + slack, and match the plain walk
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // halving gets a log-scale budget the plain walk couldn't meet (the
+    // 11-hop path needs ~11 plain rounds); the plain walk gets the default
+    for ((halving, budget) <- Seq((true, 8), (false, 20))) {
+      val got = Dedup.dupClusters(chain, maxIter = budget, pointerHalving = halving)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == (1L to 12L).map(i => (i, 1L, 12L)).toSet, s"halving=$halving")
+    }
+  }
+
   test("simhash banded pairs == brute-force hamming pairs (pigeonhole holds)") {
     val texts = Seq.tabulate(30)(i => s"word$i common base tokens plus word${i % 7} word${i % 3}")
     val df = docsDf(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
