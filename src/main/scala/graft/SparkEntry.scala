@@ -307,6 +307,28 @@ object SparkEntry {
       .agg(sum(revenue).cast(DoubleType).as("revenue"), count(lit(1)).as("n"))
   }
 
+  /** j2: as-of join — each event enriched with the user's most recent
+    * order at-or-before the event (the time-series point-in-time lookup).
+    * Orders are deduped to one version per (custkey, second) first, so the
+    * carried row is deterministic; the asof itself is union + one window
+    * (a single exchange), never a range-join explosion. */
+  private def j2AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("ts").cast(LongType).as("ts_sec"))
+    val ord = Tables.orders(s, dir)
+      // parquet orders dates read as TIMESTAMP_NTZ — hop through TIMESTAMP
+      // (session tz pinned UTC) since ANSI forbids the direct long cast
+      .select(col("o_custkey"),
+        col("o_orderdate").cast(TimestampType).cast(LongType).as("od_sec"),
+        col("o_orderkey"), col("o_totalprice"))
+    val latest = graft.operators.AsofJoin.latestPerKeyTime(
+      ord, "o_custkey", "od_sec", "o_orderkey")
+    graft.operators.AsofJoin.asof(ev, latest,
+      keyL = "user_id", keyR = "o_custkey", timeL = "ts_sec", timeR = "od_sec",
+      payload = Seq("o_orderkey", "o_totalprice"))
+  }
+
   // --------------------------------------- training-data pipeline: text
 
   /** Language-ID: stopword-hit argmax heuristic vs the labeled lang. Tokens
@@ -372,6 +394,27 @@ object SparkEntry {
   private def x7Pack(s: SparkSession, dir: String): DataFrame =
     graft.operators.Corpus.packByTokenBudget(Tables.documents(s, dir), 2000L)
 
+  /** Within-doc repetition metrics (the Gopher repetition-filter family):
+    * duplicate 2-/3-gram fractions + most-frequent-token fraction, all
+    * exact int-ratio arithmetic. Tokens and token hashes materialize once
+    * each; the two shingle arrays derive from the shared hash pass. */
+  private def x8Repetition(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), col("__toks"), tokenHashes(col("__toks")).as("__th"))
+      .select(col("doc_id"), col("__toks"),
+        hashedShingles(col("__th"), 2).as("__h2"),
+        hashedShingles(col("__th"), 3).as("__h3"))
+      .select(col("doc_id"),
+        size(col("__toks")).as("n_tokens"),
+        dupRatioFromShingles(col("__h2")).as("dup2_ratio"),
+        dupRatioFromShingles(col("__h3")).as("dup3_ratio"),
+        topTokenRatio(col("__toks")).as("top_token_ratio"))
+      .withColumn("repetitive",
+        col("dup3_ratio") > 0.2 || col("top_token_ratio") > 0.3)
+  }
+
   // -------------------------------------- training-data pipeline: dedup
 
   private def d1DedupExact(s: SparkSession, dir: String): DataFrame =
@@ -399,6 +442,13 @@ object SparkEntry {
   private def d5EmbedPairs(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.embeddingPairs(Tables.embeddings(s, dir), threshold = 0.42)
       .withColumn("cos", round(col("cos"), 6))
+
+  /** d7: benchmark decontamination — per-corpus-doc 5-gram overlap vs the
+    * src0/src1 slice standing in for an eval suite. One corpus pass +
+    * a broadcast of the benchmark's shingle set. */
+  private def d7Decontaminate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Decontaminate.overlapReport(Tables.documents(s, dir),
+      benchPred = col("source").isin("src0", "src1"), shingleN = 5)
 
   // --------------------------------- training-data pipeline: similarity
 
@@ -483,11 +533,15 @@ object SparkEntry {
   /** token-hash list `th` → Horner-combined 3-gram shingle hashes. */
   private val duckTokenHashes =
     s"list_transform($duckToks, t -> ${duckShingleHash("t")})"
-  private val duckHashedShingles: String = {
+  /** Horner-combined n-gram shingle hashes over a token-hash list `th` —
+    * DuckDB rendering of TextFunctions.hashedShingles for any n. */
+  private def duckHashedShinglesN(n: Int): String = {
     import graft.functions.TextFunctions.{MinhashP, ShingleB}
-    s"list_transform(range(1, greatest(len(th) - 1, 1)), " +
-      s"i -> ((th[i] * $ShingleB + th[i+1]) % $MinhashP * $ShingleB + th[i+2]) % $MinhashP)"
+    val horner = (1 until n).foldLeft("th[i]")((acc, j) =>
+      s"($acc * $ShingleB + th[i+$j]) % $MinhashP")
+    s"list_transform(range(1, greatest(len(th) - ${n - 2}, 1)), i -> $horner)"
   }
+  private val duckHashedShingles: String = duckHashedShinglesN(3)
   private def duckMinhash(i: Int): String = {
     val (a, b) = graft.functions.TextFunctions.minhashCoeffs(i)
     s"list_min(list_transform(hs, h -> (h * $a + $b) % ${graft.functions.TextFunctions.MinhashP}))"
@@ -605,6 +659,7 @@ object SparkEntry {
     "o2_topk_limit" -> (o2TopkLimit _),
     "q1_pricing" -> (q1Pricing _),
     "j1_revenue_nation" -> (j1RevenueNation _),
+    "j2_asof_join" -> (j2AsofJoin _),
     "x1_lang_id" -> (x1LangId _),
     "x2_quality" -> (x2Quality _),
     "x3_token_stats" -> (x3TokenStats _),
@@ -612,6 +667,7 @@ object SparkEntry {
     "x5_rolling_hash" -> (x5RollingHash _),
     "x6_sample" -> (x6Sample _),
     "x7_pack" -> (x7Pack _),
+    "x8_repetition" -> (x8Repetition _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_minhash_sig" -> (d2MinhashSig _),
     "d2b_minhash_pairs" -> (d2bMinhashPairs _),
@@ -619,6 +675,7 @@ object SparkEntry {
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
     "d5_embed_pairs" -> (d5EmbedPairs _),
     "d6_dup_clusters" -> (d6DupClusters _),
+    "d7_decontaminate" -> (d7Decontaminate _),
     "s1_knn" -> (s1Knn _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_lsh_stats" -> (s3LshStats _),
@@ -754,6 +811,21 @@ object SparkEntry {
         | JOIN nation ON c_nationkey = n_nationkey
         |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
         |GROUP BY n_name""".stripMargin,
+    "j2_asof_join" ->
+      // independent as-of implementation: DuckDB's native ASOF LEFT JOIN
+      // over the same deterministically-deduped order versions
+      """WITH o0 AS (SELECT o_custkey,
+        |    CAST(floor(epoch(o_orderdate)) AS BIGINT) AS od_sec,
+        |    o_orderkey, o_totalprice FROM orders),
+        |o AS (SELECT *, row_number() OVER (PARTITION BY o_custkey, od_sec
+        |    ORDER BY o_orderkey DESC) AS rn FROM o0),
+        |ol AS (SELECT o_custkey, od_sec, o_orderkey, o_totalprice FROM o WHERE rn = 1),
+        |e AS (SELECT event_id, user_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events)
+        |SELECT e.event_id, e.user_id, e.value, e.ts_sec,
+        |  ol.o_orderkey, ol.o_totalprice
+        |FROM e ASOF LEFT JOIN ol
+        |  ON e.user_id = ol.o_custkey AND e.ts_sec >= ol.od_sec""".stripMargin,
     "x1_lang_id" -> {
       val pred = graft.functions.TextFunctions.langIdSql("text")
       s"""SELECT doc_id, lang, lang_pred, (lang_pred = lang) AS agree
@@ -810,6 +882,26 @@ object SparkEntry {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000)
         |   AS BIGINT) AS chunk_id
         |FROM documents""".stripMargin,
+    "x8_repetition" -> {
+      def dup(h: String): String =
+        s"CASE WHEN len($h) > 0 THEN (len($h) - len(list_distinct($h)))::DOUBLE" +
+          s" / len($h)::DOUBLE ELSE 0.0 END"
+      val top =
+        """CASE WHEN len(toks) > 0 THEN
+          |   list_max(list_transform(list_distinct(toks),
+          |     t -> len(list_filter(toks, x -> x = t))))::DOUBLE / len(toks)::DOUBLE
+          |  ELSE 0.0 END""".stripMargin
+      s"""WITH t0 AS (SELECT doc_id, $duckToks AS toks, $duckTokenHashes AS th
+         |  FROM documents),
+         |g AS (SELECT doc_id, toks, ${duckHashedShinglesN(2)} AS h2,
+         |  ${duckHashedShinglesN(3)} AS h3 FROM t0)
+         |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+         | ${dup("h2")} AS dup2_ratio,
+         | ${dup("h3")} AS dup3_ratio,
+         | $top AS top_token_ratio,
+         | (${dup("h3")} > 0.2 OR $top > 0.3) AS repetitive
+         |FROM g""".stripMargin
+    },
     "d1_dedup_exact" ->
       """SELECT substr(md5(text), 1, 16) AS fp, min(doc_id) AS keeper_id,
         | CAST(count(*) AS BIGINT) AS n_copies
@@ -849,6 +941,21 @@ object SparkEntry {
          |SELECT id AS doc_id, cluster_id,
          | CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
          |FROM lab""".stripMargin,
+    "d7_decontaminate" ->
+      s"""WITH th0 AS (SELECT doc_id, source, $duckTokenHashes AS th FROM documents),
+         |shd AS (SELECT doc_id, source,
+         |  list_distinct(${duckHashedShinglesN(5)}) AS sh FROM th0),
+         |bsh AS (SELECT DISTINCT unnest(sh) AS h FROM shd
+         |  WHERE source IN ('src0', 'src1')),
+         |corp AS (SELECT doc_id, sh FROM shd
+         |  WHERE source NOT IN ('src0', 'src1')),
+         |hits AS (SELECT c.doc_id, count(*) AS n_hits
+         |  FROM (SELECT doc_id, unnest(sh) AS h FROM corp) c
+         |  JOIN bsh USING (h) GROUP BY c.doc_id)
+         |SELECT corp.doc_id, CAST(len(corp.sh) AS INT) AS n_shingles,
+         | CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+         | (coalesce(hits.n_hits, 0) >= 1) AS contaminated
+         |FROM corp LEFT JOIN hits USING (doc_id)""".stripMargin,
     "d3_simhash_pairs" -> {
       import graft.functions.TextFunctions._
       s"""WITH nib AS (SELECT doc_id, ${simhashNibblesSql("text")} AS nibs FROM documents),

@@ -91,6 +91,32 @@ object TextFunctions {
     (length(text) >= 100) && (tokenCount(text) >= 20) &&
       (punctRatio(text) <= 0.1) && (stopwordRatio(text) >= 0.01)
 
+  // ------------------------------------------------------------- repetition
+
+  /** Duplicate-n-gram fraction from a MATERIALIZED shingle-hash array:
+    * (total − distinct) / total — exact int arithmetic, identical bits on
+    * every engine; 0.0 for docs too short to have an n-gram. The Gopher
+    * repetition signal (its "duplicate n-gram fraction" family). */
+  def dupRatioFromShingles(hs: Column): Column =
+    when(size(hs) > 0,
+      (size(hs) - size(array_distinct(hs))).cast(DoubleType) /
+        size(hs).cast(DoubleType))
+      .otherwise(lit(0.0))
+
+  /** Occurrences of the most frequent token — max over distinct tokens of
+    * the token's count. O(distinct × n) per doc via codegen'd HOFs (docs
+    * are short; no shuffle, no mode() tie-break ambiguity across engines —
+    * the max COUNT is unique even when the argmax token is not). */
+  def topTokenCount(toks: Column): Column =
+    aggregate(array_distinct(toks), lit(0),
+      (acc, t) => greatest(acc, size(filter(toks, x => x === t))))
+
+  /** Most-frequent-token fraction of the doc (Gopher's "top word" gate). */
+  def topTokenRatio(toks: Column): Column =
+    when(size(toks) > 0,
+      topTokenCount(toks).cast(DoubleType) / size(toks).cast(DoubleType))
+      .otherwise(lit(0.0))
+
   // --------------------------------------------------------- fingerprinting
 
   /** 64-bit content fingerprint: first 16 md5 hex chars (exact-dup key). */

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-at-or-before) join — the time-series enrichment the
+  * reference's observability domain wants: attach to each left event the
+  * latest right row whose time is ≤ the event's time, per key.
+  *
+  * Spark has no ASOF JOIN operator; the naive encodings are a range
+  * non-equi join (O(events × versions) explosion, BroadcastNestedLoop at
+  * worst) or a per-row probe. This is the scalable formulation: UNION both
+  * sides tagged by origin, then ONE window sort per key carries the last
+  * non-null right payload forward onto each left row.
+  *
+  * Scale (100 TB): the whole operator is a single hash Exchange on the key
+  * (the union is narrow; both inputs co-shuffle into the window) + one
+  * in-partition sort — no join explosion, no per-row probes, and skew is
+  * bounded by the hottest key's row count (same bound any per-key
+  * sessionization has). Payload columns ride in ONE struct so every
+  * attached value provably comes from the SAME matched right row.
+  *
+  * Requires right rows unique per (key, time) — the caller pins tie-break
+  * semantics by pre-deduping (see [[latestPerKeyTime]]); with duplicates
+  * the carried row among same-instant versions would be sort-order luck.
+  */
+object AsofJoin {
+
+  /** One right row per (key, time): the max-`tieCol` version wins — the
+    * deterministic "latest version at this instant" rule both engines can
+    * replay. One shuffle on (key, time); at scale this is the same exchange
+    * shape as the asof window itself. */
+  def latestPerKeyTime(right: DataFrame, keyCol: String, timeCol: String,
+                       tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol), col(timeCol))
+      .orderBy(col(tieCol).desc)
+    right.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Left rows + `payload` columns of the as-of matched right row (null
+    * payload where no right row precedes). `timeL`/`timeR` may be any
+    * mutually comparable orderable type; equality on time MATCHES (≤, not
+    * <). Right rows must be unique per (key, time). */
+  def asof(left: DataFrame, right: DataFrame,
+           keyL: String, keyR: String, timeL: String, timeR: String,
+           payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!leftCols.contains("__pay") && payload.nonEmpty)
+    // left side: payload struct absent; right side: left columns absent.
+    // unionByName(allowMissingColumns) null-fills both directions.
+    val l = left
+      .withColumn("__k", col(keyL)).withColumn("__t", col(timeL))
+      .withColumn("__side", lit(1))
+    val r = right
+      .select(col(keyR).as("__k"), col(timeR).as("__t"),
+        struct(payload.map(col): _*).as("__pay"))
+      .withColumn("__side", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    // same (key, time): the right row sorts first (side 0 < 1), so an
+    // exactly-simultaneous version is visible to the event — ASOF is ≤
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = u.withColumn("__last", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    filled.select(leftCols.map(col) ++
+      payload.map(p => col(s"__last.$p").as(p)): _*)
+  }
+}

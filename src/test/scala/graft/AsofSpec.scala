@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsofJoin
+
+/** As-of join semantics on hand-built fixtures: ≤ matching, per-key
+  * isolation, null before the first version, same-row payload consistency,
+  * and the deterministic version dedup. */
+class AsofSpec extends AnyFunSuite {
+  import SparkFixture.spark
+  import spark.implicits._
+
+  private def right() = Seq(
+    // key, time, version payload (v, tag)
+    (1L, 10L, 100L, "a"),
+    (1L, 20L, 200L, "b"),
+    (2L, 15L, 300L, "c")
+  ).toDF("k", "t", "v", "tag")
+
+  private def asofAll() = {
+    val left = Seq((1L, 5L), (1L, 10L), (1L, 19L), (1L, 20L), (1L, 99L),
+      (2L, 14L), (2L, 16L), (3L, 50L)).toDF("k", "t")
+      .withColumn("eid", col("k") * 1000 + col("t"))
+    AsofJoin.asof(left, right(), "k", "k", "t", "t", Seq("v", "tag"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.getString(4))))
+      .toMap
+  }
+
+  test("asof picks the most recent right row at or before each left time") {
+    val got = asofAll()
+    assert(got((1L, 5L)) == (None, None), "no version precedes t=5")
+    assert(got((1L, 10L)) == (Some(100L), Some("a")), "equal time matches (≤)")
+    assert(got((1L, 19L)) == (Some(100L), Some("a")))
+    assert(got((1L, 20L)) == (Some(200L), Some("b")), "newer version replaces")
+    assert(got((1L, 99L)) == (Some(200L), Some("b")), "carried indefinitely")
+    assert(got((2L, 14L)) == (None, None))
+    assert(got((2L, 16L)) == (Some(300L), Some("c")), "keys are isolated")
+    assert(got((3L, 50L)) == (None, None), "unknown key → null payload")
+  }
+
+  test("payload columns always come from the same matched row") {
+    // would fail if v and tag were carried by independent last_value's and
+    // one of them were null on the newest version
+    val r = Seq((1L, 10L, Some(100L), "a"), (1L, 20L, None: Option[Long], "b"))
+      .toDF("k", "t", "v", "tag")
+    val l = Seq((1L, 30L)).toDF("k", "t")
+    val got = AsofJoin.asof(l, r, "k", "k", "t", "t", Seq("v", "tag")).head()
+    assert(got.isNullAt(2) && got.getString(3) == "b",
+      "null v of the newest row must win together with its tag")
+  }
+
+  test("latestPerKeyTime keeps exactly the max-tie version per (key, time)") {
+    val dup = Seq((1L, 10L, 7L, "x"), (1L, 10L, 9L, "y"), (1L, 11L, 1L, "z"))
+      .toDF("k", "t", "ver", "tag")
+    val got = AsofJoin.latestPerKeyTime(dup, "k", "t", "ver")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(3)).toMap
+    assert(got == Map((1L, 10L) -> "y", (1L, 11L) -> "z"))
+  }
+}

@@ -114,6 +114,43 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination flags exactly the docs sharing an n-gram with the benchmark") {
+    import graft.operators.Decontaminate
+    // doc 0 (src0) is benchmark; doc 1 copies a 5-gram from it, doc 3 is clean
+    val df = docsDf(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "noise alpha beta gamma delta epsilon more noise here"),
+      (3L, "completely different words with no shared grams at all"))
+    val got = Decontaminate.overlapReport(df, col("source") === "src0",
+      shingleN = 5, minHits = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got(1L)._2 && got(1L)._1 >= 1L, "doc 1 shares a 5-gram")
+    assert(got(3L) == (0L, false), "doc 3 is clean")
+    assert(!got.contains(0L), "benchmark docs are not reported")
+    val clean = Decontaminate.clean(df, col("source") === "src0", shingleN = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(3L), "clean corpus = non-benchmark minus contaminated")
+  }
+
+  test("repetition metrics: dup n-gram fraction and top-token fraction are exact ratios") {
+    val toksDf = docsDf((1L, "a a a b")).select(
+      TextFunctions.tokens(col("text")).as("toks"),
+      TextFunctions.tokenHashes(TextFunctions.tokens(col("text"))).as("th"))
+    val r = toksDf.select(
+      TextFunctions.dupRatioFromShingles(
+        TextFunctions.hashedShingles(col("th"), 2)).as("dup2"),
+      TextFunctions.topTokenRatio(col("toks")).as("top")).head()
+    // 2-grams: (a,a) (a,a) (a,b) → 3 total, 2 distinct → dup 1/3; top = 3/4
+    assert(r.getDouble(0) == 1.0 / 3.0)
+    assert(r.getDouble(1) == 3.0 / 4.0)
+    val short = docsDf((2L, "one")).select(
+      TextFunctions.dupRatioFromShingles(
+        TextFunctions.hashedShingles(
+          TextFunctions.tokenHashes(TextFunctions.tokens(col("text"))), 2)).as("d"))
+      .head().getDouble(0)
+    assert(short == 0.0, "no n-grams → ratio 0, not NaN")
+  }
+
   test("simhash banded pairs == brute-force hamming pairs (pigeonhole holds)") {
     val texts = Seq.tabulate(30)(i => s"word$i common base tokens plus word${i % 7} word${i % 3}")
     val df = docsDf(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)

@@ -47,6 +47,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"assignment must not shuffle:\n$p")
   }
 
+  test("asof join is union + one window: no join operator, no explosion") {
+    val p = plan("j2_asof_join")
+    assert(!p.contains("Join"), s"asof must not plan a join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    // one exchange dedupes order versions, one feeds the asof window
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected at most 2 shuffles, got $exchanges:\n$p")
+  }
+
+  test("decontamination probes a broadcast benchmark set (corpus side never shuffles to join)") {
+    val p = plan("d7_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$p")
+  }
+
   test("skewSalt aggregation equals the plain aggregate and adds one salted exchange") {
     import graft.ir._
     val ev = graft.sources.Tables.events(spark, dir)
