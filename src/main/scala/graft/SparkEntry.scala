@@ -415,6 +415,11 @@ object SparkEntry {
         col("dup3_ratio") > 0.2 || col("top_token_ratio") > 0.3)
   }
 
+  /** Corpus vocabulary (tokenizer-training precursor): top-50 tokens by
+    * collection frequency with document frequencies. */
+  private def x9Vocab(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.vocabStats(Tables.documents(s, dir), topK = 50)
+
   // -------------------------------------- training-data pipeline: dedup
 
   private def d1DedupExact(s: SparkSession, dir: String): DataFrame =
@@ -467,6 +472,12 @@ object SparkEntry {
 
   private def s3LshStats(s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.lshBucketStats(Tables.embeddings(s, dir))
+
+  /** s5: top-k by int8-quantized cosine — the 4×-smaller-index rung of the
+    * ANN ladder (quantization codes bit-identical across engines). */
+  private def s5QuantKnn(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.quantizedKnn(Tables.embeddings(s, dir), queryId = 0L, k = 10)
+      .withColumn("qcos", round(col("qcos"), 6))
 
   // ---------------------------------- training-data pipeline: multimodal
 
@@ -668,6 +679,7 @@ object SparkEntry {
     "x6_sample" -> (x6Sample _),
     "x7_pack" -> (x7Pack _),
     "x8_repetition" -> (x8Repetition _),
+    "x9_vocab" -> (x9Vocab _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_minhash_sig" -> (d2MinhashSig _),
     "d2b_minhash_pairs" -> (d2bMinhashPairs _),
@@ -680,6 +692,7 @@ object SparkEntry {
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_lsh_stats" -> (s3LshStats _),
     "s4_ivf_knn" -> (s4IvfKnn _),
+    "s5_quant_knn" -> (s5QuantKnn _),
     "m1_mm_bytes" -> (m1MmBytes _),
     "m2_mm_decode" -> (m2MmDecode _),
     "m3_mm_frames" -> (m3MmFrames _),
@@ -902,6 +915,12 @@ object SparkEntry {
          | (${dup("h3")} > 0.2 OR $top > 0.3) AS repetitive
          |FROM g""".stripMargin
     },
+    "x9_vocab" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS tf,
+        | CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY tf DESC, token LIMIT 50""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT substr(md5(text), 1, 16) AS fp, min(doc_id) AS keeper_id,
         | CAST(count(*) AS BIGINT) AS n_copies
@@ -1042,6 +1061,20 @@ object SparkEntry {
          |  FROM cent2 c, q) WHERE rn <= 2)
          |SELECT e.vec_id, e.label, a.cell, round($cos, 6) AS cos
          |FROM e JOIN as2 a USING (vec_id) JOIN qsel ON a.cell = qsel.cid, q
+         |ORDER BY $cos DESC, e.vec_id
+         |LIMIT 10""".stripMargin
+    },
+    "s5_quant_knn" -> {
+      def dotL(a: String, b: String): String =
+        s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
+      val cos = s"${dotL("e.qv", "q.qq")} / (sqrt(${dotL("e.qv", "e.qv")}) * sqrt(${dotL("q.qq", "q.qq")}))"
+      s"""WITH e AS (SELECT vec_id, label,
+         |  list_transform(embedding, x ->
+         |    least(greatest(round(x::DOUBLE * 127), -127.0), 127.0)) AS qv
+         |  FROM embeddings),
+         |q AS (SELECT qv AS qq FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label, round($cos, 6) AS qcos
+         |FROM e, q
          |ORDER BY $cos DESC, e.vec_id
          |LIMIT 10""".stripMargin
     },

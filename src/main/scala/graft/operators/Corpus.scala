@@ -30,6 +30,24 @@ object Corpus {
     df.filter(hashBucket(col(keyCol), 100) < pct)
   }
 
+  /** Corpus vocabulary statistics — the tokenizer-training precursor: per
+    * token, collection frequency (tf) and document frequency (df), top-K by
+    * tf. One explode + one aggregation; Spark plans the exact distinct-doc
+    * count as the standard two-phase expand, and the final top-K is a
+    * TakeOrderedAndProject, not a global sort. At 100 TB the token key is
+    * Zipf-skewed, but the tf side combines map-side and the df side's
+    * expand keys on (token, doc) — the hot token's rows spread over its
+    * docs, so no single reducer sees the full "the" column. */
+  def vocabStats(docs: DataFrame, topK: Int, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol), graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(col("__toks")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col(idCol)).as("df"))
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(topK)
+
   /** Pack documents into contiguous chunks of ~`budgetTokens` per group:
     * chunk = exclusive-prefix token sum quantized by the budget, over a
     * deterministic (idCol) order. The distributed-friendly formulation of

@@ -165,6 +165,33 @@ object Similarity {
       .drop(vecCol) // schema-agnostic: keep caller's cols + cell + cos
   }
 
+  /** Symmetric int8 scalar quantization of a [-1,1]-scale embedding:
+    * q[i] = clamp(round(v[i]·127), −127, 127), held as integral DOUBLEs so
+    * the shared dot/norm machinery applies unchanged and every sum is exact
+    * (|q| ≤ 127 ⇒ a 4k-dim dot ≤ 2^28 ≪ 2^53). The 100 TB lever: a
+    * quantized index is 4× smaller than float32 — 4× less scan IO and
+    * executor cache per probe — at a small recall cost the exact-rerank
+    * pattern recovers. round() is half-away-from-zero on both engines, so
+    * codes are bit-identical to the DuckDB oracle's. */
+  def quantize(vec: org.apache.spark.sql.Column, scale: Int = 127): org.apache.spark.sql.Column =
+    transform(toDouble(vec),
+      x => least(greatest(round(x * scale), lit(-scale.toDouble)), lit(scale.toDouble)))
+
+  /** Exact top-k by QUANTIZED cosine — [[bruteForceKnn]] over int8 codes.
+    * Same broadcast + TakeOrderedAndProject shape; scores differ from full
+    * precision only by quantization error. */
+  def quantizedKnn(emb: DataFrame, queryId: Long, k: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qz = emb.withColumn("__qv", quantize(col(vecCol)))
+    val q = qz.filter(col(idCol) === queryId)
+      .select(col("__qv").as("__q"), norm(col("__qv")).as("__qn"))
+    qz.crossJoin(broadcast(q))
+      .withColumn("qcos", dot(col("__qv"), col("__q")) / (norm(col("__qv")) * col("__qn")))
+      .orderBy(col("qcos").desc, col(idCol).asc)
+      .limit(k)
+      .drop("__q", "__qn", "__qv", vecCol)
+  }
+
   /** Bucket occupancy histogram — the skew diagnostic for the ANN path. */
   def lshBucketStats(emb: DataFrame, bits: Int = 8,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =

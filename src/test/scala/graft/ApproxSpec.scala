@@ -42,6 +42,22 @@ class ApproxSpec extends AnyFunSuite {
     assert((ivf.toSet & exact).size >= 7)
   }
 
+  test("int8-quantized kNN recovers most of the exact top-10 with bounded score error") {
+    val emb = Tables.embeddings(spark, dir)
+    val exact = Similarity.bruteForceKnn(emb, 0L, 10)
+      .select(col("vec_id"), col("cos")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val quant = Similarity.quantizedKnn(emb, 0L, 10)
+      .select(col("vec_id"), col("qcos")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(quant.head._1 == 0L, "self must stay rank 1 after quantization")
+    assert((quant.map(_._1).toSet & exact.keySet).size >= 8,
+      "int8 codes should preserve the exact top-10 almost entirely")
+    for ((id, qc) <- quant if exact.contains(id))
+      assert(math.abs(qc - exact(id)) <= 0.02,
+        s"vec $id: quantized cos $qc drifted from exact ${exact(id)}")
+  }
+
   test("IVF centroids round-trip through parquet bit-exactly") {
     val emb = Tables.embeddings(spark, dir)
     val trained = Similarity.ivfTrain(emb, nlist = 8, iters = 1)

@@ -264,6 +264,14 @@ class PipelineSpec extends AnyFunSuite {
       10L -> 2L, 12L -> 2L, 14L -> 2L, 16L -> 3L, 18L -> 3L))
   }
 
+  test("vocab stats: tf/df counts with deterministic top-K ordering") {
+    val df = docsDf((1L, "a b a"), (2L, "a c"))
+    val got = graft.operators.Corpus.vocabStats(df, topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // tf: a=3 b=1 c=1; ties break on token asc; topK cuts after b
+    assert(got.toSeq == Seq(("a", 3L, 2L), ("b", 1L, 1L)))
+  }
+
   test("lang id picks the language with the most stopword hits") {
     val df = docsDf((1L, "the cat of the house and the dog"), (2L, "el gato de la casa y el perro"))
     val got = df.select(col("doc_id"), TextFunctions.langId(col("text")))
