@@ -50,6 +50,20 @@ object EventStream {
         q.selects.map(s => col(s.key)): _*)
   }
 
+  /** Streaming exact dedup at ingest: drop re-deliveries and content
+    * duplicates by fingerprint while the stream flows, keeping state only
+    * one watermark-delay deep (`dropDuplicatesWithinWatermark` evicts keys
+    * once the watermark passes them — unbounded-state `dropDuplicates`
+    * would grow forever on an infinite stream). The streaming face of
+    * [[graft.operators.Dedup.exactDedup]]: at 100 TB/day ingest this is
+    * the difference between deduping at write time and a daily batch
+    * re-shuffle of the whole store. State shuffles on the key column only. */
+  def dedupByKey(stream: DataFrame, keyCols: Seq[String],
+                 watermark: String = "10 minutes",
+                 tsCol: String = Compiler.DefaultTsCol): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Continuous ingest: stream → parquet event store (the scalable
     * replacement for the reference's fsync-per-column insert, lib.rs:295-296).
     * Checkpointed, exactly-once into the store directory. */

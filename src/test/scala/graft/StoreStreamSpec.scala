@@ -210,6 +210,33 @@ class StoreStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming dedup drops within-watermark re-deliveries across batches") {
+    val dir = Files.createTempDirectory("graft-sdd").toString
+    def mkRows(t: Seq[(Long, Long, String)]) = t.map { case (id, sec, foo) =>
+      org.apache.spark.sql.Row(id,
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)), foo, null, "9", null)
+    }
+    def write(t: Seq[(Long, Long, String)]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(mkRows(t), 1), schema)
+        .write.mode("append").parquet(dir)
+    val base = 1704067200L
+    // batch B re-delivers id 1 and 2 (same key) within the 60s watermark —
+    // both must be dropped by state carried across the batch boundary
+    val a = Seq((1L, base + 0L, "100"), (2L, base + 9L, "200"))
+    val b = Seq((1L, base + 1L, "100"), (2L, base + 9L, "200"), (3L, base + 30L, "300"))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val out = graft.streaming.EventStream.dedupByKey(stream, Seq("id"),
+      watermark = "60 seconds", tsCol = "ts")
+    val query = out.writeStream.format("memory").queryName("sdd_out")
+      .outputMode("append").start()
+    try {
+      write(a); query.processAllAvailable()
+      write(b); query.processAllAvailable()
+      val ids = spark.table("sdd_out").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), "one survivor per key")
+    } finally query.stop()
+  }
+
   test("S4: JSON result shaper reproduces the reference's nested shape") {
     val q = ZxQuery(selects = Seq(Select(Agg.Sum, "foo")),
       groupBy = Seq("y"), granularitySec = 15L)
