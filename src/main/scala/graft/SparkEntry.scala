@@ -329,6 +329,28 @@ object SparkEntry {
       payload = Seq("o_orderkey", "o_totalprice"))
   }
 
+  /** j3: trailing range join (self): each event + the same user's activity
+    * over the trailing hour — the "errors in the last hour" shape. Window
+    * form: one exchange + one range-frame sort; a non-equi join would
+    * nested-loop per key and re-aggregate. Orders can't serve as the right
+    * side here (their 1992-98 dates never fall inside a 2024 trailing
+    * window), so the self-join variant is the meaningful one. */
+  private def j3RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts").cast(LongType).as("ts_sec"))
+    val act = Tables.events(s, dir)
+      .select(col("user_id"), col("ts").cast(LongType).as("ts_sec"),
+        col("event_id").as("r_event_id"), col("value").as("r_value"))
+    graft.operators.AsofJoin.trailingWindow(ev, act,
+      keyL = "user_id", keyR = "user_id", timeL = "ts_sec", timeR = "ts_sec",
+      windowLen = 3600L,
+      aggs = Map(
+        "n_events_1h" -> count(col("r_event_id")),
+        "sum_value_1h" -> sum(col("r_value"))))
+      .withColumn("sum_value_1h",
+        coalesce(round(col("sum_value_1h"), 3), lit(0.0)))
+  }
+
   // --------------------------------------- training-data pipeline: text
 
   /** Language-ID: stopword-hit argmax heuristic vs the labeled lang. Tokens
@@ -671,6 +693,7 @@ object SparkEntry {
     "q1_pricing" -> (q1Pricing _),
     "j1_revenue_nation" -> (j1RevenueNation _),
     "j2_asof_join" -> (j2AsofJoin _),
+    "j3_range_join" -> (j3RangeJoin _),
     "x1_lang_id" -> (x1LangId _),
     "x2_quality" -> (x2Quality _),
     "x3_token_stats" -> (x3TokenStats _),
@@ -839,6 +862,17 @@ object SparkEntry {
         |  ol.o_orderkey, ol.o_totalprice
         |FROM e ASOF LEFT JOIN ol
         |  ON e.user_id = ol.o_custkey AND e.ts_sec >= ol.od_sec""".stripMargin,
+    "j3_range_join" ->
+      // independent encoding: non-equi self-join + group-by (fine at oracle
+      // scale; the engine side uses the single-exchange window form)
+      """WITH e AS (SELECT event_id, user_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events)
+        |SELECT l.event_id, l.user_id, l.ts_sec,
+        |  CAST(count(r.event_id) AS BIGINT) AS n_events_1h,
+        |  round(coalesce(sum(r.value), 0), 3) AS sum_value_1h
+        |FROM e l JOIN e r ON l.user_id = r.user_id
+        |  AND r.ts_sec BETWEEN l.ts_sec - 3600 AND l.ts_sec
+        |GROUP BY l.event_id, l.user_id, l.ts_sec""".stripMargin,
     "x1_lang_id" -> {
       val pred = graft.functions.TextFunctions.langIdSql("text")
       s"""SELECT doc_id, lang, lang_pred, (lang_pred = lang) AS agree

@@ -39,6 +39,46 @@ object AsofJoin {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Trailing range join: for each left row, aggregates over the right rows
+    * of the same key whose time lies in [t − windowLen, t] (both ends
+    * inclusive) — "orders in the last 30 days", "errors in the last hour".
+    *
+    * The naive encoding is a non-equi join (`l.k = r.k AND r.t BETWEEN
+    * l.t − W AND l.t`) — Spark plans that as a per-key nested loop and the
+    * result re-aggregates right back down. This is the window form: union
+    * both sides, ONE range-frame window per key computes every trailing
+    * aggregate in a single sort — same single-exchange shape as [[asof]].
+    *
+    * `aggs` maps output name → aggregate expression over RIGHT columns
+    * (e.g. `sum(col("o_totalprice"))`). Left rows carry nulls in right
+    * columns, so null-skipping aggregates (sum/count(col)/min/max/avg)
+    * see only right rows; don't use `count(lit(1))` (it would count left
+    * rows in the frame too). Right column names (beyond key/time) must not
+    * collide with left's. */
+  def trailingWindow(left: DataFrame, right: DataFrame,
+                     keyL: String, keyR: String, timeL: String, timeR: String,
+                     windowLen: Long,
+                     aggs: Map[String, org.apache.spark.sql.Column]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val overlap = (right.columns.toSet - keyR - timeR) & leftCols.toSet
+    require(overlap.isEmpty, s"right columns collide with left: $overlap")
+    val l = left
+      .withColumn("__k", col(keyL)).withColumn("__t", col(timeL))
+      .withColumn("__side", lit(1))
+    val r = right
+      .withColumn("__k", col(keyR)).withColumn("__t", col(timeR))
+      .withColumn("__side", lit(0))
+      .drop(keyR, timeR)
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"))
+      .rangeBetween(-windowLen, 0)
+    val withAggs = aggs.foldLeft(u) { case (df, (name, agg)) =>
+      df.withColumn(name, agg.over(w))
+    }
+    withAggs.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ aggs.keys.toSeq.sorted.map(col): _*)
+  }
+
   /** Left rows + `payload` columns of the as-of matched right row (null
     * payload where no right row precedes). `timeL`/`timeR` may be any
     * mutually comparable orderable type; equality on time MATCHES (≤, not

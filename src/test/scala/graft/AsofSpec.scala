@@ -52,6 +52,34 @@ class AsofSpec extends AnyFunSuite {
       "null v of the newest row must win together with its tag")
   }
 
+  test("trailing window aggregates exactly the right rows in [t-W, t] per key") {
+    val left = Seq((1L, 100L), (1L, 115L), (2L, 100L)).toDF("k", "t")
+      .withColumn("eid", col("k") * 1000 + col("t"))
+    val right = Seq((1L, 89L, 5.0), (1L, 90L, 1.0), (1L, 100L, 2.0),
+      (1L, 110L, 4.0), (2L, 100L, 8.0)).toDF("k", "t", "v")
+    val got = AsofJoin.trailingWindow(left, right, "k", "k", "t", "t",
+      windowLen = 10L,
+      aggs = Map("n" -> count(col("v")), "s" -> sum(col("v"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    // k=1 t=100: rows at 90 (inclusive lower bound) and 100 — not 89
+    assert(got((1L, 100L)) == (2L, 3.0))
+    // k=1 t=115: rows at 110 only (105..115)
+    assert(got((1L, 115L)) == (1L, 4.0))
+    // k=2 isolated from k=1
+    assert(got((2L, 100L)) == (1L, 8.0))
+  }
+
+  test("trailing window rejects colliding right column names loudly") {
+    val l = Seq((1L, 1L)).toDF("k", "t").withColumn("v", lit(1.0))
+    val r = Seq((1L, 1L)).toDF("k", "t").withColumn("v", lit(2.0))
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.trailingWindow(l, r, "k", "k", "t", "t", 10L,
+        Map("s" -> sum(col("v"))))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("latestPerKeyTime keeps exactly the max-tie version per (key, time)") {
     val dup = Seq((1L, 10L, 7L, "x"), (1L, 10L, 9L, "y"), (1L, 11L, 1L, "z"))
       .toDF("k", "t", "ver", "tag")

@@ -56,6 +56,13 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected at most 2 shuffles, got $exchanges:\n$p")
   }
 
+  test("trailing range join is union + one window: no join operator") {
+    val p = plan("j3_range_join")
+    assert(!p.contains("Join"), s"range join must not plan a join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected at most 2 shuffles, got $exchanges:\n$p")
+  }
+
   test("decontamination probes a broadcast benchmark set (corpus side never shuffles to join)") {
     val p = plan("d7_decontaminate")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe:\n$p")
