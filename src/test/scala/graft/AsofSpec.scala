@@ -80,6 +80,23 @@ class AsofSpec extends AnyFunSuite {
     assert(e.getMessage.contains("collide"))
   }
 
+  test("asof matches the brute-force per-row lookup on seeded random data") {
+    val rnd = new scala.util.Random(42)
+    val leftRows = Seq.tabulate(200)(i => (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, i.toLong))
+    // unique (k, t) right rows by construction — no tie ambiguity
+    val rightRows = rnd.shuffle((for (k <- 0L to 4L; t <- 0L until 100L) yield (k, t)).toSeq)
+      .take(60).map { case (k, t) => (k, t, k * 1000 + t) }
+    val left = leftRows.toDF("k", "t", "eid")
+    val right = rightRows.toDF("k", "t", "v")
+    val got = AsofJoin.asof(left, right, "k", "k", "t", "t", Seq("v"))
+      .collect().map(r => r.getLong(2) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    val expect = leftRows.map { case (k, t, eid) =>
+      eid -> rightRows.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+    }.toMap
+    assert(got == expect)
+  }
+
   test("latestPerKeyTime keeps exactly the max-tie version per (key, time)") {
     val dup = Seq((1L, 10L, 7L, "x"), (1L, 10L, 9L, "y"), (1L, 11L, 1L, "z"))
       .toDF("k", "t", "ver", "tag")
