@@ -307,6 +307,37 @@ object SparkEntry {
       .agg(sum(revenue).cast(DoubleType).as("revenue"), count(lit(1)).as("n"))
   }
 
+  /** c2: the full training-shard pipeline in ONE declarative DAG —
+    * benchmark decontamination (anti-join on the contaminated set), the c1
+    * quality+language gate, canonical exact-dedup, token-budget packing
+    * into ~2000-token shards, and per-shard stats. At 100 TB: the decon
+    * probe is a broadcast, the gates fuse into the scan, and the only wide
+    * shuffles are the dedup window, the packing window, and the final
+    * stats agg. */
+  private def c2Shards(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val docs = Tables.documents(s, dir)
+    val bench = col("source").isin("src0", "src1")
+    val contaminated = graft.operators.Decontaminate
+      .overlapReport(docs, bench, shingleN = 5)
+      .filter(col("contaminated")).select(col("doc_id"))
+    val gated = docs.filter(!bench)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        tokens(col("text")).as("__toks"))
+      .filter(qualityOk(col("text")) &&
+        langIdFromTokens(col("__toks")) === col("lang"))
+    val canonical = gated
+      .withColumn("__minid", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(fingerprint(col("text")))))
+      .filter(col("doc_id") === col("__minid"))
+    graft.operators.Corpus.packByTokenBudget(canonical, 2000L,
+        tokensCol = size(col("__toks")))
+      .groupBy(col("source"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"))
+  }
+
   /** j2: as-of join — each event enriched with the user's most recent
     * order at-or-before the event (the time-series point-in-time lookup).
     * Orders are deduped to one version per (custkey, second) first, so the
@@ -720,6 +751,7 @@ object SparkEntry {
     "m2_mm_decode" -> (m2MmDecode _),
     "m3_mm_frames" -> (m3MmFrames _),
     "c1_curate" -> (c1Curate _),
+    "c2_shards" -> (c2Shards _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1156,6 +1188,42 @@ object SparkEntry {
          | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
          |FROM f JOIN k USING (doc_id)
          |GROUP BY source""".stripMargin
+    },
+    "c2_shards" -> {
+      val en = graft.functions.TextFunctions.langStopwords.head._2
+        .map(w => s"'$w'").mkString(",")
+      val pc = graft.functions.TextFunctions.punctChars
+      val quality =
+        s"""(length(text) >= 100 AND len(string_split(text, ' ')) >= 20
+           |   AND (length(text) - length(regexp_replace(text, '[$pc]', '', 'g')))::DOUBLE / length(text)::DOUBLE <= 0.1
+           |   AND len(list_filter(string_split(text, ' '), t -> list_contains([$en], t)))::DOUBLE / len(string_split(text, ' '))::DOUBLE >= 0.01)""".stripMargin
+      s"""WITH th0 AS (SELECT doc_id, source, $duckTokenHashes AS th FROM documents),
+         |shd AS (SELECT doc_id, source,
+         |  list_distinct(${duckHashedShinglesN(5)}) AS sh FROM th0),
+         |bsh AS (SELECT DISTINCT unnest(sh) AS h FROM shd
+         |  WHERE source IN ('src0', 'src1')),
+         |cont AS (SELECT DISTINCT c.doc_id
+         |  FROM (SELECT doc_id, unnest(sh) AS h FROM shd
+         |        WHERE source NOT IN ('src0', 'src1')) c
+         |  JOIN bsh USING (h)),
+         |f AS (SELECT doc_id, source, lang, text FROM documents
+         |  WHERE source NOT IN ('src0', 'src1')
+         |    AND doc_id NOT IN (SELECT doc_id FROM cont)
+         |    AND $quality
+         |    AND ${graft.functions.TextFunctions.langIdSql("text")} = lang),
+         |k AS (SELECT min(doc_id) AS doc_id FROM f
+         |      GROUP BY substr(md5(text), 1, 16)),
+         |kept AS (SELECT f.doc_id, f.source, f.text FROM f JOIN k USING (doc_id)),
+         |packed AS (SELECT doc_id, source,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(floor(coalesce(sum(len(string_split(text, ' ')))
+         |    OVER (PARTITION BY source ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000)
+         |    AS BIGINT) AS chunk_id
+         |  FROM kept)
+         |SELECT source, chunk_id, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM packed GROUP BY source, chunk_id""".stripMargin
     },
     "m3_mm_frames" ->
       // frames = 64-byte slices, every 4th sampled; docs are ASCII so text
