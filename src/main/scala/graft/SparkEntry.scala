@@ -473,6 +473,13 @@ object SparkEntry {
   private def x9Vocab(s: SparkSession, dir: String): DataFrame =
     graft.operators.Corpus.vocabStats(Tables.documents(s, dir), topK = 50)
 
+  /** x10: stratified rebalancing — downsample src2 to 5%, upweight src3 to
+    * 60%, 20% elsewhere; deterministic md5 bucketing, zero shuffles. */
+  private def x10Stratified(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.sampleStratified(Tables.documents(s, dir), "source",
+        rates = Map("src2" -> 5, "src3" -> 60), defaultPct = 20)
+      .select(col("doc_id"), col("source"))
+
   // -------------------------------------- training-data pipeline: dedup
 
   private def d1DedupExact(s: SparkSession, dir: String): DataFrame =
@@ -734,6 +741,7 @@ object SparkEntry {
     "x7_pack" -> (x7Pack _),
     "x8_repetition" -> (x8Repetition _),
     "x9_vocab" -> (x9Vocab _),
+    "x10_stratified" -> (x10Stratified _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_minhash_sig" -> (d2MinhashSig _),
     "d2b_minhash_pairs" -> (d2bMinhashPairs _),
@@ -953,6 +961,10 @@ object SparkEntry {
       // decimal string; % 100 < 20 keeps the same deterministic fifth
       s"""SELECT doc_id, source FROM documents
          |WHERE ${duckShingleHash("doc_id::VARCHAR")} % 100 < 20""".stripMargin,
+    "x10_stratified" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${duckShingleHash("doc_id::VARCHAR")} % 100 <
+         |  CASE source WHEN 'src2' THEN 5 WHEN 'src3' THEN 60 ELSE 20 END""".stripMargin,
     "x7_pack" ->
       """SELECT doc_id, source,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

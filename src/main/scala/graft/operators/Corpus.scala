@@ -30,6 +30,23 @@ object Corpus {
     df.filter(hashBucket(col(keyCol), 100) < pct)
   }
 
+  /** Stratified deterministic sampling — the source-rebalancing primitive:
+    * per-stratum keep percentages (e.g. downsample a crawl source to 10%,
+    * keep curated sources at 50%) with the same md5 hash-bucket
+    * determinism as [[sampleByHash]]. Still a pure narrow filter: the
+    * per-row rate is a CASE over the stratum column, so at 100 TB this
+    * runs inside the scan with zero shuffles and reruns reproduce the
+    * exact subset. */
+  def sampleStratified(df: DataFrame, strataCol: String, rates: Map[String, Int],
+                       defaultPct: Int, keyCol: String = "doc_id"): DataFrame = {
+    (rates.values.toSeq :+ defaultPct).foreach(p =>
+      require(p >= 0 && p <= 100, s"pct must be 0..100, got $p"))
+    val pct = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (stratum, p)) => when(col(strataCol) === stratum, lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), 100) < pct)
+  }
+
   /** Corpus vocabulary statistics — the tokenizer-training precursor: per
     * token, collection frequency (tf) and document frequency (df), top-K by
     * tf. One explode + one aggregation; Spark plans the exact distinct-doc

@@ -264,6 +264,21 @@ class PipelineSpec extends AnyFunSuite {
       10L -> 2L, 12L -> 2L, 14L -> 2L, 16L -> 3L, 18L -> 3L))
   }
 
+  test("stratified sampling: per-stratum rates, deterministic, 0/100 exact") {
+    import graft.operators.Corpus
+    val df = docsDf((0L until 200L).map(i => (i, s"text $i")): _*) // src0/src1 alternating
+    val got = Corpus.sampleStratified(df, "source",
+      rates = Map("src0" -> 0), defaultPct = 100)
+      .select("source").collect().map(_.getString(0))
+    assert(got.nonEmpty && got.forall(_ == "src1"), "rate 0 excludes, 100 keeps all")
+    // default-rate strata match plain hash sampling exactly (same subset)
+    val strat = Corpus.sampleStratified(df, "source", rates = Map(), defaultPct = 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val plain = Corpus.sampleByHash(df, "doc_id", 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(strat == plain)
+  }
+
   test("vocab stats: tf/df counts with deterministic top-K ordering") {
     val df = docsDf((1L, "a b a"), (2L, "a c"))
     val got = graft.operators.Corpus.vocabStats(df, topK = 2)
