@@ -533,6 +533,13 @@ object SparkEntry {
   private def s3LshStats(s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.lshBucketStats(Tables.embeddings(s, dir))
 
+  /** s6: batched kNN — exact top-5 for three queries in one corpus pass;
+    * the per-query rank filter compiles to WindowGroupLimit. */
+  private def s6BatchKnn(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.batchKnn(Tables.embeddings(s, dir),
+        queryIds = Seq(0L, 1L, 2L), k = 5)
+      .withColumn("cos", round(col("cos"), 6))
+
   /** s5: top-k by int8-quantized cosine — the 4×-smaller-index rung of the
     * ANN ladder (quantization codes bit-identical across engines). */
   private def s5QuantKnn(s: SparkSession, dir: String): DataFrame =
@@ -755,6 +762,7 @@ object SparkEntry {
     "s3_lsh_stats" -> (s3LshStats _),
     "s4_ivf_knn" -> (s4IvfKnn _),
     "s5_quant_knn" -> (s5QuantKnn _),
+    "s6_batch_knn" -> (s6BatchKnn _),
     "m1_mm_bytes" -> (m1MmBytes _),
     "m2_mm_decode" -> (m2MmDecode _),
     "m3_mm_frames" -> (m3MmFrames _),
@@ -1141,6 +1149,17 @@ object SparkEntry {
          |FROM e JOIN as2 a USING (vec_id) JOIN qsel ON a.cell = qsel.cid, q
          |ORDER BY $cos DESC, e.vec_id
          |LIMIT 10""".stripMargin
+    },
+    "s6_batch_knn" -> {
+      val cos = graft.functions.VectorFunctions.cosineSql("e.embedding", "q.qe", 64)
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id IN (0, 1, 2))
+         |SELECT qid AS query_id, vec_id, label, CAST(rn AS INT) AS rank,
+         |  round(c, 6) AS cos
+         |FROM (SELECT q.qid, e.vec_id, e.label, $cos AS c,
+         |  row_number() OVER (PARTITION BY q.qid ORDER BY $cos DESC, e.vec_id) AS rn
+         |  FROM embeddings e, q)
+         |WHERE rn <= 5""".stripMargin
     },
     "s5_quant_knn" -> {
       def dotL(a: String, b: String): String =

@@ -192,6 +192,29 @@ object Similarity {
       .drop("__q", "__qn", "__qv", vecCol)
   }
 
+  /** Batched kNN: exact top-k for EVERY query in one corpus pass — the
+    * production shape (queries arrive in batches, not singly). The query
+    * block broadcasts (a batch is small by definition); scoring is a
+    * narrow map over corpus × batch; the per-query top-k is a rank window
+    * whose `rn ≤ k` filter Spark pushes into per-partition
+    * WindowGroupLimit (plan-guarded) — each partition forwards at most
+    * k rows per query to the single shuffle, so the exchange moves
+    * O(partitions × queries × k), never the scored cross product. */
+  def batchKnn(emb: DataFrame, queryIds: Seq[Long], k: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("__q"),
+        norm(col(vecCol)).as("__qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+    emb.crossJoin(broadcast(q))
+      .withColumn("cos", dot(col(vecCol), col("__q")) / (norm(col(vecCol)) * col("__qn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("__q", "__qn", vecCol)
+  }
+
   /** Bucket occupancy histogram — the skew diagnostic for the ANN path. */
   def lshBucketStats(emb: DataFrame, bits: Int = 8,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =

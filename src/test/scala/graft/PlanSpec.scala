@@ -56,6 +56,12 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected at most 2 shuffles, got $exchanges:\n$p")
   }
 
+  test("batched kNN pushes the per-query rank limit into WindowGroupLimit") {
+    val p = plan("s6_batch_knn")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k must group-limit before the shuffle:\n$p")
+  }
+
   test("trailing range join is union + one window: no join operator") {
     val p = plan("j3_range_join")
     assert(!p.contains("Join"), s"range join must not plan a join:\n$p")
