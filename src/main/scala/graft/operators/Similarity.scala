@@ -192,6 +192,43 @@ object Similarity {
       .drop("__q", "__qn", "__qv", vecCol)
   }
 
+  /** Materialize the IVF index as a CELL-PARTITIONED parquet table — the
+    * build step that makes probes cheap at 100 TB: each k-means cell lands
+    * in its own partition directory, so a probe's `cell IN (...)` filter
+    * prunes at PLANNING time (PartitionFilters, spec-guarded) and reads
+    * only nProbe/nlist of the data from storage. Assignment is the
+    * row-local broadcast argmax ([[assignCells]]) — the build itself adds
+    * no exchange beyond the write. */
+  def ivfWriteIndex(emb: DataFrame, cents: Seq[(Int, Seq[Double])], path: String,
+                    vecCol: String = "embedding"): Unit =
+    assignCells(emb, cents, vecCol)
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** Probe a materialized cell-partitioned index: driver-side centroid
+    * ranking picks the nProbe cells (same left-fold arithmetic as
+    * [[ivfKnn]]), the scan touches only those partitions, exact cosine
+    * re-ranks within them. */
+  def ivfProbeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    cents: Seq[(Int, Seq[Double])], queryVec: Seq[Double],
+                    k: Int, nProbe: Int = 2, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    def fold(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.size) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val qn = math.sqrt(fold(queryVec, queryVec))
+    val probe = cents.sortBy { case (cid, cv) => (-fold(cv, queryVec), cid) }
+      .take(nProbe).map(_._1)
+    spark.read.parquet(path)
+      .filter(col("cell").isin(probe: _*))
+      .withColumn("cos", dot(col(vecCol), typedLit(queryVec)) /
+        (norm(col(vecCol)) * lit(qn)))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+      .drop(vecCol)
+  }
+
   /** Batched kNN: exact top-k for EVERY query in one corpus pass — the
     * production shape (queries arrive in batches, not singly). The query
     * block broadcasts (a batch is small by definition); scoring is a

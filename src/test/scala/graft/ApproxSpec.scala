@@ -72,6 +72,25 @@ class ApproxSpec extends AnyFunSuite {
     assert(a1 == a2)
   }
 
+  test("cell-partitioned IVF index: probe prunes partitions and matches ivfKnn") {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Similarity.ivfTrain(emb, nlist = 16, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString + "/idx"
+    Similarity.ivfWriteIndex(emb, cents, path)
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(graft.functions.VectorFunctions.toDouble(col("embedding")))
+      .head().getSeq[Double](0).toIndexedSeq
+    val probed = Similarity.ivfProbeIndex(spark, path, cents, q, k = 10)
+    // planning-time partition pruning, not a post-scan filter
+    val p = probed.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"probe must prune cell partitions:\n$p")
+    val viaIndex = probed.select("vec_id").collect().map(_.getLong(0)).toSeq
+    val direct = Similarity.ivfKnn(emb, 0L, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(viaIndex == direct, "index probe must equal the direct IVF query")
+  }
+
   test("sign-LSH ANN keeps the query's bucket only") {
     val emb = Tables.embeddings(spark, dir)
     val got = Similarity.annSignLsh(emb, 0L, k = 5, bits = 4)

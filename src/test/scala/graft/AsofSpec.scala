@@ -97,6 +97,24 @@ class AsofSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("trailing window matches brute-force trailing aggregation on seeded random data") {
+    val rnd = new scala.util.Random(7)
+    val leftRows = Seq.tabulate(150)(i => (rnd.nextInt(4).toLong, rnd.nextInt(80).toLong, i.toLong))
+    val rightRows = Seq.tabulate(120)(_ =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(80).toLong, (rnd.nextInt(9) + 1).toDouble))
+    val got = AsofJoin.trailingWindow(
+      leftRows.toDF("k", "t", "eid"), rightRows.toDF("k", "t", "v"),
+      "k", "k", "t", "t", windowLen = 15L,
+      aggs = Map("n" -> count(col("v")), "s" -> sum(col("v"))))
+      .collect().map(r => r.getLong(2) ->
+        (r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double]).getOrElse(0.0))).toMap
+    val expect = leftRows.map { case (k, t, eid) =>
+      val in = rightRows.filter(r => r._1 == k && r._2 >= t - 15 && r._2 <= t)
+      eid -> (in.size.toLong, in.map(_._3).sum)
+    }.toMap
+    assert(got == expect)
+  }
+
   test("latestPerKeyTime keeps exactly the max-tie version per (key, time)") {
     val dup = Seq((1L, 10L, 7L, "x"), (1L, 10L, 9L, "y"), (1L, 11L, 1L, "z"))
       .toDF("k", "t", "ver", "tag")
