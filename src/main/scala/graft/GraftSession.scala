@@ -26,5 +26,6 @@ object GraftSession {
   def register(s: SparkSession): Unit = {
     graft.expressions.RollingHash.register(s)
     graft.expressions.DotProduct.register(s)
+    graft.functions.SqlFunctions.register(s)
   }
 }

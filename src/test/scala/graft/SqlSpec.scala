@@ -154,4 +154,35 @@ class SqlSpec extends AnyFunSuite {
     assert(got.columns.contains("t_bucket") && got.columns.contains("v_bucket"))
     assert(got.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) == 10L)
   }
+
+  test("pipeline SQL functions match the Column API bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    graft.GraftSession.register(spark)
+    val quant = spark.sql("SELECT quantize_int8(array(0.5D, -1.2D, 0.0D)) AS q")
+      .head().getSeq[Double](0)
+    assert(quant == Seq(64.0, -127.0, 0.0), "round + clamp")
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "zz")).toDF("doc_id", "text")
+    df.createOrReplaceTempView("sqlfn_docs")
+    val viaSql = spark.sql(
+      """SELECT fingerprint(text) AS fp, simhash16(text) AS sh,
+        | lang_id(text) AS lid, quality_ok(text) AS ok,
+        | token_count(text) AS tc, hash_bucket(doc_id, 100) AS hb
+        |FROM sqlfn_docs ORDER BY doc_id""".stripMargin).collect().toSeq
+    val viaCols = df.select(
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.simhash16(col("text")).as("sh"),
+      TextFunctions.langId(col("text")).as("lid"),
+      TextFunctions.qualityOk(col("text")).as("ok"),
+      TextFunctions.tokenCount(col("text")).as("tc"),
+      graft.operators.Corpus.hashBucket(col("doc_id"), 100).as("hb"))
+      .orderBy(col("fp")).collect().toSeq
+    assert(viaSql.toSet == viaCols.toSet)
+    // non-literal bucket count is rejected loudly, not mis-planned
+    val e = intercept[Exception](
+      spark.sql("SELECT hash_bucket(doc_id, doc_id) FROM sqlfn_docs").collect())
+    assert(e.getMessage.contains("literal"))
+  }
 }
