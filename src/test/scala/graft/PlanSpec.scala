@@ -11,6 +11,12 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("driver contract: every declared query ships a DuckDB oracle") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q == o, s"queries without oracle: ${q -- o}; orphan oracles: ${o -- q}")
+  }
+
   test("time-range scan pushes the ns range into the parquet reader") {
     val p = plan("t1_time_scan")
     assert(p.contains("PushedFilters:"))
