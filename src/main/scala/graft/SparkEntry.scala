@@ -270,6 +270,20 @@ object SparkEntry {
       .select(col("user_id"), round3("sum_value"))
   }
 
+  /** o3: top-N per group — the grouped companion of top-k: the 3 longest
+    * docs per source via a rank window whose rn ≤ 3 filter compiles to
+    * per-partition WindowGroupLimit (each partition forwards ≤ N rows per
+    * group to the single shuffle — plan shape shared with s6). */
+  private def o3TopPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+  }
+
   // ------------------------------------------- beyond-reference: TPC-H-style
 
   /** TPC-H Q1-style pricing summary: codegen'd scan→filter→partial-agg→final
@@ -735,6 +749,7 @@ object SparkEntry {
     "p3_sql_star" -> (p3SqlStar _),
     "o1_top_groups" -> (o1TopGroups _),
     "o2_topk_limit" -> (o2TopkLimit _),
+    "o3_top_per_group" -> (o3TopPerGroup _),
     "q1_pricing" -> (q1Pricing _),
     "j1_revenue_nation" -> (j1RevenueNation _),
     "j2_asof_join" -> (j2AsofJoin _),
@@ -874,6 +889,13 @@ object SparkEntry {
         |FROM events GROUP BY 1
         |ORDER BY sum(coalesce(value, 0)) DESC, CAST(user_id AS VARCHAR)
         |LIMIT 5""".stripMargin,
+    "o3_top_per_group" ->
+      """SELECT doc_id, source, n_chars, CAST(rn AS INT) AS rank
+        |FROM (SELECT doc_id, source, n_chars,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 3""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

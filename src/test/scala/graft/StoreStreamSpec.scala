@@ -237,6 +237,29 @@ class StoreStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("curation gates run unchanged on a document stream (batch == stream)") {
+    import graft.functions.TextFunctions._
+    val dir = Files.createTempDirectory("graft-docstream").toString
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    def gates(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      qualityOk(col("text")).as("ok"),
+      langId(col("text")).as("lid"))
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val query = gates(stream).writeStream.format("memory")
+      .queryName("docs_out").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("docs_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2), r.getString(3))).toSet
+      val batch = gates(docs).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2), r.getString(3))).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally query.stop()
+  }
+
   test("S4: JSON result shaper reproduces the reference's nested shape") {
     val q = ZxQuery(selects = Seq(Select(Agg.Sum, "foo")),
       groupBy = Seq("y"), granularitySec = 15L)
