@@ -381,9 +381,12 @@ object SparkEntry {
     * side here (their 1992-98 dates never fall inside a 2024 trailing
     * window), so the self-join variant is the meaningful one. */
   private def j3RangeJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+    // NULL keys are excluded EXPLICITLY on both sides: the oracle's inner
+    // join drops them (NULL = NULL is false in SQL) while a window would
+    // group them into one NULL partition — filter so both semantics agree
+    val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
       .select(col("event_id"), col("user_id"), col("ts").cast(LongType).as("ts_sec"))
-    val act = Tables.events(s, dir)
+    val act = Tables.events(s, dir).filter(col("user_id").isNotNull)
       .select(col("user_id"), col("ts").cast(LongType).as("ts_sec"),
         col("event_id").as("r_event_id"), col("value").as("r_value"))
     graft.operators.AsofJoin.trailingWindow(ev, act,

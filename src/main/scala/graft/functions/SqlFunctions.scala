@@ -12,9 +12,15 @@ import org.apache.spark.sql.functions.col
 object SqlFunctions {
 
   def register(s: SparkSession): Unit = {
+    def arity(name: String, exprs: Seq[_], n: Int): Unit =
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${exprs.length}")
     def reg1(name: String, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit =
       s.sessionState.functionRegistry.createOrReplaceTempFunction(
-        name, exprs => ColumnBridge.resolvedExpression(f(ColumnBridge.column(exprs(0)))), "built-in")
+        name, exprs => {
+          arity(name, exprs, 1)
+          ColumnBridge.resolvedExpression(f(ColumnBridge.column(exprs(0))))
+        }, "built-in")
     reg1("fingerprint", TextFunctions.fingerprint)
     reg1("simhash16", TextFunctions.simhash16)
     reg1("lang_id", TextFunctions.langId)
@@ -24,6 +30,7 @@ object SqlFunctions {
     // hash_bucket(key, buckets) — the deterministic sampling primitive
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hash_bucket", exprs => {
+        arity("hash_bucket", exprs, 2)
         val buckets = exprs(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
           case other => throw new IllegalArgumentException(

@@ -62,6 +62,10 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     val overlap = (right.columns.toSet - keyR - timeR) & leftCols.toSet
     require(overlap.isEmpty, s"right columns collide with left: $overlap")
+    val clobbered = (leftCols.toSet ++ aggs.keySet) & Reserved.toSet
+    require(clobbered.isEmpty, s"columns collide with join internals: $clobbered")
+    val dupAgg = aggs.keySet & (leftCols.toSet ++ right.columns.toSet)
+    require(dupAgg.isEmpty, s"aggregate names collide with input columns: $dupAgg")
     val l = left
       .withColumn("__k", col(keyL)).withColumn("__t", col(timeL))
       .withColumn("__side", lit(1))
@@ -83,11 +87,19 @@ object AsofJoin {
     * payload where no right row precedes). `timeL`/`timeR` may be any
     * mutually comparable orderable type; equality on time MATCHES (≤, not
     * <). Right rows must be unique per (key, time). */
+  /** Working column names the union/window plumbing claims — a left frame
+    * using any of them would be silently clobbered by withColumn. */
+  private val Reserved = Seq("__k", "__t", "__side", "__pay", "__last")
+
   def asof(left: DataFrame, right: DataFrame,
            keyL: String, keyR: String, timeL: String, timeR: String,
            payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    require(!leftCols.contains("__pay") && payload.nonEmpty)
+    require(payload.nonEmpty, "asof needs at least one payload column")
+    val clobbered = leftCols.toSet & Reserved.toSet
+    require(clobbered.isEmpty, s"left columns collide with asof internals: $clobbered")
+    val dup = payload.toSet & leftCols.toSet
+    require(dup.isEmpty, s"payload names collide with left columns: $dup")
     // left side: payload struct absent; right side: left columns absent.
     // unionByName(allowMissingColumns) null-fills both directions.
     val l = left

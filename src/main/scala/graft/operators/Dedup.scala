@@ -118,13 +118,21 @@ object Dedup {
     * `pointerHalving` follows each label one extra hop per round (two more
     * joins) so chains converge in O(log diameter) rounds — worth it only
     * when components are long paths; near-dup graphs are clique-ish, so the
-    * default is off. */
+    * default is off, and the loop AUTO-ENABLES it if convergence hasn't
+    * landed within a few plain rounds (a long-chain component slipped in) —
+    * halving never changes the fixpoint, only how fast it's reached. */
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                   maxIter: Int = 20, pointerHalving: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint
     // materialize the (possibly expensive) pair DAG ONCE; the reversed
     // direction is then a cheap scan of the cached rows, not a recompute
     val p = pairs.select(col(idA).as("src"), col(idB).as("dst")).persist()
-    p.count()
+    if (p.count() == 0) { // no pairs → no non-trivial clusters (sum(NULL) NPEs below)
+      p.unpersist()
+      return p.sparkSession.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0L).as("cluster_id"),
+          lit(0L).as("cluster_size")).limit(0)
+    }
     // cache edges already hash-partitioned on the per-iteration join key:
     // the cached partitioning satisfies the join requirement, so only the
     // (small) label side shuffles each round, never the edge list
@@ -148,14 +156,19 @@ object Dedup {
       var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
       var it = 0
       var converged = false
+      // auto-escalation threshold: clique-ish components converge in 2-3
+      // plain rounds; still-moving labels past this point mean a long-chain
+      // component, where halving's O(log d) beats the plain O(d) walk
+      val halveAfter = 6
       while (!converged && it < maxIter) {
+        val halving = pointerHalving || it >= halveAfter
         val prop = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
           .select(col("src").as("id"), col("lbl"))
           .union(labels)
           .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
         // pointer halving: follow the label one hop through the new map —
         // chains converge in O(log diameter) rounds instead of O(diameter)
-        val propCached = if (pointerHalving) Some(prop.localCheckpoint(true)) else None
+        val propCached = if (halving) Some(prop.localCheckpoint(true)) else None
         val next = (propCached match {
           case Some(pp) => // the halving join reads prop twice — compute once
             pp.join(pp.select(col("id").as("lbl"), col("lbl").as("__lbl2")), Seq("lbl"), "left")
@@ -165,13 +178,23 @@ object Dedup {
         val s = next.agg(sum(col("lbl"))).head().getLong(0)
         converged = s == prevSum
         prevSum = s
+        // the superseded round's checkpoint blocks are dead weight the
+        // CacheManager can't see (Dataset.unpersist is a no-op on them) —
+        // free them now, not at some eventual driver GC
+        unpersistCheckpoint(labels)
+        propCached.foreach(unpersistCheckpoint)
         labels = next
         it += 1
       }
       require(converged, s"label propagation did not converge in $maxIter iterations")
       val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
-      labels.join(sizes, "lbl")
+      val out = labels.join(sizes, "lbl")
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+      // the final labels checkpoint feeds the returned plan — materialize the
+      // result before releasing it
+      val res = out.localCheckpoint(true)
+      unpersistCheckpoint(labels)
+      res
     } finally { edges.unpersist(); p.unpersist() }
   }
 

@@ -143,20 +143,31 @@ object Similarity {
     * is a one-off build step (the table is written partitioned by `cell`),
     * so a probe reads nProbe/nlist of the data; recall/latency trades via
     * nProbe. */
+  /** Driver-side left-fold dot product — IEEE-identical to the executors'
+    * Column-level fold AND DuckDB's list_reduce, so driver-computed probe
+    * cells and query norms stay oracle-safe. */
+  private def foldDot(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.size) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** The nProbe centroid cells nearest the query (dot-ranked, ties to the
+    * lowest cid) — the ONE probe-selection rule [[ivfKnn]] and
+    * [[ivfProbeIndex]] must share for index probes to equal direct queries. */
+  private def rankProbes(cents: Seq[(Int, Seq[Double])], q: Seq[Double],
+                         nProbe: Int): Seq[Int] =
+    cents.sortBy { case (cid, cv) => (-foldDot(cv, q), cid) }
+      .take(nProbe).map(_._1)
+
   def ivfKnn(emb: DataFrame, queryId: Long, k: Int, nlist: Int = 16,
              nProbe: Int = 2, iters: Int = 2, idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
     val cents = ivfTrain(emb, nlist, iters, idCol, vecCol)
     val q = emb.filter(col(idCol) === queryId).select(toDouble(col(vecCol)))
       .head().getSeq[Double](0).toIndexedSeq
-    def fold(a: Seq[Double], b: Seq[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.size) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
-    val qn = math.sqrt(fold(q, q))
-    val probe = cents.sortBy { case (cid, cv) => (-fold(cv, q), cid) }
-      .take(nProbe).map(_._1)
+    val qn = math.sqrt(foldDot(q, q))
+    val probe = rankProbes(cents, q, nProbe)
     assignCells(emb, cents, vecCol)
       .filter(col("cell").isin(probe: _*))
       .withColumn("cos", dot(col(vecCol), typedLit(q)) / (norm(col(vecCol)) * lit(qn)))
@@ -212,14 +223,8 @@ object Similarity {
                     cents: Seq[(Int, Seq[Double])], queryVec: Seq[Double],
                     k: Int, nProbe: Int = 2, idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
-    def fold(a: Seq[Double], b: Seq[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.size) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
-    val qn = math.sqrt(fold(queryVec, queryVec))
-    val probe = cents.sortBy { case (cid, cv) => (-fold(cv, queryVec), cid) }
-      .take(nProbe).map(_._1)
+    val qn = math.sqrt(foldDot(queryVec, queryVec))
+    val probe = rankProbes(cents, queryVec, nProbe)
     spark.read.parquet(path)
       .filter(col("cell").isin(probe: _*))
       .withColumn("cos", dot(col(vecCol), typedLit(queryVec)) /

@@ -70,6 +70,17 @@ class AsofSpec extends AnyFunSuite {
     assert(got((2L, 100L)) == (1L, 8.0))
   }
 
+  test("asof rejects payload and reserved-name collisions loudly") {
+    val l = Seq((1L, 1L, 2.0)).toDF("k", "t", "v")
+    val r = Seq((1L, 1L, 3.0)).toDF("k", "t", "v")
+    val e1 = intercept[IllegalArgumentException](
+      AsofJoin.asof(l, r, "k", "k", "t", "t", Seq("v")))
+    assert(e1.getMessage.contains("collide"))
+    val e2 = intercept[IllegalArgumentException](
+      AsofJoin.asof(l.withColumnRenamed("v", "__side"), r, "k", "k", "t", "t", Seq("v")))
+    assert(e2.getMessage.contains("internals"))
+  }
+
   test("trailing window rejects colliding right column names loudly") {
     val l = Seq((1L, 1L)).toDF("k", "t").withColumn("v", lit(1.0))
     val r = Seq((1L, 1L)).toDF("k", "t").withColumn("v", lit(2.0))

@@ -100,6 +100,24 @@ class PipelineSpec extends AnyFunSuite {
       (10L, 10L, 2L), (11L, 10L, 2L)))
   }
 
+  test("dup clusters: empty pair input returns an empty frame, not an NPE") {
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+    val got = Dedup.dupClusters(empty)
+    assert(got.count() == 0)
+    assert(got.columns.toSeq == Seq("doc_id", "cluster_id", "cluster_size"))
+  }
+
+  test("dup clusters: auto-halving converges a 30-node chain within default maxIter") {
+    import SparkFixture.spark.implicits._
+    // 29-hop path: the plain walk needs ~29 rounds > maxIter=20; the loop
+    // must escalate to pointer halving on its own and still land the fixpoint
+    val chain = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == (1L to 30L).map(i => (i, 1L, 30L)).toSet)
+  }
+
   test("dup clusters: pointer halving converges a long chain to one component") {
     import SparkFixture.spark.implicits._
     // a 12-node path stresses O(diameter): halving must reach the fixpoint
