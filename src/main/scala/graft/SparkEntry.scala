@@ -525,6 +525,17 @@ object SparkEntry {
     graft.operators.Dedup.embeddingPairs(Tables.embeddings(s, dir), threshold = 0.42)
       .withColumn("cos", round(col("cos"), 6))
 
+  /** d8: incremental dedup — a 20% id-slice as the arriving batch checked
+    * against the rest of the corpus (ingest-time LSH, cross-side band
+    * join; production persists the corpus signatures once). */
+  private def d8IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.operators.Dedup.minhashPairsAcross(
+      corpus = docs.filter(col("doc_id") % 5 =!= 3),
+      fresh = docs.filter(col("doc_id") % 5 === 3),
+      threshold = 0.5)
+  }
+
   /** d7: benchmark decontamination — per-corpus-doc 5-gram overlap vs the
     * src0/src1 slice standing in for an eval suite. One corpus pass +
     * a broadcast of the benchmark's shingle set. */
@@ -775,6 +786,7 @@ object SparkEntry {
     "d5_embed_pairs" -> (d5EmbedPairs _),
     "d6_dup_clusters" -> (d6DupClusters _),
     "d7_decontaminate" -> (d7Decontaminate _),
+    "d8_incremental_dedup" -> (d8IncrementalDedup _),
     "s1_knn" -> (s1Knn _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_lsh_stats" -> (s3LshStats _),
@@ -1071,6 +1083,25 @@ object SparkEntry {
          |SELECT id AS doc_id, cluster_id,
          | CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
          |FROM lab""".stripMargin,
+    "d8_incremental_dedup" -> {
+      val sigs = (0 until 8).map(i => s" ${duckMinhash(i)} AS s$i").mkString(",\n")
+      s"""WITH th0 AS (SELECT doc_id, source, $duckTokenHashes AS th FROM documents),
+         |hsrc AS (SELECT doc_id, source, $duckHashedShingles AS hs FROM th0),
+         |sig AS (SELECT doc_id, source,
+         |$sigs
+         | FROM hsrc),
+         |band AS (SELECT doc_id, source, unnest([0, 1, 2, 3]) AS band_idx,
+         |  unnest([md5(s0::VARCHAR || '|' || s1::VARCHAR), md5(s2::VARCHAR || '|' || s3::VARCHAR),
+         |          md5(s4::VARCHAR || '|' || s5::VARCHAR), md5(s6::VARCHAR || '|' || s7::VARCHAR)]) AS bkey FROM sig),
+         |cand AS (SELECT DISTINCT f.doc_id AS new_id, c.doc_id AS corpus_id
+         |  FROM band f JOIN band c ON f.band_idx = c.band_idx AND f.bkey = c.bkey
+         |  WHERE f.doc_id % 5 = 3 AND c.doc_id % 5 <> 3 AND f.bkey IS NOT NULL),
+         |shd AS (SELECT doc_id, list_distinct(hs) AS sh FROM hsrc)
+         |SELECT cand.new_id, cand.corpus_id, $duckJaccard AS jac
+         |FROM cand JOIN shd a ON cand.new_id = a.doc_id
+         |          JOIN shd b ON cand.corpus_id = b.doc_id
+         |WHERE $duckJaccard >= 0.5""".stripMargin
+    },
     "d7_decontaminate" ->
       s"""WITH th0 AS (SELECT doc_id, source, $duckTokenHashes AS th FROM documents),
          |shd AS (SELECT doc_id, source,

@@ -102,6 +102,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jac"))
   }
 
+  /** Incremental near-dup check: a FRESH batch against an EXISTING corpus —
+    * the ingest-time shape (production persists the corpus side's
+    * signatures once; each arriving batch only computes its own). Same
+    * LSH architecture as [[minhashPairs]]: candidates from a band-key
+    * equality join ACROSS the two sides (never new×corpus cartesian),
+    * verify by exact shingle jaccard on the semi-join-pruned candidates.
+    * Returns (new_id, corpus_id, jac ≥ threshold). */
+  def minhashPairsAcross(corpus: DataFrame, fresh: DataFrame, threshold: Double,
+                         k: Int = 8, shingleN: Int = 3, rowsPerBand: Int = 2,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val nBands = k / rowsPerBand
+    def bands(docs: DataFrame) =
+      minhashSignatures(docs, k, shingleN, rowsPerBand, textCol, idCol)
+        .select(col(idCol),
+          explode(array((0 until nBands).map(b =>
+            struct(lit(b).as("band_idx"), col(s"band_$b").as("bkey"))): _*)).as("b"))
+        .select(col(idCol), col("b.band_idx"), col("b.bkey"))
+        .filter(col("bkey").isNotNull)
+    val cand = bands(fresh).select(col(idCol).as("new_id"), col("band_idx"), col("bkey"))
+      .join(bands(corpus).select(col(idCol).as("corpus_id"), col("band_idx"), col("bkey")),
+        Seq("band_idx", "bkey"))
+      .select("new_id", "corpus_id").distinct()
+    def shingleSets(docs: DataFrame, ids: DataFrame, as: String) =
+      docs.join(ids, docs(idCol) === ids(as), "left_semi")
+        .select(col(idCol).as(as), tokenHashes(tokens(col(textCol))).as("__th"))
+        .select(col(as), array_distinct(hashedShingles(col("__th"), shingleN)).as(s"sh_$as"))
+    cand
+      .join(shingleSets(fresh, cand.select("new_id"), "new_id"), "new_id")
+      .join(shingleSets(corpus, cand.select("corpus_id"), "corpus_id"), "corpus_id")
+      .withColumn("jac", jaccard(col("sh_new_id"), col("sh_corpus_id")))
+      .filter(col("jac") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jac"))
+  }
+
   /** Transitive near-dup clusters from candidate pairs: connected
     * components by iterative min-id label propagation. Returns one row per
     * clustered doc — (doc id, cluster id = min doc id in its component,

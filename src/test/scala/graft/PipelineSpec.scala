@@ -132,6 +132,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup reports cross-side pairs only, never within-side") {
+    val corpus = docsDf(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta"), // within-corpus dup: not reported
+      (3L, "totally unrelated words live here now"))
+    val fresh = docsDf(
+      (10L, "alpha beta gamma delta epsilon zeta eta"), // dups corpus 1 and 2
+      (11L, "fresh content with no corpus overlap at all"))
+    val got = Dedup.minhashPairsAcross(corpus, fresh, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 1L), (10L, 2L)))
+  }
+
   test("decontamination flags exactly the docs sharing an n-gram with the benchmark") {
     import graft.operators.Decontaminate
     // doc 0 (src0) is benchmark; doc 1 copies a 5-gram from it, doc 3 is clean
