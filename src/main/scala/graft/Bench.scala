@@ -14,9 +14,23 @@ object Bench {
     checksum.collect()
     ()
   }
+
+  /** Reset shared-JVM state between timed runs so one query's residue can't
+    * tax the next: release every persisted/checkpointed RDD still in the
+    * block store (iterative operators return localCheckpoint-backed frames
+    * whose blocks otherwise live for the whole session — round-3 showed the
+    * queries AFTER d6 in iteration order drifting 3-4× slower), then GC so
+    * heap pressure from one query isn't billed to its successors. */
+  private def cleanup(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    System.gc()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,22 +44,32 @@ object Bench {
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Per-query time = MEDIAN of `runs` back-to-back executions, state reset
+    // between each — a single-shot time conflates the plan's cost with
+    // whatever JVM state the previous 50 queries left behind (JIT, GC debt,
+    // leaked cache blocks), and round-3's tail-of-map queries regressed 4×
+    // from exactly that. Medians make a slow number mean a slow PLAN.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try evaluate(fn(spark, sfDir)) catch {
-        case e: Throwable =>
-          errors(name) = (e.getClass.getSimpleName + ": " +
-            Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(160))
-            .replaceAll("[\"\\\\]", "'")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try evaluate(fn(spark, sfDir)) catch {
+          case e: Throwable =>
+            errors(name) = (e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(160))
+              .replaceAll("[\"\\\\]", "'")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        cleanup(spark)
+        dt
+      }.sorted
+      name -> times(times.size / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }

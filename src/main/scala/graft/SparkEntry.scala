@@ -554,9 +554,48 @@ object SparkEntry {
         k = 5, bits = 4)
       .withColumn("cos", round(col("cos"), 6))
 
-  private def s4IvfKnn(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Similarity.ivfKnn(Tables.embeddings(s, dir), queryId = 0L, k = 10)
+  /** Materialized IVF index shared by s4_ivf_build / s4_ivf_knn — the
+    * deployable ANN shape: a deployment trains + writes the cell-partitioned
+    * index ONCE, then serves every query from it (round 3 benched a path
+    * that re-ran Lloyd training per query — 2 full corpus passes each call).
+    * Keyed by sf dir so verify (sf0.01) and bench (sf0.1) runs don't
+    * collide; the artifact lands under ./target (scratch, not source). */
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[(Int, Seq[Double])])]()
+  private def buildIvfIndex(s: SparkSession, dir: String): (String, Seq[(Int, Seq[Double])]) = {
+    val emb = Tables.embeddings(s, dir)
+    val cents = graft.operators.Similarity.ivfTrain(emb, nlist = 16, iters = 2)
+    val path = "target/graft-ivf-index/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.operators.Similarity.ivfWriteIndex(emb, cents, path)
+    ivfIndexCache.put(dir, (path, cents))
+    (path, cents)
+  }
+  private def ensureIvfIndex(s: SparkSession, dir: String): (String, Seq[(Int, Seq[Double])]) =
+    Option(ivfIndexCache.get(dir)).getOrElse(buildIvfIndex(s, dir))
+
+  /** s4a: the IVF index BUILD (train + write), timed separately from probes.
+    * Output = per-cell occupancy RE-READ from the written index, so the
+    * oracle checks the materialized artifact, not just the plan. */
+  private def s4IvfBuild(s: SparkSession, dir: String): DataFrame = {
+    val (path, _) = buildIvfIndex(s, dir)
+    s.read.parquet(path)
+      .groupBy(col("cell").cast(IntegerType).as("cell"))
+      .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_id"),
+        max(col("vec_id")).as("max_id"))
+  }
+
+  /** s4: IVF probe against the MATERIALIZED cell-partitioned index —
+    * planning-time partition pruning (PartitionFilters) reads nProbe/nlist
+    * of storage; centroid ranking and the query vector are driver-side
+    * (KBs), no training in the query path. */
+  private def s4IvfKnn(s: SparkSession, dir: String): DataFrame = {
+    val (path, cents) = ensureIvfIndex(s, dir)
+    val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 0L)
+      .select(graft.functions.VectorFunctions.toDouble(col("embedding")))
+      .head().getSeq[Double](0).toIndexedSeq
+    graft.operators.Similarity.ivfProbeIndex(s, path, cents, qv, k = 10)
       .withColumn("cos", round(col("cos"), 6))
+  }
 
   private def s3LshStats(s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.lshBucketStats(Tables.embeddings(s, dir))
@@ -655,6 +694,38 @@ object SparkEntry {
   private val duckJaccard =
     "len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE"
 
+  /** DuckDB list dot product over the 64-dim embedding columns. */
+  private def duckIvfDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
+
+  /** DuckDB replay of Similarity.ivfTrain + final assignment: 2 Lloyd
+    * iterations with fixed-point (floor(v*2^20) BIGINT) component sums —
+    * exact and order-independent, so trained centroids and therefore
+    * assignments and scores match Spark bit-for-bit; argmax ties break to
+    * lowest cid on both sides (row_number ORDER BY s DESC, cid ≡
+    * struct(s,-cid) max). Yields CTEs `e` (doubled vectors), `cent2`
+    * (trained centroids), `as2` (vec_id → cell). */
+  private def duckIvfTrainCtes: String = {
+    def iterSql(i: Int): String =
+      s"""sc$i AS (SELECT e.vec_id, c.cid, ${duckIvfDot("e.v", "c.cv")} AS s FROM e CROSS JOIN cent$i c),
+         |as$i AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM sc$i) WHERE rn = 1),
+         |ex$i AS (SELECT a.cell, unnest(range(1, 65)) AS dim, unnest(e.v) AS val
+         |  FROM e JOIN as$i a USING (vec_id)),
+         |cent${i + 1} AS (SELECT cell AS cid, list(sq / qn ORDER BY dim) AS cv FROM (
+         |  SELECT cell, dim, sum(CAST(floor(val * 1048576.0) AS BIGINT))::DOUBLE AS sq,
+         |         (count(*) * 1048576.0) AS qn
+         |  FROM ex$i GROUP BY cell, dim) GROUP BY cell)""".stripMargin
+    s"""e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings),
+       |cent0 AS (SELECT vec_id::INT AS cid, v AS cv FROM e WHERE vec_id < 16),
+       |${iterSql(0)},
+       |${iterSql(1)},
+       |sc2 AS (SELECT e.vec_id, c.cid, ${duckIvfDot("e.v", "c.cv")} AS s FROM e CROSS JOIN cent2 c),
+       |as2 AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM sc2) WHERE rn = 1)""".stripMargin
+  }
+
   /** Shared CTE prelude replicating minhashPairs' candidate generation:
     * token hashes → shingle hashes → 8 minhash sigs → 4 band keys →
     * band-equality candidates + distinct shingle sets for the verify. */
@@ -745,7 +816,11 @@ object SparkEntry {
 
   // ----------------------------------------------------------------- contract
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // ListMap: ITERATION ORDER IS PART OF THE CONTRACT — Verify and Bench walk
+  // this map in insertion order, and s4_ivf_build must precede s4_ivf_knn so
+  // the probe hits the index the build materialized.
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    scala.collection.immutable.ListMap(
     "t1_time_scan" -> (t1TimeScan _),
     "f1_cmp" -> (f1Cmp _),
     "f1_string" -> (f1String _),
@@ -790,6 +865,7 @@ object SparkEntry {
     "s1_knn" -> (s1Knn _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_lsh_stats" -> (s3LshStats _),
+    "s4_ivf_build" -> (s4IvfBuild _),
     "s4_ivf_knn" -> (s4IvfKnn _),
     "s5_quant_knn" -> (s5QuantKnn _),
     "s6_batch_knn" -> (s6BatchKnn _),
@@ -1171,35 +1247,18 @@ object SparkEntry {
          | min(vec_id) AS min_id, max(vec_id) AS max_id
          |FROM embeddings GROUP BY 1""".stripMargin
     },
+    "s4_ivf_build" ->
+      // per-cell occupancy of the materialized index == final Lloyd
+      // assignment replayed in DuckDB ([[duckIvfTrainCtes]])
+      s"""WITH $duckIvfTrainCtes
+         |SELECT CAST(cell AS INT) AS cell, CAST(count(*) AS BIGINT) AS n,
+         | min(vec_id) AS min_id, max(vec_id) AS max_id
+         |FROM as2 GROUP BY 1""".stripMargin,
     "s4_ivf_knn" -> {
-      // replays Similarity.ivfTrain/ivfKnn: 2 Lloyd iterations with
-      // fixed-point (floor(v*2^20) BIGINT) component sums — exact and
-      // order-independent, so trained centroids and therefore assignments
-      // and scores match Spark bit-for-bit; argmax ties break to lowest cid
-      // on both sides (row_number ORDER BY s DESC, cid ≡ struct(s,-cid) max)
-      def dotL(a: String, b: String): String =
-        s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
-      def iterSql(i: Int): String =
-        s"""sc$i AS (SELECT e.vec_id, c.cid, ${dotL("e.v", "c.cv")} AS s FROM e CROSS JOIN cent$i c),
-           |as$i AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid,
-           |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM sc$i) WHERE rn = 1),
-           |ex$i AS (SELECT a.cell, unnest(range(1, 65)) AS dim, unnest(e.v) AS val
-           |  FROM e JOIN as$i a USING (vec_id)),
-           |cent${i + 1} AS (SELECT cell AS cid, list(sq / qn ORDER BY dim) AS cv FROM (
-           |  SELECT cell, dim, sum(CAST(floor(val * 1048576.0) AS BIGINT))::DOUBLE AS sq,
-           |         (count(*) * 1048576.0) AS qn
-           |  FROM ex$i GROUP BY cell, dim) GROUP BY cell)""".stripMargin
-      val cos = s"${dotL("e.v", "q.qv")} / (sqrt(${dotL("e.v", "e.v")}) * sqrt(${dotL("q.qv", "q.qv")}))"
-      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
-         |           FROM embeddings),
-         |cent0 AS (SELECT vec_id::INT AS cid, v AS cv FROM e WHERE vec_id < 16),
-         |${iterSql(0)},
-         |${iterSql(1)},
-         |sc2 AS (SELECT e.vec_id, c.cid, ${dotL("e.v", "c.cv")} AS s FROM e CROSS JOIN cent2 c),
-         |as2 AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid,
-         |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM sc2) WHERE rn = 1),
+      val cos = s"${duckIvfDot("e.v", "q.qv")} / (sqrt(${duckIvfDot("e.v", "e.v")}) * sqrt(${duckIvfDot("q.qv", "q.qv")}))"
+      s"""WITH $duckIvfTrainCtes,
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-         |qsel AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${dotL("c.cv", "q.qv")} DESC, c.cid) AS rn
+         |qsel AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${duckIvfDot("c.cv", "q.qv")} DESC, c.cid) AS rn
          |  FROM cent2 c, q) WHERE rn <= 2)
          |SELECT e.vec_id, e.label, a.cell, round($cos, 6) AS cos
          |FROM e JOIN as2 a USING (vec_id) JOIN qsel ON a.cell = qsel.cid, q
