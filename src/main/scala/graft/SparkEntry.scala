@@ -106,6 +106,15 @@ object SparkEntry {
     Compiler.runRaw(ev, q)
   }
 
+  /** F2 boolean WHERE (extension — the reference is AND-only, expr.rs:99):
+    * disjunction + nested negation through the SQL front door. NOT follows
+    * three-valued logic on both engines (value NULL → NOT(NULL) → dropped). */
+  private def f2Bool(s: SparkSession, dir: String): DataFrame = {
+    val sql = "select event_id, user_id, event_type, value from events " +
+      "where event_type = error or (event_type = click and not (value >= 100))"
+    graft.sql.ZxSql.run(Tables.events(s, dir), sql)
+  }
+
   // ------------------------------------------------- G1 + A1..A6: aggregates
 
   /** G1 nil-sentinel grouping (lib.rs:538-556) + A1 sum / A4 count / A6 mean
@@ -825,6 +834,7 @@ object SparkEntry {
     "f1_cmp" -> (f1Cmp _),
     "f1_string" -> (f1String _),
     "f1_null" -> (f1Null _),
+    "f2_bool" -> (f2Bool _),
     "g1_group_nil" -> (g1GroupNil _),
     "g2_salted_agg" -> (g2SaltedAgg _),
     "a1_weighted" -> (a1Weighted _),
@@ -893,6 +903,10 @@ object SparkEntry {
     "f1_null" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE nullif(event_type, 'error') IS NULL AND value IS NOT NULL""".stripMargin,
+    "f2_bool" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_type = 'error'
+        |   OR (event_type = 'click' AND NOT (value >= 100))""".stripMargin,
     "g1_group_nil" ->
       """SELECT coalesce(nullif(event_type, 'view'), '__nil') AS etype_n,
         | round(sum(coalesce(value, 0)), 3) AS sum_value,

@@ -52,8 +52,9 @@ object Compiler {
         q.tEnd.map(e => ts <= timestamp_seconds(lit(e))).toSeq
     val timeBounded = (tsBounds ++ nsBounds).reduceOption(_ && _)
       .map(df.filter).getOrElse(df)
-    Predicates.compileAll(q.conditions, df.schema)
-      .map(timeBounded.filter).getOrElse(timeBounded)
+    val preds = Predicates.compileAll(q.conditions, df.schema).toSeq ++
+      q.where.map(Predicates.compileTree(_, df.schema)).toSeq
+    preds.reduceOption(_ && _).map(timeBounded.filter).getOrElse(timeBounded)
   }
 
   /** Group keys with the reference's `__nil` sentinel for missing values

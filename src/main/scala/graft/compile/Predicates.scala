@@ -86,4 +86,16 @@ object Predicates {
     * lib.rs:197-200; Catalyst re-orders and compacts the conjunction). */
   def compileAll(conds: Seq[Condition], schema: StructType): Option[Column] =
     conds.map(compile(_, schema)).reduceOption(_ && _)
+
+  /** Recursive compile of the boolean [[ConditionTree]] (OR/NOT/parens —
+    * extension; the reference punts at expr.rs:99). Spark `Column`s compose
+    * natively, and Catalyst still splits the top-level conjunction for
+    * pushdown (`BooleanSimplification` + `PushDownPredicates`), so a
+    * disjunction costs exactly what the data demands, no more plumbing. */
+  def compileTree(tree: ConditionTree, schema: StructType): Column = tree match {
+    case ConditionTree.Leaf(c)      => compile(c, schema)
+    case ConditionTree.And(cs)      => cs.map(compileTree(_, schema)).reduce(_ && _)
+    case ConditionTree.Or(cs)       => cs.map(compileTree(_, schema)).reduce(_ || _)
+    case ConditionTree.Not(c)       => !compileTree(c, schema)
+  }
 }

@@ -32,6 +32,23 @@ object Cmp {
 /** One conjunct; conditions AND-chain (lib.rs:197-200, expr.rs:75-80). */
 final case class Condition(cmp: Cmp, column: String, value: String = "")
 
+/** Boolean condition tree — extension: the reference's WHERE is AND-only
+  * (expr.rs:75-80; every other `BinaryOperator` hits `unimplemented!()`,
+  * expr.rs:99), yet the first real observability query a user writes
+  * (`where type = 'error' or type = 'panic'`) needs disjunction. Spark
+  * `Column`s compose with `||`/`!` for free, so only the IR and SQL surface
+  * ever gated this. NOT follows SQL three-valued logic: `not(NULL)` is
+  * NULL, so rows where the inner predicate is undefined are dropped —
+  * consistent with how the negated comparators already behave
+  * (Predicates.scala semantics note). */
+sealed trait ConditionTree
+object ConditionTree {
+  final case class Leaf(cond: Condition) extends ConditionTree
+  final case class And(children: Seq[ConditionTree]) extends ConditionTree
+  final case class Or(children: Seq[ConditionTree]) extends ConditionTree
+  final case class Not(child: ConditionTree) extends ConditionTree
+}
+
 /** Aggregates — lib.rs:133-143. The reference leaves P50/Raw/Heatmap
   * `unimplemented!()` (lib.rs:659-661); we implement all of them. */
 sealed abstract class Agg(val name: String)
@@ -92,4 +109,7 @@ final case class ZxQuery(
     granularitySec: Long = 300L,
     limit: Option[Int] = None,
     skewSalt: Option[Int] = None,
-    exact: Boolean = false)
+    exact: Boolean = false,
+    /** Boolean WHERE tree (OR/NOT/parens — extension over the reference's
+      * AND-only surface); ANDed with [[conditions]] when both are set. */
+    where: Option[ConditionTree] = None)

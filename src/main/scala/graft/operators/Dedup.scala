@@ -156,16 +156,33 @@ object Dedup {
     * landed within a few plain rounds (a long-chain component slipped in) —
     * halving never changes the fixpoint, only how fast it's reached. */
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                  maxIter: Int = 20, pointerHalving: Boolean = false): DataFrame = {
+                  maxIter: Int = 20, pointerHalving: Boolean = false,
+                  maxDriverEdges: Long = 1L << 22): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint
     // materialize the (possibly expensive) pair DAG ONCE; the reversed
     // direction is then a cheap scan of the cached rows, not a recompute
-    val p = pairs.select(col(idA).as("src"), col(idB).as("dst")).persist()
-    if (p.count() == 0) { // no pairs → no non-trivial clusters (sum(NULL) NPEs below)
+    val p = pairs.select(col(idA).cast(LongType).as("src"),
+      col(idB).cast(LongType).as("dst")).persist()
+    val nEdges = p.count()
+    if (nEdges == 0) { // no pairs → no non-trivial clusters (sum(NULL) NPEs below)
       p.unpersist()
       return p.sparkSession.emptyDataFrame
         .select(lit(0L).as("doc_id"), lit(0L).as("cluster_id"),
           lit(0L).as("cluster_size")).limit(0)
+    }
+    // Size-adaptive strategy, the broadcast-join pattern applied to CC: a
+    // near-dup PAIR graph is orders of magnitude smaller than the corpus
+    // that produced it (only docs with a band collision AND a verified
+    // jaccard appear), so up to `maxDriverEdges` (~4M edges ≈ 64 MB of
+    // longs) the whole component structure fits on the driver and a
+    // union-find closes it in one pass — no per-round join/shuffle/
+    // checkpoint latency, which dominates the distributed loop on
+    // synchronous round count (8-10 rounds × fixed job cost). Past the
+    // threshold the O(diameter)-round distributed loop below takes over;
+    // both paths produce identical output and are spec-equivalence-pinned.
+    if (nEdges <= maxDriverEdges) {
+      try return driverUnionFind(p)
+      finally p.unpersist()
     }
     // cache edges already hash-partitioned on the per-iteration join key:
     // the cached partitioning satisfies the join requirement, so only the
@@ -230,6 +247,36 @@ object Dedup {
       unpersistCheckpoint(labels)
       res
     } finally { edges.unpersist(); p.unpersist() }
+  }
+
+  /** Driver-side union-find over a collected (src, dst) edge frame — the
+    * small-graph fast path of [[dupClusters]]. Union attaches the larger
+    * root under the smaller, so each component's root IS its min id; path
+    * compression keeps finds near-O(1). Output schema matches the
+    * distributed loop exactly: (doc_id, cluster_id = component min,
+    * cluster_size). */
+  private def driverUnionFind(p: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    val seen = scala.collection.mutable.LongMap.empty[Unit]
+    p.collect().foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      seen(a) = (); seen(b) = ()
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val labels = seen.keys.map(id => id -> find(id)).toSeq
+    val sizes = labels.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val spark = p.sparkSession
+    import spark.implicits._
+    labels.map { case (id, lbl) => (id, lbl, sizes(lbl)) }
+      .toDF("doc_id", "cluster_id", "cluster_size")
   }
 
   /** Per-doc 16-bit SimHash fingerprints. Two-step projection: the md5

@@ -75,11 +75,25 @@ object GapWindows {
     val strIdx = aggCols.zipWithIndex.map { case (c, i) => c -> (nKeys + 3 + aggCols.size + i) }.toMap
 
     val sortCols = keyIdx.map(i => col(proj.columns(i))) ++ Seq(col("__ts_sec"), col("__row_id"))
+    // SCALE WARNING — empty groupBy serializes the walk: a global gap window
+    // is inherently sequential (every event's window assignment depends on
+    // its predecessor's), so the no-group path coalesces to ONE partition
+    // and walks the whole filtered range on a single task. Fine for the
+    // reference's single-store semantics and for bounded time ranges; at
+    // 100 TB an ungrouped walk over an unbounded range is a driver-adjacent
+    // bottleneck BY CONSTRUCTION — add group keys (the walk parallelizes
+    // per group) or bound the scan with tStart/tEnd.
     val arranged =
       if (nKeys > 0)
         proj.repartition(keyIdx.map(i => col(proj.columns(i))): _*)
           .sortWithinPartitions(sortCols: _*)
-      else proj.coalesce(1).sortWithinPartitions(sortCols: _*)
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "GapWindows with no group keys runs the ENTIRE range on one task " +
+            "(a global gap walk is sequential by definition); add group-by " +
+            "columns or tight time bounds at scale")
+        proj.coalesce(1).sortWithinPartitions(sortCols: _*)
+      }
 
     val outSchema = StructType(
       q.groupBy.map(StructField(_, StringType)) ++

@@ -9,12 +9,15 @@ import graft.operators.GapWindows
   * expr.rs:106-230) as a hand-rolled recursive-descent parser to [[ZxQuery]].
   *
   * Accepted subset (reference-parity, lowercased like lib.rs:818-820):
-  *   select <item, …> [from <ignored>] [where <cond and …>]
+  *   select <item, …> [from <ignored>] [where <boolexpr>]
   *   [group by <col, …>] [order by <item> [asc|desc], …]
   *   [limit <n>] [granularity <seconds>] [exact]
   * where item := col | count|sum|max|min|count_distinct|mean|p50|heatmap
   *               |approx_count_distinct|p50_approx(col) | count(*)
-  * and cond := col (=|!=|<>|>|<|>=|<=) value | col [not] like pattern.
+  * and boolexpr := full boolean structure with OR / AND / NOT / parens
+  * (precedence NOT > AND > OR — extension: the reference is AND-only,
+  * expr.rs:75-80, and punts every other operator, expr.rs:99)
+  * over cond := col (=|!=|<>|>|<|>=|<=) value | col [not] like pattern.
   * `$t_start` / `$t_end` equality conditions become the scan's time range
   * (expr.rs:170-186).
   *
@@ -163,17 +166,69 @@ object ZxSql {
       buf.result()
     }
 
+    // Boolean WHERE grammar (extension — the reference is AND-only,
+    // expr.rs:75-80/99): standard precedence NOT > AND > OR, parentheses
+    // group. `not` here prefixes a term (`not (x = 1)`), distinct from the
+    // infix `col not like` handled inside cond().
+    def unaryExpr(): ConditionTree =
+      if (atIdent("not")) { next(); ConditionTree.Not(unaryExpr()) }
+      else if (peek.contains(Sym("("))) {
+        next()
+        val t = orExpr()
+        next() match {
+          case Sym(")") => t
+          case other    => throw ParseError(s"expected ')', got $other")
+        }
+      } else ConditionTree.Leaf(cond())
+    def andExpr(): ConditionTree = {
+      val buf = Seq.newBuilder[ConditionTree]
+      buf += unaryExpr()
+      while (atIdent("and")) { next(); buf += unaryExpr() }
+      val cs = buf.result()
+      if (cs.size == 1) cs.head else ConditionTree.And(cs)
+    }
+    def orExpr(): ConditionTree = {
+      val buf = Seq.newBuilder[ConditionTree]
+      buf += andExpr()
+      while (atIdent("or")) { next(); buf += andExpr() }
+      val cs = buf.result()
+      if (cs.size == 1) cs.head else ConditionTree.Or(cs)
+    }
+
     expectIdent("select")
     val selects = commaList(selectItem _)
     if (atIdent("from")) { next(); ident() } // tolerated + ignored, like expr.rs (never reads FROM)
 
+    // WHERE parses as a full tree; a pure top-level conjunction of leaves
+    // lands in `conditions` (the reference-shaped IR every compiler path
+    // already handles), anything with OR/NOT stays a tree in `where`.
     var conds = Seq.empty[Condition]
+    var whereTree: Option[ConditionTree] = None
     if (atIdent("where")) {
       next()
-      val buf = Seq.newBuilder[Condition]
-      buf += cond()
-      while (atIdent("and")) { next(); buf += cond() }
-      conds = buf.result()
+      def conjuncts(t: ConditionTree): Seq[ConditionTree] = t match {
+        case ConditionTree.And(cs) => cs.flatMap(conjuncts)
+        case other                 => Seq(other)
+      }
+      val cj = conjuncts(orExpr())
+      val (leaves, complex) = cj.partition(_.isInstanceOf[ConditionTree.Leaf])
+      conds = leaves.map { case ConditionTree.Leaf(c) => c }
+      // $t_start/$t_end are the scan's time range — they only make sense as
+      // top-level conjuncts; buried under OR/NOT their meaning is undefined,
+      // so reject loudly rather than mis-scan
+      def hasTimePseudo(t: ConditionTree): Boolean = t match {
+        case ConditionTree.Leaf(c)  => c.column == "$t_start" || c.column == "$t_end"
+        case ConditionTree.And(cs)  => cs.exists(hasTimePseudo)
+        case ConditionTree.Or(cs)   => cs.exists(hasTimePseudo)
+        case ConditionTree.Not(c)   => hasTimePseudo(c)
+      }
+      complex.find(hasTimePseudo).foreach(_ => throw ParseError(
+        "$t_start/$t_end must be top-level AND conditions (they ARE the scan's time range)"))
+      whereTree = complex match {
+        case Seq()  => None
+        case Seq(t) => Some(t)
+        case ts     => Some(ConditionTree.And(ts))
+      }
     }
 
     var groupBy = Seq.empty[String]
@@ -231,7 +286,7 @@ object ZxSql {
     val realConds = conds.filterNot(c => c.column == "$t_start" || c.column == "$t_end")
 
     ZxQuery(selects, realConds, groupBy, orderBy, tStart, tEnd, gran, limitN,
-      exact = exactWindows)
+      exact = exactWindows, where = whereTree)
   }
 
   // --------------------------------------------------------------- executor

@@ -94,10 +94,29 @@ class PipelineSpec extends AnyFunSuite {
     import SparkFixture.spark.implicits._
     // chain 1-2-3 (transitive: 1 and 3 never paired directly) + island 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
-    val got = Dedup.dupClusters(pairs).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(got == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
-      (10L, 10L, 2L), (11L, 10L, 2L)))
+    val want = Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L))
+    // both strategy rungs: driver union-find (default at this size) and the
+    // distributed label-propagation loop (forced via maxDriverEdges = 0)
+    for (threshold <- Seq(Long.MaxValue, 0L)) {
+      val got = Dedup.dupClusters(pairs, maxDriverEdges = threshold).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"maxDriverEdges=$threshold")
+    }
+  }
+
+  test("dup clusters: driver union-find equals the distributed loop on a random graph") {
+    import SparkFixture.spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    // ~60 nodes, random edges: mixes singleton pairs, cliques-ish blobs,
+    // and chains — the structural cases CC must agree on
+    val edges = (1 to 80).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val df = edges.toDF("id_a", "id_b")
+    def canon(threshold: Long) =
+      Dedup.dupClusters(df, maxDriverEdges = threshold).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(canon(Long.MaxValue) == canon(0L))
   }
 
   test("dup clusters: empty pair input returns an empty frame, not an NPE") {
@@ -113,7 +132,7 @@ class PipelineSpec extends AnyFunSuite {
     // 29-hop path: the plain walk needs ~29 rounds > maxIter=20; the loop
     // must escalate to pointer halving on its own and still land the fixpoint
     val chain = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.dupClusters(chain)
+    val got = Dedup.dupClusters(chain, maxDriverEdges = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == (1L to 30L).map(i => (i, 1L, 30L)).toSet)
   }
@@ -126,7 +145,8 @@ class PipelineSpec extends AnyFunSuite {
     // halving gets a log-scale budget the plain walk couldn't meet (the
     // 11-hop path needs ~11 plain rounds); the plain walk gets the default
     for ((halving, budget) <- Seq((true, 8), (false, 20))) {
-      val got = Dedup.dupClusters(chain, maxIter = budget, pointerHalving = halving)
+      val got = Dedup.dupClusters(chain, maxIter = budget, pointerHalving = halving,
+          maxDriverEdges = 0L)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(got == (1L to 12L).map(i => (i, 1L, 12L)).toSet, s"halving=$halving")
     }

@@ -106,6 +106,61 @@ class SqlSpec extends AnyFunSuite {
     assert(ZxSql.run(fixture, "select foo where foo > abc").count() == 0)
   }
 
+  test("boolean WHERE: OR/NOT/parens parse with NOT > AND > OR precedence") {
+    // pure conjunction of leaves still lands in the flat conditions list
+    val flat = ZxSql.parse("select foo where x > 2 and y = 9")
+    assert(flat.where.isEmpty && flat.conditions.size == 2)
+    // a or b and c == a or (b and c)
+    val q = ZxSql.parse("select foo where x = 1 or x = 2 and not y = 9")
+    assert(q.conditions.isEmpty)
+    assert(q.where == Some(ConditionTree.Or(Seq(
+      ConditionTree.Leaf(Condition(Cmp.Eq, "x", "1")),
+      ConditionTree.And(Seq(
+        ConditionTree.Leaf(Condition(Cmp.Eq, "x", "2")),
+        ConditionTree.Not(ConditionTree.Leaf(Condition(Cmp.Eq, "y", "9")))))))))
+    // parens override: (a or b) and c — the top-level leaf conjunct c is
+    // split back into the flat `conditions` list (the reference-shaped IR),
+    // the disjunction stays a tree; the two are ANDed at compile
+    val p = ZxSql.parse("select foo where (x = 1 or x = 2) and y = 9")
+    assert(p.conditions == Seq(Condition(Cmp.Eq, "y", "9")))
+    assert(p.where == Some(ConditionTree.Or(Seq(
+      ConditionTree.Leaf(Condition(Cmp.Eq, "x", "1")),
+      ConditionTree.Leaf(Condition(Cmp.Eq, "x", "2"))))))
+  }
+
+  test("boolean WHERE: end-to-end disjunction and negation on the fixture") {
+    // fixture: y present on rows {1, 4, 10} with values {1, 9, 9}
+    val or = ZxSql.run(fixture, "select foo where y = 1 or y = 9")
+    assert(or.count() == 3)
+    // infix `not like` still parses inside a boolean tree
+    val mix = ZxSql.run(fixture,
+      "select foo, tag where tag like '%t2%' or (y = 9 and tag not like '%t4%')")
+    assert(mix.count() > 0)
+    // NOT is three-valued: rows missing y drop under not(y = 9) too
+    val neg = ZxSql.run(fixture, "select foo where not y = 9")
+    assert(neg.count() == 1) // only the y=1 row; 7 null-y rows are dropped
+    // $t pseudo-columns remain top-level-only
+    assertThrows[ZxSql.ParseError](
+      ZxSql.parse("select foo where $t_start = 1 or x = 2"))
+    assertThrows[ZxSql.ParseError](
+      ZxSql.parse("select foo where not $t_end = 5"))
+    // unbalanced parens are a named error
+    assertThrows[ZxSql.ParseError](
+      ZxSql.parse("select foo where (x = 1 or x = 2"))
+  }
+
+  test("boolean WHERE flows through aggregate and gap-window paths") {
+    val agg = ZxSql.run(fixture,
+      "select sum(foo) where y = 1 or y = 9 group by y granularity 15")
+      .collect().map(r => (r.getString(0), r.getAs[Double]("sum_foo"))).toMap
+    assert(agg == Map("1" -> 100.0, "9" -> 1400.0))
+    val exact = ZxSql.run(fixture,
+      "select sum(foo) where y = 1 or y = 9 group by y granularity 15 exact",
+      idCol = Some("id"))
+      .collect().map(r => (r.getString(0), r.getAs[Double]("sum_foo"))).toMap
+    assert(exact == Map("1" -> 100.0, "9" -> 1400.0))
+  }
+
   test("count(*) counts every row; a named column only presence") {
     val q = ZxSql.parse("select count(*), count(y)")
     assert(q.selects == Seq(Select(Agg.Count, "*"), Select(Agg.Count, "y")))
