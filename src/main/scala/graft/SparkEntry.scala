@@ -269,6 +269,40 @@ object SparkEntry {
         round3("count_star"), round3("count_value"))
   }
 
+  /** P1 + j2: the as-of join reached from the QUERY LANGUAGE — same
+    * single-exchange AsofJoin plan as j2, same oracle shape (DuckDB native
+    * ASOF LEFT JOIN), but driven by SQL text + a table catalog. */
+  private def p4SqlAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("ts_sec", col("ts").cast(LongType))
+    val ord = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        col("o_orderdate").cast(TimestampType).cast(LongType).as("od_sec"),
+        col("o_orderkey"), col("o_totalprice"))
+    graft.sql.ZxSql.run(ev,
+      "select event_id, user_id, value, ts_sec " +
+        "asof join orders on user_id = o_custkey at ts_sec >= od_sec " +
+        "carry o_orderkey, o_totalprice",
+      tables = Map("orders" -> ord))
+  }
+
+  /** P1 + j3: the trailing range join from SQL — activity over the trailing
+    * hour per user, one range-frame window (no non-equi join). */
+  private def p5SqlTrailing(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      .withColumn("ts_sec", col("ts").cast(LongType))
+    val act = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts").cast(LongType).as("ts_sec"),
+        col("event_id").as("r_event_id"), col("value").as("r_value"))
+    graft.sql.ZxSql.run(ev,
+      "select event_id, user_id, ts_sec " +
+        "trailing join activity on user_id = user_id at ts_sec >= ts_sec " +
+        "within 3600 agg count(r_event_id), sum(r_value)",
+      tables = Map("activity" -> act))
+      .withColumn("sum_r_value",
+        coalesce(round(col("sum_r_value"), 3), lit(0.0)))
+  }
+
   /** O1 + LIMIT through SQL: sort+limit compiles to TakeOrderedAndProject
     * (per-partition top-k, no global sort) — the scalable "top-k services"
     * query the reference's observability UI wants. */
@@ -846,6 +880,8 @@ object SparkEntry {
     "p1_sql" -> (p1Sql _),
     "p2_sql_sorted" -> (p2SqlSorted _),
     "p3_sql_star" -> (p3SqlStar _),
+    "p4_sql_asof" -> (p4SqlAsof _),
+    "p5_sql_trailing" -> (p5SqlTrailing _),
     "o1_top_groups" -> (o1TopGroups _),
     "o2_topk_limit" -> (o2TopkLimit _),
     "o3_top_per_group" -> (o3TopPerGroup _),
@@ -983,6 +1019,32 @@ object SparkEntry {
          |FROM events
          |WHERE epoch(ts) >= $T0 AND epoch(ts) <= $T1
          |GROUP BY 1, 2, 3""".stripMargin,
+    "p4_sql_asof" ->
+      // identical independent encoding to j2's (DuckDB native ASOF LEFT
+      // JOIN) minus the left `value`-independent column set difference
+      """WITH o0 AS (SELECT o_custkey,
+        |    CAST(floor(epoch(o_orderdate)) AS BIGINT) AS od_sec,
+        |    o_orderkey, o_totalprice FROM orders),
+        |o AS (SELECT *, row_number() OVER (PARTITION BY o_custkey, od_sec
+        |    ORDER BY o_orderkey DESC) AS rn FROM o0),
+        |ol AS (SELECT o_custkey, od_sec, o_orderkey, o_totalprice FROM o WHERE rn = 1),
+        |e AS (SELECT event_id, user_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events)
+        |SELECT e.event_id, e.user_id, e.value, e.ts_sec,
+        |  ol.o_orderkey, ol.o_totalprice
+        |FROM e ASOF LEFT JOIN ol
+        |  ON e.user_id = ol.o_custkey AND e.ts_sec >= ol.od_sec""".stripMargin,
+    "p5_sql_trailing" ->
+      // independent non-equi join + group-by encoding (j3's oracle shape)
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value FROM events
+        |    WHERE user_id IS NOT NULL)
+        |SELECT l.event_id, l.user_id, l.ts_sec,
+        |  CAST(count(r.event_id) AS BIGINT) AS count_r_event_id,
+        |  round(coalesce(sum(r.value), 0), 3) AS sum_r_value
+        |FROM e l JOIN e r ON l.user_id = r.user_id
+        |  AND r.ts_sec BETWEEN l.ts_sec - 3600 AND l.ts_sec
+        |GROUP BY l.event_id, l.user_id, l.ts_sec""".stripMargin,
     "o1_top_groups" ->
       """SELECT event_type, round(sum(coalesce(value, 0)), 3) AS sum_value,
         | round(CAST(count(value) AS DOUBLE), 3) AS count_value

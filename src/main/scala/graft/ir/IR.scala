@@ -79,6 +79,22 @@ final case class Select(agg: Agg, column: String) {
   }
 }
 
+/** As-of / trailing-range join clause (extension — the reference has no
+  * joins at all, SURVEY §2 "Explicitly absent"; these are the engine's two
+  * time-series joins, [[graft.operators.AsofJoin]], surfaced in SQL).
+  * `table` is resolved from the runner's caller-provided catalog.
+  *  - `trailingSec = None`: as-of — carry `payload` columns of the latest
+  *    right row at-or-before each left row (per key). Right-side versions
+  *    at the same (key, time) are deduped to the max-`payload.head` row so
+  *    the carried version is deterministic.
+  *  - `trailingSec = Some(w)`: trailing range join — `aggs` aggregates over
+  *    right rows in [t − w, t] per key. */
+final case class JoinSpec(
+    table: String, keyL: String, keyR: String, timeL: String, timeR: String,
+    payload: Seq[String] = Nil,
+    trailingSec: Option[Long] = None,
+    aggs: Seq[Select] = Nil)
+
 sealed trait SortDir
 object SortDir { case object Asc extends SortDir; case object Desc extends SortDir }
 
@@ -112,4 +128,7 @@ final case class ZxQuery(
     exact: Boolean = false,
     /** Boolean WHERE tree (OR/NOT/parens — extension over the reference's
       * AND-only surface); ANDed with [[conditions]] when both are set. */
-    where: Option[ConditionTree] = None)
+    where: Option[ConditionTree] = None,
+    /** As-of / trailing join clause (extension); selects must be Raw and
+      * include the clause's left key and time columns. */
+    asofJoin: Option[JoinSpec] = None)

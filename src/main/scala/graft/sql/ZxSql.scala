@@ -104,6 +104,9 @@ object ZxSql {
       case other    => throw ParseError(s"expected identifier, got $other")
     }
 
+    def parseLong(v: String, what: String): Long =
+      v.toLongOption.getOrElse(throw ParseError(s"expected integer $what, got '$v'"))
+
     def selectItem(): Select = {
       val name = ident()
       if (peek.contains(Sym("("))) {
@@ -199,6 +202,46 @@ object ZxSql {
     val selects = commaList(selectItem _)
     if (atIdent("from")) { next(); ident() } // tolerated + ignored, like expr.rs (never reads FROM)
 
+    // asof / trailing join clauses (extension — surfaces AsofJoin in SQL):
+    //   asof join <table> on <keyL> = <keyR> at <timeL> >= <timeR>
+    //     carry <rightCol, …>
+    //   trailing join <table> on <keyL> = <keyR> at <timeL> >= <timeR>
+    //     within <seconds> agg <agg(rightCol), …>
+    def expectSym(v: String): Unit = next() match {
+      case Sym(`v`) => ()
+      case other    => throw ParseError(s"expected '$v', got $other")
+    }
+    var joinSpec: Option[JoinSpec] = None
+    if (atIdent("asof") || atIdent("trailing")) {
+      val trailing = atIdent("trailing")
+      next(); expectIdent("join")
+      val table = ident()
+      expectIdent("on"); val kl = ident(); expectSym("="); val kr = ident()
+      expectIdent("at"); val tl = ident(); expectSym(">="); val tr = ident()
+      joinSpec = Some(
+        if (!trailing) {
+          expectIdent("carry")
+          JoinSpec(table, kl, kr, tl, tr, payload = commaList(ident _))
+        } else {
+          expectIdent("within")
+          val w = next() match {
+            case Num(v) => parseLong(v, "trailing window seconds")
+            case other  => throw ParseError(s"expected window seconds, got $other")
+          }
+          expectIdent("agg")
+          val aggs = commaList(selectItem _)
+          aggs.find(s => s.agg == Agg.Raw || s.agg == Agg.Heatmap ||
+              s.agg == Agg.CountDistinct || s.agg == Agg.P50).foreach(s =>
+            throw ParseError(s"trailing agg must be sum/count/min/max/mean over a right column, got ${s.agg.name}"))
+          JoinSpec(table, kl, kr, tl, tr, trailingSec = Some(w), aggs = aggs)
+        })
+      joinSpec.filter(_ => selects.exists(_.agg != Agg.Raw)).foreach(_ =>
+        throw ParseError("join queries select bare left columns only (aggregates go in the `agg` clause)"))
+      joinSpec.filterNot(js => selects.exists(_.column == js.keyL) &&
+          selects.exists(_.column == js.timeL)).foreach(js =>
+        throw ParseError(s"join queries must select the join key '${js.keyL}' and time '${js.timeL}'"))
+    }
+
     // WHERE parses as a full tree; a pure top-level conjunction of leaves
     // lands in `conditions` (the reference-shaped IR every compiler path
     // already handles), anything with OR/NOT stays a tree in `where`.
@@ -246,9 +289,6 @@ object ZxSql {
       }
     }
 
-    def parseLong(v: String, what: String): Long =
-      v.toLongOption.getOrElse(throw ParseError(s"expected integer $what, got '$v'"))
-
     var limitN: Option[Int] = None
     if (atIdent("limit")) {
       next()
@@ -286,17 +326,48 @@ object ZxSql {
     val realConds = conds.filterNot(c => c.column == "$t_start" || c.column == "$t_end")
 
     ZxQuery(selects, realConds, groupBy, orderBy, tStart, tEnd, gran, limitN,
-      exact = exactWindows, where = whereTree)
+      exact = exactWindows, where = whereTree, asofJoin = joinSpec)
   }
 
   // --------------------------------------------------------------- executor
 
-  /** Parse + route: ORDER BY → sorted "top groups" path; all-Raw select →
-    * plain projection; otherwise windowed time-series (`exact = true` replays
-    * the reference's gap windows via [[GapWindows]]). */
+  /** Parse + route: asof/trailing join clause → [[graft.operators.AsofJoin]];
+    * ORDER BY → sorted "top groups" path; all-Raw select → plain projection;
+    * otherwise windowed time-series (`exact = true` replays the reference's
+    * gap windows via [[GapWindows]]). `tables` is the catalog join clauses
+    * resolve their right side from. */
   def run(df: DataFrame, sql: String, tsCol: String = Compiler.DefaultTsCol,
-          exact: Boolean = false, idCol: Option[String] = None): DataFrame = {
+          exact: Boolean = false, idCol: Option[String] = None,
+          tables: Map[String, DataFrame] = Map.empty): DataFrame = {
     val q = parse(sql)
+    q.asofJoin.foreach { js =>
+      if (q.groupBy.nonEmpty || q.orderBy.nonEmpty || q.limit.nonEmpty)
+        throw ParseError("asof/trailing join queries do not take group by / order by / limit")
+      val right = tables.getOrElse(js.table, throw ParseError(
+        s"unknown join table '${js.table}' — pass it via run(..., tables = Map(...))"))
+      // left = the reference scan/filter/project pipeline, then one
+      // single-exchange asof or trailing window (AsofJoin scaladoc)
+      val left = Compiler.runRaw(df, q.copy(limit = None), tsCol)
+      return js.trailingSec match {
+        case None =>
+          val latest = graft.operators.AsofJoin.latestPerKeyTime(
+            right, js.keyR, js.timeR, js.payload.head)
+          graft.operators.AsofJoin.asof(left, latest,
+            js.keyL, js.keyR, js.timeL, js.timeR, js.payload)
+        case Some(w) =>
+          import org.apache.spark.sql.functions.{sum, count, min, max, avg, col}
+          val aggs = js.aggs.map(sel => sel.key -> (sel.agg match {
+            case Agg.Sum   => sum(col(sel.column))
+            case Agg.Count => count(col(sel.column))
+            case Agg.Min   => min(col(sel.column))
+            case Agg.Max   => max(col(sel.column))
+            case Agg.Mean  => avg(col(sel.column))
+            case other     => throw ParseError(s"unsupported trailing agg ${other.name}")
+          })).toMap
+          graft.operators.AsofJoin.trailingWindow(left, right,
+            js.keyL, js.keyR, js.timeL, js.timeR, w, aggs)
+      }
+    }
     if (q.orderBy.exists(_.select.agg == Agg.Heatmap))
       throw ParseError("cannot order by heatmap(...)")
     if (q.selects.exists(_.agg == Agg.Heatmap)) {

@@ -149,6 +149,58 @@ class SqlSpec extends AnyFunSuite {
       ZxSql.parse("select foo where (x = 1 or x = 2"))
   }
 
+  test("asof join clause routes through AsofJoin with deterministic version dedup") {
+    import SparkFixture.spark.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 150L), (4L, 30L, 50L))
+      .toDF("event_id", "uid", "t")
+    val dim = Seq((10L, 50L, "v1"), (10L, 150L, "v2"), (20L, 100L, "v3"))
+      .toDF("dkey", "dt", "ver")
+    val got = ZxSql.run(left,
+      "select event_id, uid, t asof join dim on uid = dkey at t >= dt carry ver",
+      tables = Map("dim" -> dim))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    // latest at-or-before per key; key 30 has no dim row → null payload
+    assert(got == Map(1L -> Some("v1"), 2L -> Some("v2"),
+      3L -> Some("v3"), 4L -> None))
+  }
+
+  test("trailing join clause computes windowed aggregates over right rows") {
+    import SparkFixture.spark.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 150L))
+      .toDF("event_id", "uid", "t")
+    val acts = Seq((10L, 90L, 1.0), (10L, 95L, 2.0), (20L, 10L, 5.0))
+      .toDF("akey", "at2", "r_v")
+    val got = ZxSql.run(left,
+      "select event_id, uid, t trailing join acts on uid = akey at t >= at2 " +
+        "within 100 agg sum(r_v), count(r_v)",
+      tables = Map("acts" -> acts))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("count_r_v"), Option(r.getAs[java.lang.Double]("sum_r_v")))).toMap
+    assert(got == Map(1L -> (2L, Some(3.0: java.lang.Double)),
+      2L -> (0L, None), 3L -> (0L, None)))
+  }
+
+  test("join clauses reject malformed shapes loudly") {
+    import SparkFixture.spark.implicits._
+    val left = Seq((1L, 10L, 100L)).toDF("event_id", "uid", "t")
+    // unknown table
+    assertThrows[ZxSql.ParseError](ZxSql.run(left,
+      "select event_id, uid, t asof join nope on uid = k at t >= rt carry v"))
+    // aggregates in the select list
+    assertThrows[ZxSql.ParseError](ZxSql.parse(
+      "select sum(x), uid, t asof join d on uid = k at t >= rt carry v"))
+    // key/time must be selected (the output must carry its join anchors)
+    assertThrows[ZxSql.ParseError](ZxSql.parse(
+      "select event_id asof join d on uid = k at t >= rt carry v"))
+    // group by with a join is not a thing
+    assertThrows[ZxSql.ParseError](ZxSql.run(left,
+      "select event_id, uid, t asof join d on uid = k at t >= rt carry v group by uid"))
+    // trailing aggs restricted to decomposable right-column aggregates
+    assertThrows[ZxSql.ParseError](ZxSql.parse(
+      "select event_id, uid, t trailing join d on uid = k at t >= rt within 10 agg count_distinct(v)"))
+  }
+
   test("boolean WHERE flows through aggregate and gap-window paths") {
     val agg = ZxSql.run(fixture,
       "select sum(foo) where y = 1 or y = 9 group by y granularity 15")
