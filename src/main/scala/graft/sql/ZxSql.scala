@@ -17,7 +17,10 @@ import graft.operators.GapWindows
   * and boolexpr := full boolean structure with OR / AND / NOT / parens
   * (precedence NOT > AND > OR — extension: the reference is AND-only,
   * expr.rs:75-80, and punts every other operator, expr.rs:99)
-  * over cond := col (=|!=|<>|>|<|>=|<=) value | col [not] like pattern.
+  * over cond := col (=|!=|<>|>|<|>=|<=) value | col [not] like pattern
+  *            | col [not] in (value, …) | col [not] between lo and hi
+  * (IN desugars to OR-of-equalities, BETWEEN to Gte AND Lte — both ride
+  * the condition tree and still push into the scan).
   * `$t_start` / `$t_end` equality conditions become the scan's time range
   * (expr.rs:170-186).
   *
@@ -97,6 +100,10 @@ object ZxSql {
       case Ident(`v`) => ()
       case other      => throw ParseError(s"expected '$v', got $other")
     }
+    def expectSym(v: String): Unit = next() match {
+      case Sym(`v`) => ()
+      case other    => throw ParseError(s"expected '$v', got $other")
+    }
     def atIdent(v: String): Boolean = peek.contains(Ident(v))
 
     def ident(): String = next() match {
@@ -145,19 +152,43 @@ object ZxSql {
       }
     }
 
-    def cond(): Condition = {
+    // `col in (v, …)` desugars to OR-of-equalities, `col between a and b`
+    // to Gte AND Lte — both ride the ConditionTree for free (Catalyst still
+    // pushes the disjunction/range into the scan). NOT IN / NOT BETWEEN
+    // negate the desugared tree (three-valued logic: a NULL column drops).
+    def inTree(c: String): ConditionTree = {
+      expectSym("(")
+      val vs = commaList(value _)
+      expectSym(")")
+      val leaves = vs.map(v => ConditionTree.Leaf(Condition(Cmp.Eq, c, v)))
+      if (leaves.size == 1) leaves.head else ConditionTree.Or(leaves)
+    }
+    def betweenTree(c: String): ConditionTree = {
+      val lo = value(); expectIdent("and"); val hi = value()
+      ConditionTree.And(Seq(
+        ConditionTree.Leaf(Condition(Cmp.Gte, c, lo)),
+        ConditionTree.Leaf(Condition(Cmp.Lte, c, hi))))
+    }
+    def cond(): ConditionTree = {
       val c = ident()
       next() match {
-        case Sym("=")             => Condition(Cmp.Eq, c, value())
-        case Sym("!=") | Sym("<>") => Condition(Cmp.Ne, c, value())
-        case Sym(">")             => Condition(Cmp.Gt, c, value())
-        case Sym("<")             => Condition(Cmp.Lt, c, value())
-        case Sym(">=")            => Condition(Cmp.Gte, c, value())
-        case Sym("<=")            => Condition(Cmp.Lte, c, value())
-        case Ident("like")        => likeCond(c, negated = false)
-        case Ident("not")         => expectIdent("like"); likeCond(c, negated = true)
-        case Ident("exists")      => Condition(Cmp.Exists, c)
-        case Ident("notexists")   => Condition(Cmp.NotExists, c)
+        case Sym("=")             => ConditionTree.Leaf(Condition(Cmp.Eq, c, value()))
+        case Sym("!=") | Sym("<>") => ConditionTree.Leaf(Condition(Cmp.Ne, c, value()))
+        case Sym(">")             => ConditionTree.Leaf(Condition(Cmp.Gt, c, value()))
+        case Sym("<")             => ConditionTree.Leaf(Condition(Cmp.Lt, c, value()))
+        case Sym(">=")            => ConditionTree.Leaf(Condition(Cmp.Gte, c, value()))
+        case Sym("<=")            => ConditionTree.Leaf(Condition(Cmp.Lte, c, value()))
+        case Ident("like")        => ConditionTree.Leaf(likeCond(c, negated = false))
+        case Ident("in")          => inTree(c)
+        case Ident("between")     => betweenTree(c)
+        case Ident("not")         => next() match {
+          case Ident("like")    => ConditionTree.Leaf(likeCond(c, negated = true))
+          case Ident("in")      => ConditionTree.Not(inTree(c))
+          case Ident("between") => ConditionTree.Not(betweenTree(c))
+          case other => throw ParseError(s"expected like/in/between after not, got $other")
+        }
+        case Ident("exists")      => ConditionTree.Leaf(Condition(Cmp.Exists, c))
+        case Ident("notexists")   => ConditionTree.Leaf(Condition(Cmp.NotExists, c))
         case other                => throw ParseError(s"unsupported operator $other")
       }
     }
@@ -182,7 +213,7 @@ object ZxSql {
           case Sym(")") => t
           case other    => throw ParseError(s"expected ')', got $other")
         }
-      } else ConditionTree.Leaf(cond())
+      } else cond()
     def andExpr(): ConditionTree = {
       val buf = Seq.newBuilder[ConditionTree]
       buf += unaryExpr()
@@ -207,10 +238,6 @@ object ZxSql {
     //     carry <rightCol, …>
     //   trailing join <table> on <keyL> = <keyR> at <timeL> >= <timeR>
     //     within <seconds> agg <agg(rightCol), …>
-    def expectSym(v: String): Unit = next() match {
-      case Sym(`v`) => ()
-      case other    => throw ParseError(s"expected '$v', got $other")
-    }
     var joinSpec: Option[JoinSpec] = None
     if (atIdent("asof") || atIdent("trailing")) {
       val trailing = atIdent("trailing")

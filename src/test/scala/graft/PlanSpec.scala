@@ -29,6 +29,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("props"), "unprojected column 'props' reached the scan")
   }
 
+  test("boolean OR/NOT WHERE pushes as one disjunction into the parquet scan") {
+    val p = plan("f2_bool")
+    assert(p.contains("PushedFilters: [Or(EqualTo(event_type,error)"),
+      s"disjunction not pushed to the scan:\n$p")
+    // Catalyst simplifies not(value >= 100) to a pushable range predicate
+    assert(p.contains("LessThan(value,100.0)"), s"NOT not simplified:\n$p")
+  }
+
   test("knn and top-k limit compile to per-partition TakeOrderedAndProject") {
     assert(plan("s1_knn").contains("TakeOrderedAndProject"))
     assert(plan("o2_topk_limit").contains("TakeOrderedAndProject"))

@@ -149,6 +149,31 @@ class SqlSpec extends AnyFunSuite {
       ZxSql.parse("select foo where (x = 1 or x = 2"))
   }
 
+  test("IN and BETWEEN desugar onto the condition tree and execute correctly") {
+    // in → OR of equalities
+    val q = ZxSql.parse("select foo where y in (1, 9)")
+    assert(q.where == Some(ConditionTree.Or(Seq(
+      ConditionTree.Leaf(Condition(Cmp.Eq, "y", "1")),
+      ConditionTree.Leaf(Condition(Cmp.Eq, "y", "9"))))))
+    // between → Gte AND Lte (pure conjunction of leaves → flat conditions)
+    val b = ZxSql.parse("select foo where x between 2 and 5")
+    assert(b.where.isEmpty)
+    assert(b.conditions == Seq(Condition(Cmp.Gte, "x", "2"),
+      Condition(Cmp.Lte, "x", "5")))
+    // fixture: y ∈ {1, 9, 9} on rows {1, 4, 10}; x = row index 0..9
+    assert(ZxSql.run(fixture, "select foo where y in (1, 9)").count() == 3)
+    assert(ZxSql.run(fixture, "select foo where y not in (1)").count() == 2)
+    assert(ZxSql.run(fixture, "select foo where x between 2 and 5").count() == 4)
+    assert(ZxSql.run(fixture, "select foo where x not between 2 and 5").count() == 6)
+    // between composes with the boolean grammar's AND unambiguously
+    assert(ZxSql.run(fixture,
+      "select foo where x between 2 and 5 and y = 9").count() == 1)
+    // $t pseudo-columns can't hide inside IN lists
+    assertThrows[ZxSql.ParseError](
+      ZxSql.parse("select foo where $t_start in (1, 2)"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select foo where y in ()"))
+  }
+
   test("asof join clause routes through AsofJoin with deterministic version dedup") {
     import SparkFixture.spark.implicits._
     val left = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 150L), (4L, 30L, 50L))
