@@ -269,6 +269,18 @@ object SparkEntry {
         round3("count_star"), round3("count_value"))
   }
 
+  /** O1 + HAVING: post-aggregation group filtering (extension — the
+    * reference cannot filter aggregates at all), including a HAVING-only
+    * aggregate computed for the filter and dropped from output. Runs on
+    * UNROUNDED aggregates; output rounding follows the parity rules. */
+  private def o4Having(s: SparkSession, dir: String): DataFrame = {
+    val sql = "select sum(value), count(value) from events group by user_id " +
+      "having sum(value) > 1000 and max(value) <= 249 " +
+      "order by sum(value) desc"
+    graft.sql.ZxSql.run(Tables.events(s, dir), sql)
+      .select(col("user_id"), round3("sum_value"), round3("count_value"))
+  }
+
   /** P1 + j2: the as-of join reached from the QUERY LANGUAGE — same
     * single-exchange AsofJoin plan as j2, same oracle shape (DuckDB native
     * ASOF LEFT JOIN), but driven by SQL text + a table catalog. */
@@ -885,6 +897,7 @@ object SparkEntry {
     "o1_top_groups" -> (o1TopGroups _),
     "o2_topk_limit" -> (o2TopkLimit _),
     "o3_top_per_group" -> (o3TopPerGroup _),
+    "o4_having" -> (o4Having _),
     "q1_pricing" -> (q1Pricing _),
     "j1_revenue_nation" -> (j1RevenueNation _),
     "j2_asof_join" -> (j2AsofJoin _),
@@ -1063,6 +1076,15 @@ object SparkEntry {
         |    ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 3""".stripMargin,
+    "o4_having" ->
+      // HAVING on the raw (unrounded) aggregates, like the engine side;
+      // user_id renders as the group key string
+      """SELECT CAST(user_id AS VARCHAR) AS user_id,
+        | round(sum(coalesce(value, 0)), 3) AS sum_value,
+        | round(CAST(count(value) AS DOUBLE), 3) AS count_value
+        |FROM events GROUP BY 1
+        |HAVING sum(coalesce(value, 0)) > 1000 AND max(value) <= 249
+        |ORDER BY sum(coalesce(value, 0)) DESC, CAST(user_id AS VARCHAR)""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

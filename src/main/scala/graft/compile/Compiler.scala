@@ -78,14 +78,44 @@ object Compiler {
     * integer floor keeps the whole plan in whole-stage codegen and makes the
     * group key a cheap LONG.
     */
+  /** HAVING conjuncts → one post-aggregation filter Column. Runs on the
+    * UNROUNDED aggregate outputs (map-side partials already merged), so at
+    * scale it prunes groups before any sort/limit stage. Numeric-literal
+    * comparators only — an aggregate output is always numeric. */
+  private def havingFilter(df: DataFrame, having: Seq[Having]): DataFrame = {
+    val preds = having.map { h =>
+      val c = col(h.select.key)
+      val v = h.value.toDoubleOption.map(lit).getOrElse(throw new IllegalArgumentException(
+        s"having ${h.select.key}: numeric literal required, got '${h.value}'"))
+      h.cmp match {
+        case Cmp.Eq  => c === v
+        case Cmp.Ne  => c =!= v
+        case Cmp.Gt  => c > v
+        case Cmp.Lt  => c < v
+        case Cmp.Gte => c >= v
+        case Cmp.Lte => c <= v
+        case other => throw new IllegalArgumentException(
+          s"having supports numeric comparators, got ${other.name}")
+      }
+    }
+    preds.reduceOption(_ && _).map(df.filter).getOrElse(df)
+  }
+
   def runUnsorted(df: DataFrame, q: ZxQuery, tsCol: String = DefaultTsCol): DataFrame = {
     val filtered = scanFilter(df, q, tsCol)
     val wStart = (floor(col(tsCol).cast(LongType) / q.granularitySec) *
       q.granularitySec).cast(LongType).as("w_start")
     val keys = groupKeys(q, df.schema) :+ wStart
+    val extraSels = q.having.map(_.select)
+      .filterNot(s => q.selects.contains(s)).distinct
     val grouped = Aggregates.groupedAgg(filtered, keys, q.groupBy :+ "w_start",
-      q.selects, df.schema, q.skewSalt)
-    grouped.withColumn("w_end", (col("w_start") + q.granularitySec).cast(LongType))
+      q.selects ++ extraSels, df.schema, q.skewSalt)
+    val kept = havingFilter(grouped, q.having)
+    val pruned = if (extraSels.nonEmpty)
+      kept.select((q.groupBy.map(col) :+ col("w_start")) ++
+        q.selects.map(s => col(s.key)): _*)
+    else kept
+    pruned.withColumn("w_end", (col("w_start") + q.granularitySec).cast(LongType))
   }
 
   /** Pipeline B — whole-range aggregate + multi-key sort ("top groups",
@@ -99,11 +129,11 @@ object Compiler {
   def runSorted(df: DataFrame, q: ZxQuery, tsCol: String = DefaultTsCol): DataFrame = {
     val filtered = scanFilter(df, q, tsCol)
     val keys = groupKeys(q, df.schema)
-    val extraSels = q.orderBy.map(_.select)
+    val extraSels = (q.orderBy.map(_.select) ++ q.having.map(_.select))
       .filterNot(s => q.selects.contains(s) || s.agg == Agg.Raw || s.agg == Agg.Heatmap)
       .distinct
-    val grouped = Aggregates.groupedAgg(filtered, keys, q.groupBy,
-      q.selects ++ extraSels, df.schema, q.skewSalt)
+    val grouped = havingFilter(Aggregates.groupedAgg(filtered, keys, q.groupBy,
+      q.selects ++ extraSels, df.schema, q.skewSalt), q.having)
     val ordCols = q.orderBy.map { ob =>
       val c = col(ob.select.key)
       ob.dir match { case SortDir.Asc => c.asc; case SortDir.Desc => c.desc }

@@ -101,6 +101,13 @@ object SortDir { case object Asc extends SortDir; case object Desc extends SortD
 /** Sort key for the runSorted path — lib.rs:178-188. */
 final case class OrderBy(select: Select, dir: SortDir)
 
+/** Post-aggregation group filter (extension — SQL HAVING; the reference has
+  * no aggregate filtering at all). `select` names the aggregate, `cmp` must
+  * be a numeric comparator or Eq/Ne, `value` a numeric literal. An
+  * aggregate named only in HAVING is computed for the filter and dropped
+  * from the output, like sort-only aggregates. */
+final case class Having(select: Select, cmp: Cmp, value: String)
+
 /** Whole query — lib.rs:51-69. Time bounds are epoch seconds, inclusive,
   * defaulting to (epoch 0, now) (expr.rs:107-108); granularity defaults to
   * the reference's hard-coded 5 minutes (expr.rs:226).
@@ -131,4 +138,6 @@ final case class ZxQuery(
     where: Option[ConditionTree] = None,
     /** As-of / trailing join clause (extension); selects must be Raw and
       * include the clause's left key and time columns. */
-    asofJoin: Option[JoinSpec] = None)
+    asofJoin: Option[JoinSpec] = None,
+    /** HAVING conjuncts applied after aggregation (extension). */
+    having: Seq[Having] = Nil)

@@ -10,7 +10,8 @@ import graft.operators.GapWindows
   *
   * Accepted subset (reference-parity, lowercased like lib.rs:818-820):
   *   select <item, …> [from <ignored>] [where <boolexpr>]
-  *   [group by <col, …>] [order by <item> [asc|desc], …]
+  *   [group by <col, …>] [having <aggitem cmp num and …>]
+  *   [order by <item> [asc|desc], …]
   *   [limit <n>] [granularity <seconds>] [exact]
   * where item := col | count|sum|max|min|count_distinct|mean|p50|heatmap
   *               |approx_count_distinct|p50_approx(col) | count(*)
@@ -304,6 +305,34 @@ object ZxSql {
     var groupBy = Seq.empty[String]
     if (atIdent("group")) { next(); expectIdent("by"); groupBy = commaList(ident _) }
 
+    // HAVING (extension — the reference has no aggregate filtering):
+    // and-chained numeric comparisons over aggregate items; an aggregate
+    // named only here is computed for the filter and dropped from output
+    var having = Seq.empty[Having]
+    if (atIdent("having")) {
+      next()
+      def havingCond(): Having = {
+        val sel = selectItem()
+        if (sel.agg == Agg.Raw)
+          throw ParseError("having filters aggregates — use where for row conditions")
+        if (sel.agg == Agg.Heatmap) throw ParseError("cannot filter by heatmap(...)")
+        val cmp = next() match {
+          case Sym("=")              => Cmp.Eq
+          case Sym("!=") | Sym("<>") => Cmp.Ne
+          case Sym(">")              => Cmp.Gt
+          case Sym("<")              => Cmp.Lt
+          case Sym(">=")             => Cmp.Gte
+          case Sym("<=")             => Cmp.Lte
+          case other => throw ParseError(s"unsupported having operator $other")
+        }
+        Having(sel, cmp, value())
+      }
+      val buf = Seq.newBuilder[Having]
+      buf += havingCond()
+      while (atIdent("and")) { next(); buf += havingCond() }
+      having = buf.result()
+    }
+
     var orderBy = Seq.empty[OrderBy]
     if (atIdent("order")) {
       next(); expectIdent("by")
@@ -353,7 +382,8 @@ object ZxSql {
     val realConds = conds.filterNot(c => c.column == "$t_start" || c.column == "$t_end")
 
     ZxQuery(selects, realConds, groupBy, orderBy, tStart, tEnd, gran, limitN,
-      exact = exactWindows, where = whereTree, asofJoin = joinSpec)
+      exact = exactWindows, where = whereTree, asofJoin = joinSpec,
+      having = having)
   }
 
   // --------------------------------------------------------------- executor
@@ -397,6 +427,14 @@ object ZxSql {
     }
     if (q.orderBy.exists(_.select.agg == Agg.Heatmap))
       throw ParseError("cannot order by heatmap(...)")
+    if (q.having.nonEmpty) {
+      if (q.selects.forall(_.agg == Agg.Raw))
+        throw ParseError("having needs an aggregate query")
+      if (exact || q.exact)
+        throw ParseError("having is not supported with exact gap windows")
+      if (q.selects.exists(_.agg == Agg.Heatmap))
+        throw ParseError("having is not supported with heatmap(...)")
+    }
     if (q.selects.exists(_.agg == Agg.Heatmap)) {
       if (q.selects.size != 1)
         throw ParseError("heatmap(col) must be the only select item")

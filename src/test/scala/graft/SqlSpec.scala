@@ -149,6 +149,36 @@ class SqlSpec extends AnyFunSuite {
       ZxSql.parse("select foo where (x = 1 or x = 2"))
   }
 
+  test("having filters aggregated groups on both sorted and windowed paths") {
+    // fixture sums per y: "1"→100, "9"→1400, __nil→4000
+    val got = ZxSql.run(fixture,
+      "select sum(foo) group by y having sum(foo) > 200 order by sum(foo) asc")
+    assert(got.columns.toSeq == Seq("y", "sum_foo"))
+    assert(got.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("9", 1400.0), (Compiler.NilSentinel, 4000.0)))
+    // an aggregate named only in HAVING is computed for the filter, dropped
+    // from output (counts per y: "1"→1, "9"→2, __nil→7)
+    val only = ZxSql.run(fixture,
+      "select sum(foo) group by y having count(foo) >= 2")
+    assert(only.columns.contains("sum_foo") && !only.columns.contains("count_foo"),
+      s"having-only aggregate must drop from output: ${only.columns.toSeq}")
+    assert(only.select("y").collect().map(_.getString(0)).toSet ==
+      Set("9", Compiler.NilSentinel))
+    // windowed path: 15s buckets cover the whole 0-9s fixture, same groups
+    val win = ZxSql.run(fixture,
+      "select sum(foo) group by y having sum(foo) > 200 granularity 15")
+    assert(win.columns.toSeq == Seq("y", "w_start", "sum_foo", "w_end"))
+    assert(win.select("y").collect().map(_.getString(0)).toSet ==
+      Set("9", Compiler.NilSentinel))
+    // rejections: raw select, exact gap path, bare-column having
+    assertThrows[ZxSql.ParseError](
+      ZxSql.run(fixture, "select foo having sum(foo) > 1"))
+    assertThrows[ZxSql.ParseError](ZxSql.run(fixture,
+      "select sum(foo) group by y having sum(foo) > 1 exact", idCol = Some("id")))
+    assertThrows[ZxSql.ParseError](
+      ZxSql.parse("select sum(foo) group by y having y > 1"))
+  }
+
   test("IN and BETWEEN desugar onto the condition tree and execute correctly") {
     // in → OR of equalities
     val q = ZxSql.parse("select foo where y in (1, 9)")
