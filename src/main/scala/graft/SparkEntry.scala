@@ -235,6 +235,19 @@ object SparkEntry {
     graft.operators.GapWindows(Tables.events(s, dir), q, idCol = Some("event_id"))
   }
 
+  /** A9 session windows (extension): gap-based sessionization via Spark's
+    * native `session_window` — w_start = first event, w_end = last + gap.
+    * Oracle replays the identical rule as lag/cumsum over BIGINT seconds
+    * (Spark merges when next.start <= current.end, so split only when the
+    * gap is STRICTLY greater than 300). */
+  private def a9Session(s: SparkSession, dir: String): DataFrame = {
+    val sql = "select sum(value), count(value) from events " +
+      "group by event_type session 300"
+    graft.sql.ZxSql.run(Tables.events(s, dir), sql)
+      .select(col("event_type"), col("w_start"), col("w_end"),
+        round3("sum_value"), round3("count_value"))
+  }
+
   // ------------------------------------------------------- P1: SQL front door
 
   /** P1 `ZX.SQL` surface (lib.rs:815-844): SQL text → IR → windowed pipeline,
@@ -889,6 +902,7 @@ object SparkEntry {
     "a7_heatmap" -> (a7Heatmap _),
     "a8_window" -> (a8Window _),
     "a8_gap_window" -> (a8GapWindow _),
+    "a9_session" -> (a9Session _),
     "p1_sql" -> (p1Sql _),
     "p2_sql_sorted" -> (p2SqlSorted _),
     "p3_sql_star" -> (p3SqlStar _),
@@ -1006,6 +1020,26 @@ object SparkEntry {
         | round(round(sum(coalesce(value, 0)), 3)
         |   / round(CAST(count(value) AS DOUBLE), 3), 6) AS mean_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "a9_session" ->
+      // lag/cumsum session assignment over BIGINT seconds: new session when
+      // the gap to the previous event is STRICTLY > 300 — Spark merges two
+      // sessions when next.start <= current.end (= last + gap), so a gap of
+      // exactly 300 still merges (pinned at sf0.01, where the >= variant
+      // split 5 equality-gap sessions Spark merged); ties in t can't flip
+      // membership (diff 0 regardless of order)
+      """WITH e AS (SELECT coalesce(event_type, '__nil') AS g,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t, value FROM events),
+        |m AS (SELECT g, t, value,
+        |    CASE WHEN lag(t) OVER (PARTITION BY g ORDER BY t) IS NULL
+        |         OR t - lag(t) OVER (PARTITION BY g ORDER BY t) > 300
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |sid AS (SELECT *, sum(brk) OVER (PARTITION BY g ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s FROM m)
+        |SELECT g AS event_type, min(t) AS w_start, max(t) + 300 AS w_end,
+        |  round(sum(coalesce(value, 0)), 3) AS sum_value,
+        |  round(CAST(count(value) AS DOUBLE), 3) AS count_value
+        |FROM sid GROUP BY g, s""".stripMargin,
     "p1_sql" ->
       s"""SELECT CAST(user_id AS VARCHAR) AS user_id,
          | CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS w_start,

@@ -118,6 +118,39 @@ object Compiler {
     pruned.withColumn("w_end", (col("w_start") + q.granularitySec).cast(LongType))
   }
 
+  /** Pipeline A'' — gap-based SESSION windows (extension): Spark's native
+    * `session_window` merges events whose gap to the previous event is
+    * < gapSec; `w_start` = first event's second, `w_end` = last event's
+    * second + gap. The calendar-independent cousin of [[runUnsorted]]'s
+    * tumbling buckets, and the built-in (merging, watermark-compatible)
+    * counterpart of the reference-parity walk in
+    * [[graft.operators.GapWindows]] — note the semantic difference: the
+    * reference anchors the bound at the FIRST event of a window
+    * (lib.rs:689-714), session windows at the PREVIOUS event. One shuffle;
+    * session merging happens inside the aggregation, so `skewSalt` is
+    * rejected (salted partial sessions cannot merge). */
+  def runSession(df: DataFrame, q: ZxQuery, tsCol: String = DefaultTsCol): DataFrame = {
+    val gap = q.sessionGapSec.getOrElse(
+      throw new IllegalArgumentException("runSession needs sessionGapSec"))
+    require(q.skewSalt.isEmpty,
+      "session windows cannot be salted — partial sessions would not merge")
+    val filtered = scanFilter(df, q, tsCol)
+    // whole-second times on both engines (the oracle replays lag/cumsum over
+    // BIGINT seconds), so session boundaries can never straddle a sub-second
+    val sw = session_window(
+      timestamp_seconds(col(tsCol).cast(LongType)), s"$gap seconds")
+    val keys = groupKeys(q, df.schema) :+ sw.as("__sw")
+    val extraSels = q.having.map(_.select)
+      .filterNot(s => q.selects.contains(s)).distinct
+    val grouped = Aggregates.groupedAgg(filtered, keys, q.groupBy :+ "__sw",
+      q.selects ++ extraSels, df.schema, None)
+    havingFilter(grouped, q.having)
+      .select((q.groupBy.map(col) ++ Seq(
+        col("__sw.start").cast(LongType).as("w_start"),
+        col("__sw.end").cast(LongType).as("w_end")) ++
+        q.selects.map(s => col(s.key))): _*)
+  }
+
   /** Pipeline B — whole-range aggregate + multi-key sort ("top groups",
     * lib.rs:222-246, sort_group lib.rs:735-784). Group keys are appended as
     * final tie-breakers so the output order is total (the reference breaks

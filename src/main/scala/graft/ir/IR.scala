@@ -140,4 +140,10 @@ final case class ZxQuery(
       * include the clause's left key and time columns. */
     asofJoin: Option[JoinSpec] = None,
     /** HAVING conjuncts applied after aggregation (extension). */
-    having: Seq[Having] = Nil)
+    having: Seq[Having] = Nil,
+    /** Session windows (extension): group events whose gap to the previous
+      * event is < this many seconds into one window (sessionization), in
+      * place of fixed tumbling buckets. Mutually exclusive with `exact`
+      * and `orderBy`; incompatible with `skewSalt` (salted partial
+      * sessions cannot merge). */
+    sessionGapSec: Option[Long] = None)

@@ -12,7 +12,7 @@ import graft.operators.GapWindows
   *   select <item, …> [from <ignored>] [where <boolexpr>]
   *   [group by <col, …>] [having <aggitem cmp num and …>]
   *   [order by <item> [asc|desc], …]
-  *   [limit <n>] [granularity <seconds>] [exact]
+  *   [limit <n>] [granularity <seconds>] [session <gapSeconds>] [exact]
   * where item := col | count|sum|max|min|count_distinct|mean|p50|heatmap
   *               |approx_count_distinct|p50_approx(col) | count(*)
   * and boolexpr := full boolean structure with OR / AND / NOT / parens
@@ -363,6 +363,17 @@ object ZxSql {
       }
     }
 
+    // `session <sec>` (extension): gap-based session windows instead of
+    // tumbling buckets — see Compiler.runSession
+    var sessionGap: Option[Long] = None
+    if (atIdent("session")) {
+      next()
+      sessionGap = next() match {
+        case Num(v) => Some(parseLong(v, "session gap seconds"))
+        case other  => throw ParseError(s"expected session gap seconds, got $other")
+      }
+    }
+
     // trailing `exact`: route windows through the reference-parity
     // data-anchored gap walk instead of calendar tumbling
     var exactWindows = false
@@ -381,9 +392,12 @@ object ZxSql {
       parseLong(v, "$t_end epoch seconds") }
     val realConds = conds.filterNot(c => c.column == "$t_start" || c.column == "$t_end")
 
+    if (sessionGap.nonEmpty && (exactWindows || orderBy.nonEmpty))
+      throw ParseError("session windows are mutually exclusive with exact / order by")
+
     ZxQuery(selects, realConds, groupBy, orderBy, tStart, tEnd, gran, limitN,
       exact = exactWindows, where = whereTree, asofJoin = joinSpec,
-      having = having)
+      having = having, sessionGapSec = sessionGap)
   }
 
   // --------------------------------------------------------------- executor
@@ -451,6 +465,10 @@ object ZxSql {
       val sorted = if (ord.nonEmpty) base.orderBy(ord: _*) else base
       q.limit.map(sorted.limit).getOrElse(sorted)
     } else if (q.orderBy.nonEmpty) Compiler.runSorted(df, q, tsCol)
+    else if (q.sessionGapSec.nonEmpty) {
+      if (exact) throw ParseError("session windows are mutually exclusive with exact")
+      Compiler.runSession(df, q, tsCol)
+    }
     else if (exact || q.exact) GapWindows(df, q, tsCol, idCol)
     else Compiler.runUnsorted(df, q, tsCol)
   }

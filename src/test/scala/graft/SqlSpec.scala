@@ -149,6 +149,38 @@ class SqlSpec extends AnyFunSuite {
       ZxSql.parse("select foo where (x = 1 or x = 2"))
   }
 
+  test("session windows merge within the gap and split strictly beyond it") {
+    // fixture per y: "1"→ts {0}; "9"→ts {3, 9} (diff 6); __nil→ts {1,2,4,5,6,7,8}
+    val got = ZxSql.run(fixture, "select sum(foo) group by y session 5")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set(
+      ("1", 0L, 5L, 100.0),            // single event: [0, 0+5)
+      ("9", 3L, 8L, 400.0),            // ts 3 alone (9 - 3 = 6 > 5 splits)
+      ("9", 9L, 14L, 1000.0),          // ts 9 alone
+      (Compiler.NilSentinel, 1L, 13L, 4000.0))) // 1..8 all within gap 5
+    // a gap of EXACTLY the session size still merges (Spark merges when
+    // next.start <= current.end): 9 - 3 = 6 == gap 6 → one session
+    val exactGap = ZxSql.run(fixture, "select sum(foo) group by y session 6")
+      .filter(org.apache.spark.sql.functions.col("y") === "9")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(exactGap == Set((3L, 15L, 1400.0)))
+    // gap 7 likewise merges "9"'s two events into one session
+    val merged = ZxSql.run(fixture, "select sum(foo) group by y session 7")
+      .filter(org.apache.spark.sql.functions.col("y") === "9")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(merged == Set((3L, 16L, 1400.0)))
+    // having composes with sessions; exact/order-by do not
+    val hav = ZxSql.run(fixture,
+      "select sum(foo) group by y having sum(foo) > 500 session 5")
+    assert(hav.select("y").collect().map(_.getString(0)).toSet ==
+      Set("9", Compiler.NilSentinel))
+    assertThrows[ZxSql.ParseError](
+      ZxSql.parse("select sum(foo) group by y session 5 exact"))
+    assertThrows[ZxSql.ParseError](
+      ZxSql.parse("select sum(foo) group by y order by sum(foo) session 5"))
+  }
+
   test("having filters aggregated groups on both sorted and windowed paths") {
     // fixture sums per y: "1"→100, "9"→1400, __nil→4000
     val got = ZxSql.run(fixture,
