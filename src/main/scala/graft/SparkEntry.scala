@@ -248,6 +248,17 @@ object SparkEntry {
         round3("sum_value"), round3("count_value"))
   }
 
+  /** A10 hopping windows (extension): 1h windows sliding every 15 min —
+    * each event lands in 4 windows (Spark Expand → one aggregation).
+    * Oracle: per-event unnest of the covering window starts. */
+  private def a10Hopping(s: SparkSession, dir: String): DataFrame = {
+    val sql = "select sum(value), count(value) from events " +
+      "group by event_type granularity 3600 slide 900"
+    graft.sql.ZxSql.run(Tables.events(s, dir), sql)
+      .select(col("event_type"), col("w_start"), col("w_end"),
+        round3("sum_value"), round3("count_value"))
+  }
+
   // ------------------------------------------------------- P1: SQL front door
 
   /** P1 `ZX.SQL` surface (lib.rs:815-844): SQL text → IR → windowed pipeline,
@@ -903,6 +914,7 @@ object SparkEntry {
     "a8_window" -> (a8Window _),
     "a8_gap_window" -> (a8GapWindow _),
     "a9_session" -> (a9Session _),
+    "a10_hopping" -> (a10Hopping _),
     "p1_sql" -> (p1Sql _),
     "p2_sql_sorted" -> (p2SqlSorted _),
     "p3_sql_star" -> (p3SqlStar _),
@@ -1020,6 +1032,19 @@ object SparkEntry {
         | round(round(sum(coalesce(value, 0)), 3)
         |   / round(CAST(count(value) AS DOUBLE), 3), 6) AS mean_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "a10_hopping" ->
+      // per-event expansion to its covering windows: [w, w+3600) ∋ t iff
+      // t-3600 < w <= t with w ≡ 0 (mod 900) — range() is end-exclusive,
+      // operands always positive so // floor == truncate
+      """WITH e AS (SELECT coalesce(event_type, '__nil') AS g,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t, value FROM events),
+        |x AS (SELECT g, value,
+        |    unnest(range((t - 3600) // 900 + 1, t // 900 + 1)) * 900 AS w
+        |  FROM e)
+        |SELECT g AS event_type, w AS w_start, w + 3600 AS w_end,
+        |  round(sum(coalesce(value, 0)), 3) AS sum_value,
+        |  round(CAST(count(value) AS DOUBLE), 3) AS count_value
+        |FROM x GROUP BY g, w""".stripMargin,
     "a9_session" ->
       // lag/cumsum session assignment over BIGINT seconds: new session when
       // the gap to the previous event is STRICTLY > 300 — Spark merges two

@@ -102,6 +102,7 @@ object Compiler {
   }
 
   def runUnsorted(df: DataFrame, q: ZxQuery, tsCol: String = DefaultTsCol): DataFrame = {
+    if (q.slideSec.nonEmpty) return runHopping(df, q, tsCol)
     val filtered = scanFilter(df, q, tsCol)
     val wStart = (floor(col(tsCol).cast(LongType) / q.granularitySec) *
       q.granularitySec).cast(LongType).as("w_start")
@@ -116,6 +117,32 @@ object Compiler {
         q.selects.map(s => col(s.key)): _*)
     else kept
     pruned.withColumn("w_end", (col("w_start") + q.granularitySec).cast(LongType))
+  }
+
+  /** Pipeline A''' — HOPPING (sliding) windows (extension): windows of
+    * `granularitySec` length starting every `slideSec` seconds, via Spark's
+    * native sliding `window()` (the Expand operator emits size/slide rows
+    * per event before the one aggregation shuffle — the idiomatic rolling
+    * time-series: "hourly error rate, updated every 15 minutes"). Window
+    * starts align to epoch multiples of the slide, identical on both
+    * engines over whole-second times. */
+  def runHopping(df: DataFrame, q: ZxQuery, tsCol: String = DefaultTsCol): DataFrame = {
+    val slide = q.slideSec.getOrElse(
+      throw new IllegalArgumentException("runHopping needs slideSec"))
+    require(slide > 0, s"slide must be positive, got $slide")
+    val filtered = scanFilter(df, q, tsCol)
+    val win = window(timestamp_seconds(col(tsCol).cast(LongType)),
+      s"${q.granularitySec} seconds", s"$slide seconds")
+    val keys = groupKeys(q, df.schema) :+ win.as("__w")
+    val extraSels = q.having.map(_.select)
+      .filterNot(s => q.selects.contains(s)).distinct
+    val grouped = Aggregates.groupedAgg(filtered, keys, q.groupBy :+ "__w",
+      q.selects ++ extraSels, df.schema, q.skewSalt)
+    havingFilter(grouped, q.having)
+      .select((q.groupBy.map(col) ++ Seq(
+        col("__w.start").cast(LongType).as("w_start"),
+        col("__w.end").cast(LongType).as("w_end")) ++
+        q.selects.map(s => col(s.key))): _*)
   }
 
   /** Pipeline A'' — gap-based SESSION windows (extension): Spark's native

@@ -146,4 +146,9 @@ final case class ZxQuery(
       * place of fixed tumbling buckets. Mutually exclusive with `exact`
       * and `orderBy`; incompatible with `skewSalt` (salted partial
       * sessions cannot merge). */
-    sessionGapSec: Option[Long] = None)
+    sessionGapSec: Option[Long] = None,
+    /** Hopping (sliding) windows (extension): windows of `granularitySec`
+      * length starting every `slideSec` seconds — an event lands in every
+      * window covering it (size/slide rows per event). Mutually exclusive
+      * with `exact`, `orderBy`, and `sessionGapSec`. */
+    slideSec: Option[Long] = None)

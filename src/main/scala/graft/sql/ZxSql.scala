@@ -12,7 +12,8 @@ import graft.operators.GapWindows
   *   select <item, …> [from <ignored>] [where <boolexpr>]
   *   [group by <col, …>] [having <aggitem cmp num and …>]
   *   [order by <item> [asc|desc], …]
-  *   [limit <n>] [granularity <seconds>] [session <gapSeconds>] [exact]
+  *   [limit <n>] [granularity <seconds>] [slide <seconds>]
+  *   [session <gapSeconds>] [exact]
   * where item := col | count|sum|max|min|count_distinct|mean|p50|heatmap
   *               |approx_count_distinct|p50_approx(col) | count(*)
   * and boolexpr := full boolean structure with OR / AND / NOT / parens
@@ -363,6 +364,17 @@ object ZxSql {
       }
     }
 
+    // `slide <sec>` (extension): hopping windows — granularity-length
+    // windows starting every slide seconds (Compiler.runHopping)
+    var slide: Option[Long] = None
+    if (atIdent("slide")) {
+      next()
+      slide = next() match {
+        case Num(v) => Some(parseLong(v, "slide seconds"))
+        case other  => throw ParseError(s"expected slide seconds, got $other")
+      }
+    }
+
     // `session <sec>` (extension): gap-based session windows instead of
     // tumbling buckets — see Compiler.runSession
     var sessionGap: Option[Long] = None
@@ -394,10 +406,12 @@ object ZxSql {
 
     if (sessionGap.nonEmpty && (exactWindows || orderBy.nonEmpty))
       throw ParseError("session windows are mutually exclusive with exact / order by")
+    if (slide.nonEmpty && (exactWindows || orderBy.nonEmpty || sessionGap.nonEmpty))
+      throw ParseError("slide is mutually exclusive with exact / order by / session")
 
     ZxQuery(selects, realConds, groupBy, orderBy, tStart, tEnd, gran, limitN,
       exact = exactWindows, where = whereTree, asofJoin = joinSpec,
-      having = having, sessionGapSec = sessionGap)
+      having = having, sessionGapSec = sessionGap, slideSec = slide)
   }
 
   // --------------------------------------------------------------- executor

@@ -181,6 +181,22 @@ class SqlSpec extends AnyFunSuite {
       ZxSql.parse("select sum(foo) group by y order by sum(foo) session 5"))
   }
 
+  test("hopping windows land each event in every covering window") {
+    // fixture ts 0..9, size 4 slide 2: event at t lands in windows starting
+    // at {floor((t-4)/2)+1 .. floor(t/2)} * 2 — two windows per event
+    val got = ZxSql.run(fixture,
+      "select count(foo) group by y granularity 4 slide 2")
+      .filter(org.apache.spark.sql.functions.col("y") === "9")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // y="9": events at ts 3 (windows 0,2) and ts 9 (windows 6,8)
+    assert(got == Set((0L, 4L, 1.0), (2L, 6L, 1.0), (6L, 10L, 1.0), (8L, 12L, 1.0)))
+    // mutual exclusions reject loudly
+    assertThrows[ZxSql.ParseError](
+      ZxSql.parse("select sum(foo) group by y slide 2 session 5"))
+    assertThrows[ZxSql.ParseError](
+      ZxSql.parse("select sum(foo) group by y order by sum(foo) slide 2"))
+  }
+
   test("having filters aggregated groups on both sorted and windowed paths") {
     // fixture sums per y: "1"→100, "9"→1400, __nil→4000
     val got = ZxSql.run(fixture,
