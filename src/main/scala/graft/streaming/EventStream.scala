@@ -50,6 +50,56 @@ object EventStream {
         q.selects.map(s => col(s.key)): _*)
   }
 
+  /** Streaming HOPPING windows: like [[windowedAgg]] but each event lands
+    * in every (granularity-length, slide-spaced) window covering it — the
+    * streaming face of [[Compiler.runHopping]], same epoch-aligned
+    * whole-second window starts, so batch == stream per window. */
+  def hoppingAgg(stream: DataFrame, q: ZxQuery, watermark: String = "10 minutes",
+                 tsCol: String = Compiler.DefaultTsCol): DataFrame = {
+    val slide = q.slideSec.getOrElse(
+      throw new IllegalArgumentException("hoppingAgg needs slideSec"))
+    require(!q.selects.exists(_.agg == Agg.CountDistinct),
+      "exact count_distinct is unsupported on streams; use approx_count_distinct")
+    val schema = stream.schema
+    val filtered = Predicates.compileAll(q.conditions, schema)
+      .map(stream.filter).getOrElse(stream)
+      .withWatermark(tsCol, watermark)
+    val keys = Compiler.groupKeys(q, schema) :+
+      window(col(tsCol), s"${q.granularitySec} seconds", s"$slide seconds").as("window")
+    val aggs = Aggregates.compileAll(q.selects, schema)
+    filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      .select((q.groupBy.map(col) :+
+        col("window.start").cast(LongType).as("w_start") :+
+        col("window.end").cast(LongType).as("w_end")) ++
+        q.selects.map(s => col(s.key)): _*)
+  }
+
+  /** Streaming SESSION windows: Spark-native `session_window` with
+    * watermark-bounded merging state — the streaming face of
+    * [[Compiler.runSession]]. Times are truncated to whole seconds exactly
+    * like the batch path, so closed sessions match batch bit-for-bit; open
+    * sessions finalize once the watermark passes their gap. */
+  def sessionAgg(stream: DataFrame, q: ZxQuery, watermark: String = "10 minutes",
+                 tsCol: String = Compiler.DefaultTsCol): DataFrame = {
+    val gap = q.sessionGapSec.getOrElse(
+      throw new IllegalArgumentException("sessionAgg needs sessionGapSec"))
+    require(!q.selects.exists(_.agg == Agg.CountDistinct),
+      "exact count_distinct is unsupported on streams; use approx_count_distinct")
+    val schema = stream.schema
+    val filtered = Predicates.compileAll(q.conditions, schema)
+      .map(stream.filter).getOrElse(stream)
+      .withColumn("__sec", timestamp_seconds(col(tsCol).cast(LongType)))
+      .withWatermark("__sec", watermark)
+    val keys = Compiler.groupKeys(q, schema) :+
+      session_window(col("__sec"), s"$gap seconds").as("__sw")
+    val aggs = Aggregates.compileAll(q.selects, schema)
+    filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      .select((q.groupBy.map(col) :+
+        col("__sw.start").cast(LongType).as("w_start") :+
+        col("__sw.end").cast(LongType).as("w_end")) ++
+        q.selects.map(s => col(s.key)): _*)
+  }
+
   /** Streaming exact dedup at ingest: drop re-deliveries and content
     * duplicates by fingerprint while the stream flows, keeping state only
     * one watermark-delay deep (`dropDuplicatesWithinWatermark` evicts keys

@@ -115,6 +115,91 @@ class StoreStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming hopping windows match the batch compiler on the same data") {
+    val dir = Files.createTempDirectory("graft-hop").toString
+    val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    src.coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = ZxQuery(
+      selects = Seq(Select(Agg.Sum, "value"), Select(Agg.Count, "value")),
+      groupBy = Seq("event_type"), granularitySec = 86400L,
+      slideSec = Some(43200L))
+    val agg = graft.streaming.EventStream.hoppingAgg(
+      graft.streaming.EventStream.read(spark, dir), q, watermark = "0 seconds")
+    val query = agg.writeStream.format("memory").queryName("hop_out")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select("event_type", "w_start", "w_end", "sum_value", "count_value")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1000), r.getDouble(4))).toSet
+      val streamed = canon(spark.table("hop_out"))
+      val batch = canon(graft.compile.Compiler.runUnsorted(src, q))
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+      // every event lands in exactly size/slide = 2 windows: hopping total
+      // count is 2x the tumbling total
+      val tumbling = graft.compile.Compiler
+        .runUnsorted(src, q.copy(slideSec = None))
+        .agg(sum(col("count_value"))).head().getDouble(0)
+      val hopping = spark.table("hop_out")
+        .agg(sum(col("count_value"))).head().getDouble(0)
+      assert(hopping == 2 * tumbling)
+    } finally query.stop()
+  }
+
+  test("streaming session windows match the batch compiler on closed sessions") {
+    val dir = Files.createTempDirectory("graft-sess").toString
+    def writeBatch(rows: Seq[(Long, Long, String, String, String, String)]): Unit = {
+      val data = rows.map { case (id, sec, foo, x, y, tag) =>
+        org.apache.spark.sql.Row(id,
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)), foo, x, y, tag)
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+        .write.mode("append").parquet(dir)
+    }
+    val base = 1704067200L
+    val batch1 = Seq(
+      (1L, base + 0L, "100", "7", "1", "t1"), (2L, base + 1L, "200", "1", null, "t1,t2"),
+      (3L, base + 2L, "300", "3", null, "t3"), (4L, base + 3L, "400", "2", "9", "t2"),
+      (5L, base + 4L, "500", "4", null, null), (6L, base + 5L, "600", "5", null, "t3"),
+      (7L, base + 6L, "700", "6", null, null), (8L, base + 7L, "800", "9", null, null),
+      (9L, base + 8L, "900", "8", null, null), (10L, base + 9L, "1000", "0", "9", null))
+    writeBatch(batch1)
+    val q = ZxQuery(selects = Seq(Select(Agg.Sum, "foo"), Select(Agg.Count, "foo")),
+      groupBy = Seq("y"), sessionGapSec = Some(5L))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val out = graft.streaming.EventStream.sessionAgg(stream, q, watermark = "0 seconds")
+    val query = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      // far-future events advance the watermark past every open session
+      writeBatch(Seq((11L, base + 5000L, "1", "1", "1", null),
+        (12L, base + 5000L, "1", "1", "9", null),
+        (13L, base + 5000L, "1", "1", null, null)))
+      query.processAllAvailable()
+      def canon(rows: Array[org.apache.spark.sql.Row]) = rows
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1000), r.getDouble(4))).toSet
+      val streamed = canon(spark.table("sess_out")
+        .select("y", "w_start", "w_end", "sum_foo", "count_foo").collect())
+      val batch1Df = spark.createDataFrame(
+        spark.sparkContext.parallelize(batch1.map { case (id, sec, foo, x, y, tag) =>
+          org.apache.spark.sql.Row(id,
+            java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)), foo, x, y, tag)
+        }, 2), schema)
+      val batch = canon(graft.compile.Compiler.runSession(batch1Df, q)
+        .select("y", "w_start", "w_end", "sum_foo", "count_foo").collect())
+      assert(streamed == batch)
+      // sessions: y=1 {0}; y=9 {3}, {9} (gap 6 > 5 splits); __nil {1..8}
+      assert(streamed.map(t => (t._1, t._2 - base, t._3 - base)) ==
+        Set(("1", 0L, 5L), ("9", 3L, 8L), ("9", 9L, 14L),
+          (graft.compile.Compiler.NilSentinel, 1L, 13L)))
+    } finally query.stop()
+  }
+
   test("stateful streaming gap windows match the batch operator on closed windows") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft-gws").toString
