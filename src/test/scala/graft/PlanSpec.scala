@@ -53,6 +53,16 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n$p")
   }
 
+  test("session and hopping windows are each a single exchange") {
+    for (name <- Seq("a9_session", "a10_hopping")) {
+      val p = plan(name)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 1, s"$name: expected exactly one shuffle, got $exchanges:\n$p")
+    }
+    // hopping expands each event to its covering windows BEFORE the shuffle
+    assert(plan("a10_hopping").contains("Expand"))
+  }
+
   test("IVF cell assignment is shuffle-free (row-local argmax over broadcast centroids)") {
     val emb = graft.sources.Tables.embeddings(spark, dir)
     val cents = graft.operators.Similarity.ivfTrain(emb, nlist = 16, iters = 1)
