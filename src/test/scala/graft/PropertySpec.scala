@@ -85,3 +85,140 @@ object ParserProps extends Properties("ZxSql") {
       }
     }
 }
+
+/** Boolean-condition-tree properties: the grammar round-trip and a full
+  * semantic differential of [[graft.compile.Predicates.compileTree]]
+  * against an independent three-valued-logic evaluator — covers every
+  * OR/AND/NOT nesting × null-column × unparseable-literal combination far
+  * beyond the hand-written SqlSpec cases. */
+object ConditionTreeProps extends Properties("ConditionTree") {
+  import graft.compile.Predicates
+  import ConditionTree._
+
+  private val leafGen: Gen[ConditionTree] = for {
+    cmp <- Gen.oneOf(Cmp.Eq, Cmp.Ne, Cmp.Gt, Cmp.Lt, Cmp.Gte, Cmp.Lte,
+      Cmp.Exists, Cmp.NotExists)
+    c <- Gen.oneOf("x", "y")
+    v <- Gen.oneOf("0", "1", "2", "3", "zz") // zz: the unparseable literal
+    // Exists/NotExists take no value — the SQL surface has none to carry
+  } yield Leaf(Condition(cmp, c,
+    if (cmp == Cmp.Exists || cmp == Cmp.NotExists) "" else v))
+
+  private def treeGen(depth: Int): Gen[ConditionTree] =
+    if (depth == 0) leafGen
+    else Gen.frequency(
+      3 -> leafGen,
+      2 -> Gen.listOfN(2, treeGen(depth - 1)).map(And(_)),
+      2 -> Gen.listOfN(2, treeGen(depth - 1)).map(Or(_)),
+      1 -> treeGen(depth - 1).map(Not(_)))
+
+  private def render(t: ConditionTree): String = {
+    def leaf(c: Condition): String = c.cmp match {
+      case Cmp.Eq        => s"${c.column} = ${c.value}"
+      case Cmp.Ne        => s"${c.column} != ${c.value}"
+      case Cmp.Gt        => s"${c.column} > ${c.value}"
+      case Cmp.Lt        => s"${c.column} < ${c.value}"
+      case Cmp.Gte       => s"${c.column} >= ${c.value}"
+      case Cmp.Lte       => s"${c.column} <= ${c.value}"
+      case Cmp.Exists    => s"${c.column} exists"
+      case Cmp.NotExists => s"${c.column} notexists"
+      case other => throw new IllegalArgumentException(other.toString)
+    }
+    def sub(c: ConditionTree): String = c match {
+      case Leaf(cd) => leaf(cd)
+      case other    => s"(${render(other)})"
+    }
+    t match {
+      case Leaf(c)  => leaf(c)
+      case And(cs)  => cs.map(sub).mkString(" and ")
+      case Or(cs)   => cs.map(sub).mkString(" or ")
+      case Not(c)   => s"not ${sub(c)}"
+    }
+  }
+
+  /** The parser's top-level conjunct split: flatten Ands, leaves → flat
+    * condition list, anything else stays in the tree. */
+  private def normalize(t: ConditionTree): (Seq[Condition], Option[ConditionTree]) = {
+    def conj(t: ConditionTree): Seq[ConditionTree] = t match {
+      case And(cs) => cs.flatMap(conj)
+      case other   => Seq(other)
+    }
+    val (leaves, complex) = conj(t).partition(_.isInstanceOf[Leaf])
+    (leaves.map { case Leaf(c) => c },
+      complex match {
+        case Seq()  => None
+        case Seq(c) => Some(c)
+        case cs     => Some(And(cs))
+      })
+  }
+
+  property("render → parse round-trips the tree (modulo conjunct split)") =
+    forAll(treeGen(3)) { t =>
+      val q = ZxSql.parse(s"select count(x) where ${render(t)}")
+      (q.conditions, q.where) == normalize(t)
+    }
+
+  // ---- semantic differential vs an independent Kleene evaluator ----
+
+  private lazy val spark = SparkFixture.spark
+  private lazy val rowsDomain: Seq[(Int, Option[Int], Option[Int])] = {
+    val vals = None +: (0 to 3).map(Some(_))
+    for ((x, i) <- vals.zipWithIndex; (y, j) <- vals.zipWithIndex)
+      yield (i * 10 + j, x, y)
+  }
+  private lazy val df = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", IntegerType, nullable = false),
+      StructField("x", IntegerType), StructField("y", IntegerType)))
+    val rows = rowsDomain.map { case (id, x, y) =>
+      org.apache.spark.sql.Row(id, x.map(Integer.valueOf).orNull,
+        y.map(Integer.valueOf).orNull)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  /** SQL three-valued logic, mirroring Predicates' documented semantics for
+    * numeric columns: comparisons with NULL (missing column value, or an
+    * unparseable numeric literal) are unknown; Eq against an unparseable
+    * literal is false for every row; Ne against it matches present rows;
+    * Exists/NotExists never return unknown. */
+  private def evalLeaf(c: Condition, x: Option[Int], y: Option[Int]): Option[Boolean] = {
+    val cv = if (c.column == "x") x else y
+    val num = c.value.toDoubleOption
+    c.cmp match {
+      case Cmp.Exists    => Some(cv.isDefined)
+      case Cmp.NotExists => Some(cv.isEmpty)
+      case Cmp.Eq  => num.fold[Option[Boolean]](Some(false))(v => cv.map(_.toDouble == v))
+      case Cmp.Ne  => num.fold[Option[Boolean]](Some(cv.isDefined))(v => cv.map(_.toDouble != v))
+      case Cmp.Gt  => num.flatMap(v => cv.map(_.toDouble > v))
+      case Cmp.Lt  => num.flatMap(v => cv.map(_.toDouble < v))
+      case Cmp.Gte => num.flatMap(v => cv.map(_.toDouble >= v))
+      case Cmp.Lte => num.flatMap(v => cv.map(_.toDouble <= v))
+      case other => throw new IllegalArgumentException(other.toString)
+    }
+  }
+
+  private def evalTree(t: ConditionTree, x: Option[Int], y: Option[Int]): Option[Boolean] =
+    t match {
+      case Leaf(c) => evalLeaf(c, x, y)
+      case And(cs) =>
+        val vs = cs.map(evalTree(_, x, y))
+        if (vs.contains(Some(false))) Some(false)
+        else if (vs.contains(None)) None else Some(true)
+      case Or(cs) =>
+        val vs = cs.map(evalTree(_, x, y))
+        if (vs.contains(Some(true))) Some(true)
+        else if (vs.contains(None)) None else Some(false)
+      case Not(c) => evalTree(c, x, y).map(!_)
+    }
+
+  property("compileTree matches the Kleene evaluator on every null/literal combo") =
+    forAll(treeGen(3)) { t =>
+      val got = df.filter(Predicates.compileTree(t, df.schema))
+        .select("id").collect().map(_.getInt(0)).toSet
+      val want = rowsDomain.collect {
+        case (id, x, y) if evalTree(t, x, y).contains(true) => id
+      }.toSet
+      got == want
+    }
+}
