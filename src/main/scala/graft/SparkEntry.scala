@@ -600,6 +600,21 @@ object SparkEntry {
     graft.operators.Dedup.dupClusters(
       graft.operators.Dedup.minhashPairs(Tables.documents(s, dir), threshold = 0.5))
 
+  /** d9: the shippable corpus after NEAR-dup removal — MinHash pairs →
+    * transitive clusters → drop every non-canonical member (keep the min-id
+    * copy of each cluster plus all unclustered docs). The end-to-end form
+    * of the d-family: what a training pipeline actually writes out. One
+    * anti-join against the (tiny) non-canonical id set. */
+  private def d9NeardupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val clusters = graft.operators.Dedup.dupClusters(
+      graft.operators.Dedup.minhashPairs(docs, threshold = 0.5))
+    val dropped = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    docs.join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+  }
+
   private def d5EmbedPairs(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.embeddingPairs(Tables.embeddings(s, dir), threshold = 0.42)
       .withColumn("cos", round(col("cos"), 6))
@@ -946,6 +961,7 @@ object SparkEntry {
     "d5_embed_pairs" -> (d5EmbedPairs _),
     "d6_dup_clusters" -> (d6DupClusters _),
     "d7_decontaminate" -> (d7Decontaminate _),
+    "d9_neardup_survivors" -> (d9NeardupSurvivors _),
     "d8_incremental_dedup" -> (d8IncrementalDedup _),
     "s1_knn" -> (s1Knn _),
     "s2_ann_lsh" -> (s2AnnLsh _),
@@ -1316,6 +1332,23 @@ object SparkEntry {
          |SELECT id AS doc_id, cluster_id,
          | CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
          |FROM lab""".stripMargin,
+    "d9_neardup_survivors" ->
+      // d6's transitive-closure CTEs; survivors = docs minus non-canonical
+      // cluster members (cluster label <> own id)
+      s"""WITH RECURSIVE $duckMinhashPairCtes,
+         |p AS (SELECT id_a, id_b
+         |  FROM cand JOIN shd a ON cand.id_a = a.doc_id JOIN shd b ON cand.id_b = b.doc_id
+         |  WHERE $duckJaccard >= 0.5),
+         |edges AS (SELECT id_a AS ea, id_b AS eb FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach AS (
+         |  SELECT ea AS id, ea AS lbl FROM edges
+         |  UNION
+         |  SELECT e.eb AS id, r.lbl FROM reach r JOIN edges e ON r.id = e.ea
+         |),
+         |lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         |SELECT doc_id, source, lang, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM lab WHERE cluster_id <> id)""".stripMargin,
     "d8_incremental_dedup" -> {
       val sigs = (0 until 8).map(i => s" ${duckMinhash(i)} AS s$i").mkString(",\n")
       s"""WITH th0 AS (SELECT doc_id, source, $duckTokenHashes AS th FROM documents),
