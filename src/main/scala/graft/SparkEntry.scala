@@ -248,6 +248,17 @@ object SparkEntry {
         round3("sum_value"), round3("count_value"))
   }
 
+  /** A11 tail percentiles (extension): p50/p90/p99 — the latency-SLO
+    * staples — via the same exact interpolated percentile as A7's p50
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`). */
+  private def a11Percentiles(s: SparkSession, dir: String): DataFrame = {
+    val sql = "select p50(value), p90(value), p99(value) from events " +
+      "group by event_type order by p50(value) desc"
+    graft.sql.ZxSql.run(Tables.events(s, dir), sql)
+      .select(col("event_type"), round6("p50_value"),
+        round6("p90_value"), round6("p99_value"))
+  }
+
   /** A10 hopping windows (extension): 1h windows sliding every 15 min —
     * each event lands in 4 windows (Spark Expand → one aggregation).
     * Oracle: per-event unnest of the covering window starts. */
@@ -930,6 +941,7 @@ object SparkEntry {
     "a8_gap_window" -> (a8GapWindow _),
     "a9_session" -> (a9Session _),
     "a10_hopping" -> (a10Hopping _),
+    "a11_percentiles" -> (a11Percentiles _),
     "p1_sql" -> (p1Sql _),
     "p2_sql_sorted" -> (p2SqlSorted _),
     "p3_sql_star" -> (p3SqlStar _),
@@ -1048,6 +1060,12 @@ object SparkEntry {
         | round(round(sum(coalesce(value, 0)), 3)
         |   / round(CAST(count(value) AS DOUBLE), 3), 6) AS mean_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "a11_percentiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 6) AS p50_value,
+        | round(quantile_cont(value, 0.9), 6) AS p90_value,
+        | round(quantile_cont(value, 0.99), 6) AS p99_value
+        |FROM events GROUP BY event_type""".stripMargin,
     "a10_hopping" ->
       // per-event expansion to its covering windows: [w, w+3600) ∋ t iff
       // t-3600 < w <= t with w ≡ 0 (mod 900) — range() is end-exclusive,

@@ -76,6 +76,8 @@ object Aggregates {
         try_divide(sum(when(present, w * v).otherwise(lit(0.0))),
                    sum(when(present, w).otherwise(lit(0.0))))
       case Agg.P50       => percentile(v, lit(0.5))
+      case Agg.P90       => percentile(v, lit(0.9))
+      case Agg.P99       => percentile(v, lit(0.99))
       case Agg.P50Approx => percentile_approx(v, lit(0.5), lit(10000))
       case Agg.Raw | Agg.Heatmap =>
         throw new IllegalArgumentException(

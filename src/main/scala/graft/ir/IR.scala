@@ -60,6 +60,10 @@ object Agg {
   case object CountDistinct extends Agg("count_distinct")
   case object Mean          extends Agg("mean")
   case object P50           extends Agg("p50")
+  // higher tail percentiles (extension — the observability staples the
+  // reference declares nothing for; same exact-percentile machinery as P50)
+  case object P90           extends Agg("p90")
+  case object P99           extends Agg("p99")
   case object Raw           extends Agg("raw")
   case object Heatmap       extends Agg("heatmap")
   // 100 TB-scale sketch variants (extensions; no reference counterpart):

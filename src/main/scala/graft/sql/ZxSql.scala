@@ -48,7 +48,8 @@ object ZxSql {
   private val aggNames: Map[String, Agg] = Map(
     "count" -> Agg.Count, "sum" -> Agg.Sum, "max" -> Agg.Max,
     "min" -> Agg.Min, "count_distinct" -> Agg.CountDistinct,
-    "mean" -> Agg.Mean, "p50" -> Agg.P50, "heatmap" -> Agg.Heatmap,
+    "mean" -> Agg.Mean, "p50" -> Agg.P50, "p90" -> Agg.P90,
+    "p99" -> Agg.P99, "heatmap" -> Agg.Heatmap,
     // sketch variants for 100 TB cardinalities/quantiles (extensions)
     "approx_count_distinct" -> Agg.ApproxCountDistinct,
     "p50_approx" -> Agg.P50Approx)
@@ -408,6 +409,9 @@ object ZxSql {
       throw ParseError("session windows are mutually exclusive with exact / order by")
     if (slide.nonEmpty && (exactWindows || orderBy.nonEmpty || sessionGap.nonEmpty))
       throw ParseError("slide is mutually exclusive with exact / order by / session")
+    if (joinSpec.nonEmpty &&
+        (having.nonEmpty || sessionGap.nonEmpty || slide.nonEmpty || exactWindows))
+      throw ParseError("asof/trailing join queries do not take having / session / slide / exact")
 
     ZxQuery(selects, realConds, groupBy, orderBy, tStart, tEnd, gran, limitN,
       exact = exactWindows, where = whereTree, asofJoin = joinSpec,

@@ -18,7 +18,7 @@ object ParserProps extends Properties("ZxSql") {
   } yield (h :: t).mkString
 
   private val aggGen: Gen[Agg] = Gen.oneOf(Agg.Sum, Agg.Max, Agg.Min,
-    Agg.Count, Agg.CountDistinct, Agg.Mean, Agg.P50,
+    Agg.Count, Agg.CountDistinct, Agg.Mean, Agg.P50, Agg.P90, Agg.P99,
     Agg.ApproxCountDistinct, Agg.P50Approx)
 
   private val selectGen: Gen[Select] = Gen.frequency(
