@@ -1084,21 +1084,29 @@ object SparkEntry {
       // the gap to the previous event is STRICTLY > 300 — Spark merges two
       // sessions when next.start <= current.end (= last + gap), so a gap of
       // exactly 300 still merges (pinned at sf0.01, where the >= variant
-      // split 5 equality-gap sessions Spark merged); ties in t can't flip
-      // membership (diff 0 regardless of order)
+      // split 5 equality-gap sessions Spark merged).
+      // Sessions are assigned over DISTINCT (g, t) pairs — a total order,
+      // so the ROWS-framed cumulative sum is deterministic. Running it on
+      // raw events flaked at sf0.1: when a break lands inside a tie block
+      // of equal t, ROWS framing gives tie rows sorted BEFORE the flagged
+      // row the previous session's id, and DuckDB's tie order varies run
+      // to run. Same-t events are one session by definition on both
+      // engines; the join fans membership back out to every event.
       """WITH e AS (SELECT coalesce(event_type, '__nil') AS g,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS t, value FROM events),
-        |m AS (SELECT g, t, value,
+        |dt AS (SELECT DISTINCT g, t FROM e),
+        |m AS (SELECT g, t,
         |    CASE WHEN lag(t) OVER (PARTITION BY g ORDER BY t) IS NULL
         |         OR t - lag(t) OVER (PARTITION BY g ORDER BY t) > 300
         |         THEN 1 ELSE 0 END AS brk
-        |  FROM e),
-        |sid AS (SELECT *, sum(brk) OVER (PARTITION BY g ORDER BY t
+        |  FROM dt),
+        |sid AS (SELECT g, t, sum(brk) OVER (PARTITION BY g ORDER BY t
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s FROM m)
-        |SELECT g AS event_type, min(t) AS w_start, max(t) + 300 AS w_end,
-        |  round(sum(coalesce(value, 0)), 3) AS sum_value,
-        |  round(CAST(count(value) AS DOUBLE), 3) AS count_value
-        |FROM sid GROUP BY g, s""".stripMargin,
+        |SELECT e.g AS event_type, min(e.t) AS w_start, max(e.t) + 300 AS w_end,
+        |  round(sum(coalesce(e.value, 0)), 3) AS sum_value,
+        |  round(CAST(count(e.value) AS DOUBLE), 3) AS count_value
+        |FROM e JOIN sid ON e.g = sid.g AND e.t = sid.t
+        |GROUP BY e.g, sid.s""".stripMargin,
     "p1_sql" ->
       s"""SELECT CAST(user_id AS VARCHAR) AS user_id,
          | CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS w_start,
