@@ -50,19 +50,26 @@ object Bench {
     // leaked cache blocks), and round-3's tail-of-map queries regressed 4×
     // from exactly that. Medians make a slow number mean a slow PLAN.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      val timed = (1 to runs).map { i =>
         val t0 = System.nanoTime()
-        try evaluate(fn(spark, sfDir)) catch {
+        val ok = try { evaluate(fn(spark, sfDir)); true } catch {
           case e: Throwable =>
-            errors(name) = (e.getClass.getSimpleName + ": " +
+            errors(s"$name#run$i") = (e.getClass.getSimpleName + ": " +
               Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(160))
               .replaceAll("[\"\\\\]", "'")
+            false
         }
         val dt = (System.nanoTime() - t0) / 1e9
         cleanup(spark)
-        dt
-      }.sorted
-      name -> times(times.size / 2)
+        (dt, ok)
+      }
+      // Median over SUCCESSFUL runs only: a failed run's (typically fast)
+      // wall time must not make a flaky query look quick while it also sits
+      // in `errors`. If every run failed, report the median failure wall
+      // time — the honest cost — with the per-run errors marking it broken.
+      val good = timed.collect { case (dt, true) => dt }.sorted
+      val all = timed.map(_._1).sorted
+      name -> (if (good.nonEmpty) good(good.size / 2) else all(all.size / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

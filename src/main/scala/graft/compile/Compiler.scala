@@ -82,7 +82,7 @@ object Compiler {
     * UNROUNDED aggregate outputs (map-side partials already merged), so at
     * scale it prunes groups before any sort/limit stage. Numeric-literal
     * comparators only — an aggregate output is always numeric. */
-  private def havingFilter(df: DataFrame, having: Seq[Having]): DataFrame = {
+  private[graft] def havingFilter(df: DataFrame, having: Seq[Having]): DataFrame = {
     val preds = having.map { h =>
       val c = col(h.select.key)
       val v = h.value.toDoubleOption.map(lit).getOrElse(throw new IllegalArgumentException(

@@ -163,7 +163,14 @@ object Dedup {
     // direction is then a cheap scan of the cached rows, not a recompute
     val p = pairs.select(col(idA).cast(LongType).as("src"),
       col(idB).cast(LongType).as("dst")).persist()
-    val nEdges = p.count()
+    // One cached-scan job counts edges AND surviving casts: a non-integral
+    // id (string/UUID) casts to NULL and would silently merge everything it
+    // touches into one bogus component — fail loudly instead.
+    val cnt = p.agg(count(lit(1)), count(col("src")), count(col("dst"))).head()
+    val nEdges = cnt.getLong(0)
+    require(cnt.getLong(1) == nEdges && cnt.getLong(2) == nEdges,
+      s"dupClusters: ${2 * nEdges - cnt.getLong(1) - cnt.getLong(2)} pair id values " +
+        s"failed the LongType cast ($idA/$idB must be integral and non-null)")
     if (nEdges == 0) { // no pairs → no non-trivial clusters (sum(NULL) NPEs below)
       p.unpersist()
       return p.sparkSession.emptyDataFrame

@@ -28,22 +28,42 @@ object EventStream {
   def read(spark: SparkSession, path: String, format: String = "parquet"): DataFrame =
     spark.readStream.schema(eventsSchema).format(format).load(path)
 
+  /** Shared pre-aggregation filter: the flat conjunct list AND the boolean
+    * `where` tree compile to the same deterministic Columns the batch
+    * compiler applies ([[Compiler.scanFilter]]), so batch == stream holds
+    * for OR/NOT/IN queries too — a query carrying a `where` tree must not
+    * silently lose it on the streaming path. */
+  private def preFilter(stream: DataFrame, q: ZxQuery): DataFrame = {
+    val schema = stream.schema
+    val preds = Predicates.compileAll(q.conditions, schema).toSeq ++
+      q.where.map(Predicates.compileTree(_, schema)).toSeq
+    preds.reduceOption(_ && _).map(stream.filter).getOrElse(stream)
+  }
+
+  /** HAVING aggregates that must be computed for the post-agg filter but
+    * are not part of the declared output (same mechanism as the batch
+    * compilers' extraSels). */
+  private def havingExtras(q: ZxQuery): Seq[Select] =
+    q.having.map(_.select).filterNot(q.selects.contains).distinct
+
   /** Streaming version of the windowed pipeline (A8): same predicate and
     * aggregate compilers as batch, tumbling `window()` on event time, a
     * watermark bounding state for late data. One shuffle on (keys, window) —
-    * partial aggregation happens map-side per micro-batch. */
+    * partial aggregation happens map-side per micro-batch. HAVING is a
+    * plain post-aggregation filter (streaming-safe: it runs on each
+    * micro-batch's updated groups), with filter-only aggregates computed
+    * and then pruned, exactly like batch. */
   def windowedAgg(stream: DataFrame, q: ZxQuery, watermark: String = "10 minutes",
                   tsCol: String = Compiler.DefaultTsCol): DataFrame = {
     require(!q.selects.exists(_.agg == Agg.CountDistinct),
       "exact count_distinct is unsupported on streams; use approx_count_distinct")
     val schema = stream.schema
-    val filtered = Predicates.compileAll(q.conditions, schema)
-      .map(stream.filter).getOrElse(stream)
-      .withWatermark(tsCol, watermark)
+    val filtered = preFilter(stream, q).withWatermark(tsCol, watermark)
     val keys = Compiler.groupKeys(q, schema) :+
       window(col(tsCol), s"${q.granularitySec} seconds").as("window")
-    val aggs = Aggregates.compileAll(q.selects, schema)
-    filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    val aggs = Aggregates.compileAll(q.selects ++ havingExtras(q), schema)
+    val grouped = filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    Compiler.havingFilter(grouped, q.having)
       .select((q.groupBy.map(col) :+
         col("window.start").cast(LongType).as("w_start") :+
         col("window.end").cast(LongType).as("w_end")) ++
@@ -61,13 +81,12 @@ object EventStream {
     require(!q.selects.exists(_.agg == Agg.CountDistinct),
       "exact count_distinct is unsupported on streams; use approx_count_distinct")
     val schema = stream.schema
-    val filtered = Predicates.compileAll(q.conditions, schema)
-      .map(stream.filter).getOrElse(stream)
-      .withWatermark(tsCol, watermark)
+    val filtered = preFilter(stream, q).withWatermark(tsCol, watermark)
     val keys = Compiler.groupKeys(q, schema) :+
       window(col(tsCol), s"${q.granularitySec} seconds", s"$slide seconds").as("window")
-    val aggs = Aggregates.compileAll(q.selects, schema)
-    filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    val aggs = Aggregates.compileAll(q.selects ++ havingExtras(q), schema)
+    val grouped = filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    Compiler.havingFilter(grouped, q.having)
       .select((q.groupBy.map(col) :+
         col("window.start").cast(LongType).as("w_start") :+
         col("window.end").cast(LongType).as("w_end")) ++
@@ -86,14 +105,14 @@ object EventStream {
     require(!q.selects.exists(_.agg == Agg.CountDistinct),
       "exact count_distinct is unsupported on streams; use approx_count_distinct")
     val schema = stream.schema
-    val filtered = Predicates.compileAll(q.conditions, schema)
-      .map(stream.filter).getOrElse(stream)
+    val filtered = preFilter(stream, q)
       .withColumn("__sec", timestamp_seconds(col(tsCol).cast(LongType)))
       .withWatermark("__sec", watermark)
     val keys = Compiler.groupKeys(q, schema) :+
       session_window(col("__sec"), s"$gap seconds").as("__sw")
-    val aggs = Aggregates.compileAll(q.selects, schema)
-    filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    val aggs = Aggregates.compileAll(q.selects ++ havingExtras(q), schema)
+    val grouped = filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    Compiler.havingFilter(grouped, q.having)
       .select((q.groupBy.map(col) :+
         col("__sw.start").cast(LongType).as("w_start") :+
         col("__sw.end").cast(LongType).as("w_end")) ++
