@@ -490,4 +490,50 @@ object ZxSql {
     else if (exact || q.exact) GapWindows(df, q, tsCol, idCol)
     else Compiler.runUnsorted(df, q, tsCol)
   }
+
+  /** Parse + route onto the STREAMING aggregators — the same query language
+    * as [[run]], executed continuously over an unbounded DataFrame: `session`
+    * → [[graft.streaming.EventStream.sessionAgg]], `slide` → hoppingAgg,
+    * trailing `exact` → the stateful [[graft.streaming.GapWindowStream]]
+    * walk, all-Raw select → rawStream (the `tail -f` projection), otherwise
+    * tumbling [[graft.streaming.EventStream.windowedAgg]]. Every construct
+    * routes through the SAME parser and the same predicate/aggregate
+    * compilers as batch, so a query string gives identical per-window
+    * results on both engines. Constructs without a streaming meaning are
+    * rejected at parse level: ORDER BY / LIMIT (no total order on an
+    * unbounded source), asof/trailing joins (use foreachBatch), heatmap
+    * (needs data-adaptive bounds over the full range). */
+  def runStream(stream: DataFrame, sql: String, watermark: String = "10 minutes",
+                tsCol: String = Compiler.DefaultTsCol): DataFrame = {
+    import graft.streaming.{EventStream, GapWindowStream}
+    val q = parse(sql)
+    if (q.asofJoin.nonEmpty)
+      throw ParseError("asof/trailing joins are batch-only on streams — join per micro-batch via foreachBatch")
+    if (q.orderBy.nonEmpty)
+      throw ParseError("order by has no streaming meaning (no total order on an unbounded source)")
+    if (q.limit.nonEmpty)
+      throw ParseError("limit has no streaming meaning — use tailConsole(numRows = ...) for a bounded live view")
+    if (q.selects.exists(_.agg == Agg.Heatmap))
+      throw ParseError("heatmap is batch-only (its bounds adapt to the full value range)")
+    if (q.selects.forall(_.agg == Agg.Raw)) EventStream.rawStream(stream, q, tsCol)
+    else if (q.sessionGapSec.nonEmpty) EventStream.sessionAgg(stream, q, watermark, tsCol)
+    else if (q.slideSec.nonEmpty) EventStream.hoppingAgg(stream, q, watermark, tsCol)
+    else if (q.exact) {
+      if (q.having.nonEmpty)
+        throw ParseError("having is not supported with exact gap windows")
+      import org.apache.spark.sql.functions.{col, element_at, split}
+      // reshape GwOut (key, w_start, w_end, values[]) to the batch
+      // GapWindows schema (group cols…, w_start, w_end, one column per
+      // select) so one SQL string yields one schema on both engines
+      val gw = GapWindowStream(stream, q, watermark, tsCol).toDF()
+      val keyCols =
+        if (q.groupBy.isEmpty) Nil
+        else if (q.groupBy.size == 1) Seq(col("key").as(q.groupBy.head))
+        else q.groupBy.zipWithIndex.map { case (g, i) =>
+          element_at(split(col("key"), " "), i + 1).as(g) }
+      val aggCols = q.selects.zipWithIndex.map { case (s, i) =>
+        element_at(col("values"), i + 1).as(s.key) }
+      gw.select(keyCols ++ Seq(col("w_start"), col("w_end")) ++ aggCols: _*)
+    } else EventStream.windowedAgg(stream, q, watermark, tsCol)
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.ir._
-import graft.compile.{Aggregates, Compiler, Predicates}
+import graft.compile.{Aggregates, Compiler}
 
 /** Structured Streaming face of the engine.
   *
@@ -28,23 +28,45 @@ object EventStream {
   def read(spark: SparkSession, path: String, format: String = "parquet"): DataFrame =
     spark.readStream.schema(eventsSchema).format(format).load(path)
 
-  /** Shared pre-aggregation filter: the flat conjunct list AND the boolean
-    * `where` tree compile to the same deterministic Columns the batch
-    * compiler applies ([[Compiler.scanFilter]]), so batch == stream holds
-    * for OR/NOT/IN queries too — a query carrying a `where` tree must not
-    * silently lose it on the streaming path. */
-  private def preFilter(stream: DataFrame, q: ZxQuery): DataFrame = {
-    val schema = stream.schema
-    val preds = Predicates.compileAll(q.conditions, schema).toSeq ++
-      q.where.map(Predicates.compileTree(_, schema)).toSeq
-    preds.reduceOption(_ && _).map(stream.filter).getOrElse(stream)
-  }
+  /** Shared pre-aggregation filter — exactly the batch compiler's
+    * [[Compiler.scanFilter]]: time bounds (`tStart`/`tEnd` as event-time
+    * bounds — on an unbounded source they select the events whose
+    * timestamps fall in the range, a plain stateless filter), the flat
+    * conjunct list AND the boolean `where` tree. Sharing the one
+    * filter-building function is what makes batch == stream true by
+    * construction — a query carrying a `where` tree or time bounds must
+    * not silently lose them on the streaming path.
+    *
+    * Callers apply `withWatermark` BEFORE this filter. Catalyst then
+    * splits the conjuncts around the watermark node: predicates that
+    * reference the watermarked `ts` column (the tStart/tEnd bounds)
+    * cannot push through it and stay above, so events past `tEnd` still
+    * advance the stream clock and a tEnd-bounded query closes its final
+    * windows; all other predicates push below, i.e. the clock advances on
+    * exactly the events that satisfy the query's non-time filters —
+    * Spark's standard semantics. (Exception: [[sessionAgg]] watermarks a
+    * derived seconds column, so there the ts bounds sit below the
+    * watermark too — see its scaladoc.) */
+  private[streaming] def preFilter(stream: DataFrame, q: ZxQuery,
+                                   tsCol: String = Compiler.DefaultTsCol): DataFrame =
+    Compiler.scanFilter(stream, q, tsCol)
 
   /** HAVING aggregates that must be computed for the post-agg filter but
     * are not part of the declared output (same mechanism as the batch
-    * compilers' extraSels). */
+    * compilers' extraSels — incl. the Raw/Heatmap exclusion: those are not
+    * scalar aggregates a HAVING can compare against). */
   private def havingExtras(q: ZxQuery): Seq[Select] =
-    q.having.map(_.select).filterNot(q.selects.contains).distinct
+    q.having.map(_.select)
+      .filterNot(s => q.selects.contains(s) || s.agg == Agg.Raw || s.agg == Agg.Heatmap)
+      .distinct
+
+  /** Exact distinct needs the full value set in state — unsupported on
+    * streams. Checked over the FULL computed aggregate list (declared
+    * selects plus HAVING-injected extras), so `having count_distinct(x) > 2`
+    * fails with this message too, not a raw Spark planner error. */
+  private def requireStreamable(q: ZxQuery): Unit =
+    require(!(q.selects ++ havingExtras(q)).exists(_.agg == Agg.CountDistinct),
+      "exact count_distinct is unsupported on streams; use approx_count_distinct")
 
   /** Streaming version of the windowed pipeline (A8): same predicate and
     * aggregate compilers as batch, tumbling `window()` on event time, a
@@ -55,10 +77,9 @@ object EventStream {
     * and then pruned, exactly like batch. */
   def windowedAgg(stream: DataFrame, q: ZxQuery, watermark: String = "10 minutes",
                   tsCol: String = Compiler.DefaultTsCol): DataFrame = {
-    require(!q.selects.exists(_.agg == Agg.CountDistinct),
-      "exact count_distinct is unsupported on streams; use approx_count_distinct")
+    requireStreamable(q)
     val schema = stream.schema
-    val filtered = preFilter(stream, q).withWatermark(tsCol, watermark)
+    val filtered = preFilter(stream.withWatermark(tsCol, watermark), q, tsCol)
     val keys = Compiler.groupKeys(q, schema) :+
       window(col(tsCol), s"${q.granularitySec} seconds").as("window")
     val aggs = Aggregates.compileAll(q.selects ++ havingExtras(q), schema)
@@ -78,10 +99,9 @@ object EventStream {
                  tsCol: String = Compiler.DefaultTsCol): DataFrame = {
     val slide = q.slideSec.getOrElse(
       throw new IllegalArgumentException("hoppingAgg needs slideSec"))
-    require(!q.selects.exists(_.agg == Agg.CountDistinct),
-      "exact count_distinct is unsupported on streams; use approx_count_distinct")
+    requireStreamable(q)
     val schema = stream.schema
-    val filtered = preFilter(stream, q).withWatermark(tsCol, watermark)
+    val filtered = preFilter(stream.withWatermark(tsCol, watermark), q, tsCol)
     val keys = Compiler.groupKeys(q, schema) :+
       window(col(tsCol), s"${q.granularitySec} seconds", s"$slide seconds").as("window")
     val aggs = Aggregates.compileAll(q.selects ++ havingExtras(q), schema)
@@ -97,17 +117,21 @@ object EventStream {
     * watermark-bounded merging state — the streaming face of
     * [[Compiler.runSession]]. Times are truncated to whole seconds exactly
     * like the batch path, so closed sessions match batch bit-for-bit; open
-    * sessions finalize once the watermark passes their gap. */
+    * sessions finalize once the watermark passes their gap.
+    *
+    * Caveat: the watermark rides the derived whole-seconds column, so ALL
+    * of the query's predicates (including tStart/tEnd) end up below the
+    * watermark node — a tEnd-bounded session stream needs in-range events
+    * to advance the clock that closes the final sessions. */
   def sessionAgg(stream: DataFrame, q: ZxQuery, watermark: String = "10 minutes",
                  tsCol: String = Compiler.DefaultTsCol): DataFrame = {
     val gap = q.sessionGapSec.getOrElse(
       throw new IllegalArgumentException("sessionAgg needs sessionGapSec"))
-    require(!q.selects.exists(_.agg == Agg.CountDistinct),
-      "exact count_distinct is unsupported on streams; use approx_count_distinct")
+    requireStreamable(q)
     val schema = stream.schema
-    val filtered = preFilter(stream, q)
-      .withColumn("__sec", timestamp_seconds(col(tsCol).cast(LongType)))
-      .withWatermark("__sec", watermark)
+    val filtered = preFilter(
+      stream.withColumn("__sec", timestamp_seconds(col(tsCol).cast(LongType)))
+        .withWatermark("__sec", watermark), q, tsCol)
     val keys = Compiler.groupKeys(q, schema) :+
       session_window(col("__sec"), s"$gap seconds").as("__sw")
     val aggs = Aggregates.compileAll(q.selects ++ havingExtras(q), schema)
@@ -118,6 +142,32 @@ object EventStream {
         col("__sw.end").cast(LongType).as("w_end")) ++
         q.selects.map(s => col(s.key)): _*)
   }
+
+  /** Streaming Raw projection — the observability `tail -f`: the
+    * reference's Raw select (expr.rs:120-125) as a continuous filtered
+    * projection. Stateless (filter + select only), so any sink/output mode
+    * works and there is no watermark to configure. `limit` is rejected —
+    * a global LIMIT has no meaning on an unbounded stream; use
+    * [[tailConsole]]'s per-batch `numRows` for a bounded live view. */
+  def rawStream(stream: DataFrame, q: ZxQuery,
+                tsCol: String = Compiler.DefaultTsCol): DataFrame = {
+    require(q.selects.forall(_.agg == Agg.Raw),
+      "rawStream takes Raw selects only — use windowedAgg for aggregates")
+    require(q.limit.isEmpty,
+      "LIMIT is undefined on an unbounded stream; use tailConsole(numRows = ...)")
+    val filtered = preFilter(stream, q, tsCol)
+    val cols = q.selects.map(s => col(s.column))
+    if (cols.nonEmpty) filtered.select(cols: _*) else filtered
+  }
+
+  /** Live bounded view of a raw stream: append-mode console sink printing
+    * at most `numRows` rows per micro-batch — `tail -f | head` semantics. */
+  def tailConsole(stream: DataFrame, q: ZxQuery, numRows: Int = 20,
+                  tsCol: String = Compiler.DefaultTsCol) =
+    rawStream(stream, q, tsCol).writeStream
+      .format("console")
+      .option("numRows", numRows)
+      .outputMode("append")
 
   /** Streaming exact dedup at ingest: drop re-deliveries and content
     * duplicates by fingerprint while the stream flows, keeping state only

@@ -345,6 +345,310 @@ class StoreStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming windowed agg applies where-tree, HAVING and time bounds like batch") {
+    val dir = Files.createTempDirectory("graft-whv").toString
+    val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    src.coalesce(1).write.mode("overwrite").parquet(dir)
+    import ConditionTree._
+    // every clause is mutation-checked below: OR-tree keeps click/error,
+    // the flat conjunct drops value<=5 rows, the time bounds drop the first/
+    // last weeks, HAVING count>40 drops about half the remaining windows
+    val q = ZxQuery(
+      selects = Seq(Select(Agg.Sum, "value")),
+      groupBy = Seq("event_type"), granularitySec = 604800L,
+      conditions = Seq(Condition(Cmp.Gt, "value", "5")),
+      where = Some(Or(Seq(Leaf(Condition(Cmp.Eq, "event_type", "click")),
+        Leaf(Condition(Cmp.Eq, "event_type", "error"))))),
+      tStart = Some(1704500000L), tEnd = Some(1706000000L),
+      having = Seq(Having(Select(Agg.Count, "value"), Cmp.Gt, "40")))
+    val agg = EventStream.windowedAgg(EventStream.read(spark, dir), q,
+      watermark = "0 seconds")
+    // the HAVING-only count aggregate is computed for the filter, then pruned
+    assert(!agg.columns.contains("count_value"))
+    val query = agg.writeStream.format("memory").queryName("whv_out")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select("event_type", "w_start", "sum_value")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1000))).toSet
+      val streamed = canon(spark.table("whv_out"))
+      val batch = canon(Compiler.runUnsorted(src, q))
+      assert(streamed == batch && streamed.nonEmpty)
+      // mutation sensitivity: dropping any clause changes the batch result,
+      // so a streaming path that ignored it could not have matched above
+      assert(streamed != canon(Compiler.runUnsorted(src, q.copy(where = None))))
+      assert(streamed != canon(Compiler.runUnsorted(src, q.copy(having = Nil))))
+      assert(streamed != canon(Compiler.runUnsorted(src, q.copy(conditions = Nil))))
+      assert(streamed != canon(Compiler.runUnsorted(src,
+        q.copy(tStart = None, tEnd = None))))
+    } finally query.stop()
+  }
+
+  test("streaming hopping agg applies where-tree and HAVING like batch") {
+    val dir = Files.createTempDirectory("graft-hwh").toString
+    val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    src.coalesce(1).write.mode("overwrite").parquet(dir)
+    import ConditionTree._
+    val q = ZxQuery(
+      selects = Seq(Select(Agg.Sum, "value")),
+      groupBy = Seq("event_type"), granularitySec = 604800L,
+      slideSec = Some(302400L),
+      where = Some(Not(Leaf(Condition(Cmp.Eq, "event_type", "view")))),
+      having = Seq(Having(Select(Agg.Count, "value"), Cmp.Gt, "40")))
+    val agg = EventStream.hoppingAgg(EventStream.read(spark, dir), q,
+      watermark = "0 seconds")
+    assert(!agg.columns.contains("count_value"))
+    val query = agg.writeStream.format("memory").queryName("hwh_out")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select("event_type", "w_start", "sum_value")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1000))).toSet
+      val streamed = canon(spark.table("hwh_out"))
+      assert(streamed == canon(Compiler.runHopping(src, q)) && streamed.nonEmpty)
+      assert(streamed != canon(Compiler.runHopping(src, q.copy(where = None))))
+      assert(streamed != canon(Compiler.runHopping(src, q.copy(having = Nil))))
+    } finally query.stop()
+  }
+
+  test("streaming session agg applies the where-tree like batch") {
+    val dir = Files.createTempDirectory("graft-swh").toString
+    def writeBatch(rows: Seq[(Long, Long, String, String, String, String)]): Unit = {
+      val data = rows.map { case (id, sec, foo, x, y, tag) =>
+        org.apache.spark.sql.Row(id,
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)), foo, x, y, tag)
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+        .write.mode("append").parquet(dir)
+    }
+    val base = 1704067200L
+    val batch1 = Seq(
+      (1L, base + 0L, "100", "7", "1", "t1"), (2L, base + 1L, "200", "1", null, "t1,t2"),
+      (3L, base + 2L, "300", "3", null, "t3"), (4L, base + 3L, "400", "2", "9", "t2"),
+      (5L, base + 4L, "500", "4", null, null), (6L, base + 5L, "600", "5", null, "t3"),
+      (7L, base + 6L, "700", "6", null, null), (8L, base + 7L, "800", "9", null, null),
+      (9L, base + 8L, "900", "8", null, null), (10L, base + 9L, "1000", "0", "9", null))
+    writeBatch(batch1)
+    import ConditionTree._
+    // OR-tree keeps y∈{1,9} rows (1, 4, 10) — the null-y rows must not open
+    // sessions on either engine
+    val q = ZxQuery(selects = Seq(Select(Agg.Sum, "foo")),
+      groupBy = Seq("y"), sessionGapSec = Some(5L),
+      where = Some(Or(Seq(Leaf(Condition(Cmp.Eq, "y", "1")),
+        Leaf(Condition(Cmp.Eq, "y", "9"))))))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val out = graft.streaming.EventStream.sessionAgg(stream, q, watermark = "0 seconds")
+    val query = out.writeStream.format("memory").queryName("swh_out")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      // a far-future row advances the watermark past every open session; it
+      // must satisfy the where-tree (predicates push below the watermark
+      // node) — its own far-future session stays open and never appears
+      writeBatch(Seq((11L, base + 5000L, "1", "1", "1", null)))
+      query.processAllAvailable()
+      val streamed = spark.table("swh_out")
+        .select("y", "w_start", "w_end", "sum_foo")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1000))).toSet
+      val batch1Df = spark.createDataFrame(
+        spark.sparkContext.parallelize(batch1.map { case (id, sec, foo, x, y, tag) =>
+          org.apache.spark.sql.Row(id,
+            java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)), foo, x, y, tag)
+        }, 2), schema)
+      val batch = graft.compile.Compiler.runSession(batch1Df, q)
+        .select("y", "w_start", "w_end", "sum_foo")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1000))).toSet
+      assert(streamed == batch)
+      // y=1 session {row 1}; y=9 sessions {row 4} and {row 10} (gap 6 > 5)
+      assert(streamed == Set(("1", base + 0L, base + 5L, 100000L),
+        ("9", base + 3L, base + 8L, 400000L), ("9", base + 9L, base + 14L, 1000000L)))
+    } finally query.stop()
+  }
+
+  test("streaming gap windows apply filters and time bounds like the batch walk") {
+    val dir = Files.createTempDirectory("graft-gwf").toString
+    def writeBatch(rows: Seq[(Long, Long, String, String, String, String)]): Unit = {
+      val data = rows.map { case (id, sec, foo, x, y, tag) =>
+        org.apache.spark.sql.Row(id,
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)), foo, x, y, tag)
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+        .write.mode("append").parquet(dir)
+    }
+    val base = 1704067200L
+    val batch1 = Seq(
+      (1L, base + 0L, "100", "7", "1", "t1"), (2L, base + 1L, "200", "1", null, "t1,t2"),
+      (3L, base + 2L, "300", "3", null, "t3"), (4L, base + 3L, "400", "2", "9", "t2"),
+      (5L, base + 4L, "500", "4", null, null), (6L, base + 5L, "600", "5", null, "t3"),
+      (7L, base + 6L, "700", "6", null, null), (8L, base + 7L, "800", "9", null, null),
+      (9L, base + 8L, "900", "8", null, null), (10L, base + 9L, "1000", "0", "9", null))
+    writeBatch(batch1)
+    import ConditionTree._
+    // where-tree keeps y∈{1,9} (rows 1, 4, 10); the flat conjunct foo>200
+    // drops row 1; tEnd = base+5 drops row 10 — survivor: row 4 only
+    val q = ZxQuery(selects = Seq(Select(Agg.Sum, "foo")),
+      groupBy = Seq("y"), granularitySec = 15L,
+      conditions = Seq(Condition(Cmp.Gt, "foo", "200")),
+      where = Some(Or(Seq(Leaf(Condition(Cmp.Eq, "y", "1")),
+        Leaf(Condition(Cmp.Eq, "y", "9"))))),
+      tEnd = Some(base + 5L))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val out = graft.streaming.GapWindowStream(stream, q, watermark = "0 seconds")
+    val query = out.writeStream.format("memory").queryName("gwf_out")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      // the closer satisfies the non-time predicates (those push below the
+      // watermark node) but lies PAST tEnd: the ts bounds stay above the
+      // watermark, so an out-of-range event still advances the stream clock
+      // — a tEnd-bounded query must be able to close its final windows
+      writeBatch(Seq((11L, base + 5000L, "300", "1", "9", null)))
+      query.processAllAvailable()
+      val streamed = spark.table("gwf_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getSeq[Double](3).head)).toSet
+      val batch1Df = spark.createDataFrame(
+        spark.sparkContext.parallelize(batch1.map { case (id, sec, foo, x, y, tag) =>
+          org.apache.spark.sql.Row(id,
+            java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)), foo, x, y, tag)
+        }, 2), schema)
+      // the batch walk self-filters through the same Compiler.scanFilter
+      val batch = graft.operators.GapWindows(batch1Df, q, idCol = Some("id"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(streamed == batch)
+      assert(streamed == Set(("9", base + 3L, base + 3L, 400.0)))
+    } finally query.stop()
+  }
+
+  test("streaming rejects exact count_distinct injected via HAVING too") {
+    val stream = EventStream.read(spark, "/root/testdata/sf0.001")
+    val q = ZxQuery(selects = Seq(Select(Agg.Sum, "value")),
+      having = Seq(Having(Select(Agg.CountDistinct, "user_id"), Cmp.Gt, "2")))
+    val e = intercept[IllegalArgumentException](EventStream.windowedAgg(stream, q))
+    assert(e.getMessage.contains("approx_count_distinct"))
+    val e2 = intercept[IllegalArgumentException](EventStream.sessionAgg(stream,
+      q.copy(sessionGapSec = Some(60L))))
+    assert(e2.getMessage.contains("approx_count_distinct"))
+  }
+
+  test("streaming raw projection (tail -f) filters and projects like batch") {
+    val dir = Files.createTempDirectory("graft-raw").toString
+    val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    src.coalesce(1).write.mode("overwrite").parquet(dir)
+    import ConditionTree._
+    val q = ZxQuery(
+      selects = Seq(Select(Agg.Raw, "event_id"), Select(Agg.Raw, "event_type")),
+      where = Some(Or(Seq(Leaf(Condition(Cmp.Eq, "event_type", "signup")),
+        Leaf(Condition(Cmp.Eq, "event_type", "purchase"))))),
+      tStart = Some(1704500000L), tEnd = Some(1706000000L))
+    val raw = EventStream.rawStream(EventStream.read(spark, dir), q)
+    assert(raw.columns.toSeq == Seq("event_id", "event_type"))
+    val query = raw.writeStream.format("memory").queryName("raw_out")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("raw_out").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val batch = Compiler.runRaw(src, q).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      assert(streamed.forall(t => t._2 == "signup" || t._2 == "purchase"))
+    } finally query.stop()
+    // LIMIT has no meaning on an unbounded stream — rejected loudly
+    val e = intercept[IllegalArgumentException](
+      EventStream.rawStream(EventStream.read(spark, dir), q.copy(limit = Some(5))))
+    assert(e.getMessage.contains("tailConsole"))
+  }
+
+  test("SQL runStream routes session/slide/exact/raw onto the streaming operators") {
+    import graft.sql.ZxSql
+    val dir = Files.createTempDirectory("graft-sqlstream").toString
+    def writeBatch(rows: Seq[(Long, Long, String, String, String, String)]): Unit = {
+      val data = rows.map { case (id, sec, foo, x, y, tag) =>
+        org.apache.spark.sql.Row(id,
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)), foo, x, y, tag)
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+        .write.mode("append").parquet(dir)
+    }
+    val base = 1704067200L
+    val batch1 = Seq(
+      (1L, base + 0L, "100", "7", "1", "t1"), (2L, base + 1L, "200", "1", null, "t1,t2"),
+      (3L, base + 2L, "300", "3", null, "t3"), (4L, base + 3L, "400", "2", "9", "t2"),
+      (5L, base + 4L, "500", "4", null, null), (6L, base + 5L, "600", "5", null, "t3"),
+      (7L, base + 6L, "700", "6", null, null), (8L, base + 7L, "800", "9", null, null),
+      (9L, base + 8L, "900", "8", null, null), (10L, base + 9L, "1000", "0", "9", null))
+    writeBatch(batch1)
+    val batch1Df = spark.createDataFrame(
+      spark.sparkContext.parallelize(batch1.map { case (id, sec, foo, x, y, tag) =>
+        org.apache.spark.sql.Row(id,
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)), foo, x, y, tag)
+      }, 2), schema)
+    def stream() = spark.readStream.schema(schema).parquet(dir)
+
+    // one SQL string, both engines: the filtered exact gap walk
+    val gapSql = "select sum(foo) where (y = 1 or y = 9) and foo > 200 group by y granularity 15 exact"
+    val gq = stream()
+    val gOut = ZxSql.runStream(gq, gapSql, watermark = "0 seconds")
+    val gQuery = gOut.writeStream.format("memory").queryName("sqlgap_out")
+      .outputMode("append").start()
+    try {
+      gQuery.processAllAvailable()
+      // the closer passes the SQL WHERE clause and breaches the open window
+      writeBatch(Seq((11L, base + 5000L, "300", "1", "9", null)))
+      gQuery.processAllAvailable()
+      // runStream reshapes GwOut to the batch GapWindows schema
+      assert(gOut.columns.toSeq == Seq("y", "w_start", "w_end", "sum_foo"))
+      val streamed = spark.table("sqlgap_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val batch = ZxSql.run(batch1Df, gapSql, idCol = Some("id"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally gQuery.stop()
+
+    // session windows from SQL, batch == stream on closed sessions
+    val sessSql = "select sum(foo) where y = 9 group by y session 5"
+    val sOut = ZxSql.runStream(stream(), sessSql, watermark = "0 seconds")
+    val sQuery = sOut.writeStream.format("memory").queryName("sqlsess_out")
+      .outputMode("append").start()
+    try {
+      sQuery.processAllAvailable()
+      val streamed = spark.table("sqlsess_out")
+        .select("y", "w_start", "w_end", "sum_foo")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1000))).toSet
+      val batch = ZxSql.run(batch1Df, sessSql)
+        .select("y", "w_start", "w_end", "sum_foo")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1000))).toSet
+      // the base+5000 closer written in the gap case above is y=9: every
+      // batch1 session closes under it; its own session stays open
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally sQuery.stop()
+
+    // raw tail and hopping windows route; batch-only constructs are rejected
+    assert(ZxSql.runStream(stream(), "select foo, y where y = 9").isStreaming)
+    assert(ZxSql.runStream(stream(),
+      "select sum(foo) group by y granularity 10 slide 5").isStreaming)
+    import graft.sql.ZxSql.ParseError
+    intercept[ParseError](ZxSql.runStream(stream(),
+      "select sum(foo) group by y order by sum(foo) desc"))
+    intercept[ParseError](ZxSql.runStream(stream(), "select foo limit 5"))
+    intercept[ParseError](ZxSql.runStream(stream(), "select heatmap(foo)"))
+  }
+
   test("S4: JSON result shaper reproduces the reference's nested shape") {
     val q = ZxQuery(selects = Seq(Select(Agg.Sum, "foo")),
       groupBy = Seq("y"), granularitySec = 15L)
