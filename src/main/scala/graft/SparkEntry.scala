@@ -611,6 +611,19 @@ object SparkEntry {
     graft.operators.Dedup.dupClusters(
       graft.operators.Dedup.minhashPairs(Tables.documents(s, dir), threshold = 0.5))
 
+  /** d6b: the same transitive clustering over ARBITRARY id types — the
+    * real-corpus shape (string/UUID document keys): the pair graph re-keyed
+    * as zero-padded strings runs through [[graft.operators.Dedup.dupClusters]]'s
+    * surrogate-dictionary path; cluster_id = the component's lexicographic
+    * min, which the padding makes equal to the numeric min. */
+  private def d6bClustersStr(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.Dedup
+      .minhashPairs(Tables.documents(s, dir), threshold = 0.5)
+      .select(format_string("doc_%06d", col("id_a")).as("id_a"),
+        format_string("doc_%06d", col("id_b")).as("id_b"))
+    graft.operators.Dedup.dupClusters(pairs)
+  }
+
   /** d9: the shippable corpus after NEAR-dup removal — MinHash pairs →
     * transitive clusters → drop every non-canonical member (keep the min-id
     * copy of each cluster plus all unclustered docs). The end-to-end form
@@ -972,6 +985,7 @@ object SparkEntry {
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
     "d5_embed_pairs" -> (d5EmbedPairs _),
     "d6_dup_clusters" -> (d6DupClusters _),
+    "d6b_clusters_str" -> (d6bClustersStr _),
     "d7_decontaminate" -> (d7Decontaminate _),
     "d9_neardup_survivors" -> (d9NeardupSurvivors _),
     "d8_incremental_dedup" -> (d8IncrementalDedup _),
@@ -1356,6 +1370,26 @@ object SparkEntry {
          |),
          |lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
          |SELECT id AS doc_id, cluster_id,
+         | CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         |FROM lab""".stripMargin,
+    "d6b_clusters_str" ->
+      // d6's transitive closure re-keyed as zero-padded strings: printf on
+      // the way out replays the Spark side's format_string re-keying, and
+      // min over the padded VARCHARs == min over the numeric ids
+      s"""WITH RECURSIVE $duckMinhashPairCtes,
+         |p AS (SELECT id_a, id_b
+         |  FROM cand JOIN shd a ON cand.id_a = a.doc_id JOIN shd b ON cand.id_b = b.doc_id
+         |  WHERE $duckJaccard >= 0.5),
+         |edges AS (SELECT id_a AS ea, id_b AS eb FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach AS (
+         |  SELECT ea AS id, ea AS lbl FROM edges
+         |  UNION
+         |  SELECT e.eb AS id, r.lbl FROM reach r JOIN edges e ON r.id = e.ea
+         |),
+         |lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         |SELECT printf('doc_%06d', id) AS doc_id,
+         | printf('doc_%06d', cluster_id) AS cluster_id,
          | CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
          |FROM lab""".stripMargin,
     "d9_neardup_survivors" ->

@@ -158,19 +158,92 @@ object Dedup {
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                   maxIter: Int = 20, pointerHalving: Boolean = false,
                   maxDriverEdges: Long = 1L << 22): DataFrame = {
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    val (tA, tB) = (pairs.schema(idA).dataType, pairs.schema(idB).dataType)
+    if (integral(tA) && integral(tB))
+      dupClustersLong(pairs, idA, idB, maxIter, pointerHalving, maxDriverEdges)
+    else
+      dupClustersAny(pairs, idA, idB, maxIter, pointerHalving, maxDriverEdges)
+  }
+
+  /** Arbitrary-id (string/UUID/date/...) clustering: build a surrogate-key
+    * dictionary over the DISTINCT ids appearing in any pair, run the long
+    * CC on the surrogates, map both output id columns back. The dictionary
+    * assignment is a range-partitioned global sort + `zipWithIndex` — order-
+    * preserving (consecutive ranges land in consecutive partition indices),
+    * so the component's min SURROGATE is the min ORIGINAL id under the id
+    * type's natural ordering, and `cluster_id` keeps its usual meaning. No
+    * single-partition rank window: zipWithIndex costs one extra count job
+    * for the per-partition offsets and otherwise stays fully parallel; the
+    * dictionary holds only ids that occur in a pair (clustered docs), never
+    * the corpus. */
+  private def dupClustersAny(pairs: DataFrame, idA: String, idB: String,
+                             maxIter: Int, pointerHalving: Boolean,
+                             maxDriverEdges: Long): DataFrame = {
+    val idType = pairs.schema(idA).dataType
+    require(pairs.schema(idB).dataType == idType,
+      s"dupClusters: $idA (${pairs.schema(idA).dataType}) and $idB " +
+        s"(${pairs.schema(idB).dataType}) must share one id type")
+    val spark = pairs.sparkSession
+    // The pair DAG (an LSH band join + jaccard verify, typically) is the
+    // expensive part, and this path consumes it several times — dictionary
+    // build, parity count, surrogate mapping. Persist the two-column
+    // projection ONCE; every downstream consumer reads the cached rows.
+    val pr = pairs.select(col(idA), col(idB)).persist()
+    val dictSchema = StructType(Seq(StructField("id", idType),
+      StructField("__sid", LongType, nullable = false)))
+    try {
+      val ids = pr.select(col(idA).as("id"))
+        .union(pr.select(col(idB).as("id")))
+        .filter(col("id").isNotNull).distinct()
+      val dict = spark.createDataFrame(
+        ids.orderBy(col("id")).rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(r.get(0), i)
+        }, dictSchema).persist()
+      try {
+        val mapped = pr
+          .join(dict.select(col("id").as(idA), col("__sid").as("__sa")), idA)
+          .join(dict.select(col("id").as(idB), col("__sid").as("__sb")), idB)
+          .select(col("__sa").as(idA), col("__sb").as(idB))
+        // inner joins drop null-id edges silently — count parity fails loudly
+        // instead (cached-scan actions; the long path never pays them)
+        val (nIn, nMapped) = (pr.count(), mapped.count())
+        require(nMapped == nIn,
+          s"dupClusters: ${nIn - nMapped} pairs carry NULL $idA/$idB values")
+        val longOut = dupClustersLong(mapped, idA, idB, maxIter, pointerHalving,
+          maxDriverEdges)
+        val res = longOut
+          .join(dict.select(col("__sid").as("doc_id"), col("id").as("__doc")), "doc_id")
+          .join(dict.select(col("__sid").as("cluster_id"), col("id").as("__cl")), "cluster_id")
+          .select(col("__doc").as("doc_id"), col("__cl").as("cluster_id"),
+            col("cluster_size"))
+        // the dictionary and pair cache feed the returned plan — materialize
+        // the result before releasing either
+        res.localCheckpoint(true)
+      } finally dict.unpersist()
+    } finally pr.unpersist()
+  }
+
+  private def dupClustersLong(pairs: DataFrame, idA: String, idB: String,
+                              maxIter: Int, pointerHalving: Boolean,
+                              maxDriverEdges: Long): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint
     // materialize the (possibly expensive) pair DAG ONCE; the reversed
     // direction is then a cheap scan of the cached rows, not a recompute
     val p = pairs.select(col(idA).cast(LongType).as("src"),
       col(idB).cast(LongType).as("dst")).persist()
-    // One cached-scan job counts edges AND surviving casts: a non-integral
-    // id (string/UUID) casts to NULL and would silently merge everything it
-    // touches into one bogus component — fail loudly instead.
+    // One cached-scan job counts edges AND surviving casts: a NULL integral
+    // id would silently merge everything it touches into one bogus
+    // component — fail loudly instead (non-integral ids never reach this
+    // path; [[dupClusters]] routes them through the surrogate dictionary).
     val cnt = p.agg(count(lit(1)), count(col("src")), count(col("dst"))).head()
     val nEdges = cnt.getLong(0)
-    require(cnt.getLong(1) == nEdges && cnt.getLong(2) == nEdges,
-      s"dupClusters: ${2 * nEdges - cnt.getLong(1) - cnt.getLong(2)} pair id values " +
-        s"failed the LongType cast ($idA/$idB must be integral and non-null)")
+    if (cnt.getLong(1) != nEdges || cnt.getLong(2) != nEdges) {
+      p.unpersist() // don't leak the cached blocks into the shared session
+      throw new IllegalArgumentException(
+        s"dupClusters: ${2 * nEdges - cnt.getLong(1) - cnt.getLong(2)} pair id values " +
+          s"failed the LongType cast ($idA/$idB must be integral and non-null)")
+    }
     if (nEdges == 0) { // no pairs → no non-trivial clusters (sum(NULL) NPEs below)
       p.unpersist()
       return p.sparkSession.emptyDataFrame

@@ -72,13 +72,32 @@ object Similarity {
     * partition-parallel reduction order. */
   private val FixedPointQ = 1048576.0 // 2^20
 
+  /** Hard ceiling on driver/plan-resident centroid state, in DOUBLE slots
+    * (nlist × dim): 2^20 doubles = 8 MB — far above any sane IVF config
+    * (nlist 4096 × dim 256 = 2^20 exactly; typical probes use KBs), far
+    * below what OOMs a driver or bloats every serialized task with literal
+    * centroids. A misconfigured 1M-centroid train fails this require with
+    * arithmetic in the message instead of dying in a collect. */
+  private val MaxCentroidSlots = 1L << 20
+
+  private def requireCentroidBudget(nlist: Long, dim: Long, site: String): Unit =
+    require(nlist * dim <= MaxCentroidSlots,
+      s"$site: nlist=$nlist x dim=$dim = ${nlist * dim} centroid doubles exceeds " +
+        s"the driver/plan budget of $MaxCentroidSlots (8 MB) — centroids are " +
+        "driver-held and embedded in the assignment plan; shrink nlist or " +
+        "switch to a joined (non-literal) centroid table for indexes this wide")
+
   /** Row-local cell assignment against driver-held centroids: the per-row
     * argmax over `nlist` broadcast-literal dot products — a narrow projection,
     * ZERO exchanges (PlanSpec-pinned). Ties break to the lowest cid via the
     * (score, -cid) struct max. At 100 TB this is the map-side step that lets
-    * the index build write the table partitioned by `cell`. */
+    * the index build write the table partitioned by `cell`. The centroid set
+    * rides in the PLAN as literals, so its size is require-bounded
+    * ([[MaxCentroidSlots]]). */
   def assignCells(emb: DataFrame, cents: Seq[(Int, Seq[Double])],
                   vecCol: String = "embedding"): DataFrame = {
+    requireCentroidBudget(cents.size.toLong,
+      cents.headOption.map(_._2.size.toLong).getOrElse(0L), "assignCells")
     val scored = array(cents.sortBy(_._1).map { case (cid, cv) =>
       struct(dot(col(vecCol), typedLit(cv)).as("s"), lit(-cid).as("nc"))
     }: _*)
@@ -87,17 +106,24 @@ object Similarity {
 
   /** Lloyd k-means over the embedding column, `iters` centroid updates from
     * deterministic seeds (the first `nlist` vectors). Each iteration is one
-    * narrow assignment pass + one tiny aggregation (nlist × dim longs to the
-    * driver); empty cells drop. Returns (cid, centroid) pairs for
-    * [[assignCells]] / persistence. */
+    * narrow assignment pass + one tiny aggregation collecting nlist rows ×
+    * (dim+2) longs to the driver — require-bounded at [[MaxCentroidSlots]]
+    * (8 MB), so a misconfigured train (1M centroids × 768 dims = 6 GB)
+    * fails loudly up front instead of OOMing the driver mid-collect; empty
+    * cells drop. Returns (cid, centroid) pairs for [[assignCells]] /
+    * persistence. */
   def ivfTrain(emb: DataFrame, nlist: Int = 16, iters: Int = 2,
                idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Seq[Double])] = {
+    // pre-collect bound with dim unknown: even dim = 1 over this many seeds
+    // busts the budget, so the seed collect itself is already misconfigured
+    requireCentroidBudget(nlist.toLong, 1L, "ivfTrain")
     var cents: Seq[(Int, Seq[Double])] = emb.filter(col(idCol) < nlist)
       .select(col(idCol).cast(org.apache.spark.sql.types.IntegerType), toDouble(col(vecCol)))
       .collect().toSeq
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toIndexedSeq)
       .sortBy(_._1)
     val dim = cents.head._2.size
+    requireCentroidBudget(nlist.toLong, dim.toLong, "ivfTrain")
     for (_ <- 0 until iters) {
       val sumCols = (0 until dim).map(j =>
         sum(floor(element_at(col(vecCol), j + 1)

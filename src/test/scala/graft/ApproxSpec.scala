@@ -72,6 +72,26 @@ class ApproxSpec extends AnyFunSuite {
     assert(a1 == a2)
   }
 
+  test("misconfigured centroid budgets fail loudly before any driver collect") {
+    val emb = Tables.embeddings(spark, dir)
+    // 1M-centroid train: even at dim=1 this busts the 2^20-slot budget —
+    // the require fires BEFORE the seed collect (no Spark job runs)
+    val eTrain = intercept[IllegalArgumentException] {
+      Similarity.ivfTrain(emb, nlist = 1 << 21)
+    }
+    assert(eTrain.getMessage.contains("centroid doubles exceeds"))
+    // assignment against an over-wide literal centroid set: nlist x dim
+    // would serialize 16 MB of literals into every task
+    val wide = (0 until 1024).map(c => c -> Seq.fill(2048)(0.5)).toSeq
+    val eAssign = intercept[IllegalArgumentException] {
+      Similarity.assignCells(emb, wide)
+    }
+    assert(eAssign.getMessage.contains("assignCells"))
+    // the boundary itself is fine: nlist * dim == 2^20 passes the require
+    // (empty centroid list => dim 0, just checking no spurious throw)
+    Similarity.assignCells(emb, Seq(0 -> Seq.fill(8)(0.1), 1 -> Seq.fill(8)(-0.1)))
+  }
+
   test("cell-partitioned IVF index: probe prunes partitions and matches ivfKnn") {
     val emb = Tables.embeddings(spark, dir)
     val cents = Similarity.ivfTrain(emb, nlist = 16, iters = 2)

@@ -119,6 +119,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(canon(Long.MaxValue) == canon(0L))
   }
 
+  test("dup clusters: string ids cluster via the surrogate dictionary, both strategy rungs") {
+    import SparkFixture.spark.implicits._
+    // same chain + island shape as the long-id case, re-keyed as strings;
+    // cluster_id must be the lexicographic min of each component
+    val pairs = Seq(("doc_001", "doc_002"), ("doc_002", "doc_003"),
+      ("doc_010", "doc_011")).toDF("id_a", "id_b")
+    val want = Set(("doc_001", "doc_001", 3L), ("doc_002", "doc_001", 3L),
+      ("doc_003", "doc_001", 3L), ("doc_010", "doc_010", 2L),
+      ("doc_011", "doc_010", 2L))
+    for (threshold <- Seq(Long.MaxValue, 0L)) {
+      val got = Dedup.dupClusters(pairs, maxDriverEdges = threshold).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == want, s"maxDriverEdges=$threshold")
+    }
+  }
+
+  test("dup clusters: string-id output equals the long-id output under the id mapping") {
+    import SparkFixture.spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    val edges = (1 to 80).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    def key(i: Long) = f"id_$i%04d" // zero-padded: lexicographic min == numeric min
+    val longOut = Dedup.dupClusters(edges.toDF("id_a", "id_b")).collect()
+      .map(r => (key(r.getLong(0)), key(r.getLong(1)), r.getLong(2))).toSet
+    val strOut = Dedup.dupClusters(
+        edges.map { case (a, b) => (key(a), key(b)) }.toDF("id_a", "id_b")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(strOut == longOut)
+  }
+
+  test("dup clusters: null ids fail loudly on both id-type paths") {
+    import SparkFixture.spark.implicits._
+    val nullLong = Seq((Some(1L), Some(2L)), (Some(2L), None))
+      .toDF("id_a", "id_b")
+    val eLong = intercept[IllegalArgumentException] { Dedup.dupClusters(nullLong) }
+    assert(eLong.getMessage.contains("failed the LongType cast"))
+    val nullStr = Seq(("a", "b"), ("b", null: String)).toDF("id_a", "id_b")
+    val eStr = intercept[IllegalArgumentException] { Dedup.dupClusters(nullStr) }
+    assert(eStr.getMessage.contains("NULL"))
+  }
+
+  test("dup clusters: mismatched id column types are rejected") {
+    import SparkFixture.spark.implicits._
+    val mixed = Seq(("a", 1L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] { Dedup.dupClusters(mixed) }
+    assert(e.getMessage.contains("share one id type"))
+  }
+
   test("dup clusters: empty pair input returns an empty frame, not an NPE") {
     val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
       StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
