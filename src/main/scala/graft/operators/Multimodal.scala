@@ -52,36 +52,114 @@ object Multimodal {
           lit(frameBytes))).as("frame_md5"))
   }
 
-  private val decodedSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("width", IntegerType),
-    StructField("height", IntegerType),
-    StructField("n_bytes", IntegerType),
-    StructField("features", ArrayType(DoubleType))))
+  // ------------------------------------------------------- WAV codec (real)
 
-  /** Decode + feature-extract. STUB CODEC: real deployments replace the body
-    * of `decodeOne` below; everything around it (batching, schema, pruning)
-    * is production-shaped. */
-  def decodeStub(packed: DataFrame): DataFrame = {
+  /** Synthesis rule shared by [[packWav]] and its oracle replay: per-doc
+    * sample rate in {8000, 16000, 24000} Hz keyed off the doc id, one
+    * 16-bit mono PCM sample per ASCII char, centered near zero. */
+  private def wavSampleRate(docId: Long): Int = (8000L * (1 + docId % 3)).toInt
+  private def wavSample(b: Byte): Int = ((b & 0xff) - 96) * 256
+
+  private val packedWavSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media_type", StringType),
+    StructField("payload", BinaryType),
+    StructField("n_bytes", IntegerType)))
+
+  /** Pack each document as a REAL audio container: a canonical 44-byte
+    * RIFF/WAVE PCM header plus one little-endian 16-bit mono sample per
+    * text char ([[wavSample]]), at a per-doc sample rate ([[wavSampleRate]]).
+    * This is the synthesis side of the in-container codec pair — the bytes
+    * are a valid WAV file any player could open, so [[decodeWav]] has real
+    * structure to parse rather than a byte-fold fake. */
+  def packWav(docs: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id"): DataFrame = {
+    val out = docs.select(col(idCol).cast(LongType), col(textCol))
+      .mapPartitions { it =>
+        def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+        def le32(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+        it.map { r =>
+          val id = r.getLong(0)
+          val text = r.getString(1)
+          val rate = wavSampleRate(id)
+          val dataSize = text.length * 2 // 16-bit mono
+          val bb = java.io.ByteArrayOutputStream.nullOutputStream() // placeholder avoided; build directly
+          val buf = new java.io.ByteArrayOutputStream(44 + dataSize)
+          buf.write("RIFF".getBytes("US-ASCII")); buf.write(le32(36 + dataSize))
+          buf.write("WAVE".getBytes("US-ASCII"))
+          buf.write("fmt ".getBytes("US-ASCII")); buf.write(le32(16))
+          buf.write(le16(1))          // PCM
+          buf.write(le16(1))          // mono
+          buf.write(le32(rate))
+          buf.write(le32(rate * 2))   // byte rate = rate * blockAlign
+          buf.write(le16(2))          // blockAlign = channels * bits/8
+          buf.write(le16(16))         // bits per sample
+          buf.write("data".getBytes("US-ASCII")); buf.write(le32(dataSize))
+          text.getBytes("US-ASCII").foreach(b => buf.write(le16(wavSample(b) & 0xffff)))
+          val bytes = buf.toByteArray
+          Row(id, "audio/wav", bytes, bytes.length)
+        }
+      }(RowEncoder.encoderFor(packedWavSchema))
+    out.toDF()
+  }
+
+  private val decodedWavSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("duration_ms", LongType),
+    StructField("peak", IntegerType),
+    StructField("rms", DoubleType)))
+
+  /** Decode REAL WAV containers: validate the RIFF/WAVE/fmt/data magics,
+    * read the little-endian header fields, and fold the PCM samples into
+    * peak amplitude and RMS — an actual in-container codec with zero
+    * external dependencies, not a stub. Malformed payloads throw with the
+    * offending doc id. Runs as mapPartitions so a heavier codec's
+    * per-partition init (contexts, model load) amortizes across the batch;
+    * the blob column is pruned out of every query that doesn't decode. */
+  def decodeWav(packed: DataFrame): DataFrame = {
     val out = packed.select(col("doc_id"), col("payload"))
       .mapPartitions { it =>
-        // ---- per-partition init happens here (codec/model load) ----
-        def decodeOne(id: Long, payload: Array[Byte]): Row = {
-          // STUB: deterministic fake decode derived from the bytes.
-          // Real impl: image/audio decode + embedding extraction.
-          val n = payload.length
-          val width = 1 + (n % 640)
-          val height = 1 + ((n / 640) % 480)
-          val features = Array.tabulate(8) { i =>
-            var acc = 0L
-            var j = i
-            while (j < n) { acc = (acc * 31 + (payload(j) & 0xff)) & 0xffffff; j += 8 }
-            acc.toDouble / 0xffffff.toDouble
+        // ---- per-partition codec init would happen here ----
+        def u16(b: Array[Byte], off: Int): Int =
+          (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+        def u32(b: Array[Byte], off: Int): Long =
+          (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+            ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+        def magic(b: Array[Byte], off: Int, want: String): Boolean =
+          b.length >= off + 4 && new String(b, off, 4, "US-ASCII") == want
+        it.map { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          require(b.length >= 44 && magic(b, 0, "RIFF") && magic(b, 8, "WAVE") &&
+            magic(b, 12, "fmt ") && magic(b, 36, "data"),
+            s"doc $id: not a canonical PCM WAV payload")
+          val fmt = u16(b, 20); val channels = u16(b, 22)
+          val rate = u32(b, 24).toInt; val blockAlign = u16(b, 32)
+          val bits = u16(b, 34); val dataSize = u32(b, 40)
+          require(fmt == 1 && bits == 16 && blockAlign == channels * 2 &&
+            44 + dataSize <= b.length,
+            s"doc $id: unsupported WAV layout (fmt=$fmt bits=$bits)")
+          val nSamples = dataSize / blockAlign
+          var i = 0; var peak = 0; var sumSq = 0.0
+          while (i < nSamples.toInt) {
+            val s = u16(b, 44 + i * 2).toShort.toInt // sign-extend LE sample
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            sumSq += s.toDouble * s // exact: |s| <= 2^15, n < 2^22 => < 2^53
+            i += 1
           }
-          Row(id, width, height, n, features)
+          val rms = if (nSamples == 0) 0.0
+            else BigDecimal(math.sqrt(sumSq / nSamples))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Row(id, rate, channels, bits, nSamples,
+            nSamples * 1000L / rate, peak, rms)
         }
-        it.map(r => decodeOne(r.getLong(0), r.getAs[Array[Byte]](1)))
-      }(RowEncoder.encoderFor(decodedSchema))
+      }(RowEncoder.encoderFor(decodedWavSchema))
     out.toDF()
   }
 }
