@@ -615,12 +615,14 @@ object SparkEntry {
     * real-corpus shape (string/UUID document keys): the pair graph re-keyed
     * as zero-padded strings runs through [[graft.operators.Dedup.dupClusters]]'s
     * surrogate-dictionary path; cluster_id = the component's lexicographic
-    * min, which the padding makes equal to the numeric min. */
+    * min, which the 12-digit zero-padding keeps equal to the numeric min
+    * for every id below 10^12 (the fixture generator's ids are dense from
+    * zero, far under that). */
   private def d6bClustersStr(s: SparkSession, dir: String): DataFrame = {
     val pairs = graft.operators.Dedup
       .minhashPairs(Tables.documents(s, dir), threshold = 0.5)
-      .select(format_string("doc_%06d", col("id_a")).as("id_a"),
-        format_string("doc_%06d", col("id_b")).as("id_b"))
+      .select(format_string("doc_%012d", col("id_a")).as("id_a"),
+        format_string("doc_%012d", col("id_b")).as("id_b"))
     graft.operators.Dedup.dupClusters(pairs)
   }
 
@@ -737,19 +739,15 @@ object SparkEntry {
     graft.operators.Multimodal.packBinary(Tables.documents(s, dir))
       .select("doc_id", "media_type", "n_bytes")
 
-  /** Binary decode plumbing with the stubbed codec. The feature vector is
-    * exploded to scalar columns f0..f7 (rounded 6dp) so the driver compare
-    * can sort/hash the result — `array<double>` is unhashable on the pandas
-    * side, and the stub's byte-fold is deterministic integer arithmetic DuckDB
-    * replays exactly (same trick as x5's HUGEINT oracle). */
-  private def m2MmDecode(s: SparkSession, dir: String): DataFrame = {
-    val dec = graft.operators.Multimodal.decodeStub(
-      graft.operators.Multimodal.packBinary(Tables.documents(s, dir)))
-    val fCols = (0 until 8).map(i =>
-      round(element_at(col("features"), i + 1), 6).as(s"f$i"))
-    dec.select(Seq(col("doc_id"), col("width"), col("height"),
-      col("n_bytes")) ++ fCols: _*)
-  }
+  /** Real in-container codec round-trip: pack each document as a canonical
+    * RIFF/WAVE PCM file, then decode by parsing the actual byte layout —
+    * header fields, LE 16-bit samples, peak/RMS fold. The synthesis rule
+    * (rate = 8000·(1 + id%3), sample = (ascii−96)·256) is integer
+    * arithmetic DuckDB replays exactly; RMS is sqrt over an exactly-
+    * representable integer sum (< 2^53) so the doubles match bit-for-bit. */
+  private def m2MmDecode(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.decodeWav(
+      graft.operators.Multimodal.packWav(Tables.documents(s, dir)))
 
   /** Frame-sampling plumbing over the packed payload (every 4th 64-byte
     * frame) — one row per sampled frame with a digest, blob pruned out. */
@@ -1388,8 +1386,8 @@ object SparkEntry {
          |  SELECT e.eb AS id, r.lbl FROM reach r JOIN edges e ON r.id = e.ea
          |),
          |lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
-         |SELECT printf('doc_%06d', id) AS doc_id,
-         | printf('doc_%06d', cluster_id) AS cluster_id,
+         |SELECT printf('doc_%012d', id) AS doc_id,
+         | printf('doc_%012d', cluster_id) AS cluster_id,
          | CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
          |FROM lab""".stripMargin,
     "d9_neardup_survivors" ->
@@ -1544,27 +1542,34 @@ object SparkEntry {
       """SELECT doc_id, 'text/plain' AS media_type,
         | CAST(strlen(text) AS INT) AS n_bytes
         |FROM documents""".stripMargin,
-    "m2_mm_decode" -> {
-      // replay of Multimodal.decodeStub's byte-fold: per feature i, fold
-      // acc = (acc*31 + byte) mod 2^24 over bytes i, i+8, ... (docs are
-      // ASCII, so 1-based char positions == 0-based byte offsets + 1),
-      // then normalize by 0xffffff; int division of identical ints is
-      // bit-exact across engines, rounded 6dp on both sides
-      def ffold(i: Int): String =
-        s"list_reduce(list_prepend(0::BIGINT, " +
-          s"list_transform(range(${i + 1}, strlen(text)::BIGINT + 1, 8), " +
-          s"j -> ascii(substr(text, j::INT, 1))::BIGINT)), " +
-          s"(acc, x) -> (acc * 31 + x) % 16777216)"
-      val fcols = (0 until 8)
-        .map(i => s" round(${ffold(i)} / 16777215.0, 6) AS f$i")
-        .mkString(",\n")
-      s"""SELECT doc_id,
-         | CAST(1 + (strlen(text)::BIGINT % 640) AS INT) AS width,
-         | CAST(1 + ((strlen(text)::BIGINT // 640) % 480) AS INT) AS height,
-         | CAST(strlen(text) AS INT) AS n_bytes,
-         |$fcols
-         |FROM documents""".stripMargin
-    },
+    "m2_mm_decode" ->
+      // replay of the WAV synthesis rule (Multimodal.wavSampleRate /
+      // wavSample) + decodeWav's PCM fold: sample s_j = (ascii_j - 96)*256,
+      // rate = 8000*(1 + doc_id % 3). peak/duration are exact integer
+      // arithmetic; RMS = sqrt(sum(s^2)/n) over an exactly-representable
+      // integer sum (|s| <= 2^15, n < 2^22 => sum < 2^53), so the IEEE
+      // doubles match Spark's bit-for-bit before the shared 6dp rounding.
+      // Docs are ASCII, so 1-based char positions == byte offsets + 1.
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, strlen(text)::BIGINT + 1),
+        |      j -> ((ascii(substr(text, j::INT, 1)) - 96) * 256)::BIGINT)
+        |      AS samples
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels,
+        |  CAST(16 AS INT) AS bits,
+        |  len(samples)::BIGINT AS n_samples,
+        |  (len(samples)::BIGINT * 1000) // (8000 * (1 + doc_id % 3))::BIGINT
+        |    AS duration_ms,
+        |  CAST(coalesce(list_max(list_transform(samples, x -> abs(x))), 0)
+        |    AS INT) AS peak,
+        |  round(CASE WHEN len(samples) = 0 THEN 0.0
+        |    ELSE sqrt(list_sum(list_transform(samples, x -> (x * x)::DOUBLE))
+        |              / len(samples)) END, 6) AS rms
+        |FROM s""".stripMargin,
     "a8_gap_window" -> gapWindowOracle(3600L),
     "c1_curate" -> {
       val en = graft.functions.TextFunctions.langStopwords.head._2

@@ -84,7 +84,6 @@ object Multimodal {
           val text = r.getString(1)
           val rate = wavSampleRate(id)
           val dataSize = text.length * 2 // 16-bit mono
-          val bb = java.io.ByteArrayOutputStream.nullOutputStream() // placeholder avoided; build directly
           val buf = new java.io.ByteArrayOutputStream(44 + dataSize)
           buf.write("RIFF".getBytes("US-ASCII")); buf.write(le32(36 + dataSize))
           buf.write("WAVE".getBytes("US-ASCII"))
@@ -141,9 +140,10 @@ object Multimodal {
           val fmt = u16(b, 20); val channels = u16(b, 22)
           val rate = u32(b, 24).toInt; val blockAlign = u16(b, 32)
           val bits = u16(b, 34); val dataSize = u32(b, 40)
-          require(fmt == 1 && bits == 16 && blockAlign == channels * 2 &&
-            44 + dataSize <= b.length,
-            s"doc $id: unsupported WAV layout (fmt=$fmt bits=$bits)")
+          require(fmt == 1 && bits == 16 && channels == 1 && rate > 0 &&
+            blockAlign == channels * 2 && 44 + dataSize <= b.length,
+            s"doc $id: unsupported WAV layout (fmt=$fmt bits=$bits " +
+              s"channels=$channels rate=$rate)")
           val nSamples = dataSize / blockAlign
           var i = 0; var peak = 0; var sumSq = 0.0
           while (i < nSamples.toInt) {

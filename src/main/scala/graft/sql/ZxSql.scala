@@ -530,7 +530,7 @@ object ZxSql {
         if (q.groupBy.isEmpty) Nil
         else if (q.groupBy.size == 1) Seq(col("key").as(q.groupBy.head))
         else q.groupBy.zipWithIndex.map { case (g, i) =>
-          element_at(split(col("key"), " "), i + 1).as(g) }
+          element_at(split(col("key"), "\u0000"), i + 1).as(g) }
       val aggCols = q.selects.zipWithIndex.map { case (s, i) =>
         element_at(col("values"), i + 1).as(s.key) }
       gw.select(keyCols ++ Seq(col("w_start"), col("w_end")) ++ aggCols: _*)

@@ -87,8 +87,19 @@ class ApproxSpec extends AnyFunSuite {
       Similarity.assignCells(emb, wide)
     }
     assert(eAssign.getMessage.contains("assignCells"))
-    // the boundary itself is fine: nlist * dim == 2^20 passes the require
-    // (empty centroid list => dim 0, just checking no spurious throw)
+    // the boundary itself is fine: nlist * dim == 2^20 exactly passes the
+    // require (budget is inclusive), one more slot fails it — pin both
+    // sides of the constant with cheap lazy frames (no job runs; the
+    // require fires/passes at plan-build time)
+    val dimAt = 1 << 10 // 1024 centroids x 1024 dims == 2^20 slots
+    val atBudget = (0 until 1024).map(c => c -> Seq.fill(dimAt)(0.0)).toSeq
+    Similarity.assignCells(emb, atBudget) // must not throw
+    val overBudget = (0 until 1025).map(c => c -> Seq.fill(dimAt)(0.0)).toSeq
+    val eOver = intercept[IllegalArgumentException] {
+      Similarity.assignCells(emb, overBudget)
+    }
+    assert(eOver.getMessage.contains("assignCells"))
+    // small sanity case still assigns fine
     Similarity.assignCells(emb, Seq(0 -> Seq.fill(8)(0.1), 1 -> Seq.fill(8)(-0.1)))
   }
 

@@ -327,14 +327,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(stats == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
   }
 
-  test("multimodal: payload bytes survive packing; stub decode is deterministic") {
-    val df = docsDf((7L, "some document payload"))
-    val packed = Multimodal.packBinary(df)
-    assert(packed.head().getAs[Int]("n_bytes") == "some document payload".length)
-    val d1 = Multimodal.decodeStub(packed).collect()
-    val d2 = Multimodal.decodeStub(packed).collect()
-    assert(d1.sameElements(d2))
-    assert(d1.head.getAs[scala.collection.Seq[Double]]("features").length == 8)
+  test("multimodal: packWav emits a valid RIFF container; decodeWav round-trips it") {
+    val text = "some document payload"
+    val df = docsDf((7L, text))
+    val packed = Multimodal.packWav(df)
+    val blob = packed.head().getAs[Array[Byte]]("payload")
+    // real WAV container: magics + header arithmetic
+    assert(new String(blob, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(blob, 8, 4, "US-ASCII") == "WAVE")
+    assert(blob.length == 44 + text.length * 2)
+    val dec = Multimodal.decodeWav(packed).head()
+    // doc 7 -> rate = 8000*(1 + 7%3) = 16000; samples = (ascii-96)*256
+    assert(dec.getAs[Int]("sample_rate") == 16000)
+    assert(dec.getAs[Int]("channels") == 1 && dec.getAs[Int]("bits") == 16)
+    assert(dec.getAs[Long]("n_samples") == text.length.toLong)
+    assert(dec.getAs[Long]("duration_ms") == text.length * 1000L / 16000)
+    val samples = text.map(c => (c.toInt - 96) * 256)
+    assert(dec.getAs[Int]("peak") == samples.map(math.abs).max)
+    val rms = math.sqrt(samples.map(s => s.toDouble * s).sum / samples.length)
+    assert(math.abs(dec.getAs[Double]("rms") - rms) < 1e-6)
+  }
+
+  test("multimodal: decodeWav rejects malformed and unsupported payloads") {
+    import org.apache.spark.SparkException
+    val garbage = docsDf((1L, "x")).select(col("doc_id"),
+      lit("junk".getBytes("US-ASCII")).as("payload"))
+    val e1 = intercept[SparkException] { Multimodal.decodeWav(garbage).collect() }
+    assert(e1.getMessage.contains("not a canonical PCM WAV"))
+    // corrupt the channel count of a real container -> layout require fires
+    val stereo = Multimodal.packWav(docsDf((1L, "abc")))
+      .select(col("doc_id"), col("payload")).collect().map { r =>
+        val b = r.getAs[Array[Byte]](1).clone(); b(22) = 2; (r.getLong(0), b)
+      }
+    val sdf = spark.createDataFrame(stereo.toSeq).toDF("doc_id", "payload")
+    val e2 = intercept[SparkException] { Multimodal.decodeWav(sdf).collect() }
+    assert(e2.getMessage.contains("unsupported WAV layout"))
   }
 
   test("hash sampling: disjoint pct ranges partition the corpus deterministically") {
