@@ -649,6 +649,180 @@ class StoreStreamSpec extends AnyFunSuite {
     intercept[ParseError](ZxSql.runStream(stream(), "select heatmap(foo)"))
   }
 
+  test("streaming multi-col group keys with spaces round-trip losslessly (NUL separator)") {
+    import graft.sql.ZxSql
+    val dir = Files.createTempDirectory("graft-nulkey").toString
+    def write(rows: Seq[(Long, Long, String, String, String)]): Unit = {
+      val data = rows.map { case (id, sec, foo, y, tag) =>
+        org.apache.spark.sql.Row(id,
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)), foo, null, y, tag)
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+        .write.mode("append").parquet(dir)
+    }
+    val base = 1704067200L
+    // adversarial pair: a SPACE separator would render ("a b","c") and
+    // ("a","b c") as the same joined key "a b c" — merging two distinct
+    // groups AND mis-splitting the columns on output. The NUL separator
+    // (GapWindowStream keyExpr / ZxSql.runStream split) keeps them apart;
+    // this spec fails if the separator ever reverts to " ".
+    val rows = Seq(
+      (1L, base + 0L, "100", "a b", "c"), (2L, base + 2L, "200", "a b", "c"),
+      (3L, base + 1L, "1000", "a", "b c"), (4L, base + 3L, "4000", "a", "b c"))
+    write(rows)
+    val sql = "select sum(foo) group by y, tag granularity 15 exact"
+    val out = ZxSql.runStream(spark.readStream.schema(schema).parquet(dir),
+      sql, watermark = "0 seconds")
+    val query = out.writeStream.format("memory").queryName("nulkey_out")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      // one far-future closer advances the global watermark; every other
+      // group's open window flushes via its event-time timeout
+      write(Seq((9L, base + 5000L, "1", "zz", "zz")))
+      query.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select("y", "tag", "w_start", "w_end", "sum_foo")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      val streamed = canon(spark.table("nulkey_out"))
+      val batchDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, sec, foo, y, tag) =>
+          org.apache.spark.sql.Row(id,
+            java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)), foo, null, y, tag)
+        }, 2), schema)
+      val batch = canon(ZxSql.run(batchDf, sql, idCol = Some("id")))
+      assert(streamed == batch)
+      // the two space-laden groups stayed distinct with intact values
+      assert(streamed.map(t => (t._1, t._2, t._5)) ==
+        Set(("a b", "c", 300.0), ("a", "b c", 5000.0)))
+    } finally query.stop()
+  }
+
+  /** tStart/tEnd on streams (ADVICE r6 #7): the bounds ride
+    * Compiler.scanFilter via EventStream.preFilter and — because they
+    * reference the watermarked ts column — stay ABOVE the watermark node,
+    * so an out-of-range event still advances the stream clock and a
+    * tEnd-bounded query CLOSES its final windows. Each case below runs in
+    * append mode with watermark 0s and a single PAST-tEnd closer, so it
+    * fails under either mutation: drop the bounds and the closer's rows
+    * leak into the output (batch-bounded mismatch); push the bounds below
+    * the watermark and the excluded closer never advances the clock — zero
+    * rows emit. */
+  test("tumbling/hopping/gap streams apply tStart/tEnd; a past-tEnd event still closes final windows") {
+    import graft.sql.ZxSql
+    val base = 1704067200L // multiple of 15 — calendar windows align at +0
+    val rows = Seq(
+      (1L, base + 0L, "50"),   // before tStart — excluded
+      (2L, base + 5L, "100"), (3L, base + 10L, "200"), // window [base, base+15)
+      (4L, base + 18L, "400"), // window [base+15, base+30)
+      (5L, base + 25L, "800")) // after tEnd — excluded
+    val closer = Seq((9L, base + 5000L, "999")) // past tEnd: clock only
+    val bounds = s"$$t_start = ${base + 3} and $$t_end = ${base + 20}"
+    val cases = Seq( // (name, bounded sql, unbounded sql, expected total)
+      ("tumble", s"select sum(foo) where $bounds group by y granularity 15",
+        "select sum(foo) group by y granularity 15", 700.0),
+      // hopping: every event lands in gran/slide = 2 windows -> total 2x
+      ("hop", s"select sum(foo) where $bounds group by y granularity 10 slide 5",
+        "select sum(foo) group by y granularity 10 slide 5", 1400.0),
+      ("gap", s"select sum(foo) where $bounds group by y granularity 15 exact",
+        "select sum(foo) group by y granularity 15 exact", 700.0))
+    for ((name, sql, sqlNoBounds, expectedTotal) <- cases) {
+      val dir = Files.createTempDirectory(s"graft-tb-$name").toString
+      def mkRows(t: Seq[(Long, Long, String)]) = t.map { case (id, sec, foo) =>
+        org.apache.spark.sql.Row(id,
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)), foo, null, "9", null)
+      }
+      def write(t: Seq[(Long, Long, String)]): Unit =
+        spark.createDataFrame(spark.sparkContext.parallelize(mkRows(t), 1), schema)
+          .write.mode("append").parquet(dir)
+      write(rows)
+      val out = ZxSql.runStream(spark.readStream.schema(schema).parquet(dir),
+        sql, watermark = "0 seconds")
+      val query = out.writeStream.format("memory").queryName(s"tb_${name}_out")
+        .outputMode("append").start()
+      try {
+        query.processAllAvailable()
+        write(closer) // excluded by tEnd, but MUST advance the watermark
+        query.processAllAvailable()
+        def canon(df: org.apache.spark.sql.DataFrame) = df
+          .select("y", "w_start", "w_end", "sum_foo")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3))).toSet
+        val streamed = canon(spark.table(s"tb_${name}_out"))
+        val all = spark.createDataFrame(
+          spark.sparkContext.parallelize(mkRows(rows ++ closer), 2), schema)
+        val batchBounded = canon(ZxSql.run(all, sql, idCol = Some("id")))
+        val batchUnbounded = canon(ZxSql.run(all, sqlNoBounds, idCol = Some("id")))
+        // final-window close happened: everything in bounds emitted
+        assert(streamed == batchBounded && streamed.nonEmpty, s"case $name")
+        // mutation check: dropping the bounds visibly changes the result
+        assert(streamed != batchUnbounded, s"case $name: bounds had no effect")
+        // only the in-bounds rows contribute: 100+200+400, x windows/event
+        assert(streamed.map(_._4).sum == expectedTotal, s"case $name")
+      } finally query.stop()
+    }
+  }
+
+  /** The one documented divergence from the claim above: sessionAgg
+    * watermarks a DERIVED `__sec` column, so the ts bounds push BELOW its
+    * watermark node — a past-tEnd event is filtered before it can advance
+    * the clock, and the final sessions stay open forever. Pinned both ways:
+    * a past-tEnd closer emits nothing; an in-range closer flushes sessions
+    * that match the batch compiler under the same bounds. */
+  test("session streams apply tStart/tEnd but need an IN-range closer (documented caveat)") {
+    import graft.sql.ZxSql
+    val base = 1704067200L
+    def mkRows(t: Seq[(Long, Long, String)]) = t.map { case (id, sec, foo) =>
+      org.apache.spark.sql.Row(id,
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)), foo, null, "9", null)
+    }
+    val rows = Seq(
+      (1L, base + 0L, "50"),  // before tStart — excluded
+      (2L, base + 5L, "100"), (3L, base + 6L, "200"), (4L, base + 8L, "400"))
+    def runCase(qname: String, tEnd: Long, closer: (Long, Long, String)) = {
+      val dir = Files.createTempDirectory(s"graft-tbsess-$qname").toString
+      def write(t: Seq[(Long, Long, String)]): Unit =
+        spark.createDataFrame(spark.sparkContext.parallelize(mkRows(t), 1), schema)
+          .write.mode("append").parquet(dir)
+      write(rows)
+      val sql = s"select sum(foo) where $$t_start = ${base + 3} " +
+        s"and $$t_end = $tEnd group by y session 5"
+      val out = ZxSql.runStream(spark.readStream.schema(schema).parquet(dir),
+        sql, watermark = "0 seconds")
+      val query = out.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        query.processAllAvailable()
+        write(Seq(closer))
+        query.processAllAvailable()
+        spark.table(qname).select("y", "w_start", "w_end", "sum_foo")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3))).toSet
+      } finally query.stop()
+    }
+    // caveat: the closer sits past tEnd -> filtered below the watermark ->
+    // the clock never advances -> the final sessions CANNOT close
+    val stuck = runCase("tbsess_stuck", base + 20L, (9L, base + 5000L, "999"))
+    assert(stuck.isEmpty)
+    // in-range closer: sessions flush and match the batch compiler under
+    // the same bounds (the closer's own session is still open -> absent)
+    val ok = runCase("tbsess_ok", base + 4000L, (9L, base + 3000L, "999"))
+    val sqlB = s"select sum(foo) where $$t_start = ${base + 3} " +
+      s"and $$t_end = ${base + 4000} group by y session 5"
+    val boundedRows = spark.createDataFrame(
+      spark.sparkContext.parallelize(mkRows(rows), 2), schema)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("y", "w_start", "w_end", "sum_foo")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(ok == canon(ZxSql.run(boundedRows, sqlB)) && ok.nonEmpty)
+    // mutation check: without the bounds the excluded base+0 row would
+    // merge into the first session (gap 5 reaches it) and change the sum
+    assert(ok != canon(ZxSql.run(boundedRows,
+      "select sum(foo) group by y session 5")))
+  }
+
   test("S4: JSON result shaper reproduces the reference's nested shape") {
     val q = ZxQuery(selects = Seq(Select(Agg.Sum, "foo")),
       groupBy = Seq("y"), granularitySec = 15L)
