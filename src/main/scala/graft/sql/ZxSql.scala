@@ -536,4 +536,39 @@ object ZxSql {
       gw.select(keyCols ++ Seq(col("w_start"), col("w_end")) ++ aggCols: _*)
     } else EventStream.windowedAgg(stream, q, watermark, tsCol)
   }
+
+  /** One query language, batch or stream, SAME output shape: run a windowed
+    * query continuously ([[runStream]]) and hand each micro-batch of CLOSED
+    * windows to `consume` as the reference's nested JSON document
+    * (lib.rs:841-843 — the payload `ZX.SQL` returns over RESP), shaped by
+    * [[graft.sources.JsonResult.toReferenceJson]]. A reference user's
+    * result-parsing code works unchanged against the live stream; batch
+    * [[run]] + the same shaper yields the identical document for the same
+    * closed windows (spec-pinned).
+    *
+    * Append-mode semantics: each document covers the windows the watermark
+    * finalized in that trigger — a delta, not a running restatement, so
+    * `consume` fires once per closed window set (empty micro-batches are
+    * skipped). The shaping collects only those group-sized finalized rows,
+    * never raw events. Aggregate queries only: a Raw projection has no
+    * window arrays to shape — use [[graft.streaming.EventStream.tailConsole]]
+    * for the live raw view.
+    *
+    * Returns the unstarted writer: callers pick trigger/checkpoint and
+    * `.start()`. */
+  def runStreamJson(stream: DataFrame, sql: String,
+                    watermark: String = "10 minutes",
+                    tsCol: String = Compiler.DefaultTsCol)(
+      consume: String => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val q = parse(sql)
+    if (q.selects.forall(_.agg == Agg.Raw))
+      throw ParseError("the JSON result shape needs windows — raw projections stream via tailConsole")
+    val out = runStream(stream, sql, watermark, tsCol)
+    out.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          consume(graft.sources.JsonResult.toReferenceJson(batch, q.groupBy, q.selects))
+      }
+  }
 }

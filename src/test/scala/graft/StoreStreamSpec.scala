@@ -823,6 +823,51 @@ class StoreStreamSpec extends AnyFunSuite {
       "select sum(foo) group by y session 5")))
   }
 
+  test("runStreamJson: one SQL string, batch or stream, same reference JSON document") {
+    import graft.sql.ZxSql
+    val dir = Files.createTempDirectory("graft-sjson").toString
+    def mkRows(t: Seq[(Long, Long, String, String)]) = t.map { case (id, sec, foo, y) =>
+      org.apache.spark.sql.Row(id,
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)), foo, null, y, null)
+    }
+    def write(t: Seq[(Long, Long, String, String)]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(mkRows(t), 1), schema)
+        .write.mode("append").parquet(dir)
+    val base = 1704067200L // multiple of 15
+    // all inside [base, base+15): the 0s watermark reaches base+12 < window
+    // end, so NOTHING closes until the far-future closer arrives
+    val rows = Seq(
+      (1L, base + 0L, "100", "1"), (2L, base + 5L, "200", "1"),
+      (3L, base + 2L, "400", "9"), (4L, base + 12L, "800", "9"))
+    write(rows)
+    val sql = "select sum(foo), count(foo) group by y granularity 15"
+    val docs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val query = ZxSql.runStreamJson(
+      spark.readStream.schema(schema).parquet(dir), sql,
+      watermark = "0 seconds")(docs += _).start()
+    try {
+      query.processAllAvailable()
+      assert(docs.isEmpty) // nothing finalized yet
+      // far-future closer: every batch-1 window closes in ONE trigger ->
+      // exactly one reference-shaped delta document
+      write(Seq((9L, base + 5000L, "1", "zz")))
+      query.processAllAvailable()
+      assert(docs.size == 1)
+      // batch engine over the same closed rows, same shaper, same document
+      val q = ZxSql.parse(sql)
+      val batchJson = JsonResult.toReferenceJson(
+        ZxSql.run(spark.createDataFrame(
+          spark.sparkContext.parallelize(mkRows(rows), 2), schema), sql),
+        q.groupBy, q.selects)
+      assert(docs.head == batchJson)
+      assert(docs.head.contains("$$sum(foo)") && docs.head.contains(""""{\"y\":\"1\"}"""))
+    } finally query.stop()
+    // raw projections have no window arrays to shape — loud rejection
+    import graft.sql.ZxSql.ParseError
+    intercept[ParseError](ZxSql.runStreamJson(
+      spark.readStream.schema(schema).parquet(dir), "select foo")(_ => ()))
+  }
+
   test("S4: JSON result shaper reproduces the reference's nested shape") {
     val q = ZxQuery(selects = Seq(Select(Agg.Sum, "foo")),
       groupBy = Seq("y"), granularitySec = 15L)
