@@ -587,6 +587,24 @@ object SparkEntry {
         rates = Map("src2" -> 5, "src3" -> 60), defaultPct = 20)
       .select(col("doc_id"), col("source"))
 
+  /** x11: denylist scrubbing — word-boundary term redaction with per-term
+    * hit counts and a fingerprint of the scrubbed text (pins the exact
+    * replacement output without shipping it). Pure narrow regexp map. */
+  private def x11Redact(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    Tables.documents(s, dir).select(col("doc_id"),
+      termCount(col("text"), "customer").as("n_customer"),
+      termCount(col("text"), "key").as("n_key"),
+      substring(md5(redactTerms(col("text"), Seq("customer", "key"))), 1, 16)
+        .as("redacted_fp"))
+  }
+
+  /** x12: overlapping context-window chunking (32-token windows, stride 8)
+    * — the sequence-packing precursor; narrow explode, zero shuffles. */
+  private def x12Chunks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.chunkByWindow(Tables.documents(s, dir),
+      chunkTokens = 32, stride = 8)
+
   // -------------------------------------- training-data pipeline: dedup
 
   private def d1DedupExact(s: SparkSession, dir: String): DataFrame =
@@ -976,6 +994,8 @@ object SparkEntry {
     "x8_repetition" -> (x8Repetition _),
     "x9_vocab" -> (x9Vocab _),
     "x10_stratified" -> (x10Stratified _),
+    "x11_redact" -> (x11Redact _),
+    "x12_chunks" -> (x12Chunks _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_minhash_sig" -> (d2MinhashSig _),
     "d2b_minhash_pairs" -> (d2bMinhashPairs _),
@@ -1297,6 +1317,36 @@ object SparkEntry {
       s"""SELECT doc_id, source FROM documents
          |WHERE ${duckShingleHash("doc_id::VARCHAR")} % 100 <
          |  CASE source WHEN 'src2' THEN 5 WHEN 'src3' THEN 60 ELSE 20 END""".stripMargin,
+    "x11_redact" ->
+      // same \b-wrapped literal-word patterns; Java and RE2 agree on ASCII
+      // word boundaries, and the scrubbed text is pinned via md5 prefix
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '\bcustomer\b')) AS INT) AS n_customer,
+        | CAST(len(regexp_extract_all(text, '\bkey\b')) AS INT) AS n_key,
+        | substr(md5(regexp_replace(regexp_replace(text,
+        |   '\bcustomer\b', '<PII>', 'g'), '\bkey\b', '<PII>', 'g')), 1, 16)
+        |   AS redacted_fp
+        |FROM documents""".stripMargin,
+    "x12_chunks" ->
+      // window k covers tokens [k*8, k*8+32); kmax = ceil((n-32)/8) floored
+      // at 0 — list_slice's inclusive 1-based ends mirror slice()'s
+      // (start, length) with the length clamp at the array end
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), k AS (
+        |  SELECT doc_id, toks, len(toks)::INT AS n,
+        |    CAST(greatest(0, ceil((len(toks) - 32) / 8.0)) AS INT) AS kmax
+        |  FROM t
+        |), e AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(range(0, kmax + 1)) AS chunk_idx FROM k
+        |)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(chunk_idx * 8 AS INT) AS start_tok,
+        |  CAST(least(32, n - chunk_idx * 8) AS INT) AS n_tok,
+        |  array_to_string(list_slice(toks, chunk_idx * 8 + 1,
+        |    least(chunk_idx * 8 + 32, n)), ' ') AS chunk_text
+        |FROM e""".stripMargin,
     "x7_pack" ->
       """SELECT doc_id, source,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

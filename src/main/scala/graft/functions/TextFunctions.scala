@@ -117,6 +117,23 @@ object TextFunctions {
       topTokenCount(toks).cast(DoubleType) / size(toks).cast(DoubleType))
       .otherwise(lit(0.0))
 
+  // -------------------------------------------------------------- redaction
+
+  /** Denylist scrubbing — the PII/secret-removal pass every training
+    * pipeline runs before sharding, shaped as word-boundary regex
+    * replacement. Each term is wrapped in `\b…\b` so `key` never bites
+    * `keys` or `monkey`. A pure codegen'd narrow map (`regexp_replace`
+    * chain) — zero shuffles at any scale, and the Java/RE2 subset used
+    * (ASCII word boundaries, literal words) evaluates identically in the
+    * DuckDB oracle. Terms are interpolated into the pattern verbatim:
+    * callers pass literal words (or deliberately, regex fragments). */
+  def redactTerms(text: Column, terms: Seq[String], tag: String = "<PII>"): Column =
+    terms.foldLeft(text)((t, term) => regexp_replace(t, s"\\b$term\\b", tag))
+
+  /** Occurrences a [[redactTerms]] pass would replace for one term. */
+  def termCount(text: Column, term: String): Column =
+    size(regexp_extract_all(text, lit(s"\\b$term\\b"), lit(0)))
+
   // --------------------------------------------------------- fingerprinting
 
   /** 64-bit content fingerprint: first 16 md5 hex chars (exact-dup key). */

@@ -86,4 +86,40 @@ object Corpus {
         (coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budgetTokens)
           .cast(LongType))
   }
+
+  /** Overlapping context-window chunking — the "split long documents into
+    * model-context-sized windows with stride overlap" step of sequence
+    * packing. Window k covers tokens [k·stride, k·stride + chunkTokens);
+    * the last start is the smallest multiple of `stride` at or past
+    * `n − chunkTokens` (every token is covered, no degenerate tail windows
+    * that are pure suffixes of the previous one); a doc shorter than one
+    * window yields exactly one partial chunk.
+    *
+    * Pure narrow explode over codegen'd built-ins (`sequence`/`slice`/
+    * `array_join`) — per-row fan-out of ~n/stride chunk rows, ZERO
+    * shuffles, so at 100 TB it scales with the scan. Emits the chunk TEXT;
+    * follow with [[packByTokenBudget]] or a fingerprint projection if only
+    * chunk identity is needed downstream. */
+  def chunkByWindow(docs: DataFrame, chunkTokens: Int, stride: Int,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      s"chunkByWindow: need 0 < stride <= chunkTokens, got chunk=$chunkTokens stride=$stride")
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    docs
+      .select(col(idCol), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      // kmax = ceil((n - chunk) / stride), floored at 0 — exact int arith
+      .withColumn("__kmax", greatest(lit(0),
+        floor((col("__n") - chunkTokens + stride - 1) / lit(stride.toDouble))
+          .cast(IntegerType)))
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0), col("__kmax"))).as("chunk_idx"))
+      .select(col(idCol),
+        col("chunk_idx").cast(IntegerType).as("chunk_idx"),
+        (col("chunk_idx") * stride).cast(IntegerType).as("start_tok"),
+        least(lit(chunkTokens), col("__n") - col("chunk_idx") * stride)
+          .cast(IntegerType).as("n_tok"),
+        array_join(slice(col("__toks"), col("chunk_idx") * stride + 1,
+          lit(chunkTokens)), " ").as("chunk_text"))
+  }
 }

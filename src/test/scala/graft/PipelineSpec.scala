@@ -327,6 +327,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(stats == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("redaction: word-boundary terms only; counts match the replacements") {
+    val df = docsDf((1L, "key keys monkey key"), (2L, "the customer key"))
+    val got = df.select(col("doc_id"),
+      TextFunctions.termCount(col("text"), "key").as("n"),
+      TextFunctions.redactTerms(col("text"), Seq("customer", "key")).as("red"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    // "keys"/"monkey" survive: \b guards both ends of the term
+    assert(got(1L) == ((2, "<PII> keys monkey <PII>")))
+    assert(got(2L) == ((1, "the <PII> <PII>")))
+  }
+
+  test("chunking: stride windows cover every token; short docs yield one partial chunk") {
+    import graft.operators.Corpus
+    // 10 tokens, chunk 4, stride 2 -> kmax = ceil(6/2) = 3, starts 0,2,4,6
+    val df = docsDf((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, "a b"))
+    val got = Corpus.chunkByWindow(df, 4, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(t => (t._3, t._4)).toSeq == Seq((0, 4), (2, 4), (4, 4), (6, 4)))
+    assert(d1.head._5 == "t0 t1 t2 t3" && d1.last._5 == "t6 t7 t8 t9")
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0, 0, 2, "a b")))
+    intercept[IllegalArgumentException](Corpus.chunkByWindow(df, 4, 5))
+  }
+
   test("multimodal: packWav emits a valid RIFF container; decodeWav round-trips it") {
     val text = "some document payload"
     val df = docsDf((7L, text))
