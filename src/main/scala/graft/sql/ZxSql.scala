@@ -285,7 +285,7 @@ object ZxSql {
       }
       val cj = conjuncts(orExpr())
       val (leaves, complex) = cj.partition(_.isInstanceOf[ConditionTree.Leaf])
-      conds = leaves.map { case ConditionTree.Leaf(c) => c }
+      conds = leaves.collect { case ConditionTree.Leaf(c) => c }
       // $t_start/$t_end are the scan's time range — they only make sense as
       // top-level conjuncts; buried under OR/NOT their meaning is undefined,
       // so reject loudly rather than mis-scan

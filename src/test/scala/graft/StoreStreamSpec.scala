@@ -868,6 +868,39 @@ class StoreStreamSpec extends AnyFunSuite {
       spark.readStream.schema(schema).parquet(dir), "select foo")(_ => ()))
   }
 
+  test("IVF cell assignment runs unchanged on a stream (stateless ingest-time routing)") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-scell").toString
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType))))
+    val rows = Seq(
+      org.apache.spark.sql.Row(0L, Seq(1f, 0f)), org.apache.spark.sql.Row(1L, Seq(0.9f, 0.1f)),
+      org.apache.spark.sql.Row(2L, Seq(0f, 1f)), org.apache.spark.sql.Row(3L, Seq(0.2f, 0.8f)))
+    val batchDf = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), embSchema)
+    batchDf.write.mode("overwrite").parquet(dir)
+    val cents = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))
+    // the same narrow argmax projection accepts an unbounded source: this
+    // is how a 100 TB/day embedding feed gets routed to its index cell at
+    // WRITE time (no batch re-assignment pass), e.g. before a partitioned
+    // parquet sink on `cell`
+    val assigned = Similarity.assignCells(
+      spark.readStream.schema(embSchema).parquet(dir), cents)
+    assert(assigned.isStreaming)
+    val query = assigned.select("vec_id", "cell").writeStream
+      .format("memory").queryName("scell_out").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("scell_out").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val batch = Similarity.assignCells(batchDf, cents).select("vec_id", "cell")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(streamed == batch)
+      assert(streamed == Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1))
+    } finally query.stop()
+  }
+
   test("S4: JSON result shaper reproduces the reference's nested shape") {
     val q = ZxQuery(selects = Seq(Select(Agg.Sum, "foo")),
       groupBy = Seq("y"), granularitySec = 15L)
