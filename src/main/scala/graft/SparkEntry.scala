@@ -773,6 +773,15 @@ object SparkEntry {
     graft.operators.Multimodal.sampleFrames(
       graft.operators.Multimodal.packBinary(Tables.documents(s, dir)))
 
+  /** m4: the image-side codec round-trip — canonical 24bpp BMP containers
+    * (bottom-up padded rows) packed then decoded by parsing the real byte
+    * layout; channel means are exact integer sums over doubles, and the
+    * top-left pixel pins the bottom-up row order (means alone are
+    * order-blind). */
+  private def m4BmpDecode(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.decodeBmp(
+      graft.operators.Multimodal.packBmp(Tables.documents(s, dir)))
+
   /** c1: the training-data pipeline end-to-end in ONE declarative DAG —
     * language gate (predicted == labeled) ∧ quality gate, exact-dedup to
     * the min-id canonical copy, then per-source corpus stats. Catalyst
@@ -1017,6 +1026,7 @@ object SparkEntry {
     "m1_mm_bytes" -> (m1MmBytes _),
     "m2_mm_decode" -> (m2MmDecode _),
     "m3_mm_frames" -> (m3MmFrames _),
+    "m4_bmp_decode" -> (m4BmpDecode _),
     "c1_curate" -> (c1Curate _),
     "c2_shards" -> (c2Shards _),
   )
@@ -1686,5 +1696,36 @@ object SparkEntry {
         |FROM (SELECT doc_id, text,
         |  unnest(range(0, greatest(CAST(ceil(strlen(text) / 64.0) AS BIGINT), 1), 4)) AS fi
         |  FROM documents)""".stripMargin,
+    "m4_bmp_decode" ->
+      // replay of the BMP synthesis rule (Multimodal.bmpWidth + BGR byte
+      // triples) + decodeBmp's pixel fold: width = 6 + (id%5)*2, pixel p =
+      // text bytes (3p, 3p+1, 3p+2) as (B,G,R), zero-padded to w*h pixels.
+      // Channel sums are exact BIGINTs (< 2^53) divided in DOUBLE, so the
+      // IEEE results match Spark's bit-for-bit before the 6dp rounding;
+      // the top-left pixel is text bytes 0..2 (docs are >= 48 ASCII chars)
+      """WITH s AS (
+        |  SELECT doc_id, text, CAST(6 + (doc_id % 5) * 2 AS INT) AS w,
+        |    strlen(text)::BIGINT AS n
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, text, w, n,
+        |    CAST(greatest(1, ceil(n / (3.0 * w))) AS INT) AS h
+        |  FROM s
+        |)
+        |SELECT doc_id, w AS width, h AS height,
+        |  (w::BIGINT * h) AS n_px,
+        |  round(coalesce(list_sum(list_transform(range(1, n + 1, 3),
+        |    j -> ascii(substr(text, j::INT, 1))::BIGINT)), 0)::DOUBLE
+        |    / (w::BIGINT * h), 6) AS mean_b,
+        |  round(coalesce(list_sum(list_transform(range(2, n + 1, 3),
+        |    j -> ascii(substr(text, j::INT, 1))::BIGINT)), 0)::DOUBLE
+        |    / (w::BIGINT * h), 6) AS mean_g,
+        |  round(coalesce(list_sum(list_transform(range(3, n + 1, 3),
+        |    j -> ascii(substr(text, j::INT, 1))::BIGINT)), 0)::DOUBLE
+        |    / (w::BIGINT * h), 6) AS mean_r,
+        |  ascii(substr(text, 1, 1)) AS tl_b,
+        |  ascii(substr(text, 2, 1)) AS tl_g,
+        |  ascii(substr(text, 3, 1)) AS tl_r
+        |FROM d""".stripMargin,
   )
 }

@@ -372,6 +372,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(dec.getAs[Double]("rms") - rms) < 1e-6)
   }
 
+  test("multimodal: packBmp emits a valid padded bottom-up BMP; decodeBmp round-trips it") {
+    // doc 7 -> width = 6 + 7%5*2 = 10, stride = ceil(30/4)*4 = 32 (padded)
+    val text = "some document payload"
+    val df = docsDf((7L, text))
+    val packed = Multimodal.packBmp(df)
+    val blob = packed.head().getAs[Array[Byte]]("payload")
+    assert(blob(0) == 'B'.toByte && blob(1) == 'M'.toByte)
+    val h = (text.length + 29) / 30 // ceil(21/30) = 1
+    assert(blob.length == 54 + 32 * h)
+    val dec = Multimodal.decodeBmp(packed).head()
+    assert(dec.getAs[Int]("width") == 10 && dec.getAs[Int]("height") == h)
+    assert(dec.getAs[Long]("n_px") == 10L * h)
+    // channel sums straight from the text bytes (B,G,R = offsets 0,1,2 mod 3)
+    def chanMean(c: Int): Double =
+      text.getBytes("US-ASCII").zipWithIndex.collect {
+        case (b, i) if i % 3 == c => (b & 0xff).toLong
+      }.sum.toDouble / (10L * h)
+    assert(math.abs(dec.getAs[Double]("mean_b") - chanMean(0)) < 1e-6)
+    assert(math.abs(dec.getAs[Double]("mean_g") - chanMean(1)) < 1e-6)
+    assert(math.abs(dec.getAs[Double]("mean_r") - chanMean(2)) < 1e-6)
+    // top-left pixel = text bytes 0..2 — read from the LAST stored row,
+    // which pins bottom-up order (channel means alone are order-blind)
+    assert(dec.getAs[Int]("tl_b") == 's'.toInt &&
+      dec.getAs[Int]("tl_g") == 'o'.toInt && dec.getAs[Int]("tl_r") == 'm'.toInt)
+    // multi-row container: 61 chars at width 6 (doc 5) -> h = ceil(61/18)=4
+    val dec2 = Multimodal.decodeBmp(Multimodal.packBmp(
+      docsDf((5L, "x" * 60 + "q")))).head()
+    assert(dec2.getAs[Int]("width") == 6 && dec2.getAs[Int]("height") == 4)
+    assert(dec2.getAs[Int]("tl_b") == 'x'.toInt)
+  }
+
+  test("multimodal: decodeBmp rejects malformed and unsupported payloads") {
+    import org.apache.spark.SparkException
+    val garbage = docsDf((1L, "x")).select(col("doc_id"),
+      lit("notabmp".getBytes("US-ASCII")).as("payload"))
+    val e1 = intercept[SparkException] { Multimodal.decodeBmp(garbage).collect() }
+    assert(e1.getMessage.contains("not a canonical BMP"))
+    // corrupt the bpp field of a real container -> layout require fires
+    val bad = Multimodal.packBmp(docsDf((1L, "abc")))
+      .select(col("doc_id"), col("payload")).collect().map { r =>
+        val b = r.getAs[Array[Byte]](1).clone(); b(28) = 8; (r.getLong(0), b)
+      }
+    val bdf = spark.createDataFrame(bad.toSeq).toDF("doc_id", "payload")
+    val e2 = intercept[SparkException] { Multimodal.decodeBmp(bdf).collect() }
+    assert(e2.getMessage.contains("unsupported BMP layout"))
+  }
+
   test("multimodal: decodeWav rejects malformed and unsupported payloads") {
     import org.apache.spark.SparkException
     val garbage = docsDf((1L, "x")).select(col("doc_id"),
