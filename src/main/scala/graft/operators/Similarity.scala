@@ -241,6 +241,23 @@ object Similarity {
     assignCells(emb, cents, vecCol)
       .write.partitionBy("cell").mode("overwrite").parquet(path)
 
+  /** Maintain the SAME cell-partitioned index from an unbounded embedding
+    * feed: [[assignCells]]'s shuffle-free argmax rides the stream and the
+    * sink appends into `cell=N/` partitions exactly-once (checkpointed).
+    * At 100 TB/day this replaces a daily batch re-index with write-time
+    * routing — [[ivfProbeIndex]] reads the growing directory unchanged,
+    * still pruning to nProbe/nlist of storage at planning time. Returns
+    * the unstarted writer: callers pick the trigger and `.start()`. */
+  def ivfIngest(emb: DataFrame, cents: Seq[(Int, Seq[Double])], path: String,
+                checkpoint: String, vecCol: String = "embedding") =
+    assignCells(emb, cents, vecCol)
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("cell")
+      .outputMode("append")
+
   /** Probe a materialized cell-partitioned index: driver-side centroid
     * ranking picks the nProbe cells (same left-fold arithmetic as
     * [[ivfKnn]]), the scan touches only those partitions, exact cosine

@@ -71,6 +71,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"assignment must not shuffle:\n$p")
   }
 
+  test("redaction, chunking, and both media codecs are shuffle-free narrow maps") {
+    for (q <- Seq("x11_redact", "x12_chunks", "m2_mm_decode", "m4_bmp_decode")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
+    }
+  }
+
   test("asof join is union + one window: no join operator, no explosion") {
     val p = plan("j2_asof_join")
     assert(!p.contains("Join"), s"asof must not plan a join:\n$p")

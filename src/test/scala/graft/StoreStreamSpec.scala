@@ -901,6 +901,40 @@ class StoreStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("ivfIngest maintains the cell-partitioned index across micro-batches; probes prune it") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.types._
+    val src = Files.createTempDirectory("graft-ivfsrc").toString
+    val idx = Files.createTempDirectory("graft-ivfidx").toString + "/index"
+    val ckp = Files.createTempDirectory("graft-ivfckp").toString
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType))))
+    def write(rows: Seq[(Long, Seq[Float])]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        rows.map { case (id, v) => org.apache.spark.sql.Row(id, v) }, 1), embSchema)
+        .write.mode("append").parquet(src)
+    val cents = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))
+    write(Seq(0L -> Seq(1f, 0f), 1L -> Seq(0.9f, 0.1f)))
+    val query = Similarity.ivfIngest(
+      spark.readStream.schema(embSchema).parquet(src), cents, idx, ckp).start()
+    try {
+      query.processAllAvailable()
+      // second micro-batch appends into the SAME cell partitions
+      write(Seq(2L -> Seq(0.95f, 0.05f), 3L -> Seq(0f, 1f)))
+      query.processAllAvailable()
+    } finally query.stop()
+    val probed = Similarity.ivfProbeIndex(spark, idx, cents,
+      queryVec = Seq(1.0, 0.0), k = 3, nProbe = 1)
+    // planning-time pruning to the probed cell, not a post-scan filter
+    val p = probed.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"probe must prune cell partitions:\n$p")
+    // rows from BOTH micro-batches, ranked by exact cosine within the cell
+    assert(probed.select("vec_id").collect().map(_.getLong(0)).toSeq ==
+      Seq(0L, 2L, 1L))
+  }
+
   test("S4: JSON result shaper reproduces the reference's nested shape") {
     val q = ZxQuery(selects = Seq(Select(Agg.Sum, "foo")),
       groupBy = Seq("y"), granularitySec = 15L)
