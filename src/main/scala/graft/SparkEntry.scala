@@ -782,6 +782,14 @@ object SparkEntry {
     graft.operators.Multimodal.decodeBmp(
       graft.operators.Multimodal.packBmp(Tables.documents(s, dir)))
 
+  /** m5: image RESIZE over the real codec — nearest-neighbor ×2 downsample
+    * re-encoded as a new canonical BMP, then decoded; the oracle replays
+    * the sampled pixel grid (out (x,y) = in (2x, 2y)) arithmetically. */
+  private def m5BmpResize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.decodeBmp(
+      graft.operators.Multimodal.resizeBmp(
+        graft.operators.Multimodal.packBmp(Tables.documents(s, dir)), 2))
+
   /** c1: the training-data pipeline end-to-end in ONE declarative DAG —
     * language gate (predicted == labeled) ∧ quality gate, exact-dedup to
     * the min-id canonical copy, then per-source corpus stats. Catalyst
@@ -1027,6 +1035,7 @@ object SparkEntry {
     "m2_mm_decode" -> (m2MmDecode _),
     "m3_mm_frames" -> (m3MmFrames _),
     "m4_bmp_decode" -> (m4BmpDecode _),
+    "m5_bmp_resize" -> (m5BmpResize _),
     "c1_curate" -> (c1Curate _),
     "c2_shards" -> (c2Shards _),
   )
@@ -1727,5 +1736,37 @@ object SparkEntry {
         |  ascii(substr(text, 2, 1)) AS tl_g,
         |  ascii(substr(text, 3, 1)) AS tl_r
         |FROM d""".stripMargin,
+    "m5_bmp_resize" -> {
+      // replay of the x2 nearest-neighbor grid: out pixel p2 = (x2, y2)
+      // with x2 = p2 % w2, y2 = p2 // w2 samples in pixel (2*x2, 2*y2) =
+      // text bytes 3*((2*y2)*w + 2*x2) + c (0-based; zero past the text,
+      // exactly the packBmp padding bytes the resampler reads). Top-left
+      // is invariant under resize: in pixel (0,0) = text bytes 0..2.
+      def chanSum(c: Int): String =
+        "coalesce(list_sum(list_transform(range(0, w2::BIGINT * h2), p -> " +
+          s"CASE WHEN 3 * (((p // w2) * 2) * w + (p % w2) * 2) + ${c + 1} <= n " +
+          s"THEN ascii(substr(text, (3 * (((p // w2) * 2) * w + (p % w2) * 2) " +
+          s"+ ${c + 1})::INT, 1))::BIGINT ELSE 0 END)), 0)"
+      s"""WITH s AS (
+         |  SELECT doc_id, text, CAST(6 + (doc_id % 5) * 2 AS INT) AS w,
+         |    strlen(text)::BIGINT AS n
+         |  FROM documents
+         |), z AS (
+         |  SELECT doc_id, text, w, n,
+         |    CAST(greatest(1, ceil(n / (3.0 * w))) AS INT) AS h,
+         |    CAST(ceil(w / 2.0) AS INT) AS w2,
+         |    CAST(ceil(greatest(1, ceil(n / (3.0 * w))) / 2.0) AS INT) AS h2
+         |  FROM s
+         |)
+         |SELECT doc_id, w2 AS width, h2 AS height,
+         |  (w2::BIGINT * h2) AS n_px,
+         |  round(${chanSum(0)}::DOUBLE / (w2::BIGINT * h2), 6) AS mean_b,
+         |  round(${chanSum(1)}::DOUBLE / (w2::BIGINT * h2), 6) AS mean_g,
+         |  round(${chanSum(2)}::DOUBLE / (w2::BIGINT * h2), 6) AS mean_r,
+         |  ascii(substr(text, 1, 1)) AS tl_b,
+         |  ascii(substr(text, 2, 1)) AS tl_g,
+         |  ascii(substr(text, 3, 1)) AS tl_r
+         |FROM z""".stripMargin
+    },
   )
 }

@@ -159,6 +159,68 @@ object Multimodal {
     out.toDF()
   }
 
+  /** Nearest-neighbor downsample of packed BMPs by an integer factor: parse
+    * the container, keep every factor-th pixel in both dimensions (out
+    * pixel (x,y) = in pixel (x·f, y·f)), and re-encode a NEW canonical BMP
+    * with ceil-divided dimensions — the real image-resize plumbing over the
+    * in-container codec (a library decoder would swap in bilinear here; the
+    * mapPartitions batching, blob flow, and header arithmetic are what
+    * scale). Output schema matches [[packBmp]], so resizes chain:
+    * `decodeBmp(resizeBmp(packBmp(docs), 2))` or another `resizeBmp`. */
+  def resizeBmp(packed: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"resizeBmp: factor must be >= 1, got $factor")
+    val out = packed.select(col("doc_id"), col("payload"))
+      .mapPartitions { it =>
+        def u16(b: Array[Byte], off: Int): Int =
+          (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+        def u32(b: Array[Byte], off: Int): Long =
+          (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+            ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+        def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+        def le32(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+        it.map { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          require(b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte &&
+            u32(b, 10) == 54 && u32(b, 14) == 40 && u16(b, 28) == 24,
+            s"doc $id: resizeBmp needs a canonical 24bpp BMP payload")
+          val w = u32(b, 18).toInt; val h = u32(b, 22).toInt
+          val stride = (w * 3 + 3) / 4 * 4
+          require(w > 0 && h > 0 && 54 + stride.toLong * h <= b.length,
+            s"doc $id: truncated BMP pixel array")
+          val w2 = (w + factor - 1) / factor; val h2 = (h + factor - 1) / factor
+          val stride2 = (w2 * 3 + 3) / 4 * 4
+          val dataSize2 = stride2 * h2
+          val buf = new java.io.ByteArrayOutputStream(54 + dataSize2)
+          buf.write('B'); buf.write('M'); buf.write(le32(54 + dataSize2))
+          buf.write(le32(0)); buf.write(le32(54))
+          buf.write(le32(40)); buf.write(le32(w2)); buf.write(le32(h2))
+          buf.write(le16(1)); buf.write(le16(24))
+          buf.write(le32(0)); buf.write(le32(dataSize2))
+          buf.write(le32(2835)); buf.write(le32(2835))
+          buf.write(le32(0)); buf.write(le32(0))
+          var row2 = h2 - 1 // bottom-up output, like packBmp
+          while (row2 >= 0) {
+            // stored input row for image row (row2 * factor) is bottom-up too
+            val inBase = 54 + (h - 1 - row2 * factor) * stride
+            var x2 = 0
+            while (x2 < w2) {
+              val px = inBase + x2 * factor * 3
+              buf.write(b(px) & 0xff); buf.write(b(px + 1) & 0xff); buf.write(b(px + 2) & 0xff)
+              x2 += 1
+            }
+            var pad = w2 * 3
+            while (pad < stride2) { buf.write(0); pad += 1 }
+            row2 -= 1
+          }
+          val bytes = buf.toByteArray
+          Row(id, "image/bmp", bytes, bytes.length)
+        }
+      }(RowEncoder.encoderFor(packedMediaSchema))
+    out.toDF()
+  }
+
   private val decodedBmpSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("width", IntegerType),

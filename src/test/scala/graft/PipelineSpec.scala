@@ -403,6 +403,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(dec2.getAs[Int]("tl_b") == 'x'.toInt)
   }
 
+  test("multimodal: resizeBmp samples the nearest-neighbor grid; x2 twice == x4") {
+    // doc 7: w=10, text 21 chars -> h=1; x2 -> w2=5, out pixels sample
+    // in-pixels 0,2,4,6,8 = byte triples at 0,6,12,18,24 (24.. are padding)
+    val text = "some document payload"
+    val df = docsDf((7L, text))
+    val small = Multimodal.resizeBmp(Multimodal.packBmp(df), 2)
+    val dec = Multimodal.decodeBmp(small).head()
+    assert(dec.getAs[Int]("width") == 5 && dec.getAs[Int]("height") == 1)
+    val bytes = text.getBytes("US-ASCII").map(_ & 0xff)
+    def at(i: Int): Long = if (i < bytes.length) bytes(i).toLong else 0L
+    def mean(c: Int): Double = (0 until 5).map(x => at(6 * x + c)).sum.toDouble / 5
+    assert(math.abs(dec.getAs[Double]("mean_b") - mean(0)) < 1e-6)
+    assert(math.abs(dec.getAs[Double]("mean_r") - mean(2)) < 1e-6)
+    // top-left pixel is a fixpoint of nearest-neighbor resize
+    assert(dec.getAs[Int]("tl_b") == 's'.toInt)
+    // composition law: two x2 passes == one x4 pass, byte-for-byte
+    val multiRow = docsDf((3L, "y" * 100)) // w=12 -> h=3
+    val twice = Multimodal.decodeBmp(Multimodal.resizeBmp(
+      Multimodal.resizeBmp(Multimodal.packBmp(multiRow), 2), 2)).head()
+    val once = Multimodal.decodeBmp(
+      Multimodal.resizeBmp(Multimodal.packBmp(multiRow), 4)).head()
+    assert(twice == once)
+    assert(twice.getAs[Int]("width") == 3 && twice.getAs[Int]("height") == 1)
+    intercept[IllegalArgumentException](Multimodal.resizeBmp(df.select(col("doc_id"),
+      lit(Array[Byte](1, 2)).as("payload")), 0))
+  }
+
   test("multimodal: decodeBmp rejects malformed and unsupported payloads") {
     import org.apache.spark.SparkException
     val garbage = docsDf((1L, "x")).select(col("doc_id"),
