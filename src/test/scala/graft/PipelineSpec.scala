@@ -446,6 +446,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("unsupported BMP layout"))
   }
 
+  test("codec property: WAV and BMP round-trip 100 seeded random docs against plain-Scala models") {
+    val rnd = new scala.util.Random(20260812L)
+    val docs = (0L until 100L).map { id =>
+      val len = 1 + rnd.nextInt(200)
+      id -> Array.fill(len)((32 + rnd.nextInt(95)).toChar).mkString // printable ASCII
+    }
+    val df = docsDf(docs: _*)
+    val wav = Multimodal.decodeWav(Multimodal.packWav(df)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val bmp = Multimodal.decodeBmp(Multimodal.packBmp(df)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    docs.foreach { case (id, text) =>
+      val samples = text.map(c => (c.toInt - 96) * 256)
+      val w = wav(id)
+      assert(w.getAs[Int]("sample_rate") == 8000 * (1 + id % 3).toInt)
+      assert(w.getAs[Long]("n_samples") == text.length.toLong)
+      assert(w.getAs[Int]("peak") == samples.map(math.abs).max)
+      val rms = math.sqrt(samples.map(s => s.toDouble * s).sum / samples.length)
+      assert(math.abs(w.getAs[Double]("rms") - rms) < 1e-6, s"doc $id rms")
+      val wd = 6 + (id % 5).toInt * 2
+      val h = math.max(1, (text.length + 3 * wd - 1) / (3 * wd))
+      val b = bmp(id)
+      assert(b.getAs[Int]("width") == wd && b.getAs[Int]("height") == h)
+      val bytes = text.getBytes("US-ASCII").map(_ & 0xff)
+      def chan(c: Int): Double =
+        bytes.indices.collect { case i if i % 3 == c => bytes(i).toLong }
+          .sum.toDouble / (wd.toLong * h)
+      assert(math.abs(b.getAs[Double]("mean_b") - chan(0)) < 1e-6, s"doc $id b")
+      assert(math.abs(b.getAs[Double]("mean_g") - chan(1)) < 1e-6, s"doc $id g")
+      assert(math.abs(b.getAs[Double]("mean_r") - chan(2)) < 1e-6, s"doc $id r")
+      assert(b.getAs[Int]("tl_b") == bytes(0))
+    }
+  }
+
   test("multimodal: decodeWav rejects malformed and unsupported payloads") {
     import org.apache.spark.SparkException
     val garbage = docsDf((1L, "x")).select(col("doc_id"),

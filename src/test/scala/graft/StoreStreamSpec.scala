@@ -115,6 +115,30 @@ class StoreStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming p50_approx (the sketch percentile) works where exact p50 is batch-only") {
+    val dir = Files.createTempDirectory("graft-sp50").toString
+    val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    src.coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = ZxQuery(selects = Seq(Select(Agg.P50Approx, "value")),
+      granularitySec = 86400L * 365) // one window over the whole span
+    val agg = EventStream.windowedAgg(EventStream.read(spark, dir), q,
+      watermark = "0 seconds")
+    val query = agg.writeStream.format("memory").queryName("sp50_out")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      assert(spark.table("sp50_out").count() == 1)
+      val approx = spark.table("sp50_out")
+        .select("p50_approx_value").head().getDouble(0)
+      val exact = src.selectExpr("percentile(value, 0.5)").head().getDouble(0)
+      // at 10k sketch accuracy over ~6k events the sketch is near-exact
+      assert(math.abs(approx - exact) / math.max(math.abs(exact), 1e-9) <= 0.05,
+        s"approx=$approx exact=$exact")
+    } finally query.stop()
+  }
+
   test("streaming hopping windows match the batch compiler on the same data") {
     val dir = Files.createTempDirectory("graft-hop").toString
     val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
