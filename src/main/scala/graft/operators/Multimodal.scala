@@ -78,9 +78,6 @@ object Multimodal {
               idCol: String = "doc_id"): DataFrame = {
     val out = docs.select(col(idCol).cast(LongType), col(textCol))
       .mapPartitions { it =>
-        def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
-        def le32(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
         it.map { r =>
           val id = r.getLong(0)
           val text = r.getString(1)
@@ -105,6 +102,19 @@ object Multimodal {
     out.toDF()
   }
 
+  // ---------------- shared little-endian helpers for the container codecs
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def u16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
   // ------------------------------------------------------- BMP codec (real)
 
   /** Synthesis rule shared by [[packBmp]] and its oracle replay: per-doc
@@ -112,6 +122,43 @@ object Multimodal {
     * exercise the 4-byte row padding), one 24bpp pixel per 3 consecutive
     * text bytes in (B,G,R) order, zero-padded past the text. */
   private def bmpWidth(docId: Long): Int = (6 + (docId % 5) * 2).toInt
+
+  /** Dimension cap for decoded containers: 2^26 per axis keeps every
+    * downstream stride/offset product far inside Long (and any sane image
+    * far inside it) — a hostile header width like 2^30 would otherwise wrap
+    * the Int stride negative and slip past the truncation check into a raw
+    * ArrayIndexOutOfBounds instead of the contractual doc-id error. */
+  private val MaxBmpDim = 1 << 26
+
+  /** Validate a canonical 24bpp bottom-up BMP and return (width, height,
+    * stride) — the one parser [[decodeBmp]] and [[resizeBmp]] share, all
+    * arithmetic overflow-safe, every rejection carrying the doc id. */
+  private def bmpDims(b: Array[Byte], id: Long): (Int, Int, Int) = {
+    require(b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte &&
+      u32(b, 10) == 54 && u32(b, 14) == 40,
+      s"doc $id: not a canonical BMP payload")
+    val wL = u32(b, 18); val hL = u32(b, 22)
+    val bpp = u16(b, 28)
+    require(bpp == 24 && u16(b, 26) == 1 && u32(b, 30) == 0 &&
+      wL > 0 && hL > 0 && wL <= MaxBmpDim && hL <= MaxBmpDim,
+      s"doc $id: unsupported BMP layout (bpp=$bpp dims=${wL}x$hL)")
+    val strideL = (wL * 3 + 3) / 4 * 4
+    require(54L + strideL * hL <= b.length,
+      s"doc $id: truncated BMP pixel array")
+    (wL.toInt, hL.toInt, strideL.toInt)
+  }
+
+  /** The canonical 54-byte header both BMP writers emit. */
+  private def writeBmpHeader(buf: java.io.ByteArrayOutputStream,
+                             w: Int, h: Int, dataSize: Int): Unit = {
+    buf.write('B'); buf.write('M'); buf.write(le32(54 + dataSize))
+    buf.write(le32(0)); buf.write(le32(54))       // reserved, data offset
+    buf.write(le32(40)); buf.write(le32(w)); buf.write(le32(h))
+    buf.write(le16(1)); buf.write(le16(24))       // planes, bpp
+    buf.write(le32(0)); buf.write(le32(dataSize)) // BI_RGB, image size
+    buf.write(le32(2835)); buf.write(le32(2835))  // 72 DPI
+    buf.write(le32(0)); buf.write(le32(0))        // palette: none
+  }
 
   /** Pack each document as a REAL image container: a canonical 54-byte
     * BMP (BITMAPFILEHEADER + BITMAPINFOHEADER) with 24bpp pixels stored
@@ -122,9 +169,6 @@ object Multimodal {
               idCol: String = "doc_id"): DataFrame = {
     val out = docs.select(col(idCol).cast(LongType), col(textCol))
       .mapPartitions { it =>
-        def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
-        def le32(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
         it.map { r =>
           val id = r.getLong(0)
           val text = r.getString(1).getBytes("US-ASCII")
@@ -133,13 +177,7 @@ object Multimodal {
           val stride = (w * 3 + 3) / 4 * 4 // rows pad to 4-byte boundaries
           val dataSize = stride * h
           val buf = new java.io.ByteArrayOutputStream(54 + dataSize)
-          buf.write('B'); buf.write('M'); buf.write(le32(54 + dataSize))
-          buf.write(le32(0)); buf.write(le32(54))      // reserved, data offset
-          buf.write(le32(40)); buf.write(le32(w)); buf.write(le32(h))
-          buf.write(le16(1)); buf.write(le16(24))      // planes, bpp
-          buf.write(le32(0)); buf.write(le32(dataSize)) // BI_RGB, image size
-          buf.write(le32(2835)); buf.write(le32(2835)) // 72 DPI
-          buf.write(le32(0)); buf.write(le32(0))       // palette: none
+          writeBmpHeader(buf, w, h, dataSize)
           // pixel array: bottom row FIRST (the BMP storage order)
           var row = h - 1
           while (row >= 0) {
@@ -171,35 +209,15 @@ object Multimodal {
     require(factor >= 1, s"resizeBmp: factor must be >= 1, got $factor")
     val out = packed.select(col("doc_id"), col("payload"))
       .mapPartitions { it =>
-        def u16(b: Array[Byte], off: Int): Int =
-          (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
-        def u32(b: Array[Byte], off: Int): Long =
-          (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
-            ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
-        def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
-        def le32(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
         it.map { r =>
           val id = r.getLong(0)
           val b = r.getAs[Array[Byte]](1)
-          require(b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte &&
-            u32(b, 10) == 54 && u32(b, 14) == 40 && u16(b, 28) == 24,
-            s"doc $id: resizeBmp needs a canonical 24bpp BMP payload")
-          val w = u32(b, 18).toInt; val h = u32(b, 22).toInt
-          val stride = (w * 3 + 3) / 4 * 4
-          require(w > 0 && h > 0 && 54 + stride.toLong * h <= b.length,
-            s"doc $id: truncated BMP pixel array")
+          val (w, h, stride) = bmpDims(b, id)
           val w2 = (w + factor - 1) / factor; val h2 = (h + factor - 1) / factor
           val stride2 = (w2 * 3 + 3) / 4 * 4
           val dataSize2 = stride2 * h2
           val buf = new java.io.ByteArrayOutputStream(54 + dataSize2)
-          buf.write('B'); buf.write('M'); buf.write(le32(54 + dataSize2))
-          buf.write(le32(0)); buf.write(le32(54))
-          buf.write(le32(40)); buf.write(le32(w2)); buf.write(le32(h2))
-          buf.write(le16(1)); buf.write(le16(24))
-          buf.write(le32(0)); buf.write(le32(dataSize2))
-          buf.write(le32(2835)); buf.write(le32(2835))
-          buf.write(le32(0)); buf.write(le32(0))
+          writeBmpHeader(buf, w2, h2, dataSize2)
           var row2 = h2 - 1 // bottom-up output, like packBmp
           while (row2 >= 0) {
             // stored input row for image row (row2 * factor) is bottom-up too
@@ -242,24 +260,10 @@ object Multimodal {
   def decodeBmp(packed: DataFrame): DataFrame = {
     val out = packed.select(col("doc_id"), col("payload"))
       .mapPartitions { it =>
-        def u16(b: Array[Byte], off: Int): Int =
-          (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
-        def u32(b: Array[Byte], off: Int): Long =
-          (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
-            ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
         it.map { r =>
           val id = r.getLong(0)
           val b = r.getAs[Array[Byte]](1)
-          require(b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte &&
-            u32(b, 10) == 54 && u32(b, 14) == 40,
-            s"doc $id: not a canonical BMP payload")
-          val w = u32(b, 18).toInt; val h = u32(b, 22).toInt
-          val bpp = u16(b, 28)
-          require(bpp == 24 && u16(b, 26) == 1 && u32(b, 30) == 0 &&
-            w > 0 && h > 0, s"doc $id: unsupported BMP layout (bpp=$bpp)")
-          val stride = (w * 3 + 3) / 4 * 4
-          require(54 + stride.toLong * h <= b.length,
-            s"doc $id: truncated BMP pixel array")
+          val (w, h, stride) = bmpDims(b, id)
           var sb = 0L; var sg = 0L; var sr = 0L
           var row = 0
           while (row < h) {
@@ -307,11 +311,6 @@ object Multimodal {
     val out = packed.select(col("doc_id"), col("payload"))
       .mapPartitions { it =>
         // ---- per-partition codec init would happen here ----
-        def u16(b: Array[Byte], off: Int): Int =
-          (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
-        def u32(b: Array[Byte], off: Int): Long =
-          (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
-            ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
         def magic(b: Array[Byte], off: Int, want: String): Boolean =
           b.length >= off + 4 && new String(b, off, 4, "US-ASCII") == want
         it.map { r =>

@@ -567,8 +567,11 @@ object ZxSql {
     out.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty)
-          consume(graft.sources.JsonResult.toReferenceJson(batch, q.groupBy, q.selects))
+        // ONE action per trigger: the shaper's collect is the only
+        // execution of the micro-batch plan (an isEmpty pre-check would
+        // run the whole aggregation twice); empty deltas are dropped after
+        val doc = graft.sources.JsonResult.toReferenceJson(batch, q.groupBy, q.selects)
+        if (doc != "{}") consume(doc)
       }
   }
 }

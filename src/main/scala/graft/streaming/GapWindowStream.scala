@@ -66,6 +66,11 @@ object GapWindowStream {
     val selects = q.selects
     val gran = q.granularitySec
 
+    // NUL-joined so group values containing spaces cannot merge or mis-split
+    // (ZxSql.runStream splits on the same byte). NOTE: the key encoding is
+    // part of the operator state schema - changing the separator (or the
+    // key column order) orphans open-window state in existing checkpoints;
+    // restart such queries from a fresh checkpoint after any change here.
     val keyExpr =
       if (q.groupBy.isEmpty) lit("__all")
       else concat_ws("\u0000", Compiler.groupKeys(q, schema): _*)

@@ -444,6 +444,20 @@ class PipelineSpec extends AnyFunSuite {
     val bdf = spark.createDataFrame(bad.toSeq).toDF("doc_id", "payload")
     val e2 = intercept[SparkException] { Multimodal.decodeBmp(bdf).collect() }
     assert(e2.getMessage.contains("unsupported BMP layout"))
+    // hostile header width (2^30): Int stride math would wrap negative and
+    // slip past the truncation check into a raw AIOOBE — must instead be
+    // the contractual doc-id rejection (dims cap), in decode AND resize
+    val forged = Multimodal.packBmp(docsDf((1L, "abc")))
+      .select(col("doc_id"), col("payload")).collect().map { r =>
+        val b = r.getAs[Array[Byte]](1).clone()
+        b(18) = 0; b(19) = 0; b(20) = 0; b(21) = 0x40 // width = 0x40000000
+        (r.getLong(0), b)
+      }
+    val fdf = spark.createDataFrame(forged.toSeq).toDF("doc_id", "payload")
+    val e3 = intercept[SparkException] { Multimodal.decodeBmp(fdf).collect() }
+    assert(e3.getMessage.contains("unsupported BMP layout"), e3.getMessage)
+    val e4 = intercept[SparkException] { Multimodal.resizeBmp(fdf, 2).collect() }
+    assert(e4.getMessage.contains("unsupported BMP layout"), e4.getMessage)
   }
 
   test("codec property: WAV and BMP round-trip 100 seeded random docs against plain-Scala models") {
