@@ -69,4 +69,62 @@ object Decontaminate {
       .filter(col("contaminated")).select(col(idCol))
     docs.filter(!benchPred).join(bad, Seq(idCol), "left_anti")
   }
+
+  /** Plan-resident benchmark budget for the streaming probe: 2^20 hashes
+    * (8 MB of longs) rides comfortably as a literal array in every task;
+    * a set past it belongs on the batch broadcast-join path instead. */
+  private val MaxStreamBenchHashes = 1 << 20
+
+  /** Collect the benchmark slice's distinct shingle hashes to the driver —
+    * the one-time prep for [[overlapStream]]/[[cleanStream]]. Bounded by
+    * [[MaxStreamBenchHashes]] so a mis-scoped "benchmark" fails loudly
+    * before the collect is attempted (count first, collect after). */
+  def benchShingleSet(docs: DataFrame, benchPred: Column, shingleN: Int = 5,
+                      textCol: String = "text"): Seq[Long] = {
+    val hashes = docs.filter(benchPred)
+      .select(explode(array_distinct(hashedShingles(
+        tokenHashes(tokens(col(textCol))), shingleN))).as("__h"))
+      .distinct()
+    val n = hashes.count()
+    require(n <= MaxStreamBenchHashes,
+      s"benchShingleSet: $n distinct benchmark shingles exceeds the " +
+        s"plan-literal budget of $MaxStreamBenchHashes (8 MB) — use the " +
+        "batch overlapReport/clean broadcast path for benchmarks this large")
+    hashes.collect().map(_.getLong(0)).toSeq.sorted
+  }
+
+  /** Ingest-time decontamination verdicts — the STATELESS streaming face of
+    * [[overlapReport]]: per-doc distinct-shared-shingle count via
+    * `array_intersect` against the driver-held benchmark set (same verdict
+    * arithmetic as the batch explode/join/count, spec-pinned equal), zero
+    * aggregation state, so it runs on an unbounded source with any sink.
+    * At 100 TB/day this flags leaks at WRITE time instead of re-scanning
+    * the stored corpus nightly. */
+  def overlapStream(stream: DataFrame, benchHashes: Seq[Long], shingleN: Int = 5,
+                    minHits: Int = 1, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(benchHashes.size <= MaxStreamBenchHashes,
+      s"overlapStream: ${benchHashes.size} benchmark hashes exceeds the " +
+        s"plan-literal budget of $MaxStreamBenchHashes")
+    stream
+      .select(col(idCol), array_distinct(hashedShingles(
+        tokenHashes(tokens(col(textCol))), shingleN)).as("__sh"))
+      .select(col(idCol), size(col("__sh")).as("n_shingles"),
+        size(array_intersect(col("__sh"), typedLit(benchHashes))).cast("long")
+          .as("n_hits"))
+      .withColumn("contaminated", col("n_hits") >= minHits)
+  }
+
+  /** The shippable stream: rows whose shared-shingle count stays below
+    * `minHits` — [[clean]]'s verdict, applied as one narrow filter with the
+    * caller's columns untouched. */
+  def cleanStream(stream: DataFrame, benchHashes: Seq[Long], shingleN: Int = 5,
+                  minHits: Int = 1, textCol: String = "text"): DataFrame = {
+    require(benchHashes.size <= MaxStreamBenchHashes,
+      s"cleanStream: ${benchHashes.size} benchmark hashes exceeds the " +
+        s"plan-literal budget of $MaxStreamBenchHashes")
+    stream.filter(size(array_intersect(
+      array_distinct(hashedShingles(tokenHashes(tokens(col(textCol))), shingleN)),
+      typedLit(benchHashes))) < minHits)
+  }
 }

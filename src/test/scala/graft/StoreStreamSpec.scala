@@ -959,6 +959,60 @@ class StoreStreamSpec extends AnyFunSuite {
       Seq(0L, 2L, 1L))
   }
 
+  test("ingest-time decontamination matches the batch report doc-for-doc") {
+    import graft.operators.Decontaminate
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-decon").toString
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType), StructField("source", StringType)))
+    // bench doc shares its full 3-gram set with doc 10 (contaminated),
+    // one 3-gram with doc 11 (also >= 1 hit), none with doc 12; doc 13 is
+    // too short to have any 3-gram (0 shingles, 0 hits)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps", "bench"),
+      (10L, "the quick brown fox jumps again and again", "web"),
+      (11L, "look the quick brown dog runs", "web"),
+      (12L, "entirely different words everywhere here", "web"),
+      (13L, "too short", "web"))
+    val rows = docs.map { case (id, t, s) => org.apache.spark.sql.Row(id, t, s) }
+    val batchDf = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), docSchema)
+    val bench = Decontaminate.benchShingleSet(batchDf, col("source") === "bench", shingleN = 3)
+    assert(bench.size == 3) // 5 tokens -> 3 distinct 3-grams
+    // corpus-only rows flow as the stream (the bench slice is NOT ingest)
+    val corpusRows = rows.filter(_.getString(2) != "bench")
+    spark.createDataFrame(spark.sparkContext.parallelize(corpusRows, 1), docSchema)
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docSchema).parquet(dir)
+    val rep = Decontaminate.overlapStream(stream, bench, shingleN = 3)
+    assert(rep.isStreaming)
+    val query = rep.writeStream.format("memory").queryName("decon_out")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("decon_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3))).toSet
+      val batch = Decontaminate.overlapReport(batchDf, col("source") === "bench", shingleN = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3))).toSet
+      assert(streamed == batch)
+      assert(streamed.map(t => t._1 -> t._4).toMap ==
+        Map(10L -> true, 11L -> true, 12L -> false, 13L -> false))
+    } finally query.stop()
+    // cleanStream ships exactly the un-contaminated rows, columns untouched
+    val cleanQ = Decontaminate.cleanStream(stream, bench, shingleN = 3)
+      .writeStream.format("memory").queryName("decon_clean").outputMode("append").start()
+    try {
+      cleanQ.processAllAvailable()
+      assert(spark.table("decon_clean").columns.toSeq == Seq("doc_id", "text", "source"))
+      assert(spark.table("decon_clean").collect().map(_.getLong(0)).toSet == Set(12L, 13L))
+    } finally cleanQ.stop()
+    // a mis-scoped benchmark fails before any collect
+    val big = (0L until 3000000L) // 3M > 2^20
+    intercept[IllegalArgumentException](
+      Decontaminate.overlapStream(stream, big.toSeq, shingleN = 3))
+  }
+
   test("S4: JSON result shaper reproduces the reference's nested shape") {
     val q = ZxQuery(selects = Seq(Select(Agg.Sum, "foo")),
       groupBy = Seq("y"), granularitySec = 15L)
