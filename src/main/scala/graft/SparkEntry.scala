@@ -751,6 +751,26 @@ object SparkEntry {
     graft.operators.Similarity.quantizedKnn(Tables.embeddings(s, dir), queryId = 0L, k = 10)
       .withColumn("qcos", round(col("qcos"), 6))
 
+  /** s7: embedding data-quality stats — the gate before any ANN build:
+    * per-label counts and norm extremes/means, plus degenerate (near-zero)
+    * vector counts. Norms are quantized to 2^-20 fixed point BEFORE
+    * aggregating so the cross-row sums are exact integers (order-
+    * independent ⇒ bit-identical across partitionings AND engines —
+    * the IVF training trick applied to analytics); one narrow map + one
+    * shuffle on the group key. */
+  private def s7EmbedStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val nq = floor(norm(col("embedding")) * lit(1048576.0)).cast(LongType)
+    Tables.embeddings(s, dir)
+      .select(col("label"), nq.as("__nq"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("__nq")) / lit(1048576.0) / count(lit(1)), 6).as("mean_norm"),
+        round(min(col("__nq")) / lit(1048576.0), 6).as("min_norm"),
+        round(max(col("__nq")) / lit(1048576.0), 6).as("max_norm"),
+        sum(when(col("__nq") === 0L, 1L).otherwise(0L)).as("n_near_zero"))
+  }
+
   // ---------------------------------- training-data pipeline: multimodal
 
   private def m1MmBytes(s: SparkSession, dir: String): DataFrame =
@@ -1031,6 +1051,7 @@ object SparkEntry {
     "s4_ivf_knn" -> (s4IvfKnn _),
     "s5_quant_knn" -> (s5QuantKnn _),
     "s6_batch_knn" -> (s6BatchKnn _),
+    "s7_embed_stats" -> (s7EmbedStats _),
     "m1_mm_bytes" -> (m1MmBytes _),
     "m2_mm_decode" -> (m2MmDecode _),
     "m3_mm_frames" -> (m3MmFrames _),
@@ -1606,6 +1627,24 @@ object SparkEntry {
          |FROM e, q
          |ORDER BY $cos DESC, e.vec_id
          |LIMIT 10""".stripMargin
+    },
+    "s7_embed_stats" -> {
+      // same fixed-point trick as the s4 training replay: norms quantized
+      // to floor(norm * 2^20) BIGINTs before any cross-row fold, so the
+      // sums are exact integers and the left-assoc double divisions match
+      // Spark's bit-for-bit; per-row norm = the same dotSql left-fold
+      val n = graft.functions.VectorFunctions.dotSql("embedding", "embedding", 64)
+      s"""WITH e AS (
+         |  SELECT label,
+         |    CAST(floor(sqrt($n) * 1048576.0) AS BIGINT) AS nq
+         |  FROM embeddings
+         |)
+         |SELECT label, count(*)::BIGINT AS n_vecs,
+         |  round(sum(nq)::DOUBLE / 1048576.0 / count(*), 6) AS mean_norm,
+         |  round(min(nq) / 1048576.0, 6) AS min_norm,
+         |  round(max(nq) / 1048576.0, 6) AS max_norm,
+         |  sum(CASE WHEN nq = 0 THEN 1 ELSE 0 END)::BIGINT AS n_near_zero
+         |FROM e GROUP BY label""".stripMargin
     },
     "m1_mm_bytes" ->
       """SELECT doc_id, 'text/plain' AS media_type,

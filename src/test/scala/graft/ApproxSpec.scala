@@ -72,6 +72,18 @@ class ApproxSpec extends AnyFunSuite {
     assert(a1 == a2)
   }
 
+  test("embedding stats: counts partition the table, norm bounds ordered, no degenerate vectors") {
+    val rows = SparkEntry.queries("s7_embed_stats")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == Tables.embeddings(spark, dir).count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("min_norm") <= r.getAs[Double]("mean_norm") + 1e-9)
+      assert(r.getAs[Double]("mean_norm") <= r.getAs[Double]("max_norm") + 1e-9)
+      assert(r.getAs[Double]("min_norm") > 0) // fixture embeddings are non-degenerate
+      assert(r.getAs[Long]("n_near_zero") == 0L)
+    }
+  }
+
   test("misconfigured centroid budgets fail loudly before any driver collect") {
     val emb = Tables.embeddings(spark, dir)
     // 1M-centroid train: even at dim=1 this busts the 2^20-slot budget —
