@@ -366,38 +366,63 @@ object Dedup {
     docs.select(col(idCol), simhashNibbles(col(textCol)).as("__nibs"))
       .select(col(idCol), simhash16FromNibbles(col("__nibs")).as("simhash16"))
 
-  /** SimHash near-dup pairs with hamming distance ≤ maxHamming, found via the
-    * banded-equality trick: split 16 bits into (maxHamming+1) chunks — any
-    * pair within the bound shares at least one exact chunk (pigeonhole), so
-    * candidates come from equality joins, then bit_count verifies. */
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming.
+    *
+    * The load-bearing scale property: simhash16 lives in a 2^16-VALUE
+    * space, so the quadratic candidate step runs over DISTINCT HASHES
+    * (≤65,536 rows at ANY corpus size), never over documents:
+    *
+    *  1. ONE exchange of (id, hash) on the hash, reused by every consumer
+    *     below (ReuseExchange on the identical repartition subplan);
+    *  2. hash-level near pairs over the distinct values via the banded
+    *     pigeonhole (split 16 bits into maxHamming+1 chunks — any pair
+    *     within the bound shares an exact chunk — then bit_count
+    *     verifies): bounded by the value space, independent of corpus;
+    *  3. hamming-0 doc pairs: partition-local self-join on the hash;
+    *  4. cross-hash doc pairs: join the tiny hash-pair table onto the
+    *     corpus (AQE broadcasts it at runtime; the h_a probe reuses the
+    *     step-1 partitioning, so only the partner-hash hop shuffles, and
+    *     it moves docs × present-neighbors rows — output-bound).
+    *
+    * Pairs are unique by construction (a doc pair maps to exactly one
+    * ordered hash pair), so there is no terminal distinct. The previous
+    * per-document band join was (docs/bucket)² per bucket — quadratic in
+    * the corpus, ~10M candidates at sf0.1 against ~10^4 real pairs. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 2,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 16 / chunks
-    val sh = simhashes(docs, textCol, idCol)
-    val banded = sh.select(col(idCol), col("simhash16"),
+    val sh = simhashes(docs, textCol, idCol).repartition(col("simhash16"))
+    // 3. identical hashes: no exchange beyond sh's own (both sides reuse it)
+    val same = sh.select(col(idCol).as("id_a"), col("simhash16"))
+      .join(sh.select(col(idCol).as("id_b"), col("simhash16")), "simhash16")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(lit(0L)).as("hamming")) // typed like the cross branch
+    // 2. the value-space candidate step: distinct() folds into sh's
+    // partitioning (no exchange), the band join runs on ≤2^16 rows
+    val hs = sh.select(col("simhash16")).distinct()
+    val banded = hs.select(col("simhash16"),
       explode(array((0 until chunks).map(cix =>
         struct(lit(cix).as("chunk_idx"),
           shiftright(col("simhash16"), cix * bitsPer)
             .bitwiseAND(lit((1L << bitsPer) - 1)).as("chunk"))): _*)).as("c"))
-      .select(col(idCol), col("simhash16"), col("c.chunk_idx"), col("c.chunk"))
-      // shuffle on the join key BEFORE aliasing the two sides: both join
-      // branches then share one identical exchange subplan, so ReuseExchange
-      // computes the simhash scan once instead of once per side
-      .repartition(col("chunk_idx"), col("chunk"))
-    val l = banded.select(col(idCol).as("id_a"), col("simhash16").as("h_a"),
-      col("chunk_idx"), col("chunk"))
-    val r = banded.select(col(idCol).as("id_b"), col("simhash16").as("h_b"),
-      col("chunk_idx"), col("chunk"))
-    // hamming-verify BEFORE the distinct: the bit_count test is a cheap
-    // narrow map over the joined rows, while distinct is a shuffle — at
-    // sf0.1 the band join emits ~10M candidate rows but only ~10^4 real
-    // near-dups, so filtering first shrinks the dedup exchange by ~1000×
-    l.join(r, Seq("chunk_idx", "chunk"))
-      .filter(col("id_a") < col("id_b"))
+      .select(col("simhash16"), col("c.chunk_idx"), col("c.chunk"))
+    val hashPairs = banded
+      .select(col("simhash16").as("h_a"), col("chunk_idx"), col("chunk"))
+      .join(banded.select(col("simhash16").as("h_b"), col("chunk_idx"), col("chunk")),
+        Seq("chunk_idx", "chunk"))
+      .filter(col("h_a") < col("h_b"))
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming")).distinct()
+      .select(col("h_a"), col("h_b"), col("hamming")).distinct()
+    // 4. expand hash pairs to doc pairs; least/greatest restores id order
+    val cross = sh.select(col(idCol).as("__ia"), col("simhash16").as("h_a"))
+      .join(hashPairs, "h_a")
+      .join(sh.select(col(idCol).as("__ib"), col("simhash16").as("h_b")), "h_b")
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("hamming"))
+    same.unionByName(cross)
   }
 
   /** Blocked n-gram jaccard: candidate pairs share a blocking key (source +
