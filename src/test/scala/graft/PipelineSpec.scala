@@ -351,6 +351,33 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Corpus.chunkByWindow(df, 4, 5))
   }
 
+  test("chunking property: 60 seeded random docs reconstruct exactly from their chunks") {
+    import graft.operators.Corpus
+    val rnd = new scala.util.Random(20260813L)
+    val docs = (0L until 60L).map { id =>
+      val n = 1 + rnd.nextInt(50)
+      id -> Seq.fill(n)(s"w${rnd.nextInt(30)}").mkString(" ")
+    }
+    val (c, s) = (7, 3) // non-divisible chunk/stride exercise the tail rule
+    val chunks = Corpus.chunkByWindow(docsDf(docs: _*), c, s).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(4)))
+      .groupBy(_._1).map { case (id, rs) =>
+        id -> rs.sortBy(_._2).map(_._3).toSeq
+      }
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      val got = chunks(id)
+      // stitching rule: first `stride` tokens of every chunk but the last,
+      // then the whole last chunk == the original token stream (chunks
+      // cover [k*s, k*s+c) and the last start is the first stride multiple
+      // at or past n-c — so the union is exact, ordered, and gap-free)
+      val stitched = got.init.flatMap(_.split(" ").take(s)) ++ got.last.split(" ")
+      assert(stitched == toks, s"doc $id: $got")
+      // every chunk except the last is full-width
+      got.init.foreach(ch => assert(ch.split(" ").length == c))
+    }
+  }
+
   test("multimodal: packWav emits a valid RIFF container; decodeWav round-trips it") {
     val text = "some document payload"
     val df = docsDf((7L, text))
