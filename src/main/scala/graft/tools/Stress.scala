@@ -44,6 +44,21 @@ object Stress {
         graft.operators.Dedup.minhashPairs(rep(10), 0.5),
         maxDriverEdges = 0L).count()
     }
+    // the arbitrary-id (surrogate dictionary) path on the same 10× graph:
+    // global sort + zipWithIndex over paired ids + two dictionary joins on
+    // top of d6 — the overhead band to watch is ~1.2-1.5× plain d6
+    time("d6b_clusters_str_10x") {
+      val p = graft.operators.Dedup.minhashPairs(rep(10), 0.5)
+        .select(format_string("doc_%012d", col("id_a")).as("id_a"),
+          format_string("doc_%012d", col("id_b")).as("id_b"))
+      graft.operators.Dedup.dupClusters(p).count()
+    }
+    // value-space-bounded simhash pairs: candidates over ≤2^16 distinct
+    // hashes; the 10× dup corpus multiplies same-hash groups ×10 (output-
+    // bound growth), not the candidate quadratic
+    time("d3_simhash_10x") {
+      graft.operators.Dedup.simhashPairs(rep(10), maxHamming = 1).count()
+    }
     spark.stop()
   }
 }
