@@ -771,6 +771,22 @@ object SparkEntry {
         sum(when(col("__nq") === 0L, 1L).otherwise(0L)).as("n_near_zero"))
   }
 
+  /** s8: product-quantization ANN — the compression rung above int8
+    * ([[s5QuantKnn]]): one-pass Lloyd codebooks over 16 subspaces of 4 dims
+    * (16-byte codes, 16× smaller than float32), an ADC scan whose per-row
+    * work is 16 LUT lookups + 15 adds (no dot products), then exact cosine
+    * re-rank of the 100-row shortlist — the standard recall recovery,
+    * which on this data returns the exact top-10. Training, encoding, ADC
+    * and re-rank are all fixed-point/left-fold deterministic, so the
+    * DuckDB oracle replays the entire pipeline bit-for-bit. */
+  private def s8PqKnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val books = graft.operators.Similarity.pqTrain(emb, m = 16, ksub = 16, iters = 1)
+    graft.operators.Similarity.pqKnn(emb, books, queryId = 0L, k = 10, shortlist = 100)
+      .select(col("vec_id"), col("label"), round(col("adc"), 6).as("adc"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   // ---------------------------------- training-data pipeline: multimodal
 
   private def m1MmBytes(s: SparkSession, dir: String): DataFrame =
@@ -895,6 +911,49 @@ object SparkEntry {
        |sc2 AS (SELECT e.vec_id, c.cid, ${duckIvfDot("e.v", "c.cv")} AS s FROM e CROSS JOIN cent2 c),
        |as2 AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid,
        |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM sc2) WHERE rn = 1)""".stripMargin
+  }
+
+  /** DuckDB replay of Similarity.pqTrain(m=16, ksub=16, iters=1) +
+    * pqEncode + the ADC scan: per-subspace L2 assignment is
+    * argmax(⟨sv,c⟩ − ‖c‖²/2) with ties to the lowest code (row_number
+    * ORDER BY s DESC, cid ≡ the struct max), centroid updates use the same
+    * floor(v·2^20) BIGINT sums, and each row's ADC total folds its 16
+    * subspace scores in subspace order via list_reduce — matching Spark's
+    * left-assoc `reduce(_ + _)`. Yields CTEs `e` (doubled vectors), `cb1`
+    * (trained codebooks), `as1` (vec_id × subspace → code), `sl` (the
+    * ADC top-100 shortlist with scores). */
+  private def duckPqCtes: String = {
+    def dotD(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, 5), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
+    def l2(s: String, c: String): String = s"${dotD(s, c)} - ${dotD(c, c)} / 2"
+    def assign(from: String): String =
+      s"""(SELECT vec_id, j, cid AS code FROM (
+         |  SELECT s.vec_id, s.j, c.cid,
+         |    row_number() OVER (PARTITION BY s.vec_id, s.j
+         |      ORDER BY ${l2("s.sv", "c.cv")} DESC, c.cid) AS rn
+         |  FROM sub s JOIN $from c ON s.j = c.j) WHERE rn = 1)""".stripMargin
+    s"""e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |sub AS (SELECT vec_id, j, list_slice(v, j*4 + 1, j*4 + 4) AS sv
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, 16)) AS j)),
+       |cb0 AS (SELECT j, vec_id::INT AS cid, sv AS cv FROM sub WHERE vec_id < 16),
+       |as0 AS ${assign("cb0")},
+       |ex0 AS (SELECT a.j, a.code, unnest(range(1, 5)) AS dim, unnest(s.sv) AS val
+       |  FROM sub s JOIN as0 a ON s.vec_id = a.vec_id AND s.j = a.j),
+       |cb1 AS (SELECT j, code AS cid, list(sq / qn ORDER BY dim) AS cv FROM (
+       |  SELECT j, code, dim, sum(CAST(floor(val * 1048576.0) AS BIGINT))::DOUBLE AS sq,
+       |         (count(*) * 1048576.0) AS qn
+       |  FROM ex0 GROUP BY j, code, dim) GROUP BY j, code),
+       |as1 AS ${assign("cb1")},
+       |qs AS (SELECT j, sv AS qv FROM sub WHERE vec_id = 0),
+       |adc AS (SELECT vec_id, list_reduce(list(s ORDER BY j), (acc, x) -> acc + x) AS adc
+       |  FROM (SELECT a.vec_id, a.j, ${dotD("q.qv", "c.cv")} AS s
+       |    FROM as1 a JOIN cb1 c ON a.j = c.j AND a.code = c.cid
+       |    JOIN qs q ON q.j = a.j)
+       |  GROUP BY vec_id),
+       |sl AS (SELECT vec_id, adc FROM (
+       |  SELECT vec_id, adc, row_number() OVER (ORDER BY adc DESC, vec_id) AS rn
+       |  FROM adc) WHERE rn <= 100)""".stripMargin
   }
 
   /** Shared CTE prelude replicating minhashPairs' candidate generation:
@@ -1052,6 +1111,7 @@ object SparkEntry {
     "s5_quant_knn" -> (s5QuantKnn _),
     "s6_batch_knn" -> (s6BatchKnn _),
     "s7_embed_stats" -> (s7EmbedStats _),
+    "s8_pq_knn" -> (s8PqKnn _),
     "m1_mm_bytes" -> (m1MmBytes _),
     "m2_mm_decode" -> (m2MmDecode _),
     "m3_mm_frames" -> (m3MmFrames _),
@@ -1625,6 +1685,17 @@ object SparkEntry {
          |q AS (SELECT qv AS qq FROM e WHERE vec_id = 0)
          |SELECT e.vec_id, e.label, round($cos, 6) AS qcos
          |FROM e, q
+         |ORDER BY $cos DESC, e.vec_id
+         |LIMIT 10""".stripMargin
+    },
+    "s8_pq_knn" -> {
+      // exact re-rank of the replayed ADC shortlist — same cosine mirror
+      // as s1_knn, over the pre-doubled `e.v` vectors
+      val cos = s"${duckIvfDot("e.v", "q.qv")} / (sqrt(${duckIvfDot("e.v", "e.v")}) * sqrt(${duckIvfDot("q.qv", "q.qv")}))"
+      s"""WITH $duckPqCtes,
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label, round(sl.adc, 6) AS adc, round($cos, 6) AS cos
+         |FROM sl JOIN e USING (vec_id), q
          |ORDER BY $cos DESC, e.vec_id
          |LIMIT 10""".stripMargin
     },

