@@ -787,6 +787,41 @@ object SparkEntry {
         round(col("cos"), 6).as("cos"))
   }
 
+  private val ivfPqIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Seq[(Int, Seq[Double])], Seq[Seq[(Int, Seq[Double])]])]()
+  private def ensureIvfPqIndex(s: SparkSession, dir: String)
+      : (String, Seq[(Int, Seq[Double])], Seq[Seq[(Int, Seq[Double])]]) =
+    Option(ivfPqIndexCache.get(dir)).getOrElse {
+      val emb = Tables.embeddings(s, dir)
+      val cents = graft.operators.Similarity.ivfTrain(emb, nlist = 16, iters = 2)
+      val books = graft.operators.Similarity.ivfPqTrain(emb, cents,
+        m = 16, ksub = 16, iters = 1)
+      val path = "target/graft-ivfpq-index/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      graft.operators.Similarity.ivfPqWriteIndex(emb, cents, books, path)
+      val v = (path, cents, books)
+      ivfPqIndexCache.put(dir, v)
+      v
+    }
+
+  /** s9: the composed billion-scale ANN layout — IVF-PQ. Coarse k-means
+    * cells partition the index table; each row stores the PQ codes of its
+    * RESIDUAL (v − centroid[cell]); a probe prunes to nProbe cells at
+    * planning time, ADC-scores them with per-cell query-residual lookup
+    * tables (no dot products), and exact-cosine re-ranks the 100-row
+    * shortlist from the stored vectors. Every stage (coarse train,
+    * residuals, PQ train, encode, ADC, re-rank) is fixed-point/left-fold
+    * deterministic, so the DuckDB oracle replays the full pipeline. */
+  private def s9IvfPqKnn(s: SparkSession, dir: String): DataFrame = {
+    val (path, cents, books) = ensureIvfPqIndex(s, dir)
+    val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 0L)
+      .select(graft.functions.VectorFunctions.toDouble(col("embedding")))
+      .head().getSeq[Double](0).toIndexedSeq
+    graft.operators.Similarity.ivfPqProbe(s, path, cents, books, qv,
+        k = 10, nProbe = 2, shortlist = 100)
+      .select(col("vec_id"), col("label"), col("cell").cast(IntegerType).as("cell"),
+        round(col("adc"), 6).as("adc"), round(col("cos"), 6).as("cos"))
+  }
+
   // ---------------------------------- training-data pipeline: multimodal
 
   private def m1MmBytes(s: SparkSession, dir: String): DataFrame =
@@ -913,48 +948,56 @@ object SparkEntry {
        |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM sc2) WHERE rn = 1)""".stripMargin
   }
 
-  /** DuckDB replay of Similarity.pqTrain(m=16, ksub=16, iters=1) +
-    * pqEncode + the ADC scan: per-subspace L2 assignment is
-    * argmax(⟨sv,c⟩ − ‖c‖²/2) with ties to the lowest code (row_number
-    * ORDER BY s DESC, cid ≡ the struct max), centroid updates use the same
-    * floor(v·2^20) BIGINT sums, and each row's ADC total folds its 16
-    * subspace scores in subspace order via list_reduce — matching Spark's
-    * left-assoc `reduce(_ + _)`. Yields CTEs `e` (doubled vectors), `cb1`
-    * (trained codebooks), `as1` (vec_id × subspace → code), `sl` (the
-    * ADC top-100 shortlist with scores). */
-  private def duckPqCtes: String = {
-    def dotD(a: String, b: String): String =
-      s"list_reduce(list_transform(range(1, 5), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
-    def l2(s: String, c: String): String = s"${dotD(s, c)} - ${dotD(c, c)} / 2"
+  /** 4-dim sub-vector dot for the PQ replays — same left fold as dotSql. */
+  private def duckPqDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 5), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
+
+  /** DuckDB replay of Similarity.pqTrain(m=16, ksub=16, iters=1) + pqEncode
+    * over `$src.$vcol` (any CTE exposing vec_id + a 64-dim DOUBLE list):
+    * per-subspace L2 assignment is argmax(⟨sv,c⟩ − ‖c‖²/2) with ties to
+    * the lowest code (row_number ORDER BY s DESC, cid ≡ the struct max);
+    * centroid updates use the same floor(v·2^20) BIGINT sums. Yields CTEs
+    * `${p}sub` (vec_id × subspace → sub-vector), `${p}cb1` (trained
+    * codebooks), `${p}as1` (vec_id × subspace → final code). */
+  private def duckPqTrainCtes(src: String, vcol: String, p: String): String = {
+    def l2(s: String, c: String): String =
+      s"${duckPqDot(s, c)} - ${duckPqDot(c, c)} / 2"
     def assign(from: String): String =
       s"""(SELECT vec_id, j, cid AS code FROM (
          |  SELECT s.vec_id, s.j, c.cid,
          |    row_number() OVER (PARTITION BY s.vec_id, s.j
          |      ORDER BY ${l2("s.sv", "c.cv")} DESC, c.cid) AS rn
-         |  FROM sub s JOIN $from c ON s.j = c.j) WHERE rn = 1)""".stripMargin
-    s"""e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
-       |  FROM embeddings),
-       |sub AS (SELECT vec_id, j, list_slice(v, j*4 + 1, j*4 + 4) AS sv
-       |  FROM e CROSS JOIN (SELECT unnest(range(0, 16)) AS j)),
-       |cb0 AS (SELECT j, vec_id::INT AS cid, sv AS cv FROM sub WHERE vec_id < 16),
-       |as0 AS ${assign("cb0")},
-       |ex0 AS (SELECT a.j, a.code, unnest(range(1, 5)) AS dim, unnest(s.sv) AS val
-       |  FROM sub s JOIN as0 a ON s.vec_id = a.vec_id AND s.j = a.j),
-       |cb1 AS (SELECT j, code AS cid, list(sq / qn ORDER BY dim) AS cv FROM (
+         |  FROM ${p}sub s JOIN $from c ON s.j = c.j) WHERE rn = 1)""".stripMargin
+    s"""${p}sub AS (SELECT vec_id, j, list_slice($vcol, j*4 + 1, j*4 + 4) AS sv
+       |  FROM $src CROSS JOIN (SELECT unnest(range(0, 16)) AS j)),
+       |${p}cb0 AS (SELECT j, vec_id::INT AS cid, sv AS cv FROM ${p}sub WHERE vec_id < 16),
+       |${p}as0 AS ${assign(s"${p}cb0")},
+       |${p}ex0 AS (SELECT a.j, a.code, unnest(range(1, 5)) AS dim, unnest(s.sv) AS val
+       |  FROM ${p}sub s JOIN ${p}as0 a ON s.vec_id = a.vec_id AND s.j = a.j),
+       |${p}cb1 AS (SELECT j, code AS cid, list(sq / qn ORDER BY dim) AS cv FROM (
        |  SELECT j, code, dim, sum(CAST(floor(val * 1048576.0) AS BIGINT))::DOUBLE AS sq,
        |         (count(*) * 1048576.0) AS qn
-       |  FROM ex0 GROUP BY j, code, dim) GROUP BY j, code),
-       |as1 AS ${assign("cb1")},
+       |  FROM ${p}ex0 GROUP BY j, code, dim) GROUP BY j, code),
+       |${p}as1 AS ${assign(s"${p}cb1")}""".stripMargin
+  }
+
+  /** Raw-vector PQ pipeline for s8: train+encode over `e.v`, then the ADC
+    * scan — each row's total folds its 16 subspace LUT scores in subspace
+    * order via list_reduce, matching Spark's left-assoc `reduce(_ + _)` —
+    * and the top-100 shortlist. */
+  private def duckPqCtes: String =
+    s"""e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |${duckPqTrainCtes("e", "v", "")},
        |qs AS (SELECT j, sv AS qv FROM sub WHERE vec_id = 0),
        |adc AS (SELECT vec_id, list_reduce(list(s ORDER BY j), (acc, x) -> acc + x) AS adc
-       |  FROM (SELECT a.vec_id, a.j, ${dotD("q.qv", "c.cv")} AS s
+       |  FROM (SELECT a.vec_id, a.j, ${duckPqDot("q.qv", "c.cv")} AS s
        |    FROM as1 a JOIN cb1 c ON a.j = c.j AND a.code = c.cid
        |    JOIN qs q ON q.j = a.j)
        |  GROUP BY vec_id),
        |sl AS (SELECT vec_id, adc FROM (
        |  SELECT vec_id, adc, row_number() OVER (ORDER BY adc DESC, vec_id) AS rn
        |  FROM adc) WHERE rn <= 100)""".stripMargin
-  }
 
   /** Shared CTE prelude replicating minhashPairs' candidate generation:
     * token hashes → shingle hashes → 8 minhash sigs → 4 band keys →
@@ -1112,6 +1155,7 @@ object SparkEntry {
     "s6_batch_knn" -> (s6BatchKnn _),
     "s7_embed_stats" -> (s7EmbedStats _),
     "s8_pq_knn" -> (s8PqKnn _),
+    "s9_ivfpq_knn" -> (s9IvfPqKnn _),
     "m1_mm_bytes" -> (m1MmBytes _),
     "m2_mm_decode" -> (m2MmDecode _),
     "m3_mm_frames" -> (m3MmFrames _),
@@ -1696,6 +1740,41 @@ object SparkEntry {
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
          |SELECT e.vec_id, e.label, round(sl.adc, 6) AS adc, round($cos, 6) AS cos
          |FROM sl JOIN e USING (vec_id), q
+         |ORDER BY $cos DESC, e.vec_id
+         |LIMIT 10""".stripMargin
+    },
+    "s9_ivfpq_knn" -> {
+      // full IVF-PQ replay: coarse train (duckIvfTrainCtes: e/cent2/as2)
+      // → per-row residuals → PQ train+encode over them (p-prefixed CTEs)
+      // → probe-cell selection (same dot-ranked rule as s4) → per-cell
+      // query-residual ADC, folded in subspace order → top-100 shortlist
+      // → exact re-rank. Every stage mirrors the Spark arithmetic exactly.
+      val cos = s"${duckIvfDot("e.v", "q.qv")} / (sqrt(${duckIvfDot("e.v", "e.v")}) * sqrt(${duckIvfDot("q.qv", "q.qv")}))"
+      s"""WITH $duckIvfTrainCtes,
+         |res AS (SELECT e.vec_id, list_transform(range(1, 65), i -> e.v[i] - c.cv[i]) AS rv
+         |  FROM e JOIN as2 a USING (vec_id) JOIN cent2 c ON a.cell = c.cid),
+         |${duckPqTrainCtes("res", "rv", "p")},
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |qsel AS (SELECT cid FROM (SELECT c.cid,
+         |    row_number() OVER (ORDER BY ${duckIvfDot("c.cv", "q.qv")} DESC, c.cid) AS rn
+         |  FROM cent2 c, q) WHERE rn <= 2),
+         |qr AS (SELECT c.cid AS cell, list_transform(range(1, 65), i -> q.qv[i] - c.cv[i]) AS rv
+         |  FROM cent2 c JOIN qsel ON c.cid = qsel.cid, q),
+         |qrs AS (SELECT cell, j, list_slice(rv, j*4 + 1, j*4 + 4) AS qsv
+         |  FROM qr CROSS JOIN (SELECT unnest(range(0, 16)) AS j)),
+         |padc AS (SELECT vec_id, list_reduce(list(s ORDER BY j), (acc, x) -> acc + x) AS adc
+         |  FROM (SELECT a.vec_id, a.j, ${duckPqDot("r.qsv", "c.cv")} AS s
+         |    FROM pas1 a
+         |    JOIN as2 o ON a.vec_id = o.vec_id
+         |    JOIN qrs r ON r.cell = o.cell AND r.j = a.j
+         |    JOIN pcb1 c ON c.j = a.j AND c.cid = a.code)
+         |  GROUP BY vec_id),
+         |sl AS (SELECT vec_id, adc FROM (
+         |  SELECT vec_id, adc, row_number() OVER (ORDER BY adc DESC, vec_id) AS rn
+         |  FROM padc) WHERE rn <= 100)
+         |SELECT e.vec_id, e.label, o.cell::INT AS cell,
+         |  round(sl.adc, 6) AS adc, round($cos, 6) AS cos
+         |FROM sl JOIN e USING (vec_id) JOIN as2 o USING (vec_id), q
          |ORDER BY $cos DESC, e.vec_id
          |LIMIT 10""".stripMargin
     },

@@ -328,6 +328,24 @@ object Similarity {
     }: _*))
   }
 
+  /** The ADC scoring expression over a `codes` column: each subspace
+    * contributes a driver-computed lookup-table score ⟨q_j, centroid⟩
+    * indexed by the row's code; the row total folds them in subspace
+    * order. Dense LUTs over 0..maxCid keep indexing aligned — dropped
+    * (empty) cells can never be emitted by the encoder. Shared by
+    * [[pqKnn]] (raw query) and [[ivfPqProbe]] (per-cell residual query). */
+  private def adcExpr(books: Seq[Seq[(Int, Seq[Double])]],
+                      q: Seq[Double]): org.apache.spark.sql.Column = {
+    val dsub = books.head.head._2.size
+    books.zipWithIndex.map { case (book, j) =>
+      val qj = q.slice(j * dsub, (j + 1) * dsub)
+      val byCid = book.toMap
+      val lut = (0 until book.map(_._1).max + 1).map(cid =>
+        byCid.get(cid).map(foldDot(qj, _)).getOrElse(Double.NegativeInfinity))
+      element_at(typedLit(lut), element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+  }
+
   /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays full
     * precision; each subspace contributes a driver-computed lookup-table
     * score ⟨q_j, centroid[code_j]⟩ and the row's score is their fixed-order
@@ -345,20 +363,10 @@ object Similarity {
             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(shortlist == 0 || shortlist >= k,
       s"pqKnn: shortlist must be 0 (pure ADC) or >= k, got $shortlist for k=$k")
-    val dsub = books.head.head._2.size
     val q = emb.filter(col(idCol) === queryId).select(toDouble(col(vecCol)))
       .head().getSeq[Double](0).toIndexedSeq
-    val score = books.zipWithIndex.map { case (book, j) =>
-      val qj = q.slice(j * dsub, (j + 1) * dsub)
-      // dense LUT over 0..maxCid: dropped (empty) cells can never be
-      // emitted by the encoder, their slots just keep indexing aligned
-      val width = book.map(_._1).max + 1
-      val byCid = book.toMap
-      val lut = (0 until width).map(cid =>
-        byCid.get(cid).map(foldDot(qj, _)).getOrElse(Double.NegativeInfinity))
-      element_at(typedLit(lut), element_at(col("codes"), j + 1) + 1)
-    }.reduce(_ + _)
-    val scored = pqEncode(emb, books, idCol, vecCol).withColumn("adc", score)
+    val scored = pqEncode(emb, books, idCol, vecCol)
+      .withColumn("adc", adcExpr(books, q))
     if (shortlist == 0)
       scored.orderBy(col("adc").desc, col(idCol).asc).limit(k).drop(vecCol, "codes")
     else {
@@ -369,6 +377,88 @@ object Similarity {
         .limit(k)
         .drop(vecCol, "codes")
     }
+  }
+
+  // ---------------------------------------------------------------- IVF-PQ
+
+  /** Per-row residual v − centroid[cell] — the classic IVFPQ encoding: PQ
+    * quantizes the remainder after the coarse quantizer, which is far
+    * lower-variance than the raw vectors, so the same code budget buys
+    * more precision. The centroid is a CASE over plan-literal cells —
+    * row-local, zero exchanges; the element-wise IEEE subtraction is
+    * bit-identical in the DuckDB replay. Requires a `cell` column
+    * ([[assignCells]]). */
+  private def residualExpr(cents: Seq[(Int, Seq[Double])],
+                           vecCol: String): org.apache.spark.sql.Column = {
+    val sorted = cents.sortBy(_._1)
+    val centFor = sorted.tail.foldLeft(
+      when(col("cell") === sorted.head._1, typedLit(sorted.head._2))) {
+      case (acc, (cid, cv)) => acc.when(col("cell") === cid, typedLit(cv))
+    }
+    zip_with(toDouble(col(vecCol)), centFor, (a, b) => a - b)
+  }
+
+  /** Train PQ codebooks over IVF residuals: coarse cells from `cents`,
+    * fine codes from [[pqTrain]] on v − centroid[cell]. Residual
+    * computation is a narrow map, so this costs exactly one extra
+    * projection over plain [[pqTrain]]. */
+  def ivfPqTrain(emb: DataFrame, cents: Seq[(Int, Seq[Double])], m: Int = 16,
+                 ksub: Int = 16, iters: Int = 1, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): Seq[Seq[(Int, Seq[Double])]] =
+    pqTrain(assignCells(emb, cents, vecCol)
+        .withColumn("__res", residualExpr(cents, vecCol)),
+      m, ksub, iters, idCol, "__res")
+
+  /** Materialize the IVF-PQ index: a cell-partitioned parquet table whose
+    * rows carry the PQ codes of their residuals next to the full vector.
+    * The billion-scale read path this buys: a probe prunes to
+    * nProbe/nlist partitions at PLANNING time, ADC-scores them with
+    * lookup tables (no dot products), and only the shortlist's stored
+    * vectors are touched for the exact re-rank. Build adds no exchange
+    * beyond the partitioned write — assignment, residual, and encoding
+    * are all row-local. */
+  def ivfPqWriteIndex(emb: DataFrame, cents: Seq[(Int, Seq[Double])],
+                      books: Seq[Seq[(Int, Seq[Double])]], path: String,
+                      vecCol: String = "embedding"): Unit =
+    pqEncode(assignCells(emb, cents, vecCol)
+        .withColumn("__res", residualExpr(cents, vecCol)),
+        books, vecCol = "__res")
+      .drop("__res")
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** Probe the IVF-PQ index: rank nProbe cells driver-side, scan ONLY
+    * those partitions (planning-time pruning), ADC-score each with its
+    * own query-residual lookup tables (q − centroid[cell] — the residual
+    * asymmetric distance), then exact-cosine re-rank the ADC shortlist
+    * from the stored vectors. Compiles to pruned scan → narrow CASE map →
+    * TakeOrderedAndProject(shortlist) → TakeOrderedAndProject(k): the
+    * full-precision work is O(shortlist), never O(corpus). */
+  def ivfPqProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+                 cents: Seq[(Int, Seq[Double])],
+                 books: Seq[Seq[(Int, Seq[Double])]], queryVec: Seq[Double],
+                 k: Int, nProbe: Int = 2, shortlist: Int = 100,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"ivfPqProbe: shortlist $shortlist must be >= k=$k")
+    val probe = rankProbes(cents, queryVec, nProbe)
+    val byCid = cents.toMap
+    val adcByCell = probe.map { c =>
+      c -> adcExpr(books, queryVec.zip(byCid(c)).map { case (a, b) => a - b })
+    }
+    val adcCase = adcByCell.tail.foldLeft(
+      when(col("cell") === adcByCell.head._1, adcByCell.head._2)) {
+      case (acc, (c, e)) => acc.when(col("cell") === c, e)
+    }
+    val qn = math.sqrt(foldDot(queryVec, queryVec))
+    spark.read.parquet(path)
+      .filter(col("cell").isin(probe: _*))
+      .withColumn("adc", adcCase)
+      .orderBy(col("adc").desc, col(idCol).asc)
+      .limit(shortlist)
+      .withColumn("cos", dot(col(vecCol), typedLit(queryVec)) /
+        (norm(col(vecCol)) * lit(qn)))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+      .drop(vecCol, "codes")
   }
 
   /** Materialize the IVF index as a CELL-PARTITIONED parquet table — the

@@ -157,6 +157,35 @@ class ApproxSpec extends AnyFunSuite {
     assert((adc & exact.toSet).size >= 6, s"ADC-only recall too low: $adc")
   }
 
+  test("IVF-PQ: probe prunes cell partitions, self is rank 1, recall matches plain IVF's") {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Similarity.ivfTrain(emb, nlist = 16, iters = 2)
+    val books = Similarity.ivfPqTrain(emb, cents, m = 16, ksub = 16, iters = 1)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString + "/idx"
+    Similarity.ivfPqWriteIndex(emb, cents, books, path)
+    // the stored table carries exactly the compressed layout: codes + cell
+    val idx = spark.read.parquet(path)
+    assert(idx.columns.toSet == Set("vec_id", "label", "embedding", "cell", "codes"))
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(graft.functions.VectorFunctions.toDouble(col("embedding")))
+      .head().getSeq[Double](0).toIndexedSeq
+    val probed = Similarity.ivfPqProbe(spark, path, cents, books, q, k = 10)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"probe must prune cell partitions at planning time:\n$plan")
+    val got = probed.select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got.head == 0L, "self must be rank 1")
+    // the exact re-rank means IVF-PQ can only lose vs plain IVF through
+    // ADC shortlist misses; at shortlist=100 over 2 cells it matches the
+    // uncompressed probe's recall
+    val exact = Similarity.bruteForceKnn(emb, 0L, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfKnn(emb, 0L, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((got.toSet & exact).size >= (ivf & exact).size - 1,
+      s"IVF-PQ recall ${(got.toSet & exact).size} fell behind IVF ${(ivf & exact).size}")
+  }
+
   test("PQ misconfigurations fail loudly before any job") {
     val emb = Tables.embeddings(spark, dir)
     assert(intercept[IllegalArgumentException](
