@@ -464,6 +464,28 @@ object SparkEntry {
       payload = Seq("o_orderkey", "o_totalprice"))
   }
 
+  /** j4: the broadcast/streaming face of the asof family — j2's semantics,
+    * but the deduped version history rides in the PLAN (asofBroadcast), so
+    * the probe is an exchange-free narrow map valid on batch AND streaming
+    * inputs. The dimension is the order history of customers < 100: the
+    * bounded-dimension shape (catalog, deploy log) the operator exists
+    * for; events of other users carry null payload (left-outer, like j2). */
+  private def j4AsofBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("ts").cast(LongType).as("ts_sec"))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"),
+        col("o_orderdate").cast(TimestampType).cast(LongType).as("od_sec"),
+        col("o_orderkey"), col("o_totalprice"))
+    val latest = graft.operators.AsofJoin.latestPerKeyTime(
+      ord, "o_custkey", "od_sec", "o_orderkey")
+    graft.operators.AsofJoin.asofBroadcast(ev, latest,
+      keyL = "user_id", keyR = "o_custkey", timeL = "ts_sec", timeR = "od_sec",
+      payload = Seq("o_orderkey", "o_totalprice"))
+  }
+
   /** j3: trailing range join (self): each event + the same user's activity
     * over the trailing hour — the "errors in the last hour" shape. Window
     * form: one exchange + one range-frame sort; a non-equi join would
@@ -1122,6 +1144,7 @@ object SparkEntry {
     "q1_pricing" -> (q1Pricing _),
     "j1_revenue_nation" -> (j1RevenueNation _),
     "j2_asof_join" -> (j2AsofJoin _),
+    "j4_asof_broadcast" -> (j4AsofBroadcast _),
     "j3_range_join" -> (j3RangeJoin _),
     "x1_lang_id" -> (x1LangId _),
     "x2_quality" -> (x2Quality _),
@@ -1389,6 +1412,21 @@ object SparkEntry {
       """WITH o0 AS (SELECT o_custkey,
         |    CAST(floor(epoch(o_orderdate)) AS BIGINT) AS od_sec,
         |    o_orderkey, o_totalprice FROM orders),
+        |o AS (SELECT *, row_number() OVER (PARTITION BY o_custkey, od_sec
+        |    ORDER BY o_orderkey DESC) AS rn FROM o0),
+        |ol AS (SELECT o_custkey, od_sec, o_orderkey, o_totalprice FROM o WHERE rn = 1),
+        |e AS (SELECT event_id, user_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events)
+        |SELECT e.event_id, e.user_id, e.value, e.ts_sec,
+        |  ol.o_orderkey, ol.o_totalprice
+        |FROM e ASOF LEFT JOIN ol
+        |  ON e.user_id = ol.o_custkey AND e.ts_sec >= ol.od_sec""".stripMargin,
+    "j4_asof_broadcast" ->
+      // same independent DuckDB ASOF LEFT JOIN as j2, over the
+      // broadcast-sized dimension (custkey < 100)
+      """WITH o0 AS (SELECT o_custkey,
+        |    CAST(floor(epoch(o_orderdate)) AS BIGINT) AS od_sec,
+        |    o_orderkey, o_totalprice FROM orders WHERE o_custkey < 100),
         |o AS (SELECT *, row_number() OVER (PARTITION BY o_custkey, od_sec
         |    ORDER BY o_orderkey DESC) AS rn FROM o0),
         |ol AS (SELECT o_custkey, od_sec, o_orderkey, o_totalprice FROM o WHERE rn = 1),

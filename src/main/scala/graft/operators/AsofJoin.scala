@@ -91,6 +91,67 @@ object AsofJoin {
     * using any of them would be silently clobbered by withColumn. */
   private val Reserved = Seq("__k", "__t", "__side", "__pay", "__last")
 
+  /** Broadcast ASOF: the stateless, exchange-free formulation for a SMALL
+    * right side — the sorted version history of every key rides in the
+    * PLAN (the centroid-literal pattern), and each left row probes it with
+    * codegen'd higher-order functions: `try_element_at(map, key)` pulls the
+    * key's version array, `filter(v.t ≤ t)` keeps the visible prefix, and
+    * `try_element_at(arr, -1)` takes its last (= latest ≤ t) element.
+    * Missing key or no visible version → null payload, exactly [[asof]]'s
+    * left-outer semantics; same-instant versions are visible (≤, like
+    * [[asof]]'s right-sorts-first tie rule).
+    *
+    * Because no window, shuffle, or state is involved, the SAME call works
+    * on a STREAMING left side — this is the streaming face of the asof
+    * family (j2) for dimension enrichment: at 100 TB/day of events and a
+    * bounded dimension (service catalog, deploy history), the probe is a
+    * narrow map over the stream. The right side is require-bounded at
+    * `maxRightRows` plan-resident rows; a bigger right side belongs in the
+    * single-exchange [[asof]] (batch) or a stateful stream-stream join.
+    *
+    * Same uniqueness contract as [[asof]]: one right row per (key, time)
+    * ([[latestPerKeyTime]]) — enforced loudly here because the collected
+    * histories would otherwise carry sort-order luck into every probe. */
+  def asofBroadcast(left: DataFrame, right: DataFrame,
+                    keyL: String, keyR: String, timeL: String, timeR: String,
+                    payload: Seq[String], maxRightRows: Int = 10000): DataFrame = {
+    require(payload.nonEmpty, "asofBroadcast needs at least one payload column")
+    require(!payload.contains("__vt"), "payload name __vt is reserved")
+    val dup = payload.toSet & left.columns.toSet
+    require(dup.isEmpty, s"payload names collide with left columns: $dup")
+    val rows = right.select(col(keyR) +: col(timeR) +: payload.map(col): _*)
+      .limit(maxRightRows + 1).collect()
+    require(rows.length <= maxRightRows,
+      s"asofBroadcast: right side exceeds $maxRightRows rows — the version " +
+        "histories ride in the plan; use asof() (single-exchange) for big right sides")
+    require(rows.nonEmpty, "asofBroadcast: right side is empty")
+    val dupKT = rows.groupBy(r => (r.get(0), r.get(1))).filter(_._2.length > 1).keys
+    require(dupKT.isEmpty,
+      s"asofBroadcast: duplicate (key, time) right rows at ${dupKT.take(3).mkString(", ")} — " +
+        "pre-dedupe with latestPerKeyTime")
+    val ord = new Ordering[Any] {
+      def compare(a: Any, b: Any): Int = (a, b) match {
+        case (x: java.lang.Comparable[_], y) =>
+          x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y)
+        case _ => 0
+      }
+    }
+    val entries = rows.groupBy(_.get(0)).toSeq.map { case (k, vs) =>
+      val arr = array(vs.sortBy(_.get(1))(ord).toSeq.map { r =>
+        struct(lit(r.get(1)).as("__vt") +:
+          payload.zipWithIndex.map { case (p, i) => lit(r.get(2 + i)).as(p) }: _*)
+      }: _*)
+      lit(k) -> arr
+    }
+    val histMap = map(entries.flatMap { case (k, v) => Seq(k, v) }: _*)
+    val visible = filter(try_element_at(histMap, col(keyL)),
+      v => v.getField("__vt") <= col(timeL))
+    val matched = try_element_at(visible, lit(-1))
+    payload.foldLeft(left) { case (df, p) =>
+      df.withColumn(p, matched.getField(p))
+    }
+  }
+
   def asof(left: DataFrame, right: DataFrame,
            keyL: String, keyR: String, timeL: String, timeR: String,
            payload: Seq[String]): DataFrame = {

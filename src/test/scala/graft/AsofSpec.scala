@@ -126,6 +126,72 @@ class AsofSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("asofBroadcast equals the single-exchange asof and plans zero exchanges/windows") {
+    val left = Seq((1L, 5L), (1L, 10L), (1L, 19L), (1L, 20L), (1L, 99L),
+      (2L, 14L), (2L, 16L), (3L, 50L)).toDF("k", "t")
+      .withColumn("eid", col("k") * 1000 + col("t"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("eid", "v", "tag").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    val bc = AsofJoin.asofBroadcast(left, right(), "k", "k", "t", "t", Seq("v", "tag"))
+    assert(canon(bc) == canon(
+      AsofJoin.asof(left, right(), "k", "k", "t", "t", Seq("v", "tag"))))
+    // the entire point: a narrow plan — no shuffle, no window sort
+    val plan = bc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Window"),
+      s"broadcast asof must stay exchange-free:\n$plan")
+  }
+
+  test("asofBroadcast matches brute force on seeded random data") {
+    val rnd = new scala.util.Random(43)
+    val leftRows = Seq.tabulate(200)(i => (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, i.toLong))
+    val rightRows = rnd.shuffle((for (k <- 0L to 4L; t <- 0L until 100L) yield (k, t)).toSeq)
+      .take(60).map { case (k, t) => (k, t, k * 1000 + t) }
+    val got = AsofJoin.asofBroadcast(leftRows.toDF("k", "t", "eid"),
+        rightRows.toDF("k", "t", "v"), "k", "k", "t", "t", Seq("v"))
+      .collect().map(r => r.getLong(2) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    val expect = leftRows.map { case (k, t, eid) =>
+      eid -> rightRows.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+    }.toMap
+    assert(got == expect)
+  }
+
+  test("asofBroadcast enriches a STREAM: streamed rows match the batch answer") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof-stream").toString
+    val left = Seq((1L, 5L), (1L, 10L), (1L, 20L), (2L, 16L), (3L, 50L))
+      .toDF("k", "t").withColumn("eid", col("k") * 1000 + col("t"))
+    left.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(left.schema).parquet(dir)
+    // the SAME call that serves batch — stateless, so append mode just works
+    val enriched = AsofJoin.asofBroadcast(stream, right(), "k", "k", "t", "t", Seq("v", "tag"))
+    val query = enriched.writeStream.format("memory").queryName("asof_bc_out")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("eid", "v", "tag").collect()
+          .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+      val batch = canon(AsofJoin.asof(left, right(), "k", "k", "t", "t", Seq("v", "tag")))
+      assert(canon(spark.table("asof_bc_out")) == batch)
+      assert(batch.nonEmpty)
+    } finally query.stop()
+  }
+
+  test("asofBroadcast rejects ambiguous or oversized right sides loudly") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val dupRight = Seq((1L, 10L, 1L, "a"), (1L, 10L, 2L, "b")).toDF("k", "t", "v", "tag")
+    assert(intercept[IllegalArgumentException](
+      AsofJoin.asofBroadcast(left, dupRight, "k", "k", "t", "t", Seq("v", "tag")))
+      .getMessage.contains("latestPerKeyTime"))
+    assert(intercept[IllegalArgumentException](
+      AsofJoin.asofBroadcast(left, right(), "k", "k", "t", "t", Seq("v"), maxRightRows = 2))
+      .getMessage.contains("exceeds 2 rows"))
+    assert(intercept[IllegalArgumentException](
+      AsofJoin.asofBroadcast(left, right().filter(col("k") === 99), "k", "k", "t", "t", Seq("v")))
+      .getMessage.contains("empty"))
+  }
+
   test("latestPerKeyTime keeps exactly the max-tie version per (key, time)") {
     val dup = Seq((1L, 10L, 7L, "x"), (1L, 10L, 9L, "y"), (1L, 11L, 1L, "z"))
       .toDF("k", "t", "ver", "tag")
