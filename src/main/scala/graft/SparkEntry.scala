@@ -442,6 +442,36 @@ object SparkEntry {
         sum(col("n_tokens")).as("sum_tokens"))
   }
 
+  /** c3: ingest-then-compact round trip — fragment a store copy with four
+    * interleaved appends (the micro-batch pattern that breeds small
+    * files), run [[graft.sources.EventStore.compact]], and prove content
+    * preservation by aggregating the COMPACTED store against the original
+    * table's oracle. The require fails the query loudly if compaction
+    * didn't actually reduce any partition's file count — so the oracle
+    * row only goes green when the maintenance op both rewrote files AND
+    * preserved every row. */
+  private def c3Compact(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/graft-compact/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.sources.EventStore.reset(s, path)
+    // first 6 days only: enough partitions to prove the mechanics without
+    // turning the fixture into 30 per-partition rewrite jobs
+    val ev = Tables.events(s, dir)
+      .filter(dayofmonth(col("ts")) <= 6)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    // repartition(4) fragments every date dir into 4 files in ONE write —
+    // the same layout 4 micro-batch appends produce (that path is
+    // spec-pinned in StoreStreamSpec) at a quarter of the job count
+    graft.sources.EventStore.append(ev.repartition(4), path)
+    val stats = graft.sources.EventStore.compact(s, path)
+    require(stats.nonEmpty && stats.forall(p => p.filesAfter < p.filesBefore),
+      s"compact must reduce file counts, got: $stats")
+    graft.sources.EventStore.read(s, path)
+      .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 3).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** j2: as-of join — each event enriched with the user's most recent
     * order at-or-before the event (the time-series point-in-time lookup).
     * Orders are deduped to one version per (custkey, second) first, so the
@@ -1186,6 +1216,7 @@ object SparkEntry {
     "m5_bmp_resize" -> (m5BmpResize _),
     "c1_curate" -> (c1Curate _),
     "c2_shards" -> (c2Shards _),
+    "c3_compact" -> (c3Compact _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1886,6 +1917,13 @@ object SparkEntry {
          |FROM f JOIN k USING (doc_id)
          |GROUP BY source""".stripMargin
     },
+    "c3_compact" ->
+      // content preservation: the compacted store must aggregate exactly
+      // like the ORIGINAL events table (session tz is UTC on both sides)
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*)::BIGINT AS n,
+        | round(sum(value), 3) AS sum_value,
+        | count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events WHERE date_part('day', ts) <= 6 GROUP BY 1""".stripMargin,
     "c2_shards" -> {
       val en = graft.functions.TextFunctions.langStopwords.head._2
         .map(w => s"'$w'").mkString(",")

@@ -52,6 +52,70 @@ object EventStore {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Per-partition outcome of [[compact]]. */
+  final case class PartitionCompaction(partition: String, filesBefore: Int,
+                                       bytes: Long, filesAfter: Int)
+
+  /** Compact the small files that per-batch and streaming appends
+    * accumulate — the maintenance job every 100 TB ingest path needs:
+    * thousands of KB-scale files per partition collapse scan throughput
+    * (per-file open cost, tiny row groups that defeat min/max pruning)
+    * and every appended micro-batch makes it worse.
+    *
+    * Shape: a driver-side metadata pass sizes each partition
+    * (ceil(bytes/targetBytes) output files); partitions already at or
+    * under that count are untouched. Each affected partition is rewritten
+    * by its own narrow job — `read partition → coalesce(nOut) → write
+    * staging` (no shuffle; the partition column lives in the directory
+    * name, so bytes round-trip unchanged) — and swapped in with two
+    * renames, so a crash leaves the old or the new directory, never a
+    * mix. Jobs run `parallelism`-wide from the driver (the Delta
+    * OPTIMIZE file-group pattern): partitions are independent, so the
+    * scheduler overlaps them; readers keep working throughout — they see
+    * each partition's old or new files atomically per rename. */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024,
+              parallelism: Int = 8): Seq[PartitionCompaction] = {
+    require(targetBytes > 0 && parallelism > 0,
+      s"compact: need targetBytes > 0 and parallelism > 0, got $targetBytes/$parallelism")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val affected = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .flatMap { p =>
+        val files = fs.listStatus(p.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+            && !f.getPath.getName.startsWith("."))
+        val bytes = files.map(_.getLen).sum
+        val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        if (files.length <= nOut) None
+        else Some((p.getPath, files.length, bytes, nOut))
+      }
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, math.max(1, affected.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val done = Future.sequence(affected.map { case (part, nBefore, bytes, nOut) =>
+        Future {
+          val staged = new org.apache.hadoop.fs.Path(
+            part.getParent, "." + part.getName + ".compact-staging")
+          val old = new org.apache.hadoop.fs.Path(
+            part.getParent, "." + part.getName + ".compact-old")
+          fs.delete(staged, true); fs.delete(old, true)
+          spark.read.parquet(part.toString).coalesce(nOut)
+            .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+          require(fs.rename(part, old) && fs.rename(staged, part),
+            s"compact: swap failed for $part — old data left in place")
+          fs.delete(old, true)
+          PartitionCompaction(part.getName, nBefore, bytes, nOut)
+        }
+      })
+      Await.result(done, Duration.Inf).sortBy(_.partition)
+    } finally pool.shutdown()
+  }
+
   /** S2: reset the store (init/flushall) — recursive delete of the table
     * path through the Hadoop FS abstraction (works on local FS and object
     * stores alike). */

@@ -30,6 +30,41 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(!new java.io.File(dir).exists())
   }
 
+  test("compact collapses fragmented partitions to sized file counts and preserves bytes") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/events"
+    val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "value")
+    // 5 micro-batch appends → ≥5 files per date partition
+    (0 until 5).foreach { i =>
+      EventStore.append(src.filter(pmod(col("event_id"), lit(5)) === i), dir)
+    }
+    def filesPerPartition(): Map[String, Int] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(f => f.isDirectory && f.getName.contains("=")).map { p =>
+        p.getName -> p.listFiles().count(f =>
+          f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      }.toMap
+    }
+    val before = filesPerPartition()
+    assert(before.nonEmpty && before.values.forall(_ >= 5))
+    val beforeRows = EventStore.read(spark, dir).collect().toSet
+    val stats = EventStore.compact(spark, dir)
+    // tiny partitions → exactly ONE file each; stats report the rewrite
+    val after = filesPerPartition()
+    assert(after.keySet == before.keySet, "no partition may appear or vanish")
+    assert(after.values.forall(_ == 1), s"expected 1 file/partition, got $after")
+    assert(stats.map(_.partition).toSet == before.keySet)
+    assert(stats.forall(p => p.filesAfter == 1 && p.filesBefore >= 5))
+    // content identical, row for row (partition column included)
+    assert(EventStore.read(spark, dir).collect().toSet == beforeRows)
+    // idempotent: a second pass finds nothing to do
+    assert(EventStore.compact(spark, dir).isEmpty)
+    // no staging/old debris survives the swap
+    val debris = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.contains("compact-"))
+    assert(debris.isEmpty, s"staging debris left behind: ${debris.mkString(",")}")
+  }
+
   test("bucketed table: self-join and aggregation on the bucket key skip the shuffle") {
     val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
       .select("event_id", "ts", "user_id", "value") // ns-mirror col not needed here
