@@ -504,11 +504,28 @@ object ZxSql {
     * unbounded source), asof/trailing joins (use foreachBatch), heatmap
     * (needs data-adaptive bounds over the full range). */
   def runStream(stream: DataFrame, sql: String, watermark: String = "10 minutes",
-                tsCol: String = Compiler.DefaultTsCol): DataFrame = {
+                tsCol: String = Compiler.DefaultTsCol,
+                tables: Map[String, DataFrame] = Map.empty): DataFrame = {
     import graft.streaming.{EventStream, GapWindowStream}
     val q = parse(sql)
-    if (q.asofJoin.nonEmpty)
-      throw ParseError("asof/trailing joins are batch-only on streams — join per micro-batch via foreachBatch")
+    q.asofJoin.foreach { js =>
+      // asof enrichment streams via the broadcast formulation: the deduped
+      // version history rides in the plan (AsofJoin.asofBroadcast), so the
+      // probe is stateless and append-mode just works. Trailing joins
+      // aggregate over a time range — that needs state; batch per
+      // micro-batch via foreachBatch instead.
+      if (js.trailingSec.nonEmpty)
+        throw ParseError("trailing joins are batch-only on streams — aggregate per micro-batch via foreachBatch")
+      if (q.groupBy.nonEmpty || q.orderBy.nonEmpty || q.limit.nonEmpty)
+        throw ParseError("asof join queries do not take group by / order by / limit")
+      val right = tables.getOrElse(js.table, throw ParseError(
+        s"unknown join table '${js.table}' — pass it via runStream(..., tables = Map(...))"))
+      val latest = graft.operators.AsofJoin.latestPerKeyTime(
+        right, js.keyR, js.timeR, js.payload.head)
+      return graft.operators.AsofJoin.asofBroadcast(
+        EventStream.rawStream(stream, q.copy(asofJoin = None, limit = None), tsCol),
+        latest, js.keyL, js.keyR, js.timeL, js.timeR, js.payload)
+    }
     if (q.orderBy.nonEmpty)
       throw ParseError("order by has no streaming meaning (no total order on an unbounded source)")
     if (q.limit.nonEmpty)

@@ -708,6 +708,48 @@ class StoreStreamSpec extends AnyFunSuite {
     intercept[ParseError](ZxSql.runStream(stream(), "select heatmap(foo)"))
   }
 
+  test("SQL runStream routes asof join onto the broadcast formulation, matching batch") {
+    import graft.sql.ZxSql
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sqlasof").toString
+    val base = 1704067200L
+    val rows = Seq(
+      (1L, base + 0L, "100", "7", "1", "t1"), (2L, base + 1L, "200", "1", null, "t1,t2"),
+      (3L, base + 2L, "300", "3", null, "t3"), (4L, base + 3L, "400", "2", "9", "t2"),
+      (8L, base + 7L, "800", "9", null, null), (10L, base + 9L, "1000", "0", "9", null))
+    val data = rows.map { case (id, sec, foo, x, y, tag) =>
+      org.apache.spark.sql.Row(id,
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)), foo, x, y, tag)
+    }
+    val batchDf = spark.createDataFrame(spark.sparkContext.parallelize(data, 2), schema)
+    batchDf.write.mode("append").parquet(dir)
+    // x="1" has a version from id 1 (matches id 2), x="9" only from id 9
+    // (row id 8 predates it → null), every other key is unknown → null
+    val dim = Seq(("1", 1L, "v1"), ("9", 9L, "v9")).toDF("dkey", "dt", "ver")
+    val sql = "select id, foo, x asof join dim on x = dkey at id >= dt carry ver"
+    val out = ZxSql.runStream(spark.readStream.schema(schema).parquet(dir), sql,
+      tables = Map("dim" -> dim))
+    val query = out.writeStream.format("memory").queryName("sqlasof_out")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("id", "foo", "x", "ver").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2), Option(r.getString(3)))).toSet
+      val streamed = canon(spark.table("sqlasof_out"))
+      val batch = canon(ZxSql.run(batchDf, sql, tables = Map("dim" -> dim)))
+      assert(streamed == batch && streamed.nonEmpty)
+      assert(streamed.exists(_._4.contains("v1")) && streamed.exists(_._4.isEmpty))
+    } finally query.stop()
+    // trailing joins still need state — rejected with guidance
+    import graft.sql.ZxSql.ParseError
+    val e = intercept[ParseError](ZxSql.runStream(
+      spark.readStream.schema(schema).parquet(dir),
+      "select id, x trailing join dim on x = dkey at id >= dt within 60 agg count(ver)",
+      tables = Map("dim" -> dim)))
+    assert(e.getMessage.contains("foreachBatch"))
+  }
+
   test("streaming multi-col group keys with spaces round-trip losslessly (NUL separator)") {
     import graft.sql.ZxSql
     val dir = Files.createTempDirectory("graft-nulkey").toString
