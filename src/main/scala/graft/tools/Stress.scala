@@ -59,6 +59,45 @@ object Stress {
     time("d3_simhash_10x") {
       graft.operators.Dedup.simhashPairs(rep(10), maxHamming = 1).count()
     }
+    // IVF-PQ at 10× embeddings (fresh ids; seeds stay ids 0..15): train +
+    // encode + partitioned index write, then the probe alone — the probe
+    // should stay milliseconds-flat (it reads nProbe/nlist partitions and
+    // ADC is per-row constant work), while build scales linearly
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val emb10 = (0 until 10)
+      .map(i => emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * 100000000L)))
+      .reduce(_ union _)
+    val pqPath = "target/graft-stress-ivfpq"
+    var cents: Seq[(Int, Seq[Double])] = null
+    var books: Seq[Seq[(Int, Seq[Double])]] = null
+    time("s9_ivfpq_build_10x") {
+      cents = graft.operators.Similarity.ivfTrain(emb10, nlist = 16, iters = 2)
+      books = graft.operators.Similarity.ivfPqTrain(emb10, cents, m = 16, ksub = 16)
+      graft.operators.Similarity.ivfPqWriteIndex(emb10, cents, books, pqPath)
+      spark.read.parquet(pqPath).count()
+    }
+    time("s9_ivfpq_probe_10x") {
+      val q = emb.filter(col("vec_id") === 0L)
+        .select(graft.functions.VectorFunctions.toDouble(col("embedding")))
+        .head().getSeq[Double](0).toIndexedSeq
+      graft.operators.Similarity.ivfPqProbe(spark, pqPath, cents, books, q, k = 10).count()
+    }
+    // compaction at 10× events fragmented 8 ways: the driver metadata pass
+    // + parallel per-partition rewrites; watch for linear scaling in bytes,
+    // flat in partition count
+    val evPath = "target/graft-stress-compact"
+    graft.sources.EventStore.reset(spark, evPath)
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val ev10 = (0 until 10)
+      .map(i => ev.withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L)))
+      .reduce(_ union _)
+    time("c3_compact_10x") {
+      graft.sources.EventStore.append(ev10.repartition(8), evPath)
+      val stats = graft.sources.EventStore.compact(spark, evPath)
+      require(stats.nonEmpty && stats.forall(p => p.filesAfter < p.filesBefore))
+      graft.sources.EventStore.read(spark, evPath).count()
+    }
     spark.stop()
   }
 }
