@@ -42,6 +42,30 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("o2_topk_limit").contains("TakeOrderedAndProject"))
   }
 
+  test("PQ ADC scan is join-free: codes + LUT sum compile to one TakeOrderedAndProject pipeline") {
+    val p = plan("s8_pq_knn")
+    // encode + ADC are narrow row-local expressions; the only plan-level
+    // structure is the shortlist/re-rank TakeOrdered pair — training's
+    // groupBy jobs already ran at plan-build time and don't appear here
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
+    assert(!p.contains("Join"), s"ADC must not join codebooks:\n$p")
+    assert(!p.contains("Exchange"), s"ADC scan must not shuffle:\n$p")
+  }
+
+  test("IVF-PQ probe prunes cell partitions and stays exchange-free") {
+    val p = plan("s9_ivfpq_knn")
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"probe must prune at planning time:\n$p")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"probe must be a pruned scan + narrow ADC + TakeOrdered:\n$p")
+  }
+
+  test("broadcast asof probe is exchange- and window-free") {
+    val p = plan("j4_asof_broadcast")
+    assert(!p.contains("Exchange") && !p.contains("Window") && !p.contains("Join"),
+      s"broadcast asof must be a narrow map:\n$p")
+  }
+
   test("dimension joins broadcast (no shuffle on the dim side)") {
     val p = plan("j1_revenue_nation")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
