@@ -426,6 +426,27 @@ object Similarity {
       .drop("__res")
       .write.partitionBy("cell").mode("overwrite").parquet(path)
 
+  /** Maintain the IVF-PQ index from an unbounded embedding feed:
+    * assignment, residual, and PQ encoding are all row-local expressions,
+    * so they ride the stream unchanged and the sink appends into `cell=N/`
+    * partitions exactly-once (checkpointed). [[ivfPqProbe]] reads the
+    * growing directory unchanged — still pruning to nProbe/nlist of
+    * storage at planning time. Returns the unstarted writer: callers pick
+    * the trigger and `.start()`. */
+  def ivfPqIngest(emb: DataFrame, cents: Seq[(Int, Seq[Double])],
+                  books: Seq[Seq[(Int, Seq[Double])]], path: String,
+                  checkpoint: String, vecCol: String = "embedding") =
+    pqEncode(assignCells(emb, cents, vecCol)
+        .withColumn("__res", residualExpr(cents, vecCol)),
+        books, vecCol = "__res")
+      .drop("__res")
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("cell")
+      .outputMode("append")
+
   /** Probe the IVF-PQ index: rank nProbe cells driver-side, scan ONLY
     * those partitions (planning-time pruning), ADC-score each with its
     * own query-residual lookup tables (q − centroid[cell] — the residual

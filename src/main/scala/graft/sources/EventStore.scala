@@ -80,6 +80,15 @@ object EventStore {
       s"compact: need targetBytes > 0 and parallelism > 0, got $targetBytes/$parallelism")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a streaming parquet sink's _spark_metadata log is the source of truth
+    // for batch readers of that directory — renaming its files would leave
+    // the log pointing at deleted paths and silently corrupt every read.
+    // (This composition gap is why table formats with transaction logs
+    // exist; for a plain-parquet streaming index, stop the stream and
+    // rewrite WITHOUT the log, or re-ingest.)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_spark_metadata")),
+      s"compact: $path is a streaming-sink output (_spark_metadata present) — " +
+        "compacting under the metadata log would desync batch readers")
     val affected = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
       .flatMap { p =>

@@ -186,6 +186,23 @@ class ApproxSpec extends AnyFunSuite {
       s"IVF-PQ recall ${(got.toSet & exact).size} fell behind IVF ${(ivf & exact).size}")
   }
 
+  test("PQ with a full-corpus shortlist is EXACT on random vectors (re-rank subsumes ADC error)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 300
+    val vecs = Seq.tabulate(n)(i => (i.toLong, "l" + i % 3,
+      Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val emb = vecs.toDF("vec_id", "label", "embedding")
+    // iters=2 exercises the one-pass trainer's multi-iteration loop
+    val books = Similarity.pqTrain(emb, m = 4, ksub = 16, iters = 2)
+    val exact = Similarity.bruteForceKnn(emb, 7L, 25)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val got = Similarity.pqKnn(emb, books, 7L, k = 25, shortlist = n)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == exact,
+      "shortlist=corpus makes ADC ordering irrelevant; any mismatch is a re-rank bug")
+  }
+
   test("PQ misconfigurations fail loudly before any job") {
     val emb = Tables.embeddings(spark, dir)
     assert(intercept[IllegalArgumentException](

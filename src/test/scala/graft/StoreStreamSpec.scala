@@ -1036,6 +1036,44 @@ class StoreStreamSpec extends AnyFunSuite {
       Seq(0L, 2L, 1L))
   }
 
+  test("ivfPqIngest streams cell+codes; compact refuses the metadata-logged index") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.types._
+    val src = Files.createTempDirectory("graft-ivfpqsrc").toString
+    val idx = Files.createTempDirectory("graft-ivfpqidx").toString + "/index"
+    val ckp = Files.createTempDirectory("graft-ivfpqckp").toString
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType))))
+    def write(rows: Seq[(Long, Seq[Float])]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        rows.map { case (id, v) => org.apache.spark.sql.Row(id, v) }, 1), embSchema)
+        .write.mode("append").parquet(src)
+    val cents = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))
+    // one subspace of the full dim: codebook == residual-space anchors
+    val books = Seq(Seq(0 -> Seq(0.0, 0.0), 1 -> Seq(-0.5, 0.5)))
+    write(Seq(0L -> Seq(1f, 0f), 1L -> Seq(0.9f, 0.1f)))
+    val query = Similarity.ivfPqIngest(
+      spark.readStream.schema(embSchema).parquet(src), cents, books, idx, ckp).start()
+    try {
+      query.processAllAvailable()
+      write(Seq(2L -> Seq(0.95f, 0.05f), 3L -> Seq(0f, 1f)))
+      query.processAllAvailable()
+    } finally query.stop()
+    // the streamed index carries the compressed layout across both batches
+    val idxDf = spark.read.parquet(idx)
+    assert(idxDf.columns.toSet == Set("vec_id", "embedding", "cell", "codes"))
+    assert(idxDf.count() == 4)
+    val probed = Similarity.ivfPqProbe(spark, idx, cents, books,
+      queryVec = Seq(1.0, 0.0), k = 3, nProbe = 1)
+    assert(probed.select("vec_id").collect().map(_.getLong(0)).toSeq ==
+      Seq(0L, 2L, 1L), "probe must rank both micro-batches' rows by exact cosine")
+    // compaction under a _spark_metadata log would desync batch readers —
+    // the guard must fire instead of silently corrupting the index
+    val e = intercept[IllegalArgumentException](EventStore.compact(spark, idx))
+    assert(e.getMessage.contains("_spark_metadata"))
+  }
+
   test("ingest-time decontamination matches the batch report doc-for-doc") {
     import graft.operators.Decontaminate
     import org.apache.spark.sql.types._
