@@ -185,6 +185,26 @@ object SparkEntry {
       .withColumn("mean_value", stableMean("sum_value", "count_value"))
   }
 
+  /** g3: the OPEN-SCHEMA encoding from SURVEY §1.5(b) — the reference's
+    * truly schemaless face: `props` parsed as map<string,string> (columns
+    * spring into existence per row, no DDL), a dynamic key accessed by
+    * name, its value numeric-parsed lazily AT OPERATOR TIME (the
+    * reference's parse-on-demand, lib.rs:566-572), and a key absent from
+    * every row grouping under the `__nil` sentinel exactly like sparse
+    * reference rows (lib.rs:547-551). The map parse is a narrow codegen'd
+    * projection; everything after is the ordinary one-exchange agg. */
+  private def g3OpenSchema(s: SparkSession, dir: String): DataFrame = {
+    val m = from_json(col("props"), MapType(StringType, StringType))
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        coalesce(try_element_at(m, lit("region")), lit("__nil")).as("region"),
+        try_element_at(m, lit("k")).cast(DoubleType).as("__k"))
+      .groupBy(col("event_type"), col("region"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__k")), 3).as("sum_k"),
+        round(avg(col("__k")), 6).as("mean_k"))
+  }
+
   // ------------------------------------------------------- A7/A8: timeseries
 
   /** A7 heatmap — 2-D time×value histogram (declared lib.rs:133-143). */
@@ -1153,6 +1173,7 @@ object SparkEntry {
     "f2_bool" -> (f2Bool _),
     "g1_group_nil" -> (g1GroupNil _),
     "g2_salted_agg" -> (g2SaltedAgg _),
+    "g3_open_schema" -> (g3OpenSchema _),
     "a1_weighted" -> (a1Weighted _),
     "a2_extremes" -> (a2Extremes _),
     "a5_count_distinct_nil" -> (a5CountDistinctNil _),
@@ -1256,6 +1277,16 @@ object SparkEntry {
         | round(round(sum(coalesce(value, 0)), 3)
         |   / round(CAST(count(value) AS DOUBLE), 3), 6) AS mean_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "g3_open_schema" ->
+      // json_extract_string mirrors the map<string,string> parse: scalars
+      // stringify, missing keys are NULL → '__nil'; k is integral so the
+      // double sums are exact on both engines before the shared rounding
+      """SELECT event_type,
+        | coalesce(json_extract_string(props, '$.region'), '__nil') AS region,
+        | count(*)::BIGINT AS n,
+        | round(sum(json_extract_string(props, '$.k')::DOUBLE), 3) AS sum_k,
+        | round(avg(json_extract_string(props, '$.k')::DOUBLE), 6) AS mean_k
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "a1_weighted" ->
       // weight mirrors Aggregates.weight exactly: coalesce(TRY_CAST(...), 1.0)
       // — a props row without digits must default to 1.0 on BOTH sides
