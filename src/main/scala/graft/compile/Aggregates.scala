@@ -46,7 +46,7 @@ object Aggregates {
   def numeric(column: String, schema: StructType): Column =
     if (column == "*") lit(1.0)
     else {
-      val c = col(column)
+      val c = Compiler.colRef(column)
       schema.fields.find(_.name == column).map(_.dataType) match {
         case Some(_: NumericType) => c.cast(DoubleType)
         case _                    => c.try_cast(DoubleType)
@@ -58,19 +58,19 @@ object Aggregates {
     val w = weight(schema)
     val v = numeric(sel.column, schema)
     // count(*) counts every row (weighted); a named column counts presence
-    val present = if (sel.column == "*") lit(true) else col(sel.column).isNotNull
+    val present = if (sel.column == "*") lit(true) else Compiler.colRef(sel.column).isNotNull
     val agg: Column = sel.agg match {
       case Agg.Sum   => coalesce(sum(w * coalesce(v, lit(0.0))), lit(0.0))
       case Agg.Max   => max(v)
       case Agg.Min   => min(v)
       case Agg.Count => coalesce(sum(when(present, w).otherwise(lit(0.0))), lit(0.0))
       case Agg.CountDistinct =>
-        countDistinct(col(sel.column)) +
+        countDistinct(Compiler.colRef(sel.column)) +
           coalesce(max(when(present, lit(0L)).otherwise(lit(1L))), lit(0L))
       case Agg.ApproxCountDistinct =>
         // HLL sketch with the reference's +1-nil convention (lib.rs:626-635)
         // preserved, so approx→exact swaps don't shift null handling
-        approx_count_distinct(col(sel.column)) +
+        approx_count_distinct(Compiler.colRef(sel.column)) +
           coalesce(max(when(present, lit(0L)).otherwise(lit(1L))), lit(0L))
       case Agg.Mean =>
         try_divide(sum(when(present, w * v).otherwise(lit(0.0))),
@@ -101,7 +101,7 @@ object Aggregates {
   private def saltPhases(sel: Select, i: Int, schema: StructType): (Seq[Column], Column) = {
     val w = weight(schema)
     val v = numeric(sel.column, schema)
-    val present = col(sel.column).isNotNull
+    val present = Compiler.colRef(sel.column).isNotNull
     val pa = s"__p${i}a"; val pb = s"__p${i}b"
     sel.agg match {
       case Agg.Sum =>

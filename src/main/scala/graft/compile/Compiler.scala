@@ -29,6 +29,12 @@ object Compiler {
 
   val DefaultTsCol = "ts"
 
+  /** Column reference by FLAT name: backtick-quoted so reference-style
+    * dotted column names (`repo.name` — README.md:17; the schemaless store
+    * allows any string as a column) resolve as plain columns rather than
+    * struct-field paths. Identical to `col` for dot-free names. */
+  def colRef(name: String): Column = col("`" + name.replace("`", "") + "`")
+
   /** Scan + time range + conjunctive filter (lib.rs:195-200). The time bound
     * lands directly on the timestamp column so Parquet row-group min/max
     * stats (and directory partition pruning, when the table is date-
@@ -61,7 +67,7 @@ object Compiler {
     * (lib.rs:547-551). Rendered as strings, as the reference does. */
   def groupKeys(q: ZxQuery, schema: StructType): Seq[Column] =
     q.groupBy.map { g =>
-      val c = col(g)
+      val c = colRef(g)
       val s = schema.fields.find(_.name == g).map(_.dataType) match {
         case Some(StringType) | None => c
         case _                       => c.cast(StringType)
@@ -84,7 +90,7 @@ object Compiler {
     * comparators only — an aggregate output is always numeric. */
   private[graft] def havingFilter(df: DataFrame, having: Seq[Having]): DataFrame = {
     val preds = having.map { h =>
-      val c = col(h.select.key)
+      val c = colRef(h.select.key)
       val v = h.value.toDoubleOption.map(lit).getOrElse(throw new IllegalArgumentException(
         s"having ${h.select.key}: numeric literal required, got '${h.value}'"))
       h.cmp match {
@@ -113,8 +119,8 @@ object Compiler {
       q.selects ++ extraSels, df.schema, q.skewSalt)
     val kept = havingFilter(grouped, q.having)
     val pruned = if (extraSels.nonEmpty)
-      kept.select((q.groupBy.map(col) :+ col("w_start")) ++
-        q.selects.map(s => col(s.key)): _*)
+      kept.select((q.groupBy.map(colRef) :+ col("w_start")) ++
+        q.selects.map(s => colRef(s.key)): _*)
     else kept
     pruned.withColumn("w_end", (col("w_start") + q.granularitySec).cast(LongType))
   }
@@ -139,10 +145,10 @@ object Compiler {
     val grouped = Aggregates.groupedAgg(filtered, keys, q.groupBy :+ "__w",
       q.selects ++ extraSels, df.schema, q.skewSalt)
     havingFilter(grouped, q.having)
-      .select((q.groupBy.map(col) ++ Seq(
+      .select((q.groupBy.map(colRef) ++ Seq(
         col("__w.start").cast(LongType).as("w_start"),
         col("__w.end").cast(LongType).as("w_end")) ++
-        q.selects.map(s => col(s.key))): _*)
+        q.selects.map(s => colRef(s.key))): _*)
   }
 
   /** Pipeline A'' — gap-based SESSION windows (extension): Spark's native
@@ -172,10 +178,10 @@ object Compiler {
     val grouped = Aggregates.groupedAgg(filtered, keys, q.groupBy :+ "__sw",
       q.selects ++ extraSels, df.schema, None)
     havingFilter(grouped, q.having)
-      .select((q.groupBy.map(col) ++ Seq(
+      .select((q.groupBy.map(colRef) ++ Seq(
         col("__sw.start").cast(LongType).as("w_start"),
         col("__sw.end").cast(LongType).as("w_end")) ++
-        q.selects.map(s => col(s.key))): _*)
+        q.selects.map(s => colRef(s.key))): _*)
   }
 
   /** Pipeline B — whole-range aggregate + multi-key sort ("top groups",
@@ -195,13 +201,13 @@ object Compiler {
     val grouped = havingFilter(Aggregates.groupedAgg(filtered, keys, q.groupBy,
       q.selects ++ extraSels, df.schema, q.skewSalt), q.having)
     val ordCols = q.orderBy.map { ob =>
-      val c = col(ob.select.key)
+      val c = colRef(ob.select.key)
       ob.dir match { case SortDir.Asc => c.asc; case SortDir.Desc => c.desc }
-    } ++ q.groupBy.map(col(_).asc)
+    } ++ q.groupBy.map(colRef(_).asc)
     val sorted = if (ordCols.nonEmpty) grouped.orderBy(ordCols: _*) else grouped
     val limited = q.limit.map(sorted.limit).getOrElse(sorted)
     if (extraSels.nonEmpty)
-      limited.select((q.groupBy.map(col) ++ q.selects.map(s => col(s.key))): _*)
+      limited.select((q.groupBy.map(colRef) ++ q.selects.map(s => colRef(s.key))): _*)
     else limited
   }
 
@@ -210,7 +216,7 @@ object Compiler {
     * to the select list, so the Parquet scan reads only what is projected. */
   def runRaw(df: DataFrame, q: ZxQuery, tsCol: String = DefaultTsCol): DataFrame = {
     val filtered = scanFilter(df, q, tsCol)
-    val cols = q.selects.map(s => col(s.column))
+    val cols = q.selects.map(s => colRef(s.column))
     val projected = if (cols.nonEmpty) filtered.select(cols: _*) else filtered
     q.limit.map(projected.limit).getOrElse(projected)
   }

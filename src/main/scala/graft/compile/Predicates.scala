@@ -28,7 +28,7 @@ import graft.ir._
 object Predicates {
 
   def compile(cond: Condition, schema: StructType): Column = {
-    val c = col(cond.column)
+    val c = Compiler.colRef(cond.column)
     val fieldType: Option[DataType] =
       schema.fields.find(_.name == cond.column).map(_.dataType)
 

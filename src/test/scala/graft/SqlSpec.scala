@@ -33,6 +33,31 @@ class SqlSpec extends AnyFunSuite {
     assert(ZxSql.parse("select foo where tag not like '%t1%'").conditions.head.cmp == Cmp.NotContains)
   }
 
+  test("reference-style dotted column names run end-to-end (README.md:17)") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    import spark.implicits._
+    // the README's own example shape: `select count(repo.name) group by events`
+    // — in the schemaless store "repo.name" is a FLAT column name, not a
+    // struct path; colRef quoting keeps Spark from treating the dot as one
+    val df = Seq(
+      (1L, "r1", "push"), (2L, "r2", "push"), (3L, "r1", "fork"),
+      (4L, null, "push"))
+      .toDF("id", "repo.name", "events")
+      .withColumn("ts", timestamp_seconds(col("id")))
+    val counted = ZxSql.run(df, "select count(repo.name) group by events")
+      .collect().map(r => r.getString(0) -> r.getAs[Number]("count_repo.name").doubleValue).toMap
+    assert(counted == Map("push" -> 2.0, "fork" -> 1.0),
+      "count must skip the null repo.name row, like the reference's presence count")
+    // dotted names in WHERE and raw projection too
+    val raw = ZxSql.run(df, "select id, repo.name where repo.name = r1")
+      .collect().map(_.getLong(0)).toSet
+    assert(raw == Set(1L, 3L))
+    // and as a group key, with the missing value taking the __nil sentinel
+    val grouped = ZxSql.run(df, "select count(id) group by repo.name")
+      .collect().map(r => r.getString(0) -> r.getAs[Number]("count_id").doubleValue).toMap
+    assert(grouped == Map("r1" -> 2.0, "r2" -> 1.0, "__nil" -> 1.0))
+  }
+
   test("lowercases input like the reference (lib.rs:818-820)") {
     val q = ZxSql.parse("SELECT SUM(FOO) GROUP BY Y")
     assert(q.selects == Seq(Select(Agg.Sum, "foo")) && q.groupBy == Seq("y"))
