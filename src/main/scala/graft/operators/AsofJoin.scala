@@ -129,6 +129,10 @@ object AsofJoin {
     require(dupKT.isEmpty,
       s"asofBroadcast: duplicate (key, time) right rows at ${dupKT.take(3).mkString(", ")} — " +
         "pre-dedupe with latestPerKeyTime")
+    // SQL equality semantics: a null key matches nothing (DuckDB's ASOF JOIN
+    // agrees) — and a null map-literal key would throw at runtime anyway
+    val keyed = rows.filter(!_.isNullAt(0))
+    require(keyed.nonEmpty, "asofBroadcast: every right row has a null key")
     val ord = new Ordering[Any] {
       def compare(a: Any, b: Any): Int = (a, b) match {
         case (x: java.lang.Comparable[_], y) =>
@@ -136,7 +140,7 @@ object AsofJoin {
         case _ => 0
       }
     }
-    val entries = rows.groupBy(_.get(0)).toSeq.map { case (k, vs) =>
+    val entries = keyed.groupBy(_.get(0)).toSeq.map { case (k, vs) =>
       val arr = array(vs.sortBy(_.get(1))(ord).toSeq.map { r =>
         struct(lit(r.get(1)).as("__vt") +:
           payload.zipWithIndex.map { case (p, i) => lit(r.get(2 + i)).as(p) }: _*)

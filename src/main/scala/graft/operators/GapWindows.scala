@@ -57,7 +57,7 @@ object GapWindows {
     // ordering id, sample rate, then each aggregate input twice — numeric
     // view (parse-on-demand) and string view (count_distinct groups string
     // values, lib.rs:626-635).
-    val idOrder = idCol.map(col).getOrElse(monotonically_increasing_id())
+    val idOrder = idCol.map(graft.compile.Compiler.colRef).getOrElse(monotonically_increasing_id())
     val proj = filtered.select(
       keys ++
         Seq(col(tsCol).cast(LongType).as("__ts_sec"), idOrder.as("__row_id"),
@@ -65,7 +65,7 @@ object GapWindows {
            else lit(1.0)).as("__sr")) ++
         aggCols.map(c => graft.compile.Aggregates.numeric(c, df.schema).as(s"__num_$c")) ++
         aggCols.map(c => (if (c == "*") lit("1") // count(*): every row present
-                          else col(c).cast(StringType)).as(s"__str_$c")): _*)
+                          else graft.compile.Compiler.colRef(c).cast(StringType)).as(s"__str_$c")): _*)
 
     val nKeys = q.groupBy.size
     val keyIdx = 0 until nKeys

@@ -71,8 +71,11 @@ object EventStore {
     * renames, so a crash leaves the old or the new directory, never a
     * mix. Jobs run `parallelism`-wide from the driver (the Delta
     * OPTIMIZE file-group pattern): partitions are independent, so the
-    * scheduler overlaps them; readers keep working throughout — they see
-    * each partition's old or new files atomically per rename. */
+    * scheduler overlaps them. A reader that LISTS during the two-rename
+    * window can momentarily miss the swapping partition — single-writer
+    * maintenance windows are the operating assumption here; fully
+    * concurrent swaps need a manifest/table format (that's the problem
+    * transaction logs solve, see the `_spark_metadata` guard below). */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024,
               parallelism: Int = 8): Seq[PartitionCompaction] = {

@@ -27,7 +27,7 @@ object JsonResult {
   def toReferenceJson(windowed: DataFrame, groupCols: Seq[String],
                       selects: Seq[graft.ir.Select]): String = {
     val rows = windowed
-      .orderBy((groupCols.map(col) :+ col("w_start")): _*)
+      .orderBy((groupCols.map(graft.compile.Compiler.colRef) :+ col("w_start")): _*)
       .collect()
     val grouped = rows.groupBy(r =>
       groupCols.map(g => g -> Option(r.getAs[Any](g)).map(_.toString)).toMap)

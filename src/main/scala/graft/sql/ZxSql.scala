@@ -477,7 +477,7 @@ object ZxSql {
         s"cannot order a bare-column select by aggregate ${ob.select.agg.name}(...)"))
       val base = Compiler.runRaw(df, q.copy(limit = None), tsCol)
       val ord = q.orderBy.map { ob =>
-        val c = org.apache.spark.sql.functions.col(ob.select.column)
+        val c = Compiler.colRef(ob.select.column)
         ob.dir match { case SortDir.Asc => c.asc; case SortDir.Desc => c.desc }
       }
       val sorted = if (ord.nonEmpty) base.orderBy(ord: _*) else base

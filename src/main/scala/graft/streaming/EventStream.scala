@@ -85,10 +85,10 @@ object EventStream {
     val aggs = Aggregates.compileAll(q.selects ++ havingExtras(q), schema)
     val grouped = filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
     Compiler.havingFilter(grouped, q.having)
-      .select((q.groupBy.map(col) :+
+      .select((q.groupBy.map(graft.compile.Compiler.colRef) :+
         col("window.start").cast(LongType).as("w_start") :+
         col("window.end").cast(LongType).as("w_end")) ++
-        q.selects.map(s => col(s.key)): _*)
+        q.selects.map(s => graft.compile.Compiler.colRef(s.key)): _*)
   }
 
   /** Streaming HOPPING windows: like [[windowedAgg]] but each event lands
@@ -107,10 +107,10 @@ object EventStream {
     val aggs = Aggregates.compileAll(q.selects ++ havingExtras(q), schema)
     val grouped = filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
     Compiler.havingFilter(grouped, q.having)
-      .select((q.groupBy.map(col) :+
+      .select((q.groupBy.map(graft.compile.Compiler.colRef) :+
         col("window.start").cast(LongType).as("w_start") :+
         col("window.end").cast(LongType).as("w_end")) ++
-        q.selects.map(s => col(s.key)): _*)
+        q.selects.map(s => graft.compile.Compiler.colRef(s.key)): _*)
   }
 
   /** Streaming SESSION windows: Spark-native `session_window` with
@@ -137,10 +137,10 @@ object EventStream {
     val aggs = Aggregates.compileAll(q.selects ++ havingExtras(q), schema)
     val grouped = filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
     Compiler.havingFilter(grouped, q.having)
-      .select((q.groupBy.map(col) :+
+      .select((q.groupBy.map(graft.compile.Compiler.colRef) :+
         col("__sw.start").cast(LongType).as("w_start") :+
         col("__sw.end").cast(LongType).as("w_end")) ++
-        q.selects.map(s => col(s.key)): _*)
+        q.selects.map(s => graft.compile.Compiler.colRef(s.key)): _*)
   }
 
   /** Streaming Raw projection — the observability `tail -f`: the
@@ -156,7 +156,7 @@ object EventStream {
     require(q.limit.isEmpty,
       "LIMIT is undefined on an unbounded stream; use tailConsole(numRows = ...)")
     val filtered = preFilter(stream, q, tsCol)
-    val cols = q.selects.map(s => col(s.column))
+    val cols = q.selects.map(s => graft.compile.Compiler.colRef(s.column))
     if (cols.nonEmpty) filtered.select(cols: _*) else filtered
   }
 

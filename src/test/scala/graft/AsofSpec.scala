@@ -178,6 +178,14 @@ class AsofSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("asofBroadcast: null right keys are dropped (SQL equality — null matches nothing)") {
+    val left = Seq((1L, 20L)).toDF("k", "t")
+    val r = Seq((Some(1L), 10L, "a"), (None: Option[Long], 5L, "ghost"))
+      .toDF("k", "t", "tag")
+    val got = AsofJoin.asofBroadcast(left, r, "k", "k", "t", "t", Seq("tag")).head()
+    assert(got.getString(2) == "a", "the null-keyed version must never be carried")
+  }
+
   test("asofBroadcast rejects ambiguous or oversized right sides loudly") {
     val left = Seq((1L, 10L)).toDF("k", "t")
     val dupRight = Seq((1L, 10L, 1L, "a"), (1L, 10L, 2L, "b")).toDF("k", "t", "v", "tag")
