@@ -677,6 +677,25 @@ object SparkEntry {
     graft.operators.Corpus.chunkByWindow(Tables.documents(s, dir),
       chunkTokens = 32, stride = 8)
 
+  /** x13: BPE-ish token counting — the budget-planning estimate next to
+    * x3's whitespace counts: per source, both sums (exact integer folds)
+    * and their ratio (pieces per word — the subword expansion factor a
+    * budget planner multiplies by). One codegen'd regexp scan per row; the
+    * pattern is the lookahead-free GPT-2 pre-tokenizer rule, match-count
+    * identical under Java regex and RE2. */
+  private def x13BpeTokens(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    Tables.documents(s, dir)
+      .select(col("source"), bpeTokenCount(col("text")).cast(LongType).as("__bt"),
+        tokenCount(col("text")).cast(LongType).as("__wt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__bt")).as("sum_bpe"),
+        sum(col("__wt")).as("sum_ws"))
+      .withColumn("bpe_per_word",
+        round(col("sum_bpe").cast(DoubleType) / col("sum_ws"), 6))
+  }
+
   // -------------------------------------- training-data pipeline: dedup
 
   private def d1DedupExact(s: SparkSession, dir: String): DataFrame =
@@ -1209,6 +1228,7 @@ object SparkEntry {
     "x10_stratified" -> (x10Stratified _),
     "x11_redact" -> (x11Redact _),
     "x12_chunks" -> (x12Chunks _),
+    "x13_bpe_tokens" -> (x13BpeTokens _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_minhash_sig" -> (d2MinhashSig _),
     "d2b_minhash_pairs" -> (d2bMinhashPairs _),
@@ -1571,6 +1591,21 @@ object SparkEntry {
         |   '\bcustomer\b', '<PII>', 'g'), '\bkey\b', '<PII>', 'g')), 1, 16)
         |   AS redacted_fp
         |FROM documents""".stripMargin,
+    "x13_bpe_tokens" -> {
+      val pat = graft.functions.TextFunctions.BpePattern.replace("'", "''")
+      // leftmost-first alternation counts are engine-identical for this
+      // lookahead-free pattern (probed: Java regex == RE2 on the fixture)
+      s"""WITH t AS (
+         |  SELECT source,
+         |    len(regexp_extract_all(text, '$pat'))::BIGINT AS bt,
+         |    len(string_split(text, ' '))::BIGINT AS wt
+         |  FROM documents
+         |)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(bt)::BIGINT AS sum_bpe, sum(wt)::BIGINT AS sum_ws,
+         |  round(sum(bt)::DOUBLE / sum(wt), 6) AS bpe_per_word
+         |FROM t GROUP BY source""".stripMargin
+    },
     "x12_chunks" ->
       // window k covers tokens [k*8, k*8+32); kmax = ceil((n-32)/8) floored
       // at 0 — list_slice's inclusive 1-based ends mirror slice()'s

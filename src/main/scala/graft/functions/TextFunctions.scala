@@ -24,6 +24,21 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-2-style pre-tokenizer pattern (the public BPE splitting rule):
+    * contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs, then whitespace. Deliberately lookahead-free so the
+    * leftmost-first match count is identical under Java regex (Spark) and
+    * RE2 (DuckDB) — the cross-engine-safe subset of the original rule. */
+  val BpePattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish token-count estimate: how many pre-tokenizer pieces the text
+    * splits into — the budget-planning proxy for real tokenizer counts
+    * (true BPE merges only subdivide these pieces further, so this lower
+    * bound tracks linearly). One codegen'd regexp scan per row. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpePattern))
+
   // ------------------------------------------------------------ language id
 
   /** Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
