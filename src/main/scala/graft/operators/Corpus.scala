@@ -122,4 +122,20 @@ object Corpus {
         array_join(slice(col("__toks"), col("chunk_idx") * stride + 1,
           lit(chunkTokens)), " ").as("chunk_text"))
   }
+
+  /** Deliver a curated corpus as size-bounded JSONL shards — the format
+    * training loaders consume. `maxRecordsPerFile` caps every shard (the
+    * writer splits a task's output across files as it hits the cap), so
+    * shard size is controlled WITHOUT a repartition: the write stays as
+    * parallel as the upstream plan. Downstream loaders shard-shuffle by
+    * file, so per-file bounds matter more than global order. */
+  def writeJsonlShards(df: DataFrame, path: String,
+                       maxRecordsPerFile: Int = 100000): Unit = {
+    require(maxRecordsPerFile > 0,
+      s"writeJsonlShards: maxRecordsPerFile must be positive, got $maxRecordsPerFile")
+    df.write
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .json(path)
+  }
 }

@@ -460,6 +460,9 @@ object Similarity {
                  k: Int, nProbe: Int = 2, shortlist: Int = 100,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(shortlist >= k, s"ivfPqProbe: shortlist $shortlist must be >= k=$k")
+    // the per-cell LUTs ride in the plan: nProbe × Σ|book_j| double slots
+    requireCentroidBudget(nProbe.toLong * books.map(_.size.toLong).sum, 1L,
+      "ivfPqProbe")
     val probe = rankProbes(cents, queryVec, nProbe)
     val byCid = cents.toMap
     val adcByCell = probe.map { c =>

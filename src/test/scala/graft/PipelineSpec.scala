@@ -563,6 +563,26 @@ class PipelineSpec extends AnyFunSuite {
       10L -> 2L, 12L -> 2L, 14L -> 2L, 16L -> 3L, 18L -> 3L))
   }
 
+  test("JSONL shard export: per-file record caps hold and content round-trips") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-jsonl").toString + "/shards"
+    graft.operators.Corpus.writeJsonlShards(docs, path, maxRecordsPerFile = 100)
+    val files = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".json"))
+    assert(files.nonEmpty)
+    // every shard respects the cap, and it actually split (fixture > 100 docs)
+    val counts = files.map(f =>
+      scala.io.Source.fromFile(f).getLines().size)
+    assert(counts.forall(_ <= 100), s"oversized shard: ${counts.mkString(",")}")
+    assert(files.length > 1, "the cap must split output into multiple shards")
+    // loaders read it back row-for-row
+    val back = spark.read.json(path)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      docs.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("stratified sampling: per-stratum rates, deterministic, 0/100 exact") {
     import graft.operators.Corpus
     val df = docsDf((0L until 200L).map(i => (i, s"text $i")): _*) // src0/src1 alternating
