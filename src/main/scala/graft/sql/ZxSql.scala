@@ -531,7 +531,8 @@ object ZxSql {
     if (q.limit.nonEmpty)
       throw ParseError("limit has no streaming meaning — use tailConsole(numRows = ...) for a bounded live view")
     if (q.selects.exists(_.agg == Agg.Heatmap))
-      throw ParseError("heatmap is batch-only (its bounds adapt to the full value range)")
+      throw ParseError("heatmap's adaptive bounds need the full value range — " +
+        "on a stream use EventStream.heatmapAgg with explicit [lo, hi) bounds")
     if (q.selects.forall(_.agg == Agg.Raw)) EventStream.rawStream(stream, q, tsCol)
     else if (q.sessionGapSec.nonEmpty) EventStream.sessionAgg(stream, q, watermark, tsCol)
     else if (q.slideSec.nonEmpty) EventStream.hoppingAgg(stream, q, watermark, tsCol)

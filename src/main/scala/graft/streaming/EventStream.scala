@@ -91,6 +91,35 @@ object EventStream {
         q.selects.map(s => graft.compile.Compiler.colRef(s.key)): _*)
   }
 
+  /** Streaming heatmap (A7) with CALLER-SUPPLIED value bounds: the batch
+    * heatmap's bounds adapt to the full value range — unknowable on an
+    * unbounded stream, which is why `ZxSql.runStream` rejects `heatmap(x)`.
+    * With explicit [lo, hi) the 2-D histogram is an ordinary windowed
+    * aggregation: tumbling event-time window × clamped value bucket, one
+    * shuffle, watermark-bounded state. Same output shape as
+    * [[graft.compile.Compiler.heatmap]] (t_bucket = the window start),
+    * spec-pinned equal on the same data. */
+  def heatmapAgg(stream: DataFrame, q: ZxQuery, valueCol: String,
+                 lo: Double, hi: Double, buckets: Int,
+                 watermark: String = "10 minutes",
+                 tsCol: String = Compiler.DefaultTsCol): DataFrame = {
+    require(hi > lo && buckets > 0,
+      s"heatmapAgg: need hi > lo and buckets > 0, got [$lo, $hi) x $buckets")
+    val schema = stream.schema
+    val filtered = preFilter(stream.withWatermark(tsCol, watermark), q, tsCol)
+    val v = Aggregates.numeric(valueCol, schema)
+    val w = Aggregates.weight(schema)
+    val width = (hi - lo) / buckets
+    val vBucket = least(greatest(floor((v - lo) / width), lit(0.0)),
+      lit((buckets - 1).toDouble)).cast(LongType).as("v_bucket")
+    filtered
+      .filter(v.isNotNull)
+      .groupBy(window(col(tsCol), s"${q.granularitySec} seconds").as("__w"), vBucket)
+      .agg(sum(w).as("weight"), count(lit(1)).as("n"))
+      .select(col("__w.start").cast(LongType).as("t_bucket"),
+        col("v_bucket"), col("weight"), col("n"))
+  }
+
   /** Streaming HOPPING windows: like [[windowedAgg]] but each event lands
     * in every (granularity-length, slide-spaced) window covering it — the
     * streaming face of [[Compiler.runHopping]], same epoch-aligned

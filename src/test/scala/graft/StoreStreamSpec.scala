@@ -120,6 +120,28 @@ class StoreStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming fixed-bounds heatmap matches the batch heatmap bucket-for-bucket") {
+    val dir = Files.createTempDirectory("graft-heat").toString
+    val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    src.coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = ZxQuery(selects = Nil, granularitySec = 86400L)
+    val streamed = EventStream.heatmapAgg(EventStream.read(spark, dir), q,
+      "value", lo = 0.0, hi = 250.0, buckets = 10, watermark = "0 seconds")
+    val query = streamed.writeStream.format("memory").queryName("heat_out")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("t_bucket", "v_bucket", "weight", "n").collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            math.round(r.getDouble(2) * 1000), r.getLong(3))).toSet
+      val batch = canon(Compiler.heatmap(src, q, "value", 0.0, 250.0, 10))
+      assert(canon(spark.table("heat_out")) == batch && batch.size > 5)
+    } finally query.stop()
+  }
+
   test("streaming rejects exact count_distinct with a clear message") {
     val stream = EventStream.read(spark, "/root/testdata/sf0.001")
     val q = ZxQuery(selects = Seq(Select(Agg.CountDistinct, "user_id")))
