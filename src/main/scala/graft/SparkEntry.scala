@@ -696,6 +696,27 @@ object SparkEntry {
         round(col("sum_bpe").cast(DoubleType) / col("sum_ws"), 6))
   }
 
+  /** x14: CCNet-style familiarity scoring — per-source stats of each doc's
+    * summed corpus frequency over the top-200 bigram table. Train = one
+    * count shuffle + TakeOrdered; score = a broadcast-map fold inside the
+    * scan stage (no explode, no join). All-integer sums keep the 6dp means
+    * engine-exact. The low-familiarity tail is what a quality pipeline
+    * drops or down-weights. */
+  private def x14Familiarity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val table = graft.operators.Corpus.topBigrams(docs, k = 200)
+    graft.operators.Corpus.familiarity(docs, table)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("fam_sum")).as("sum_fam"),
+        sum(col("fam_hits")).as("sum_hits"),
+        sum(col("n_bigrams")).as("sum_bigrams"))
+      .withColumn("mean_fam_per_bigram",
+        round(col("sum_fam").cast(DoubleType) / col("sum_bigrams"), 6))
+      .withColumn("hit_rate",
+        round(col("sum_hits").cast(DoubleType) / col("sum_bigrams"), 6))
+  }
+
   // -------------------------------------- training-data pipeline: dedup
 
   private def d1DedupExact(s: SparkSession, dir: String): DataFrame =
@@ -1229,6 +1250,7 @@ object SparkEntry {
     "x11_redact" -> (x11Redact _),
     "x12_chunks" -> (x12Chunks _),
     "x13_bpe_tokens" -> (x13BpeTokens _),
+    "x14_familiarity" -> (x14Familiarity _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_minhash_sig" -> (d2MinhashSig _),
     "d2b_minhash_pairs" -> (d2bMinhashPairs _),
@@ -1591,6 +1613,42 @@ object SparkEntry {
         |   '\bcustomer\b', '<PII>', 'g'), '\bkey\b', '<PII>', 'g')), 1, 16)
         |   AS redacted_fp
         |FROM documents""".stripMargin,
+    "x14_familiarity" ->
+      // full replay: bigrams via the zipped-tail transform, top-200 table
+      // (count DESC, bigram ASC — the deterministic tie rule), per-doc
+      // integer sums via an unnest + LEFT join (misses contribute 0),
+      // then the same per-source integer folds and 6dp ratios
+      """WITH b AS (
+        |  SELECT doc_id, source, unnest(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')), 1)),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]))
+        |    AS bg
+        |  FROM documents
+        |),
+        |top AS (
+        |  SELECT bg, n FROM (
+        |    SELECT bg, count(*)::BIGINT AS n,
+        |      row_number() OVER (ORDER BY count(*) DESC, bg ASC) AS rn
+        |    FROM b GROUP BY bg) WHERE rn <= 200
+        |),
+        |perdoc AS (
+        |  SELECT b.doc_id,
+        |    sum(coalesce(top.n, 0))::BIGINT AS fam_sum,
+        |    sum(CASE WHEN top.n IS NULL THEN 0 ELSE 1 END)::BIGINT AS fam_hits,
+        |    count(*)::BIGINT AS n_bigrams
+        |  FROM b LEFT JOIN top USING (bg)
+        |  GROUP BY b.doc_id
+        |)
+        |SELECT d.source, count(*)::BIGINT AS n_docs,
+        |  sum(coalesce(p.fam_sum, 0))::BIGINT AS sum_fam,
+        |  sum(coalesce(p.fam_hits, 0))::BIGINT AS sum_hits,
+        |  sum(coalesce(p.n_bigrams, 0))::BIGINT AS sum_bigrams,
+        |  round(sum(coalesce(p.fam_sum, 0))::DOUBLE
+        |    / sum(coalesce(p.n_bigrams, 0)), 6) AS mean_fam_per_bigram,
+        |  round(sum(coalesce(p.fam_hits, 0))::DOUBLE
+        |    / sum(coalesce(p.n_bigrams, 0)), 6) AS hit_rate
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        |GROUP BY d.source""".stripMargin,
     "x13_bpe_tokens" -> {
       val pat = graft.functions.TextFunctions.BpePattern.replace("'", "''")
       // leftmost-first alternation counts are engine-identical for this

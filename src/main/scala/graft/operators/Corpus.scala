@@ -123,6 +123,47 @@ object Corpus {
           lit(chunkTokens)), " ").as("chunk_text"))
   }
 
+  /** Adjacent-token bigrams of a whitespace-token array, as "w1 w2"
+    * strings — a codegen'd zip of the array with its own tail. */
+  def bigrams(toks: Column): Column = {
+    val n1 = greatest(size(toks) - 1, lit(0))
+    zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => concat_ws(" ", a, b))
+  }
+
+  /** Corpus-frequency table of the `k` most common bigrams — the trained
+    * side of the familiarity scorer. One explode + one count shuffle +
+    * TakeOrderedAndProject; ties break to the lexicographically smaller
+    * bigram so the table is deterministic across engines. */
+  def topBigrams(docs: DataFrame, k: Int, textCol: String = "text"): Seq[(String, Long)] = {
+    require(k > 0 && k <= 100000, s"topBigrams: k must be in 1..100000, got $k")
+    docs.select(explode(bigrams(graft.functions.TextFunctions.tokens(col(textCol))))
+        .as("__bg"))
+      .groupBy(col("__bg")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__bg").asc)
+      .limit(k)
+      .collect().toSeq.map(r => r.getString(0) -> r.getLong(1))
+  }
+
+  /** CCNet-style familiarity score against a trained bigram table: the
+    * per-doc sum of corpus frequencies of its bigrams (misses add 0) and
+    * the hit count. The table rides as a broadcast map literal, so scoring
+    * is ONE narrow codegen'd fold per row — no explode, no join, no
+    * shuffle; a 100 TB corpus scores in its scan stage. All-integer
+    * arithmetic keeps every downstream aggregate engine-exact. */
+  def familiarity(docs: DataFrame, table: Seq[(String, Long)],
+                  textCol: String = "text"): DataFrame = {
+    require(table.nonEmpty, "familiarity: empty bigram table")
+    val m = typedLit(table.toMap)
+    val bgs = bigrams(graft.functions.TextFunctions.tokens(col(textCol)))
+    docs
+      .withColumn("fam_sum", aggregate(bgs, lit(0L),
+        (acc, b) => acc + coalesce(try_element_at(m, b), lit(0L))))
+      .withColumn("fam_hits", aggregate(bgs, lit(0L),
+        (acc, b) => acc + when(try_element_at(m, b).isNotNull, 1L).otherwise(0L)))
+      .withColumn("n_bigrams", greatest(size(bgs), lit(0)).cast(LongType))
+  }
+
   /** Deliver a curated corpus as size-bounded JSONL shards — the format
     * training loaders consume. `maxRecordsPerFile` caps every shard (the
     * writer splits a task's output across files as it hits the cap), so

@@ -563,6 +563,22 @@ class PipelineSpec extends AnyFunSuite {
       10L -> 2L, 12L -> 2L, 14L -> 2L, 16L -> 3L, 18L -> 3L))
   }
 
+  test("familiarity: bigram edges, miss-as-zero scoring, deterministic top table") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c", "s"), (2L, "a", "s"), (3L, "z q", "s"))
+      .toDF("doc_id", "text", "source")
+    // bigrams of doc 1: "a b","b a","a b","b c"; doc 2: none; doc 3: "z q"
+    val table = graft.operators.Corpus.topBigrams(docs, k = 2)
+    // counts: "a b"->2 wins; the 1-count ties break lexicographically: "b a"
+    assert(table == Seq("a b" -> 2L, "b a" -> 1L))
+    val scored = graft.operators.Corpus.familiarity(docs, table)
+      .select("doc_id", "fam_sum", "fam_hits", "n_bigrams")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(scored(1L) == ((2L + 1L + 2L + 0L, 3L, 4L)), "misses contribute 0")
+    assert(scored(2L) == ((0L, 0L, 0L)), "a 1-token doc has no bigrams but stays")
+    assert(scored(3L) == ((0L, 0L, 1L)))
+  }
+
   test("JSONL shard export: per-file record caps hold and content round-trips") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "source", "text")
