@@ -579,6 +579,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(scored(3L) == ((0L, 0L, 1L)))
   }
 
+  test("familiarity scores a STREAM unchanged (narrow fold, no state)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-famstream").toString
+    val docs = Seq((1L, "a b a b c", "s"), (2L, "z q", "s"))
+      .toDF("doc_id", "text", "source")
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    val table = graft.operators.Corpus.topBigrams(docs, k = 2)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = graft.operators.Corpus.familiarity(stream, table)
+      .writeStream.format("memory").queryName("fam_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("fam_out")
+        .select("doc_id", "fam_sum").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 5L, 2L -> 0L))
+    } finally q.stop()
+  }
+
   test("JSONL shard export: per-file record caps hold and content round-trips") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "source", "text")

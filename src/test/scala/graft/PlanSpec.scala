@@ -66,6 +66,11 @@ class PlanSpec extends AnyFunSuite {
       s"broadcast asof must be a narrow map:\n$p")
   }
 
+  test("familiarity scoring is join-free: the bigram table rides as a map literal") {
+    val p = plan("x14_familiarity")
+    assert(!p.contains("Join"), s"scoring must fold a broadcast map, not join:\n$p")
+  }
+
   test("dimension joins broadcast (no shuffle on the dim side)") {
     val p = plan("j1_revenue_nation")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
