@@ -717,6 +717,24 @@ object SparkEntry {
         round(col("sum_hits").cast(DoubleType) / col("sum_bigrams"), 6))
   }
 
+  /** c4: familiarity-GATED curation — the x14 signal deployed as a filter:
+    * keep documents whose bigram hit rate against the corpus top-200 table
+    * is ≥ 20%, report the surviving corpus per (source, lang). The
+    * threshold compares exact integers (`hits·5 ≥ n_bigrams`), never a
+    * float ratio, so the gate is bit-identical across engines; scoring
+    * stays the broadcast-map fold (no join), so the whole gate runs in the
+    * scan stage before the one stats shuffle. */
+  private def c4FamiliarityGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val docs = Tables.documents(s, dir)
+    val table = graft.operators.Corpus.topBigrams(docs, k = 200)
+    graft.operators.Corpus.familiarity(docs, table)
+      .filter(col("fam_hits") * 5 >= col("n_bigrams") && col("n_bigrams") > 0)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(tokenCount(col("text")).cast(LongType)).as("sum_tokens"))
+  }
+
   // -------------------------------------- training-data pipeline: dedup
 
   private def d1DedupExact(s: SparkSession, dir: String): DataFrame =
@@ -1111,6 +1129,25 @@ object SparkEntry {
        |  SELECT vec_id, adc, row_number() OVER (ORDER BY adc DESC, vec_id) AS rn
        |  FROM adc) WHERE rn <= 100)""".stripMargin
 
+  /** Shared replay of Corpus.topBigrams' training side: `b` = (doc_id,
+    * source, bigram) via the zipped-tail transform, `top` = the top-200
+    * table with the engine-deterministic (count DESC, bigram ASC) tie
+    * rule. Used by the x14 stats oracle and the c4 gate oracle. */
+  private def duckFamiliarityCtes: String =
+    """b AS (
+      |  SELECT doc_id, source, unnest(list_transform(
+      |    range(1, greatest(len(string_split(text, ' ')), 1)),
+      |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]))
+      |    AS bg
+      |  FROM documents
+      |),
+      |top AS (
+      |  SELECT bg, n FROM (
+      |    SELECT bg, count(*)::BIGINT AS n,
+      |      row_number() OVER (ORDER BY count(*) DESC, bg ASC) AS rn
+      |    FROM b GROUP BY bg) WHERE rn <= 200
+      |)""".stripMargin
+
   /** Shared CTE prelude replicating minhashPairs' candidate generation:
     * token hashes → shingle hashes → 8 minhash sigs → 4 band keys →
     * band-equality candidates + distinct shingle sets for the verify. */
@@ -1251,6 +1288,7 @@ object SparkEntry {
     "x12_chunks" -> (x12Chunks _),
     "x13_bpe_tokens" -> (x13BpeTokens _),
     "x14_familiarity" -> (x14Familiarity _),
+    "c4_familiarity_gate" -> (c4FamiliarityGate _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_minhash_sig" -> (d2MinhashSig _),
     "d2b_minhash_pairs" -> (d2bMinhashPairs _),
@@ -1618,19 +1656,7 @@ object SparkEntry {
       // (count DESC, bigram ASC — the deterministic tie rule), per-doc
       // integer sums via an unnest + LEFT join (misses contribute 0),
       // then the same per-source integer folds and 6dp ratios
-      """WITH b AS (
-        |  SELECT doc_id, source, unnest(list_transform(
-        |    range(1, greatest(len(string_split(text, ' ')), 1)),
-        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]))
-        |    AS bg
-        |  FROM documents
-        |),
-        |top AS (
-        |  SELECT bg, n FROM (
-        |    SELECT bg, count(*)::BIGINT AS n,
-        |      row_number() OVER (ORDER BY count(*) DESC, bg ASC) AS rn
-        |    FROM b GROUP BY bg) WHERE rn <= 200
-        |),
+      s"""WITH $duckFamiliarityCtes,
         |perdoc AS (
         |  SELECT b.doc_id,
         |    sum(coalesce(top.n, 0))::BIGINT AS fam_sum,
@@ -1649,6 +1675,23 @@ object SparkEntry {
         |    / sum(coalesce(p.n_bigrams, 0)), 6) AS hit_rate
         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
         |GROUP BY d.source""".stripMargin,
+    "c4_familiarity_gate" ->
+      // the gate replays x14's train + per-doc score, then the integer
+      // threshold (hits*5 >= n_bigrams, n_bigrams > 0) and kept-corpus
+      // stats — an inner join suffices: bigram-less docs can't pass
+      s"""WITH $duckFamiliarityCtes,
+        |perdoc AS (
+        |  SELECT b.doc_id,
+        |    sum(CASE WHEN top.n IS NULL THEN 0 ELSE 1 END)::BIGINT AS fam_hits,
+        |    count(*)::BIGINT AS n_bigrams
+        |  FROM b LEFT JOIN top USING (bg)
+        |  GROUP BY b.doc_id
+        |)
+        |SELECT d.source, d.lang, count(*)::BIGINT AS n_kept,
+        |  sum(len(string_split(d.text, ' ')))::BIGINT AS sum_tokens
+        |FROM documents d JOIN perdoc p USING (doc_id)
+        |WHERE p.fam_hits * 5 >= p.n_bigrams AND p.n_bigrams > 0
+        |GROUP BY 1, 2""".stripMargin,
     "x13_bpe_tokens" -> {
       val pat = graft.functions.TextFunctions.BpePattern.replace("'", "''")
       // leftmost-first alternation counts are engine-identical for this
