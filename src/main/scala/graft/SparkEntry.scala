@@ -952,6 +952,20 @@ object SparkEntry {
         round(col("adc"), 6).as("adc"), round(col("cos"), 6).as("cos"))
   }
 
+  /** s8b: the PQ code-distribution audit — per (subspace, code) occupancy
+    * of the encoded corpus. Where s8's oracle checks the ADC top-100, this
+    * one pins EVERY row's code assignment against the DuckDB-replayed
+    * trainer+encoder (≤ m × ksub rows out), the strongest cross-engine
+    * check on the compression itself. */
+  private def s8bPqBuild(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val books = graft.operators.Similarity.pqTrain(emb, m = 16, ksub = 16, iters = 1)
+    graft.operators.Similarity.pqEncode(emb, books)
+      .select(posexplode(col("codes")).as(Seq("j", "code")))
+      .groupBy(col("j"), col("code"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   // ---------------------------------- training-data pipeline: multimodal
 
   private def m1MmBytes(s: SparkSession, dir: String): DataFrame =
@@ -1309,6 +1323,7 @@ object SparkEntry {
     "s6_batch_knn" -> (s6BatchKnn _),
     "s7_embed_stats" -> (s7EmbedStats _),
     "s8_pq_knn" -> (s8PqKnn _),
+    "s8b_pq_build" -> (s8bPqBuild _),
     "s9_ivfpq_knn" -> (s9IvfPqKnn _),
     "m1_mm_bytes" -> (m1MmBytes _),
     "m2_mm_decode" -> (m2MmDecode _),
@@ -1979,6 +1994,13 @@ object SparkEntry {
          |ORDER BY $cos DESC, e.vec_id
          |LIMIT 10""".stripMargin
     },
+    "s8b_pq_build" ->
+      // every row's final code, grouped — as1 is the replayed encoder
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |${duckPqTrainCtes("e", "v", "")}
+         |SELECT j::INT AS j, code::INT AS code, count(*)::BIGINT AS n
+         |FROM as1 GROUP BY 1, 2""".stripMargin,
     "s9_ivfpq_knn" -> {
       // full IVF-PQ replay: coarse train (duckIvfTrainCtes: e/cent2/as2)
       // → per-row residuals → PQ train+encode over them (p-prefixed CTEs)
