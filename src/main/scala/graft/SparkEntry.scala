@@ -966,6 +966,76 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Raw-vector PQ codebooks shared by the recall audit — trained once per
+    * sf dir (the deployable shape: codebooks are build artifacts, not
+    * per-query work; s8/s8b deliberately keep training in their own timed
+    * calls to price the build). */
+  private val pqBooksCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[(Int, Seq[Double])]]]()
+  private def ensurePqBooks(s: SparkSession, dir: String): Seq[Seq[(Int, Seq[Double])]] =
+    Option(pqBooksCache.get(dir)).getOrElse {
+      val books = graft.operators.Similarity.pqTrain(
+        Tables.embeddings(s, dir), m = 16, ksub = 16, iters = 1)
+      pqBooksCache.put(dir, books)
+      books
+    }
+
+  /** s10: the ANN recall audit — the quality gate over the whole
+    * approximate stack. For each approximate probe (s2 sign-LSH, s4 IVF,
+    * s8 pure-ADC PQ, s9 IVF-PQ) and each of three fixed query ids, the
+    * overlap count between the probe's top-10 and the exact top-10 —
+    * deterministic integers the DuckDB oracle replays end-to-end, so a
+    * silently degrading index flips a hash instead of hiding. s8 is scored
+    * WITHOUT its exact re-rank (shortlist=0): that is the honest
+    * compression-quality number — with the re-rank it recovers the exact
+    * top-10 on this data, which would audit the rescue, not the codes.
+    * All probe results are k-row frames, so the audit's joins move a few
+    * dozen rows regardless of corpus size; the corpus-scale work is the
+    * probes themselves, each already plan-pinned (PlanSpec) to its pruned/
+    * join-free shape. */
+  private def s10RecallAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Sim = graft.operators.Similarity
+    val emb = Tables.embeddings(s, dir)
+    val qids = Seq(0L, 1L, 2L)
+    val (ivfPath, cents) = ensureIvfIndex(s, dir)
+    val (pqPath, pqCents, resBooks) = ensureIvfPqIndex(s, dir)
+    val rawBooks = ensurePqBooks(s, dir)
+    // the corpus-scale sides run BATCHED — one exact pass (batchKnn), one
+    // bucket-pruned LSH pass, one PQ-encode pass scoring all queries
+    // (pqBatchKnn) — instead of 3 passes each; only the index probes
+    // (already partition-pruned) run per query, as they would in production
+    val exact = Sim.batchKnn(emb, qids, k = 10).select("query_id", "vec_id")
+    val qvs = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id"), graft.functions.VectorFunctions.toDouble(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+    def tagged(method: String, qid: Long, df: DataFrame): DataFrame =
+      df.select(lit(method).as("method"), lit(qid).as("query_id"), col("vec_id"))
+    val batched = Seq(
+      Sim.batchAnnSignLsh(emb, qids, k = 10, bits = 4)
+        .select(lit("s2_lsh").as("method"), col("query_id"), col("vec_id")),
+      Sim.pqBatchKnn(emb, rawBooks, qids, k = 10)
+        .select(lit("s8_pq").as("method"), col("query_id"), col("vec_id")))
+    val probed = qids.flatMap { qid =>
+      Seq(
+        tagged("s4_ivf", qid, Sim.ivfProbeIndex(s, ivfPath, cents, qvs(qid), k = 10, nProbe = 2)),
+        tagged("s9_ivfpq", qid,
+          Sim.ivfPqProbe(s, pqPath, pqCents, resBooks, qvs(qid), k = 10, nProbe = 2, shortlist = 100)))
+    }
+    val approx = (batched ++ probed).reduce(_ unionByName _)
+    // static spine so a probe that returns ZERO overlapping (or zero total)
+    // rows still reports its 0 instead of vanishing from the audit
+    val spine = Seq("s2_lsh", "s4_ivf", "s8_pq", "s9_ivfpq")
+      .flatMap(m => qids.map(q => (m, q))).toDF("method", "query_id")
+    val nExact = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    val overlap = approx.join(exact, Seq("query_id", "vec_id"))
+      .groupBy("method", "query_id").agg(count(lit(1)).as("n"))
+    spine.join(nExact, Seq("query_id"))
+      .join(overlap, Seq("method", "query_id"), "left")
+      .select(col("method"), col("query_id"), col("n_exact"),
+        coalesce(col("n"), lit(0L)).as("n_overlap"))
+  }
+
   // ---------------------------------- training-data pipeline: multimodal
 
   private def m1MmBytes(s: SparkSession, dir: String): DataFrame =
@@ -1325,6 +1395,7 @@ object SparkEntry {
     "s8_pq_knn" -> (s8PqKnn _),
     "s8b_pq_build" -> (s8bPqBuild _),
     "s9_ivfpq_knn" -> (s9IvfPqKnn _),
+    "s10_recall_audit" -> (s10RecallAudit _),
     "m1_mm_bytes" -> (m1MmBytes _),
     "m2_mm_decode" -> (m2MmDecode _),
     "m3_mm_frames" -> (m3MmFrames _),
@@ -2035,6 +2106,86 @@ object SparkEntry {
          |FROM sl JOIN e USING (vec_id) JOIN as2 o USING (vec_id), q
          |ORDER BY $cos DESC, e.vec_id
          |LIMIT 10""".stripMargin
+    },
+    "s10_recall_audit" -> {
+      // full-stack recall replay: ONE statement re-derives every index
+      // (IVF train, raw-PQ train 'r', residual-PQ train 'p' — the same
+      // CTE generators the s4/s8/s9 oracles pin individually), runs all
+      // four approximate probes plus the exact scan for query ids 0/1/2,
+      // and intersects each probe's top-10 id set with the exact top-10.
+      // Integer overlap counts only — no floats cross the compare.
+      val cosEQ = s"${duckIvfDot("e.v", "q.qv")} / (sqrt(${duckIvfDot("e.v", "e.v")}) * sqrt(${duckIvfDot("q.qv", "q.qv")}))"
+      s"""WITH $duckIvfTrainCtes,
+         |res AS (SELECT e.vec_id, list_transform(range(1, 65), i -> e.v[i] - c.cv[i]) AS rv
+         |  FROM e JOIN as2 a USING (vec_id) JOIN cent2 c ON a.cell = c.cid),
+         |${duckPqTrainCtes("res", "rv", "p")},
+         |${duckPqTrainCtes("e", "v", "r")},
+         |bkt AS (SELECT vec_id, CAST(${graft.functions.VectorFunctions.signBucketSql("embedding", 4)} AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+         |qsel AS (SELECT qid, cid FROM (SELECT q.qid, c.cid,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${duckIvfDot("c.cv", "q.qv")} DESC, c.cid) AS rn
+         |  FROM cent2 c CROSS JOIN q) WHERE rn <= 2),
+         |ex10 AS (SELECT qid, vec_id FROM (
+         |  SELECT q.qid, e.vec_id,
+         |    row_number() OVER (PARTITION BY q.qid ORDER BY $cosEQ DESC, e.vec_id) AS rn
+         |  FROM e CROSS JOIN q) WHERE rn <= 10),
+         |lsh10 AS (SELECT qid, vec_id FROM (
+         |  SELECT q.qid, e.vec_id,
+         |    row_number() OVER (PARTITION BY q.qid ORDER BY $cosEQ DESC, e.vec_id) AS rn
+         |  FROM e JOIN bkt ON e.vec_id = bkt.vec_id
+         |  CROSS JOIN q
+         |  JOIN bkt qb ON qb.vec_id = q.qid AND bkt.bucket = qb.bucket) WHERE rn <= 10),
+         |ivf10 AS (SELECT qid, vec_id FROM (
+         |  SELECT q.qid, e.vec_id,
+         |    row_number() OVER (PARTITION BY q.qid ORDER BY $cosEQ DESC, e.vec_id) AS rn
+         |  FROM e JOIN as2 a USING (vec_id)
+         |  CROSS JOIN q
+         |  JOIN qsel ON qsel.qid = q.qid AND a.cell = qsel.cid) WHERE rn <= 10),
+         |qs8 AS (SELECT q.qid, s.j, s.sv AS qv FROM rsub s JOIN q ON s.vec_id = q.qid),
+         |adc8 AS (SELECT qid, vec_id, list_reduce(list(s ORDER BY j), (acc, x) -> acc + x) AS adc
+         |  FROM (SELECT qs.qid, a.vec_id, a.j, ${duckPqDot("qs.qv", "c.cv")} AS s
+         |    FROM ras1 a JOIN rcb1 c ON a.j = c.j AND a.code = c.cid
+         |    JOIN qs8 qs ON qs.j = a.j)
+         |  GROUP BY qid, vec_id),
+         |pq10 AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rn
+         |  FROM adc8) WHERE rn <= 10),
+         |qr AS (SELECT qs2.qid, c.cid AS cell,
+         |    list_transform(range(1, 65), i -> q.qv[i] - c.cv[i]) AS rv
+         |  FROM qsel qs2 JOIN cent2 c ON c.cid = qs2.cid JOIN q ON q.qid = qs2.qid),
+         |qrs AS (SELECT qid, cell, j, list_slice(rv, j*4 + 1, j*4 + 4) AS qsv
+         |  FROM qr CROSS JOIN (SELECT unnest(range(0, 16)) AS j)),
+         |padc AS (SELECT qid, vec_id, list_reduce(list(s ORDER BY j), (acc, x) -> acc + x) AS adc
+         |  FROM (SELECT r.qid, a.vec_id, a.j, ${duckPqDot("r.qsv", "c.cv")} AS s
+         |    FROM pas1 a
+         |    JOIN as2 o ON a.vec_id = o.vec_id
+         |    JOIN qrs r ON r.cell = o.cell AND r.j = a.j
+         |    JOIN pcb1 c ON c.j = a.j AND c.cid = a.code)
+         |  GROUP BY qid, vec_id),
+         |sl9 AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rn
+         |  FROM padc) WHERE rn <= 100),
+         |ipq10 AS (SELECT qid, vec_id FROM (
+         |  SELECT sl9.qid, sl9.vec_id,
+         |    row_number() OVER (PARTITION BY sl9.qid ORDER BY $cosEQ DESC, sl9.vec_id) AS rn
+         |  FROM sl9 JOIN e ON e.vec_id = sl9.vec_id JOIN q ON q.qid = sl9.qid) WHERE rn <= 10),
+         |un AS (SELECT 's2_lsh' AS method, qid, vec_id FROM lsh10
+         |  UNION ALL SELECT 's4_ivf', qid, vec_id FROM ivf10
+         |  UNION ALL SELECT 's8_pq', qid, vec_id FROM pq10
+         |  UNION ALL SELECT 's9_ivfpq', qid, vec_id FROM ipq10),
+         |ovl AS (SELECT method, qid, count(*)::BIGINT AS n
+         |  FROM un JOIN ex10 USING (qid, vec_id) GROUP BY 1, 2),
+         |exn AS (SELECT qid, count(*)::BIGINT AS n_exact FROM ex10 GROUP BY qid),
+         |spn AS (SELECT m.method, e2.qid
+         |  FROM (SELECT unnest(['s2_lsh', 's4_ivf', 's8_pq', 's9_ivfpq']) AS method) m
+         |  CROSS JOIN (SELECT DISTINCT qid FROM q) e2)
+         |SELECT spn.method, spn.qid AS query_id, exn.n_exact,
+         |  coalesce(ovl.n, 0)::BIGINT AS n_overlap
+         |FROM spn JOIN exn ON spn.qid = exn.qid
+         |LEFT JOIN ovl ON ovl.method = spn.method AND ovl.qid = spn.qid""".stripMargin
     },
     "s7_embed_stats" -> {
       // same fixed-point trick as the s4 training replay: norms quantized

@@ -556,6 +556,64 @@ object Similarity {
       .drop("__q", "__qn", vecCol)
   }
 
+  /** Batched sign-LSH ANN: top-k within each query's bucket for EVERY query
+    * in one corpus pass — [[annSignLsh]]'s bucket pruning with [[batchKnn]]'s
+    * batch economics (bucket-equality probes only, i.e. probes=1). Scoring
+    * runs only on rows sharing a query's bucket (the broadcast join drops
+    * the rest), and the per-query top-k is the WindowGroupLimit shape: each
+    * partition forwards at most k rows per query to the single shuffle. */
+  def batchAnnSignLsh(emb: DataFrame, queryIds: Seq[Long], k: Int, bits: Int = 8,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = emb.withColumn("bucket", signBucket(col(vecCol), bits))
+    val q = bucketed.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("__q"),
+        norm(col(vecCol)).as("__qn"), col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+    bucketed.join(broadcast(q), "bucket")
+      .withColumn("cos", dot(col(vecCol), col("__q")) / (norm(col(vecCol)) * col("__qn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("__q", "__qn", vecCol)
+  }
+
+  /** Batched ADC top-k over PQ codes: EVERY query scored in ONE
+    * encoded-corpus pass. The expensive step — encoding (m argmins over
+    * ksub centroids per row) — happens once; each encoded row then fans out
+    * one (query, adc) pair per query, and a pair costs only m LUT lookups +
+    * (m−1) adds. So b queries cost one encode + b LUT folds instead of the
+    * b full encodes that b separate [[pqKnn]] calls would pay. Per-query
+    * top-k is the [[batchKnn]] WindowGroupLimit shape (≤ k rows per query
+    * leave each partition). Query vectors are driver-fetched (|queryIds|
+    * rows — a batch is small by definition) and their LUTs ride in the
+    * plan, budget-gated. Pure ADC, no re-rank — the honest
+    * compression-quality score. */
+  def pqBatchKnn(emb: DataFrame, books: Seq[Seq[(Int, Seq[Double])]],
+                 queryIds: Seq[Long], k: Int, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val qvs = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol), toDouble(col(vecCol)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+    require(qvs.size == queryIds.size,
+      s"pqBatchKnn: found ${qvs.size} of ${queryIds.size} query ids")
+    requireCentroidBudget(queryIds.size.toLong * books.map(_.size.toLong).sum,
+      1L, "pqBatchKnn")
+    val perQ = array(queryIds.sorted.map { qid =>
+      struct(lit(qid).as("query_id"), adcExpr(books, qvs(qid)).as("adc"))
+    }: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col(idCol).asc)
+    val keep = emb.columns.filterNot(_ == vecCol).map(col)
+    pqEncode(emb, books, idCol, vecCol)
+      .withColumn("__pq", explode(perQ))
+      .select(keep :+ col("__pq").getField("query_id").as("query_id")
+        :+ col("__pq").getField("adc").as("adc"): _*)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Bucket occupancy histogram — the skew diagnostic for the ANN path. */
   def lshBucketStats(emb: DataFrame, bits: Int = 8,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =

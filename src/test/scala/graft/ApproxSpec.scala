@@ -223,6 +223,54 @@ class ApproxSpec extends AnyFunSuite {
     assert(got.head().getAs[Long]("vec_id") == 0L)
   }
 
+  test("batched LSH and batched ADC return the same top-k sets as their single-query forms") {
+    val emb = Tables.embeddings(spark, dir)
+    val qids = Seq(0L, 1L, 2L)
+    val lshBatch = Similarity.batchAnnSignLsh(emb, qids, k = 10, bits = 4)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val books = Similarity.pqTrain(emb, m = 16, ksub = 16, iters = 1)
+    val adcBatch = Similarity.pqBatchKnn(emb, books, qids, k = 10)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    for (q <- qids) {
+      val lshOne = Similarity.annSignLsh(emb, q, k = 10, bits = 4)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(lshBatch(q) == lshOne, s"batched LSH diverged for query $q")
+      val adcOne = Similarity.pqKnn(emb, books, q, k = 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(adcBatch(q) == adcOne, s"batched ADC diverged for query $q")
+    }
+    // batch economics must survive the optimizer: ONE corpus pass means the
+    // per-query fan-out happens via explode, and the per-query top-k stays
+    // a WindowGroupLimit (≤ k rows per query leave each partition)
+    val plan = Similarity.pqBatchKnn(emb, books, qids, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
+    // a query id absent from the corpus fails loudly
+    assert(intercept[IllegalArgumentException](
+      Similarity.pqBatchKnn(emb, books, Seq(0L, -1L), k = 10)).getMessage
+      .contains("query ids"))
+  }
+
+  test("s10 recall audit: full spine, exact denominators, IVF recall at least LSH's") {
+    val rows = SparkEntry.queries("s10_recall_audit")(spark, dir).collect()
+    assert(rows.length == 12, "4 methods x 3 query ids")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == 10L)
+      val ov = r.getAs[Long]("n_overlap")
+      assert(ov >= 0L && ov <= 10L)
+    }
+    val byMethod = rows.groupBy(_.getAs[String]("method"))
+      .map { case (m, rs) => m -> rs.map(_.getAs[Long]("n_overlap")).sum }
+    assert(byMethod.keySet == Set("s2_lsh", "s4_ivf", "s8_pq", "s9_ivfpq"))
+    // structural expectations, not tuned thresholds: the partition-pruned
+    // exact probes (IVF, IVF-PQ w/ re-rank) must not lose to the
+    // compressed/bucketed ones they subsume
+    assert(byMethod("s4_ivf") >= byMethod("s2_lsh"))
+    assert(byMethod("s9_ivfpq") >= byMethod("s8_pq"))
+  }
+
   test("multi-probe LSH widens the candidate set and never loses recall") {
     val emb = Tables.embeddings(spark, dir)
     val exact = Similarity.bruteForceKnn(emb, 0L, 10)
