@@ -76,7 +76,15 @@ object Bench {
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","runs":$runs}""")
+    // build-class queries TRAIN their index/codebook/frequency artifacts
+    // inside the timed call by design (in production these are one-off
+    // build steps, not query-path work) — flagged so regression budgets
+    // can hold probes tight without penalizing honest build cost
+    val buildClass = Seq("s4_ivf_build", "s8_pq_knn", "s8b_pq_build",
+      "x14_familiarity", "c4_familiarity_gate").filter(results.contains)
+    val buildJson = buildClass.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val buildTotal = buildClass.map(results).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","runs":$runs,"build_queries":$buildJson,"build_sec":$buildTotal}""")
     spark.stop()
   }
 }

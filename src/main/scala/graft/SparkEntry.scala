@@ -431,6 +431,57 @@ object SparkEntry {
       .agg(sum(revenue).cast(DoubleType).as("revenue"), count(lit(1)).as("n"))
   }
 
+  /** TPC-H Q3 shape: the SELECTIVE fact-fact join — both fact sides carry
+    * a date filter before the join, so the join input is a fraction of
+    * either table and the strategy choice (sort-merge vs broadcast) is
+    * exactly the call AQE exists to make at runtime: no join hints here,
+    * the filtered orders side's ACTUAL post-filter size decides (PlanSpec
+    * pins the decision). Revenue sums in DECIMAL for engine-exact totals;
+    * top-10 by revenue compiles to TakeOrderedAndProject. */
+  private def q3Shipping(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast(TimestampType)
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val revenue = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(BigDecimal(1)).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(revenue).cast(DoubleType).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("revenue"), col("n_items"))
+  }
+
+  /** TPC-H Q4 shape: the EXISTS semi-join — orders in a 6-month window
+    * that have at least one line item shipped after the order date,
+    * counted by priority. The left-semi join is the 100 TB shape for
+    * existence checks: lineitem contributes at most one match per order
+    * (no fan-out, no dedup re-aggregation), and the mixed equi+range
+    * condition stays inside the one hash join. */
+  private def q4Priority(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-01-01").cast(TimestampType)
+    val hi = lit("1997-07-01").cast(TimestampType)
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
   /** c2: the full training-shard pipeline in ONE declarative DAG —
     * benchmark decontamination (anti-join on the contaminated set), the c1
     * quality+language gate, canonical exact-dedup, token-budget packing
@@ -1354,6 +1405,8 @@ object SparkEntry {
     "o3_top_per_group" -> (o3TopPerGroup _),
     "o4_having" -> (o4Having _),
     "q1_pricing" -> (q1Pricing _),
+    "q3_shipping" -> (q3Shipping _),
+    "q4_priority" -> (q4Priority _),
     "j1_revenue_nation" -> (j1RevenueNation _),
     "j2_asof_join" -> (j2AsofJoin _),
     "j4_asof_broadcast" -> (j4AsofBroadcast _),
@@ -1623,6 +1676,28 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q4_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
     "j1_revenue_nation" ->
       """SELECT n_name,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -32,8 +32,16 @@ object Compiler {
   /** Column reference by FLAT name: backtick-quoted so reference-style
     * dotted column names (`repo.name` — README.md:17; the schemaless store
     * allows any string as a column) resolve as plain columns rather than
-    * struct-field paths. Identical to `col` for dot-free names. */
-  def colRef(name: String): Column = col("`" + name.replace("`", "") + "`")
+    * struct-field paths. Identical to `col` for dot-free names. A name
+    * CONTAINING a backtick is rejected loudly: the schemaless store admits
+    * any string as a column name, and silently stripping the quote char
+    * would resolve a different column than the one named. */
+  def colRef(name: String): Column = {
+    require(!name.contains("`"),
+      s"column name '$name' contains a backtick — the quoting character " +
+        "cannot itself be referenced; rename the column")
+    col("`" + name + "`")
+  }
 
   /** Scan + time range + conjunctive filter (lib.rs:195-200). The time bound
     * lands directly on the timestamp column so Parquet row-group min/max

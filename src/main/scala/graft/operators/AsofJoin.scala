@@ -83,6 +83,36 @@ object AsofJoin {
       .select(leftCols.map(col) ++ aggs.keys.toSeq.sorted.map(col): _*)
   }
 
+  /** Streaming face of [[trailingWindow]]: evaluate each micro-batch of a
+    * streaming left against a STATIC right side and hand the enriched
+    * batch to `consume`. Sound without any state because a trailing
+    * aggregate is a per-left-row function of (row, right table) — left
+    * rows never interact — so per-micro-batch evaluation produces exactly
+    * the rows the batch operator would for those events, regardless of how
+    * the stream is chopped (spec-pinned on a two-batch feed). A streaming
+    * RIGHT side genuinely needs stream-stream state and is rejected.
+    *
+    * Each micro-batch pays one window exchange over (batch ∪ right) — at
+    * 100 TB/day this bounds the per-trigger shuffle to the trigger's
+    * events + the dimension table, the same economics as the batch form.
+    * Returns the unstarted writer: callers pick trigger/checkpoint and
+    * `.start()`. */
+  def trailingWindowStream(left: DataFrame, right: DataFrame,
+                           keyL: String, keyR: String, timeL: String, timeR: String,
+                           windowLen: Long,
+                           aggs: Map[String, org.apache.spark.sql.Column])
+                          (consume: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(left.isStreaming, "trailingWindowStream: left side must be a stream " +
+      "(for a batch left use trailingWindow directly)")
+    require(!right.isStreaming, "trailingWindowStream: right side must be static " +
+      "— a streaming right needs a stateful stream-stream join")
+    left.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        consume(trailingWindow(batch, right, keyL, keyR, timeL, timeR, windowLen, aggs))
+    }
+  }
+
   /** Left rows + `payload` columns of the as-of matched right row (null
     * payload where no right row precedes). `timeL`/`timeR` may be any
     * mutually comparable orderable type; equality on time MATCHES (≤, not
@@ -111,7 +141,14 @@ object AsofJoin {
     *
     * Same uniqueness contract as [[asof]]: one right row per (key, time)
     * ([[latestPerKeyTime]]) — enforced loudly here because the collected
-    * histories would otherwise carry sort-order luck into every probe. */
+    * histories would otherwise carry sort-order luck into every probe.
+    *
+    * A right side that outgrows `maxRightRows` DEGRADES, it doesn't crash:
+    * on a batch left the call falls back to the single-exchange [[asof]]
+    * (same output, windowed plan) with a loud warning — a dimension table
+    * crossing 10k rows must not turn a working job into a failure. A
+    * STREAMING left keeps the hard error: [[asof]] needs a window sort, so
+    * no equivalent plan exists and failing loudly beats hanging. */
   def asofBroadcast(left: DataFrame, right: DataFrame,
                     keyL: String, keyR: String, timeL: String, timeR: String,
                     payload: Seq[String], maxRightRows: Int = 10000): DataFrame = {
@@ -121,9 +158,19 @@ object AsofJoin {
     require(dup.isEmpty, s"payload names collide with left columns: $dup")
     val rows = right.select(col(keyR) +: col(timeR) +: payload.map(col): _*)
       .limit(maxRightRows + 1).collect()
-    require(rows.length <= maxRightRows,
-      s"asofBroadcast: right side exceeds $maxRightRows rows — the version " +
-        "histories ride in the plan; use asof() (single-exchange) for big right sides")
+    if (rows.length > maxRightRows) {
+      require(!left.isStreaming,
+        s"asofBroadcast: right side exceeds $maxRightRows rows and the left is " +
+          "a STREAM — the windowed asof() fallback needs a batch left; bound " +
+          "the right side (latestPerKeyTime / filter) or use a stateful " +
+          "stream-stream join")
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"asofBroadcast: right side exceeds $maxRightRows rows — falling back " +
+          "to the single-exchange asof() (same output, windowed plan); " +
+          "broadcast economics are lost, raise maxRightRows deliberately if " +
+          "the plan-resident size is acceptable")
+      return asof(left, right, keyL, keyR, timeL, timeR, payload)
+    }
     require(rows.nonEmpty, "asofBroadcast: right side is empty")
     val dupKT = rows.groupBy(r => (r.get(0), r.get(1))).filter(_._2.length > 1).keys
     require(dupKT.isEmpty,
@@ -133,11 +180,23 @@ object AsofJoin {
     // agrees) — and a null map-literal key would throw at runtime anyway
     val keyed = rows.filter(!_.isNullAt(0))
     require(keyed.nonEmpty, "asofBroadcast: every right row has a null key")
+    // a null version time could NEVER match (__vt <= t is null-false in the
+    // probe) but would sort by luck among its key's history — reject loudly,
+    // mirroring the null-key rule's explicitness rather than its silence:
+    // a null key is standard SQL match-nothing, a null version TIME is
+    // almost certainly upstream data corruption
+    val nullT = keyed.filter(_.isNullAt(1))
+    require(nullT.isEmpty,
+      s"asofBroadcast: ${nullT.length} right rows have a null $timeR — a null " +
+        "version time can never match; filter them out or fix the source")
     val ord = new Ordering[Any] {
       def compare(a: Any, b: Any): Int = (a, b) match {
-        case (x: java.lang.Comparable[_], y) =>
+        case (x: java.lang.Comparable[_], y: java.lang.Comparable[_])
+            if x.getClass.isInstance(y) || y.getClass.isInstance(x) =>
           x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y)
-        case _ => 0
+        case (x, y) => throw new IllegalArgumentException(
+          s"asofBroadcast: $timeR values are not mutually comparable " +
+            s"(${x.getClass.getName} vs ${y.getClass.getName})")
       }
     }
     val entries = keyed.groupBy(_.get(0)).toSeq.map { case (k, vs) =>

@@ -158,17 +158,6 @@ object Similarity {
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toIndexedSeq)
       .sortBy(_._1)
 
-  /** IVF-flat ANN: k-means-trained centroids ([[ivfTrain]]), every vector
-    * assigned row-locally to its best cell ([[assignCells]] — no exchange),
-    * queries probe the `nProbe` nearest cells and score exactly within them.
-    *
-    * The query path is join-free: the query vector and probe-cell ids are
-    * driver-computed (nlist dot products on ≤ a few KB of centroids, the
-    * same left-fold arithmetic the executors use), so the probe compiles to
-    * scan → narrow filter → TakeOrderedAndProject. At scale the assignment
-    * is a one-off build step (the table is written partitioned by `cell`),
-    * so a probe reads nProbe/nlist of the data; recall/latency trades via
-    * nProbe. */
   /** Driver-side left-fold dot product — IEEE-identical to the executors'
     * Column-level fold AND DuckDB's list_reduce, so driver-computed probe
     * cells and query norms stay oracle-safe. */
@@ -186,6 +175,17 @@ object Similarity {
     cents.sortBy { case (cid, cv) => (-foldDot(cv, q), cid) }
       .take(nProbe).map(_._1)
 
+  /** IVF-flat ANN: k-means-trained centroids ([[ivfTrain]]), every vector
+    * assigned row-locally to its best cell ([[assignCells]] — no exchange),
+    * queries probe the `nProbe` nearest cells and score exactly within them.
+    *
+    * The query path is join-free: the query vector and probe-cell ids are
+    * driver-computed (nlist dot products on ≤ a few KB of centroids, the
+    * same left-fold arithmetic the executors use), so the probe compiles to
+    * scan → narrow filter → TakeOrderedAndProject. At scale the assignment
+    * is a one-off build step (the table is written partitioned by `cell`),
+    * so a probe reads nProbe/nlist of the data; recall/latency trades via
+    * nProbe. */
   def ivfKnn(emb: DataFrame, queryId: Long, k: Int, nlist: Int = 16,
              nProbe: Int = 2, iters: Int = 2, idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
@@ -274,8 +274,13 @@ object Similarity {
       .select(col(idCol).cast(org.apache.spark.sql.types.IntegerType), toDouble(col(vecCol)))
       .collect().toSeq
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toIndexedSeq).sortBy(_._1)
-    require(seedRows.size == ksub,
-      s"pqTrain: need ids 0..${ksub - 1} as seeds, found ${seedRows.size}")
+    // the seed contract is ids 0..ksub-1 EXACTLY — duplicate or negative
+    // ids below ksub would otherwise pass a bare size check (or, with
+    // exactly-compensating duplicates, silently train from wrong seeds)
+    require(seedRows.map(_._1) == (0 until ksub),
+      s"pqTrain: need $idCol ids 0..${ksub - 1} exactly once as seeds, " +
+        s"found [${seedRows.map(_._1).take(8).mkString(", ")}${if (seedRows.size > 8) ", …" else ""}] " +
+        s"(${seedRows.size} rows with $idCol < $ksub)")
     val dim = seedRows.head._2.size
     require(dim % m == 0, s"pqTrain: dim $dim does not split into $m subspaces")
     val dsub = dim / m

@@ -118,8 +118,27 @@ object EventStore {
           fs.delete(staged, true); fs.delete(old, true)
           spark.read.parquet(part.toString).coalesce(nOut)
             .write.mode(SaveMode.Overwrite).parquet(staged.toString)
-          require(fs.rename(part, old) && fs.rename(staged, part),
-            s"compact: swap failed for $part — old data left in place")
+          // two-step swap with explicit recovery: after a FIRST-rename
+          // failure the partition is untouched; after a SECOND-rename
+          // failure the data would be parked in the hidden old dir (which
+          // readers skip), so roll the original back into place and say
+          // exactly where everything is. A CRASH between the renames
+          // leaves the same parked state — recover by manually renaming
+          // `.<part>.compact-old` back to `<part>`.
+          require(fs.rename(part, old),
+            s"compact: rename $part -> $old failed; partition untouched, " +
+              s"compacted output remains at $staged")
+          if (!fs.rename(staged, part)) {
+            val rolledBack = fs.rename(old, part)
+            throw new IllegalStateException(
+              if (rolledBack)
+                s"compact: swap-in of $staged failed for $part; original " +
+                  s"data ROLLED BACK in place, compacted output left at $staged"
+              else
+                s"compact: swap-in of $staged failed for $part AND rollback " +
+                  s"failed — original data is parked at $old (hidden from " +
+                  s"readers); recover by renaming it back to $part")
+          }
           fs.delete(old, true)
           PartitionCompaction(part.getName, nBefore, bytes, nOut)
         }
@@ -140,4 +159,45 @@ object EventStore {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Swap-aware read: a plain [[read]] that LISTS the store while
+    * [[compact]] is mid-swap can momentarily miss the swapping partition —
+    * and a directory listing has no way to know data is absent, so the
+    * result is silently short, the worst failure mode a store can have.
+    *
+    * compact's protocol makes the window DETECTABLE: for the whole swap the
+    * hidden `.<part>.compact-old` (and before it `.compact-staging`) marker
+    * exists next to the partition. This reader polls the listing until no
+    * partition is mid-swap (marker present but live dir absent), then binds
+    * the plan. A swap that STARTS after the check is still invisible — that
+    * remaining race is what manifest/transaction-log table formats exist
+    * for (see the `_spark_metadata` guard in [[compact]]); within
+    * single-compactor operation this closes the observed gap.
+    *
+    * Fails loudly after `maxWaitMs` — a marker without a live partition
+    * that never resolves means a crashed compactor, and the error says how
+    * to recover. */
+  def readRetrying(spark: SparkSession, path: String,
+                   maxWaitMs: Long = 30000, pollMs: Long = 100): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = """^\.(.*)\.compact-(old|staging)$""".r
+    def midSwap(): Set[String] = {
+      val names = fs.listStatus(root).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).toSet
+      names.collect { case marker(part, _) if !names.contains(part) => part }
+    }
+    val deadline = System.nanoTime() + maxWaitMs * 1000000L
+    var missing = midSwap()
+    while (missing.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(pollMs)
+      missing = midSwap()
+    }
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"readRetrying: partitions ${missing.mkString(", ")} stayed mid-swap " +
+        s"for ${maxWaitMs}ms — a compactor likely crashed between renames; " +
+        "recover by renaming the hidden '.<part>.compact-old' dir back to " +
+        "'<part>' under " + path)
+    spark.read.parquet(path)
+  }
 }

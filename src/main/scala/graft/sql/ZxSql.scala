@@ -515,7 +515,9 @@ object ZxSql {
       // aggregate over a time range — that needs state; batch per
       // micro-batch via foreachBatch instead.
       if (js.trailingSec.nonEmpty)
-        throw ParseError("trailing joins are batch-only on streams — aggregate per micro-batch via foreachBatch")
+        throw ParseError("trailing joins return per-micro-batch results, not a " +
+          "continuous DataFrame — use AsofJoin.trailingWindowStream(stream, " +
+          "right, ...)(consume), the tested foreachBatch helper")
       if (q.groupBy.nonEmpty || q.orderBy.nonEmpty || q.limit.nonEmpty)
         throw ParseError("asof join queries do not take group by / order by / limit")
       val right = tables.getOrElse(js.table, throw ParseError(
@@ -539,16 +541,15 @@ object ZxSql {
     else if (q.exact) {
       if (q.having.nonEmpty)
         throw ParseError("having is not supported with exact gap windows")
-      import org.apache.spark.sql.functions.{col, element_at, split}
+      import org.apache.spark.sql.functions.{col, element_at}
       // reshape GwOut (key, w_start, w_end, values[]) to the batch
       // GapWindows schema (group cols…, w_start, w_end, one column per
-      // select) so one SQL string yields one schema on both engines
+      // select) so one SQL string yields one schema on both engines; the
+      // key is a structural array<string> (one element per group column),
+      // so reshaping is indexing, not separator splitting
       val gw = GapWindowStream(stream, q, watermark, tsCol).toDF()
-      val keyCols =
-        if (q.groupBy.isEmpty) Nil
-        else if (q.groupBy.size == 1) Seq(col("key").as(q.groupBy.head))
-        else q.groupBy.zipWithIndex.map { case (g, i) =>
-          element_at(split(col("key"), "\u0000"), i + 1).as(g) }
+      val keyCols = q.groupBy.zipWithIndex.map { case (g, i) =>
+        element_at(col("key"), i + 1).as(g) }
       val aggCols = q.selects.zipWithIndex.map { case (s, i) =>
         element_at(col("values"), i + 1).as(s.key) }
       gw.select(keyCols ++ Seq(col("w_start"), col("w_end")) ++ aggCols: _*)

@@ -42,7 +42,7 @@ object GapWindowStream {
   /** `eventTime` carries the watermarked TimestampType attribute through the
     * projection — event-time timeout requires a watermarked column to remain
     * visible below flatMapGroupsWithState. */
-  final case class GwEvent(key: String, ts: Long, sr: Double,
+  final case class GwEvent(key: Seq[String], ts: Long, sr: Double,
                            values: Array[Double], eventTime: java.sql.Timestamp)
   /** A buffered event awaiting watermark finalization. */
   final case class GwPend(ts: Long, sr: Double, values: Array[Double])
@@ -50,7 +50,7 @@ object GapWindowStream {
   final case class GwState(wStart: Long, wEnd: Long, anchor: Long,
                            hasWindow: Boolean, a: Array[Double], b: Array[Double],
                            pending: Seq[GwPend])
-  final case class GwOut(key: String, w_start: Long, w_end: Long, values: Array[Double])
+  final case class GwOut(key: Seq[String], w_start: Long, w_end: Long, values: Array[Double])
 
   private val allowed: Set[Agg] = Set(Agg.Sum, Agg.Count, Agg.Mean, Agg.Max, Agg.Min)
 
@@ -66,14 +66,18 @@ object GapWindowStream {
     val selects = q.selects
     val gran = q.granularitySec
 
-    // NUL-joined so group values containing spaces cannot merge or mis-split
-    // (ZxSql.runStream splits on the same byte). NOTE: the key encoding is
-    // part of the operator state schema - changing the separator (or the
-    // key column order) orphans open-window state in existing checkpoints;
-    // restart such queries from a fresh checkpoint after any change here.
+    // STRUCTURAL key: the group values ride as an array<string>, one element
+    // per group column — no separator exists, so no value can merge or
+    // mis-split two groups (the failure class any joined-string encoding
+    // carries). Because the key type is part of the checkpointed state
+    // schema, this also makes encoding changes FAIL LOUDLY: restarting on a
+    // checkpoint written under the old joined-string key (or any future
+    // re-encoding) trips Spark's state-schema compatibility check instead
+    // of silently misgrouping open-window state. Nulls are already
+    // __nil-coalesced by Compiler.groupKeys, so elements are never null.
     val keyExpr =
-      if (q.groupBy.isEmpty) lit("__all")
-      else concat_ws("\u0000", Compiler.groupKeys(q, schema): _*)
+      if (q.groupBy.isEmpty) array(lit("__all"))
+      else array(Compiler.groupKeys(q, schema): _*)
     // The SAME pre-aggregation filter the batch walk gets via
     // Compiler.scanFilter (time bounds + conjunct list + boolean `where`
     // tree): a filtered-out event can neither open a window nor act as a
@@ -116,10 +120,10 @@ object GapWindowStream {
         }
       }
 
-    def emit(key: String, st: GwState): GwOut =
+    def emit(key: Seq[String], st: GwState): GwOut =
       GwOut(key, st.wStart, st.wEnd, st.a.clone())
 
-    def walk(key: String, events: Iterator[GwEvent],
+    def walk(key: Seq[String], events: Iterator[GwEvent],
              state: GroupState[GwState]): Iterator[GwOut] = {
       val wmMs = state.getCurrentWatermarkMs()
       val prev = state.getOption.getOrElse {

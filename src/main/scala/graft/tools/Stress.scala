@@ -98,6 +98,61 @@ object Stress {
       require(stats.nonEmpty && stats.forall(p => p.filesAfter < p.filesBefore))
       graft.sources.EventStore.read(spark, evPath).count()
     }
+    // -------- windowed-family skew: ONE group holding all 10^6 events
+    // (every event of the 10× corpus remapped to a single event_type) vs
+    // the same volume spread over the natural types. Tumbling keys on
+    // (group, w_start), so the hot group still splits across windows and
+    // the shuffle stays balanced; session windows and the exact gap walk
+    // partition by the group alone — the hot group's whole timeline lands
+    // in ONE task and its walk is sequential, the straggler this measures.
+    // (AQE skew handling splits JOIN partitions, not aggregation groups —
+    // the mitigations are structural: two-level merge for sessions,
+    // per-group time-slicing for the gap walk; SURVEY §9 records numbers.)
+    import graft.ir._
+    val evw = graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val evw10 = (0 until 10)
+      .map(i => evw.withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L)))
+      .reduce(_ union _)
+    val evwHot = evw10.withColumn("event_type", lit("hot"))
+    val qW = ZxQuery(
+      selects = Seq(Select(Agg.Sum, "value"), Select(Agg.Count, "value")),
+      groupBy = Seq("event_type"), granularitySec = 3600L)
+    time("a8_tumbling_spread_10x") {
+      graft.compile.Compiler.runUnsorted(evw10, qW).count()
+    }
+    time("a8_tumbling_hot_10x") {
+      graft.compile.Compiler.runUnsorted(evwHot, qW).count()
+    }
+    time("a8_gap_spread_10x") {
+      graft.operators.GapWindows(evw10, qW, idCol = Some("event_id")).count()
+    }
+    time("a8_gap_hot_10x") {
+      graft.operators.GapWindows(evwHot, qW, idCol = Some("event_id")).count()
+    }
+    val sessionSql = "select sum(value), count(value) from events " +
+      "group by event_type session 300"
+    time("a9_session_spread_10x") {
+      graft.sql.ZxSql.run(evw10, sessionSql).count()
+    }
+    time("a9_session_hot_10x") {
+      graft.sql.ZxSql.run(evwHot, sessionSql).count()
+    }
+    // the BALANCED baseline groups by user_id (1500 groups at sf0.1 — real
+    // parallelism) vs the one-group walk at the same 10^7-row volume: the
+    // per-group-sequential bound only shows once one group's rows dwarf a
+    // task's comfortable sort size, so this pair is the straggler exhibit
+    val evw100 = (0 until 100)
+      .map(i => evw.withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L)))
+      .reduce(_ union _)
+    val qUser = qW.copy(groupBy = Seq("user_id"))
+    time("a8_gap_user_100x") {
+      graft.operators.GapWindows(evw100, qUser, idCol = Some("event_id")).count()
+    }
+    time("a8_gap_hot_100x") {
+      graft.operators.GapWindows(
+        evw100.withColumn("event_type", lit("hot")), qW, idCol = Some("event_id")).count()
+    }
     spark.stop()
   }
 }

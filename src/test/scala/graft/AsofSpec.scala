@@ -186,18 +186,50 @@ class AsofSpec extends AnyFunSuite {
     assert(got.getString(2) == "a", "the null-keyed version must never be carried")
   }
 
-  test("asofBroadcast rejects ambiguous or oversized right sides loudly") {
+  test("asofBroadcast rejects ambiguous, empty, or null-time right sides loudly") {
     val left = Seq((1L, 10L)).toDF("k", "t")
     val dupRight = Seq((1L, 10L, 1L, "a"), (1L, 10L, 2L, "b")).toDF("k", "t", "v", "tag")
     assert(intercept[IllegalArgumentException](
       AsofJoin.asofBroadcast(left, dupRight, "k", "k", "t", "t", Seq("v", "tag")))
       .getMessage.contains("latestPerKeyTime"))
     assert(intercept[IllegalArgumentException](
-      AsofJoin.asofBroadcast(left, right(), "k", "k", "t", "t", Seq("v"), maxRightRows = 2))
-      .getMessage.contains("exceeds 2 rows"))
-    assert(intercept[IllegalArgumentException](
       AsofJoin.asofBroadcast(left, right().filter(col("k") === 99), "k", "k", "t", "t", Seq("v")))
       .getMessage.contains("empty"))
+    // a null version TIME is corruption, not SQL-null semantics — loud error
+    val nullT = Seq((Some(1L), Some(10L), "a"), (Some(1L), None: Option[Long], "broken"))
+      .toDF("k", "t", "tag")
+    assert(intercept[IllegalArgumentException](
+      AsofJoin.asofBroadcast(left, nullT, "k", "k", "t", "t", Seq("tag")))
+      .getMessage.contains("null t"))
+  }
+
+  test("asofBroadcast above maxRightRows degrades to asof() on batch, errors on streams") {
+    val left = Seq((1L, 5L), (1L, 10L), (1L, 19L), (1L, 20L), (1L, 99L),
+      (2L, 14L), (2L, 16L), (3L, 50L)).toDF("k", "t")
+      .withColumn("eid", col("k") * 1000 + col("t"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("eid", "v", "tag").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    // right() has 3 rows: budget 3 broadcasts, budget 2 falls back — the
+    // output must be identical on BOTH sides of the boundary
+    val within = AsofJoin.asofBroadcast(left, right(), "k", "k", "t", "t",
+      Seq("v", "tag"), maxRightRows = 3)
+    val fellBack = AsofJoin.asofBroadcast(left, right(), "k", "k", "t", "t",
+      Seq("v", "tag"), maxRightRows = 2)
+    assert(canon(within) == canon(fellBack),
+      "fallback must preserve the broadcast output exactly")
+    // and the fallback really is the windowed plan (the broadcast is narrow)
+    assert(fellBack.queryExecution.executedPlan.toString.contains("Window"))
+    assert(!within.queryExecution.executedPlan.toString.contains("Window"))
+    // a streaming left cannot fall back (asof needs a window sort) — the
+    // overflow must stay a loud error naming the stream
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof-ovf").toString
+    left.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(left.schema).parquet(dir)
+    assert(intercept[IllegalArgumentException](
+      AsofJoin.asofBroadcast(stream, right(), "k", "k", "t", "t",
+        Seq("v", "tag"), maxRightRows = 2))
+      .getMessage.contains("STREAM"))
   }
 
   test("latestPerKeyTime keeps exactly the max-tie version per (key, time)") {

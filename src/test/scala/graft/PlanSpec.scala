@@ -76,6 +76,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
   }
 
+  test("q3: AQE picks the join strategy for the filtered fact-fact join; top-10 is TakeOrdered") {
+    val df = SparkEntry.queries("q3_shipping")(spark, dir)
+    df.collect() // materialize so AQE's runtime re-plan is final
+    val p = df.queryExecution.executedPlan.toString
+    // no hints in the query: at this sf the date-filtered orders side
+    // shrinks below the broadcast threshold, so AQE must have converted
+    // the fact-fact join — a 100 TB run with a fat filtered side would
+    // legitimately keep sort-merge, which is exactly the point of leaving
+    // the decision to AQE
+    assert(p.contains("BroadcastHashJoin"), s"AQE should broadcast the shrunken side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 must not global-sort:\n$p")
+  }
+
+  test("q4: EXISTS compiles to a left-semi hash join carrying the range condition") {
+    val df = SparkEntry.queries("q4_priority")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), s"existence check must be a semi join (no fan-out):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"the range condition must ride the equi join, not explode:\n$p")
+  }
+
   test("windowed aggregation is a single exchange (partial agg map-side)") {
     val p = plan("a8_window")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length

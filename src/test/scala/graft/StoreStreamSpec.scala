@@ -65,6 +65,93 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(debris.isEmpty, s"staging debris left behind: ${debris.mkString(",")}")
   }
 
+  test("trailingWindowStream: two-batch feed equals the batch trailing join row-for-row") {
+    import org.apache.spark.sql.functions.sum
+    val spark2 = spark; import spark2.implicits._
+    val dir = Files.createTempDirectory("graft-trailstream").toString + "/left"
+    val right = Seq((1L, 89L, 5.0), (1L, 90L, 1.0), (1L, 100L, 2.0),
+      (1L, 110L, 4.0), (2L, 100L, 8.0)).toDF("k", "t", "v")
+    val batchA = Seq((1L, 100L), (2L, 100L))
+    val batchB = Seq((1L, 115L), (3L, 100L))
+    def mk(rows: Seq[(Long, Long)]) = rows.toDF("k", "t")
+      .withColumn("eid", col("k") * 1000 + col("t"))
+    mk(batchA).coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(mk(batchA).schema).parquet(dir)
+    val aggs = Map("v_sum" -> sum(col("v")))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Double])]
+    val query = graft.operators.AsofJoin.trailingWindowStream(
+        stream, right, "k", "k", "t", "t", windowLen = 10L, aggs) { out =>
+      got.synchronized {
+        got ++= out.collect().map(r =>
+          r.getAs[Long]("eid") -> Option(r.get(r.fieldIndex("v_sum"))).map(_.asInstanceOf[Double]))
+      }
+    }.start()
+    try {
+      query.processAllAvailable()
+      mk(batchB).coalesce(1).write.mode("append").parquet(dir)
+      query.processAllAvailable()
+    } finally query.stop()
+    val batch = graft.operators.AsofJoin.trailingWindow(
+        mk(batchA ++ batchB), right, "k", "k", "t", "t", windowLen = 10L, aggs)
+      .collect().map(r =>
+        r.getAs[Long]("eid") -> Option(r.get(r.fieldIndex("v_sum"))).map(_.asInstanceOf[Double]))
+      .toSet
+    assert(got.toSet == batch,
+      s"streamed ${got.toSet} != batch $batch — chopping the feed must not change totals")
+    assert(batch.size == 4 && batch.nonEmpty)
+    // the guards: batch left / streaming right are loud errors
+    assert(intercept[IllegalArgumentException](
+      graft.operators.AsofJoin.trailingWindowStream(
+        mk(batchA), right, "k", "k", "t", "t", 10L, aggs)(_ => ()))
+      .getMessage.contains("must be a stream"))
+    assert(intercept[IllegalArgumentException](
+      graft.operators.AsofJoin.trailingWindowStream(
+        stream, stream, "k", "k", "t", "t", 10L, aggs)(_ => ()))
+      .getMessage.contains("static"))
+  }
+
+  test("mid-swap reads: plain read silently misses the partition; readRetrying survives; a dead swap fails loudly") {
+    val dir = Files.createTempDirectory("graft-swapread").toString + "/events"
+    val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "value")
+    EventStore.append(src, dir)
+    val fullRows = EventStore.read(spark, dir).count()
+    val root = new java.io.File(dir)
+    val part = root.listFiles().filter(f => f.isDirectory && f.getName.contains("="))
+      .minBy(_.getName)
+    // reproduce compact's exact mid-swap state: live dir renamed to the
+    // hidden old marker, compacted output staged next to it
+    val old = new java.io.File(root, "." + part.getName + ".compact-old")
+    val staged = new java.io.File(root, "." + part.getName + ".compact-staging")
+    assert(part.renameTo(old))
+    assert(old.listFiles().nonEmpty)
+    org.apache.commons.io.FileUtils.copyDirectory(old, staged)
+    // the failure the helper exists for: a listing read returns a SHORT
+    // result with no error at all
+    val shortCount = EventStore.read(spark, dir).count()
+    assert(shortCount < fullRows, "mid-swap plain read should silently lose the partition")
+    // readRetrying blocks on the marker until the swap completes, then
+    // sees the full store
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val pending = Future(
+      EventStore.readRetrying(spark, dir, maxWaitMs = 20000, pollMs = 50).count())
+    Thread.sleep(400) // let it observe the mid-swap state at least once
+    assert(!pending.isCompleted, "reader must wait while the swap is in flight")
+    assert(staged.renameTo(part)) // complete the swap
+    org.apache.commons.io.FileUtils.deleteDirectory(old)
+    assert(Await.result(pending, 30.seconds) == fullRows)
+    // a marker whose swap never completes (crashed compactor) must turn
+    // into a loud, actionable error — not an eternal poll
+    val part2 = root.listFiles().filter(f => f.isDirectory && f.getName.contains("="))
+      .maxBy(_.getName)
+    assert(part2.renameTo(new java.io.File(root, "." + part2.getName + ".compact-old")))
+    val e = intercept[IllegalStateException](
+      EventStore.readRetrying(spark, dir, maxWaitMs = 300, pollMs = 50))
+    assert(e.getMessage.contains("compact-old") && e.getMessage.contains(part2.getName))
+  }
+
   test("bucketed table: self-join and aggregation on the bucket key skip the shuffle") {
     val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
       .select("event_id", "ts", "user_id", "value") // ns-mirror col not needed here
@@ -321,7 +408,7 @@ class StoreStreamSpec extends AnyFunSuite {
         (13L, base + 1000L, "1", "1", null, null)))
       query.processAllAvailable()
       val streamed = spark.table("gws_out")
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        .collect().map(r => (r.getSeq[String](0).head, r.getLong(1), r.getLong(2),
           r.getSeq[Double](3).head)).toSet
       // batch operator over the same batch-1 rows is the semantics oracle
       val batch1Df = spark.createDataFrame(
@@ -364,7 +451,7 @@ class StoreStreamSpec extends AnyFunSuite {
       // far-future event advances the watermark past every deadline
       write(Seq((6L, base + 5000L, "1"))); query.processAllAvailable()
       val streamed = spark.table("gwo_out").collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        .map(r => (r.getSeq[String](0).head, r.getLong(1), r.getLong(2),
           r.getSeq[Double](3).head)).toSet
       val union = spark.createDataFrame(
         spark.sparkContext.parallelize(mkRows(a ++ b), 2), schema)
@@ -594,7 +681,7 @@ class StoreStreamSpec extends AnyFunSuite {
       writeBatch(Seq((11L, base + 5000L, "300", "1", "9", null)))
       query.processAllAvailable()
       val streamed = spark.table("gwf_out")
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        .collect().map(r => (r.getSeq[String](0).head, r.getLong(1), r.getLong(2),
           r.getSeq[Double](3).head)).toSet
       val batch1Df = spark.createDataFrame(
         spark.sparkContext.parallelize(batch1.map { case (id, sec, foo, x, y, tag) =>
@@ -784,11 +871,12 @@ class StoreStreamSpec extends AnyFunSuite {
         .write.mode("append").parquet(dir)
     }
     val base = 1704067200L
-    // adversarial pair: a SPACE separator would render ("a b","c") and
-    // ("a","b c") as the same joined key "a b c" — merging two distinct
-    // groups AND mis-splitting the columns on output. The NUL separator
-    // (GapWindowStream keyExpr / ZxSql.runStream split) keeps them apart;
-    // this spec fails if the separator ever reverts to " ".
+    // adversarial pair: ANY joined-string key with separator byte S renders
+    // ("a b","c") and ("a","b c") as the same key when a value contains S
+    // (here: space) — merging two distinct groups AND mis-splitting the
+    // columns on output. The structural array<string> key (GapWindowStream
+    // keyExpr / ZxSql.runStream element_at reshape) has no separator at
+    // all; this spec fails if a joined-string encoding ever returns.
     val rows = Seq(
       (1L, base + 0L, "100", "a b", "c"), (2L, base + 2L, "200", "a b", "c"),
       (3L, base + 1L, "1000", "a", "b c"), (4L, base + 3L, "4000", "a", "b c"))
