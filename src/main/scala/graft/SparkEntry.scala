@@ -268,6 +268,27 @@ object SparkEntry {
         round3("sum_value"), round3("count_value"))
   }
 
+  /** a9b: the SAME sessions through the two-level skew plan
+    * (Compiler.runSessionTwoLevel via skewSalt) — level 1 sessionizes per
+    * (group, salt) slice, level 2 merges partial-session INTERVALS with a
+    * dynamic gap; window boundaries are provably identical to a9's.
+    * Values are pre-quantized to 2^-20 fixed point so the re-associated
+    * two-level sums stay exact integers (order-independent, engine-exact)
+    * — the oracle replays plain sessionization over the same quantized
+    * values, so a hash match proves the two plans agree window-for-window
+    * AND value-for-value. */
+  private def a9bSessionSalted(s: SparkSession, dir: String): DataFrame = {
+    import graft.ir._
+    val ev = Tables.events(s, dir)
+      .withColumn("value", floor(col("value") * lit(1048576.0)) / lit(1048576.0))
+    val q = ZxQuery(
+      selects = Seq(Select(Agg.Sum, "value"), Select(Agg.Count, "value")),
+      groupBy = Seq("event_type"), sessionGapSec = Some(300L), skewSalt = Some(16))
+    Compiler.runSession(ev, q)
+      .select(col("event_type"), col("w_start"), col("w_end"),
+        round3("sum_value"), round3("count_value"))
+  }
+
   /** A11 tail percentiles (extension): p50/p90/p99 — the latency-SLO
     * staples — via the same exact interpolated percentile as A7's p50
     * (Spark `percentile` ≡ DuckDB `quantile_cont`). */
@@ -1393,6 +1414,7 @@ object SparkEntry {
     "a8_window" -> (a8Window _),
     "a8_gap_window" -> (a8GapWindow _),
     "a9_session" -> (a9Session _),
+    "a9b_session_salted" -> (a9bSessionSalted _),
     "a10_hopping" -> (a10Hopping _),
     "a11_percentiles" -> (a11Percentiles _),
     "p1_sql" -> (p1Sql _),
@@ -1574,6 +1596,26 @@ object SparkEntry {
       // engines; the join fans membership back out to every event.
       """WITH e AS (SELECT coalesce(event_type, '__nil') AS g,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS t, value FROM events),
+        |dt AS (SELECT DISTINCT g, t FROM e),
+        |m AS (SELECT g, t,
+        |    CASE WHEN lag(t) OVER (PARTITION BY g ORDER BY t) IS NULL
+        |         OR t - lag(t) OVER (PARTITION BY g ORDER BY t) > 300
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM dt),
+        |sid AS (SELECT g, t, sum(brk) OVER (PARTITION BY g ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s FROM m)
+        |SELECT e.g AS event_type, min(e.t) AS w_start, max(e.t) + 300 AS w_end,
+        |  round(sum(coalesce(e.value, 0)), 3) AS sum_value,
+        |  round(CAST(count(e.value) AS DOUBLE), 3) AS count_value
+        |FROM e JOIN sid ON e.g = sid.g AND e.t = sid.t
+        |GROUP BY e.g, sid.s""".stripMargin,
+    "a9b_session_salted" ->
+      // the a9 replay over 2^-20-quantized values: windows must equal the
+      // plain plan's (the two-level merge is exact), and quantized sums are
+      // exact integers on both engines, so the hash pins plan equivalence
+      """WITH e AS (SELECT coalesce(event_type, '__nil') AS g,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |    floor(value * 1048576.0) / 1048576.0 AS value FROM events),
         |dt AS (SELECT DISTINCT g, t FROM e),
         |m AS (SELECT g, t,
         |    CASE WHEN lag(t) OVER (PARTITION BY g ORDER BY t) IS NULL

@@ -98,7 +98,7 @@ object Aggregates {
     * salting. The composition (final ∘ partial) reproduces [[compile]]'s
     * semantics exactly: sums/counts re-sum, extremes re-extreme, mean keeps
     * weighted (value-sum, weight-sum) partials and divides once at the end. */
-  private def saltPhases(sel: Select, i: Int, schema: StructType): (Seq[Column], Column) = {
+  private[compile] def saltPhases(sel: Select, i: Int, schema: StructType): (Seq[Column], Column) = {
     val w = weight(schema)
     val v = numeric(sel.column, schema)
     val present = Compiler.colRef(sel.column).isNotNull

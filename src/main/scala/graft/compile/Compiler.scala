@@ -173,8 +173,10 @@ object Compiler {
   def runSession(df: DataFrame, q: ZxQuery, tsCol: String = DefaultTsCol): DataFrame = {
     val gap = q.sessionGapSec.getOrElse(
       throw new IllegalArgumentException("runSession needs sessionGapSec"))
-    require(q.skewSalt.isEmpty,
-      "session windows cannot be salted — partial sessions would not merge")
+    // naive salting would break sessions (salted partials would never
+    // merge) — but the TWO-LEVEL plan merges partial-session INTERVALS
+    // exactly, so a salted session query routes there
+    if (q.skewSalt.nonEmpty) return runSessionTwoLevel(df, q, q.skewSalt.get, tsCol)
     val filtered = scanFilter(df, q, tsCol)
     // whole-second times on both engines (the oracle replays lag/cumsum over
     // BIGINT seconds), so session boundaries can never straddle a sub-second
@@ -189,6 +191,64 @@ object Compiler {
       .select((q.groupBy.map(colRef) ++ Seq(
         col("__sw.start").cast(LongType).as("w_start"),
         col("__sw.end").cast(LongType).as("w_end")) ++
+        q.selects.map(s => colRef(s.key))): _*)
+  }
+
+  /** Two-level SESSION windows — the skew mitigation for the one-hot-group
+    * straggler (Stress: a 10^7-event group walks 2× slower than the same
+    * volume balanced, growing linearly). Naive salting is wrong for
+    * sessions (salted partials never merge); this plan is exact:
+    *
+    * LEVEL 1 groups on (keys, salt, session_window) — the hot group's
+    * events spread over `salts` reducers, each salt slice sessionizes its
+    * own events. A partial session is a gap-chain within its slice, so its
+    * span [first, last+gap) equals the UNION of its members' event
+    * intervals [t, t+gap) (consecutive chain intervals overlap) — which is
+    * the property level 2 needs.
+    *
+    * LEVEL 2 re-sessionizes the partial sessions with a DYNAMIC gap of
+    * (end − start) per row, making each partial occupy exactly its own
+    * span: Spark's session merge then computes connected components of the
+    * interval union — by the span property, exactly the event-level
+    * sessions, regardless of how the salt sliced them. Aggregates merge
+    * through the same partial/final decomposition the salted tumbling path
+    * uses ([[Aggregates.saltPhases]]); level 2 moves one row per partial
+    * session, so the sequential per-group work shrinks by the average
+    * events-per-partial-session factor — the 100 TB lever.
+    *
+    * Decomposable aggregates only (Sum/Count/Max/Min/Mean). Reachable from
+    * the IR: `session N` + `skewSalt` routes here via [[runSession]]. */
+  def runSessionTwoLevel(df: DataFrame, q: ZxQuery, salts: Int,
+                         tsCol: String = DefaultTsCol): DataFrame = {
+    val gap = q.sessionGapSec.getOrElse(
+      throw new IllegalArgumentException("runSessionTwoLevel needs sessionGapSec"))
+    require(salts > 0, s"salts must be positive, got $salts")
+    val extraSels = q.having.map(_.select)
+      .filterNot(s => q.selects.contains(s)).distinct
+    val sels = q.selects ++ extraSels
+    val (partials, finals) = sels.zipWithIndex
+      .map { case (s, i) => Aggregates.saltPhases(s, i, df.schema) }.unzip
+    val filtered = scanFilter(df, q, tsCol)
+    val sw = session_window(
+      timestamp_seconds(col(tsCol).cast(LongType)), s"$gap seconds")
+    val saltCol = pmod(hash(df.columns.map(col): _*), lit(salts)).as("__salt")
+    val pcols = partials.flatten
+    val level1 = filtered
+      .groupBy(groupKeys(q, df.schema) :+ saltCol :+ sw.as("__sw"): _*)
+      .agg(pcols.head, pcols.tail: _*)
+      .withColumn("__s", col("__sw.start").cast(LongType))
+      .withColumn("__e", col("__sw.end").cast(LongType))
+    // the dynamic gap must be CalendarIntervalType (SessionWindowing's
+    // contract); make_interval(secs = __e - __s) builds it per row
+    val sw2 = session_window(timestamp_seconds(col("__s")),
+      expr("make_interval(0, 0, 0, 0, 0, 0, __e - __s)"))
+    val merged = level1
+      .groupBy(q.groupBy.map(colRef) :+ sw2.as("__sw2"): _*)
+      .agg(finals.head, finals.tail: _*)
+    havingFilter(merged, q.having)
+      .select((q.groupBy.map(colRef) ++ Seq(
+        col("__sw2.start").cast(LongType).as("w_start"),
+        col("__sw2.end").cast(LongType).as("w_end")) ++
         q.selects.map(s => colRef(s.key))): _*)
   }
 

@@ -119,8 +119,10 @@ final case class Having(select: Select, cmp: Cmp, value: String)
   * `skewSalt` (extension; no reference counterpart) opts the aggregation
   * into a salted two-phase plan: partial aggregation on (keys, salt)
   * spreads a hot group key across that many reducers, a second tiny
-  * aggregation merges the partials. Decomposable aggregates only
-  * (sum/count/max/min/mean).
+  * aggregation merges the partials. With `sessionGapSec` it routes to the
+  * exact two-level session plan (partial sessions per salt slice, interval
+  * merge — [[graft.compile.Compiler.runSessionTwoLevel]]). Decomposable
+  * aggregates only (sum/count/max/min/mean). SQL face: `salt <n>`.
   *
   * `exact` routes the windowed path through the reference-parity
   * data-anchored gap windows ([[graft.operators.GapWindows]]) instead of
@@ -148,8 +150,9 @@ final case class ZxQuery(
     /** Session windows (extension): group events whose gap to the previous
       * event is < this many seconds into one window (sessionization), in
       * place of fixed tumbling buckets. Mutually exclusive with `exact`
-      * and `orderBy`; incompatible with `skewSalt` (salted partial
-      * sessions cannot merge). */
+      * and `orderBy`. With `skewSalt`, sessionization runs through the
+      * exact two-level plan (naive salting would split sessions; the
+      * two-level interval merge does not). */
     sessionGapSec: Option[Long] = None,
     /** Hopping (sliding) windows (extension): windows of `granularitySec`
       * length starting every `slideSec` seconds — an event lands in every

@@ -13,7 +13,7 @@ import graft.operators.GapWindows
   *   [group by <col, …>] [having <aggitem cmp num and …>]
   *   [order by <item> [asc|desc], …]
   *   [limit <n>] [granularity <seconds>] [slide <seconds>]
-  *   [session <gapSeconds>] [exact]
+  *   [session <gapSeconds>] [salt <n>] [exact]
   * where item := col | count|sum|max|min|count_distinct|mean|p50|heatmap
   *               |approx_count_distinct|p50_approx(col) | count(*)
   * and boolexpr := full boolean structure with OR / AND / NOT / parens
@@ -387,6 +387,23 @@ object ZxSql {
       }
     }
 
+    // `salt <n>` (extension): route the aggregation through the two-phase
+    // skew plan — tumbling/hopping/top-groups via the salted partial+final
+    // decomposition (Aggregates.groupedAgg), sessions via the exact
+    // two-level interval merge (Compiler.runSessionTwoLevel). The explicit
+    // SQL face of the one-hot-key mitigation.
+    var salt: Option[Int] = None
+    if (atIdent("salt")) {
+      next()
+      salt = next() match {
+        case Num(v) =>
+          val n = parseLong(v, "salt count")
+          if (n < 1 || n > 4096) throw ParseError(s"salt count must be in [1, 4096], got $n")
+          Some(n.toInt)
+        case other => throw ParseError(s"expected salt count, got $other")
+      }
+    }
+
     // trailing `exact`: route windows through the reference-parity
     // data-anchored gap walk instead of calendar tumbling
     var exactWindows = false
@@ -412,10 +429,16 @@ object ZxSql {
     if (joinSpec.nonEmpty &&
         (having.nonEmpty || sessionGap.nonEmpty || slide.nonEmpty || exactWindows))
       throw ParseError("asof/trailing join queries do not take having / session / slide / exact")
+    if (salt.nonEmpty && exactWindows)
+      throw ParseError("salt cannot apply to exact gap windows — the data-anchored " +
+        "walk is order-dependent per group and has no partial decomposition")
+    if (salt.nonEmpty && (joinSpec.nonEmpty || selects.forall(_.agg == Agg.Raw)))
+      throw ParseError("salt applies to aggregation queries only")
 
     ZxQuery(selects, realConds, groupBy, orderBy, tStart, tEnd, gran, limitN,
       exact = exactWindows, where = whereTree, asofJoin = joinSpec,
-      having = having, sessionGapSec = sessionGap, slideSec = slide)
+      having = having, sessionGapSec = sessionGap, slideSec = slide,
+      skewSalt = salt)
   }
 
   // --------------------------------------------------------------- executor
@@ -535,6 +558,9 @@ object ZxSql {
     if (q.selects.exists(_.agg == Agg.Heatmap))
       throw ParseError("heatmap's adaptive bounds need the full value range — " +
         "on a stream use EventStream.heatmapAgg with explicit [lo, hi) bounds")
+    if (q.skewSalt.nonEmpty)
+      throw ParseError("salt is batch-only: the streaming aggregations shard " +
+        "state by group key and have no salted form")
     if (q.selects.forall(_.agg == Agg.Raw)) EventStream.rawStream(stream, q, tsCol)
     else if (q.sessionGapSec.nonEmpty) EventStream.sessionAgg(stream, q, watermark, tsCol)
     else if (q.slideSec.nonEmpty) EventStream.hoppingAgg(stream, q, watermark, tsCol)

@@ -141,18 +141,36 @@ object Stress {
     // the BALANCED baseline groups by user_id (1500 groups at sf0.1 — real
     // parallelism) vs the one-group walk at the same 10^7-row volume: the
     // per-group-sequential bound only shows once one group's rows dwarf a
-    // task's comfortable sort size, so this pair is the straggler exhibit
+    // task's comfortable sort size, so this pair is the straggler exhibit.
+    // PERSISTED so the timings measure the aggregation, not the 100-way
+    // union re-scan (which confounded the first measurement of this case).
     val evw100 = (0 until 100)
       .map(i => evw.withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L)))
-      .reduce(_ union _)
+      .reduce(_ union _).persist()
+    val evwHot100 = evw100.withColumn("event_type", lit("hot")).persist()
+    evw100.count(); evwHot100.count()
     val qUser = qW.copy(groupBy = Seq("user_id"))
     time("a8_gap_user_100x") {
       graft.operators.GapWindows(evw100, qUser, idCol = Some("event_id")).count()
     }
     time("a8_gap_hot_100x") {
-      graft.operators.GapWindows(
-        evw100.withColumn("event_type", lit("hot")), qW, idCol = Some("event_id")).count()
+      graft.operators.GapWindows(evwHot100, qW, idCol = Some("event_id")).count()
     }
+    // session mitigation A/B at the same 10^7-row one-group volume: the
+    // plain plan sessionizes the whole group in one reducer; the two-level
+    // plan (skewSalt routes runSession → runSessionTwoLevel) spreads level
+    // 1 over 32 salts and merges partial-session intervals — the win
+    // scales with avg events/partial-session
+    val qS = ZxQuery(
+      selects = Seq(Select(Agg.Sum, "value"), Select(Agg.Count, "value")),
+      groupBy = Seq("event_type"), sessionGapSec = Some(300L))
+    time("a9_session_hot_plain_100x") {
+      graft.compile.Compiler.runSession(evwHot100, qS).count()
+    }
+    time("a9_session_hot_2level_100x") {
+      graft.compile.Compiler.runSession(evwHot100, qS.copy(skewSalt = Some(32))).count()
+    }
+    evw100.unpersist(); evwHot100.unpersist()
     spark.stop()
   }
 }

@@ -157,6 +157,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$p")
   }
 
+  test("two-level salted sessions equal plain sessions exactly, for any salt count") {
+    import graft.ir._
+    val ev = graft.sources.Tables.events(spark, dir)
+    val q = ZxQuery(
+      selects = Seq(Select(Agg.Sum, "value"), Select(Agg.Count, "value"),
+        Select(Agg.Mean, "value"), Select(Agg.Max, "value"), Select(Agg.Min, "value")),
+      groupBy = Seq("event_type"), sessionGapSec = Some(300L))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        (3 until 8).map(i => math.round(r.getDouble(i) * 1e6)).toSeq).toMap
+    val plain = canon(graft.compile.Compiler.runSession(ev, q))
+    assert(plain.nonEmpty)
+    // window boundaries must match EXACTLY (interval-union connectivity is
+    // the proof obligation); aggregate values to 1e-6 (double re-association
+    // across the two levels)
+    for (salts <- Seq(1, 7, 16))
+      assert(canon(graft.compile.Compiler.runSession(
+        ev, q.copy(skewSalt = Some(salts)))) == plain, s"salts=$salts diverged")
+    // the hot-group shape: every event in ONE group must still be exact
+    val hot = ev.withColumn("event_type", org.apache.spark.sql.functions.lit("hot"))
+    assert(canon(graft.compile.Compiler.runSession(ev.withColumn("event_type",
+        org.apache.spark.sql.functions.lit("hot")), q.copy(skewSalt = Some(16))))
+      == canon(graft.compile.Compiler.runSession(hot, q)))
+    // non-decomposable aggregates are rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.compile.Compiler.runSession(ev,
+        q.copy(selects = Seq(Select(Agg.CountDistinct, "value")), skewSalt = Some(8)))
+    }
+    assert(e.getMessage.contains("decomposable"))
+  }
+
   test("skewSalt aggregation equals the plain aggregate and adds one salted exchange") {
     import graft.ir._
     val ev = graft.sources.Tables.events(spark, dir)

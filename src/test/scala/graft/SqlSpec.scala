@@ -206,6 +206,33 @@ class SqlSpec extends AnyFunSuite {
       ZxSql.parse("select sum(foo) group by y order by sum(foo) session 5"))
   }
 
+  test("salt clause routes to the two-phase plans and equals the unsalted results") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.toSeq.map {
+        case d: Double => math.round(d * 1e6)
+        case v => v
+      }).toSet
+    // tumbling + salt == tumbling (salted partial/final decomposition)
+    assert(canon(ZxSql.run(fixture, "select sum(foo), count(foo) group by y granularity 15 salt 8"))
+      == canon(ZxSql.run(fixture, "select sum(foo), count(foo) group by y granularity 15")))
+    // session + salt == session (exact two-level interval merge)
+    assert(canon(ZxSql.run(fixture, "select sum(foo) group by y session 5 salt 8"))
+      == canon(ZxSql.run(fixture, "select sum(foo) group by y session 5")))
+    // top-groups + salt == top-groups
+    assert(canon(ZxSql.run(fixture, "select sum(foo) group by y order by sum(foo) desc salt 4"))
+      == canon(ZxSql.run(fixture, "select sum(foo) group by y order by sum(foo) desc")))
+    // guards: exact gap walks have no salted form; raw/join queries either;
+    // non-decomposable aggregates fail in the compiler with a named error
+    assertThrows[ZxSql.ParseError](
+      ZxSql.parse("select sum(foo) group by y salt 8 exact"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select foo salt 8"))
+    assertThrows[ZxSql.ParseError](
+      ZxSql.parse("select sum(foo) group by y salt 0"))
+    val e = intercept[IllegalArgumentException](
+      ZxSql.run(fixture, "select count_distinct(foo) group by y salt 8"))
+    assert(e.getMessage.contains("decomposable"))
+  }
+
   test("hopping windows land each event in every covering window") {
     // fixture ts 0..9, size 4 slide 2: event at t lands in windows starting
     // at {floor((t-4)/2)+1 .. floor(t/2)} * 2 — two windows per event
