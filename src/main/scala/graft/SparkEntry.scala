@@ -503,6 +503,26 @@ object SparkEntry {
       .agg(count(lit(1)).as("order_count"))
   }
 
+  /** TPC-H Q13 shape: the LEFT OUTER distribution — how many customers
+    * placed k orders, INCLUDING the zero-order customers only an outer
+    * join can see. Two aggregations: per-customer order count (the outer
+    * join's null o_orderkey counts as 0 — count(col) skips nulls), then
+    * the count distribution. The right side is pre-filtered (equivalent to
+    * the ON-clause filter for a left outer join); both shuffles carry only
+    * keys+counts. Deterministic total order by (custdist, c_count) desc. */
+  private def q13Custdist(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select("c_custkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   /** c2: the full training-shard pipeline in ONE declarative DAG —
     * benchmark decontamination (anti-join on the contaminated set), the c1
     * quality+language gate, canonical exact-dedup, token-budget packing
@@ -1429,6 +1449,7 @@ object SparkEntry {
     "q1_pricing" -> (q1Pricing _),
     "q3_shipping" -> (q3Shipping _),
     "q4_priority" -> (q4Priority _),
+    "q13_custdist" -> (q13Custdist _),
     "j1_revenue_nation" -> (j1RevenueNation _),
     "j2_asof_join" -> (j2AsofJoin _),
     "j4_asof_broadcast" -> (j4AsofBroadcast _),
@@ -1740,6 +1761,16 @@ object SparkEntry {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT OUTER JOIN (
+        |    SELECT o_orderkey, o_custkey FROM orders
+        |    WHERE o_orderpriority <> '1-URGENT') o
+        |  ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "j1_revenue_nation" ->
       """SELECT n_name,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

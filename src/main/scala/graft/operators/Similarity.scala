@@ -561,22 +561,37 @@ object Similarity {
       .drop("__q", "__qn", vecCol)
   }
 
-  /** Batched sign-LSH ANN: top-k within each query's bucket for EVERY query
-    * in one corpus pass — [[annSignLsh]]'s bucket pruning with [[batchKnn]]'s
-    * batch economics (bucket-equality probes only, i.e. probes=1). Scoring
-    * runs only on rows sharing a query's bucket (the broadcast join drops
-    * the rest), and the per-query top-k is the WindowGroupLimit shape: each
-    * partition forwards at most k rows per query to the single shuffle. */
+  /** Batched sign-LSH ANN: top-k within each query's probe buckets for
+    * EVERY query in one corpus pass — [[annSignLsh]]'s bucket pruning with
+    * [[batchKnn]]'s batch economics. `probes > 1` adds each query's
+    * hamming-1 buckets in the same bit order as the single-query form
+    * (query bucket first), so per-query results are identical to
+    * [[annSignLsh]]'s at any probe width. The probe set stays a tiny
+    * broadcast (|queries| × probes rows); a corpus row joins each query at
+    * most once (one bucket per row, distinct probe buckets per query), and
+    * the per-query top-k is the WindowGroupLimit shape: each partition
+    * forwards at most k rows per query to the single shuffle. */
   def batchAnnSignLsh(emb: DataFrame, queryIds: Seq[Long], k: Int, bits: Int = 8,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                      probes: Int = 1, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(probes >= 1 && probes <= bits + 1,
+      s"probes must be in [1, bits+1], got $probes for $bits bits")
     val bucketed = emb.withColumn("bucket", signBucket(col(vecCol), bits))
     val q = bucketed.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(vecCol).as("__q"),
         norm(col(vecCol)).as("__qn"), col("bucket"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("__flip").asc)
+    val qprobes = q.select(col("query_id"), col("__q"), col("__qn"), col("bucket"),
+        explode(array((lit(0L) +: (0 until bits).map(d => lit(1L << d))): _*)).as("__flip"))
+      .withColumn("bucket", col("bucket").bitwiseXOR(col("__flip")))
+      .withColumn("__pr", row_number().over(wp))
+      .filter(col("__pr") <= probes)
+      .drop("__flip", "__pr")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col(idCol).asc)
-    bucketed.join(broadcast(q), "bucket")
+    bucketed.join(broadcast(qprobes), "bucket")
       .withColumn("cos", dot(col(vecCol), col("__q")) / (norm(col(vecCol)) * col("__qn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -233,10 +233,18 @@ class ApproxSpec extends AnyFunSuite {
     val adcBatch = Similarity.pqBatchKnn(emb, books, qids, k = 10)
       .select("query_id", "vec_id").collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val lshBatch5 = Similarity.batchAnnSignLsh(emb, qids, k = 10, bits = 4, probes = 5)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
     for (q <- qids) {
       val lshOne = Similarity.annSignLsh(emb, q, k = 10, bits = 4)
         .select("vec_id").collect().map(_.getLong(0)).toSet
       assert(lshBatch(q) == lshOne, s"batched LSH diverged for query $q")
+      // multi-probe parity: the hamming-1 widening picks the same buckets
+      // in the same bit order as the single-query form
+      val lshOne5 = Similarity.annSignLsh(emb, q, k = 10, bits = 4, probes = 5)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(lshBatch5(q) == lshOne5, s"batched multi-probe LSH diverged for query $q")
       val adcOne = Similarity.pqKnn(emb, books, q, k = 10)
         .select("vec_id").collect().map(_.getLong(0)).toSet
       assert(adcBatch(q) == adcOne, s"batched ADC diverged for query $q")

@@ -98,6 +98,23 @@ class PlanSpec extends AnyFunSuite {
       s"the range condition must ride the equi join, not explode:\n$p")
   }
 
+  test("q13: zero-order customers survive the outer join; plan is a hash join, not a loop") {
+    val df = SparkEntry.queries("q13_custdist")(spark, dir)
+    val rows = df.collect()
+    // the outer join's invariant: EVERY customer lands in exactly one
+    // bucket (sum of the distribution == customer count) — an inner join
+    // would drop zero-order customers and break this whenever they exist
+    // (they do at sf0.01+; this fixture sf has none, the invariant still
+    // pins the preserved-side semantics)
+    assert(rows.map(_.getAs[Long]("custdist")).sum ==
+      graft.sources.Tables.customer(spark, dir).count(),
+      "distribution must cover every customer exactly once")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftOuter") || p.contains("RightOuter"),
+      s"expected an outer hash join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
   test("windowed aggregation is a single exchange (partial agg map-side)") {
     val p = plan("a8_window")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length

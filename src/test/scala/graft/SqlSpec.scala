@@ -221,6 +221,9 @@ class SqlSpec extends AnyFunSuite {
     // top-groups + salt == top-groups
     assert(canon(ZxSql.run(fixture, "select sum(foo) group by y order by sum(foo) desc salt 4"))
       == canon(ZxSql.run(fixture, "select sum(foo) group by y order by sum(foo) desc")))
+    // hopping + salt == hopping
+    assert(canon(ZxSql.run(fixture, "select sum(foo) group by y granularity 4 slide 2 salt 8"))
+      == canon(ZxSql.run(fixture, "select sum(foo) group by y granularity 4 slide 2")))
     // guards: exact gap walks have no salted form; raw/join queries either;
     // non-decomposable aggregates fail in the compiler with a named error
     assertThrows[ZxSql.ParseError](
