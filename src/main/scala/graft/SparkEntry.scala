@@ -584,6 +584,35 @@ object SparkEntry {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** c5: the MANIFESTED maintenance cycle, oracle-checked end-to-end —
+    * fragment a store copy, adopt the manifest, compact in place (no live
+    * file ever renamed away; the manifest swap is the commit point),
+    * vacuum the replaced inputs, then aggregate via the PINNED read
+    * against DuckDB on the original table. Requires fail the query loudly
+    * if compaction didn't reduce files, if vacuum didn't reclaim exactly
+    * the replaced inputs, or if debris survived — so the row is only green
+    * when the whole protocol ran and preserved every byte. */
+  private def c5ManifestCompact(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/graft-manifest-q/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.sources.EventStore.reset(s, path)
+    val ev = Tables.events(s, dir)
+      .filter(dayofmonth(col("ts")) <= 6)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    graft.sources.EventStore.append(ev.repartition(4), path)
+    graft.sources.EventStore.writeManifest(s, path)
+    val stats = graft.sources.EventStore.compactInPlace(s, path)
+    require(stats.nonEmpty && stats.forall(p => p.filesAfter < p.filesBefore),
+      s"compactInPlace must reduce file counts, got: $stats")
+    val deleted = graft.sources.EventStore.vacuum(s, path)
+    require(deleted.size == stats.map(_.filesBefore).sum,
+      s"vacuum must reclaim exactly the replaced inputs, got ${deleted.size}")
+    graft.sources.EventStore.readPinned(s, path)
+      .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 3).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** j2: as-of join — each event enriched with the user's most recent
     * order at-or-before the event (the time-series point-in-time lookup).
     * Orders are deduped to one version per (custkey, second) first, so the
@@ -1500,6 +1529,7 @@ object SparkEntry {
     "c1_curate" -> (c1Curate _),
     "c2_shards" -> (c2Shards _),
     "c3_compact" -> (c3Compact _),
+    "c5_manifest_compact" -> (c5ManifestCompact _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2408,6 +2438,13 @@ object SparkEntry {
     "c3_compact" ->
       // content preservation: the compacted store must aggregate exactly
       // like the ORIGINAL events table (session tz is UTC on both sides)
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*)::BIGINT AS n,
+        | round(sum(value), 3) AS sum_value,
+        | count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events WHERE date_part('day', ts) <= 6 GROUP BY 1""".stripMargin,
+    "c5_manifest_compact" ->
+      // identical preservation contract as c3, through the manifested
+      // (pin/compactInPlace/vacuum) protocol instead of the rename swap
       """SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*)::BIGINT AS n,
         | round(sum(value), 3) AS sum_value,
         | count(DISTINCT user_id)::BIGINT AS n_users

@@ -147,6 +147,182 @@ object EventStore {
     } finally pool.shutdown()
   }
 
+  // ------------------------------------------------- manifest-pinned store
+  //
+  // The "properly" answer to compaction-vs-readers: a tiny file manifest
+  // the readers pin, so maintenance and queries never race on directory
+  // listings (the same idea transaction-log table formats scale up).
+  // Protocol: appends are followed by writeManifest; readers use
+  // readPinned (atomic snapshot); compactInPlace never touches live files
+  // — it moves compacted files IN and swaps the manifest as its single
+  // commit point; vacuum reclaims unmanifested bytes after a grace window
+  // longer than the longest running query.
+
+  private val ManifestName = "_graft_manifest.json"
+
+  private def manifestPath(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, ManifestName)
+
+  /** Visible data files, as `partitionDir/fileName` relative paths. */
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                            root: org.apache.hadoop.fs.Path): Seq[String] =
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .flatMap { p =>
+        fs.listStatus(p.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+            && !f.getPath.getName.startsWith("."))
+          .map(f => p.getPath.getName + "/" + f.getPath.getName)
+      }.sorted
+
+  private def writeManifestFile(fs: org.apache.hadoop.fs.FileSystem,
+                                root: org.apache.hadoop.fs.Path,
+                                files: Seq[String]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(root, ManifestName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(files.sorted
+      .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("{\"files\": [", ",\n", "]}")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // POSIX/HDFS rename replaces atomically; on filesystems that refuse an
+    // existing destination, fall back to delete+rename (a tiny no-manifest
+    // window a retrying reader rides out)
+    if (!fs.rename(tmp, manifestPath(root))) {
+      fs.delete(manifestPath(root), false)
+      require(fs.rename(tmp, manifestPath(root)),
+        s"writeManifest: could not install $ManifestName under $root")
+    }
+  }
+
+  private def readManifestFile(fs: org.apache.hadoop.fs.FileSystem,
+                               root: org.apache.hadoop.fs.Path): Seq[String] = {
+    val p = manifestPath(root)
+    require(fs.exists(p),
+      s"no $ManifestName under $root — this store is not manifested; " +
+        "call writeManifest after appends to adopt the pinned-read protocol")
+    val in = fs.open(p)
+    val txt = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(txt).map(_.group(1)
+      .replace("\\\"", "\"").replace("\\\\", "\\")).toSeq.filter(_ != "files")
+  }
+
+  /** Adopt (or refresh) the manifest: snapshot the CURRENT visible data
+    * files as the store's committed set. Run after every append batch;
+    * anything not in the manifest is invisible to [[readPinned]] and fair
+    * game for [[vacuum]]. */
+  def writeManifest(spark: SparkSession, path: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = listDataFiles(fs, root)
+    require(files.nonEmpty, s"writeManifest: no data files under $path")
+    writeManifestFile(fs, root, files)
+    files.size
+  }
+
+  /** Manifest-pinned read: the plan binds to the manifest's exact file
+    * set, atomically snapshotted at call time — a concurrent
+    * [[compactInPlace]] (which only ADDS files and swaps the manifest)
+    * can neither hide a partition from this reader nor double-count into
+    * it, the two failure modes a listing read has. Partition columns
+    * still come from the directory names (`basePath`). */
+  def readPinned(spark: SparkSession, path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = readManifestFile(fs, root)
+    require(files.nonEmpty, s"readPinned: empty manifest under $path")
+    spark.read.option("basePath", path)
+      .parquet(files.map(f => path + "/" + f): _*)
+  }
+
+  /** Manifested compaction — same sizing policy as [[compact]], different
+    * commitment protocol: compacted files are written to hidden staging,
+    * MOVED INTO the live partition dirs under fresh names (no live file or
+    * directory is ever renamed away), and the manifest swap is the single
+    * atomic commit point. Readers pinned to the old manifest keep reading
+    * the old files (still present); readers pinning after the swap see
+    * exactly the compacted set; a crash before the swap leaves only
+    * unmanifested garbage for [[vacuum]]. Old files are NOT deleted here —
+    * run vacuum after a grace window longer than the longest query. */
+  def compactInPlace(spark: SparkSession, path: String,
+                     targetBytes: Long = 128L * 1024 * 1024,
+                     parallelism: Int = 8): Seq[PartitionCompaction] = {
+    require(targetBytes > 0 && parallelism > 0,
+      s"compactInPlace: need targetBytes > 0 and parallelism > 0, got $targetBytes/$parallelism")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_spark_metadata")),
+      s"compactInPlace: $path is a streaming-sink output — compact would " +
+        "desync the metadata log's readers")
+    val manifest = readManifestFile(fs, root)
+    val byPart = manifest.groupBy(_.takeWhile(_ != '/'))
+    val gen = System.currentTimeMillis()
+    val affected = byPart.toSeq.sortBy(_._1).flatMap { case (part, rel) =>
+      val partPath = new org.apache.hadoop.fs.Path(root, part)
+      val files = rel.map(r => new org.apache.hadoop.fs.Path(root, r))
+        .filter(fs.exists(_))
+      val bytes = files.map(fs.getFileStatus(_).getLen).sum
+      val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      if (files.length <= nOut) None
+      else Some((part, partPath, files, bytes, nOut))
+    }
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, math.max(1, affected.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val done = Future.sequence(affected.map { case (part, partPath, files, bytes, nOut) =>
+        Future {
+          val staged = new org.apache.hadoop.fs.Path(root, "." + part + ".compact-staging")
+          fs.delete(staged, true)
+          spark.read.parquet(files.map(_.toString): _*).coalesce(nOut)
+            .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+          val movedIn = fs.listStatus(staged)
+            .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+              && !f.getPath.getName.startsWith("."))
+            .map { f =>
+              val name = s"compact-$gen-${f.getPath.getName}"
+              require(fs.rename(f.getPath, new org.apache.hadoop.fs.Path(partPath, name)),
+                s"compactInPlace: moving ${f.getPath} into $partPath failed")
+              part + "/" + name
+            }.toSeq
+          fs.delete(staged, true)
+          (part, files.map(f => part + "/" + f.getName), movedIn,
+            PartitionCompaction(part, files.length, bytes, movedIn.size))
+        }
+      })
+      val results = Await.result(done, Duration.Inf)
+      val replaced = results.flatMap(_._2).toSet
+      val added = results.flatMap(_._3)
+      // the ONE commit point: readers pin either the old set or the new
+      writeManifestFile(fs, root, manifest.filterNot(replaced) ++ added)
+      results.map(_._4).sortBy(_.partition)
+    } finally pool.shutdown()
+  }
+
+  /** Reclaim unmanifested bytes: delete visible data files the manifest
+    * does not list — replaced compaction inputs past their grace window,
+    * and debris from crashed compactions. `olderThanMs` is the grace: only
+    * files whose modification time is at least that old are removed, so
+    * in-flight readers pinned to a previous manifest (and appends awaiting
+    * their writeManifest) survive a conservatively-scheduled vacuum.
+    * Returns the deleted relative paths. */
+  def vacuum(spark: SparkSession, path: String, olderThanMs: Long = 0L): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keep = readManifestFile(fs, root).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    listDataFiles(fs, root).filter { rel =>
+      !keep(rel) && {
+        val p = new org.apache.hadoop.fs.Path(root, rel)
+        fs.getFileStatus(p).getModificationTime <= cutoff && fs.delete(p, false)
+      }
+    }
+  }
+
   /** S2: reset the store (init/flushall) — recursive delete of the table
     * path through the Hadoop FS abstraction (works on local FS and object
     * stores alike). */

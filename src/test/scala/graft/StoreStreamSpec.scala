@@ -65,6 +65,47 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(debris.isEmpty, s"staging debris left behind: ${debris.mkString(",")}")
   }
 
+  test("manifest store: pinned readers survive a full compaction cycle; vacuum reclaims exactly the replaced files") {
+    val dir = Files.createTempDirectory("graft-manifest").toString + "/events"
+    val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "value")
+    (0 until 5).foreach { i =>
+      EventStore.append(src.filter(pmod(col("event_id"), lit(5)) === i), dir)
+    }
+    // adopt the protocol: manifest == current files; pinned == plain
+    val nFiles = EventStore.writeManifest(spark, dir)
+    assert(nFiles >= 5)
+    val fullRows = EventStore.read(spark, dir).collect().toSet
+    assert(EventStore.readPinned(spark, dir).collect().toSet == fullRows)
+    // a reader pinned BEFORE compaction (plan bound to the old file set)
+    val pinnedOld = EventStore.readPinned(spark, dir)
+    val stats = EventStore.compactInPlace(spark, dir)
+    assert(stats.nonEmpty && stats.forall(p => p.filesAfter < p.filesBefore))
+    // ...still reads the complete store: compactInPlace never deletes
+    assert(pinnedOld.collect().toSet == fullRows,
+      "a pre-compaction pin must survive the whole cycle")
+    // a reader pinned AFTER sees exactly the compacted set
+    assert(EventStore.readPinned(spark, dir).collect().toSet == fullRows)
+    assert(EventStore.readPinned(spark, dir).inputFiles.length == stats.map(_.filesAfter).sum)
+    // the failure mode pinning exists for: a LISTING read in the
+    // compact→vacuum window sees old+new files and double-counts
+    assert(EventStore.read(spark, dir).count() > fullRows.size,
+      "listing reads double-count during the grace window — use readPinned")
+    // vacuum reclaims exactly the replaced inputs; everything still reads
+    val deleted = EventStore.vacuum(spark, dir)
+    assert(deleted.size == stats.map(_.filesBefore).sum,
+      s"vacuum should delete the ${stats.map(_.filesBefore).sum} replaced files, got $deleted")
+    assert(EventStore.read(spark, dir).collect().toSet == fullRows)
+    assert(EventStore.readPinned(spark, dir).collect().toSet == fullRows)
+    // idempotent: nothing left to compact or vacuum
+    assert(EventStore.compactInPlace(spark, dir).isEmpty)
+    assert(EventStore.vacuum(spark, dir).isEmpty)
+    // a grace window protects unmanifested (e.g. freshly appended) files
+    EventStore.append(src.limit(10), dir)
+    assert(EventStore.vacuum(spark, dir, olderThanMs = 3600000L).isEmpty,
+      "files younger than the grace window must survive vacuum")
+  }
+
   test("trailingWindowStream: two-batch feed equals the batch trailing join row-for-row") {
     import org.apache.spark.sql.functions.sum
     val spark2 = spark; import spark2.implicits._
