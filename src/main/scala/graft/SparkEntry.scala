@@ -1135,6 +1135,10 @@ object SparkEntry {
     val batched = Seq(
       Sim.batchAnnSignLsh(emb, qids, k = 10, bits = 4)
         .select(lit("s2_lsh").as("method"), col("query_id"), col("vec_id")),
+      // the probe-width lever, measured: hamming-1 widening (all 4 flip
+      // buckets + the query's own) should roughly triple 1-probe recall
+      Sim.batchAnnSignLsh(emb, qids, k = 10, bits = 4, probes = 5)
+        .select(lit("s2_lsh5").as("method"), col("query_id"), col("vec_id")),
       Sim.pqBatchKnn(emb, rawBooks, qids, k = 10)
         .select(lit("s8_pq").as("method"), col("query_id"), col("vec_id")))
     val probed = qids.flatMap { qid =>
@@ -1146,7 +1150,7 @@ object SparkEntry {
     val approx = (batched ++ probed).reduce(_ unionByName _)
     // static spine so a probe that returns ZERO overlapping (or zero total)
     // rows still reports its 0 instead of vanishing from the audit
-    val spine = Seq("s2_lsh", "s4_ivf", "s8_pq", "s9_ivfpq")
+    val spine = Seq("s2_lsh", "s2_lsh5", "s4_ivf", "s8_pq", "s9_ivfpq")
       .flatMap(m => qids.map(q => (m, q))).toDF("method", "query_id")
     val nExact = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
     val overlap = approx.join(exact, Seq("query_id", "vec_id"))
@@ -2315,6 +2319,15 @@ object SparkEntry {
          |  FROM e JOIN bkt ON e.vec_id = bkt.vec_id
          |  CROSS JOIN q
          |  JOIN bkt qb ON qb.vec_id = q.qid AND bkt.bucket = qb.bucket) WHERE rn <= 10),
+         |pb5 AS (SELECT q.qid, xor(qb.bucket, f.flip) AS bucket
+         |  FROM q JOIN bkt qb ON qb.vec_id = q.qid
+         |  CROSS JOIN (SELECT CAST(unnest([0, 1, 2, 4, 8]) AS BIGINT) AS flip) f),
+         |lsh5 AS (SELECT qid, vec_id FROM (
+         |  SELECT q.qid, e.vec_id,
+         |    row_number() OVER (PARTITION BY q.qid ORDER BY $cosEQ DESC, e.vec_id) AS rn
+         |  FROM e JOIN bkt ON e.vec_id = bkt.vec_id
+         |  JOIN pb5 ON bkt.bucket = pb5.bucket
+         |  JOIN q ON q.qid = pb5.qid) WHERE rn <= 10),
          |ivf10 AS (SELECT qid, vec_id FROM (
          |  SELECT q.qid, e.vec_id,
          |    row_number() OVER (PARTITION BY q.qid ORDER BY $cosEQ DESC, e.vec_id) AS rn
@@ -2351,6 +2364,7 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY sl9.qid ORDER BY $cosEQ DESC, sl9.vec_id) AS rn
          |  FROM sl9 JOIN e ON e.vec_id = sl9.vec_id JOIN q ON q.qid = sl9.qid) WHERE rn <= 10),
          |un AS (SELECT 's2_lsh' AS method, qid, vec_id FROM lsh10
+         |  UNION ALL SELECT 's2_lsh5', qid, vec_id FROM lsh5
          |  UNION ALL SELECT 's4_ivf', qid, vec_id FROM ivf10
          |  UNION ALL SELECT 's8_pq', qid, vec_id FROM pq10
          |  UNION ALL SELECT 's9_ivfpq', qid, vec_id FROM ipq10),
@@ -2358,7 +2372,7 @@ object SparkEntry {
          |  FROM un JOIN ex10 USING (qid, vec_id) GROUP BY 1, 2),
          |exn AS (SELECT qid, count(*)::BIGINT AS n_exact FROM ex10 GROUP BY qid),
          |spn AS (SELECT m.method, e2.qid
-         |  FROM (SELECT unnest(['s2_lsh', 's4_ivf', 's8_pq', 's9_ivfpq']) AS method) m
+         |  FROM (SELECT unnest(['s2_lsh', 's2_lsh5', 's4_ivf', 's8_pq', 's9_ivfpq']) AS method) m
          |  CROSS JOIN (SELECT DISTINCT qid FROM q) e2)
          |SELECT spn.method, spn.qid AS query_id, exn.n_exact,
          |  coalesce(ovl.n, 0)::BIGINT AS n_overlap
