@@ -42,7 +42,9 @@ object ParserProps extends Properties("ZxSql") {
     g <- Gen.choose(1L, 86400L)
     lim <- Gen.option(Gen.choose(1, 10000))
     ex <- Gen.oneOf(true, false)
-  } yield ZxQuery(sels, conds, gb, ob, ts, te, g, lim, exact = ex)
+    // salt composes with aggregation but not with the exact gap walk
+    salt <- if (ex) Gen.const(None) else Gen.option(Gen.choose(1, 4096))
+  } yield ZxQuery(sels, conds, gb, ob, ts, te, g, lim, exact = ex, skewSalt = salt)
 
   private def render(q: ZxQuery): String = {
     def sel(s: Select): String = s"${s.agg.name}(${s.column})"
@@ -61,6 +63,7 @@ object ParserProps extends Properties("ZxSql") {
         sel(o.select) + (if (o.dir == SortDir.Desc) " desc" else " asc")).mkString(", ")) else None,
       q.limit.map(n => s"limit $n"),
       Some(s"granularity ${q.granularitySec}"),
+      q.skewSalt.map(n => s"salt $n"),
       if (q.exact) Some("exact") else None
     ).flatten.mkString(" ")
   }
@@ -68,6 +71,28 @@ object ParserProps extends Properties("ZxSql") {
   property("render → parse round-trips the IR") = forAll(queryGen) { q =>
     ZxSql.parse(render(q)) == q
   }
+
+  // the parser is a TOTAL function of its input: any token soup either
+  // parses or raises the named ParseError — never a MatchError/NPE/
+  // IndexOutOfBounds from walking off the token stream
+  private val sqlTokenGen: Gen[String] = Gen.frequency(
+    6 -> Gen.oneOf("select", "from", "where", "group", "by", "order",
+      "limit", "granularity", "session", "slide", "salt", "exact",
+      "having", "and", "or", "not", "like", "in", "between", "asof",
+      "trailing", "join", "on", "sum", "count", "mean", "count_distinct",
+      "(", ")", ",", "=", "!=", ">", "<", ">=", "<=", "*", "'a b'",
+      "'%x%'", "$t_start", "$t_end"),
+    3 -> identGen,
+    1 -> Gen.choose(-100000, 100000).map(_.toString))
+
+  property("parser is total: token soup parses or raises ParseError only") =
+    forAll(Gen.listOf(sqlTokenGen).map(_.take(24))) { toks =>
+      try { ZxSql.parse(toks.mkString(" ")); true }
+      catch {
+        case _: ZxSql.ParseError => true
+        case _: Throwable => false
+      }
+    }
 
   // '_' is the single-char SQL wildcard the parser rejects inside patterns
   private val wordGen: Gen[String] =

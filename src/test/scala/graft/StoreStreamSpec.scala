@@ -104,6 +104,16 @@ class StoreStreamSpec extends AnyFunSuite {
     EventStore.append(src.limit(10), dir)
     assert(EventStore.vacuum(spark, dir, olderThanMs = 3600000L).isEmpty,
       "files younger than the grace window must survive vacuum")
+    // pinning must not cost partition pruning: a one-day filter over the
+    // pinned read still prunes to that partition's files at planning time
+    val oneDay = EventStore.readPinned(spark, dir)
+      .filter(col("event_date") === lit("2024-01-05"))
+    assert(oneDay.count() > 0 && oneDay.count() < fullRows.size)
+    // (inputFiles reports the relation pre-pruning; the PartitionFilters
+    // entry in the scan node is the planning-time pruning evidence)
+    val pinnedPlan = oneDay.queryExecution.executedPlan.toString
+    assert(pinnedPlan.contains("PartitionFilters: [isnotnull(event_date"),
+      s"pinned reads must keep planning-time partition pruning:\n$pinnedPlan")
   }
 
   test("trailingWindowStream: two-batch feed equals the batch trailing join row-for-row") {
