@@ -80,8 +80,12 @@ object Bench {
     // inside the timed call by design (in production these are one-off
     // build steps, not query-path work) — flagged so regression budgets
     // can hold probes tight without penalizing honest build cost
+    // …and the store-maintenance rows (compaction, z-order rewrite) time a
+    // full fragment→rewrite→read lifecycle per call — one-off jobs too
     val buildClass = Seq("s4_ivf_build", "s8_pq_knn", "s8b_pq_build",
-      "x14_familiarity", "c4_familiarity_gate").filter(results.contains)
+      "x14_familiarity", "c4_familiarity_gate", "c3_compact",
+      "c5_manifest_compact", "c6_zorder", "c7_time_travel")
+      .filter(results.contains)
     val buildJson = buildClass.map("\"" + _ + "\"").mkString("[", ",", "]")
     val buildTotal = buildClass.map(results).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","runs":$runs,"build_queries":$buildJson,"build_sec":$buildTotal}""")

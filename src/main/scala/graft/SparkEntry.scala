@@ -523,6 +523,33 @@ object SparkEntry {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** TPC-H Q17 shape: the CORRELATED AGGREGATE — line items priced below
+    * 20% of their own part's average order quantity, summed per brand.
+    * The textbook decorrelation re-aggregates the fact table and joins it
+    * back (two scans of the fact slice); here the correlated subquery
+    * DISAPPEARS into a window over the same key instead — the dimension
+    * filter broadcasts into one fact scan, the per-part average rides a
+    * single l_partkey exchange, and the threshold filter is a narrow map
+    * over that window's output. One scan, one wide shuffle, no self-join
+    * (PlanSpec pins both). Quantity thresholds stay engine-exact
+    * (integer-valued doubles sum exactly in any order); revenue sums in
+    * DECIMAL before one deterministic double division. */
+  private def q17AvgYearly(s: SparkSession, dir: String): DataFrame = {
+    val pf = Tables.part(s, dir)
+      .filter(col("p_size") <= 10)
+      .select("p_partkey", "p_brand")
+    val li = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val byPart = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    li.join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .withColumn("__thr", avg(col("l_quantity")).over(byPart) * 0.2)
+      .filter(col("l_quantity") < col("__thr"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType) / 7.0, 2).as("avg_yearly"))
+  }
+
   /** c2: the full training-shard pipeline in ONE declarative DAG —
     * benchmark decontamination (anti-join on the contaminated set), the c1
     * quality+language gate, canonical exact-dedup, token-budget packing
@@ -607,6 +634,88 @@ object SparkEntry {
     require(deleted.size == stats.map(_.filesBefore).sum,
       s"vacuum must reclaim exactly the replaced inputs, got ${deleted.size}")
     graft.sources.EventStore.readPinned(s, path)
+      .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 3).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** c6: z-order clustered rewrite, oracle-checked end-to-end — fragment a
+    * store copy in ingest order, manifest it, cluster on (user_id, ts) via
+    * [[graft.sources.ZOrder]], vacuum the replaced files, then aggregate
+    * through the PINNED read against DuckDB on the original table. The
+    * requires fail the query loudly unless the clustered layout admits
+    * strictly fewer row groups for a selective user filter than the
+    * ingest-ordered layout did (parquet footer min/max stats — the actual
+    * skipping mechanism at scan time), so the row is only green when the
+    * layout op both improved skipping AND preserved every row. */
+  private def c6ZOrder(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/graft-zorder-q/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.sources.EventStore.reset(s, path)
+    val ev = Tables.events(s, dir)
+      .filter(dayofmonth(col("ts")) <= 6)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    // repartition(4): hash-random files, i.e. every file spans the whole
+    // user space — the layout ingest naturally produces
+    graft.sources.EventStore.append(ev.repartition(4), path)
+    graft.sources.EventStore.writeManifest(s, path)
+    val mmRow = ev.agg(min("user_id"), max("user_id")).head()
+    val (uMin, uMax) = (mmRow.getLong(0), mmRow.getLong(1))
+    val uHi = uMin + math.max(1L, (uMax - uMin) / 8)
+    val linear = graft.sources.ZOrder.rowGroupStats(s,
+      graft.sources.EventStore.manifestFiles(s, path), "user_id", uMin, uHi)
+    // ~24 output files at every SF: enough z-granularity that the skip
+    // requirement is meaningful at sf0.001 without a fixed-size guess
+    val conf = s.sparkContext.hadoopConfiguration
+    val bytes = graft.sources.EventStore.manifestFiles(s, path).map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    val stats = graft.sources.EventStore.clusterInPlace(s, path, "user_id", "ts",
+      targetBytes = math.max(1L, bytes / 24))
+    require(stats.filesAfter > 1, s"clustered layout must be multi-file: $stats")
+    val zed = graft.sources.ZOrder.rowGroupStats(s,
+      graft.sources.EventStore.manifestFiles(s, path), "user_id", uMin, uHi)
+    require(zed.admittedRowGroups < linear.admittedRowGroups,
+      s"z-order must admit strictly fewer row groups: $linear -> $zed")
+    val deleted = graft.sources.EventStore.vacuum(s, path)
+    require(deleted.nonEmpty, "the replaced ingest-order files must be reclaimed")
+    graft.sources.EventStore.readPinned(s, path)
+      .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 3).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** c7: manifest time travel, oracle-checked end-to-end — commit a
+    * 3-day snapshot, append 3 more days (second commit), compact (third
+    * commit), vacuum WITH retention, then aggregate the FIRST snapshot via
+    * `readPinned(version=v1)` against DuckDB on the original table
+    * filtered to those days. The requires pin the retention contract:
+    * every version commit is immutable, compaction does not disturb old
+    * snapshots, and a retention-respecting vacuum reclaims nothing a
+    * retained version still references — so the row is only green when
+    * time travel reproduces the historical snapshot bit-for-bit. */
+  private def c7TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/graft-travel-q/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.sources.EventStore.reset(s, path)
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    graft.sources.EventStore.append(
+      ev.filter(dayofmonth(col("ts")) <= 3).repartition(2), path)
+    graft.sources.EventStore.writeManifest(s, path)
+    val v1 = graft.sources.EventStore.manifestVersion(s, path)
+    graft.sources.EventStore.append(
+      ev.filter(dayofmonth(col("ts")).between(4, 6)).repartition(2), path)
+    graft.sources.EventStore.writeManifest(s, path)
+    val stats = graft.sources.EventStore.compactInPlace(s, path)
+    require(stats.nonEmpty && stats.forall(p => p.filesAfter < p.filesBefore),
+      s"compactInPlace must reduce file counts, got: $stats")
+    // retention covers all three versions → vacuum must reclaim NOTHING
+    val deleted = graft.sources.EventStore.vacuum(s, path, keepVersions = 3)
+    require(deleted.isEmpty,
+      s"retention must protect every retained version's files, deleted: $deleted")
+    graft.sources.EventStore.readPinned(s, path, version = v1)
       .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("value")), 3).as("sum_value"),
@@ -1483,6 +1592,7 @@ object SparkEntry {
     "q3_shipping" -> (q3Shipping _),
     "q4_priority" -> (q4Priority _),
     "q13_custdist" -> (q13Custdist _),
+    "q17_avg_yearly" -> (q17AvgYearly _),
     "j1_revenue_nation" -> (j1RevenueNation _),
     "j2_asof_join" -> (j2AsofJoin _),
     "j4_asof_broadcast" -> (j4AsofBroadcast _),
@@ -1534,6 +1644,8 @@ object SparkEntry {
     "c2_shards" -> (c2Shards _),
     "c3_compact" -> (c3Compact _),
     "c5_manifest_compact" -> (c5ManifestCompact _),
+    "c6_zorder" -> (c6ZOrder _),
+    "c7_time_travel" -> (c7TimeTravel _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1805,6 +1917,19 @@ object SparkEntry {
         |  GROUP BY c_custkey)
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q17_avg_yearly" ->
+      // same decorrelation-by-window: avg OVER (PARTITION BY l_partkey)
+      // — both engines compute the threshold from exact integer sums, so
+      // the < comparison is engine-exact
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+        |FROM (
+        |  SELECT p_brand, l_quantity, l_extendedprice,
+        |    0.2 * avg(l_quantity) OVER (PARTITION BY l_partkey) AS thr
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size <= 10)
+        |WHERE l_quantity < thr
+        |GROUP BY p_brand""".stripMargin,
     "j1_revenue_nation" ->
       """SELECT n_name,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -2463,6 +2588,22 @@ object SparkEntry {
         | round(sum(value), 3) AS sum_value,
         | count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events WHERE date_part('day', ts) <= 6 GROUP BY 1""".stripMargin,
+    "c6_zorder" ->
+      // identical preservation contract as c3/c5, through the z-order
+      // clustered rewrite (the skip-improvement audit is require-gated
+      // inside the query; the oracle proves the rewrite lost no row)
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*)::BIGINT AS n,
+        | round(sum(value), 3) AS sum_value,
+        | count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events WHERE date_part('day', ts) <= 6 GROUP BY 1""".stripMargin,
+    "c7_time_travel" ->
+      // the HISTORICAL snapshot: days 1-3 only — the store's current state
+      // has six days, so a green hash proves readPinned(version=v1)
+      // reproduced the first commit, not the latest one
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*)::BIGINT AS n,
+        | round(sum(value), 3) AS sum_value,
+        | count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events WHERE date_part('day', ts) <= 3 GROUP BY 1""".stripMargin,
     "c2_shards" -> {
       val en = graft.functions.TextFunctions.langStopwords.head._2
         .map(w => s"'$w'").mkString(",")

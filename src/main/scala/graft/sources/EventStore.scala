@@ -158,10 +158,29 @@ object EventStore {
   // commit point; vacuum reclaims unmanifested bytes after a grace window
   // longer than the longest running query.
 
-  private val ManifestName = "_graft_manifest.json"
+  private val ManifestName = "_graft_manifest.json" // legacy unversioned name
+  private val ManifestVersioned = """^_graft_manifest\.v(\d+)\.json$""".r
 
-  private def manifestPath(root: org.apache.hadoop.fs.Path) =
-    new org.apache.hadoop.fs.Path(root, ManifestName)
+  private def manifestVersionPath(root: org.apache.hadoop.fs.Path, v: Long) =
+    new org.apache.hadoop.fs.Path(root, s"_graft_manifest.v$v.json")
+
+  /** All committed manifest versions under the store, ascending. A legacy
+    * unversioned `_graft_manifest.json` reads as version 0. */
+  private def manifestVersions(fs: org.apache.hadoop.fs.FileSystem,
+                               root: org.apache.hadoop.fs.Path): Seq[Long] = {
+    val versioned = fs.listStatus(root).toSeq.filter(_.isFile)
+      .map(_.getPath.getName)
+      .collect { case ManifestVersioned(v) => v.toLong }
+    val legacy = if (fs.exists(new org.apache.hadoop.fs.Path(root, ManifestName)))
+      Seq(0L) else Seq.empty
+    (legacy ++ versioned).distinct.sorted
+  }
+
+  private def manifestPath(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path, v: Long) =
+    if (v == 0L && !fs.exists(manifestVersionPath(root, 0L)))
+      new org.apache.hadoop.fs.Path(root, ManifestName)
+    else manifestVersionPath(root, v)
 
   /** Visible data files, as `partitionDir/fileName` relative paths. */
   private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
@@ -175,32 +194,43 @@ object EventStore {
           .map(f => p.getPath.getName + "/" + f.getPath.getName)
       }.sorted
 
+  /** Commit `files` as the NEXT manifest version. Manifest files are
+    * immutable once committed (write-tmp + rename-to-fresh-name — never an
+    * overwrite), which is what makes old versions time-travelable and the
+    * commit race-free: rename to an existing destination fails, so two
+    * racing writers produce two versions or one loud error, never a torn
+    * file. Single-writer operation remains the documented protocol for
+    * MAINTENANCE (compaction/clustering); version commits themselves are
+    * safe to retry. Returns the committed version. */
   private def writeManifestFile(fs: org.apache.hadoop.fs.FileSystem,
                                 root: org.apache.hadoop.fs.Path,
-                                files: Seq[String]): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(root, ManifestName + ".tmp")
+                                files: Seq[String]): Long = {
+    val next = manifestVersions(fs, root).lastOption.getOrElse(-1L) + 1L
+    val tmp = new org.apache.hadoop.fs.Path(root, s".manifest-v$next.tmp")
     val out = fs.create(tmp, true)
     try out.write(files.sorted
       .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
       .mkString("{\"files\": [", ",\n", "]}")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    // POSIX/HDFS rename replaces atomically; on filesystems that refuse an
-    // existing destination, fall back to delete+rename (a tiny no-manifest
-    // window a retrying reader rides out)
-    if (!fs.rename(tmp, manifestPath(root))) {
-      fs.delete(manifestPath(root), false)
-      require(fs.rename(tmp, manifestPath(root)),
-        s"writeManifest: could not install $ManifestName under $root")
-    }
+    require(fs.rename(tmp, manifestVersionPath(root, next)),
+      s"writeManifest: could not commit manifest v$next under $root " +
+        "(a concurrent writer took the version?) — retry the commit")
+    next
   }
 
   private def readManifestFile(fs: org.apache.hadoop.fs.FileSystem,
-                               root: org.apache.hadoop.fs.Path): Seq[String] = {
-    val p = manifestPath(root)
-    require(fs.exists(p),
-      s"no $ManifestName under $root — this store is not manifested; " +
+                               root: org.apache.hadoop.fs.Path,
+                               version: Long = -1L): Seq[String] = {
+    val versions = manifestVersions(fs, root)
+    require(versions.nonEmpty,
+      s"no manifest under $root — this store is not manifested; " +
         "call writeManifest after appends to adopt the pinned-read protocol")
+    val v = if (version < 0) versions.last else version
+    require(versions.contains(v),
+      s"manifest v$version does not exist under $root (have: " +
+        s"${versions.mkString(", ")}) — vacuumed past retention or never committed")
+    val p = manifestPath(fs, root, v)
     val in = fs.open(p)
     val txt = try new String(
       org.apache.commons.io.IOUtils.toByteArray(in),
@@ -210,9 +240,10 @@ object EventStore {
   }
 
   /** Adopt (or refresh) the manifest: snapshot the CURRENT visible data
-    * files as the store's committed set. Run after every append batch;
-    * anything not in the manifest is invisible to [[readPinned]] and fair
-    * game for [[vacuum]]. */
+    * files as the store's committed set, as a NEW immutable manifest
+    * version. Run after every append batch; anything not in the manifest
+    * is invisible to [[readPinned]] and fair game for [[vacuum]]. Returns
+    * the number of committed files. */
   def writeManifest(spark: SparkSession, path: String): Int = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -222,16 +253,33 @@ object EventStore {
     files.size
   }
 
-  /** Manifest-pinned read: the plan binds to the manifest's exact file
-    * set, atomically snapshotted at call time — a concurrent
-    * [[compactInPlace]] (which only ADDS files and swaps the manifest)
-    * can neither hide a partition from this reader nor double-count into
-    * it, the two failure modes a listing read has. Partition columns
-    * still come from the directory names (`basePath`). */
-  def readPinned(spark: SparkSession, path: String): DataFrame = {
+  /** The store's current (highest) manifest version — every commit
+    * ([[writeManifest]], [[compactInPlace]], [[clusterInPlace]]) bumps it.
+    * Pass an old version to [[readPinned]] to time-travel. */
+  def manifestVersion(spark: SparkSession, path: String): Long = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = readManifestFile(fs, root)
+    val versions = manifestVersions(fs, root)
+    require(versions.nonEmpty, s"manifestVersion: no manifest under $path")
+    versions.last
+  }
+
+  /** Manifest-pinned read: the plan binds to the manifest's exact file
+    * set, atomically snapshotted at call time — a concurrent
+    * [[compactInPlace]] (which only ADDS files and commits a new manifest
+    * version) can neither hide a partition from this reader nor
+    * double-count into it, the two failure modes a listing read has.
+    * Partition columns still come from the directory names (`basePath`).
+    *
+    * `version` time-travels: every commit is an immutable snapshot, so
+    * `readPinned(s, path, v)` reproduces exactly the store a version-`v`
+    * reader saw — for as long as [[vacuum]]'s retention keeps that
+    * version's files (the Delta/Iceberg time-travel contract). Default −1
+    * = latest. */
+  def readPinned(spark: SparkSession, path: String, version: Long = -1L): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = readManifestFile(fs, root, version)
     require(files.nonEmpty, s"readPinned: empty manifest under $path")
     spark.read.option("basePath", path)
       .parquet(files.map(f => path + "/" + f): _*)
@@ -303,24 +351,116 @@ object EventStore {
     } finally pool.shutdown()
   }
 
-  /** Reclaim unmanifested bytes: delete visible data files the manifest
-    * does not list — replaced compaction inputs past their grace window,
-    * and debris from crashed compactions. `olderThanMs` is the grace: only
-    * files whose modification time is at least that old are removed, so
-    * in-flight readers pinned to a previous manifest (and appends awaiting
-    * their writeManifest) survive a conservatively-scheduled vacuum.
-    * Returns the deleted relative paths. */
-  def vacuum(spark: SparkSession, path: String, olderThanMs: Long = 0L): Seq[String] = {
+  /** The manifest's file set as absolute paths — the input an audit tool
+    * ([[ZOrder.rowGroupStats]]) or an external engine pins. Default −1 =
+    * latest version. */
+  def manifestFiles(spark: SparkSession, path: String, version: Long = -1L): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val keep = readManifestFile(fs, root).toSet
+    readManifestFile(fs, root, version).map(f => path + "/" + f)
+  }
+
+  /** Outcome of [[clusterInPlace]]. */
+  final case class ClusterStats(filesBefore: Int, filesAfter: Int, bytes: Long)
+
+  /** Z-order clustered rewrite of the manifested store: re-lay the pinned
+    * file set so each output file covers a small rectangle of the
+    * (`zCol1`, `zCol2`) space instead of a thin ingest-order slice — after
+    * this, selective filters on EITHER column skip most row groups via
+    * ordinary parquet min/max stats ([[ZOrder]] has the full rationale and
+    * the audit that measures it). Same commitment protocol as
+    * [[compactInPlace]]: clustered files are staged hidden, moved into the
+    * live partition dirs under fresh names (no live file is ever renamed
+    * away), and the manifest swap is the single commit point — readers
+    * pinned to the old manifest keep their snapshot; a crash before the
+    * swap leaves only unmanifested garbage for [[vacuum]].
+    *
+    * `event_date` directory partitioning is preserved (time-range scans
+    * keep their directory pruning); the range partitioner keys on
+    * (event_date, z) so output files nest inside dates. One global
+    * range-exchange is the whole cost — the one-off write that converts
+    * every later per-entity scan from O(store) to O(matching rectangles).
+    */
+  def clusterInPlace(spark: SparkSession, path: String,
+                     zCol1: String, zCol2: String,
+                     targetBytes: Long = 128L * 1024 * 1024): ClusterStats = {
+    require(targetBytes > 0, s"clusterInPlace: need targetBytes > 0, got $targetBytes")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_spark_metadata")),
+      s"clusterInPlace: $path is a streaming-sink output — rewriting under " +
+        "the metadata log would desync its readers")
+    val manifest = readManifestFile(fs, root)
+    val bytes = manifest.map(f => fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(root, f)).getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = readPinned(spark, path)
+    val ranges = ZOrder.columnRanges(df, Seq(zCol1, zCol2))
+    val staged = new org.apache.hadoop.fs.Path(root, ".zorder-staging")
+    fs.delete(staged, true)
+    df.withColumn("__z",
+        ZOrder.zValue(col(zCol1), ranges(zCol1), col(zCol2), ranges(zCol2)))
+      .repartitionByRange(nOut, col("event_date"), col("__z"))
+      .sortWithinPartitions(col("event_date"), col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("event_date").parquet(staged.toString)
+    val gen = System.currentTimeMillis()
+    val movedIn = fs.listStatus(staged).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .flatMap { p =>
+        val live = new org.apache.hadoop.fs.Path(root, p.getPath.getName)
+        fs.mkdirs(live)
+        fs.listStatus(p.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+            && !f.getPath.getName.startsWith("."))
+          .map { f =>
+            val name = s"zorder-$gen-${f.getPath.getName}"
+            require(fs.rename(f.getPath, new org.apache.hadoop.fs.Path(live, name)),
+              s"clusterInPlace: moving ${f.getPath} into $live failed")
+            p.getPath.getName + "/" + name
+          }
+      }
+    fs.delete(staged, true)
+    // the ONE commit point: the rewrite replaces the ENTIRE pinned set
+    writeManifestFile(fs, root, movedIn)
+    ClusterStats(manifest.size, movedIn.size, bytes)
+  }
+
+  /** Reclaim unmanifested bytes: delete visible data files no RETAINED
+    * manifest version lists — replaced compaction/clustering inputs past
+    * their grace window, and debris from crashed maintenance. `olderThanMs`
+    * is the grace: only files whose modification time is at least that old
+    * are removed, so in-flight readers pinned to a recent manifest (and
+    * appends awaiting their writeManifest) survive a conservatively-
+    * scheduled vacuum. `keepVersions` is the time-travel retention: the
+    * newest K manifest versions' files all survive, and manifests older
+    * than that are dropped — [[readPinned]] time travel reaches exactly as
+    * far back as the last vacuum's retention, the same contract Delta's
+    * VACUUM has. Default 1 = only the current snapshot survives. Returns
+    * the deleted data-file relative paths. */
+  def vacuum(spark: SparkSession, path: String, olderThanMs: Long = 0L,
+             keepVersions: Int = 1): Seq[String] = {
+    require(keepVersions >= 1, s"vacuum: keepVersions must be >= 1, got $keepVersions")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = manifestVersions(fs, root)
+    require(versions.nonEmpty, s"vacuum: no manifest under $path")
+    val (dropped, retained) = versions.splitAt(math.max(0, versions.size - keepVersions))
+    val keep = retained.flatMap(v => readManifestFile(fs, root, v)).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
-    listDataFiles(fs, root).filter { rel =>
+    val deleted = listDataFiles(fs, root).filter { rel =>
       !keep(rel) && {
         val p = new org.apache.hadoop.fs.Path(root, rel)
         fs.getFileStatus(p).getModificationTime <= cutoff && fs.delete(p, false)
       }
     }
+    // retention boundary: versions past keepVersions stop being
+    // time-travelable NOW (their files may just have been deleted) — a
+    // dangling manifest would turn a clear "vacuumed past retention"
+    // error into a silent short read
+    dropped.foreach(v => fs.delete(manifestPath(fs, root, v), false))
+    deleted
   }
 
   /** S2: reset the store (init/flushall) — recursive delete of the table

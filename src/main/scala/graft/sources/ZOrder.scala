@@ -1,0 +1,119 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data clustering for the event store — the layout
+  * lever the reference cannot pull at all (its TS-zset is ordered on ONE
+  * key, lib.rs:305-331; a second access path would need a second full
+  * index). At 100 TB the dominant scan cost is files/row-groups that the
+  * filter cannot skip: a store laid out in ingest (time) order answers
+  * time-range scans well and per-entity scans terribly, because every
+  * file's `user_id` min/max spans the whole id space. Z-ordering
+  * interleaves the bits of several columns into one sort key, so files
+  * cover small HYPER-RECTANGLES of the (user, time) space instead of
+  * thin time slices — both a time filter AND a user filter then skip most
+  * row groups via ordinary parquet min/max stats. This is the same layout
+  * idea Delta/Iceberg expose as OPTIMIZE ZORDER, built here from plain
+  * Spark expressions (shift/mask/or — fully codegen'd, no UDF).
+  *
+  * The z-value is layout-only: it never appears in results, so bucket
+  * resolution (16 bits/dim) only affects skipping quality, not
+  * correctness — content preservation is oracle-checked (c6_zorder).
+  */
+object ZOrder {
+
+  /** Spread the low 16 bits of `x` to even bit positions 0,2,4,…,30 —
+    * the classic Morton-code bit dilation, as plain Spark column algebra
+    * so the whole z computation stays inside whole-stage codegen. */
+  private def spread16(x: Column): Column = {
+    var v = x.bitwiseAND(lit(0xFFFFL))
+    v = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00FF00FFL))
+    v = v.bitwiseOR(shiftleft(v, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    v = v.bitwiseOR(shiftleft(v, 2)).bitwiseAND(lit(0x33333333L))
+    v.bitwiseOR(shiftleft(v, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Interleave two 16-bit bucket ids into one 32-bit Morton code:
+    * bit i of `a` lands at position 2i, bit i of `b` at 2i+1. */
+  def interleave16(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** Affine bucketing of a long-valued column into [0, 2^16): rank-free
+    * (no global sort, no quantile job) — one min/max pair per column is
+    * the only statistic needed, so the prep cost is a single bounded
+    * driver aggregation regardless of table size. Heavily skewed columns
+    * bucket unevenly (quantile boundaries would fix that at the cost of a
+    * sampling job); for ids and timestamps affine is the standard choice.
+    * Nulls bucket to 0 — they cluster together at the z-origin. */
+  private def bucket16(c: Column, min: Long, max: Long): Column = {
+    val range = math.max(1L, max - min + 1)
+    least(lit(65535L),
+      coalesce(c.cast("long"), lit(min)).minus(lit(min))
+        .multiply(lit(65536L)).divide(lit(range)).cast("long"))
+  }
+
+  /** The z-value column for two clustering dimensions. `minMax` comes
+    * from [[columnRanges]] (or any source of truth the caller has —
+    * e.g. partition metadata at 100 TB). */
+  def zValue(c1: Column, r1: (Long, Long), c2: Column, r2: (Long, Long)): Column =
+    interleave16(bucket16(c1, r1._1, r1._2), bucket16(c2, r2._1, r2._2))
+
+  /** One bounded driver aggregation: the min/max of each clustering
+    * column (longs; timestamps via epoch-second cast upstream). */
+  def columnRanges(df: DataFrame, cols: Seq[String]): Map[String, (Long, Long)] = {
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(c + "__min"),
+      max(col(c).cast("long")).as(c + "__max")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.map { case (c, i) =>
+      require(!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
+        s"zorder: column '$c' is entirely null — nothing to cluster on")
+      c -> (row.getLong(2 * i), row.getLong(2 * i + 1))
+    }.toMap
+  }
+
+  /** Per-file row-group skipping audit: how many row groups would a
+    * `lo <= column <= hi` filter have to READ, out of how many total?
+    * Counts row groups whose parquet footer min/max stats intersect the
+    * range — exactly the statistic Spark's parquet reader (and any
+    * stats-pinning manifest) prunes on, so `admitted/total` IS the scan
+    * fraction the layout buys. Driver-side footer loop: bounded by the
+    * store's file count (files ~ bytes/targetBytes; at 100 TB run the
+    * same footer read as a Spark job over the file list — the audit is a
+    * maintenance tool, not a query-path operator). */
+  final case class SkipStats(admittedRowGroups: Int, totalRowGroups: Int,
+                             admittedRows: Long, totalRows: Long)
+
+  def rowGroupStats(spark: SparkSession, files: Seq[String],
+                    column: String, lo: Long, hi: Long): SkipStats = {
+    require(files.nonEmpty, "rowGroupStats: empty file list")
+    val conf = spark.sparkContext.hadoopConfiguration
+    var admitted = 0; var total = 0
+    var admittedRows = 0L; var totalRows = 0L
+    files.foreach { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks
+        blocks.forEach { block =>
+          total += 1; totalRows += block.getRowCount
+          val colChunk = block.getColumns.stream()
+            .filter(_.getPath.toDotString == column).findFirst()
+          require(colChunk.isPresent,
+            s"rowGroupStats: no column '$column' in $f")
+          val stats = colChunk.get().getStatistics
+          // stats missing → cannot prune → the reader must admit it
+          val admit = stats == null || !stats.hasNonNullValue || {
+            val mn = stats.genericGetMin.asInstanceOf[Number].longValue()
+            val mx = stats.genericGetMax.asInstanceOf[Number].longValue()
+            mx >= lo && mn <= hi
+          }
+          if (admit) { admitted += 1; admittedRows += block.getRowCount }
+        }
+      } finally reader.close()
+    }
+    SkipStats(admitted, total, admittedRows, totalRows)
+  }
+}

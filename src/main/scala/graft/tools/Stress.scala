@@ -171,6 +171,45 @@ object Stress {
       graft.compile.Compiler.runSession(evwHot100, qS.copy(skewSalt = Some(32))).count()
     }
     evw100.unpersist(); evwHot100.unpersist()
+    // -------- z-order layout at 10× (10^6 rows): the admitted-rows
+    // fraction for a selective (1/8-space) user filter, ingest-ordered vs
+    // z-ordered, and the filtered-scan wall time over each layout. The
+    // fraction is the scale-invariant signal (it IS the scan cost at
+    // 100 TB, where row groups are 128 MB instead of KBs); local NVMe
+    // makes the wall-time delta a floor, not the headline.
+    val zPath = "target/graft-stress-zorder"
+    graft.sources.EventStore.reset(spark, zPath)
+    time("c6_zorder_ingest_write_10x") {
+      graft.sources.EventStore.append(
+        ev10.repartitionByRange(64, col("ts")).sortWithinPartitions("ts"), zPath)
+      graft.sources.EventStore.writeManifest(spark, zPath)
+      graft.sources.EventStore.readPinned(spark, zPath).count()
+    }
+    val uRow = ev.agg(min("user_id"), max("user_id")).head()
+    val (uMin, uHi) = (uRow.getLong(0),
+      uRow.getLong(0) + math.max(1L, (uRow.getLong(1) - uRow.getLong(0)) / 8))
+    def zAudit(tag: String): Unit = {
+      val st = graft.sources.ZOrder.rowGroupStats(spark,
+        graft.sources.EventStore.manifestFiles(spark, zPath), "user_id", uMin, uHi)
+      println(f"[stress] c6_audit_$tag admitted=${st.admittedRowGroups}/${st.totalRowGroups} " +
+        f"rows=${st.admittedRows}/${st.totalRows} (${100.0 * st.admittedRows / st.totalRows}%.1f%%)")
+    }
+    def zScan(tag: String): Unit = time(s"c6_scan_${tag}_10x") {
+      graft.sources.EventStore.readPinned(spark, zPath)
+        .filter(col("user_id").between(uMin, uHi))
+        .agg(sum(col("value"))).collect(); 1L
+    }
+    zAudit("linear"); zScan("linear")
+    time("c6_cluster_10x") {
+      val st = graft.sources.EventStore.clusterInPlace(spark, zPath, "user_id", "ts",
+        targetBytes = math.max(1L,
+          graft.sources.EventStore.manifestFiles(spark, zPath).map { f =>
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getLen
+          }.sum / 64))
+      st.filesAfter.toLong
+    }
+    zAudit("zorder"); zScan("zorder")
     spark.stop()
   }
 }

@@ -115,6 +115,61 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("q17: the correlated aggregate decorrelates into a window, not a self-join") {
+    val df = SparkEntry.queries("q17_avg_yearly")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // one broadcast for the dimension filter, NO join for the threshold:
+    // the per-part average must ride a window over the fact's own
+    // l_partkey exchange (textbook decorrelation would scan the fact
+    // slice twice and join it back to itself)
+    val joins = "Join".r.findAllIn(p).length
+    assert(p.contains("BroadcastHashJoin"), s"dimension filter must broadcast:\n$p")
+    assert("SortMergeJoin".r.findAllIn(p).isEmpty &&
+      "ShuffledHashJoin".r.findAllIn(p).isEmpty,
+      s"threshold must be a window, never a self-join:\n$p")
+    assert(p.contains("Window"), s"expected the decorrelating window:\n$p")
+    // the executed AQE plan prints Final AND Initial sections — count the
+    // materialized shuffle stages, which exist only in the final plan
+    val wide = "ShuffleQueryStage".r.findAllIn(p).length
+    assert(wide <= 2, s"expected at most the window + brand-agg exchanges, got $wide:\n$p")
+  }
+
+  test("shuffle joins get a runtime bloom filter from the selective side") {
+    // at test SFs AQE broadcasts everything, so no bloom filter is needed
+    // or injected — the 100 TB regime is a SHUFFLE join, where Spark's
+    // InjectRuntimeFilter builds a bloom filter from the filtered
+    // (creation) side and plants might_contain on the fact scan, cutting
+    // the shuffle to rows that can actually match. Pin the lever by
+    // forcing the shuffle-join regime and dropping the size thresholds.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val ord = graft.sources.Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val li = graft.sources.Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_extendedprice")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"expected a runtime bloom filter on the fact scan:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"probe must exercise the shuffle-join regime:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("windowed aggregation is a single exchange (partial agg map-side)") {
     val p = plan("a8_window")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length

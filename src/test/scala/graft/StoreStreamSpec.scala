@@ -116,6 +116,49 @@ class StoreStreamSpec extends AnyFunSuite {
       s"pinned reads must keep planning-time partition pruning:\n$pinnedPlan")
   }
 
+  test("versioned manifests: time travel reaches every retained snapshot; vacuum bounds it loudly") {
+    val dir = Files.createTempDirectory("graft-travel").toString + "/events"
+    val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "value")
+    val batch1 = src.filter(dayofmonth(col("ts")) <= 2)
+    val batch2 = src.filter(dayofmonth(col("ts")).between(3, 4))
+    EventStore.append(batch1.repartition(2), dir)
+    EventStore.writeManifest(spark, dir)
+    val v1 = EventStore.manifestVersion(spark, dir)
+    val rows1 = EventStore.readPinned(spark, dir).collect().toSet
+    EventStore.append(batch2.repartition(2), dir)
+    EventStore.writeManifest(spark, dir)
+    val v2 = EventStore.manifestVersion(spark, dir)
+    assert(v2 == v1 + 1, "every commit bumps the version by one")
+    val fullRows = EventStore.readPinned(spark, dir).collect().toSet
+    assert(fullRows.size > rows1.size)
+    // time travel: the v1 snapshot is exactly what a v1 reader saw
+    assert(EventStore.readPinned(spark, dir, v1).collect().toSet == rows1)
+    // ...and compaction (a new version) does not disturb it
+    val stats = EventStore.compactInPlace(spark, dir)
+    assert(stats.nonEmpty)
+    val v3 = EventStore.manifestVersion(spark, dir)
+    assert(v3 == v2 + 1)
+    assert(EventStore.readPinned(spark, dir, v1).collect().toSet == rows1)
+    assert(EventStore.readPinned(spark, dir, v2).collect().toSet == fullRows)
+    // retention: keep 2 versions → v1 falls out and FAILS LOUDLY, v2
+    // (whose files the compaction replaced but retention protects) and
+    // v3 both still read whole
+    EventStore.vacuum(spark, dir, keepVersions = 2)
+    val e = intercept[IllegalArgumentException] {
+      EventStore.readPinned(spark, dir, v1)
+    }
+    assert(e.getMessage.contains("retention"), s"got: ${e.getMessage}")
+    assert(EventStore.readPinned(spark, dir, v2).collect().toSet == fullRows)
+    assert(EventStore.readPinned(spark, dir).collect().toSet == fullRows)
+    // tightening retention to 1 reclaims the replaced pre-compaction
+    // files; the current snapshot is untouched
+    val deleted = EventStore.vacuum(spark, dir, keepVersions = 1)
+    assert(deleted.size == stats.map(_.filesBefore).sum,
+      s"expected the ${stats.map(_.filesBefore).sum} replaced inputs, got $deleted")
+    assert(EventStore.readPinned(spark, dir).collect().toSet == fullRows)
+  }
+
   test("trailingWindowStream: two-batch feed equals the batch trailing join row-for-row") {
     import org.apache.spark.sql.functions.sum
     val spark2 = spark; import spark2.implicits._

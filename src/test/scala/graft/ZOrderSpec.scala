@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{EventStore, ZOrder}
+
+/** Z-order clustered rewrite: Morton-code algebra against a bit-by-bit
+  * model, and the end-to-end claim — after clusterInPlace, a selective
+  * filter on the SECOND dimension admits strictly fewer row groups than
+  * the ingest-ordered layout, with content preserved byte-for-byte. */
+class ZOrderSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  test("interleave16 matches the bit-by-bit Morton model") {
+    // deterministic spread of 16-bit patterns incl. the edge masks
+    val samples = Seq[(Long, Long)](
+      (0L, 0L), (0xFFFFL, 0L), (0L, 0xFFFFL), (0xFFFFL, 0xFFFFL),
+      (1L, 2L), (0xAAAAL, 0x5555L), (12345L, 54321L), (65535L, 32768L))
+    def model(a: Long, b: Long): Long =
+      (0 until 16).map(i => (((a >> i) & 1L) << (2 * i)) |
+        (((b >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    import spark.implicits._
+    val got = samples.toDF("a", "b")
+      .select(ZOrder.interleave16(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == samples.map { case (a, b) => model(a, b) })
+  }
+
+  test("clusterInPlace: user filter skips row groups the time-ordered layout cannot; content preserved") {
+    val dir = Files.createTempDirectory("graft-zorder").toString + "/events"
+    val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(dayofmonth(col("ts")) <= 4)
+      .select("event_id", "ts", "user_id", "value")
+    // ingest-order layout: time-sliced files (the natural append order) —
+    // every file's user_id stats span the whole id space
+    EventStore.append(
+      src.repartitionByRange(6, col("ts")).sortWithinPartitions("ts"), dir)
+    EventStore.writeManifest(spark, dir)
+    val before = EventStore.readPinned(spark, dir).collect().toSet
+    val (uMin, uMax) = {
+      val r = src.agg(min("user_id"), max("user_id")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // a selective filter: the bottom ~eighth of the id space
+    val hi = uMin + math.max(1L, (uMax - uMin) / 8)
+    val linear = ZOrder.rowGroupStats(spark,
+      EventStore.manifestFiles(spark, dir), "user_id", uMin, hi)
+    assert(linear.totalRowGroups >= 6)
+    // time-sliced files cannot skip on user_id: (nearly) all admitted
+    assert(linear.admittedRowGroups * 4 >= linear.totalRowGroups * 3,
+      s"expected the linear layout to admit >=3/4 of row groups, got $linear")
+
+    val stats = EventStore.clusterInPlace(spark, dir, "user_id", "ts",
+      targetBytes = 2048)
+    assert(stats.filesAfter >= 8, s"want a multi-file clustered layout: $stats")
+    val zed = ZOrder.rowGroupStats(spark,
+      EventStore.manifestFiles(spark, dir), "user_id", uMin, hi)
+    assert(zed.totalRowGroups >= 8)
+    assert(zed.admittedRowGroups < linear.admittedRowGroups,
+      s"z-order must admit strictly fewer row groups: $linear -> $zed")
+    assert(zed.admittedRowGroups * 2 <= zed.totalRowGroups,
+      s"z-order should skip at least half the row groups for a 1/8-space filter: $zed")
+    // the admitted-rows fraction is the real scan-cost proxy
+    assert(zed.admittedRows < zed.totalRows)
+
+    // content: byte-identical rows through the pinned read, old files
+    // reclaimed by vacuum, pinned read still whole afterwards
+    assert(EventStore.readPinned(spark, dir).collect().toSet == before)
+    val deleted = EventStore.vacuum(spark, dir)
+    assert(deleted.nonEmpty, "the replaced time-sliced files must be reclaimed")
+    assert(EventStore.readPinned(spark, dir).collect().toSet == before)
+    // directory partitioning survived the rewrite (time pruning intact)
+    val dates = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
+    assert(dates.length >= 3)
+  }
+}
