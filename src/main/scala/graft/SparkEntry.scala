@@ -722,6 +722,46 @@ object SparkEntry {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** c8: the stats-carrying manifest, oracle-checked end-to-end — fragment
+    * a store copy, manifest, z-order it (c6's layout), pin per-file
+    * user_id ranges against the clustered version, then answer a
+    * selective user-range aggregate through `readPinnedWhere`, which
+    * prunes files at PLANNING time from the pinned stats. The require
+    * fails the query loudly unless the plan bound strictly fewer files
+    * than the manifest lists — so the row is only green when file-level
+    * skipping actually engaged AND the pruned read still returns exactly
+    * the DuckDB answer (pruning is conservative, never lossy). */
+  private def c8StatsPrune(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/graft-stats-q/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.sources.EventStore.reset(s, path)
+    val ev = Tables.events(s, dir)
+      .filter(dayofmonth(col("ts")) <= 6)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    graft.sources.EventStore.append(ev.repartition(4), path)
+    graft.sources.EventStore.writeManifest(s, path)
+    val conf = s.sparkContext.hadoopConfiguration
+    val bytes = graft.sources.EventStore.manifestFiles(s, path).map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    graft.sources.EventStore.clusterInPlace(s, path, "user_id", "ts",
+      targetBytes = math.max(1L, bytes / 24))
+    graft.sources.EventStore.writeFileStats(s, path, Seq("user_id"))
+    val mmRow = ev.agg(min("user_id"), max("user_id")).head()
+    val (uMin, uMax) = (mmRow.getLong(0), mmRow.getLong(1))
+    val uHi = uMin + math.max(1L, (uMax - uMin) / 8)
+    val pruned = graft.sources.EventStore.readPinnedWhere(
+      s, path, "user_id", uMin, uHi)
+    require(pruned.inputFiles.length <
+      graft.sources.EventStore.manifestFiles(s, path).size,
+      s"stats pruning must bind fewer files, bound ${pruned.inputFiles.length}")
+    pruned
+      .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 3).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** j2: as-of join — each event enriched with the user's most recent
     * order at-or-before the event (the time-series point-in-time lookup).
     * Orders are deduped to one version per (custkey, second) first, so the
@@ -1646,6 +1686,7 @@ object SparkEntry {
     "c5_manifest_compact" -> (c5ManifestCompact _),
     "c6_zorder" -> (c6ZOrder _),
     "c7_time_travel" -> (c7TimeTravel _),
+    "c8_stats_prune" -> (c8StatsPrune _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2604,6 +2645,19 @@ object SparkEntry {
         | round(sum(value), 3) AS sum_value,
         | count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events WHERE date_part('day', ts) <= 3 GROUP BY 1""".stripMargin,
+    "c8_stats_prune" ->
+      // the selective user-range slice: bounds mirror the Spark side's
+      // min + max(1, span/8) long arithmetic (// is floor division and
+      // the span is non-negative, matching Scala's long /)
+      """WITH b AS (SELECT min(user_id) AS lo,
+        |  min(user_id) + greatest(1, (max(user_id) - min(user_id)) // 8) AS hi
+        |  FROM events WHERE date_part('day', ts) <= 6)
+        |SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*)::BIGINT AS n,
+        | round(sum(value), 3) AS sum_value,
+        | count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events, b
+        |WHERE date_part('day', ts) <= 6 AND user_id BETWEEN b.lo AND b.hi
+        |GROUP BY 1""".stripMargin,
     "c2_shards" -> {
       val en = graft.functions.TextFunctions.langStopwords.head._2
         .map(w => s"'$w'").mkString(",")

@@ -360,6 +360,113 @@ object EventStore {
     readManifestFile(fs, root, version).map(f => path + "/" + f)
   }
 
+  // ------------------------------------------------ stats-carrying manifest
+  //
+  // File-level min/max stats pinned NEXT TO a manifest version: the same
+  // idea table formats keep in their metadata layer. With them a reader
+  // prunes whole files at PLANNING time — fewer tasks scheduled, no
+  // footer even opened on the pruned files — one level above the
+  // row-group pruning the parquet reader does at read time. The payoff
+  // multiplies with [[clusterInPlace]]: z-ordered files have tight
+  // per-file ranges on the clustering columns, so a selective filter
+  // keeps a small fraction of the file list.
+
+  private def statsPath(root: org.apache.hadoop.fs.Path, v: Long) =
+    new org.apache.hadoop.fs.Path(root, s"_graft_manifest.v$v.stats.jsonl")
+
+  private def jsonEscape(s: String) =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def jsonUnescape(s: String) =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  /** Pin per-file min/max stats for `columns` (integral columns only — a
+    * timestamp's footer stats are in micros/nanos and belong to the
+    * date-partition pruning path, not this one) against a manifest
+    * version (default: latest). One footer read per file, driver-side
+    * like the manifest itself; at 100 TB the same reads run as a job over
+    * the file list. The sidecar is immutable and version-tied — a
+    * [[compactInPlace]]/[[clusterInPlace]] commit makes a NEW version, so
+    * stale stats can never be consulted for it. Returns the number of
+    * (file, column) entries pinned. */
+  def writeFileStats(spark: SparkSession, path: String, columns: Seq[String],
+                     version: Long = -1L): Int = {
+    require(columns.nonEmpty, "writeFileStats: no columns")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = if (version < 0) {
+      val vs = manifestVersions(fs, root)
+      require(vs.nonEmpty, s"writeFileStats: no manifest under $path")
+      vs.last
+    } else version
+    val rel = readManifestFile(fs, root, v)
+    val lines = columns.flatMap { c =>
+      ZOrder.fileColumnStats(spark, rel.map(f => path + "/" + f), c)
+        .zip(rel).collect { case ((_, Some((mn, mx))), r) =>
+          s"""{"f":"${jsonEscape(r)}","c":"${jsonEscape(c)}","mn":$mn,"mx":$mx}"""
+        }
+    }
+    val tmp = new org.apache.hadoop.fs.Path(root, s".stats-v$v.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((lines.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, statsPath(root, v)),
+      s"writeFileStats: could not commit stats for manifest v$v under $path")
+    lines.size
+  }
+
+  private val StatsLine =
+    """\{"f":"((?:[^"\\]|\\.)*)","c":"((?:[^"\\]|\\.)*)","mn":(-?\d+),"mx":(-?\d+)\}""".r
+
+  /** Stats-pruned pinned read: bind the plan to ONLY the manifest files
+    * whose pinned `[min, max]` on `column` intersects `[lo, hi]`, then
+    * apply the row filter. Files without a pinned range are kept (pruning
+    * is always conservative), so results equal
+    * `readPinned(...).filter(column between lo and hi)` exactly — the
+    * difference is how many files the plan ever sees. Requires
+    * [[writeFileStats]] for this version to exist; integral columns only
+    * (enforced on the bound plan's schema). */
+  def readPinnedWhere(spark: SparkSession, path: String, column: String,
+                      lo: Long, hi: Long, version: Long = -1L): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = if (version < 0) {
+      val vs = manifestVersions(fs, root)
+      require(vs.nonEmpty, s"readPinnedWhere: no manifest under $path")
+      vs.last
+    } else version
+    val sp = statsPath(root, v)
+    require(fs.exists(sp),
+      s"readPinnedWhere: no stats sidecar for manifest v$v under $path — " +
+        s"run writeFileStats(..., Seq(\"$column\")) after the commit")
+    val in = fs.open(sp)
+    val txt = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val ranges = txt.linesIterator.collect {
+      case StatsLine(f, c, mn, mx) if jsonUnescape(c) == column =>
+        jsonUnescape(f) -> (mn.toLong, mx.toLong)
+    }.toMap
+    val files = readManifestFile(fs, root, v)
+    val kept = files.filter(f => ranges.get(f) match {
+      case Some((mn, mx)) => mx >= lo && mn <= hi
+      case None           => true // unknown range — must admit
+    })
+    // every file pruned ⇒ provably empty result; bind one file so the
+    // plan still carries the store's schema
+    val bind = if (kept.nonEmpty) kept else files.take(1)
+    val df = spark.read.option("basePath", path)
+      .parquet(bind.map(f => path + "/" + f): _*)
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(df.schema(column).dataType),
+      s"readPinnedWhere: '$column' must be integral (timestamps belong to " +
+        "date-partition pruning) — got " + df.schema(column).dataType)
+    val filtered = df.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+    if (kept.nonEmpty) filtered else filtered.limit(0)
+  }
+
   /** Outcome of [[clusterInPlace]]. */
   final case class ClusterStats(filesBefore: Int, filesAfter: Int, bytes: Long)
 
@@ -459,7 +566,10 @@ object EventStore {
     // time-travelable NOW (their files may just have been deleted) — a
     // dangling manifest would turn a clear "vacuumed past retention"
     // error into a silent short read
-    dropped.foreach(v => fs.delete(manifestPath(fs, root, v), false))
+    dropped.foreach { v =>
+      fs.delete(manifestPath(fs, root, v), false)
+      fs.delete(statsPath(root, v), false) // sidecar dies with its version
+    }
     deleted
   }
 

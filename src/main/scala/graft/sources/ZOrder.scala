@@ -85,6 +85,40 @@ object ZOrder {
   final case class SkipStats(admittedRowGroups: Int, totalRowGroups: Int,
                              admittedRows: Long, totalRows: Long)
 
+  /** Per-FILE min/max of a long-castable column, from the parquet footers
+    * — the raw material for a stats-carrying manifest
+    * ([[EventStore.writeFileStats]]): file-level stats let a reader prune
+    * whole files at PLANNING time (fewer tasks, no footer reads on the
+    * pruned ones), one level above the row-group pruning the scan does at
+    * read time. Files whose footer carries no usable stats for the column
+    * map to None — the reader must keep them. */
+  def fileColumnStats(spark: SparkSession, files: Seq[String],
+                      column: String): Seq[(String, Option[(Long, Long)])] = {
+    require(files.nonEmpty, "fileColumnStats: empty file list")
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        val perBlock = reader.getFooter.getBlocks.asScala.toSeq.map { block =>
+          val colChunk = block.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+          colChunk.map(_.getStatistics).flatMap { stats =>
+            if (stats == null || !stats.hasNonNullValue) None
+            else Some((stats.genericGetMin.asInstanceOf[Number].longValue(),
+              stats.genericGetMax.asInstanceOf[Number].longValue()))
+          }
+        }
+        // ONE unstatted row group poisons the whole file: its rows could
+        // be anywhere, so the file must always be admitted
+        f -> (if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
+              else Some((perBlock.flatten.map(_._1).min, perBlock.flatten.map(_._2).max)))
+      } finally reader.close()
+    }
+  }
+
   def rowGroupStats(spark: SparkSession, files: Seq[String],
                     column: String, lo: Long, hi: Long): SkipStats = {
     require(files.nonEmpty, "rowGroupStats: empty file list")

@@ -221,4 +221,30 @@ object EventStream {
       .option("path", storePath)
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
+
+  /** Continuous ingest into a MANIFESTED store: each micro-batch appends
+    * date-partitioned files and commits a new manifest version, so the
+    * batch becomes visible to [[graft.sources.EventStore.readPinned]]
+    * readers atomically — and, unlike [[ingest]], the store carries no
+    * `_spark_metadata` log, so compaction, z-order clustering, stats
+    * pinning and vacuum all compose with live ingest (the exact
+    * combination the plain streaming sink forbids: its log is the batch
+    * readers' source of truth and cannot survive a rewrite).
+    *
+    * The trade: exactly-once across RESTARTS now leans on the checkpoint
+    * alone (a batch replayed after a crash-before-checkpoint appends
+    * twice; the plain sink's log would dedup it). For an idempotent feed,
+    * put [[dedupByKey]] upstream or schedule [[graft.sources.EventStore
+    * .compact]]-time dedup; within a healthy run, visibility is atomic
+    * per batch. */
+  def ingestManifested(stream: DataFrame, storePath: String, checkpoint: String,
+                       tsCol: String = Compiler.DefaultTsCol) =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.EventStore.append(batch, storePath, tsCol)
+        graft.sources.EventStore.writeManifest(batch.sparkSession, storePath)
+        ()
+      }
 }

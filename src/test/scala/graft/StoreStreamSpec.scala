@@ -159,6 +159,38 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(EventStore.readPinned(spark, dir).collect().toSet == fullRows)
   }
 
+  test("ingestManifested: every micro-batch commits a manifest version; maintenance composes with streamed stores") {
+    val base = Files.createTempDirectory("graft-ingestman").toString
+    val (srcDir, store, ckpt) = (base + "/src", base + "/store", base + "/ckpt")
+    val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(dayofmonth(col("ts")) <= 4)
+      .select("event_id", "ts", "user_id", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    // three source files + maxFilesPerTrigger=1 → three micro-batches
+    (0 until 3).foreach { i =>
+      src.filter(pmod(col("event_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = EventStream.ingestManifested(stream, store, ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    // one version per batch (first commit on a fresh store is v0)
+    assert(EventStore.manifestVersion(spark, store) == 2,
+      s"expected v2 after three batch commits, got v${EventStore.manifestVersion(spark, store)}")
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("event_id", "user_id", "value").collect().toSet
+    assert(key(EventStore.readPinned(spark, store)) == key(src))
+    // no _spark_metadata log — the whole point: maintenance composes
+    assert(!new java.io.File(store, "_spark_metadata").exists())
+    // ...so the per-batch fragmentation compacts in place under pins
+    val stats = EventStore.compactInPlace(spark, store)
+    assert(stats.nonEmpty && stats.forall(p => p.filesAfter < p.filesBefore))
+    assert(key(EventStore.readPinned(spark, store)) == key(src))
+    assert(EventStore.vacuum(spark, store).nonEmpty)
+    assert(key(EventStore.readPinned(spark, store)) == key(src))
+  }
+
   test("trailingWindowStream: two-batch feed equals the batch trailing join row-for-row") {
     import org.apache.spark.sql.functions.sum
     val spark2 = spark; import spark2.implicits._

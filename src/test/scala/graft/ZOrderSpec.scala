@@ -77,4 +77,45 @@ class ZOrderSpec extends AnyFunSuite {
       .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
     assert(dates.length >= 3)
   }
+
+  test("stats-pruned reads bind fewer files yet equal the full filtered read exactly") {
+    val dir = Files.createTempDirectory("graft-statsprune").toString + "/events"
+    val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(dayofmonth(col("ts")) <= 4)
+      .select("event_id", "ts", "user_id", "value")
+    EventStore.append(src.repartition(4), dir)
+    EventStore.writeManifest(spark, dir)
+    EventStore.clusterInPlace(spark, dir, "user_id", "ts", targetBytes = 2048)
+    val vClustered = EventStore.manifestVersion(spark, dir)
+    assert(EventStore.writeFileStats(spark, dir, Seq("user_id")) ==
+      EventStore.manifestFiles(spark, dir).size,
+      "every data file must pin a user_id range")
+    val (uMin, uMax) = {
+      val r = src.agg(min("user_id"), max("user_id")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val hi = uMin + math.max(1L, (uMax - uMin) / 8)
+    val pruned = EventStore.readPinnedWhere(spark, dir, "user_id", uMin, hi)
+    val full = EventStore.readPinned(spark, dir)
+      .filter(col("user_id").between(uMin, hi))
+    // identical rows — pruning is conservative, never lossy
+    assert(pruned.collect().toSet == full.collect().toSet)
+    assert(pruned.count() > 0)
+    // ...from a strictly smaller file list, decided at PLANNING time
+    assert(pruned.inputFiles.length < EventStore.manifestFiles(spark, dir).size,
+      s"expected planning-time file pruning, bound ${pruned.inputFiles.length} files")
+    // a range beyond the data prunes every file and is provably empty
+    assert(EventStore.readPinnedWhere(spark, dir, "user_id",
+      uMax + 1000, uMax + 2000).count() == 0)
+    // missing sidecar (older version) and non-integral columns fail loudly
+    val noStats = intercept[IllegalArgumentException] {
+      EventStore.readPinnedWhere(spark, dir, "user_id", uMin, hi,
+        version = vClustered - 1)
+    }
+    assert(noStats.getMessage.contains("stats sidecar"))
+    val notIntegral = intercept[IllegalArgumentException] {
+      EventStore.readPinnedWhere(spark, dir, "value", 0L, 1L)
+    }
+    assert(notIntegral.getMessage.contains("must be integral"))
+  }
 }
