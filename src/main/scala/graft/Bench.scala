@@ -84,8 +84,8 @@ object Bench {
     // full fragment→rewrite→read lifecycle per call — one-off jobs too
     val buildClass = Seq("s4_ivf_build", "s8_pq_knn", "s8b_pq_build",
       "x14_familiarity", "c4_familiarity_gate", "c3_compact",
-      "c5_manifest_compact", "c6_zorder", "c7_time_travel", "c8_stats_prune")
-      .filter(results.contains)
+      "c5_manifest_compact", "c6_zorder", "c7_time_travel", "c8_stats_prune",
+      "c9_incremental").filter(results.contains)
     val buildJson = buildClass.map("\"" + _ + "\"").mkString("[", ",", "]")
     val buildTotal = buildClass.map(results).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","runs":$runs,"build_queries":$buildJson,"build_sec":$buildTotal}""")

@@ -550,6 +550,30 @@ object SparkEntry {
           .cast(DoubleType) / 7.0, 2).as("avg_yearly"))
   }
 
+  /** TPC-H Q18 shape: the AGGREGATE-FILTERED semi join (large-volume
+    * customers). The textbook plan scans lineitem twice — once under the
+    * HAVING subquery, once re-joined for the final sum; here the
+    * subquery's aggregate IS the final answer, so lineitem is scanned and
+    * shuffled exactly once, the (tiny) hot-order set rides an AQE
+    * broadcast into orders, and the top-10 compiles to
+    * TakeOrderedAndProject. Quantity sums are integer-valued doubles
+    * (exact in any order); ties break on the unique order key. */
+  private def q18LargeVolume(s: SparkSession, dir: String): DataFrame = {
+    val hot = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    val ord = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_name")
+    ord.join(hot, col("o_orderkey") === col("l_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty"))
+  }
+
   /** c2: the full training-shard pipeline in ONE declarative DAG —
     * benchmark decontamination (anti-join on the contaminated set), the c1
     * quality+language gate, canonical exact-dedup, token-budget packing
@@ -760,6 +784,47 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"),
         round(sum(col("value")), 3).as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** c9: incremental refresh off the manifest log — commit a 3-day
+    * snapshot, append 3 more days (second commit), then refresh a
+    * per-type aggregate by reading ONLY the files [[graft.sources
+    * .EventStore.manifestDiff]] says the new version added (require-gated:
+    * the plan binds exactly the added files, none removed). Partials are
+    * fixed-point `floor(value·2^20)` LONG sums, so base + delta merges
+    * exactly — the result is bit-identical to DuckDB's full 6-day
+    * aggregate, which is the whole claim: an incremental tick computed
+    * the full-scan answer without the full scan. */
+  private def c9Incremental(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/graft-incr-q/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.sources.EventStore.reset(s, path)
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    graft.sources.EventStore.append(
+      ev.filter(dayofmonth(col("ts")) <= 3).repartition(2), path)
+    graft.sources.EventStore.writeManifest(s, path)
+    val vBase = graft.sources.EventStore.manifestVersion(s, path)
+    graft.sources.EventStore.append(
+      ev.filter(dayofmonth(col("ts")).between(4, 6)).repartition(2), path)
+    graft.sources.EventStore.writeManifest(s, path)
+    val vNew = graft.sources.EventStore.manifestVersion(s, path)
+    val (added, removed) = graft.sources.EventStore.manifestDiff(s, path, vBase, vNew)
+    require(removed.isEmpty && added.nonEmpty,
+      s"append-only period must diff to (added, ∅), got +${added.size}/-${removed.size}")
+    val delta = graft.sources.EventStore.readFiles(s, path, added)
+    require(delta.inputFiles.length == added.size,
+      "the delta plan must bind exactly the added files")
+    val fp = floor(col("value") * lit(1048576.0)).cast(LongType)
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_type"), fp.as("fv"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("fv")).as("sfv"))
+    partial(graft.sources.EventStore.readPinned(s, path, vBase))
+      .union(partial(delta))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"),
+        round(sum(col("sfv")) / lit(1048576.0), 6).as("sum_value_q"))
   }
 
   /** j2: as-of join — each event enriched with the user's most recent
@@ -1633,6 +1698,7 @@ object SparkEntry {
     "q4_priority" -> (q4Priority _),
     "q13_custdist" -> (q13Custdist _),
     "q17_avg_yearly" -> (q17AvgYearly _),
+    "q18_large_volume" -> (q18LargeVolume _),
     "j1_revenue_nation" -> (j1RevenueNation _),
     "j2_asof_join" -> (j2AsofJoin _),
     "j4_asof_broadcast" -> (j4AsofBroadcast _),
@@ -1687,6 +1753,7 @@ object SparkEntry {
     "c6_zorder" -> (c6ZOrder _),
     "c7_time_travel" -> (c7TimeTravel _),
     "c8_stats_prune" -> (c8StatsPrune _),
+    "c9_incremental" -> (c9Incremental _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1971,6 +2038,15 @@ object SparkEntry {
         |  WHERE p_size <= 10)
         |WHERE l_quantity < thr
         |GROUP BY p_brand""".stripMargin,
+    "q18_large_volume" ->
+      """WITH hot AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250)
+        |SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+        |FROM orders
+        | JOIN hot ON o_orderkey = l_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
     "j1_revenue_nation" ->
       """SELECT n_name,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -2657,6 +2733,14 @@ object SparkEntry {
         | count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events, b
         |WHERE date_part('day', ts) <= 6 AND user_id BETWEEN b.lo AND b.hi
+        |GROUP BY 1""".stripMargin,
+    "c9_incremental" ->
+      // the FULL-SCAN answer the incremental tick must reproduce exactly:
+      // fixed-point floor(value·2^20) partials make base+delta merge
+      // associativity-free on both engines
+      """SELECT event_type, count(*)::BIGINT AS n,
+        | round(sum(floor(value * 1048576)) / 1048576, 6) AS sum_value_q
+        |FROM events WHERE date_part('day', ts) <= 6
         |GROUP BY 1""".stripMargin,
     "c2_shards" -> {
       val en = graft.functions.TextFunctions.langStopwords.head._2

@@ -467,6 +467,34 @@ object EventStore {
     if (kept.nonEmpty) filtered else filtered.limit(0)
   }
 
+  /** The file-set delta between two manifest versions: what `vNew` added
+    * and what it removed relative to `vOld` (relative paths). This is the
+    * incremental-computation primitive the version log buys: an
+    * append-only period diffs to (newFiles, ∅), so a downstream aggregate
+    * refreshes by reading ONLY the new files instead of re-scanning the
+    * store — at 100 TB/day that is the difference between an incremental
+    * ETL tick and a full-table pass. Maintenance commits (compact,
+    * cluster) rewrite files without changing content, so consumers should
+    * diff across QUIET versions or re-base after maintenance — the
+    * removed-set being nonempty is the detectable signal. */
+  def manifestDiff(spark: SparkSession, path: String, vOld: Long, vNew: Long)
+      : (Seq[String], Seq[String]) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = readManifestFile(fs, root, vOld).toSet
+    val neu = readManifestFile(fs, root, vNew).toSet
+    ((neu -- old).toSeq.sorted, (old -- neu).toSeq.sorted)
+  }
+
+  /** Bind a plan to an explicit subset of the store's files (relative
+    * paths, e.g. one side of [[manifestDiff]]). Partition columns still
+    * come from the directory names. */
+  def readFiles(spark: SparkSession, path: String, rel: Seq[String]): DataFrame = {
+    require(rel.nonEmpty, "readFiles: empty file list")
+    spark.read.option("basePath", path)
+      .parquet(rel.map(f => path + "/" + f): _*)
+  }
+
   /** Outcome of [[clusterInPlace]]. */
   final case class ClusterStats(filesBefore: Int, filesAfter: Int, bytes: Long)
 

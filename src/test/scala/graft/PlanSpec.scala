@@ -170,6 +170,62 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q18: single lineitem scan; hot-order set broadcasts; top-10 is TakeOrdered") {
+    val df = SparkEntry.queries("q18_large_volume")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the HAVING subquery's aggregate IS the final answer — lineitem must
+    // appear exactly once (textbook Q18 scans it twice and re-joins)
+    val liScans = "lineitem".r.findAllIn(p).length
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 must not global-sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the hot-order set should broadcast:\n$p")
+    // Final + Initial AQE sections each print the scan once
+    assert(liScans <= 2, s"lineitem must be scanned once (saw $liScans mentions):\n$p")
+  }
+
+  test("AQE splits the skewed partition of a shuffle join (skew=true in the final plan)") {
+    // the join-side complement of the aggregation-skew story (SURVEY §9:
+    // AQE skew handling is JOIN-only — two-level sessions exist because
+    // of that): force the shuffle-join regime, drop the skew thresholds
+    // to fixture scale, and verify OptimizeSkewedJoin actually split the
+    // hot key's partition instead of leaving one straggler task
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512b",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      // 90% of rows share one hot user → one shuffle partition dwarfs the
+      // rest. Both join children must be bare shuffle stages (an agg in
+      // between defeats OptimizeSkewedJoin's pattern — which is itself
+      // worth knowing: pre-aggregated sides don't get skew splitting)
+      // many map tasks (repartition 16): skew splitting regroups MAP
+      // outputs, so a hot partition fed by a single mapper is unsplittable
+      // no matter the thresholds — at scale the map side is always wide,
+      // the fixture must make it so explicitly
+      val ev = graft.sources.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("user_id",
+          when(pmod(col("event_id"), lit(10)) < 9, lit(7L)).otherwise(col("user_id")))
+        .repartition(16, col("event_id"))
+      val right = ev.select(col("user_id").as("u"), col("value").as("v"))
+      val joined = ev.join(right, col("user_id") === col("u"))
+        .agg(count(lit(1)).as("n"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"expected OptimizeSkewedJoin to split the hot partition:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("windowed aggregation is a single exchange (partial agg map-side)") {
     val p = plan("a8_window")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length

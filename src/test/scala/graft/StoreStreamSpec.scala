@@ -141,6 +141,17 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(v3 == v2 + 1)
     assert(EventStore.readPinned(spark, dir, v1).collect().toSet == rows1)
     assert(EventStore.readPinned(spark, dir, v2).collect().toSet == fullRows)
+    // the manifest log doubles as a change feed: an append-only period
+    // diffs to (added, ∅) and the delta files hold exactly batch2; the
+    // maintenance commit diffs with a NONEMPTY removed set — the signal
+    // incremental consumers re-base on
+    val (added, removed) = EventStore.manifestDiff(spark, dir, v1, v2)
+    assert(removed.isEmpty && added.nonEmpty)
+    assert(EventStore.readFiles(spark, dir, added).collect().toSet ==
+      (fullRows -- rows1))
+    val (mAdded, mRemoved) = EventStore.manifestDiff(spark, dir, v2, v3)
+    assert(mAdded.nonEmpty && mRemoved.nonEmpty,
+      "a compaction commit must be visible as rewrite, not append")
     // retention: keep 2 versions → v1 falls out and FAILS LOUDLY, v2
     // (whose files the compaction replaced but retention protects) and
     // v3 both still read whole
