@@ -164,12 +164,38 @@ object AsofJoin {
           "a STREAM — the windowed asof() fallback needs a batch left; bound " +
           "the right side (latestPerKeyTime / filter) or use a stateful " +
           "stream-stream join")
+      // The fallback enforces the SAME contract the collected path does
+      // below — duplicate (key, time) versions and null version times must
+      // fail loudly on BOTH sides of the maxRightRows boundary, or dirty
+      // input flips from a clear error to sort-order luck (asof()'s window
+      // breaks right-side ties arbitrarily) the moment the dimension
+      // grows. One audit job over the right side, distributed; the
+      // (null-key, null-time) corner mirrors the collected path, which
+      // drops null keys before the null-time check.
+      val bad = right
+        .select(col(keyR).as("__k"), col(timeR).as("__t"))
+        .groupBy(col("__k"), col("__t")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1 || (col("__t").isNull && col("__k").isNotNull))
+        .limit(1).collect()
+      bad.headOption.foreach { r =>
+        if (r.getLong(2) > 1) throw new IllegalArgumentException(
+          s"asofBroadcast: duplicate (key, time) right rows at " +
+            s"(${r.get(0)}, ${r.get(1)}) — pre-dedupe with latestPerKeyTime")
+        else throw new IllegalArgumentException(
+          s"asofBroadcast: right rows have a null $timeR — a null version " +
+            "time can never match; filter them out or fix the source")
+      }
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"asofBroadcast: right side exceeds $maxRightRows rows — falling back " +
           "to the single-exchange asof() (same output, windowed plan); " +
           "broadcast economics are lost, raise maxRightRows deliberately if " +
           "the plan-resident size is acceptable")
-      return asof(left, right, keyL, keyR, timeL, timeR, payload)
+      // null-key right rows match nothing in the broadcast probe (SQL
+      // equality); asof()'s window would group them WITH null-key left
+      // rows, so drop them to keep the boundary behavior identical
+      val keyedRight = right.filter(col(keyR).isNotNull)
+      require(!keyedRight.isEmpty, "asofBroadcast: every right row has a null key")
+      return asof(left, keyedRight, keyL, keyR, timeL, timeR, payload)
     }
     require(rows.nonEmpty, "asofBroadcast: right side is empty")
     val dupKT = rows.groupBy(r => (r.get(0), r.get(1))).filter(_._2.length > 1).keys

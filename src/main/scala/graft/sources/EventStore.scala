@@ -182,11 +182,17 @@ object EventStore {
       new org.apache.hadoop.fs.Path(root, ManifestName)
     else manifestVersionPath(root, v)
 
-  /** Visible data files, as `partitionDir/fileName` relative paths. */
+  /** Visible data files, as `partitionDir/fileName` relative paths.
+    * Hidden (dot-prefixed) directories — maintenance staging and the
+    * legacy compactor's `.<part>.compact-old` recovery parking — are NOT
+    * data, however partition-like their names look: listing them would
+    * let [[writeManifest]] adopt crash debris and [[vacuum]] delete the
+    * very files [[readRetrying]]'s recovery message points at. */
   private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
                             root: org.apache.hadoop.fs.Path): Seq[String] =
     fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith(".")
+        && s.getPath.getName.contains("="))
       .flatMap { p =>
         fs.listStatus(p.getPath)
           .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
@@ -194,17 +200,58 @@ object EventStore {
           .map(f => p.getPath.getName + "/" + f.getPath.getName)
       }.sorted
 
-  /** Commit `files` as the NEXT manifest version. Manifest files are
-    * immutable once committed (write-tmp + rename-to-fresh-name — never an
+  /** Files that only a MAINTENANCE commit may introduce to the manifest:
+    * [[compactInPlace]]/[[clusterInPlace]] move their outputs into the
+    * live dirs under these names BEFORE their manifest swap, so a
+    * concurrent (or later) [[writeManifest]] listing must not adopt ones
+    * the manifest does not already contain — they are either mid-flight
+    * (their commit is coming) or crash debris (vacuum's to reclaim).
+    * Without this rule, a crashed compaction's moved-in files would be
+    * double-counted next to the originals they never replaced. */
+  private val MaintenanceFile = """(?:compact|zorder)-\d+-.*""".r
+
+  /** Serialize manifest commits: an exclusive-create lock file arbitrates,
+    * because a plain rename-to-destination OVERWRITES on local/POSIX
+    * filesystems — two racing committers would both "succeed" at the same
+    * version and one commit would be silently lost. Under the lock the
+    * committer recomputes the next version from a fresh listing, so the
+    * lost-update window is closed on any filesystem whose exclusive
+    * create is atomic (HDFS, object stores with preconditions; local FS
+    * to within `File#createNewFile` semantics). A crash while holding the
+    * lock blocks later commits LOUDLY — the error names the lock and its
+    * age so an operator can remove a stale one. */
+  private def withCommitLock[A](fs: org.apache.hadoop.fs.FileSystem,
+                                root: org.apache.hadoop.fs.Path)(body: => A): A = {
+    val lock = new org.apache.hadoop.fs.Path(root, ".manifest.lock")
+    val claimed =
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!claimed) {
+      val age =
+        try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+        catch { case _: java.io.IOException => -1L }
+      throw new IllegalStateException(
+        s"manifest commit lock $lock is held (age ${age}ms) — a concurrent " +
+          "committer is mid-commit; retry after it finishes, or delete the " +
+          "lock file if its holder crashed")
+    }
+    try body finally { fs.delete(lock, false); () }
+  }
+
+  /** Commit `files` as the NEXT manifest version, under [[withCommitLock]].
+    * Manifest files are immutable once committed (write-tmp +
+    * rename-to-fresh-name, version chosen inside the lock — never an
     * overwrite), which is what makes old versions time-travelable and the
-    * commit race-free: rename to an existing destination fails, so two
-    * racing writers produce two versions or one loud error, never a torn
-    * file. Single-writer operation remains the documented protocol for
-    * MAINTENANCE (compaction/clustering); version commits themselves are
-    * safe to retry. Returns the committed version. */
+    * commit race-free. Returns the committed version. */
   private def writeManifestFile(fs: org.apache.hadoop.fs.FileSystem,
                                 root: org.apache.hadoop.fs.Path,
-                                files: Seq[String]): Long = {
+                                files: Seq[String]): Long =
+    withCommitLock(fs, root) { commitLocked(fs, root, files) }
+
+  /** The commit body — caller MUST hold the commit lock. */
+  private def commitLocked(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path,
+                           files: Seq[String]): Long = {
     val next = manifestVersions(fs, root).lastOption.getOrElse(-1L) + 1L
     val tmp = new org.apache.hadoop.fs.Path(root, s".manifest-v$next.tmp")
     val out = fs.create(tmp, true)
@@ -242,15 +289,25 @@ object EventStore {
   /** Adopt (or refresh) the manifest: snapshot the CURRENT visible data
     * files as the store's committed set, as a NEW immutable manifest
     * version. Run after every append batch; anything not in the manifest
-    * is invisible to [[readPinned]] and fair game for [[vacuum]]. Returns
-    * the number of committed files. */
+    * is invisible to [[readPinned]] and fair game for [[vacuum]]. Files
+    * with [[MaintenanceFile]] names that the current manifest does not
+    * already list are skipped — they belong to a maintenance commit
+    * (mid-flight or crashed), never to append adoption. Returns the
+    * number of committed files. */
   def writeManifest(spark: SparkSession, path: String): Int = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = listDataFiles(fs, root)
-    require(files.nonEmpty, s"writeManifest: no data files under $path")
-    writeManifestFile(fs, root, files)
-    files.size
+    withCommitLock(fs, root) {
+      val current = manifestVersions(fs, root).lastOption
+        .map(v => readManifestFile(fs, root, v).toSet).getOrElse(Set.empty[String])
+      val files = listDataFiles(fs, root).filter { f =>
+        current(f) || !MaintenanceFile.pattern
+          .matcher(f.substring(f.indexOf('/') + 1)).matches()
+      }
+      require(files.nonEmpty, s"writeManifest: no data files under $path")
+      commitLocked(fs, root, files)
+      files.size
+    }
   }
 
   /** The store's current (highest) manifest version — every commit
@@ -345,8 +402,22 @@ object EventStore {
       val results = Await.result(done, Duration.Inf)
       val replaced = results.flatMap(_._2).toSet
       val added = results.flatMap(_._3)
-      // the ONE commit point: readers pin either the old set or the new
-      writeManifestFile(fs, root, manifest.filterNot(replaced) ++ added)
+      // the ONE commit point — an OPTIMISTIC rebase under the commit
+      // lock: the swap applies (remove replaced, add compacted) to the
+      // manifest AS OF COMMIT TIME, not as of the read above, so files a
+      // concurrent append committed mid-compaction survive the swap. If
+      // a file this compaction replaced has itself vanished from the
+      // manifest, a conflicting maintenance ran — fail loudly, leaving
+      // the compacted output as unmanifested garbage for vacuum.
+      withCommitLock(fs, root) {
+        val current = readManifestFile(fs, root)
+        val vanished = replaced -- current.toSet
+        require(vanished.isEmpty,
+          s"compactInPlace: files replaced by this compaction left the " +
+            s"manifest mid-run (concurrent maintenance?): " +
+            s"${vanished.take(3).mkString(", ")} — re-run against the new snapshot")
+        commitLocked(fs, root, current.filterNot(replaced) ++ added)
+      }
       results.map(_._4).sortBy(_.partition)
     } finally pool.shutdown()
   }
@@ -557,8 +628,15 @@ object EventStore {
           }
       }
     fs.delete(staged, true)
-    // the ONE commit point: the rewrite replaces the ENTIRE pinned set
-    writeManifestFile(fs, root, movedIn)
+    // the ONE commit point — optimistic rebase like compactInPlace's:
+    // the rewrite replaces exactly the file set it READ; files a
+    // concurrent append committed mid-rewrite are carried forward (they
+    // are simply not clustered yet — the next clusterInPlace picks them
+    // up).
+    withCommitLock(fs, root) {
+      val current = readManifestFile(fs, root)
+      commitLocked(fs, root, current.filterNot(manifest.toSet) ++ movedIn)
+    }
     ClusterStats(manifest.size, movedIn.size, bytes)
   }
 
@@ -598,6 +676,16 @@ object EventStore {
       fs.delete(manifestPath(fs, root, v), false)
       fs.delete(statsPath(root, v), false) // sidecar dies with its version
     }
+    // crashed-maintenance STAGING dirs past the same grace window: pure
+    // scratch (their contents were either moved out or never committed).
+    // The legacy compactor's `.<part>.compact-old` parking is deliberately
+    // NOT touched — it can hold the only copy of a partition, and
+    // readRetrying's recovery message points operators at it.
+    val staging = """^\..*\.compact-staging$|^\.zorder-staging$""".r
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && staging.pattern.matcher(s.getPath.getName).matches()
+        && s.getModificationTime <= cutoff)
+      .foreach(s => fs.delete(s.getPath, true))
     deleted
   }
 

@@ -47,10 +47,28 @@ object ZOrder {
     * sampling job); for ids and timestamps affine is the standard choice.
     * Nulls bucket to 0 — they cluster together at the z-origin. */
   private def bucket16(c: Column, min: Long, max: Long): Column = {
-    val range = math.max(1L, max - min + 1)
+    // Power-of-two bucket width ⇒ the bucket is a plain right-shift:
+    // exact integer arithmetic, no overflow for any data range. The
+    // obvious `(x - min) * 65536 / range` overflows Long once the range
+    // tops ~2^47 (snowflake ids, nanosecond epochs) and silently
+    // interleaves garbage; a shift never can. Cost: up to 2× fewer
+    // distinct buckets than the affine ideal (still ≥ 2^15) — layout
+    // quality, not correctness.
+    val span = BigInt(max) - BigInt(min) // ≥ 0: caller orders min ≤ max
+    require(span.bitLength <= 63,
+      s"zorder: column range [$min, $max] spans ≥ 2^63 — rescale the " +
+        "column (e.g. truncate to coarser units) before clustering")
+    // Normalize to the FULL 16-bit width in both directions: a
+    // small-range column scales UP (shift left) so its bits carry the
+    // same weight in the interleave as a wide column's — otherwise the
+    // wide dimension's buckets dominate the Morton order and the narrow
+    // one barely clusters.
+    val shift = span.bitLength - 16
+    val base = coalesce(c.cast("long"), lit(min)).minus(lit(min))
     least(lit(65535L),
-      coalesce(c.cast("long"), lit(min)).minus(lit(min))
-        .multiply(lit(65536L)).divide(lit(range)).cast("long"))
+      if (shift > 0) shiftright(base, shift)
+      else if (shift < 0) shiftleft(base, -shift)
+      else base)
   }
 
   /** The z-value column for two clustering dimensions. `minMax` comes

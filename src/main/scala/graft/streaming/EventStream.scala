@@ -236,15 +236,24 @@ object EventStream {
     * twice; the plain sink's log would dedup it). For an idempotent feed,
     * put [[dedupByKey]] upstream or schedule [[graft.sources.EventStore
     * .compact]]-time dedup; within a healthy run, visibility is atomic
-    * per batch. */
+    * per batch.
+    *
+    * Empty micro-batches (restart replays, idle sources, an upstream
+    * filter dropping everything) commit NOTHING: appending zero rows
+    * writes no files, and committing a manifest anyway would throw on a
+    * fresh store and, on a live one, burn a redundant version out of
+    * [[graft.sources.EventStore.vacuum]]'s `keepVersions` time-travel
+    * retention. */
   def ingestManifested(stream: DataFrame, storePath: String, checkpoint: String,
                        tsCol: String = Compiler.DefaultTsCol) =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.sources.EventStore.append(batch, storePath, tsCol)
-        graft.sources.EventStore.writeManifest(batch.sparkSession, storePath)
+        if (!batch.isEmpty) {
+          graft.sources.EventStore.append(batch, storePath, tsCol)
+          graft.sources.EventStore.writeManifest(batch.sparkSession, storePath)
+        }
         ()
       }
 }

@@ -232,6 +232,35 @@ class AsofSpec extends AnyFunSuite {
       .getMessage.contains("STREAM"))
   }
 
+  test("asofBroadcast fallback enforces the broadcast path's contract (no sort-order luck past the boundary)") {
+    val left = Seq((1L, 20L)).toDF("k", "t")
+    // duplicate (key, time): loud on BOTH sides of maxRightRows — the
+    // windowed fallback would otherwise pick a payload by sort luck
+    val dupRight = Seq((1L, 10L, "a"), (1L, 10L, "b"), (2L, 5L, "c")).toDF("k", "t", "tag")
+    assert(intercept[IllegalArgumentException](
+      AsofJoin.asofBroadcast(left, dupRight, "k", "k", "t", "t", Seq("tag"),
+        maxRightRows = 2)).getMessage.contains("latestPerKeyTime"))
+    // null version time: loud on both sides too (nulls sort FIRST in the
+    // fallback's window — they would silently match as 'earliest version')
+    val nullT = Seq((Some(1L), Some(10L), "a"), (Some(1L), None: Option[Long], "broken"),
+      (Some(2L), Some(5L), "c")).toDF("k", "t", "tag")
+    assert(intercept[IllegalArgumentException](
+      AsofJoin.asofBroadcast(left, nullT, "k", "k", "t", "t", Seq("tag"),
+        maxRightRows = 2)).getMessage.contains("null t"))
+    // null right keys: dropped in the fallback exactly like the broadcast
+    // probe (asof()'s window would group them with null-key left rows)
+    val nullK = Seq((Some(1L), 10L, "a"), (None: Option[Long], 5L, "ghost"),
+      (Some(2L), 7L, "x")).toDF("k", "t", "tag")
+    val got = AsofJoin.asofBroadcast(left, nullK, "k", "k", "t", "t", Seq("tag"),
+      maxRightRows = 2)
+    assert(got.head().getString(2) == "a")
+    val allNull = Seq((None: Option[Long], 5L, "g1"), (None: Option[Long], 6L, "g2"),
+      (None: Option[Long], 7L, "g3")).toDF("k", "t", "tag")
+    assert(intercept[IllegalArgumentException](
+      AsofJoin.asofBroadcast(left, allNull, "k", "k", "t", "t", Seq("tag"),
+        maxRightRows = 2)).getMessage.contains("null key"))
+  }
+
   test("latestPerKeyTime keeps exactly the max-tie version per (key, time)") {
     val dup = Seq((1L, 10L, 7L, "x"), (1L, 10L, 9L, "y"), (1L, 11L, 1L, "z"))
       .toDF("k", "t", "ver", "tag")

@@ -123,7 +123,6 @@ class PlanSpec extends AnyFunSuite {
     // the per-part average must ride a window over the fact's own
     // l_partkey exchange (textbook decorrelation would scan the fact
     // slice twice and join it back to itself)
-    val joins = "Join".r.findAllIn(p).length
     assert(p.contains("BroadcastHashJoin"), s"dimension filter must broadcast:\n$p")
     assert("SortMergeJoin".r.findAllIn(p).isEmpty &&
       "ShuffledHashJoin".r.findAllIn(p).isEmpty,

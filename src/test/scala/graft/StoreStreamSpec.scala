@@ -202,6 +202,91 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(key(EventStore.readPinned(spark, store)) == key(src))
   }
 
+  test("manifest commits are lock-arbitrated; crashed-maintenance debris is quarantined, then vacuumed") {
+    val base = Files.createTempDirectory("graft-manlock").toString
+    val store = base + "/store"
+    val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(dayofmonth(col("ts")) <= 2)
+      .select("event_id", "ts", "user_id", "value")
+    EventStore.append(src, store)
+    EventStore.writeManifest(spark, store)
+    val rows = src.count()
+
+    // 1) a held commit lock BLOCKS loudly — it must never silently
+    // overwrite (the local-FS rename-overwrite lost-update)
+    val lockF = new java.io.File(store, ".manifest.lock")
+    assert(lockF.createNewFile())
+    val e = intercept[IllegalStateException](EventStore.writeManifest(spark, store))
+    assert(e.getMessage.contains("commit lock") && e.getMessage.contains("crashed"))
+    assert(lockF.delete())
+
+    // 2) simulate a crashed compaction: a maintenance-named file moved
+    // into a live partition dir but never committed, plus hidden staging
+    // and legacy recovery-parking dirs whose names LOOK partition-like
+    val storeDir = new java.io.File(store)
+    val partDir = storeDir.listFiles().filter(f =>
+      f.isDirectory && f.getName.contains("=")).minBy(_.getName)
+    val dataFile = partDir.listFiles().filter(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")).head
+    val debris = new java.io.File(partDir, "compact-9999-debris.parquet")
+    java.nio.file.Files.copy(dataFile.toPath, debris.toPath)
+    val staging = new java.io.File(storeDir, ".event_date=2099-01-01.compact-staging")
+    val parking = new java.io.File(storeDir, ".event_date=2099-01-02.compact-old")
+    for (d <- Seq(staging, parking)) {
+      assert(d.mkdir())
+      java.nio.file.Files.copy(dataFile.toPath, new java.io.File(d, "junk.parquet").toPath)
+    }
+    // writeManifest must adopt NONE of it — else readers double-count the
+    // debris copy next to its original
+    EventStore.writeManifest(spark, store)
+    val manifested = EventStore.manifestFiles(spark, store)
+    assert(!manifested.exists(_.contains("compact-9999")), "debris adopted!")
+    assert(!manifested.exists(_.contains("2099")), "hidden dirs listed as partitions!")
+    assert(EventStore.readPinned(spark, store).count() == rows)
+
+    // 3) vacuum reclaims the debris file and the staging dir — but NEVER
+    // the .compact-old parking (it can hold the only copy of a partition;
+    // readRetrying's recovery message points operators at it)
+    val deleted = EventStore.vacuum(spark, store)
+    assert(deleted.exists(_.contains("compact-9999-debris")), s"debris not reclaimed: $deleted")
+    assert(!staging.exists(), "crashed staging must be reclaimed")
+    assert(parking.exists(), "recovery parking must survive vacuum")
+    assert(EventStore.readPinned(spark, store).count() == rows)
+  }
+
+  test("ingestManifested skips empty micro-batches instead of dying or burning retention versions") {
+    val base = Files.createTempDirectory("graft-emptybatch").toString
+    val (srcDir, store, ckpt) = (base + "/src", base + "/store", base + "/ckpt")
+    val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(dayofmonth(col("ts")) <= 2)
+      .select("event_id", "ts", "user_id", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    // batch 0 is EMPTY (a zero-row file): on a fresh store this used to
+    // throw inside foreachBatch ('no data files') and kill the stream
+    src.limit(0).coalesce(1).write.mode("append").parquet(srcDir)
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = EventStream.ingestManifested(stream, store, ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    assert(!new java.io.File(store).exists() ||
+      intercept[IllegalArgumentException](
+        EventStore.manifestVersion(spark, store)).getMessage.contains("no manifest"),
+      "an empty batch must commit nothing")
+    // real data → v0; a trailing empty batch must not bump the version
+    // (every redundant version erodes vacuum(keepVersions) retention)
+    src.coalesce(1).write.mode("append").parquet(srcDir)
+    drain()
+    assert(EventStore.manifestVersion(spark, store) == 0)
+    src.limit(0).coalesce(1).write.mode("append").parquet(srcDir)
+    drain()
+    assert(EventStore.manifestVersion(spark, store) == 0,
+      "an empty batch burned a manifest version")
+    assert(EventStore.readPinned(spark, store).count() == src.count())
+  }
+
   test("trailingWindowStream: two-batch feed equals the batch trailing join row-for-row") {
     import org.apache.spark.sql.functions.sum
     val spark2 = spark; import spark2.implicits._

@@ -29,6 +29,30 @@ class ZOrderSpec extends AnyFunSuite {
     assert(got == samples.map { case (a, b) => model(a, b) })
   }
 
+  test("zValue stays exact on huge-range columns (snowflake ids, nano epochs)") {
+    import spark.implicits._
+    // ids spanning ~2^62: the affine formula (x-min)*65536/range wraps
+    // Long at ~2^47 and interleaves garbage; the shift formula cannot
+    val base = -1500000000000000000L
+    val step = 60000000000000000L // 6e16 → 64 ids span ~3.8e18 ≈ 2^61.7
+    val df = Seq.tabulate(64)(i => (base + i.toLong * step, 5L)).toDF("id", "x")
+    val ranges = ZOrder.columnRanges(df, Seq("id", "x"))
+    val z = df.orderBy("id")
+      .select(ZOrder.zValue(col("id"), ranges("id"), col("x"), ranges("x")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(z.forall(v => v >= 0 && v < (1L << 32)), s"z out of 32-bit range: $z")
+    // second dim is constant (bucket 0) ⇒ z must be MONOTONE in id —
+    // exactly what the overflowing formula breaks
+    assert(z == z.sorted, "z not monotone in the clustering column")
+    assert(z.distinct.size > 32, s"bucket collapse: ${z.distinct.size} distinct")
+    // full-64-bit span is rejected loudly, not silently wrapped
+    val degenerate = Seq((Long.MinValue, 1L), (Long.MaxValue, 2L)).toDF("id", "x")
+    val dr = ZOrder.columnRanges(degenerate, Seq("id", "x"))
+    assert(intercept[IllegalArgumentException](
+      degenerate.select(ZOrder.zValue(col("id"), dr("id"), col("x"), dr("x"))))
+      .getMessage.contains("2^63"))
+  }
+
   test("clusterInPlace: user filter skips row groups the time-ordered layout cannot; content preserved") {
     val dir = Files.createTempDirectory("graft-zorder").toString + "/events"
     val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
