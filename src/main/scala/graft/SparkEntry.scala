@@ -255,6 +255,22 @@ object SparkEntry {
     graft.operators.GapWindows(Tables.events(s, dir), q, idCol = Some("event_id"))
   }
 
+  /** a8b: the SAME gap windows as a8 through the run-decomposed PARALLEL
+    * walk ([[graft.operators.GapWindows.parallel]]) — identical oracle
+    * SQL, so a hash match proves the decomposition (restart the walk at
+    * every predecessor-gap > granularity, a provable anchor) is exact.
+    * This is the skew answer for the one remaining sequential stage in
+    * the windowed family: the walk fans out across (group, run) instead
+    * of serializing per group. */
+  private def a8bGapRuns(s: SparkSession, dir: String): DataFrame = {
+    val q = ZxQuery(
+      selects = Seq(Select(Agg.Sum, "value"), Select(Agg.Count, "value"),
+        Select(Agg.Mean, "value")),
+      groupBy = Seq("event_type"),
+      granularitySec = 3600L)
+    graft.operators.GapWindows.parallel(Tables.events(s, dir), q, idCol = Some("event_id"))
+  }
+
   /** A9 session windows (extension): gap-based sessionization via Spark's
     * native `session_window` — w_start = first event, w_end = last + gap.
     * Oracle replays the identical rule as lag/cumsum over BIGINT seconds
@@ -1680,6 +1696,7 @@ object SparkEntry {
     "a7_heatmap" -> (a7Heatmap _),
     "a8_window" -> (a8Window _),
     "a8_gap_window" -> (a8GapWindow _),
+    "a8b_gap_runs" -> (a8bGapRuns _),
     "a9_session" -> (a9Session _),
     "a9b_session_salted" -> (a9bSessionSalted _),
     "a10_hopping" -> (a10Hopping _),
@@ -2672,6 +2689,9 @@ object SparkEntry {
         |              / len(samples)) END, 6) AS rms
         |FROM s""".stripMargin,
     "a8_gap_window" -> gapWindowOracle(3600L),
+    // a8b replays the SAME serial walk in DuckDB — a hash match proves the
+    // run-decomposed parallel plan computes exactly what the serial walk does
+    "a8b_gap_runs" -> gapWindowOracle(3600L),
     "c1_curate" -> {
       val en = graft.functions.TextFunctions.langStopwords.head._2
         .map(w => s"'$w'").mkString(",")

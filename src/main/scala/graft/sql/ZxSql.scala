@@ -390,8 +390,11 @@ object ZxSql {
     // `salt <n>` (extension): route the aggregation through the two-phase
     // skew plan — tumbling/hopping/top-groups via the salted partial+final
     // decomposition (Aggregates.groupedAgg), sessions via the exact
-    // two-level interval merge (Compiler.runSessionTwoLevel). The explicit
-    // SQL face of the one-hot-key mitigation.
+    // two-level interval merge (Compiler.runSessionTwoLevel), exact gap
+    // walks via the run-decomposed parallel walk (GapWindows.parallel;
+    // the salt COUNT is advisory there — parallelism is the number of
+    // gap runs the data actually has). The explicit SQL face of the
+    // one-hot-key mitigation.
     var salt: Option[Int] = None
     if (atIdent("salt")) {
       next()
@@ -429,9 +432,6 @@ object ZxSql {
     if (joinSpec.nonEmpty &&
         (having.nonEmpty || sessionGap.nonEmpty || slide.nonEmpty || exactWindows))
       throw ParseError("asof/trailing join queries do not take having / session / slide / exact")
-    if (salt.nonEmpty && exactWindows)
-      throw ParseError("salt cannot apply to exact gap windows — the data-anchored " +
-        "walk is order-dependent per group and has no partial decomposition")
     if (salt.nonEmpty && (joinSpec.nonEmpty || selects.forall(_.agg == Agg.Raw)))
       throw ParseError("salt applies to aggregation queries only")
 
@@ -510,7 +510,13 @@ object ZxSql {
       if (exact) throw ParseError("session windows are mutually exclusive with exact")
       Compiler.runSession(df, q, tsCol)
     }
-    else if (exact || q.exact) GapWindows(df, q, tsCol, idCol)
+    else if (exact || q.exact) {
+      // `salt` on the exact walk = the run-decomposed parallel plan (the
+      // walk restarts at every predecessor-gap > granularity, a provable
+      // anchor — results identical, skewed groups fan out across runs)
+      if (q.skewSalt.isDefined) GapWindows.parallel(df, q, tsCol, idCol)
+      else GapWindows(df, q, tsCol, idCol)
+    }
     else Compiler.runUnsorted(df, q, tsCol)
   }
 

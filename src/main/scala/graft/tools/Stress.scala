@@ -130,6 +130,12 @@ object Stress {
     time("a8_gap_hot_10x") {
       graft.operators.GapWindows(evwHot, qW, idCol = Some("event_id")).count()
     }
+    // the run-decomposed parallel walk on the SAME hot group: the lag/
+    // cumsum prepass stays per-key sequential (O(1)/row streaming scan),
+    // but the window walk fans out across gap runs
+    time("a8_gap_hot_10x_parallel") {
+      graft.operators.GapWindows.parallel(evwHot, qW, idCol = Some("event_id")).count()
+    }
     val sessionSql = "select sum(value), count(value) from events " +
       "group by event_type session 300"
     time("a9_session_spread_10x") {
@@ -156,6 +162,44 @@ object Stress {
     time("a8_gap_hot_100x") {
       graft.operators.GapWindows(evwHot100, qW, idCol = Some("event_id")).count()
     }
+    // run-decomposed walk A/B at 10^7 rows in ONE group. Two regimes:
+    // with cheap streaming aggregates (sum/count/mean) the serial walk is
+    // already O(1)/row, so the parallel plan's extra exchange + per-key
+    // lag/cumsum prepass costs about what the fan-out saves — use the
+    // serial walk there. With HEAVY per-window work (p50 sorts its window
+    // buffer, count_distinct builds a set) the walk dominates and fanning
+    // it out across gap runs is the win the `salt ... exact` SQL face
+    // buys. SURVEY §9 records both numbers.
+    time("a8_gap_hot_100x_parallel") {
+      graft.operators.GapWindows.parallel(evwHot100, qW, idCol = Some("event_id")).count()
+    }
+    val qWHeavy = ZxQuery(
+      selects = Seq(Select(Agg.P50, "value"), Select(Agg.CountDistinct, "user_id")),
+      groupBy = Seq("event_type"), granularitySec = 3600L)
+    time("a8_gap_hot_heavy_100x") {
+      graft.operators.GapWindows(evwHot100, qWHeavy, idCol = Some("event_id")).count()
+    }
+    time("a8_gap_hot_heavy_100x_parallel") {
+      graft.operators.GapWindows.parallel(evwHot100, qWHeavy, idCol = Some("event_id")).count()
+    }
+    // BURSTY hot group: the same 10^7 rows remapped into 1200 activity
+    // bursts separated by > granularity — the realistic per-entity shape
+    // (sessions of activity, idle between) and the one the run
+    // decomposition exists for. The dense-uniform timeline above is the
+    // honest worst case: zero gaps ⇒ ONE run ⇒ the parallel plan is pure
+    // overhead; here every burst is an independent run and the window
+    // work (p50 sorts, distinct sets) fans out across them.
+    val evwBursty = evwHot100.withColumn("ts",
+      (pmod(col("event_id"), lit(1200L)) * lit(7200L) +
+        pmod(col("ts").cast("long"), lit(3600L)) + lit(1704067200L))).persist()
+    evwBursty.count()
+    time("a8_gap_bursty_heavy_100x") {
+      graft.operators.GapWindows(evwBursty, qWHeavy, idCol = Some("event_id")).count()
+    }
+    time("a8_gap_bursty_heavy_100x_parallel") {
+      graft.operators.GapWindows.parallel(evwBursty, qWHeavy, idCol = Some("event_id")).count()
+    }
+    evwBursty.unpersist()
     // session mitigation A/B at the same 10^7-row one-group volume: the
     // plain plan sessionizes the whole group in one reducer; the two-level
     // plan (skewSalt routes runSession → runSessionTwoLevel) spreads level

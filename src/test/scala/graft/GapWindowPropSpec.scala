@@ -76,5 +76,65 @@ class GapWindowPropSpec extends AnyFunSuite {
     assert(got.size == want.size, s"window count: got ${got.size}, want ${want.size}")
     assert(got == want)
     assert(got.size > 20, "the random data must actually exercise many windows")
+    // the run-decomposed parallel walk must agree EXACTLY (identical
+    // fold-order arithmetic per run, provable anchor at every run boundary)
+    val par = GapWindows.parallel(df, q, idCol = Some("id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    assert(par == want, "parallel walk diverged from the model")
+  }
+
+  test("parallel walk == serial walk on dense data with NO gaps (single run per key)") {
+    // the degenerate case the run decomposition cannot split: every
+    // consecutive gap <= granularity, so each key is ONE run — the
+    // parallel plan must still be exactly the serial answer
+    val base = 1704067200L
+    val events = Seq.tabulate(120) { i =>
+      Ev(i.toLong, s"g${i % 2}", base + (i / 2).toLong * gran, (i + 1).toDouble)
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ts", TimestampType, nullable = false),
+      StructField("g", StringType), StructField("v", StringType)))
+    val rows = events.map(e => Row(e.id,
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(e.ts)), e.g,
+      e.v.toString))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+    val q = ZxQuery(
+      selects = Seq(Select(Agg.Sum, "v"), Select(Agg.Count, "v"), Select(Agg.Mean, "v")),
+      groupBy = Seq("g"), granularitySec = gran)
+    def canon(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    assert(canon(GapWindows.parallel(df, q, idCol = Some("id"))) ==
+      canon(GapWindows(df, q, idCol = Some("id"))))
+    assert(canon(GapWindows.parallel(df, q, idCol = Some("id"))) == brute(events))
+  }
+
+  test("parallel walk handles the UNGROUPED global walk (runs still fan out)") {
+    val rnd = new scala.util.Random(7)
+    val base = 1704067200L
+    // clustered bursts separated by > gran gaps → many runs, no group keys
+    val events = (0 until 40).flatMap { burst =>
+      val t0 = base + burst.toLong * 10 * gran
+      Seq.tabulate(5)(j => Ev((burst * 5 + j).toLong, "all",
+        t0 + rnd.nextInt(gran.toInt).toLong, (j + 1).toDouble))
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ts", TimestampType, nullable = false),
+      StructField("g", StringType), StructField("v", StringType)))
+    val rows = events.map(e => Row(e.id,
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(e.ts)), e.g,
+      e.v.toString))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+    val q = ZxQuery(
+      selects = Seq(Select(Agg.Sum, "v"), Select(Agg.Count, "v"), Select(Agg.Mean, "v")),
+      groupBy = Seq.empty, granularitySec = gran)
+    def canon(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toSet
+    assert(canon(GapWindows.parallel(df, q, idCol = Some("id"))) ==
+      canon(GapWindows(df, q, idCol = Some("id"))))
   }
 }

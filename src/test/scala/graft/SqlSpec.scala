@@ -224,10 +224,13 @@ class SqlSpec extends AnyFunSuite {
     // hopping + salt == hopping
     assert(canon(ZxSql.run(fixture, "select sum(foo) group by y granularity 4 slide 2 salt 8"))
       == canon(ZxSql.run(fixture, "select sum(foo) group by y granularity 4 slide 2")))
-    // guards: exact gap walks have no salted form; raw/join queries either;
-    // non-decomposable aggregates fail in the compiler with a named error
-    assertThrows[ZxSql.ParseError](
-      ZxSql.parse("select sum(foo) group by y salt 8 exact"))
+    // exact + salt == exact (the run-decomposed parallel gap walk)
+    assert(canon(ZxSql.run(fixture,
+        "select sum(foo), count(foo) group by y granularity 5 salt 8 exact"))
+      == canon(ZxSql.run(fixture,
+        "select sum(foo), count(foo) group by y granularity 5 exact")))
+    // guards: raw/join queries have no salted form; non-decomposable
+    // aggregates fail in the compiler with a named error
     assertThrows[ZxSql.ParseError](ZxSql.parse("select foo salt 8"))
     assertThrows[ZxSql.ParseError](
       ZxSql.parse("select sum(foo) group by y salt 0"))
