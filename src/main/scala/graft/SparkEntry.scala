@@ -1430,6 +1430,20 @@ object SparkEntry {
       graft.operators.Multimodal.resizeBmp(
         graft.operators.Multimodal.packBmp(Tables.documents(s, dir)), 2))
 
+  /** m6: IMAGE near-dup pairs — the multimodal face of the dedup family.
+    * Documents pack as real BMP containers, the perceptual difference-hash
+    * samples the DECODED pixel grid (9×8 integer luma, 64 bits), and
+    * near-dups surface through a banded Hamming join (guaranteed recall at
+    * distance ≤ 3 by pigeonhole over four 16-bit bands, exact popcount
+    * filter at ≤ 8). The oracle replays hash, bands, candidate join and
+    * popcount from the synthesis rule — a hash match proves the whole
+    * pipeline decode-accurate. */
+  private def m6ImageNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.imageNearDupPairs(
+      graft.operators.Multimodal.imageDHash(
+        graft.operators.Multimodal.packBmp(Tables.documents(s, dir))),
+      maxHamming = 8)
+
   /** c1: the training-data pipeline end-to-end in ONE declarative DAG —
     * language gate (predicted == labeled) ∧ quality gate, exact-dedup to
     * the min-id canonical copy, then per-source corpus stats. Catalyst
@@ -1763,6 +1777,7 @@ object SparkEntry {
     "m3_mm_frames" -> (m3MmFrames _),
     "m4_bmp_decode" -> (m4BmpDecode _),
     "m5_bmp_resize" -> (m5BmpResize _),
+    "m6_image_neardup" -> (m6ImageNearDup _),
     "c1_curate" -> (c1Curate _),
     "c2_shards" -> (c2Shards _),
     "c3_compact" -> (c3Compact _),
@@ -2870,6 +2885,50 @@ object SparkEntry {
          |  ascii(substr(text, 2, 1)) AS tl_g,
          |  ascii(substr(text, 3, 1)) AS tl_r
          |FROM z""".stripMargin
+    },
+    "m6_image_neardup" -> {
+      // replay of the dHash pipeline from the synthesis rule: grid cell
+      // (gx, gy) samples image pixel (gx*w//9, gy*h//8), whose bytes are
+      // text positions 3*(sy*w+sx)+c (1-based; zero past the text — the
+      // packBmp padding). Bit i = 8*gy + gx compares the cell to its right
+      // neighbor; band b packs bits [16b, 16b+16) with local weights, so
+      // gx = j%8, gy = 2b + j//8 for in-band bit j — all integer, no sign
+      // games. Candidates share a band (the same join the Spark side
+      // buckets on), then the exact popcount filter at <= 8.
+      def grayAt(sx: String, sy: String): String =
+        s"list_sum(list_transform(range(1, 4), c -> " +
+          s"CASE WHEN 3 * (($sy) * w + ($sx)) + c <= n " +
+          s"THEN ascii(substr(text, (3 * (($sy) * w + ($sx)) + c)::INT, 1))::BIGINT " +
+          s"ELSE 0 END))"
+      def band(b: Int): String =
+        s"list_sum(list_transform(range(0, 16), j -> CASE WHEN " +
+          s"grays[((${2 * b} + j // 8) * 9 + (j % 8) + 2)::INT] > " +
+          s"grays[((${2 * b} + j // 8) * 9 + (j % 8) + 1)::INT] " +
+          s"THEN (1::BIGINT << j::INT) ELSE 0 END)) AS band$b"
+      s"""WITH s AS (
+         |  SELECT doc_id, text, CAST(6 + (doc_id % 5) * 2 AS INT) AS w,
+         |    strlen(text)::BIGINT AS n,
+         |    CAST(greatest(1, ceil(strlen(text) /
+         |      (3.0 * (6 + (doc_id % 5) * 2)))) AS INT) AS h
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 72), gg ->
+         |      ${grayAt("(gg % 9) * w // 9", "(gg // 9) * h // 8")}) AS grays
+         |  FROM s
+         |), hsh AS (
+         |  SELECT doc_id, ${band(0)}, ${band(1)}, ${band(2)}, ${band(3)}
+         |  FROM g
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  (bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1)) +
+         |   bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)))::BIGINT
+         |    AS hamming
+         |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id AND
+         |  (a.band0 = b.band0 OR a.band1 = b.band1 OR
+         |   a.band2 = b.band2 OR a.band3 = b.band3)
+         |WHERE (bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1)) +
+         |   bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3))) <= 8""".stripMargin
     },
   )
 }

@@ -251,6 +251,92 @@ object Multimodal {
     StructField("tl_g", IntegerType),
     StructField("tl_r", IntegerType)))
 
+  private val dHashSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("band0", IntegerType),
+    StructField("band1", IntegerType),
+    StructField("band2", IntegerType),
+    StructField("band3", IntegerType)))
+
+  /** Perceptual difference-hash (dHash) over the REAL decoded pixels: a
+    * 9×8 nearest-neighbor luma grid is sampled from the BMP's padded
+    * bottom-up rows, and bit `i = 8·gy + gx` is set when the grid cell to
+    * the right is brighter — the standard 64-bit perceptual fingerprint
+    * (near-duplicate images differ in a few bits; crops/re-encodes of the
+    * same content collide). Luma is the integer B+G+R sum — no float, so
+    * the oracle replays the hash bit-for-bit from the synthesis rule while
+    * THIS code path reads actual container bytes.
+    *
+    * Emitted as four 16-bit BANDS rather than one signed 64-bit value:
+    * the bands are both the oracle-safe export (no sign games) and the
+    * join keys [[imageNearDupPairs]] buckets on. */
+  def imageDHash(packed: DataFrame): DataFrame = {
+    val out = packed.select(col("doc_id"), col("payload"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          val (w, h, stride) = bmpDims(b, id)
+          // grid cell (gx, gy), gx ∈ [0,9), gy ∈ [0,8): image pixel
+          // (gx·w/9, gy·h/8); image row sy lives at stored row h-1-sy
+          def gray(gx: Int, gy: Int): Int = {
+            val sx = gx * w / 9; val sy = gy * h / 8
+            val base = 54 + (h - 1 - sy) * stride + sx * 3
+            (b(base) & 0xff) + (b(base + 1) & 0xff) + (b(base + 2) & 0xff)
+          }
+          var hash = 0L
+          var i = 0
+          while (i < 64) {
+            val gx = i % 8; val gy = i / 8
+            if (gray(gx + 1, gy) > gray(gx, gy)) hash |= 1L << i
+            i += 1
+          }
+          Row(id, w, h,
+            (hash & 0xFFFFL).toInt, ((hash >>> 16) & 0xFFFFL).toInt,
+            ((hash >>> 32) & 0xFFFFL).toInt, ((hash >>> 48) & 0xFFFFL).toInt)
+        }
+      }(RowEncoder.encoderFor(dHashSchema))
+    out.toDF()
+  }
+
+  /** Image near-duplicate pairs by banded Hamming LSH over [[imageDHash]]
+    * — the multimodal face of the dedup family (d2's band-join economics
+    * on perceptual bits instead of MinHash signatures). Candidates are
+    * pairs sharing at least one 16-bit band: by pigeonhole that is EVERY
+    * pair within Hamming distance 3 (guaranteed recall), and pairs up to
+    * `maxHamming` with the standard LSH probability above it; candidates
+    * then pay one exact popcount filter. Never all-pairs: the join
+    * buckets on (band index, band value) — a 4·2^16 key space, so
+    * candidate volume is bounded by bucket occupancy, not corpus², the
+    * same argument as d3's value-space bound. (A degenerate corpus of
+    * flat/trivial images collapses into few buckets — cap or pre-filter
+    * those upstream, the d4 `maxBlock` pattern.) */
+  def imageNearDupPairs(hashed: DataFrame, maxHamming: Int = 8): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"imageNearDupPairs: maxHamming must be in [0, 64), got $maxHamming")
+    val bands = Seq("band0", "band1", "band2", "band3")
+    val tagged = hashed
+      .select(col("doc_id") +: bands.map(col): _*)
+      .withColumn("__band", explode(array(bands.zipWithIndex.map { case (bn, i) =>
+        struct(lit(i).as("i"), col(bn).as("v")) }: _*)))
+      .select(col("doc_id") +: bands.map(col) :+
+        col("__band.i").as("__bi") :+ col("__band.v").as("__bv"): _*)
+    val left = tagged.select(col("doc_id").as("id_a") +: col("__bi") +: col("__bv") +:
+      bands.map(bn => col(bn).as(s"${bn}_a")): _*)
+    val right = tagged.select(col("doc_id").as("id_b") +: col("__bi") +: col("__bv") +:
+      bands.map(bn => col(bn).as(s"${bn}_b")): _*)
+    val hamming = bands.map(bn =>
+      bit_count(col(s"${bn}_a").bitwiseXOR(col(s"${bn}_b")))).reduce(_ + _)
+    left.join(right, Seq("__bi", "__bv"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", hamming.cast(LongType))
+      .filter(col("hamming") <= lit(maxHamming))
+      .select("id_a", "id_b", "hamming")
+      .distinct()
+  }
+
   /** Decode REAL BMP containers: validate the BM magic and header layout,
     * read the LE dimension fields, walk the BOTTOM-UP padded rows, and fold
     * the pixels into per-channel means plus the top-left pixel (which lives

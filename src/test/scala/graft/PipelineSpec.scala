@@ -457,6 +457,64 @@ class PipelineSpec extends AnyFunSuite {
       lit(Array[Byte](1, 2)).as("payload")), 0))
   }
 
+  test("multimodal: imageDHash matches the independent grid model; near-dup pairs behave") {
+    // independent in-test replay of the dHash rule from the synthesis
+    // formula (never from the operator's own byte-walk)
+    def model(id: Long, text: String): Seq[Int] = {
+      val bytes = text.getBytes("US-ASCII").map(_ & 0xff)
+      val w = (6 + (id % 5) * 2).toInt
+      val h = math.max(1, (bytes.length + 3 * w - 1) / (3 * w))
+      def gray(gx: Int, gy: Int): Int = {
+        val sx = gx * w / 9; val sy = gy * h / 8
+        (0 until 3).map { c =>
+          val i = 3 * (sy * w + sx) + c
+          if (i < bytes.length) bytes(i) else 0
+        }.sum
+      }
+      var hash = 0L
+      for (i <- 0 until 64) {
+        val gx = i % 8; val gy = i / 8
+        if (gray(gx + 1, gy) > gray(gx, gy)) hash |= 1L << i
+      }
+      Seq.tabulate(4)(b => ((hash >>> (16 * b)) & 0xFFFFL).toInt)
+    }
+    val docs = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog and keeps running on"),
+      (7L, "some considerably longer document payload with plenty of variation"),
+      (12L, "short doc"),
+      (23L, "y" * 100))
+    val got = Multimodal.imageDHash(Multimodal.packBmp(docsDf(docs: _*)))
+      .collect().map(r => r.getLong(0) ->
+        Seq(r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))).toMap
+    for ((id, text) <- docs)
+      assert(got(id) == model(id, text), s"dHash mismatch for doc $id")
+    // near-dup sensitivity: identical text (different ids, SAME id%5 so
+    // the container dims match) -> hamming 0; a one-char edit -> small
+    // hamming; both must surface as pairs
+    val base = "the quick brown fox jumps over the lazy dog and keeps running on"
+    val corpus = docsDf(
+      (10L, base), (15L, base),
+      (20L, base.replace("quick", "quack")),
+      (25L, "a completely different text about parquet row group statistics"))
+    val pairs = Multimodal.imageNearDupPairs(
+      Multimodal.imageDHash(Multimodal.packBmp(corpus)), maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.get((10L, 15L)).contains(0L), s"exact dup must be hamming 0: $pairs")
+    assert(pairs.contains((10L, 20L)) || pairs.contains((15L, 20L)),
+      s"one-char edit must stay within the near-dup threshold: $pairs")
+    // pigeonhole recall guarantee: ANY pair within hamming 3 shares one of
+    // the four 16-bit bands — feed constructed band rows straight in
+    import SparkFixture.spark
+    import spark.implicits._
+    val h0 = Seq(0x1234, 0x5678, 0x9ABC, 0x0DEF)
+    val h3 = Seq(0x1234 ^ 0x0007, 0x5678, 0x9ABC, 0x0DEF) // 3 bits, one band
+    val fed = Seq((1L, 9, 9, h0(0), h0(1), h0(2), h0(3)),
+      (2L, 9, 9, h3(0), h3(1), h3(2), h3(3)))
+      .toDF("doc_id", "width", "height", "band0", "band1", "band2", "band3")
+    val p2 = Multimodal.imageNearDupPairs(fed, maxHamming = 3).collect()
+    assert(p2.length == 1 && p2.head.getLong(2) == 3L)
+  }
+
   test("multimodal: decodeBmp rejects malformed and unsupported payloads") {
     import org.apache.spark.SparkException
     val garbage = docsDf((1L, "x")).select(col("doc_id"),
