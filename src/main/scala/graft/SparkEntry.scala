@@ -519,6 +519,43 @@ object SparkEntry {
       .agg(count(lit(1)).as("order_count"))
   }
 
+  /** TPC-H Q21 shape (adapted to this schema: `l_returnflag = 'R'` stands
+    * in for the missing receipt-past-commit lateness): per nation, the
+    * late line items whose supplier was the ONLY late shipper in a
+    * multi-supplier order — EXISTS and NOT EXISTS against the SAME fact,
+    * the one TPC-H pattern that stacks a left-SEMI and a left-ANTI join
+    * with mixed equi+non-equi conditions (`same order, different
+    * supplier`) on one fact scan. Both subquery sides reduce to
+    * (orderkey, suppkey) projections, so each hash-join side ships two
+    * longs per row; the dimension chain (orders status filter, supplier,
+    * nation) broadcasts. PlanSpec pins the semi+anti pair and that no
+    * join degenerated into a cartesian. */
+  private def q21Waiting(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val late = l.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey")
+    val others = l.select(col("l_orderkey").as("o2_orderkey"),
+      col("l_suppkey").as("o2_suppkey"))
+    val lateOthers = l.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o3_orderkey"),
+        col("l_suppkey").as("o3_suppkey"))
+    late
+      .join(others, col("o2_orderkey") === col("l_orderkey") &&
+        col("o2_suppkey") =!= col("l_suppkey"), "left_semi")
+      .join(lateOthers, col("o3_orderkey") === col("l_orderkey") &&
+        col("o3_suppkey") =!= col("l_suppkey"), "left_anti")
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey"), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name", "s_nationkey")),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+        col("n_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numwait"),
+        countDistinct(col("s_name")).as("n_suppliers"))
+      .orderBy(col("numwait").desc, col("n_name"))
+  }
+
   /** TPC-H Q13 shape: the LEFT OUTER distribution — how many customers
     * placed k orders, INCLUDING the zero-order customers only an outer
     * join can see. Two aggregations: per-customer order count (the outer
@@ -1728,6 +1765,7 @@ object SparkEntry {
     "q3_shipping" -> (q3Shipping _),
     "q4_priority" -> (q4Priority _),
     "q13_custdist" -> (q13Custdist _),
+    "q21_waiting" -> (q21Waiting _),
     "q17_avg_yearly" -> (q17AvgYearly _),
     "q18_large_volume" -> (q18LargeVolume _),
     "j1_revenue_nation" -> (j1RevenueNation _),
@@ -2057,6 +2095,20 @@ object SparkEntry {
         |  GROUP BY c_custkey)
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q21_waiting" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS numwait,
+        | CAST(count(DISTINCT s_name) AS BIGINT) AS n_suppliers
+        |FROM lineitem l1, orders, supplier, nation
+        |WHERE l1.l_returnflag = 'R'
+        |  AND o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |  AND s_suppkey = l1.l_suppkey AND s_nationkey = n_nationkey
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY n_name
+        |ORDER BY numwait DESC, n_name""".stripMargin,
     "q17_avg_yearly" ->
       // same decorrelation-by-window: avg OVER (PARTITION BY l_partkey)
       // — both engines compute the threshold from exact integer sums, so

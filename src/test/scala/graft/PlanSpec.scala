@@ -98,6 +98,16 @@ class PlanSpec extends AnyFunSuite {
       s"the range condition must ride the equi join, not explode:\n$p")
   }
 
+  test("q21: EXISTS + NOT EXISTS stack as a semi join and an anti join on one fact") {
+    val df = SparkEntry.queries("q21_waiting")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), s"multi-supplier check must be a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"sole-late check must be an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"the <> condition must ride the orderkey equi join, not explode:\n$p")
+  }
+
   test("q13: zero-order customers survive the outer join; plan is a hash join, not a loop") {
     val df = SparkEntry.queries("q13_custdist")(spark, dir)
     val rows = df.collect()

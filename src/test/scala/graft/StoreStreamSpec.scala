@@ -735,6 +735,28 @@ class StoreStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("image perceptual hashing runs unchanged on a document stream (batch == stream)") {
+    // packBmp -> imageDHash is a stateless narrow map: the ingest-time
+    // face of m6 — hash at the edge, band-join near-dups downstream
+    // against the accumulated index (the d8 incremental-dedup shape)
+    import graft.operators.Multimodal
+    val dir = Files.createTempDirectory("graft-imgstream").toString
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    def hash(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.imageDHash(Multimodal.packBmp(df))
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val query = hash(stream).writeStream.format("memory")
+      .queryName("dhash_out").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val canon = (rows: Array[org.apache.spark.sql.Row]) => rows.map(r =>
+        (r.getLong(0), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))).toSet
+      val streamed = canon(spark.table("dhash_out").collect())
+      assert(streamed == canon(hash(docs).collect()) && streamed.nonEmpty)
+    } finally query.stop()
+  }
+
   test("streaming windowed agg applies where-tree, HAVING and time bounds like batch") {
     val dir = Files.createTempDirectory("graft-whv").toString
     val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
