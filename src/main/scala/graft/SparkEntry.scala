@@ -1481,6 +1481,23 @@ object SparkEntry {
         graft.operators.Multimodal.packBmp(Tables.documents(s, dir))),
       maxHamming = 8)
 
+  /** m7: AUDIO near-dup pairs — m6's pattern on the second modality.
+    * Documents pack as real RIFF/PCM WAV containers, the energy-envelope
+    * fingerprint hashes the DECODED sample stream (65 windows, integer
+    * |amplitude| sums, louder-than-previous contour bits), and the same
+    * banded Hamming join surfaces similar audio. The threshold is 16/64
+    * (75% contour agreement): length-relative windows make the contour
+    * alignment-sensitive, so even MinHash-near texts churn more bits
+    * than their image dHash does — 16 keeps the row non-trivial at every
+    * SF while the ≤3 pigeonhole recall guarantee is unconditional. The
+    * oracle replays window sums, contour bits, bands and popcount from
+    * the synthesis rule. */
+  private def m7AudioNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.bandedHammingPairs(
+      graft.operators.Multimodal.audioFingerprint(
+        graft.operators.Multimodal.packWav(Tables.documents(s, dir))),
+      maxHamming = 16)
+
   /** c1: the training-data pipeline end-to-end in ONE declarative DAG —
     * language gate (predicted == labeled) ∧ quality gate, exact-dedup to
     * the min-id canonical copy, then per-source corpus stats. Catalyst
@@ -1816,6 +1833,7 @@ object SparkEntry {
     "m4_bmp_decode" -> (m4BmpDecode _),
     "m5_bmp_resize" -> (m5BmpResize _),
     "m6_image_neardup" -> (m6ImageNearDup _),
+    "m7_audio_neardup" -> (m7AudioNearDup _),
     "c1_curate" -> (c1Curate _),
     "c2_shards" -> (c2Shards _),
     "c3_compact" -> (c3Compact _),
@@ -2981,6 +2999,41 @@ object SparkEntry {
          |   a.band2 = b.band2 OR a.band3 = b.band3)
          |WHERE (bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1)) +
          |   bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3))) <= 8""".stripMargin
+    },
+    "m7_audio_neardup" -> {
+      // replay of the energy-envelope fingerprint from the WAV synthesis
+      // rule: sample j (1-based) = (ascii - 96) * 256, window w sums
+      // |sample| over positions (w*n//65, (w+1)*n//65] (the 0-based
+      // [w*n//65, (w+1)*n//65) range shifted to 1-based), contour bit i =
+      // energy(i+1) > energy(i), bands pack bits [16b, 16b+16) with local
+      // weights — all integer, then the same band join + popcount as m6.
+      def band(b: Int): String =
+        s"list_sum(list_transform(range(0, 16), j -> CASE WHEN " +
+          s"energies[(${16 * b} + j + 2)::INT] > energies[(${16 * b} + j + 1)::INT] " +
+          s"THEN (1::BIGINT << j::INT) ELSE 0 END)) AS band$b"
+      s"""WITH s AS (
+         |  SELECT doc_id, text, strlen(text)::BIGINT AS n FROM documents
+         |), g AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 65), w ->
+         |      coalesce(list_sum(list_transform(
+         |        range(w * n // 65 + 1, (w + 1) * n // 65 + 1),
+         |        j -> abs(ascii(substr(text, j::INT, 1)) - 96)::BIGINT * 256)), 0))
+         |      AS energies
+         |  FROM s
+         |), hsh AS (
+         |  SELECT doc_id, ${band(0)}, ${band(1)}, ${band(2)}, ${band(3)}
+         |  FROM g
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  (bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1)) +
+         |   bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)))::BIGINT
+         |    AS hamming
+         |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id AND
+         |  (a.band0 = b.band0 OR a.band1 = b.band1 OR
+         |   a.band2 = b.band2 OR a.band3 = b.band3)
+         |WHERE (bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1)) +
+         |   bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3))) <= 16""".stripMargin
     },
   )
 }

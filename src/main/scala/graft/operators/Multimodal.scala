@@ -313,9 +313,16 @@ object Multimodal {
     * same argument as d3's value-space bound. (A degenerate corpus of
     * flat/trivial images collapses into few buckets — cap or pre-filter
     * those upstream, the d4 `maxBlock` pattern.) */
-  def imageNearDupPairs(hashed: DataFrame, maxHamming: Int = 8): DataFrame = {
+  def imageNearDupPairs(hashed: DataFrame, maxHamming: Int = 8): DataFrame =
+    bandedHammingPairs(hashed, maxHamming)
+
+  /** The modality-agnostic banded Hamming join behind
+    * [[imageNearDupPairs]] — any DataFrame carrying `doc_id` plus four
+    * 16-bit `band0..band3` columns pairs the same way
+    * ([[audioFingerprint]] exports the identical shape). */
+  def bandedHammingPairs(hashed: DataFrame, maxHamming: Int = 8): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
-      s"imageNearDupPairs: maxHamming must be in [0, 64), got $maxHamming")
+      s"bandedHammingPairs: maxHamming must be in [0, 64), got $maxHamming")
     val bands = Seq("band0", "band1", "band2", "band3")
     val tagged = hashed
       .select(col("doc_id") +: bands.map(col): _*)
@@ -393,26 +400,34 @@ object Multimodal {
     * offending doc id. Runs as mapPartitions so a heavier codec's
     * per-partition init (contexts, model load) amortizes across the batch;
     * the blob column is pruned out of every query that doesn't decode. */
+  /** Validate a canonical 16-bit mono PCM WAV and return (sampleRate,
+    * nSamples) — the one parser [[decodeWav]] and [[audioFingerprint]]
+    * share, every rejection carrying the doc id. Channels/bits are pinned
+    * to 1/16 by the layout require, so callers may treat them as literal. */
+  private def wavLayout(b: Array[Byte], id: Long): (Int, Long) = {
+    def magic(off: Int, want: String): Boolean =
+      b.length >= off + 4 && new String(b, off, 4, "US-ASCII") == want
+    require(b.length >= 44 && magic(0, "RIFF") && magic(8, "WAVE") &&
+      magic(12, "fmt ") && magic(36, "data"),
+      s"doc $id: not a canonical PCM WAV payload")
+    val fmt = u16(b, 20); val channels = u16(b, 22)
+    val rate = u32(b, 24).toInt; val blockAlign = u16(b, 32)
+    val bits = u16(b, 34); val dataSize = u32(b, 40)
+    require(fmt == 1 && bits == 16 && channels == 1 && rate > 0 &&
+      blockAlign == channels * 2 && 44 + dataSize <= b.length,
+      s"doc $id: unsupported WAV layout (fmt=$fmt bits=$bits " +
+        s"channels=$channels rate=$rate)")
+    (rate, dataSize / blockAlign)
+  }
+
   def decodeWav(packed: DataFrame): DataFrame = {
     val out = packed.select(col("doc_id"), col("payload"))
       .mapPartitions { it =>
         // ---- per-partition codec init would happen here ----
-        def magic(b: Array[Byte], off: Int, want: String): Boolean =
-          b.length >= off + 4 && new String(b, off, 4, "US-ASCII") == want
         it.map { r =>
           val id = r.getLong(0)
           val b = r.getAs[Array[Byte]](1)
-          require(b.length >= 44 && magic(b, 0, "RIFF") && magic(b, 8, "WAVE") &&
-            magic(b, 12, "fmt ") && magic(b, 36, "data"),
-            s"doc $id: not a canonical PCM WAV payload")
-          val fmt = u16(b, 20); val channels = u16(b, 22)
-          val rate = u32(b, 24).toInt; val blockAlign = u16(b, 32)
-          val bits = u16(b, 34); val dataSize = u32(b, 40)
-          require(fmt == 1 && bits == 16 && channels == 1 && rate > 0 &&
-            blockAlign == channels * 2 && 44 + dataSize <= b.length,
-            s"doc $id: unsupported WAV layout (fmt=$fmt bits=$bits " +
-              s"channels=$channels rate=$rate)")
-          val nSamples = dataSize / blockAlign
+          val (rate, nSamples) = wavLayout(b, id)
           var i = 0; var peak = 0; var sumSq = 0.0
           while (i < nSamples.toInt) {
             val s = u16(b, 44 + i * 2).toShort.toInt // sign-extend LE sample
@@ -424,10 +439,65 @@ object Multimodal {
           val rms = if (nSamples == 0) 0.0
             else BigDecimal(math.sqrt(sumSq / nSamples))
               .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-          Row(id, rate, channels, bits, nSamples,
+          Row(id, rate, 1, 16, nSamples,
             nSamples * 1000L / rate, peak, rms)
         }
       }(RowEncoder.encoderFor(decodedWavSchema))
+    out.toDF()
+  }
+
+  private val audioFpSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("band0", IntegerType),
+    StructField("band1", IntegerType),
+    StructField("band2", IntegerType),
+    StructField("band3", IntegerType)))
+
+  /** Audio energy-envelope fingerprint over the REAL decoded PCM: the
+    * sample stream splits into 65 equal windows, each window's energy is
+    * the integer sum of absolute amplitudes, and bit `i` is set when
+    * window `i+1` is louder than window `i` — the loudness-CONTOUR
+    * fingerprint (64 bits), invariant to overall gain scaling the way
+    * dHash is invariant to brightness. All arithmetic is integer, so the
+    * oracle replays it bit-for-bit from the synthesis rule while this
+    * path walks actual RIFF/PCM bytes. Same four-16-bit-band export as
+    * [[imageDHash]]; pair up with [[bandedHammingPairs]]. */
+  def audioFingerprint(packed: DataFrame): DataFrame = {
+    val out = packed.select(col("doc_id"), col("payload"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          val (rate, nSamples) = wavLayout(b, id)
+          val n = nSamples.toInt
+          val energies = new Array[Long](65)
+          var w = 0
+          while (w < 65) {
+            // window w covers samples [w*n/65, (w+1)*n/65) — empty
+            // windows (n < 65) have energy 0, comparisons stay defined
+            var j = (w.toLong * n / 65).toInt
+            val until = ((w + 1).toLong * n / 65).toInt
+            var e = 0L
+            while (j < until) {
+              e += math.abs(u16(b, 44 + j * 2).toShort.toInt)
+              j += 1
+            }
+            energies(w) = e
+            w += 1
+          }
+          var hash = 0L
+          var i = 0
+          while (i < 64) {
+            if (energies(i + 1) > energies(i)) hash |= 1L << i
+            i += 1
+          }
+          Row(id, rate, nSamples,
+            (hash & 0xFFFFL).toInt, ((hash >>> 16) & 0xFFFFL).toInt,
+            ((hash >>> 32) & 0xFFFFL).toInt, ((hash >>> 48) & 0xFFFFL).toInt)
+        }
+      }(RowEncoder.encoderFor(audioFpSchema))
     out.toDF()
   }
 }

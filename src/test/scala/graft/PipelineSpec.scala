@@ -515,6 +515,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(p2.length == 1 && p2.head.getLong(2) == 3L)
   }
 
+  test("multimodal: audioFingerprint matches the independent envelope model; pairs behave") {
+    // independent replay from the WAV synthesis rule (sample = (b-96)*256)
+    def model(text: String): Seq[Int] = {
+      val amp = text.getBytes("US-ASCII").map(b => math.abs((b & 0xff) - 96) * 256L)
+      val n = amp.length
+      val e = Seq.tabulate(65)(w =>
+        (w * n / 65 until (w + 1) * n / 65).map(amp(_)).sum)
+      var hash = 0L
+      for (i <- 0 until 64) if (e(i + 1) > e(i)) hash |= 1L << i
+      Seq.tabulate(4)(b => ((hash >>> (16 * b)) & 0xFFFFL).toInt)
+    }
+    val docs = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog and keeps running on"),
+      (7L, "some considerably longer document payload with plenty of variation"),
+      (12L, "short doc"))
+    val got = Multimodal.audioFingerprint(Multimodal.packWav(docsDf(docs: _*)))
+      .collect().map(r => r.getLong(0) ->
+        Seq(r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))).toMap
+    for ((id, text) <- docs)
+      assert(got(id) == model(text), s"audio fingerprint mismatch for doc $id")
+    // identical audio -> hamming 0 via the shared banded join
+    val base = "the quick brown fox jumps over the lazy dog and keeps running on"
+    val pairs = Multimodal.bandedHammingPairs(
+      Multimodal.audioFingerprint(Multimodal.packWav(
+        docsDf((10L, base), (15L, base),
+          (25L, "a completely different text about parquet row group statistics")))),
+      maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.get((10L, 15L)).contains(0L), s"exact dup must be hamming 0: $pairs")
+  }
+
   test("multimodal: decodeBmp rejects malformed and unsupported payloads") {
     import org.apache.spark.SparkException
     val garbage = docsDf((1L, "x")).select(col("doc_id"),
