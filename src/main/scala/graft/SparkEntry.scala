@@ -627,6 +627,117 @@ object SparkEntry {
         col("o_totalprice"), col("sum_qty"))
   }
 
+  /** TPC-H Q5 shape: the CYCLIC multi-way star — customer, orders,
+    * lineitem, supplier, nation, region, with the join graph's one cycle
+    * (`c_nationkey = s_nationkey`: revenue only counts when the supplier
+    * sits in the customer's own nation). The 100 TB layout: the two fact
+    * tables (lineitem, orders) meet in the one key shuffle; customer rides
+    * the o_custkey exchange; supplier and the region-filtered nation chain
+    * BROADCAST, and the cycle closes as a second equi-key pair
+    * (`s_suppkey = l_suppkey AND s_nationkey = c_nationkey`) INSIDE the
+    * broadcast hash join — composite equi-keys keep it a hash join, never
+    * a nested loop (PlanSpec pins no cartesian and the broadcast count). */
+  private def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast(TimestampType)
+    val hi = lit("1997-01-01").cast(TimestampType)
+    val natAsia = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val revenue = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(BigDecimal(1)).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+        col("s_suppkey") === col("l_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(natAsia), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revenue).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q12 shape (l_linestatus stands in for the schema's missing
+    * l_shipmode): CONDITIONAL aggregation over a fact-fact join — the
+    * CASE moves the priority split INTO the aggregate instead of two
+    * filtered scans, so orders⨝lineitem runs once and both counters ride
+    * the same partial-agg. The join input is date-bounded on the lineitem
+    * side only; at 100 TB the o_orderkey hash join is the single wide
+    * exchange and the CASE costs nothing (codegen'd branch in the
+    * partial-agg update). */
+  private def q12PriorityClass(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-01-01").cast(TimestampType)
+    val hi = lit("1998-01-01").cast(TimestampType)
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+        col("l_returnflag") === "N")
+      .select("l_orderkey", "l_linestatus")
+    val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q14 shape: the conditional-aggregate RATIO (promo revenue
+    * share) — one month of lineitem joined to the part dimension, both
+    * the PROMO-only and total revenue summed in the same pass (CASE inside
+    * the aggregate), one scalar row out. The dimension BROADCASTS; there
+    * is no wide exchange at all beyond the final 1-row aggregate. Sums
+    * are exact DECIMAL; the ratio is one double division at the end, so
+    * both engines divide the same two exact values. */
+  private def q14PromoRatio(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-03-01").cast(TimestampType)
+    val hi = lit("1997-04-01").cast(TimestampType)
+    val revenue = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(BigDecimal(1)).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) *
+          sum(when(col("p_type") === "PROMO", revenue)
+            .otherwise(lit(BigDecimal(0)).cast(DecimalType(18, 2)))).cast(DoubleType) /
+          sum(revenue).cast(DoubleType)).as("promo_revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q15 shape: the SCALAR-MAX subquery equality (top supplier) —
+    * per-supplier revenue for one quarter, keeping every supplier tied at
+    * the maximum. The fact table is scanned and shuffled ONCE: the
+    * supplier-level aggregate is `localCheckpoint`ed (supplier
+    * cardinality, not fact cardinality — cheap executor-local
+    * materialization), the global max is a proper partial/final aggregate
+    * of that small result (never a single-partition window over the fact),
+    * and the equality closes as a broadcast join of the 1-row max.
+    * Both engines cast the same exact DECIMAL sum to double, so the
+    * max-equality is engine-exact. */
+  private def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-01-01").cast(TimestampType)
+    val hi = lit("1997-04-01").cast(TimestampType)
+    val revenue = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(BigDecimal(1)).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revenue).cast(DoubleType).as("total_rev"))
+      .localCheckpoint()
+    val mx = rev.agg(max(col("total_rev")).as("__mx"))
+    rev.join(broadcast(mx), col("total_rev") === col("__mx"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+  }
+
   /** c2: the full training-shard pipeline in ONE declarative DAG —
     * benchmark decontamination (anti-join on the contaminated set), the c1
     * quality+language gate, canonical exact-dedup, token-budget packing
@@ -1785,6 +1896,10 @@ object SparkEntry {
     "q21_waiting" -> (q21Waiting _),
     "q17_avg_yearly" -> (q17AvgYearly _),
     "q18_large_volume" -> (q18LargeVolume _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "q12_priority_class" -> (q12PriorityClass _),
+    "q14_promo_ratio" -> (q14PromoRatio _),
+    "q15_top_supplier" -> (q15TopSupplier _),
     "j1_revenue_nation" -> (j1RevenueNation _),
     "j2_asof_join" -> (j2AsofJoin _),
     "j4_asof_broadcast" -> (j4AsofBroadcast _),
@@ -2149,6 +2264,57 @@ object SparkEntry {
         | JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+    "q12_priority_class" ->
+      """SELECT l_linestatus,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_returnflag = 'N'
+        |GROUP BY l_linestatus""".stripMargin,
+    "q14_promo_ratio" ->
+      """SELECT 100.0
+        |  * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |  AS promo_revenue,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM revenue)""".stripMargin,
     "j1_revenue_nation" ->
       """SELECT n_name,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
