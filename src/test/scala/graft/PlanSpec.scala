@@ -192,6 +192,52 @@ class PlanSpec extends AnyFunSuite {
     assert(liScans <= 2, s"lineitem must be scanned once (saw $liScans mentions):\n$p")
   }
 
+  test("q5: the join cycle closes as composite-key hash joins — never a nested loop") {
+    val df = SparkEntry.queries("q5_local_supplier")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // supplier + the region-filtered nation chain must broadcast; the
+    // cyclic c_nationkey = s_nationkey edge rides the supplier hash join
+    // as a second equi-key, so no plan node may degenerate to a loop
+    assert(p.contains("BroadcastHashJoin"), s"dimensions must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"the cycle must stay inside equi hash joins:\n$p")
+  }
+
+  test("q12: both priority counters ride ONE fact-fact join (no Union of filtered scans)") {
+    val df = SparkEntry.queries("q12_priority_class")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Union"),
+      s"the CASE split must live in the aggregate, not duplicate the join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    // Final + Initial AQE sections each print the scan once
+    val ordScans = "orders".r.findAllIn(p).length
+    assert(ordScans <= 2, s"orders must be scanned once (saw $ordScans mentions):\n$p")
+  }
+
+  test("q14: ratio query has no wide exchange — broadcast dim + single scalar agg") {
+    val p = plan("q14_promo_ratio")
+    assert(p.contains("BroadcastHashJoin"), s"part dimension must broadcast:\n$p")
+    val wide = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(wide == 0,
+      s"both sums ride one pass; only the 1-row final agg may exchange:\n$p")
+  }
+
+  test("q15: scalar-max closes over the checkpointed aggregate — fact scanned once") {
+    val df = SparkEntry.queries("q15_top_supplier")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the supplier-level aggregate is localCheckpointed: both the max
+    // branch and the equality probe read the materialized RDD, so the
+    // parquet fact must not appear in the final plan at all
+    assert(!p.contains("lineitem"),
+      s"fact must be materialized once, not re-scanned per branch:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the 1-row max must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no wide join may appear over supplier-cardinality data:\n$p")
+  }
+
   test("AQE splits the skewed partition of a shuffle join (skew=true in the final plan)") {
     // the join-side complement of the aggregation-skew story (SURVEY §9:
     // AQE skew handling is JOIN-only — two-level sessions exist because
