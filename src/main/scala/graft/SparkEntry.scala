@@ -738,6 +738,124 @@ object SparkEntry {
       .select(col("s_suppkey"), col("s_name"), col("total_rev"))
   }
 
+  /** TPC-H Q7 shape: BIDIRECTIONAL nation-pair volume — supplier nation
+    * and customer nation each resolve through their own copy of the
+    * nation dimension, and the pair predicate is the classic disjunction
+    * `(n1=A ∧ n2=B) ∨ (n1=B ∧ n2=A)`. Plan discipline: both nation
+    * copies pre-filter to the TWO named nations and broadcast (2-row
+    * dims), so the disjunction evaluates as a codegen'd filter after
+    * equi hash joins — the OR never becomes a join condition, so no
+    * nested loop can appear. Yearly grouping keys the output. */
+  private def q7NationVolume(s: SparkSession, dir: String): DataFrame = {
+    val (na, nb) = ("NATION_3", "NATION_7")
+    val pair = Seq(na, nb)
+    val supNat = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val custNat = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val revenue = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(BigDecimal(1)).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(supNat), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(custNat), col("c_nationkey") === col("cn_key"))
+      .filter((col("supp_nation") === na && col("cust_nation") === nb) ||
+        (col("supp_nation") === nb && col("cust_nation") === na))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast(LongType).as("l_year"))
+      .agg(sum(revenue).cast(DoubleType).as("volume"),
+        count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q11 shape: HAVING against a GLOBAL scalar — per-part revenue
+    * kept only where it beats 1.3× the MEAN part revenue. (Textbook Q11
+    * thresholds on a fixed fraction of the total, which degenerates as
+    * part count scales — all-pass at sf0.001, empty at sf0.1; a
+    * mean-multiple is the scale-free equivalent.) The fact is scanned
+    * and shuffled ONCE: the per-part DECIMAL aggregate is
+    * `localCheckpoint`ed, the global total and part count are
+    * re-aggregated FROM those part sums (exact — decimal addition is
+    * associative, so Σ_parts Σ_rows ≡ Σ_rows), and the threshold closes
+    * as a 1-row broadcast. The compare stays in DECIMAL
+    * (`10·part·n > 13·total`, division-free), so both engines decide
+    * each part identically; doubles appear only in the output column. */
+  private def q11PartConcentration(s: SparkSession, dir: String): DataFrame = {
+    val revenue = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(BigDecimal(1)).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+    val perPart = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(revenue).as("__part_val"))
+      .localCheckpoint()
+    val total = perPart.agg(sum(col("__part_val")).as("__total"),
+      count(lit(1)).as("__np"))
+    perPart.join(broadcast(total),
+        col("__part_val") * col("__np") * lit(10) > col("__total") * lit(13))
+      .select(col("l_partkey"),
+        col("__part_val").cast(DoubleType).as("part_value"))
+  }
+
+  /** TPC-H Q19 shape: the OR-of-ANDs predicate STRADDLING the join —
+    * three (brand, size-range, quantity-range) baskets where each
+    * disjunct mixes part columns with lineitem columns. The optimizer
+    * lesson this pins: Catalyst extracts each side's implied disjunction
+    * (`brand∈{...} ∧ size ranges` to the part scan, quantity ranges to
+    * the fact scan) from the cross-table OR, so both scans prune BEFORE
+    * the join even though no single conjunct is table-local. The
+    * dimension broadcasts; the residual OR evaluates post-join in
+    * codegen. */
+  private def q19BrandBaskets(s: SparkSession, dir: String): DataFrame = {
+    val revenue = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(BigDecimal(1)).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+    val basket =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#15" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#17" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))
+    Tables.lineitem(s, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")),
+        col("p_partkey") === col("l_partkey"))
+      .filter(basket)
+      .agg(sum(revenue).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q22 shape: ANTI JOIN + scalar threshold — customers whose
+    * balance beats the positive-balance average and who have placed no
+    * URGENT order, bucketed by market segment. (This testdata gives
+    * every customer at least one order, so the textbook "no orders at
+    * all" predicate is identically empty; anti-joining the filtered
+    * subset keeps the same plan shape with live rows.) The average
+    * compare is DIVISION-FREE: `bal·n > Σbal` in exact DECIMAL (a raw
+    * double avg differs between engines by summation order and could
+    * flip a boundary customer), so both engines admit identical
+    * customer sets. NOT EXISTS compiles to a LeftAnti hash join on
+    * o_custkey; the 1-row stats broadcast. At 100 TB the anti join is
+    * the only wide exchange — and the priority filter prunes its build
+    * side before the shuffle. */
+  private def q22IdleBalance(s: SparkSession, dir: String): DataFrame = {
+    val pos = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal").cast(DecimalType(18, 2)).as("__bal"))
+      .filter(col("__bal") > lit(BigDecimal(0)).cast(DecimalType(18, 2)))
+    val stats = pos.agg(sum(col("__bal")).as("__tot"), count(lit(1)).as("__n"))
+    pos.join(broadcast(stats), col("__bal") * col("__n") > col("__tot"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("__bal")).cast(DoubleType).as("totacctbal"))
+  }
+
   /** c2: the full training-shard pipeline in ONE declarative DAG —
     * benchmark decontamination (anti-join on the contaminated set), the c1
     * quality+language gate, canonical exact-dedup, token-budget packing
@@ -1900,6 +2018,10 @@ object SparkEntry {
     "q12_priority_class" -> (q12PriorityClass _),
     "q14_promo_ratio" -> (q14PromoRatio _),
     "q15_top_supplier" -> (q15TopSupplier _),
+    "q7_nation_volume" -> (q7NationVolume _),
+    "q11_part_concentration" -> (q11PartConcentration _),
+    "q19_brand_baskets" -> (q19BrandBaskets _),
+    "q22_idle_balance" -> (q22IdleBalance _),
     "j1_revenue_nation" -> (j1RevenueNation _),
     "j2_asof_join" -> (j2AsofJoin _),
     "j4_asof_broadcast" -> (j4AsofBroadcast _),
@@ -2315,6 +2437,56 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, total_rev
         |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
         |WHERE total_rev = (SELECT max(total_rev) FROM revenue)""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON s_suppkey = l_suppkey
+        | JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        | JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q11_part_concentration" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS part_val
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, CAST(part_val AS DOUBLE) AS part_value
+        |FROM pv, (SELECT sum(part_val) AS tot, count(*) AS np FROM pv) st
+        |WHERE part_val * np * 10 > tot * 13""".stripMargin,
+    "q19_brand_baskets" ->
+      """SELECT
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_idle_balance" ->
+      """WITH pos AS (
+        |  SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer
+        |  WHERE CAST(c_acctbal AS DECIMAL(18,2)) > CAST(0 AS DECIMAL(18,2))),
+        | st AS (SELECT sum(bal) AS tot, count(*) AS n FROM pos)
+        |SELECT c_mktsegment,
+        | CAST(count(*) AS BIGINT) AS numcust,
+        | CAST(sum(bal) AS DOUBLE) AS totacctbal
+        |FROM pos, st
+        |WHERE bal * n > tot
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment""".stripMargin,
     "j1_revenue_nation" ->
       """SELECT n_name,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

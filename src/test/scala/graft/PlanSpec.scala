@@ -238,6 +238,50 @@ class PlanSpec extends AnyFunSuite {
       s"no wide join may appear over supplier-cardinality data:\n$p")
   }
 
+  test("q7: the nation-pair disjunction evaluates post-join — never a join condition") {
+    val df = SparkEntry.queries("q7_nation_volume")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"the 2-row nation dims must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"the OR must stay a codegen'd filter, not become a loop join:\n$p")
+  }
+
+  test("q11: threshold closes over the checkpointed part aggregate — fact scanned once") {
+    val df = SparkEntry.queries("q11_part_concentration")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // both the total and the filter read the localCheckpointed part sums;
+    // the parquet fact must not appear in the final plan at all
+    assert(!p.contains("lineitem"),
+      s"fact must be materialized once, not re-scanned per branch:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the 1-row threshold must broadcast, never shuffle part sums:\n$p")
+  }
+
+  test("q19: the cross-table OR pushes derived disjunctions into BOTH scans") {
+    val p = plan("q19_brand_baskets")
+    // Catalyst extracts each side's implied filter from the OR-of-ANDs:
+    // quantity ranges reach the fact scan, brand/size baskets the dim scan
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      s"quantity disjunction not pushed to the fact scan:\n$p")
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"),
+      s"brand/size disjunction not pushed to the part scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dimension must broadcast:\n$p")
+  }
+
+  test("q22: NOT EXISTS is a LeftAnti hash join with the priority filter pushed") {
+    val df = SparkEntry.queries("q22_idle_balance")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must compile to an anti join:\n$p")
+    assert(p.contains("EqualTo(o_orderpriority,1-URGENT)"),
+      s"the anti join's build side must prune at the scan:\n$p")
+    // the scalar threshold is a 1-row IdentityBroadcast nested loop — the
+    // correct scalar-subquery execution; the anti join itself must hash
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("AQE splits the skewed partition of a shuffle join (skew=true in the final plan)") {
     // the join-side complement of the aggregation-skew story (SURVEY §9:
     // AQE skew handling is JOIN-only — two-level sessions exist because
