@@ -856,6 +856,233 @@ object SparkEntry {
         sum(col("__bal")).cast(DoubleType).as("totacctbal"))
   }
 
+  /** TPC-H Q6 shape: the ZERO-JOIN forecast — one fact scan, three
+    * range predicates, one global sum. The whole query is a pushdown
+    * test: every predicate reaches the parquet scan as a PushedFilter
+    * (row groups outside the 1997 ship year never decompress), the
+    * projection reads exactly four columns, and the only exchange is the
+    * 1-row partial→final aggregate. At 100 TB this is the shape whose
+    * cost is pure I/O — anything beyond a scan stage is a planner bug.
+    * Discounts are 2-decimal multiples in this data, so the DECIMAL
+    * cast is exact on both engines. */
+  private def q6Forecast(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-01-01").cast(TimestampType)
+    val hi = lit("1998-01-01").cast(TimestampType)
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+        col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          col("l_discount").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q10 shape: returned-revenue TOP-20 — customers ranked by the
+    * revenue they returned in one quarter. The group keys carry the
+    * whole customer row (key + name + balance + nation), which is the
+    * realistic reporting shape: wide keys ride the SAME single exchange
+    * as the key alone because c_custkey determines the rest. Top-20 is
+    * TakeOrderedAndProject (never a global sort), revenue ties broken by
+    * c_custkey so both engines pick an identical row set. At 100 TB the
+    * returnflag + quarter filters prune the fact before its only wide
+    * shuffle; customer and nation broadcast. */
+  private def q10Returned(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-01-01").cast(TimestampType)
+    val hi = lit("1997-04-01").cast(TimestampType)
+    val revenue = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(BigDecimal(1)).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+          .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(revenue).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q9 shape: product-line PROFIT by (nation, year) — the
+    * contains-LIKE part filter plus a two-term money expression
+    * (revenue MINUS cost, where `p_retailprice · l_quantity` stands in
+    * for the schema's missing ps_supplycost). The `%gear%` predicate
+    * cannot prune parquet row groups (no prefix), so the plan lesson is
+    * that it still evaluates INSIDE the scan stage before the join, and
+    * the filtered part dim broadcasts. Quantities are integral doubles,
+    * so the DECIMAL cast of both money terms is exact and the subtraction
+    * engine-independent. One wide exchange: the (nation, year) agg. */
+  private def q9Profit(s: SparkSession, dir: String): DataFrame = {
+    val amount = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(BigDecimal(1)).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2)))) -
+      (col("p_retailprice").cast(DecimalType(18, 2)) *
+        col("l_quantity").cast(DecimalType(18, 2)))
+    Tables.lineitem(s, dir)
+      .select("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate")
+      .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_name").contains("gear"))
+          .select("p_partkey", "p_retailprice")),
+        col("p_partkey") === col("l_partkey"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("l_shipdate")).cast(LongType).as("o_year"))
+      .agg(sum(amount).cast(DoubleType).as("profit"),
+        count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q8 shape: MARKET SHARE — a 7-table join (both nation roles
+    * plus region) feeding a conditional-aggregate RATIO: the focal
+    * nation's volume over total volume per order year. The CASE rides
+    * the same partial agg as the total (one exchange, two counters), so
+    * the share costs nothing over the plain sum — the same lesson as
+    * Q12/Q14 but over the full star. Division determinism follows the
+    * stableMean discipline: both sums are DECIMAL-exact, rounded at 3dp
+    * as doubles, and only then divided and rounded at 6dp, so a tie can
+    * never fall on different sides per engine. */
+  private def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast(TimestampType)
+    val hi = lit("1998-01-01").cast(TimestampType)
+    val focal = "NATION_3"
+    val revenue = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(BigDecimal(1)).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+    val custEurope = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "STANDARD")
+          .select("p_partkey")),
+        col("p_partkey") === col("l_partkey"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custEurope, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === focal, revenue)
+          .otherwise(lit(BigDecimal(0)).cast(DecimalType(18, 2))))
+          .cast(DoubleType), 3).as("nation_volume"),
+        round(sum(revenue).cast(DoubleType), 3).as("total_volume"))
+      .withColumn("mkt_share",
+        round(col("nation_volume") / col("total_volume"), 6))
+  }
+
+  /** TPC-H Q2 shape: the CORRELATED MIN over a join tree — for each
+    * sized part, the AMERICA suppliers whose unit cost ties the per-part
+    * minimum (unit price over lineitem stands in for the schema's
+    * missing ps_supplycost). Decorrelated the same way as Q17 but over
+    * a JOIN, not a bare table: the supplier⨝nation⨝region chain
+    * broadcasts into ONE fact scan, the per-part min rides a window
+    * over the already-joined rows, and the tie filter is a narrow map —
+    * the textbook form re-runs the whole join inside the subquery and
+    * self-joins the results (two scans, two exchange trees). Unit cost
+    * is one IEEE double division of identical operands per engine, and
+    * min/equality over identical bit patterns — exact parity without
+    * any rounding until the output column. */
+  private def q2MinCost(s: SparkSession, dir: String): DataFrame = {
+    val supAmerica = Tables.supplier(s, dir)
+      .select("s_suppkey", "s_name", "s_nationkey")
+      .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name")
+    val offers = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .join(broadcast(Tables.part(s, dir).filter(col("p_size") === 15)
+          .select("p_partkey")),
+        col("p_partkey") === col("l_partkey"))
+      .join(broadcast(supAmerica), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("unit_cost", col("l_extendedprice") / col("l_quantity"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("p_partkey"))
+    offers
+      .withColumn("__min_uc", min(col("unit_cost")).over(w))
+      .filter(col("unit_cost") === col("__min_uc"))
+      .groupBy(col("p_partkey"), col("s_suppkey"), col("s_name"))
+      .agg(round(min(col("unit_cost")), 6).as("unit_cost"))
+  }
+
+  /** TPC-H Q16 shape: DISTINCT-COUNT over a join with a NOT-IN
+    * exclusion — how many distinct suppliers serve each surviving
+    * (brand, type, size) bucket, excluding "complaint" suppliers
+    * (negative balance stands in for the schema's missing comment
+    * column). The exclusion is a LeftAnti against a 6-row broadcast;
+    * the distinct count plans as the two-level aggregate (partial
+    * distinct on (bucket, supplier), then count) — never an Expand,
+    * never a self-join. At 100 TB the anti probe costs nothing and the
+    * only wide exchange is the bucket agg, keyed fine enough (25 brands
+    * × 6 types × 8 sizes) to spread. Lineitem is the part-supplier
+    * relationship, as in Q11. */
+  private def q16SupplierCount(s: SparkSession, dir: String): DataFrame = {
+    val sizes = Seq(1, 5, 9, 14, 23, 36, 45, 49)
+    val complainers = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    Tables.lineitem(s, dir)
+      .select("l_partkey", "l_suppkey")
+      .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_brand") =!= "Brand#12" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(sizes: _*))
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+        col("p_partkey") === col("l_partkey"))
+      .join(broadcast(complainers), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q20 shape: SEMI JOIN whose right side is an AGGREGATED
+    * subquery — ASIA suppliers who moved serious volume (>45 units of
+    * one promo part in 1997; the per-pair shipped sum stands in for the
+    * schema's missing ps_availqty threshold). The HAVING aggregate runs
+    * BEFORE the semi probe, so the probe side is already collapsed to
+    * distinct supplier keys — the fact's only exchange is the
+    * (supplier, part) agg, and the supplier table is probed with a
+    * LeftSemi (each supplier emitted once, no fan-out, no dedup
+    * re-agg). Quantity sums are integral doubles (< 2^53), so the
+    * threshold is engine-exact without casts. */
+  private def q20PromoVolume(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-01-01").cast(TimestampType)
+    val hi = lit("1998-01-01").cast(TimestampType)
+    val movers = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "PROMO")
+          .select("p_partkey")),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("__qty"))
+      .filter(col("__qty") > 45)
+      .select("l_suppkey")
+    Tables.supplier(s, dir)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(movers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("s_acctbal"), 3).as("s_acctbal"))
+  }
+
   /** c2: the full training-shard pipeline in ONE declarative DAG —
     * benchmark decontamination (anti-join on the contaminated set), the c1
     * quality+language gate, canonical exact-dedup, token-budget packing
@@ -2022,6 +2249,13 @@ object SparkEntry {
     "q11_part_concentration" -> (q11PartConcentration _),
     "q19_brand_baskets" -> (q19BrandBaskets _),
     "q22_idle_balance" -> (q22IdleBalance _),
+    "q6_forecast" -> (q6Forecast _),
+    "q10_returned" -> (q10Returned _),
+    "q9_profit" -> (q9Profit _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q2_min_cost" -> (q2MinCost _),
+    "q16_supplier_cnt" -> (q16SupplierCount _),
+    "q20_promo_volume" -> (q20PromoVolume _),
     "j1_revenue_nation" -> (j1RevenueNation _),
     "j2_asof_join" -> (j2AsofJoin _),
     "j4_asof_broadcast" -> (j4AsofBroadcast _),
@@ -2487,6 +2721,103 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment""".stripMargin,
+    "q6_forecast" ->
+      """SELECT
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin,
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name AS nation,
+        | CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS o_year,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |   - CAST(p_retailprice AS DECIMAL(18,2))
+        |     * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        | JOIN part ON p_partkey = l_partkey
+        | JOIN supplier ON s_suppkey = l_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2""".stripMargin,
+    "q8_market_share" ->
+      """WITH vol AS (
+        |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |    round(CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 3) AS nation_volume,
+        |    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 3) AS total_volume
+        |  FROM lineitem
+        |   JOIN part ON p_partkey = l_partkey
+        |   JOIN orders ON l_orderkey = o_orderkey
+        |   JOIN supplier ON s_suppkey = l_suppkey
+        |   JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE p_type = 'STANDARD'
+        |    AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+        |    AND o_custkey IN (
+        |      SELECT c_custkey FROM customer
+        |       JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |       JOIN region ON cn.n_regionkey = r_regionkey
+        |      WHERE r_name = 'EUROPE')
+        |  GROUP BY 1)
+        |SELECT o_year, nation_volume, total_volume,
+        | round(nation_volume / total_volume, 6) AS mkt_share
+        |FROM vol""".stripMargin,
+    "q2_min_cost" ->
+      """WITH offers AS (
+        |  SELECT p_partkey, s_suppkey, s_name,
+        |    l_extendedprice / l_quantity AS uc,
+        |    min(l_extendedprice / l_quantity) OVER (PARTITION BY p_partkey) AS min_uc
+        |  FROM lineitem
+        |   JOIN part ON p_partkey = l_partkey
+        |   JOIN supplier ON s_suppkey = l_suppkey
+        |   JOIN nation ON s_nationkey = n_nationkey
+        |   JOIN region ON n_regionkey = r_regionkey
+        |  WHERE p_size = 15 AND r_name = 'AMERICA')
+        |SELECT p_partkey, s_suppkey, s_name,
+        | round(min(uc), 6) AS unit_cost
+        |FROM offers WHERE uc = min_uc
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#12' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 9, 14, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q20_promo_volume" ->
+      """SELECT s_suppkey, s_name, round(s_acctbal, 3) AS s_acctbal
+        |FROM supplier
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+        |    WHERE p_type = 'PROMO'
+        |      AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+        |    GROUP BY l_suppkey, l_partkey
+        |    HAVING sum(l_quantity) > 45)""".stripMargin,
     "j1_revenue_nation" ->
       """SELECT n_name,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

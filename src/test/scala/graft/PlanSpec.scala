@@ -282,6 +282,93 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q6: the zero-join forecast is one pushed-down scan + one 1-row exchange") {
+    val df = SparkEntry.queries("q6_forecast")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the PushedFilters list prints truncated — pin the shipdate prefix
+    // there and the discount/quantity ranges in the codegen'd Filter node
+    assert(p.contains("GreaterThanOrEqual(l_shipda"),
+      s"ship-year range not pushed to the parquet scan:\n$p")
+    assert(p.contains(">= 0.02)") && p.contains("< 24.0)"),
+      s"discount/quantity ranges missing from the scan-stage filter:\n$p")
+    assert(!p.contains("Join"), s"Q6 must not join anything:\n$p")
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected only the 1-row final-agg exchange, got $exchanges:\n$p")
+  }
+
+  test("q10: top-20 is TakeOrderedAndProject over one fact exchange; dims broadcast") {
+    val df = SparkEntry.queries("q10_returned")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter must prune the fact scan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"customer/nation must broadcast:\n$p")
+  }
+
+  test("q9: the contains-LIKE filter evaluates before the broadcast join") {
+    val df = SparkEntry.queries("q9_profit")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("Contains(p_name") && p.contains(", gear)"),
+      s"the %gear% filter must prune the part dim before its broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"the whole dim chain must broadcast:\n$p")
+  }
+
+  test("q8: the region IN-subquery is a LeftSemi; share rides one agg exchange") {
+    val df = SparkEntry.queries("q8_market_share")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("LeftSemi"), s"the Europe-customer probe must be a semi join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"no loop join may appear:\n$p")
+    // both CASE counters live in ONE aggregate over ONE exchange (the
+    // year key prints as Catalyst's _groupingexpression alias)
+    val aggEx = "Exchange hashpartitioning\\(_groupingexpression".r.findAllIn(p).length
+    assert(aggEx == 1, s"share must ride a single year-keyed exchange, got $aggEx:\n$p")
+    assert(p.contains("CASE WHEN (supp_nation"),
+      s"the share split must live inside the aggregate:\n$p")
+  }
+
+  test("q2: correlated min decorrelates to a window over ONE joined scan") {
+    val df = SparkEntry.queries("q2_min_cost")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("Window [min(unit_cost"),
+      s"per-part min must be a window, not a re-aggregate self-join:\n$p")
+    val liScans = "lineitem".r.findAllIn(p).length
+    assert(liScans == 1, s"the textbook form scans the join twice; we must scan once (saw $liScans):\n$p")
+    assert(!p.contains("SortMergeJoin"), s"supplier chain and part dim must broadcast:\n$p")
+  }
+
+  test("q16: distinct count plans as layered HashAggregates, exclusion as broadcast anti") {
+    val df = SparkEntry.queries("q16_supplier_cnt")(spark, dir)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val p = full.split("== Initial Plan ==").head
+    // at this fixture SF the complainer set is EMPTY, and AQE's
+    // empty-relation propagation elides the anti join from the final
+    // plan entirely — itself the right call; the shape lives in the
+    // initial plan, so pin it on the full string
+    assert(full.contains("LeftAnti"), s"the complainer exclusion must be an anti join:\n$full")
+    assert(p.contains("partial_count(distinct l_suppkey"),
+      s"distinct count must partial-aggregate, never collect rows:\n$p")
+    assert(!p.contains("Expand"),
+      s"a single distinct column must not plan an Expand:\n$p")
+  }
+
+  test("q20: the aggregated subquery collapses BEFORE its LeftSemi probe") {
+    val df = SparkEntry.queries("q20_promo_volume")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("LeftSemi"), s"the mover set must probe via semi join:\n$p")
+    assert(p.contains("sum(l_quantity"),
+      s"the HAVING aggregate must appear below the semi probe:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
   test("AQE splits the skewed partition of a shuffle join (skew=true in the final plan)") {
     // the join-side complement of the aggregation-skew story (SURVEY §9:
     // AQE skew handling is JOIN-only — two-level sessions exist because
