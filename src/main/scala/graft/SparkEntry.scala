@@ -1336,6 +1336,49 @@ object SparkEntry {
         round(sum(col("sfv")) / lit(1048576.0), 6).as("sum_value_q"))
   }
 
+  /** c10: copy-on-write MERGE + DELETE on the manifested store, oracle-
+    * checked end-to-end — fragment a 6-day store, manifest it, upsert a
+    * deterministic correction set (doubled values for one user slice,
+    * delete-then-insert on event_id) PLUS day-7 rows the store never held
+    * (pure inserts, landing in a partition no append created), then
+    * erase day 1 with [[graft.sources.EventStore.deleteWhere]] — a
+    * whole-partition predicate, so the requires pin the METADATA-ONLY
+    * fast path (files drop from the manifest, zero rewrites, the shape a
+    * retention delete takes at 100 TB) — vacuum past retention, and
+    * aggregate through the pinned read. DuckDB replays the merge
+    * algebraically (anti-join on the update keys, union the updates,
+    * drop day 1), so a green hash proves the row mutation exact:
+    * untouched rows bit-identical, corrected rows doubled (exact in
+    * IEEE), inserted rows present, erased rows gone. */
+  private def c10MergeDelete(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/graft-merge-q/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.sources.EventStore.reset(s, path)
+    val all = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val ev = all.filter(dayofmonth(col("ts")) <= 6)
+    graft.sources.EventStore.append(ev.repartition(4), path)
+    graft.sources.EventStore.writeManifest(s, path)
+    val corrected = ev.filter(pmod(col("user_id"), lit(7)) === 0)
+      .withColumn("value", col("value") * 2)
+    val fresh = all.filter(dayofmonth(col("ts")) === 7)
+    val m = graft.sources.EventStore.mergeInto(
+      s, path, corrected.unionByName(fresh), Seq("event_id"))
+    require(m.filesRewritten > 0 && m.filesInserted > 0 && m.rowsDeleted > 0
+        && m.rowsInserted > m.rowsDeleted,
+      s"merge must rewrite matched files and insert day-7 rows, got $m")
+    val d = graft.sources.EventStore.deleteWhere(
+      s, path, dayofmonth(col("ts")) === 1)
+    require(d.rowsDeleted > 0 && d.filesDropped > 0 && d.filesRewritten == 0,
+      s"a whole-partition erase must be metadata-only, got $d")
+    val deleted = graft.sources.EventStore.vacuum(s, path, keepVersions = 1)
+    require(deleted.nonEmpty, "replaced files must be reclaimable after retention")
+    graft.sources.EventStore.readPinned(s, path)
+      .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 3).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** j2: as-of join — each event enriched with the user's most recent
     * order at-or-before the event (the time-series point-in-time lookup).
     * Orders are deduped to one version per (custkey, second) first, so the
@@ -2313,6 +2356,7 @@ object SparkEntry {
     "c7_time_travel" -> (c7TimeTravel _),
     "c8_stats_prune" -> (c8StatsPrune _),
     "c9_incremental" -> (c9Incremental _),
+    "c10_merge_delete" -> (c10MergeDelete _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3515,6 +3559,27 @@ object SparkEntry {
       """SELECT event_type, count(*)::BIGINT AS n,
         | round(sum(floor(value * 1048576)) / 1048576, 6) AS sum_value_q
         |FROM events WHERE date_part('day', ts) <= 6
+        |GROUP BY 1""".stripMargin,
+    "c10_merge_delete" ->
+      // the merge replayed algebraically: delete-then-insert on event_id
+      // (matched base rows leave, every update row enters), then the
+      // whole-day erase — value*2 is exact in IEEE, so the corrected
+      // slice hashes bit-for-bit
+      """WITH base AS (SELECT event_id, ts, user_id, value FROM events
+        |  WHERE date_part('day', ts) <= 6),
+        |upd AS (
+        |  SELECT event_id, ts, user_id, value * 2 AS value FROM events
+        |  WHERE date_part('day', ts) <= 6 AND user_id % 7 = 0
+        |  UNION ALL
+        |  SELECT event_id, ts, user_id, value FROM events
+        |  WHERE date_part('day', ts) = 7),
+        |merged AS (
+        |  SELECT * FROM base WHERE event_id NOT IN (SELECT event_id FROM upd)
+        |  UNION ALL SELECT * FROM upd)
+        |SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*)::BIGINT AS n,
+        | round(sum(value), 3) AS sum_value,
+        | count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM merged WHERE date_part('day', ts) <> 1
         |GROUP BY 1""".stripMargin,
     "c2_shards" -> {
       val en = graft.functions.TextFunctions.langStopwords.head._2

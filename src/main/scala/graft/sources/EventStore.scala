@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Write-side of the engine — the reference's storage commands re-expressed
@@ -208,7 +208,7 @@ object EventStore {
     * (their commit is coming) or crash debris (vacuum's to reclaim).
     * Without this rule, a crashed compaction's moved-in files would be
     * double-counted next to the originals they never replaced. */
-  private val MaintenanceFile = """(?:compact|zorder)-\d+-.*""".r
+  private val MaintenanceFile = """(?:compact|zorder|merge|delete)-\d+-.*""".r
 
   /** Serialize manifest commits: an exclusive-create lock file arbitrates,
     * because a plain rename-to-destination OVERWRITES on local/POSIX
@@ -566,6 +566,201 @@ object EventStore {
       .parquet(rel.map(f => path + "/" + f): _*)
   }
 
+  // --------------------------------------------- copy-on-write row mutation
+  //
+  // The manifest protocol so far only ever ADDS rows (append) or re-lays
+  // them (compact / z-order). MERGE and DELETE complete the lifecycle —
+  // the GDPR-erasure / late-correction / CDC-upsert operations every real
+  // 100 TB store eventually needs — with the same copy-on-write shape
+  // table formats use: touched files are rewritten under maintenance
+  // names, untouched files are never opened, and ONE manifest commit
+  // (optimistic rebase under the commit lock, like [[compactInPlace]])
+  // swaps the row change in atomically. Readers pinned to an old version
+  // keep their snapshot; [[vacuum]] reclaims the replaced files later.
+
+  /** Outcome of [[mergeInto]] / [[deleteWhere]]. `filesDropped` counts
+    * files removed from the manifest WITHOUT a rewrite (every row
+    * matched — [[deleteWhere]]'s metadata-only fast path; always 0 for
+    * merge); `filesRewritten` counts INPUT files rewritten without their
+    * matching rows; `filesInserted` counts the insert job's output. */
+  final case class MergeStats(filesUntouched: Int, filesRewritten: Int,
+                              filesDropped: Int, filesInserted: Int,
+                              rowsDeleted: Long, rowsInserted: Long)
+
+  /** Relative `dir/file` path of the file a scanned row came from —
+    * Spark's `_metadata` hidden column, cut to the store-relative form the
+    * manifest speaks. */
+  private def relFileCol =
+    regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1)
+
+  /** Move every data file under `staged` (a hidden staging dir holding a
+    * date-partitioned write) into the live partition dirs under
+    * `prefix-gen-` maintenance names; returns the moved files' relative
+    * paths. Partition dirs an append never created yet are created here —
+    * a merge may insert into brand-new dates. */
+  private def moveStagedIn(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path,
+                           staged: org.apache.hadoop.fs.Path,
+                           prefix: String, gen: Long): Seq[String] = {
+    val parts = fs.listStatus(staged).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    parts.flatMap { p =>
+      val live = new org.apache.hadoop.fs.Path(root, p.getPath.getName)
+      if (!fs.exists(live)) fs.mkdirs(live)
+      fs.listStatus(p.getPath)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+          && !f.getPath.getName.startsWith("."))
+        .map { f =>
+          val name = s"$prefix-$gen-${f.getPath.getName}"
+          require(fs.rename(f.getPath, new org.apache.hadoop.fs.Path(live, name)),
+            s"$prefix: moving ${f.getPath} into $live failed")
+          p.getPath.getName + "/" + name
+        }.toSeq
+    }
+  }
+
+  /** Copy-on-write MERGE (upsert) into the manifested store, with
+    * DELETE-THEN-INSERT semantics: every store row whose `keyCols` tuple
+    * appears in `updates` is removed, and every `updates` row is inserted
+    * (date-partitioned on `tsCol`, like [[append]] — an update may move a
+    * row across partitions, carry several rows per key, or introduce keys
+    * the store never held). This is the CDC-upsert contract for an event
+    * store, where a key does not promise uniqueness.
+    *
+    * Plan shape at 100 TB: ONE distributed detection pass (a semi join of
+    * the pinned scan's `_metadata.file_path` against the distinct update
+    * keys — filter pushdown and AQE broadcast apply as usual) finds the
+    * files that contain matching keys; ONE rewrite job reads ONLY those
+    * files and anti-joins the keys out; ONE insert job writes the update
+    * rows. Untouched files are never opened. Both jobs write to hidden
+    * staging, move in under `merge-{gen}-*` maintenance names, and a
+    * single optimistic-rebase manifest commit swaps rewrites + inserts in
+    * atomically — a crash before the commit leaves only unmanifested
+    * garbage for [[vacuum]], never a half-merged store.
+    *
+    * Keys compare with SQL equality: a null key field matches nothing
+    * (its store rows survive, its update rows still insert). `updates`
+    * must be deterministic — it is evaluated several times (detection,
+    * rewrite, count, insert); cache it if it is expensive. */
+  def mergeInto(spark: SparkSession, path: String, updates: DataFrame,
+                keyCols: Seq[String], tsCol: String = "ts"): MergeStats = {
+    require(keyCols.nonEmpty, "mergeInto: need at least one key column")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = readManifestFile(fs, root)
+    val gen = System.currentTimeMillis()
+    val keys = updates.select(keyCols.map(col): _*).distinct()
+    // detection: which manifested files hold a matching key, and how many
+    // rows they lose — file-granular output (#files rows), one job
+    val pinned = readPinned(spark, path)
+    val hits = pinned
+      .select(relFileCol.as("__file"), struct(keyCols.map(col): _*).as("__k"))
+      .join(keys.select(struct(keyCols.map(col): _*).as("__k")), Seq("__k"), "left_semi")
+      .groupBy(col("__file")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val affected = manifest.filter(hits.contains)
+    val rowsDeleted = hits.values.sum
+    // rewrite: ONLY the affected files, matching keys anti-joined out;
+    // event_date is recomputed from tsCol exactly as append derives it
+    val rewritten = if (affected.isEmpty) Seq.empty[String] else {
+      val staged = new org.apache.hadoop.fs.Path(root, s".merge-rewrite-$gen")
+      fs.delete(staged, true)
+      readFiles(spark, path, affected).drop("event_date")
+        .join(keys, keyCols, "left_anti")
+        .withColumn("event_date", to_date(col(tsCol)))
+        .write.partitionBy("event_date").mode(SaveMode.Overwrite)
+        .parquet(staged.toString)
+      val moved = moveStagedIn(fs, root, staged, "merge", gen)
+      fs.delete(staged, true)
+      moved
+    }
+    // insert: every update row, as a normal date-partitioned write
+    val rowsInserted = updates.count()
+    val inserted = if (rowsInserted == 0) Seq.empty[String] else {
+      val staged = new org.apache.hadoop.fs.Path(root, s".merge-insert-$gen")
+      fs.delete(staged, true)
+      updates.withColumn("event_date", to_date(col(tsCol)))
+        .write.partitionBy("event_date").mode(SaveMode.Overwrite)
+        .parquet(staged.toString)
+      val moved = moveStagedIn(fs, root, staged, "merge", gen)
+      fs.delete(staged, true)
+      moved
+    }
+    commitCow(fs, root, "mergeInto", affected.toSet, rewritten ++ inserted)
+    MergeStats(manifest.size - affected.size, affected.size, 0,
+      inserted.size, rowsDeleted, rowsInserted)
+  }
+
+  /** Copy-on-write DELETE from the manifested store. Files where EVERY
+    * row matches `predicate` are dropped from the manifest WITHOUT a
+    * rewrite — the metadata-only fast path that makes retention deletes
+    * (drop a day, drop a user range on a z-ordered layout) near-free at
+    * 100 TB, because a clustered layout concentrates matching rows into
+    * few files and most of those match fully. Partially-matching files
+    * are rewritten without their matching rows under `delete-{gen}-*`
+    * names; files with no match are never opened past the ONE detection
+    * pass. Single optimistic-rebase manifest commit, as [[mergeInto]].
+    *
+    * `predicate` must be deterministic and null-rejecting (a null
+    * predicate value keeps the row, SQL WHERE-NOT semantics). */
+  def deleteWhere(spark: SparkSession, path: String, predicate: Column,
+                  tsCol: String = "ts"): MergeStats = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = readManifestFile(fs, root)
+    val gen = System.currentTimeMillis()
+    // detection: per-file (matching, total) counts — one job, file-granular
+    val counts = readPinned(spark, path)
+      .select(relFileCol.as("__file"),
+        when(predicate, 1L).otherwise(0L).as("__m"))
+      .groupBy(col("__file"))
+      .agg(sum(col("__m")).as("m"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val dropped = manifest.filter(f => counts.get(f).exists { case (m, n) => m == n && n > 0 })
+    val partial = manifest.filter(f => counts.get(f).exists { case (m, n) => m > 0 && m < n })
+    val rowsDeleted = counts.values.map(_._1).sum
+    val rewritten = if (partial.isEmpty) Seq.empty[String] else {
+      val staged = new org.apache.hadoop.fs.Path(root, s".delete-rewrite-$gen")
+      fs.delete(staged, true)
+      readFiles(spark, path, partial).drop("event_date")
+        .filter(!coalesce(predicate, lit(false)))
+        .withColumn("event_date", to_date(col(tsCol)))
+        .write.partitionBy("event_date").mode(SaveMode.Overwrite)
+        .parquet(staged.toString)
+      val moved = moveStagedIn(fs, root, staged, "delete", gen)
+      fs.delete(staged, true)
+      moved
+    }
+    commitCow(fs, root, "deleteWhere", (dropped ++ partial).toSet, rewritten)
+    MergeStats(manifest.size - dropped.size - partial.size, partial.size,
+      dropped.size, 0, rowsDeleted, 0L)
+  }
+
+  /** The shared copy-on-write commit: remove `replaced`, add `added`, as
+    * ONE manifest version under the commit lock — rebased onto the
+    * manifest AS OF COMMIT TIME so a concurrent append's files survive,
+    * failing loudly if a replaced file left the manifest mid-run
+    * (conflicting maintenance). An empty post-merge manifest is legal for
+    * a whole-store delete ONLY via an explicit empty commit — but an
+    * empty store breaks [[readPinned]]'s nonempty require, so refuse it
+    * loudly: a delete of everything is [[reset]], not a merge. */
+  private def commitCow(fs: org.apache.hadoop.fs.FileSystem,
+                        root: org.apache.hadoop.fs.Path, op: String,
+                        replaced: Set[String], added: Seq[String]): Long =
+    withCommitLock(fs, root) {
+      val current = readManifestFile(fs, root)
+      val vanished = replaced -- current.toSet
+      require(vanished.isEmpty,
+        s"$op: files this operation replaced left the manifest mid-run " +
+          s"(concurrent maintenance?): ${vanished.take(3).mkString(", ")} — " +
+          "re-run against the new snapshot")
+      val next = current.filterNot(replaced) ++ added
+      require(next.nonEmpty,
+        s"$op: the commit would empty the store — use reset() to drop " +
+          "everything; an empty manifest would break every pinned reader")
+      commitLocked(fs, root, next)
+    }
+
   /** Outcome of [[clusterInPlace]]. */
   final case class ClusterStats(filesBefore: Int, filesAfter: Int, bytes: Long)
 
@@ -681,7 +876,8 @@ object EventStore {
     // The legacy compactor's `.<part>.compact-old` parking is deliberately
     // NOT touched — it can hold the only copy of a partition, and
     // readRetrying's recovery message points operators at it.
-    val staging = """^\..*\.compact-staging$|^\.zorder-staging$""".r
+    val staging = ("""^\..*\.compact-staging$|^\.zorder-staging$""" +
+      """|^\.(?:merge|delete)-(?:rewrite|insert)-\d+$""").r
     fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && staging.pattern.matcher(s.getPath.getName).matches()
         && s.getModificationTime <= cutoff)

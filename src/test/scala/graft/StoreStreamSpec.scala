@@ -116,6 +116,80 @@ class StoreStreamSpec extends AnyFunSuite {
       s"pinned reads must keep planning-time partition pruning:\n$pinnedPlan")
   }
 
+  test("copy-on-write merge + delete: keys upsert, full-match files drop rewrite-free, old pins survive") {
+    val dir = Files.createTempDirectory("graft-merge").toString + "/events"
+    val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(dayofmonth(col("ts")) <= 6)
+      .select("event_id", "ts", "user_id", "value")
+    (0 until 3).foreach { i =>
+      EventStore.append(src.filter(pmod(col("event_id"), lit(3)) === i), dir)
+    }
+    val nFiles = EventStore.writeManifest(spark, dir)
+    val v0 = EventStore.manifestVersion(spark, dir)
+    val baseline = EventStore.readPinned(spark, dir)
+      .select("event_id", "ts", "user_id", "value").collect().toSet
+    // MERGE: corrected values for an existing key slice + brand-new rows
+    val corrected = src.filter(pmod(col("user_id"), lit(7)) === 0)
+      .withColumn("value", col("value") + 1000.0)
+    val fresh = src.orderBy("event_id").limit(5)
+      .withColumn("event_id", col("event_id") + 10000000L)
+    val updates = corrected.unionByName(fresh)
+    val nMatched = corrected.count()
+    val nUpdates = updates.count()
+    val m = EventStore.mergeInto(spark, dir, updates, Seq("event_id"))
+    assert(m.rowsDeleted == nMatched, s"every matched key's rows leave: $m")
+    assert(m.rowsInserted == nUpdates, s"every update row inserts: $m")
+    assert(m.filesUntouched + m.filesRewritten == nFiles,
+      s"accounting covers the whole manifest: $m (manifest had $nFiles)")
+    assert(m.filesDropped == 0 && m.filesInserted > 0)
+    val keysMatched = corrected.select("event_id").collect().map(_.getLong(0)).toSet
+    val expectMerged = baseline.filterNot(r => keysMatched(r.getLong(0))) ++
+      updates.select("event_id", "ts", "user_id", "value").collect()
+    assert(EventStore.readPinned(spark, dir)
+      .select("event_id", "ts", "user_id", "value").collect().toSet == expectMerged,
+      "merged state = old rows minus matched keys, plus every update row")
+    // the pre-merge snapshot is untouched: copy-on-write never deletes
+    assert(EventStore.readPinned(spark, dir, version = v0)
+      .select("event_id", "ts", "user_id", "value").collect().toSet == baseline,
+      "a pre-merge pin must still read the original store")
+    // DELETE, full-match fast path: one whole day — its partition's files
+    // match completely, so they drop from the manifest with NO rewrite
+    val d1 = EventStore.deleteWhere(spark, dir, dayofmonth(col("ts")) === 1)
+    assert(d1.filesDropped > 0 && d1.filesRewritten == 0,
+      s"a whole-partition delete must be metadata-only: $d1")
+    assert(d1.rowsDeleted == expectMerged.count(r =>
+      r.getTimestamp(1).toLocalDateTime.getDayOfMonth == 1))
+    // DELETE, partial path: a user slice cuts across every file
+    val d2 = EventStore.deleteWhere(spark, dir, pmod(col("user_id"), lit(3)) === 1)
+    assert(d2.filesRewritten > 0, s"a cross-cutting delete rewrites: $d2")
+    val expectFinal = expectMerged.filter { r =>
+      r.getTimestamp(1).toLocalDateTime.getDayOfMonth != 1 && r.getLong(2) % 3 != 1
+    }
+    assert(EventStore.readPinned(spark, dir)
+      .select("event_id", "ts", "user_id", "value").collect().toSet == expectFinal)
+    // a delete that matches nothing is a no-op commit-wise: all untouched
+    val d3 = EventStore.deleteWhere(spark, dir, col("user_id") < 0)
+    assert(d3.rowsDeleted == 0 && d3.filesRewritten == 0 && d3.filesDropped == 0)
+    // emptying the store via delete is refused loudly — that's reset()'s job
+    val boom = intercept[IllegalArgumentException] {
+      EventStore.deleteWhere(spark, dir, lit(true))
+    }
+    assert(boom.getMessage.contains("reset()"))
+    // vacuum past retention: replaced files go, the final state survives,
+    // and the pre-merge version stops being travelable LOUDLY
+    val deleted = EventStore.vacuum(spark, dir, keepVersions = 1)
+    assert(deleted.nonEmpty, "merge/delete replaced files must be reclaimable")
+    assert(EventStore.readPinned(spark, dir)
+      .select("event_id", "ts", "user_id", "value").collect().toSet == expectFinal)
+    intercept[IllegalArgumentException] {
+      EventStore.readPinned(spark, dir, version = v0).collect()
+    }
+    // no staging debris outlives the operations
+    val debris = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && (f.getName.contains("merge-") || f.getName.contains("delete-")))
+    assert(debris.isEmpty, s"staging debris left behind: ${debris.mkString(",")}")
+  }
+
   test("versioned manifests: time travel reaches every retained snapshot; vacuum bounds it loudly") {
     val dir = Files.createTempDirectory("graft-travel").toString + "/events"
     val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
