@@ -71,7 +71,13 @@ object Bench {
       val all = timed.map(_._1).sorted
       name -> (if (good.nonEmpty) good(good.size / 2) else all(all.size / 2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal (ms) precision: full-precision doubles tripled the line
+    // length and the harness tail buffer was truncating the JSON mid-string
+    // (rounds 7-8 recorded parsed:null) — ms resolution is below run-to-run
+    // noise anyway
+    def r3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
@@ -88,7 +94,22 @@ object Bench {
       "c9_incremental").filter(results.contains)
     val buildJson = buildClass.map("\"" + _ + "\"").mkString("[", ",", "]")
     val buildTotal = buildClass.map(results).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","runs":$runs,"build_queries":$buildJson,"build_sec":$buildTotal}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","runs":$runs,"build_queries":$buildJson,"build_sec":${r3(buildTotal)}}"""
+    println(line)
+    // Durable copy: the harness captures a bounded stdout tail and has
+    // twice truncated the (growing) results line into an unparseable
+    // fragment — the file survives regardless of buffer size.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()
+    // A bench with ANY deterministic per-query failure must not read as a
+    // green measurement (round 8 recorded rc=0 over 8 errors).
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} failed runs: " +
+        errors.keys.mkString(", "))
+      sys.exit(2)
+    }
   }
 }

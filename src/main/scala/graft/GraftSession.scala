@@ -24,6 +24,11 @@ object GraftSession {
 
   /** Register graft's SQL functions on an externally-built session. */
   def register(s: SparkSession): Unit = {
+    // Engine-wide contract: timestamps are UTC wall clock. The testdata's
+    // TIMESTAMP_NTZ columns are normalized via session-zone casts, so a
+    // host-local zone on an externally-built session would shift every
+    // window boundary and date comparison.
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     graft.expressions.RollingHash.register(s)
     graft.expressions.DotProduct.register(s)
     graft.functions.SqlFunctions.register(s)

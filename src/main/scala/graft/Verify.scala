@@ -20,13 +20,24 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.register(spark)
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A failed query must NOT vanish from the round's artifact (round 8
+        // dropped 13 crashed queries and the compare reported all-green).
+        // Leave a non-parquet marker where the result would be, so any
+        // downstream reader of outDir/<name> fails LOUDLY with the real
+        // error instead of skipping the key.
+        val msg = e.getClass.getName + ": " + Option(e.getMessage).getOrElse("")
+        failures(name) = msg.linesIterator.take(4).mkString(" | ").take(500)
+        System.err.println(s"[verify] $name FAILED: $msg")
+        val d = new java.io.File(s"$outDir/$name")
+        org.apache.commons.io.FileUtils.deleteQuietly(d); d.mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/QUERY_FAILED.txt"), msg)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +55,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable failure roster next to the oracle dump: a round with
+    // any entry here is NOT green no matter how the per-query compare reads.
+    Files.writeString(Paths.get(s"$outDir/verify_failures.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
+    // Exit 0 even with failures: the markers above surface them per-query in
+    // the compare; a nonzero rc here would discard the 100+ GREEN results
+    // along with the broken ones (round 6 lost a whole round that way).
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: " +
+        failures.keys.mkString(", "))
   }
 }

@@ -61,10 +61,22 @@ object Compiler {
         q.tStart.map(s => ns >= s * 1000000000L).toSeq ++
           q.tEnd.map(e => ns <= e * 1000000000L + 999L).toSeq
       } else Nil
+    // Same mirror for the TIMESTAMP_NTZ raw column: LocalDateTime literals
+    // compare as plain wall clock (data is UTC), so the bound is exactly the
+    // µs-level `ts` bound and pushes to Parquet row-group stats.
+    val ntzBounds: Seq[Column] =
+      if (tsCol == DefaultTsCol &&
+          df.schema.fieldNames.contains(graft.sources.Tables.TsNtzCol)) {
+        val ntz = col(graft.sources.Tables.TsNtzCol)
+        def at(sec: Long) = lit(java.time.LocalDateTime.ofEpochSecond(
+          sec, 0, java.time.ZoneOffset.UTC))
+        q.tStart.map(s => ntz >= at(s)).toSeq ++
+          q.tEnd.map(e => ntz <= at(e)).toSeq
+      } else Nil
     val tsBounds: Seq[Column] =
       q.tStart.map(s => ts >= timestamp_seconds(lit(s))).toSeq ++
         q.tEnd.map(e => ts <= timestamp_seconds(lit(e))).toSeq
-    val timeBounded = (tsBounds ++ nsBounds).reduceOption(_ && _)
+    val timeBounded = (tsBounds ++ nsBounds ++ ntzBounds).reduceOption(_ && _)
       .map(df.filter).getOrElse(df)
     val preds = Predicates.compileAll(q.conditions, df.schema).toSeq ++
       q.where.map(Predicates.compileTree(_, df.schema)).toSeq

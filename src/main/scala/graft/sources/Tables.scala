@@ -22,16 +22,29 @@ object Tables {
     * even though the TimestampType `ts` is a derived expression. */
   val TsNanosCol = "__ts_ns"
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * reader rejects by default (PARQUET_TYPE_ILLEGAL). Read nanos as LONG
-    * (runtime-settable legacy conf, so this works under any driver-built
-    * session) and truncate to a microsecond TimestampType column, keeping the
-    * raw nanos as [[TsNanosCol]] for predicate pushdown. */
+  /** Raw TIMESTAMP_NTZ companion column — same role as [[TsNanosCol]], for
+    * testdata generations whose `ts` is parquet timestamp[us] without a UTC
+    * marker. Predicates on the NTZ copy push into the Parquet reader; the
+    * session-zoned `ts` the rest of the engine sees is a derived cast. */
+  val TsNtzCol = "__ts_ntz"
+
+  /** The events table's `ts` physical encoding has varied across testdata
+    * generations: parquet TIMESTAMP(NANOS) (read as LONG via the
+    * runtime-settable legacy conf), plain timestamp[us] without the UTC flag
+    * (read as TIMESTAMP_NTZ), or an already-zoned TimestampType. Normalize
+    * every shape to a session-zoned TimestampType `ts` — the engine-wide
+    * contract (windows, epoch-second casts, as-of joins all assume it) —
+    * keeping the raw column as [[TsNanosCol]]/[[TsNtzCol]] for predicate
+    * pushdown. Wall-clock times in the data are UTC, so the session zone is
+    * pinned here (runtime-settable) rather than trusting the caller's
+    * builder: an NTZ→TZ cast under a stray local zone would shift every
+    * window boundary. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(s, dir, "events")
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) =>
         // integer `div`, NOT `/`: double division loses precision above 2^53
@@ -39,6 +52,9 @@ object Tables {
         // boundary and corrupt window assignment
         raw.withColumn(TsNanosCol, col("ts"))
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        raw.withColumn(TsNtzCol, col("ts"))
+          .withColumn("ts", col("ts").cast(TimestampType))
       case Some(_: TimestampType) | _ => raw
     }
   }
