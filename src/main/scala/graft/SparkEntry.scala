@@ -1448,6 +1448,59 @@ object SparkEntry {
         coalesce(round(col("sum_value_1h"), 3), lit(0.0)))
   }
 
+  /** Bucketed tables backing j6, built once per (session, sf dir) — the
+    * co-location artifact a deployment lays down once and every join reads
+    * forever. Bucket count 32 matches the session's shuffle parallelism. */
+  private val bucketedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def ensureBucketedTables(s: SparkSession, dir: String): (String, String) =
+    bucketedCache.computeIfAbsent(dir, _ => {
+      val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val evT = s"graft_ev_bucketed$key"
+      val profT = s"graft_prof_bucketed$key"
+      // a PREVIOUS JVM's managed-table files survive in the warehouse dir
+      // while the in-memory catalog starts empty — saveAsTable then fails
+      // on LOCATION_ALREADY_EXISTS. Drop both halves of the stale state.
+      for (t <- Seq(evT, profT)) {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(
+          new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, t)
+        org.apache.commons.io.FileUtils.deleteQuietly(loc)
+      }
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .select("event_id", "user_id", "event_type", "value")
+      ev.write.mode("overwrite")
+        .bucketBy(32, "user_id").sortBy("user_id").saveAsTable(evT)
+      // the profile side derives FROM the bucketed table: the groupBy on
+      // the bucket key is already exchange-free, so building the second
+      // co-located artifact costs one narrow pass + one bucketed write
+      val prof = s.table(evT).groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+      prof.write.mode("overwrite")
+        .bucketBy(32, "user_id").sortBy("user_id").saveAsTable(profT)
+      (evT, profT)
+    })
+
+  /** j6: co-located join via bucketed tables — the lever that deletes the
+    * fact-side shuffle entirely at 100 TB: both tables are bucketed (and
+    * sorted) on the join key at WRITE time, so the sort-merge join reads
+    * bucket i against bucket i with NO exchange on either side (PlanSpec
+    * pins zero user_id exchanges; the only shuffle in the query is the
+    * final tiny group-by). AQE would broadcast the profile side at test SF
+    * and hide exactly the property under test, so the merge hint forces
+    * the join shape the 100 TB regime would pick anyway. The oracle joins
+    * the same relations layout-free — bucketing must never change results,
+    * only plans. */
+  private def j6BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (evT, profT) = ensureBucketedTables(s, dir)
+    s.table(evT).hint("merge").join(s.table(profT), "user_id")
+      .filter(col("n_events") >= 5)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(coalesce(col("value"), lit(0.0))), 3).as("sum_value"))
+  }
+
   // --------------------------------------- training-data pipeline: text
 
   /** Language-ID: stopword-hit argmax heuristic vs the labeled lang. Tokens
@@ -1611,6 +1664,13 @@ object SparkEntry {
     * float ratio, so the gate is bit-identical across engines; scoring
     * stays the broadcast-map fold (no join), so the whole gate runs in the
     * scan stage before the one stats shuffle. */
+  /** x15: cross-document repeated n-gram spans — the substring-level dedup
+    * signal (document-level dedup is d1/d2; repeated boilerplate INSIDE
+    * distinct documents is what substring dedup removes). One explode +
+    * one count shuffle + TakeOrderedAndProject. */
+  private def x15RepeatedSpans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.repeatedSpans(Tables.documents(s, dir), n = 5, topK = 40)
+
   private def c4FamiliarityGate(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions._
     val docs = Tables.documents(s, dir)
@@ -1925,6 +1985,25 @@ object SparkEntry {
       .join(overlap, Seq("method", "query_id"), "left")
       .select(col("method"), col("query_id"), col("n_exact"),
         coalesce(col("n"), lit(0L)).as("n_overlap"))
+  }
+
+  /** s11: Johnson-Lindenstrauss sign random projection 64→8 — the
+    * dimensionality-reduction step ahead of ANN indexing (index bytes and
+    * probe arithmetic both shrink 8×; JL preserves relative distances).
+    * The ±1 matrix is a deterministic integer avalanche shared with the
+    * oracle as plan literals; the whole query is one narrow codegen'd map,
+    * no shuffle — it composes with streams and rides the scan stage at any
+    * scale. Projected values are exact left-folds (bit-identical across
+    * engines), rounded 6dp for the compare. */
+  private val projDim = 8
+  private lazy val projMatrix =
+    graft.functions.VectorFunctions.projSigns(dim = 64, p = projDim)
+  private def s11Project(s: SparkSession, dir: String): DataFrame = {
+    val proj = graft.functions.VectorFunctions
+      .randomProject(col("embedding"), projMatrix)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id") +: (0 until projDim).map(j =>
+        round(element_at(proj, j + 1), 6).as(s"p$j")): _*)
   }
 
   // ---------------------------------- training-data pipeline: multimodal
@@ -2303,6 +2382,7 @@ object SparkEntry {
     "j2_asof_join" -> (j2AsofJoin _),
     "j4_asof_broadcast" -> (j4AsofBroadcast _),
     "j3_range_join" -> (j3RangeJoin _),
+    "j6_bucketed_join" -> (j6BucketedJoin _),
     "x1_lang_id" -> (x1LangId _),
     "x2_quality" -> (x2Quality _),
     "x3_token_stats" -> (x3TokenStats _),
@@ -2317,6 +2397,7 @@ object SparkEntry {
     "x12_chunks" -> (x12Chunks _),
     "x13_bpe_tokens" -> (x13BpeTokens _),
     "x14_familiarity" -> (x14Familiarity _),
+    "x15_repeated_ngrams" -> (x15RepeatedSpans _),
     "c4_familiarity_gate" -> (c4FamiliarityGate _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_minhash_sig" -> (d2MinhashSig _),
@@ -2341,6 +2422,7 @@ object SparkEntry {
     "s8b_pq_build" -> (s8bPqBuild _),
     "s9_ivfpq_knn" -> (s9IvfPqKnn _),
     "s10_recall_audit" -> (s10RecallAudit _),
+    "s11_project" -> (s11Project _),
     "m1_mm_bytes" -> (m1MmBytes _),
     "m2_mm_decode" -> (m2MmDecode _),
     "m3_mm_frames" -> (m3MmFrames _),
@@ -3000,6 +3082,41 @@ object SparkEntry {
         |    / sum(coalesce(p.n_bigrams, 0)), 6) AS hit_rate
         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
         |GROUP BY d.source""".stripMargin,
+    "j6_bucketed_join" ->
+      // layout-free replay: bucketing is a physical-plan property only —
+      // the oracle computes the identical join + gate over the raw table
+      """WITH ev AS (SELECT event_id, user_id, event_type, value
+        |  FROM events WHERE user_id IS NOT NULL),
+        |prof AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM ev GROUP BY user_id)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+        |  round(sum(coalesce(e.value, 0)), 3) AS sum_value
+        |FROM ev e JOIN prof USING (user_id)
+        |WHERE prof.n_events >= 5
+        |GROUP BY e.event_type""".stripMargin,
+    "x15_repeated_ngrams" ->
+      // same window walk: 5-token spans via list_transform over start
+      // positions (range is end-exclusive; list slicing is stop-inclusive —
+      // both offset to match Spark's sequence + slice exactly), count
+      // grouped by span text, ≥2 distinct docs, count DESC / span ASC top-40
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |spans AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(t) - 5 + 2, 1)),
+        |      i -> array_to_string(t[i:i+4], ' '))) AS span
+        |  FROM toks)
+        |SELECT span, CAST(count(*) AS BIGINT) AS n_occur,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM spans GROUP BY span
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_occur DESC, span LIMIT 40""".stripMargin,
+    "s11_project" -> {
+      val exprs = graft.functions.VectorFunctions
+        .projectSql("embedding", projMatrix)
+        .zipWithIndex.map { case (e, j) => s"round($e, 6) AS p$j" }
+      s"SELECT vec_id, ${exprs.mkString(", ")} FROM embeddings"
+    },
     "c4_familiarity_gate" ->
       // the gate replays x14's train + per-doc score, then the integer
       // threshold (hits*5 >= n_bigrams, n_bigrams > 0) and kept-corpus

@@ -164,6 +164,44 @@ object Corpus {
       .withColumn("n_bigrams", greatest(size(bgs), lit(0)).cast(LongType))
   }
 
+  /** Cross-document repeated n-gram spans — the SUBSTRING-level duplication
+    * signal (exact/MinHash dedup in [[Dedup]] is document-level; training
+    * corpora also repeat boilerplate spans INSIDE otherwise-distinct
+    * documents: headers, licenses, templated sentences). For each document,
+    * every window of `n` consecutive whitespace tokens becomes a span;
+    * spans occurring in ≥ `minDocs` distinct documents rank by total
+    * occurrence count.
+    *
+    * Plan shape: one narrow explode (windows via `transform(sequence)` +
+    * `slice`, all codegen'd — no UDF, no self-join) into ONE count shuffle,
+    * then TakeOrderedAndProject for the top-k. At 100 TB the span STRINGS
+    * are the cost driver — there the group key becomes a 64-bit rolling
+    * hash of the window ([[graft.expressions.RollingHash]] computes them
+    * without re-materializing n× text) and only the surviving top spans are
+    * re-read; the string form here keeps the oracle engine-portable at
+    * verification scale. The `minDocs` filter rides the aggregation, so the
+    * (huge) unique-span tail dies before the sort. */
+  def repeatedSpans(docs: DataFrame, n: Int, topK: Int, minDocs: Long = 2L,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n >= 2, s"repeatedSpans: span length must be ≥ 2 tokens, got $n")
+    require(topK > 0 && minDocs >= 2,
+      s"repeatedSpans: need topK > 0 and minDocs ≥ 2, got $topK / $minDocs")
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    // sequence() is DESCENDING when start > stop — guard short docs to an
+    // empty span list instead of a backwards window walk
+    val spans = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    docs
+      .select(col(idCol), explode(spans).as("span"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_occur"), countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_occur").desc, col("span").asc)
+      .limit(topK)
+  }
+
   /** Deliver a curated corpus as size-bounded JSONL shards — the format
     * training loaders consume. `maxRecordsPerFile` caps every shard (the
     * writer splits a task's output across files as it hits the cap), so

@@ -212,6 +212,46 @@ object EventStream {
     stream.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: pair each left event with every right
+    * event of the same key whose time falls in `[l.ts − windowLenSec,
+    * l.ts]` — the streaming face of [[graft.operators.AsofJoin
+    * .trailingWindow]]'s correlation shape when BOTH sides flow (clicks ×
+    * impressions, spans × logs). Inner join in append mode: each matched
+    * pair emits exactly once.
+    *
+    * State stays bounded because BOTH sides carry a watermark AND the join
+    * condition bounds event-time distance in BOTH directions (r.ts ≤ l.ts
+    * ≤ r.ts + window): Spark derives the state-eviction watermark from the
+    * interval, so a right row is dropped from state once the left
+    * watermark passes `r.ts + window`, and symmetrically — without the
+    * interval bound a stream-stream join must keep EVERY row forever. At
+    * 100 TB/day the state store holds ~(window + watermark delay) of data
+    * per side, shuffled on the key — the same partitioning both inputs
+    * already have if they come from a keyed source, and AQE-free (state
+    * partitioning is fixed by `spark.sql.shuffle.partitions` at the first
+    * run of the checkpoint, so set it for peak load up front).
+    *
+    * Output columns: left's prefixed `l_`, right's prefixed `r_` — a
+    * stream-stream join cannot disambiguate same-named columns after the
+    * fact, so the rename is part of the operator contract. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         key: String, windowLenSec: Long,
+                         watermark: String = "10 minutes",
+                         tsCol: String = Compiler.DefaultTsCol): DataFrame = {
+    require(left.isStreaming && right.isStreaming,
+      "intervalJoinStream joins two STREAMS — for a static side use " +
+        "trailingWindow (batch) or asofBroadcast (stream × small dim)")
+    require(windowLenSec > 0, s"window must be positive, got $windowLenSec")
+    def side(df: DataFrame, p: String) = df.select(
+      df.columns.map(c => col(c).as(p + c)): _*)
+      .withWatermark(p + tsCol, watermark)
+    val l = side(left, "l_")
+    val r = side(right, "r_")
+    l.join(r, col(s"l_$key") === col(s"r_$key") &&
+      col(s"r_$tsCol") >= col(s"l_$tsCol") - expr(s"INTERVAL $windowLenSec SECONDS") &&
+      col(s"r_$tsCol") <= col(s"l_$tsCol"))
+  }
+
   /** Continuous ingest: stream → parquet event store (the scalable
     * replacement for the reference's fsync-per-column insert, lib.rs:295-296).
     * Checkpointed, exactly-once into the store directory. */

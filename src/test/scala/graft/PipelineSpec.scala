@@ -737,4 +737,40 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got(1L) == "en" && got(2L) == "es")
   }
+
+  test("repeated spans: cross-doc windows only, occurrence-ranked, short docs contribute nothing") {
+    val df = docsDf(
+      (1L, "the quick brown fox jumps over it"), // "the quick brown" ×1 here
+      (2L, "the quick brown fox sits"),          // shares two 3-gram windows with doc 1
+      (3L, "the quick brown fox jumps again and the quick brown fox jumps"),
+      (4L, "unique words only here"),            // 3-grams exist but repeat nowhere
+      (5L, "so brief"))                          // < n tokens → zero windows
+    val got = graft.operators.Corpus.repeatedSpans(df, n = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // hand count: "the quick brown" docs {1,2,3} occurs 1+1+2 = 4;
+    // "quick brown fox" the same; "brown fox jumps" docs {1,3} occurs 3
+    assert(got.toSeq == Seq(
+      ("quick brown fox", 4L, 3L), // count ties break on span ASC
+      ("the quick brown", 4L, 3L),
+      ("brown fox jumps", 3L, 2L)))
+    // within-ONE-doc repetition must not qualify (doc 3 repeats its spans,
+    // but "fox jumps again" etc. appear in no other doc)
+    assert(!got.exists(_._1.contains("again")))
+  }
+
+  test("random projection: ±1 folds match a hand computation; matrix is deterministic") {
+    val signs = VectorFunctions.projSigns(dim = 4, p = 3)
+    assert(signs == VectorFunctions.projSigns(dim = 4, p = 3))
+    assert(signs.flatten.forall(s => s == 1.0 || s == -1.0))
+    assert(signs.size == 3 && signs.forall(_.size == 4))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, Seq(1.0f, 2.0f, 3.0f, 4.0f))), 1),
+      StructType(Seq(StructField("vec_id", LongType, false),
+        StructField("embedding", ArrayType(FloatType), false))))
+    val proj = df.select(VectorFunctions.randomProject(col("embedding"), signs).as("p"))
+      .collect().head.getSeq[Double](0)
+    val expected = signs.map(sj =>
+      sj.zip(Seq(1.0, 2.0, 3.0, 4.0)).map { case (s, x) => s * x }.sum)
+    assert(proj == expected)
+  }
 }

@@ -40,6 +40,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LessThan(value,100.0)"), s"NOT not simplified:\n$p")
   }
 
+  test("repeated-span mining is one explode + count aggregation + TakeOrderedAndProject, join-free") {
+    val p = plan("x15_repeated_ngrams")
+    assert(p.contains("Generate explode"), s"expected the window explode:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+    assert(!p.contains("Join"), s"span mining must not self-join:\n$p")
+  }
+
+  test("random projection is a pure narrow map: matrix rides as literals, zero exchanges") {
+    val p = plan("s11_project")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"projection must stay narrow:\n$p")
+  }
+
+  test("bucketed join is exchange-free on the join key: co-location replaces the shuffle") {
+    val p = plan("j6_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"expected the merge join shape:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(user_id"),
+      s"bucketed sides must not re-shuffle on the join key:\n$p")
+    assert(p.contains("SelectedBucketsCount"), s"scan must be bucket-aware:\n$p")
+  }
+
   test("knn and top-k limit compile to per-partition TakeOrderedAndProject") {
     assert(plan("s1_knn").contains("TakeOrderedAndProject"))
     assert(plan("o2_topk_limit").contains("TakeOrderedAndProject"))

@@ -1556,6 +1556,47 @@ class StoreStreamSpec extends AnyFunSuite {
       Decontaminate.overlapStream(stream, big.toSeq, shingleN = 3))
   }
 
+  test("stream-stream interval join equals the batch interval self-join, pairs emitted once") {
+    val dir = Files.createTempDirectory("graft-ssj").toString
+    // bounded slice so the state store stays tiny: 8 users, 2 days
+    val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .filter(col("user_id").isNotNull && col("user_id") < 8 &&
+        col("ts") < lit("2024-01-07"))
+      .select("event_id", "user_id", "ts", "value")
+    src.coalesce(1).write.mode("overwrite").parquet(dir)
+    // EventStream.read applies the canonical events schema — project to the
+    // written slice so the prefixed-output contract is checkable exactly
+    def readSlim() = EventStream.read(spark, dir)
+      .select("event_id", "user_id", "ts", "value")
+    val joined = EventStream.intervalJoinStream(readSlim(), readSlim(),
+      key = "user_id", windowLenSec = 3600L, watermark = "0 seconds")
+    // contract: both sides prefixed, nothing ambiguous
+    assert(joined.columns.toSet ==
+      Set("l_event_id", "l_user_id", "l_ts", "l_value",
+        "r_event_id", "r_user_id", "r_ts", "r_value"))
+    val query = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("l_event_id", "r_event_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val streamed = canon(spark.table("ssj_out"))
+      val lb = src.select(src.columns.map(c => col(c).as("l_" + c)): _*)
+      val rb = src.select(src.columns.map(c => col(c).as("r_" + c)): _*)
+      val batch = canon(lb.join(rb, col("l_user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") - expr("INTERVAL 3600 SECONDS") &&
+        col("r_ts") <= col("l_ts")))
+      // set equality AND size equality: a re-emitted pair (at-least-once
+      // leak into append output) would pass a set compare but not this
+      assert(streamed.sorted == batch.sorted && streamed.nonEmpty)
+      // every event self-pairs (r.ts == l.ts is inside the interval), so
+      // the join can't have silently dropped rows either
+      assert(streamed.count(p => p._1 == p._2) == src.count())
+    } finally query.stop()
+  }
+
   test("S4: JSON result shaper reproduces the reference's nested shape") {
     val q = ZxQuery(selects = Seq(Select(Agg.Sum, "foo")),
       groupBy = Seq("y"), granularitySec = 15L)
