@@ -1760,6 +1760,16 @@ object SparkEntry {
 
   // --------------------------------- training-data pipeline: similarity
 
+  /** d10: SemDeDup — semantic near-dup removal over LEARNED k-means cells
+    * (reuses the s4 IVF centroids, so the oracle's coarse-train replay is
+    * already proven). Deterministic keep-lowest-id rule; full verdict
+    * table out. */
+  private def d10SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val (_, cents) = ensureIvfIndex(s, dir)
+    graft.operators.Dedup.semanticDedup(Tables.embeddings(s, dir), cents,
+      threshold = 0.35)
+  }
+
   private def s1Knn(s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.bruteForceKnn(Tables.embeddings(s, dir), queryId = 0L, k = 10)
       .withColumn("cos", round(col("cos"), 6))
@@ -2409,6 +2419,7 @@ object SparkEntry {
     "d6b_clusters_str" -> (d6bClustersStr _),
     "d7_decontaminate" -> (d7Decontaminate _),
     "d9_neardup_survivors" -> (d9NeardupSurvivors _),
+    "d10_semantic_dedup" -> (d10SemanticDedup _),
     "d8_incremental_dedup" -> (d8IncrementalDedup _),
     "s1_knn" -> (s1Knn _),
     "s2_ann_lsh" -> (s2AnnLsh _),
@@ -3095,6 +3106,19 @@ object SparkEntry {
         |FROM ev e JOIN prof USING (user_id)
         |WHERE prof.n_events >= 5
         |GROUP BY e.event_type""".stripMargin,
+    "d10_semantic_dedup" -> {
+      // coarse-train replay (e/cent2/as2 — the proven s4 CTEs), then the
+      // within-cell pair predicate and the keep-lowest-id verdict; dot and
+      // norm folds are bit-identical, so the >= 0.5 set matches exactly
+      s"""WITH $duckIvfTrainCtes,
+         |b AS (SELECT a.vec_id, a.cell, e.v, sqrt(${duckIvfDot("e.v", "e.v")}) AS nrm
+         |  FROM e JOIN as2 a USING (vec_id)),
+         |drp AS (SELECT DISTINCT r.vec_id
+         |  FROM b l JOIN b r ON l.cell = r.cell AND l.vec_id < r.vec_id
+         |  WHERE ${duckIvfDot("l.v", "r.v")} / (l.nrm * r.nrm) >= 0.35)
+         |SELECT b.vec_id, b.cell, (d.vec_id IS NOT NULL) AS is_dup
+         |FROM b LEFT JOIN drp d ON b.vec_id = d.vec_id""".stripMargin
+    },
     "x15_repeated_ngrams" ->
       // same window walk: 5-token spans via list_transform over start
       // positions (range is end-exclusive; list slicing is stop-inclusive —

@@ -477,6 +477,51 @@ object Dedup {
     * [[ngramJaccardPairs]] — a label holding most of the corpus is otherwise
     * one O(n²) straggler; route oversized labels through [[minhashPairs]] or
     * an ANN index instead. */
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540): the
+    * blocking structure is LEARNED — k-means cells from
+    * [[Similarity.ivfTrain]] — instead of a given label, so semantically
+    * close vectors land in the same block even when no metadata says so.
+    * Within each cell, a vector is DROPPED iff a LOWER-id vector shares
+    * the cell with cosine ≥ threshold: a deterministic, order-free keep
+    * rule (no greedy chain whose outcome depends on visit order), one
+    * within-cell pair scan. Returns every vector with its cell and
+    * verdict, so the caller either anti-joins the drops or audits the
+    * rate.
+    *
+    * Scale shape: cell assignment is the zero-exchange broadcast-centroid
+    * map ([[Similarity.assignCells]]); the pair scan is cell-blocked like
+    * [[embeddingPairs]]'s label blocks (never all-pairs) with the same
+    * `maxCell` cap against a degenerate clustering; at 100 TB nlist grows
+    * with the corpus so cells stay ~√n-sized and the quadratic stays
+    * local. */
+  def semanticDedup(emb: DataFrame, cents: Seq[(Int, Seq[Double])],
+                    threshold: Double, maxCell: Int = 65536,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions._
+    require(threshold > 0 && threshold <= 1, s"bad cosine threshold $threshold")
+    val assigned = Similarity.assignCells(emb, cents, vecCol)
+      .select(col(idCol), col("cell"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nrm"))
+    val base = assigned.repartition(col("cell"))
+      .withColumn("__cn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))))
+      .filter(col("__cn") <= maxCell)
+    val keep = base.select(col(idCol).as("id_keep"), col("cell"),
+      col("v").as("v_a"), col("nrm").as("n_a"))
+    val cand = base.select(col(idCol).as("id_drop"), col("cell"),
+      col("v").as("v_b"), col("nrm").as("n_b"))
+    val dropped = keep.join(cand, Seq("cell"))
+      .filter(col("id_keep") < col("id_drop"))
+      .filter(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))
+        >= threshold)
+      .select(col("id_drop")).distinct()
+    assigned.select(col(idCol), col("cell"))
+      .join(dropped.withColumn("__d", lit(true)),
+        col(idCol) === col("id_drop"), "left")
+      .select(col(idCol), col("cell"),
+        coalesce(col("__d"), lit(false)).as("is_dup"))
+  }
+
   def embeddingPairs(emb: DataFrame, threshold: Double, maxBlock: Int = 4096,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      blockCol: String = "label"): DataFrame = {

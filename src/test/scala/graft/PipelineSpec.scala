@@ -758,6 +758,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(!got.exists(_._1.contains("again")))
   }
 
+  test("semantic dedup: learned-cell blocking, deterministic keep-lowest-id rule") {
+    val rows = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0.99f, 0.1f, 0f, 0f)),  // ~cos 0.995
+      (2L, Seq(0f, 1f, 0f, 0f)), (3L, Seq(0f, 0.99f, 0.1f, 0f)),  // ~cos 0.995
+      (4L, Seq(0.7f, 0.7f, 0f, 0f)))                              // ~0.70 to both — kept
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, v) => Row(id, v) }, 2),
+      StructType(Seq(StructField("vec_id", LongType, false),
+        StructField("embedding", ArrayType(FloatType), false))))
+    val cents = Seq(0 -> Seq(1.0, 0.0, 0.0, 0.0), 1 -> Seq(0.0, 1.0, 0.0, 0.0))
+    val got = Dedup.semanticDedup(df, cents, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    // 1 and 3 each have a lower-id near-dup in their cell; 4 sits between
+    // the clusters below threshold; dot-tie on cell goes to the lowest cid
+    assert(got == Map(0L -> (0, false), 1L -> (0, true),
+      2L -> (1, false), 3L -> (1, true), 4L -> (0, false)))
+  }
+
   test("random projection: ±1 folds match a hand computation; matrix is deterministic") {
     val signs = VectorFunctions.projSigns(dim = 4, p = 3)
     assert(signs == VectorFunctions.projSigns(dim = 4, p = 3))
