@@ -1671,6 +1671,20 @@ object SparkEntry {
   private def x15RepeatedSpans(s: SparkSession, dir: String): DataFrame =
     graft.operators.Corpus.repeatedSpans(Tables.documents(s, dir), n = 5, topK = 40)
 
+  /** x16: substring-dedup excision — x15's top spans, scrubbed from every
+    * document. Span table trained once at the driver (bounded topK, the
+    * x14 artifact pattern); the scrub itself is a zero-shuffle narrow
+    * fold of replaces in the table's deterministic order. */
+  private def x16SpanExcise(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // 3-token spans: short enough to recur across the corpus (sf0.01:
+    // 1410 occurrences over 162 docs vs 360/3 at n=5), long enough to be
+    // boilerplate rather than collocations
+    val spans = graft.operators.Corpus.repeatedSpans(docs, n = 3, topK = 40)
+      .select("span").collect().map(_.getString(0)).toSeq
+    graft.operators.Corpus.exciseSpans(docs, spans)
+  }
+
   private def c4FamiliarityGate(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions._
     val docs = Tables.documents(s, dir)
@@ -2408,6 +2422,7 @@ object SparkEntry {
     "x13_bpe_tokens" -> (x13BpeTokens _),
     "x14_familiarity" -> (x14Familiarity _),
     "x15_repeated_ngrams" -> (x15RepeatedSpans _),
+    "x16_span_excise" -> (x16SpanExcise _),
     "c4_familiarity_gate" -> (c4FamiliarityGate _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_minhash_sig" -> (d2MinhashSig _),
@@ -3093,6 +3108,31 @@ object SparkEntry {
         |    / sum(coalesce(p.n_bigrams, 0)), 6) AS hit_rate
         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
         |GROUP BY d.source""".stripMargin,
+    "x16_span_excise" ->
+      // full replay: x15's span selection, then the SAME ordered fold —
+      // list_prepend seeds list_reduce with the document text, each span
+      // replaced in (n_occur DESC, span ASC) order exactly like the
+      // engine's literal fold
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sp AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(t) - 3 + 2, 1)),
+        |      i -> array_to_string(t[i:i+2], ' '))) AS span
+        |  FROM toks),
+        |top AS (
+        |  SELECT span, count(*) AS n_occur
+        |  FROM sp GROUP BY span
+        |  HAVING count(DISTINCT doc_id) >= 2
+        |  ORDER BY n_occur DESC, span LIMIT 40),
+        |sl AS (SELECT list(span ORDER BY n_occur DESC, span) AS spans FROM top),
+        |cl AS (SELECT doc_id, text,
+        |    list_reduce(list_prepend(text, sl.spans),
+        |      (acc, x) -> replace(acc, x, '')) AS cleaned
+        |  FROM documents CROSS JOIN sl)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_before,
+        |  CAST(length(cleaned) AS BIGINT) AS n_chars_after,
+        |  substring(md5(cleaned), 1, 16) AS clean_fp
+        |FROM cl""".stripMargin,
     "j6_bucketed_join" ->
       // layout-free replay: bucketing is a physical-plan property only —
       // the oracle computes the identical join + gate over the raw table

@@ -202,6 +202,31 @@ object Corpus {
       .limit(topK)
   }
 
+  /** The CUTTING half of substring dedup ([[repeatedSpans]] is the
+    * detection half): scrub every occurrence of the given spans from each
+    * document. The span table is a trained artifact like [[topBigrams]]'
+    * frequency table — built once (bounded topK rows), then the scrub is a
+    * ZERO-shuffle narrow map riding the scan stage: a left-to-right fold
+    * of literal `replace` calls, one per span, in the caller's order
+    * (order matters when spans overlap — fix it once, both engines replay
+    * it identically). Streams unchanged. Output keeps lengths + a
+    * fingerprint of the cleaned text, pinning the exact rewrite without
+    * shipping it. */
+  def exciseSpans(docs: DataFrame, spans: Seq[String],
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(spans.nonEmpty, "exciseSpans: empty span table")
+    require(spans.size <= 10000,
+      s"exciseSpans: ${spans.size} spans would compile a pathological " +
+        "expression tree — cap the table (topK) below 10k")
+    val cleaned = spans.foldLeft(col(textCol)) { (acc, sp) =>
+      call_function("replace", acc, lit(sp), lit(""))
+    }
+    docs.select(col(idCol),
+      length(col(textCol)).cast(LongType).as("n_chars_before"),
+      length(cleaned).cast(LongType).as("n_chars_after"),
+      substring(md5(cleaned), 1, 16).as("clean_fp"))
+  }
+
   /** Deliver a curated corpus as size-bounded JSONL shards — the format
     * training loaders consume. `maxRecordsPerFile` caps every shard (the
     * writer splits a task's output across files as it hits the cap), so

@@ -758,6 +758,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(!got.exists(_._1.contains("again")))
   }
 
+  test("span excision: ordered literal fold, all occurrences, fingerprint pins the rewrite") {
+    val df = docsDf((1L, "x a b a b y"), (2L, "a b"), (3L, "clean"))
+    def run(spans: Seq[String]) = graft.operators.Corpus.exciseSpans(df, spans)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val got = run(Seq("a b", "b y"))
+    // doc 1: "x a b a b y" -"a b"×2-> "x   y" (spaces remain) -"b y"-> no hit
+    assert(got(1L)._1 == 11L && got(1L)._2 == 5L)
+    assert(got(2L)._2 == 0L)                       // exact-span doc → empty
+    assert(got(3L) == (5L, 5L, got(3L)._3))        // untouched
+    // order matters when spans overlap — and is honored exactly
+    val ab = run(Seq("a b", "b c")); val ba = run(Seq("b c", "a b"))
+    assert(ab == ba) // no overlap in THIS fixture: both orders agree
+    val o1 = graft.operators.Corpus.exciseSpans(docsDf((9L, "a b c")), Seq("a b", "b c"))
+      .collect().head.getLong(2)
+    val o2 = graft.operators.Corpus.exciseSpans(docsDf((9L, "a b c")), Seq("b c", "a b"))
+      .collect().head.getLong(2)
+    assert(o1 == 2L && o2 == 2L) // "a b c" → first span hits, second then misses
+  }
+
   test("semantic dedup: learned-cell blocking, deterministic keep-lowest-id rule") {
     val rows = Seq(
       (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0.99f, 0.1f, 0f, 0f)),  // ~cos 0.995
