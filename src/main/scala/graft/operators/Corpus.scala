@@ -227,6 +227,46 @@ object Corpus {
       substring(md5(cleaned), 1, 16).as("clean_fp"))
   }
 
+  /** Distributed linear-probe training: full-batch gradient descent on
+    * squared loss, one aggregation job per iteration (the Lloyd-iteration
+    * shape [[Similarity.ivfTrain]] uses — per-row gradient terms are
+    * narrow map-side work, the shuffle moves k partial sums, the driver
+    * holds k doubles). Returns the learned weights; score with the same
+    * left-fold the training used.
+    *
+    * ENGINE-EXACT by construction: per-row gradient contributions are
+    * quantized `floor(term · 2^20)` BIGINTs, so the cross-row sum is an
+    * integer — associativity-free, immune to partitioning/visit order —
+    * and every weight update is the same IEEE double expression over
+    * those integers on any engine. (A sigmoid would break this: libm exp
+    * differs across engines in the last ulp. Squared-loss linear probes
+    * keep the whole computation in +,*,/ — and for quality gating, the
+    * linear score is what production filters threshold anyway.) */
+  def trainLinearProbe(df: DataFrame, features: Seq[Column], label: Column,
+                       iters: Int = 3, lr: Double = 0.5): Seq[Double] = {
+    require(features.nonEmpty && iters >= 1, "need ≥1 feature and ≥1 iteration")
+    require(features.size <= 64,
+      s"${features.size} features — a wide probe belongs in a real trainer")
+    val k = features.size
+    val feat = df.select(features.zipWithIndex.map { case (c, i) =>
+      c.cast(DoubleType).as(s"x$i") } :+ label.cast(DoubleType).as("y"): _*)
+    var w = Seq.fill(k)(0.0)
+    for (_ <- 0 until iters) {
+      // left-assoc fold w0·x0 + w1·x1 + … — the oracle replays this order
+      val pred = w.zipWithIndex.map { case (wj, i) => lit(wj) * col(s"x$i") }
+        .reduce(_ + _)
+      val aggs = (0 until k).map(j =>
+        sum(floor((pred - col("y")) * col(s"x$j") * lit(1048576.0))
+          .cast(LongType)).as(s"g$j")) :+ count(lit(1)).as("n")
+      val row = feat.agg(aggs.head, aggs.tail: _*).head()
+      val n = row.getLong(k)
+      require(n > 0, "trainLinearProbe: empty input")
+      w = w.zipWithIndex.map { case (wj, j) =>
+        wj - lr * (row.getLong(j) / 1048576.0) / n }
+    }
+    w
+  }
+
   /** Deliver a curated corpus as size-bounded JSONL shards — the format
     * training loaders consume. `maxRecordsPerFile` caps every shard (the
     * writer splits a task's output across files as it hits the cap), so

@@ -758,6 +758,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(!got.exists(_._1.contains("again")))
   }
 
+  test("linear probe: full-batch GD learns a separable threshold, deterministically") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until 100).map(i => Row(i / 100.0)), 4),
+      StructType(Seq(StructField("x", DoubleType, false))))
+    def train() = graft.operators.Corpus.trainLinearProbe(df,
+      Seq(lit(1.0), col("x")), (col("x") >= 0.5).cast(DoubleType),
+      iters = 30, lr = 1.5)
+    val w = train()
+    assert(w == train(), "fixed-point gradient sums must make reruns exact")
+    assert(w(1) > 0, s"slope must be positive toward the label: $w")
+    // score every point with the learned line; ≥95% must classify right
+    val acc = (0 until 100).count { i =>
+      val x = i / 100.0; (w(0) + w(1) * x >= 0.5) == (x >= 0.5)
+    }
+    assert(acc >= 95, s"probe failed to separate: acc=$acc, w=$w")
+  }
+
   test("span excision: ordered literal fold, all occurrences, fingerprint pins the rewrite") {
     val df = docsDf((1L, "x a b a b y"), (2L, "a b"), (3L, "clean"))
     def run(spans: Seq[String]) = graft.operators.Corpus.exciseSpans(df, spans)
