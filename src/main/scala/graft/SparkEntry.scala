@@ -1304,6 +1304,36 @@ object SparkEntry {
     * exactly — the result is bit-identical to DuckDB's full 6-day
     * aggregate, which is the whole claim: an incremental tick computed
     * the full-scan answer without the full scan. */
+  /** c11: schema evolution on the manifested store — a late batch lands
+    * WITH a new column and history is never rewritten: absence at the old
+    * parquet footers IS the null encoding, and the mergeSchema pinned
+    * read unifies the store. At 100 TB this is the difference between an
+    * online column add and a full-store rewrite. Both generations then
+    * aggregate together (evolved column null-counted for the old rows). */
+  private def c11SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/graft-evolve-q/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.sources.EventStore.reset(s, path)
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    graft.sources.EventStore.append(
+      ev.filter(dayofmonth(col("ts")) <= 5).repartition(2), path)
+    graft.sources.EventStore.writeManifest(s, path)
+    // generation 2: the same feed, now carrying a derived quality score
+    graft.sources.EventStore.append(
+      ev.filter(dayofmonth(col("ts")).between(6, 10))
+        .withColumn("q_score", round(col("value") / lit(250.0), 6))
+        .repartition(2), path)
+    graft.sources.EventStore.writeManifest(s, path)
+    val snap = graft.sources.EventStore.readPinned(s, path, mergeSchema = true)
+    require(snap.columns.contains("q_score"),
+      "merged read must surface the evolved column")
+    snap.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("q_score")).as("n_scored"),
+        round(sum(coalesce(col("q_score"), lit(0.0))), 3).as("sum_q"))
+  }
+
   private def c9Incremental(s: SparkSession, dir: String): DataFrame = {
     val path = "target/graft-incr-q/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
     graft.sources.EventStore.reset(s, path)
@@ -2496,6 +2526,7 @@ object SparkEntry {
     "c8_stats_prune" -> (c8StatsPrune _),
     "c9_incremental" -> (c9Incremental _),
     "c10_merge_delete" -> (c10MergeDelete _),
+    "c11_schema_evolution" -> (c11SchemaEvolution _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3802,6 +3833,17 @@ object SparkEntry {
         | count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events, b
         |WHERE date_part('day', ts) <= 6 AND user_id BETWEEN b.lo AND b.hi
+        |GROUP BY 1""".stripMargin,
+    "c11_schema_evolution" ->
+      // store-free replay: generation 1 (days ≤5) contributes null scores,
+      // generation 2 (days 6-10) the derived column — exactly what the
+      // merged pinned read reconstructs from the two file generations
+      """SELECT event_type, count(*)::BIGINT AS n_rows,
+        | count(CASE WHEN date_part('day', ts) BETWEEN 6 AND 10
+        |   THEN 1 END)::BIGINT AS n_scored,
+        | round(sum(CASE WHEN date_part('day', ts) BETWEEN 6 AND 10
+        |   THEN round(value / 250.0, 6) ELSE 0 END), 3) AS sum_q
+        |FROM events WHERE date_part('day', ts) <= 10
         |GROUP BY 1""".stripMargin,
     "c9_incremental" ->
       // the FULL-SCAN answer the incremental tick must reproduce exactly:

@@ -332,13 +332,22 @@ object EventStore {
     * `readPinned(s, path, v)` reproduces exactly the store a version-`v`
     * reader saw — for as long as [[vacuum]]'s retention keeps that
     * version's files (the Delta/Iceberg time-travel contract). Default −1
-    * = latest. */
-  def readPinned(spark: SparkSession, path: String, version: Long = -1L): DataFrame = {
+    * = latest.
+    *
+    * `mergeSchema` is the SCHEMA-EVOLUTION read: a late batch may append
+    * files carrying new columns without rewriting history (absence at the
+    * parquet footer is the cheapest possible "null for old rows"), and the
+    * merged read unifies every footer's schema — old files' missing
+    * columns surface as nulls. Off by default: the single-footer read
+    * skips the footer sweep and is the right call for a settled schema. */
+  def readPinned(spark: SparkSession, path: String, version: Long = -1L,
+                 mergeSchema: Boolean = false): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = readManifestFile(fs, root, version)
     require(files.nonEmpty, s"readPinned: empty manifest under $path")
     spark.read.option("basePath", path)
+      .option("mergeSchema", mergeSchema)
       .parquet(files.map(f => path + "/" + f): _*)
   }
 

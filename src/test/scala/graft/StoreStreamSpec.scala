@@ -1597,6 +1597,27 @@ class StoreStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("manifested schema evolution: merged read unifies generations, old pins predate the column") {
+    val dir = Files.createTempDirectory("graft-evolve").toString + "/events"
+    val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "value")
+    val gen1 = src.filter(col("event_id") % 2 === 0)
+    val gen2 = src.filter(col("event_id") % 2 === 1)
+      .withColumn("q_score", round(col("value") / 250.0, 6))
+    EventStore.append(gen1, dir); EventStore.writeManifest(spark, dir)
+    val v1 = EventStore.manifestVersion(spark, dir)
+    EventStore.append(gen2, dir); EventStore.writeManifest(spark, dir)
+    val merged = EventStore.readPinned(spark, dir, mergeSchema = true)
+    assert(merged.columns.contains("q_score"))
+    // the evolved column is null exactly for generation-1 rows
+    assert(merged.filter(col("q_score").isNotNull).count() == gen2.count())
+    assert(merged.count() == src.count())
+    // a pre-evolution pin reproduces the OLD schema — history unrewritten
+    val pinned = EventStore.readPinned(spark, dir, v1, mergeSchema = true)
+    assert(!pinned.columns.contains("q_score"))
+    assert(pinned.count() == gen1.count())
+  }
+
   test("S4: JSON result shaper reproduces the reference's nested shape") {
     val q = ZxQuery(selects = Seq(Select(Agg.Sum, "foo")),
       groupBy = Seq("y"), granularitySec = 15L)
