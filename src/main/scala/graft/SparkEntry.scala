@@ -1531,6 +1531,19 @@ object SparkEntry {
         round(sum(coalesce(col("value"), lit(0.0))), 3).as("sum_value"))
   }
 
+  /** a12: journey mining — top per-(user, day) ordered event paths; the
+    * sequence analytics a pure aggregation engine can't express. One
+    * window exchange + one pattern-count shuffle + TakeOrdered. */
+  private def a12Journeys(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.topJourneys(Tables.events(s, dir),
+      maxSteps = 8, topK = 20)
+
+  /** a13: funnel conversion — entity-days reaching each prefix of
+    * view → click → purchase (loose containment, greedy matching). */
+  private def a13Funnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.funnelStages(Tables.events(s, dir),
+      Seq("view", "click", "purchase"))
+
   // --------------------------------------- training-data pipeline: text
 
   /** Language-ID: stopword-hit argmax heuristic vs the labeled lang. Tokens
@@ -2467,6 +2480,8 @@ object SparkEntry {
     "j4_asof_broadcast" -> (j4AsofBroadcast _),
     "j3_range_join" -> (j3RangeJoin _),
     "j6_bucketed_join" -> (j6BucketedJoin _),
+    "a12_journeys" -> (a12Journeys _),
+    "a13_funnel" -> (a13Funnel _),
     "x1_lang_id" -> (x1LangId _),
     "x2_quality" -> (x2Quality _),
     "x3_token_stats" -> (x3TokenStats _),
@@ -3170,6 +3185,39 @@ object SparkEntry {
         |    / sum(coalesce(p.n_bigrams, 0)), 6) AS hit_rate
         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
         |GROUP BY d.source""".stripMargin,
+    "a12_journeys" ->
+      // same total order (ts, event_id) drives both engines' paths, so
+      // the pattern strings — and their counts — match exactly
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d, ts, event_id, event_type
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, d
+        |    ORDER BY ts, event_id) AS rn FROM e),
+        |p AS (SELECT user_id, d,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM r WHERE rn <= 8 GROUP BY user_id, d)
+        |SELECT path, count(*)::BIGINT AS n_journeys FROM p
+        |GROUP BY path ORDER BY n_journeys DESC, path LIMIT 20""".stripMargin,
+    "a13_funnel" ->
+      // greedy first-occurrence subsequence matching == the engine's fold:
+      // k1/k2/k3 walk the same (ts, id)-ordered list via list_position
+      // over the not-yet-consumed suffix
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d, ts, event_id, event_type
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IN ('view', 'click', 'purchase')),
+        |g AS (SELECT user_id, d, list(event_type ORDER BY ts, event_id) AS evs
+        |  FROM e GROUP BY user_id, d),
+        |k AS (SELECT user_id, d, evs,
+        |    coalesce(list_position(evs, 'view'), 0) AS k1 FROM g),
+        |k2t AS (SELECT *, CASE WHEN k1 > 0 THEN
+        |    coalesce(list_position(list_slice(evs, k1 + 1, len(evs)), 'click'), 0)
+        |  ELSE 0 END AS k2 FROM k),
+        |k3t AS (SELECT *, CASE WHEN k2 > 0 THEN
+        |    coalesce(list_position(list_slice(evs, k1 + k2 + 1, len(evs)), 'purchase'), 0)
+        |  ELSE 0 END AS k3 FROM k2t)
+        |SELECT CASE WHEN k1 = 0 THEN 0 WHEN k2 = 0 THEN 1
+        |  WHEN k3 = 0 THEN 2 ELSE 3 END AS stage,
+        |  count(*)::BIGINT AS n_entity_days
+        |FROM k3t GROUP BY 1""".stripMargin,
     "x17_quality_probe" -> {
       // full training replay: the x2 feature mirrors feed 3 chained
       // scalar-CTE GD iterations — gradient sums are per-row-floored

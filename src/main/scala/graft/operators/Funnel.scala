@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Funnel / journey mining over event streams — the ordered-sequence
+  * analytics a pure aggregation engine can't express: which event-type
+  * paths do entities actually walk?
+  *
+  * Determinism is the whole design: every ordering ties back to a total
+  * order (time, then id), so the SAME paths come out of any partitioning,
+  * any engine. Plan shape: ONE window exchange on (entity, day) assigns
+  * ranks (streaming O(1)/row window — no buffering), the path builds in
+  * the same exchange's aggregation, and the final pattern count is a tiny
+  * second shuffle + TakeOrderedAndProject. Path length is capped BEFORE
+  * the path string materializes, so a hot entity contributes a bounded
+  * row, not an unbounded string — the 100 TB guard. */
+object Funnel {
+
+  /** Top journey patterns: per (entity, day), the first `maxSteps` events
+    * in (time, id) order joined as "a>b>c", then pattern counts ranked
+    * (count DESC, path ASC). */
+  def topJourneys(ev: DataFrame, maxSteps: Int = 8, topK: Int = 20,
+                  keyCol: String = "user_id", tsCol: String = "ts",
+                  idCol: String = "event_id", stepCol: String = "event_type")
+      : DataFrame = {
+    require(maxSteps >= 1 && topK >= 1,
+      s"topJourneys: need maxSteps/topK ≥ 1, got $maxSteps/$topK")
+    val day = to_date(col(tsCol)).as("__d")
+    val w = Window.partitionBy(col(keyCol), col("__d"))
+      .orderBy(col(tsCol), col(idCol))
+    ev.filter(col(keyCol).isNotNull)
+      .select(col(keyCol), day, col(tsCol), col(idCol), col(stepCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxSteps)
+      // array_sort on (ts, id, step) structs = the window's total order,
+      // so the collected path is deterministic under any shuffle
+      .groupBy(col(keyCol), col("__d"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col(tsCol), col(idCol),
+          col(stepCol).as("s")))), x => x.getField("s")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_journeys"))
+      .orderBy(col("n_journeys").desc, col("path").asc)
+      .limit(topK)
+  }
+
+  /** Funnel conversion: how many entities reach each prefix of `steps` in
+    * order (loose containment — other events may interleave)? One pass:
+    * the reached stage per entity-day is the longest prefix matched by a
+    * running scan, computed with ONE window + one aggregation. */
+  def funnelStages(ev: DataFrame, steps: Seq[String],
+                   keyCol: String = "user_id", tsCol: String = "ts",
+                   idCol: String = "event_id", stepCol: String = "event_type")
+      : DataFrame = {
+    require(steps.nonEmpty && steps.size <= 16, "funnel needs 1-16 steps")
+    val day = to_date(col(tsCol)).as("__d")
+    // stage reached = fold over the (time, id)-sorted step sequence:
+    // advance the cursor when the next funnel step appears
+    val sorted = transform(array_sort(collect_list(struct(col(tsCol),
+      col(idCol), col(stepCol).as("s")))), x => x.getField("s"))
+    val stepsArr = array(steps.map(lit): _*)
+    val reached = aggregate(sorted, lit(0),
+      (acc, s) => when(acc < steps.size &&
+        s === element_at(stepsArr, acc + 1), acc + 1).otherwise(acc))
+    // only funnel-relevant events are collected — loose containment means
+    // interleaved other events can't change the fold, and the per-group
+    // array stays bounded by funnel traffic, not total traffic
+    val perEntity = ev.filter(col(keyCol).isNotNull)
+      .filter(col(stepCol).isin(steps: _*))
+      .select(col(keyCol), day, col(tsCol), col(idCol), col(stepCol))
+      .groupBy(col(keyCol), col("__d"))
+      .agg(reached.as("stage"))
+    perEntity.groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_entity_days"))
+  }
+}

@@ -758,6 +758,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(!got.exists(_._1.contains("again")))
   }
 
+  test("journeys and funnel: (ts,id)-total-ordered paths, greedy stage matching") {
+    val schema = StructType(Seq(StructField("user_id", LongType, false),
+      StructField("ts", TimestampType, false),
+      StructField("event_id", LongType, false),
+      StructField("event_type", StringType, false)))
+    def t(sec: Long) = new java.sql.Timestamp(1704412800000L + sec * 1000)
+    val rows = Seq(
+      Row(1L, t(10), 1L, "view"), Row(1L, t(20), 2L, "click"),
+      Row(1L, t(30), 3L, "purchase"),                      // full conversion
+      Row(2L, t(10), 4L, "view"), Row(2L, t(10), 5L, "error"),
+      Row(2L, t(15), 6L, "view"),                          // stage 1 only
+      Row(3L, t(5), 7L, "click"), Row(3L, t(9), 8L, "view"),
+      Row(3L, t(12), 9L, "click"))                         // click AFTER view → 2
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+    val paths = graft.operators.Funnel.topJourneys(df, maxSteps = 8, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // user 2's same-second tie breaks on event_id: view(4) before error(5)
+    assert(paths == Map("view>click>purchase" -> 1L, "view>error>view" -> 1L,
+      "click>view>click" -> 1L))
+    val stages = graft.operators.Funnel
+      .funnelStages(df, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(stages == Map(3 -> 1L, 1 -> 1L, 2 -> 1L))
+  }
+
   test("linear probe: full-batch GD learns a separable threshold, deterministically") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize((0 until 100).map(i => Row(i / 100.0)), 4),
