@@ -91,7 +91,8 @@ object Bench {
     val buildClass = Seq("s4_ivf_build", "s8_pq_knn", "s8b_pq_build",
       "x14_familiarity", "c4_familiarity_gate", "c3_compact",
       "c5_manifest_compact", "c6_zorder", "c7_time_travel", "c8_stats_prune",
-      "c9_incremental", "j6_bucketed_join").filter(results.contains)
+      "c9_incremental", "j6_bucketed_join", "x16_span_excise",
+      "x17_quality_probe").filter(results.contains)
     val buildJson = buildClass.map("\"" + _ + "\"").mkString("[", ",", "]")
     val buildTotal = buildClass.map(results).sum
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","runs":$runs,"build_queries":$buildJson,"build_sec":${r3(buildTotal)}}"""
