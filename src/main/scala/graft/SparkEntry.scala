@@ -1544,6 +1544,13 @@ object SparkEntry {
     graft.operators.Funnel.funnelStages(Tables.events(s, dir),
       Seq("view", "click", "purchase"))
 
+  /** a14: recency-biased smoothing — per (user, day) half-life fold over
+    * the event sequence; day emitted as a string for engine-safe compare. */
+  private def a14Decay(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.decayedValues(Tables.events(s, dir))
+      .select(col("user_id"), date_format(col("__d"), "yyyy-MM-dd").as("day"),
+        col("decayed_fp"), col("n_events"))
+
   // --------------------------------------- training-data pipeline: text
 
   /** Language-ID: stopword-hit argmax heuristic vs the labeled lang. Tokens
@@ -2482,6 +2489,7 @@ object SparkEntry {
     "j6_bucketed_join" -> (j6BucketedJoin _),
     "a12_journeys" -> (a12Journeys _),
     "a13_funnel" -> (a13Funnel _),
+    "a14_decay" -> (a14Decay _),
     "x1_lang_id" -> (x1LangId _),
     "x2_quality" -> (x2Quality _),
     "x3_token_stats" -> (x3TokenStats _),
@@ -3218,6 +3226,21 @@ object SparkEntry {
         |  WHEN k3 = 0 THEN 2 ELSE 3 END AS stage,
         |  count(*)::BIGINT AS n_entity_days
         |FROM k3t GROUP BY 1""".stripMargin,
+    "a14_decay" ->
+      // same fold, same truncation: last-64 filter via a DESC rank, then
+      // acc·0.5 + v over the ASC order, seeded by list_prepend(0.0, …)
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d, ts, event_id,
+        |    coalesce(value, 0.0) AS v
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, d
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM e),
+        |g AS (SELECT user_id, d, list(v ORDER BY ts, event_id) AS vs
+        |  FROM r WHERE rn <= 64 GROUP BY user_id, d)
+        |SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+        |  (floor(list_reduce(list_prepend(0.0, vs),
+        |    (acc, x) -> acc * 0.5 + x) * 1048576.0))::BIGINT AS decayed_fp,
+        |  len(vs)::BIGINT AS n_events
+        |FROM g""".stripMargin,
     "x17_quality_probe" -> {
       // full training replay: the x2 feature mirrors feed 3 chained
       // scalar-CTE GD iterations — gradient sums are per-row-floored

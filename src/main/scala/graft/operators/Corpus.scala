@@ -248,10 +248,16 @@ object Corpus {
     require(features.size <= 64,
       s"${features.size} features — a wide probe belongs in a real trainer")
     val k = features.size
+    // Materialize the feature projection ONCE: every iteration reads the
+    // (k+1)-double rows, not the raw corpus — at 20 iterations over text
+    // features this is the difference between 20 tokenization passes and
+    // one. MEMORY_AND_DISK: feature matrices are tiny relative to their
+    // corpus, but never trust that blindly.
     val feat = df.select(features.zipWithIndex.map { case (c, i) =>
       c.cast(DoubleType).as(s"x$i") } :+ label.cast(DoubleType).as("y"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var w = Seq.fill(k)(0.0)
-    for (_ <- 0 until iters) {
+    try for (_ <- 0 until iters) {
       // left-assoc fold w0·x0 + w1·x1 + … — the oracle replays this order
       val pred = w.zipWithIndex.map { case (wj, i) => lit(wj) * col(s"x$i") }
         .reduce(_ + _)
@@ -263,7 +269,7 @@ object Corpus {
       require(n > 0, "trainLinearProbe: empty input")
       w = w.zipWithIndex.map { case (wj, j) =>
         wj - lr * (row.getLong(j) / 1048576.0) / n }
-    }
+    } finally feat.unpersist(blocking = false)
     w
   }
 

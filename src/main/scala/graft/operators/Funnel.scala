@@ -46,6 +46,41 @@ object Funnel {
       .limit(topK)
   }
 
+  /** Exponential half-life smoothing per (entity, day): fold the
+    * (time, id)-ordered values as `acc = acc·0.5 + v` — each event's
+    * weight halves with every later event, the streaming-friendly recency
+    * bias. The multiplier is EXACTLY 0.5 on purpose: the fold stays in
+    * IEEE +,* (engine-portable bit-for-bit) where a general `pow(λ, k)`
+    * would drift across libm implementations. Only the LAST `maxEvents`
+    * events are folded — a 2^-64 weight is below any double's resolution,
+    * so the cap changes nothing numerically while bounding a hot entity's
+    * collected array (the 100 TB guard); the cap is part of the operator
+    * contract so any replay applies the same truncation. */
+  def decayedValues(ev: DataFrame, maxEvents: Int = 64,
+                    keyCol: String = "user_id", tsCol: String = "ts",
+                    idCol: String = "event_id", valCol: String = "value")
+      : DataFrame = {
+    require(maxEvents >= 1, s"decayedValues: maxEvents must be ≥1, got $maxEvents")
+    val day = to_date(col(tsCol)).as("__d")
+    val wDesc = Window.partitionBy(col(keyCol), col("__d"))
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    val sortedVals = transform(array_sort(collect_list(struct(col(tsCol),
+      col(idCol), coalesce(col(valCol), lit(0.0)).as("v")))), x => x.getField("v"))
+    ev.filter(col(keyCol).isNotNull)
+      .select(col(keyCol), day, col(tsCol), col(idCol), col(valCol))
+      .withColumn("__rn", row_number().over(wDesc))
+      .filter(col("__rn") <= maxEvents)
+      .groupBy(col(keyCol), col("__d"))
+      // fixed-point floor(x·2^20), not round(x, 6): the folds are
+      // bit-identical across engines, but decimal ROUNDING of a double is
+      // not (BigDecimal half-up vs float-mul rounding diverge on boundary
+      // values — one sf0.01 row sat exactly on a 6dp tie)
+      .agg(floor(aggregate(sortedVals, lit(0.0),
+        (acc, v) => acc * lit(0.5) + v) * lit(1048576.0))
+        .cast(org.apache.spark.sql.types.LongType).as("decayed_fp"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Funnel conversion: how many entities reach each prefix of `steps` in
     * order (loose containment — other events may interleave)? One pass:
     * the reached stage per entity-day is the longest prefix matched by a

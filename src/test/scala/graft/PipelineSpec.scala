@@ -783,6 +783,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(stages == Map(3 -> 1L, 1 -> 1L, 2 -> 1L))
   }
 
+  test("decayed values: half-life fold in event order, last-N truncation") {
+    val schema = StructType(Seq(StructField("user_id", LongType, false),
+      StructField("ts", TimestampType, false),
+      StructField("event_id", LongType, false),
+      StructField("value", DoubleType, false)))
+    def t(sec: Long) = new java.sql.Timestamp(1704412800000L + sec * 1000)
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, t(1), 1L, 1.0), Row(1L, t(2), 2L, 2.0), Row(1L, t(3), 3L, 4.0)), 2),
+      schema)
+    def fp(maxEvents: Int) = graft.operators.Funnel
+      .decayedValues(df, maxEvents = maxEvents)
+      .collect().head.getLong(2)
+    // ((0·.5+1)·.5+2)·.5+4 = 5.25 → floor(5.25·2^20); last-2 cap → 5.0
+    assert(fp(64) == math.floor(5.25 * 1048576).toLong)
+    assert(fp(2) == math.floor(5.0 * 1048576).toLong)
+  }
+
   test("linear probe: full-batch GD learns a separable threshold, deterministically") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize((0 until 100).map(i => Row(i / 100.0)), 4),

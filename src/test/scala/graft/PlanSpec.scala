@@ -53,6 +53,21 @@ class PlanSpec extends AnyFunSuite {
       s"projection must stay narrow:\n$p")
   }
 
+  test("journey mining: path builds inside the window's exchange, pattern count adds one") {
+    val p = plan("a12_journeys")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    // (user, day) window + same-key groupBy share ONE exchange; the
+    // pattern count on path is the second; top-k never global-sorts
+    assert(exchanges == 2, s"expected exactly 2 shuffles, got $exchanges:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not sort globally:\n$p")
+  }
+
+  test("decayed smoothing reuses the window's partitioning: one exchange total") {
+    val p = plan("a14_decay")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$p")
+  }
+
   test("bucketed join is exchange-free on the join key: co-location replaces the shuffle") {
     val p = plan("j6_bucketed_join")
     assert(p.contains("SortMergeJoin"), s"expected the merge join shape:\n$p")
