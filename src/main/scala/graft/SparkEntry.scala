@@ -2180,6 +2180,15 @@ object SparkEntry {
         graft.operators.Multimodal.packWav(Tables.documents(s, dir))),
       maxHamming = 16)
 
+  /** m8: frame-set near-dup — the video-shaped dedup face: docs whose
+    * sampled-frame digest sets overlap in ≥2 frames. Frame digest =
+    * blocking key; ubiquitous frames capped out. */
+  private def m8FrameNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.frameNearDupPairs(
+      graft.operators.Multimodal.sampleFrames(
+        graft.operators.Multimodal.packBinary(Tables.documents(s, dir))),
+      minShared = 2)
+
   /** c1: the training-data pipeline end-to-end in ONE declarative DAG —
     * language gate (predicted == labeled) ∧ quality gate, exact-dedup to
     * the min-id canonical copy, then per-source corpus stats. Catalyst
@@ -2540,6 +2549,7 @@ object SparkEntry {
     "m5_bmp_resize" -> (m5BmpResize _),
     "m6_image_neardup" -> (m6ImageNearDup _),
     "m7_audio_neardup" -> (m7AudioNearDup _),
+    "m8_frame_neardup" -> (m8FrameNearDup _),
     "c1_curate" -> (c1Curate _),
     "c2_shards" -> (c2Shards _),
     "c3_compact" -> (c3Compact _),
@@ -3981,6 +3991,20 @@ object SparkEntry {
          | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          |FROM packed GROUP BY source, chunk_id""".stripMargin
     },
+    "m8_frame_neardup" ->
+      // m3's frame walk, deduped per doc, capped per digest, then the
+      // digest-equality pair join with the distinct-shared count
+      """WITH fr AS (SELECT DISTINCT doc_id,
+        |    md5(substr(text, fi::INT * 64 + 1, 64)) AS f
+        |  FROM (SELECT doc_id, text,
+        |    unnest(range(0, greatest(CAST(ceil(strlen(text) / 64.0) AS BIGINT), 1), 4)) AS fi
+        |    FROM documents)),
+        |kept AS (SELECT doc_id, f FROM fr
+        |  QUALIFY count(*) OVER (PARTITION BY f) <= 1000)
+        |SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+        |  count(*)::BIGINT AS n_shared
+        |FROM kept l JOIN kept r ON l.f = r.f AND l.doc_id < r.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "m3_mm_frames" ->
       // frames = 64-byte slices, every 4th sampled; docs are ASCII so text
       // substr positions == payload byte offsets; md5 hex matches across

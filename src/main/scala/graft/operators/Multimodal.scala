@@ -313,6 +313,37 @@ object Multimodal {
     * same argument as d3's value-space bound. (A degenerate corpus of
     * flat/trivial images collapses into few buckets — cap or pre-filter
     * those upstream, the d4 `maxBlock` pattern.) */
+  /** Frame-SET near-dup — the video-shaped third face of the multimodal
+    * dedup family (m6 hashes one image, m7 one audio stream; a video is a
+    * SEQUENCE of frames, and two videos are near-dups when enough sampled
+    * frames coincide). Works on [[sampleFrames]] output: the frame digest
+    * is the blocking key (equality join — never all-pairs), the
+    * distinct-shared-frame count the rank.
+    *
+    * `maxDocsPerFrame` drops frames appearing in more documents: a
+    * ubiquitous frame (padding, black frames, silence) is both a
+    * quadratic blowup and zero dedup signal — same cap discipline as
+    * [[Dedup.embeddingPairs]]'s `maxBlock`. The cap is part of the
+    * operator contract (a replay must apply it identically). */
+  def frameNearDupPairs(frames: DataFrame, minShared: Int = 2,
+                        maxDocsPerFrame: Int = 1000,
+                        idCol: String = "doc_id"): DataFrame = {
+    require(minShared >= 1 && maxDocsPerFrame >= 2,
+      s"frameNearDupPairs: bad minShared=$minShared / maxDocsPerFrame=$maxDocsPerFrame")
+    val distinctFrames = frames.select(col(idCol), col("frame_md5")).distinct()
+    val kept = distinctFrames
+      .withColumn("__fn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("frame_md5"))))
+      .filter(col("__fn") <= maxDocsPerFrame)
+    val l = kept.select(col(idCol).as("id_a"), col("frame_md5"))
+    val r = kept.select(col(idCol).as("id_b"), col("frame_md5"))
+    l.join(r, Seq("frame_md5"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   def imageNearDupPairs(hashed: DataFrame, maxHamming: Int = 8): DataFrame =
     bandedHammingPairs(hashed, maxHamming)
 

@@ -783,6 +783,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(stages == Map(3 -> 1L, 1 -> 1L, 2 -> 1L))
   }
 
+  test("frame near-dup: shared-digest pairs, within-doc dups collapse, hot frames capped") {
+    // 64-byte frames, every 4th sampled → frames 0 and 4 of a 320-char
+    // doc; segments must DIFFER or the per-doc distinct collapses them
+    def seg(c: Char) = c.toString * 64
+    val df = docsDf(
+      (1L, "abcde".map(seg).mkString), // sampled: a-frame, e-frame
+      (2L, "abcde".map(seg).mkString), // identical → shares both
+      (3L, "axyzq".map(seg).mkString), // shares a-frame only → < minShared
+      (4L, "mmmmm".map(seg).mkString))
+    val got = graft.operators.Multimodal.frameNearDupPairs(
+      graft.operators.Multimodal.sampleFrames(
+        graft.operators.Multimodal.packBinary(df)), minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 2L)))
+    // hot-frame cap: with the cap below the block size, nothing pairs
+    val capped = graft.operators.Multimodal.frameNearDupPairs(
+      graft.operators.Multimodal.sampleFrames(
+        graft.operators.Multimodal.packBinary(df)),
+      minShared = 1, maxDocsPerFrame = 2)
+    // the a-frame is shared by 3 docs → capped out; the e-frame still
+    // pairs docs 1,2
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 2L)))
+  }
+
   test("decayed values: half-life fold in event order, last-N truncation") {
     val schema = StructType(Seq(StructField("user_id", LongType, false),
       StructField("ts", TimestampType, false),
