@@ -2070,7 +2070,15 @@ object SparkEntry {
       Sim.batchAnnSignLsh(emb, qids, k = 10, bits = 4, probes = 5)
         .select(lit("s2_lsh5").as("method"), col("query_id"), col("vec_id")),
       Sim.pqBatchKnn(emb, rawBooks, qids, k = 10)
-        .select(lit("s8_pq").as("method"), col("query_id"), col("vec_id")))
+        .select(lit("s8_pq").as("method"), col("query_id"), col("vec_id")),
+      // s11's JL projection as a retrieval space: exact top-10 by cosine
+      // over the 8-dim projected vectors — the audit row that prices the
+      // 8× compression in recall terms
+      Sim.batchKnn(emb.select(col("vec_id"),
+          graft.functions.VectorFunctions
+            .randomProject(col("embedding"), projMatrix).as("embedding")),
+          qids, k = 10)
+        .select(lit("s11_proj").as("method"), col("query_id"), col("vec_id")))
     val probed = qids.flatMap { qid =>
       Seq(
         tagged("s4_ivf", qid, Sim.ivfProbeIndex(s, ivfPath, cents, qvs(qid), k = 10, nProbe = 2)),
@@ -2080,7 +2088,7 @@ object SparkEntry {
     val approx = (batched ++ probed).reduce(_ unionByName _)
     // static spine so a probe that returns ZERO overlapping (or zero total)
     // rows still reports its 0 instead of vanishing from the audit
-    val spine = Seq("s2_lsh", "s2_lsh5", "s4_ivf", "s8_pq", "s9_ivfpq")
+    val spine = Seq("s2_lsh", "s2_lsh5", "s4_ivf", "s8_pq", "s9_ivfpq", "s11_proj")
       .flatMap(m => qids.map(q => (m, q))).toDF("method", "query_id")
     val nExact = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
     val overlap = approx.join(exact, Seq("query_id", "vec_id"))
@@ -3717,6 +3725,9 @@ object SparkEntry {
       // and intersects each probe's top-10 id set with the exact top-10.
       // Integer overlap counts only — no floats cross the compare.
       val cosEQ = s"${duckIvfDot("e.v", "q.qv")} / (sqrt(${duckIvfDot("e.v", "e.v")}) * sqrt(${duckIvfDot("q.qv", "q.qv")}))"
+      def d8(a: String, b: String) =
+        s"list_reduce(list_transform(range(1, 9), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
+      val duckProjCos = s"${d8("pe.pv", "qp.qpv")} / (sqrt(${d8("pe.pv", "pe.pv")}) * sqrt(${d8("qp.qpv", "qp.qpv")}))"
       s"""WITH $duckIvfTrainCtes,
          |res AS (SELECT e.vec_id, list_transform(range(1, 65), i -> e.v[i] - c.cv[i]) AS rv
          |  FROM e JOIN as2 a USING (vec_id) JOIN cent2 c ON a.cell = c.cid),
@@ -3783,16 +3794,25 @@ object SparkEntry {
          |  SELECT sl9.qid, sl9.vec_id,
          |    row_number() OVER (PARTITION BY sl9.qid ORDER BY $cosEQ DESC, sl9.vec_id) AS rn
          |  FROM sl9 JOIN e ON e.vec_id = sl9.vec_id JOIN q ON q.qid = sl9.qid) WHERE rn <= 10),
+         |pe AS (SELECT vec_id, [${graft.functions.VectorFunctions
+                  .projectSql("e.v", projMatrix).mkString(", ")}] AS pv FROM e),
+         |qp AS (SELECT q.qid, pe.pv AS qpv FROM pe JOIN q ON pe.vec_id = q.qid),
+         |proj10 AS (SELECT qid, vec_id FROM (
+         |  SELECT qp.qid, pe.vec_id,
+         |    row_number() OVER (PARTITION BY qp.qid
+         |      ORDER BY $duckProjCos DESC, pe.vec_id) AS rn
+         |  FROM pe CROSS JOIN qp) WHERE rn <= 10),
          |un AS (SELECT 's2_lsh' AS method, qid, vec_id FROM lsh10
          |  UNION ALL SELECT 's2_lsh5', qid, vec_id FROM lsh5
          |  UNION ALL SELECT 's4_ivf', qid, vec_id FROM ivf10
          |  UNION ALL SELECT 's8_pq', qid, vec_id FROM pq10
-         |  UNION ALL SELECT 's9_ivfpq', qid, vec_id FROM ipq10),
+         |  UNION ALL SELECT 's9_ivfpq', qid, vec_id FROM ipq10
+         |  UNION ALL SELECT 's11_proj', qid, vec_id FROM proj10),
          |ovl AS (SELECT method, qid, count(*)::BIGINT AS n
          |  FROM un JOIN ex10 USING (qid, vec_id) GROUP BY 1, 2),
          |exn AS (SELECT qid, count(*)::BIGINT AS n_exact FROM ex10 GROUP BY qid),
          |spn AS (SELECT m.method, e2.qid
-         |  FROM (SELECT unnest(['s2_lsh', 's2_lsh5', 's4_ivf', 's8_pq', 's9_ivfpq']) AS method) m
+         |  FROM (SELECT unnest(['s2_lsh', 's2_lsh5', 's4_ivf', 's8_pq', 's9_ivfpq', 's11_proj']) AS method) m
          |  CROSS JOIN (SELECT DISTINCT qid FROM q) e2)
          |SELECT spn.method, spn.qid AS query_id, exn.n_exact,
          |  coalesce(ovl.n, 0)::BIGINT AS n_overlap
