@@ -263,7 +263,7 @@ class ApproxSpec extends AnyFunSuite {
 
   test("s10 recall audit: full spine, exact denominators, IVF recall at least LSH's") {
     val rows = SparkEntry.queries("s10_recall_audit")(spark, dir).collect()
-    assert(rows.length == 15, "5 methods x 3 query ids")
+    assert(rows.length == 18, "6 methods x 3 query ids")
     rows.foreach { r =>
       assert(r.getAs[Long]("n_exact") == 10L)
       val ov = r.getAs[Long]("n_overlap")
@@ -271,7 +271,8 @@ class ApproxSpec extends AnyFunSuite {
     }
     val byMethod = rows.groupBy(_.getAs[String]("method"))
       .map { case (m, rs) => m -> rs.map(_.getAs[Long]("n_overlap")).sum }
-    assert(byMethod.keySet == Set("s2_lsh", "s2_lsh5", "s4_ivf", "s8_pq", "s9_ivfpq"))
+    assert(byMethod.keySet ==
+      Set("s2_lsh", "s2_lsh5", "s4_ivf", "s8_pq", "s9_ivfpq", "s11_proj"))
     // structural expectations, not tuned thresholds: the partition-pruned
     // exact probes (IVF, IVF-PQ w/ re-rank) must not lose to the
     // compressed/bucketed ones they subsume, and widening the probe set
