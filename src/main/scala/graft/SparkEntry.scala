@@ -1334,6 +1334,39 @@ object SparkEntry {
         round(sum(coalesce(col("q_score"), lit(0.0))), 3).as("sum_q"))
   }
 
+  /** c12: point-lookup pruning — the membership sidecar complement to
+    * c8's range stats: after z-order clustering, one user's events live
+    * in a handful of files, and the exact per-file key sets bind the
+    * point query to just those (require-gated), with results equal to
+    * the full filtered read. */
+  private def c12PointPrune(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/graft-point-q/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.sources.EventStore.reset(s, path)
+    val ev = Tables.events(s, dir)
+      .filter(dayofmonth(col("ts")) <= 6 && col("user_id").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    graft.sources.EventStore.append(ev.repartition(4), path)
+    graft.sources.EventStore.writeManifest(s, path)
+    val conf = s.sparkContext.hadoopConfiguration
+    val bytes = graft.sources.EventStore.manifestFiles(s, path).map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    graft.sources.EventStore.clusterInPlace(s, path, "user_id", "ts",
+      targetBytes = math.max(1L, bytes / 24))
+    graft.sources.EventStore.writeFileKeySets(s, path, "user_id")
+    val uMin = ev.agg(min("user_id")).head().getLong(0)
+    val pruned = graft.sources.EventStore.readPinnedPoint(
+      s, path, "user_id", uMin)
+    require(pruned.inputFiles.length <
+      graft.sources.EventStore.manifestFiles(s, path).size,
+      s"membership pruning must bind fewer files, bound ${pruned.inputFiles.length}")
+    pruned.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 3).as("sum_value"),
+        countDistinct(col("event_id")).as("n_events"))
+  }
+
   private def c9Incremental(s: SparkSession, dir: String): DataFrame = {
     val path = "target/graft-incr-q/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
     graft.sources.EventStore.reset(s, path)
@@ -2568,6 +2601,7 @@ object SparkEntry {
     "c9_incremental" -> (c9Incremental _),
     "c10_merge_delete" -> (c10MergeDelete _),
     "c11_schema_evolution" -> (c11SchemaEvolution _),
+    "c12_point_prune" -> (c12PointPrune _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3935,6 +3969,17 @@ object SparkEntry {
         |FROM events, b
         |WHERE date_part('day', ts) <= 6 AND user_id BETWEEN b.lo AND b.hi
         |GROUP BY 1""".stripMargin,
+    "c12_point_prune" ->
+      // store-free replay of the point lookup the membership-pruned read
+      // must reproduce exactly
+      """SELECT user_id, count(*)::BIGINT AS n,
+        | round(sum(value), 3) AS sum_value,
+        | count(DISTINCT event_id)::BIGINT AS n_events
+        |FROM events
+        |WHERE date_part('day', ts) <= 6 AND user_id IS NOT NULL
+        |  AND user_id = (SELECT min(user_id) FROM events
+        |    WHERE date_part('day', ts) <= 6 AND user_id IS NOT NULL)
+        |GROUP BY user_id""".stripMargin,
     "c11_schema_evolution" ->
       // store-free replay: generation 1 (days ≤5) contributes null scores,
       // generation 2 (days 6-10) the derived column — exactly what the

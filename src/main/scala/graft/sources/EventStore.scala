@@ -498,6 +498,104 @@ object EventStore {
   private val StatsLine =
     """\{"f":"((?:[^"\\]|\\.)*)","c":"((?:[^"\\]|\\.)*)","mn":(-?\d+),"mx":(-?\d+)\}""".r
 
+  private def keysPath(root: org.apache.hadoop.fs.Path, v: Long) =
+    new org.apache.hadoop.fs.Path(root, s"_graft_manifest.v$v.keys.jsonl")
+
+  /** Point-lookup membership sidecar: per manifested file, the EXACT
+    * distinct-value set of an integral column — pinned only when the set
+    * is ≤ `maxDistinct` values (the degenerate, zero-false-positive end of
+    * the bloom-filter spectrum; a file with more distinct keys gets NO
+    * entry and is always admitted, so pruning stays conservative). Range
+    * stats ([[writeFileStats]]) prune range scans; this prunes POINT
+    * lookups, where a file's [min, max] usually straddles every key. One
+    * job computes all per-file sets (`input_file_name` + collect_set);
+    * same immutable version-tied commit discipline as the stats sidecar.
+    * Most effective after [[clusterInPlace]] on the key column — z-order
+    * makes per-file key sets small and disjoint. */
+  def writeFileKeySets(spark: SparkSession, path: String, column: String,
+                       maxDistinct: Int = 4096, version: Long = -1L): Int = {
+    require(maxDistinct >= 1, s"writeFileKeySets: bad maxDistinct $maxDistinct")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = if (version < 0) {
+      val vs = manifestVersions(fs, root)
+      require(vs.nonEmpty, s"writeFileKeySets: no manifest under $path")
+      vs.last
+    } else version
+    val rel = readManifestFile(fs, root, v)
+    val abs = rel.map(f => path + "/" + f)
+    val df = spark.read.option("basePath", path).parquet(abs: _*)
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(df.schema(column).dataType),
+      s"writeFileKeySets: '$column' must be integral, got " +
+        df.schema(column).dataType)
+    // absolute URI → manifest-relative name: input_file_name() returns a
+    // URI whose slash count varies by filesystem — compare by URI *path*
+    val byPath = abs.map(a => new java.io.File(a).getAbsolutePath).zip(rel).toMap
+    val sets = df.select(input_file_name().as("__f"),
+        col(column).cast(org.apache.spark.sql.types.LongType).as("__k"))
+      .where(col("__k").isNotNull)
+      .distinct()
+      .groupBy(col("__f"))
+      .agg(collect_set(col("__k")).as("__ks"), count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxDistinct)
+      .collect()
+    val lines = sets.flatMap { r =>
+      byPath.get(new java.net.URI(r.getString(0)).getPath).map { relName =>
+        val ks = r.getSeq[Long](1).sorted.mkString(",")
+        s"""{"f":"${jsonEscape(relName)}","c":"${jsonEscape(column)}","k":[$ks]}"""
+      }
+    }
+    val tmp = new org.apache.hadoop.fs.Path(root, s".keys-v$v.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((lines.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, keysPath(root, v)),
+      s"writeFileKeySets: could not commit key sets for manifest v$v under $path")
+    lines.length
+  }
+
+  private val KeysLine =
+    """\{"f":"((?:[^"\\]|\\.)*)","c":"((?:[^"\\]|\\.)*)","k":\[([-\d,]*)\]\}""".r
+
+  /** Membership-pruned point lookup: bind the plan to ONLY the manifest
+    * files whose pinned key set contains `key` (files without a pinned
+    * set are admitted — conservative), then apply the row filter. Results
+    * equal `readPinned(...).filter(column === key)` exactly. */
+  def readPinnedPoint(spark: SparkSession, path: String, column: String,
+                      key: Long, version: Long = -1L): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = if (version < 0) {
+      val vs = manifestVersions(fs, root)
+      require(vs.nonEmpty, s"readPinnedPoint: no manifest under $path")
+      vs.last
+    } else version
+    val kp = keysPath(root, v)
+    require(fs.exists(kp),
+      s"readPinnedPoint: no key-set sidecar for manifest v$v under $path — " +
+        s"run writeFileKeySets(..., \"$column\") after the commit")
+    val in = fs.open(kp)
+    val txt = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val keySets = txt.linesIterator.collect {
+      case KeysLine(f, c, ks) if jsonUnescape(c) == column =>
+        jsonUnescape(f) ->
+          ks.split(',').filter(_.nonEmpty).map(_.toLong).toSet
+    }.toMap
+    val files = readManifestFile(fs, root, v)
+    val kept = files.filter(f => keySets.get(f).forall(_.contains(key)))
+    val bind = if (kept.nonEmpty) kept else files.take(1)
+    val filtered = spark.read.option("basePath", path)
+      .parquet(bind.map(f => path + "/" + f): _*)
+      .filter(col(column) === lit(key))
+    if (kept.nonEmpty) filtered else filtered.limit(0)
+  }
+
   /** Stats-pruned pinned read: bind the plan to ONLY the manifest files
     * whose pinned `[min, max]` on `column` intersects `[lo, hi]`, then
     * apply the row filter. Files without a pinned range are kept (pruning

@@ -1597,6 +1597,34 @@ class StoreStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("membership sidecar: point reads bind only key-holding files; absent keys read empty") {
+    val dir = Files.createTempDirectory("graft-keys").toString + "/events"
+    val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id").isNotNull)
+      .select("event_id", "ts", "user_id", "value")
+    EventStore.append(src.repartition(4), dir)
+    EventStore.writeManifest(spark, dir)
+    // cluster on the key so per-file key sets are small and disjoint
+    val bytes = EventStore.manifestFiles(spark, dir).map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getLen
+    }.sum
+    EventStore.clusterInPlace(spark, dir, "user_id", "ts",
+      targetBytes = math.max(1L, bytes / 12))
+    val pinned = EventStore.writeFileKeySets(spark, dir, "user_id")
+    assert(pinned > 0, "clustered files must pin their key sets")
+    val key = src.agg(min("user_id")).head().getLong(0)
+    val point = EventStore.readPinnedPoint(spark, dir, "user_id", key)
+    assert(point.inputFiles.length < EventStore.manifestFiles(spark, dir).size,
+      "point read must bind fewer files than the manifest holds")
+    // result equality with the unpruned filtered read, row for row
+    val full = EventStore.readPinned(spark, dir)
+      .filter(col("user_id") === key)
+    assert(point.collect().toSet == full.collect().toSet && full.count() > 0)
+    // a key no file holds → provably empty, no scan needed
+    assert(EventStore.readPinnedPoint(spark, dir, "user_id", -12345L).count() == 0)
+  }
+
   test("manifested schema evolution: merged read unifies generations, old pins predate the column") {
     val dir = Files.createTempDirectory("graft-evolve").toString + "/events"
     val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
