@@ -254,6 +254,37 @@ object Stress {
       st.filesAfter.toLong
     }
     zAudit("zorder"); zScan("zorder")
+
+    // ---- sequence family at 10×: span mining's explode volume scales
+    // with corpus size; journeys/decay with a HOT entity test the
+    // per-(entity, day) stages the same way the gap-walk stress does.
+    time("x15_spans_10x") {
+      graft.operators.Corpus.repeatedSpans(rep(10), n = 5, topK = 40).count()
+    }
+    val ev1 = graft.sources.Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+    val evSeq10 = (0 until 10).map(i =>
+      ev1.withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L)))
+      .reduce(_ union _)
+    val evHot = evSeq10.withColumn("user_id",
+      when(pmod(col("event_id"), lit(10)) < 9, lit(7L)).otherwise(col("user_id")))
+    time("a12_journeys_10x") {
+      graft.operators.Funnel.topJourneys(evSeq10).count()
+    }
+    // hot entity: 90% of events in ONE user — rank caps at maxSteps per
+    // day, so the hot group's collect stays bounded and the skew lands on
+    // the rank window, not the path build
+    time("a12_journeys_10x_hot") {
+      graft.operators.Funnel.topJourneys(evHot).count()
+    }
+    time("a14_decay_10x") {
+      graft.operators.Funnel.decayedValues(evSeq10).count()
+    }
+    // decay's last-64 truncation is the hot-entity guard: the fold only
+    // ever sees 64 values per (entity, day) no matter how hot
+    time("a14_decay_10x_hot") {
+      graft.operators.Funnel.decayedValues(evHot).count()
+    }
     spark.stop()
   }
 }
