@@ -1577,6 +1577,25 @@ object SparkEntry {
     graft.operators.Funnel.funnelStages(Tables.events(s, dir),
       Seq("view", "click", "purchase"))
 
+  /** a15: deterministic argmax — per group, the row at the MAXIMUM of an
+    * ordering column. Spark's `max_by` is tie-nondeterministic (either
+    * row may win, and a re-run may flip); `max(struct(value, id, …))` is
+    * the deterministic form — struct comparison is lexicographic, so the
+    * id column breaks value ties totally, and the whole thing stays one
+    * codegen'd aggregate (map-side partial max, one tiny exchange — the
+    * cheapest possible shape; a window row_number would shuffle EVERY
+    * row to rank them all just to keep one). */
+  private def a15Argmax(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+    ev.groupBy(col("event_type"))
+      .agg(max(struct(col("value"), col("event_id"))).as("__m"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"),
+        col("__m.value").as("max_value"),
+        col("__m.event_id").as("argmax_event_id"),
+        col("n"))
+  }
+
   /** a14: recency-biased smoothing — per (user, day) half-life fold over
     * the event sequence; day emitted as a string for engine-safe compare. */
   private def a14Decay(s: SparkSession, dir: String): DataFrame =
@@ -2540,6 +2559,7 @@ object SparkEntry {
     "a12_journeys" -> (a12Journeys _),
     "a13_funnel" -> (a13Funnel _),
     "a14_decay" -> (a14Decay _),
+    "a15_argmax" -> (a15Argmax _),
     "x1_lang_id" -> (x1LangId _),
     "x2_quality" -> (x2Quality _),
     "x3_token_stats" -> (x3TokenStats _),
@@ -3278,6 +3298,17 @@ object SparkEntry {
         |  WHEN k3 = 0 THEN 2 ELSE 3 END AS stage,
         |  count(*)::BIGINT AS n_entity_days
         |FROM k3t GROUP BY 1""".stripMargin,
+    "a15_argmax" ->
+      // the deterministic tiebreak replayed as a lexicographic window
+      // rank: ORDER BY value DESC, event_id DESC == max(struct(value, id))
+      """WITH e AS (SELECT event_type, event_id, value FROM events
+        |  WHERE value IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value DESC, event_id DESC) AS rn FROM e),
+        |n AS (SELECT event_type, count(*)::BIGINT AS n FROM e GROUP BY 1)
+        |SELECT r.event_type, r.value AS max_value,
+        |  r.event_id AS argmax_event_id, n.n
+        |FROM r JOIN n USING (event_type) WHERE r.rn = 1""".stripMargin,
     "a14_decay" ->
       // same fold, same truncation: last-64 filter via a DESC rank, then
       // acc·0.5 + v over the ASC order, seeded by list_prepend(0.0, …)
