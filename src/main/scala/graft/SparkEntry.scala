@@ -1319,10 +1319,15 @@ object SparkEntry {
     graft.sources.EventStore.append(
       ev.filter(dayofmonth(col("ts")) <= 5).repartition(2), path)
     graft.sources.EventStore.writeManifest(s, path)
-    // generation 2: the same feed, now carrying a derived quality score
+    // generation 2: the same feed, now carrying a derived quality score.
+    // Fixed-point floor(x·2^20) LONG (the a14/x17 form) instead of
+    // round(x, 6): decimal-round-of-double can diverge on a 6dp tie
+    // between Spark's BigDecimal HALF_UP and DuckDB's float rounding;
+    // floor of an IEEE-exact division cannot. Null value ⇒ null score.
     graft.sources.EventStore.append(
       ev.filter(dayofmonth(col("ts")).between(6, 10))
-        .withColumn("q_score", round(col("value") / lit(250.0), 6))
+        .withColumn("q_score",
+          floor(col("value") / lit(250.0) * lit(1048576.0)).cast(LongType))
         .repartition(2), path)
     graft.sources.EventStore.writeManifest(s, path)
     val snap = graft.sources.EventStore.readPinned(s, path, mergeSchema = true)
@@ -1331,7 +1336,8 @@ object SparkEntry {
     snap.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_rows"),
         count(col("q_score")).as("n_scored"),
-        round(sum(coalesce(col("q_score"), lit(0.0))), 3).as("sum_q"))
+        round(sum(coalesce(col("q_score"), lit(0L))) / lit(1048576.0), 6)
+          .as("sum_q"))
   }
 
   /** c12: point-lookup pruning — the membership sidecar complement to
@@ -1774,7 +1780,7 @@ object SparkEntry {
     graft.operators.Corpus.repeatedSpans(Tables.documents(s, dir), n = 5, topK = 40)
 
   /** x17: quality-classifier training — a linear probe over the x2 quality
-    * signals, trained distributed (3 full-batch GD iterations, one
+    * signals, trained distributed (20 full-batch GD iterations, one
     * k-sum aggregation job each) with fixed-point gradient accumulation so
     * the learned weights are engine-exact. Output: per-source scoring
     * stats under the trained probe, with the weights pinned as columns. */
@@ -3404,12 +3410,17 @@ object SparkEntry {
     "d10_semantic_dedup" -> {
       // coarse-train replay (e/cent2/as2 — the proven s4 CTEs), then the
       // within-cell pair predicate and the keep-lowest-id verdict; dot and
-      // norm folds are bit-identical, so the >= 0.5 set matches exactly
+      // norm folds are bit-identical, so the >= 0.35 set matches exactly.
+      // bc mirrors the engine's maxCell cap (cells >65536 skip the pair
+      // scan, members stay is_dup=false) so a verification scale that
+      // overflows a cell diverges on NEITHER side
       s"""WITH $duckIvfTrainCtes,
          |b AS (SELECT a.vec_id, a.cell, e.v, sqrt(${duckIvfDot("e.v", "e.v")}) AS nrm
          |  FROM e JOIN as2 a USING (vec_id)),
+         |bc AS (SELECT * FROM b
+         |  QUALIFY count(*) OVER (PARTITION BY cell) <= 65536),
          |drp AS (SELECT DISTINCT r.vec_id
-         |  FROM b l JOIN b r ON l.cell = r.cell AND l.vec_id < r.vec_id
+         |  FROM bc l JOIN bc r ON l.cell = r.cell AND l.vec_id < r.vec_id
          |  WHERE ${duckIvfDot("l.v", "r.v")} / (l.nrm * r.nrm) >= 0.35)
          |SELECT b.vec_id, b.cell, (d.vec_id IS NOT NULL) AS is_dup
          |FROM b LEFT JOIN drp d ON b.vec_id = d.vec_id""".stripMargin
@@ -4014,12 +4025,16 @@ object SparkEntry {
     "c11_schema_evolution" ->
       // store-free replay: generation 1 (days ≤5) contributes null scores,
       // generation 2 (days 6-10) the derived column — exactly what the
-      // merged pinned read reconstructs from the two file generations
+      // merged pinned read reconstructs from the two file generations.
+      // n_scored counts NON-NULL scores (null value ⇒ null score) and the
+      // score is the fixed-point floor(x·2^20) form, so parity survives a
+      // testdata regeneration that introduces null values or a 6dp tie
       """SELECT event_type, count(*)::BIGINT AS n_rows,
         | count(CASE WHEN date_part('day', ts) BETWEEN 6 AND 10
-        |   THEN 1 END)::BIGINT AS n_scored,
+        |   AND value IS NOT NULL THEN 1 END)::BIGINT AS n_scored,
         | round(sum(CASE WHEN date_part('day', ts) BETWEEN 6 AND 10
-        |   THEN round(value / 250.0, 6) ELSE 0 END), 3) AS sum_q
+        |   THEN floor(value / 250.0 * 1048576) ELSE 0 END) / 1048576.0,
+        |   6) AS sum_q
         |FROM events WHERE date_part('day', ts) <= 10
         |GROUP BY 1""".stripMargin,
     "c9_incremental" ->

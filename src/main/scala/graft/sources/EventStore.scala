@@ -532,8 +532,13 @@ object EventStore {
       s"writeFileKeySets: '$column' must be integral, got " +
         df.schema(column).dataType)
     // absolute URI → manifest-relative name: input_file_name() returns a
-    // URI whose slash count varies by filesystem — compare by URI *path*
-    val byPath = abs.map(a => new java.io.File(a).getAbsolutePath).zip(rel).toMap
+    // URI whose slash count varies by filesystem — compare by URI *path*,
+    // with BOTH sides qualified through the store's Hadoop filesystem
+    // (java.io.File only resolves local paths; on HDFS/S3 it would miss
+    // every entry and silently commit an empty sidecar)
+    val byPath = abs
+      .map(a => fs.makeQualified(new org.apache.hadoop.fs.Path(a)).toUri.getPath)
+      .zip(rel).toMap
     val sets = df.select(input_file_name().as("__f"),
         col(column).cast(org.apache.spark.sql.types.LongType).as("__k"))
       .where(col("__k").isNotNull)
@@ -542,11 +547,13 @@ object EventStore {
       .agg(collect_set(col("__k")).as("__ks"), count(lit(1)).as("__n"))
       .filter(col("__n") <= maxDistinct)
       .collect()
-    val lines = sets.flatMap { r =>
-      byPath.get(new java.net.URI(r.getString(0)).getPath).map { relName =>
-        val ks = r.getSeq[Long](1).sorted.mkString(",")
-        s"""{"f":"${jsonEscape(relName)}","c":"${jsonEscape(column)}","k":[$ks]}"""
-      }
+    val lines = sets.map { r =>
+      val uriPath = new java.net.URI(r.getString(0)).getPath
+      val relName = byPath.getOrElse(uriPath, sys.error(
+        s"writeFileKeySets: scanned file '$uriPath' resolves to no manifest " +
+          s"entry of v$v — refusing to commit a short sidecar"))
+      val ks = r.getSeq[Long](1).sorted.mkString(",")
+      s"""{"f":"${jsonEscape(relName)}","c":"${jsonEscape(column)}","k":[$ks]}"""
     }
     val tmp = new org.apache.hadoop.fs.Path(root, s".keys-v$v.tmp")
     val out = fs.create(tmp, true)
