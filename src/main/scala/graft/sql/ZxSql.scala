@@ -233,7 +233,49 @@ object ZxSql {
     }
 
     expectIdent("select")
-    val selects = commaList(selectItem _)
+
+    // Sequence-analytics clauses (extension — VERDICT r9 #3: the round-9
+    // operators were Scala-API only while the reference surface is
+    // SQL-first, lib.rs:815-844). Detected by leading keyword; `decay` /
+    // `argmax` require the '(' so a column of the same name still parses
+    // as an ordinary select item.
+    def atSeqOp: Boolean =
+      atIdent("journeys") || atIdent("funnel") ||
+        ((atIdent("decay") || atIdent("argmax")) && toks.lift(pos + 1).contains(Sym("(")))
+    def seqOpClause(): SeqOp = {
+      val kw = ident()
+      kw match {
+        case "journeys" =>
+          var topK = 20; var steps = 8
+          if (atIdent("top")) { next(); topK = parseLong(num("top count"), "top count").toInt }
+          if (atIdent("steps")) { next(); steps = parseLong(num("steps count"), "steps count").toInt }
+          if (topK < 1 || steps < 1)
+            throw ParseError(s"journeys needs top/steps ≥ 1, got $topK/$steps")
+          SeqOp.Journeys(topK, steps)
+        case "funnel" =>
+          val steps = commaList(value _)
+          if (steps.size > 16) throw ParseError("funnel takes at most 16 steps")
+          SeqOp.FunnelSteps(steps)
+        case "decay" =>
+          expectSym("("); val c = ident(); expectSym(")")
+          var last = 64
+          if (atIdent("last")) { next(); last = parseLong(num("last count"), "last count").toInt }
+          if (last < 1) throw ParseError(s"decay last must be ≥ 1, got $last")
+          SeqOp.Decay(c, last)
+        case "argmax" =>
+          expectSym("("); val v = ident(); expectSym(",")
+          val idc = ident(); expectSym(")")
+          SeqOp.Argmax(v, idc)
+        case other => throw ParseError(s"not a sequence op: $other")
+      }
+    }
+    def num(what: String): String = next() match {
+      case Num(v) => v
+      case other  => throw ParseError(s"expected $what, got $other")
+    }
+
+    val seqOp: Option[SeqOp] = if (atSeqOp) Some(seqOpClause()) else None
+    val selects = if (seqOp.isDefined) Seq.empty[Select] else commaList(selectItem _)
     if (atIdent("from")) { next(); ident() } // tolerated + ignored, like expr.rs (never reads FROM)
 
     // asof / trailing join clauses (extension — surfaces AsofJoin in SQL):
@@ -432,13 +474,30 @@ object ZxSql {
     if (joinSpec.nonEmpty &&
         (having.nonEmpty || sessionGap.nonEmpty || slide.nonEmpty || exactWindows))
       throw ParseError("asof/trailing join queries do not take having / session / slide / exact")
-    if (salt.nonEmpty && (joinSpec.nonEmpty || selects.forall(_.agg == Agg.Raw)))
+    if (salt.nonEmpty && seqOp.isEmpty &&
+        (joinSpec.nonEmpty || selects.forall(_.agg == Agg.Raw)))
       throw ParseError("salt applies to aggregation queries only")
+    seqOp.foreach { op =>
+      if (joinSpec.nonEmpty || orderBy.nonEmpty || limitN.nonEmpty ||
+          having.nonEmpty || sessionGap.nonEmpty || slide.nonEmpty ||
+          exactWindows || salt.nonEmpty)
+        throw ParseError("journeys/funnel/decay/argmax take only where and " +
+          "(for argmax) group by — no join/order/limit/having/session/slide/exact/salt")
+      op match {
+        case SeqOp.Argmax(_, _) =>
+          if (groupBy.isEmpty)
+            throw ParseError("argmax(value, id) requires group by")
+        case _ =>
+          if (groupBy.nonEmpty)
+            throw ParseError("journeys/funnel/decay group per (entity, day) " +
+              "by definition — group by applies to argmax only")
+      }
+    }
 
     ZxQuery(selects, realConds, groupBy, orderBy, tStart, tEnd, gran, limitN,
       exact = exactWindows, where = whereTree, asofJoin = joinSpec,
       having = having, sessionGapSec = sessionGap, slideSec = slide,
-      skewSalt = salt)
+      skewSalt = salt, seqOp = seqOp)
   }
 
   // --------------------------------------------------------------- executor
@@ -452,6 +511,38 @@ object ZxSql {
           exact: Boolean = false, idCol: Option[String] = None,
           tables: Map[String, DataFrame] = Map.empty): DataFrame = {
     val q = parse(sql)
+    q.seqOp.foreach { op =>
+      import org.apache.spark.sql.functions._
+      // the same scan/filter front half every path gets: time range +
+      // conjuncts + boolean tree, pushdown intact — sequence mining over a
+      // filtered slice costs a narrow filter, nothing more
+      val base = Compiler.scanFilter(df, q, tsCol)
+      return op match {
+        case SeqOp.Journeys(k, n) =>
+          graft.operators.Funnel.topJourneys(base, maxSteps = n, topK = k)
+        case SeqOp.FunnelSteps(steps) =>
+          graft.operators.Funnel.funnelStages(base, steps)
+        case SeqOp.Decay(c, last) =>
+          graft.operators.Funnel.decayedValues(base, maxEvents = last, valCol = c)
+            .select(col("user_id"),
+              date_format(col("__d"), "yyyy-MM-dd").as("day"),
+              col("decayed_fp"), col("n_events"))
+        case SeqOp.Argmax(v, idc) =>
+          // deterministic argmax (the a15 aggregate): max(struct(value, id))
+          // — lexicographic struct max makes the id a total tiebreak while
+          // staying ONE codegen'd aggregate with map-side partial max;
+          // null values are excluded (a null field would poison the
+          // lexicographic compare), mirrored in the oracle
+          base.filter(Compiler.colRef(v).isNotNull)
+            .groupBy(Compiler.groupKeys(q, base.schema): _*)
+            .agg(max(struct(Compiler.colRef(v), Compiler.colRef(idc))).as("__m"),
+              count(lit(1)).as("n"))
+            .select(q.groupBy.map(Compiler.colRef) ++ Seq(
+              col("__m").getField(v).as(s"max_$v"),
+              col("__m").getField(idc).as(s"argmax_$idc"),
+              col("n")): _*)
+      }
+    }
     q.asofJoin.foreach { js =>
       if (q.groupBy.nonEmpty || q.orderBy.nonEmpty || q.limit.nonEmpty)
         throw ParseError("asof/trailing join queries do not take group by / order by / limit")
@@ -537,6 +628,10 @@ object ZxSql {
                 tables: Map[String, DataFrame] = Map.empty): DataFrame = {
     import graft.streaming.{EventStream, GapWindowStream}
     val q = parse(sql)
+    if (q.seqOp.nonEmpty)
+      throw ParseError("journeys/funnel/decay/argmax need the full per-day " +
+        "sequence (order-dependent folds over an entity's whole day) — run " +
+        "them per micro-batch via foreachBatch over ZxSql.run, or batch")
     q.asofJoin.foreach { js =>
       // asof enrichment streams via the broadcast formulation: the deduped
       // version history rides in the plan (AsofJoin.asofBroadcast), so the

@@ -41,11 +41,14 @@ object GapWindowStream {
 
   /** `eventTime` carries the watermarked TimestampType attribute through the
     * projection — event-time timeout requires a watermarked column to remain
-    * visible below flatMapGroupsWithState. */
-  final case class GwEvent(key: Seq[String], ts: Long, sr: Double,
+    * visible below flatMapGroupsWithState. `id` is the same-second tiebreak
+    * (0 when no `idCol` is given). */
+  final case class GwEvent(key: Seq[String], ts: Long, id: Long, sr: Double,
                            values: Array[Double], eventTime: java.sql.Timestamp)
-  /** A buffered event awaiting watermark finalization. */
-  final case class GwPend(ts: Long, sr: Double, values: Array[Double])
+  /** A buffered event awaiting watermark finalization. Part of the
+    * checkpointed state schema — adding `id` (round 10) trips Spark's
+    * state-schema compatibility check on old checkpoints LOUDLY, by design. */
+  final case class GwPend(ts: Long, id: Long, sr: Double, values: Array[Double])
   // per-select buffer: (a, b) — Sum/Max/Min/Count use a; Mean uses (mean=a, n=b)
   final case class GwState(wStart: Long, wEnd: Long, anchor: Long,
                            hasWindow: Boolean, a: Array[Double], b: Array[Double],
@@ -54,8 +57,15 @@ object GapWindowStream {
 
   private val allowed: Set[Agg] = Set(Agg.Sum, Agg.Count, Agg.Mean, Agg.Max, Agg.Min)
 
+  /** @param idCol optional same-second tiebreak column (the batch walk's
+    *   `idCol`): with it, events tied on the same whole second fold in
+    *   (ts, id) order — the exact order [[graft.operators.GapWindows]] and
+    *   the DuckDB replay use, making the IEEE fold bit-identical to batch
+    *   even under tied timestamps. Without it ties fold in arrival order
+    *   (fine for rounded outputs, not for unrounded hash parity). */
   def apply(stream: DataFrame, q: ZxQuery, watermark: String = "10 minutes",
-            tsCol: String = Compiler.DefaultTsCol): Dataset[GwOut] = {
+            tsCol: String = Compiler.DefaultTsCol,
+            idCol: Option[String] = None): Dataset[GwOut] = {
     require(q.selects.nonEmpty && q.selects.forall(s => allowed(s.agg)),
       s"streaming gap windows support ${allowed.map(_.name).mkString("/")} only")
     val spark = stream.sparkSession
@@ -88,6 +98,8 @@ object GapWindowStream {
       .select(
         keyExpr.as("key"),
         col(tsCol).cast(LongType).as("ts"),
+        idCol.map(c => Compiler.colRef(c).cast(LongType))
+          .getOrElse(lit(0L)).as("id"),
         (if (hasSr) coalesce(col(Aggregates.SampleRateCol).try_cast(DoubleType), lit(1.0))
          else lit(1.0)).as("sr"),
         array(selects.map(s =>
@@ -133,11 +145,11 @@ object GapWindowStream {
       // guarantees no earlier event can still arrive, so the fold order is
       // exactly the batch operator's
       val (ready, still) = (prev.pending ++
-        events.map(e => GwPend(e.ts, e.sr, e.values)))
+        events.map(e => GwPend(e.ts, e.id, e.sr, e.values)))
         .partition(_.ts * 1000L < wmMs)
       val outs = Seq.newBuilder[GwOut]
       var st = prev
-      ready.sortBy(_.ts).foreach { e =>
+      ready.sortBy(e => (e.ts, e.id)).foreach { e =>
         if (!st.hasWindow && st.anchor < 0L) { // first event of a fresh walk
           val (a, b) = freshBufs(); fold(a, b, e)
           st = GwState(e.ts, e.ts, -1L, hasWindow = true, a, b, Nil)

@@ -453,4 +453,49 @@ class SqlSpec extends AnyFunSuite {
       spark.sql("SELECT hash_bucket(doc_id, doc_id) FROM sqlfn_docs").collect())
     assert(e.getMessage.contains("literal"))
   }
+
+  test("sequence ops: journeys / funnel / decay / argmax from SQL (VERDICT r9 #3)") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 0L, 10L, "view", 1.0), (2L, 10L, 10L, "click", 2.0),
+      (3L, 20L, 10L, "purchase", 4.0), (4L, 30L, 20L, "view", 8.0),
+      (5L, 40L, 20L, "view", 16.0))
+      .toDF("event_id", "sec", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+
+    val j = ZxSql.run(ev, "select journeys top 5 steps 8")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(j == Set(("view>click>purchase", 1L), ("view>view", 1L)))
+
+    val f = ZxSql.run(ev, "select funnel view, click, purchase")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(f == Map(3 -> 1L, 1 -> 1L)) // user 10 converts, user 20 stalls at view
+
+    // user 20 in (ts, id) order: 8 then 16 -> (0*0.5+8)*0.5+16 = 20
+    val d = ZxSql.run(ev, "select decay(value) last 64 where user_id = 20")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(d == Set((20L, 20L * 1048576L, 2L)))
+
+    val am = ZxSql.run(ev,
+      "select argmax(value, event_id) where value exists group by event_type")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSet
+    assert(am == Set(("view", 16.0, 5L, 3L), ("click", 2.0, 2L, 1L),
+      ("purchase", 4.0, 3L, 1L)))
+
+    // WHERE composes into the front half: journeys over the click-free slice
+    val j2 = ZxSql.run(ev, "select journeys where event_type != 'click'")
+      .collect().map(r => r.getString(0)).toSet
+    assert(j2 == Set("view>purchase", "view>view"))
+
+    // grammar guards: misplaced clauses fail loudly, and `decay` stays
+    // usable as a plain column name (keyword needs the paren)
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select journeys group by user_id"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select argmax(value, event_id)"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select decay(value) last 0"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select funnel a, b order by sum(x)"))
+    assert(ZxSql.parse("select decay").selects == Seq(Select(Agg.Raw, "decay")))
+    // streaming route rejects with guidance (order-dependent per-day folds)
+    assertThrows[ZxSql.ParseError](ZxSql.runStream(ev, "select funnel view, click"))
+  }
 }
