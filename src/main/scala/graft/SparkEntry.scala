@@ -1408,6 +1408,41 @@ object SparkEntry {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** c8b: STRING file-stats pruning (VERDICT r9 "what's missing" #3 — c8
+    * pins integral ranges only; `event_type`/`lang` equality is the other
+    * half of real file skipping, and DuckDB/Iceberg both pin truncated
+    * string bounds). The append co-locates event types per task so each
+    * file's [min, max] covers 1-2 types; bounds are pinned TRUNCATED to 4
+    * chars (exercising the increment-at-the-cut upper bound at
+    * verification scale — 'purchase' pins as ['purc', 'purd']), and the
+    * point read binds a strict subset of the manifest (require-gated) with
+    * results equal to the full filtered read. */
+  private def c8bStringPrune(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/graft-strstats-q/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.sources.EventStore.reset(s, path)
+    val ev = Tables.events(s, dir)
+      .filter(dayofmonth(col("ts")) <= 6 && col("event_type").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    // range partitioning, not hash: files must hold alphabetically
+    // CONTIGUOUS event types for interval bounds to separate them
+    graft.sources.EventStore.append(
+      ev.repartitionByRange(4, col("event_type")), path)
+    graft.sources.EventStore.writeManifest(s, path)
+    graft.sources.EventStore.writeFileStats(s, path, Seq("user_id"),
+      stringColumns = Seq("event_type"), truncateTo = 4)
+    val pruned = graft.sources.EventStore.readPinnedWhereString(
+      s, path, "event_type", "click", "click")
+    require(pruned.inputFiles.length <
+      graft.sources.EventStore.manifestFiles(s, path).size,
+      s"string stats pruning must bind fewer files, bound ${pruned.inputFiles.length}")
+    pruned
+      .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 3).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** c9: incremental refresh off the manifest log — commit a 3-day
     * snapshot, append 3 more days (second commit), then refresh a
     * per-type aggregate by reading ONLY the files [[graft.sources
@@ -1891,6 +1926,15 @@ object SparkEntry {
     * one count shuffle + TakeOrderedAndProject. */
   private def x15RepeatedSpans(s: SparkSession, dir: String): DataFrame =
     graft.operators.Corpus.repeatedSpans(Tables.documents(s, dir), n = 5, topK = 40)
+
+  /** x15b: the HASH-KEYED span miner — the count shuffle carries 8-byte
+    * RollingHash keys instead of 5-token strings; surviving top hashes
+    * recover their text in a second broadcast-filtered pass. The oracle
+    * replays the polynomial hash (the x5 fold) span-by-span, so a hash
+    * match proves the hashed plan finds the same spans with the same
+    * counts. */
+  private def x15bRepeatedSpansHashed(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.repeatedSpansHashed(Tables.documents(s, dir), n = 5, topK = 40)
 
   /** x17: quality-classifier training — a linear probe over the x2 quality
     * signals, trained distributed (20 full-batch GD iterations, one
@@ -2698,6 +2742,7 @@ object SparkEntry {
     "x13_bpe_tokens" -> (x13BpeTokens _),
     "x14_familiarity" -> (x14Familiarity _),
     "x15_repeated_ngrams" -> (x15RepeatedSpans _),
+    "x15b_spans_hashed" -> (x15bRepeatedSpansHashed _),
     "x16_span_excise" -> (x16SpanExcise _),
     "x17_quality_probe" -> (x17QualityProbe _),
     "c4_familiarity_gate" -> (c4FamiliarityGate _),
@@ -2741,6 +2786,7 @@ object SparkEntry {
     "c6_zorder" -> (c6ZOrder _),
     "c7_time_travel" -> (c7TimeTravel _),
     "c8_stats_prune" -> (c8StatsPrune _),
+    "c8b_string_prune" -> (c8bStringPrune _),
     "c9_incremental" -> (c9Incremental _),
     "c10_merge_delete" -> (c10MergeDelete _),
     "c11_schema_evolution" -> (c11SchemaEvolution _),
@@ -3618,6 +3664,34 @@ object SparkEntry {
         |FROM spans GROUP BY span
         |HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY n_occur DESC, span LIMIT 40""".stripMargin,
+    "x15b_spans_hashed" ->
+      // the hash-keyed plan replayed: same window walk, then the x5
+      // Karp-Rabin fold per span, count by HASH (ties at the top-K
+      // boundary break by hash — the engine selects before strings
+      // exist), text recovered per surviving hash via min(span)
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |spans AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(t) - 5 + 2, 1)),
+        |      i -> array_to_string(t[i:i+4], ' '))) AS span
+        |  FROM toks),
+        |h AS (SELECT doc_id, span,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(1, length(span) + 1),
+        |      i -> ascii(substr(span, i::INT, 1))::BIGINT)),
+        |   (acc, x) -> ((acc::HUGEINT * ${graft.expressions.RollingHash.Base} + x)
+        |     % ${graft.expressions.RollingHash.Mod})::BIGINT) AS span_h
+        |  FROM spans),
+        |c AS (SELECT span_h, count(*)::BIGINT AS n_occur,
+        |    count(DISTINCT doc_id)::BIGINT AS n_docs
+        |  FROM h GROUP BY span_h
+        |  HAVING count(DISTINCT doc_id) >= 2
+        |  ORDER BY n_occur DESC, span_h LIMIT 40),
+        |r AS (SELECT span_h, min(span) AS span FROM h
+        |  WHERE span_h IN (SELECT span_h FROM c) GROUP BY span_h)
+        |SELECT r.span, c.span_h, c.n_occur, c.n_docs
+        |FROM c JOIN r USING (span_h)
+        |ORDER BY c.n_occur DESC, c.span_h""".stripMargin,
     "s11_project" -> {
       val exprs = graft.functions.VectorFunctions
         .projectSql("embedding", projMatrix)
@@ -4187,6 +4261,16 @@ object SparkEntry {
         | count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events, b
         |WHERE date_part('day', ts) <= 6 AND user_id BETWEEN b.lo AND b.hi
+        |GROUP BY 1""".stripMargin,
+    "c8b_string_prune" ->
+      // the string-pruned point read equals the plain filtered slice —
+      // truncated bounds are conservative, so pruning changes WHICH files
+      // open, never which rows come back
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*)::BIGINT AS n,
+        | round(sum(value), 3) AS sum_value,
+        | count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events
+        |WHERE date_part('day', ts) <= 6 AND event_type = 'click'
         |GROUP BY 1""".stripMargin,
     "c12_point_prune" ->
       // store-free replay of the point lookup the membership-pruned read

@@ -469,8 +469,9 @@ object EventStore {
     * stale stats can never be consulted for it. Returns the number of
     * (file, column) entries pinned. */
   def writeFileStats(spark: SparkSession, path: String, columns: Seq[String],
+                     stringColumns: Seq[String] = Nil, truncateTo: Int = 16,
                      version: Long = -1L): Int = {
-    require(columns.nonEmpty, "writeFileStats: no columns")
+    require(columns.nonEmpty || stringColumns.nonEmpty, "writeFileStats: no columns")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = if (version < 0) {
@@ -483,6 +484,14 @@ object EventStore {
       ZOrder.fileColumnStats(spark, rel.map(f => path + "/" + f), c)
         .zip(rel).collect { case ((_, Some((mn, mx))), r) =>
           s"""{"f":"${jsonEscape(r)}","c":"${jsonEscape(c)}","mn":$mn,"mx":$mx}"""
+        }
+    } ++ stringColumns.flatMap { c =>
+      // c8b: Iceberg-style truncated string bounds — lower truncates
+      // plainly, upper increments at the cut (ZOrder.truncatedStringBounds)
+      ZOrder.fileStringStats(spark, rel.map(f => path + "/" + f), c, truncateTo)
+        .zip(rel).collect { case ((_, Some((mn, mx))), r) =>
+          s"""{"f":"${jsonEscape(r)}","c":"${jsonEscape(c)}",""" +
+            s""""smn":"${jsonEscape(mn)}","smx":"${jsonEscape(mx)}"}"""
         }
     }
     val tmp = new org.apache.hadoop.fs.Path(root, s".stats-v$v.tmp")
@@ -497,6 +506,57 @@ object EventStore {
 
   private val StatsLine =
     """\{"f":"((?:[^"\\]|\\.)*)","c":"((?:[^"\\]|\\.)*)","mn":(-?\d+),"mx":(-?\d+)\}""".r
+
+  private val StrStatsLine =
+    ("""\{"f":"((?:[^"\\]|\\.)*)","c":"((?:[^"\\]|\\.)*)",""" +
+      """"smn":"((?:[^"\\]|\\.)*)","smx":"((?:[^"\\]|\\.)*)"\}""").r
+
+  /** String-stats-pruned pinned read (c8b): bind the plan to ONLY the
+    * manifest files whose pinned truncated bounds on string `column`
+    * intersect `[lo, hi]` (equality = `lo == hi`), then apply the row
+    * filter. Truncated bounds are conservative by construction
+    * ([[ZOrder.truncatedStringBounds]]: lower ≤ true min, upper ≥ true
+    * max), and files without pinned bounds are kept, so results equal
+    * `readPinned(...).filter(column between lo and hi)` exactly. ASCII
+    * bounds only (enforced at pin time) — the driver's Java-String compare
+    * and Spark's UTF-8 binary compare agree there. */
+  def readPinnedWhereString(spark: SparkSession, path: String, column: String,
+                            lo: String, hi: String, version: Long = -1L): DataFrame = {
+    require(lo <= hi, s"readPinnedWhereString: empty range ['$lo', '$hi']")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = if (version < 0) {
+      val vs = manifestVersions(fs, root)
+      require(vs.nonEmpty, s"readPinnedWhereString: no manifest under $path")
+      vs.last
+    } else version
+    val sp = statsPath(root, v)
+    require(fs.exists(sp),
+      s"readPinnedWhereString: no stats sidecar for manifest v$v under $path — " +
+        s"run writeFileStats(..., stringColumns = Seq(\"$column\")) after the commit")
+    val in = fs.open(sp)
+    val txt = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val bounds = txt.linesIterator.collect {
+      case StrStatsLine(f, c, mn, mx) if jsonUnescape(c) == column =>
+        jsonUnescape(f) -> (jsonUnescape(mn), jsonUnescape(mx))
+    }.toMap
+    val files = readManifestFile(fs, root, v)
+    val kept = files.filter(f => bounds.get(f) match {
+      case Some((mn, mx)) => mx >= lo && mn <= hi
+      case None           => true // unknown bounds — must admit
+    })
+    val bind = if (kept.nonEmpty) kept else files.take(1)
+    val df = spark.read.option("basePath", path)
+      .parquet(bind.map(f => path + "/" + f): _*)
+    require(df.schema(column).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"readPinnedWhereString: '$column' must be a string column, got " +
+        df.schema(column).dataType)
+    val filtered = df.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+    if (kept.nonEmpty) filtered else filtered.limit(0)
+  }
 
   private def keysPath(root: org.apache.hadoop.fs.Path, v: Long) =
     new org.apache.hadoop.fs.Path(root, s"_graft_manifest.v$v.keys.jsonl")

@@ -137,6 +137,80 @@ object ZOrder {
     }
   }
 
+  /** Truncated-string file bounds — the OTHER half of real file skipping
+    * (c8 pins integral ranges; `event_type`/`lang` predicates want string
+    * bounds; DuckDB and Iceberg both pin truncated string min/max).
+    *
+    * Truncation discipline (Iceberg's): the LOWER bound truncates plainly
+    * (a prefix is ≤ the full string), the UPPER bound truncates and then
+    * increments its last incrementable character so it stays ≥ every
+    * string it covers; a bound whose every character is already maximal
+    * cannot be represented and maps to None (file always admitted).
+    *
+    * ASCII-only guard: bounds containing any non-ASCII character map to
+    * None. Spark compares strings in UTF-8 BINARY order while the
+    * driver-side prune compares Java Strings (UTF-16 code units) — the two
+    * orders agree exactly on ASCII and can diverge beyond the BMP, and a
+    * pruning layer must never be cleverer than the comparator it prunes
+    * for. Real observability enum columns (event types, langs, services)
+    * are ASCII; a corpus that isn't simply keeps its files admitted. */
+  def truncatedStringBounds(mn: String, mx: String, truncateTo: Int)
+      : Option[(String, String)] = {
+    require(truncateTo >= 1, s"truncatedStringBounds: bad length $truncateTo")
+    def ascii(s: String) = s.forall(_ < 0x80)
+    if (!ascii(mn) || !ascii(mx)) return None
+    val lo = if (mn.length <= truncateTo) mn else mn.substring(0, truncateTo)
+    val hiOpt =
+      if (mx.length <= truncateTo) Some(mx)
+      else {
+        val t = mx.substring(0, truncateTo).toCharArray
+        // rightmost char below the ASCII ceiling increments; everything
+        // after it drops (0x7F caps the increment so the bound STAYS
+        // ASCII-comparable — '' would leave the safe order zone)
+        val i = t.lastIndexWhere(_ < 0x7f)
+        if (i < 0) None
+        else Some(new String(t, 0, i) + (t(i) + 1).toChar)
+      }
+    hiOpt.map(hi => (lo, hi))
+  }
+
+  /** Per-FILE min/max of a STRING column from the parquet footers, already
+    * truncated via [[truncatedStringBounds]] — raw material for the c8b
+    * string side of [[EventStore.writeFileStats]]. None = no usable or
+    * representable bounds; the reader must admit the file. */
+  def fileStringStats(spark: SparkSession, files: Seq[String], column: String,
+                      truncateTo: Int = 16): Seq[(String, Option[(String, String)])] = {
+    require(files.nonEmpty, "fileStringStats: empty file list")
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        val perBlock = reader.getFooter.getBlocks.asScala.toSeq.map { block =>
+          val colChunk = block.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+          colChunk.map(_.getStatistics).flatMap { stats =>
+            if (stats == null || !stats.hasNonNullValue) None
+            else (stats.genericGetMin, stats.genericGetMax) match {
+              case (mn: org.apache.parquet.io.api.Binary,
+                    mx: org.apache.parquet.io.api.Binary) =>
+                Some((mn.toStringUsingUTF8, mx.toStringUsingUTF8))
+              case _ => None
+            }
+          }
+        }
+        // ONE unstatted row group poisons the whole file (same rule as the
+        // integral path)
+        f -> (if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
+              else truncatedStringBounds(
+                perBlock.flatten.map(_._1).min,
+                perBlock.flatten.map(_._2).max, truncateTo))
+      } finally reader.close()
+    }
+  }
+
   def rowGroupStats(spark: SparkSession, files: Seq[String],
                     column: String, lo: Long, hi: Long): SkipStats = {
     require(files.nonEmpty, "rowGroupStats: empty file list")

@@ -261,6 +261,31 @@ object Stress {
     time("x15_spans_10x") {
       graft.operators.Corpus.repeatedSpans(rep(10), n = 5, topK = 40).count()
     }
+    // string vs hash span key at 10×: the x15b claim is SHUFFLE BYTES, so
+    // measure them — a listener sums shuffle writes across the job's
+    // stages (async bus: allow a drain margin before reading)
+    def withShuffleBytes(name: String)(f: => Long): Unit = {
+      val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          acc.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      val rows = try f finally ()
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000) // listener bus drain
+      spark.sparkContext.removeSparkListener(listener)
+      println(f"[stress] $name rows=$rows time=$dt%.2f s " +
+        f"shuffle_bytes=${acc.get()} (${acc.get() / 1048576.0}%.1f MiB)")
+    }
+    withShuffleBytes("x15_spans_10x_stringkey") {
+      graft.operators.Corpus.repeatedSpans(rep(10), n = 5, topK = 40).count()
+    }
+    withShuffleBytes("x15b_spans_10x_hashkey") {
+      graft.operators.Corpus.repeatedSpansHashed(rep(10), n = 5, topK = 40).count()
+    }
     val ev1 = graft.sources.Tables.events(spark, dir)
       .filter(col("user_id").isNotNull)
     val evSeq10 = (0 until 10).map(i =>

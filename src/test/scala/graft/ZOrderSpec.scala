@@ -142,4 +142,57 @@ class ZOrderSpec extends AnyFunSuite {
     }
     assert(notIntegral.getMessage.contains("must be integral"))
   }
+  test("truncated string bounds: prefix lower, incremented upper, ASCII guard (c8b)") {
+    import graft.sources.ZOrder.truncatedStringBounds
+    // short strings pass through untouched
+    assert(truncatedStringBounds("click", "view", 16) == Some(("click", "view")))
+    // upper bound increments AT the cut so it stays >= everything it covers
+    assert(truncatedStringBounds("purchase", "purchase", 4) == Some(("purc", "purd")))
+    // the incremented bound really is an upper bound, in string order
+    val Some((lo, hi)) = truncatedStringBounds("aaaa_long_tail", "zzzz_long_tail", 4)
+    assert(lo <= "aaaa_long_tail" && hi >= "zzzz_long_tail")
+    // a max-ASCII cut cascades left ('a'++ = 'b', DELs drop); an
+    // all-maximal prefix is unrepresentable
+    val del = "\u007f"
+    assert(truncatedStringBounds("a", "a" + del * 3 + "x", 4) == Some(("a", "b")))
+    assert(truncatedStringBounds("a", del * 4 + "x", 4).isEmpty)
+    // non-ASCII bounds refuse to pin: UTF-8 binary order and UTF-16 order
+    // diverge beyond ASCII, and pruning must not outsmart its comparator
+    assert(truncatedStringBounds("caf\u00e9", "caf\u00e9", 16).isEmpty)
+  }
+
+  test("string-stats-pruned reads bind fewer files yet equal the full filtered read (c8b)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-strstats").toString
+    EventStore.reset(spark, dir)
+    import spark.implicits._
+    val n = 2000
+    val df = (0 until n).map { i =>
+      (i.toLong, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1704067200L + i * 60L)),
+        Seq("alpha", "bravo", "charlie", "purchaseverylongtype")(i % 4), i * 1.5)
+    }.toDF("event_id", "ts", "etype", "value")
+    // range partitioning: files hold alphabetically CONTIGUOUS type ranges
+    // — interval bounds can only prune what the layout actually separates
+    EventStore.append(df.repartitionByRange(4, col("etype")), dir)
+    EventStore.writeManifest(spark, dir)
+    val pinned = EventStore.writeFileStats(spark, dir, Seq("event_id"),
+      stringColumns = Seq("etype"), truncateTo = 8)
+    assert(pinned > 0)
+    val all = EventStore.manifestFiles(spark, dir).size
+    val pruned = EventStore.readPinnedWhereString(spark, dir, "etype", "bravo", "bravo")
+    assert(pruned.inputFiles.length < all, s"bound ${pruned.inputFiles.length} of $all")
+    val expect = EventStore.readPinned(spark, dir).filter(col("etype") === "bravo")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(pruned.select("event_id").collect().map(_.getLong(0)).toSet == expect)
+    // truncated upper bound stays conservative: the long type still matches
+    val longT = EventStore.readPinnedWhereString(spark, dir, "etype",
+      "purchaseverylongtype", "purchaseverylongtype")
+    assert(longT.count() == n / 4)
+    // out-of-range key prunes everything, provably empty
+    assert(EventStore.readPinnedWhereString(spark, dir, "etype", "zz", "zz").count() == 0)
+    // non-string column rejected loudly
+    val e = intercept[IllegalArgumentException](
+      EventStore.readPinnedWhereString(spark, dir, "value", "a", "b"))
+    assert(e.getMessage.contains("string column"))
+  }
 }
