@@ -278,8 +278,10 @@ object Compiler {
     val extraSels = (q.orderBy.map(_.select) ++ q.having.map(_.select))
       .filterNot(s => q.selects.contains(s) || s.agg == Agg.Raw || s.agg == Agg.Heatmap)
       .distinct
-    val grouped = havingFilter(Aggregates.groupedAgg(filtered, keys, q.groupBy,
-      q.selects ++ extraSels, df.schema, q.skewSalt), q.having)
+    val grouped = havingFilter(
+      if (q.rollup) rollupAgg(filtered, keys, q, q.selects ++ extraSels, df.schema)
+      else Aggregates.groupedAgg(filtered, keys, q.groupBy,
+        q.selects ++ extraSels, df.schema, q.skewSalt), q.having)
     val ordCols = q.orderBy.map { ob =>
       val c = colRef(ob.select.key)
       ob.dir match { case SortDir.Asc => c.asc; case SortDir.Desc => c.desc }
@@ -289,6 +291,28 @@ object Compiler {
     if (extraSels.nonEmpty)
       limited.select((q.groupBy.map(colRef) ++ q.selects.map(s => colRef(s.key))): _*)
     else limited
+  }
+
+  /** ROLLUP aggregation for the sorted path: every groupBy-key prefix
+    * (a, b) → {(a, b), (a), ()} aggregates in ONE pass — Spark's Expand
+    * emits one row per level per input row ahead of the single hash
+    * aggregate, so subtotals cost one plan, not N re-aggregations.
+    *
+    * Sentinel discipline: group keys arrive already `__nil`-coalesced
+    * ([[groupKeys]]), so they are NON-NULL by construction — any null a
+    * rollup level emits can only mean "rolled up", and renders as the
+    * distinct `__all` marker. A data-missing key therefore stays `__nil`
+    * and can never collide with a subtotal row. */
+  private def rollupAgg(filtered: DataFrame, keys: Seq[Column], q: ZxQuery,
+                        sels: Seq[Select], schema: StructType): DataFrame = {
+    require(q.groupBy.nonEmpty, "rollup needs group by columns")
+    require(q.skewSalt.isEmpty,
+      "rollup with salt is unsupported: the Expand levels already spread a " +
+        "hot key's rows across (level × key) groups")
+    val aggs = Aggregates.compileAll(sels, schema)
+    filtered.rollup(keys: _*).agg(aggs.head, aggs.tail: _*)
+      .select(q.groupBy.map(g => coalesce(colRef(g), lit("__all")).as(g)) ++
+        sels.map(s => colRef(s.key)): _*)
   }
 
   /** Raw projection — what a bare `SELECT col` parses to (expr.rs:120-125);

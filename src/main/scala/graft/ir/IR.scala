@@ -186,4 +186,15 @@ final case class ZxQuery(
       * argmax riding the same scan+filter front half. When set, `selects`
       * is empty and only `groupBy` (argmax) of the remaining clauses
       * applies. */
-    seqOp: Option[SeqOp] = None)
+    seqOp: Option[SeqOp] = None,
+    /** ROLLUP over the groupBy keys (extension — explicitly absent in the
+      * reference, SURVEY §2): every key prefix aggregates in ONE pass
+      * (Spark Expand), the staple of "top groups with subtotals"
+      * observability UIs that otherwise costs N passes through O1.
+      * Sentinel-consistent rendering: data-missing keys stay `__nil`,
+      * rolled-up (subtotal) levels render `__all` — distinguishable
+      * because keys are coalesced BEFORE the rollup, so an output null
+      * can only mean a rolled-up level. Routes through the sorted path;
+      * mutually exclusive with session/slide/exact/salt. SQL face:
+      * `group by rollup <col, …>`. */
+    rollup: Boolean = false)

@@ -454,6 +454,22 @@ class SqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("literal"))
   }
 
+  test("rollup: subtotal levels render __all, data-missing keys stay __nil") {
+    val got = ZxSql.run(fixture,
+      "select sum(foo) group by rollup y order by sum(foo) desc")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got == Map("__all" -> 5500.0, Compiler.NilSentinel -> 4000.0,
+      "9" -> 1400.0, "1" -> 100.0))
+    // two levels: 10 distinct (y, x) pairs + 3 y subtotals + 1 grand total
+    assert(ZxSql.run(fixture, "select count(foo) group by rollup y, x").count() == 14)
+    // guards: rollup is aggregate-only and excludes the windowed clauses
+    assertThrows[ZxSql.ParseError](
+      ZxSql.parse("select sum(foo) group by rollup y session 10"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select foo group by rollup y"))
+    assertThrows[ZxSql.ParseError](
+      ZxSql.parse("select sum(foo) group by rollup y salt 4"))
+  }
+
   test("sequence ops: journeys / funnel / decay / argmax from SQL (VERDICT r9 #3)") {
     import org.apache.spark.sql.functions.{col, timestamp_seconds}
     import spark.implicits._
