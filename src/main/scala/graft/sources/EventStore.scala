@@ -223,9 +223,20 @@ object EventStore {
   private def withCommitLock[A](fs: org.apache.hadoop.fs.FileSystem,
                                 root: org.apache.hadoop.fs.Path)(body: => A): A = {
     val lock = new org.apache.hadoop.fs.Path(root, ".manifest.lock")
+    // Local scheme: Hadoop's LocalFileSystem.create(overwrite = false) is
+    // an exists-CHECK followed by a create — NOT atomic. Two same-machine
+    // committers could both claim the lock and silently collide on one
+    // version (caught by the threaded race spec, round 10). POSIX
+    // O_CREAT|O_EXCL via File#createNewFile IS atomic; HDFS's create(…,
+    // false) is atomic server-side, so the FS call stays for remote
+    // schemes.
     val claimed =
-      try { fs.create(lock, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      if (fs.getScheme == "file")
+        try new java.io.File(fs.makeQualified(lock).toUri.getPath).createNewFile()
+        catch { case _: java.io.IOException => false }
+      else
+        try { fs.create(lock, false).close(); true }
+        catch { case _: java.io.IOException => false }
     if (!claimed) {
       val age =
         try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
@@ -253,7 +264,11 @@ object EventStore {
                            root: org.apache.hadoop.fs.Path,
                            files: Seq[String]): Long = {
     val next = manifestVersions(fs, root).lastOption.getOrElse(-1L) + 1L
-    val tmp = new org.apache.hadoop.fs.Path(root, s".manifest-v$next.tmp")
+    // per-attempt unique tmp name: even a misbehaving double-claimed lock
+    // (a broken FS) can then at worst fail a rename loudly, never have two
+    // writers interleave bytes into ONE tmp file
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s".manifest-v$next-${Thread.currentThread().getId}-${System.nanoTime()}.tmp")
     val out = fs.create(tmp, true)
     try out.write(files.sorted
       .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")

@@ -214,6 +214,71 @@ class StoreStreamSpec extends AnyFunSuite {
       s"updates plan materialized ${acc.value}/20 rows — must evaluate once")
   }
 
+  test("manifest commit race: N threads hammering commits lose nothing, versions stay unique and monotone") {
+    // The property the exclusive-create lock exists for (EventStore
+    // withCommitLock scaladoc): POSIX rename-to-destination OVERWRITES, so
+    // without arbitration two racing committers can both "succeed" at the
+    // same version and one commit is silently lost. Witness: after T
+    // threads × K commits each (every commit preceded by dropping a unique
+    // data file into the store), the number of manifest versions equals
+    // the number of successful commits (no overwrite collapsed two), and a
+    // final adoption sees EVERY dropped file (no placement lost).
+    val dir = Files.createTempDirectory("graft-race").toString + "/events"
+    val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(dayofmonth(col("ts")) === 1)
+      .select("event_id", "ts", "user_id", "value")
+    EventStore.append(src.coalesce(1), dir)
+    EventStore.writeManifest(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // template data file to clone under fresh names (content irrelevant)
+    val template = EventStore.manifestFiles(spark, dir).head
+    val partDir = new org.apache.hadoop.fs.Path(template).getParent
+    val threads = 8; val perThread = 12
+    val committed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def commitWithRetry(): Unit = {
+      var done = false; var tries = 0
+      while (!done) {
+        try { EventStore.writeManifest(spark, dir); committed.incrementAndGet(); done = true }
+        catch {
+          case e: IllegalStateException if e.getMessage.contains("lock") =>
+            tries += 1
+            if (tries > 2000) throw new IllegalStateException("lock starvation", e)
+            Thread.sleep(1L)
+        }
+      }
+    }
+    val pool = (0 until threads).map { t =>
+      new Thread(() => {
+        try (0 until perThread).foreach { i =>
+          org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(template),
+            fs, new org.apache.hadoop.fs.Path(partDir, s"part-race-$t-$i.parquet"),
+            false, spark.sparkContext.hadoopConfiguration)
+          commitWithRetry()
+        } catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    val v0 = EventStore.manifestVersion(spark, dir)
+    pool.foreach(_.start()); pool.foreach(_.join())
+    assert(failures.isEmpty, s"thread failures: ${failures.toArray.mkString(", ")}")
+    assert(committed.get() == threads * perThread)
+    // every successful commit produced its OWN version — none overwritten
+    val vFinal = EventStore.manifestVersion(spark, dir)
+    assert(vFinal == v0 + committed.get(),
+      s"expected ${v0 + committed.get()} as final version, got $vFinal — a commit was lost")
+    // no placement lost: one more adoption sees every dropped file
+    EventStore.writeManifest(spark, dir)
+    val finalFiles = EventStore.manifestFiles(spark, dir)
+    val raceFiles = finalFiles.count(_.contains("part-race-"))
+    assert(raceFiles == threads * perThread,
+      s"adopted $raceFiles of ${threads * perThread} race files")
+    // and the monotone version chain is fully readable (no corrupt writes)
+    ((v0 + 1) to vFinal).foreach { v =>
+      assert(EventStore.manifestFiles(spark, dir, v).nonEmpty)
+    }
+  }
+
   test("versioned manifests: time travel reaches every retained snapshot; vacuum bounds it loudly") {
     val dir = Files.createTempDirectory("graft-travel").toString + "/events"
     val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
