@@ -535,6 +535,18 @@ object SparkEntry {
         round3("sum_value"), round3("count_value"))
   }
 
+  /** o6: CUBE — every key SUBSET {(type, user), (type), (user), ()} in the
+    * same one-Expand-pass plan as o5's rollup; the per-user margin rows
+    * are what cube adds over rollup. Key count capped at 4 in the dialect
+    * (2^n level blowup is the documented cost). */
+  private def o6Cube(s: SparkSession, dir: String): DataFrame = {
+    val sql = "select sum(value), count(value) from events " +
+      "group by cube event_type, user_id order by sum(value) desc"
+    graft.sql.ZxSql.run(Tables.events(s, dir), sql)
+      .select(col("event_type"), col("user_id"),
+        round3("sum_value"), round3("count_value"))
+  }
+
   /** O1 + LIMIT through SQL: sort+limit compiles to TakeOrderedAndProject
     * (per-partition top-k, no global sort) — the scalable "top-k services"
     * query the reference's observability UI wants. */
@@ -2756,6 +2768,7 @@ object SparkEntry {
     "p5_sql_trailing" -> (p5SqlTrailing _),
     "p6_sql_journeys" -> (p6SqlJourneys _),
     "o5_rollup" -> (o5Rollup _),
+    "o6_cube" -> (o6Cube _),
     "p7_sql_funnel" -> (p7SqlFunnel _),
     "p8_sql_decay" -> (p8SqlDecay _),
     "p9_sql_argmax" -> (p9SqlArgmax _),
@@ -3138,6 +3151,16 @@ object SparkEntry {
         |  round(sum(coalesce(value, 0)), 3) AS sum_value,
         |  round(CAST(count(value) AS DOUBLE), 3) AS count_value
         |FROM e GROUP BY ROLLUP (et, uid)""".stripMargin,
+    "o6_cube" ->
+      // same null-free-input trick, all four key subsets
+      """WITH e AS (SELECT coalesce(event_type, '__nil') AS et,
+        |    coalesce(CAST(user_id AS VARCHAR), '__nil') AS uid, value
+        |  FROM events)
+        |SELECT coalesce(et, '__all') AS event_type,
+        |  coalesce(uid, '__all') AS user_id,
+        |  round(sum(coalesce(value, 0)), 3) AS sum_value,
+        |  round(CAST(count(value) AS DOUBLE), 3) AS count_value
+        |FROM e GROUP BY CUBE (et, uid)""".stripMargin,
     "o2_topk_limit" ->
       """SELECT CAST(user_id AS VARCHAR) AS user_id,
         | round(sum(coalesce(value, 0)), 3) AS sum_value

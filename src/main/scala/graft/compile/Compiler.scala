@@ -279,7 +279,8 @@ object Compiler {
       .filterNot(s => q.selects.contains(s) || s.agg == Agg.Raw || s.agg == Agg.Heatmap)
       .distinct
     val grouped = havingFilter(
-      if (q.rollup) rollupAgg(filtered, keys, q, q.selects ++ extraSels, df.schema)
+      if (q.rollup || q.cube)
+        rollupAgg(filtered, keys, q, q.selects ++ extraSels, df.schema)
       else Aggregates.groupedAgg(filtered, keys, q.groupBy,
         q.selects ++ extraSels, df.schema, q.skewSalt), q.having)
     val ordCols = q.orderBy.map { ob =>
@@ -293,24 +294,28 @@ object Compiler {
     else limited
   }
 
-  /** ROLLUP aggregation for the sorted path: every groupBy-key prefix
-    * (a, b) → {(a, b), (a), ()} aggregates in ONE pass — Spark's Expand
-    * emits one row per level per input row ahead of the single hash
-    * aggregate, so subtotals cost one plan, not N re-aggregations.
+  /** ROLLUP / CUBE aggregation for the sorted path: every groupBy-key
+    * prefix — or, for cube, every key SUBSET — aggregates in ONE pass:
+    * Spark's Expand emits one row per level per input row ahead of the
+    * single hash aggregate, so subtotals cost one plan, not N
+    * re-aggregations.
     *
     * Sentinel discipline: group keys arrive already `__nil`-coalesced
     * ([[groupKeys]]), so they are NON-NULL by construction — any null a
-    * rollup level emits can only mean "rolled up", and renders as the
+    * rollup/cube level emits can only mean "rolled up", and renders as the
     * distinct `__all` marker. A data-missing key therefore stays `__nil`
     * and can never collide with a subtotal row. */
   private def rollupAgg(filtered: DataFrame, keys: Seq[Column], q: ZxQuery,
                         sels: Seq[Select], schema: StructType): DataFrame = {
-    require(q.groupBy.nonEmpty, "rollup needs group by columns")
+    require(q.groupBy.nonEmpty, "rollup/cube needs group by columns")
     require(q.skewSalt.isEmpty,
-      "rollup with salt is unsupported: the Expand levels already spread a " +
-        "hot key's rows across (level × key) groups")
+      "rollup/cube with salt is unsupported: the Expand levels already " +
+        "spread a hot key's rows across (level × key) groups")
     val aggs = Aggregates.compileAll(sels, schema)
-    filtered.rollup(keys: _*).agg(aggs.head, aggs.tail: _*)
+    val leveled =
+      if (q.cube) filtered.cube(keys: _*).agg(aggs.head, aggs.tail: _*)
+      else filtered.rollup(keys: _*).agg(aggs.head, aggs.tail: _*)
+    leveled
       .select(q.groupBy.map(g => coalesce(colRef(g), lit("__all")).as(g)) ++
         sels.map(s => colRef(s.key)): _*)
   }

@@ -197,4 +197,9 @@ final case class ZxQuery(
       * can only mean a rolled-up level. Routes through the sorted path;
       * mutually exclusive with session/slide/exact/salt. SQL face:
       * `group by rollup <col, …>`. */
-    rollup: Boolean = false)
+    rollup: Boolean = false,
+    /** CUBE over the groupBy keys (extension): every key SUBSET (2^n
+      * levels, n ≤ 4 enforced at parse), same Expand plan and the same
+      * `__nil`/`__all` sentinel discipline as [[rollup]]. SQL face:
+      * `group by cube <col, …>`. */
+    cube: Boolean = false)

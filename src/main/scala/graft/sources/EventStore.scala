@@ -168,6 +168,7 @@ object EventStore {
     * unversioned `_graft_manifest.json` reads as version 0. */
   private def manifestVersions(fs: org.apache.hadoop.fs.FileSystem,
                                root: org.apache.hadoop.fs.Path): Seq[Long] = {
+    if (!fs.exists(root)) return Seq.empty // fresh store: no versions yet
     val versioned = fs.listStatus(root).toSeq.filter(_.isFile)
       .map(_.getPath.getName)
       .collect { case ManifestVersioned(v) => v.toLong }
@@ -208,7 +209,7 @@ object EventStore {
     * (their commit is coming) or crash debris (vacuum's to reclaim).
     * Without this rule, a crashed compaction's moved-in files would be
     * double-counted next to the originals they never replaced. */
-  private val MaintenanceFile = """(?:compact|zorder|merge|delete)-\d+-.*""".r
+  private val MaintenanceFile = """(?:compact|zorder|merge|delete|ingest)-\d+-.*""".r
 
   /** Serialize manifest commits: an exclusive-create lock file arbitrates,
     * because a plain rename-to-destination OVERWRITES on local/POSIX
@@ -259,20 +260,29 @@ object EventStore {
                                 files: Seq[String]): Long =
     withCommitLock(fs, root) { commitLocked(fs, root, files) }
 
-  /** The commit body — caller MUST hold the commit lock. */
+  /** The commit body — caller MUST hold the commit lock. `txn` records an
+    * application transaction id INSIDE the commit (Delta's txn action):
+    * the id becomes durable in exactly the same atomic rename that makes
+    * the files visible, which is what gives [[appendCommitted]] its
+    * exactly-once restart contract — there is no window where one is
+    * committed without the other. */
   private def commitLocked(fs: org.apache.hadoop.fs.FileSystem,
                            root: org.apache.hadoop.fs.Path,
-                           files: Seq[String]): Long = {
+                           files: Seq[String],
+                           txn: Option[(String, Long)] = None): Long = {
     val next = manifestVersions(fs, root).lastOption.getOrElse(-1L) + 1L
     // per-attempt unique tmp name: even a misbehaving double-claimed lock
     // (a broken FS) can then at worst fail a rename loudly, never have two
     // writers interleave bytes into ONE tmp file
     val tmp = new org.apache.hadoop.fs.Path(root,
       s".manifest-v$next-${Thread.currentThread().getId}-${System.nanoTime()}.tmp")
+    val txnPart = txn.map { case (app, b) =>
+      s"""\"txn\": {\"app\": \"${jsonEscape(app)}\", \"batch\": $b}, """
+    }.getOrElse("")
     val out = fs.create(tmp, true)
     try out.write(files.sorted
       .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .mkString("{\"files\": [", ",\n", "]}")
+      .mkString(s"{$txnPart\"files\": [", ",\n", "]}")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     require(fs.rename(tmp, manifestVersionPath(root, next)),
@@ -281,9 +291,9 @@ object EventStore {
     next
   }
 
-  private def readManifestFile(fs: org.apache.hadoop.fs.FileSystem,
+  private def readManifestText(fs: org.apache.hadoop.fs.FileSystem,
                                root: org.apache.hadoop.fs.Path,
-                               version: Long = -1L): Seq[String] = {
+                               version: Long): String = {
     val versions = manifestVersions(fs, root)
     require(versions.nonEmpty,
       s"no manifest under $root — this store is not manifested; " +
@@ -294,11 +304,71 @@ object EventStore {
         s"${versions.mkString(", ")}) — vacuumed past retention or never committed")
     val p = manifestPath(fs, root, v)
     val in = fs.open(p)
-    val txt = try new String(
+    try new String(
       org.apache.commons.io.IOUtils.toByteArray(in),
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-    """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(txt).map(_.group(1)
+  }
+
+  private def readManifestFile(fs: org.apache.hadoop.fs.FileSystem,
+                               root: org.apache.hadoop.fs.Path,
+                               version: Long = -1L): Seq[String] = {
+    val txt = readManifestText(fs, root, version)
+    // parse only the files ARRAY — a txn header carries its own quoted
+    // strings that must never read as file names
+    val fi = txt.indexOf("\"files\"")
+    val body = if (fi >= 0) txt.substring(fi) else txt
+    """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(body).map(_.group(1)
       .replace("\\\"", "\"").replace("\\\\", "\\")).toSeq.filter(_ != "files")
+  }
+
+  private val TxnHeader =
+    """"txn": \{"app": "((?:[^"\\]|\\.)*)", "batch": (-?\d+)\}""".r
+
+  /** The last transaction id `app` committed into this store, scanning
+    * manifest versions newest-first (bounded by [[vacuum]] retention —
+    * keep at least one version between ingest checkpoints, which any sane
+    * retention does: the latest ingest commit is by definition recent).
+    * None = no retained commit carries this app's txn. */
+  def lastTxn(spark: SparkSession, path: String, app: String): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    manifestVersions(fs, root).reverseIterator.map { v =>
+      TxnHeader.findFirstMatchIn(readManifestText(fs, root, v))
+        .filter(m => jsonUnescape(m.group(1)) == app).map(_.group(2).toLong)
+    }.collectFirst { case Some(b) => b }
+  }
+
+  /** Transactionally-committed append (the exactly-once ingest primitive):
+    * write `batch` date-partitioned to hidden staging, move the files in
+    * under `ingest-{gen}-*` maintenance names, and commit them PLUS the
+    * `(app, batchId)` txn id as ONE manifest version. Every crash window
+    * is safe: before/mid-move leaves only unmanifested maintenance-named
+    * files ([[writeManifest]] never adopts those; [[vacuum]] reclaims),
+    * and after the commit a replay of the same batch sees its id via
+    * [[lastTxn]] and skips — so a batch lands EXACTLY once no matter where
+    * the writer dies, without leaning on the caller's checkpoint. */
+  def appendCommitted(batch: DataFrame, path: String, app: String,
+                      batchId: Long, tsCol: String = "ts"): Seq[String] = {
+    val spark = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = System.currentTimeMillis()
+    val staged = new org.apache.hadoop.fs.Path(root, s".ingest-staging-$gen")
+    fs.delete(staged, true)
+    batch.withColumn("event_date", to_date(col(tsCol)))
+      .write.partitionBy("event_date").mode(SaveMode.Overwrite)
+      .parquet(staged.toString)
+    val moved = moveStagedIn(fs, root, staged, "ingest", gen)
+    fs.delete(staged, true)
+    // an empty batch moves nothing: commit nothing (a txn-only version
+    // would burn a retention slot per idle tick — the round-8 lesson);
+    // replaying an empty batch is a no-op anyway
+    if (moved.nonEmpty) withCommitLock(fs, root) {
+      val current = manifestVersions(fs, root).lastOption
+        .map(v => readManifestFile(fs, root, v)).getOrElse(Seq.empty)
+      commitLocked(fs, root, current ++ moved, Some((app, batchId)))
+    }
+    moved
   }
 
   /** Adopt (or refresh) the manifest: snapshot the CURRENT visible data
@@ -1086,7 +1156,8 @@ object EventStore {
     // NOT touched — it can hold the only copy of a partition, and
     // readRetrying's recovery message points operators at it.
     val staging = ("""^\..*\.compact-staging$|^\.zorder-staging$""" +
-      """|^\.(?:merge|delete)-(?:rewrite|insert)-\d+$""").r
+      """|^\.(?:merge|delete)-(?:rewrite|insert)-\d+$""" +
+      """|^\.ingest-staging-\d+$""").r
     fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && staging.pattern.matcher(s.getPath.getName).matches()
         && s.getModificationTime <= cutoff)

@@ -348,13 +348,20 @@ object ZxSql {
 
     var groupBy = Seq.empty[String]
     var rollup = false
+    var cube = false
     if (atIdent("group")) {
       next(); expectIdent("by")
-      // `group by rollup a, b` (extension): subtotal levels in one pass
+      // `group by rollup a, b` / `group by cube a, b` (extensions):
+      // subtotal levels / all key subsets, each ONE Expand pass
       if (atIdent("rollup") && toks.lift(pos + 1).exists(_.isInstanceOf[Ident])) {
         next(); rollup = true
+      } else if (atIdent("cube") && toks.lift(pos + 1).exists(_.isInstanceOf[Ident])) {
+        next(); cube = true
       }
       groupBy = commaList(ident _)
+      if (cube && groupBy.size > 4)
+        throw ParseError(s"cube over ${groupBy.size} keys expands 2^${groupBy.size} " +
+          "levels per row — cap at 4 keys (use rollup for deep hierarchies)")
     }
 
     // HAVING (extension — the reference has no aggregate filtering):
@@ -475,12 +482,12 @@ object ZxSql {
       parseLong(v, "$t_end epoch seconds") }
     val realConds = conds.filterNot(c => c.column == "$t_start" || c.column == "$t_end")
 
-    if (rollup && (sessionGap.nonEmpty || slide.nonEmpty || exactWindows ||
+    if ((rollup || cube) && (sessionGap.nonEmpty || slide.nonEmpty || exactWindows ||
         salt.nonEmpty || joinSpec.nonEmpty || seqOp.nonEmpty))
-      throw ParseError("rollup routes through the top-groups path — it does " +
-        "not take session / slide / exact / salt / joins / sequence ops")
-    if (rollup && selects.forall(_.agg == Agg.Raw))
-      throw ParseError("rollup needs aggregate select items")
+      throw ParseError("rollup/cube route through the top-groups path — they " +
+        "do not take session / slide / exact / salt / joins / sequence ops")
+    if ((rollup || cube) && selects.forall(_.agg == Agg.Raw))
+      throw ParseError("rollup/cube need aggregate select items")
     if (sessionGap.nonEmpty && (exactWindows || orderBy.nonEmpty))
       throw ParseError("session windows are mutually exclusive with exact / order by")
     if (slide.nonEmpty && (exactWindows || orderBy.nonEmpty || sessionGap.nonEmpty))
@@ -511,7 +518,7 @@ object ZxSql {
     ZxQuery(selects, realConds, groupBy, orderBy, tStart, tEnd, gran, limitN,
       exact = exactWindows, where = whereTree, asofJoin = joinSpec,
       having = having, sessionGapSec = sessionGap, slideSec = slide,
-      skewSalt = salt, seqOp = seqOp, rollup = rollup)
+      skewSalt = salt, seqOp = seqOp, rollup = rollup, cube = cube)
   }
 
   // --------------------------------------------------------------- executor
@@ -610,7 +617,8 @@ object ZxSql {
       }
       val sorted = if (ord.nonEmpty) base.orderBy(ord: _*) else base
       q.limit.map(sorted.limit).getOrElse(sorted)
-    } else if (q.orderBy.nonEmpty || q.rollup) Compiler.runSorted(df, q, tsCol)
+    } else if (q.orderBy.nonEmpty || q.rollup || q.cube)
+      Compiler.runSorted(df, q, tsCol)
     else if (q.sessionGapSec.nonEmpty) {
       if (exact) throw ParseError("session windows are mutually exclusive with exact")
       Compiler.runSession(df, q, tsCol)
@@ -676,9 +684,9 @@ object ZxSql {
     if (q.skewSalt.nonEmpty)
       throw ParseError("salt is batch-only: the streaming aggregations shard " +
         "state by group key and have no salted form")
-    if (q.rollup)
-      throw ParseError("rollup is batch-only: subtotal levels would need " +
-        "per-level streaming state — aggregate per level downstream instead")
+    if (q.rollup || q.cube)
+      throw ParseError("rollup/cube are batch-only: subtotal levels would " +
+        "need per-level streaming state — aggregate per level downstream instead")
     if (q.selects.forall(_.agg == Agg.Raw)) EventStream.rawStream(stream, q, tsCol)
     else if (q.sessionGapSec.nonEmpty) EventStream.sessionAgg(stream, q, watermark, tsCol)
     else if (q.slideSec.nonEmpty) EventStream.hoppingAgg(stream, q, watermark, tsCol)

@@ -462,12 +462,18 @@ class SqlSpec extends AnyFunSuite {
       "9" -> 1400.0, "1" -> 100.0))
     // two levels: 10 distinct (y, x) pairs + 3 y subtotals + 1 grand total
     assert(ZxSql.run(fixture, "select count(foo) group by rollup y, x").count() == 14)
-    // guards: rollup is aggregate-only and excludes the windowed clauses
+    // cube adds the per-key margins rollup lacks:
+    // 10 (y,x) pairs + 3 y + 10 x + 1 total = 24
+    assert(ZxSql.run(fixture, "select count(foo) group by cube y, x").count() == 24)
+    // guards: rollup/cube are aggregate-only and exclude the windowed
+    // clauses; cube caps its key count (2^n level blowup)
     assertThrows[ZxSql.ParseError](
       ZxSql.parse("select sum(foo) group by rollup y session 10"))
     assertThrows[ZxSql.ParseError](ZxSql.parse("select foo group by rollup y"))
     assertThrows[ZxSql.ParseError](
       ZxSql.parse("select sum(foo) group by rollup y salt 4"))
+    assertThrows[ZxSql.ParseError](
+      ZxSql.parse("select sum(foo) group by cube a, b, c, d, e"))
   }
 
   test("sequence ops: journeys / funnel / decay / argmax from SQL (VERDICT r9 #3)") {

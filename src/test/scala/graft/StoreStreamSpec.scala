@@ -417,6 +417,55 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(EventStore.readPinned(spark, store).count() == rows)
   }
 
+  test("ingestBatch: a replayed batch lands exactly once; crashed pre-commit files never become visible") {
+    // round 8 documented the restart trade ("exactly-once leans on the
+    // checkpoint alone"); the txn-carrying commit closes it. Two crash
+    // windows, both witnessed here:
+    //  (a) crash AFTER the commit, BEFORE the checkpoint → the batch
+    //      replays with the same id → lastTxn detects it → skip;
+    //  (b) crash BEFORE the commit → moved-in ingest-named files are
+    //      unmanifested → writeManifest refuses to adopt them and vacuum
+    //      reclaims them.
+    val base = Files.createTempDirectory("graft-ing1x").toString
+    val store = base + "/store"
+    val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(dayofmonth(col("ts")) <= 2)
+      .select("event_id", "ts", "user_id", "value")
+    val app = "ingest:" + base + "/ckpt"
+    import graft.streaming.EventStream
+    assert(EventStream.ingestBatch(src, store, app, 0L))
+    val rows = src.count()
+    assert(EventStore.readPinned(spark, store).count() == rows)
+    assert(EventStore.lastTxn(spark, store, app).contains(0L))
+    // (a) same batch id replayed → skipped, nothing changes
+    assert(!EventStream.ingestBatch(src, store, app, 0L))
+    assert(EventStore.readPinned(spark, store).count() == rows)
+    assert(EventStore.manifestVersion(spark, store) == 0L)
+    // a NEW batch id commits normally, txn advances with it
+    assert(EventStream.ingestBatch(src.limit(5), store, app, 1L))
+    assert(EventStore.readPinned(spark, store).count() == rows + 5)
+    assert(EventStore.lastTxn(spark, store, app).contains(1L))
+    // a second app's txns are independent
+    assert(EventStore.lastTxn(spark, store, "ingest:other").isEmpty)
+    assert(EventStream.ingestBatch(src.limit(3), store, "ingest:other", 0L))
+    assert(EventStore.lastTxn(spark, store, "ingest:other").contains(0L))
+    assert(EventStore.lastTxn(spark, store, app).contains(1L),
+      "another app's commit must not clobber this app's txn high-water mark")
+    // (b) crashed pre-commit attempt: ingest-named files moved in but
+    // never committed — invisible to adoption, reclaimed by vacuum
+    val visible = EventStore.readPinned(spark, store).count()
+    val partDir = new java.io.File(store).listFiles()
+      .filter(f => f.isDirectory && f.getName.contains("=")).minBy(_.getName)
+    val donor = partDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val orphan = new java.io.File(partDir, "ingest-99999-crashed.parquet")
+    java.nio.file.Files.copy(donor.toPath, orphan.toPath)
+    EventStore.writeManifest(spark, store)
+    assert(EventStore.readPinned(spark, store).count() == visible,
+      "adoption must not resurrect a crashed ingest attempt's files")
+    assert(EventStore.vacuum(spark, store).exists(_.contains("ingest-99999")),
+      "vacuum must reclaim the crashed attempt")
+  }
+
   test("ingestManifested skips empty micro-batches instead of dying or burning retention versions") {
     val base = Files.createTempDirectory("graft-emptybatch").toString
     val (srcDir, store, ckpt) = (base + "/src", base + "/store", base + "/ckpt")
