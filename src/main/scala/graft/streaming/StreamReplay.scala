@@ -36,27 +36,56 @@ object StreamReplay {
 
   val SentinelType = "__sentinel"
 
-  /** Stage `events` under a fresh per-query dir (data + sentinel), run
+  /** The staged (data + sentinel) input is IMMUTABLE per source dir, so
+    * it is built once per JVM and shared by every st_* query and every
+    * bench re-run (the ensure* artifact pattern) — only the checkpoint
+    * and sink are per-call lifecycle. A `_STAGED_OK` marker commits the
+    * staging: a half-written stage from a crashed run re-stages. */
+  private val stagedInputs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureStagedInput(s: SparkSession, dir: String): String =
+    stagedInputs.computeIfAbsent(dir, _ => {
+      // source fingerprint in the path: a driver-side testdata
+      // regeneration (the round-8 failure mode) must never be served
+      // from a previous generation's staging
+      val srcP = new org.apache.hadoop.fs.Path(dir + "/events.parquet")
+      val st = srcP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getFileStatus(srcP)
+      val in = "target/graft-stream-q/in/" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        s"-${st.getLen}-${st.getModificationTime}"
+      val ok = new java.io.File(in, "_STAGED_OK")
+      if (!ok.exists()) {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(in))
+        val ev = graft.sources.Tables.events(s, dir)
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        ev.write.mode("overwrite").parquet(in)
+        val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        val sentinelTs =
+          new java.sql.Timestamp(maxTs.getTime + 30L * 86400 * 1000L)
+        val sentinel = s.createDataFrame(
+          java.util.Collections.singletonList(
+            Row(-1L, sentinelTs, null, SentinelType, null, null)),
+          EventStream.eventsSchema)
+        sentinel.write.mode("append").parquet(in)
+        java.nio.file.Files.writeString(ok.toPath, "ok")
+      }
+      in
+    })
+
+  /** Stage `events` (cached per dir — data + sentinel), run
     * `build(stream)` to a parquet sink with `processAllAvailable`, and
     * return the sink contents. Callers filter out the sentinel's own group
     * (its window can never close, so it should never emit — the filter is
     * defense in depth, not load-bearing). */
   def replayEvents(s: SparkSession, dir: String, name: String)
                   (build: DataFrame => DataFrame): DataFrame = {
+    val in = ensureStagedInput(s, dir)
     val stage = "target/graft-stream-q/" + name + "/" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
-    val ev = graft.sources.Tables.events(s, dir)
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    ev.write.mode("overwrite").parquet(stage + "/in")
-    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 30L * 86400 * 1000L)
-    val sentinel = s.createDataFrame(
-      java.util.Collections.singletonList(
-        Row(-1L, sentinelTs, null, SentinelType, null, null)),
-      EventStream.eventsSchema)
-    sentinel.write.mode("append").parquet(stage + "/in")
-    val out = build(EventStream.read(s, stage + "/in"))
+    val out = build(EventStream.read(s, in))
     val query = out.writeStream.format("parquet")
       .option("path", stage + "/out")
       .option("checkpointLocation", stage + "/ckpt")

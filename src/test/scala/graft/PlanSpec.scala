@@ -68,6 +68,30 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$p")
   }
 
+  test("rollup/cube levels ride ONE Expand into one aggregation — no per-level re-scan") {
+    Seq("o5_rollup", "o6_cube").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("Expand"), s"$q must plan an Expand:\n$p")
+      val scans = "Scan parquet".r.findAllIn(p).length
+      assert(scans == 1, s"$q must read the table once, saw $scans scans:\n$p")
+    }
+  }
+
+  test("SQL argmax stays one codegen'd aggregate: partial max map-side, no window shuffle-all") {
+    val p = plan("p9_sql_argmax")
+    assert(!p.contains("Window"), s"argmax must not rank every row:\n$p")
+    assert("partial_max|partial.*max".r.findFirstIn(p).isDefined,
+      s"expected a map-side partial max:\n$p")
+  }
+
+  test("hash-keyed span mining: counts shuffle 8-byte keys; recovery joins are broadcast-only") {
+    val p = plan("x15b_spans_hashed")
+    assert(p.contains("rolling_hash"), s"the hash key must be the custom expression:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"span-text recovery must broadcast the tiny hash set, never shuffle-join:\n$p")
+  }
+
   test("bucketed join is exchange-free on the join key: co-location replaces the shuffle") {
     val p = plan("j6_bucketed_join")
     assert(p.contains("SortMergeJoin"), s"expected the merge join shape:\n$p")
