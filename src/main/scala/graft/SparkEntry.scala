@@ -386,6 +386,22 @@ object SparkEntry {
         round3("sum_value"), round3("count_value"))
   }
 
+  /** st_heatmap ≡ a7_heatmap's query through [[graft.streaming.EventStream
+    * .heatmapAgg]] — the FIXED-bounds streaming heatmap with a7's adaptive
+    * bounds supplied explicitly ([0, 250) × 10, the values a7's oracle
+    * hardcodes), so the one previously spec-only streaming aggregation
+    * shape also hashes against the driver oracle. */
+  private def stHeatmap(s: SparkSession, dir: String): DataFrame = {
+    val q = ZxQuery(selects = Nil, granularitySec = 86400L)
+    val out = graft.streaming.StreamReplay.replayEvents(s, dir, "st-heatmap") {
+      stream => graft.streaming.EventStream.heatmapAgg(stream, q, "value",
+        lo = 0.0, hi = 250.0, buckets = 10, watermark = "0 seconds")
+    }
+    // the sentinel's value is null → filtered by the heatmap's isNotNull;
+    // its window never closes anyway. Same post-select as a7.
+    out.select(col("t_bucket"), col("v_bucket"), round3("weight"), col("n"))
+  }
+
   /** st_gap ≡ a8_gap_window's query through [[graft.streaming
     * .GapWindowStream]] — the custom flatMapGroupsWithState walk. The
     * whole replay lands in ONE micro-batch processed under the initial
@@ -1828,6 +1844,23 @@ object SparkEntry {
         col("n"))
   }
 
+  /** a16: cohort retention — the product-analytics staple over events:
+    * users grouped by their FIRST-seen day (cohort), activity counted per
+    * (cohort, day-offset). Plan: the per-user first day rides a window
+    * over the user exchange (no self-join back), then one (cohort,
+    * offset) aggregation with exact distinct users — two exchanges
+    * total at any scale. */
+  private def a16Retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("__d"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    ev.withColumn("__cohort", min(col("__d")).over(w))
+      .groupBy(date_format(col("__cohort"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("__d"), col("__cohort")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** a14: recency-biased smoothing — per (user, day) half-life fold over
     * the event sequence; day emitted as a string for engine-safe compare. */
   private def a14Decay(s: SparkSession, dir: String): DataFrame =
@@ -2433,6 +2466,16 @@ object SparkEntry {
     graft.operators.Multimodal.sampleFrames(
       graft.operators.Multimodal.packBinary(Tables.documents(s, dir)))
 
+  /** m9: scene-change detection — per document, sampled-frame digest
+    * transitions (count + first change index): the temporal-structure
+    * face of the m-family (m3 samples, m8 blocks on digests; m9 reads the
+    * SEQUENCE). Digests only, blob stays pruned; one window exchange
+    * shared with the same-key aggregation. */
+  private def m9SceneChanges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.sceneChanges(
+      graft.operators.Multimodal.sampleFrames(
+        graft.operators.Multimodal.packBinary(Tables.documents(s, dir))))
+
   /** m4: the image-side codec round-trip — canonical 24bpp BMP containers
     * (bottom-up padded rows) packed then decoded by parsing the real byte
     * layout; channel means are exact integer sums over doubles, and the
@@ -2806,6 +2849,7 @@ object SparkEntry {
     "a12_journeys" -> (a12Journeys _),
     "a13_funnel" -> (a13Funnel _),
     "a14_decay" -> (a14Decay _),
+    "a16_retention" -> (a16Retention _),
     "a15_argmax" -> (a15Argmax _),
     "x1_lang_id" -> (x1LangId _),
     "x2_quality" -> (x2Quality _),
@@ -2859,6 +2903,7 @@ object SparkEntry {
     "m6_image_neardup" -> (m6ImageNearDup _),
     "m7_audio_neardup" -> (m7AudioNearDup _),
     "m8_frame_neardup" -> (m8FrameNearDup _),
+    "m9_scene_changes" -> (m9SceneChanges _),
     "c1_curate" -> (c1Curate _),
     "c2_shards" -> (c2Shards _),
     "c3_compact" -> (c3Compact _),
@@ -2876,6 +2921,7 @@ object SparkEntry {
     "st_session" -> (stSession _),
     "st_hopping" -> (stHopping _),
     "st_gap" -> (stGap _),
+    "st_heatmap" -> (stHeatmap _),
   )
 
   def oracleSql: Map[String, String] = { val base = Map(
@@ -3656,6 +3702,18 @@ object SparkEntry {
         |    (acc, x) -> acc * 0.5 + x) * 1048576.0))::BIGINT AS decayed_fp,
         |  len(vs)::BIGINT AS n_events
         |FROM g""".stripMargin,
+    "a16_retention" ->
+      // cohort = per-user min day; engine computes it via a window over
+      // the user exchange, the replay via a grouped join — same table
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events
+        |  WHERE user_id IS NOT NULL),
+        |c AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1)
+        |SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day,
+        |  date_diff('day', c.cohort, e.d)::INT AS day_offset,
+        |  count(DISTINCT e.user_id)::BIGINT AS n_users,
+        |  count(*)::BIGINT AS n_events
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "x17_quality_probe" -> {
       // full training replay: the x2 feature mirrors feed 20 chained
       // scalar-CTE GD iterations — gradient sums are per-row-floored
@@ -4498,6 +4556,23 @@ object SparkEntry {
         |FROM (SELECT doc_id, text,
         |  unnest(range(0, greatest(CAST(ceil(strlen(text) / 64.0) AS BIGINT), 1), 4)) AS fi
         |  FROM documents)""".stripMargin,
+    "m9_scene_changes" ->
+      // m3's frame walk + a lag over the sampled sequence: digest
+      // transitions count scene cuts, min change index pins the first
+      """WITH f AS (SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |  md5(substr(text, fi::INT * 64 + 1, 64)) AS frame_md5
+        |  FROM (SELECT doc_id, text,
+        |    unnest(range(0, greatest(CAST(ceil(strlen(text) / 64.0) AS BIGINT), 1), 4)) AS fi
+        |    FROM documents)),
+        |l AS (SELECT doc_id, frame_idx, frame_md5,
+        |  lag(frame_md5) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+        |  FROM f)
+        |SELECT doc_id, count(*)::BIGINT AS n_sampled,
+        |  sum(CASE WHEN prev IS NOT NULL AND prev != frame_md5
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_changes,
+        |  min(CASE WHEN prev IS NOT NULL AND prev != frame_md5
+        |    THEN frame_idx END)::INT AS first_change_idx
+        |FROM l GROUP BY doc_id""".stripMargin,
     "m4_bmp_decode" ->
       // replay of the BMP synthesis rule (Multimodal.bmpWidth + BGR byte
       // triples) + decodeBmp's pixel fold: width = 6 + (id%5)*2, pixel p =
@@ -4650,6 +4725,7 @@ object SparkEntry {
       "st_tumbling" -> base("a8_window"),
       "st_session" -> base("a9_session"),
       "st_hopping" -> base("a10_hopping"),
-      "st_gap" -> base("a8_gap_window"))
+      "st_gap" -> base("a8_gap_window"),
+      "st_heatmap" -> base("a7_heatmap"))
   }
 }

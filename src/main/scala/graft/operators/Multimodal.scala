@@ -53,6 +53,27 @@ object Multimodal {
           lit(frameBytes))).as("frame_md5"))
   }
 
+  /** m9: scene-change detection over the sampled frame stream — the
+    * temporal-structure signal on top of [[sampleFrames]]'s digests:
+    * per document, count the sampled-frame transitions where the digest
+    * CHANGES (a content cut) and pin the first change index. Runs on
+    * digests, never bytes — the blob stays pruned. One window exchange on
+    * the doc id, shared with the same-key aggregation (the a14 plan
+    * shape); at 100 TB this is a narrow pass over the frame index, not
+    * the media. */
+  def sceneChanges(frames: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("frame_idx"))
+    frames
+      .withColumn("__prev", lag(col("frame_md5"), 1).over(w))
+      .withColumn("__chg", when(col("__prev").isNotNull &&
+        col("__prev") =!= col("frame_md5"), 1L).otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("__chg")).as("n_changes"),
+        min(when(col("__chg") === 1L, col("frame_idx"))).as("first_change_idx"))
+  }
+
   // ------------------------------------------------------- WAV codec (real)
 
   /** Synthesis rule shared by [[packWav]] and its oracle replay: per-doc

@@ -52,7 +52,9 @@ object StreamReplay {
       val srcP = new org.apache.hadoop.fs.Path(dir + "/events.parquet")
       val st = srcP.getFileSystem(s.sparkContext.hadoopConfiguration)
         .getFileStatus(srcP)
-      val in = "target/graft-stream-q/in/" +
+      // "v2" = staging FORMAT version (bump when the sentinel layout
+      // changes — a stale staging from older code must never be reused)
+      val in = "target/graft-stream-q/in-v2/" +
         dir.replaceAll("[^A-Za-z0-9._-]", "_") +
         s"-${st.getLen}-${st.getModificationTime}"
       val ok = new java.io.File(in, "_STAGED_OK")
@@ -64,9 +66,17 @@ object StreamReplay {
         val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
         val sentinelTs =
           new java.sql.Timestamp(maxTs.getTime + 30L * 86400 * 1000L)
+        // the sentinel carries a NON-NULL value: predicates that don't
+        // reference the watermarked ts column push BELOW the watermark
+        // node (EventStream.preFilter scaladoc), so a query filtering on
+        // `value` (the heatmap's isNotNull) only advances its clock on
+        // rows that SURVIVE the filter — a null-valued sentinel would
+        // leave the final window open. Its own group/window still never
+        // emits (nothing ever closes it), and callers filter the
+        // SentinelType group besides.
         val sentinel = s.createDataFrame(
           java.util.Collections.singletonList(
-            Row(-1L, sentinelTs, null, SentinelType, null, null)),
+            Row(-1L, sentinelTs, null, SentinelType, 0.0, null)),
           EventStream.eventsSchema)
         sentinel.write.mode("append").parquet(in)
         java.nio.file.Files.writeString(ok.toPath, "ok")
