@@ -247,3 +247,31 @@ object ConditionTreeProps extends Properties("ConditionTree") {
       got == want
     }
 }
+
+object StringBoundsProps extends Properties("TruncatedStringBounds") {
+  import graft.sources.ZOrder.truncatedStringBounds
+
+  private val asciiStr: Gen[String] =
+    Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(32, 126).map(_.toChar)).map(_.mkString))
+
+  // the ONLY property pruning needs: bounds are conservative — the pinned
+  // lower never exceeds the true min, the pinned upper never undercuts the
+  // true max — in the same string order Spark's row filter uses on ASCII
+  property("bounds are conservative for any ASCII pair and any cut") =
+    forAll(asciiStr, asciiStr, Gen.chooseNum(1, 8)) { (a, b, cut) =>
+      val (mn, mx) = if (a <= b) (a, b) else (b, a)
+      truncatedStringBounds(mn, mx, cut) match {
+        case Some((lo, hi)) => lo <= mn && hi >= mx
+        case None           => true // unrepresentable — file stays admitted
+      }
+    }
+
+  property("short bounds pass through exactly; non-ASCII refuses to pin") =
+    forAll(asciiStr, asciiStr) { (a, b) =>
+      val (mn, mx) = if (a <= b) (a, b) else (b, a)
+      val exact = truncatedStringBounds(mn, mx, 64)
+      exact.contains((mn, mx)) &&
+        truncatedStringBounds(mn + "\u00e9", mx + "\u00e9", 64).isEmpty
+    }
+}
