@@ -563,6 +563,14 @@ object SparkEntry {
         round3("sum_value"), round3("count_value"))
   }
 
+  /** P1 + x15: span mining through the SQL front door, over the DOCUMENTS
+    * table — the dialect reaching the pipeline-operator family: WHERE
+    * gates (lang) compose ahead of the same explode → one-count-shuffle →
+    * TakeOrdered plan. */
+  private def p10SqlSpans(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select spans top 30 size 4 from documents where lang = 'en'")
+
   /** O1 + LIMIT through SQL: sort+limit compiles to TakeOrderedAndProject
     * (per-partition top-k, no global sort) — the scalable "top-k services"
     * query the reference's observability UI wants. */
@@ -1825,6 +1833,14 @@ object SparkEntry {
     graft.operators.Funnel.funnelStages(Tables.events(s, dir),
       Seq("view", "click", "purchase"))
 
+  /** a17: time-bounded funnel — view → click → purchase within 10 minutes
+    * of the entity-day's FIRST view (first-touch anchor, never re-armed:
+    * a deterministic fold both engines replay). The standard product
+    * funnel form; a13 is its unbounded cousin. */
+  private def a17FunnelWithin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.funnelStagesWithin(Tables.events(s, dir),
+      Seq("view", "click", "purchase"), windowSec = 600L)
+
   /** a15: deterministic argmax — per group, the row at the MAXIMUM of an
     * ordering column. Spark's `max_by` is tie-nondeterministic (either
     * row may win, and a re-run may flip); `max(struct(value, id, …))` is
@@ -2425,6 +2441,22 @@ object SparkEntry {
         coalesce(col("n"), lit(0L)).as("n_overlap"))
   }
 
+  /** s12: FILTERED ANN — the modern vector-search shape (metadata
+    * predicate + similarity): probe the s4 IVF index with `label = 3`
+    * applied INSIDE the cell-pruned scan, BEFORE the top-k (post-filtering
+    * a k-list would under-fill and lose recall). nProbe widened 2 → 4:
+    * a selective filter decimates each probed cell's candidates — the
+    * recall lever, priced explicitly. */
+  private def s12FilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    val (path, cents) = ensureIvfIndex(s, dir)
+    val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 0L)
+      .select(graft.functions.VectorFunctions.toDouble(col("embedding")))
+      .head().getSeq[Double](0).toIndexedSeq
+    graft.operators.Similarity.ivfProbeIndex(s, path, cents, qv,
+        k = 10, nProbe = 4, where = col("label") === 3)
+      .withColumn("cos", round(col("cos"), 6))
+  }
+
   /** s11: Johnson-Lindenstrauss sign random projection 64→8 — the
     * dimensionality-reduction step ahead of ANN indexing (index bytes and
     * probe arithmetic both shrink 8×; JL preserves relative distances).
@@ -2815,6 +2847,7 @@ object SparkEntry {
     "p7_sql_funnel" -> (p7SqlFunnel _),
     "p8_sql_decay" -> (p8SqlDecay _),
     "p9_sql_argmax" -> (p9SqlArgmax _),
+    "p10_sql_spans" -> (p10SqlSpans _),
     "o1_top_groups" -> (o1TopGroups _),
     "o2_topk_limit" -> (o2TopkLimit _),
     "o3_top_per_group" -> (o3TopPerGroup _),
@@ -2848,6 +2881,7 @@ object SparkEntry {
     "j6_bucketed_join" -> (j6BucketedJoin _),
     "a12_journeys" -> (a12Journeys _),
     "a13_funnel" -> (a13Funnel _),
+    "a17_funnel_within" -> (a17FunnelWithin _),
     "a14_decay" -> (a14Decay _),
     "a16_retention" -> (a16Retention _),
     "a15_argmax" -> (a15Argmax _),
@@ -2895,6 +2929,7 @@ object SparkEntry {
     "s9_ivfpq_knn" -> (s9IvfPqKnn _),
     "s10_recall_audit" -> (s10RecallAudit _),
     "s11_project" -> (s11Project _),
+    "s12_filtered_ann" -> (s12FilteredAnn _),
     "m1_mm_bytes" -> (m1MmBytes _),
     "m2_mm_decode" -> (m2MmDecode _),
     "m3_mm_frames" -> (m3MmFrames _),
@@ -3169,6 +3204,20 @@ object SparkEntry {
         |    (acc, x) -> acc * 0.5 + x) * 1048576.0))::BIGINT AS decayed_fp,
         |  len(vs)::BIGINT AS n_events
         |FROM g""".stripMargin,
+    "p10_sql_spans" ->
+      // x15's window walk over the lang-gated slice, size 4, top 30
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE lang = 'en'),
+        |spans AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(t) - 4 + 2, 1)),
+        |      i -> array_to_string(t[i:i+3], ' '))) AS span
+        |  FROM toks)
+        |SELECT span, CAST(count(*) AS BIGINT) AS n_occur,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM spans GROUP BY span
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_occur DESC, span LIMIT 30""".stripMargin,
     "p9_sql_argmax" ->
       // a15's lexicographic tiebreak, but grouped through the dialect's
       // __nil sentinel keys (groupKeys casts + coalesces)
@@ -3676,6 +3725,53 @@ object SparkEntry {
         |  WHEN k3 = 0 THEN 2 ELSE 3 END AS stage,
         |  count(*)::BIGINT AS n_entity_days
         |FROM k3t GROUP BY 1""".stripMargin,
+    "a17_funnel_within" ->
+      // INDEPENDENT order-insensitive encoding of the greedy first-touch
+      // walk (deliberately NOT a list fold: DuckDB 1.0's ordered list()
+      // aggregate mis-orders under PARALLEL grouped aggregation — caught
+      // at sf0.1, threads=1 agreed with the engine, threads=N flipped two
+      // groups — so the oracle uses only min/exists aggregations):
+      //   anchor  = min (t, id) among views (tv, then idv at tv);
+      //   click*  = min (t, id) among clicks AFTER the anchor in
+      //             (t, id) order and within 600 of tv;
+      //   stage 3 iff any purchase after click* in order, within 600 of tv
+      // — provably the fold's outcome: the fold advances at exactly the
+      // first qualifying event in (t, id) order at each stage.
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id, event_type
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IN ('view', 'click', 'purchase')),
+        |base AS (SELECT DISTINCT user_id, d FROM e),
+        |v1 AS (SELECT user_id, d, min(t) AS tv FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id, d),
+        |v AS (SELECT v1.user_id, v1.d, v1.tv, min(e.event_id) AS idv
+        |  FROM v1 JOIN e USING (user_id, d)
+        |  WHERE e.event_type = 'view' AND e.t = v1.tv
+        |  GROUP BY v1.user_id, v1.d, v1.tv),
+        |c1 AS (SELECT v.user_id, v.d, v.tv, v.idv, min(e.t) AS tc
+        |  FROM v JOIN e USING (user_id, d)
+        |  WHERE e.event_type = 'click' AND e.t - v.tv <= 600
+        |    AND (e.t > v.tv OR (e.t = v.tv AND e.event_id > v.idv))
+        |  GROUP BY v.user_id, v.d, v.tv, v.idv),
+        |c AS (SELECT c1.user_id, c1.d, c1.tv, c1.tc, min(e.event_id) AS idc
+        |  FROM c1 JOIN e USING (user_id, d)
+        |  WHERE e.event_type = 'click' AND e.t = c1.tc
+        |    AND (e.t > c1.tv OR (e.t = c1.tv AND e.event_id > c1.idv))
+        |  GROUP BY c1.user_id, c1.d, c1.tv, c1.tc),
+        |p AS (SELECT DISTINCT c.user_id, c.d
+        |  FROM c JOIN e USING (user_id, d)
+        |  WHERE e.event_type = 'purchase' AND e.t - c.tv <= 600
+        |    AND (e.t > c.tc OR (e.t = c.tc AND e.event_id > c.idc)))
+        |SELECT CASE WHEN p.user_id IS NOT NULL THEN 3
+        |            WHEN c.user_id IS NOT NULL THEN 2
+        |            WHEN v.user_id IS NOT NULL THEN 1
+        |            ELSE 0 END AS stage,
+        |  count(*)::BIGINT AS n_entity_days
+        |FROM base
+        |LEFT JOIN v USING (user_id, d)
+        |LEFT JOIN c USING (user_id, d)
+        |LEFT JOIN p USING (user_id, d)
+        |GROUP BY 1""".stripMargin,
     "a15_argmax" ->
       // the deterministic tiebreak replayed as a lexicographic window
       // rank: ORDER BY value DESC, event_id DESC == max(struct(value, id))
@@ -4124,6 +4220,20 @@ object SparkEntry {
          |  FROM cent2 c, q) WHERE rn <= 2)
          |SELECT e.vec_id, e.label, a.cell, round($cos, 6) AS cos
          |FROM e JOIN as2 a USING (vec_id) JOIN qsel ON a.cell = qsel.cid, q
+         |ORDER BY $cos DESC, e.vec_id
+         |LIMIT 10""".stripMargin
+    },
+    "s12_filtered_ann" -> {
+      // s4's probe replay with the metadata predicate applied BEFORE the
+      // top-k (the engine's in-scan filter) and the widened 4-cell probe
+      val cos = s"${duckIvfDot("e.v", "q.qv")} / (sqrt(${duckIvfDot("e.v", "e.v")}) * sqrt(${duckIvfDot("q.qv", "q.qv")}))"
+      s"""WITH $duckIvfTrainCtes,
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |qsel AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${duckIvfDot("c.cv", "q.qv")} DESC, c.cid) AS rn
+         |  FROM cent2 c, q) WHERE rn <= 4)
+         |SELECT e.vec_id, e.label, a.cell, round($cos, 6) AS cos
+         |FROM e JOIN as2 a USING (vec_id) JOIN qsel ON a.cell = qsel.cid, q
+         |WHERE e.label = 3
          |ORDER BY $cos DESC, e.vec_id
          |LIMIT 10""".stripMargin
     },

@@ -120,6 +120,10 @@ object SeqOp {
   final case class Decay(valCol: String, last: Int) extends SeqOp
   /** Per-group row at the maximum of `valCol`, `idCol` the total tiebreak. */
   final case class Argmax(valCol: String, idCol: String) extends SeqOp
+  /** Top repeated `size`-token spans across documents (x15's miner) —
+    * the dialect's reach into the documents table. SQL:
+    * `select spans top <k> size <n> [where …]`. */
+  final case class Spans(topK: Int, size: Int) extends SeqOp
 }
 
 sealed trait SortDir

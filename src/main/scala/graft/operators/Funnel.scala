@@ -81,6 +81,49 @@ object Funnel {
         count(lit(1)).as("n_events"))
   }
 
+  /** Time-bounded funnel (a17): like [[funnelStages]], but later steps
+    * only count within `windowSec` seconds of the entity's ANCHOR — its
+    * FIRST step-1 event of the day ("first-touch" attribution: the anchor
+    * never re-arms, so the verdict is a deterministic fold both engines
+    * replay identically). Same plan as [[funnelStages]]: only
+    * funnel-relevant events collect, the fold is one codegen'd
+    * `aggregate` with a (stage, anchor-time) struct accumulator, one
+    * exchange + a tiny stage-count shuffle. Ordering and the time
+    * arithmetic both use whole-second timestamps with the id tiebreak, so
+    * the walk is engine-exact. */
+  def funnelStagesWithin(ev: DataFrame, steps: Seq[String], windowSec: Long,
+                         keyCol: String = "user_id", tsCol: String = "ts",
+                         idCol: String = "event_id", stepCol: String = "event_type")
+      : DataFrame = {
+    require(steps.nonEmpty && steps.size <= 16, "funnel needs 1-16 steps")
+    require(windowSec > 0, s"funnelStagesWithin: windowSec must be > 0, got $windowSec")
+    val day = to_date(col(tsCol)).as("__d")
+    val tSec = col(tsCol).cast(org.apache.spark.sql.types.LongType)
+    val sorted = transform(array_sort(collect_list(struct(tSec.as("t"),
+      col(idCol).as("i"), col(stepCol).as("s")))),
+      x => struct(x.getField("t").as("t"), x.getField("s").as("s")))
+    def st(k: Column, t0: Column) = struct(
+      k.cast(org.apache.spark.sql.types.IntegerType).as("k"),
+      t0.cast(org.apache.spark.sql.types.LongType).as("t0"))
+    val reached = aggregate(sorted, st(lit(0), lit(0L)), (acc, e) => {
+      val anchor = when(acc.getField("k") === 0 &&
+        e.getField("s") === lit(steps.head), st(lit(1), e.getField("t")))
+      (1 until steps.size).foldLeft(anchor) { (w, i) =>
+        w.when(acc.getField("k") === i &&
+          e.getField("s") === lit(steps(i)) &&
+          e.getField("t") - acc.getField("t0") <= windowSec,
+          st(lit(i + 1), acc.getField("t0")))
+      }.otherwise(acc)
+    }).getField("k")
+    ev.filter(col(keyCol).isNotNull)
+      .filter(col(stepCol).isin(steps: _*))
+      .select(col(keyCol), day, col(tsCol), col(idCol), col(stepCol))
+      .groupBy(col(keyCol), col("__d"))
+      .agg(reached.as("stage"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_entity_days"))
+  }
+
   /** Funnel conversion: how many entities reach each prefix of `steps` in
     * order (loose containment — other events may interleave)? One pass:
     * the reached stage per entity-day is the longest prefix matched by a

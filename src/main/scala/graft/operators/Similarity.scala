@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 
@@ -523,14 +523,24 @@ object Similarity {
     * ranking picks the nProbe cells (same left-fold arithmetic as
     * [[ivfKnn]]), the scan touches only those partitions, exact cosine
     * re-ranks within them. */
+  /** @param where optional METADATA predicate over the index's carried
+    *   columns (label, tenant, language…) — "filtered ANN", the modern
+    *   vector-search shape. It applies INSIDE the cell-pruned scan and
+    *   BEFORE the top-k (post-filtering a k-list would return fewer than
+    *   k and lose recall); Catalyst pushes it into the pruned partitions'
+    *   parquet scan. Recall caveat, stated: a selective filter decimates
+    *   the probed cells' candidate pool — widen `nProbe` accordingly (the
+    *   s12 row probes 4 of 16 cells where the unfiltered s4 probes 2). */
   def ivfProbeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     cents: Seq[(Int, Seq[Double])], queryVec: Seq[Double],
                     k: Int, nProbe: Int = 2, idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding",
+                    where: Column = lit(true)): DataFrame = {
     val qn = math.sqrt(foldDot(queryVec, queryVec))
     val probe = rankProbes(cents, queryVec, nProbe)
     spark.read.parquet(path)
       .filter(col("cell").isin(probe: _*))
+      .filter(where)
       .withColumn("cos", dot(col(vecCol), typedLit(queryVec)) /
         (norm(col(vecCol)) * lit(qn)))
       .orderBy(col("cos").desc, col(idCol).asc)

@@ -240,7 +240,7 @@ object ZxSql {
     // `argmax` require the '(' so a column of the same name still parses
     // as an ordinary select item.
     def atSeqOp: Boolean =
-      atIdent("journeys") || atIdent("funnel") ||
+      atIdent("journeys") || atIdent("funnel") || atIdent("spans") ||
         ((atIdent("decay") || atIdent("argmax")) && toks.lift(pos + 1).contains(Sym("(")))
     def seqOpClause(): SeqOp = {
       val kw = ident()
@@ -266,6 +266,13 @@ object ZxSql {
           expectSym("("); val v = ident(); expectSym(",")
           val idc = ident(); expectSym(")")
           SeqOp.Argmax(v, idc)
+        case "spans" =>
+          var topK = 40; var size = 5
+          if (atIdent("top")) { next(); topK = parseLong(num("top count"), "top count").toInt }
+          if (atIdent("size")) { next(); size = parseLong(num("size tokens"), "size tokens").toInt }
+          if (topK < 1 || size < 2)
+            throw ParseError(s"spans needs top ≥ 1 and size ≥ 2, got $topK/$size")
+          SeqOp.Spans(topK, size)
         case other => throw ParseError(s"not a sequence op: $other")
       }
     }
@@ -510,8 +517,8 @@ object ZxSql {
             throw ParseError("argmax(value, id) requires group by")
         case _ =>
           if (groupBy.nonEmpty)
-            throw ParseError("journeys/funnel/decay group per (entity, day) " +
-              "by definition — group by applies to argmax only")
+            throw ParseError("journeys/funnel/decay/spans fix their own " +
+              "grouping — group by applies to argmax only")
       }
     }
 
@@ -548,6 +555,10 @@ object ZxSql {
             .select(col("user_id"),
               date_format(col("__d"), "yyyy-MM-dd").as("day"),
               col("decayed_fp"), col("n_events"))
+        case SeqOp.Spans(k, n) =>
+          // the dialect's reach into the documents table: df is a docs
+          // frame (doc_id, text, …); WHERE composes (lang/source gates)
+          graft.operators.Corpus.repeatedSpans(base, n = n, topK = k)
         case SeqOp.Argmax(v, idc) =>
           // deterministic argmax (the a15 aggregate): max(struct(value, id))
           // — lexicographic struct max makes the id a total tiebreak while

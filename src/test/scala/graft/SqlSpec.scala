@@ -519,5 +519,15 @@ class SqlSpec extends AnyFunSuite {
     assert(ZxSql.parse("select decay").selects == Seq(Select(Agg.Raw, "decay")))
     // streaming route rejects with guidance (order-dependent per-day folds)
     assertThrows[ZxSql.ParseError](ZxSql.runStream(ev, "select funnel view, click"))
+
+    // spans: the dialect reaching the documents table — WHERE composes
+    val docs = Seq((1L, "a b c d", "en"), (2L, "a b c e", "en"),
+      (3L, "a b c d", "fr")).toDF("doc_id", "text", "lang")
+    val sp = ZxSql.run(docs, "select spans top 5 size 3 where lang = 'en'")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sp == Set(("a b c", 2L, 2L))) // 'b c d' appears in en only once
+    assertThrows[ZxSql.ParseError](
+      ZxSql.parse("select spans top 5 size 3 group by lang"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select spans size 1"))
   }
 }
