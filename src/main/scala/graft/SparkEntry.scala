@@ -1877,6 +1877,35 @@ object SparkEntry {
         count(lit(1)).as("n_events"))
   }
 
+  /** a18: last-touch attribution — every purchase credits the most recent
+    * preceding non-purchase event by the same user within a 1-hour
+    * lookback (the marketing staple: funnels count reach, attribution
+    * assigns credit). One running-window exchange + a tiny per-type
+    * aggregation; credited value is fixed-point so the sum is an
+    * order-free integer. */
+  private def a18Attribution(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.lastTouchAttribution(Tables.events(s, dir),
+      convType = "purchase", lookbackSec = 3600L)
+
+  /** a19: seasonal anomaly counts — per-(type, hour-of-day) baselines from
+    * days 1-20, events in days 21+ flagged when they exceed 2× the
+    * seasonal mean. Exact integer cross-multiplication (no divided means),
+    * broadcast baseline (≤ |types|·24 rows), two small shuffles total. */
+  private def a19Anomaly(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.seasonalAnomalies(Tables.events(s, dir),
+      splitDate = "2024-01-21")
+
+  /** c13: one-pass table profile — per-column null/distinct counts and
+    * typed bounds over events in a single aggregation job (multi-distinct
+    * plans as one Expand + aggregate; the long format unpivots with a
+    * zero-shuffle explode). */
+  private def c13Profile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(
+      Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value", "props", "ts"),
+      numeric = Seq("event_id", "user_id", "value"),
+      strings = Seq("event_type", "props"), timestamps = Seq("ts"))
+
   /** a14: recency-biased smoothing — per (user, day) half-life fold over
     * the event sequence; day emitted as a string for engine-safe compare. */
   private def a14Decay(s: SparkSession, dir: String): DataFrame =
@@ -2884,6 +2913,8 @@ object SparkEntry {
     "a17_funnel_within" -> (a17FunnelWithin _),
     "a14_decay" -> (a14Decay _),
     "a16_retention" -> (a16Retention _),
+    "a18_attribution" -> (a18Attribution _),
+    "a19_anomaly" -> (a19Anomaly _),
     "a15_argmax" -> (a15Argmax _),
     "x1_lang_id" -> (x1LangId _),
     "x2_quality" -> (x2Quality _),
@@ -2952,6 +2983,7 @@ object SparkEntry {
     "c10_merge_delete" -> (c10MergeDelete _),
     "c11_schema_evolution" -> (c11SchemaEvolution _),
     "c12_point_prune" -> (c12PointPrune _),
+    "c13_profile" -> (c13Profile _),
     "st_tumbling" -> (stTumbling _),
     "st_session" -> (stSession _),
     "st_hopping" -> (stHopping _),
@@ -3798,6 +3830,70 @@ object SparkEntry {
         |    (acc, x) -> acc * 0.5 + x) * 1048576.0))::BIGINT AS decayed_fp,
         |  len(vs)::BIGINT AS n_events
         |FROM g""".stripMargin,
+    "a18_attribution" ->
+      // same running window, replayed with DuckDB's IGNORE NULLS
+      // last_value over the identical (t, id) frame; touch_t/touch_type
+      // come from the SAME (last non-purchase) row because both CASE
+      // columns are non-null on exactly the non-purchase rows
+      """WITH e AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id, event_type,
+        |    (floor(coalesce(value, 0.0) * 1048576.0))::BIGINT AS vfp
+        |  FROM events WHERE user_id IS NOT NULL),
+        |w AS (SELECT *,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN t END
+        |      IGNORE NULLS) OVER win AS touch_t,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER win AS touch_tp
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT CASE WHEN touch_t IS NOT NULL AND t - touch_t <= 3600
+        |    THEN touch_tp ELSE '__none' END AS touch_type,
+        |  count(*)::BIGINT AS n_conversions,
+        |  sum(vfp)::BIGINT AS credited_fp
+        |FROM w WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+    "c13_profile" -> {
+      // one UNION ALL branch per profiled column, same long format:
+      // numeric bounds fixed-point, timestamp bounds formatted, string
+      // bounds raw (ASCII columns — binary vs collation order agree)
+      def num(c: String) =
+        s"""SELECT '$c' AS "column", count($c)::BIGINT AS n_nonnull,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct,
+           |  NULL::VARCHAR AS min_s, NULL::VARCHAR AS max_s,
+           |  (floor(min($c) * 1048576.0))::BIGINT AS min_fp,
+           |  (floor(max($c) * 1048576.0))::BIGINT AS max_fp FROM events""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c', count($c)::BIGINT,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           |  count(DISTINCT $c)::BIGINT, min($c), max($c),
+           |  NULL::BIGINT, NULL::BIGINT FROM events""".stripMargin
+      def tsb(c: String) =
+        s"""SELECT '$c', count($c)::BIGINT,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           |  count(DISTINCT $c)::BIGINT,
+           |  strftime(min($c), '%Y-%m-%d %H:%M:%S'),
+           |  strftime(max($c), '%Y-%m-%d %H:%M:%S'),
+           |  NULL::BIGINT, NULL::BIGINT FROM events""".stripMargin
+      (Seq("event_id", "user_id", "value").map(num) ++
+        Seq("event_type", "props").map(str) ++ Seq(tsb("ts")))
+        .mkString("\n UNION ALL\n")
+    },
+    "a19_anomaly" ->
+      // exact replay: same fixed-point values, same integer
+      // cross-multiplied threshold, LEFT join so an unseen (type, hour)
+      // counts as "no baseline" on both engines
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d, hour(ts) AS h,
+        |    (floor(value * 1048576.0))::BIGINT AS vfp
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT event_type, h, count(*)::BIGINT AS bn,
+        |    sum(vfp)::BIGINT AS bs
+        |  FROM e WHERE d < DATE '2024-01-21' GROUP BY 1, 2)
+        |SELECT e.event_type, strftime(e.d, '%Y-%m-%d') AS day,
+        |  count(*)::BIGINT AS n_events,
+        |  sum(CASE WHEN b.bn >= 30 AND e.vfp * b.bn > 2 * b.bs
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_anomalies
+        |FROM e LEFT JOIN b USING (event_type, h)
+        |WHERE e.d >= DATE '2024-01-21' GROUP BY 1, 2""".stripMargin,
     "a16_retention" ->
       // cohort = per-user min day; engine computes it via a window over
       // the user exchange, the replay via a grouped join — same table

@@ -153,4 +153,46 @@ object Funnel {
     perEntity.groupBy(col("stage"))
       .agg(count(lit(1)).as("n_entity_days"))
   }
+
+  /** Last-touch attribution (a18): credit each conversion event to the
+    * LAST preceding non-conversion event by the same entity within
+    * `lookbackSec` seconds — the marketing-analytics staple the funnel
+    * family can't express (funnels count reach; attribution assigns
+    * credit). Plan: ONE window exchange on the entity carries the most
+    * recent non-conversion (t, type) forward with `last(..., ignoreNulls)
+    * ROWS UNBOUNDED PRECEDING → 1 PRECEDING` — an O(1)/row running
+    * window, no buffering, no self-join — then a tiny per-touch-type
+    * aggregation. Ordering is whole-second time with the id tiebreak
+    * (the family's total order), credited value is fixed-point
+    * floor(v·2^20) so the sum is an order-free integer. Conversions with
+    * no in-window touch credit the `__none` sentinel, so the output
+    * partitions ALL conversions. */
+  def lastTouchAttribution(ev: DataFrame, convType: String,
+                           lookbackSec: Long, keyCol: String = "user_id",
+                           tsCol: String = "ts", idCol: String = "event_id",
+                           stepCol: String = "event_type",
+                           valCol: String = "value"): DataFrame = {
+    require(lookbackSec > 0,
+      s"lastTouchAttribution: lookbackSec must be > 0, got $lookbackSec")
+    val tSec = col(tsCol).cast(org.apache.spark.sql.types.LongType)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__t"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = last(when(col(stepCol) =!= convType,
+      struct(col("__t").as("t"), col(stepCol).as("s"))), ignoreNulls = true)
+      .over(w)
+    ev.filter(col(keyCol).isNotNull)
+      .select(col(keyCol), tSec.as("__t"), col(idCol), col(stepCol),
+        floor(coalesce(col(valCol), lit(0.0)) * lit(1048576.0))
+          .cast(org.apache.spark.sql.types.LongType).as("__vfp"))
+      .withColumn("__touch", touch)
+      .filter(col(stepCol) === convType)
+      .select(
+        when(col("__touch").isNotNull &&
+          col("__t") - col("__touch.t") <= lookbackSec,
+          col("__touch.s")).otherwise(lit("__none")).as("touch_type"),
+        col("__vfp"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"), sum(col("__vfp")).as("credited_fp"))
+  }
 }

@@ -783,6 +783,80 @@ class PipelineSpec extends AnyFunSuite {
     assert(stages == Map(3 -> 1L, 1 -> 1L, 2 -> 1L))
   }
 
+  test("last-touch attribution: preceding non-conversion wins, lookback gates, __none partitions") {
+    val schema = StructType(Seq(StructField("user_id", LongType, false),
+      StructField("ts", TimestampType, false),
+      StructField("event_id", LongType, false),
+      StructField("event_type", StringType, false),
+      StructField("value", DoubleType, true)))
+    def t(sec: Long) = new java.sql.Timestamp(1704412800000L + sec * 1000)
+    val rows = Seq(
+      Row(1L, t(10), 1L, "view", 0.0), Row(1L, t(20), 2L, "click", 0.0),
+      Row(1L, t(30), 3L, "purchase", 2.5),   // touch = click (id 2)
+      Row(1L, t(40), 4L, "purchase", 1.0),   // still click — purchases never touch
+      Row(2L, t(10), 5L, "view", 0.0),
+      Row(2L, t(4010), 6L, "purchase", 1.0), // touch outside 3600 s → __none
+      Row(3L, t(5), 7L, "purchase", 0.5))    // no prior event at all → __none
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+    val got = graft.operators.Funnel
+      .lastTouchAttribution(df, "purchase", lookbackSec = 3600L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def fp(v: Double) = math.floor(v * 1048576).toLong
+    assert(got == Map(
+      "click" -> ((2L, fp(2.5) + fp(1.0))),
+      "__none" -> ((2L, fp(1.0) + fp(0.5)))))
+  }
+
+  test("seasonal anomaly: integer cross-multiplied threshold, min support, unseen hour never flags") {
+    val schema = StructType(Seq(StructField("event_type", StringType, false),
+      StructField("ts", TimestampType, false),
+      StructField("value", DoubleType, true)))
+    def ts(day: Int, hour: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:$m%02d:00")
+    val rows = Seq(
+      // baseline, type a hour 0: values 10, 10 → n=2, mean 10
+      Row("a", ts(1, 0, 1), 10.0), Row("a", ts(2, 0, 2), 10.0),
+      // baseline, type a hour 1: single row → below minSupport=2
+      Row("a", ts(1, 1, 1), 1.0),
+      // scoring day 3: 25 > 2×10 flags; 15 ≤ 2×10 doesn't; hour-1 cell
+      // is under-supported and hour-2 unseen → neither flags
+      Row("a", ts(3, 0, 1), 25.0), Row("a", ts(3, 0, 2), 15.0),
+      Row("a", ts(3, 1, 1), 99.0), Row("a", ts(3, 2, 1), 99.0),
+      Row("a", ts(3, 0, 3), null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+    val got = graft.operators.Anomaly
+      .seasonalAnomalies(df, "2024-01-03", factor = 2L, minSupport = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", "2024-01-03", 4L, 1L)))
+  }
+
+  test("profile: one-pass long-format column stats with typed bounds") {
+    val schema = StructType(Seq(StructField("id", LongType, false),
+      StructField("v", DoubleType, true), StructField("s", StringType, true),
+      StructField("t", TimestampType, true)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      Row(1L, 1.5, "b", ts("2024-01-01 00:00:01")),
+      Row(2L, null, "a", ts("2024-01-02 12:30:00")),
+      Row(3L, 1.5, null, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val got = graft.operators.Profile
+      .profile(df, numeric = Seq("id", "v"), strings = Seq("s"),
+        timestamps = Seq("t"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.getString(4)), Option(r.getString(5)),
+          if (r.isNullAt(6)) None else Some(r.getLong(6)),
+          if (r.isNullAt(7)) None else Some(r.getLong(7))))).toMap
+    val m = 1048576L
+    assert(got("id") == ((3L, 0L, 3L, None, None, Some(1L * m), Some(3L * m))))
+    assert(got("v") == ((2L, 1L, 1L, None, None,
+      Some(math.floor(1.5 * m).toLong), Some(math.floor(1.5 * m).toLong))))
+    assert(got("s") == ((2L, 1L, 2L, Some("a"), Some("b"), None, None)))
+    assert(got("t") == ((2L, 1L, 2L, Some("2024-01-01 00:00:01"),
+      Some("2024-01-02 12:30:00"), None, None)))
+  }
+
   test("frame near-dup: shared-digest pairs, within-doc dups collapse, hot frames capped") {
     // 64-byte frames, every 4th sampled → frames 0 and 4 of a 320-char
     // doc; segments must DIFFER or the per-doc distinct collapses them
