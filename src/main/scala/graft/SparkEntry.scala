@@ -571,6 +571,25 @@ object SparkEntry {
     graft.sql.ZxSql.run(Tables.documents(s, dir),
       "select spans top 30 size 4 from documents where lang = 'en'")
 
+  /** P1 + a16: cohort retention through the SQL front door — WHERE
+    * composes ahead of the same two-exchange window + aggregation plan
+    * (cohorts computed over the FILTERED population, by design). */
+  private def p11SqlRetention(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir),
+      "select retention from events where user_id <= 120")
+
+  /** P1 + a18: last-touch attribution from SQL, with a non-default
+    * lookback — `attribution purchase within 1800`. */
+  private def p12SqlAttribution(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir),
+      "select attribution purchase within 1800 from events where user_id <= 120")
+
+  /** P1 + a20: Markov stationary distribution from SQL with a filtered
+    * chain (error events removed) and a non-default iteration count. */
+  private def p13SqlMarkov(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir),
+      "select markov iters 10 from events where event_type != 'error'")
+
   /** O1 + LIMIT through SQL: sort+limit compiles to TakeOrderedAndProject
     * (per-partition top-k, no global sort) — the scalable "top-k services"
     * query the reference's observability UI wants. */
@@ -1866,16 +1885,8 @@ object SparkEntry {
     * over the user exchange (no self-join back), then one (cohort,
     * offset) aggregation with exact distinct users — two exchanges
     * total at any scale. */
-  private def a16Retention(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
-      .select(col("user_id"), to_date(col("ts")).as("__d"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
-    ev.withColumn("__cohort", min(col("__d")).over(w))
-      .groupBy(date_format(col("__cohort"), "yyyy-MM-dd").as("cohort_day"),
-        datediff(col("__d"), col("__cohort")).as("day_offset"))
-      .agg(countDistinct(col("user_id")).as("n_users"),
-        count(lit(1)).as("n_events"))
-  }
+  private def a16Retention(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.cohortRetention(Tables.events(s, dir))
 
   /** a18: last-touch attribution — every purchase credits the most recent
     * preceding non-purchase event by the same user within a 1-hour
@@ -1905,6 +1916,20 @@ object SparkEntry {
         .select("event_id", "user_id", "event_type", "value", "props", "ts"),
       numeric = Seq("event_id", "user_id", "value"),
       strings = Seq("event_type", "props"), timestamps = Seq("ts"))
+
+  /** a20: Markov stationary distribution — transition counts distributed
+    * (one window exchange + tiny agg), 20 fixed-point power iterations on
+    * the collected ≤K² matrix driver-side; BIGINT `(p·cnt) div rowsum`
+    * steps replay bit-for-bit on any engine. */
+  private def a20Markov(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.stationaryDistribution(Tables.events(s, dir))
+
+  /** x18: TF-IDF similar-pairs retrieval — inverted-index self-join with
+    * the df-cap pigeonhole (terms with df > 100 never join), integer
+    * `2^20 div df` weights, exact BIGINT pair scores, total-order top-K. */
+  private def x18TfidfPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.similarDocPairs(Tables.documents(s, dir),
+      topK = 50, minDf = 2L, maxDf = 100L)
 
   /** a14: recency-biased smoothing — per (user, day) half-life fold over
     * the event sequence; day emitted as a string for engine-safe compare. */
@@ -2877,6 +2902,9 @@ object SparkEntry {
     "p8_sql_decay" -> (p8SqlDecay _),
     "p9_sql_argmax" -> (p9SqlArgmax _),
     "p10_sql_spans" -> (p10SqlSpans _),
+    "p11_sql_retention" -> (p11SqlRetention _),
+    "p12_sql_attribution" -> (p12SqlAttribution _),
+    "p13_sql_markov" -> (p13SqlMarkov _),
     "o1_top_groups" -> (o1TopGroups _),
     "o2_topk_limit" -> (o2TopkLimit _),
     "o3_top_per_group" -> (o3TopPerGroup _),
@@ -2915,6 +2943,7 @@ object SparkEntry {
     "a16_retention" -> (a16Retention _),
     "a18_attribution" -> (a18Attribution _),
     "a19_anomaly" -> (a19Anomaly _),
+    "a20_markov" -> (a20Markov _),
     "a15_argmax" -> (a15Argmax _),
     "x1_lang_id" -> (x1LangId _),
     "x2_quality" -> (x2Quality _),
@@ -2933,6 +2962,7 @@ object SparkEntry {
     "x15_repeated_ngrams" -> (x15RepeatedSpans _),
     "x15b_spans_hashed" -> (x15bRepeatedSpansHashed _),
     "x16_span_excise" -> (x16SpanExcise _),
+    "x18_tfidf_pairs" -> (x18TfidfPairs _),
     "x17_quality_probe" -> (x17QualityProbe _),
     "c4_familiarity_gate" -> (c4FamiliarityGate _),
     "d1_dedup_exact" -> (d1DedupExact _),
@@ -2990,6 +3020,35 @@ object SparkEntry {
     "st_gap" -> (stGap _),
     "st_heatmap" -> (stHeatmap _),
   )
+
+  /** a20/p13 oracle: full trajectory replay — the lag-window transitions,
+    * then `iters` fixed-point power iterations as chained CTEs (the x17
+    * unrolled-iteration pattern). Per-edge BIGINT floor division, so every
+    * p_k matches the driver math bit-for-bit. */
+  private def markovOracle(iters: Int, extraWhere: String): String = {
+    val pre =
+      s"""WITH e AS (SELECT user_id,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id, event_type
+         |  FROM events WHERE user_id IS NOT NULL $extraWhere),
+         |l AS (SELECT event_type AS nxt, lag(event_type) OVER (
+         |    PARTITION BY user_id ORDER BY t, event_id) AS prv FROM e),
+         |tr AS (SELECT prv, nxt, count(*)::BIGINT AS c FROM l
+         |  WHERE prv IS NOT NULL GROUP BY 1, 2),
+         |rs AS (SELECT prv, sum(c)::BIGINT AS rc FROM tr GROUP BY 1),
+         |states AS (SELECT DISTINCT st FROM
+         |  (SELECT prv AS st FROM tr UNION SELECT nxt FROM tr)),
+         |p0 AS (SELECT st, (1::BIGINT << 36) AS p FROM states)""".stripMargin
+    val its = (1 to iters).map(k =>
+      s"p$k AS (SELECT tr.nxt AS st, sum((p${k - 1}.p * tr.c) // rs.rc)::BIGINT AS p" +
+        s" FROM p${k - 1} JOIN tr ON tr.prv = p${k - 1}.st" +
+        s" JOIN rs ON rs.prv = p${k - 1}.st GROUP BY 1)").mkString(",\n")
+    pre + ",\n" + its +
+      s"""
+         |SELECT states.st AS event_type, coalesce(p$iters.p, 0)::BIGINT AS p_fp,
+         |  coalesce(rs.rc, 0)::BIGINT AS n_out
+         |FROM states LEFT JOIN p$iters ON p$iters.st = states.st
+         |LEFT JOIN rs ON rs.prv = states.st""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = { val base = Map(
     "t1_time_scan" ->
@@ -3236,6 +3295,36 @@ object SparkEntry {
         |    (acc, x) -> acc * 0.5 + x) * 1048576.0))::BIGINT AS decayed_fp,
         |  len(vs)::BIGINT AS n_events
         |FROM g""".stripMargin,
+    "p11_sql_retention" ->
+      // a16's replay over the WHERE-filtered population (cohort = first
+      // day WITHIN the filter, both engines)
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events
+        |  WHERE user_id IS NOT NULL AND user_id <= 120),
+        |c AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1)
+        |SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day,
+        |  date_diff('day', c.cohort, e.d)::INT AS day_offset,
+        |  count(DISTINCT e.user_id)::BIGINT AS n_users,
+        |  count(*)::BIGINT AS n_events
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    "p12_sql_attribution" ->
+      // a18's replay with the SQL face's filter and 1800 s lookback
+      """WITH e AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id, event_type,
+        |    (floor(coalesce(value, 0.0) * 1048576.0))::BIGINT AS vfp
+        |  FROM events WHERE user_id IS NOT NULL AND user_id <= 120),
+        |w AS (SELECT *,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN t END
+        |      IGNORE NULLS) OVER win AS touch_t,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER win AS touch_tp
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT CASE WHEN touch_t IS NOT NULL AND t - touch_t <= 1800
+        |    THEN touch_tp ELSE '__none' END AS touch_type,
+        |  count(*)::BIGINT AS n_conversions,
+        |  sum(vfp)::BIGINT AS credited_fp
+        |FROM w WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
     "p10_sql_spans" ->
       // x15's window walk over the lang-gated slice, size 4, top 30
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
@@ -3878,6 +3967,9 @@ object SparkEntry {
         Seq("event_type", "props").map(str) ++ Seq(tsb("ts")))
         .mkString("\n UNION ALL\n")
     },
+    "a20_markov" -> markovOracle(iters = 20, extraWhere = ""),
+    "p13_sql_markov" ->
+      markovOracle(iters = 10, extraWhere = "AND event_type <> 'error'"),
     "a19_anomaly" ->
       // exact replay: same fixed-point values, same integer
       // cross-multiplied threshold, LEFT join so an unseen (type, hour)
@@ -3945,6 +4037,22 @@ object SparkEntry {
          |  round(w2, 6) AS w2, round(w3, 6) AS w3
          |FROM sc GROUP BY lang, w0, w1, w2, w3""".stripMargin
     },
+    "x18_tfidf_pairs" ->
+      // identical inverted index: same tokenizer, integer `//` IDF
+      // weights, BIGINT scores, same (score DESC, doc_a, doc_b) total
+      // order at the K boundary
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |p AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+        |  GROUP BY 1, 2),
+        |w AS (SELECT term, (1048576 // count(*))::BIGINT AS w FROM p
+        |  GROUP BY term HAVING count(*) BETWEEN 2 AND 100),
+        |wp AS (SELECT p.doc_id, p.term, p.tf, w.w FROM p JOIN w USING (term))
+        |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |  sum(l.tf * r.tf * l.w)::BIGINT AS sim_fp,
+        |  count(*)::BIGINT AS n_shared
+        |FROM wp l JOIN wp r ON l.term = r.term AND l.doc_id < r.doc_id
+        |GROUP BY 1, 2 ORDER BY sim_fp DESC, doc_a, doc_b LIMIT 50""".stripMargin,
     "x16_span_excise" ->
       // full replay: x15's span selection, then the SAME ordered fold —
       // list_prepend seeds list_reduce with the document text, each span

@@ -124,6 +124,17 @@ object SeqOp {
     * the dialect's reach into the documents table. SQL:
     * `select spans top <k> size <n> [where …]`. */
   final case class Spans(topK: Int, size: Int) extends SeqOp
+  /** Cohort retention (a16): users bucketed by first-seen day, activity
+    * per (cohort, day-offset). SQL: `select retention [where …]`. */
+  case object Retention extends SeqOp
+  /** Last-touch attribution (a18): conversions credited to the most
+    * recent preceding non-conversion within the lookback. SQL:
+    * `select attribution <convType> [within <seconds>] [where …]`. */
+  final case class Attribution(convType: String, lookbackSec: Long) extends SeqOp
+  /** Markov stationary distribution (a20) of the event-type transition
+    * chain, `iters` fixed-point power iterations. SQL:
+    * `select markov [iters <n>] [where …]`. */
+  final case class Markov(iters: Int) extends SeqOp
 }
 
 sealed trait SortDir

@@ -333,4 +333,50 @@ object Corpus {
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .json(path)
   }
+
+  /** TF-IDF-flavoured top-K similar document pairs via an INVERTED-INDEX
+    * join — the lexical-similarity face of the dedup family (d4 thresholds
+    * Jaccard on shingles; this RANKS pairs by weighted term overlap, the
+    * "find related docs" retrieval staple).
+    *
+    * Candidate generation is the classic bounded shape: documents only
+    * pair through a SHARED term, and terms with document frequency above
+    * `maxDf` never enter the join — the pigeonhole that kills the
+    * quadratic ("the" pairs everything; a df-capped term pairs ≤ maxDf²
+    * postings, so the per-term fan-out is a constant, not corpus-sized).
+    * `minDf ≥ 2` drops hapax terms map-side (they can't pair). Plan: one
+    * (doc, term) aggregation, a tiny df aggregation, then the self-join on
+    * term — both sides hash-partitioned by term (one exchange each), pair
+    * scores in one more shuffle, TakeOrderedAndProject for the top K.
+    *
+    * Numeric discipline: the IDF weight is the INTEGER `2^20 div df` and
+    * the pair score `Σ tf_a·tf_b·w` stays a BIGINT end-to-end — exact on
+    * any engine, no log(), no float cosine. Ties at the K boundary break
+    * on (score DESC, doc_a, doc_b) — a total order. */
+  def similarDocPairs(docs: DataFrame, topK: Int = 50, minDf: Long = 2L,
+                      maxDf: Long = 100L, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    require(topK > 0, s"similarDocPairs: topK must be positive, got $topK")
+    require(2L <= minDf && minDf <= maxDf,
+      s"similarDocPairs: need 2 ≤ minDf ≤ maxDf, got $minDf/$maxDf")
+    val postings = docs
+      .select(col(idCol), explode(graft.functions.TextFunctions
+        .tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val weights = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(minDf, maxDf))
+      .select(col("term"), expr("1048576 div df").as("w"))
+    val wp = postings.join(weights, Seq("term"))
+    wp.select(col("term"), col(idCol).as("doc_a"), col("tf").as("tfa"), col("w"))
+      .join(wp.select(col("term"), col(idCol).as("doc_b"), col("tf").as("tfb")),
+        Seq("term"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("tfa") * col("tfb") * col("w")).as("sim_fp"),
+        count(lit(1)).as("n_shared"))
+      .orderBy(col("sim_fp").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(topK)
+  }
 }

@@ -195,4 +195,83 @@ object Funnel {
       .groupBy(col("touch_type"))
       .agg(count(lit(1)).as("n_conversions"), sum(col("__vfp")).as("credited_fp"))
   }
+
+  /** Cohort retention (a16): users bucketed by their FIRST-seen day, then
+    * activity counted per (cohort, day-offset) — the product-analytics
+    * staple. The per-user first day rides a window over the user exchange
+    * (no self-join back), then one (cohort, offset) aggregation with
+    * exact distinct users: two exchanges total at any scale. */
+  def cohortRetention(ev: DataFrame, keyCol: String = "user_id",
+                      tsCol: String = "ts"): DataFrame = {
+    val base = ev.filter(col(keyCol).isNotNull)
+      .select(col(keyCol), to_date(col(tsCol)).as("__d"))
+    val w = Window.partitionBy(col(keyCol))
+    base.withColumn("__cohort", min(col("__d")).over(w))
+      .groupBy(date_format(col("__cohort"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("__d"), col("__cohort")).as("day_offset"))
+      .agg(countDistinct(col(keyCol)).as("n_users"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Event-type transition counts: how often does type A immediately
+    * precede type B in an entity's (time, id)-ordered stream? ONE window
+    * exchange on the entity (lag is an O(1)/row running window) plus a
+    * tiny (prev, next) count shuffle — the input to Markov-chain
+    * modelling of user behaviour. */
+  def typeTransitions(ev: DataFrame, keyCol: String = "user_id",
+                      tsCol: String = "ts", idCol: String = "event_id",
+                      stepCol: String = "event_type"): DataFrame = {
+    val tSec = col(tsCol).cast(org.apache.spark.sql.types.LongType)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__t"), col(idCol))
+    ev.filter(col(keyCol).isNotNull)
+      .select(col(keyCol), tSec.as("__t"), col(idCol), col(stepCol))
+      .withColumn("__prev", lag(col(stepCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_type"), col(stepCol).as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+  }
+
+  /** Stationary distribution of the [[typeTransitions]] Markov chain by
+    * `iters` power iterations — "where does user attention settle?".
+    *
+    * The heavy work is distributed (the transition counts); the iteration
+    * runs driver-side on the collected matrix, a BOUNDED artifact
+    * (`require` ≤ `maxStates` states, so ≤ maxStates² rows — the
+    * centroids/codebooks pattern). ENGINE-EXACT fixed point: mass starts
+    * at 2^36 per state and each step moves `(p·cnt) div rowsum` in pure
+    * BIGINT arithmetic — floor-per-edge, summed — so any engine replays
+    * the trajectory bit-for-bit (no float stochastic matrix, no
+    * convergence epsilon). States with no outgoing edges leak their mass
+    * (the walk ends there), stated and replayed identically. Long-range
+    * bound: mass ≤ K·2^36 < 2^43 and per-edge products stay ≤ p·cnt <
+    * 2^43+log2(cnt) — safe while transition counts stay below 2^20, i.e.
+    * any verification scale; at true 100 TB counts, drop the seed to 2^30
+    * (same algebra, wider headroom). */
+  def stationaryDistribution(ev: DataFrame, iters: Int = 20,
+                             maxStates: Int = 64, keyCol: String = "user_id",
+                             tsCol: String = "ts", idCol: String = "event_id",
+                             stepCol: String = "event_type"): DataFrame = {
+    require(iters >= 1 && iters <= 100,
+      s"stationaryDistribution: iters must be in [1,100], got $iters")
+    val trans = typeTransitions(ev, keyCol, tsCol, idCol, stepCol)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = (trans.map(_._1) ++ trans.map(_._2)).distinct.sorted
+    require(states.size <= maxStates,
+      s"stationaryDistribution: ${states.size} states exceeds maxStates=" +
+        s"$maxStates — a state space this wide needs the distributed path")
+    val rowSum = trans.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var p: Map[String, Long] = states.map(_ -> (1L << 36)).toMap
+    for (_ <- 1 to iters) {
+      val next = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      trans.foreach { case (i, j, c) =>
+        next(j) += p(i) * c / rowSum(i)
+      }
+      p = states.map(s => s -> next(s)).toMap
+    }
+    val spark = ev.sparkSession
+    import spark.implicits._
+    states.map(s => (s, p(s), rowSum.getOrElse(s, 0L))).toSeq
+      .toDF("event_type", "p_fp", "n_out")
+  }
 }

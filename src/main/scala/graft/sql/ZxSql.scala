@@ -241,6 +241,7 @@ object ZxSql {
     // as an ordinary select item.
     def atSeqOp: Boolean =
       atIdent("journeys") || atIdent("funnel") || atIdent("spans") ||
+        atIdent("retention") || atIdent("attribution") || atIdent("markov") ||
         ((atIdent("decay") || atIdent("argmax")) && toks.lift(pos + 1).contains(Sym("(")))
     def seqOpClause(): SeqOp = {
       val kw = ident()
@@ -273,6 +274,19 @@ object ZxSql {
           if (topK < 1 || size < 2)
             throw ParseError(s"spans needs top ≥ 1 and size ≥ 2, got $topK/$size")
           SeqOp.Spans(topK, size)
+        case "retention" => SeqOp.Retention
+        case "attribution" =>
+          val conv = value()
+          var within = 3600L
+          if (atIdent("within")) { next(); within = parseLong(num("within seconds"), "within seconds") }
+          if (within < 1) throw ParseError(s"attribution within must be ≥ 1, got $within")
+          SeqOp.Attribution(conv, within)
+        case "markov" =>
+          var iters = 20
+          if (atIdent("iters")) { next(); iters = parseLong(num("iters count"), "iters count").toInt }
+          if (iters < 1 || iters > 100)
+            throw ParseError(s"markov iters must be in [1,100], got $iters")
+          SeqOp.Markov(iters)
         case other => throw ParseError(s"not a sequence op: $other")
       }
     }
@@ -509,16 +523,16 @@ object ZxSql {
       if (joinSpec.nonEmpty || orderBy.nonEmpty || limitN.nonEmpty ||
           having.nonEmpty || sessionGap.nonEmpty || slide.nonEmpty ||
           exactWindows || salt.nonEmpty)
-        throw ParseError("journeys/funnel/decay/argmax take only where and " +
-          "(for argmax) group by — no join/order/limit/having/session/slide/exact/salt")
+        throw ParseError("sequence ops take only where and (for argmax) " +
+          "group by — no join/order/limit/having/session/slide/exact/salt")
       op match {
         case SeqOp.Argmax(_, _) =>
           if (groupBy.isEmpty)
             throw ParseError("argmax(value, id) requires group by")
         case _ =>
           if (groupBy.nonEmpty)
-            throw ParseError("journeys/funnel/decay/spans fix their own " +
-              "grouping — group by applies to argmax only")
+            throw ParseError("sequence ops fix their own grouping — " +
+              "group by applies to argmax only")
       }
     }
 
@@ -559,6 +573,12 @@ object ZxSql {
           // the dialect's reach into the documents table: df is a docs
           // frame (doc_id, text, …); WHERE composes (lang/source gates)
           graft.operators.Corpus.repeatedSpans(base, n = n, topK = k)
+        case SeqOp.Retention =>
+          graft.operators.Funnel.cohortRetention(base)
+        case SeqOp.Attribution(conv, within) =>
+          graft.operators.Funnel.lastTouchAttribution(base, conv, within)
+        case SeqOp.Markov(iters) =>
+          graft.operators.Funnel.stationaryDistribution(base, iters = iters)
         case SeqOp.Argmax(v, idc) =>
           // deterministic argmax (the a15 aggregate): max(struct(value, id))
           // — lexicographic struct max makes the id a total tiebreak while

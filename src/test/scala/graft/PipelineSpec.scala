@@ -857,6 +857,46 @@ class PipelineSpec extends AnyFunSuite {
       Some("2024-01-02 12:30:00"), None, None)))
   }
 
+  test("tfidf pairs: df-capped inverted index, integer weights, hapax terms never pair") {
+    val df = docsDf(
+      (1L, "apple banana apple"),
+      (2L, "apple banana cherry"),
+      (3L, "banana cherry cherry"),
+      (4L, "unique words only"))
+    val got = graft.operators.Corpus
+      .similarDocPairs(df, topK = 10, minDf = 2L, maxDf = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // w(apple)=2^20 div 2=524288, w(banana)=div 3=349525, w(cherry)=524288
+    // (1,2): apple 2·1·524288 + banana 1·1·349525 = 1398101, 2 terms
+    // (2,3): banana 349525 + cherry 1·2·524288 = 1398101; (1,3): banana only
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1398101L, 2L), (2L, 3L, 1398101L, 2L), (1L, 3L, 349525L, 1L)))
+    // doc 4's hapax terms generate no candidates at all
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("markov: lag-window transitions and exact fixed-point power iterations") {
+    val schema = StructType(Seq(StructField("user_id", LongType, false),
+      StructField("ts", TimestampType, false),
+      StructField("event_id", LongType, false),
+      StructField("event_type", StringType, false)))
+    def t(sec: Long) = new java.sql.Timestamp(1704412800000L + sec * 1000)
+    val rows = Seq(
+      Row(1L, t(1), 1L, "A"), Row(1L, t(2), 2L, "B"), Row(1L, t(3), 3L, "A"),
+      Row(2L, t(1), 4L, "B"), Row(2L, t(2), 5L, "B"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val tr = graft.operators.Funnel.typeTransitions(df)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(tr == Map(("A", "B") -> 1L, ("B", "A") -> 1L, ("B", "B") -> 1L))
+    val p2 = graft.operators.Funnel.stationaryDistribution(df, iters = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // p0 = 2^36 each; p1 = {A: 2^35, B: 2^36+2^35};
+    // p2 = {A: (2^36+2^35) div 2 = 3·2^34, B: 2^35 + (2^36+2^35) div 2}
+    assert(p2 == Map(
+      "A" -> ((3L << 34, 1L)),
+      "B" -> (((1L << 35) + (3L << 34), 2L))))
+  }
+
   test("frame near-dup: shared-digest pairs, within-doc dups collapse, hot frames capped") {
     // 64-byte frames, every 4th sampled → frames 0 and 4 of a 320-char
     // doc; segments must DIFFER or the per-doc distinct collapses them

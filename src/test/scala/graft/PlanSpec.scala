@@ -68,6 +68,33 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$p")
   }
 
+  test("attribution: one running-window exchange + the tiny touch-type count, join-free") {
+    val p = plan("a18_attribution")
+    assert(!p.contains("Join"), s"attribution must not self-join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected exactly 2 shuffles, got $exchanges:\n$p")
+  }
+
+  test("seasonal anomaly scores through a broadcast baseline, never a sort-merge join") {
+    val p = plan("a19_anomaly")
+    assert(p.contains("BroadcastHashJoin"), s"baseline must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"events must not shuffle to join:\n$p")
+  }
+
+  test("tfidf pairs: inverted-index equi-joins only, top-k never global-sorts") {
+    val p = plan("x18_tfidf_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"candidate generation must stay term-keyed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not sort globally:\n$p")
+  }
+
+  test("profile: one scan feeds the multi-distinct Expand; unpivot adds no shuffle") {
+    val p = plan("c13_profile")
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"profile must read the table once:\n$p")
+    assert(p.contains("Expand"), s"multi-distinct should plan one Expand:\n$p")
+  }
+
   test("rollup/cube levels ride ONE Expand into one aggregation — no per-level re-scan") {
     Seq("o5_rollup", "o6_cube").foreach { q =>
       val p = plan(q)

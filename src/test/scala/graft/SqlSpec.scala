@@ -530,4 +530,46 @@ class SqlSpec extends AnyFunSuite {
       ZxSql.parse("select spans top 5 size 3 group by lang"))
     assertThrows[ZxSql.ParseError](ZxSql.parse("select spans size 1"))
   }
+
+  test("sequence ops: retention / attribution / markov from SQL (round 10)") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 0L, 10L, "view", 0.0), (2L, 10L, 10L, "click", 0.0),
+      (3L, 20L, 10L, "purchase", 2.0),
+      (4L, 86400L + 5L, 10L, "view", 0.0),   // next day, same user
+      (5L, 86400L + 9L, 20L, "purchase", 1.0)) // no touch → __none
+      .toDF("event_id", "sec", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+
+    val r = ZxSql.run(ev, "select retention")
+      .collect().map(x => (x.getString(0), x.getInt(1), x.getLong(2), x.getLong(3))).toSet
+    assert(r == Set(("1970-01-01", 0, 1L, 3L), ("1970-01-01", 1, 1L, 1L),
+      ("1970-01-02", 0, 1L, 1L)))
+
+    val at = ZxSql.run(ev, "select attribution purchase within 3600")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    assert(at == Set(("click", 1L, 2L * 1048576L), ("__none", 1L, 1L * 1048576L)))
+
+    // one iteration by hand: transitions view→click, click→purchase,
+    // purchase→view (user 10); each prev has rowsum 1 so the whole 2^36
+    // mass moves along each edge; purchase also receives nothing from
+    // user 20 (no transitions there)
+    val mk = ZxSql.run(ev, "select markov iters 1")
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(mk == Map(
+      "view" -> ((1L << 36, 1L)),      // mass from purchase; out: view→click
+      "click" -> ((1L << 36, 1L)),     // from view
+      "purchase" -> ((1L << 36, 1L)))) // from click
+
+    // WHERE composes; grammar guards reject misplaced clauses
+    val r2 = ZxSql.run(ev, "select retention where user_id = 20")
+      .collect().map(x => x.getString(0)).toSet
+    assert(r2 == Set("1970-01-02"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select retention group by user_id"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select attribution purchase within 0"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select markov iters 200"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select markov order by p_fp"))
+    assertThrows[ZxSql.ParseError](ZxSql.runStream(ev, "select retention"))
+  }
 }
