@@ -590,6 +590,28 @@ object SparkEntry {
     graft.sql.ZxSql.run(Tables.events(s, dir),
       "select markov iters 10 from events where event_type != 'error'")
 
+  /** P1 + a19: seasonal anomalies from SQL with non-default threshold and
+    * support, over the error-free slice. */
+  private def p14SqlAnomaly(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir),
+      "select anomaly split '2024-01-21' factor 3 support 20 " +
+        "from events where event_type != 'error'")
+
+  /** P1 + c13: one-pass profiling from SQL — columns classified
+    * numeric/string/timestamp from the input schema at run time, WHERE
+    * composing ahead of the single aggregation. */
+  private def p15SqlProfile(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir)
+      .select("event_id", "user_id", "event_type", "value", "props", "ts"),
+      "select profile user_id, value, event_type, ts " +
+        "from events where event_type = 'click'")
+
+  /** P1 + x18: TF-IDF similar pairs from SQL over the documents table,
+    * with a tighter df cap and a language gate. */
+  private def p16SqlSimilar(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select similar top 40 maxdf 50 from documents where lang = 'en'")
+
   /** O1 + LIMIT through SQL: sort+limit compiles to TakeOrderedAndProject
     * (per-partition top-k, no global sort) — the scalable "top-k services"
     * query the reference's observability UI wants. */
@@ -1714,6 +1736,38 @@ object SparkEntry {
       .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("value")), 3).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** c14: row-level change feed (CDC read) across a manifested-store
+    * lifecycle: append v1 → append more → COMPACT (pure re-layout) →
+    * copy-on-write delete. The feed from v1 to head must net out the
+    * compaction entirely — only the true inserts (days 6-7) and deletes
+    * (day 2) surface — because `changeFeed` multiset-diffs the changed
+    * files' rows in both directions. */
+  private def c14ChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/graft-cdf-q/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.sources.EventStore.reset(s, path)
+    val all = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    graft.sources.EventStore.append(
+      all.filter(dayofmonth(col("ts")) <= 5).repartition(4), path)
+    graft.sources.EventStore.writeManifest(s, path)
+    val v1 = graft.sources.EventStore.manifestVersion(s, path)
+    graft.sources.EventStore.append(
+      all.filter(dayofmonth(col("ts")).between(6, 7)).repartition(2), path)
+    graft.sources.EventStore.writeManifest(s, path)
+    val comps = graft.sources.EventStore.compactInPlace(s, path)
+    require(comps.nonEmpty, "compaction must rewrite at least one partition")
+    val d = graft.sources.EventStore.deleteWhere(
+      s, path, dayofmonth(col("ts")) === 2)
+    require(d.rowsDeleted > 0 && d.filesDropped > 0,
+      s"day-2 erase must be a metadata-only drop of the compacted file, got $d")
+    val vN = graft.sources.EventStore.manifestVersion(s, path)
+    graft.sources.EventStore.changeFeed(s, path, v1, vN)
+      .groupBy(col("_change_type"),
+        date_format(col("event_date"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
   }
 
@@ -2905,6 +2959,9 @@ object SparkEntry {
     "p11_sql_retention" -> (p11SqlRetention _),
     "p12_sql_attribution" -> (p12SqlAttribution _),
     "p13_sql_markov" -> (p13SqlMarkov _),
+    "p14_sql_anomaly" -> (p14SqlAnomaly _),
+    "p15_sql_profile" -> (p15SqlProfile _),
+    "p16_sql_similar" -> (p16SqlSimilar _),
     "o1_top_groups" -> (o1TopGroups _),
     "o2_topk_limit" -> (o2TopkLimit _),
     "o3_top_per_group" -> (o3TopPerGroup _),
@@ -3014,6 +3071,7 @@ object SparkEntry {
     "c11_schema_evolution" -> (c11SchemaEvolution _),
     "c12_point_prune" -> (c12PointPrune _),
     "c13_profile" -> (c13Profile _),
+    "c14_change_feed" -> (c14ChangeFeed _),
     "st_tumbling" -> (stTumbling _),
     "st_session" -> (stSession _),
     "st_hopping" -> (stHopping _),
@@ -3049,6 +3107,71 @@ object SparkEntry {
          |FROM states LEFT JOIN p$iters ON p$iters.st = states.st
          |LEFT JOIN rs ON rs.prv = states.st""".stripMargin
   }
+
+  /** a19/p14 oracle: exact replay — same fixed-point values, same integer
+    * cross-multiplied threshold, LEFT join so an unseen (type, hour)
+    * counts as "no baseline" on both engines. */
+  private def anomalyOracle(split: String, factor: Long, support: Long,
+                            extraWhere: String): String =
+    s"""WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d, hour(ts) AS h,
+       |    (floor(value * 1048576.0))::BIGINT AS vfp
+       |  FROM events WHERE value IS NOT NULL $extraWhere),
+       |b AS (SELECT event_type, h, count(*)::BIGINT AS bn,
+       |    sum(vfp)::BIGINT AS bs
+       |  FROM e WHERE d < DATE '$split' GROUP BY 1, 2)
+       |SELECT e.event_type, strftime(e.d, '%Y-%m-%d') AS day,
+       |  count(*)::BIGINT AS n_events,
+       |  sum(CASE WHEN b.bn >= $support AND e.vfp * b.bn > $factor * b.bs
+       |    THEN 1 ELSE 0 END)::BIGINT AS n_anomalies
+       |FROM e LEFT JOIN b USING (event_type, h)
+       |WHERE e.d >= DATE '$split' GROUP BY 1, 2""".stripMargin
+
+  /** c13/p15 oracle: one UNION ALL branch per profiled column, same long
+    * format — numeric bounds fixed-point, timestamp bounds formatted,
+    * string bounds raw (ASCII columns — binary and collation order
+    * agree). `from` carries any WHERE the face applied. */
+  private def profileOracle(numeric: Seq[String], strings: Seq[String],
+                            tsCols: Seq[String], from: String): String = {
+    def num(c: String) =
+      s"""SELECT '$c' AS "column", count($c)::BIGINT AS n_nonnull,
+         |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+         |  count(DISTINCT $c)::BIGINT AS n_distinct,
+         |  NULL::VARCHAR AS min_s, NULL::VARCHAR AS max_s,
+         |  (floor(min($c) * 1048576.0))::BIGINT AS min_fp,
+         |  (floor(max($c) * 1048576.0))::BIGINT AS max_fp FROM $from""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c', count($c)::BIGINT,
+         |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT,
+         |  count(DISTINCT $c)::BIGINT, min($c), max($c),
+         |  NULL::BIGINT, NULL::BIGINT FROM $from""".stripMargin
+    def tsb(c: String) =
+      s"""SELECT '$c', count($c)::BIGINT,
+         |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT,
+         |  count(DISTINCT $c)::BIGINT,
+         |  strftime(min($c), '%Y-%m-%d %H:%M:%S'),
+         |  strftime(max($c), '%Y-%m-%d %H:%M:%S'),
+         |  NULL::BIGINT, NULL::BIGINT FROM $from""".stripMargin
+    (numeric.map(num) ++ strings.map(str) ++ tsCols.map(tsb))
+      .mkString("\n UNION ALL\n")
+  }
+
+  /** x18/p16 oracle: identical inverted index — same tokenizer, integer
+    * `//` IDF weights, BIGINT scores, same (score DESC, doc_a, doc_b)
+    * total order at the K boundary. */
+  private def similarOracle(topK: Int, minDf: Long, maxDf: Long,
+                            extraWhere: String): String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents WHERE 1=1 $extraWhere),
+       |p AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+       |  GROUP BY 1, 2),
+       |w AS (SELECT term, (1048576 // count(*))::BIGINT AS w FROM p
+       |  GROUP BY term HAVING count(*) BETWEEN $minDf AND $maxDf),
+       |wp AS (SELECT p.doc_id, p.term, p.tf, w.w FROM p JOIN w USING (term))
+       |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |  sum(l.tf * r.tf * l.w)::BIGINT AS sim_fp,
+       |  count(*)::BIGINT AS n_shared
+       |FROM wp l JOIN wp r ON l.term = r.term AND l.doc_id < r.doc_id
+       |GROUP BY 1, 2 ORDER BY sim_fp DESC, doc_a, doc_b LIMIT $topK""".stripMargin
 
   def oracleSql: Map[String, String] = { val base = Map(
     "t1_time_scan" ->
@@ -3940,52 +4063,31 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_conversions,
         |  sum(vfp)::BIGINT AS credited_fp
         |FROM w WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
-    "c13_profile" -> {
-      // one UNION ALL branch per profiled column, same long format:
-      // numeric bounds fixed-point, timestamp bounds formatted, string
-      // bounds raw (ASCII columns — binary vs collation order agree)
-      def num(c: String) =
-        s"""SELECT '$c' AS "column", count($c)::BIGINT AS n_nonnull,
-           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
-           |  count(DISTINCT $c)::BIGINT AS n_distinct,
-           |  NULL::VARCHAR AS min_s, NULL::VARCHAR AS max_s,
-           |  (floor(min($c) * 1048576.0))::BIGINT AS min_fp,
-           |  (floor(max($c) * 1048576.0))::BIGINT AS max_fp FROM events""".stripMargin
-      def str(c: String) =
-        s"""SELECT '$c', count($c)::BIGINT,
-           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT,
-           |  count(DISTINCT $c)::BIGINT, min($c), max($c),
-           |  NULL::BIGINT, NULL::BIGINT FROM events""".stripMargin
-      def tsb(c: String) =
-        s"""SELECT '$c', count($c)::BIGINT,
-           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT,
-           |  count(DISTINCT $c)::BIGINT,
-           |  strftime(min($c), '%Y-%m-%d %H:%M:%S'),
-           |  strftime(max($c), '%Y-%m-%d %H:%M:%S'),
-           |  NULL::BIGINT, NULL::BIGINT FROM events""".stripMargin
-      (Seq("event_id", "user_id", "value").map(num) ++
-        Seq("event_type", "props").map(str) ++ Seq(tsb("ts")))
-        .mkString("\n UNION ALL\n")
-    },
+    "c14_change_feed" ->
+      // the lifecycle's net row changes: inserts = the post-v1 appends
+      // (days 6-7), deletes = the erased day 2 — compaction's rewrites
+      // cancel in the multiset diff and must not surface
+      """WITH e AS (SELECT CAST(ts AS DATE) AS d, user_id, value,
+        |    day(ts) AS dm FROM events)
+        |SELECT 'insert' AS _change_type, strftime(d, '%Y-%m-%d') AS day,
+        |  count(*)::BIGINT AS n, round(sum(value), 3) AS sum_value,
+        |  count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM e WHERE dm BETWEEN 6 AND 7 GROUP BY 2
+        |UNION ALL
+        |SELECT 'delete', strftime(d, '%Y-%m-%d'), count(*)::BIGINT,
+        |  round(sum(value), 3), count(DISTINCT user_id)::BIGINT
+        |FROM e WHERE dm = 2 GROUP BY 2""".stripMargin,
+    "c13_profile" -> profileOracle(Seq("event_id", "user_id", "value"),
+      Seq("event_type", "props"), Seq("ts"), from = "events"),
+    "p15_sql_profile" -> profileOracle(Seq("user_id", "value"),
+      Seq("event_type"), Seq("ts"),
+      from = "events WHERE event_type = 'click'"),
     "a20_markov" -> markovOracle(iters = 20, extraWhere = ""),
     "p13_sql_markov" ->
       markovOracle(iters = 10, extraWhere = "AND event_type <> 'error'"),
-    "a19_anomaly" ->
-      // exact replay: same fixed-point values, same integer
-      // cross-multiplied threshold, LEFT join so an unseen (type, hour)
-      // counts as "no baseline" on both engines
-      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d, hour(ts) AS h,
-        |    (floor(value * 1048576.0))::BIGINT AS vfp
-        |  FROM events WHERE value IS NOT NULL),
-        |b AS (SELECT event_type, h, count(*)::BIGINT AS bn,
-        |    sum(vfp)::BIGINT AS bs
-        |  FROM e WHERE d < DATE '2024-01-21' GROUP BY 1, 2)
-        |SELECT e.event_type, strftime(e.d, '%Y-%m-%d') AS day,
-        |  count(*)::BIGINT AS n_events,
-        |  sum(CASE WHEN b.bn >= 30 AND e.vfp * b.bn > 2 * b.bs
-        |    THEN 1 ELSE 0 END)::BIGINT AS n_anomalies
-        |FROM e LEFT JOIN b USING (event_type, h)
-        |WHERE e.d >= DATE '2024-01-21' GROUP BY 1, 2""".stripMargin,
+    "a19_anomaly" -> anomalyOracle("2024-01-21", 2L, 30L, extraWhere = ""),
+    "p14_sql_anomaly" -> anomalyOracle("2024-01-21", 3L, 20L,
+      extraWhere = "AND event_type <> 'error'"),
     "a16_retention" ->
       // cohort = per-user min day; engine computes it via a window over
       // the user exchange, the replay via a grouped join — same table
@@ -4037,22 +4139,9 @@ object SparkEntry {
          |  round(w2, 6) AS w2, round(w3, 6) AS w3
          |FROM sc GROUP BY lang, w0, w1, w2, w3""".stripMargin
     },
-    "x18_tfidf_pairs" ->
-      // identical inverted index: same tokenizer, integer `//` IDF
-      // weights, BIGINT scores, same (score DESC, doc_a, doc_b) total
-      // order at the K boundary
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        |  FROM documents),
-        |p AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
-        |  GROUP BY 1, 2),
-        |w AS (SELECT term, (1048576 // count(*))::BIGINT AS w FROM p
-        |  GROUP BY term HAVING count(*) BETWEEN 2 AND 100),
-        |wp AS (SELECT p.doc_id, p.term, p.tf, w.w FROM p JOIN w USING (term))
-        |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
-        |  sum(l.tf * r.tf * l.w)::BIGINT AS sim_fp,
-        |  count(*)::BIGINT AS n_shared
-        |FROM wp l JOIN wp r ON l.term = r.term AND l.doc_id < r.doc_id
-        |GROUP BY 1, 2 ORDER BY sim_fp DESC, doc_a, doc_b LIMIT 50""".stripMargin,
+    "x18_tfidf_pairs" -> similarOracle(50, 2L, 100L, extraWhere = ""),
+    "p16_sql_similar" -> similarOracle(40, 2L, 50L,
+      extraWhere = "AND lang = 'en'"),
     "x16_span_excise" ->
       // full replay: x15's span selection, then the SAME ordered fold —
       // list_prepend seeds list_reduce with the document text, each span

@@ -135,6 +135,17 @@ object SeqOp {
     * chain, `iters` fixed-point power iterations. SQL:
     * `select markov [iters <n>] [where …]`. */
   final case class Markov(iters: Int) extends SeqOp
+  /** Seasonal-baseline anomaly counts (a19). SQL:
+    * `select anomaly split <'date'> [factor <n>] [support <n>] [where …]`. */
+  final case class AnomalySplit(split: String, factor: Long,
+                                support: Long) extends SeqOp
+  /** One-pass column profile (c13); columns classified numeric / string /
+    * timestamp from the input schema at run time. SQL:
+    * `select profile <col>, <col>, … [where …]`. */
+  final case class ProfileCols(cols: Seq[String]) extends SeqOp
+  /** TF-IDF similar document pairs (x18) over a documents frame. SQL:
+    * `select similar [top <k>] [mindf <n>] [maxdf <n>] [where …]`. */
+  final case class Similar(topK: Int, minDf: Long, maxDf: Long) extends SeqOp
 }
 
 sealed trait SortDir

@@ -825,6 +825,49 @@ object EventStore {
       .parquet(rel.map(f => path + "/" + f): _*)
   }
 
+  /** ROW-level change feed between two manifest versions — the CDC read
+    * every downstream incremental consumer wants: what rows appeared,
+    * what rows disappeared, net of maintenance?
+    *
+    * [[manifestDiff]] gives the FILE delta; this nets it to rows with a
+    * multiset difference in each direction (`exceptAll`): a file rewritten
+    * by compaction / z-order contributes identical rows to BOTH sides, so
+    * pure re-layout cancels to an empty feed, while a copy-on-write
+    * merge/delete nets to exactly the changed rows. Cost scales with the
+    * CHANGED files only — untouched files are never opened — and the
+    * `exceptAll` shuffles just those rows; at 100 TB a day's feed reads a
+    * day's files, not the store.
+    *
+    * Requires `vOld`'s replaced files to still exist (same contract as
+    * pinned readers — run the feed before [[vacuum]] passes the old
+    * version's retention) and a stable schema across the range (for
+    * evolved stores, diff within a generation). An UPDATE appears as
+    * delete(old row) + insert(new row), the classic CDF encoding.
+    *
+    * Lifecycle caveat: append batches AFTER a maintenance commit via
+    * [[appendCommitted]], not a bare [[writeManifest]] — the replaced
+    * originals a compaction leaves on disk for time travel are
+    * indistinguishable from fresh un-adopted appends, so a blanket
+    * re-adopt would resurrect them (double-counting the store AND
+    * polluting this feed with phantom inserts). */
+  def changeFeed(spark: SparkSession, path: String, vOld: Long, vNew: Long)
+      : DataFrame = {
+    require(vOld <= vNew, s"changeFeed: need vOld ≤ vNew, got $vOld > $vNew")
+    val (added, removed) = manifestDiff(spark, path, vOld, vNew)
+    def rd(rel: Seq[String]): Option[DataFrame] =
+      if (rel.isEmpty) None else Some(readFiles(spark, path, rel))
+    val tagged = (rd(added), rd(removed)) match {
+      case (None, None) => readPinned(spark, path, vNew).limit(0)
+        .withColumn("_change_type", lit("insert"))
+      case (Some(i), None) => i.withColumn("_change_type", lit("insert"))
+      case (None, Some(d)) => d.withColumn("_change_type", lit("delete"))
+      case (Some(i), Some(d)) =>
+        i.exceptAll(d).withColumn("_change_type", lit("insert"))
+          .unionByName(d.exceptAll(i).withColumn("_change_type", lit("delete")))
+    }
+    tagged
+  }
+
   // --------------------------------------------- copy-on-write row mutation
   //
   // The manifest protocol so far only ever ADDS rows (append) or re-lays

@@ -242,6 +242,7 @@ object ZxSql {
     def atSeqOp: Boolean =
       atIdent("journeys") || atIdent("funnel") || atIdent("spans") ||
         atIdent("retention") || atIdent("attribution") || atIdent("markov") ||
+        atIdent("anomaly") || atIdent("profile") || atIdent("similar") ||
         ((atIdent("decay") || atIdent("argmax")) && toks.lift(pos + 1).contains(Sym("(")))
     def seqOpClause(): SeqOp = {
       val kw = ident()
@@ -287,6 +288,26 @@ object ZxSql {
           if (iters < 1 || iters > 100)
             throw ParseError(s"markov iters must be in [1,100], got $iters")
           SeqOp.Markov(iters)
+        case "anomaly" =>
+          expectIdent("split"); val split = value()
+          var factor = 2L; var support = 30L
+          if (atIdent("factor")) { next(); factor = parseLong(num("factor"), "factor") }
+          if (atIdent("support")) { next(); support = parseLong(num("support"), "support") }
+          if (factor < 1 || support < 1)
+            throw ParseError(s"anomaly needs factor/support ≥ 1, got $factor/$support")
+          SeqOp.AnomalySplit(split, factor, support)
+        case "profile" =>
+          val cols = commaList(ident _)
+          if (cols.isEmpty) throw ParseError("profile needs at least one column")
+          SeqOp.ProfileCols(cols)
+        case "similar" =>
+          var topK = 50; var minDf = 2L; var maxDf = 100L
+          if (atIdent("top")) { next(); topK = parseLong(num("top count"), "top count").toInt }
+          if (atIdent("mindf")) { next(); minDf = parseLong(num("mindf"), "mindf") }
+          if (atIdent("maxdf")) { next(); maxDf = parseLong(num("maxdf"), "maxdf") }
+          if (topK < 1 || minDf < 2 || minDf > maxDf)
+            throw ParseError(s"similar needs top ≥ 1 and 2 ≤ mindf ≤ maxdf, got $topK/$minDf/$maxDf")
+          SeqOp.Similar(topK, minDf, maxDf)
         case other => throw ParseError(s"not a sequence op: $other")
       }
     }
@@ -579,6 +600,27 @@ object ZxSql {
           graft.operators.Funnel.lastTouchAttribution(base, conv, within)
         case SeqOp.Markov(iters) =>
           graft.operators.Funnel.stationaryDistribution(base, iters = iters)
+        case SeqOp.AnomalySplit(split, factor, support) =>
+          graft.operators.Anomaly.seasonalAnomalies(base, split, factor, support)
+        case SeqOp.ProfileCols(cols) =>
+          // classify from the INPUT schema so the face stays table-generic
+          import org.apache.spark.sql.types._
+          val byName = base.schema.fields.map(f => f.name -> f.dataType).toMap
+          def kind(c: String) = byName.getOrElse(c,
+            throw ParseError(s"profile: unknown column '$c'")) match {
+            case _: NumericType => "n"
+            case StringType => "s"
+            case _: TimestampType | _: TimestampNTZType | DateType => "t"
+            case other => throw ParseError(
+              s"profile: column '$c' has unprofilable type $other")
+          }
+          val k = cols.groupBy(kind)
+          graft.operators.Profile.profile(base,
+            numeric = k.getOrElse("n", Nil), strings = k.getOrElse("s", Nil),
+            timestamps = k.getOrElse("t", Nil))
+        case SeqOp.Similar(k, lo, hi) =>
+          graft.operators.Corpus.similarDocPairs(base, topK = k,
+            minDf = lo, maxDf = hi)
         case SeqOp.Argmax(v, idc) =>
           // deterministic argmax (the a15 aggregate): max(struct(value, id))
           // — lexicographic struct max makes the id a total tiebreak while

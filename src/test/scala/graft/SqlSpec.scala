@@ -572,4 +572,39 @@ class SqlSpec extends AnyFunSuite {
     assertThrows[ZxSql.ParseError](ZxSql.parse("select markov order by p_fp"))
     assertThrows[ZxSql.ParseError](ZxSql.runStream(ev, "select retention"))
   }
+
+  test("sequence ops: anomaly / profile / similar from SQL (round 10)") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 100L, 10L, "a", 10.0), (2L, 86400L + 100L, 10L, "a", 10.0),
+      (3L, 3 * 86400L + 100L, 10L, "a", 25.0),  // day 4 scores vs mean 10
+      (4L, 3 * 86400L + 200L, 10L, "a", 15.0))
+      .toDF("event_id", "sec", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    // baseline days 1-2 (n=2, mean 10 at hour 0); factor 2, support 2:
+    // 25 flags, 15 doesn't
+    val an = ZxSql.run(ev,
+      "select anomaly split '1970-01-03' factor 2 support 2")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(an.toSeq == Seq(("a", "1970-01-04", 2L, 1L)))
+
+    // profile classifies from the schema: user_id numeric, event_type
+    // string, ts timestamp; WHERE composes (day-4 rows only)
+    val pr = ZxSql.run(ev,
+      "select profile user_id, event_type, ts where value >= 15")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(pr == Map("user_id" -> 1L, "event_type" -> 1L, "ts" -> 2L))
+    assertThrows[ZxSql.ParseError](
+      ZxSql.run(ev, "select profile no_such_col"))
+
+    val docs = Seq((1L, "x y z", "en"), (2L, "x y w", "en"),
+      (3L, "x q r", "en")).toDF("doc_id", "text", "lang")
+    // df(x)=3 > maxdf 2 → never pairs; (1,2) share y (df 2, w=2^19)
+    val sim = ZxSql.run(docs, "select similar top 5 mindf 2 maxdf 2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sim.toSeq == Seq((1L, 2L, 524288L)))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select similar mindf 1"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select anomaly factor 2"))
+  }
 }

@@ -190,6 +190,41 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(debris.isEmpty, s"staging debris left behind: ${debris.mkString(",")}")
   }
 
+  test("change feed: pure re-layout nets to empty, true inserts and deletes surface") {
+    val dir = Files.createTempDirectory("graft-cdf").toString + "/events"
+    val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "value")
+    EventStore.append(
+      src.filter(dayofmonth(col("ts")) <= 5).repartition(3), dir)
+    EventStore.writeManifest(spark, dir)
+    val v1 = EventStore.manifestVersion(spark, dir)
+    // a feed across nothing is empty; a backwards range refuses
+    assert(EventStore.changeFeed(spark, dir, v1, v1).count() == 0)
+    intercept[IllegalArgumentException](EventStore.changeFeed(spark, dir, v1, v1 - 1))
+    // compaction rewrites every (3-file) partition — but moves no rows,
+    // so the feed across the maintenance commit cancels to EMPTY
+    assert(EventStore.compactInPlace(spark, dir).nonEmpty)
+    val v2 = EventStore.manifestVersion(spark, dir)
+    assert(EventStore.changeFeed(spark, dir, v1, v2).count() == 0,
+      "pure re-layout must produce an empty feed")
+    // real changes: append days 6-7 (TXN path — a bare writeManifest here
+    // would re-adopt the compaction's retained originals), erase day 2
+    EventStore.appendCommitted(
+      src.filter(dayofmonth(col("ts")).between(6, 7)), dir, "cdf-spec", 1L)
+    EventStore.deleteWhere(spark, dir, dayofmonth(col("ts")) === 2)
+    val vN = EventStore.manifestVersion(spark, dir)
+    val feed = EventStore.changeFeed(spark, dir, v1, vN)
+      .select(col("_change_type"), col("event_id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val inserted = src.filter(dayofmonth(col("ts")).between(6, 7))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val erased = src.filter(dayofmonth(col("ts")) === 2)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(feed.collect { case ("insert", id) => id }.toSet == inserted)
+    assert(feed.collect { case ("delete", id) => id }.toSet == erased)
+    assert(feed.length == inserted.size + erased.size, "no duplicate feed rows")
+  }
+
   test("mergeInto evaluates the updates plan exactly once (internal persist)") {
     // VERDICT r9 "what's wrong" #3: the merge feeds three jobs (detection
     // semi join, rewrite anti join, count+insert) — without the internal
