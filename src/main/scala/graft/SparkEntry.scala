@@ -610,7 +610,7 @@ object SparkEntry {
     * with a tighter df cap and a language gate. */
   private def p16SqlSimilar(s: SparkSession, dir: String): DataFrame =
     graft.sql.ZxSql.run(Tables.documents(s, dir),
-      "select similar top 40 maxdf 50 from documents where lang = 'en'")
+      "select similar top 40 maxdfpct 10 from documents where lang = 'en'")
 
   /** O1 + LIMIT through SQL: sort+limit compiles to TakeOrderedAndProject
     * (per-partition top-k, no global sort) — the scalable "top-k services"
@@ -1979,11 +1979,13 @@ object SparkEntry {
     graft.operators.Funnel.stationaryDistribution(Tables.events(s, dir))
 
   /** x18: TF-IDF similar-pairs retrieval — inverted-index self-join with
-    * the df-cap pigeonhole (terms with df > 100 never join), integer
-    * `2^20 div df` weights, exact BIGINT pair scores, total-order top-K. */
+    * the df-cap pigeonhole (terms in over 20% of docs never join — the
+    * cap scales with the corpus so it can't go vacuous at a denser SF),
+    * integer `2^20 div df` weights, exact BIGINT scores, total-order
+    * top-K. */
   private def x18TfidfPairs(s: SparkSession, dir: String): DataFrame =
     graft.operators.Corpus.similarDocPairs(Tables.documents(s, dir),
-      topK = 50, minDf = 2L, maxDf = 100L)
+      topK = 50, minDf = 2L, maxDfPct = Some(20))
 
   /** a14: recency-biased smoothing — per (user, day) half-life fold over
     * the event sequence; day emitted as a string for engine-safe compare. */
@@ -3157,21 +3159,29 @@ object SparkEntry {
 
   /** x18/p16 oracle: identical inverted index — same tokenizer, integer
     * `//` IDF weights, BIGINT scores, same (score DESC, doc_a, doc_b)
-    * total order at the K boundary. */
+    * total order at the K boundary. `maxDfPct` replays the fractional cap
+    * as the same integer `n_docs·pct // 100` the engine computes. */
   private def similarOracle(topK: Int, minDf: Long, maxDf: Long,
-                            extraWhere: String): String =
+                            extraWhere: String,
+                            maxDfPct: Option[Int] = None): String = {
+    val capSql = maxDfPct match {
+      case Some(p) => s"greatest($minDf, (SELECT count(*) FROM documents" +
+        s" WHERE 1=1 $extraWhere) * $p // 100)"
+      case None => maxDf.toString
+    }
     s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
        |  FROM documents WHERE 1=1 $extraWhere),
        |p AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
        |  GROUP BY 1, 2),
        |w AS (SELECT term, (1048576 // count(*))::BIGINT AS w FROM p
-       |  GROUP BY term HAVING count(*) BETWEEN $minDf AND $maxDf),
+       |  GROUP BY term HAVING count(*) BETWEEN $minDf AND $capSql),
        |wp AS (SELECT p.doc_id, p.term, p.tf, w.w FROM p JOIN w USING (term))
        |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
        |  sum(l.tf * r.tf * l.w)::BIGINT AS sim_fp,
        |  count(*)::BIGINT AS n_shared
        |FROM wp l JOIN wp r ON l.term = r.term AND l.doc_id < r.doc_id
        |GROUP BY 1, 2 ORDER BY sim_fp DESC, doc_a, doc_b LIMIT $topK""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = { val base = Map(
     "t1_time_scan" ->
@@ -4139,9 +4149,10 @@ object SparkEntry {
          |  round(w2, 6) AS w2, round(w3, 6) AS w3
          |FROM sc GROUP BY lang, w0, w1, w2, w3""".stripMargin
     },
-    "x18_tfidf_pairs" -> similarOracle(50, 2L, 100L, extraWhere = ""),
-    "p16_sql_similar" -> similarOracle(40, 2L, 50L,
-      extraWhere = "AND lang = 'en'"),
+    "x18_tfidf_pairs" -> similarOracle(50, 2L, 0L, extraWhere = "",
+      maxDfPct = Some(20)),
+    "p16_sql_similar" -> similarOracle(40, 2L, 0L,
+      extraWhere = "AND lang = 'en'", maxDfPct = Some(10)),
     "x16_span_excise" ->
       // full replay: x15's span selection, then the SAME ordered fold —
       // list_prepend seeds list_reduce with the document text, each span

@@ -144,8 +144,10 @@ object SeqOp {
     * `select profile <col>, <col>, … [where …]`. */
   final case class ProfileCols(cols: Seq[String]) extends SeqOp
   /** TF-IDF similar document pairs (x18) over a documents frame. SQL:
-    * `select similar [top <k>] [mindf <n>] [maxdf <n>] [where …]`. */
-  final case class Similar(topK: Int, minDf: Long, maxDf: Long) extends SeqOp
+    * `select similar [top <k>] [mindf <n>] [maxdf <n> | maxdfpct <p>]
+    * [where …]` — `maxdfpct` scales the cap with the (filtered) corpus. */
+  final case class Similar(topK: Int, minDf: Long, maxDf: Long,
+                           maxDfPct: Option[Int]) extends SeqOp
 }
 
 sealed trait SortDir

@@ -354,11 +354,23 @@ object Corpus {
     * any engine, no log(), no float cosine. Ties at the K boundary break
     * on (score DESC, doc_a, doc_b) — a total order. */
   def similarDocPairs(docs: DataFrame, topK: Int = 50, minDf: Long = 2L,
-                      maxDf: Long = 100L, textCol: String = "text",
+                      maxDf: Long = 100L, maxDfPct: Option[Int] = None,
+                      textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame = {
     require(topK > 0, s"similarDocPairs: topK must be positive, got $topK")
-    require(2L <= minDf && minDf <= maxDf,
-      s"similarDocPairs: need 2 ≤ minDf ≤ maxDf, got $minDf/$maxDf")
+    // An absolute cap goes VACUOUS on a denser corpus (at 10× docs every
+    // common term's df grows 10× past it and nothing pairs), so the cap
+    // should normally scale with the corpus: maxDfPct caps at
+    // `max(minDf, n_docs·pct div 100)` — pure integer arithmetic, so any
+    // engine computes the identical threshold.
+    val cap = maxDfPct match {
+      case Some(p) =>
+        require(p >= 1 && p <= 100, s"similarDocPairs: maxDfPct in [1,100], got $p")
+        math.max(minDf, docs.count() * p / 100)
+      case None => maxDf
+    }
+    require(2L <= minDf && minDf <= cap,
+      s"similarDocPairs: need 2 ≤ minDf ≤ cap, got $minDf/$cap")
     val postings = docs
       .select(col(idCol), explode(graft.functions.TextFunctions
         .tokens(col(textCol))).as("term"))
@@ -366,7 +378,7 @@ object Corpus {
       .agg(count(lit(1)).as("tf"))
     val weights = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df").between(minDf, maxDf))
+      .filter(col("df").between(minDf, cap))
       .select(col("term"), expr("1048576 div df").as("w"))
     val wp = postings.join(weights, Seq("term"))
     wp.select(col("term"), col(idCol).as("doc_a"), col("tf").as("tfa"), col("w"))

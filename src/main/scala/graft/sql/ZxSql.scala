@@ -302,12 +302,18 @@ object ZxSql {
           SeqOp.ProfileCols(cols)
         case "similar" =>
           var topK = 50; var minDf = 2L; var maxDf = 100L
+          var maxDfPct: Option[Int] = None
           if (atIdent("top")) { next(); topK = parseLong(num("top count"), "top count").toInt }
           if (atIdent("mindf")) { next(); minDf = parseLong(num("mindf"), "mindf") }
           if (atIdent("maxdf")) { next(); maxDf = parseLong(num("maxdf"), "maxdf") }
-          if (topK < 1 || minDf < 2 || minDf > maxDf)
+          if (atIdent("maxdfpct")) {
+            next(); maxDfPct = Some(parseLong(num("maxdfpct"), "maxdfpct").toInt)
+          }
+          if (topK < 1 || minDf < 2 || (maxDfPct.isEmpty && minDf > maxDf))
             throw ParseError(s"similar needs top ≥ 1 and 2 ≤ mindf ≤ maxdf, got $topK/$minDf/$maxDf")
-          SeqOp.Similar(topK, minDf, maxDf)
+          if (maxDfPct.exists(p => p < 1 || p > 100))
+            throw ParseError(s"similar maxdfpct must be in [1,100], got ${maxDfPct.get}")
+          SeqOp.Similar(topK, minDf, maxDf, maxDfPct)
         case other => throw ParseError(s"not a sequence op: $other")
       }
     }
@@ -618,9 +624,9 @@ object ZxSql {
           graft.operators.Profile.profile(base,
             numeric = k.getOrElse("n", Nil), strings = k.getOrElse("s", Nil),
             timestamps = k.getOrElse("t", Nil))
-        case SeqOp.Similar(k, lo, hi) =>
+        case SeqOp.Similar(k, lo, hi, pct) =>
           graft.operators.Corpus.similarDocPairs(base, topK = k,
-            minDf = lo, maxDf = hi)
+            minDf = lo, maxDf = hi, maxDfPct = pct)
         case SeqOp.Argmax(v, idc) =>
           // deterministic argmax (the a15 aggregate): max(struct(value, id))
           // — lexicographic struct max makes the id a total tiebreak while

@@ -310,6 +310,37 @@ object Stress {
     time("a14_decay_10x_hot") {
       graft.operators.Funnel.decayedValues(evHot).count()
     }
+    // attribution at 10×, then with 90% of events on ONE user: the
+    // running window is O(1)/row so the hot partition costs linear time,
+    // not blowup — the band to watch is ≤2× the uniform 10× run
+    time("a18_attribution_10x") {
+      graft.operators.Funnel.lastTouchAttribution(evSeq10, "purchase", 3600L).count()
+    }
+    time("a18_attribution_10x_hot") {
+      graft.operators.Funnel.lastTouchAttribution(evHot, "purchase", 3600L).count()
+    }
+    // markov at 10×: the distributed transition count grows linearly, the
+    // driver matrix stays |types|² regardless of corpus size
+    time("a20_markov_10x") {
+      graft.operators.Funnel.stationaryDistribution(evSeq10).count()
+    }
+    // tfidf df-cap pigeonhole: a FIXED absolute cap prunes ever-harder on
+    // a denser corpus (at this SF it already prunes everything — the
+    // vacuity that moved the shipped rows to the FRACTIONAL cap), while
+    // maxDfPct keeps the same corpus-relative candidate envelope at any
+    // scale. The per-term fan-out stays ≤ cap² either way; no uncapped
+    // run exists to measure because the operator refuses to build one.
+    time("x18_tfidf_1x_pct20") {
+      graft.operators.Corpus.similarDocPairs(docs, topK = 50,
+        maxDfPct = Some(20)).count()
+    }
+    time("x18_tfidf_10x_cap100") {
+      graft.operators.Corpus.similarDocPairs(rep(10), topK = 50, maxDf = 100L).count()
+    }
+    time("x18_tfidf_10x_pct20") {
+      graft.operators.Corpus.similarDocPairs(rep(10), topK = 50,
+        maxDfPct = Some(20)).count()
+    }
     spark.stop()
   }
 }

@@ -606,5 +606,11 @@ class SqlSpec extends AnyFunSuite {
     assert(sim.toSeq == Seq((1L, 2L, 524288L)))
     assertThrows[ZxSql.ParseError](ZxSql.parse("select similar mindf 1"))
     assertThrows[ZxSql.ParseError](ZxSql.parse("select anomaly factor 2"))
+    // fractional cap: 3 docs × 67% → cap 2 (integer 3·67 div 100), same
+    // result as the absolute maxdf 2 run above
+    val simPct = ZxSql.run(docs, "select similar top 5 mindf 2 maxdfpct 67")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(simPct.toSeq == Seq((1L, 2L, 524288L)))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select similar maxdfpct 0"))
   }
 }
