@@ -612,6 +612,19 @@ object SparkEntry {
     graft.sql.ZxSql.run(Tables.documents(s, dir),
       "select similar top 40 maxdfpct 10 from documents where lang = 'en'")
 
+  /** P1 + d2b: MinHash-LSH near-dup pairs from SQL — the dialect reaching
+    * the dedup family; WHERE (length gate) composes ahead of the band
+    * join. */
+  private def p17SqlNeardup(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select neardup threshold 50 from documents where n_chars >= 200")
+
+  /** P1 + s1: brute-force cosine kNN from SQL — the dialect reaching the
+    * embeddings table, with a non-default query id and a corpus filter. */
+  private def p18SqlKnn(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.embeddings(s, dir),
+      "select knn top 8 query 42 from embeddings where vec_id < 400")
+
   /** O1 + LIMIT through SQL: sort+limit compiles to TakeOrderedAndProject
     * (per-partition top-k, no global sort) — the scalable "top-k services"
     * query the reference's observability UI wants. */
@@ -1771,6 +1784,57 @@ object SparkEntry {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** c15: incremental view maintenance from the change feed — the step
+    * past c9 (file-level, append-only): maintain a (type, day) aggregate
+    * through APPENDS, a COMPACTION, and a cross-cutting COPY-ON-WRITE
+    * DELETE without ever recomputing the base. The feed's rows carry a
+    * sign (+insert / −delete); the signed partial aggregate merges into
+    * the v1 snapshot's aggregate with one union+groupBy, and compaction
+    * contributes nothing (the feed nets pure re-layout to empty). The
+    * oracle recomputes the FINAL state directly — a green hash proves the
+    * delta algebra exact, including the subtraction path c9 cannot see. */
+  private def c15IncrementalIvm(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/graft-ivm-q/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.sources.EventStore.reset(s, path)
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    graft.sources.EventStore.append(
+      ev.filter(dayofmonth(col("ts")) <= 10).repartition(3), path)
+    graft.sources.EventStore.writeManifest(s, path)
+    val v1 = graft.sources.EventStore.manifestVersion(s, path)
+    val fp = floor(coalesce(col("value"), lit(0.0)) * lit(1048576.0))
+      .cast(LongType)
+    def keys(df: DataFrame) = df.select(col("event_type"),
+      date_format(col("ts"), "yyyy-MM-dd").as("day"), fp.as("__fv"))
+    // the materialized aggregate as of v1
+    val base = keys(graft.sources.EventStore.readPinned(s, path, v1))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("__fv")).as("sum_fp"))
+    // lifecycle: txn append (post-maintenance-safe), re-layout, COW delete
+    graft.sources.EventStore.appendCommitted(
+      ev.filter(dayofmonth(col("ts")).between(11, 20)), path, "ivm-q", 1L)
+    require(graft.sources.EventStore.compactInPlace(s, path).nonEmpty,
+      "compaction must rewrite at least one partition")
+    val d = graft.sources.EventStore.deleteWhere(s, path,
+      pmod(col("user_id"), lit(5)) === 3 && dayofmonth(col("ts")) <= 10)
+    require(d.rowsDeleted > 0 && d.filesRewritten > 0,
+      s"the cross-cutting erase must partial-rewrite files, got $d")
+    val vN = graft.sources.EventStore.manifestVersion(s, path)
+    // signed delta aggregate from the row-level feed
+    val feed = graft.sources.EventStore.changeFeed(s, path, v1, vN)
+    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    val delta = feed.select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"), fp.as("__fv"),
+        sign.as("__s"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("__s")).as("n"), sum(col("__s") * col("__fv")).as("sum_fp"))
+    base.unionByName(delta)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_fp")).as("sum_fp"))
+      .filter(col("n") > 0)
+  }
+
   /** j2: as-of join — each event enriched with the user's most recent
     * order at-or-before the event (the time-series point-in-time lookup).
     * Orders are deduped to one version per (custkey, second) first, so the
@@ -2834,10 +2898,12 @@ object SparkEntry {
 
   /** Shared CTE prelude replicating minhashPairs' candidate generation:
     * token hashes → shingle hashes → 8 minhash sigs → 4 band keys →
-    * band-equality candidates + distinct shingle sets for the verify. */
-  private def duckMinhashPairCtes: String = {
+    * band-equality candidates + distinct shingle sets for the verify.
+    * `extraWhere` carries a SQL-face filter onto the documents scan. */
+  private def duckMinhashPairCtes(extraWhere: String = ""): String = {
     val sigs = (0 until 8).map(i => s" ${duckMinhash(i)} AS s$i").mkString(",\n")
-    s"""th0 AS (SELECT doc_id, $duckTokenHashes AS th FROM documents),
+    s"""th0 AS (SELECT doc_id, $duckTokenHashes AS th FROM documents
+       |  WHERE 1=1 $extraWhere),
        |hsrc AS (SELECT doc_id, $duckHashedShingles AS hs FROM th0),
        |sig AS (SELECT doc_id,
        |$sigs
@@ -2964,6 +3030,8 @@ object SparkEntry {
     "p14_sql_anomaly" -> (p14SqlAnomaly _),
     "p15_sql_profile" -> (p15SqlProfile _),
     "p16_sql_similar" -> (p16SqlSimilar _),
+    "p17_sql_neardup" -> (p17SqlNeardup _),
+    "p18_sql_knn" -> (p18SqlKnn _),
     "o1_top_groups" -> (o1TopGroups _),
     "o2_topk_limit" -> (o2TopkLimit _),
     "o3_top_per_group" -> (o3TopPerGroup _),
@@ -3074,6 +3142,7 @@ object SparkEntry {
     "c12_point_prune" -> (c12PointPrune _),
     "c13_profile" -> (c13Profile _),
     "c14_change_feed" -> (c14ChangeFeed _),
+    "c15_incremental_ivm" -> (c15IncrementalIvm _),
     "st_tumbling" -> (stTumbling _),
     "st_session" -> (stSession _),
     "st_hopping" -> (stHopping _),
@@ -4073,6 +4142,17 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_conversions,
         |  sum(vfp)::BIGINT AS credited_fp
         |FROM w WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+    "c15_incremental_ivm" ->
+      // the maintained view's FINAL state recomputed directly: all 20
+      // days minus the erased (user%5==3, day≤10) slice — if the signed
+      // delta algebra dropped or double-counted anything, this diverges
+      """SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  count(*)::BIGINT AS n,
+        |  sum((floor(coalesce(value, 0.0) * 1048576.0))::BIGINT)::BIGINT AS sum_fp
+        |FROM events
+        |WHERE day(ts) <= 20
+        |  AND NOT (user_id % 5 = 3 AND day(ts) <= 10)
+        |GROUP BY 1, 2""".stripMargin,
     "c14_change_feed" ->
       // the lifecycle's net row changes: inserts = the post-v1 appends
       // (days 6-7), deletes = the erased day 2 — compaction's rewrites
@@ -4361,15 +4441,33 @@ object SparkEntry {
          |FROM hsrc""".stripMargin
     },
     "d2b_minhash_pairs" ->
-      s"""WITH $duckMinhashPairCtes
+      s"""WITH ${duckMinhashPairCtes()}
          |SELECT id_a, id_b, $duckJaccard AS jac
          |FROM cand JOIN shd a ON cand.id_a = a.doc_id JOIN shd b ON cand.id_b = b.doc_id
          |WHERE $duckJaccard >= 0.5""".stripMargin,
+    "p17_sql_neardup" ->
+      // d2b's replay over the SQL face's length-gated slice — the filter
+      // applies BEFORE signatures, so band keys and candidates match the
+      // engine's filtered scan
+      s"""WITH ${duckMinhashPairCtes("AND n_chars >= 200")}
+         |SELECT id_a, id_b, $duckJaccard AS jac
+         |FROM cand JOIN shd a ON cand.id_a = a.doc_id JOIN shd b ON cand.id_b = b.doc_id
+         |WHERE $duckJaccard >= 0.5""".stripMargin,
+    "p18_sql_knn" -> {
+      // s1's replay with the face's query id, k, and corpus filter
+      val cos = graft.functions.VectorFunctions.cosineSql("embedding", "qe", 64)
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42),
+         |e AS (SELECT * FROM embeddings WHERE vec_id < 400)
+         |SELECT vec_id, label, round($cos, 6) AS cos
+         |FROM e, q
+         |ORDER BY $cos DESC, vec_id
+         |LIMIT 8""".stripMargin
+    },
     "d6_dup_clusters" ->
       // transitive closure over the verified pair graph: (id, lbl) ∈ reach
       // iff a path from lbl's origin reaches id; UNION dedups so the
       // recursion terminates; min(lbl) per id = the component's min doc id
-      s"""WITH RECURSIVE $duckMinhashPairCtes,
+      s"""WITH RECURSIVE ${duckMinhashPairCtes()},
          |p AS (SELECT id_a, id_b
          |  FROM cand JOIN shd a ON cand.id_a = a.doc_id JOIN shd b ON cand.id_b = b.doc_id
          |  WHERE $duckJaccard >= 0.5),
@@ -4388,7 +4486,7 @@ object SparkEntry {
       // d6's transitive closure re-keyed as zero-padded strings: printf on
       // the way out replays the Spark side's format_string re-keying, and
       // min over the padded VARCHARs == min over the numeric ids
-      s"""WITH RECURSIVE $duckMinhashPairCtes,
+      s"""WITH RECURSIVE ${duckMinhashPairCtes()},
          |p AS (SELECT id_a, id_b
          |  FROM cand JOIN shd a ON cand.id_a = a.doc_id JOIN shd b ON cand.id_b = b.doc_id
          |  WHERE $duckJaccard >= 0.5),
@@ -4407,7 +4505,7 @@ object SparkEntry {
     "d9_neardup_survivors" ->
       // d6's transitive-closure CTEs; survivors = docs minus non-canonical
       // cluster members (cluster label <> own id)
-      s"""WITH RECURSIVE $duckMinhashPairCtes,
+      s"""WITH RECURSIVE ${duckMinhashPairCtes()},
          |p AS (SELECT id_a, id_b
          |  FROM cand JOIN shd a ON cand.id_a = a.doc_id JOIN shd b ON cand.id_b = b.doc_id
          |  WHERE $duckJaccard >= 0.5),

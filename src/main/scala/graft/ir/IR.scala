@@ -148,6 +148,13 @@ object SeqOp {
     * [where …]` — `maxdfpct` scales the cap with the (filtered) corpus. */
   final case class Similar(topK: Int, minDf: Long, maxDf: Long,
                            maxDfPct: Option[Int]) extends SeqOp
+  /** MinHash-LSH near-duplicate pairs (d2b) over a documents frame,
+    * verified at `thresholdPct`/100 jaccard. SQL:
+    * `select neardup [threshold <pct>] [where …]`. */
+  final case class NearDup(thresholdPct: Int) extends SeqOp
+  /** Brute-force cosine kNN (s1) over an embeddings frame. SQL:
+    * `select knn [top <k>] [query <vecId>] [where …]`. */
+  final case class Knn(topK: Int, queryId: Long) extends SeqOp
 }
 
 sealed trait SortDir

@@ -243,6 +243,7 @@ object ZxSql {
       atIdent("journeys") || atIdent("funnel") || atIdent("spans") ||
         atIdent("retention") || atIdent("attribution") || atIdent("markov") ||
         atIdent("anomaly") || atIdent("profile") || atIdent("similar") ||
+        atIdent("neardup") || atIdent("knn") ||
         ((atIdent("decay") || atIdent("argmax")) && toks.lift(pos + 1).contains(Sym("(")))
     def seqOpClause(): SeqOp = {
       val kw = ident()
@@ -314,6 +315,18 @@ object ZxSql {
           if (maxDfPct.exists(p => p < 1 || p > 100))
             throw ParseError(s"similar maxdfpct must be in [1,100], got ${maxDfPct.get}")
           SeqOp.Similar(topK, minDf, maxDf, maxDfPct)
+        case "neardup" =>
+          var pct = 50
+          if (atIdent("threshold")) { next(); pct = parseLong(num("threshold pct"), "threshold pct").toInt }
+          if (pct < 1 || pct > 100)
+            throw ParseError(s"neardup threshold must be in [1,100], got $pct")
+          SeqOp.NearDup(pct)
+        case "knn" =>
+          var topK = 10; var qid = 0L
+          if (atIdent("top")) { next(); topK = parseLong(num("top count"), "top count").toInt }
+          if (atIdent("query")) { next(); qid = parseLong(num("query id"), "query id") }
+          if (topK < 1) throw ParseError(s"knn top must be ≥ 1, got $topK")
+          SeqOp.Knn(topK, qid)
         case other => throw ParseError(s"not a sequence op: $other")
       }
     }
@@ -627,6 +640,13 @@ object ZxSql {
         case SeqOp.Similar(k, lo, hi, pct) =>
           graft.operators.Corpus.similarDocPairs(base, topK = k,
             minDf = lo, maxDf = hi, maxDfPct = pct)
+        case SeqOp.NearDup(pct) =>
+          graft.operators.Dedup.minhashPairs(base, threshold = pct / 100.0)
+        case SeqOp.Knn(k, qid) =>
+          // the dialect's reach into the embeddings table; cos rounded to
+          // 6dp like the s1 row (float-sum parity band with the replay)
+          graft.operators.Similarity.bruteForceKnn(base, queryId = qid, k = k)
+            .withColumn("cos", round(col("cos"), 6))
         case SeqOp.Argmax(v, idc) =>
           // deterministic argmax (the a15 aggregate): max(struct(value, id))
           // — lexicographic struct max makes the id a total tiebreak while

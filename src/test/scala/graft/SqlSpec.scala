@@ -613,4 +613,32 @@ class SqlSpec extends AnyFunSuite {
     assert(simPct.toSeq == Seq((1L, 2L, 524288L)))
     assertThrows[ZxSql.ParseError](ZxSql.parse("select similar maxdfpct 0"))
   }
+
+  test("sequence ops: neardup / knn from SQL (round 10)") {
+    import spark.implicits._
+    // two identical long docs + one unrelated: only the twins pair
+    val t1 = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, t1, 100L), (2L, t1, 100L),
+      (3L, (31 to 60).map(i => s"tok$i").mkString(" "), 100L))
+      .toDF("doc_id", "text", "n_chars")
+    val nd = ZxSql.run(docs, "select neardup threshold 90")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(nd.toSeq == Seq((1L, 2L, 1.0)))
+    // WHERE composes: gate out doc 2 → nothing pairs
+    assert(ZxSql.run(docs, "select neardup where doc_id != 2").count() == 0)
+
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 1), (1L, Array(1.0f, 0.0f), 1),
+      (2L, Array(0.0f, 1.0f), 2), (3L, Array(-1.0f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val kn = ZxSql.run(emb, "select knn top 3 query 0")
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(kn.toSeq == Seq((0L, 1.0), (1L, 1.0), (2L, 0.0)))
+    // corpus filter composes; the query row must satisfy it too
+    val kn2 = ZxSql.run(emb, "select knn top 2 query 2 where label = 2")
+      .collect().map(r => r.getLong(0)).toSeq
+    assert(kn2 == Seq(2L, 3L))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select neardup threshold 0"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select knn top 0"))
+  }
 }
