@@ -2051,6 +2051,29 @@ object SparkEntry {
     graft.operators.Corpus.similarDocPairs(Tables.documents(s, dir),
       topK = 50, minDf = 2L, maxDfPct = Some(20))
 
+  /** a21: exact linear trend of value over day-of-month, per event type —
+    * "is this metric drifting?" without a float regression: the slope is
+    * reported as the integer PAIR (num, den) = (n·Σxy − Σx·Σy,
+    * n·Σx² − (Σx)²) over fixed-point `floor(v·2^10)` values, so the
+    * entire computation is order-free BIGINT sums in ONE aggregation
+    * (map-side partials, one tiny exchange) and any engine reproduces it
+    * bit-for-bit; the consumer divides num/den when it wants the float.
+    * The 2^10 scale keeps n·Σxy under 2^63 through ~10^6 rows/group —
+    * beyond that, drop the scale a few bits (same algebra). */
+  private def a21Trend(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        dayofmonth(col("ts")).cast(LongType).as("__x"),
+        floor(col("value") * lit(1024.0)).cast(LongType).as("__y"))
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"), sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .select(col("event_type"), col("n"),
+        (col("n") * col("__sxy") - col("__sx") * col("__sy")).as("slope_num"),
+        (col("n") * col("__sxx") - col("__sx") * col("__sx")).as("slope_den"))
+  }
+
   /** a14: recency-biased smoothing — per (user, day) half-life fold over
     * the event sequence; day emitted as a string for engine-safe compare. */
   private def a14Decay(s: SparkSession, dir: String): DataFrame =
@@ -3071,6 +3094,7 @@ object SparkEntry {
     "a18_attribution" -> (a18Attribution _),
     "a19_anomaly" -> (a19Anomaly _),
     "a20_markov" -> (a20Markov _),
+    "a21_trend" -> (a21Trend _),
     "a15_argmax" -> (a15Argmax _),
     "x1_lang_id" -> (x1LangId _),
     "x2_quality" -> (x2Quality _),
@@ -4173,6 +4197,19 @@ object SparkEntry {
       Seq("event_type"), Seq("ts"),
       from = "events WHERE event_type = 'click'"),
     "a20_markov" -> markovOracle(iters = 20, extraWhere = ""),
+    "a21_trend" ->
+      // same integer sums, same cross-multiplied slope pair — DuckDB's
+      // hugeint sums cast back to BIGINT where the engine's Longs live
+      """WITH e AS (SELECT event_type, day(ts)::BIGINT AS x,
+        |    (floor(value * 1024.0))::BIGINT AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |s AS (SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |    sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n, (n * sxy - sx * sy)::BIGINT AS slope_num,
+        |  (n * sxx - sx * sx)::BIGINT AS slope_den
+        |FROM s""".stripMargin,
     "p13_sql_markov" ->
       markovOracle(iters = 10, extraWhere = "AND event_type <> 'error'"),
     "a19_anomaly" -> anomalyOracle("2024-01-21", 2L, 30L, extraWhere = ""),

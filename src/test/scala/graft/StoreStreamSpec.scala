@@ -225,6 +225,59 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(feed.length == inserted.size + erased.size, "no duplicate feed rows")
   }
 
+  test("change feed property: across random lifecycles, v1 state + signed feed = vN state") {
+    // the algebraic contract the c15 IVM row relies on, pinned over
+    // randomized op sequences: for ANY mix of txn appends, compactions,
+    // and copy-on-write deletes, multiset(vN) == multiset(v1) ⊎ inserts
+    // ∖ deletes. Seeded, so a failure reproduces.
+    val rnd = new scala.util.Random(42)
+    val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "value")
+    def rows(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select("event_id").collect().map(_.getLong(0))
+        .groupBy(identity).map { case (k, v) => k -> v.length }
+    for (round <- 1 to 3) {
+      val dir = Files.createTempDirectory(s"graft-cdfprop$round").toString + "/events"
+      EventStore.append(
+        src.filter(pmod(col("event_id"), lit(3)) === 0).repartition(2), dir)
+      EventStore.writeManifest(spark, dir)
+      val v1 = EventStore.manifestVersion(spark, dir)
+      val before = rows(EventStore.readPinned(spark, dir, v1))
+      var batch = 0L
+      (1 to 4).foreach { _ =>
+        rnd.nextInt(3) match {
+          case 0 =>
+            batch += 1
+            EventStore.appendCommitted(src.filter(
+              pmod(col("event_id"), lit(5)) === rnd.nextInt(5).toLong),
+              dir, "cdf-prop", batch)
+          case 1 => EventStore.compactInPlace(spark, dir)
+          case 2 =>
+            val k = rnd.nextInt(7).toLong
+            // a delete may match nothing or refuse to empty the store —
+            // both are legal lifecycle outcomes; skip the refusal case
+            try EventStore.deleteWhere(spark, dir,
+              pmod(col("user_id"), lit(7)) === k)
+            catch { case e: IllegalArgumentException
+              if e.getMessage.contains("reset()") => () }
+        }
+      }
+      val vN = EventStore.manifestVersion(spark, dir)
+      val after = rows(EventStore.readPinned(spark, dir, vN))
+      val feed = EventStore.changeFeed(spark, dir, v1, vN)
+        .select("_change_type", "event_id").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val applied = feed.foldLeft(before) { case (m, (ct, id)) =>
+        val d = if (ct == "insert") 1 else -1
+        val n = m.getOrElse(id, 0) + d
+        if (n == 0) m - id else m.updated(id, n)
+      }
+      assert(applied == after,
+        s"round $round: v1+feed diverged from vN (|v1|=${before.size}, " +
+          s"|vN|=${after.size}, feed=${feed.length})")
+    }
+  }
+
   test("mergeInto evaluates the updates plan exactly once (internal persist)") {
     // VERDICT r9 "what's wrong" #3: the merge feeds three jobs (detection
     // semi join, rewrite anti join, count+insert) — without the internal
