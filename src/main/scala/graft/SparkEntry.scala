@@ -1835,6 +1835,41 @@ object SparkEntry {
       .filter(col("n") > 0)
   }
 
+  /** c16: deep snapshot clone — pin a version, copy exactly its files to
+    * a fresh root, commit them as the clone's manifest v1, then ERASE the
+    * source past recognition (delete + vacuum past the cloned version):
+    * the clone must still read the original snapshot bit-for-bit. The
+    * oracle recomputes that snapshot (days ≤ 8) directly. */
+  private def c16SnapshotClone(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"target/graft-clone-src-q/$tag"
+    val clonePath = s"target/graft-clone-dst-q/$tag"
+    graft.sources.EventStore.reset(s, path)
+    graft.sources.EventStore.reset(s, clonePath)
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    graft.sources.EventStore.append(
+      ev.filter(dayofmonth(col("ts")) <= 8).repartition(2), path)
+    graft.sources.EventStore.writeManifest(s, path)
+    val vSnap = graft.sources.EventStore.manifestVersion(s, path)
+    graft.sources.EventStore.appendCommitted(
+      ev.filter(dayofmonth(col("ts")).between(9, 12)), path, "clone-q", 1L)
+    val n = graft.sources.EventStore.cloneSnapshot(s, path, clonePath, vSnap)
+    require(n > 0, "clone must copy at least one file")
+    // mutate + vacuum the source past the cloned version — the clone
+    // must not notice
+    graft.sources.EventStore.deleteWhere(s, path,
+      dayofmonth(col("ts")) <= 4)
+    graft.sources.EventStore.vacuum(s, path, keepVersions = 1)
+    graft.sources.EventStore.readPinned(s, clonePath)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(coalesce(col("value"), lit(0.0)) * lit(1048576.0))
+          .cast(LongType)).as("sum_fp"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** j2: as-of join — each event enriched with the user's most recent
     * order at-or-before the event (the time-series point-in-time lookup).
     * Orders are deduped to one version per (custkey, second) first, so the
@@ -2073,6 +2108,14 @@ object SparkEntry {
         (col("n") * col("__sxy") - col("__sx") * col("__sy")).as("slope_num"),
         (col("n") * col("__sxx") - col("__sx") * col("__sx")).as("slope_den"))
   }
+
+  /** s13: MMR diverse re-rank — one exact-kNN corpus pass builds the
+    * shortlist, the greedy diversity loop runs on the bounded collected
+    * artifact; the full trajectory replays in DuckDB as unrolled
+    * argmax-per-step CTEs (same left-fold dots, same weight literals). */
+  private def s13MmrRerank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.mmrRerank(Tables.embeddings(s, dir),
+      queryId = 0L, k = 10, shortlist = 50)
 
   /** a14: recency-biased smoothing — per (user, day) half-life fold over
     * the event sequence; day emitted as a string for engine-safe compare. */
@@ -3142,6 +3185,7 @@ object SparkEntry {
     "s10_recall_audit" -> (s10RecallAudit _),
     "s11_project" -> (s11Project _),
     "s12_filtered_ann" -> (s12FilteredAnn _),
+    "s13_mmr_rerank" -> (s13MmrRerank _),
     "m1_mm_bytes" -> (m1MmBytes _),
     "m2_mm_decode" -> (m2MmDecode _),
     "m3_mm_frames" -> (m3MmFrames _),
@@ -3167,6 +3211,7 @@ object SparkEntry {
     "c13_profile" -> (c13Profile _),
     "c14_change_feed" -> (c14ChangeFeed _),
     "c15_incremental_ivm" -> (c15IncrementalIvm _),
+    "c16_snapshot_clone" -> (c16SnapshotClone _),
     "st_tumbling" -> (stTumbling _),
     "st_session" -> (stSession _),
     "st_hopping" -> (stHopping _),
@@ -3274,6 +3319,43 @@ object SparkEntry {
        |  count(*)::BIGINT AS n_shared
        |FROM wp l JOIN wp r ON l.term = r.term AND l.doc_id < r.doc_id
        |GROUP BY 1, 2 ORDER BY sim_fp DESC, doc_a, doc_b LIMIT $topK""".stripMargin
+  }
+
+  /** s13 oracle: the greedy MMR walk unrolled — step i picks the
+    * argmax of `relW·rel − divW·max(sim to picked)` over the not-yet-
+    * picked shortlist (ties by vec_id), exactly the driver loop. The
+    * shortlist and the pairwise sim table are MATERIALIZED: default CTE
+    * inlining re-expands the parquet scan per reference and exhausts
+    * file handles. */
+  private def mmrOracle(queryId: Long, k: Int, shortlist: Int,
+                        relW: Double, divW: Double): String = {
+    import graft.functions.VectorFunctions.cosineSql
+    val cosq = cosineSql("embedding", "qe", 64)
+    val pwCos = cosineSql("a.embedding", "b.embedding", 64)
+    val head =
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $queryId),
+         |sl AS MATERIALIZED (SELECT vec_id, label, embedding, $cosq AS rel
+         |  FROM embeddings, q ORDER BY $cosq DESC, vec_id LIMIT $shortlist),
+         |pw AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |  $pwCos AS sim FROM sl a, sl b),
+         |s1 AS (SELECT vec_id FROM sl ORDER BY rel DESC, vec_id LIMIT 1),
+         |p1 AS MATERIALIZED (SELECT vec_id FROM s1)""".stripMargin
+    val steps = (2 to k).flatMap { i =>
+      Seq(
+        s"s$i AS (SELECT s.vec_id FROM sl s WHERE s.vec_id NOT IN " +
+          s"(SELECT vec_id FROM p${i - 1}) ORDER BY $relW*s.rel - $divW*" +
+          s"(SELECT max(pw.sim) FROM pw WHERE pw.ia = s.vec_id AND pw.ib IN " +
+          s"(SELECT vec_id FROM p${i - 1})) DESC, s.vec_id LIMIT 1)",
+        s"p$i AS MATERIALIZED (SELECT vec_id FROM p${i - 1} " +
+          s"UNION ALL SELECT vec_id FROM s$i)")
+    }.mkString(",\n")
+    val ranks = (1 to k)
+      .map(i => s"SELECT $i AS rank, vec_id FROM s$i").mkString(" UNION ALL ")
+    s"""$head,
+       |$steps
+       |SELECT r.rank::BIGINT AS rank, r.vec_id, sl.label,
+       |  round(sl.rel, 6) AS rel
+       |FROM ($ranks) r JOIN sl ON sl.vec_id = r.vec_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = { val base = Map(
@@ -4166,6 +4248,13 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_conversions,
         |  sum(vfp)::BIGINT AS credited_fp
         |FROM w WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+    "c16_snapshot_clone" ->
+      // the cloned snapshot recomputed directly: days ≤ 8, regardless of
+      // what the source did afterwards
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  sum((floor(coalesce(value, 0.0) * 1048576.0))::BIGINT)::BIGINT AS sum_fp,
+        |  count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events WHERE day(ts) <= 8 GROUP BY 1""".stripMargin,
     "c15_incremental_ivm" ->
       // the maintained view's FINAL state recomputed directly: all 20
       // days minus the erased (user%5==3, day≤10) slice — if the signed
@@ -4490,6 +4579,8 @@ object SparkEntry {
          |SELECT id_a, id_b, $duckJaccard AS jac
          |FROM cand JOIN shd a ON cand.id_a = a.doc_id JOIN shd b ON cand.id_b = b.doc_id
          |WHERE $duckJaccard >= 0.5""".stripMargin,
+    "s13_mmr_rerank" ->
+      mmrOracle(queryId = 0L, k = 10, shortlist = 50, relW = 0.7, divW = 0.3),
     "p18_sql_knn" -> {
       // s1's replay with the face's query id, k, and corpus filter
       val cos = graft.functions.VectorFunctions.cosineSql("embedding", "qe", 64)

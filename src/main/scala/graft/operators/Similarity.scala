@@ -650,4 +650,76 @@ object Similarity {
     emb.groupBy(signBucket(col(vecCol), bits).as("bucket"))
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("min_id"),
         max(col(idCol)).as("max_id"))
+
+  /** MMR (maximal-marginal-relevance) diverse re-rank — retrieval's
+    * standard answer to "the top-k are 10 copies of the same thing":
+    * greedily pick, at each step, the candidate maximizing
+    * `relWeight·rel − divWeight·max(sim to already-picked)`.
+    *
+    * Plan shape: ONE exact-kNN corpus pass builds the `shortlist` (the s1
+    * scan — rank pushes into TakeOrderedAndProject), then the greedy loop
+    * runs driver-side on the collected shortlist, a BOUNDED artifact
+    * (≤ shortlist rows; the centroid/codebook pattern). The k·shortlist
+    * pairwise step is driver-trivial and NEVER distributes — at 100 TB
+    * the corpus pass is the cost, and it is unchanged from s1.
+    *
+    * ENGINE-EXACT: relevance and pairwise sims use the same left-fold
+    * double dot product as the codegen'd [[graft.expressions.DotProduct]]
+    * (and DuckDB's `list_reduce` mirror), sqrt is IEEE-exact on both
+    * engines, and both weight literals pass through verbatim — so the
+    * full greedy trajectory replays bit-for-bit, ties broken by id. */
+  def mmrRerank(emb: DataFrame, queryId: Long, k: Int, shortlist: Int = 50,
+                relWeight: Double = 0.7, divWeight: Double = 0.3,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                labelCol: String = "label"): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"mmrRerank: need 1 ≤ k ≤ shortlist, got $k/$shortlist")
+    require(shortlist <= 10000,
+      s"mmrRerank: a $shortlist-row shortlist is not a bounded driver artifact")
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__q"), norm(col(vecCol)).as("__qn"))
+    val top = emb.crossJoin(broadcast(q))
+      .withColumn("rel",
+        dot(col(vecCol), col("__q")) / (norm(col(vecCol)) * col("__qn")))
+      .orderBy(col("rel").desc, col(idCol).asc)
+      .limit(shortlist)
+      .select(col(idCol), col(labelCol), col("rel"), col(vecCol))
+      .collect()
+    // the DotProduct expression's exact fold, replicated on the driver
+    def fdot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def fcos(a: Array[Float], b: Array[Float]): Double =
+      fdot(a, b) / (math.sqrt(fdot(a, a)) * math.sqrt(fdot(b, b)))
+    final case class Cand(id: Long, label: Int, rel: Double, v: Array[Float])
+    val sorted = top.map(r => Cand(r.getLong(0), r.getInt(1), r.getDouble(2),
+      r.getSeq[Float](3).toArray))
+      .sortBy(c => (-c.rel, c.id)).toBuffer
+    val picked = scala.collection.mutable.ArrayBuffer(sorted.remove(0))
+    while (picked.size < k && sorted.nonEmpty) {
+      var bestIdx = 0
+      var bestScore = Double.NegativeInfinity
+      var bestId = Long.MaxValue
+      var i = 0
+      while (i < sorted.length) {
+        val c = sorted(i)
+        var ms = Double.NegativeInfinity
+        picked.foreach(p => { val s = fcos(c.v, p.v); if (s > ms) ms = s })
+        val score = relWeight * c.rel - divWeight * ms
+        if (score > bestScore || (score == bestScore && c.id < bestId)) {
+          bestScore = score; bestIdx = i; bestId = c.id
+        }
+        i += 1
+      }
+      picked += sorted.remove(bestIdx)
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    picked.zipWithIndex
+      .map { case (c, i) => (i + 1L, c.id, c.label,
+        BigDecimal(c.rel).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .toSeq.toDF("rank", idCol, labelCol, "rel")
+  }
 }

@@ -868,6 +868,44 @@ object EventStore {
     tagged
   }
 
+  /** Deep snapshot clone: copy exactly the files version `version` pins
+    * into a fresh store root and commit them there as the new store's
+    * manifest v1 — the backup / environment-promotion primitive ("ship
+    * yesterday's snapshot to staging"). The clone is a fully independent
+    * store: the source can compact, rewrite, or [[vacuum]] past the
+    * cloned version afterwards without touching it. Copy cost is
+    * data-proportional and file-parallelizable by the filesystem (at
+    * 100 TB this is a distcp-shaped job; the manifest commit is the same
+    * either way) — a SHALLOW clone (manifest referencing source files)
+    * is deliberately not offered, because the store's relative-path
+    * manifests are what make vacuum/maintenance reasoning local to one
+    * root. Returns the cloned file count. */
+  def cloneSnapshot(spark: SparkSession, srcPath: String, dstPath: String,
+                    version: Long = -1L): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val dst = new org.apache.hadoop.fs.Path(dstPath)
+    val sfs = src.getFileSystem(conf)
+    val dfs = dst.getFileSystem(conf)
+    require(!dfs.exists(dst) || dfs.listStatus(dst).isEmpty,
+      s"cloneSnapshot: destination $dstPath is not empty")
+    val v = if (version >= 0) version
+      else manifestVersions(sfs, src).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"cloneSnapshot: $srcPath has no manifest"))
+    val rel = readManifestFile(sfs, src, v)
+    require(rel.nonEmpty, s"cloneSnapshot: version $v lists no files")
+    rel.foreach { r =>
+      val from = new org.apache.hadoop.fs.Path(src, r)
+      val to = new org.apache.hadoop.fs.Path(dst, r)
+      dfs.mkdirs(to.getParent)
+      require(org.apache.hadoop.fs.FileUtil.copy(sfs, from, dfs, to,
+        false, conf), s"cloneSnapshot: copy failed for $r")
+    }
+    withCommitLock(dfs, dst) { commitLocked(dfs, dst, rel) }
+    rel.size
+  }
+
   // --------------------------------------------- copy-on-write row mutation
   //
   // The manifest protocol so far only ever ADDS rows (append) or re-lays

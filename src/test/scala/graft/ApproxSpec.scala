@@ -297,4 +297,29 @@ class ApproxSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Similarity.annSignLsh(emb, 0L, k = 5, bits = 4, probes = 6))
   }
+
+  test("MMR re-rank: equal weights demote a near-duplicate below a diverse candidate") {
+    import spark.implicits._
+    // q = v0 = e_x. v1 ≈ v2 near-parallel high-relevance pair; v3 diverse
+    // (orthogonal-ish component). At step 2 every candidate's only picked
+    // neighbor is the query itself, so sim == rel and the score ordering
+    // equals the relevance ordering → v1. At step 3 with relW = divW:
+    // v2's score = (rel2 − sim12)/2 < 0 (near-parallel to v1) while v3's
+    // = (rel3 − rel3)/2 = 0 → the DIVERSE v3 jumps the more-relevant v2.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.98f, 0.199f, 0.0f), 1),
+      (2L, Array(0.97f, 0.2431f, 0.0f), 2),
+      (3L, Array(0.8f, 0.0f, 0.6f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val diverse = Similarity.mmrRerank(emb, queryId = 0L, k = 4, shortlist = 4,
+      relWeight = 0.5, divWeight = 0.5)
+      .collect().map(r => r.getLong(1)).toSeq
+    assert(diverse == Seq(0L, 1L, 3L, 2L), s"got $diverse")
+    // with no diversity pressure the pure-relevance order comes back
+    val plain = Similarity.mmrRerank(emb, queryId = 0L, k = 4, shortlist = 4,
+      relWeight = 1.0, divWeight = 0.0)
+      .collect().map(r => r.getLong(1)).toSeq
+    assert(plain == Seq(0L, 1L, 2L, 3L), s"got $plain")
+  }
 }

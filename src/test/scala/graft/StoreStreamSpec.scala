@@ -278,6 +278,39 @@ class StoreStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot clone: bit-equal to the pinned version, independent of source mutation and vacuum") {
+    val base = Files.createTempDirectory("graft-clone").toString
+    val srcDir = base + "/src"
+    val dstDir = base + "/dst"
+    val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "value")
+    EventStore.append(src.filter(dayofmonth(col("ts")) <= 4).repartition(2), srcDir)
+    EventStore.writeManifest(spark, srcDir)
+    val v1 = EventStore.manifestVersion(spark, srcDir)
+    val want = EventStore.readPinned(spark, srcDir, v1)
+      .select("event_id", "ts", "user_id", "value").collect().toSet
+    EventStore.appendCommitted(
+      src.filter(dayofmonth(col("ts")) === 5), srcDir, "clone-spec", 1L)
+    val n = EventStore.cloneSnapshot(spark, srcDir, dstDir, v1)
+    assert(n > 0)
+    assert(EventStore.readPinned(spark, dstDir)
+      .select("event_id", "ts", "user_id", "value").collect().toSet == want,
+      "clone must read exactly the pinned snapshot (not the newer source head)")
+    // refuse to clobber a non-empty destination
+    intercept[IllegalArgumentException](
+      EventStore.cloneSnapshot(spark, srcDir, dstDir, v1))
+    // erase the source past the cloned version: the clone must not notice
+    EventStore.deleteWhere(spark, srcDir, dayofmonth(col("ts")) <= 2)
+    EventStore.vacuum(spark, srcDir, keepVersions = 1)
+    assert(EventStore.readPinned(spark, dstDir)
+      .select("event_id", "ts", "user_id", "value").collect().toSet == want,
+      "a vacuumed source must not affect the clone")
+    // and the clone is a full citizen: it can maintain itself
+    EventStore.compactInPlace(spark, dstDir)
+    assert(EventStore.readPinned(spark, dstDir)
+      .select("event_id", "ts", "user_id", "value").collect().toSet == want)
+  }
+
   test("mergeInto evaluates the updates plan exactly once (internal persist)") {
     // VERDICT r9 "what's wrong" #3: the merge feeds three jobs (detection
     // semi join, rewrite anti join, count+insert) — without the internal
