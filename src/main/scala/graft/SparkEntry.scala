@@ -625,6 +625,12 @@ object SparkEntry {
     graft.sql.ZxSql.run(Tables.embeddings(s, dir),
       "select knn top 8 query 42 from embeddings where vec_id < 400")
 
+  /** P1 + s13: MMR diverse re-rank from SQL, non-default query/k/
+    * shortlist and a corpus filter (the query row satisfies it). */
+  private def p19SqlMmr(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.embeddings(s, dir),
+      "select mmr top 8 query 7 shortlist 30 from embeddings where vec_id < 450")
+
   /** O1 + LIMIT through SQL: sort+limit compiles to TakeOrderedAndProject
     * (per-partition top-k, no global sort) — the scalable "top-k services"
     * query the reference's observability UI wants. */
@@ -3098,6 +3104,7 @@ object SparkEntry {
     "p16_sql_similar" -> (p16SqlSimilar _),
     "p17_sql_neardup" -> (p17SqlNeardup _),
     "p18_sql_knn" -> (p18SqlKnn _),
+    "p19_sql_mmr" -> (p19SqlMmr _),
     "o1_top_groups" -> (o1TopGroups _),
     "o2_topk_limit" -> (o2TopkLimit _),
     "o3_top_per_group" -> (o3TopPerGroup _),
@@ -3328,14 +3335,16 @@ object SparkEntry {
     * inlining re-expands the parquet scan per reference and exhausts
     * file handles. */
   private def mmrOracle(queryId: Long, k: Int, shortlist: Int,
-                        relW: Double, divW: Double): String = {
+                        relW: Double, divW: Double,
+                        extraWhere: String = ""): String = {
     import graft.functions.VectorFunctions.cosineSql
     val cosq = cosineSql("embedding", "qe", 64)
     val pwCos = cosineSql("a.embedding", "b.embedding", 64)
     val head =
-      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $queryId),
+      s"""WITH emb AS (SELECT * FROM embeddings WHERE 1=1 $extraWhere),
+         |q AS (SELECT embedding AS qe FROM emb WHERE vec_id = $queryId),
          |sl AS MATERIALIZED (SELECT vec_id, label, embedding, $cosq AS rel
-         |  FROM embeddings, q ORDER BY $cosq DESC, vec_id LIMIT $shortlist),
+         |  FROM emb, q ORDER BY $cosq DESC, vec_id LIMIT $shortlist),
          |pw AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib,
          |  $pwCos AS sim FROM sl a, sl b),
          |s1 AS (SELECT vec_id FROM sl ORDER BY rel DESC, vec_id LIMIT 1),
@@ -4581,6 +4590,8 @@ object SparkEntry {
          |WHERE $duckJaccard >= 0.5""".stripMargin,
     "s13_mmr_rerank" ->
       mmrOracle(queryId = 0L, k = 10, shortlist = 50, relW = 0.7, divW = 0.3),
+    "p19_sql_mmr" -> mmrOracle(queryId = 7L, k = 8, shortlist = 30,
+      relW = 0.7, divW = 0.3, extraWhere = "AND vec_id < 450"),
     "p18_sql_knn" -> {
       // s1's replay with the face's query id, k, and corpus filter
       val cos = graft.functions.VectorFunctions.cosineSql("embedding", "qe", 64)

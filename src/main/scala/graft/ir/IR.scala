@@ -155,6 +155,10 @@ object SeqOp {
   /** Brute-force cosine kNN (s1) over an embeddings frame. SQL:
     * `select knn [top <k>] [query <vecId>] [where …]`. */
   final case class Knn(topK: Int, queryId: Long) extends SeqOp
+  /** MMR diverse re-rank (s13) over an embeddings frame, default
+    * 0.7/0.3 weights. SQL:
+    * `select mmr [top <k>] [query <vecId>] [shortlist <n>] [where …]`. */
+  final case class Mmr(topK: Int, queryId: Long, shortlist: Int) extends SeqOp
 }
 
 sealed trait SortDir

@@ -243,7 +243,7 @@ object ZxSql {
       atIdent("journeys") || atIdent("funnel") || atIdent("spans") ||
         atIdent("retention") || atIdent("attribution") || atIdent("markov") ||
         atIdent("anomaly") || atIdent("profile") || atIdent("similar") ||
-        atIdent("neardup") || atIdent("knn") ||
+        atIdent("neardup") || atIdent("knn") || atIdent("mmr") ||
         ((atIdent("decay") || atIdent("argmax")) && toks.lift(pos + 1).contains(Sym("(")))
     def seqOpClause(): SeqOp = {
       val kw = ident()
@@ -327,6 +327,14 @@ object ZxSql {
           if (atIdent("query")) { next(); qid = parseLong(num("query id"), "query id") }
           if (topK < 1) throw ParseError(s"knn top must be ≥ 1, got $topK")
           SeqOp.Knn(topK, qid)
+        case "mmr" =>
+          var topK = 10; var qid = 0L; var shortlist = 50
+          if (atIdent("top")) { next(); topK = parseLong(num("top count"), "top count").toInt }
+          if (atIdent("query")) { next(); qid = parseLong(num("query id"), "query id") }
+          if (atIdent("shortlist")) { next(); shortlist = parseLong(num("shortlist size"), "shortlist size").toInt }
+          if (topK < 1 || shortlist < topK)
+            throw ParseError(s"mmr needs 1 ≤ top ≤ shortlist, got $topK/$shortlist")
+          SeqOp.Mmr(topK, qid, shortlist)
         case other => throw ParseError(s"not a sequence op: $other")
       }
     }
@@ -647,6 +655,9 @@ object ZxSql {
           // 6dp like the s1 row (float-sum parity band with the replay)
           graft.operators.Similarity.bruteForceKnn(base, queryId = qid, k = k)
             .withColumn("cos", round(col("cos"), 6))
+        case SeqOp.Mmr(k, qid, shortlist) =>
+          graft.operators.Similarity.mmrRerank(base, queryId = qid, k = k,
+            shortlist = shortlist)
         case SeqOp.Argmax(v, idc) =>
           // deterministic argmax (the a15 aggregate): max(struct(value, id))
           // — lexicographic struct max makes the id a total tiebreak while

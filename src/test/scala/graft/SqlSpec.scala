@@ -640,5 +640,11 @@ class SqlSpec extends AnyFunSuite {
     assert(kn2 == Seq(2L, 3L))
     assertThrows[ZxSql.ParseError](ZxSql.parse("select neardup threshold 0"))
     assertThrows[ZxSql.ParseError](ZxSql.parse("select knn top 0"))
+    // mmr: same embeddings reach, diversity loop over the shortlist; with
+    // k = corpus the order is pure relevance here (all candidates distinct)
+    val mm = ZxSql.run(emb, "select mmr top 2 query 0 shortlist 4")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mm.head == ((1L, 0L)) && mm.length == 2)
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select mmr top 9 shortlist 4"))
   }
 }
