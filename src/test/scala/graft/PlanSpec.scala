@@ -88,6 +88,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-k must not sort globally:\n$p")
   }
 
+  test("trend: one hash aggregate with map-side partials, no window, no join") {
+    val p = plan("a21_trend")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"the slope pair must come from plain aggregation:\n$p")
+  }
+
   test("profile: one scan feeds the multi-distinct Expand; unpivot adds no shuffle") {
     val p = plan("c13_profile")
     assert("FileScan parquet".r.findAllIn(p).length == 1,
