@@ -4273,7 +4273,7 @@ object SparkEntry {
         |  sum((floor(coalesce(value, 0.0) * 1048576.0))::BIGINT)::BIGINT AS sum_fp
         |FROM events
         |WHERE day(ts) <= 20
-        |  AND NOT (user_id % 5 = 3 AND day(ts) <= 10)
+        |  AND NOT coalesce(user_id % 5 = 3 AND day(ts) <= 10, FALSE)
         |GROUP BY 1, 2""".stripMargin,
     "c14_change_feed" ->
       // the lifecycle's net row changes: inserts = the post-v1 appends

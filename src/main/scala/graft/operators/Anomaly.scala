@@ -17,10 +17,14 @@ import org.apache.spark.sql.types.LongType
   * epsilon).
   *
   * Plan shape: one aggregation over the training slice produces a baseline
-  * bounded by |groups|·24 rows — broadcast by construction — so scoring is
-  * a narrow broadcast hash join over the scoring slice plus one final
-  * (group, day) aggregation. Two small shuffles total at any scale; the
-  * events table is never self-joined or re-sorted.
+  * bounded by |groups|·24 rows — and |groups| is ENFORCED, not assumed:
+  * the baseline is checkpointed (one training scan, not two), counted
+  * against `maxBaselineRows`, and only then broadcast, so a
+  * high-cardinality group column (URLs, SKUs) fails loudly instead of
+  * OOMing the driver mid-broadcast. Scoring is then a narrow broadcast
+  * hash join over the scoring slice plus one final (group, day)
+  * aggregation. Two small shuffles total at any scale; the events table
+  * is never self-joined or re-sorted.
   */
 object Anomaly {
 
@@ -32,10 +36,14 @@ object Anomaly {
     * @param minSupport baseline cells with fewer training rows never flag
     *                   (an unseen (group, hour) is "no baseline", not an
     *                   anomaly)
+    * @param maxBaselineRows hard cap on (group, hour) baseline cells —
+    *                   the broadcast-safety guard; exceeded → loud error
+    *                   naming the group column, BEFORE the broadcast
     */
   def seasonalAnomalies(ev: DataFrame, splitDate: String, factor: Long = 2L,
                         minSupport: Long = 30L, groupCol: String = "event_type",
-                        tsCol: String = "ts", valCol: String = "value")
+                        tsCol: String = "ts", valCol: String = "value",
+                        maxBaselineRows: Int = 100000)
       : DataFrame = {
     require(factor >= 1 && minSupport >= 1,
       s"seasonalAnomalies: factor/minSupport must be ≥ 1, got $factor/$minSupport")
@@ -43,9 +51,20 @@ object Anomaly {
       .select(col(groupCol), to_date(col(tsCol)).as("__d"),
         hour(col(tsCol)).as("__h"),
         floor(col(valCol) * lit(1048576.0)).cast(LongType).as("__vfp"))
+    // checkpoint BEFORE the guard so the training slice is scanned once:
+    // the bounded count and the broadcast both read the materialized
+    // blocks (executor-side — the hazard being guarded is the DRIVER copy
+    // a broadcast makes)
     val baseline = rows.filter(col("__d") < to_date(lit(splitDate)))
       .groupBy(col(groupCol), col("__h"))
       .agg(count(lit(1)).as("__bn"), sum(col("__vfp")).as("__bs"))
+      .localCheckpoint()
+    val nb = baseline.limit(maxBaselineRows + 1).count()
+    require(nb <= maxBaselineRows,
+      s"seasonalAnomalies: group column '$groupCol' yields more than " +
+        s"$maxBaselineRows (group, hour) baseline cells — not a " +
+        "broadcastable baseline; raise maxBaselineRows or reduce the " +
+        "group column's cardinality (bucket/hash it) first")
     rows.filter(col("__d") >= to_date(lit(splitDate)))
       .join(broadcast(baseline), Seq(groupCol, "__h"), "left")
       .groupBy(col(groupCol), date_format(col("__d"), "yyyy-MM-dd").as("day"))

@@ -235,30 +235,51 @@ object Funnel {
     * `iters` power iterations — "where does user attention settle?".
     *
     * The heavy work is distributed (the transition counts); the iteration
-    * runs driver-side on the collected matrix, a BOUNDED artifact
-    * (`require` ≤ `maxStates` states, so ≤ maxStates² rows — the
-    * centroids/codebooks pattern). ENGINE-EXACT fixed point: mass starts
+    * runs driver-side on the collected matrix, a BOUNDED artifact — the
+    * collect itself is capped at `maxStates² + 1` rows by a `limit` INSIDE
+    * the distributed plan, so a high-cardinality step column (URLs, SKUs
+    * as event types) fails loudly BEFORE the driver ever holds the K²
+    * matrix, not after. ENGINE-EXACT fixed point: mass starts
     * at 2^36 per state and each step moves `(p·cnt) div rowsum` in pure
     * BIGINT arithmetic — floor-per-edge, summed — so any engine replays
     * the trajectory bit-for-bit (no float stochastic matrix, no
     * convergence epsilon). States with no outgoing edges leak their mass
     * (the walk ends there), stated and replayed identically. Long-range
     * bound: mass ≤ K·2^36 < 2^43 and per-edge products stay ≤ p·cnt <
-    * 2^43+log2(cnt) — safe while transition counts stay below 2^20, i.e.
-    * any verification scale; at true 100 TB counts, drop the seed to 2^30
-    * (same algebra, wider headroom). */
+    * 2^43+log2(cnt) — safe while transition counts stay below 2^20, now
+    * ENFORCED by a loud `require` (silent Long overflow would make the
+    * "engine-exact" result quietly wrong); at true 100 TB counts, drop
+    * the seed to 2^30 (same algebra, wider headroom). */
   def stationaryDistribution(ev: DataFrame, iters: Int = 20,
                              maxStates: Int = 64, keyCol: String = "user_id",
                              tsCol: String = "ts", idCol: String = "event_id",
                              stepCol: String = "event_type"): DataFrame = {
     require(iters >= 1 && iters <= 100,
       s"stationaryDistribution: iters must be in [1,100], got $iters")
+    // bounded collect: limit() rides INSIDE the distributed plan, so at
+    // most maxStates²+1 rows ever reach the driver — the cardinality guard
+    // fires before the K² matrix materializes, not after the OOM it
+    // prevents. (K states can also hide under maxStates² sparse rows, so
+    // the distinct-state check below still runs on the bounded block.)
+    val cap = maxStates * maxStates
     val trans = typeTransitions(ev, keyCol, tsCol, idCol, stepCol)
+      .limit(cap + 1)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(trans.length <= cap,
+      s"stationaryDistribution: step column '$stepCol' yields more than " +
+        s"$cap distinct (prev, next) transitions (maxStates=$maxStates) — " +
+        "a state space this wide needs the distributed path")
     val states = (trans.map(_._1) ++ trans.map(_._2)).distinct.sorted
     require(states.size <= maxStates,
       s"stationaryDistribution: ${states.size} states exceeds maxStates=" +
         s"$maxStates — a state space this wide needs the distributed path")
+    // enforce the scaladoc's stated headroom: p(i)·c must stay inside a
+    // Long (mass ≤ K·2^36, so counts < 2^20 keep products < 2^63) — out-of-
+    // headroom inputs fail loudly instead of silently wrapping
+    require(trans.forall(_._3 < (1L << 20)),
+      s"stationaryDistribution: a transition count reaches 2^20 — the " +
+        "2^36 fixed-point seed would overflow Long; re-seed at 2^30 " +
+        "(reduced precision) or pre-aggregate the stream")
     val rowSum = trans.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
     var p: Map[String, Long] = states.map(_ -> (1L << 36)).toMap
     for (_ <- 1 to iters) {

@@ -685,6 +685,8 @@ object Similarity {
       .limit(shortlist)
       .select(col(idCol), col(labelCol), col("rel"), col(vecCol))
       .collect()
+    require(top.nonEmpty,
+      s"mmrRerank: query id $queryId not found (or filtered out) — empty shortlist")
     // the DotProduct expression's exact fold, replicated on the driver
     def fdot(a: Array[Float], b: Array[Float]): Double = {
       var acc = 0.0; var i = 0

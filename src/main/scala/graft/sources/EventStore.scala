@@ -873,10 +873,16 @@ object EventStore {
     * manifest v1 — the backup / environment-promotion primitive ("ship
     * yesterday's snapshot to staging"). The clone is a fully independent
     * store: the source can compact, rewrite, or [[vacuum]] past the
-    * cloned version afterwards without touching it. Copy cost is
-    * data-proportional and file-parallelizable by the filesystem (at
-    * 100 TB this is a distcp-shaped job; the manifest commit is the same
-    * either way) — a SHALLOW clone (manifest referencing source files)
+    * cloned version afterwards without touching it. The copy IS the
+    * distcp-shaped job the scale demands: the pinned file list is
+    * parallelized and each TASK copies its file through its own
+    * `FileSystem` handle (overwrite=true so a speculative/retried task is
+    * idempotent against its own partial output — the destination was
+    * verified empty up front, so nothing else can be overwritten), an
+    * accumulator cross-checks that every task-side copy actually ran, and
+    * only then does the driver take the ONE locked manifest commit. The
+    * driver never moves bytes — at 100 TB the copy saturates the cluster,
+    * not one machine. A SHALLOW clone (manifest referencing source files)
     * is deliberately not offered, because the store's relative-path
     * manifests are what make vacuum/maintenance reasoning local to one
     * root. Returns the cloned file count. */
@@ -895,13 +901,25 @@ object EventStore {
           s"cloneSnapshot: $srcPath has no manifest"))
     val rel = readManifestFile(sfs, src, v)
     require(rel.nonEmpty, s"cloneSnapshot: version $v lists no files")
-    rel.foreach { r =>
-      val from = new org.apache.hadoop.fs.Path(src, r)
-      val to = new org.apache.hadoop.fs.Path(dst, r)
-      dfs.mkdirs(to.getParent)
-      require(org.apache.hadoop.fs.FileUtil.copy(sfs, from, dfs, to,
-        false, conf), s"cloneSnapshot: copy failed for $r")
-    }
+    val sc = spark.sparkContext
+    val ser = new org.apache.spark.util.SerializableConfiguration(conf)
+    val srcStr = src.toString
+    val dstStr = dst.toString
+    val copied = sc.longAccumulator("graft.cloneSnapshot.filesCopied")
+    sc.parallelize(rel, math.max(1, math.min(rel.size, sc.defaultParallelism)))
+      .foreach { r =>
+        val c = ser.value
+        val from = new org.apache.hadoop.fs.Path(srcStr, r)
+        val to = new org.apache.hadoop.fs.Path(dstStr, r)
+        val fromFs = from.getFileSystem(c)
+        val toFs = to.getFileSystem(c)
+        toFs.mkdirs(to.getParent)
+        require(org.apache.hadoop.fs.FileUtil.copy(fromFs, from, toFs, to,
+          false, true, c), s"cloneSnapshot: copy failed for $r")
+        copied.add(1L)
+      }
+    require(copied.value >= rel.size,
+      s"cloneSnapshot: copy tasks reported ${copied.value} of ${rel.size} files")
     withCommitLock(dfs, dst) { commitLocked(dfs, dst, rel) }
     rel.size
   }

@@ -303,13 +303,20 @@ object ZxSql {
           SeqOp.ProfileCols(cols)
         case "similar" =>
           var topK = 50; var minDf = 2L; var maxDf = 100L
+          var maxDfSet = false
           var maxDfPct: Option[Int] = None
           if (atIdent("top")) { next(); topK = parseLong(num("top count"), "top count").toInt }
           if (atIdent("mindf")) { next(); minDf = parseLong(num("mindf"), "mindf") }
-          if (atIdent("maxdf")) { next(); maxDf = parseLong(num("maxdf"), "maxdf") }
+          if (atIdent("maxdf")) { next(); maxDf = parseLong(num("maxdf"), "maxdf"); maxDfSet = true }
           if (atIdent("maxdfpct")) {
             next(); maxDfPct = Some(parseLong(num("maxdfpct"), "maxdfpct").toInt)
           }
+          // the engine takes ONE df cap: silently preferring the fractional
+          // one (and skipping mindf<=maxdf validation) would make the other
+          // a no-op the user believes is active
+          if (maxDfSet && maxDfPct.isDefined)
+            throw ParseError("similar: maxdf and maxdfpct are mutually exclusive " +
+              "— give the absolute or the fractional df cap, not both")
           if (topK < 1 || minDf < 2 || (maxDfPct.isEmpty && minDf > maxDf))
             throw ParseError(s"similar needs top ≥ 1 and 2 ≤ mindf ≤ maxdf, got $topK/$minDf/$maxDf")
           if (maxDfPct.exists(p => p < 1 || p > 100))

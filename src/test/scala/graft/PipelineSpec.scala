@@ -1008,4 +1008,58 @@ class PipelineSpec extends AnyFunSuite {
       sj.zip(Seq(1.0, 2.0, 3.0, 4.0)).map { case (s, x) => s * x }.sum)
     assert(proj == expected)
   }
+
+  test("markov guards: high-cardinality step column fails loudly on a bounded collect") {
+    // 100 distinct event types in one user's chain → ~99 distinct
+    // (prev, next) transitions; with maxStates=4 the limit(17) inside the
+    // plan means the driver never holds more than 17 rows before failing
+    val wide = spark.range(100).selectExpr("1L AS user_id",
+      "timestamp_seconds(1704067200 + id) AS ts", "id AS event_id",
+      "concat('t', id) AS event_type")
+    val e1 = intercept[IllegalArgumentException](
+      graft.operators.Funnel.stationaryDistribution(wide, iters = 2, maxStates = 4))
+    assert(e1.getMessage.contains("distinct (prev, next) transitions"))
+    // sparse corner: 6 states but only 5 transitions (< 4² cap) must still
+    // trip the distinct-state check on the bounded block
+    val chain = spark.range(6).selectExpr("1L AS user_id",
+      "timestamp_seconds(1704067200 + id) AS ts", "id AS event_id",
+      "concat('s', id) AS event_type")
+    val e2 = intercept[IllegalArgumentException](
+      graft.operators.Funnel.stationaryDistribution(chain, iters = 2, maxStates = 4))
+    assert(e2.getMessage.contains("exceeds maxStates"))
+  }
+
+  test("markov guard: transition count at the 2^20 fixed-point headroom fails loudly") {
+    // one user, one type, 2^20+2 events → a single (A, A) transition with
+    // count 2^20+1; p·c would overflow the 2^36-seeded Long algebra, so
+    // the guard must fire instead of silently wrapping
+    val n = (1L << 20) + 2L
+    val big = spark.range(n).selectExpr("1L AS user_id",
+      "timestamp_seconds(1704067200 + id) AS ts", "id AS event_id",
+      "'A' AS event_type")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Funnel.stationaryDistribution(big, iters = 1))
+    assert(e.getMessage.contains("2^20"))
+  }
+
+  test("seasonal anomaly: baseline broadcast guard names the group column, normal path unchanged") {
+    val schema = StructType(Seq(StructField("event_type", StringType, false),
+      StructField("ts", TimestampType, false),
+      StructField("value", DoubleType, true)))
+    def ts(day: Int, hour: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+    val rows = Seq(
+      Row("a", ts(1, 0), 1.0), Row("a", ts(1, 1), 1.0), Row("b", ts(1, 2), 1.0),
+      Row("a", ts(3, 0), 9.0))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Anomaly.seasonalAnomalies(df, "2024-01-03",
+        maxBaselineRows = 2))
+    assert(e.getMessage.contains("event_type") &&
+      e.getMessage.contains("baseline cells"))
+    // at the default cap the same input scores normally
+    val ok = graft.operators.Anomaly.seasonalAnomalies(df, "2024-01-03",
+      minSupport = 1L).collect()
+    assert(ok.nonEmpty)
+  }
 }

@@ -612,6 +612,9 @@ class SqlSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(simPct.toSeq == Seq((1L, 2L, 524288L)))
     assertThrows[ZxSql.ParseError](ZxSql.parse("select similar maxdfpct 0"))
+    // one df cap only: both given must be rejected, not silently resolved
+    assertThrows[ZxSql.ParseError](
+      ZxSql.parse("select similar mindf 2 maxdf 5 maxdfpct 50"))
   }
 
   test("sequence ops: neardup / knn from SQL (round 10)") {

@@ -1917,4 +1917,45 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(json.contains("\"window_starts\":[0]"))
     assert(json.contains("\"data\":[1400.0]"))
   }
+
+  test("snapshot clone copies run as executor tasks, not a driver loop") {
+    val base = Files.createTempDirectory("graft-clone-dist").toString
+    val srcDir = base + "/src"
+    val dstDir = base + "/dst"
+    val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(dayofmonth(col("ts")) <= 6)
+      .select("event_id", "ts", "user_id", "value")
+    EventStore.append(src.repartition(8), srcDir)
+    EventStore.writeManifest(spark, srcDir)
+    val nFiles = EventStore.manifestFiles(spark, srcDir).size
+    assert(nFiles >= 8, s"want a many-file store, got $nFiles files")
+    // the ONLY Spark job cloneSnapshot runs is the distributed copy
+    // (manifest reads are driver FS metadata) — so task completions
+    // observed across the call are the copy's tasks
+    val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = EventStore.cloneSnapshot(spark, srcDir, dstDir)
+      assert(n == nFiles)
+      // listener bus is async — poll until the copy's task events land.
+      // tasks = job PARTITIONS (min(files, defaultParallelism)), each
+      // copying a slice of the 48 files; >= 2 witnesses a distributed job
+      // (a driver loop runs zero tasks), and cloneSnapshot's internal
+      // accumulator already cross-checked all copies ran task-side
+      val want = math.min(nFiles, spark.sparkContext.defaultParallelism)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (tasks.get() < want && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(tasks.get() >= math.max(2, want),
+        s"expected >= ${math.max(2, want)} copy tasks, saw ${tasks.get()} — " +
+          "the copy ran on the driver")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(EventStore.readPinned(spark, dstDir).count() == src.count())
+  }
 }
