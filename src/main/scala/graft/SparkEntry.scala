@@ -2123,6 +2123,15 @@ object SparkEntry {
     graft.operators.Similarity.mmrRerank(Tables.embeddings(s, dir),
       queryId = 0L, k = 10, shortlist = 50)
 
+  /** s13b: batched MMR — EVERY query's shortlist from ONE corpus pass
+    * (broadcast queries + WindowGroupLimit), then the per-query greedy on
+    * the bounded collected block; each query's trajectory is bit-identical
+    * to its solo s13 run (spec-pinned), and the oracle replays each
+    * query's unrolled walk, unioned. */
+  private def s13bMmrBatch(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.mmrRerankBatch(Tables.embeddings(s, dir),
+      queryIds = Seq(1L, 5L, 9L), k = 6, shortlist = 25)
+
   /** a14: recency-biased smoothing — per (user, day) half-life fold over
     * the event sequence; day emitted as a string for engine-safe compare. */
   private def a14Decay(s: SparkSession, dir: String): DataFrame =
@@ -3193,6 +3202,7 @@ object SparkEntry {
     "s11_project" -> (s11Project _),
     "s12_filtered_ann" -> (s12FilteredAnn _),
     "s13_mmr_rerank" -> (s13MmrRerank _),
+    "s13b_mmr_batch" -> (s13bMmrBatch _),
     "m1_mm_bytes" -> (m1MmBytes _),
     "m2_mm_decode" -> (m2MmDecode _),
     "m3_mm_frames" -> (m3MmFrames _),
@@ -4590,6 +4600,11 @@ object SparkEntry {
          |WHERE $duckJaccard >= 0.5""".stripMargin,
     "s13_mmr_rerank" ->
       mmrOracle(queryId = 0L, k = 10, shortlist = 50, relW = 0.7, divW = 0.3),
+    "s13b_mmr_batch" -> Seq(1L, 5L, 9L).map { qid =>
+      s"""SELECT CAST($qid AS BIGINT) AS query_id, * FROM (
+         |${mmrOracle(queryId = qid, k = 6, shortlist = 25, relW = 0.7, divW = 0.3)}
+         |)""".stripMargin
+    }.mkString("\n UNION ALL \n"),
     "p19_sql_mmr" -> mmrOracle(queryId = 7L, k = 8, shortlist = 30,
       relW = 0.7, divW = 0.3, extraWhere = "AND vec_id < 450"),
     "p18_sql_knn" -> {

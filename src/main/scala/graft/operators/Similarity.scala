@@ -687,6 +687,26 @@ object Similarity {
       .collect()
     require(top.nonEmpty,
       s"mmrRerank: query id $queryId not found (or filtered out) — empty shortlist")
+    val cands = top.map(r => MmrCand(r.getLong(0), r.getInt(1), r.getDouble(2),
+      r.getSeq[Float](3).toArray)).toSeq
+    val spark = emb.sparkSession
+    import spark.implicits._
+    mmrGreedy(cands, k, relWeight, divWeight).zipWithIndex
+      .map { case (c, i) => (i + 1L, c.id, c.label,
+        BigDecimal(c.rel).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .toDF("rank", idCol, labelCol, "rel")
+  }
+
+  private final case class MmrCand(id: Long, label: Int, rel: Double,
+                                   v: Array[Float])
+
+  /** The MMR greedy walk on a collected shortlist — shared by the single-
+    * query and batched faces so their trajectories are definitionally
+    * identical. Relevance and pairwise sims use the same left-fold double
+    * dot product as the codegen'd [[graft.expressions.DotProduct]]; ties
+    * break by id. */
+  private def mmrGreedy(cands: Seq[MmrCand], k: Int, relWeight: Double,
+                        divWeight: Double): Seq[MmrCand] = {
     // the DotProduct expression's exact fold, replicated on the driver
     def fdot(a: Array[Float], b: Array[Float]): Double = {
       var acc = 0.0; var i = 0
@@ -695,10 +715,7 @@ object Similarity {
     }
     def fcos(a: Array[Float], b: Array[Float]): Double =
       fdot(a, b) / (math.sqrt(fdot(a, a)) * math.sqrt(fdot(b, b)))
-    final case class Cand(id: Long, label: Int, rel: Double, v: Array[Float])
-    val sorted = top.map(r => Cand(r.getLong(0), r.getInt(1), r.getDouble(2),
-      r.getSeq[Float](3).toArray))
-      .sortBy(c => (-c.rel, c.id)).toBuffer
+    val sorted = cands.sortBy(c => (-c.rel, c.id)).toBuffer
     val picked = scala.collection.mutable.ArrayBuffer(sorted.remove(0))
     while (picked.size < k && sorted.nonEmpty) {
       var bestIdx = 0
@@ -717,11 +734,70 @@ object Similarity {
       }
       picked += sorted.remove(bestIdx)
     }
+    picked.toSeq
+  }
+
+  /** The distributed half of [[mmrRerankBatch]]: EVERY query's shortlist
+    * built in ONE corpus pass — [[batchKnn]]'s broadcast + WindowGroupLimit
+    * shape, keeping the embedding column (the greedy needs candidate
+    * vectors for pairwise sims). Public as the plan-pinnable seam: each
+    * partition forwards at most `shortlist` rows per query to the single
+    * rank exchange, so the shuffle moves O(partitions × queries ×
+    * shortlist), never the scored cross product. */
+  def mmrShortlists(emb: DataFrame, queryIds: Seq[Long], shortlist: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val q = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("__q"),
+        norm(col(vecCol)).as("__qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col(idCol).asc)
+    emb.crossJoin(broadcast(q))
+      .withColumn("rel",
+        dot(col(vecCol), col("__q")) / (norm(col(vecCol)) * col("__qn")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= shortlist)
+      .select(col("query_id"), col(idCol), col(labelCol), col("rel"),
+        col(vecCol))
+  }
+
+  /** Batched MMR diverse re-rank — [[mmrRerank]] at production shape:
+    * re-rank requests arrive in query batches, and b single-query calls
+    * would pay b corpus passes for work one pass covers. ONE
+    * [[mmrShortlists]] corpus scan builds every query's shortlist; the
+    * collected block is a BOUNDED driver artifact (≤ queries × shortlist
+    * rows, require-capped like the single-query face), and the per-query
+    * greedy walk is [[mmrGreedy]] — the SAME loop the single-query face
+    * runs, so each query's trajectory is bit-identical to its solo
+    * [[mmrRerank]] (spec-pinned). Missing query ids fail loudly. */
+  def mmrRerankBatch(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                     shortlist: Int = 50, relWeight: Double = 0.7,
+                     divWeight: Double = 0.3, idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     labelCol: String = "label"): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"mmrRerankBatch: need 1 ≤ k ≤ shortlist, got $k/$shortlist")
+    require(queryIds.nonEmpty && queryIds.distinct.size == queryIds.size,
+      s"mmrRerankBatch: query ids must be non-empty and distinct")
+    require(queryIds.size.toLong * shortlist <= 100000,
+      s"mmrRerankBatch: ${queryIds.size} × $shortlist shortlist rows is " +
+        "not a bounded driver artifact")
+    val byQ = mmrShortlists(emb, queryIds, shortlist, idCol, vecCol, labelCol)
+      .collect()
+      .groupBy(_.getLong(0))
+    val missing = queryIds.filterNot(byQ.contains)
+    require(missing.isEmpty,
+      s"mmrRerankBatch: query ids ${missing.mkString(",")} not found " +
+        "(or filtered out) — empty shortlists")
     val spark = emb.sparkSession
     import spark.implicits._
-    picked.zipWithIndex
-      .map { case (c, i) => (i + 1L, c.id, c.label,
-        BigDecimal(c.rel).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
-      .toSeq.toDF("rank", idCol, labelCol, "rel")
+    queryIds.sorted.flatMap { qid =>
+      val cands = byQ(qid).map(r => MmrCand(r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getSeq[Float](4).toArray)).toSeq
+      mmrGreedy(cands, k, relWeight, divWeight).zipWithIndex
+        .map { case (c, i) => (qid, i + 1L, c.id, c.label,
+          BigDecimal(c.rel).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    }.toDF("query_id", "rank", idCol, labelCol, "rel")
   }
 }

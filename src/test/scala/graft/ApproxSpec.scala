@@ -322,4 +322,31 @@ class ApproxSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(1)).toSeq
     assert(plain == Seq(0L, 1L, 2L, 3L), s"got $plain")
   }
+
+  test("batched MMR: per-query trajectories bit-identical to solo runs; one-pass plan; loud misses") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val batch = Similarity.mmrRerankBatch(emb, Seq(3L, 11L), k = 5, shortlist = 20)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+    for (qid <- Seq(3L, 11L)) {
+      val solo = Similarity.mmrRerank(emb, qid, k = 5, shortlist = 20)
+        .collect()
+        .map(r => (qid, r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      assert(batch.filter(_._1 == qid).toSeq == solo.toSeq,
+        s"batched MMR diverged from solo mmrRerank for query $qid")
+    }
+    // the shortlist builder is one corpus pass: per-query rank group-limits
+    // before the single exchange; only the corpus + the tiny broadcast
+    // query block are scanned
+    val plan = Similarity.mmrShortlists(emb, Seq(3L, 11L), 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).length <= 2,
+      s"expected at most 2 parquet scans (corpus + query block):\n$plan")
+    // a query id absent from the corpus fails loudly, naming it
+    assert(intercept[IllegalArgumentException](
+      Similarity.mmrRerankBatch(emb, Seq(3L, -99L), k = 5, shortlist = 20))
+      .getMessage.contains("-99"))
+  }
 }
