@@ -2076,6 +2076,35 @@ object SparkEntry {
       numeric = Seq("event_id", "user_id", "value"),
       strings = Seq("event_type", "props"), timestamps = Seq("ts"))
 
+  /** c13b: sketch-mode profile — the 100 TB shape (HLL++ distinct state
+    * per column instead of exact Expand state; Expand-free, plan-pinned).
+    * The HLL estimate is deterministic but implementation-defined, so it
+    * has no DuckDB mirror; this verification row therefore REQUIRE-GATES
+    * every column's estimate inside a 5·rsd (+small-n slack) band of the
+    * exact distinct — the audit recomputes the exact profile, a
+    * verification-scale cost that production profileSketch callers never
+    * pay — and emits only the engine-exact fields for the oracle hash. */
+  private def c13bProfileSketch(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.events(s, dir)
+      .select("event_id", "user_id", "event_type", "value", "props", "ts")
+    val numeric = Seq("event_id", "user_id", "value")
+    val strings = Seq("event_type", "props")
+    val tss = Seq("ts")
+    val rsd = 0.05
+    val sk = graft.operators.Profile.profileSketch(src, numeric, strings, tss, rsd)
+    val approx = sk.select("column", "n_distinct_approx").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.operators.Profile.profile(src, numeric, strings, tss)
+      .select("column", "n_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .foreach { case (c, nd) =>
+        val est = approx(c)
+        require(math.abs(est - nd) <= math.max(4.0, 5.0 * rsd * nd),
+          s"c13b: HLL estimate for '$c' ($est) outside the audit band of exact $nd")
+      }
+    sk.drop("n_distinct_approx")
+  }
+
   /** a20: Markov stationary distribution — transition counts distributed
     * (one window exchange + tiny agg), 20 fixed-point power iterations on
     * the collected ≤K² matrix driver-side; BIGINT `(p·cnt) div rowsum`
@@ -3226,6 +3255,7 @@ object SparkEntry {
     "c11_schema_evolution" -> (c11SchemaEvolution _),
     "c12_point_prune" -> (c12PointPrune _),
     "c13_profile" -> (c13Profile _),
+    "c13b_profile_sketch" -> (c13bProfileSketch _),
     "c14_change_feed" -> (c14ChangeFeed _),
     "c15_incremental_ivm" -> (c15IncrementalIvm _),
     "c16_snapshot_clone" -> (c16SnapshotClone _),
@@ -3288,23 +3318,28 @@ object SparkEntry {
     * string bounds raw (ASCII columns — binary and collation order
     * agree). `from` carries any WHERE the face applied. */
   private def profileOracle(numeric: Seq[String], strings: Seq[String],
-                            tsCols: Seq[String], from: String): String = {
+                            tsCols: Seq[String], from: String,
+                            withDistinct: Boolean = true): String = {
+    // c13b (sketch mode) emits no distinct field — the HLL estimate has no
+    // cross-engine mirror and is require-gated inside the query instead
+    def nd(c: String) =
+      if (withDistinct) s"count(DISTINCT $c)::BIGINT AS n_distinct," else ""
     def num(c: String) =
       s"""SELECT '$c' AS "column", count($c)::BIGINT AS n_nonnull,
          |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
-         |  count(DISTINCT $c)::BIGINT AS n_distinct,
+         |  ${nd(c)}
          |  NULL::VARCHAR AS min_s, NULL::VARCHAR AS max_s,
          |  (floor(min($c) * 1048576.0))::BIGINT AS min_fp,
          |  (floor(max($c) * 1048576.0))::BIGINT AS max_fp FROM $from""".stripMargin
     def str(c: String) =
       s"""SELECT '$c', count($c)::BIGINT,
          |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT,
-         |  count(DISTINCT $c)::BIGINT, min($c), max($c),
+         |  ${nd(c)} min($c), max($c),
          |  NULL::BIGINT, NULL::BIGINT FROM $from""".stripMargin
     def tsb(c: String) =
       s"""SELECT '$c', count($c)::BIGINT,
          |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT,
-         |  count(DISTINCT $c)::BIGINT,
+         |  ${nd(c)}
          |  strftime(min($c), '%Y-%m-%d %H:%M:%S'),
          |  strftime(max($c), '%Y-%m-%d %H:%M:%S'),
          |  NULL::BIGINT, NULL::BIGINT FROM $from""".stripMargin
@@ -4301,6 +4336,9 @@ object SparkEntry {
         |FROM e WHERE dm = 2 GROUP BY 2""".stripMargin,
     "c13_profile" -> profileOracle(Seq("event_id", "user_id", "value"),
       Seq("event_type", "props"), Seq("ts"), from = "events"),
+    "c13b_profile_sketch" -> profileOracle(Seq("event_id", "user_id", "value"),
+      Seq("event_type", "props"), Seq("ts"), from = "events",
+      withDistinct = false),
     "p15_sql_profile" -> profileOracle(Seq("user_id", "value"),
       Seq("event_type"), Seq("ts"),
       from = "events WHERE event_type = 'click'"),

@@ -24,15 +24,44 @@ object Profile {
     * max_fp)`; `_s` bounds populate for string/timestamp columns, `_fp`
     * for numerics. */
   def profile(df: DataFrame, numeric: Seq[String], strings: Seq[String],
-              timestamps: Seq[String]): DataFrame = {
+              timestamps: Seq[String]): DataFrame =
+    profileImpl(df, numeric, strings, timestamps, rsd = None)
+
+  /** Sketch-mode [[profile]] — the shape a 100 TB profile run actually
+    * takes. Exact mode's multi-column `countDistinct` plans one Expand
+    * whose aggregate carries FULL distinct state per column (every
+    * distinct value in flight through the shuffle); this variant swaps
+    * each `n_distinct` for `approx_count_distinct` (HLL++, relative sd
+    * `rsd`), whose state is a fixed few-KB register set per column — the
+    * profile stays one scan + one ordinary partial-merge aggregation at
+    * any cardinality, Expand-free (plan-pinned).
+    *
+    * Exact/approx CONTRACT: every field except `n_distinct_approx` is
+    * bit-exact and engine-portable (same values as [[profile]]);
+    * `n_distinct_approx` is Spark's HLL++ estimate — DETERMINISTIC for a
+    * given dataset and rsd (no randomness; small cardinalities fall into
+    * HLL++'s exact regime), but implementation-defined, so it has no
+    * cross-engine mirror and carries ≈rsd standard error by design. */
+  def profileSketch(df: DataFrame, numeric: Seq[String], strings: Seq[String],
+                    timestamps: Seq[String], rsd: Double = 0.05): DataFrame = {
+    require(rsd > 0.0 && rsd < 0.4,
+      s"profileSketch: rsd must be in (0, 0.4), got $rsd")
+    profileImpl(df, numeric, strings, timestamps, rsd = Some(rsd))
+  }
+
+  private def profileImpl(df: DataFrame, numeric: Seq[String],
+                          strings: Seq[String], timestamps: Seq[String],
+                          rsd: Option[Double]): DataFrame = {
     val all = numeric ++ strings ++ timestamps
     require(all.nonEmpty, "profile: no columns listed")
     require(all.distinct.size == all.size, s"profile: duplicate columns in $all")
     def fp(c: Column) = floor(c.cast("double") * lit(1048576.0)).cast(LongType)
+    val ndName = if (rsd.isDefined) "n_distinct_approx" else "n_distinct"
     def counts(c: String) = Seq(
       count(col(c)).as(s"__nn_$c"),
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nu_$c"),
-      countDistinct(col(c)).as(s"__nd_$c"))
+      rsd.fold(countDistinct(col(c)))(r => approx_count_distinct(col(c), r))
+        .as(s"__nd_$c"))
     val aggs: Seq[Column] =
       numeric.flatMap(c => counts(c) ++ Seq(
         fp(min(col(c))).as(s"__lo_$c"), fp(max(col(c))).as(s"__hi_$c"))) ++
@@ -45,7 +74,7 @@ object Profile {
     def entry(c: String, isNum: Boolean) = struct(
       lit(c).as("column"),
       col(s"__nn_$c").as("n_nonnull"), col(s"__nu_$c").as("n_null"),
-      col(s"__nd_$c").as("n_distinct"),
+      col(s"__nd_$c").as(ndName),
       (if (isNum) lit(null).cast("string") else col(s"__lo_$c")).as("min_s"),
       (if (isNum) lit(null).cast("string") else col(s"__hi_$c")).as("max_s"),
       (if (isNum) col(s"__lo_$c") else lit(null).cast(LongType)).as("min_fp"),

@@ -1062,4 +1062,31 @@ class PipelineSpec extends AnyFunSuite {
       minSupport = 1L).collect()
     assert(ok.nonEmpty)
   }
+
+  test("sketch profile: exact fields identical to exact profile; HLL lands exact at small cardinality") {
+    val schema = StructType(Seq(StructField("id", LongType, false),
+      StructField("v", DoubleType, true), StructField("s", StringType, true)))
+    val rows = (1L to 200L).map(i =>
+      Row(i, if (i % 7 == 0) null else (i % 13).toDouble, s"s${i % 5}"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), schema)
+    val exact = graft.operators.Profile
+      .profile(df, Seq("id", "v"), Seq("s"), Nil)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val sk = graft.operators.Profile
+      .profileSketch(df, Seq("id", "v"), Seq("s"), Nil)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(sk.keySet == exact.keySet)
+    for (c <- exact.keys) {
+      // same row layout: only the distinct field (index 3) may differ
+      assert(sk(c).patch(3, Nil, 1) == exact(c).patch(3, Nil, 1),
+        s"non-distinct fields diverged for $c")
+      // the c13b audit band: |est − exact| ≤ max(4, 5·rsd·exact)
+      val (nd, est) = (exact(c)(3).asInstanceOf[Long], sk(c)(3).asInstanceOf[Long])
+      assert(math.abs(est - nd) <= math.max(4.0, 5.0 * 0.05 * nd),
+        s"distinct estimate $est outside band of exact $nd for $c")
+      // low cardinalities sit in HLL++'s exact regime
+      if (nd <= 50) assert(est == nd, s"small-n estimate must be exact for $c")
+    }
+  }
 }

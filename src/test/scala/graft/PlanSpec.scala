@@ -103,6 +103,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Expand"), s"multi-distinct should plan one Expand:\n$p")
   }
 
+  test("sketch profile plans NO Expand: HLL state replaces per-column distinct fan-out") {
+    val src = graft.sources.Tables.events(spark, dir)
+      .select("event_id", "user_id", "event_type", "value", "props", "ts")
+    val p = graft.operators.Profile.profileSketch(src,
+      Seq("event_id", "user_id", "value"), Seq("event_type", "props"),
+      Seq("ts")).queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"),
+      s"sketch mode must not plan the multi-distinct Expand:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"sketch profile must read the table once:\n$p")
+  }
+
   test("rollup/cube levels ride ONE Expand into one aggregation — no per-level re-scan") {
     Seq("o5_rollup", "o6_cube").foreach { q =>
       val p = plan(q)
