@@ -2121,28 +2121,22 @@ object SparkEntry {
     graft.operators.Corpus.similarDocPairs(Tables.documents(s, dir),
       topK = 50, minDf = 2L, maxDfPct = Some(20))
 
-  /** a21: exact linear trend of value over day-of-month, per event type —
-    * "is this metric drifting?" without a float regression: the slope is
-    * reported as the integer PAIR (num, den) = (n·Σxy − Σx·Σy,
-    * n·Σx² − (Σx)²) over fixed-point `floor(v·2^10)` values, so the
-    * entire computation is order-free BIGINT sums in ONE aggregation
-    * (map-side partials, one tiny exchange) and any engine reproduces it
-    * bit-for-bit; the consumer divides num/den when it wants the float.
-    * The 2^10 scale keeps n·Σxy under 2^63 through ~10^6 rows/group —
-    * beyond that, drop the scale a few bits (same algebra). */
-  private def a21Trend(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
-      .select(col("event_type"),
-        dayofmonth(col("ts")).cast(LongType).as("__x"),
-        floor(col("value") * lit(1024.0)).cast(LongType).as("__y"))
-    ev.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
-        sum(col("__y")).as("__sy"), sum(col("__x") * col("__y")).as("__sxy"),
-        sum(col("__x") * col("__x")).as("__sxx"))
-      .select(col("event_type"), col("n"),
-        (col("n") * col("__sxy") - col("__sx") * col("__sy")).as("slope_num"),
-        (col("n") * col("__sxx") - col("__sx") * col("__sx")).as("slope_den"))
-  }
+  /** a21: exact linear trend — [[graft.operators.Funnel.linearTrend]]'s
+    * integer slope-pair aggregation (doc there). */
+  private def a21Trend(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.linearTrend(Tables.events(s, dir))
+
+  /** P1 + a21: linear trend from SQL over a filtered slice — the face's
+    * WHERE composes ahead of the single aggregation. */
+  private def p20SqlTrend(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir),
+      "select trend from events where event_type != 'error'")
+
+  /** P1 + m6: image near-dup pairs from SQL with a non-default Hamming
+    * radius — the dialect reaching the multimodal family. */
+  private def p21SqlNeardupImages(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select neardup images hamming 6 from documents")
 
   /** s13: MMR diverse re-rank — one exact-kNN corpus pass builds the
     * shortlist, the greedy diversity loop runs on the bounded collected
@@ -3143,6 +3137,8 @@ object SparkEntry {
     "p17_sql_neardup" -> (p17SqlNeardup _),
     "p18_sql_knn" -> (p18SqlKnn _),
     "p19_sql_mmr" -> (p19SqlMmr _),
+    "p20_sql_trend" -> (p20SqlTrend _),
+    "p21_sql_neardup_images" -> (p21SqlNeardupImages _),
     "o1_top_groups" -> (o1TopGroups _),
     "o2_topk_limit" -> (o2TopkLimit _),
     "o3_top_per_group" -> (o3TopPerGroup _),
@@ -3411,6 +3407,68 @@ object SparkEntry {
        |  round(sl.rel, 6) AS rel
        |FROM ($ranks) r JOIN sl ON sl.vec_id = r.vec_id""".stripMargin
   }
+
+  /** m6/p21 oracle: the dHash pipeline replayed in DuckDB at the
+    * given Hamming radius (band join + exact popcount filter). */
+  private def imageNeardupOracle(maxHamming: Int): String = {
+      // replay of the dHash pipeline from the synthesis rule: grid cell
+      // (gx, gy) samples image pixel (gx*w//9, gy*h//8), whose bytes are
+      // text positions 3*(sy*w+sx)+c (1-based; zero past the text — the
+      // packBmp padding). Bit i = 8*gy + gx compares the cell to its right
+      // neighbor; band b packs bits [16b, 16b+16) with local weights, so
+      // gx = j%8, gy = 2b + j//8 for in-band bit j — all integer, no sign
+      // games. Candidates share a band (the same join the Spark side
+      // buckets on), then the exact popcount filter at <= 8.
+      def grayAt(sx: String, sy: String): String =
+        s"list_sum(list_transform(range(1, 4), c -> " +
+          s"CASE WHEN 3 * (($sy) * w + ($sx)) + c <= n " +
+          s"THEN ascii(substr(text, (3 * (($sy) * w + ($sx)) + c)::INT, 1))::BIGINT " +
+          s"ELSE 0 END))"
+      def band(b: Int): String =
+        s"list_sum(list_transform(range(0, 16), j -> CASE WHEN " +
+          s"grays[((${2 * b} + j // 8) * 9 + (j % 8) + 2)::INT] > " +
+          s"grays[((${2 * b} + j // 8) * 9 + (j % 8) + 1)::INT] " +
+          s"THEN (1::BIGINT << j::INT) ELSE 0 END)) AS band$b"
+      s"""WITH s AS (
+         |  SELECT doc_id, text, CAST(6 + (doc_id % 5) * 2 AS INT) AS w,
+         |    strlen(text)::BIGINT AS n,
+         |    CAST(greatest(1, ceil(strlen(text) /
+         |      (3.0 * (6 + (doc_id % 5) * 2)))) AS INT) AS h
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 72), gg ->
+         |      ${grayAt("(gg % 9) * w // 9", "(gg // 9) * h // 8")}) AS grays
+         |  FROM s
+         |), hsh AS (
+         |  SELECT doc_id, ${band(0)}, ${band(1)}, ${band(2)}, ${band(3)}
+         |  FROM g
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  (bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1)) +
+         |   bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)))::BIGINT
+         |    AS hamming
+         |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id AND
+         |  (a.band0 = b.band0 OR a.band1 = b.band1 OR
+         |   a.band2 = b.band2 OR a.band3 = b.band3)
+         |WHERE (bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1)) +
+         |   bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3))) <= $maxHamming""".stripMargin
+  }
+
+  /** a21/p20 oracle: same integer sums, same cross-multiplied slope
+    * pair — DuckDB's hugeint sums cast back to BIGINT where the engine's
+    * Longs live. */
+  private def trendOracle(extraWhere: String): String =
+    s"""WITH e AS (SELECT event_type, day(ts)::BIGINT AS x,
+       |    (floor(value * 1024.0))::BIGINT AS y
+       |  FROM events WHERE value IS NOT NULL $extraWhere),
+       |s AS (SELECT event_type, count(*)::BIGINT AS n,
+       |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+       |    sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+       |  FROM e GROUP BY 1)
+       |SELECT event_type, n, (n * sxy - sx * sy)::BIGINT AS slope_num,
+       |  (n * sxx - sx * sx)::BIGINT AS slope_den
+       |FROM s""".stripMargin
 
   def oracleSql: Map[String, String] = { val base = Map(
     "t1_time_scan" ->
@@ -4343,19 +4401,8 @@ object SparkEntry {
       Seq("event_type"), Seq("ts"),
       from = "events WHERE event_type = 'click'"),
     "a20_markov" -> markovOracle(iters = 20, extraWhere = ""),
-    "a21_trend" ->
-      // same integer sums, same cross-multiplied slope pair — DuckDB's
-      // hugeint sums cast back to BIGINT where the engine's Longs live
-      """WITH e AS (SELECT event_type, day(ts)::BIGINT AS x,
-        |    (floor(value * 1024.0))::BIGINT AS y
-        |  FROM events WHERE value IS NOT NULL),
-        |s AS (SELECT event_type, count(*)::BIGINT AS n,
-        |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
-        |    sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
-        |  FROM e GROUP BY 1)
-        |SELECT event_type, n, (n * sxy - sx * sy)::BIGINT AS slope_num,
-        |  (n * sxx - sx * sx)::BIGINT AS slope_den
-        |FROM s""".stripMargin,
+    "a21_trend" -> trendOracle(extraWhere = ""),
+    "p20_sql_trend" -> trendOracle(extraWhere = "AND event_type <> 'error'"),
     "p13_sql_markov" ->
       markovOracle(iters = 10, extraWhere = "AND event_type <> 'error'"),
     "a19_anomaly" -> anomalyOracle("2024-01-21", 2L, 30L, extraWhere = ""),
@@ -5340,50 +5387,8 @@ object SparkEntry {
          |  ascii(substr(text, 3, 1)) AS tl_r
          |FROM z""".stripMargin
     },
-    "m6_image_neardup" -> {
-      // replay of the dHash pipeline from the synthesis rule: grid cell
-      // (gx, gy) samples image pixel (gx*w//9, gy*h//8), whose bytes are
-      // text positions 3*(sy*w+sx)+c (1-based; zero past the text — the
-      // packBmp padding). Bit i = 8*gy + gx compares the cell to its right
-      // neighbor; band b packs bits [16b, 16b+16) with local weights, so
-      // gx = j%8, gy = 2b + j//8 for in-band bit j — all integer, no sign
-      // games. Candidates share a band (the same join the Spark side
-      // buckets on), then the exact popcount filter at <= 8.
-      def grayAt(sx: String, sy: String): String =
-        s"list_sum(list_transform(range(1, 4), c -> " +
-          s"CASE WHEN 3 * (($sy) * w + ($sx)) + c <= n " +
-          s"THEN ascii(substr(text, (3 * (($sy) * w + ($sx)) + c)::INT, 1))::BIGINT " +
-          s"ELSE 0 END))"
-      def band(b: Int): String =
-        s"list_sum(list_transform(range(0, 16), j -> CASE WHEN " +
-          s"grays[((${2 * b} + j // 8) * 9 + (j % 8) + 2)::INT] > " +
-          s"grays[((${2 * b} + j // 8) * 9 + (j % 8) + 1)::INT] " +
-          s"THEN (1::BIGINT << j::INT) ELSE 0 END)) AS band$b"
-      s"""WITH s AS (
-         |  SELECT doc_id, text, CAST(6 + (doc_id % 5) * 2 AS INT) AS w,
-         |    strlen(text)::BIGINT AS n,
-         |    CAST(greatest(1, ceil(strlen(text) /
-         |      (3.0 * (6 + (doc_id % 5) * 2)))) AS INT) AS h
-         |  FROM documents
-         |), g AS (
-         |  SELECT doc_id,
-         |    list_transform(range(0, 72), gg ->
-         |      ${grayAt("(gg % 9) * w // 9", "(gg // 9) * h // 8")}) AS grays
-         |  FROM s
-         |), hsh AS (
-         |  SELECT doc_id, ${band(0)}, ${band(1)}, ${band(2)}, ${band(3)}
-         |  FROM g
-         |)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  (bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1)) +
-         |   bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)))::BIGINT
-         |    AS hamming
-         |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id AND
-         |  (a.band0 = b.band0 OR a.band1 = b.band1 OR
-         |   a.band2 = b.band2 OR a.band3 = b.band3)
-         |WHERE (bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1)) +
-         |   bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3))) <= 8""".stripMargin
-    },
+    "m6_image_neardup" -> imageNeardupOracle(8),
+    "p21_sql_neardup_images" -> imageNeardupOracle(6),
     "m7_audio_neardup" -> {
       // replay of the energy-envelope fingerprint from the WAV synthesis
       // rule: sample j (1-based) = (ascii - 96) * 256, window w sums

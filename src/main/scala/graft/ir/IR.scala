@@ -159,6 +159,14 @@ object SeqOp {
     * 0.7/0.3 weights. SQL:
     * `select mmr [top <k>] [query <vecId>] [shortlist <n>] [where …]`. */
   final case class Mmr(topK: Int, queryId: Long, shortlist: Int) extends SeqOp
+  /** Exact integer linear-trend slope pair (a21) of `valCol` over
+    * day-of-month, per event type. SQL:
+    * `select trend [(<col>)] [where …]`. */
+  final case class Trend(valCol: String) extends SeqOp
+  /** Image near-duplicate pairs (m6) over a documents frame: BMP pack →
+    * dHash → banded-Hamming join at `maxHamming`. SQL:
+    * `select neardup images [hamming <n>] [where …]`. */
+  final case class NearDupImages(maxHamming: Int) extends SeqOp
 }
 
 sealed trait SortDir

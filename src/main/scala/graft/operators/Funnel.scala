@@ -231,6 +231,33 @@ object Funnel {
       .agg(count(lit(1)).as("n_trans"))
   }
 
+  /** Exact linear trend of `valCol` over day-of-month, per `groupCol` —
+    * "is this metric drifting?" without a float regression: the slope is
+    * reported as the integer PAIR (num, den) = (n·Σxy − Σx·Σy,
+    * n·Σx² − (Σx)²) over fixed-point `floor(v·2^10)` values, so the
+    * entire computation is order-free BIGINT sums in ONE aggregation
+    * (map-side partials, one tiny exchange — PlanSpec-pinned) and any
+    * engine reproduces it bit-for-bit; the consumer divides num/den when
+    * it wants the float. The 2^10 scale keeps n·Σxy under 2^63 through
+    * ~10^6 rows/group — beyond that, drop the scale a few bits (same
+    * algebra). */
+  def linearTrend(ev: DataFrame, valCol: String = "value",
+                  groupCol: String = "event_type",
+                  tsCol: String = "ts"): DataFrame = {
+    val longT = org.apache.spark.sql.types.LongType
+    val e = ev.filter(col(valCol).isNotNull)
+      .select(col(groupCol),
+        dayofmonth(col(tsCol)).cast(longT).as("__x"),
+        floor(col(valCol) * lit(1024.0)).cast(longT).as("__y"))
+    e.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"), sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .select(col(groupCol), col("n"),
+        (col("n") * col("__sxy") - col("__sx") * col("__sy")).as("slope_num"),
+        (col("n") * col("__sxx") - col("__sx") * col("__sx")).as("slope_den"))
+  }
+
   /** Stationary distribution of the [[typeTransitions]] Markov chain by
     * `iters` power iterations — "where does user attention settle?".
     *

@@ -244,6 +244,7 @@ object ZxSql {
         atIdent("retention") || atIdent("attribution") || atIdent("markov") ||
         atIdent("anomaly") || atIdent("profile") || atIdent("similar") ||
         atIdent("neardup") || atIdent("knn") || atIdent("mmr") ||
+        atIdent("trend") ||
         ((atIdent("decay") || atIdent("argmax")) && toks.lift(pos + 1).contains(Sym("(")))
     def seqOpClause(): SeqOp = {
       val kw = ident()
@@ -323,11 +324,20 @@ object ZxSql {
             throw ParseError(s"similar maxdfpct must be in [1,100], got ${maxDfPct.get}")
           SeqOp.Similar(topK, minDf, maxDf, maxDfPct)
         case "neardup" =>
-          var pct = 50
-          if (atIdent("threshold")) { next(); pct = parseLong(num("threshold pct"), "threshold pct").toInt }
-          if (pct < 1 || pct > 100)
-            throw ParseError(s"neardup threshold must be in [1,100], got $pct")
-          SeqOp.NearDup(pct)
+          if (atIdent("images")) {
+            next()
+            var mh = 8
+            if (atIdent("hamming")) { next(); mh = parseLong(num("hamming bits"), "hamming bits").toInt }
+            if (mh < 0 || mh > 63)
+              throw ParseError(s"neardup images hamming must be in [0,63], got $mh")
+            SeqOp.NearDupImages(mh)
+          } else {
+            var pct = 50
+            if (atIdent("threshold")) { next(); pct = parseLong(num("threshold pct"), "threshold pct").toInt }
+            if (pct < 1 || pct > 100)
+              throw ParseError(s"neardup threshold must be in [1,100], got $pct")
+            SeqOp.NearDup(pct)
+          }
         case "knn" =>
           var topK = 10; var qid = 0L
           if (atIdent("top")) { next(); topK = parseLong(num("top count"), "top count").toInt }
@@ -342,6 +352,10 @@ object ZxSql {
           if (topK < 1 || shortlist < topK)
             throw ParseError(s"mmr needs 1 ≤ top ≤ shortlist, got $topK/$shortlist")
           SeqOp.Mmr(topK, qid, shortlist)
+        case "trend" =>
+          var c = "value"
+          if (toks.lift(pos).contains(Sym("("))) { next(); c = ident(); expectSym(")") }
+          SeqOp.Trend(c)
         case other => throw ParseError(s"not a sequence op: $other")
       }
     }
@@ -657,6 +671,15 @@ object ZxSql {
             minDf = lo, maxDf = hi, maxDfPct = pct)
         case SeqOp.NearDup(pct) =>
           graft.operators.Dedup.minhashPairs(base, threshold = pct / 100.0)
+        case SeqOp.NearDupImages(mh) =>
+          // the dialect's reach into the multimodal family: BMP pack +
+          // dHash are narrow maps, so WHERE composes ahead of the banded
+          // Hamming join exactly like the text near-dup face
+          graft.operators.Multimodal.imageNearDupPairs(
+            graft.operators.Multimodal.imageDHash(
+              graft.operators.Multimodal.packBmp(base)), maxHamming = mh)
+        case SeqOp.Trend(c) =>
+          graft.operators.Funnel.linearTrend(base, valCol = c)
         case SeqOp.Knn(k, qid) =>
           // the dialect's reach into the embeddings table; cos rounded to
           // 6dp like the s1 row (float-sum parity band with the replay)

@@ -650,4 +650,48 @@ class SqlSpec extends AnyFunSuite {
     assert(mm.head == ((1L, 0L)) && mm.length == 2)
     assertThrows[ZxSql.ParseError](ZxSql.parse("select mmr top 9 shortlist 4"))
   }
+
+  test("sequence ops: trend / neardup images from SQL (round 11)") {
+    import spark.implicits._
+    // trend face == operator on the same slice; explicit column via parens
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click", Some(1.0)),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 1L, "click", Some(3.0)),
+      (3L, java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), 2L, "view", Some(2.0)),
+      (4L, java.sql.Timestamp.valueOf("2024-01-04 00:00:00"), 2L, "view", Option.empty[Double]))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val face = ZxSql.run(ev, "select trend (value) where event_type = 'click'")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val op = graft.operators.Funnel
+      .linearTrend(ev.filter(org.apache.spark.sql.functions.col("event_type") === "click"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(face.toSeq == op.toSeq && face.nonEmpty)
+    // slope pair for clicks: x=(1,2), y=(1024,3072) → num=2·4096−3·4096... spelled out:
+    // n=2, sx=3, sy=4096, sxy=1024+6144=7168, sxx=5 → num=2·7168−3·4096=2048, den=2·5−9=1
+    assert(face.head == (("click", 2L, 2048L, 1L)))
+
+    // neardup images face == m6 chain at the same radius
+    // ids 1 and 6 share doc_id%5 → same synthetic BMP width → identical
+    // images; id 3 is a different texture
+    val docs = Seq(
+      (1L, "abcdefgh" * 40, 320L), (6L, "abcdefgh" * 40, 320L),
+      (3L, ("zyxw" * 80).take(320), 320L)).toDF("doc_id", "text", "n_chars")
+    val faceNd = ZxSql.run(docs, "select neardup images hamming 4")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val opNd = graft.operators.Multimodal.imageNearDupPairs(
+      graft.operators.Multimodal.imageDHash(
+        graft.operators.Multimodal.packBmp(docs)), maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(faceNd.toSeq == opNd.toSeq)
+    assert(faceNd.exists(p => p._1 == 1L && p._2 == 6L && p._3 == 0L),
+      "identical docs must pair at hamming 0")
+    // grammar: radius range enforced; plain threshold still parses
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select neardup images hamming 64"))
+    ZxSql.parse("select neardup threshold 50")
+    // streaming: sequence ops are rejected on an unbounded source
+    val sdir = java.nio.file.Files.createTempDirectory("graft-sql-st").toString
+    val st = spark.readStream.schema(ev.schema).parquet(sdir)
+    assertThrows[ZxSql.ParseError](ZxSql.runStream(st, "select trend"))
+    assertThrows[ZxSql.ParseError](ZxSql.runStream(st, "select neardup images"))
+  }
 }
