@@ -43,6 +43,20 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     catch { case _: Throwable => () }
+    // Fixed-work calibration probe: 64M xxhash64 folds across the session's
+    // parallelism, data-independent and plan-trivial, timed as the median
+    // of 3 runs. BENCH_r{N}.calib_sec lets cross-round per-query ratios be
+    // normalized by the artifact itself instead of adjudicating box noise
+    // (rounds 9-10 both had to argue 1.2-1.5x global drift from context).
+    val calibSec = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0, 64L << 20, 1, cpus.toInt)
+          .selectExpr("bit_xor(xxhash64(id)) AS h").collect()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1)
+    }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // Per-query time = MEDIAN of `runs` back-to-back executions, state reset
     // between each — a single-shot time conflates the plan's cost with
@@ -95,15 +109,16 @@ object Bench {
     val buildClass = Seq("s4_ivf_build", "s8_pq_knn", "s8b_pq_build",
       "x14_familiarity", "c4_familiarity_gate", "c3_compact",
       "c5_manifest_compact", "c6_zorder", "c7_time_travel", "c8_stats_prune",
-      "c9_incremental", "j6_bucketed_join", "x16_span_excise",
+      "c9_incremental", "x16_span_excise",
       "x17_quality_probe", "c10_merge_delete", "c12_point_prune",
       "s10_recall_audit", "st_tumbling", "st_session", "st_hopping",
       "st_gap", "st_heatmap", "c6b_zorder3", "c8b_string_prune",
       "c11_schema_evolution", "c14_change_feed",
-      "c15_incremental_ivm", "c16_snapshot_clone").filter(results.contains)
+      "c15_incremental_ivm", "c16_snapshot_clone",
+      "j6b_bucketed_build").filter(results.contains)
     val buildJson = buildClass.map("\"" + _ + "\"").mkString("[", ",", "]")
     val buildTotal = buildClass.map(results).sum
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","runs":$runs,"build_queries":$buildJson,"build_sec":${r3(buildTotal)}}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","runs":$runs,"build_queries":$buildJson,"build_sec":${r3(buildTotal)},"calib_sec":${r3(calibSec)}}"""
     println(line)
     // Durable copy: the harness captures a bounded stdout tail and has
     // twice truncated the (growing) results line into an unparseable

@@ -1978,6 +1978,22 @@ object SparkEntry {
       (evT, profT)
     })
 
+  /** j6b: the bucketed-layout BUILD — drop + two bucketed writes — timed
+    * separately from the j6 probe (the s4 build/probe precedent: rounds 9
+    * and 10 both had to adjudicate whether a slow j6 was the probe or the
+    * rebuild absorbing warehouse-state variance). Forces a rebuild every
+    * call; output = an audit aggregation RE-READ from the built table, so
+    * the row also proves the artifact is complete. */
+  private def j6bBucketedBuild(s: SparkSession, dir: String): DataFrame = {
+    bucketedCache.remove(dir)
+    val (evT, profT) = ensureBucketedTables(s, dir)
+    s.table(evT).join(s.table(profT), "user_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        max(col("n_events")).as("max_user_events"))
+  }
+
   /** j6: co-located join via bucketed tables — the lever that deletes the
     * fact-side shuffle entirely at 100 TB: both tables are bucketed (and
     * sorted) on the join key at WRITE time, so the sort-merge join reads
@@ -3170,6 +3186,7 @@ object SparkEntry {
     "j4_asof_broadcast" -> (j4AsofBroadcast _),
     "j3_range_join" -> (j3RangeJoin _),
     "j6_bucketed_join" -> (j6BucketedJoin _),
+    "j6b_bucketed_build" -> (j6bBucketedBuild _),
     "a12_journeys" -> (a12Journeys _),
     "a13_funnel" -> (a13Funnel _),
     "a17_funnel_within" -> (a17FunnelWithin _),
@@ -4500,6 +4517,17 @@ object SparkEntry {
         |  round(sum(coalesce(e.value, 0)), 3) AS sum_value
         |FROM ev e JOIN prof USING (user_id)
         |WHERE prof.n_events >= 5
+        |GROUP BY e.event_type""".stripMargin,
+    "j6b_bucketed_build" ->
+      // layout-free replay of the audit aggregation over the raw table
+      """WITH ev AS (SELECT event_id, user_id, event_type, value
+        |  FROM events WHERE user_id IS NOT NULL),
+        |prof AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM ev GROUP BY user_id)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+        |  max(prof.n_events) AS max_user_events
+        |FROM ev e JOIN prof USING (user_id)
         |GROUP BY e.event_type""".stripMargin,
     "d10_semantic_dedup" -> {
       // coarse-train replay (e/cent2/as2 — the proven s4 CTEs), then the
