@@ -1841,6 +1841,66 @@ object SparkEntry {
       .filter(col("n") > 0)
   }
 
+  /** c17: CONTINUOUS change-data capture — c15's lifecycle (txn append →
+    * compaction → cross-cutting COW delete) with the maintained aggregate
+    * advanced by a LIVE [[graft.streaming.ChangeFeedFollower]] tailing the
+    * manifest log on its own thread, not by a hand-placed batch diff: the
+    * "IVM that follows the store". Each delivered delta folds through the
+    * same signed algebra as c15 (insert +1 / delete −1, fixed-point value
+    * sums) into a localCheckpoint'd state frame; a barrier after each
+    * maintenance step makes the row deterministic. The oracle recomputes
+    * the FINAL view directly — if the follower missed, double-delivered,
+    * or mis-ordered any delta, the hash diverges. Re-layout commits
+    * arrive as empty feeds and fold as no-ops (correctness never
+    * classifies commits). */
+  private def c17CdcFollow(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/graft-cdc-q/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.sources.EventStore.reset(s, path)
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    graft.sources.EventStore.append(
+      ev.filter(dayofmonth(col("ts")) <= 10).repartition(3), path)
+    graft.sources.EventStore.writeManifest(s, path)
+    val v1 = graft.sources.EventStore.manifestVersion(s, path)
+    val fp = floor(coalesce(col("value"), lit(0.0)) * lit(1048576.0))
+      .cast(LongType)
+    def keyed(df: DataFrame, sign: Column) = df
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"), fp.as("__fv"),
+        sign.as("__s"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("__s")).as("n"), sum(col("__s") * col("__fv")).as("sum_fp"))
+    // seed state from the pinned v1, then FOLLOW: every delivered delta
+    // merges on the poller thread; localCheckpoint materializes each
+    // state (bounded: |keys| rows) and cuts the merge lineage
+    var state = keyed(graft.sources.EventStore.readPinned(s, path, v1),
+      lit(1L)).localCheckpoint()
+    val follower = new graft.streaming.ChangeFeedFollower(s, path, v1,
+      (_, _, feed) => {
+        val delta = keyed(feed,
+          when(col("_change_type") === "insert", 1L).otherwise(-1L))
+        state = state.unionByName(delta)
+          .groupBy(col("event_type"), col("day"))
+          .agg(sum(col("n")).as("n"), sum(col("sum_fp")).as("sum_fp"))
+          .localCheckpoint()
+      }).start()
+    try {
+      graft.sources.EventStore.appendCommitted(
+        ev.filter(dayofmonth(col("ts")).between(11, 20)), path, "cdc-q", 1L)
+      follower.processAllAvailable()
+      require(graft.sources.EventStore.compactInPlace(s, path).nonEmpty,
+        "compaction must rewrite at least one partition")
+      follower.processAllAvailable()
+      val d = graft.sources.EventStore.deleteWhere(s, path,
+        pmod(col("user_id"), lit(5)) === 3 && dayofmonth(col("ts")) <= 10)
+      require(d.rowsDeleted > 0 && d.filesRewritten > 0,
+        s"the cross-cutting erase must partial-rewrite files, got $d")
+      follower.processAllAvailable()
+    } finally follower.stop()
+    state.filter(col("n") > 0)
+  }
+
   /** c16: deep snapshot clone — pin a version, copy exactly its files to
     * a fresh root, commit them as the clone's manifest v1, then ERASE the
     * source past recognition (delete + vacuum past the cloned version):
@@ -3271,6 +3331,7 @@ object SparkEntry {
     "c13b_profile_sketch" -> (c13bProfileSketch _),
     "c14_change_feed" -> (c14ChangeFeed _),
     "c15_incremental_ivm" -> (c15IncrementalIvm _),
+    "c17_cdc_follow" -> (c17CdcFollow _),
     "c16_snapshot_clone" -> (c16SnapshotClone _),
     "st_tumbling" -> (stTumbling _),
     "st_session" -> (stSession _),
@@ -4388,6 +4449,17 @@ object SparkEntry {
       // the maintained view's FINAL state recomputed directly: all 20
       // days minus the erased (user%5==3, day≤10) slice — if the signed
       // delta algebra dropped or double-counted anything, this diverges
+      """SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  count(*)::BIGINT AS n,
+        |  sum((floor(coalesce(value, 0.0) * 1048576.0))::BIGINT)::BIGINT AS sum_fp
+        |FROM events
+        |WHERE day(ts) <= 20
+        |  AND NOT coalesce(user_id % 5 = 3 AND day(ts) <= 10, FALSE)
+        |GROUP BY 1, 2""".stripMargin,
+    "c17_cdc_follow" ->
+      // the continuously-maintained view's FINAL state recomputed
+      // directly — identical contract to c15's oracle (same lifecycle,
+      // different maintenance loop)
       """SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
         |  count(*)::BIGINT AS n,
         |  sum((floor(coalesce(value, 0.0) * 1048576.0))::BIGINT)::BIGINT AS sum_fp

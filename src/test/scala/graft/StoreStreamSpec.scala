@@ -1958,4 +1958,95 @@ class StoreStreamSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
     assert(EventStore.readPinned(spark, dstDir).count() == src.count())
   }
+
+  test("cdc follower: live IVM equals full recompute at every lifecycle step") {
+    import graft.streaming.ChangeFeedFollower
+    val dir = Files.createTempDirectory("graft-cdc-follow").toString + "/events"
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    EventStore.append(ev.filter(dayofmonth(col("ts")) <= 6).repartition(2), dir)
+    EventStore.writeManifest(spark, dir)
+    val v1 = EventStore.manifestVersion(spark, dir)
+    val fp = floor(coalesce(col("value"), lit(0.0)) * lit(1048576.0))
+      .cast(org.apache.spark.sql.types.LongType)
+    def agg(df: org.apache.spark.sql.DataFrame, sign: org.apache.spark.sql.Column) =
+      df.select(col("event_type"), fp.as("__fv"), sign.as("__s"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("__s")).as("n"), sum(col("__s") * col("__fv")).as("sum_fp"))
+    @volatile var state = agg(EventStore.readPinned(spark, dir, v1), lit(1L))
+      .localCheckpoint()
+    @volatile var deliveries = 0
+    val f = new ChangeFeedFollower(spark, dir, v1, (_, _, feed) => {
+      deliveries += 1
+      state = state.unionByName(agg(feed,
+          when(col("_change_type") === "insert", 1L).otherwise(-1L)))
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("sum_fp")).as("sum_fp"))
+        .localCheckpoint()
+    }).start()
+    def stateMap = state.filter(col("n") > 0).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def truthMap = agg(EventStore.readPinned(spark, dir), lit(1L)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    try {
+      // step 1: append
+      EventStore.appendCommitted(
+        ev.filter(dayofmonth(col("ts")) === 7), dir, "cdc-spec", 1L)
+      f.processAllAvailable()
+      assert(stateMap == truthMap, "maintained state diverged after append")
+      // step 2: pure re-layout — delivered, nets to a no-op
+      EventStore.compactInPlace(spark, dir)
+      f.processAllAvailable()
+      assert(stateMap == truthMap, "maintained state diverged after compaction")
+      // step 3: cross-cutting COW delete
+      val d = EventStore.deleteWhere(spark, dir,
+        pmod(col("user_id"), lit(3)) === 1 && dayofmonth(col("ts")) <= 4)
+      assert(d.rowsDeleted > 0)
+      f.processAllAvailable()
+      assert(stateMap == truthMap, "maintained state diverged after COW delete")
+      assert(deliveries >= 3, s"expected >= 3 deliveries, saw $deliveries")
+    } finally f.stop()
+  }
+
+  test("cdc follower: commits between polls coalesce into one order-safe delta; failures surface") {
+    import graft.streaming.ChangeFeedFollower
+    val dir = Files.createTempDirectory("graft-cdc-coal").toString + "/events"
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    EventStore.append(ev.filter(dayofmonth(col("ts")) <= 3).repartition(2), dir)
+    EventStore.writeManifest(spark, dir)
+    val v1 = EventStore.manifestVersion(spark, dir)
+    // UNSTARTED follower = deterministic synchronous mode
+    var feeds = List.empty[(Long, Long, Map[(String, Long), Int])]
+    val f = new ChangeFeedFollower(spark, dir, v1, (a, b, feed) => {
+      feeds ::= ((a, b, feed.select("_change_type", "event_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).groupBy(identity)
+        .map { case (k, v) => k -> v.length }))
+    })
+    // two commits land before the single poll
+    EventStore.appendCommitted(
+      ev.filter(dayofmonth(col("ts")) === 4), dir, "cdc-coal", 1L)
+    EventStore.appendCommitted(
+      ev.filter(dayofmonth(col("ts")) === 5), dir, "cdc-coal", 2L)
+    val vN = EventStore.manifestVersion(spark, dir)
+    assert(f.pollOnce(), "a poll over two pending commits must deliver")
+    assert(!f.pollOnce(), "a second poll with no new commit must not deliver")
+    assert(f.seenVersion == vN)
+    // the ONE coalesced delta equals the multiset union of the per-step
+    // feeds — recomputed here via the batch API
+    val d45 = EventStore.changeFeed(spark, dir, v1, vN)
+      .select("_change_type", "event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(identity)
+      .map { case (k, v) => k -> v.length }
+    assert(feeds.size == 1 && feeds.head._1 == v1 && feeds.head._2 == vN)
+    assert(feeds.head._3 == d45, "coalesced delivery diverged from the batch range feed")
+    // a consumer failure must surface, not die silently
+    val boom = new ChangeFeedFollower(spark, dir, v1,
+      (_, _, _) => throw new RuntimeException("merge exploded")).start()
+    EventStore.appendCommitted(
+      ev.filter(dayofmonth(col("ts")) === 6), dir, "cdc-coal", 3L)
+    val e = intercept[IllegalStateException](boom.processAllAvailable(timeoutMs = 30000))
+    assert(e.getMessage.contains("poller failed"))
+    intercept[IllegalStateException](boom.stop())
+  }
 }
