@@ -115,7 +115,7 @@ object Bench {
       "st_gap", "st_heatmap", "c6b_zorder3", "c8b_string_prune",
       "c11_schema_evolution", "c14_change_feed",
       "c15_incremental_ivm", "c16_snapshot_clone",
-      "j6b_bucketed_build").filter(results.contains)
+      "c17_cdc_follow", "j6b_bucketed_build").filter(results.contains)
     val buildJson = buildClass.map("\"" + _ + "\"").mkString("[", ",", "]")
     val buildTotal = buildClass.map(results).sum
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","runs":$runs,"build_queries":$buildJson,"build_sec":${r3(buildTotal)},"calib_sec":${r3(calibSec)}}"""

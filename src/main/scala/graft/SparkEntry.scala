@@ -2188,6 +2188,20 @@ object SparkEntry {
   private def a20Markov(s: SparkSession, dir: String): DataFrame =
     graft.operators.Funnel.stationaryDistribution(Tables.events(s, dir))
 
+  /** a20b: the DISTRIBUTED Markov stationary path on a state space the
+    * driver path refuses — step = event_type × (user_id mod 40), ~200
+    * states: transition table and power iterations stay DataFrames
+    * (3 bounded shuffles/iteration over transition rows, never events),
+    * no K² driver matrix anywhere. Same BIGINT fixed point; the oracle
+    * replays all 20 iterations as joins over the same derived step. */
+  private def a20bMarkovDistributed(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("step",
+      concat(col("event_type"), lit("#"),
+        pmod(col("user_id"), lit(40)).cast(StringType)))
+    graft.operators.Funnel.stationaryDistributionDistributed(
+      ev, iters = 20, stepCol = "step")
+  }
+
   /** x18: TF-IDF similar-pairs retrieval — inverted-index self-join with
     * the df-cap pigeonhole (terms in over 20% of docs never join — the
     * cap scales with the corpus so it can't go vacuous at a denser SF),
@@ -2213,6 +2227,23 @@ object SparkEntry {
   private def p21SqlNeardupImages(s: SparkSession, dir: String): DataFrame =
     graft.sql.ZxSql.run(Tables.documents(s, dir),
       "select neardup images hamming 6 from documents")
+
+  /** P1 + s13b: batched MMR from SQL — `queries` takes the id list, one
+    * corpus pass re-ranks them all; WHERE composes into the pass. */
+  private def p22SqlMmrBatch(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.embeddings(s, dir),
+      "select mmr top 5 queries 2, 8 shortlist 20 from embeddings where vec_id < 450")
+
+  /** P1 + m7: audio near-dup pairs from SQL with a non-default Hamming
+    * radius — the second multimodal face. */
+  private def p23SqlNeardupAudio(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select neardup audio hamming 20 from documents")
+
+  /** P1 + a20b: the distributed Markov route from SQL. */
+  private def p24SqlMarkovDistributed(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir),
+      "select markov iters 10 distributed from events where event_type != 'error'")
 
   /** s13: MMR diverse re-rank — one exact-kNN corpus pass builds the
     * shortlist, the greedy diversity loop runs on the bounded collected
@@ -3215,6 +3246,9 @@ object SparkEntry {
     "p19_sql_mmr" -> (p19SqlMmr _),
     "p20_sql_trend" -> (p20SqlTrend _),
     "p21_sql_neardup_images" -> (p21SqlNeardupImages _),
+    "p22_sql_mmr_batch" -> (p22SqlMmrBatch _),
+    "p23_sql_neardup_audio" -> (p23SqlNeardupAudio _),
+    "p24_sql_markov_distributed" -> (p24SqlMarkovDistributed _),
     "o1_top_groups" -> (o1TopGroups _),
     "o2_topk_limit" -> (o2TopkLimit _),
     "o3_top_per_group" -> (o3TopPerGroup _),
@@ -3255,6 +3289,7 @@ object SparkEntry {
     "a18_attribution" -> (a18Attribution _),
     "a19_anomaly" -> (a19Anomaly _),
     "a20_markov" -> (a20Markov _),
+    "a20b_markov_distributed" -> (a20bMarkovDistributed _),
     "a21_trend" -> (a21Trend _),
     "a15_argmax" -> (a15Argmax _),
     "x1_lang_id" -> (x1LangId _),
@@ -3344,10 +3379,12 @@ object SparkEntry {
     * then `iters` fixed-point power iterations as chained CTEs (the x17
     * unrolled-iteration pattern). Per-edge BIGINT floor division, so every
     * p_k matches the driver math bit-for-bit. */
-  private def markovOracle(iters: Int, extraWhere: String): String = {
+  private def markovOracle(iters: Int, extraWhere: String,
+                           stepSql: String = "event_type"): String = {
     val pre =
       s"""WITH e AS (SELECT user_id,
-         |    CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id, event_type
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,
+         |    $stepSql AS event_type
          |  FROM events WHERE user_id IS NOT NULL $extraWhere),
          |l AS (SELECT event_type AS nxt, lag(event_type) OVER (
          |    PARTITION BY user_id ORDER BY t, event_id) AS prv FROM e),
@@ -3547,6 +3584,44 @@ object SparkEntry {
        |SELECT event_type, n, (n * sxy - sx * sy)::BIGINT AS slope_num,
        |  (n * sxx - sx * sx)::BIGINT AS slope_den
        |FROM s""".stripMargin
+
+  /** m7/p23 oracle: the energy-envelope fingerprint replayed in DuckDB
+    * at the given Hamming radius (band join + exact popcount filter). */
+  private def audioNeardupOracle(maxHamming: Int): String = {
+      // replay of the energy-envelope fingerprint from the WAV synthesis
+      // rule: sample j (1-based) = (ascii - 96) * 256, window w sums
+      // |sample| over positions (w*n//65, (w+1)*n//65] (the 0-based
+      // [w*n//65, (w+1)*n//65) range shifted to 1-based), contour bit i =
+      // energy(i+1) > energy(i), bands pack bits [16b, 16b+16) with local
+      // weights — all integer, then the same band join + popcount as m6.
+      def band(b: Int): String =
+        s"list_sum(list_transform(range(0, 16), j -> CASE WHEN " +
+          s"energies[(${16 * b} + j + 2)::INT] > energies[(${16 * b} + j + 1)::INT] " +
+          s"THEN (1::BIGINT << j::INT) ELSE 0 END)) AS band$b"
+      s"""WITH s AS (
+         |  SELECT doc_id, text, strlen(text)::BIGINT AS n FROM documents
+         |), g AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 65), w ->
+         |      coalesce(list_sum(list_transform(
+         |        range(w * n // 65 + 1, (w + 1) * n // 65 + 1),
+         |        j -> abs(ascii(substr(text, j::INT, 1)) - 96)::BIGINT * 256)), 0))
+         |      AS energies
+         |  FROM s
+         |), hsh AS (
+         |  SELECT doc_id, ${band(0)}, ${band(1)}, ${band(2)}, ${band(3)}
+         |  FROM g
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  (bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1)) +
+         |   bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)))::BIGINT
+         |    AS hamming
+         |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id AND
+         |  (a.band0 = b.band0 OR a.band1 = b.band1 OR
+         |   a.band2 = b.band2 OR a.band3 = b.band3)
+         |WHERE (bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1)) +
+         |   bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3))) <= $maxHamming""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = { val base = Map(
     "t1_time_scan" ->
@@ -4490,6 +4565,10 @@ object SparkEntry {
       Seq("event_type"), Seq("ts"),
       from = "events WHERE event_type = 'click'"),
     "a20_markov" -> markovOracle(iters = 20, extraWhere = ""),
+    "a20b_markov_distributed" -> markovOracle(iters = 20, extraWhere = "",
+      stepSql = "concat(event_type, '#', CAST(user_id % 40 AS VARCHAR))"),
+    "p24_sql_markov_distributed" ->
+      markovOracle(iters = 10, extraWhere = "AND event_type <> 'error'"),
     "a21_trend" -> trendOracle(extraWhere = ""),
     "p20_sql_trend" -> trendOracle(extraWhere = "AND event_type <> 'error'"),
     "p13_sql_markov" ->
@@ -4785,6 +4864,12 @@ object SparkEntry {
          |WHERE $duckJaccard >= 0.5""".stripMargin,
     "s13_mmr_rerank" ->
       mmrOracle(queryId = 0L, k = 10, shortlist = 50, relW = 0.7, divW = 0.3),
+    "p22_sql_mmr_batch" -> Seq(2L, 8L).map { qid =>
+      s"""SELECT CAST($qid AS BIGINT) AS query_id, * FROM (
+         |${mmrOracle(queryId = qid, k = 5, shortlist = 20, relW = 0.7,
+             divW = 0.3, extraWhere = "AND vec_id < 450")}
+         |)""".stripMargin
+    }.mkString("\n UNION ALL \n"),
     "s13b_mmr_batch" -> Seq(1L, 5L, 9L).map { qid =>
       s"""SELECT CAST($qid AS BIGINT) AS query_id, * FROM (
          |${mmrOracle(queryId = qid, k = 6, shortlist = 25, relW = 0.7, divW = 0.3)}
@@ -5489,41 +5574,8 @@ object SparkEntry {
     },
     "m6_image_neardup" -> imageNeardupOracle(8),
     "p21_sql_neardup_images" -> imageNeardupOracle(6),
-    "m7_audio_neardup" -> {
-      // replay of the energy-envelope fingerprint from the WAV synthesis
-      // rule: sample j (1-based) = (ascii - 96) * 256, window w sums
-      // |sample| over positions (w*n//65, (w+1)*n//65] (the 0-based
-      // [w*n//65, (w+1)*n//65) range shifted to 1-based), contour bit i =
-      // energy(i+1) > energy(i), bands pack bits [16b, 16b+16) with local
-      // weights — all integer, then the same band join + popcount as m6.
-      def band(b: Int): String =
-        s"list_sum(list_transform(range(0, 16), j -> CASE WHEN " +
-          s"energies[(${16 * b} + j + 2)::INT] > energies[(${16 * b} + j + 1)::INT] " +
-          s"THEN (1::BIGINT << j::INT) ELSE 0 END)) AS band$b"
-      s"""WITH s AS (
-         |  SELECT doc_id, text, strlen(text)::BIGINT AS n FROM documents
-         |), g AS (
-         |  SELECT doc_id,
-         |    list_transform(range(0, 65), w ->
-         |      coalesce(list_sum(list_transform(
-         |        range(w * n // 65 + 1, (w + 1) * n // 65 + 1),
-         |        j -> abs(ascii(substr(text, j::INT, 1)) - 96)::BIGINT * 256)), 0))
-         |      AS energies
-         |  FROM s
-         |), hsh AS (
-         |  SELECT doc_id, ${band(0)}, ${band(1)}, ${band(2)}, ${band(3)}
-         |  FROM g
-         |)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  (bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1)) +
-         |   bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3)))::BIGINT
-         |    AS hamming
-         |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id AND
-         |  (a.band0 = b.band0 OR a.band1 = b.band1 OR
-         |   a.band2 = b.band2 OR a.band3 = b.band3)
-         |WHERE (bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1)) +
-         |   bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3))) <= 16""".stripMargin
-    },
+    "m7_audio_neardup" -> audioNeardupOracle(16),
+    "p23_sql_neardup_audio" -> audioNeardupOracle(20),
   )
     // The streaming replays (st_*) share the batch rows' oracles VERBATIM:
     // the whole claim is that the streaming path — source normalization,

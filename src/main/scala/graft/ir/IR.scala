@@ -132,9 +132,10 @@ object SeqOp {
     * `select attribution <convType> [within <seconds>] [where …]`. */
   final case class Attribution(convType: String, lookbackSec: Long) extends SeqOp
   /** Markov stationary distribution (a20) of the event-type transition
-    * chain, `iters` fixed-point power iterations. SQL:
-    * `select markov [iters <n>] [where …]`. */
-  final case class Markov(iters: Int) extends SeqOp
+    * chain, `iters` fixed-point power iterations; `distributed` routes
+    * to the unbounded-state DataFrame iteration (a20b). SQL:
+    * `select markov [iters <n>] [distributed] [where …]`. */
+  final case class Markov(iters: Int, distributed: Boolean = false) extends SeqOp
   /** Seasonal-baseline anomaly counts (a19). SQL:
     * `select anomaly split <'date'> [factor <n>] [support <n>] [where …]`. */
   final case class AnomalySplit(split: String, factor: Long,
@@ -163,6 +164,15 @@ object SeqOp {
     * day-of-month, per event type. SQL:
     * `select trend [(<col>)] [where …]`. */
   final case class Trend(valCol: String) extends SeqOp
+  /** Batched MMR re-rank (s13b): every listed query re-ranked from ONE
+    * corpus pass. SQL:
+    * `select mmr [top <k>] queries <id>,<id>,… [shortlist <n>] [where …]`. */
+  final case class MmrBatch(topK: Int, queryIds: Seq[Long],
+                            shortlist: Int) extends SeqOp
+  /** Audio near-duplicate pairs (m7) over a documents frame: WAV pack →
+    * energy-envelope fingerprint → banded-Hamming join. SQL:
+    * `select neardup audio [hamming <n>] [where …]`. */
+  final case class NearDupAudio(maxHamming: Int) extends SeqOp
   /** Image near-duplicate pairs (m6) over a documents frame: BMP pack →
     * dHash → banded-Hamming join at `maxHamming`. SQL:
     * `select neardup images [hamming <n>] [where …]`. */

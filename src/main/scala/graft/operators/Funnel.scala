@@ -322,4 +322,76 @@ object Funnel {
     states.map(s => (s, p(s), rowSum.getOrElse(s, 0L))).toSeq
       .toDF("event_type", "p_fp", "n_out")
   }
+
+  /** DISTRIBUTED stationary distribution — the path
+    * [[stationaryDistribution]]'s cardinality guard points at: for step
+    * columns whose state space outgrows any driver matrix (URLs, SKUs as
+    * event types), the transition table stays a DataFrame and each power
+    * iteration is one broadcast-or-shuffle join + aggregation over it —
+    * no K² rows ever reach the driver, K is unbounded.
+    *
+    * SAME fixed-point algebra, bit-for-bit (spec-pinned equal to the
+    * driver walk on a shared input): mass seeds at 2^36 per state and
+    * each edge moves `(p·c) DIV rowsum` — Spark's `IntegralDivide` on
+    * Longs, the exact floor-per-edge the driver loop and the DuckDB `//`
+    * replay compute — then sums per target state. States with no
+    * incoming edges hold mass 0; states with no outgoing edges leak,
+    * identically to the driver path. Long headroom is ENFORCED per
+    * iteration, not assumed: with K unbounded a hub state can absorb up
+    * to K·2^36 mass, so after every step the (tiny, K-row) running state
+    * is max-checked against `(2^63−1) / maxCount` and overflow fails
+    * loudly with the re-seed advice instead of silently wrapping.
+    *
+    * Plan shape per iteration: state (K rows, localCheckpoint'd — lineage
+    * cut, so iteration i never replays iterations 1..i−1) joins the
+    * checkpointed transition table on prev, aggregates on next, left
+    * joins back to the state spine: 3 bounded shuffles × `iters`, each
+    * over O(|transitions|) rows — never the events table, which is read
+    * exactly once to build the counts. */
+  def stationaryDistributionDistributed(ev: DataFrame, iters: Int = 20,
+                                        keyCol: String = "user_id",
+                                        tsCol: String = "ts",
+                                        idCol: String = "event_id",
+                                        stepCol: String = "event_type")
+      : DataFrame = {
+    require(iters >= 1 && iters <= 100,
+      s"stationaryDistributionDistributed: iters must be in [1,100], got $iters")
+    val trans = typeTransitions(ev, keyCol, tsCol, idCol, stepCol)
+      .select(col("prev_type"), col("next_type"), col("n_trans"))
+      .localCheckpoint()
+    val maxC = trans.agg(max(col("n_trans"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val headroom = if (maxC > 0) Long.MaxValue / maxC else Long.MaxValue
+    val rs = trans.groupBy(col("prev_type"))
+      .agg(sum(col("n_trans")).as("__rc"))
+    val tr = trans.join(rs, "prev_type").localCheckpoint()
+    val states = trans.select(col("prev_type").as("st"))
+      .union(trans.select(col("next_type").as("st")))
+      .distinct().localCheckpoint()
+    var p = states.withColumn("__p", lit(1L << 36)).localCheckpoint()
+    for (i <- 1 to iters) {
+      val moved = tr.join(p, tr("prev_type") === p("st"))
+        .select(col("next_type").as("st"),
+          expr("(__p * n_trans) DIV __rc").as("__m"))
+        .groupBy(col("st"))
+        .agg(sum(col("__m")).as("__p"))
+      p = states.join(moved, Seq("st"), "left")
+        .select(col("st"), coalesce(col("__p"), lit(0L)).as("__p"))
+        .localCheckpoint()
+      val pMax = p.agg(max(col("__p"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+      require(pMax <= headroom,
+        s"stationaryDistributionDistributed: after iteration $i a state " +
+          s"holds mass $pMax with max transition count $maxC — the next " +
+          "step would overflow Long; re-seed below 2^36 (reduced " +
+          "precision) or pre-aggregate the stream")
+    }
+    p.join(rs, p("st") === rs("prev_type"), "left")
+      .select(col("st").as("event_type"), col("__p").as("p_fp"),
+        coalesce(col("__rc"), lit(0L)).as("n_out"))
+  }
 }

@@ -286,10 +286,12 @@ object ZxSql {
           SeqOp.Attribution(conv, within)
         case "markov" =>
           var iters = 20
+          var distributed = false
           if (atIdent("iters")) { next(); iters = parseLong(num("iters count"), "iters count").toInt }
+          if (atIdent("distributed")) { next(); distributed = true }
           if (iters < 1 || iters > 100)
             throw ParseError(s"markov iters must be in [1,100], got $iters")
-          SeqOp.Markov(iters)
+          SeqOp.Markov(iters, distributed)
         case "anomaly" =>
           expectIdent("split"); val split = value()
           var factor = 2L; var support = 30L
@@ -324,13 +326,14 @@ object ZxSql {
             throw ParseError(s"similar maxdfpct must be in [1,100], got ${maxDfPct.get}")
           SeqOp.Similar(topK, minDf, maxDf, maxDfPct)
         case "neardup" =>
-          if (atIdent("images")) {
-            next()
-            var mh = 8
+          if (atIdent("images") || atIdent("audio")) {
+            val modality = ident()
+            var mh = if (modality == "images") 8 else 16
             if (atIdent("hamming")) { next(); mh = parseLong(num("hamming bits"), "hamming bits").toInt }
             if (mh < 0 || mh > 63)
-              throw ParseError(s"neardup images hamming must be in [0,63], got $mh")
-            SeqOp.NearDupImages(mh)
+              throw ParseError(s"neardup $modality hamming must be in [0,63], got $mh")
+            if (modality == "images") SeqOp.NearDupImages(mh)
+            else SeqOp.NearDupAudio(mh)
           } else {
             var pct = 50
             if (atIdent("threshold")) { next(); pct = parseLong(num("threshold pct"), "threshold pct").toInt }
@@ -346,12 +349,20 @@ object ZxSql {
           SeqOp.Knn(topK, qid)
         case "mmr" =>
           var topK = 10; var qid = 0L; var shortlist = 50
+          var qids = Seq.empty[Long]
           if (atIdent("top")) { next(); topK = parseLong(num("top count"), "top count").toInt }
           if (atIdent("query")) { next(); qid = parseLong(num("query id"), "query id") }
+          else if (atIdent("queries")) {
+            next(); qids = commaList(() => parseLong(num("query id"), "query id"))
+          }
           if (atIdent("shortlist")) { next(); shortlist = parseLong(num("shortlist size"), "shortlist size").toInt }
           if (topK < 1 || shortlist < topK)
             throw ParseError(s"mmr needs 1 ≤ top ≤ shortlist, got $topK/$shortlist")
-          SeqOp.Mmr(topK, qid, shortlist)
+          if (qids.nonEmpty) {
+            if (qids.distinct.size != qids.size)
+              throw ParseError("mmr queries must be distinct ids")
+            SeqOp.MmrBatch(topK, qids, shortlist)
+          } else SeqOp.Mmr(topK, qid, shortlist)
         case "trend" =>
           var c = "value"
           if (toks.lift(pos).contains(Sym("("))) { next(); c = ident(); expectSym(")") }
@@ -646,8 +657,11 @@ object ZxSql {
           graft.operators.Funnel.cohortRetention(base)
         case SeqOp.Attribution(conv, within) =>
           graft.operators.Funnel.lastTouchAttribution(base, conv, within)
-        case SeqOp.Markov(iters) =>
-          graft.operators.Funnel.stationaryDistribution(base, iters = iters)
+        case SeqOp.Markov(iters, distributed) =>
+          if (distributed)
+            graft.operators.Funnel.stationaryDistributionDistributed(base, iters = iters)
+          else
+            graft.operators.Funnel.stationaryDistribution(base, iters = iters)
         case SeqOp.AnomalySplit(split, factor, support) =>
           graft.operators.Anomaly.seasonalAnomalies(base, split, factor, support)
         case SeqOp.ProfileCols(cols) =>
@@ -688,6 +702,13 @@ object ZxSql {
         case SeqOp.Mmr(k, qid, shortlist) =>
           graft.operators.Similarity.mmrRerank(base, queryId = qid, k = k,
             shortlist = shortlist)
+        case SeqOp.MmrBatch(k, qids, shortlist) =>
+          graft.operators.Similarity.mmrRerankBatch(base, queryIds = qids,
+            k = k, shortlist = shortlist)
+        case SeqOp.NearDupAudio(mh) =>
+          graft.operators.Multimodal.bandedHammingPairs(
+            graft.operators.Multimodal.audioFingerprint(
+              graft.operators.Multimodal.packWav(base)), maxHamming = mh)
         case SeqOp.Argmax(v, idc) =>
           // deterministic argmax (the a15 aggregate): max(struct(value, id))
           // — lexicographic struct max makes the id a total tiebreak while

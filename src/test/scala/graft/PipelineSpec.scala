@@ -1089,4 +1089,42 @@ class PipelineSpec extends AnyFunSuite {
       if (nd <= 50) assert(est == nd, s"small-n estimate must be exact for $c")
     }
   }
+
+  test("distributed markov: bit-equal to the driver walk; wide state spaces run where the driver refuses") {
+    val schema = StructType(Seq(StructField("user_id", LongType, false),
+      StructField("ts", TimestampType, false),
+      StructField("event_id", LongType, false),
+      StructField("event_type", StringType, false)))
+    def t(sec: Long) = new java.sql.Timestamp(1704412800000L + sec * 1000)
+    val rows = Seq(
+      Row(1L, t(1), 1L, "A"), Row(1L, t(2), 2L, "B"), Row(1L, t(3), 3L, "A"),
+      Row(2L, t(1), 4L, "B"), Row(2L, t(2), 5L, "B"), Row(2L, t(3), 6L, "C"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    for (iters <- Seq(1, 3, 7)) {
+      val drv = graft.operators.Funnel.stationaryDistribution(df, iters = iters)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val dist = graft.operators.Funnel
+        .stationaryDistributionDistributed(df, iters = iters)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(dist == drv, s"distributed diverged from driver at iters=$iters")
+    }
+    // a 100-state chain: the driver path refuses at maxStates=4, the
+    // distributed path runs and conserves what the algebra says it should
+    val wide = spark.range(100).selectExpr("1L AS user_id",
+      "timestamp_seconds(1704067200 + id) AS ts", "id AS event_id",
+      "concat('t', id) AS event_type")
+    intercept[IllegalArgumentException](
+      graft.operators.Funnel.stationaryDistribution(wide, iters = 2, maxStates = 4))
+    val got = graft.operators.Funnel
+      .stationaryDistributionDistributed(wide, iters = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 100)
+    // a pure chain moves each state's whole mass one hop per iteration:
+    // after 2 iters only t2..t99 hold mass (2^36 each except the leaked
+    // tail), every out-degree is 1 except the terminal t99
+    val byState = got.map(g => g._1 -> g._2).toMap
+    assert(byState("t0") == 0L && byState("t1") == 0L)
+    assert(byState("t2") == (1L << 36) && byState("t50") == (1L << 36))
+    assert(got.count(_._3 == 0L) == 1, "exactly the terminal state has no out-edges")
+  }
 }

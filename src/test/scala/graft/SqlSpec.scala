@@ -694,4 +694,48 @@ class SqlSpec extends AnyFunSuite {
     assertThrows[ZxSql.ParseError](ZxSql.runStream(st, "select trend"))
     assertThrows[ZxSql.ParseError](ZxSql.runStream(st, "select neardup images"))
   }
+
+  test("sequence ops: markov distributed / mmr batch / neardup audio from SQL (round 11)") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 1L, "A"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 1L, "B"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), 1L, "A"),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 00:00:04"), 2L, "B"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val face = ZxSql.run(ev, "select markov iters 3 distributed")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val op = graft.operators.Funnel.stationaryDistributionDistributed(ev, iters = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val drv = graft.operators.Funnel.stationaryDistribution(ev, iters = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(face == op && face == drv && face.nonEmpty)
+
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 1), (1L, Array(0.9f, 0.1f), 1),
+      (2L, Array(0.0f, 1.0f), 2), (3L, Array(0.5f, 0.5f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val faceB = ZxSql.run(emb, "select mmr top 2 queries 0, 2 shortlist 4")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val opB = graft.operators.Similarity
+      .mmrRerankBatch(emb, Seq(0L, 2L), k = 2, shortlist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(faceB.toSeq == opB.toSeq && faceB.length == 4)
+    assertThrows[ZxSql.ParseError](
+      ZxSql.parse("select mmr top 2 queries 1, 1 shortlist 4"))
+
+    val docs = Seq(
+      (1L, "abcdefgh" * 40, 320L), (6L, "abcdefgh" * 40, 320L),
+      (3L, ("zzzzaaaa" * 40).take(320), 320L)).toDF("doc_id", "text", "n_chars")
+    val faceA = ZxSql.run(docs, "select neardup audio hamming 10")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val opA = graft.operators.Multimodal.bandedHammingPairs(
+      graft.operators.Multimodal.audioFingerprint(
+        graft.operators.Multimodal.packWav(docs)), maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(faceA.toSeq == opA.toSeq)
+    assert(faceA.exists(p => p._1 == 1L && p._2 == 6L && p._3 == 0L),
+      "identical docs must pair at hamming 0")
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select neardup audio hamming 64"))
+  }
 }
