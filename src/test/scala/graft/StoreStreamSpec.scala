@@ -2049,4 +2049,25 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(e.getMessage.contains("poller failed"))
     intercept[IllegalStateException](boom.stop())
   }
+
+  test("cdc follower: vacuum outrunning seenVersion breaks the feed LOUDLY, not silently") {
+    import graft.streaming.ChangeFeedFollower
+    val dir = Files.createTempDirectory("graft-cdc-vac").toString + "/events"
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    EventStore.append(ev.filter(dayofmonth(col("ts")) <= 3).repartition(2), dir)
+    EventStore.writeManifest(spark, dir)
+    val v1 = EventStore.manifestVersion(spark, dir)
+    val f = new ChangeFeedFollower(spark, dir, v1,
+      (_, _, feed) => { feed.count(); () })
+    // a COW delete replaces files, then vacuum reclaims v1's originals
+    // before the follower has polled — the pinned-reader retention
+    // contract is violated, and the delta for (v1, head] must fail, not
+    // deliver a partial feed that silently corrupts the maintained view
+    val d = EventStore.deleteWhere(spark, dir, dayofmonth(col("ts")) <= 1)
+    assert(d.rowsDeleted > 0)
+    EventStore.vacuum(spark, dir, keepVersions = 1)
+    intercept[Throwable](f.pollOnce())
+    assert(f.seenVersion == v1, "a failed delivery must not advance seenVersion")
+  }
 }
