@@ -324,6 +324,17 @@ object Stress {
     time("a20_markov_10x") {
       graft.operators.Funnel.stationaryDistribution(evSeq10).count()
     }
+    // distributed markov on a WIDE state space (event_type × user_id mod
+    // 1000, ~5000 states → up to 25M potential transitions): the driver
+    // path refuses at any sane maxStates; the distributed path's cost is
+    // the transition-row joins, never a K² driver matrix. Band to watch:
+    // within ~2-4× of a20_markov_10x despite ~1000× the states
+    time("a20b_markov_wide_10x") {
+      graft.operators.Funnel.stationaryDistributionDistributed(
+        evSeq10.withColumn("__step", concat(col("event_type"), lit("#"),
+          pmod(col("user_id"), lit(1000)).cast("string"))),
+        iters = 20, stepCol = "__step").count()
+    }
     // tfidf df-cap pigeonhole: a FIXED absolute cap prunes ever-harder on
     // a denser corpus (at this SF it already prunes everything — the
     // vacuity that moved the shipped rows to the FRACTIONAL cap), while
