@@ -1127,4 +1127,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(byState("t2") == (1L << 36) && byState("t50") == (1L << 36))
     assert(got.count(_._3 == 0L) == 1, "exactly the terminal state has no out-edges")
   }
+
+  test("distributed markov == driver walk over seeded random event sets (incl. ts ties)") {
+    val schema = StructType(Seq(StructField("user_id", LongType, false),
+      StructField("ts", TimestampType, false),
+      StructField("event_id", LongType, false),
+      StructField("event_type", StringType, false)))
+    val rnd = new scala.util.Random(11)
+    for (round <- 1 to 5) {
+      val nUsers = 1 + rnd.nextInt(6)
+      val nTypes = 2 + rnd.nextInt(6)
+      val rows = (1 to (40 + rnd.nextInt(120))).map { i =>
+        // coarse second buckets force (ts, id) tie-breaks through both paths
+        Row(1L + rnd.nextInt(nUsers).toLong,
+          new java.sql.Timestamp(1704412800000L + rnd.nextInt(20) * 1000L),
+          i.toLong, s"t${rnd.nextInt(nTypes)}")
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1 + rnd.nextInt(4)), schema)
+      val iters = 1 + rnd.nextInt(12)
+      val drv = graft.operators.Funnel.stationaryDistribution(df, iters = iters)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val dist = graft.operators.Funnel
+        .stationaryDistributionDistributed(df, iters = iters)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(dist == drv,
+        s"round $round (iters=$iters, users=$nUsers, types=$nTypes): diverged")
+    }
+  }
 }
