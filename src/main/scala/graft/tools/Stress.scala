@@ -328,7 +328,8 @@ object Stress {
     // 1000, ~5000 states → up to 25M potential transitions): the driver
     // path refuses at any sane maxStates; the distributed path's cost is
     // the transition-row joins, never a K² driver matrix. Band to watch:
-    // within ~2-4× of a20_markov_10x despite ~1000× the states
+    // within ~3-6× of a20_markov_10x despite ~1000× the states (sf0.1
+    // observed: 6.1 s vs 1.2 s = 5.2× — iteration scheduling, not data)
     time("a20b_markov_wide_10x") {
       graft.operators.Funnel.stationaryDistributionDistributed(
         evSeq10.withColumn("__step", concat(col("event_type"), lit("#"),
