@@ -2070,4 +2070,53 @@ class StoreStreamSpec extends AnyFunSuite {
     intercept[Throwable](f.pollOnce())
     assert(f.seenVersion == v1, "a failed delivery must not advance seenVersion")
   }
+
+  test("cdc follower: live IVM stays exact under concurrent committer threads") {
+    import graft.streaming.ChangeFeedFollower
+    val dir = Files.createTempDirectory("graft-cdc-race").toString + "/events"
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    EventStore.append(ev.filter(dayofmonth(col("ts")) === 1).repartition(2), dir)
+    EventStore.writeManifest(spark, dir)
+    val v1 = EventStore.manifestVersion(spark, dir)
+    @volatile var n = EventStore.readPinned(spark, dir, v1).count()
+    val f = new ChangeFeedFollower(spark, dir, v1, (_, _, feed) => {
+      val ins = feed.filter(col("_change_type") === "insert").count()
+      val del = feed.filter(col("_change_type") === "delete").count()
+      n = n + ins - del
+    }).start()
+    // 3 committer threads × 3 lock-arbitrated txn appends each, racing the
+    // live poller; day ranges are disjoint so the final truth is clean
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def commitWithRetry(day: Int, app: String, batch: Long): Unit = {
+      var done = false; var tries = 0
+      while (!done) {
+        try {
+          EventStore.appendCommitted(
+            ev.filter(dayofmonth(col("ts")) === day), dir, app, batch)
+          done = true
+        } catch {
+          case e: IllegalStateException if e.getMessage.contains("lock") =>
+            tries += 1
+            if (tries > 2000) throw new IllegalStateException("lock starvation", e)
+            Thread.sleep(1L)
+        }
+      }
+    }
+    val threads = (0 until 3).map { t =>
+      new Thread(() => {
+        try (1 to 3).foreach { b =>
+          commitWithRetry(2 + t * 3 + (b - 1), s"cdc-race-$t", b.toLong)
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"committers failed: ${errs.peek()}")
+    try {
+      f.processAllAvailable()
+      val truth = EventStore.readPinned(spark, dir).count()
+      assert(n == truth,
+        s"maintained count $n diverged from store count $truth after 9 racing commits")
+    } finally f.stop()
+  }
 }
