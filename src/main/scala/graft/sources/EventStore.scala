@@ -352,7 +352,7 @@ object EventStore {
     val spark = batch.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val gen = System.currentTimeMillis()
+    val gen = nextGen()
     val staged = new org.apache.hadoop.fs.Path(root, s".ingest-staging-$gen")
     fs.delete(staged, true)
     batch.withColumn("event_date", to_date(col(tsCol)))
@@ -457,7 +457,7 @@ object EventStore {
         "desync the metadata log's readers")
     val manifest = readManifestFile(fs, root)
     val byPart = manifest.groupBy(_.takeWhile(_ != '/'))
-    val gen = System.currentTimeMillis()
+    val gen = nextGen()
     val affected = byPart.toSeq.sortBy(_._1).flatMap { case (part, rel) =>
       val partPath = new org.apache.hadoop.fs.Path(root, part)
       val files = rel.map(r => new org.apache.hadoop.fs.Path(root, r))
@@ -956,6 +956,23 @@ object EventStore {
     * `prefix-gen-` maintenance names; returns the moved files' relative
     * paths. Partition dirs an append never created yet are created here —
     * a merge may insert into brand-new dates. */
+  /** Generation nonce for staging dirs and maintenance file names —
+    * UNIQUE across threads and (probabilistically) processes, digits-only.
+    * `System.currentTimeMillis()` alone is not a generation: two
+    * same-millisecond concurrent writers shared one `.ingest-staging-<ms>`
+    * dir, and the first finisher's cleanup deleted the other's in-flight
+    * write (found by the round-11 racing-committer spec — the same hazard
+    * existed for compact/merge/delete/z-order staging and moved-in file
+    * names). millis·2^20 keeps the nonce time-sortable for operators
+    * reading file listings; the process-random base + per-call counter
+    * make it collision-free in-process and ~2^-20 per process pair — and
+    * a residual collision still fails LOUDLY (rename onto an existing
+    * name), never silently interleaves. */
+  private val genCounter = new java.util.concurrent.atomic.AtomicLong(
+    new java.security.SecureRandom().nextInt(1 << 20).toLong)
+  private def nextGen(): Long =
+    ((System.currentTimeMillis() << 20) + genCounter.getAndIncrement()) & Long.MaxValue
+
   private def moveStagedIn(fs: org.apache.hadoop.fs.FileSystem,
                            root: org.apache.hadoop.fs.Path,
                            staged: org.apache.hadoop.fs.Path,
@@ -1012,7 +1029,7 @@ object EventStore {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifest = readManifestFile(fs, root)
-    val gen = System.currentTimeMillis()
+    val gen = nextGen()
     val upd = updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val keys = upd.select(keyCols.map(col): _*).distinct()
@@ -1075,7 +1092,7 @@ object EventStore {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifest = readManifestFile(fs, root)
-    val gen = System.currentTimeMillis()
+    val gen = nextGen()
     // detection: per-file (matching, total) counts — one job, file-granular
     val counts = readPinned(spark, path)
       .select(relFileCol.as("__file"),
@@ -1184,7 +1201,7 @@ object EventStore {
       .drop("__z")
       .write.mode(SaveMode.Overwrite)
       .partitionBy("event_date").parquet(staged.toString)
-    val gen = System.currentTimeMillis()
+    val gen = nextGen()
     val movedIn = fs.listStatus(staged).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
       .flatMap { p =>
