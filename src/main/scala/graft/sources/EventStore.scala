@@ -475,7 +475,10 @@ object EventStore {
     try {
       val done = Future.sequence(affected.map { case (part, partPath, files, bytes, nOut) =>
         Future {
-          val staged = new org.apache.hadoop.fs.Path(root, "." + part + ".compact-staging")
+          // gen-suffixed: a concurrent compactor must never share (and
+          // then clean up) another run's staging dir — the nextGen() rule
+          val staged = new org.apache.hadoop.fs.Path(root,
+            "." + part + s".compact-staging-$gen")
           fs.delete(staged, true)
           spark.read.parquet(files.map(_.toString): _*).coalesce(nOut)
             .write.mode(SaveMode.Overwrite).parquet(staged.toString)
@@ -1192,7 +1195,8 @@ object EventStore {
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val df = readPinned(spark, path)
     val ranges = ZOrder.columnRanges(df, zCols)
-    val staged = new org.apache.hadoop.fs.Path(root, ".zorder-staging")
+    val gen = nextGen()
+    val staged = new org.apache.hadoop.fs.Path(root, s".zorder-staging-$gen")
     fs.delete(staged, true)
     df.withColumn("__z",
         ZOrder.zValueN(zCols.map(c => (col(c), ranges(c)))))
@@ -1201,7 +1205,6 @@ object EventStore {
       .drop("__z")
       .write.mode(SaveMode.Overwrite)
       .partitionBy("event_date").parquet(staged.toString)
-    val gen = nextGen()
     val movedIn = fs.listStatus(staged).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
       .flatMap { p =>
@@ -1271,7 +1274,7 @@ object EventStore {
     // The legacy compactor's `.<part>.compact-old` parking is deliberately
     // NOT touched — it can hold the only copy of a partition, and
     // readRetrying's recovery message points operators at it.
-    val staging = ("""^\..*\.compact-staging$|^\.zorder-staging$""" +
+    val staging = ("""^\..*\.compact-staging(?:-\d+)?$|^\.zorder-staging(?:-\d+)?$""" +
       """|^\.(?:merge|delete)-(?:rewrite|insert)-\d+$""" +
       """|^\.ingest-staging-\d+$""").r
     fs.listStatus(root).toSeq

@@ -2119,4 +2119,52 @@ class StoreStreamSpec extends AnyFunSuite {
         s"maintained count $n diverged from store count $truth after 9 racing commits")
     } finally f.stop()
   }
+
+  test("compaction races appenders: optimistic rebase keeps every committed row, all versions readable") {
+    val dir = Files.createTempDirectory("graft-compact-race").toString + "/events"
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    EventStore.append(ev.filter(dayofmonth(col("ts")) === 1).repartition(4), dir)
+    EventStore.writeManifest(spark, dir)
+    val v0 = EventStore.manifestVersion(spark, dir)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def withLockRetry(f: => Unit): Unit = {
+      var done = false; var tries = 0
+      while (!done) {
+        try { f; done = true } catch {
+          case e: IllegalStateException if e.getMessage.contains("lock") =>
+            tries += 1
+            if (tries > 2000) throw new IllegalStateException("lock starvation", e)
+            Thread.sleep(1L)
+        }
+      }
+    }
+    val appenders = (0 until 2).map { t =>
+      new Thread(() => {
+        try (1 to 4).foreach { b =>
+          withLockRetry(EventStore.appendCommitted(
+            ev.filter(dayofmonth(col("ts")) === (2 + t * 4 + (b - 1))
+              ).repartition(2), dir, s"cr-app-$t", b.toLong))
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    val compactor = new Thread(() => {
+      try (1 to 3).foreach { _ =>
+        // tiny target → every multi-file partition rewrites each pass;
+        // appends never remove files, so the rebase must always apply
+        withLockRetry(EventStore.compactInPlace(spark, dir, targetBytes = 1L << 30))
+        Thread.sleep(20)
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    (appenders :+ compactor).foreach(_.start())
+    (appenders :+ compactor).foreach(_.join(180000))
+    assert(errs.isEmpty, s"race failures: ${errs.peek()}")
+    val truth = ev.filter(dayofmonth(col("ts")) <= 9).count()
+    assert(EventStore.readPinned(spark, dir).count() == truth,
+      "rows lost or duplicated under compaction racing appends")
+    val vN = EventStore.manifestVersion(spark, dir)
+    ((v0 + 1) to vN).foreach { v =>
+      assert(EventStore.manifestFiles(spark, dir, v).nonEmpty, s"version $v unreadable")
+    }
+  }
 }
