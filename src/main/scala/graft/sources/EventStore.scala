@@ -954,11 +954,6 @@ object EventStore {
   private def relFileCol =
     regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1)
 
-  /** Move every data file under `staged` (a hidden staging dir holding a
-    * date-partitioned write) into the live partition dirs under
-    * `prefix-gen-` maintenance names; returns the moved files' relative
-    * paths. Partition dirs an append never created yet are created here —
-    * a merge may insert into brand-new dates. */
   /** Generation nonce for staging dirs and maintenance file names —
     * UNIQUE across threads and (probabilistically) processes, digits-only.
     * `System.currentTimeMillis()` alone is not a generation: two
@@ -976,6 +971,11 @@ object EventStore {
   private def nextGen(): Long =
     ((System.currentTimeMillis() << 20) + genCounter.getAndIncrement()) & Long.MaxValue
 
+  /** Move every data file under `staged` (a hidden staging dir holding a
+    * date-partitioned write) into the live partition dirs under
+    * `prefix-gen-` maintenance names; returns the moved files' relative
+    * paths. Partition dirs an append never created yet are created here —
+    * a merge may insert into brand-new dates. */
   private def moveStagedIn(fs: org.apache.hadoop.fs.FileSystem,
                            root: org.apache.hadoop.fs.Path,
                            staged: org.apache.hadoop.fs.Path,

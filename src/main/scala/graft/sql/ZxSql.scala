@@ -812,9 +812,10 @@ object ZxSql {
     import graft.streaming.{EventStream, GapWindowStream}
     val q = parse(sql)
     if (q.seqOp.nonEmpty)
-      throw ParseError("journeys/funnel/decay/argmax need the full per-day " +
-        "sequence (order-dependent folds over an entity's whole day) — run " +
-        "them per micro-batch via foreachBatch over ZxSql.run, or batch")
+      throw ParseError("sequence/corpus ops (journeys, funnel, decay, argmax, " +
+        "retention, attribution, markov, anomaly, profile, trend, spans, " +
+        "similar, neardup, knn, mmr) need a bounded frame — run them per " +
+        "micro-batch via foreachBatch over ZxSql.run, or batch")
     q.asofJoin.foreach { js =>
       // asof enrichment streams via the broadcast formulation: the deduped
       // version history rides in the plan (AsofJoin.asofBroadcast), so the
