@@ -109,21 +109,26 @@ object Bench {
     val buildClass = Seq("s4_ivf_build", "s8_pq_knn", "s8b_pq_build",
       "x14_familiarity", "c4_familiarity_gate", "c3_compact",
       "c5_manifest_compact", "c6_zorder", "c7_time_travel", "c8_stats_prune",
+      "c8c_double_prune",
       "c9_incremental", "x16_span_excise",
       "x17_quality_probe", "c10_merge_delete", "c12_point_prune",
+      "c12b_bloom_prune",
       "s10_recall_audit", "st_tumbling", "st_session", "st_hopping",
       "st_gap", "st_heatmap", "c6b_zorder3", "c8b_string_prune",
       "c11_schema_evolution", "c14_change_feed",
       "c15_incremental_ivm", "c16_snapshot_clone",
-      "c17_cdc_follow", "j6b_bucketed_build").filter(results.contains)
+      "c17_cdc_follow", "c17b_durable_follow",
+      "j6b_bucketed_build").filter(results.contains)
     val buildJson = buildClass.map("\"" + _ + "\"").mkString("[", ",", "]")
     val buildTotal = buildClass.map(results).sum
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","runs":$runs,"build_queries":$buildJson,"build_sec":${r3(buildTotal)},"calib_sec":${r3(calibSec)}}"""
-    println(line)
-    // Durable copy: the harness captures a bounded stdout tail and has
-    // twice truncated the (growing) results line into an unparseable
-    // fragment — the file survives regardless of buffer size.
+    // The harness captures a bounded (~2000 char) stdout tail: three
+    // rounds running, the full per-query line truncated there into an
+    // unparseable fragment. stdout now gets a SHORT self-contained
+    // summary (fits any tail buffer, still one parseable JSON object);
+    // the complete per-query map lives ONLY in the durable file.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${results.size},"n_errors":${errors.size},"build_n":${buildClass.size},"build_sec":${r3(buildTotal)},"calib_sec":${r3(calibSec)},"queries_file":"$out"}""")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}") }

@@ -1683,6 +1683,69 @@ object SparkEntry {
         countDistinct(col("event_id")).as("n_events"))
   }
 
+  /** c8c: float/double file-stats pruning — the measure column (`value`)
+    * becomes prunable under the pinned IEEE-comparison contract
+    * ([[graft.sources.ZOrder.fileDoubleStats]]): primitive `<=`/`>=` on
+    * both sides of the prune, -0.0 == 0.0, NaN-poisoned files admitted.
+    * Files hold contiguous value ranges (range repartition — the layout
+    * the bounds can separate); the narrow low slice must bind a strict
+    * file subset and return exactly the plain filter's rows. */
+  private def c8cDoublePrune(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/graft-dblstats-q/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.sources.EventStore.reset(s, path)
+    val ev = Tables.events(s, dir)
+      .filter(dayofmonth(col("ts")) <= 6)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    graft.sources.EventStore.append(
+      ev.repartitionByRange(8, col("value")), path)
+    graft.sources.EventStore.writeManifest(s, path)
+    graft.sources.EventStore.writeFileStats(s, path, Nil,
+      doubleColumns = Seq("value"))
+    val mm = ev.agg(min("value"), max("value")).head()
+    val (vMin, vMax) = (mm.getDouble(0), mm.getDouble(1))
+    val vHi = vMin + (vMax - vMin) / 8
+    val pruned = graft.sources.EventStore.readPinnedWhereDouble(
+      s, path, "value", vMin, vHi)
+    require(pruned.inputFiles.length <
+      graft.sources.EventStore.manifestFiles(s, path).size,
+      s"double-stats pruning must bind fewer files, bound ${pruned.inputFiles.length}")
+    pruned
+      .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 3).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** c12b: bloom-tier point pruning — the key column is `event_id`
+    * (unique per row), so EVERY manifested file is far above the
+    * exact-set cap and the whole store rides the per-file bloom sidecar.
+    * The point read must still bind a strict file subset (a bloom miss
+    * proves absence; false positives only admit) and return exactly the
+    * unpruned filter's rows — this is the membership pruning that works
+    * on exactly the high-cardinality un-z-ordered files c12's exact tier
+    * cannot pin. */
+  private def c12bBloomPrune(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/graft-bloom-q/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.sources.EventStore.reset(s, path)
+    val ev = Tables.events(s, dir)
+      .filter(dayofmonth(col("ts")) <= 6 && col("user_id").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    graft.sources.EventStore.append(ev.repartition(4), path)
+    graft.sources.EventStore.writeManifest(s, path)
+    graft.sources.EventStore.writeFileKeySets(s, path, "event_id",
+      maxDistinct = 16)
+    val kMin = ev.agg(min("event_id")).head().getLong(0)
+    val pruned = graft.sources.EventStore.readPinnedPoint(
+      s, path, "event_id", kMin)
+    require(pruned.inputFiles.length <
+      graft.sources.EventStore.manifestFiles(s, path).size,
+      s"bloom pruning must bind fewer files, bound ${pruned.inputFiles.length}")
+    pruned.groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 3).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   private def c9Incremental(s: SparkSession, dir: String): DataFrame = {
     val path = "target/graft-incr-q/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
     graft.sources.EventStore.reset(s, path)
@@ -1897,8 +1960,64 @@ object SparkEntry {
       require(d.rowsDeleted > 0 && d.filesRewritten > 0,
         s"the cross-cutting erase must partial-rewrite files, got $d")
       follower.processAllAvailable()
-    } finally follower.stop()
+    } finally follower.stopQuietly()
     state.filter(col("n") > 0)
+  }
+
+  /** c17b: DURABLE change-data capture — c17's maintenance loop with the
+    * (aggregate, seenVersion) pair committed atomically per delta
+    * ([[graft.streaming.DurableAggregateFollower]]), exercised through a
+    * CRASH: the first follower folds the txn append then is abandoned
+    * without shutdown; a COW delete lands while it is down; a second
+    * follower constructed on the same state directory must resume at the
+    * COMMITTED version (re-folding from the original start would
+    * double-count the append) and one poll catches up the down-window.
+    * The oracle recomputes the final view directly — any re-delivery,
+    * missed delta, or stale resume diverges the hash. */
+  private def c17bDurableFollow(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"target/graft-cdc-dur-q/$tag"
+    val stateDir = s"target/graft-cdc-dur-state/$tag"
+    graft.sources.EventStore.reset(s, path)
+    val sd = new org.apache.hadoop.fs.Path(stateDir)
+    val sfs = sd.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (sfs.exists(sd)) sfs.delete(sd, true)
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    graft.sources.EventStore.append(
+      ev.filter(dayofmonth(col("ts")) <= 10).repartition(3), path)
+    graft.sources.EventStore.writeManifest(s, path)
+    val fp = floor(coalesce(col("value"), lit(0.0)) * lit(1048576.0))
+      .cast(LongType)
+    def keyed(df: DataFrame, sign: Column) = df
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"), fp.as("__fv"),
+        sign.as("__s"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("__s")).as("n"), sum(col("__s") * col("__fv")).as("sum_fp"))
+    def mk() = new graft.streaming.DurableAggregateFollower(s, path, stateDir,
+      seed = v => keyed(graft.sources.EventStore.readPinned(s, path, v), lit(1L)),
+      fold = (st, feed) => st.unionByName(keyed(feed,
+          when(col("_change_type") === "insert", 1L).otherwise(-1L)))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("n")).as("n"), sum(col("sum_fp")).as("sum_fp")))
+    val f1 = mk() // sync (unstarted) mode: deterministic single-steps
+    graft.sources.EventStore.appendCommitted(
+      ev.filter(dayofmonth(col("ts")).between(11, 20)), path, "cdc-dur-q", 1L)
+    require(f1.follower.pollOnce(), "append delta must deliver")
+    val committed = f1.seenVersion
+    // crash: no shutdown, no flush — the commit already happened per delta
+    val d = graft.sources.EventStore.deleteWhere(s, path,
+      pmod(col("user_id"), lit(5)) === 3 && dayofmonth(col("ts")) <= 10)
+    require(d.rowsDeleted > 0 && d.filesRewritten > 0,
+      s"the cross-cutting erase must partial-rewrite files, got $d")
+    val f2 = mk()
+    require(f2.seenVersion == committed,
+      s"restart must resume at committed v$committed, got ${f2.seenVersion}")
+    require(f2.follower.pollOnce(), "down-window delta must deliver")
+    require(!f2.follower.pollOnce(), "caught-up follower must not re-deliver")
+    f2.state.filter(col("n") > 0)
   }
 
   /** c16: deep snapshot clone — pin a version, copy exactly its files to
@@ -2244,6 +2363,41 @@ object SparkEntry {
   private def p24SqlMarkovDistributed(s: SparkSession, dir: String): DataFrame =
     graft.sql.ZxSql.run(Tables.events(s, dir),
       "select markov iters 10 distributed from events where event_type != 'error'")
+
+  /** P1 + m8: frame-set (video-shaped) near-dup from SQL, WHERE composed
+    * ahead of the digest-blocking join. */
+  private def p26SqlNeardupVideo(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select neardup video shared 2 from documents where n_chars >= 256")
+
+  /** P1 + m9: scene-change detection from SQL, WHERE composed ahead of
+    * the frame walk. */
+  private def p27SqlScenes(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select scenes from documents where lang = 'en'")
+
+  /** P1 + j1: the general equi-join roll-up from SQL — the fact table
+    * chains three plain joins (orders → customer → nation, the j1
+    * snowflake), WHERE lands on a DIM column post-join so Catalyst pushes
+    * it under the join into the orders scan, and the aggregation groups
+    * by the far dim's key. Aggregates are order-independent-exact (sums
+    * of integral doubles, counts, max) so the roll-up hashes identically
+    * however AQE schedules the joins. */
+  private def p25SqlEquiJoin(s: SparkSession, dir: String): DataFrame = {
+    val sql = "select sum(l_quantity), count(*), count_distinct(o_custkey), " +
+      "max(o_totalprice) from lineitem " +
+      "join orders on l_orderkey = o_orderkey " +
+      "join customer on o_custkey = c_custkey " +
+      "join nation on c_nationkey = n_nationkey " +
+      "where o_orderstatus = 'O' " +
+      "group by n_name order by sum(l_quantity) desc"
+    graft.sql.ZxSql.run(Tables.lineitem(s, dir), sql, tables = Map(
+      "orders" -> Tables.orders(s, dir),
+      "customer" -> Tables.customer(s, dir),
+      "nation" -> Tables.nation(s, dir)))
+      .select(col("n_name"), round3("sum_l_quantity"), round3("count_star"),
+        col("count_distinct_o_custkey"), col("max_o_totalprice"))
+  }
 
   /** s13: MMR diverse re-rank — one exact-kNN corpus pass builds the
     * shortlist, the greedy diversity loop runs on the bounded collected
@@ -3249,6 +3403,9 @@ object SparkEntry {
     "p22_sql_mmr_batch" -> (p22SqlMmrBatch _),
     "p23_sql_neardup_audio" -> (p23SqlNeardupAudio _),
     "p24_sql_markov_distributed" -> (p24SqlMarkovDistributed _),
+    "p25_sql_equi_join" -> (p25SqlEquiJoin _),
+    "p26_sql_neardup_video" -> (p26SqlNeardupVideo _),
+    "p27_sql_scenes" -> (p27SqlScenes _),
     "o1_top_groups" -> (o1TopGroups _),
     "o2_topk_limit" -> (o2TopkLimit _),
     "o3_top_per_group" -> (o3TopPerGroup _),
@@ -3357,16 +3514,19 @@ object SparkEntry {
     "c7_time_travel" -> (c7TimeTravel _),
     "c6b_zorder3" -> (c6b3dZOrder _),
     "c8_stats_prune" -> (c8StatsPrune _),
+    "c8c_double_prune" -> (c8cDoublePrune _),
     "c8b_string_prune" -> (c8bStringPrune _),
     "c9_incremental" -> (c9Incremental _),
     "c10_merge_delete" -> (c10MergeDelete _),
     "c11_schema_evolution" -> (c11SchemaEvolution _),
     "c12_point_prune" -> (c12PointPrune _),
+    "c12b_bloom_prune" -> (c12bBloomPrune _),
     "c13_profile" -> (c13Profile _),
     "c13b_profile_sketch" -> (c13bProfileSketch _),
     "c14_change_feed" -> (c14ChangeFeed _),
     "c15_incremental_ivm" -> (c15IncrementalIvm _),
     "c17_cdc_follow" -> (c17CdcFollow _),
+    "c17b_durable_follow" -> (c17bDurableFollow _),
     "c16_snapshot_clone" -> (c16SnapshotClone _),
     "st_tumbling" -> (stTumbling _),
     "st_session" -> (stSession _),
@@ -4542,6 +4702,17 @@ object SparkEntry {
         |WHERE day(ts) <= 20
         |  AND NOT coalesce(user_id % 5 = 3 AND day(ts) <= 10, FALSE)
         |GROUP BY 1, 2""".stripMargin,
+    "c17b_durable_follow" ->
+      // the crash-resumed maintained view's FINAL state — same final
+      // lifecycle truth as c17 (append 11-20, erase user%5==3 ∩ day≤10);
+      // a double-folded append or stale resume diverges here
+      """SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  count(*)::BIGINT AS n,
+        |  sum((floor(coalesce(value, 0.0) * 1048576.0))::BIGINT)::BIGINT AS sum_fp
+        |FROM events
+        |WHERE day(ts) <= 20
+        |  AND NOT coalesce(user_id % 5 = 3 AND day(ts) <= 10, FALSE)
+        |GROUP BY 1, 2""".stripMargin,
     "c14_change_feed" ->
       // the lifecycle's net row changes: inserts = the post-v1 appends
       // (days 6-7), deletes = the erased day 2 — compaction's rewrites
@@ -4569,6 +4740,23 @@ object SparkEntry {
       stepSql = "concat(event_type, '#', CAST(user_id % 40 AS VARCHAR))"),
     "p24_sql_markov_distributed" ->
       markovOracle(iters = 10, extraWhere = "AND event_type <> 'error'"),
+    "p25_sql_equi_join" ->
+      // the j1 snowflake replayed through the dialect's plain-join face;
+      // count(*) is the engine's weighted (DOUBLE) count, count_distinct
+      // carries the +1-nil convention (a no-op here: inner-joined keys
+      // are never null)
+      """SELECT n_name,
+        | round(sum(coalesce(l_quantity, 0)), 3) AS sum_l_quantity,
+        | round(CAST(count(*) AS DOUBLE), 3) AS count_star,
+        | CAST(count(DISTINCT o_custkey) AS BIGINT) AS count_distinct_o_custkey,
+        | max(o_totalprice) AS max_o_totalprice
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY n_name
+        |ORDER BY sum(coalesce(l_quantity, 0)) DESC, n_name""".stripMargin,
     "a21_trend" -> trendOracle(extraWhere = ""),
     "p20_sql_trend" -> trendOracle(extraWhere = "AND event_type <> 'error'"),
     "p13_sql_markov" ->
@@ -5367,6 +5555,19 @@ object SparkEntry {
         |FROM events, b
         |WHERE date_part('day', ts) <= 6 AND user_id BETWEEN b.lo AND b.hi
         |GROUP BY 1""".stripMargin,
+    "c8c_double_prune" ->
+      // the double-pruned slice equals the plain filtered slice; bounds
+      // mirror the Spark side's vMin + (vMax - vMin)/8 — identical IEEE
+      // double ops in both engines, so the literals agree bit-for-bit
+      """WITH b AS (SELECT min(value) AS lo,
+        |  min(value) + (max(value) - min(value)) / 8 AS hi
+        |  FROM events WHERE date_part('day', ts) <= 6)
+        |SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*)::BIGINT AS n,
+        | round(sum(value), 3) AS sum_value,
+        | count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events, b
+        |WHERE date_part('day', ts) <= 6 AND value >= b.lo AND value <= b.hi
+        |GROUP BY 1""".stripMargin,
     "c8b_string_prune" ->
       // the string-pruned point read equals the plain filtered slice —
       // truncated bounds are conservative, so pruning changes WHICH files
@@ -5388,6 +5589,17 @@ object SparkEntry {
         |  AND user_id = (SELECT min(user_id) FROM events
         |    WHERE date_part('day', ts) <= 6 AND user_id IS NOT NULL)
         |GROUP BY user_id""".stripMargin,
+    "c12b_bloom_prune" ->
+      // store-free replay of the bloom-tier point lookup — the pruning is
+      // probabilistic (admit-only), the RESULT must be exact
+      """SELECT event_id, count(*)::BIGINT AS n,
+        | round(sum(value), 3) AS sum_value,
+        | count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events
+        |WHERE date_part('day', ts) <= 6 AND user_id IS NOT NULL
+        |  AND event_id = (SELECT min(event_id) FROM events
+        |    WHERE date_part('day', ts) <= 6 AND user_id IS NOT NULL)
+        |GROUP BY event_id""".stripMargin,
     "c11_schema_evolution" ->
       // store-free replay: generation 1 (days ≤5) contributes null scores,
       // generation 2 (days 6-10) the derived column — exactly what the
@@ -5482,6 +5694,35 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_shared
         |FROM kept l JOIN kept r ON l.f = r.f AND l.doc_id < r.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    "p26_sql_neardup_video" ->
+      // m8's oracle with the dialect's WHERE folded into the frame walk
+      """WITH fr AS (SELECT DISTINCT doc_id,
+        |    md5(substr(text, fi::INT * 64 + 1, 64)) AS f
+        |  FROM (SELECT doc_id, text,
+        |    unnest(range(0, greatest(CAST(ceil(strlen(text) / 64.0) AS BIGINT), 1), 4)) AS fi
+        |    FROM documents WHERE n_chars >= 256)),
+        |kept AS (SELECT doc_id, f FROM fr
+        |  QUALIFY count(*) OVER (PARTITION BY f) <= 1000)
+        |SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+        |  count(*)::BIGINT AS n_shared
+        |FROM kept l JOIN kept r ON l.f = r.f AND l.doc_id < r.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    "p27_sql_scenes" ->
+      // m9's oracle with the dialect's WHERE folded into the frame walk
+      """WITH f AS (SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |  md5(substr(text, fi::INT * 64 + 1, 64)) AS frame_md5
+        |  FROM (SELECT doc_id, text,
+        |    unnest(range(0, greatest(CAST(ceil(strlen(text) / 64.0) AS BIGINT), 1), 4)) AS fi
+        |    FROM documents WHERE lang = 'en')),
+        |l AS (SELECT doc_id, frame_idx, frame_md5,
+        |  lag(frame_md5) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+        |  FROM f)
+        |SELECT doc_id, count(*)::BIGINT AS n_sampled,
+        |  sum(CASE WHEN prev IS NOT NULL AND prev != frame_md5
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_changes,
+        |  min(CASE WHEN prev IS NOT NULL AND prev != frame_md5
+        |    THEN frame_idx END)::INT AS first_change_idx
+        |FROM l GROUP BY doc_id""".stripMargin,
     "m3_mm_frames" ->
       // frames = 64-byte slices, every 4th sampled; docs are ASCII so text
       // substr positions == payload byte offsets; md5 hex matches across

@@ -99,6 +99,20 @@ final case class JoinSpec(
     trailingSec: Option[Long] = None,
     aggs: Seq[Select] = Nil)
 
+/** Plain equi-join clause (extension — the single most common analytics
+  * shape, `fact join dim on key`, which the reference cannot express at
+  * all and this dialect previously reached only via the time-series
+  * joins). Chains: each clause joins one catalog table onto the frame
+  * built so far, so star/snowflake pipelines (fact → orders → customer →
+  * nation) are a clause sequence. Compiles to the plain Catalyst join —
+  * AQE picks broadcast vs sort-merge from the ACTUAL post-filter sizes,
+  * and WHERE is applied over the JOINED frame so the optimizer pushes
+  * each predicate to whichever side it references (filters on a joined
+  * table's columns prune that table's scan, not the join output). SQL
+  * face: `[left] join <table> on <keyL> = <keyR>`, repeatable. */
+final case class EquiJoin(
+    table: String, keyL: String, keyR: String, leftOuter: Boolean = false)
+
 /** Whole-operator sequence-analytics clause (extension; no reference
   * counterpart — the reference's algebra is pure aggregation and cannot
   * express order-dependent semantics). Each variant routes the parsed
@@ -177,6 +191,15 @@ object SeqOp {
     * dHash → banded-Hamming join at `maxHamming`. SQL:
     * `select neardup images [hamming <n>] [where …]`. */
   final case class NearDupImages(maxHamming: Int) extends SeqOp
+  /** Frame-set (video-shaped) near-duplicate pairs (m8) over a documents
+    * frame: binary pack → frame sampling → digest-equality blocking →
+    * pairs sharing ≥ `minShared` distinct frames. SQL:
+    * `select neardup video [shared <n>] [where …]`. */
+  final case class NearDupVideo(minShared: Int) extends SeqOp
+  /** Scene-change detection (m9) over a documents frame: binary pack →
+    * frame sampling → per-document digest-transition count + first change
+    * index. SQL: `select scenes [where …]`. */
+  case object Scenes extends SeqOp
 }
 
 sealed trait SortDir
@@ -225,6 +248,12 @@ final case class ZxQuery(
     /** As-of / trailing join clause (extension); selects must be Raw and
       * include the clause's left key and time columns. */
     asofJoin: Option[JoinSpec] = None,
+    /** Plain equi-join clauses (extension), applied in order to the
+      * scanned left frame before WHERE/aggregation — see [[EquiJoin]].
+      * Aggregation queries only (group by + aggregate selects); routes
+      * through the sorted aggregate path (no time windows — the join
+      * shape is the analytics roll-up, not a time series). */
+    equiJoins: Seq[EquiJoin] = Nil,
     /** HAVING conjuncts applied after aggregation (extension). */
     having: Seq[Having] = Nil,
     /** Session windows (extension): group events whose gap to the previous

@@ -336,11 +336,20 @@ object Funnel {
     * Longs, the exact floor-per-edge the driver loop and the DuckDB `//`
     * replay compute — then sums per target state. States with no
     * incoming edges hold mass 0; states with no outgoing edges leak,
-    * identically to the driver path. Long headroom is ENFORCED per
-    * iteration, not assumed: with K unbounded a hub state can absorb up
-    * to K·2^36 mass, so after every step the (tiny, K-row) running state
-    * is max-checked against `(2^63−1) / maxCount` and overflow fails
-    * loudly with the re-seed advice instead of silently wrapping.
+    * identically to the driver path. Long headroom is ENFORCED, never
+    * assumed, in two layers: BEFORE the loop, counts must satisfy
+    * `2^36 · maxCount < 2^63` (otherwise iteration 1's seed products wrap
+    * before any after-the-fact check could see them) — and because total
+    * fixed-point mass is NON-INCREASING under this algebra (every edge
+    * moves `floor(p·c / rowsum)` and Σ_j c_ij = rowsum_i, so Σ next ≤
+    * Σ p), per-state mass is bounded by the seed total K·2^36 at EVERY
+    * iteration: when that bound already fits the headroom the whole run
+    * is overflow-free by construction and the loop performs zero
+    * per-iteration driver checks. Only when K·2^36 could exceed the
+    * headroom does each iteration spend ONE driver action max/min-
+    * checking the (tiny, K-row) state — `max` against the product
+    * headroom, `min ≥ 0` so a wrapped per-state SUM (negative, invisible
+    * to a max check) also fails loudly with the re-seed advice.
     *
     * Plan shape per iteration: state (K rows, localCheckpoint'd — lineage
     * cut, so iteration i never replays iterations 1..i−1) joins the
@@ -356,20 +365,42 @@ object Funnel {
       : DataFrame = {
     require(iters >= 1 && iters <= 100,
       s"stationaryDistributionDistributed: iters must be in [1,100], got $iters")
-    val trans = typeTransitions(ev, keyCol, tsCol, idCol, stepCol)
-      .select(col("prev_type"), col("next_type"), col("n_trans"))
-      .localCheckpoint()
+    stationaryIterate(
+      typeTransitions(ev, keyCol, tsCol, idCol, stepCol)
+        .select(col("prev_type"), col("next_type"), col("n_trans")),
+      iters)
+  }
+
+  /** The power-iteration core behind [[stationaryDistributionDistributed]]
+    * — takes the (prev_type, next_type, n_trans) transition table
+    * directly, so the overflow contract is testable at its exact
+    * boundaries without materializing 2^27 events. */
+  private[graft] def stationaryIterate(transIn: DataFrame, iters: Int)
+      : DataFrame = {
+    val trans = transIn.localCheckpoint()
     val maxC = trans.agg(max(col("n_trans"))).head() match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
     val headroom = if (maxC > 0) Long.MaxValue / maxC else Long.MaxValue
+    // iteration 1's products are exactly 2^36·c — this must hold BEFORE
+    // the loop (a post-iteration check would only see the already-wrapped
+    // garbage)
+    require((1L << 36) <= headroom,
+      s"stationaryDistributionDistributed: max transition count $maxC " +
+        "reaches 2^27 — the 2^36 fixed-point seed would overflow Long on " +
+        "the first iteration; re-seed below 2^36 (reduced precision) or " +
+        "pre-aggregate the stream")
     val rs = trans.groupBy(col("prev_type"))
       .agg(sum(col("n_trans")).as("__rc"))
     val tr = trans.join(rs, "prev_type").localCheckpoint()
     val states = trans.select(col("prev_type").as("st"))
       .union(trans.select(col("next_type").as("st")))
       .distinct().localCheckpoint()
+    // total mass never increases (see scaladoc), so per-state mass is
+    // ≤ K·2^36 forever: when that fits the headroom, no iteration can
+    // overflow and the loop spends NO driver actions on checks
+    val safeForever = states.count() <= headroom / (1L << 36)
     var p = states.withColumn("__p", lit(1L << 36)).localCheckpoint()
     for (i <- 1 to iters) {
       val moved = tr.join(p, tr("prev_type") === p("st"))
@@ -380,15 +411,24 @@ object Funnel {
       p = states.join(moved, Seq("st"), "left")
         .select(col("st"), coalesce(col("__p"), lit(0L)).as("__p"))
         .localCheckpoint()
-      val pMax = p.agg(max(col("__p"))).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
+      if (!safeForever) {
+        // one action: max guards the next iteration's products, min
+        // catches a per-state SUM that wrapped negative this iteration
+        val r = p.agg(max(col("__p")), min(col("__p"))).head()
+        val pMax = if (r.isNullAt(0)) 0L else r.getLong(0)
+        val pMin = if (r.isNullAt(1)) 0L else r.getLong(1)
+        require(pMin >= 0L,
+          s"stationaryDistributionDistributed: after iteration $i a " +
+            s"state's mass sum overflowed Long (min mass $pMin); re-seed " +
+            "below 2^36 (reduced precision) or pre-aggregate the stream")
+        // the max guard protects the NEXT step's products — the final
+        // iteration has none, and its (legal) mass is simply returned
+        require(i == iters || pMax <= headroom,
+          s"stationaryDistributionDistributed: after iteration $i a state " +
+            s"holds mass $pMax with max transition count $maxC — the next " +
+            "step would overflow Long; re-seed below 2^36 (reduced " +
+            "precision) or pre-aggregate the stream")
       }
-      require(pMax <= headroom,
-        s"stationaryDistributionDistributed: after iteration $i a state " +
-          s"holds mass $pMax with max transition count $maxC — the next " +
-          "step would overflow Long; re-seed below 2^36 (reduced " +
-          "precision) or pre-aggregate the stream")
     }
     p.join(rs, p("st") === rs("prev_type"), "left")
       .select(col("st").as("event_type"), col("__p").as("p_fp"),

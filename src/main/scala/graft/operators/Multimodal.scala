@@ -373,8 +373,9 @@ object Multimodal {
     * 16-bit `band0..band3` columns pairs the same way
     * ([[audioFingerprint]] exports the identical shape). */
   def bandedHammingPairs(hashed: DataFrame, maxHamming: Int = 8): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64,
-      s"bandedHammingPairs: maxHamming must be in [0, 64), got $maxHamming")
+    require(maxHamming >= 0 && maxHamming <= 64,
+      s"bandedHammingPairs: maxHamming must be in [0, 64] " +
+        s"(64 = all bits of the fingerprint differ), got $maxHamming")
     val bands = Seq("band0", "band1", "band2", "band3")
     val tagged = hashed
       .select(col("doc_id") +: bands.map(col): _*)

@@ -547,19 +547,23 @@ object EventStore {
   private def jsonUnescape(s: String) =
     s.replace("\\\"", "\"").replace("\\\\", "\\")
 
-  /** Pin per-file min/max stats for `columns` (integral columns only — a
-    * timestamp's footer stats are in micros/nanos and belong to the
-    * date-partition pruning path, not this one) against a manifest
-    * version (default: latest). One footer read per file, driver-side
+  /** Pin per-file min/max stats against a manifest version (default:
+    * latest): `columns` integral (c8 — a timestamp's footer stats are in
+    * micros/nanos and belong to the date-partition pruning path, not
+    * this one), `stringColumns` truncated-ASCII (c8b), `doubleColumns`
+    * float/double under the pinned IEEE-comparison contract (c8c,
+    * [[ZOrder.fileDoubleStats]]). One footer read per file, driver-side
     * like the manifest itself; at 100 TB the same reads run as a job over
     * the file list. The sidecar is immutable and version-tied — a
     * [[compactInPlace]]/[[clusterInPlace]] commit makes a NEW version, so
     * stale stats can never be consulted for it. Returns the number of
     * (file, column) entries pinned. */
   def writeFileStats(spark: SparkSession, path: String, columns: Seq[String],
-                     stringColumns: Seq[String] = Nil, truncateTo: Int = 16,
+                     stringColumns: Seq[String] = Nil,
+                     doubleColumns: Seq[String] = Nil, truncateTo: Int = 16,
                      version: Long = -1L): Int = {
-    require(columns.nonEmpty || stringColumns.nonEmpty, "writeFileStats: no columns")
+    require(columns.nonEmpty || stringColumns.nonEmpty || doubleColumns.nonEmpty,
+      "writeFileStats: no columns")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = if (version < 0) {
@@ -581,6 +585,14 @@ object EventStore {
           s"""{"f":"${jsonEscape(r)}","c":"${jsonEscape(c)}",""" +
             s""""smn":"${jsonEscape(mn)}","smx":"${jsonEscape(mx)}"}"""
         }
+    } ++ doubleColumns.flatMap { c =>
+      // c8c: float/double bounds — ZOrder.fileDoubleStats pins the
+      // IEEE-vs-total-order contract; Double.toString round-trips
+      // exactly and is valid JSON for the (guaranteed finite) bounds
+      ZOrder.fileDoubleStats(spark, rel.map(f => path + "/" + f), c)
+        .zip(rel).collect { case ((_, Some((mn, mx))), r) =>
+          s"""{"f":"${jsonEscape(r)}","c":"${jsonEscape(c)}","dmn":$mn,"dmx":$mx}"""
+        }
     }
     val tmp = new org.apache.hadoop.fs.Path(root, s".stats-v$v.tmp")
     val out = fs.create(tmp, true)
@@ -598,6 +610,9 @@ object EventStore {
   private val StrStatsLine =
     ("""\{"f":"((?:[^"\\]|\\.)*)","c":"((?:[^"\\]|\\.)*)",""" +
       """"smn":"((?:[^"\\]|\\.)*)","smx":"((?:[^"\\]|\\.)*)"\}""").r
+
+  private val DblStatsLine =
+    """\{"f":"((?:[^"\\]|\\.)*)","c":"((?:[^"\\]|\\.)*)","dmn":([-+0-9.eE]+),"dmx":([-+0-9.eE]+)\}""".r
 
   /** String-stats-pruned pinned read (c8b): bind the plan to ONLY the
     * manifest files whose pinned truncated bounds on string `column`
@@ -646,23 +661,156 @@ object EventStore {
     if (kept.nonEmpty) filtered else filtered.limit(0)
   }
 
+  /** Double-stats-pruned pinned read (c8c): bind the plan to ONLY the
+    * manifest files whose pinned float/double bounds on `column`
+    * intersect `[lo, hi]`, then apply the row filter. The comparison
+    * contract is [[ZOrder.fileDoubleStats]]'s: PRIMITIVE IEEE `<=`/`>=`
+    * on both sides of the prune — never total order — matching exactly
+    * how Spark and DuckDB evaluate the row filter (-0.0 == 0.0; NaN rows
+    * fail any finite range in both engines, and NaN-poisoned or
+    * unstatted files are always admitted). Finite bounds only: a NaN or
+    * infinite query bound has no prunable meaning and fails loudly. */
+  def readPinnedWhereDouble(spark: SparkSession, path: String, column: String,
+                            lo: Double, hi: Double, version: Long = -1L)
+      : DataFrame = {
+    require(java.lang.Double.isFinite(lo) && java.lang.Double.isFinite(hi)
+        && lo <= hi,
+      s"readPinnedWhereDouble: bounds must be finite with lo <= hi, " +
+        s"got [$lo, $hi]")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = if (version < 0) {
+      val vs = manifestVersions(fs, root)
+      require(vs.nonEmpty, s"readPinnedWhereDouble: no manifest under $path")
+      vs.last
+    } else version
+    val sp = statsPath(root, v)
+    require(fs.exists(sp),
+      s"readPinnedWhereDouble: no stats sidecar for manifest v$v under $path — " +
+        s"run writeFileStats(..., doubleColumns = Seq(\"$column\")) after the commit")
+    val in = fs.open(sp)
+    val txt = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val bounds = txt.linesIterator.collect {
+      case DblStatsLine(f, c, mn, mx) if jsonUnescape(c) == column =>
+        jsonUnescape(f) -> ((mn.toDouble, mx.toDouble))
+    }.toMap
+    val files = readManifestFile(fs, root, v)
+    val kept = files.filter(f => bounds.get(f) match {
+      case Some((mn, mx)) => mx >= lo && mn <= hi // primitive IEEE compare
+      case None           => true // unknown bounds — must admit
+    })
+    val bind = if (kept.nonEmpty) kept else files.take(1)
+    val df = spark.read.option("basePath", path)
+      .parquet(bind.map(f => path + "/" + f): _*)
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.DoubleType, org.apache.spark.sql.types.FloatType)
+        .contains(df.schema(column).dataType),
+      s"readPinnedWhereDouble: '$column' must be float/double, got " +
+        df.schema(column).dataType)
+    val filtered = df.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+    if (kept.nonEmpty) filtered else filtered.limit(0)
+  }
+
   private def keysPath(root: org.apache.hadoop.fs.Path, v: Long) =
     new org.apache.hadoop.fs.Path(root, s"_graft_manifest.v$v.keys.jsonl")
 
+  /** splitmix64 finalizer — the membership sidecar's base hash (public
+    * constant-multiplier avalanche mix; deterministic across JVMs, unlike
+    * `Long.hashCode`'s 32-bit fold). */
+  private[graft] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Bloom geometry for `n` keys at false-positive rate `p`:
+    * m = −n·ln p / ln²2 bits (rounded up to whole bytes),
+    * k = (m/n)·ln 2 probes. */
+  private[graft] def bloomGeometry(n: Long, p: Double): (Int, Int) = {
+    val mRaw = math.ceil(-n * math.log(p) / (math.log(2) * math.log(2))).toLong
+    val m = (((mRaw max 64L) + 7L) / 8L * 8L).min(Int.MaxValue.toLong).toInt
+    val k = math.max(1, math.round(m.toDouble / n * math.log(2)).toInt)
+    (m, k)
+  }
+
+  private[graft] def bloomSet(bits: Array[Byte], m: Int, k: Int, key: Long): Unit = {
+    val h1 = mix64(key)
+    val h2 = mix64(key ^ 0x6a09e667f3bcc909L) | 1L
+    var i = 0
+    while (i < k) {
+      val bit = (((h1 + i * h2) % m + m) % m).toInt
+      bits(bit >>> 3) = (bits(bit >>> 3) | (1 << (bit & 7))).toByte
+      i += 1
+    }
+  }
+
+  private[graft] def bloomContains(bits: Array[Byte], k: Int, key: Long): Boolean = {
+    val m = bits.length * 8
+    val h1 = mix64(key)
+    val h2 = mix64(key ^ 0x6a09e667f3bcc909L) | 1L
+    var i = 0
+    while (i < k) {
+      val bit = (((h1 + i * h2) % m + m) % m).toInt
+      if ((bits(bit >>> 3) & (1 << (bit & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Distributed per-file bloom build: a typed Aggregator whose buffer IS
+    * the m-bit array — map-side partials OR together, so a file's bloom
+    * never funnels its raw keys anywhere (the buffer is m/8 bytes however
+    * many keys the file holds). */
+  private final class BloomAgg(m: Int, k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Byte], Array[Byte]] {
+    def zero: Array[Byte] = new Array[Byte](m / 8)
+    def reduce(b: Array[Byte], key: Long): Array[Byte] = { bloomSet(b, m, k, key); b }
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+      a
+    }
+    def finish(r: Array[Byte]): Array[Byte] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
   /** Point-lookup membership sidecar: per manifested file, the EXACT
-    * distinct-value set of an integral column — pinned only when the set
-    * is ≤ `maxDistinct` values (the degenerate, zero-false-positive end of
-    * the bloom-filter spectrum; a file with more distinct keys gets NO
-    * entry and is always admitted, so pruning stays conservative). Range
-    * stats ([[writeFileStats]]) prune range scans; this prunes POINT
-    * lookups, where a file's [min, max] usually straddles every key. One
-    * job computes all per-file sets (`input_file_name` + collect_set);
-    * same immutable version-tied commit discipline as the stats sidecar.
+    * distinct-value set of an integral column when the set is
+    * ≤ `maxDistinct` values (the degenerate, zero-false-positive end of
+    * the bloom-filter spectrum) — and for files ABOVE the cap (c12b), a
+    * per-file BLOOM filter at `bloomFpp` instead: a bloom miss proves
+    * absence, so pruning on it is exact-result-safe, and a false
+    * positive only admits one extra file to the scan. Geometry is shared
+    * across the store's large files (sized for the largest;
+    * `maxBloomBytes` fails loudly when fpp and cardinality can't
+    * coexist). Range stats ([[writeFileStats]]) prune range scans; this
+    * prunes POINT lookups, where a file's [min, max] usually straddles
+    * every key — the bloom tier extends that to exactly the
+    * high-cardinality un-z-ordered files that dominate a 100 TB store.
+    * One store scan feeds both tiers (`input_file_name`; collect_set
+    * only ever aggregates ≤-cap files, big files OR fixed-size bloom
+    * buffers); the sidecar is then STREAMED to disk partition-at-a-time,
+    * never collected whole — driver residency is bounded by
+    * `driverBudgetBytes`, not by the manifest's file count. Same
+    * immutable version-tied commit discipline as the stats sidecar.
     * Most effective after [[clusterInPlace]] on the key column — z-order
     * makes per-file key sets small and disjoint. */
   def writeFileKeySets(spark: SparkSession, path: String, column: String,
-                       maxDistinct: Int = 4096, version: Long = -1L): Int = {
+                       maxDistinct: Int = 4096, version: Long = -1L,
+                       driverBudgetBytes: Long = 64L << 20,
+                       bloomFpp: Double = 0.01,
+                       maxBloomBytes: Long = 16L << 20): Int = {
     require(maxDistinct >= 1, s"writeFileKeySets: bad maxDistinct $maxDistinct")
+    require(driverBudgetBytes >= 1,
+      s"writeFileKeySets: bad driverBudgetBytes $driverBudgetBytes")
+    require(bloomFpp > 0.0 && bloomFpp < 1.0,
+      s"writeFileKeySets: bloomFpp must be in (0,1), got $bloomFpp")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = if (version < 0) {
@@ -687,39 +835,98 @@ object EventStore {
     val byPath = abs
       .map(a => fs.makeQualified(new org.apache.hadoop.fs.Path(a)).toUri.getPath)
       .zip(rel).toMap
-    val sets = df.select(input_file_name().as("__f"),
+    val pairs = df.select(input_file_name().as("__f"),
         col(column).cast(org.apache.spark.sql.types.LongType).as("__k"))
       .where(col("__k").isNotNull)
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = pairs.groupBy(col("__f")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint() // O(files) rows — same order as the manifest itself
+    // split BEFORE any per-file set materializes: collect_set only ever
+    // runs on files already known ≤ maxDistinct (a 10M-distinct file must
+    // never funnel its keys into one aggregation buffer), and the big
+    // files build fixed-size blooms instead (c12b) — admit-on-absent
+    // conservative, so a false positive only costs a scanned file, never
+    // a wrong result
+    val withN = pairs.join(broadcast(counts), "__f")
+    val sets = withN.filter(col("__n") <= maxDistinct)
       .groupBy(col("__f"))
-      .agg(collect_set(col("__k")).as("__ks"), count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxDistinct)
-      .collect()
-    val lines = sets.map { r =>
-      val uriPath = new java.net.URI(r.getString(0)).getPath
-      val relName = byPath.getOrElse(uriPath, sys.error(
-        s"writeFileKeySets: scanned file '$uriPath' resolves to no manifest " +
-          s"entry of v$v — refusing to commit a short sidecar"))
-      val ks = r.getSeq[Long](1).sorted.mkString(",")
-      s"""{"f":"${jsonEscape(relName)}","c":"${jsonEscape(column)}","k":[$ks]}"""
+      .agg(collect_set(col("__k")).as("__ks"))
+    val bigStats = counts.filter(col("__n") > maxDistinct)
+      .agg(count(lit(1)), max(col("__n"))).head()
+    val nBig = bigStats.getLong(0)
+    val maxN = if (bigStats.isNullAt(1)) 0L else bigStats.getLong(1)
+    val (bm, bk) = if (nBig > 0) bloomGeometry(maxN, bloomFpp) else (0, 0)
+    require(nBig == 0 || bm / 8 <= maxBloomBytes,
+      s"writeFileKeySets: a file holds $maxN distinct keys — its " +
+        s"${bm / 8}-byte bloom at fpp=$bloomFpp exceeds maxBloomBytes=" +
+        s"$maxBloomBytes; raise bloomFpp (coarser pruning) or the byte cap")
+    // Driver-memory contract: the sidecar has one row per manifest file,
+    // and at 100 TB that dimension is ~10^6 files — an unbounded
+    // collect() here would materialize up to files × rowBytes on the
+    // driver. Instead the write streams partition-at-a-time
+    // (toLocalIterator), with each shuffle sized so the single resident
+    // partition's worst case stays under `driverBudgetBytes` regardless
+    // of how many files the manifest holds.
+    def parts(nRows: Long, rowBytes: Long): Int = {
+      val rowsPerPart = math.max(1L, driverBudgetBytes / rowBytes)
+      math.max(1, math.min(1 << 16, (nRows + rowsPerPart - 1) / rowsPerPart).toInt)
     }
     val tmp = new org.apache.hadoop.fs.Path(root, s".keys-v$v.tmp")
     val out = fs.create(tmp, true)
-    try out.write((lines.mkString("\n") + "\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    require(fs.rename(tmp, keysPath(root, v)),
+    var pinned = 0
+    def relOf(r: org.apache.spark.sql.Row): String = {
+      val uriPath = new java.net.URI(r.getString(0)).getPath
+      byPath.getOrElse(uriPath, sys.error(
+        s"writeFileKeySets: scanned file '$uriPath' resolves to no manifest " +
+          s"entry of v$v — refusing to commit a short sidecar"))
+    }
+    def stream(it: java.util.Iterator[org.apache.spark.sql.Row])
+              (fmt: org.apache.spark.sql.Row => String): Unit =
+      while (it.hasNext) {
+        out.write((fmt(it.next()) + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        pinned += 1
+      }
+    try {
+      stream(sets.repartition(parts(rel.size.toLong, maxDistinct.toLong * 16 + 256))
+          .toLocalIterator()) { r =>
+        val ks = r.getSeq[Long](1).sorted.mkString(",")
+        s"""{"f":"${jsonEscape(relOf(r))}","c":"${jsonEscape(column)}","k":[$ks]}"""
+      }
+      if (nBig > 0) {
+        val blooms = withN.filter(col("__n") > maxDistinct)
+          .groupBy(col("__f"))
+          .agg(udaf(new BloomAgg(bm, bk)).apply(col("__k")).as("__bm"))
+        stream(blooms.repartition(parts(nBig, bm.toLong / 8 * 2 + 256))
+            .toLocalIterator()) { r =>
+          val b64 = java.util.Base64.getEncoder.encodeToString(r.getAs[Array[Byte]](1))
+          s"""{"f":"${jsonEscape(relOf(r))}","c":"${jsonEscape(column)}","bk":$bk,"bm":"$b64"}"""
+        }
+      }
+    } finally { out.close(); pairs.unpersist() }
+    // idempotent re-pin: content for a version is deterministic, so a
+    // pre-existing sidecar may be replaced (local/HDFS rename refuses an
+    // existing destination rather than overwriting)
+    val dest = keysPath(root, v)
+    if (fs.exists(dest)) fs.delete(dest, false)
+    require(fs.rename(tmp, dest),
       s"writeFileKeySets: could not commit key sets for manifest v$v under $path")
-    lines.length
+    pinned
   }
 
   private val KeysLine =
     """\{"f":"((?:[^"\\]|\\.)*)","c":"((?:[^"\\]|\\.)*)","k":\[([-\d,]*)\]\}""".r
 
+  private val BloomLine =
+    """\{"f":"((?:[^"\\]|\\.)*)","c":"((?:[^"\\]|\\.)*)","bk":(\d+),"bm":"([A-Za-z0-9+/=]*)"\}""".r
+
   /** Membership-pruned point lookup: bind the plan to ONLY the manifest
-    * files whose pinned key set contains `key` (files without a pinned
-    * set are admitted — conservative), then apply the row filter. Results
-    * equal `readPinned(...).filter(column === key)` exactly. */
+    * files whose pinned key set contains `key` — exactly for ≤-cap files,
+    * bloom-probabilistically for the rest (false positives admit, misses
+    * prove absence); files with no pinned entry of either tier are
+    * admitted (conservative) — then apply the row filter. Results equal
+    * `readPinned(...).filter(column === key)` exactly. */
   def readPinnedPoint(spark: SparkSession, path: String, column: String,
                       key: Long, version: Long = -1L): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(path)
@@ -737,13 +944,16 @@ object EventStore {
     val txt = try new String(
       org.apache.commons.io.IOUtils.toByteArray(in),
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-    val keySets = txt.linesIterator.collect {
+    val keySets: Map[String, Long => Boolean] = txt.linesIterator.collect {
       case KeysLine(f, c, ks) if jsonUnescape(c) == column =>
-        jsonUnescape(f) ->
-          ks.split(',').filter(_.nonEmpty).map(_.toLong).toSet
+        val set = ks.split(',').filter(_.nonEmpty).map(_.toLong).toSet
+        jsonUnescape(f) -> ((k: Long) => set.contains(k))
+      case BloomLine(f, c, bk, bm) if jsonUnescape(c) == column =>
+        val bits = java.util.Base64.getDecoder.decode(bm)
+        jsonUnescape(f) -> ((k: Long) => bloomContains(bits, bk.toInt, k))
     }.toMap
     val files = readManifestFile(fs, root, v)
-    val kept = files.filter(f => keySets.get(f).forall(_.contains(key)))
+    val kept = files.filter(f => keySets.get(f).forall(_.apply(key)))
     val bind = if (kept.nonEmpty) kept else files.take(1)
     val filtered = spark.read.option("basePath", path)
       .parquet(bind.map(f => path + "/" + f): _*)
@@ -968,7 +1178,7 @@ object EventStore {
     * name), never silently interleaves. */
   private val genCounter = new java.util.concurrent.atomic.AtomicLong(
     new java.security.SecureRandom().nextInt(1 << 20).toLong)
-  private def nextGen(): Long =
+  private[graft] def nextGen(): Long =
     ((System.currentTimeMillis() << 20) + genCounter.getAndIncrement()) & Long.MaxValue
 
   /** Move every data file under `staged` (a hidden staging dir holding a

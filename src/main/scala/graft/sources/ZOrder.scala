@@ -259,6 +259,62 @@ object ZOrder {
     }
   }
 
+  /** Per-file float/double bounds (c8c) — the measure-column half of file
+    * skipping (c8 pins integral ranges, c8b strings; `value`-style filter
+    * columns are DOUBLE). Comparison contract, pinned because IEEE
+    * total order and SQL comparison DISAGREE: every consumer compares
+    * with PRIMITIVE `<=`/`>=` (IEEE semantics: -0.0 == 0.0), never
+    * `Double.compare` (total order: -0.0 < 0.0) — the pruning layer must
+    * use exactly the comparator of the row filter it prunes for, and
+    * both Spark and DuckDB compare -0.0 == 0.0. Non-finite bounds map to
+    * None (file admitted): a NaN bound means parquet-mr folded a NaN
+    * row into the stats (its writer ordering puts NaN last) and says
+    * nothing about the finite values; infinities additionally have no
+    * JSON encoding. Newer writers instead EXCLUDE NaN rows from bounds —
+    * also safe, because a NaN row fails any finite `between` in Spark
+    * and DuckDB alike (both order NaN above every finite), so dropping a
+    * file whose finite bounds miss the range never drops a matching row. */
+  def fileDoubleStats(spark: SparkSession, files: Seq[String],
+                      column: String): Seq[(String, Option[(Double, Double)])] = {
+    require(files.nonEmpty, "fileDoubleStats: empty file list")
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        val perBlock = reader.getFooter.getBlocks.asScala.toSeq.map { block =>
+          val colChunk = block.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+          colChunk.map(_.getStatistics).flatMap { stats =>
+            if (stats == null || !stats.hasNonNullValue) None
+            else ((stats.genericGetMin, stats.genericGetMax) match {
+              case (mn: java.lang.Double, mx: java.lang.Double) =>
+                Some((mn.doubleValue(), mx.doubleValue()))
+              case (mn: java.lang.Float, mx: java.lang.Float) =>
+                // float → double widening is exact
+                Some((mn.floatValue().toDouble, mx.floatValue().toDouble))
+              case _ => None
+            }).filter { case (mn, mx) =>
+              // a non-finite BLOCK bound says nothing about the block's
+              // finite values — it must poison the file (dropping just
+              // the NaN via the reduce below would fabricate tight
+              // bounds for rows whose range is unknown)
+              java.lang.Double.isFinite(mn) && java.lang.Double.isFinite(mx)
+            }
+          }
+        }
+        // ONE unstatted row group poisons the whole file (same rule as
+        // the integral path); min/max via PRIMITIVE compare
+        f -> (if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
+              else Some((
+                perBlock.flatten.map(_._1).reduce((a, b) => if (a <= b) a else b),
+                perBlock.flatten.map(_._2).reduce((a, b) => if (a >= b) a else b))))
+      } finally reader.close()
+    }
+  }
+
   def rowGroupStats(spark: SparkSession, files: Seq[String],
                     column: String, lo: Long, hi: Long): SkipStats = {
     require(files.nonEmpty, "rowGroupStats: empty file list")

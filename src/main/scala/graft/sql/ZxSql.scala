@@ -244,7 +244,7 @@ object ZxSql {
         atIdent("retention") || atIdent("attribution") || atIdent("markov") ||
         atIdent("anomaly") || atIdent("profile") || atIdent("similar") ||
         atIdent("neardup") || atIdent("knn") || atIdent("mmr") ||
-        atIdent("trend") ||
+        atIdent("trend") || atIdent("scenes") ||
         ((atIdent("decay") || atIdent("argmax")) && toks.lift(pos + 1).contains(Sym("(")))
     def seqOpClause(): SeqOp = {
       val kw = ident()
@@ -330,10 +330,17 @@ object ZxSql {
             val modality = ident()
             var mh = if (modality == "images") 8 else 16
             if (atIdent("hamming")) { next(); mh = parseLong(num("hamming bits"), "hamming bits").toInt }
-            if (mh < 0 || mh > 63)
-              throw ParseError(s"neardup $modality hamming must be in [0,63], got $mh")
+            if (mh < 0 || mh > 64)
+              throw ParseError(s"neardup $modality hamming must be in [0,64], got $mh")
             if (modality == "images") SeqOp.NearDupImages(mh)
             else SeqOp.NearDupAudio(mh)
+          } else if (atIdent("video")) {
+            next()
+            var shared = 2
+            if (atIdent("shared")) { next(); shared = parseLong(num("shared frames"), "shared frames").toInt }
+            if (shared < 1)
+              throw ParseError(s"neardup video shared must be ≥ 1, got $shared")
+            SeqOp.NearDupVideo(shared)
           } else {
             var pct = 50
             if (atIdent("threshold")) { next(); pct = parseLong(num("threshold pct"), "threshold pct").toInt }
@@ -367,6 +374,7 @@ object ZxSql {
           var c = "value"
           if (toks.lift(pos).contains(Sym("("))) { next(); c = ident(); expectSym(")") }
           SeqOp.Trend(c)
+        case "scenes" => SeqOp.Scenes
         case other => throw ParseError(s"not a sequence op: $other")
       }
     }
@@ -413,6 +421,19 @@ object ZxSql {
       joinSpec.filterNot(js => selects.exists(_.column == js.keyL) &&
           selects.exists(_.column == js.timeL)).foreach(js =>
         throw ParseError(s"join queries must select the join key '${js.keyL}' and time '${js.timeL}'"))
+    }
+
+    // plain equi-join clauses (extension — the fact-join-dim roll-up):
+    //   [left] join <table> on <keyL> = <keyR>   (repeatable, chains)
+    var equiJoins = Seq.empty[EquiJoin]
+    while (atIdent("join") ||
+        (atIdent("left") && toks.lift(pos + 1).contains(Ident("join")))) {
+      val leftOuter = atIdent("left")
+      if (leftOuter) next()
+      next() // join
+      val table = ident()
+      expectIdent("on"); val kl = ident(); expectSym("="); val kr = ident()
+      equiJoins :+= EquiJoin(table, kl, kr, leftOuter)
     }
 
     // WHERE parses as a full tree; a pure top-level conjunction of leaves
@@ -599,8 +620,22 @@ object ZxSql {
     if (salt.nonEmpty && seqOp.isEmpty &&
         (joinSpec.nonEmpty || selects.forall(_.agg == Agg.Raw)))
       throw ParseError("salt applies to aggregation queries only")
+    if (equiJoins.nonEmpty) {
+      if (joinSpec.nonEmpty)
+        throw ParseError("asof/trailing joins and plain equi-joins do not mix in one query")
+      if (sessionGap.nonEmpty || slide.nonEmpty || exactWindows || rollup || cube)
+        throw ParseError("equi-join queries aggregate by group keys — " +
+          "no session / slide / exact / rollup / cube")
+      if (groupBy.isEmpty)
+        throw ParseError("equi-join queries need group by (the roll-up shape)")
+      if (selects.isEmpty || selects.exists(s =>
+          s.agg == Agg.Raw || s.agg == Agg.Heatmap))
+        throw ParseError("equi-join queries select aggregates only — group " +
+          "keys surface automatically, heatmap is unsupported")
+    }
     seqOp.foreach { op =>
-      if (joinSpec.nonEmpty || orderBy.nonEmpty || limitN.nonEmpty ||
+      if (joinSpec.nonEmpty || equiJoins.nonEmpty || orderBy.nonEmpty ||
+          limitN.nonEmpty ||
           having.nonEmpty || sessionGap.nonEmpty || slide.nonEmpty ||
           exactWindows || salt.nonEmpty)
         throw ParseError("sequence ops take only where and (for argmax) " +
@@ -618,6 +653,7 @@ object ZxSql {
 
     ZxQuery(selects, realConds, groupBy, orderBy, tStart, tEnd, gran, limitN,
       exact = exactWindows, where = whereTree, asofJoin = joinSpec,
+      equiJoins = equiJoins,
       having = having, sessionGapSec = sessionGap, slideSec = slide,
       skewSalt = salt, seqOp = seqOp, rollup = rollup, cube = cube)
   }
@@ -709,6 +745,18 @@ object ZxSql {
           graft.operators.Multimodal.bandedHammingPairs(
             graft.operators.Multimodal.audioFingerprint(
               graft.operators.Multimodal.packWav(base)), maxHamming = mh)
+        case SeqOp.NearDupVideo(shared) =>
+          // binary pack + frame sampling are narrow maps, so WHERE
+          // composes ahead of the digest-equality blocking join — the
+          // video-shaped third face of the multimodal dedup family
+          graft.operators.Multimodal.frameNearDupPairs(
+            graft.operators.Multimodal.sampleFrames(
+              graft.operators.Multimodal.packBinary(base)),
+            minShared = shared)
+        case SeqOp.Scenes =>
+          graft.operators.Multimodal.sceneChanges(
+            graft.operators.Multimodal.sampleFrames(
+              graft.operators.Multimodal.packBinary(base)))
         case SeqOp.Argmax(v, idc) =>
           // deterministic argmax (the a15 aggregate): max(struct(value, id))
           // — lexicographic struct max makes the id a total tiebreak while
@@ -752,6 +800,26 @@ object ZxSql {
           graft.operators.AsofJoin.trailingWindow(left, right,
             js.keyL, js.keyR, js.timeL, js.timeR, w, aggs)
       }
+    }
+    if (q.equiJoins.nonEmpty) {
+      // the time range binds the LEFT scan pre-join (it is the left
+      // table's clock); WHERE waits until after the joins, over the
+      // joined schema, so Catalyst pushes each predicate down to
+      // whichever side it references — a filter on a dim column prunes
+      // the dim scan underneath the join, not the join output
+      var cur = Compiler.scanFilter(df,
+        q.copy(conditions = Nil, where = None), tsCol)
+      for (j <- q.equiJoins) {
+        val right = tables.getOrElse(j.table, throw ParseError(
+          s"unknown join table '${j.table}' — pass it via run(..., tables = Map(...))"))
+        cur = cur.join(right,
+          Compiler.colRef(j.keyL) === Compiler.colRef(j.keyR),
+          if (j.leftOuter) "left_outer" else "inner")
+      }
+      // plain grouped aggregation (the sorted path: group keys surface,
+      // deterministic order) — no time windows; AQE picks the join
+      // strategies from actual post-filter sizes
+      return Compiler.runSorted(cur, q.copy(tStart = None, tEnd = None), tsCol)
     }
     if (q.orderBy.exists(_.select.agg == Agg.Heatmap))
       throw ParseError("cannot order by heatmap(...)")
@@ -814,8 +882,8 @@ object ZxSql {
     if (q.seqOp.nonEmpty)
       throw ParseError("sequence/corpus ops (journeys, funnel, decay, argmax, " +
         "retention, attribution, markov, anomaly, profile, trend, spans, " +
-        "similar, neardup, knn, mmr) need a bounded frame — run them per " +
-        "micro-batch via foreachBatch over ZxSql.run, or batch")
+        "similar, neardup, scenes, knn, mmr) need a bounded frame — run " +
+        "them per micro-batch via foreachBatch over ZxSql.run, or batch")
     q.asofJoin.foreach { js =>
       // asof enrichment streams via the broadcast formulation: the deduped
       // version history rides in the plan (AsofJoin.asofBroadcast), so the
@@ -836,6 +904,10 @@ object ZxSql {
         EventStream.rawStream(stream, q.copy(asofJoin = None, limit = None), tsCol),
         latest, js.keyL, js.keyR, js.timeL, js.timeR, js.payload)
     }
+    if (q.equiJoins.nonEmpty)
+      throw ParseError("equi-join roll-ups aggregate an unwindowed join — " +
+        "that is a batch shape; run per micro-batch via foreachBatch over " +
+        "ZxSql.run, or stream-enrich with an asof join instead")
     if (q.orderBy.nonEmpty)
       throw ParseError("order by has no streaming meaning (no total order on an unbounded source)")
     if (q.limit.nonEmpty)

@@ -76,7 +76,16 @@ final class ChangeFeedFollower(spark: SparkSession, path: String,
       try { if (!pollOnce()) Thread.sleep(pollMs) }
       catch {
         case _: InterruptedException => ()
-        case t: Throwable => failure = Some(t); stopped = true
+        // an interrupt landing mid-pollOnce surfaces WRAPPED (e.g.
+        // InterruptedIOException inside a manifest listing, or a
+        // SparkException around the consumer's action) — once stop() has
+        // requested shutdown, any such failure is the shutdown itself,
+        // and recording it would make a clean stop() spuriously rethrow
+        // "poller failed" (worse: mask the primary exception when stop()
+        // runs in a finally block)
+        case t: Throwable =>
+          if (!stopped) failure = Some(t)
+          stopped = true
       }
     }
   }, s"graft-cdc-follower")
@@ -107,12 +116,25 @@ final class ChangeFeedFollower(spark: SparkSession, path: String,
   }
 
   /** Stop tailing; rethrows a pending poller failure so a crashed feed
-    * can't be mistaken for a clean shutdown. */
+    * can't be mistaken for a clean shutdown. In a `finally` block prefer
+    * [[stopQuietly]], which cannot mask the try body's primary
+    * exception. */
   def stop(): Unit = {
-    stopped = true
-    thread.interrupt()
-    thread.join(10000)
+    stopQuietly()
     failure.foreach(t => throw new IllegalStateException(
       "ChangeFeedFollower: poller failed", t))
   }
+
+  /** Stop tailing WITHOUT rethrowing a pending poller failure — the
+    * finally-block form. The failure (if any) stays readable via
+    * [[pollerFailure]]; callers that used [[processAllAvailable]] as
+    * their barrier have already observed it there. */
+  def stopQuietly(): Unit = {
+    stopped = true
+    thread.interrupt()
+    thread.join(10000)
+  }
+
+  /** A pending poller failure, for post-[[stopQuietly]] inspection. */
+  def pollerFailure: Option[Throwable] = failure
 }

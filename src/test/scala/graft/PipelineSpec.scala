@@ -1042,6 +1042,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("2^20"))
   }
 
+  test("distributed markov guards: 2^27 count fails BEFORE iteration 1; hub concentration fails mid-run") {
+    import spark.implicits._
+    // (1) the seed product 2^36·c wraps on the FIRST iteration when
+    // c ≥ 2^27 — the guard must fire pre-loop, not after the wrap
+    val atBoundary = Seq(("A", "B", 1L << 27)).toDF(
+      "prev_type", "next_type", "n_trans")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Funnel.stationaryIterate(atBoundary, iters = 1))
+    assert(e.getMessage.contains("2^27") && e.getMessage.contains("first iteration"))
+    // just below the boundary the same shape runs
+    val below = graft.operators.Funnel.stationaryIterate(
+      Seq(("A", "B", (1L << 27) - 1)).toDF("prev_type", "next_type", "n_trans"),
+      iters = 1).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(below("B") == (1L << 36) && below("A") == 0L,
+      "a single-edge chain moves the whole seed in one hop")
+    // (2) K·2^36 above the headroom → per-iteration checks active; a hub
+    // absorbing every state's mass reaches K·2^36 after iteration 1, and
+    // iteration 2's products would wrap — the run must fail loudly, with
+    // the mass actually measured (2048 states × 2^36 = 2^47 > 2^63/2^26)
+    val c = 1L << 26
+    val hub = (0 until 2048).map(i => (s"s$i", "hub", c)).toDF(
+      "prev_type", "next_type", "n_trans")
+    val e2 = intercept[IllegalArgumentException](
+      graft.operators.Funnel.stationaryIterate(hub, iters = 2))
+    assert(e2.getMessage.contains("after iteration 1"))
+    // the identical run stopped before the dangerous step is fine
+    val one = graft.operators.Funnel.stationaryIterate(hub, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one("hub") == 2048L * (1L << 36),
+      "hub must hold exactly the concentrated seed mass")
+  }
+
   test("seasonal anomaly: baseline broadcast guard names the group column, normal path unchanged") {
     val schema = StructType(Seq(StructField("event_type", StringType, false),
       StructField("ts", TimestampType, false),

@@ -147,6 +147,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SelectedBucketsCount"), s"scan must be bucket-aware:\n$p")
   }
 
+  test("equi-join SQL face: the dim predicate reaches the orders scan; small dims broadcast") {
+    val p = plan("p25_sql_equi_join")
+    // WHERE names a JOINED table's column — Catalyst must push it under
+    // the join into that table's parquet scan, not filter the join output
+    assert(p.contains("EqualTo(o_orderstatus,O)"),
+      s"o_orderstatus predicate not pushed to the orders scan:\n$p")
+    // nation/customer are small — at least one side must broadcast
+    assert(p.contains("BroadcastHashJoin"), s"expected a broadcast join:\n$p")
+  }
+
   test("knn and top-k limit compile to per-partition TakeOrderedAndProject") {
     assert(plan("s1_knn").contains("TakeOrderedAndProject"))
     assert(plan("o2_topk_limit").contains("TakeOrderedAndProject"))

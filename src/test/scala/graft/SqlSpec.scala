@@ -362,6 +362,89 @@ class SqlSpec extends AnyFunSuite {
       "select event_id, uid, t trailing join d on uid = k at t >= rt within 10 agg count_distinct(v)"))
   }
 
+  test("equi-join clauses: chained joins + WHERE-through-join roll-up equals the programmatic plan") {
+    import SparkFixture.spark.implicits._
+    import org.apache.spark.sql.functions._
+    val fact = Seq((1L, 10L, 5.0), (2L, 10L, 7.0), (3L, 20L, 1.0),
+      (4L, 20L, 2.0), (5L, 30L, 9.0), (6L, 40L, 4.0))
+      .toDF("fid", "k1", "qty")
+    val mid = Seq((10L, 100L, "O"), (20L, 200L, "F"), (30L, 100L, "O"))
+      .toDF("k1r", "k2", "status")
+    val dim = Seq((100L, "alpha"), (200L, "beta")).toDF("k2r", "dname")
+    val got = ZxSql.run(fact,
+      "select sum(qty), count(*) from fact " +
+        "join mid on k1 = k1r join dim on k2 = k2r " +
+        "where status = 'O' group by dname order by sum(qty) desc",
+      tables = Map("mid" -> mid, "dim" -> dim))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // fid 6 (k1=40) has no mid row — inner join drops it; status 'F'
+    // drops k1=20's rows; only alpha survives: fids 1, 2, 5
+    assert(got.toSeq == Seq(("alpha", 21.0, 3.0)))
+    // left join keeps unmatched fact rows with a __nil group key
+    val lj = ZxSql.run(fact,
+      "select sum(qty), count(*) from fact left join mid on k1 = k1r " +
+        "group by status order by sum(qty) desc",
+      tables = Map("mid" -> mid))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(lj == Map("O" -> ((21.0, 3.0)), "F" -> ((3.0, 2.0)), "__nil" -> ((4.0, 1.0))))
+    // the WHERE predicate on a joined column must be PUSHED under the
+    // join into that table's scan, not evaluated over the join output
+    val plan = ZxSql.run(fact,
+      "select sum(qty) from fact join mid on k1 = k1r where status = 'O' group by k2",
+      tables = Map("mid" -> mid))
+      .queryExecution.optimizedPlan
+    def joinOfPlan(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Seq[org.apache.spark.sql.catalyst.plans.logical.Join] =
+      p.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    val joins = joinOfPlan(plan)
+    assert(joins.nonEmpty && joins.forall(j =>
+      !j.condition.exists(_.references.exists(_.name == "status"))),
+      "status must not survive as a join-level predicate")
+    // pushed-down means: no Filter referencing `status` survives ABOVE a
+    // join (on a file source it lands in the scan's PushedFilters; on
+    // this in-memory fixture Catalyst folds it into the LocalRelation
+    // itself — both are below-the-join placements)
+    val aboveJoin = plan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.references.exists(_.name == "status") &&
+          joinOfPlan(f.child).nonEmpty => f
+    }
+    assert(aboveJoin.isEmpty, "status filter must be pushed below the join")
+  }
+
+  test("equi-join grammar guards: shape restrictions fail loudly; streaming rejects") {
+    import SparkFixture.spark.implicits._
+    val fact = Seq((1L, 10L, 5.0)).toDF("fid", "k1", "qty")
+    // unknown catalog table
+    assertThrows[ZxSql.ParseError](ZxSql.run(fact,
+      "select sum(qty) join nope on k1 = k1r group by k1",
+      tables = Map.empty))
+    // group by required; aggregates only; no session/slide/exact/rollup
+    assertThrows[ZxSql.ParseError](ZxSql.parse(
+      "select sum(qty) join mid on k1 = k1r"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse(
+      "select qty join mid on k1 = k1r group by k1"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse(
+      "select sum(qty) join mid on k1 = k1r group by k1 session 300"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse(
+      "select sum(qty) join mid on k1 = k1r group by k1 exact"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse(
+      "select sum(qty) join mid on k1 = k1r group by rollup k1, k2"))
+    // no mixing with asof/trailing joins
+    assertThrows[ZxSql.ParseError](ZxSql.parse(
+      "select k, t asof join d on k = dk at t >= dt carry v join mid on k1 = k1r"))
+    // sequence ops never take joins
+    assertThrows[ZxSql.ParseError](ZxSql.parse(
+      "select trend join mid on k1 = k1r group by k1"))
+    // streaming: an unwindowed join roll-up is a batch shape
+    val sdir = java.nio.file.Files.createTempDirectory("graft-sql-ej").toString
+    val st = SparkFixture.spark.readStream.schema(fact.schema).parquet(sdir)
+    val e = intercept[ZxSql.ParseError](ZxSql.runStream(st,
+      "select sum(qty) join mid on k1 = k1r group by k1",
+      tables = Map("mid" -> fact)))
+    assert(e.getMessage.contains("foreachBatch"))
+  }
+
   test("boolean WHERE flows through aggregate and gap-window paths") {
     val agg = ZxSql.run(fixture,
       "select sum(foo) where y = 1 or y = 9 group by y granularity 15")
@@ -685,8 +768,10 @@ class SqlSpec extends AnyFunSuite {
     assert(faceNd.toSeq == opNd.toSeq)
     assert(faceNd.exists(p => p._1 == 1L && p._2 == 6L && p._3 == 0L),
       "identical docs must pair at hamming 0")
-    // grammar: radius range enforced; plain threshold still parses
-    assertThrows[ZxSql.ParseError](ZxSql.parse("select neardup images hamming 64"))
+    // grammar: radius range enforced — 64 (the full fingerprint width) is
+    // legal, 65 is not; plain threshold still parses
+    ZxSql.parse("select neardup images hamming 64")
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select neardup images hamming 65"))
     ZxSql.parse("select neardup threshold 50")
     // streaming: sequence ops are rejected on an unbounded source
     val sdir = java.nio.file.Files.createTempDirectory("graft-sql-st").toString
@@ -736,6 +821,43 @@ class SqlSpec extends AnyFunSuite {
     assert(faceA.toSeq == opA.toSeq)
     assert(faceA.exists(p => p._1 == 1L && p._2 == 6L && p._3 == 0L),
       "identical docs must pair at hamming 0")
-    assertThrows[ZxSql.ParseError](ZxSql.parse("select neardup audio hamming 64"))
+    ZxSql.parse("select neardup audio hamming 64")
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select neardup audio hamming 65"))
+  }
+
+  test("sequence ops: neardup video / scenes from SQL (round 12)") {
+    import SparkFixture.spark.implicits._
+    // sampled frames are byte ranges [0,64) and [256,320): ids 1 and 6
+    // share BOTH distinct digests (A-frame, B-frame); id 3's periodic
+    // text yields one repeated digest — no pair, no scene change
+    val twoScene = "A" * 64 + "x" * 192 + "B" * 64 + "y" * 192
+    val docs = Seq(
+      (1L, twoScene, 512L), (6L, twoScene, 512L),
+      (3L, ("zyxw" * 128).take(512), 512L)).toDF("doc_id", "text", "n_chars")
+    val faceV = ZxSql.run(docs, "select neardup video shared 2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val opV = graft.operators.Multimodal.frameNearDupPairs(
+      graft.operators.Multimodal.sampleFrames(
+        graft.operators.Multimodal.packBinary(docs)), minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(faceV.toSeq == opV.toSeq)
+    assert(faceV.exists(p => p._1 == 1L && p._2 == 6L),
+      "identical frame sets must pair")
+    val faceS = ZxSql.run(docs, "select scenes")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val opS = graft.operators.Multimodal.sceneChanges(
+      graft.operators.Multimodal.sampleFrames(
+        graft.operators.Multimodal.packBinary(docs)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(faceS == opS && faceS.keySet == Set(1L, 3L, 6L))
+    // A-frame → B-frame is one cut; the periodic doc has none
+    assert(faceS(1L) == 1L && faceS(3L) == 0L)
+    // grammar guards + streaming rejection
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select neardup video shared 0"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select scenes group by lang"))
+    val sdir = java.nio.file.Files.createTempDirectory("graft-sql-vid").toString
+    val st = SparkFixture.spark.readStream.schema(docs.schema).parquet(sdir)
+    assertThrows[ZxSql.ParseError](ZxSql.runStream(st, "select neardup video"))
+    assertThrows[ZxSql.ParseError](ZxSql.runStream(st, "select scenes"))
   }
 }

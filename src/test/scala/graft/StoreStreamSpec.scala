@@ -1882,6 +1882,67 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(point.collect().toSet == full.collect().toSet && full.count() > 0)
     // a key no file holds → provably empty, no scan needed
     assert(EventStore.readPinnedPoint(spark, dir, "user_id", -12345L).count() == 0)
+
+    // driver-bounded streaming write: a budget so small every sidecar row
+    // lands in its own shuffle partition must stream the same sidecar the
+    // generous default produced (byte-identical modulo row order) and keep
+    // point reads exact — the write path never holds more than one
+    // partition on the driver, whatever the manifest's file count
+    def sidecarLines() = {
+      val kp = new org.apache.hadoop.fs.Path(dir, s"_graft_manifest.v${EventStore.manifestVersion(spark, dir)}.keys.jsonl")
+      val fs = kp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(kp)
+      val txt = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      txt.linesIterator.toVector
+    }
+    val generous = sidecarLines()
+    val rePinned = EventStore.writeFileKeySets(spark, dir, "user_id",
+      driverBudgetBytes = 1L)
+    assert(rePinned == pinned, "tiny-budget rewrite must pin the same files")
+    assert(sidecarLines().sorted == generous.sorted,
+      "streamed sidecar must equal the collected-era content")
+    val point2 = EventStore.readPinnedPoint(spark, dir, "user_id", key)
+    assert(point2.collect().toSet == full.collect().toSet)
+  }
+
+  test("bloom membership tier: above-cap files prune point reads, both tiers compose, results exact") {
+    val dir = Files.createTempDirectory("graft-bloom").toString + "/events"
+    // file A: 3 distinct keys (exact tier at cap 10); file B: 2000
+    // distinct keys (bloom tier) — one date each, so one file per append
+    val a = spark.range(300).selectExpr("id AS event_id",
+      "timestamp_seconds(1704067200 + id) AS ts",
+      "CAST(id % 3 AS LONG) AS user_id", "1.0 AS value").repartition(1)
+    val b = spark.range(2000).selectExpr("id + 10000 AS event_id",
+      "timestamp_seconds(1704153700 + id) AS ts",
+      "id + 1000 AS user_id", "2.0 AS value").repartition(1)
+    EventStore.append(a, dir); EventStore.append(b, dir)
+    EventStore.writeManifest(spark, dir)
+    val nFiles = EventStore.manifestFiles(spark, dir).size
+    assert(nFiles == 2, s"fixture should land exactly 2 files, got $nFiles")
+    val pinned = EventStore.writeFileKeySets(spark, dir, "user_id",
+      maxDistinct = 10)
+    assert(pinned == 2, "both tiers must pin: one exact set, one bloom")
+    def full(k: Long) = EventStore.readPinned(spark, dir)
+      .filter(col("user_id") === k).collect().toSet
+    // exact-tier key: file B's bloom must reject it (deterministic given
+    // fixed data; a false positive would only admit, never corrupt)
+    val pa = EventStore.readPinnedPoint(spark, dir, "user_id", 1L)
+    assert(pa.collect().toSet == full(1L) && pa.count() == 100)
+    assert(pa.inputFiles.length == 1, "bloom tier must prune file B")
+    // bloom-tier key: file A's exact set rejects, file B's bloom admits
+    val pb = EventStore.readPinnedPoint(spark, dir, "user_id", 1500L)
+    assert(pb.collect().toSet == full(1500L) && pb.count() == 1)
+    assert(pb.inputFiles.length == 1, "exact tier must prune file A")
+    // absent key: exact tier proves absence; bloom tier (deterministic)
+    // rejects too → provably empty
+    assert(EventStore.readPinnedPoint(spark, dir, "user_id", 999983L).count() == 0)
+    // geometry guard: an impossible (fpp, cardinality, byte-cap) triple
+    // fails loudly BEFORE any bloom materializes
+    val e = intercept[IllegalArgumentException](EventStore.writeFileKeySets(
+      spark, dir, "user_id", maxDistinct = 10, maxBloomBytes = 1L))
+    assert(e.getMessage.contains("bloom"))
   }
 
   test("manifested schema evolution: merged read unifies generations, old pins predate the column") {
@@ -2069,6 +2130,102 @@ class StoreStreamSpec extends AnyFunSuite {
     EventStore.vacuum(spark, dir, keepVersions = 1)
     intercept[Throwable](f.pollOnce())
     assert(f.seenVersion == v1, "a failed delivery must not advance seenVersion")
+  }
+
+  test("cdc follower: stop() mid-consume is a clean shutdown, not a spurious poller failure") {
+    import graft.streaming.ChangeFeedFollower
+    val dir = Files.createTempDirectory("graft-cdc-stop").toString + "/events"
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    EventStore.append(ev.filter(dayofmonth(col("ts")) <= 3).repartition(2), dir)
+    EventStore.writeManifest(spark, dir)
+    val v1 = EventStore.manifestVersion(spark, dir)
+    val consuming = new java.util.concurrent.CountDownLatch(1)
+    // the consumer WRAPS the interrupt the way a Spark action or Hadoop
+    // IO would (SparkException / InterruptedIOException) — a bare
+    // InterruptedException never reaches the poller's catch in the wild
+    val f = new ChangeFeedFollower(spark, dir, v1, (_, _, _) => {
+      consuming.countDown()
+      try Thread.sleep(60000)
+      catch { case e: InterruptedException =>
+        throw new RuntimeException("action interrupted mid-flight", e) }
+    }).start()
+    EventStore.appendCommitted(
+      ev.filter(dayofmonth(col("ts")) === 4), dir, "cdc-stop", 1L)
+    assert(consuming.await(30, java.util.concurrent.TimeUnit.SECONDS),
+      "consumer never began")
+    f.stop() // must NOT throw: the wrapped interrupt IS the shutdown
+    assert(f.pollerFailure.isEmpty,
+      "a stop()-induced interrupt must not be recorded as a poller failure")
+    // a GENUINE pre-stop failure still surfaces through stop()
+    val boom = new ChangeFeedFollower(spark, dir, v1,
+      (_, _, _) => throw new RuntimeException("merge exploded")).start()
+    EventStore.appendCommitted(
+      ev.filter(dayofmonth(col("ts")) === 5), dir, "cdc-stop", 2L)
+    intercept[IllegalStateException](boom.processAllAvailable(timeoutMs = 30000))
+    intercept[IllegalStateException](boom.stop())
+    // …but stopQuietly never rethrows — the finally-block form — while
+    // keeping the failure inspectable
+    assert(boom.pollerFailure.exists(_.getMessage.contains("merge exploded")))
+    boom.stopQuietly()
+  }
+
+  test("durable cdc follower: crash + restart resumes at the committed version, never double-folds") {
+    import graft.streaming.DurableAggregateFollower
+    val dir = Files.createTempDirectory("graft-cdc-dur").toString + "/events"
+    val stateDir = Files.createTempDirectory("graft-cdc-dur-state").toString + "/agg"
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    EventStore.append(ev.filter(dayofmonth(col("ts")) <= 6).repartition(2), dir)
+    EventStore.writeManifest(spark, dir)
+    val fp = floor(coalesce(col("value"), lit(0.0)) * lit(1048576.0))
+      .cast(org.apache.spark.sql.types.LongType)
+    def agg(df: org.apache.spark.sql.DataFrame, sign: org.apache.spark.sql.Column) =
+      df.select(col("event_type"), fp.as("__fv"), sign.as("__s"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("__s")).as("n"), sum(col("__s") * col("__fv")).as("sum_fp"))
+    def mk() = new DurableAggregateFollower(spark, dir, stateDir,
+      seed = v => agg(EventStore.readPinned(spark, dir, v), lit(1L)),
+      fold = (st, feed) => st.unionByName(agg(feed,
+          when(col("_change_type") === "insert", 1L).otherwise(-1L)))
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("sum_fp")).as("sum_fp")))
+    def snap(df: org.apache.spark.sql.DataFrame) = df.filter(col("n") > 0)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def truth = snap(agg(EventStore.readPinned(spark, dir), lit(1L)))
+    // epoch 1: seed persists, one delta folds + commits (sync mode)
+    val f1 = mk()
+    EventStore.appendCommitted(
+      ev.filter(dayofmonth(col("ts")) === 7), dir, "cdc-dur", 1L)
+    assert(f1.follower.pollOnce())
+    assert(snap(f1.state) == truth)
+    val folded = f1.seenVersion
+    // CRASH: abandon f1 without any shutdown; litter a partial staging
+    // write (crash mid-commit) that recovery must ignore
+    val junk = new org.apache.hadoop.fs.Path(stateDir, ".state.v999.g42")
+    val jfs = junk.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    jfs.mkdirs(junk)
+    // commits land while the follower is down
+    EventStore.appendCommitted(
+      ev.filter(dayofmonth(col("ts")) === 8), dir, "cdc-dur", 2L)
+    val d = EventStore.deleteWhere(spark, dir,
+      pmod(col("user_id"), lit(3)) === 1 && dayofmonth(col("ts")) <= 4)
+    assert(d.rowsDeleted > 0)
+    // epoch 2: restart resumes at the COMMITTED version (not the
+    // original start — resuming there would double-fold day 7) and one
+    // poll catches up the whole down-window
+    val f2 = mk()
+    assert(f2.seenVersion == folded,
+      s"restart must resume at committed v$folded, got ${f2.seenVersion}")
+    assert(snap(f2.state) == snap(f1.state), "restart must reload the committed aggregate")
+    assert(f2.follower.pollOnce())
+    assert(snap(f2.state) == truth,
+      "resumed fold diverged from the full recompute")
+    assert(!f2.follower.pollOnce(), "caught-up follower must not re-deliver")
+    // epoch 3: a THIRD restart with nothing pending starts exactly where
+    // epoch 2 committed and still matches truth — pure idempotence
+    val f3 = mk()
+    assert(f3.seenVersion == f2.seenVersion && snap(f3.state) == truth)
   }
 
   test("cdc follower: live IVM stays exact under concurrent committer threads") {

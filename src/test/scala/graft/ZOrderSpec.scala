@@ -201,6 +201,53 @@ class ZOrderSpec extends AnyFunSuite {
     assert(truncatedStringBounds("caf\u00e9", "caf\u00e9", 16).isEmpty)
   }
 
+  test("double-stats-pruned reads: IEEE contract — pruned == full, NaN poisons to admit, -0.0 == 0.0 (c8c)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dblstats").toString
+    EventStore.reset(spark, dir)
+    import spark.implicits._
+    def ts(i: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1704067200L + i * 60L))
+    val base = (0 until 2000).map(i => (i.toLong, ts(i), i * 0.5 - 100.0))
+    val special = Seq((9001L, ts(200), Double.NaN), (9002L, ts(201), -0.0))
+    val df = (base ++ special).toDF("event_id", "ts", "value")
+    // range partitioning: files hold contiguous value ranges, so the
+    // interval bounds can actually separate them
+    EventStore.append(df.repartitionByRange(4, col("value")), dir)
+    EventStore.writeManifest(spark, dir)
+    assert(EventStore.writeFileStats(spark, dir, Nil,
+      doubleColumns = Seq("value")) > 0)
+    val all = EventStore.manifestFiles(spark, dir).size
+    // a narrow low-end range binds fewer files and equals the full filter
+    val pruned = EventStore.readPinnedWhereDouble(spark, dir, "value", -100.0, -90.0)
+    assert(pruned.inputFiles.length < all, s"bound ${pruned.inputFiles.length} of $all")
+    val full = EventStore.readPinned(spark, dir)
+      .filter(col("value").between(-100.0, -90.0))
+    assert(pruned.select("event_id").collect().map(_.getLong(0)).toSet ==
+      full.select("event_id").collect().map(_.getLong(0)).toSet && pruned.count() > 0)
+    // -0.0 == 0.0 in IEEE AND SQL comparison: the [0, 0] point range must
+    // return BOTH the 0.0 row and the -0.0 row — pruning with total-order
+    // compare (Double.compare: -0.0 < 0.0) could drop the -0.0 file
+    val zero = EventStore.readPinnedWhereDouble(spark, dir, "value", 0.0, 0.0)
+    assert(zero.select("event_id").collect().map(_.getLong(0)).toSet ==
+      Set(200L, 9002L), "both signed zeros must match the [0,0] range")
+    // the NaN row fails every finite range (Spark and DuckDB both order
+    // NaN above all finite values) — whether its file's stats got
+    // NaN-poisoned (admit) or NaN-excluded (prunable) is writer-version
+    // dependent, and BOTH are safe
+    val fullRange = EventStore.readPinnedWhereDouble(spark, dir, "value", -1e6, 1e6)
+    assert(fullRange.count() == 2001L, "everything but the NaN row")
+    // beyond the data → provably empty
+    assert(EventStore.readPinnedWhereDouble(spark, dir, "value", 5000.0, 6000.0).count() == 0)
+    // non-finite query bounds and non-double columns fail loudly
+    val nanB = intercept[IllegalArgumentException](
+      EventStore.readPinnedWhereDouble(spark, dir, "value", Double.NaN, 1.0))
+    assert(nanB.getMessage.contains("finite"))
+    val notDbl = intercept[IllegalArgumentException](
+      EventStore.readPinnedWhereDouble(spark, dir, "event_id", 0.0, 1.0))
+    assert(notDbl.getMessage.contains("float/double"))
+  }
+
   test("string-stats-pruned reads bind fewer files yet equal the full filtered read (c8b)") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-strstats").toString
