@@ -1746,6 +1746,36 @@ object SparkEntry {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** c12c: STRING-key membership pruning — a synthetic string id
+    * (`u<user_id>`) range-clustered so files hold disjoint key ranges;
+    * the sidecar pins xxhash64 hashes (8 bytes/key whatever the string
+    * length — the only sidecar a 100 TB doc-id column can afford), the
+    * point read probes hashed and row-filters on the plain string. The
+    * prune must bind a strict file subset and return exactly the
+    * unpruned string-equality read. */
+  private def c12cStringPoint(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/graft-strpoint-q/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.sources.EventStore.reset(s, path)
+    val ev = Tables.events(s, dir)
+      .filter(dayofmonth(col("ts")) <= 6 && col("user_id").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+        concat(lit("u"), col("user_id").cast(StringType)).as("skey"))
+    graft.sources.EventStore.append(
+      ev.repartitionByRange(6, col("user_id")), path)
+    graft.sources.EventStore.writeManifest(s, path)
+    graft.sources.EventStore.writeFileKeySets(s, path, "skey")
+    val kMin = "u" + ev.agg(min("user_id")).head().getLong(0)
+    val pruned = graft.sources.EventStore.readPinnedPointString(
+      s, path, "skey", kMin)
+    require(pruned.inputFiles.length <
+      graft.sources.EventStore.manifestFiles(s, path).size,
+      s"string membership pruning must bind fewer files, bound ${pruned.inputFiles.length}")
+    pruned.groupBy(col("skey"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 3).as("sum_value"),
+        countDistinct(col("event_id")).as("n_events"))
+  }
+
   private def c9Incremental(s: SparkSession, dir: String): DataFrame = {
     val path = "target/graft-incr-q/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
     graft.sources.EventStore.reset(s, path)
@@ -2397,6 +2427,49 @@ object SparkEntry {
       "nation" -> Tables.nation(s, dir)))
       .select(col("n_name"), round3("sum_l_quantity"), round3("count_star"),
         col("count_distinct_o_custkey"), col("max_o_totalprice"))
+  }
+
+  /** P1 + expression measures: the TPC-H q1 pricing-summary shape spelled
+    * ENTIRELY at the SQL front door — computed measures
+    * (`sum(l_extendedprice * (1 - l_discount)) as sum_disc_price`) with
+    * `as` aliases, a per-row ratio under the weighted mean, and ORDER BY
+    * referencing an alias. All columns are native doubles, so the
+    * arithmetic is bit-identical IEEE on both engines; expression
+    * measures evaluate row-wise and partial-aggregate map-side exactly
+    * like plain columns (one exchange, whole-stage codegen). */
+  private def p28SqlExprMeasures(s: SparkSession, dir: String): DataFrame = {
+    val sql = "select sum(l_quantity) as sum_qty, " +
+      "sum(l_extendedprice) as sum_base_price, " +
+      "sum(l_extendedprice * (1 - l_discount)) as sum_disc_price, " +
+      "sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) as sum_charge, " +
+      "mean(l_quantity) as avg_qty, " +
+      "mean(l_extendedprice / l_quantity) as avg_unit_price, " +
+      "count(*) as count_order " +
+      "from lineitem where l_quantity >= 5 " +
+      "group by l_returnflag, l_linestatus order by sum_qty desc"
+    graft.sql.ZxSql.run(Tables.lineitem(s, dir), sql)
+      .select(col("l_returnflag"), col("l_linestatus"), round3("sum_qty"),
+        round3("sum_base_price"), round3("sum_disc_price"),
+        round3("sum_charge"), round3("avg_qty"), round3("avg_unit_price"),
+        round3("count_order"))
+  }
+
+  /** P1 + expression measures THROUGH the equi-join chain: revenue by
+    * nation (the q5 volume shape) with the computed measure aggregated
+    * over the joined frame, HAVING referencing the measure's alias. */
+  private def p29SqlExprJoin(s: SparkSession, dir: String): DataFrame = {
+    val sql = "select sum(l_extendedprice * (1 - l_discount)) as revenue, " +
+      "count(*) as n_items from lineitem " +
+      "join orders on l_orderkey = o_orderkey " +
+      "join customer on o_custkey = c_custkey " +
+      "join nation on c_nationkey = n_nationkey " +
+      "where o_orderstatus != 'P' " +
+      "group by n_name having revenue > 0 order by revenue desc"
+    graft.sql.ZxSql.run(Tables.lineitem(s, dir), sql, tables = Map(
+      "orders" -> Tables.orders(s, dir),
+      "customer" -> Tables.customer(s, dir),
+      "nation" -> Tables.nation(s, dir)))
+      .select(col("n_name"), round3("revenue"), round3("n_items"))
   }
 
   /** s13: MMR diverse re-rank — one exact-kNN corpus pass builds the
@@ -3406,6 +3479,8 @@ object SparkEntry {
     "p25_sql_equi_join" -> (p25SqlEquiJoin _),
     "p26_sql_neardup_video" -> (p26SqlNeardupVideo _),
     "p27_sql_scenes" -> (p27SqlScenes _),
+    "p28_sql_expr_measures" -> (p28SqlExprMeasures _),
+    "p29_sql_expr_join" -> (p29SqlExprJoin _),
     "o1_top_groups" -> (o1TopGroups _),
     "o2_topk_limit" -> (o2TopkLimit _),
     "o3_top_per_group" -> (o3TopPerGroup _),
@@ -3521,6 +3596,7 @@ object SparkEntry {
     "c11_schema_evolution" -> (c11SchemaEvolution _),
     "c12_point_prune" -> (c12PointPrune _),
     "c12b_bloom_prune" -> (c12bBloomPrune _),
+    "c12c_string_point" -> (c12cStringPoint _),
     "c13_profile" -> (c13Profile _),
     "c13b_profile_sketch" -> (c13bProfileSketch _),
     "c14_change_feed" -> (c14ChangeFeed _),
@@ -4757,6 +4833,35 @@ object SparkEntry {
         |WHERE o_orderstatus = 'O'
         |GROUP BY n_name
         |ORDER BY sum(coalesce(l_quantity, 0)) DESC, n_name""".stripMargin,
+    "p28_sql_expr_measures" ->
+      // the q1 pricing-summary shape through the dialect's expression
+      // measures — every column is a native double, so the row-wise
+      // arithmetic is bit-identical IEEE on both engines; sum = weighted
+      // Σ coalesce(expr, 0), mean excludes null exprs (DuckDB avg skips
+      // NULLs natively), count(*) is the engine's weighted DOUBLE count
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(coalesce(l_quantity, 0)), 3) AS sum_qty,
+        | round(sum(coalesce(l_extendedprice, 0)), 3) AS sum_base_price,
+        | round(sum(coalesce(l_extendedprice * (1 - l_discount), 0)), 3) AS sum_disc_price,
+        | round(sum(coalesce(l_extendedprice * (1 - l_discount) * (1 + l_tax), 0)), 3) AS sum_charge,
+        | round(avg(l_quantity), 3) AS avg_qty,
+        | round(avg(l_extendedprice / l_quantity), 3) AS avg_unit_price,
+        | round(CAST(count(*) AS DOUBLE), 3) AS count_order
+        |FROM lineitem WHERE l_quantity >= 5
+        |GROUP BY 1, 2""".stripMargin,
+    "p29_sql_expr_join" ->
+      // computed revenue aggregated over the joined frame; HAVING binds
+      // the UNROUNDED aggregate on both engines
+      """SELECT n_name,
+        | round(sum(coalesce(l_extendedprice * (1 - l_discount), 0)), 3) AS revenue,
+        | round(CAST(count(*) AS DOUBLE), 3) AS n_items
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderstatus <> 'P'
+        |GROUP BY n_name
+        |HAVING sum(coalesce(l_extendedprice * (1 - l_discount), 0)) > 0""".stripMargin,
     "a21_trend" -> trendOracle(extraWhere = ""),
     "p20_sql_trend" -> trendOracle(extraWhere = "AND event_type <> 'error'"),
     "p13_sql_markov" ->
@@ -5600,6 +5705,18 @@ object SparkEntry {
         |  AND event_id = (SELECT min(event_id) FROM events
         |    WHERE date_part('day', ts) <= 6 AND user_id IS NOT NULL)
         |GROUP BY event_id""".stripMargin,
+    "c12c_string_point" ->
+      // store-free replay of the string-key point lookup — the hashed
+      // sidecar tiers only change WHICH files the plan binds, never rows
+      """SELECT 'u' || CAST(user_id AS VARCHAR) AS skey,
+        | count(*)::BIGINT AS n,
+        | round(sum(value), 3) AS sum_value,
+        | count(DISTINCT event_id)::BIGINT AS n_events
+        |FROM events
+        |WHERE date_part('day', ts) <= 6 AND user_id IS NOT NULL
+        |  AND user_id = (SELECT min(user_id) FROM events
+        |    WHERE date_part('day', ts) <= 6 AND user_id IS NOT NULL)
+        |GROUP BY 1""".stripMargin,
     "c11_schema_evolution" ->
       // store-free replay: generation 1 (days ≤5) contributes null scores,
       // generation 2 (days 6-10) the derived column — exactly what the

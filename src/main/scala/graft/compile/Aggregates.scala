@@ -53,24 +53,63 @@ object Aggregates {
       }
     }
 
+  /** Row-wise value of a [[MeasureExpr]] — columns through [[numeric]]
+    * (parse-on-demand string storage preserved), literals as doubles,
+    * IEEE arithmetic. `/` is `try_divide`: division by zero is null, not
+    * an ANSI error — a computed measure over dirty data must degrade to
+    * "this row contributes nothing", never kill the job. DuckDB's `/`
+    * returns NULL on a zero divisor natively, so oracles match with a
+    * plain division. Pure `Column`
+    * composition, so expression measures codegen like plain columns. */
+  def measureCol(e: MeasureExpr, schema: StructType): Column = e match {
+    case MeasureExpr.Col(n)       => numeric(n, schema)
+    case MeasureExpr.Lit(v)       => lit(v)
+    case MeasureExpr.Neg(x)       => -measureCol(x, schema)
+    case MeasureExpr.Bin(op, l, r) =>
+      val a = measureCol(l, schema); val b = measureCol(r, schema)
+      op match {
+        case "+" => a + b
+        case "-" => a - b
+        case "*" => a * b
+        case "/" => try_divide(a, b)
+        case other => throw new IllegalArgumentException(s"bad measure op '$other'")
+      }
+  }
+
+  /** Value / presence pair for one Select: plain columns keep the
+    * reference's semantics (presence = the STORAGE column is non-null,
+    * even if it fails numeric parse, lib.rs:608-623); expression measures
+    * define presence as "the expression evaluates" (non-null result). */
+  private def valueAndPresence(sel: Select, schema: StructType): (Column, Column) =
+    sel.expr match {
+      case Some(e) =>
+        val v = measureCol(e, schema)
+        (v, v.isNotNull)
+      case None =>
+        (numeric(sel.column, schema),
+          if (sel.column == "*") lit(true) else Compiler.colRef(sel.column).isNotNull)
+    }
+
   /** Compile one Select to an aliased aggregate Column. */
   def compile(sel: Select, schema: StructType): Column = {
     val w = weight(schema)
-    val v = numeric(sel.column, schema)
     // count(*) counts every row (weighted); a named column counts presence
-    val present = if (sel.column == "*") lit(true) else Compiler.colRef(sel.column).isNotNull
+    val (v, present) = valueAndPresence(sel, schema)
     val agg: Column = sel.agg match {
       case Agg.Sum   => coalesce(sum(w * coalesce(v, lit(0.0))), lit(0.0))
       case Agg.Max   => max(v)
       case Agg.Min   => min(v)
       case Agg.Count => coalesce(sum(when(present, w).otherwise(lit(0.0))), lit(0.0))
       case Agg.CountDistinct =>
-        countDistinct(Compiler.colRef(sel.column)) +
+        // distinct over the STORAGE column for plain selects (string
+        // identity, lib.rs:626-635); over the computed value for
+        // expression measures
+        countDistinct(sel.expr.map(_ => v).getOrElse(Compiler.colRef(sel.column))) +
           coalesce(max(when(present, lit(0L)).otherwise(lit(1L))), lit(0L))
       case Agg.ApproxCountDistinct =>
         // HLL sketch with the reference's +1-nil convention (lib.rs:626-635)
         // preserved, so approx→exact swaps don't shift null handling
-        approx_count_distinct(Compiler.colRef(sel.column)) +
+        approx_count_distinct(sel.expr.map(_ => v).getOrElse(Compiler.colRef(sel.column))) +
           coalesce(max(when(present, lit(0L)).otherwise(lit(1L))), lit(0L))
       case Agg.Mean =>
         try_divide(sum(when(present, w * v).otherwise(lit(0.0))),
@@ -100,8 +139,7 @@ object Aggregates {
     * weighted (value-sum, weight-sum) partials and divides once at the end. */
   private[compile] def saltPhases(sel: Select, i: Int, schema: StructType): (Seq[Column], Column) = {
     val w = weight(schema)
-    val v = numeric(sel.column, schema)
-    val present = Compiler.colRef(sel.column).isNotNull
+    val (v, present) = valueAndPresence(sel, schema)
     val pa = s"__p${i}a"; val pb = s"__p${i}b"
     sel.agg match {
       case Agg.Sum =>

@@ -134,7 +134,7 @@ object Compiler {
       q.granularitySec).cast(LongType).as("w_start")
     val keys = groupKeys(q, df.schema) :+ wStart
     val extraSels = q.having.map(_.select)
-      .filterNot(s => q.selects.contains(s)).distinct
+      .filterNot(s => q.selects.contains(s) || s.agg == Agg.Raw).distinct
     val grouped = Aggregates.groupedAgg(filtered, keys, q.groupBy :+ "w_start",
       q.selects ++ extraSels, df.schema, q.skewSalt)
     val kept = havingFilter(grouped, q.having)
@@ -161,7 +161,7 @@ object Compiler {
       s"${q.granularitySec} seconds", s"$slide seconds")
     val keys = groupKeys(q, df.schema) :+ win.as("__w")
     val extraSels = q.having.map(_.select)
-      .filterNot(s => q.selects.contains(s)).distinct
+      .filterNot(s => q.selects.contains(s) || s.agg == Agg.Raw).distinct
     val grouped = Aggregates.groupedAgg(filtered, keys, q.groupBy :+ "__w",
       q.selects ++ extraSels, df.schema, q.skewSalt)
     havingFilter(grouped, q.having)
@@ -196,7 +196,7 @@ object Compiler {
       timestamp_seconds(col(tsCol).cast(LongType)), s"$gap seconds")
     val keys = groupKeys(q, df.schema) :+ sw.as("__sw")
     val extraSels = q.having.map(_.select)
-      .filterNot(s => q.selects.contains(s)).distinct
+      .filterNot(s => q.selects.contains(s) || s.agg == Agg.Raw).distinct
     val grouped = Aggregates.groupedAgg(filtered, keys, q.groupBy :+ "__sw",
       q.selects ++ extraSels, df.schema, None)
     havingFilter(grouped, q.having)
@@ -236,7 +236,7 @@ object Compiler {
       throw new IllegalArgumentException("runSessionTwoLevel needs sessionGapSec"))
     require(salts > 0, s"salts must be positive, got $salts")
     val extraSels = q.having.map(_.select)
-      .filterNot(s => q.selects.contains(s)).distinct
+      .filterNot(s => q.selects.contains(s) || s.agg == Agg.Raw).distinct
     val sels = q.selects ++ extraSels
     val (partials, finals) = sels.zipWithIndex
       .map { case (s, i) => Aggregates.saltPhases(s, i, df.schema) }.unzip

@@ -72,15 +72,44 @@ object Agg {
   case object P50Approx           extends Agg("p50_approx")
 }
 
-final case class Select(agg: Agg, column: String) {
+/** Arithmetic measure expression (extension — the reference aggregates
+  * single columns only, lib.rs:560-657, and its SQL surface cannot spell
+  * `sum(price * (1 - discount))`, the single most common computed measure
+  * in analytics). Columns read through the engine's numeric view
+  * (parse-on-demand string storage, Aggregates.numeric), literals are
+  * doubles, operators are IEEE `+ - * /` — division by zero yields null
+  * (Spark `try_divide`; DuckDB's `/` NULLs natively). Evaluated ROW-WISE
+  * before the aggregate, so expression measures stay inside whole-stage
+  * codegen and map-side partial aggregation exactly like plain columns. */
+sealed trait MeasureExpr
+object MeasureExpr {
+  final case class Col(name: String)                               extends MeasureExpr
+  final case class Lit(value: Double)                              extends MeasureExpr
+  final case class Bin(op: String, l: MeasureExpr, r: MeasureExpr) extends MeasureExpr
+  final case class Neg(e: MeasureExpr)                             extends MeasureExpr
+
+  /** Columns the expression reads — for projection pruning and guards. */
+  def columns(e: MeasureExpr): Set[String] = e match {
+    case Col(n)        => Set(n)
+    case Lit(_)        => Set.empty
+    case Bin(_, l, r)  => columns(l) ++ columns(r)
+    case Neg(x)        => columns(x)
+  }
+}
+
+final case class Select(agg: Agg, column: String,
+                        expr: Option[MeasureExpr] = None,
+                        alias: Option[String] = None) {
   /** Stable output-column name — the reference's `aggregate_key`
-    * "$$sum(foo)" scheme (lib.rs:801-813) made identifier-safe.
-    * `count(*)` lands as `count_star`. */
-  def key: String = agg match {
+    * "$$sum(foo)" scheme (lib.rs:801-813) made identifier-safe;
+    * `count(*)` lands as `count_star`. An `as` alias (extension)
+    * overrides the scheme; expression measures REQUIRE one (enforced at
+    * parse — there is no canonical name for `sum(a * (1 - b))`). */
+  def key: String = alias.getOrElse(agg match {
     case Agg.Raw            => column
     case a if column == "*" => s"${a.name}_star"
     case a                  => s"${a.name}_${column}"
-  }
+  })
 }
 
 /** As-of / trailing-range join clause (extension — the reference has no

@@ -61,6 +61,10 @@ object GapWindows {
   private def layout(df: DataFrame, q: ZxQuery, tsCol: String,
                      idCol: Option[String]): (DataFrame, WalkPlan, StructType) = {
     require(q.selects.nonEmpty, "gap windows need at least one aggregate select")
+    require(q.selects.forall(_.expr.isEmpty),
+      "the exact gap walk aggregates storage columns only — compute the " +
+        "expression into a column upstream, or drop `exact` (expression " +
+        "measures compose with tumbling/session/hopping windows)")
     val filtered = Compiler.scanFilter(df, q, tsCol)
     val keys = Compiler.groupKeys(q, df.schema)
 

@@ -799,8 +799,12 @@ object EventStore {
     * never collected whole — driver residency is bounded by
     * `driverBudgetBytes`, not by the manifest's file count. Same
     * immutable version-tied commit discipline as the stats sidecar.
-    * Most effective after [[clusterInPlace]] on the key column — z-order
-    * makes per-file key sets small and disjoint. */
+    * STRING key columns (c12c) pin xxhash64 hashes in both tiers —
+    * constant 8 bytes per key in the sidecar whatever the string length,
+    * probed via [[readPinnedPointString]]; a hash collision only admits
+    * a file (same safe direction as a bloom false positive), never
+    * corrupts a result. Most effective after [[clusterInPlace]] on the
+    * key column — z-order makes per-file key sets small and disjoint. */
   def writeFileKeySets(spark: SparkSession, path: String, column: String,
                        maxDistinct: Int = 4096, version: Long = -1L,
                        driverBudgetBytes: Long = 64L << 20,
@@ -821,11 +825,19 @@ object EventStore {
     val rel = readManifestFile(fs, root, v)
     val abs = rel.map(f => path + "/" + f)
     val df = spark.read.option("basePath", path).parquet(abs: _*)
-    require(Set[org.apache.spark.sql.types.DataType](
+    // STRING keys (c12c) ride the same two tiers through xxhash64: the
+    // sidecar pins 8-byte hashes, never the strings (a doc-id tier would
+    // otherwise cost the store's whole key column in sidecar bytes). A
+    // hash collision can only FALSELY ADMIT a file — the same
+    // conservative direction as a bloom false positive — so point-read
+    // results stay exact; only scan width is probabilistic.
+    val hashed = df.schema(column).dataType ==
+      org.apache.spark.sql.types.StringType
+    require(hashed || Set[org.apache.spark.sql.types.DataType](
         org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
         org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
         .contains(df.schema(column).dataType),
-      s"writeFileKeySets: '$column' must be integral, got " +
+      s"writeFileKeySets: '$column' must be integral or string, got " +
         df.schema(column).dataType)
     // absolute URI → manifest-relative name: input_file_name() returns a
     // URI whose slash count varies by filesystem — compare by URI *path*,
@@ -835,9 +847,11 @@ object EventStore {
     val byPath = abs
       .map(a => fs.makeQualified(new org.apache.hadoop.fs.Path(a)).toUri.getPath)
       .zip(rel).toMap
-    val pairs = df.select(input_file_name().as("__f"),
-        col(column).cast(org.apache.spark.sql.types.LongType).as("__k"))
-      .where(col("__k").isNotNull)
+    val keyExpr =
+      if (hashed) xxhash64(col(column))
+      else col(column).cast(org.apache.spark.sql.types.LongType)
+    val pairs = df.where(col(column).isNotNull)
+      .select(input_file_name().as("__f"), keyExpr.as("__k"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = pairs.groupBy(col("__f")).agg(count(lit(1)).as("__n"))
@@ -889,10 +903,14 @@ object EventStore {
         pinned += 1
       }
     try {
+      // hashed (string-key) entries carry distinct field names so an
+      // integral reader can never mistake a hash set for raw keys
+      val setField = if (hashed) "kh" else "k"
+      val bloomFields = if (hashed) ("bkh", "bmh") else ("bk", "bm")
       stream(sets.repartition(parts(rel.size.toLong, maxDistinct.toLong * 16 + 256))
           .toLocalIterator()) { r =>
         val ks = r.getSeq[Long](1).sorted.mkString(",")
-        s"""{"f":"${jsonEscape(relOf(r))}","c":"${jsonEscape(column)}","k":[$ks]}"""
+        s"""{"f":"${jsonEscape(relOf(r))}","c":"${jsonEscape(column)}","$setField":[$ks]}"""
       }
       if (nBig > 0) {
         val blooms = withN.filter(col("__n") > maxDistinct)
@@ -901,7 +919,8 @@ object EventStore {
         stream(blooms.repartition(parts(nBig, bm.toLong / 8 * 2 + 256))
             .toLocalIterator()) { r =>
           val b64 = java.util.Base64.getEncoder.encodeToString(r.getAs[Array[Byte]](1))
-          s"""{"f":"${jsonEscape(relOf(r))}","c":"${jsonEscape(column)}","bk":$bk,"bm":"$b64"}"""
+          s"""{"f":"${jsonEscape(relOf(r))}","c":"${jsonEscape(column)}",""" +
+            s""""${bloomFields._1}":$bk,"${bloomFields._2}":"$b64"}"""
         }
       }
     } finally { out.close(); pairs.unpersist() }
@@ -920,6 +939,12 @@ object EventStore {
 
   private val BloomLine =
     """\{"f":"((?:[^"\\]|\\.)*)","c":"((?:[^"\\]|\\.)*)","bk":(\d+),"bm":"([A-Za-z0-9+/=]*)"\}""".r
+
+  private val HKeysLine =
+    """\{"f":"((?:[^"\\]|\\.)*)","c":"((?:[^"\\]|\\.)*)","kh":\[([-\d,]*)\]\}""".r
+
+  private val HBloomLine =
+    """\{"f":"((?:[^"\\]|\\.)*)","c":"((?:[^"\\]|\\.)*)","bkh":(\d+),"bmh":"([A-Za-z0-9+/=]*)"\}""".r
 
   /** Membership-pruned point lookup: bind the plan to ONLY the manifest
     * files whose pinned key set contains `key` — exactly for ≤-cap files,
@@ -954,6 +979,53 @@ object EventStore {
     }.toMap
     val files = readManifestFile(fs, root, v)
     val kept = files.filter(f => keySets.get(f).forall(_.apply(key)))
+    val bind = if (kept.nonEmpty) kept else files.take(1)
+    val filtered = spark.read.option("basePath", path)
+      .parquet(bind.map(f => path + "/" + f): _*)
+      .filter(col(column) === lit(key))
+    if (kept.nonEmpty) filtered else filtered.limit(0)
+  }
+
+  /** Membership-pruned point lookup on a STRING key column (c12c): the
+    * sidecar pinned xxhash64 hashes ([[writeFileKeySets]] on a string
+    * column), so both tiers probe with the hashed key — a set/bloom miss
+    * proves the string absent (xxhash64 is deterministic), a hit may be a
+    * collision and only admits a file to the scan. The row filter is the
+    * plain string equality, so results equal
+    * `readPinned(...).filter(column === key)` exactly. */
+  def readPinnedPointString(spark: SparkSession, path: String, column: String,
+                            key: String, version: Long = -1L): DataFrame = {
+    require(key != null, "readPinnedPointString: null key has no membership")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = if (version < 0) {
+      val vs = manifestVersions(fs, root)
+      require(vs.nonEmpty, s"readPinnedPointString: no manifest under $path")
+      vs.last
+    } else version
+    val kp = keysPath(root, v)
+    require(fs.exists(kp),
+      s"readPinnedPointString: no key-set sidecar for manifest v$v under " +
+        s"$path — run writeFileKeySets(..., \"$column\") after the commit")
+    // the probe hash must be EXACTLY the hash the writer's xxhash64
+    // column produced — compute it through the same Spark expression
+    // (one 1-row local-relation job, constant-folded, no cluster work)
+    val probe = spark.range(1)
+      .select(xxhash64(lit(key)).as("h")).head().getLong(0)
+    val in = fs.open(kp)
+    val txt = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val keySets: Map[String, Long => Boolean] = txt.linesIterator.collect {
+      case HKeysLine(f, c, ks) if jsonUnescape(c) == column =>
+        val set = ks.split(',').filter(_.nonEmpty).map(_.toLong).toSet
+        jsonUnescape(f) -> ((k: Long) => set.contains(k))
+      case HBloomLine(f, c, bk, bm) if jsonUnescape(c) == column =>
+        val bits = java.util.Base64.getDecoder.decode(bm)
+        jsonUnescape(f) -> ((k: Long) => bloomContains(bits, bk.toInt, k))
+    }.toMap
+    val files = readManifestFile(fs, root, v)
+    val kept = files.filter(f => keySets.get(f).forall(_.apply(probe)))
     val bind = if (kept.nonEmpty) kept else files.take(1)
     val filtered = spark.read.option("basePath", path)
       .parquet(bind.map(f => path + "/" + f): _*)

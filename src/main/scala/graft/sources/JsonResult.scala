@@ -52,7 +52,8 @@ object JsonResult {
           val data = rs.map { r =>
             Option(r.getAs[Any](sel.key)).map(_.toString).getOrElse("null")
           }.mkString("[", ",", "]")
-          s""""${esc(aggregateKey(sel.agg.name, sel.column))}":""" +
+          s""""${esc(aggregateKey(sel.agg.name,
+              sel.expr.flatMap(_ => sel.alias).getOrElse(sel.column)))}":""" +
             s"""{"data":$data,"window_starts":$starts,"window_ends":$ends}"""
         }.mkString(",")
         s""""${esc(keyJson)}":{$aggs}"""

@@ -16,6 +16,14 @@ import graft.operators.GapWindows
   *   [session <gapSeconds>] [salt <n>] [exact]
   * where item := col | count|sum|max|min|count_distinct|mean|p50|heatmap
   *               |approx_count_distinct|p50_approx(col) | count(*)
+  *               | agg(measure-expr) as name | agg(col) as name
+  * and measure-expr := arithmetic over columns and numeric literals with
+  * `+ - * /`, parens, unary minus (standard precedence; `/` is
+  * null-on-zero-divisor on both engines) — `sum(price * (1 - discount))
+  * as revenue`, evaluated row-wise so it codegens and partial-aggregates
+  * exactly like a plain column. Expression measures REQUIRE `as` (no
+  * canonical name exists); `having`/`order by` reference the alias by
+  * name. heatmap and the `exact` gap walk take plain columns only.
   * and boolexpr := full boolean structure with OR / AND / NOT / parens
   * (precedence NOT > AND > OR — extension: the reference is AND-only,
   * expr.rs:75-80, and punts every other operator, expr.rs:99)
@@ -83,7 +91,7 @@ object ZxSql {
       } else if (s.startsWith("!=", i) || s.startsWith("<>", i) ||
                  s.startsWith(">=", i) || s.startsWith("<=", i)) {
         out += Sym(s.substring(i, i + 2)); i += 2
-      } else if ("=><(),*".contains(c)) { out += Sym(c.toString); i += 1 }
+      } else if ("=><(),*+/-".contains(c)) { out += Sym(c.toString); i += 1 }
       else throw ParseError(s"unexpected character '$c' at $i")
     }
     out.result()
@@ -117,23 +125,89 @@ object ZxSql {
     def parseLong(v: String, what: String): Long =
       v.toLongOption.getOrElse(throw ParseError(s"expected integer $what, got '$v'"))
 
-    def selectItem(): Select = {
+    // Arithmetic measure grammar (extension): standard precedence
+    // (* / over + -), parens, unary minus. The lexer folds a minus
+    // DIRECTLY before digits into a negative Num — in operator position
+    // that IS a subtraction, handled explicitly below.
+    def measureAtom(): MeasureExpr = peek match {
+      case Some(Sym("(")) => next(); val e = measureSum(); expectSym(")"); e
+      case Some(Sym("-")) => next(); MeasureExpr.Neg(measureAtom())
+      case Some(Num(v)) =>
+        next()
+        MeasureExpr.Lit(v.toDoubleOption.getOrElse(
+          throw ParseError(s"bad numeric literal '$v'")))
+      case Some(Ident(v)) => next(); MeasureExpr.Col(v)
+      case other => throw ParseError(s"expected a measure term, got ${other.getOrElse("end of input")}")
+    }
+    def measureTerm(): MeasureExpr = {
+      var e = measureAtom()
+      while (peek.contains(Sym("*")) || peek.contains(Sym("/"))) {
+        val Sym(op) = next(): @unchecked
+        e = MeasureExpr.Bin(op, e, measureAtom())
+      }
+      e
+    }
+    def measureSum(): MeasureExpr = {
+      var e = measureTerm()
+      var more = true
+      while (more) peek match {
+        case Some(Sym("+")) => next(); e = MeasureExpr.Bin("+", e, measureTerm())
+        case Some(Sym("-")) => next(); e = MeasureExpr.Bin("-", e, measureTerm())
+        case Some(Num(v)) if v.startsWith("-") =>
+          // `a -3` lexes as Ident(a), Num(-3): subtraction of the
+          // positive — which opens a TERM, so `a -3 * b` still binds
+          // the multiplication first (a - (3 * b))
+          next()
+          var t: MeasureExpr = MeasureExpr.Lit(
+            v.drop(1).toDoubleOption.getOrElse(
+              throw ParseError(s"bad numeric literal '$v'")))
+          while (peek.contains(Sym("*")) || peek.contains(Sym("/"))) {
+            val Sym(op) = next(): @unchecked
+            t = MeasureExpr.Bin(op, t, measureAtom())
+          }
+          e = MeasureExpr.Bin("-", e, t)
+        case _ => more = false
+      }
+      e
+    }
+
+    def selectItem(allowAlias: Boolean = true): Select = {
       val name = ident()
-      if (peek.contains(Sym("("))) {
+      val base: Select = if (peek.contains(Sym("("))) {
         val agg = aggNames.getOrElse(name,
           throw ParseError(s"unknown aggregate '$name' (have: ${aggNames.keys.mkString(", ")})"))
         next() // (
         // count(*) — the README's own example shape; * counts every row
-        val c =
-          if (peek.contains(Sym("*"))) { next(); "*" }
-          else ident()
-        if (c == "*" && agg != Agg.Count)
-          throw ParseError(s"* is only meaningful in count(*), not ${name}(*)")
-        next() match {
-          case Sym(")") => Select(agg, c)
-          case other    => throw ParseError(s"expected ')', got $other")
+        if (peek.contains(Sym("*"))) {
+          next()
+          if (agg != Agg.Count)
+            throw ParseError(s"* is only meaningful in count(*), not ${name}(*)")
+          expectSym(")")
+          Select(agg, "*")
+        } else measureSum() match {
+          case MeasureExpr.Col(c) => expectSym(")"); Select(agg, c)
+          case e =>
+            expectSym(")")
+            if (agg == Agg.Heatmap)
+              throw ParseError("heatmap buckets a plain storage column, not an expression")
+            Select(agg, "", expr = Some(e))
         }
       } else Select(Agg.Raw, name)
+      if (atIdent("as")) {
+        if (!allowAlias)
+          throw ParseError("`as` aliases live in the select list — reference the alias by name here")
+        next()
+        val a = ident()
+        if (base.agg == Agg.Raw)
+          throw ParseError("`as` aliases apply to aggregate selects — raw columns keep their names")
+        base.copy(alias = Some(a))
+      } else if (base.expr.nonEmpty) {
+        if (!allowAlias)
+          throw ParseError("expression measures live in the select list — " +
+            "alias one there (`as <name>`) and reference it here by name")
+        throw ParseError("expression measures need `as <name>` — there is " +
+          "no canonical column name for an arithmetic expression")
+      } else base
     }
 
     def value(): String = next() match {
@@ -384,7 +458,7 @@ object ZxSql {
     }
 
     val seqOp: Option[SeqOp] = if (atSeqOp) Some(seqOpClause()) else None
-    val selects = if (seqOp.isDefined) Seq.empty[Select] else commaList(selectItem _)
+    val selects = if (seqOp.isDefined) Seq.empty[Select] else commaList(() => selectItem())
     if (atIdent("from")) { next(); ident() } // tolerated + ignored, like expr.rs (never reads FROM)
 
     // asof / trailing join clauses (extension — surfaces AsofJoin in SQL):
@@ -410,10 +484,13 @@ object ZxSql {
             case other  => throw ParseError(s"expected window seconds, got $other")
           }
           expectIdent("agg")
-          val aggs = commaList(selectItem _)
+          val aggs = commaList(() => selectItem())
           aggs.find(s => s.agg == Agg.Raw || s.agg == Agg.Heatmap ||
               s.agg == Agg.CountDistinct || s.agg == Agg.P50).foreach(s =>
             throw ParseError(s"trailing agg must be sum/count/min/max/mean over a right column, got ${s.agg.name}"))
+          aggs.find(_.expr.nonEmpty).foreach(_ =>
+            throw ParseError("trailing agg aggregates a right-table column, " +
+              "not an expression — compute it into the right table upstream"))
           JoinSpec(table, kl, kr, tl, tr, trailingSec = Some(w), aggs = aggs)
         })
       joinSpec.filter(_ => selects.exists(_.agg != Agg.Raw)).foreach(_ =>
@@ -493,9 +570,13 @@ object ZxSql {
     if (atIdent("having")) {
       next()
       def havingCond(): Having = {
-        val sel = selectItem()
-        if (sel.agg == Agg.Raw)
-          throw ParseError("having filters aggregates — use where for row conditions")
+        val sel = selectItem(allowAlias = false)
+        // a bare name may reference a select-list `as` alias (the filter
+        // then binds the aliased measure's output column); any other raw
+        // name is a row condition and belongs in WHERE
+        if (sel.agg == Agg.Raw && !selects.exists(_.alias.contains(sel.column)))
+          throw ParseError("having filters aggregates — use where for row " +
+            "conditions (or reference a select-list `as` alias)")
         if (sel.agg == Agg.Heatmap) throw ParseError("cannot filter by heatmap(...)")
         val cmp = next() match {
           case Sym("=")              => Cmp.Eq
@@ -518,7 +599,10 @@ object ZxSql {
     if (atIdent("order")) {
       next(); expectIdent("by")
       orderBy = commaList { () =>
-        val sel = selectItem()
+        // a bare name here may be a select-list `as` alias — it compiles
+        // to a Raw select whose key IS the alias, so runSorted orders by
+        // the aliased output column directly
+        val sel = selectItem(allowAlias = false)
         val dir =
           if (atIdent("desc")) { next(); SortDir.Desc }
           else { if (atIdent("asc")) next(); SortDir.Asc }
@@ -620,6 +704,10 @@ object ZxSql {
     if (salt.nonEmpty && seqOp.isEmpty &&
         (joinSpec.nonEmpty || selects.forall(_.agg == Agg.Raw)))
       throw ParseError("salt applies to aggregation queries only")
+    if (exactWindows && selects.exists(_.expr.nonEmpty))
+      throw ParseError("exact gap windows aggregate storage columns only — " +
+        "drop `exact` (expression measures compose with tumbling/session/" +
+        "hopping windows) or compute the expression upstream")
     if (equiJoins.nonEmpty) {
       if (joinSpec.nonEmpty)
         throw ParseError("asof/trailing joins and plain equi-joins do not mix in one query")

@@ -68,6 +68,10 @@ object GapWindowStream {
             idCol: Option[String] = None): Dataset[GwOut] = {
     require(q.selects.nonEmpty && q.selects.forall(s => allowed(s.agg)),
       s"streaming gap windows support ${allowed.map(_.name).mkString("/")} only")
+    require(q.selects.forall(_.expr.isEmpty),
+      "the exact gap walk aggregates storage columns only — compute the " +
+        "expression into a column upstream, or use tumbling/session/hopping " +
+        "windows (expression measures compose there)")
     val spark = stream.sparkSession
     import spark.implicits._
 
@@ -108,11 +112,11 @@ object GapWindowStream {
       .as[GwEvent]
 
     def freshBufs(): (Array[Double], Array[Double]) = {
-      val a = selects.map {
-        case Select(Agg.Max, _) => Double.MinValue // lib.rs:578
-        case Select(Agg.Min, _) => Double.MaxValue // lib.rs:593
-        case _                  => 0.0
-      }.toArray
+      val a = selects.map(_.agg match {
+        case Agg.Max => Double.MinValue // lib.rs:578
+        case Agg.Min => Double.MaxValue // lib.rs:593
+        case _       => 0.0
+      }).toArray
       (a, Array.fill(selects.size)(0.0))
     }
 

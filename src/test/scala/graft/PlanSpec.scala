@@ -652,4 +652,29 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("decomposable"))
   }
+
+  test("expression measures plan identically to plain columns: one exchange, map-side partials, codegen") {
+    val df = SparkEntry.queries("p28_sql_expr_measures")(spark, dir)
+    df.collect() // finalize AQE so codegen spans render
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the computed measure partial-aggregates MAP-SIDE, inline in the
+    // partial HashAggregate — the plan property that makes an expression
+    // measure cost exactly what the plain column costs at 100 TB
+    assert(p.contains("partial_sum((1.0 * coalesce((l_extendedprice"),
+      s"computed measure must partial-aggregate map-side:\n$p")
+    // exactly one aggregation exchange (the second Exchange is the
+    // ORDER BY's range partitioning, not an extra aggregation pass)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected the single aggregation exchange, got $exchanges:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final HashAggregate:\n$p")
+    // codegen'd operators print with the `*(n)` whole-stage marker; the
+    // partial aggregate carrying the expression must be inside a span
+    assert(p.contains("*(1) HashAggregate") || p.contains("*(2) HashAggregate"),
+      s"expression fell out of codegen:\n$p")
+    // the filter on the measured column still reaches the scan
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(l_quantity,5.0)"),
+      s"where on the measure's table must push down:\n$p")
+  }
 }

@@ -860,4 +860,110 @@ class SqlSpec extends AnyFunSuite {
     assertThrows[ZxSql.ParseError](ZxSql.runStream(st, "select neardup video"))
     assertThrows[ZxSql.ParseError](ZxSql.runStream(st, "select scenes"))
   }
+
+  test("expression measures parse: precedence, parens, unary minus, aliases (round 12)") {
+    import MeasureExpr._
+    val q = ZxSql.parse(
+      "select sum(a * (1 - b)) as revenue, mean(p / q) as upp, " +
+        "count(*) as n, sum(foo) as total group by y")
+    assert(q.selects(0) == Select(Agg.Sum, "",
+      Some(Bin("*", Col("a"), Bin("-", Lit(1.0), Col("b")))), Some("revenue")))
+    assert(q.selects(1) == Select(Agg.Mean, "",
+      Some(Bin("/", Col("p"), Col("q"))), Some("upp")))
+    assert(q.selects(2) == Select(Agg.Count, "*", None, Some("n")))
+    assert(q.selects(3) == Select(Agg.Sum, "foo", None, Some("total")))
+    assert(q.selects.map(_.key) == Seq("revenue", "upp", "n", "total"))
+    // * / bind tighter than + -; subtraction with the lexer's negative-Num
+    // folding (`c - 2` and `c -2` both subtract)
+    assert(ZxSql.parse("select sum(a + b * c - 2) as k").selects.head.expr.contains(
+      Bin("-", Bin("+", Col("a"), Bin("*", Col("b"), Col("c"))), Lit(2.0))))
+    assert(ZxSql.parse("select sum(a -2) as k").selects.head.expr.contains(
+      Bin("-", Col("a"), Lit(2.0))))
+    // the folded negative still opens a full term: a - (3 * b)
+    assert(ZxSql.parse("select sum(a -3 * b) as k").selects.head.expr.contains(
+      Bin("-", Col("a"), Bin("*", Lit(3.0), Col("b")))))
+    assert(ZxSql.parse("select sum(-a) as k").selects.head.expr.contains(
+      Neg(Col("a"))))
+    // a single parenthesized column is still an expression-free select?
+    // no — wrapping parens collapse to the plain column, so the canonical
+    // key scheme applies and no alias is needed
+    assert(ZxSql.parse("select sum((foo))").selects.head == Select(Agg.Sum, "foo"))
+  }
+
+  test("expression measures execute: string storage parses on demand, div-by-zero drops the row") {
+    import SparkFixture._
+    // fixture storage is ALL STRINGS (the reference's model) — the
+    // expression's numeric view parses on demand, exactly like plain
+    // aggregates; x = "0" on row 10 makes foo/x null there (try_divide),
+    // and a null expression contributes nothing to sum/mean
+    val got = ZxSql.run(fixture,
+      "select sum(foo * 2 + 1) as s2, mean(foo / x) as r " +
+        "group by y granularity 300")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Number]("s2").doubleValue, Option(r.getAs[Number]("r"))
+          .map(_.doubleValue)))).toMap
+    assert(got.keySet == Set("1", "9", "__nil"))
+    assert(got("1")._1 == 201.0 && math.abs(got("1")._2.get - 100.0 / 7) < 1e-9)
+    // row 10 (foo=1000, x=0): 1000/0 is null → mean over row 4 alone
+    assert(got("9")._1 == 2802.0 && got("9")._2.contains(200.0))
+    assert(got("__nil")._1 == 8007.0 &&
+      math.abs(got("__nil")._2.get -
+        (200.0 + 100 + 125 + 120 + 700.0 / 6 + 800.0 / 9 + 112.5) / 7) < 1e-9)
+  }
+
+  test("aliases thread through having, order by, limit, and salt (round 12)") {
+    import SparkFixture._
+    // having + order by reference the ALIAS by bare name; the filter binds
+    // the unrounded aggregate, the sort the output column
+    val rows = ZxSql.run(fixture,
+      "select sum(foo * 1) as s group by y having s > 300 order by s desc limit 2")
+      .collect().map(r => r.getString(0) -> r.getAs[Number]("s").doubleValue)
+    assert(rows.toSeq == Seq("__nil" -> 4000.0, "9" -> 1400.0))
+    // salted two-phase decomposition reproduces the expression measure
+    val salted = ZxSql.run(fixture,
+      "select sum(foo * 2) as s group by y granularity 300 salt 4")
+      .collect().map(r => r.getString(0) -> r.getAs[Number]("s").doubleValue).toMap
+    val plain = ZxSql.run(fixture,
+      "select sum(foo * 2) as s group by y granularity 300")
+      .collect().map(r => r.getString(0) -> r.getAs[Number]("s").doubleValue).toMap
+    assert(salted == plain && plain("__nil") == 8000.0)
+    // plain-agg alias renames the output column everywhere
+    val aliased = ZxSql.run(fixture, "select count(foo) as hits group by y granularity 300")
+    assert(aliased.columns.contains("hits") && !aliased.columns.exists(_.contains("count_")))
+  }
+
+  test("expression-measure guards fail loudly (round 12)") {
+    import SparkFixture._
+    def err(sql: String): String =
+      intercept[ZxSql.ParseError](ZxSql.parse(sql)).getMessage
+    assert(err("select sum(a * b)").contains("as"),
+      "expression measures need an alias")
+    assert(err("select heatmap(a * b) as h").contains("heatmap"))
+    assert(err("select foo as f").contains("raw"))
+    assert(err("select sum(a * b) as s group by y exact").contains("exact"))
+    assert(err("select sum(foo) group by y order by sum(a * b)")
+      .contains("select list"))
+    assert(err("select sum(foo) group by y having sum(a * b) > 5")
+      .contains("select list"))
+    assert(err("select sum(foo) group by y having bar > 5").contains("where"),
+      "a raw having name that aliases nothing is a row condition")
+    assert(err("select k, t trailing join d on k = dk at t >= dt within 60 " +
+      "agg sum(v * 2) as s").contains("right-table"))
+    // alias syntax is select-list-only in order by
+    assert(err("select sum(foo) as s group by y order by sum(foo) as t desc")
+      .contains("select list"))
+    // streaming: tumbling windows DO support expression measures — the
+    // same compile path as batch — while the exact gap walk refuses
+    val sdir = java.nio.file.Files.createTempDirectory("graft-sql-expr").toString
+    fixture.write.mode("overwrite").parquet(sdir)
+    val st = spark.readStream.schema(fixture.schema).parquet(sdir)
+    val stream = ZxSql.runStream(st,
+      "select sum(foo * 2) as s group by y granularity 300")
+    assert(stream.isStreaming, "tumbling expression measures must plan on a stream")
+    assertThrows[IllegalArgumentException](graft.streaming.GapWindowStream(
+      st, ZxSql.parse("select sum(foo) as s group by y granularity 300")
+        .copy(selects = Seq(Select(Agg.Sum, "",
+          Some(MeasureExpr.Bin("*", MeasureExpr.Col("foo"), MeasureExpr.Lit(2.0))),
+          Some("s"))))))
+  }
 }

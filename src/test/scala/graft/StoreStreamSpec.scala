@@ -1945,6 +1945,47 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bloom"))
   }
 
+  test("string-key membership (c12c): hashed tiers prune point reads, results exact, readers don't cross") {
+    val dir = Files.createTempDirectory("graft-strkey").toString + "/events"
+    // file A: 3 distinct string keys (exact-hash tier at cap 10);
+    // file B: 2000 distinct keys (hashed-bloom tier)
+    val a = spark.range(300).selectExpr("id AS event_id",
+      "timestamp_seconds(1704067200 + id) AS ts",
+      "concat('u', CAST(id % 3 AS STRING)) AS skey", "1.0 AS value")
+      .repartition(1)
+    val b = spark.range(2000).selectExpr("id + 10000 AS event_id",
+      "timestamp_seconds(1704153700 + id) AS ts",
+      "concat('doc-', CAST(id AS STRING)) AS skey", "2.0 AS value")
+      .repartition(1)
+    EventStore.append(a, dir); EventStore.append(b, dir)
+    EventStore.writeManifest(spark, dir)
+    val pinned = EventStore.writeFileKeySets(spark, dir, "skey", maxDistinct = 10)
+    assert(pinned == 2, "both hashed tiers must pin")
+    def full(k: String) = EventStore.readPinned(spark, dir)
+      .filter(col("skey") === k).collect().toSet
+    // exact-hash-tier key: file B's bloom rejects it (deterministic data)
+    val pa = EventStore.readPinnedPointString(spark, dir, "skey", "u1")
+    assert(pa.collect().toSet == full("u1") && pa.count() == 100)
+    assert(pa.inputFiles.length == 1, "hashed bloom must prune file B")
+    // bloom-tier key: file A's exact hash set rejects, file B admits
+    val pb = EventStore.readPinnedPointString(spark, dir, "skey", "doc-1500")
+    assert(pb.collect().toSet == full("doc-1500") && pb.count() == 1)
+    assert(pb.inputFiles.length == 1, "exact hash set must prune file A")
+    // absent key: both tiers reject (deterministic given fixed data)
+    assert(EventStore.readPinnedPointString(
+      spark, dir, "skey", "no-such-key-xyz").count() == 0)
+    // the INTEGRAL reader sees no raw-key entries in a hashed sidecar, so
+    // it must admit every file (conservative) — it may never misread a
+    // hash set as raw keys and wrongly prune
+    val viaInt = EventStore.readPinnedPoint(spark, dir, "event_id", 5L)
+    assert(viaInt.inputFiles.length == 2,
+      "integral reader must ADMIT everything under a hashed-only sidecar")
+    assert(viaInt.count() == 1)
+    // and the string reader refuses a null probe
+    assertThrows[IllegalArgumentException](
+      EventStore.readPinnedPointString(spark, dir, "skey", null))
+  }
+
   test("manifested schema evolution: merged read unifies generations, old pins predate the column") {
     val dir = Files.createTempDirectory("graft-evolve").toString + "/events"
     val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
