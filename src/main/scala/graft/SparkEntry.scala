@@ -2472,6 +2472,45 @@ object SparkEntry {
       .select(col("n_name"), round3("revenue"), round3("n_items"))
   }
 
+  /** P1 + expression predicates: the q6-forecast flavor with a COMPUTED
+    * measure in WHERE — `l_extendedprice * (1 - l_discount) > 1000`
+    * engages the numeric expression predicate (post-scan evaluation),
+    * while the plain discount/quantity conjuncts still push into the
+    * Parquet scan; the revenue measure aggregates over the surviving
+    * rows. All doubles — IEEE-identical on both engines. */
+  private def p30SqlExprWhere(s: SparkSession, dir: String): DataFrame = {
+    val sql = "select sum(l_extendedprice * l_discount) as revenue, " +
+      "count(*) as n from lineitem " +
+      "where l_discount >= 0.05 and l_discount <= 0.07 and l_quantity < 24 " +
+      "and l_extendedprice * (1 - l_discount) > 1000 " +
+      "group by l_returnflag order by revenue desc"
+    graft.sql.ZxSql.run(Tables.lineitem(s, dir), sql)
+      .select(col("l_returnflag"), round3("revenue"), round3("n"))
+  }
+
+  /** P1, the full q3 shape at the front door: [[graft.sql.ZxSql.runCatalog]]
+    * resolves the BASE frame from the query's own `from lineitem` (no
+    * DataFrame in hand), DATE literals compare against the timestamp
+    * columns (`o_orderdate < '1998-01-01'` — UTC epoch seconds on both
+    * engines), the computed revenue aggregates over the chained joins,
+    * and the top-10 cut rides the deterministic sorted path (revenue
+    * desc, then the string group keys asc — mirrored in the oracle). */
+  private def p31SqlShippingCatalog(s: SparkSession, dir: String): DataFrame = {
+    val sql = "select sum(l_extendedprice * (1 - l_discount)) as revenue, " +
+      "count(*) as n from lineitem " +
+      "join orders on l_orderkey = o_orderkey " +
+      "join customer on o_custkey = c_custkey " +
+      "where c_mktsegment = 'BUILDING' and o_orderdate < '1998-01-01' " +
+      "and l_shipdate > '1998-01-01' " +
+      "group by l_orderkey, o_orderdate order by revenue desc limit 10"
+    graft.sql.ZxSql.runCatalog(Map(
+      "lineitem" -> Tables.lineitem(s, dir),
+      "orders" -> Tables.orders(s, dir),
+      "customer" -> Tables.customer(s, dir)), sql)
+      .select(col("l_orderkey"), col("o_orderdate"),
+        round3("revenue"), round3("n"))
+  }
+
   /** s13: MMR diverse re-rank — one exact-kNN corpus pass builds the
     * shortlist, the greedy diversity loop runs on the bounded collected
     * artifact; the full trajectory replays in DuckDB as unrolled
@@ -3481,6 +3520,8 @@ object SparkEntry {
     "p27_sql_scenes" -> (p27SqlScenes _),
     "p28_sql_expr_measures" -> (p28SqlExprMeasures _),
     "p29_sql_expr_join" -> (p29SqlExprJoin _),
+    "p30_sql_expr_where" -> (p30SqlExprWhere _),
+    "p31_sql_q3_catalog" -> (p31SqlShippingCatalog _),
     "o1_top_groups" -> (o1TopGroups _),
     "o2_topk_limit" -> (o2TopkLimit _),
     "o3_top_per_group" -> (o3TopPerGroup _),
@@ -4862,6 +4903,35 @@ object SparkEntry {
         |WHERE o_orderstatus <> 'P'
         |GROUP BY n_name
         |HAVING sum(coalesce(l_extendedprice * (1 - l_discount), 0)) > 0""".stripMargin,
+    "p30_sql_expr_where" ->
+      // the expression predicate replays literally — doubles only, so
+      // the comparison boundary is the same IEEE value on both engines
+      """SELECT l_returnflag,
+        | round(sum(coalesce(l_extendedprice * l_discount, 0)), 3) AS revenue,
+        | round(CAST(count(*) AS DOUBLE), 3) AS n
+        |FROM lineitem
+        |WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+        |  AND l_extendedprice * (1 - l_discount) > 1000
+        |GROUP BY 1""".stripMargin,
+    "p31_sql_q3_catalog" ->
+      // the dialect's group keys surface as __nil-coalesced STRINGS and
+      // its top-10 cut tiebreaks on them ascending — the oracle renders
+      // and orders identically (rev cut on the UNROUNDED sum)
+      """WITH g AS (
+        |  SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
+        |    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+        |    sum(coalesce(l_extendedprice * (1 - l_discount), 0)) AS rev,
+        |    CAST(count(*) AS DOUBLE) AS nn
+        |  FROM lineitem
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY 1, 2)
+        |SELECT l_orderkey, o_orderdate, round(rev, 3) AS revenue,
+        |  round(nn, 3) AS n
+        |FROM g ORDER BY rev DESC, l_orderkey, o_orderdate LIMIT 10""".stripMargin,
     "a21_trend" -> trendOracle(extraWhere = ""),
     "p20_sql_trend" -> trendOracle(extraWhere = "AND event_type <> 'error'"),
     "p13_sql_markov" ->

@@ -34,15 +34,35 @@ object Predicates {
 
     // Numeric view of the column: native numerics stay as-is (keeps the
     // comparison unwrappable for parquet pushdown); strings get try_cast.
+    // TIMESTAMP_NTZ has no double cast — it routes through TimestampType
+    // first (sessions run UTC, and the NTZ storage contract IS UTC wall
+    // clock — sources/Tables.scala), landing on the same epoch seconds.
     def numC: Column = fieldType match {
       case Some(_: NumericType) => c
       case Some(_: TimestampType) | Some(_: DateType) => c.cast(DoubleType)
+      case Some(_: TimestampNTZType) => c.cast(TimestampType).cast(DoubleType)
       case _ => c.try_cast(DoubleType)
     }
     // unparseable numeric literal → NULL comparison → no rows match (the
     // try_cast philosophy; the reference panics, lib.rs:443-444)
     def numV: Column = cond.value.toDoubleOption
       .map(lit).getOrElse(lit(null).cast(DoubleType))
+    // Temporal columns take DATE / DATETIME literals ('1995-03-15',
+    // '1995-03-15 10:30:00') on the range comparators, compared in the
+    // COLUMN'S OWN type so the bound pushes into the Parquet scan:
+    // TimestampType against the UTC instant, TIMESTAMP_NTZ against the
+    // wall-clock LocalDateTime (the NTZ contract is UTC — exactly the
+    // ntzBounds mirror Compiler.scanFilter uses for the time range).
+    def temporalCmp: Option[(Column, Column)] = fieldType.flatMap {
+      case _: TimestampType =>
+        Predicates.dateLiteralEpochSec(cond.value).map(e =>
+          (c, timestamp_seconds(lit(e.toLong))))
+      case _: TimestampNTZType =>
+        Predicates.dateLiteralEpochSec(cond.value).map(e =>
+          (c, lit(java.time.LocalDateTime.ofEpochSecond(
+            e.toLong, 0, java.time.ZoneOffset.UTC))))
+      case _ => None
+    }
     def strC: Column = fieldType match {
       case Some(StringType) | None => c
       case _ => c.cast(StringType)
@@ -69,10 +89,10 @@ object Predicates {
     cond.cmp match {
       case Cmp.Eq            => eqC
       case Cmp.Ne            => neC
-      case Cmp.Gt            => numC > numV
-      case Cmp.Lt            => numC < numV
-      case Cmp.Gte           => numC >= numV
-      case Cmp.Lte           => numC <= numV
+      case Cmp.Gt            => temporalCmp.map { case (a, b) => a > b }.getOrElse(numC > numV)
+      case Cmp.Lt            => temporalCmp.map { case (a, b) => a < b }.getOrElse(numC < numV)
+      case Cmp.Gte           => temporalCmp.map { case (a, b) => a >= b }.getOrElse(numC >= numV)
+      case Cmp.Lte           => temporalCmp.map { case (a, b) => a <= b }.getOrElse(numC <= numV)
       case Cmp.Exists        => c.isNotNull
       case Cmp.NotExists     => c.isNull
       case Cmp.StartsWith    => strC.startsWith(cond.value)
@@ -81,6 +101,20 @@ object Predicates {
       case Cmp.NotContains   => !strC.contains(cond.value)
     }
   }
+
+  /** `'1995-03-15'` / `'1995-03-15 10:30:00'` → UTC epoch seconds, for
+    * range comparisons against timestamp columns (whose double cast IS
+    * epoch seconds — instants, session-timezone-independent). Returns
+    * None for anything that parses as neither, falling back to the
+    * matches-nothing NULL literal. */
+  private[compile] def dateLiteralEpochSec(v: String): Option[Double] =
+    try Some(java.time.LocalDate.parse(v)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond.toDouble)
+    catch { case _: java.time.format.DateTimeParseException =>
+      try Some(java.time.LocalDateTime.parse(v.replace(' ', 'T'))
+          .toEpochSecond(java.time.ZoneOffset.UTC).toDouble)
+      catch { case _: java.time.format.DateTimeParseException => None }
+    }
 
   /** AND-fold a conjunct list (the reference applies conditions sequentially,
     * lib.rs:197-200; Catalyst re-orders and compacts the conjunction). */
@@ -97,5 +131,21 @@ object Predicates {
     case ConditionTree.And(cs)      => cs.map(compileTree(_, schema)).reduce(_ && _)
     case ConditionTree.Or(cs)       => cs.map(compileTree(_, schema)).reduce(_ || _)
     case ConditionTree.Not(c)       => !compileTree(c, schema)
+    case ConditionTree.ExprLeaf(l, cmp, r) =>
+      // row-wise measure comparison (IR scaladoc): both sides through the
+      // same numeric view as expression measures; null side → null
+      // predicate → row dropped (three-valued logic)
+      val a = Aggregates.measureCol(l, schema)
+      val b = Aggregates.measureCol(r, schema)
+      cmp match {
+        case Cmp.Eq  => a === b
+        case Cmp.Ne  => a =!= b
+        case Cmp.Gt  => a > b
+        case Cmp.Lt  => a < b
+        case Cmp.Gte => a >= b
+        case Cmp.Lte => a <= b
+        case other => throw new IllegalArgumentException(
+          s"expression predicates support numeric comparators, got ${other.name}")
+      }
   }
 }

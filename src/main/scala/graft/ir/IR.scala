@@ -47,6 +47,17 @@ object ConditionTree {
   final case class And(children: Seq[ConditionTree]) extends ConditionTree
   final case class Or(children: Seq[ConditionTree]) extends ConditionTree
   final case class Not(child: ConditionTree) extends ConditionTree
+  /** Expression predicate (extension): numeric comparison of two
+    * row-wise [[MeasureExpr]]s — `where price * (1 - discount) > 1000`,
+    * or column-vs-column as `a - b > 0`. Engaged only when the LEFT side
+    * carries arithmetic (a bare `col cmp value` keeps the reference's
+    * Condition semantics, including bare-identifier string values), so
+    * every legacy WHERE parses unchanged. Numeric comparators only;
+    * three-valued logic: a null side drops the row. Arithmetic cannot
+    * push into a Parquet scan, so these evaluate post-scan — but the
+    * scan still prunes columns, and sibling plain conjuncts still push. */
+  final case class ExprLeaf(l: MeasureExpr, cmp: Cmp, r: MeasureExpr)
+      extends ConditionTree
 }
 
 /** Aggregates — lib.rs:133-143. The reference leaves P50/Raw/Heatmap
@@ -271,6 +282,10 @@ final case class ZxQuery(
     limit: Option[Int] = None,
     skewSalt: Option[Int] = None,
     exact: Boolean = false,
+    /** The `from <table>` name, when the query spelled one. `run(df, …)`
+      * keeps ignoring it (reference parity — expr.rs never reads FROM);
+      * [[graft.sql.ZxSql.runCatalog]] resolves the base frame from it. */
+    fromTable: Option[String] = None,
     /** Boolean WHERE tree (OR/NOT/parens — extension over the reference's
       * AND-only surface); ANDed with [[conditions]] when both are set. */
     where: Option[ConditionTree] = None,

@@ -29,8 +29,19 @@ import graft.operators.GapWindows
   * expr.rs:75-80, and punts every other operator, expr.rs:99)
   * over cond := col (=|!=|<>|>|<|>=|<=) value | col [not] like pattern
   *            | col [not] in (value, …) | col [not] between lo and hi
+  *            | measure-expr (=|!=|<>|>|<|>=|<=) measure-expr
   * (IN desugars to OR-of-equalities, BETWEEN to Gte AND Lte — both ride
-  * the condition tree and still push into the scan).
+  * the condition tree and still push into the scan). An arithmetic LEFT
+  * side engages the numeric expression predicate (`price * (1 - disc) >
+  * 1000`, column-vs-column as `a - b > 0`) — evaluated post-scan, while
+  * sibling plain conjuncts still push; a bare `col cmp value` keeps the
+  * reference's string/bare-identifier semantics unchanged. Range
+  * comparators against TIMESTAMP / TIMESTAMP_NTZ columns take quoted
+  * DATE / DATETIME literals (`o_orderdate < '1998-01-01'`), compared in
+  * the column's own type so the bound pushes into the Parquet scan.
+  * [[runCatalog]] resolves the base frame from the query's own
+  * `from <table>` against a caller catalog; `run(df, …)` keeps ignoring
+  * FROM (reference parity).
   * `$t_start` / `$t_end` equality conditions become the scan's time range
   * (expr.rs:170-186).
   *
@@ -246,8 +257,31 @@ object ZxSql {
         ConditionTree.Leaf(Condition(Cmp.Gte, c, lo)),
         ConditionTree.Leaf(Condition(Cmp.Lte, c, hi))))
     }
-    def cond(): ConditionTree = {
-      val c = ident()
+    // A WHERE term's LEFT side parses through the measure grammar: a bare
+    // column keeps the reference's Condition semantics EXACTLY (string
+    // equality, bare-identifier values, like/in/between/exists — and the
+    // scan pushdown those leaves get); arithmetic on the left engages the
+    // numeric expression predicate (ConditionTree.ExprLeaf), whose right
+    // side is a full measure expression too — so `price * (1 - disc) >
+    // 1000` and column-vs-column as `a - b > 0` are expressible. NOTE:
+    // a leading '(' always opens BOOLEAN grouping (legacy precedence) —
+    // write `a + b > 5`, not `(a + b) > 5`.
+    def cond(): ConditionTree = measureSum() match {
+      case MeasureExpr.Col(c) => condLegacy(c)
+      case l =>
+        val cmp = next() match {
+          case Sym("=")              => Cmp.Eq
+          case Sym("!=") | Sym("<>") => Cmp.Ne
+          case Sym(">")              => Cmp.Gt
+          case Sym("<")              => Cmp.Lt
+          case Sym(">=")             => Cmp.Gte
+          case Sym("<=")             => Cmp.Lte
+          case other => throw ParseError("expression predicates take " +
+            s"numeric comparators (= != > < >= <=), got $other")
+        }
+        ConditionTree.ExprLeaf(l, cmp, measureSum())
+    }
+    def condLegacy(c: String): ConditionTree = {
       next() match {
         case Sym("=")             => ConditionTree.Leaf(Condition(Cmp.Eq, c, value()))
         case Sym("!=") | Sym("<>") => ConditionTree.Leaf(Condition(Cmp.Ne, c, value()))
@@ -459,7 +493,10 @@ object ZxSql {
 
     val seqOp: Option[SeqOp] = if (atSeqOp) Some(seqOpClause()) else None
     val selects = if (seqOp.isDefined) Seq.empty[Select] else commaList(() => selectItem())
-    if (atIdent("from")) { next(); ident() } // tolerated + ignored, like expr.rs (never reads FROM)
+    // tolerated + ignored by run(df, …) like expr.rs (never reads FROM);
+    // recorded so runCatalog can resolve the base frame from it
+    val fromName: Option[String] =
+      if (atIdent("from")) { next(); Some(ident()) } else None
 
     // asof / trailing join clauses (extension — surfaces AsofJoin in SQL):
     //   asof join <table> on <keyL> = <keyR> at <timeL> >= <timeR>
@@ -535,6 +572,10 @@ object ZxSql {
         case ConditionTree.And(cs)  => cs.exists(hasTimePseudo)
         case ConditionTree.Or(cs)   => cs.exists(hasTimePseudo)
         case ConditionTree.Not(c)   => hasTimePseudo(c)
+        case ConditionTree.ExprLeaf(l, _, r) =>
+          // arithmetic over the scan-range pseudo-columns has no meaning
+          (MeasureExpr.columns(l) ++ MeasureExpr.columns(r))
+            .exists(c => c == "$t_start" || c == "$t_end")
       }
       complex.find(hasTimePseudo).foreach(_ => throw ParseError(
         "$t_start/$t_end must be top-level AND conditions (they ARE the scan's time range)"))
@@ -740,7 +781,8 @@ object ZxSql {
     }
 
     ZxQuery(selects, realConds, groupBy, orderBy, tStart, tEnd, gran, limitN,
-      exact = exactWindows, where = whereTree, asofJoin = joinSpec,
+      exact = exactWindows, fromTable = fromName,
+      where = whereTree, asofJoin = joinSpec,
       equiJoins = equiJoins,
       having = having, sessionGapSec = sessionGap, slideSec = slide,
       skewSalt = salt, seqOp = seqOp, rollup = rollup, cube = cube)
@@ -753,6 +795,23 @@ object ZxSql {
     * otherwise windowed time-series (`exact = true` replays the reference's
     * gap windows via [[GapWindows]]). `tables` is the catalog join clauses
     * resolve their right side from. */
+  /** Catalog entry point: resolve the BASE frame from the query's own
+    * `from <table>` clause — the front door without a DataFrame in hand.
+    * Join clauses (asof/trailing/equi) resolve from the same catalog, so
+    * one table map serves the whole query. `run(df, …)` keeps tolerating
+    * and ignoring FROM (reference parity); here it is required. */
+  def runCatalog(tables: Map[String, DataFrame], sql: String,
+                 tsCol: String = Compiler.DefaultTsCol,
+                 exact: Boolean = false,
+                 idCol: Option[String] = None): DataFrame = {
+    val from = parse(sql).fromTable.getOrElse(throw ParseError(
+      "runCatalog needs a `from <table>` clause to pick the base frame"))
+    val df = tables.getOrElse(from, throw ParseError(
+      s"unknown from table '$from' — catalog has: " +
+        tables.keys.toSeq.sorted.mkString(", ")))
+    run(df, sql, tsCol, exact, idCol, tables)
+  }
+
   def run(df: DataFrame, sql: String, tsCol: String = Compiler.DefaultTsCol,
           exact: Boolean = false, idCol: Option[String] = None,
           tables: Map[String, DataFrame] = Map.empty): DataFrame = {

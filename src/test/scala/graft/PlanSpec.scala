@@ -677,4 +677,19 @@ class PlanSpec extends AnyFunSuite {
       p.contains("GreaterThanOrEqual(l_quantity,5.0)"),
       s"where on the measure's table must push down:\n$p")
   }
+
+  test("date literals push into the parquet scans under the join (p31)") {
+    val df = SparkEntry.queries("p31_sql_q3_catalog")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the WHERE is written over the JOINED frame, but each temporal bound
+    // must land in ITS OWN table's scan — typed-literal comparison keeps
+    // them pushable (NTZ prints wall clock, TIMESTAMP prints the instant)
+    assert(p.contains("LessThan(o_orderdate,1998-01-01"),
+      s"orders date bound must push into the orders scan:\n$p")
+    assert(p.contains("GreaterThan(l_shipdate,1998-01-01"),
+      s"lineitem date bound must push into the lineitem scan:\n$p")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"dim predicate must push into the customer scan:\n$p")
+  }
 }

@@ -932,6 +932,67 @@ class SqlSpec extends AnyFunSuite {
     assert(aliased.columns.contains("hits") && !aliased.columns.exists(_.contains("count_")))
   }
 
+  test("expression predicates in WHERE: arithmetic left engages, legacy conds unchanged (round 12)") {
+    import SparkFixture._
+    import MeasureExpr._
+    // an arithmetic LEFT side lands as an ExprLeaf in the boolean tree;
+    // the sibling plain conjunct stays a pushable Condition leaf
+    val q = ZxSql.parse("select count(foo) as n where x > 2 and foo * 2 > 300 granularity 300")
+    assert(q.conditions == Seq(Condition(Cmp.Gt, "x", "2")),
+      "the plain conjunct must stay a reference-shaped Condition")
+    assert(q.where.contains(ConditionTree.ExprLeaf(
+      Bin("*", Col("foo"), Lit(2.0)), Cmp.Gt, Lit(300.0))))
+    // execution over the all-string fixture storage
+    def n(whereSql: String): Long = ZxSql.run(fixture,
+      s"select count(foo) as n where $whereSql granularity 300")
+      .collect().map(_.getAs[Number]("n").doubleValue.toLong).sum
+    assert(n("foo - x * 100 > 0") == 7,
+      "precedence: x*100 binds before the subtraction")
+    assert(n("foo - x > 0") == 10, "column-vs-column via subtraction")
+    // three-valued logic: null y drops the row (y non-null on 1, 4, 10)
+    assert(n("y - 0 >= 0") == 3)
+    // right side is a full measure expression too
+    assert(n("foo * 1 = x * 100") == 1, "only row 3: 300 = 3*100")
+    // guards: non-numeric comparators refuse; time pseudo-columns cannot
+    // ride arithmetic; boolean grouping keeps its precedence
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select count(foo) where a * b like 'x'"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select count(foo) where $t_start + 1 > 2"))
+    val e = intercept[ZxSql.ParseError](ZxSql.parse("select count(foo) where (a + b) > 5"))
+    assert(e.getMessage.contains("comparator"),
+      "a parenthesized lhs opens boolean grouping — the error must say so usefully")
+  }
+
+  test("runCatalog resolves FROM; timestamp columns take date literals (round 12)") {
+    import SparkFixture._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    import spark.implicits._
+    // runCatalog picks the base frame from the query's own FROM clause
+    val viaCatalog = ZxSql.runCatalog(Map("fix" -> fixture),
+      "select count(foo) as n from fix granularity 300")
+      .collect().map(_.getAs[Number]("n").doubleValue).sum
+    assert(viaCatalog == 10.0)
+    val missing = intercept[ZxSql.ParseError](
+      ZxSql.runCatalog(Map("fix" -> fixture), "select count(foo) as n"))
+    assert(missing.getMessage.contains("from"))
+    val unknown = intercept[ZxSql.ParseError](ZxSql.runCatalog(
+      Map("fix" -> fixture), "select count(foo) as n from nope"))
+    assert(unknown.getMessage.contains("fix"),
+      "the error must list what the catalog has")
+    // date literals: range comparators against a TIMESTAMP column convert
+    // to UTC epoch seconds — rows at 2024-03-10 00:00, 2024-03-10 12:00,
+    // 2024-03-11 00:00
+    val df = Seq(1710028800L, 1710072000L, 1710115200L).toDF("sec")
+      .select(col("sec").cast("long").as("id"),
+        timestamp_seconds(col("sec")).as("ts"))
+    assert(ZxSql.run(df, "select id where ts >= '2024-03-10' and ts < '2024-03-11'")
+      .count() == 2, "whole-day slice via date literals")
+    assert(ZxSql.run(df, "select id where ts > '2024-03-10 00:00:00'")
+      .count() == 2, "datetime literal with a time part")
+    // an unparseable literal against a timestamp keeps the
+    // matches-nothing contract (no exception)
+    assert(ZxSql.run(df, "select id where ts > 'not-a-date'").count() == 0)
+  }
+
   test("expression-measure guards fail loudly (round 12)") {
     import SparkFixture._
     def err(sql: String): String =
