@@ -2511,6 +2511,76 @@ object SparkEntry {
         round3("revenue"), round3("n"))
   }
 
+  /** p32: TPC-H q14 (promo revenue share) THROUGH the dialect — the
+    * round's two new layers composed: a conditional measure (`case when …
+    * then … else 0 end` INSIDE the aggregate) and a post-aggregate ratio
+    * (`100 * sum(a) / sum(b) as …`) over the broadcast equi-join, with no
+    * group by (the global roll-up shape the join grammar now takes). Both
+    * component sums ride ONE hash aggregate — the ratio is a scalar
+    * projection after the exchange, zero extra shuffles. */
+  private def p32SqlCaseRatio(s: SparkSession, dir: String): DataFrame = {
+    val sql = "select 100 * sum(case when p_type = 'PROMO' then " +
+      "l_extendedprice * (1 - l_discount) else 0 end) / " +
+      "sum(l_extendedprice * (1 - l_discount)) as promo_revenue, " +
+      "count(*) as n " +
+      "from lineitem join part on l_partkey = p_partkey " +
+      "where l_shipdate >= '1997-03-01' and l_shipdate < '1997-04-01'"
+    graft.sql.ZxSql.runCatalog(Map(
+      "lineitem" -> Tables.lineitem(s, dir),
+      "part" -> Tables.part(s, dir)), sql)
+      .select(round3("promo_revenue"), round3("n"))
+  }
+
+  /** One SQL string, two engines (the st_tumbling pattern, now THROUGH a
+    * join): enrich events with the customer dimension, then tumbling
+    * windows (slide == granularity). The windowed-equi-join composition
+    * the join grammar previously rejected. */
+  private val enrichSql = "select sum(value) as sum_value, count(*) as n " +
+    "from events join customer on user_id = c_custkey " +
+    "where event_type <> 'error' " +
+    "group by c_mktsegment granularity 3600 slide 3600"
+
+  /** p34: the windowed enrich, batch — dimension broadcasts, WHERE pushes
+    * below the join, ONE aggregation exchange on (dim key, window). */
+  private def p34SqlEnrichWindowed(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir), enrichSql,
+      tables = Map("customer" -> Tables.customer(s, dir)))
+      .select(col("c_mktsegment"), col("w_start"), col("w_end"),
+        round3("sum_value"), round3("n"))
+
+  /** st_enrich: the SAME SQL through runStream — the stream-static join
+    * is STATELESS (each micro-batch probes the static dimension; no join
+    * state, no extra watermark contract), windows close via the
+    * watermark's no-data finalization. Hashed against the same DuckDB
+    * oracle as p34; the sentinel row never matches a customer, so the
+    * inner join drops it before any window opens. */
+  private def stEnrich(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.replayEvents(s, dir, "st-enrich") { stream =>
+      graft.sql.ZxSql.runStream(stream, enrichSql, watermark = "0 seconds",
+        tables = Map("customer" -> Tables.customer(s, dir)))
+    }.select(col("c_mktsegment"), col("w_start"), col("w_end"),
+      round3("sum_value"), round3("n"))
+
+  /** p33: TPC-H q12 (priority class counts) THROUGH the dialect — two
+    * conditional measures whose branch predicates are IN-lists over the
+    * joined frame, grouped on the deterministic sorted path. The CASE
+    * values are exact small integers, so the double sums are
+    * bit-identical on both engines. */
+  private def p33SqlCaseGroup(s: SparkSession, dir: String): DataFrame = {
+    val sql = "select sum(case when o_orderpriority in ('1-URGENT', '2-HIGH') " +
+      "then 1 else 0 end) as high_line_count, " +
+      "sum(case when o_orderpriority in ('1-URGENT', '2-HIGH') " +
+      "then 0 else 1 end) as low_line_count " +
+      "from lineitem join orders on l_orderkey = o_orderkey " +
+      "where l_shipdate >= '1997-01-01' and l_shipdate < '1998-01-01' " +
+      "and l_returnflag = 'N' group by l_linestatus"
+    graft.sql.ZxSql.runCatalog(Map(
+      "lineitem" -> Tables.lineitem(s, dir),
+      "orders" -> Tables.orders(s, dir)), sql)
+      .select(col("l_linestatus"),
+        round3("high_line_count"), round3("low_line_count"))
+  }
+
   /** s13: MMR diverse re-rank — one exact-kNN corpus pass builds the
     * shortlist, the greedy diversity loop runs on the bounded collected
     * artifact; the full trajectory replays in DuckDB as unrolled
@@ -3522,6 +3592,9 @@ object SparkEntry {
     "p29_sql_expr_join" -> (p29SqlExprJoin _),
     "p30_sql_expr_where" -> (p30SqlExprWhere _),
     "p31_sql_q3_catalog" -> (p31SqlShippingCatalog _),
+    "p32_sql_case_ratio" -> (p32SqlCaseRatio _),
+    "p33_sql_case_group" -> (p33SqlCaseGroup _),
+    "p34_sql_enrich_windowed" -> (p34SqlEnrichWindowed _),
     "o1_top_groups" -> (o1TopGroups _),
     "o2_topk_limit" -> (o2TopkLimit _),
     "o3_top_per_group" -> (o3TopPerGroup _),
@@ -3650,6 +3723,7 @@ object SparkEntry {
     "st_hopping" -> (stHopping _),
     "st_gap" -> (stGap _),
     "st_heatmap" -> (stHeatmap _),
+    "st_enrich" -> (stEnrich _),
   )
 
   /** a20/p13 oracle: full trajectory replay — the lag-window transitions,
@@ -4932,6 +5006,42 @@ object SparkEntry {
         |SELECT l_orderkey, o_orderdate, round(rev, 3) AS revenue,
         |  round(nn, 3) AS n
         |FROM g ORDER BY rev DESC, l_orderkey, o_orderdate LIMIT 10""".stripMargin,
+    "p32_sql_case_ratio" ->
+      // both engines sum doubles and divide the two totals — the ratio is
+      // scale-free, so 3dp rounding is far inside the float-sum parity band
+      """SELECT round(100 * sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |  / sum(l_extendedprice * (1 - l_discount)), 3) AS promo_revenue,
+        | round(CAST(count(*) AS DOUBLE), 3) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin,
+    "p34_sql_enrich_windowed" ->
+      // enrich-then-window: the join fans each event to its customer's
+      // segment, tumbling buckets floor to the hour; group key surfaces
+      // __nil-coalesced like every dialect dimension
+      """WITH e AS (SELECT coalesce(c_mktsegment, '__nil') AS g,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+        |  FROM events JOIN customer ON user_id = c_custkey
+        |  WHERE event_type <> 'error')
+        |SELECT g AS c_mktsegment,
+        |  (t // 3600) * 3600 AS w_start,
+        |  (t // 3600) * 3600 + 3600 AS w_end,
+        |  round(sum(coalesce(value, 0)), 3) AS sum_value,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS n
+        |FROM e GROUP BY 1, 2, 3""".stripMargin,
+    "p33_sql_case_group" ->
+      // CASE values are exact small integers — double sums bit-identical
+      """SELECT l_linestatus,
+        | round(CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |   THEN 1 ELSE 0 END) AS DOUBLE), 3) AS high_line_count,
+        | round(CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |   THEN 0 ELSE 1 END) AS DOUBLE), 3) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_returnflag = 'N'
+        |GROUP BY l_linestatus""".stripMargin,
     "a21_trend" -> trendOracle(extraWhere = ""),
     "p20_sql_trend" -> trendOracle(extraWhere = "AND event_type <> 'error'"),
     "p13_sql_markov" ->
@@ -6015,6 +6125,7 @@ object SparkEntry {
       "st_session" -> base("a9_session"),
       "st_hopping" -> base("a10_hopping"),
       "st_gap" -> base("a8_gap_window"),
-      "st_heatmap" -> base("a7_heatmap"))
+      "st_heatmap" -> base("a7_heatmap"),
+      "st_enrich" -> base("p34_sql_enrich_windowed"))
   }
 }

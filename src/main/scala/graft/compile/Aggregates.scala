@@ -74,6 +74,39 @@ object Aggregates {
         case "/" => try_divide(a, b)
         case other => throw new IllegalArgumentException(s"bad measure op '$other'")
       }
+    case MeasureExpr.Case(branches, orElse) =>
+      // conditional measure: branch predicates reuse the WHERE compiler
+      // verbatim (same comparator/like/in/between semantics as filters),
+      // values recurse through this measure compiler. SQL CASE semantics:
+      // first true branch wins, no match → else, no else → NULL (the row
+      // contributes nothing to a sum/mean). A NULL predicate is not-true,
+      // so it falls through — three-valued logic, same as DuckDB.
+      val chained = branches.foldLeft(Option.empty[Column]) { case (acc, (c, v)) =>
+        val p = Predicates.compileTree(c, schema)
+        val w = measureCol(v, schema)
+        Some(acc.map(_.when(p, w)).getOrElse(when(p, w)))
+      }.getOrElse(throw new IllegalArgumentException("case needs at least one when branch"))
+      orElse.map(e2 => chained.otherwise(measureCol(e2, schema))).getOrElse(chained)
+  }
+
+  /** Post-aggregate expression column ([[AggExpr]]): a scalar projection
+    * over component aggregate outputs — each leaf call reads the column
+    * its internal alias named in the same aggregation; `/` keeps the
+    * null-on-zero-divisor contract. Runs AFTER the aggregation exchange,
+    * so a ratio of sums costs zero extra shuffles. */
+  def postCol(e: AggExpr): Column = e match {
+    case AggExpr.Call(sel)       => Compiler.colRef(sel.key)
+    case AggExpr.Lit(v)          => lit(v)
+    case AggExpr.Neg(x)          => -postCol(x)
+    case AggExpr.Bin(op, l, r) =>
+      val a = postCol(l); val b = postCol(r)
+      op match {
+        case "+" => a + b
+        case "-" => a - b
+        case "*" => a * b
+        case "/" => try_divide(a, b)
+        case other => throw new IllegalArgumentException(s"bad post-aggregate op '$other'")
+      }
   }
 
   /** Value / presence pair for one Select: plain columns keep the

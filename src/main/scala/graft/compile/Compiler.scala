@@ -127,20 +127,37 @@ object Compiler {
     preds.reduceOption(_ && _).map(df.filter).getOrElse(df)
   }
 
+  /** Component aggregates the post-aggregate selects need — they ride the
+    * SAME hash aggregate (and salted decomposition) as visible selects,
+    * under parser-assigned `__pa<n>` aliases that the final projection
+    * always drops. */
+  private[graft] def postComponents(q: ZxQuery): Seq[Select] =
+    q.postSelects.flatMap(_.components).distinct
+
+  /** Materialize post-aggregate expression columns on the aggregated
+    * frame — BEFORE HAVING, so `having <alias> > x` and `order by <alias>`
+    * bind the computed column like any select alias. Scalar projection
+    * only: zero exchanges. */
+  private[graft] def withPostSelects(df: DataFrame, q: ZxQuery): DataFrame =
+    q.postSelects.foldLeft(df)((d, p) =>
+      d.withColumn(p.alias, Aggregates.postCol(p.expr)))
+
   def runUnsorted(df: DataFrame, q: ZxQuery, tsCol: String = DefaultTsCol): DataFrame = {
     if (q.slideSec.nonEmpty) return runHopping(df, q, tsCol)
     val filtered = scanFilter(df, q, tsCol)
     val wStart = (floor(col(tsCol).cast(LongType) / q.granularitySec) *
       q.granularitySec).cast(LongType).as("w_start")
     val keys = groupKeys(q, df.schema) :+ wStart
-    val extraSels = q.having.map(_.select)
+    val extraSels = (q.having.map(_.select) ++ postComponents(q))
       .filterNot(s => q.selects.contains(s) || s.agg == Agg.Raw).distinct
-    val grouped = Aggregates.groupedAgg(filtered, keys, q.groupBy :+ "w_start",
-      q.selects ++ extraSels, df.schema, q.skewSalt)
+    val grouped = withPostSelects(
+      Aggregates.groupedAgg(filtered, keys, q.groupBy :+ "w_start",
+        q.selects ++ extraSels, df.schema, q.skewSalt), q)
     val kept = havingFilter(grouped, q.having)
-    val pruned = if (extraSels.nonEmpty)
+    val pruned = if (extraSels.nonEmpty || q.postSelects.nonEmpty)
       kept.select((q.groupBy.map(colRef) :+ col("w_start")) ++
-        q.selects.map(s => colRef(s.key)): _*)
+        q.selects.map(s => colRef(s.key)) ++
+        q.postSelects.map(p => colRef(p.alias)): _*)
     else kept
     pruned.withColumn("w_end", (col("w_start") + q.granularitySec).cast(LongType))
   }
@@ -160,15 +177,17 @@ object Compiler {
     val win = window(timestamp_seconds(col(tsCol).cast(LongType)),
       s"${q.granularitySec} seconds", s"$slide seconds")
     val keys = groupKeys(q, df.schema) :+ win.as("__w")
-    val extraSels = q.having.map(_.select)
+    val extraSels = (q.having.map(_.select) ++ postComponents(q))
       .filterNot(s => q.selects.contains(s) || s.agg == Agg.Raw).distinct
-    val grouped = Aggregates.groupedAgg(filtered, keys, q.groupBy :+ "__w",
-      q.selects ++ extraSels, df.schema, q.skewSalt)
+    val grouped = withPostSelects(
+      Aggregates.groupedAgg(filtered, keys, q.groupBy :+ "__w",
+        q.selects ++ extraSels, df.schema, q.skewSalt), q)
     havingFilter(grouped, q.having)
       .select((q.groupBy.map(colRef) ++ Seq(
         col("__w.start").cast(LongType).as("w_start"),
         col("__w.end").cast(LongType).as("w_end")) ++
-        q.selects.map(s => colRef(s.key))): _*)
+        q.selects.map(s => colRef(s.key)) ++
+        q.postSelects.map(p => colRef(p.alias))): _*)
   }
 
   /** Pipeline A'' — gap-based SESSION windows (extension): Spark's native
@@ -195,15 +214,17 @@ object Compiler {
     val sw = session_window(
       timestamp_seconds(col(tsCol).cast(LongType)), s"$gap seconds")
     val keys = groupKeys(q, df.schema) :+ sw.as("__sw")
-    val extraSels = q.having.map(_.select)
+    val extraSels = (q.having.map(_.select) ++ postComponents(q))
       .filterNot(s => q.selects.contains(s) || s.agg == Agg.Raw).distinct
-    val grouped = Aggregates.groupedAgg(filtered, keys, q.groupBy :+ "__sw",
-      q.selects ++ extraSels, df.schema, None)
+    val grouped = withPostSelects(
+      Aggregates.groupedAgg(filtered, keys, q.groupBy :+ "__sw",
+        q.selects ++ extraSels, df.schema, None), q)
     havingFilter(grouped, q.having)
       .select((q.groupBy.map(colRef) ++ Seq(
         col("__sw.start").cast(LongType).as("w_start"),
         col("__sw.end").cast(LongType).as("w_end")) ++
-        q.selects.map(s => colRef(s.key))): _*)
+        q.selects.map(s => colRef(s.key)) ++
+        q.postSelects.map(p => colRef(p.alias))): _*)
   }
 
   /** Two-level SESSION windows — the skew mitigation for the one-hot-group
@@ -235,7 +256,7 @@ object Compiler {
     val gap = q.sessionGapSec.getOrElse(
       throw new IllegalArgumentException("runSessionTwoLevel needs sessionGapSec"))
     require(salts > 0, s"salts must be positive, got $salts")
-    val extraSels = q.having.map(_.select)
+    val extraSels = (q.having.map(_.select) ++ postComponents(q))
       .filterNot(s => q.selects.contains(s) || s.agg == Agg.Raw).distinct
     val sels = q.selects ++ extraSels
     val (partials, finals) = sels.zipWithIndex
@@ -254,14 +275,15 @@ object Compiler {
     // contract); make_interval(secs = __e - __s) builds it per row
     val sw2 = session_window(timestamp_seconds(col("__s")),
       expr("make_interval(0, 0, 0, 0, 0, 0, __e - __s)"))
-    val merged = level1
+    val merged = withPostSelects(level1
       .groupBy(q.groupBy.map(colRef) :+ sw2.as("__sw2"): _*)
-      .agg(finals.head, finals.tail: _*)
+      .agg(finals.head, finals.tail: _*), q)
     havingFilter(merged, q.having)
       .select((q.groupBy.map(colRef) ++ Seq(
         col("__sw2.start").cast(LongType).as("w_start"),
         col("__sw2.end").cast(LongType).as("w_end")) ++
-        q.selects.map(s => colRef(s.key))): _*)
+        q.selects.map(s => colRef(s.key)) ++
+        q.postSelects.map(p => colRef(p.alias))): _*)
   }
 
   /** Pipeline B — whole-range aggregate + multi-key sort ("top groups",
@@ -275,22 +297,24 @@ object Compiler {
   def runSorted(df: DataFrame, q: ZxQuery, tsCol: String = DefaultTsCol): DataFrame = {
     val filtered = scanFilter(df, q, tsCol)
     val keys = groupKeys(q, df.schema)
-    val extraSels = (q.orderBy.map(_.select) ++ q.having.map(_.select))
+    val extraSels = (q.orderBy.map(_.select) ++ q.having.map(_.select) ++
+        postComponents(q))
       .filterNot(s => q.selects.contains(s) || s.agg == Agg.Raw || s.agg == Agg.Heatmap)
       .distinct
-    val grouped = havingFilter(
+    val grouped = havingFilter(withPostSelects(
       if (q.rollup || q.cube)
         rollupAgg(filtered, keys, q, q.selects ++ extraSels, df.schema)
       else Aggregates.groupedAgg(filtered, keys, q.groupBy,
-        q.selects ++ extraSels, df.schema, q.skewSalt), q.having)
+        q.selects ++ extraSels, df.schema, q.skewSalt), q), q.having)
     val ordCols = q.orderBy.map { ob =>
       val c = colRef(ob.select.key)
       ob.dir match { case SortDir.Asc => c.asc; case SortDir.Desc => c.desc }
     } ++ q.groupBy.map(colRef(_).asc)
     val sorted = if (ordCols.nonEmpty) grouped.orderBy(ordCols: _*) else grouped
     val limited = q.limit.map(sorted.limit).getOrElse(sorted)
-    if (extraSels.nonEmpty)
-      limited.select((q.groupBy.map(colRef) ++ q.selects.map(s => colRef(s.key))): _*)
+    if (extraSels.nonEmpty || q.postSelects.nonEmpty)
+      limited.select((q.groupBy.map(colRef) ++ q.selects.map(s => colRef(s.key)) ++
+        q.postSelects.map(p => colRef(p.alias))): _*)
     else limited
   }
 

@@ -58,6 +58,15 @@ object ConditionTree {
     * scan still prunes columns, and sibling plain conjuncts still push. */
   final case class ExprLeaf(l: MeasureExpr, cmp: Cmp, r: MeasureExpr)
       extends ConditionTree
+
+  /** Columns the tree reads — for pseudo-column guards and pruning. */
+  def columns(t: ConditionTree): Set[String] = t match {
+    case Leaf(c)            => Set(c.column)
+    case And(cs)            => cs.flatMap(columns).toSet
+    case Or(cs)             => cs.flatMap(columns).toSet
+    case Not(c)             => columns(c)
+    case ExprLeaf(l, _, r)  => MeasureExpr.columns(l) ++ MeasureExpr.columns(r)
+  }
 }
 
 /** Aggregates — lib.rs:133-143. The reference leaves P50/Raw/Heatmap
@@ -98,6 +107,16 @@ object MeasureExpr {
   final case class Lit(value: Double)                              extends MeasureExpr
   final case class Bin(op: String, l: MeasureExpr, r: MeasureExpr) extends MeasureExpr
   final case class Neg(e: MeasureExpr)                             extends MeasureExpr
+  /** `case when <cond> then <expr> [when …]* [else <expr>] end` — the
+    * conditional measure (extension): branch predicates are full WHERE
+    * condition trees (comparators, like, in, between, boolean grouping),
+    * reusing [[ConditionTree]] semantics verbatim; a fall-through without
+    * `else` is SQL NULL (the row contributes nothing to a sum/mean).
+    * Compiled to Catalyst `when(…).otherwise(…)` — pure Column
+    * composition, so conditional measures codegen and partial-aggregate
+    * map-side like every other measure. */
+  final case class Case(branches: Seq[(ConditionTree, MeasureExpr)],
+                        orElse: Option[MeasureExpr]) extends MeasureExpr
 
   /** Columns the expression reads — for projection pruning and guards. */
   def columns(e: MeasureExpr): Set[String] = e match {
@@ -105,6 +124,9 @@ object MeasureExpr {
     case Lit(_)        => Set.empty
     case Bin(_, l, r)  => columns(l) ++ columns(r)
     case Neg(x)        => columns(x)
+    case Case(bs, el)  =>
+      bs.flatMap { case (c, v) => ConditionTree.columns(c) ++ columns(v) }.toSet ++
+        el.map(columns).getOrElse(Set.empty)
   }
 }
 
@@ -121,6 +143,40 @@ final case class Select(agg: Agg, column: String,
     case a if column == "*" => s"${a.name}_star"
     case a                  => s"${a.name}_${column}"
   })
+}
+
+/** Arithmetic over AGGREGATES (extension — the layer above [[MeasureExpr]]):
+  * `100 * sum(promo_rev) / sum(rev) as promo_pct`. Leaves are aggregate
+  * calls (each a [[Select]] carrying a parser-assigned internal alias) and
+  * numeric literals; operators are the measure grammar's `+ - * /` with
+  * `/` as null-on-zero-divisor division. Compiled AFTER the one
+  * aggregation exchange as a scalar projection over the component
+  * aggregate columns — a ratio of sums costs zero extra shuffles and the
+  * components ride the same hash aggregate (and the same salted two-phase
+  * decomposition) as visible selects. */
+sealed trait AggExpr
+object AggExpr {
+  final case class Call(sel: Select)                         extends AggExpr
+  final case class Lit(value: Double)                        extends AggExpr
+  final case class Bin(op: String, l: AggExpr, r: AggExpr)   extends AggExpr
+  final case class Neg(e: AggExpr)                           extends AggExpr
+
+  /** The aggregate calls the expression contains, in occurrence order. */
+  def calls(e: AggExpr): Seq[Select] = e match {
+    case Call(s)      => Seq(s)
+    case Lit(_)       => Nil
+    case Bin(_, l, r) => calls(l) ++ calls(r)
+    case Neg(x)       => calls(x)
+  }
+}
+
+/** One post-aggregate select item: `<agg arithmetic> as <alias>`. The
+  * alias is REQUIRED (there is no canonical name for `sum(a)/sum(b)`), and
+  * HAVING / ORDER BY reference it by bare name like any select alias. */
+final case class PostSelect(expr: AggExpr, alias: String) {
+  /** Component aggregates to compute (deduped); each already carries its
+    * internal `__pa<n>` alias so outputs never collide with user columns. */
+  def components: Seq[Select] = AggExpr.calls(expr).distinct
 }
 
 /** As-of / trailing-range join clause (extension — the reference has no
@@ -332,4 +388,11 @@ final case class ZxQuery(
       * levels, n ≤ 4 enforced at parse), same Expand plan and the same
       * `__nil`/`__all` sentinel discipline as [[rollup]]. SQL face:
       * `group by cube <col, …>`. */
-    cube: Boolean = false)
+    cube: Boolean = false,
+    /** Post-aggregate expression selects (extension):
+      * `100 * sum(a) / sum(b) as pct` — arithmetic OVER aggregates,
+      * computed as a scalar projection after the one aggregation exchange
+      * (components ride the same hash aggregate as visible selects; zero
+      * extra shuffles). Output columns surface after [[selects]], in
+      * select-list order; HAVING / ORDER BY bind the alias by name. */
+    postSelects: Seq[PostSelect] = Nil)

@@ -25,7 +25,8 @@ object JsonResult {
     * results (the reference returns the same payload over RESP), never on
     * raw data. */
   def toReferenceJson(windowed: DataFrame, groupCols: Seq[String],
-                      selects: Seq[graft.ir.Select]): String = {
+                      selects: Seq[graft.ir.Select],
+                      postSelects: Seq[graft.ir.PostSelect] = Nil): String = {
     val rows = windowed
       .orderBy((groupCols.map(graft.compile.Compiler.colRef) :+ col("w_start")): _*)
       .collect()
@@ -48,14 +49,23 @@ object JsonResult {
         }.mkString(",") + "}"
         val starts = rs.map(_.getAs[Long]("w_start")).mkString("[", ",", "]")
         val ends = rs.map(_.getAs[Long]("w_end")).mkString("[", ",", "]")
-        val aggs = selects.map { sel =>
+        val aggs = (selects.map { sel =>
           val data = rs.map { r =>
             Option(r.getAs[Any](sel.key)).map(_.toString).getOrElse("null")
           }.mkString("[", ",", "]")
           s""""${esc(aggregateKey(sel.agg.name,
               sel.expr.flatMap(_ => sel.alias).getOrElse(sel.column)))}":""" +
             s"""{"data":$data,"window_starts":$starts,"window_ends":$ends}"""
-        }.mkString(",")
+        } ++ postSelects.map { p =>
+          // post-aggregate expressions render under `$$expr(<alias>)` —
+          // no reference analog exists (the reference has no arithmetic
+          // over aggregates), so the alias names the series
+          val data = rs.map { r =>
+            Option(r.getAs[Any](p.alias)).map(_.toString).getOrElse("null")
+          }.mkString("[", ",", "]")
+          s""""${esc(aggregateKey("expr", p.alias))}":""" +
+            s"""{"data":$data,"window_starts":$starts,"window_ends":$ends}"""
+        }).mkString(",")
         s""""${esc(keyJson)}":{$aggs}"""
     }
     "{" + entries.mkString(",") + "}"

@@ -113,6 +113,12 @@ object ZxSql {
   def parse(sql: String): ZxQuery = {
     val toks = lex(sql)
     var pos = 0
+    // internal-alias allocator for post-aggregate component calls (see the
+    // post-aggregate grammar below); lives up here so the grammar's
+    // def-to-def forward references don't cross a value definition
+    var paN = 0
+    val paByShape = scala.collection.mutable.LinkedHashMap
+      .empty[(Agg, String, Option[MeasureExpr]), String]
     def peek: Option[Tok] = toks.lift(pos)
     def next(): Tok = {
       if (pos >= toks.length) throw ParseError("unexpected end of input")
@@ -147,6 +153,30 @@ object ZxSql {
         next()
         MeasureExpr.Lit(v.toDoubleOption.getOrElse(
           throw ParseError(s"bad numeric literal '$v'")))
+      case Some(Ident("case")) =>
+        // `case when <cond> then <expr> [when …]* [else <expr>] end` —
+        // the conditional measure. Branch predicates are full WHERE
+        // condition trees (comparators, like, in, between, and/or/not),
+        // values recurse through the measure grammar; no `else` → NULL
+        // (the row contributes nothing). `case` is a reserved word in
+        // measure position — a storage column of that name stays
+        // reachable everywhere else.
+        next()
+        if (!atIdent("when"))
+          throw ParseError("case needs at least one `when <cond> then <value>` branch")
+        val bs = Seq.newBuilder[(ConditionTree, MeasureExpr)]
+        while (atIdent("when")) {
+          next()
+          val c = orExpr()
+          if (ConditionTree.columns(c).exists(n => n == "$t_start" || n == "$t_end"))
+            throw ParseError("$t_start/$t_end are the scan's time range — " +
+              "they cannot appear inside case conditions")
+          expectIdent("then")
+          bs += ((c, measureSum()))
+        }
+        val orElse = if (atIdent("else")) { next(); Some(measureSum()) } else None
+        expectIdent("end")
+        MeasureExpr.Case(bs.result(), orElse)
       case Some(Ident(v)) => next(); MeasureExpr.Col(v)
       case other => throw ParseError(s"expected a measure term, got ${other.getOrElse("end of input")}")
     }
@@ -182,9 +212,12 @@ object ZxSql {
       e
     }
 
-    def selectItem(allowAlias: Boolean = true): Select = {
+    // One aggregate call (`sum(expr)`, `count(*)`) or a bare raw column —
+    // the shared leaf of plain select items, HAVING/ORDER BY references,
+    // trailing-agg lists, AND the post-aggregate expression grammar below.
+    def aggCallOrRaw(): Select = {
       val name = ident()
-      val base: Select = if (peek.contains(Sym("("))) {
+      if (peek.contains(Sym("("))) {
         val agg = aggNames.getOrElse(name,
           throw ParseError(s"unknown aggregate '$name' (have: ${aggNames.keys.mkString(", ")})"))
         next() // (
@@ -204,6 +237,10 @@ object ZxSql {
             Select(agg, "", expr = Some(e))
         }
       } else Select(Agg.Raw, name)
+    }
+
+    def selectItem(allowAlias: Boolean = true): Select = {
+      val base: Select = aggCallOrRaw()
       if (atIdent("as")) {
         if (!allowAlias)
           throw ParseError("`as` aliases live in the select list — reference the alias by name here")
@@ -219,6 +256,97 @@ object ZxSql {
         throw ParseError("expression measures need `as <name>` — there is " +
           "no canonical column name for an arithmetic expression")
       } else base
+    }
+
+    // Post-aggregate expression grammar (extension): arithmetic OVER
+    // aggregate calls — `100 * sum(promo) / sum(rev) as promo_pct`. Same
+    // precedence/negative-literal handling as the measure grammar; leaves
+    // are aggregate calls and numeric literals. Each distinct call gets a
+    // parser-assigned internal alias (`__pa<n>`) — shared across the whole
+    // select list, so `sum(x)` appearing in two expressions is computed
+    // once.
+    def internalize(e: AggExpr): AggExpr = e match {
+      case AggExpr.Call(s) =>
+        val a = paByShape.getOrElseUpdate((s.agg, s.column, s.expr),
+          { val n = s"__pa$paN"; paN += 1; n })
+        AggExpr.Call(s.copy(alias = Some(a)))
+      case AggExpr.Bin(op, l, r) => AggExpr.Bin(op, internalize(l), internalize(r))
+      case AggExpr.Neg(x)        => AggExpr.Neg(internalize(x))
+      case other                 => other
+    }
+    def aggAtom(): AggExpr = peek match {
+      case Some(Sym("(")) => next(); val e = aggSum(); expectSym(")"); e
+      case Some(Sym("-")) => next(); AggExpr.Neg(aggAtom())
+      case Some(Num(v)) =>
+        next()
+        AggExpr.Lit(v.toDoubleOption.getOrElse(
+          throw ParseError(s"bad numeric literal '$v'")))
+      case Some(Ident(_)) => AggExpr.Call(aggCallOrRaw())
+      case other => throw ParseError(
+        s"expected a select item, got ${other.getOrElse("end of input")}")
+    }
+    def aggTerm(): AggExpr = {
+      var e = aggAtom()
+      while (peek.contains(Sym("*")) || peek.contains(Sym("/"))) {
+        val Sym(op) = next(): @unchecked
+        e = AggExpr.Bin(op, e, aggAtom())
+      }
+      e
+    }
+    def aggSum(): AggExpr = {
+      var e = aggTerm()
+      var more = true
+      while (more) peek match {
+        case Some(Sym("+")) => next(); e = AggExpr.Bin("+", e, aggTerm())
+        case Some(Sym("-")) => next(); e = AggExpr.Bin("-", e, aggTerm())
+        case Some(Num(v)) if v.startsWith("-") =>
+          // `sum(x) -3`: the lexer folded the minus into the literal —
+          // subtraction of the positive, opening a TERM (mirrors measureSum)
+          next()
+          var t: AggExpr = AggExpr.Lit(
+            v.drop(1).toDoubleOption.getOrElse(
+              throw ParseError(s"bad numeric literal '$v'")))
+          while (peek.contains(Sym("*")) || peek.contains(Sym("/"))) {
+            val Sym(op) = next(): @unchecked
+            t = AggExpr.Bin(op, t, aggAtom())
+          }
+          e = AggExpr.Bin("-", e, t)
+        case _ => more = false
+      }
+      e
+    }
+    // One select-list entry: a plain select item (raw column / aggregate,
+    // optional alias) or a post-aggregate expression (alias REQUIRED).
+    def selectEntry(): Either[Select, PostSelect] = aggSum() match {
+      case AggExpr.Call(sel) =>
+        // single call / raw column — the classic select item; replay the
+        // alias handling selectItem applies
+        if (atIdent("as")) {
+          next()
+          val a = ident()
+          if (sel.agg == Agg.Raw)
+            throw ParseError("`as` aliases apply to aggregate selects — raw columns keep their names")
+          Left(sel.copy(alias = Some(a)))
+        } else if (sel.expr.nonEmpty)
+          throw ParseError("expression measures need `as <name>` — there is " +
+            "no canonical column name for an arithmetic expression")
+        else Left(sel)
+      case e =>
+        val calls = AggExpr.calls(e)
+        if (calls.isEmpty)
+          throw ParseError("a select expression needs at least one aggregate " +
+            "call — arithmetic over bare literals has nothing to aggregate")
+        calls.find(_.agg == Agg.Raw).foreach(c => throw ParseError(
+          s"'${c.column}' reads a raw column — arithmetic over aggregates " +
+            s"takes aggregate calls and literals only; row-wise arithmetic " +
+            s"goes INSIDE the aggregate: sum(${c.column} * …)"))
+        calls.find(_.agg == Agg.Heatmap).foreach(_ => throw ParseError(
+          "heatmap(...) is not a scalar aggregate — it cannot appear in arithmetic"))
+        if (!atIdent("as"))
+          throw ParseError("post-aggregate expressions need `as <name>` — " +
+            "there is no canonical column name for sum(a)/sum(b)")
+        next()
+        Right(PostSelect(internalize(e), ident()))
     }
 
     def value(): String = next() match {
@@ -492,7 +620,24 @@ object ZxSql {
     }
 
     val seqOp: Option[SeqOp] = if (atSeqOp) Some(seqOpClause()) else None
-    val selects = if (seqOp.isDefined) Seq.empty[Select] else commaList(() => selectItem())
+    val entries: Seq[Either[Select, PostSelect]] =
+      if (seqOp.isDefined) Nil else commaList(() => selectEntry())
+    val selects = entries.collect { case Left(s) => s }
+    val postSelects = entries.collect { case Right(p) => p }
+    // output-name discipline: post aliases must not shadow a select item's
+    // output column or repeat (colRef would silently bind one of the two)
+    locally {
+      val keys0 = selects.map(_.key)
+      postSelects.map(_.alias).foreach { a =>
+        if (a.startsWith("__"))
+          throw ParseError(s"alias '$a' uses the engine-internal prefix __")
+        if (keys0.contains(a) || postSelects.count(_.alias == a) > 1)
+          throw ParseError(s"duplicate output column '$a'")
+      }
+    }
+    if (postSelects.nonEmpty && selects.exists(_.agg == Agg.Raw))
+      throw ParseError("bare columns do not mix with post-aggregate " +
+        "expressions — dimensions surface via group by")
     // tolerated + ignored by run(df, …) like expr.rs (never reads FROM);
     // recorded so runCatalog can resolve the base frame from it
     val fromName: Option[String] =
@@ -530,7 +675,7 @@ object ZxSql {
               "not an expression — compute it into the right table upstream"))
           JoinSpec(table, kl, kr, tl, tr, trailingSec = Some(w), aggs = aggs)
         })
-      joinSpec.filter(_ => selects.exists(_.agg != Agg.Raw)).foreach(_ =>
+      joinSpec.filter(_ => selects.exists(_.agg != Agg.Raw) || postSelects.nonEmpty).foreach(_ =>
         throw ParseError("join queries select bare left columns only (aggregates go in the `agg` clause)"))
       joinSpec.filterNot(js => selects.exists(_.column == js.keyL) &&
           selects.exists(_.column == js.timeL)).foreach(js =>
@@ -615,7 +760,8 @@ object ZxSql {
         // a bare name may reference a select-list `as` alias (the filter
         // then binds the aliased measure's output column); any other raw
         // name is a row condition and belongs in WHERE
-        if (sel.agg == Agg.Raw && !selects.exists(_.alias.contains(sel.column)))
+        if (sel.agg == Agg.Raw && !selects.exists(_.alias.contains(sel.column)) &&
+            !postSelects.exists(_.alias == sel.column))
           throw ParseError("having filters aggregates — use where for row " +
             "conditions (or reference a select-list `as` alias)")
         if (sel.agg == Agg.Heatmap) throw ParseError("cannot filter by heatmap(...)")
@@ -733,7 +879,7 @@ object ZxSql {
         salt.nonEmpty || joinSpec.nonEmpty || seqOp.nonEmpty))
       throw ParseError("rollup/cube route through the top-groups path — they " +
         "do not take session / slide / exact / salt / joins / sequence ops")
-    if ((rollup || cube) && selects.forall(_.agg == Agg.Raw))
+    if ((rollup || cube) && selects.forall(_.agg == Agg.Raw) && postSelects.isEmpty)
       throw ParseError("rollup/cube need aggregate select items")
     if (sessionGap.nonEmpty && (exactWindows || orderBy.nonEmpty))
       throw ParseError("session windows are mutually exclusive with exact / order by")
@@ -743,21 +889,28 @@ object ZxSql {
         (having.nonEmpty || sessionGap.nonEmpty || slide.nonEmpty || exactWindows))
       throw ParseError("asof/trailing join queries do not take having / session / slide / exact")
     if (salt.nonEmpty && seqOp.isEmpty &&
-        (joinSpec.nonEmpty || selects.forall(_.agg == Agg.Raw)))
+        (joinSpec.nonEmpty || (selects.forall(_.agg == Agg.Raw) && postSelects.isEmpty)))
       throw ParseError("salt applies to aggregation queries only")
     if (exactWindows && selects.exists(_.expr.nonEmpty))
       throw ParseError("exact gap windows aggregate storage columns only — " +
         "drop `exact` (expression measures compose with tumbling/session/" +
         "hopping windows) or compute the expression upstream")
+    if (exactWindows && postSelects.nonEmpty)
+      throw ParseError("exact gap windows aggregate storage columns only — " +
+        "post-aggregate expressions compose with tumbling/session/hopping " +
+        "windows; drop `exact` or compute the ratio downstream")
     if (equiJoins.nonEmpty) {
       if (joinSpec.nonEmpty)
         throw ParseError("asof/trailing joins and plain equi-joins do not mix in one query")
-      if (sessionGap.nonEmpty || slide.nonEmpty || exactWindows || rollup || cube)
+      // session / slide COMPOSE with equi-joins (the windowed stream-enrich
+      // shape: join the dims, then window); exact/rollup/cube stay batch
+      // roll-up constructs
+      if (exactWindows || rollup || cube)
         throw ParseError("equi-join queries aggregate by group keys — " +
-          "no session / slide / exact / rollup / cube")
-      if (groupBy.isEmpty)
-        throw ParseError("equi-join queries need group by (the roll-up shape)")
-      if (selects.isEmpty || selects.exists(s =>
+          "no exact / rollup / cube")
+      // group by is OPTIONAL: without it the query is the global roll-up
+      // over the joined frame (the q14 promo-ratio shape)
+      if ((selects.isEmpty && postSelects.isEmpty) || selects.exists(s =>
           s.agg == Agg.Raw || s.agg == Agg.Heatmap))
         throw ParseError("equi-join queries select aggregates only — group " +
           "keys surface automatically, heatmap is unsupported")
@@ -785,7 +938,8 @@ object ZxSql {
       where = whereTree, asofJoin = joinSpec,
       equiJoins = equiJoins,
       having = having, sessionGapSec = sessionGap, slideSec = slide,
-      skewSalt = salt, seqOp = seqOp, rollup = rollup, cube = cube)
+      skewSalt = salt, seqOp = seqOp, rollup = rollup, cube = cube,
+      postSelects = postSelects)
   }
 
   // --------------------------------------------------------------- executor
@@ -963,15 +1117,20 @@ object ZxSql {
           Compiler.colRef(j.keyL) === Compiler.colRef(j.keyR),
           if (j.leftOuter) "left_outer" else "inner")
       }
-      // plain grouped aggregation (the sorted path: group keys surface,
-      // deterministic order) — no time windows; AQE picks the join
-      // strategies from actual post-filter sizes
-      return Compiler.runSorted(cur, q.copy(tStart = None, tEnd = None), tsCol)
+      // default: plain grouped aggregation (the sorted path: group keys
+      // surface, deterministic order) — no time windows; with an explicit
+      // `session`/`slide` clause the joined frame windows instead (the
+      // enrich-then-window shape, same routing as un-joined queries). AQE
+      // picks the join strategies from actual post-filter sizes.
+      val q2 = q.copy(tStart = None, tEnd = None)
+      return if (q.sessionGapSec.nonEmpty) Compiler.runSession(cur, q2, tsCol)
+      else if (q.slideSec.nonEmpty) Compiler.runHopping(cur, q2, tsCol)
+      else Compiler.runSorted(cur, q2, tsCol)
     }
     if (q.orderBy.exists(_.select.agg == Agg.Heatmap))
       throw ParseError("cannot order by heatmap(...)")
     if (q.having.nonEmpty) {
-      if (q.selects.forall(_.agg == Agg.Raw))
+      if (q.selects.forall(_.agg == Agg.Raw) && q.postSelects.isEmpty)
         throw ParseError("having needs an aggregate query")
       if (exact || q.exact)
         throw ParseError("having is not supported with exact gap windows")
@@ -979,10 +1138,10 @@ object ZxSql {
         throw ParseError("having is not supported with heatmap(...)")
     }
     if (q.selects.exists(_.agg == Agg.Heatmap)) {
-      if (q.selects.size != 1)
+      if (q.selects.size != 1 || q.postSelects.nonEmpty)
         throw ParseError("heatmap(col) must be the only select item")
       Compiler.adaptiveHeatmap(df, q, q.selects.head.column, tsCol = tsCol)
-    } else if (q.selects.forall(_.agg == Agg.Raw)) {
+    } else if (q.selects.forall(_.agg == Agg.Raw) && q.postSelects.isEmpty) {
       // raw projection; ORDER BY here sorts the projected columns directly
       q.orderBy.find(_.select.agg != Agg.Raw).foreach(ob => throw ParseError(
         s"cannot order a bare-column select by aggregate ${ob.select.agg.name}(...)"))
@@ -1051,10 +1210,44 @@ object ZxSql {
         EventStream.rawStream(stream, q.copy(asofJoin = None, limit = None), tsCol),
         latest, js.keyL, js.keyR, js.timeL, js.timeR, js.payload)
     }
-    if (q.equiJoins.nonEmpty)
-      throw ParseError("equi-join roll-ups aggregate an unwindowed join — " +
-        "that is a batch shape; run per micro-batch via foreachBatch over " +
-        "ZxSql.run, or stream-enrich with an asof join instead")
+    if (q.equiJoins.nonEmpty) {
+      // WINDOWED equi-joins stream: a stream-static join is stateless
+      // (each micro-batch probes the static dims), so `join … slide/
+      // session …` is the canonical streaming enrich-then-window. An
+      // UNWINDOWED join roll-up stays a batch shape.
+      if (q.sessionGapSec.isEmpty && q.slideSec.isEmpty)
+        throw ParseError("equi-join roll-ups aggregate an unwindowed join — " +
+          "that is a batch shape; run per micro-batch via foreachBatch over " +
+          "ZxSql.run, stream-enrich with an asof join, or add a window " +
+          "clause (slide/session) for the windowed stream-static enrich")
+      // the watermark rides the RAW stream, UPSTREAM of the join: an
+      // event the join drops (dim miss) must still advance the clock, or
+      // the windows containing the stream's tail never finalize — caught
+      // by the st_enrich oracle replay, whose sentinel row has no
+      // matching dim key by construction
+      import org.apache.spark.sql.functions.timestamp_seconds
+      import org.apache.spark.sql.types.LongType
+      var cur =
+        if (q.sessionGapSec.nonEmpty)
+          stream.withColumn("__sec",
+            timestamp_seconds(Compiler.colRef(tsCol).cast(LongType)))
+            .withWatermark("__sec", watermark)
+        else stream.withWatermark(tsCol, watermark)
+      for (j <- q.equiJoins) {
+        val right = tables.getOrElse(j.table, throw ParseError(
+          s"unknown join table '${j.table}' — pass it via runStream(..., tables = Map(...))"))
+        if (right.isStreaming)
+          throw ParseError(s"join table '${j.table}' is a stream — the " +
+            "windowed enrich joins STATIC dimension tables (stream-stream " +
+            "joins need their own watermark contract; use foreachBatch)")
+        cur = cur.join(right,
+          Compiler.colRef(j.keyL) === Compiler.colRef(j.keyR),
+          if (j.leftOuter) "left_outer" else "inner")
+      }
+      return if (q.sessionGapSec.nonEmpty)
+        EventStream.sessionAgg(cur, q, watermark, tsCol, preWatermarked = true)
+      else EventStream.hoppingAgg(cur, q, watermark, tsCol, preWatermarked = true)
+    }
     if (q.orderBy.nonEmpty)
       throw ParseError("order by has no streaming meaning (no total order on an unbounded source)")
     if (q.limit.nonEmpty)
@@ -1068,7 +1261,8 @@ object ZxSql {
     if (q.rollup || q.cube)
       throw ParseError("rollup/cube are batch-only: subtotal levels would " +
         "need per-level streaming state — aggregate per level downstream instead")
-    if (q.selects.forall(_.agg == Agg.Raw)) EventStream.rawStream(stream, q, tsCol)
+    if (q.selects.forall(_.agg == Agg.Raw) && q.postSelects.isEmpty)
+      EventStream.rawStream(stream, q, tsCol)
     else if (q.sessionGapSec.nonEmpty) EventStream.sessionAgg(stream, q, watermark, tsCol)
     else if (q.slideSec.nonEmpty) EventStream.hoppingAgg(stream, q, watermark, tsCol)
     else if (q.exact) {
@@ -1113,7 +1307,7 @@ object ZxSql {
                     tsCol: String = Compiler.DefaultTsCol)(
       consume: String => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val q = parse(sql)
-    if (q.selects.forall(_.agg == Agg.Raw))
+    if (q.selects.forall(_.agg == Agg.Raw) && q.postSelects.isEmpty)
       throw ParseError("the JSON result shape needs windows — raw projections stream via tailConsole")
     val out = runStream(stream, sql, watermark, tsCol)
     out.writeStream
@@ -1122,7 +1316,8 @@ object ZxSql {
         // ONE action per trigger: the shaper's collect is the only
         // execution of the micro-batch plan (an isEmpty pre-check would
         // run the whole aggregation twice); empty deltas are dropped after
-        val doc = graft.sources.JsonResult.toReferenceJson(batch, q.groupBy, q.selects)
+        val doc = graft.sources.JsonResult.toReferenceJson(
+          batch, q.groupBy, q.selects, q.postSelects)
         if (doc != "{}") consume(doc)
       }
   }

@@ -56,14 +56,15 @@ object EventStream {
     * compilers' extraSels — incl. the Raw/Heatmap exclusion: those are not
     * scalar aggregates a HAVING can compare against). */
   private def havingExtras(q: ZxQuery): Seq[Select] =
-    q.having.map(_.select)
+    (q.having.map(_.select) ++ Compiler.postComponents(q))
       .filterNot(s => q.selects.contains(s) || s.agg == Agg.Raw || s.agg == Agg.Heatmap)
       .distinct
 
   /** Exact distinct needs the full value set in state — unsupported on
     * streams. Checked over the FULL computed aggregate list (declared
-    * selects plus HAVING-injected extras), so `having count_distinct(x) > 2`
-    * fails with this message too, not a raw Spark planner error. */
+    * selects plus HAVING- and post-select-injected extras), so
+    * `having count_distinct(x) > 2` and `count_distinct(x) / count(*)`
+    * fail with this message too, not a raw Spark planner error. */
   private def requireStreamable(q: ZxQuery): Unit =
     require(!(q.selects ++ havingExtras(q)).exists(_.agg == Agg.CountDistinct),
       "exact count_distinct is unsupported on streams; use approx_count_distinct")
@@ -83,12 +84,14 @@ object EventStream {
     val keys = Compiler.groupKeys(q, schema) :+
       window(col(tsCol), s"${q.granularitySec} seconds").as("window")
     val aggs = Aggregates.compileAll(q.selects ++ havingExtras(q), schema)
-    val grouped = filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    val grouped = Compiler.withPostSelects(
+      filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*), q)
     Compiler.havingFilter(grouped, q.having)
       .select((q.groupBy.map(graft.compile.Compiler.colRef) :+
         col("window.start").cast(LongType).as("w_start") :+
         col("window.end").cast(LongType).as("w_end")) ++
-        q.selects.map(s => graft.compile.Compiler.colRef(s.key)): _*)
+        q.selects.map(s => graft.compile.Compiler.colRef(s.key)) ++
+        q.postSelects.map(p => graft.compile.Compiler.colRef(p.alias)): _*)
   }
 
   /** Streaming heatmap (A7) with CALLER-SUPPLIED value bounds: the batch
@@ -125,21 +128,30 @@ object EventStream {
     * streaming face of [[Compiler.runHopping]], same epoch-aligned
     * whole-second window starts, so batch == stream per window. */
   def hoppingAgg(stream: DataFrame, q: ZxQuery, watermark: String = "10 minutes",
-                 tsCol: String = Compiler.DefaultTsCol): DataFrame = {
+                 tsCol: String = Compiler.DefaultTsCol,
+                 preWatermarked: Boolean = false): DataFrame = {
     val slide = q.slideSec.getOrElse(
       throw new IllegalArgumentException("hoppingAgg needs slideSec"))
     requireStreamable(q)
     val schema = stream.schema
-    val filtered = preFilter(stream.withWatermark(tsCol, watermark), q, tsCol)
+    // preWatermarked: the caller placed the watermark UPSTREAM (e.g.
+    // before a stream-static join, so rows the join drops still advance
+    // the clock — a second watermark node here would lag behind under the
+    // min-across-watermarks policy and stall window finalization)
+    val filtered = preFilter(
+      if (preWatermarked) stream else stream.withWatermark(tsCol, watermark),
+      q, tsCol)
     val keys = Compiler.groupKeys(q, schema) :+
       window(col(tsCol), s"${q.granularitySec} seconds", s"$slide seconds").as("window")
     val aggs = Aggregates.compileAll(q.selects ++ havingExtras(q), schema)
-    val grouped = filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    val grouped = Compiler.withPostSelects(
+      filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*), q)
     Compiler.havingFilter(grouped, q.having)
       .select((q.groupBy.map(graft.compile.Compiler.colRef) :+
         col("window.start").cast(LongType).as("w_start") :+
         col("window.end").cast(LongType).as("w_end")) ++
-        q.selects.map(s => graft.compile.Compiler.colRef(s.key)): _*)
+        q.selects.map(s => graft.compile.Compiler.colRef(s.key)) ++
+        q.postSelects.map(p => graft.compile.Compiler.colRef(p.alias)): _*)
   }
 
   /** Streaming SESSION windows: Spark-native `session_window` with
@@ -153,23 +165,31 @@ object EventStream {
     * watermark node — a tEnd-bounded session stream needs in-range events
     * to advance the clock that closes the final sessions. */
   def sessionAgg(stream: DataFrame, q: ZxQuery, watermark: String = "10 minutes",
-                 tsCol: String = Compiler.DefaultTsCol): DataFrame = {
+                 tsCol: String = Compiler.DefaultTsCol,
+                 preWatermarked: Boolean = false): DataFrame = {
     val gap = q.sessionGapSec.getOrElse(
       throw new IllegalArgumentException("sessionAgg needs sessionGapSec"))
     requireStreamable(q)
     val schema = stream.schema
+    // preWatermarked: caller already derived `__sec` and watermarked it
+    // upstream (see hoppingAgg — the stream-static join contract)
+    require(!preWatermarked || stream.columns.contains("__sec"),
+      "preWatermarked session streams must carry the watermarked __sec column")
     val filtered = preFilter(
-      stream.withColumn("__sec", timestamp_seconds(col(tsCol).cast(LongType)))
+      if (preWatermarked) stream
+      else stream.withColumn("__sec", timestamp_seconds(col(tsCol).cast(LongType)))
         .withWatermark("__sec", watermark), q, tsCol)
     val keys = Compiler.groupKeys(q, schema) :+
       session_window(col("__sec"), s"$gap seconds").as("__sw")
     val aggs = Aggregates.compileAll(q.selects ++ havingExtras(q), schema)
-    val grouped = filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    val grouped = Compiler.withPostSelects(
+      filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*), q)
     Compiler.havingFilter(grouped, q.having)
       .select((q.groupBy.map(graft.compile.Compiler.colRef) :+
         col("__sw.start").cast(LongType).as("w_start") :+
         col("__sw.end").cast(LongType).as("w_end")) ++
-        q.selects.map(s => graft.compile.Compiler.colRef(s.key)): _*)
+        q.selects.map(s => graft.compile.Compiler.colRef(s.key)) ++
+        q.postSelects.map(p => graft.compile.Compiler.colRef(p.alias)): _*)
   }
 
   /** Streaming Raw projection — the observability `tail -f`: the
@@ -180,7 +200,7 @@ object EventStream {
     * [[tailConsole]]'s per-batch `numRows` for a bounded live view. */
   def rawStream(stream: DataFrame, q: ZxQuery,
                 tsCol: String = Compiler.DefaultTsCol): DataFrame = {
-    require(q.selects.forall(_.agg == Agg.Raw),
+    require(q.selects.forall(_.agg == Agg.Raw) && q.postSelects.isEmpty,
       "rawStream takes Raw selects only — use windowedAgg for aggregates")
     require(q.limit.isEmpty,
       "LIMIT is undefined on an unbounded stream; use tailConsole(numRows = ...)")

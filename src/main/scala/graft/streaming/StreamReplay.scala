@@ -52,9 +52,9 @@ object StreamReplay {
       val srcP = new org.apache.hadoop.fs.Path(dir + "/events.parquet")
       val st = srcP.getFileSystem(s.sparkContext.hadoopConfiguration)
         .getFileStatus(srcP)
-      // "v2" = staging FORMAT version (bump when the sentinel layout
+      // "v3" = staging FORMAT version (bump when the sentinel layout
       // changes — a stale staging from older code must never be reused)
-      val in = "target/graft-stream-q/in-v2/" +
+      val in = "target/graft-stream-q/in-v3/" +
         dir.replaceAll("[^A-Za-z0-9._-]", "_") +
         s"-${st.getLen}-${st.getModificationTime}"
       val ok = new java.io.File(in, "_STAGED_OK")
@@ -74,9 +74,17 @@ object StreamReplay {
         // leave the final window open. Its own group/window still never
         // emits (nothing ever closes it), and callers filter the
         // SentinelType group besides.
+        // user_id is -1, NOT null: an INNER equi-join on user_id infers
+        // `isnotnull(user_id)` and Catalyst pushes it BELOW the watermark
+        // into the scan (user_id is not the event-time column, so the
+        // push is legal) — a null-keyed sentinel would be filtered before
+        // ever advancing the clock and the stream's final window would
+        // stay open (caught by st_enrich, off-by-one-window vs its
+        // oracle). -1 matches no dimension row, so the join itself still
+        // drops the sentinel — AFTER the watermark has seen it.
         val sentinel = s.createDataFrame(
           java.util.Collections.singletonList(
-            Row(-1L, sentinelTs, null, SentinelType, 0.0, null)),
+            Row(-1L, sentinelTs, -1L, SentinelType, 0.0, null)),
           EventStream.eventsSchema)
         sentinel.write.mode("append").parquet(in)
         java.nio.file.Files.writeString(ok.toPath, "ok")

@@ -157,6 +157,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"expected a broadcast join:\n$p")
   }
 
+  test("case + post-aggregate ratio: CASE partial-aggregates map-side, ratio adds no exchange") {
+    val p = plan("p32_sql_case_ratio")
+    // the time cut reaches the fact scan as a typed range
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1997-03-01"),
+      s"shipdate range not pushed into the lineitem scan:\n$p")
+    // the conditional measure rides INSIDE map-side partial aggregation
+    assert(p.contains("partial_sum") && p.contains("CASE WHEN"),
+      s"CASE must partial-aggregate map-side:\n$p")
+    // the dim broadcasts; the post-aggregate ratio is a scalar projection —
+    // exactly ONE aggregation exchange in the whole plan
+    assert(p.contains("BroadcastHashJoin"), s"part dim must broadcast:\n$p")
+    val finalPlan = p.split("== Initial Plan ==").head
+    val exchanges = "Exchange SinglePartition".r.findAllIn(finalPlan).length +
+      "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(exchanges == 1, s"ratio of sums must reuse the one aggregate exchange:\n$p")
+  }
+
   test("knn and top-k limit compile to per-partition TakeOrderedAndProject") {
     assert(plan("s1_knn").contains("TakeOrderedAndProject"))
     assert(plan("o2_topk_limit").contains("TakeOrderedAndProject"))

@@ -419,13 +419,14 @@ class SqlSpec extends AnyFunSuite {
     assertThrows[ZxSql.ParseError](ZxSql.run(fact,
       "select sum(qty) join nope on k1 = k1r group by k1",
       tables = Map.empty))
-    // group by required; aggregates only; no session/slide/exact/rollup
-    assertThrows[ZxSql.ParseError](ZxSql.parse(
-      "select sum(qty) join mid on k1 = k1r"))
+    // group by is OPTIONAL (global roll-up, the q14 shape); session/slide
+    // COMPOSE (windowed enrich) — but aggregates only; no exact/rollup
+    assert(ZxSql.parse("select sum(qty) join mid on k1 = k1r").groupBy.isEmpty)
+    assert(ZxSql.parse(
+      "select sum(qty) join mid on k1 = k1r group by k1 session 300")
+      .sessionGapSec.contains(300L))
     assertThrows[ZxSql.ParseError](ZxSql.parse(
       "select qty join mid on k1 = k1r group by k1"))
-    assertThrows[ZxSql.ParseError](ZxSql.parse(
-      "select sum(qty) join mid on k1 = k1r group by k1 session 300"))
     assertThrows[ZxSql.ParseError](ZxSql.parse(
       "select sum(qty) join mid on k1 = k1r group by k1 exact"))
     assertThrows[ZxSql.ParseError](ZxSql.parse(
