@@ -2561,6 +2561,92 @@ object SparkEntry {
     }.select(col("c_mktsegment"), col("w_start"), col("w_end"),
       round3("sum_value"), round3("n"))
 
+  /** p35: top-k groups PER parent dimension at the SQL front door —
+    * `limit 2 per event_type` ranks each event_type's user groups by the
+    * aggregate and keeps two; the rank-filter compiles to per-partition
+    * WindowGroupLimit (plan-pinned), so each task forwards ≤ k rows per
+    * partition to the one window exchange. */
+  private def p35SqlTopPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val sql = "select sum(value) as s from events " +
+      "group by event_type, user_id order by s desc limit 2 per event_type"
+    graft.sql.ZxSql.run(Tables.events(s, dir), sql)
+      .select(col("event_type"), col("user_id"), round3("s"))
+  }
+
+  /** p36: the RAW top-per-group (the o3 shape through the dialect) — the
+    * 3 longest docs per source, total-ordered by the explicit doc_id
+    * tiebreak in the ORDER BY. */
+  private def p36SqlTopRawPer(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select doc_id, source, n_chars " +
+        "order by n_chars desc, doc_id limit 3 per source")
+
+  /** p37: membership subquery (the TPC-H q18 semi-join shape) THROUGH
+    * the dialect — `where l_orderkey in (select l_orderkey … group by …
+    * having sum(l_quantity) > 250)` compiles to a LEFT SEMI join of the
+    * fact scan against the subquery's native-typed key frame; the outer
+    * roll-up re-aggregates the surviving orders. */
+  private def p37SqlInSubquery(s: SparkSession, dir: String): DataFrame = {
+    val sql = "select sum(l_quantity) as total_qty, count(*) as n " +
+      "from lineitem where l_orderkey in (select l_orderkey from lineitem " +
+      "group by l_orderkey having sum(l_quantity) > 250) " +
+      "group by l_orderkey order by total_qty desc"
+    graft.sql.ZxSql.runCatalog(Map("lineitem" -> Tables.lineitem(s, dir)), sql)
+      .select(col("l_orderkey"), round3("total_qty"), round3("n"))
+  }
+
+  /** p38: `not in (select …)` — the ANTI join (decontamination shape):
+    * orders from customers OUTSIDE a segment. Anti-join ("not matched")
+    * semantics, spec-pinned divergence from ANSI NOT IN null-veto; the
+    * oracle replays with NOT EXISTS accordingly. */
+  private def p38SqlNotInSubquery(s: SparkSession, dir: String): DataFrame = {
+    val sql = "select count(*) as n from orders " +
+      "where o_custkey not in (select c_custkey from customer " +
+      "where c_mktsegment = 'BUILDING') order by n desc"
+    graft.sql.ZxSql.runCatalog(Map(
+      "orders" -> Tables.orders(s, dir),
+      "customer" -> Tables.customer(s, dir)), sql)
+      .select(round3("n"))
+  }
+
+  /** p39: SCALAR subquery THROUGH the dialect — the "above corpus
+    * average" gate. The threshold is ONE tiny aggregation at plan-build,
+    * then inlined as a LITERAL that pushes into the fact scan's parquet
+    * PushedFilters (plan-pinned) — at 100 TB the alternative (a join
+    * carrying the scalar) would ride every row of the big side. */
+  private def p39SqlScalarSub(s: SparkSession, dir: String): DataFrame = {
+    val sql = "select count(*) as n, sum(l_extendedprice) as rev " +
+      "from lineitem where l_quantity > (select mean(l_quantity) from lineitem) " +
+      "group by l_returnflag order by rev desc"
+    graft.sql.ZxSql.runCatalog(Map("lineitem" -> Tables.lineitem(s, dir)), sql)
+      .select(col("l_returnflag"), round3("n"), round3("rev"))
+  }
+
+  /** p40: DERIVED TABLE (the TPC-H q13 custdist shape) THROUGH the
+    * dialect — `from (select …)` two-level aggregation: inner counts
+    * orders per customer, outer histograms customers by order count.
+    * The outer runs the non-windowed sorted path over the inner frame;
+    * Catalyst's EliminateSorts drops the inner ORDER BY under the outer
+    * aggregate, so the plan is two back-to-back hash aggregations. */
+  private def p40SqlCustdist(s: SparkSession, dir: String): DataFrame = {
+    val sql = "select count(*) as custdist from (select count(*) as n " +
+      "from orders group by o_custkey order by n) " +
+      "group by n order by custdist desc, n desc"
+    graft.sql.ZxSql.runCatalog(Map("orders" -> Tables.orders(s, dir)), sql)
+      .select(col("n"), round3("custdist"))
+  }
+
+  /** p41: derived-table stats with an outer WHERE gate — mean/max of
+    * per-user spend over users whose total is positive ("HAVING at the
+    * front door" via the derived frame). */
+  private def p41SqlDerivedStats(s: SparkSession, dir: String): DataFrame = {
+    val sql = "select mean(s) as avg_spend, max(s) as max_spend, " +
+      "count(*) as n_users from (select sum(value) as s " +
+      "from events group by user_id order by s) where s > 0"
+    graft.sql.ZxSql.runCatalog(Map("events" -> Tables.events(s, dir)), sql)
+      .select(round3("avg_spend"), round3("max_spend"), round3("n_users"))
+  }
+
   /** p33: TPC-H q12 (priority class counts) THROUGH the dialect — two
     * conditional measures whose branch predicates are IN-lists over the
     * joined frame, grouped on the deterministic sorted path. The CASE
@@ -2669,6 +2755,15 @@ object SparkEntry {
     * source via one window — no sequential driver loop. */
   private def x7Pack(s: SparkSession, dir: String): DataFrame =
     graft.operators.Corpus.packByTokenBudget(Tables.documents(s, dir), 2000L)
+
+  /** x19: token-budget MIXTURE — the data-mixing step of a training run:
+    * per-source TOKEN budgets (not row rates), whole documents selected
+    * in deterministic hash order until each source's budget is met.
+    * src3's budget exceeds its corpus at small SFs (admit-all regime);
+    * src1/src2 cut mid-source (greedy regime) — both paths exercised. */
+  private def x19Mixture(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.mixtureByTokenBudget(Tables.documents(s, dir),
+      budgets = Map("src1" -> 800L, "src2" -> 500L, "src3" -> 2000L))
 
   /** Within-doc repetition metrics (the Gopher repetition-filter family):
     * duplicate 2-/3-gram fractions + most-frequent-token fraction, all
@@ -3595,6 +3690,13 @@ object SparkEntry {
     "p32_sql_case_ratio" -> (p32SqlCaseRatio _),
     "p33_sql_case_group" -> (p33SqlCaseGroup _),
     "p34_sql_enrich_windowed" -> (p34SqlEnrichWindowed _),
+    "p35_sql_top_per_group" -> (p35SqlTopPerGroup _),
+    "p36_sql_top_raw_per" -> (p36SqlTopRawPer _),
+    "p37_sql_in_subquery" -> (p37SqlInSubquery _),
+    "p38_sql_not_in" -> (p38SqlNotInSubquery _),
+    "p39_sql_scalar_sub" -> (p39SqlScalarSub _),
+    "p40_sql_custdist" -> (p40SqlCustdist _),
+    "p41_sql_derived_stats" -> (p41SqlDerivedStats _),
     "o1_top_groups" -> (o1TopGroups _),
     "o2_topk_limit" -> (o2TopkLimit _),
     "o3_top_per_group" -> (o3TopPerGroup _),
@@ -3656,6 +3758,7 @@ object SparkEntry {
     "x15b_spans_hashed" -> (x15bRepeatedSpansHashed _),
     "x16_span_excise" -> (x16SpanExcise _),
     "x18_tfidf_pairs" -> (x18TfidfPairs _),
+    "x19_mixture" -> (x19Mixture _),
     "x17_quality_probe" -> (x17QualityProbe _),
     "c4_familiarity_gate" -> (c4FamiliarityGate _),
     "d1_dedup_exact" -> (d1DedupExact _),
@@ -4703,6 +4806,21 @@ object SparkEntry {
       s"""SELECT doc_id, source FROM documents
          |WHERE ${duckShingleHash("doc_id::VARCHAR")} % 100 <
          |  CASE source WHEN 'src2' THEN 5 WHEN 'src3' THEN 60 ELSE 20 END""".stripMargin,
+    "x19_mixture" ->
+      // replay of the mixture cut rule with a full window — the engine's
+      // bucket-prefix pre-filter is semantically invisible (see
+      // Corpus.mixtureByTokenBudget), so the plain formulation matches
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    ${duckShingleHash("doc_id::VARCHAR")} % 4096 AS bkt
+         |  FROM documents WHERE source IN ('src1', 'src2', 'src3')),
+         |p AS (SELECT doc_id, source, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY bkt, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+         |  FROM d)
+         |SELECT doc_id, source, n_tokens FROM p
+         |WHERE prefix < CASE source WHEN 'src1' THEN 800
+         |  WHEN 'src2' THEN 500 ELSE 2000 END""".stripMargin,
     "x11_redact" ->
       // same \b-wrapped literal-word patterns; Java and RE2 agree on ASCII
       // word boundaries, and the scrubbed text is pinned via md5 prefix
@@ -5030,6 +5148,64 @@ object SparkEntry {
         |  round(sum(coalesce(value, 0)), 3) AS sum_value,
         |  round(CAST(count(*) AS DOUBLE), 3) AS n
         |FROM e GROUP BY 1, 2, 3""".stripMargin,
+    "p35_sql_top_per_group" ->
+      // the engine ranks by (s DESC, group keys ASC) — partition key
+      // constant within a partition, so the user-key STRING tiebreak
+      // makes the cut total; replay identically
+      """WITH g AS (SELECT coalesce(event_type, '__nil') AS et,
+        |    coalesce(CAST(user_id AS VARCHAR), '__nil') AS uid,
+        |    sum(coalesce(value, 0)) AS s
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT et, uid, s, row_number() OVER (
+        |    PARTITION BY et ORDER BY s DESC, et, uid) AS rn FROM g)
+        |SELECT et AS event_type, uid AS user_id, round(s, 3) AS s
+        |FROM r WHERE rn <= 2""".stripMargin,
+    "p36_sql_top_raw_per" ->
+      """WITH r AS (SELECT doc_id, source, n_chars, row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars FROM r WHERE rn <= 3""".stripMargin,
+    "p37_sql_in_subquery" ->
+      // the engine's semi join keeps every lineitem of a hot order; the
+      // outer group key surfaces as the dialect's string rendering
+      """WITH hot AS (SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(coalesce(l_quantity, 0)) > 250)
+        |SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
+        |  round(sum(coalesce(l_quantity, 0)), 3) AS total_qty,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS n
+        |FROM lineitem WHERE l_orderkey IN (SELECT l_orderkey FROM hot)
+        |GROUP BY 1""".stripMargin,
+    "p38_sql_not_in" ->
+      // NOT EXISTS, not NOT IN: the engine's `not in (select …)` is the
+      // anti join (subquery nulls ignored), documented divergence from
+      // ANSI three-valued NOT IN
+      """SELECT round(CAST(count(*) AS DOUBLE), 3) AS n
+        |FROM orders o WHERE NOT EXISTS (
+        |  SELECT 1 FROM customer c
+        |  WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey)""".stripMargin,
+    "p39_sql_scalar_sub" ->
+      // the engine inlines mean(l_quantity) as a double literal; DuckDB's
+      // avg is the same double sum/count — quantities are integral, so
+      // the threshold never lands on a row value
+      """SELECT l_returnflag,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS n,
+        |  round(sum(coalesce(l_extendedprice, 0)), 3) AS rev
+        |FROM lineitem
+        |WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem)
+        |GROUP BY 1""".stripMargin,
+    "p40_sql_custdist" ->
+      // outer group key is the dialect's string rendering of the inner
+      // DOUBLE count — CAST through DOUBLE to match "5.0"
+      """WITH po AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1)
+        |SELECT CAST(CAST(n AS DOUBLE) AS VARCHAR) AS n,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS custdist
+        |FROM po GROUP BY 1""".stripMargin,
+    "p41_sql_derived_stats" ->
+      """WITH pu AS (SELECT user_id, sum(coalesce(value, 0)) AS s
+        |  FROM events GROUP BY 1)
+        |SELECT round(avg(s), 3) AS avg_spend, round(max(s), 3) AS max_spend,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS n_users
+        |FROM pu WHERE s > 0""".stripMargin,
     "p33_sql_case_group" ->
       // CASE values are exact small integers — double sums bit-identical
       """SELECT l_linestatus,

@@ -294,7 +294,8 @@ object Compiler {
     * dropped from the output (the reference's order_by keys come from the
     * same aggregate map). With `limit`, sort+limit compiles to Spark's
     * TakeOrderedAndProject — per-partition top-k, no global sort. */
-  def runSorted(df: DataFrame, q: ZxQuery, tsCol: String = DefaultTsCol): DataFrame = {
+  def runSorted(df: DataFrame, q: ZxQuery, tsCol: String = DefaultTsCol,
+                sortOutput: Boolean = true): DataFrame = {
     val filtered = scanFilter(df, q, tsCol)
     val keys = groupKeys(q, df.schema)
     val extraSels = (q.orderBy.map(_.select) ++ q.having.map(_.select) ++
@@ -310,8 +311,28 @@ object Compiler {
       val c = colRef(ob.select.key)
       ob.dir match { case SortDir.Asc => c.asc; case SortDir.Desc => c.desc }
     } ++ q.groupBy.map(colRef(_).asc)
-    val sorted = if (ordCols.nonEmpty) grouped.orderBy(ordCols: _*) else grouped
-    val limited = q.limit.map(sorted.limit).getOrElse(sorted)
+    // `sortOutput = false` (derived-table inner whose ORDER BY was
+    // stripped): the frame feeds an outer aggregate, so the total-order
+    // contract buys nothing — skip the range shuffle entirely
+    val sorted = if (ordCols.nonEmpty && sortOutput) grouped.orderBy(ordCols: _*)
+                 else grouped
+    val limited = (q.limit, q.limitPer) match {
+      case (Some(k), Some(per)) =>
+        // top-k per group: rank window + rn<=k filter — Spark's
+        // InferWindowGroupLimit turns this into per-partition
+        // WindowGroupLimit (each task forwards ≤ k rows per group to the
+        // one window exchange); the trailing orderBy restores the sorted
+        // path's total output order
+        require(q.groupBy.contains(per),
+          s"limit per '$per' must be a group by key")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(colRef(per)).orderBy(ordCols: _*)
+        grouped.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= k).drop("__rn")
+          .orderBy(ordCols: _*)
+      case (Some(k), None) => sorted.limit(k)
+      case _               => sorted
+    }
     if (extraSels.nonEmpty || q.postSelects.nonEmpty)
       limited.select((q.groupBy.map(colRef) ++ q.selects.map(s => colRef(s.key)) ++
         q.postSelects.map(p => colRef(p.alias))): _*)

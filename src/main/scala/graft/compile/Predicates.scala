@@ -127,6 +127,16 @@ object Predicates {
     * pushdown (`BooleanSimplification` + `PushDownPredicates`), so a
     * disjunction costs exactly what the data demands, no more plumbing. */
   def compileTree(tree: ConditionTree, schema: StructType): Column = tree match {
+    case _: ConditionTree.InSubquery =>
+      // membership subqueries are lifted into ZxQuery.semiJoins at parse
+      // and compiled as joins — one reaching this compiler is a bug
+      throw new IllegalArgumentException(
+        "in (select …) compiles as a semi join, never as a row predicate")
+    case _: ConditionTree.ScalarSubquery =>
+      // scalar subqueries resolve to literal leaves at run() — one
+      // reaching this compiler means resolution was skipped
+      throw new IllegalArgumentException(
+        "unresolved scalar subquery — ZxSql resolves these before compile")
     case ConditionTree.Leaf(c)      => compile(c, schema)
     case ConditionTree.And(cs)      => cs.map(compileTree(_, schema)).reduce(_ && _)
     case ConditionTree.Or(cs)       => cs.map(compileTree(_, schema)).reduce(_ || _)

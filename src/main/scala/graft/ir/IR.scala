@@ -59,6 +59,32 @@ object ConditionTree {
   final case class ExprLeaf(l: MeasureExpr, cmp: Cmp, r: MeasureExpr)
       extends ConditionTree
 
+  /** `col in (select <col'> from <table> …)` / `not in` (extension): a
+    * relational membership test — a SEMI (or ANTI) join, not a row
+    * predicate, so it is only legal as a TOP-LEVEL AND conjunct (a
+    * semi-join under OR has no join rendering; the parser rejects it).
+    * After parse these leaves are lifted out of the WHERE tree into
+    * [[ZxQuery.semiJoins]] and applied to the scanned frame BEFORE
+    * aggregation. NOT IN follows ANTI-JOIN ("not matched") semantics:
+    * subquery NULLs are ignored rather than vetoing every row — the
+    * practical decontamination contract, documented divergence from ANSI
+    * NOT IN three-valued logic (oracles replay with NOT EXISTS). */
+  final case class InSubquery(column: String, sub: ZxQuery, anti: Boolean)
+      extends ConditionTree
+
+  /** `col cmp (select <agg>(…) from <table> [where …])` (extension): a
+    * SCALAR subquery — one aggregate over a bounded table, resolved at
+    * plan-build time to a literal and substituted as a plain
+    * [[Condition]] leaf (`where value > (select mean(value) from t)`
+    * becomes `value > 41.37`), so the comparison pushes into the scan
+    * like any literal predicate and composes anywhere in the boolean
+    * tree (under or/not too — it IS a row predicate once resolved).
+    * Also legal on STREAMS: the scalar resolves once against the static
+    * table at stream construction. A NULL scalar (empty subquery input)
+    * fails loudly — there is nothing to compare against. */
+  final case class ScalarSubquery(column: String, cmp: Cmp, sub: ZxQuery)
+      extends ConditionTree
+
   /** Columns the tree reads — for pseudo-column guards and pruning. */
   def columns(t: ConditionTree): Set[String] = t match {
     case Leaf(c)            => Set(c.column)
@@ -66,6 +92,8 @@ object ConditionTree {
     case Or(cs)             => cs.flatMap(columns).toSet
     case Not(c)             => columns(c)
     case ExprLeaf(l, _, r)  => MeasureExpr.columns(l) ++ MeasureExpr.columns(r)
+    case InSubquery(c, _, _)     => Set(c)
+    case ScalarSubquery(c, _, _) => Set(c)
   }
 }
 
@@ -342,6 +370,18 @@ final case class ZxQuery(
       * keeps ignoring it (reference parity — expr.rs never reads FROM);
       * [[graft.sql.ZxSql.runCatalog]] resolves the base frame from it. */
     fromTable: Option[String] = None,
+    /** `from (select …)` — a DERIVED TABLE (extension): the outer query
+      * scans the inner query's result frame instead of a base table. The
+      * inner query is a full dialect query (any batch path — it scans the
+      * real table, so windows/joins/subqueries all compose); the OUTER
+      * runs over an aggregate frame with no timestamp column, so it is
+      * restricted to the time-free paths: raw projection or the sorted
+      * (non-windowed) aggregate — time ranges, granularity windows,
+      * session/slide/exact, sequence ops, asof and equi joins are all
+      * rejected loudly on the outer level. This is the two-level
+      * aggregation shape ("orders-per-customer histogram", TPC-H q13) at
+      * the front door. Mutually exclusive with [[fromTable]]. */
+    fromSub: Option[ZxQuery] = None,
     /** Boolean WHERE tree (OR/NOT/parens — extension over the reference's
       * AND-only surface); ANDed with [[conditions]] when both are set. */
     where: Option[ConditionTree] = None,
@@ -395,4 +435,21 @@ final case class ZxQuery(
       * (components ride the same hash aggregate as visible selects; zero
       * extra shuffles). Output columns surface after [[selects]], in
       * select-list order; HAVING / ORDER BY bind the alias by name. */
-    postSelects: Seq[PostSelect] = Nil)
+    postSelects: Seq[PostSelect] = Nil,
+    /** Relational membership conjuncts lifted from WHERE (extension):
+      * each compiles to a LEFT SEMI (in) or LEFT ANTI (not in) join of
+      * the scanned frame against the subquery's single-column result,
+      * applied BEFORE aggregation — so every downstream path (windows,
+      * sorted, joins, sequence ops) composes unchanged. The subquery is
+      * a full dialect query (scan/filter/group/having) whose FROM
+      * resolves from the caller's table catalog. */
+    semiJoins: Seq[ConditionTree.InSubquery] = Nil,
+    /** `limit <k> per <col>` (extension): keep the top-k rows of each
+      * partition of `col` under the ORDER BY ranking (ties broken by the
+      * remaining keys, so the cut is total). Compiles to a rank window
+      * whose `rn <= k` filter Spark rewrites to per-partition
+      * WindowGroupLimit — each input partition forwards at most k rows
+      * per group to the single window exchange, the 100 TB-safe
+      * top-N-per-group. Requires ORDER BY and `limit`; `col` must be a
+      * group key (aggregate path) or a selected column (raw path). */
+    limitPer: Option[String] = None)

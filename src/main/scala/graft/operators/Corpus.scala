@@ -47,6 +47,74 @@ object Corpus {
     df.filter(hashBucket(col(keyCol), 100) < pct)
   }
 
+  /** Token-budget MIXTURE sampling — the data-mixing step of assembling a
+    * training corpus: each source gets a TOKEN budget (not a row rate —
+    * "20 B tokens of web, 5 B of code"), and the operator selects whole
+    * documents per source, in deterministic hash order, until that
+    * source's budget is met. Cut rule: keep a document iff its EXCLUSIVE
+    * per-source prefix token sum in `(hashBucket(id), id)` order is
+    * `< budget` — the first crossing document is kept, so overshoot is
+    * < 1 document and any budget > 0 selects at least one document.
+    * Reruns, audits, and incremental rebuilds see the identical subset.
+    *
+    * 100 TB shape — the exact greedy never sees the full corpus:
+    *  1. A narrow per-`(source, bucket)` token histogram (map-side
+    *     combined; ≤ sources × buckets rows) finds, per source, the
+    *     smallest bucket prefix whose token total covers the budget.
+    *     Only `(source, cutoff)` rows reach the driver — one per source.
+    *  2. Because the greedy order is `(bucket, id)`, admitting buckets
+    *     `<= cutoff` admits a PREFIX of that order: every kept document
+    *     is a candidate, and every candidate's prefix sum is identical
+    *     to its full-corpus prefix sum — the pre-filter is semantically
+    *     invisible. The one wide operator (the per-source window) then
+    *     runs over a candidate set sized by the OUTPUT budget, not the
+    *     input corpus.
+    * Sources not named in `budgets` are dropped (mixture = allowlist). */
+  def mixtureByTokenBudget(docs: DataFrame, budgets: Map[String, Long],
+                           sourceCol: String = "source", idCol: String = "doc_id",
+                           textCol: String = "text",
+                           buckets: Int = 4096): DataFrame = {
+    require(budgets.nonEmpty, "mixture needs at least one source budget")
+    budgets.foreach { case (s, b) =>
+      require(b > 0, s"budget for '$s' must be positive, got $b") }
+    require(buckets >= 2 && buckets <= 65536,
+      s"buckets must be in [2, 65536], got $buckets")
+    def perSource(f: String => Long): Column =
+      budgets.keys.toSeq.sorted.foldLeft(lit(-1L)) { (acc, s) =>
+        when(col(sourceCol) === s, lit(f(s))).otherwise(acc)
+      }
+    val budgetCol = perSource(budgets)
+    val base = docs
+      .filter(col(sourceCol).isin(budgets.keys.toSeq: _*))
+      .select(col(idCol), col(sourceCol),
+        size(graft.functions.TextFunctions.tokens(col(textCol)))
+          .cast(LongType).as("n_tokens"),
+        hashBucket(col(idCol), buckets).as("__bkt"))
+    // phase 1: bucket-prefix cutoffs. The histogram window runs over at
+    // most sources × buckets rows; only one (source, cutoff) row per
+    // source is collected — driver metadata, not data.
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col("__bkt").asc)
+    val cutoffs: Map[String, Long] = base
+      .groupBy(col(sourceCol), col("__bkt"))
+      .agg(sum(col("n_tokens")).as("__t"))
+      .withColumn("__cum", sum(col("__t")).over(wB))
+      .filter(col("__cum") >= budgetCol)
+      .groupBy(col(sourceCol)).agg(min(col("__bkt")).as("__cut"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a source whose corpus total never reaches its budget admits all
+    val cutCol = perSource(s => cutoffs.getOrElse(s, (buckets - 1).toLong))
+    // phase 2: exact greedy over the admitted prefix only
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col("__bkt").asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    base.filter(col("__bkt") <= cutCol)
+      .withColumn("__prefix", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("__prefix") < budgetCol)
+      .select(col(idCol), col(sourceCol), col("n_tokens"))
+  }
+
   /** Corpus vocabulary statistics — the tokenizer-training precursor: per
     * token, collection frequency (tf) and document frequency (df), top-K by
     * tf. One explode + one aggregation; Spark plans the exact distinct-doc

@@ -64,6 +64,24 @@ object ZxSql {
 
   final case class ParseError(msg: String) extends RuntimeException(msg)
 
+  /** True when the tree contains a membership subquery anywhere. */
+  private def containsSubquery(t: ConditionTree): Boolean = t match {
+    case _: ConditionTree.InSubquery => true
+    case ConditionTree.And(cs)       => cs.exists(containsSubquery)
+    case ConditionTree.Or(cs)        => cs.exists(containsSubquery)
+    case ConditionTree.Not(c)        => containsSubquery(c)
+    case _                           => false
+  }
+
+  /** True when the tree contains a scalar subquery anywhere. */
+  private def containsScalarSub(t: ConditionTree): Boolean = t match {
+    case _: ConditionTree.ScalarSubquery => true
+    case ConditionTree.And(cs)           => cs.exists(containsScalarSub)
+    case ConditionTree.Or(cs)            => cs.exists(containsScalarSub)
+    case ConditionTree.Not(c)            => containsScalarSub(c)
+    case _                               => false
+  }
+
   private val aggNames: Map[String, Agg] = Map(
     "count" -> Agg.Count, "sum" -> Agg.Sum, "max" -> Agg.Max,
     "min" -> Agg.Min, "count_distinct" -> Agg.CountDistinct,
@@ -110,9 +128,16 @@ object ZxSql {
 
   // ----------------------------------------------------------------- parser
 
-  def parse(sql: String): ZxQuery = {
-    val toks = lex(sql)
-    var pos = 0
+  def parse(sql: String): ZxQuery = parseTokens(lex(sql), 0, nested = false)._1
+
+  /** One query from the token stream starting at `start`; returns the
+    * parsed query and the next unconsumed position. `nested = true` is
+    * the membership-subquery mode: parsing stops cleanly at the closing
+    * `)` (every clause parser is keyword-gated), and the trailing-input
+    * check is the CALLER's job. */
+  private def parseTokens(toks: Vector[Tok], start: Int,
+                          nested: Boolean): (ZxQuery, Int) = {
+    var pos = start
     // internal-alias allocator for post-aggregate component calls (see the
     // post-aggregate grammar below); lives up here so the grammar's
     // def-to-def forward references don't cross a value definition
@@ -171,6 +196,10 @@ object ZxSql {
           if (ConditionTree.columns(c).exists(n => n == "$t_start" || n == "$t_end"))
             throw ParseError("$t_start/$t_end are the scan's time range — " +
               "they cannot appear inside case conditions")
+          if (containsSubquery(c) || containsScalarSub(c))
+            throw ParseError("subqueries cannot appear inside case " +
+              "conditions — filter in WHERE, or compute the threshold " +
+              "upstream")
           expectIdent("then")
           bs += ((c, measureSum()))
         }
@@ -374,10 +403,20 @@ object ZxSql {
     // negate the desugared tree (three-valued logic: a NULL column drops).
     def inTree(c: String): ConditionTree = {
       expectSym("(")
-      val vs = commaList(value _)
-      expectSym(")")
-      val leaves = vs.map(v => ConditionTree.Leaf(Condition(Cmp.Eq, c, v)))
-      if (leaves.size == 1) leaves.head else ConditionTree.Or(leaves)
+      // `col in (select …)` — relational membership, a SEMI join: the
+      // subquery is a full nested dialect query (scan/filter/group/
+      // having) parsed by the same machinery
+      if (atIdent("select")) {
+        val (sub, after) = parseTokens(toks, pos, nested = true)
+        pos = after
+        expectSym(")")
+        ConditionTree.InSubquery(c, sub, anti = false)
+      } else {
+        val vs = commaList(value _)
+        expectSym(")")
+        val leaves = vs.map(v => ConditionTree.Leaf(Condition(Cmp.Eq, c, v)))
+        if (leaves.size == 1) leaves.head else ConditionTree.Or(leaves)
+      }
     }
     def betweenTree(c: String): ConditionTree = {
       val lo = value(); expectIdent("and"); val hi = value()
@@ -409,20 +448,38 @@ object ZxSql {
         }
         ConditionTree.ExprLeaf(l, cmp, measureSum())
     }
+    // comparator right side: a literal/identifier value, or a SCALAR
+    // subquery `(select <agg>(…) from <table> …)` resolved to a literal
+    // at plan-build
+    def cmpRight(c: String, cmp: Cmp): ConditionTree =
+      if (peek.contains(Sym("(")) && toks.lift(pos + 1).contains(Ident("select"))) {
+        if (c == "$t_start" || c == "$t_end")
+          throw ParseError(s"$c takes a literal epoch value, not a subquery")
+        next() // (
+        val (sub, after) = parseTokens(toks, pos, nested = true)
+        pos = after
+        expectSym(")")
+        ConditionTree.ScalarSubquery(c, cmp, sub)
+      } else ConditionTree.Leaf(Condition(cmp, c, value()))
+
     def condLegacy(c: String): ConditionTree = {
       next() match {
-        case Sym("=")             => ConditionTree.Leaf(Condition(Cmp.Eq, c, value()))
-        case Sym("!=") | Sym("<>") => ConditionTree.Leaf(Condition(Cmp.Ne, c, value()))
-        case Sym(">")             => ConditionTree.Leaf(Condition(Cmp.Gt, c, value()))
-        case Sym("<")             => ConditionTree.Leaf(Condition(Cmp.Lt, c, value()))
-        case Sym(">=")            => ConditionTree.Leaf(Condition(Cmp.Gte, c, value()))
-        case Sym("<=")            => ConditionTree.Leaf(Condition(Cmp.Lte, c, value()))
+        case Sym("=")             => cmpRight(c, Cmp.Eq)
+        case Sym("!=") | Sym("<>") => cmpRight(c, Cmp.Ne)
+        case Sym(">")             => cmpRight(c, Cmp.Gt)
+        case Sym("<")             => cmpRight(c, Cmp.Lt)
+        case Sym(">=")            => cmpRight(c, Cmp.Gte)
+        case Sym("<=")            => cmpRight(c, Cmp.Lte)
         case Ident("like")        => ConditionTree.Leaf(likeCond(c, negated = false))
         case Ident("in")          => inTree(c)
         case Ident("between")     => betweenTree(c)
         case Ident("not")         => next() match {
           case Ident("like")    => ConditionTree.Leaf(likeCond(c, negated = true))
-          case Ident("in")      => ConditionTree.Not(inTree(c))
+          case Ident("in")      => inTree(c) match {
+            // `not in (select …)` is the ANTI join, not a negated predicate
+            case sq: ConditionTree.InSubquery => sq.copy(anti = true)
+            case t                            => ConditionTree.Not(t)
+          }
           case Ident("between") => ConditionTree.Not(betweenTree(c))
           case other => throw ParseError(s"expected like/in/between after not, got $other")
         }
@@ -639,9 +696,22 @@ object ZxSql {
       throw ParseError("bare columns do not mix with post-aggregate " +
         "expressions — dimensions surface via group by")
     // tolerated + ignored by run(df, …) like expr.rs (never reads FROM);
-    // recorded so runCatalog can resolve the base frame from it
-    val fromName: Option[String] =
-      if (atIdent("from")) { next(); Some(ident()) } else None
+    // recorded so runCatalog can resolve the base frame from it.
+    // `from (select …)` is a DERIVED TABLE: the outer query scans the
+    // inner query's result — parsed by the same resumable machinery as
+    // membership subqueries, arbitrary nesting included.
+    var fromName: Option[String] = None
+    var fromSub: Option[ZxQuery] = None
+    if (atIdent("from")) {
+      next()
+      if (peek.contains(Sym("(")) && toks.lift(pos + 1).contains(Ident("select"))) {
+        next() // (
+        val (sub, after) = parseTokens(toks, pos, nested = true)
+        pos = after
+        expectSym(")")
+        fromSub = Some(sub)
+      } else fromName = Some(ident())
+    }
 
     // asof / trailing join clauses (extension — surfaces AsofJoin in SQL):
     //   asof join <table> on <keyL> = <keyR> at <timeL> >= <timeR>
@@ -700,6 +770,7 @@ object ZxSql {
     // already handles), anything with OR/NOT stays a tree in `where`.
     var conds = Seq.empty[Condition]
     var whereTree: Option[ConditionTree] = None
+    var semiJoins = Seq.empty[ConditionTree.InSubquery]
     if (atIdent("where")) {
       next()
       def conjuncts(t: ConditionTree): Seq[ConditionTree] = t match {
@@ -707,8 +778,15 @@ object ZxSql {
         case other                 => Seq(other)
       }
       val cj = conjuncts(orExpr())
-      val (leaves, complex) = cj.partition(_.isInstanceOf[ConditionTree.Leaf])
+      val (leaves, rest0) = cj.partition(_.isInstanceOf[ConditionTree.Leaf])
       conds = leaves.collect { case ConditionTree.Leaf(c) => c }
+      // membership subqueries are JOINS, legal only as top-level AND
+      // conjuncts — lift them out of the predicate tree here
+      val (subs, complex) = rest0.partition(_.isInstanceOf[ConditionTree.InSubquery])
+      semiJoins = subs.collect { case s: ConditionTree.InSubquery => s }
+      complex.find(containsSubquery).foreach(_ => throw ParseError(
+        "in (select …) is a semi join — it must be a top-level AND " +
+          "condition, not buried under or/not"))
       // $t_start/$t_end are the scan's time range — they only make sense as
       // top-level conjuncts; buried under OR/NOT their meaning is undefined,
       // so reject loudly rather than mis-scan
@@ -717,6 +795,8 @@ object ZxSql {
         case ConditionTree.And(cs)  => cs.exists(hasTimePseudo)
         case ConditionTree.Or(cs)   => cs.exists(hasTimePseudo)
         case ConditionTree.Not(c)   => hasTimePseudo(c)
+        case _: ConditionTree.InSubquery => false // its own parse guards $t
+        case _: ConditionTree.ScalarSubquery => false // cmpRight guards $t
         case ConditionTree.ExprLeaf(l, _, r) =>
           // arithmetic over the scan-range pseudo-columns has no meaning
           (MeasureExpr.columns(l) ++ MeasureExpr.columns(r))
@@ -798,17 +878,24 @@ object ZxSql {
     }
 
     var limitN: Option[Int] = None
+    var limitPer: Option[String] = None
     if (atIdent("limit")) {
       next()
       limitN = next() match {
         case Num(v) => Some(parseLong(v, "limit count").toInt)
         case other  => throw ParseError(s"expected limit count, got $other")
       }
+      // `limit <k> per <col>` (extension): top-k rows of each partition
+      // of <col> under the ORDER BY ranking — compiles to the
+      // WindowGroupLimit rank-filter plan
+      if (atIdent("per")) { next(); limitPer = Some(ident()) }
     }
 
     var gran = 300L // 5 minutes, expr.rs:226
+    var granSet = false
     if (atIdent("granularity")) {
       next()
+      granSet = true
       gran = next() match {
         case Num(v) => parseLong(v, "granularity seconds")
         case other  => throw ParseError(s"expected granularity seconds, got $other")
@@ -861,7 +948,8 @@ object ZxSql {
     // data-anchored gap walk instead of calendar tumbling
     var exactWindows = false
     if (atIdent("exact")) { next(); exactWindows = true }
-    if (pos < toks.length) throw ParseError(s"trailing input from token $pos: ${toks.drop(pos).take(5)}")
+    if (!nested && pos < toks.length)
+      throw ParseError(s"trailing input from token $pos: ${toks.drop(pos).take(5)}")
 
     // $t_start / $t_end pseudo-conditions → scan time range (expr.rs:170-186);
     // only equality is meaningful there — anything else would otherwise be
@@ -881,6 +969,19 @@ object ZxSql {
         "do not take session / slide / exact / salt / joins / sequence ops")
     if ((rollup || cube) && selects.forall(_.agg == Agg.Raw) && postSelects.isEmpty)
       throw ParseError("rollup/cube need aggregate select items")
+    limitPer.foreach { per =>
+      if (orderBy.isEmpty)
+        throw ParseError("limit per needs order by — the ranking that picks each partition's top rows")
+      if (rollup || cube)
+        throw ParseError("limit per ranks real groups, not rollup/cube subtotal levels")
+      if (seqOp.nonEmpty || joinSpec.nonEmpty)
+        throw ParseError("limit per applies to aggregate and raw-projection queries")
+      val isAggQuery = selects.exists(_.agg != Agg.Raw) || postSelects.nonEmpty
+      if (isAggQuery && !groupBy.contains(per))
+        throw ParseError(s"limit per '$per' must be a group by key")
+      if (!isAggQuery && !selects.exists(_.column == per))
+        throw ParseError(s"limit per '$per' must be a selected column")
+    }
     if (sessionGap.nonEmpty && (exactWindows || orderBy.nonEmpty))
       throw ParseError("session windows are mutually exclusive with exact / order by")
     if (slide.nonEmpty && (exactWindows || orderBy.nonEmpty || sessionGap.nonEmpty))
@@ -933,13 +1034,34 @@ object ZxSql {
       }
     }
 
-    ZxQuery(selects, realConds, groupBy, orderBy, tStart, tEnd, gran, limitN,
-      exact = exactWindows, fromTable = fromName,
+    // the OUTER level of a derived table runs over an aggregate frame with
+    // no timestamp column — every time-anchored construct belongs on the
+    // inner query, and saying so beats silently mis-scanning
+    fromSub.foreach { _ =>
+      if (tStart.nonEmpty || tEnd.nonEmpty || granSet || sessionGap.nonEmpty ||
+          slide.nonEmpty || exactWindows)
+        throw ParseError("a derived table has no timestamp column — " +
+          "$t_start/$t_end/granularity/session/slide/exact belong on the " +
+          "INNER query")
+      if (seqOp.nonEmpty)
+        throw ParseError("sequence/corpus ops read base tables — run them " +
+          "on the inner query, not over a derived table")
+      if (joinSpec.nonEmpty || equiJoins.nonEmpty)
+        throw ParseError("joins belong on the inner query — the outer " +
+          "level of a derived table is filter/aggregate/project only")
+      if (selects.exists(_.agg == Agg.Heatmap))
+        throw ParseError("heatmap needs the event timestamp — run it on " +
+          "the base table")
+    }
+
+    (ZxQuery(selects, realConds, groupBy, orderBy, tStart, tEnd, gran, limitN,
+      exact = exactWindows, fromTable = fromName, fromSub = fromSub,
       where = whereTree, asofJoin = joinSpec,
       equiJoins = equiJoins,
       having = having, sessionGapSec = sessionGap, slideSec = slide,
       skewSalt = salt, seqOp = seqOp, rollup = rollup, cube = cube,
-      postSelects = postSelects)
+      postSelects = postSelects, limitPer = limitPer,
+      semiJoins = semiJoins), pos)
   }
 
   // --------------------------------------------------------------- executor
@@ -954,22 +1076,179 @@ object ZxSql {
     * Join clauses (asof/trailing/equi) resolve from the same catalog, so
     * one table map serves the whole query. `run(df, …)` keeps tolerating
     * and ignoring FROM (reference parity); here it is required. */
+  /** Compile a membership subquery to its single-column match frame.
+    *
+    * Shape contract (loud guards): exactly ONE bare select column — the
+    * membership key; clauses limited to scan/filter/group/having (a
+    * membership set has no use for ordering, limits, windows, or nested
+    * joins). With `group by`, the key must be a group key and HAVING
+    * aggregates are computed for the filter then dropped — the q18
+    * "orderkeys whose sum(qty) > N" shape. Group keys stay NATIVE-typed
+    * here (no `__nil` string rendering): the key must join back against
+    * the outer column in its own type, and a null key can never match an
+    * IN anyway. Without HAVING the raw key projection suffices — the
+    * semi join dedups. */
+  private def compileSubquery(sub0: ZxQuery, tsCol: String,
+                              tables: Map[String, DataFrame]): DataFrame = {
+    // a membership subquery's own WHERE may carry scalar subqueries
+    val sub = sub0.copy(where = sub0.where.map(resolveScalarSubs(_, tsCol, tables)))
+    val from = sub.fromTable.getOrElse(throw ParseError(
+      "in (select …) needs a `from <table>` clause"))
+    val df = tables.getOrElse(from, throw ParseError(
+      s"unknown subquery table '$from' — pass it via tables/runCatalog " +
+        s"(have: ${tables.keys.toSeq.sorted.mkString(", ")})"))
+    if (sub.selects.size != 1 || sub.selects.head.agg != Agg.Raw)
+      throw ParseError("a membership subquery selects exactly ONE bare " +
+        "column — the key the outer `in` matches against")
+    val matchCol = sub.selects.head.column
+    if (sub.orderBy.nonEmpty || sub.limit.nonEmpty || sub.seqOp.nonEmpty ||
+        sub.asofJoin.nonEmpty || sub.equiJoins.nonEmpty ||
+        sub.sessionGapSec.nonEmpty || sub.slideSec.nonEmpty || sub.exact ||
+        sub.rollup || sub.cube || sub.postSelects.nonEmpty ||
+        sub.semiJoins.nonEmpty || sub.skewSalt.nonEmpty)
+      throw ParseError("membership subqueries are scan/filter/group/having " +
+        "only — no order/limit/windows/joins/rollup/salt/nested subqueries")
+    val scanned = Compiler.scanFilter(df, sub, tsCol)
+    if (sub.groupBy.isEmpty) {
+      if (sub.having.nonEmpty)
+        throw ParseError("subquery having needs group by")
+      scanned.select(Compiler.colRef(matchCol))
+    } else {
+      if (!sub.groupBy.contains(matchCol))
+        throw ParseError(s"subquery selects '$matchCol', which must be one " +
+          "of its group by keys")
+      if (sub.having.isEmpty) scanned.select(Compiler.colRef(matchCol))
+      else {
+        val aggSels = sub.having.map(_.select).filterNot(_.agg == Agg.Raw).distinct
+        if (aggSels.isEmpty)
+          throw ParseError("subquery having must filter aggregates")
+        val grouped = graft.compile.Aggregates.groupedAgg(scanned,
+          sub.groupBy.map(Compiler.colRef), sub.groupBy, aggSels,
+          df.schema, None)
+        Compiler.havingFilter(grouped, sub.having)
+          .select(Compiler.colRef(matchCol))
+      }
+    }
+  }
+
+  /** Evaluate a scalar subquery to its literal rendering. One aggregate
+    * over a scanned/filtered bounded table — the threshold the outer
+    * comparison inlines. Runs ONE tiny aggregation job at plan-build
+    * (the 100 TB-right shape: the literal then pushes into the main
+    * scan, instead of a join riding every row). */
+  private def evalScalarSub(sub0: ZxQuery, tsCol: String,
+                            tables: Map[String, DataFrame]): String = {
+    // scalar subqueries nest: resolve inner ones first
+    val sub = sub0.copy(where = sub0.where.map(resolveScalarSubs(_, tsCol, tables)))
+    val from = sub.fromTable.getOrElse(throw ParseError(
+      "a scalar subquery needs a `from <table>` clause"))
+    val df = tables.getOrElse(from, throw ParseError(
+      s"unknown subquery table '$from' — pass it via tables/runCatalog " +
+        s"(have: ${tables.keys.toSeq.sorted.mkString(", ")})"))
+    if (sub.selects.size != 1 || sub.selects.head.agg == Agg.Raw ||
+        sub.selects.head.agg == Agg.Heatmap)
+      throw ParseError("a scalar subquery selects exactly ONE scalar " +
+        "aggregate — the comparison threshold")
+    if (sub.groupBy.nonEmpty || sub.having.nonEmpty || sub.orderBy.nonEmpty ||
+        sub.limit.nonEmpty || sub.seqOp.nonEmpty || sub.asofJoin.nonEmpty ||
+        sub.equiJoins.nonEmpty || sub.sessionGapSec.nonEmpty ||
+        sub.slideSec.nonEmpty || sub.exact || sub.rollup || sub.cube ||
+        sub.postSelects.nonEmpty || sub.semiJoins.nonEmpty ||
+        sub.skewSalt.nonEmpty)
+      throw ParseError("scalar subqueries are scan/filter + one aggregate " +
+        "only — a grouped result is not a scalar")
+    val scanned = Compiler.scanFilter(df, sub, tsCol)
+    val row = scanned.agg(
+      graft.compile.Aggregates.compile(sub.selects.head, df.schema)).head()
+    if (row.isNullAt(0))
+      throw ParseError("scalar subquery returned NULL — empty input has " +
+        "no threshold to compare against")
+    row.get(0).toString // Double/Long toString round-trips exactly
+  }
+
+  /** Substitute every scalar subquery in the tree with the literal leaf
+    * its evaluation produced — the comparison then pushes into the scan
+    * like any literal predicate. */
+  private def resolveScalarSubs(t: ConditionTree, tsCol: String,
+                                tables: Map[String, DataFrame]): ConditionTree =
+    t match {
+      case s: ConditionTree.ScalarSubquery =>
+        ConditionTree.Leaf(
+          Condition(s.cmp, s.column, evalScalarSub(s.sub, tsCol, tables)))
+      case ConditionTree.And(cs) =>
+        ConditionTree.And(cs.map(resolveScalarSubs(_, tsCol, tables)))
+      case ConditionTree.Or(cs) =>
+        ConditionTree.Or(cs.map(resolveScalarSubs(_, tsCol, tables)))
+      case ConditionTree.Not(c) =>
+        ConditionTree.Not(resolveScalarSubs(c, tsCol, tables))
+      case other => other
+    }
+
   def runCatalog(tables: Map[String, DataFrame], sql: String,
                  tsCol: String = Compiler.DefaultTsCol,
                  exact: Boolean = false,
                  idCol: Option[String] = None): DataFrame = {
-    val from = parse(sql).fromTable.getOrElse(throw ParseError(
+    val q = parse(sql)
+    // a derived FROM chains down: the INNERMOST query names the base table
+    def baseName(z: graft.ir.ZxQuery): Option[String] =
+      z.fromTable.orElse(z.fromSub.flatMap(baseName))
+    val from = baseName(q).getOrElse(throw ParseError(
       "runCatalog needs a `from <table>` clause to pick the base frame"))
     val df = tables.getOrElse(from, throw ParseError(
       s"unknown from table '$from' — catalog has: " +
         tables.keys.toSeq.sorted.mkString(", ")))
-    run(df, sql, tsCol, exact, idCol, tables)
+    runParsed(df, q, tsCol, exact, idCol, tables)
   }
 
-  def run(df: DataFrame, sql: String, tsCol: String = Compiler.DefaultTsCol,
+  def run(df0: DataFrame, sql: String, tsCol: String = Compiler.DefaultTsCol,
           exact: Boolean = false, idCol: Option[String] = None,
-          tables: Map[String, DataFrame] = Map.empty): DataFrame = {
-    val q = parse(sql)
+          tables: Map[String, DataFrame] = Map.empty): DataFrame =
+    runParsed(df0, parse(sql), tsCol, exact, idCol, tables)
+
+  private def runParsed(df0: DataFrame, q0: ZxQuery, tsCol: String,
+                        exact: Boolean, idCol: Option[String],
+                        tables: Map[String, DataFrame],
+                        forceSorted: Boolean = false): DataFrame = {
+    // scalar subqueries → literal leaves (one tiny aggregation each, at
+    // plan-build; the literal then pushes into the main scan)
+    val q = q0.copy(where = q0.where.map(resolveScalarSubs(_, tsCol, tables)))
+    // derived table: compile the INNER query first (any batch path — it
+    // recursively resolves its own FROM, so nesting composes); the outer
+    // then scans the inner's result frame. Parse already restricted the
+    // outer to the time-free paths, and the dispatch below routes its
+    // aggregates through the non-windowed sorted path.
+    val derived = q.fromSub.nonEmpty
+    val base0 = q.fromSub match {
+      case Some(sub0) =>
+        // The inner ORDER BY picks the non-windowed route, but under an
+        // outer aggregate/filter its output ORDER is invisible — strip
+        // the sort (at 100 TB an inner global sort is a full range
+        // shuffle the outer destroys one operator later; Catalyst does
+        // not eliminate it through our string-rendered projection). Keep
+        // it when a LIMIT depends on it (top-k semantics) or when the
+        // outer is a pure pass-through projection that surfaces order.
+        // `forceSorted` preserves the routing the stripped ORDER BY chose.
+        val outerPassThrough = q.selects.forall(_.agg == Agg.Raw) &&
+          q.postSelects.isEmpty && q.orderBy.isEmpty
+        val strip = sub0.orderBy.nonEmpty && sub0.limit.isEmpty &&
+          sub0.limitPer.isEmpty && !outerPassThrough
+        val sub = if (strip) sub0.copy(orderBy = Nil) else sub0
+        val innerBase = sub.fromTable.flatMap(tables.get).getOrElse(df0)
+        runParsed(innerBase, sub, tsCol, exact, idCol, tables,
+          forceSorted = strip)
+      case None => df0
+    }
+    // membership subqueries apply to the scanned frame BEFORE anything
+    // else — a semi/anti join is a row filter relationally, so every
+    // downstream path (windows, sorts, joins, sequence ops) composes
+    // unchanged on the filtered frame
+    val df = q.semiJoins.foldLeft(base0) { (d, sj) =>
+      val sub = compileSubquery(sj.sub, tsCol, tables)
+        .toDF("__sq_match") // unique name: self-joins stay unambiguous
+      d.join(sub,
+        Compiler.colRef(sj.column) === org.apache.spark.sql.functions.col("__sq_match"),
+        if (sj.anti) "left_anti" else "left_semi")
+    }
     q.seqOp.foreach { op =>
       import org.apache.spark.sql.functions._
       // the same scan/filter front half every path gets: time range +
@@ -1151,9 +1430,27 @@ object ZxSql {
         ob.dir match { case SortDir.Asc => c.asc; case SortDir.Desc => c.desc }
       }
       val sorted = if (ord.nonEmpty) base.orderBy(ord: _*) else base
-      q.limit.map(sorted.limit).getOrElse(sorted)
-    } else if (q.orderBy.nonEmpty || q.rollup || q.cube)
-      Compiler.runSorted(df, q, tsCol)
+      (q.limit, q.limitPer) match {
+        case (Some(k), Some(per)) =>
+          // raw top-k per partition (the o3 shape at the front door):
+          // rank window + rn<=k — WindowGroupLimit keeps it scalable
+          import org.apache.spark.sql.functions.{col, row_number}
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(Compiler.colRef(per)).orderBy(ord: _*)
+          base.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") <= k).drop("__rn")
+            .orderBy(ord: _*)
+        case (Some(k), None) => sorted.limit(k)
+        case _               => sorted
+      }
+    } else if (q.orderBy.nonEmpty || q.rollup || q.cube || derived || forceSorted)
+      // `derived`: an outer aggregate over a derived table ALWAYS takes
+      // the sorted (non-windowed) path — there is no timestamp to bucket.
+      // `forceSorted`: an inner query whose ORDER BY was stripped keeps
+      // the non-windowed routing that ORDER BY selected, minus the
+      // now-pointless output sort.
+      Compiler.runSorted(df, q, tsCol,
+        sortOutput = q.orderBy.nonEmpty || !forceSorted)
     else if (q.sessionGapSec.nonEmpty) {
       if (exact) throw ParseError("session windows are mutually exclusive with exact")
       Compiler.runSession(df, q, tsCol)
@@ -1184,7 +1481,14 @@ object ZxSql {
                 tsCol: String = Compiler.DefaultTsCol,
                 tables: Map[String, DataFrame] = Map.empty): DataFrame = {
     import graft.streaming.{EventStream, GapWindowStream}
-    val q = parse(sql)
+    val q0 = parse(sql)
+    // scalar subqueries resolve ONCE against the static tables at stream
+    // construction — `where value > (select p99(value) from history)` is
+    // a legitimate streaming gate with a fixed threshold
+    val q = q0.copy(where = q0.where.map(resolveScalarSubs(_, tsCol, tables)))
+    if (q.fromSub.nonEmpty)
+      throw ParseError("a derived table is a bounded two-level aggregation " +
+        "— run it per micro-batch via foreachBatch over ZxSql.run")
     if (q.seqOp.nonEmpty)
       throw ParseError("sequence/corpus ops (journeys, funnel, decay, argmax, " +
         "retention, attribution, markov, anomaly, profile, trend, spans, " +
@@ -1210,6 +1514,10 @@ object ZxSql {
         EventStream.rawStream(stream, q.copy(asofJoin = None, limit = None), tsCol),
         latest, js.keyL, js.keyR, js.timeL, js.timeR, js.payload)
     }
+    if (q.semiJoins.nonEmpty)
+      throw ParseError("in (select …) joins a membership set built from a " +
+        "bounded table — run per micro-batch via foreachBatch over " +
+        "ZxSql.run, or pre-filter the stream upstream")
     if (q.equiJoins.nonEmpty) {
       // WINDOWED equi-joins stream: a stream-static join is stateless
       // (each micro-batch probes the static dims), so `join … slide/

@@ -378,6 +378,44 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mixtureByTokenBudget: greedy prefix cut, <1-doc overshoot, pre-filter invisible") {
+    import graft.operators.Corpus
+    // 20 docs across two sources, 3 tokens each (doc "w w w")
+    val docs = docsDf((1L to 20L).map(i => (i, "w w w")): _*)
+    // src1 (odd ids): budget 7 → greedy keeps docs until prefix >= 7:
+    // prefix sums 0,3,6 < 7 → exactly 3 docs (9 tokens, overshoot 2 < 3)
+    val got = Corpus.mixtureByTokenBudget(docs,
+      budgets = Map("src1" -> 7L, "src0" -> 1000L), buckets = 16)
+    val bySrc = got.collect().groupBy(_.getString(1))
+    assert(bySrc("src1").length == 3)
+    assert(bySrc("src0").length == 10) // budget > corpus → admit all
+    // pre-filter invisibility: the bucket-cutoff pre-filter must match a
+    // full-window reference computed WITHOUT it, at the same bucket count
+    // (the greedy order is (bucket, id), so it is a function of `buckets`)
+    val a = Corpus.mixtureByTokenBudget(docs, Map("src1" -> 7L), buckets = 16)
+      .collect().map(_.getLong(0)).toSet
+    val wRef = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("__b").asc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ref = docs.filter(col("source") === "src1")
+      .withColumn("__b", Corpus.hashBucket(col("doc_id"), 16))
+      .withColumn("__nt", size(TextFunctions.tokens(col("text"))).cast("long"))
+      .withColumn("__p", coalesce(sum(col("__nt")).over(wRef), lit(0L)))
+      .filter(col("__p") < 7).collect().map(_.getLong(0)).toSet
+    assert(a == ref && a.size == 3)
+    // kept set is a prefix of the hash order: a smaller budget at the
+    // same bucket count keeps a strict subset
+    val small = Corpus.mixtureByTokenBudget(docs, Map("src1" -> 4L), buckets = 16)
+      .collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(a) && small.size == 2)
+    // guards
+    intercept[IllegalArgumentException](Corpus.mixtureByTokenBudget(docs, Map.empty))
+    intercept[IllegalArgumentException](Corpus.mixtureByTokenBudget(docs, Map("src1" -> 0L)))
+    intercept[IllegalArgumentException](
+      Corpus.mixtureByTokenBudget(docs, Map("src1" -> 1L), buckets = 1))
+  }
+
   test("multimodal: packWav emits a valid RIFF container; decodeWav round-trips it") {
     val text = "some document payload"
     val df = docsDf((7L, text))

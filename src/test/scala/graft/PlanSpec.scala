@@ -174,6 +174,38 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"ratio of sums must reuse the one aggregate exchange:\n$p")
   }
 
+  test("limit-per compiles to partial+final WindowGroupLimit around the one window exchange") {
+    val p = plan("p35_sql_top_per_group")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"rank-filter must pre-cut per task before the exchange:\n$p")
+    assert(p.contains("row_number()"), s"expected the rank window:\n$p")
+  }
+
+  test("membership subquery compiles to a semi join; small match sets broadcast") {
+    val p = plan("p37_sql_in_subquery")
+    assert(p.contains("LeftSemi"), s"in (select …) must be a semi join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"AQE should pick a hash/merge strategy:\n$p")
+    // the fact scan reads only the key + measure, never the whole row
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"fact scan not pruned to the two needed columns:\n$p")
+  }
+
+  test("scalar subquery inlines as a literal pushed into the fact scan — no join") {
+    val p = plan("p39_sql_scalar_sub")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(l_quantity,"),
+      s"inlined threshold must reach the parquet reader:\n$p")
+    assert(!p.contains("Join"), s"a scalar threshold must not ride a join:\n$p")
+  }
+
+  test("derived table: inner sort stripped under outer aggregate — two hash aggs, one final sort") {
+    val p = plan("p40_sql_custdist")
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(p).length
+    assert(rangeEx == 1, s"only the OUTER order may range-shuffle:\n$p")
+    val hashAggs = "HashAggregate".r.findAllIn(p).length
+    assert(hashAggs == 4, s"expected partial+final × two levels:\n$p")
+  }
+
   test("knn and top-k limit compile to per-partition TakeOrderedAndProject") {
     assert(plan("s1_knn").contains("TakeOrderedAndProject"))
     assert(plan("o2_topk_limit").contains("TakeOrderedAndProject"))

@@ -157,6 +157,195 @@ class PostAggSpec extends AnyFunSuite {
     assert(math.abs(got.head.getAs[Double]("promo_pct") - 100.0 * 7 / 14) < 1e-9)
   }
 
+  test("limit per: top-k per partition on aggregate and raw paths; guards fail loudly") {
+    // aggregate path: top-1 y-group per window? simpler — top-1 user per y
+    val agg = ZxSql.run(fixture,
+      "select sum(foo) as s group by y, x order by s desc limit 1 per y")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getAs[Double]("s"))).toSet
+    // per y: best x by sum — y=1: only row 1 (x=7, 100); y=9: rows 4 (x=2,400),
+    // 10 (x=0,1000) → x=0 wins; __nil: max foo row 9 (x=8, 900)
+    assert(agg == Set(("1", "7", 100.0), ("9", "0", 1000.0),
+      (Compiler.NilSentinel, "8", 900.0)))
+    // raw path: top-2 rows per y by foo desc (id tiebreak via foo uniqueness)
+    val raw = ZxSql.run(fixture,
+      "select id, y, foo order by foo desc limit 2 per y")
+      .collect().map(_.getLong(0)).toSet
+    // y=1: {1}; y=9: {10, 4}; __nil: foo desc → rows 9, 8
+    assert(raw == Set(1L, 10L, 4L, 9L, 8L))
+    // guards: needs order by; per-col must be a group key / selected col;
+    // no rollup; no seq ops
+    assertThrows[ZxSql.ParseError](ZxSql.parse(
+      "select sum(foo) as s group by y limit 2 per y"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse(
+      "select sum(foo) as s group by y order by s desc limit 2 per x"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse(
+      "select id, foo order by foo desc limit 2 per y"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse(
+      "select sum(foo) as s group by rollup y, x order by s desc limit 1 per y"))
+  }
+
+  test("membership subqueries: in/not-in (select …) compile to semi/anti joins") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.timestamp_seconds
+    val fact = Seq((1L, 10L, 5.0), (2L, 20L, 7.0), (3L, 30L, 2.0), (4L, 10L, 4.0))
+      .toDF("fid", "k", "qty")
+      .withColumn("ts", timestamp_seconds(col("fid")))
+    val dim = Seq((10L, "x"), (20L, "y"), (30L, "x")).toDF("dk", "tag")
+    val cat = Map("d" -> dim, "f" -> fact)
+    // plain semi: keys whose dim tag = x → {10, 30} → fids {1,3,4}
+    val semi = ZxSql.run(fact,
+      "select fid, k where k in (select dk from d where tag = 'x')",
+      tables = cat).collect().map(_.getLong(0)).toSet
+    assert(semi == Set(1L, 3L, 4L))
+    // anti: fids whose k NOT in the x-set → {2}
+    val anti = ZxSql.run(fact,
+      "select fid, k where k not in (select dk from d where tag = 'x')",
+      tables = cat).collect().map(_.getLong(0)).toSet
+    assert(anti == Set(2L))
+    // grouped+having subquery (the q18 shape): k with sum(qty) > 5 → {10(9.0), 20(7.0)}
+    val hot = ZxSql.run(fact,
+      "select count(*) as n where k in (select k from f group by k " +
+        "having sum(qty) > 5) group by k order by n desc",
+      tables = cat).collect().map(r => (r.getString(0), r.getAs[Double]("n"))).toMap
+    assert(hot == Map("10" -> 2.0, "20" -> 1.0))
+    // subqueries compose with other WHERE conjuncts (pushdown intact)
+    val mixed = ZxSql.run(fact,
+      "select fid, k, qty where qty > 3 and k in (select dk from d where tag = 'x')",
+      tables = cat).collect().map(_.getLong(0)).toSet
+    assert(mixed == Set(1L, 4L))
+    // guards
+    assertThrows[ZxSql.ParseError](ZxSql.parse(
+      "select fid where k in (select dk from d) or qty > 3")) // not top-level AND
+    assertThrows[ZxSql.ParseError](ZxSql.parse(
+      "select sum(case when k in (select dk from d) then 1 end) as s")) // not in case
+    assertThrows[ZxSql.ParseError](ZxSql.run(fact,
+      "select fid where k in (select dk, tag from d)", tables = cat)) // one column
+    assertThrows[ZxSql.ParseError](ZxSql.run(fact,
+      "select fid where k in (select dk)", tables = cat)) // from required
+    assertThrows[ZxSql.ParseError](ZxSql.run(fact,
+      "select fid where k in (select sum(dk) from d)", tables = cat)) // bare column
+    assertThrows[ZxSql.ParseError](ZxSql.run(fact,
+      "select fid where k in (select dk from d order by dk)", tables = cat))
+    assertThrows[ZxSql.ParseError](ZxSql.run(fact,
+      "select fid where k in (select dk from d where dk in (select k from f))",
+      tables = cat)) // no nesting
+    // streaming rejects (membership set is a bounded-table construct)
+    val sdir = java.nio.file.Files.createTempDirectory("graft-sq-st").toString
+    fact.write.mode("overwrite").parquet(sdir)
+    val st = spark.readStream.schema(fact.schema).parquet(sdir)
+    val e = intercept[ZxSql.ParseError](ZxSql.runStream(st,
+      "select count(*) where k in (select dk from d) group by k granularity 10",
+      tables = cat))
+    assert(e.getMessage.contains("foreachBatch"))
+  }
+
+  test("derived tables: from (select …) runs two-level aggregation; guards fail loudly") {
+    // inner per-y sums: y=1 → 100, y=9 → 1400, __nil → 4000
+    val inner = "select sum(foo) as s group by y order by s"
+    // outer global aggregate — no ORDER BY needed: derived outers always
+    // take the sorted (non-windowed) path, never granularity buckets
+    val g = ZxSql.run(fixture, s"select mean(s) as m, max(s) as mx, count(*) as n from ($inner)")
+      .collect().head
+    assert(math.abs(g.getAs[Double]("m") - 5500.0 / 3) < 1e-9)
+    assert(g.getAs[Double]("mx") == 4000.0 && g.getAs[Double]("n") == 3.0)
+    // outer WHERE gates inner rows (HAVING at the front door)
+    val w = ZxSql.run(fixture, s"select count(*) as n from ($inner) where s > 150")
+      .collect().head.getAs[Double]("n")
+    assert(w == 2.0)
+    // outer raw projection over the derived frame
+    val raw = ZxSql.run(fixture, s"select s from ($inner) order by s desc limit 2")
+      .collect().map(_.getAs[Double]("s")).toSeq
+    assert(raw == Seq(4000.0, 1400.0))
+    // the q13 custdist shape: histogram of a grouped count — outer groups
+    // BY the inner measure; per-y counts are 1/2/7, each bucket size 1
+    val hist = ZxSql.run(fixture,
+      "select count(*) as k from (select count(*) as n group by y order by n) " +
+        "group by n order by k desc, n desc")
+      .collect().map(r => (r.getString(0), r.getAs[Double]("k"))).toSeq
+    assert(hist == Seq(("7.0", 1.0), ("2.0", 1.0), ("1.0", 1.0)))
+    // runCatalog resolves the INNERMOST from
+    val cat = ZxSql.runCatalog(Map("t" -> fixture),
+      "select max(s) as mx from (select sum(foo) as s from t group by y order by s)")
+      .collect().head.getAs[Double]("mx")
+    assert(cat == 4000.0)
+    // guards: time/window/join/sequence constructs belong on the inner query
+    assertThrows[ZxSql.ParseError](ZxSql.parse(
+      s"select max(s) as mx from ($inner) where $$t_start = 0"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse(
+      s"select max(s) as mx from ($inner) granularity 60"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse(
+      s"select max(s) as mx from ($inner) session 60"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse(
+      s"select max(s) as mx group by s from ($inner) exact"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse(
+      s"select journeys(3) top 5 from ($inner)"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse(
+      s"select max(s) as mx from ($inner) join d on a = b group by s"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse(
+      s"select heatmap(s) from ($inner)"))
+    // streaming rejects the bounded two-level construct
+    val sdir2 = java.nio.file.Files.createTempDirectory("graft-der-st").toString
+    fixture.write.mode("overwrite").parquet(sdir2)
+    val st2 = spark.readStream.schema(fixture.schema).parquet(sdir2)
+    val e2 = intercept[ZxSql.ParseError](ZxSql.runStream(st2,
+      s"select max(s) as mx from ($inner)"))
+    assert(e2.getMessage.contains("foreachBatch"))
+  }
+
+  test("scalar subqueries resolve to literal thresholds; compose anywhere; guards fail loudly") {
+    val cat = Map("t" -> fixture)
+    // mean(foo) over the fixture = 550 — the inlined threshold keeps rows 6-10
+    val above = ZxSql.run(fixture,
+      "select id, foo where foo > (select mean(foo) from t)", tables = cat)
+      .collect().map(_.getLong(0)).toSet
+    assert(above == Set(6L, 7L, 8L, 9L, 10L))
+    // once resolved it IS a row predicate — legal under OR (unlike `in (select)`)
+    val orMix = ZxSql.run(fixture,
+      "select id where foo > (select mean(foo) from t) or y = 1", tables = cat)
+      .collect().map(_.getLong(0)).toSet
+    assert(orMix == Set(1L, 6L, 7L, 8L, 9L, 10L))
+    // the subquery scans/filters its own table: max(foo) where y = 9 → 1000
+    val eqMax = ZxSql.run(fixture,
+      "select id where foo >= (select max(foo) from t where y = 9)", tables = cat)
+      .collect().map(_.getLong(0)).toSet
+    assert(eqMax == Set(10L))
+    // scalars nest inside membership subqueries (resolved innermost-first)
+    val nested = ZxSql.run(fixture,
+      "select id where x in (select x from t where foo > (select mean(foo) from t))",
+      tables = cat).collect().map(_.getLong(0)).toSet
+    assert(nested == Set(6L, 7L, 8L, 9L, 10L))
+    // guards: NULL scalar (empty input) fails loudly; shape must be one
+    // scalar aggregate; grouped results are not scalars; $t_start takes
+    // literals; unknown table names the catalog
+    // (sum/count over empty input coalesce to 0 by reference convention —
+    // max/min/mean are the aggregates that can produce a NULL scalar)
+    assertThrows[ZxSql.ParseError](ZxSql.run(fixture,
+      "select id where foo > (select max(foo) from t where foo > 99999)", tables = cat))
+    assertThrows[ZxSql.ParseError](ZxSql.run(fixture,
+      "select id where foo > (select foo from t)", tables = cat))
+    assertThrows[ZxSql.ParseError](ZxSql.run(fixture,
+      "select id where foo > (select sum(foo) from t group by y)", tables = cat))
+    assertThrows[ZxSql.ParseError](ZxSql.parse(
+      "select id where $t_start = (select min(foo) from t)"))
+    assertThrows[ZxSql.ParseError](ZxSql.run(fixture,
+      "select id where foo > (select mean(foo) from missing)", tables = cat))
+    assertThrows[ZxSql.ParseError](ZxSql.parse(
+      "select sum(case when foo > (select mean(foo) from t) then 1 end) as s"))
+    // STREAMS accept scalar subqueries — the threshold resolves once
+    // against the static table at stream construction
+    val sdir = java.nio.file.Files.createTempDirectory("graft-ssq-st").toString
+    fixture.write.mode("overwrite").parquet(sdir)
+    val st = spark.readStream.schema(fixture.schema).parquet(sdir)
+    val sdf = ZxSql.runStream(st,
+      "select count(*) as n where foo > (select mean(foo) from t) granularity 10",
+      tables = cat)
+    assert(sdf.isStreaming)
+    // …and a NULL scalar still fails loudly at construction
+    assertThrows[ZxSql.ParseError](ZxSql.runStream(st,
+      "select count(*) as n where foo > (select max(foo) from t where foo > 99999) granularity 10",
+      tables = cat))
+  }
+
   test("windowed equi-joins: slide/session compose with joins on batch and stream") {
     import spark.implicits._
     import org.apache.spark.sql.functions.timestamp_seconds
