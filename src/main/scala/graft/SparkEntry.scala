@@ -2647,6 +2647,23 @@ object SparkEntry {
       .select(round3("avg_spend"), round3("max_spend"), round3("n_users"))
   }
 
+  /** p42: DERIVED JOIN SIDE (the TPC-H q17 correlated-threshold shape)
+    * THROUGH the dialect — `join (select mean(…) group by key)` builds
+    * per-part quantity averages in ONE aggregation pass, the self-join
+    * carries them onto each lineitem row, and the expression predicate
+    * compares row vs own-group threshold. AQE broadcasts the aggregate
+    * side (|parts| rows, not |lineitem|). */
+  private def p42SqlQ17Shape(s: SparkSession, dir: String): DataFrame = {
+    val sql = "select sum(l_extendedprice) as total_price, count(*) as n " +
+      "from lineitem " +
+      "join (select mean(l_quantity) as avg_qty from lineitem group by l_partkey) " +
+      "on l_partkey = l_partkey " +
+      "where l_quantity - 0.5 * avg_qty < 0 " +
+      "group by l_returnflag order by total_price desc"
+    graft.sql.ZxSql.runCatalog(Map("lineitem" -> Tables.lineitem(s, dir)), sql)
+      .select(col("l_returnflag"), round3("total_price"), round3("n"))
+  }
+
   /** p33: TPC-H q12 (priority class counts) THROUGH the dialect — two
     * conditional measures whose branch predicates are IN-lists over the
     * joined frame, grouped on the deterministic sorted path. The CASE
@@ -3697,6 +3714,7 @@ object SparkEntry {
     "p39_sql_scalar_sub" -> (p39SqlScalarSub _),
     "p40_sql_custdist" -> (p40SqlCustdist _),
     "p41_sql_derived_stats" -> (p41SqlDerivedStats _),
+    "p42_sql_q17_shape" -> (p42SqlQ17Shape _),
     "o1_top_groups" -> (o1TopGroups _),
     "o2_topk_limit" -> (o2TopkLimit _),
     "o3_top_per_group" -> (o3TopPerGroup _),
@@ -5206,6 +5224,16 @@ object SparkEntry {
         |SELECT round(avg(s), 3) AS avg_spend, round(max(s), 3) AS max_spend,
         |  round(CAST(count(*) AS DOUBLE), 3) AS n_users
         |FROM pu WHERE s > 0""".stripMargin,
+    "p42_sql_q17_shape" ->
+      // engine mean = exact-integral double sum / count, identical to
+      // DuckDB avg; the predicate replays the same IEEE op order
+      """WITH pa AS (SELECT l_partkey, avg(l_quantity) AS avg_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, round(sum(l.l_extendedprice), 3) AS total_price,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS n
+        |FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+        |WHERE l.l_quantity - 0.5 * pa.avg_qty < 0
+        |GROUP BY 1""".stripMargin,
     "p33_sql_case_group" ->
       // CASE values are exact small integers — double sums bit-identical
       """SELECT l_linestatus,

@@ -233,9 +233,20 @@ final case class JoinSpec(
   * and WHERE is applied over the JOINED frame so the optimizer pushes
   * each predicate to whichever side it references (filters on a joined
   * table's columns prune that table's scan, not the join output). SQL
-  * face: `[left] join <table> on <keyL> = <keyR>`, repeatable. */
+  * face: `[left] join <table> on <keyL> = <keyR>`, repeatable.
+  *
+  * `sub` (extension): the right side may be a DERIVED aggregate —
+  * `join (select <agg>… from <table> [where …] group by <key>) on kl =
+  * <key>` — the CORRELATED-threshold shape (TPC-H q17's "compare each
+  * row to its group's average"): the subquery builds a per-key aggregate
+  * frame ONCE (group keys stay native-typed so the join key matches in
+  * its own type; its key column is renamed to an internal unique name so
+  * self-joins never hit ambiguity and is dropped after the join), and
+  * the outer WHERE's expression predicates compare fact columns against
+  * the joined aggregates. When `sub` is set, `table` is empty. */
 final case class EquiJoin(
-    table: String, keyL: String, keyR: String, leftOuter: Boolean = false)
+    table: String, keyL: String, keyR: String, leftOuter: Boolean = false,
+    sub: Option[ZxQuery] = None)
 
 /** Whole-operator sequence-analytics clause (extension; no reference
   * counterpart — the reference's algebra is pure aggregation and cannot

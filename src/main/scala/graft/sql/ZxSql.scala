@@ -760,9 +760,19 @@ object ZxSql {
       val leftOuter = atIdent("left")
       if (leftOuter) next()
       next() // join
-      val table = ident()
+      // `join (select …)` — derived aggregate right side (the
+      // correlated-threshold shape); otherwise a catalog table name
+      val sub: Option[ZxQuery] =
+        if (peek.contains(Sym("(")) && toks.lift(pos + 1).contains(Ident("select"))) {
+          next() // (
+          val (z, after) = parseTokens(toks, pos, nested = true)
+          pos = after
+          expectSym(")")
+          Some(z)
+        } else None
+      val table = if (sub.isEmpty) ident() else ""
       expectIdent("on"); val kl = ident(); expectSym("="); val kr = ident()
-      equiJoins :+= EquiJoin(table, kl, kr, leftOuter)
+      equiJoins :+= EquiJoin(table, kl, kr, leftOuter, sub = sub)
     }
 
     // WHERE parses as a full tree; a pure top-level conjunction of leaves
@@ -1131,6 +1141,54 @@ object ZxSql {
     }
   }
 
+  /** Compile a DERIVED equi-join right side (`join (select …) on kl = k`)
+    * to a native-key aggregate frame — the correlated-threshold shape:
+    * one aggregation pass builds per-key thresholds, the join carries
+    * them onto the fact rows, and the outer WHERE's expression
+    * predicates do the comparison. Shape contract (loud guards): every
+    * select is a scalar AGGREGATE measure; `group by` names exactly the
+    * ON clause's right key (which stays NATIVE-typed — it must match the
+    * left key in its own type); clauses beyond scan/filter/group/having
+    * are rejected. The key is renamed to a positional internal name so
+    * self-joins (q17 joins lineitem's averages back onto lineitem) never
+    * hit column ambiguity; the caller drops it after the join. */
+  private def compileJoinSub(sub0: ZxQuery, keyR: String, idx: Int,
+                             tsCol: String, tables: Map[String, DataFrame],
+                             fallback: Option[DataFrame]): (DataFrame, String) = {
+    val sub = sub0.copy(where = sub0.where.map(resolveScalarSubs(_, tsCol, tables)))
+    val df = sub.fromTable match {
+      case Some(n) => tables.getOrElse(n, throw ParseError(
+        s"unknown join-subquery table '$n' — pass it via tables/runCatalog " +
+          s"(have: ${tables.keys.toSeq.sorted.mkString(", ")})"))
+      case None => fallback.getOrElse(throw ParseError(
+        "a join subquery on a stream needs an explicit `from <table>` " +
+          "naming a STATIC catalog table"))
+    }
+    if (sub.selects.isEmpty ||
+        sub.selects.exists(s => s.agg == Agg.Raw || s.agg == Agg.Heatmap))
+      throw ParseError("a join subquery selects scalar AGGREGATE measures " +
+        "— the per-key thresholds the join carries onto each row")
+    if (sub.groupBy != Seq(keyR))
+      throw ParseError(s"a join subquery groups by exactly the ON clause's " +
+        s"right key ('$keyR'), got: ${sub.groupBy.mkString(", ")}")
+    if (sub.orderBy.nonEmpty || sub.limit.nonEmpty || sub.limitPer.nonEmpty ||
+        sub.seqOp.nonEmpty || sub.asofJoin.nonEmpty || sub.equiJoins.nonEmpty ||
+        sub.sessionGapSec.nonEmpty || sub.slideSec.nonEmpty || sub.exact ||
+        sub.rollup || sub.cube || sub.postSelects.nonEmpty ||
+        sub.semiJoins.nonEmpty || sub.skewSalt.nonEmpty || sub.fromSub.nonEmpty)
+      throw ParseError("join subqueries are scan/filter/group/having only " +
+        "— compute anything richer as its own table upstream")
+    val scanned = Compiler.scanFilter(df, sub, tsCol)
+    val aggSels = (sub.selects ++ sub.having.map(_.select)
+      .filterNot(s => sub.selects.contains(s) || s.agg == Agg.Raw)).distinct
+    val grouped = graft.compile.Aggregates.groupedAgg(scanned,
+      Seq(Compiler.colRef(keyR)), Seq(keyR), aggSels, df.schema, None)
+    val uniq = s"__dj${idx}_key"
+    (Compiler.havingFilter(grouped, sub.having)
+      .select(Compiler.colRef(keyR).as(uniq) +:
+        sub.selects.map(s => Compiler.colRef(s.key)): _*), uniq)
+  }
+
   /** Evaluate a scalar subquery to its literal rendering. One aggregate
     * over a scanned/filtered bounded table — the threshold the outer
     * comparison inlines. Runs ONE tiny aggregation job at plan-build
@@ -1389,12 +1447,25 @@ object ZxSql {
       // the dim scan underneath the join, not the join output
       var cur = Compiler.scanFilter(df,
         q.copy(conditions = Nil, where = None), tsCol)
-      for (j <- q.equiJoins) {
-        val right = tables.getOrElse(j.table, throw ParseError(
-          s"unknown join table '${j.table}' — pass it via run(..., tables = Map(...))"))
+      for ((j, i) <- q.equiJoins.zipWithIndex) {
+        val (right, rk) = j.sub match {
+          case Some(z) =>
+            val (frame, uniq) = compileJoinSub(z, j.keyR, i, tsCol, tables,
+              fallback = Some(df))
+            // a measure alias shadowing an existing column would make the
+            // outer WHERE's reference ambiguous — refuse loudly
+            z.selects.map(_.key).find(cur.columns.contains).foreach(m =>
+              throw ParseError(s"join-subquery measure '$m' collides with " +
+                "an existing column — alias it"))
+            (frame, uniq)
+          case None => (tables.getOrElse(j.table, throw ParseError(
+            s"unknown join table '${j.table}' — pass it via run(..., tables = Map(...))")),
+            j.keyR)
+        }
         cur = cur.join(right,
-          Compiler.colRef(j.keyL) === Compiler.colRef(j.keyR),
+          Compiler.colRef(j.keyL) === Compiler.colRef(rk),
           if (j.leftOuter) "left_outer" else "inner")
+        if (j.sub.nonEmpty) cur = cur.drop(rk)
       }
       // default: plain grouped aggregation (the sorted path: group keys
       // surface, deterministic order) — no time windows; with an explicit
@@ -1541,16 +1612,26 @@ object ZxSql {
             timestamp_seconds(Compiler.colRef(tsCol).cast(LongType)))
             .withWatermark("__sec", watermark)
         else stream.withWatermark(tsCol, watermark)
-      for (j <- q.equiJoins) {
-        val right = tables.getOrElse(j.table, throw ParseError(
-          s"unknown join table '${j.table}' — pass it via runStream(..., tables = Map(...))"))
+      for ((j, i) <- q.equiJoins.zipWithIndex) {
+        val (right, rk) = j.sub match {
+          case Some(z) =>
+            // a derived join side on a stream: the per-key aggregate
+            // frame computes ONCE from a STATIC catalog table at stream
+            // construction (no fallback — grouping the stream itself
+            // would be a different, stateful query)
+            compileJoinSub(z, j.keyR, i, tsCol, tables, fallback = None)
+          case None => (tables.getOrElse(j.table, throw ParseError(
+            s"unknown join table '${j.table}' — pass it via runStream(..., tables = Map(...))")),
+            j.keyR)
+        }
         if (right.isStreaming)
           throw ParseError(s"join table '${j.table}' is a stream — the " +
             "windowed enrich joins STATIC dimension tables (stream-stream " +
             "joins need their own watermark contract; use foreachBatch)")
         cur = cur.join(right,
-          Compiler.colRef(j.keyL) === Compiler.colRef(j.keyR),
+          Compiler.colRef(j.keyL) === Compiler.colRef(rk),
           if (j.leftOuter) "left_outer" else "inner")
+        if (j.sub.nonEmpty) cur = cur.drop(rk)
       }
       return if (q.sessionGapSec.nonEmpty)
         EventStream.sessionAgg(cur, q, watermark, tsCol, preWatermarked = true)

@@ -206,6 +206,16 @@ class PlanSpec extends AnyFunSuite {
     assert(hashAggs == 4, s"expected partial+final × two levels:\n$p")
   }
 
+  test("derived join side: the aggregate frame broadcasts onto the fact scan") {
+    val p = plan("p42_sql_q17_shape")
+    assert(p.contains("BroadcastHashJoin") || p.contains("broadcast exchange") ||
+      p.contains("BroadcastExchange"),
+      s"the per-key aggregate (|parts| rows) must broadcast, not shuffle the fact:\n$p")
+    // both sides scan only the columns they need
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_quantity:double>"),
+      s"subquery scan not pruned:\n$p")
+  }
+
   test("knn and top-k limit compile to per-partition TakeOrderedAndProject") {
     assert(plan("s1_knn").contains("TakeOrderedAndProject"))
     assert(plan("o2_topk_limit").contains("TakeOrderedAndProject"))

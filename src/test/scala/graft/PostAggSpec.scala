@@ -292,6 +292,62 @@ class PostAggSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("foreachBatch"))
   }
 
+  test("derived join sides: join (select …) builds per-key thresholds; guards fail loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.timestamp_seconds
+    val fact = Seq((1L, 10L, 5.0), (2L, 10L, 1.0), (3L, 20L, 4.0), (4L, 20L, 8.0))
+      .toDF("fid", "k", "qty")
+      .withColumn("ts", timestamp_seconds(col("fid")))
+    val cat = Map("f" -> fact)
+    // the q17 correlated-threshold shape: rows above their own key's mean
+    // — k=10 avg 3 → fid 1; k=20 avg 6 → fid 4 (note the SELF-join: the
+    // subquery key equals the fact key by name, no ambiguity; column-vs-
+    // column comparison spells as the expression predicate `a - b > 0`,
+    // since a bare right identifier is a literal by reference semantics)
+    val got = ZxSql.run(fact,
+      "select count(*) as n, sum(qty) as s " +
+        "join (select mean(qty) as avg_q from f group by k) on k = k " +
+        "where qty - avg_q > 0 group by k order by s desc",
+      tables = cat).collect()
+      .map(r => (r.getString(0), r.getAs[Double]("n"), r.getAs[Double]("s"))).toSeq
+    assert(got == Seq(("20", 1.0, 8.0), ("10", 1.0, 5.0)))
+    // subquery HAVING prunes keys before the join (k=10 only)
+    val hv = ZxSql.run(fact,
+      "select count(*) as n " +
+        "join (select mean(qty) as avg_q from f group by k having count(*) > 1) on k = k " +
+        "group by k order by n desc", tables = cat)
+      .collect().map(_.getString(0)).toSet
+    assert(hv == Set("10", "20")) // both keys have 2 rows
+    // guards
+    assertThrows[ZxSql.ParseError](ZxSql.run(fact, // bare column select
+      "select count(*) as n join (select k from f group by k) on k = k group by k order by n",
+      tables = cat))
+    assertThrows[ZxSql.ParseError](ZxSql.run(fact, // group key must be ON key
+      "select count(*) as n join (select mean(qty) as a from f group by fid) on k = k group by k order by n",
+      tables = cat))
+    assertThrows[ZxSql.ParseError](ZxSql.run(fact, // no order by in sub
+      "select count(*) as n join (select mean(qty) as a from f group by k order by a) on k = k group by k order by n",
+      tables = cat))
+    assertThrows[ZxSql.ParseError](ZxSql.run(fact, // alias collides with fact column
+      "select count(*) as n join (select mean(qty) as qty from f group by k) on k = k group by k order by n",
+      tables = cat))
+    assertThrows[ZxSql.ParseError](ZxSql.run(fact, // unknown table
+      "select count(*) as n join (select mean(qty) as a from zzz group by k) on k = k group by k order by n",
+      tables = cat))
+    // streaming: derived join side + window clause constructs (computed
+    // once from the static table); without `from` it fails loudly
+    val sdir3 = java.nio.file.Files.createTempDirectory("graft-dj-st").toString
+    fact.write.mode("overwrite").parquet(sdir3)
+    val st3 = spark.readStream.schema(fact.schema).parquet(sdir3)
+    val sdf3 = ZxSql.runStream(st3,
+      "select count(*) as n join (select mean(qty) as avg_q from f group by k) " +
+        "on k = k group by k granularity 10 slide 10", tables = cat)
+    assert(sdf3.isStreaming)
+    assertThrows[ZxSql.ParseError](ZxSql.runStream(st3,
+      "select count(*) as n join (select mean(qty) as avg_q group by k) " +
+        "on k = k group by k granularity 10 slide 10", tables = cat))
+  }
+
   test("scalar subqueries resolve to literal thresholds; compose anywhere; guards fail loudly") {
     val cat = Map("t" -> fixture)
     // mean(foo) over the fixture = 550 — the inlined threshold keeps rows 6-10
