@@ -2782,6 +2782,13 @@ object SparkEntry {
     graft.operators.Corpus.mixtureByTokenBudget(Tables.documents(s, dir),
       budgets = Map("src1" -> 800L, "src2" -> 500L, "src3" -> 2000L))
 
+  /** p43: the mixture SQL face — `select mixture src=tokens, …` with a
+    * WHERE quality gate applied BEFORE budgeting, so each source's budget
+    * fills from the surviving documents (gate-then-mix in one statement). */
+  private def p43SqlMixture(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select mixture src1=600, src2=400, src3=1500 where n_chars > 150")
+
   /** Within-doc repetition metrics (the Gopher repetition-filter family):
     * duplicate 2-/3-gram fractions + most-frequent-token fraction, all
     * exact int-ratio arithmetic. Tokens and token hashes materialize once
@@ -3777,6 +3784,7 @@ object SparkEntry {
     "x16_span_excise" -> (x16SpanExcise _),
     "x18_tfidf_pairs" -> (x18TfidfPairs _),
     "x19_mixture" -> (x19Mixture _),
+    "p43_sql_mixture" -> (p43SqlMixture _),
     "x17_quality_probe" -> (x17QualityProbe _),
     "c4_familiarity_gate" -> (c4FamiliarityGate _),
     "d1_dedup_exact" -> (d1DedupExact _),
@@ -4824,6 +4832,21 @@ object SparkEntry {
       s"""SELECT doc_id, source FROM documents
          |WHERE ${duckShingleHash("doc_id::VARCHAR")} % 100 <
          |  CASE source WHEN 'src2' THEN 5 WHEN 'src3' THEN 60 ELSE 20 END""".stripMargin,
+    "p43_sql_mixture" ->
+      // x19's replay with the WHERE gate applied pre-budget and the
+      // dialect row's budgets
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    ${duckShingleHash("doc_id::VARCHAR")} % 4096 AS bkt
+         |  FROM documents
+         |  WHERE source IN ('src1', 'src2', 'src3') AND n_chars > 150),
+         |p AS (SELECT doc_id, source, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY bkt, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+         |  FROM d)
+         |SELECT doc_id, source, n_tokens FROM p
+         |WHERE prefix < CASE source WHEN 'src1' THEN 600
+         |  WHEN 'src2' THEN 400 ELSE 1500 END""".stripMargin,
     "x19_mixture" ->
       // replay of the mixture cut rule with a full window — the engine's
       // bucket-prefix pre-filter is semantically invisible (see

@@ -335,6 +335,11 @@ object SeqOp {
     * frame sampling → per-document digest-transition count + first change
     * index. SQL: `select scenes [where …]`. */
   case object Scenes extends SeqOp
+  /** Token-budget mixture over the documents table —
+    * [[graft.operators.Corpus.mixtureByTokenBudget]]. WHERE composes as a
+    * pre-mixture quality gate (budgets then fill from the SURVIVORS). SQL:
+    * `select mixture <src>=<tokens>, <src>=<tokens>, … [where …]`. */
+  final case class Mixture(budgets: Seq[(String, Long)]) extends SeqOp
 }
 
 sealed trait SortDir

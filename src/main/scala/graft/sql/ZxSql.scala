@@ -537,7 +537,7 @@ object ZxSql {
         atIdent("retention") || atIdent("attribution") || atIdent("markov") ||
         atIdent("anomaly") || atIdent("profile") || atIdent("similar") ||
         atIdent("neardup") || atIdent("knn") || atIdent("mmr") ||
-        atIdent("trend") || atIdent("scenes") ||
+        atIdent("trend") || atIdent("scenes") || atIdent("mixture") ||
         ((atIdent("decay") || atIdent("argmax")) && toks.lift(pos + 1).contains(Sym("(")))
     def seqOpClause(): SeqOp = {
       val kw = ident()
@@ -668,6 +668,22 @@ object ZxSql {
           if (toks.lift(pos).contains(Sym("("))) { next(); c = ident(); expectSym(")") }
           SeqOp.Trend(c)
         case "scenes" => SeqOp.Scenes
+        case "mixture" =>
+          // `mixture src1=800, src2=500, …` — per-source token budgets
+          val pairs = commaList { () =>
+            val src = next() match {
+              case Ident(v) => v
+              case Str(v)   => v
+              case other => throw ParseError(s"expected a source name, got $other")
+            }
+            expectSym("=")
+            val b = parseLong(num("token budget"), "token budget")
+            if (b < 1) throw ParseError(s"mixture budget for '$src' must be positive, got $b")
+            (src, b)
+          }
+          val dup = pairs.groupBy(_._1).collectFirst { case (s, ps) if ps.size > 1 => s }
+          dup.foreach(s => throw ParseError(s"duplicate mixture source '$s'"))
+          SeqOp.Mixture(pairs)
         case other => throw ParseError(s"not a sequence op: $other")
       }
     }
@@ -1395,6 +1411,10 @@ object ZxSql {
           graft.operators.Multimodal.sceneChanges(
             graft.operators.Multimodal.sampleFrames(
               graft.operators.Multimodal.packBinary(base)))
+        case SeqOp.Mixture(budgets) =>
+          // WHERE has already gated `base`, so budgets fill from the
+          // SURVIVORS — quality-gate-then-mix in one statement
+          graft.operators.Corpus.mixtureByTokenBudget(base, budgets.toMap)
         case SeqOp.Argmax(v, idc) =>
           // deterministic argmax (the a15 aggregate): max(struct(value, id))
           // — lexicographic struct max makes the id a total tiebreak while

@@ -414,6 +414,16 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Corpus.mixtureByTokenBudget(docs, Map("src1" -> 0L)))
     intercept[IllegalArgumentException](
       Corpus.mixtureByTokenBudget(docs, Map("src1" -> 1L), buckets = 1))
+    // SQL face: WHERE gates BEFORE budgeting, budgets parse as src=tokens
+    import graft.sql.ZxSql
+    val viaSql = ZxSql.run(docs, "select mixture src1=7, src0=1000")
+      .collect().map(_.getLong(0)).toSet
+    val viaApi = Corpus.mixtureByTokenBudget(docs, Map("src1" -> 7L, "src0" -> 1000L))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaSql == viaApi)
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select mixture"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select mixture src1=0"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select mixture src1=5, src1=9"))
   }
 
   test("multimodal: packWav emits a valid RIFF container; decodeWav round-trips it") {
