@@ -2789,6 +2789,30 @@ object SparkEntry {
     graft.sql.ZxSql.run(Tables.documents(s, dir),
       "select mixture src1=600, src2=400, src3=1500 where n_chars > 150")
 
+  /** p44: the sampling SQL face, stratified mode — per-source keep
+    * percentages behind a WHERE quality gate; gate and sample are both
+    * narrow filters, so the whole statement rides the scan stage. */
+  private def p44SqlSample(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select sample pct 25 by src1=70, src4=5 where n_chars > 120")
+
+  /** p45: the sampling SQL face, weighted mode — acceptance probability
+    * n_chars/1500 clamped to [0,1] (longer docs kept proportionally more
+    * often: a token-level-unbiased sample from one narrow filter). */
+  private def p45SqlSampleWeight(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select sample weight n_chars scale 1500 where lang != 'zh'")
+
+  /** x20: WEIGHTED deterministic sampling — keep each document with
+    * probability proportional to its own length (n_chars/2000, clamped
+    * to 1), so a uniform-over-TOKENS sample falls out of one narrow
+    * filter. Same md5-coin determinism as x6: reruns, audits, and the
+    * DuckDB oracle see the identical subset. */
+  private def x20WeightSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.sampleByWeight(Tables.documents(s, dir),
+        col("n_chars").cast("double") / lit(2000.0))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+
   /** Within-doc repetition metrics (the Gopher repetition-filter family):
     * duplicate 2-/3-gram fractions + most-frequent-token fraction, all
     * exact int-ratio arithmetic. Tokens and token hashes materialize once
@@ -3784,6 +3808,9 @@ object SparkEntry {
     "x16_span_excise" -> (x16SpanExcise _),
     "x18_tfidf_pairs" -> (x18TfidfPairs _),
     "x19_mixture" -> (x19Mixture _),
+    "x20_weight_sample" -> (x20WeightSample _),
+    "p44_sql_sample" -> (p44SqlSample _),
+    "p45_sql_sample_weight" -> (p45SqlSampleWeight _),
     "p43_sql_mixture" -> (p43SqlMixture _),
     "x17_quality_probe" -> (x17QualityProbe _),
     "c4_familiarity_gate" -> (c4FamiliarityGate _),
@@ -4862,6 +4889,24 @@ object SparkEntry {
          |SELECT doc_id, source, n_tokens FROM p
          |WHERE prefix < CASE source WHEN 'src1' THEN 800
          |  WHEN 'src2' THEN 500 ELSE 2000 END""".stripMargin,
+    "x20_weight_sample" ->
+      // the same md5 coin as x6 at 2^20 resolution, compared to the
+      // row's own clamped acceptance probability; ×2^20 is exact in
+      // IEEE doubles, so both engines evaluate the identical predicate
+      s"""SELECT doc_id, source, n_chars FROM documents
+         |WHERE CAST(${duckShingleHash("doc_id::VARCHAR")} % 1048576 AS DOUBLE) <
+         |  least(greatest(CAST(n_chars AS DOUBLE) / 2000.0, 0.0), 1.0) * 1048576""".stripMargin,
+    "p44_sql_sample" ->
+      // gate-then-stratified-sample: x10's hash rule with p44's rates
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE n_chars > 120 AND ${duckShingleHash("doc_id::VARCHAR")} % 100 <
+         |  CASE source WHEN 'src1' THEN 70 WHEN 'src4' THEN 5 ELSE 25 END""".stripMargin,
+    "p45_sql_sample_weight" ->
+      // gate-then-weighted-sample: x20's coin rule at scale 1500
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE lang != 'zh' AND
+         |  CAST(${duckShingleHash("doc_id::VARCHAR")} % 1048576 AS DOUBLE) <
+         |  least(greatest(CAST(n_chars AS DOUBLE) / 1500.0, 0.0), 1.0) * 1048576""".stripMargin,
     "x11_redact" ->
       // same \b-wrapped literal-word patterns; Java and RE2 agree on ASCII
       // word boundaries, and the scrubbed text is pinned via md5 prefix

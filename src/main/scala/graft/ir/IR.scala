@@ -340,6 +340,18 @@ object SeqOp {
     * pre-mixture quality gate (budgets then fill from the SURVIVORS). SQL:
     * `select mixture <src>=<tokens>, <src>=<tokens>, … [where …]`. */
   final case class Mixture(budgets: Seq[(String, Long)]) extends SeqOp
+  /** Deterministic hash sampling over a documents frame —
+    * [[graft.operators.Corpus.sampleByHash]] /
+    * [[graft.operators.Corpus.sampleStratified]]. `strata` overrides the
+    * default rate per source value. WHERE composes as a pre-sample gate.
+    * SQL: `select sample pct <n> [by <src>=<pct>, …] [where …]`. */
+  final case class SampleRows(defaultPct: Int,
+                              strata: Seq[(String, Int)]) extends SeqOp
+  /** Weighted deterministic sampling (x20) —
+    * [[graft.operators.Corpus.sampleByWeight]] with acceptance
+    * probability `col / scale`, clamped to [0, 1]. SQL:
+    * `select sample weight <col> [scale <n>] [where …]`. */
+  final case class SampleWeight(col: String, scale: Long) extends SeqOp
 }
 
 sealed trait SortDir

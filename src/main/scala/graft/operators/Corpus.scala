@@ -47,6 +47,24 @@ object Corpus {
     df.filter(hashBucket(col(keyCol), 100) < pct)
   }
 
+  /** WEIGHTED deterministic sampling: keep a row iff its md5 hash coin
+    * lands below the row's OWN acceptance probability — sampling ∝ weight
+    * with rerun-stable membership (the same doc_id always draws the same
+    * coin, so reruns, audits, and incremental appends agree). Weights
+    * clamp to [0, 1]. A pure narrow filter — at 100 TB it runs inside the
+    * scan stage with zero shuffles. Canonical uses: token-PROPORTIONAL
+    * weights give a token-level-unbiased document sample (long docs are
+    * underrepresented by uniform row sampling); quality-score weights
+    * give soft curation (keep the best, thin the worst, never a hard
+    * cliff). Monotone in the weight: raising any row's weight can only
+    * add rows, never swap them — thresholds tune without resampling. */
+  def sampleByWeight(df: DataFrame, weight: Column, keyCol: String = "doc_id",
+                     resolution: Int = 1 << 20): DataFrame = {
+    require(resolution >= 2, s"resolution must be >= 2, got $resolution")
+    df.filter(hashBucket(col(keyCol), resolution).cast(DoubleType) <
+      least(greatest(weight, lit(0.0)), lit(1.0)) * resolution)
+  }
+
   /** Token-budget MIXTURE sampling — the data-mixing step of assembling a
     * training corpus: each source gets a TOKEN budget (not a row rate —
     * "20 B tokens of web, 5 B of code"), and the operator selects whole

@@ -538,6 +538,7 @@ object ZxSql {
         atIdent("anomaly") || atIdent("profile") || atIdent("similar") ||
         atIdent("neardup") || atIdent("knn") || atIdent("mmr") ||
         atIdent("trend") || atIdent("scenes") || atIdent("mixture") ||
+        atIdent("sample") ||
         ((atIdent("decay") || atIdent("argmax")) && toks.lift(pos + 1).contains(Sym("(")))
     def seqOpClause(): SeqOp = {
       val kw = ident()
@@ -684,6 +685,46 @@ object ZxSql {
           val dup = pairs.groupBy(_._1).collectFirst { case (s, ps) if ps.size > 1 => s }
           dup.foreach(s => throw ParseError(s"duplicate mixture source '$s'"))
           SeqOp.Mixture(pairs)
+        case "sample" =>
+          // `sample pct <n> [by src=<pct>, …]` — deterministic hash /
+          // stratified sampling; `sample weight <col> [scale <n>]` —
+          // acceptance probability col/scale, clamped to [0,1]
+          if (atIdent("weight")) {
+            next()
+            val c = ident()
+            var scale = 1L
+            if (atIdent("scale")) {
+              next(); scale = parseLong(num("weight scale"), "weight scale")
+            }
+            if (scale < 1)
+              throw ParseError(s"sample weight scale must be ≥ 1, got $scale")
+            SeqOp.SampleWeight(c, scale)
+          } else if (atIdent("pct")) {
+            next()
+            val pct = parseLong(num("sample pct"), "sample pct").toInt
+            if (pct < 0 || pct > 100)
+              throw ParseError(s"sample pct must be in [0,100], got $pct")
+            var strata = Seq.empty[(String, Int)]
+            if (atIdent("by")) {
+              next()
+              strata = commaList { () =>
+                val src = next() match {
+                  case Ident(v) => v
+                  case Str(v)   => v
+                  case other => throw ParseError(s"expected a source name, got $other")
+                }
+                expectSym("=")
+                val p = parseLong(num("stratum pct"), "stratum pct").toInt
+                if (p < 0 || p > 100)
+                  throw ParseError(s"sample pct for '$src' must be in [0,100], got $p")
+                (src, p)
+              }
+              val dup = strata.groupBy(_._1).collectFirst { case (s, ps) if ps.size > 1 => s }
+              dup.foreach(s => throw ParseError(s"duplicate sample stratum '$s'"))
+            }
+            SeqOp.SampleRows(pct, strata)
+          } else throw ParseError(
+            "sample takes `pct <n> [by src=<pct>, …]` or `weight <col> [scale <n>]`")
         case other => throw ParseError(s"not a sequence op: $other")
       }
     }
@@ -1114,6 +1155,25 @@ object ZxSql {
     * the outer column in its own type, and a null key can never match an
     * IN anyway. Without HAVING the raw key projection suffices — the
     * semi join dedups. */
+  /** Shared batch/stream compile for the `sample` corpus ops — both are
+    * STATELESS narrow filters (the md5 coin is a per-row expression), so
+    * the same code serves `run` and append-mode `runStream`; the text
+    * column is pruned from the output so blobs never flow downstream. */
+  private def compileSample(op: SeqOp, base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val sampled = op match {
+      case SeqOp.SampleRows(pct, strata) =>
+        if (strata.isEmpty) graft.operators.Corpus.sampleByHash(base, "doc_id", pct)
+        else graft.operators.Corpus.sampleStratified(
+          base, "source", strata.toMap, defaultPct = pct)
+      case SeqOp.SampleWeight(c, scale) =>
+        graft.operators.Corpus.sampleByWeight(
+          base, Compiler.colRef(c).cast("double") / lit(scale.toDouble))
+      case other => throw ParseError(s"not a sample op: $other")
+    }
+    sampled.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   private def compileSubquery(sub0: ZxQuery, tsCol: String,
                               tables: Map[String, DataFrame]): DataFrame = {
     // a membership subquery's own WHERE may carry scalar subqueries
@@ -1415,6 +1475,10 @@ object ZxSql {
           // WHERE has already gated `base`, so budgets fill from the
           // SURVIVORS — quality-gate-then-mix in one statement
           graft.operators.Corpus.mixtureByTokenBudget(base, budgets.toMap)
+        case op @ (_: SeqOp.SampleRows | _: SeqOp.SampleWeight) =>
+          // gate-then-sample: both are narrow filters, so at 100 TB the
+          // whole statement runs inside the scan stage; text stays pruned
+          compileSample(op, base)
         case SeqOp.Argmax(v, idc) =>
           // deterministic argmax (the a15 aggregate): max(struct(value, id))
           // — lexicographic struct max makes the id a total tiebreak while
@@ -1580,11 +1644,19 @@ object ZxSql {
     if (q.fromSub.nonEmpty)
       throw ParseError("a derived table is a bounded two-level aggregation " +
         "— run it per micro-batch via foreachBatch over ZxSql.run")
-    if (q.seqOp.nonEmpty)
-      throw ParseError("sequence/corpus ops (journeys, funnel, decay, argmax, " +
-        "retention, attribution, markov, anomaly, profile, trend, spans, " +
-        "similar, neardup, scenes, knn, mmr) need a bounded frame — run " +
-        "them per micro-batch via foreachBatch over ZxSql.run, or batch")
+    q.seqOp.foreach {
+      case op @ (_: SeqOp.SampleRows | _: SeqOp.SampleWeight) =>
+        // the one corpus op with a streaming meaning: a deterministic
+        // sample is a STATELESS narrow filter, so append mode just works
+        // — gate (WHERE) then sample, exactly the batch semantics per row
+        return compileSample(op, Compiler.scanFilter(stream, q, tsCol))
+      case _ =>
+        throw ParseError("sequence/corpus ops (journeys, funnel, decay, argmax, " +
+          "retention, attribution, markov, anomaly, profile, trend, spans, " +
+          "similar, neardup, scenes, knn, mmr, mixture) need a bounded frame " +
+          "— run them per micro-batch via foreachBatch over ZxSql.run, or " +
+          "batch (only `sample` streams: it is a stateless filter)")
+    }
     q.asofJoin.foreach { js =>
       // asof enrichment streams via the broadcast formulation: the deduped
       // version history rides in the plan (AsofJoin.asofBroadcast), so the

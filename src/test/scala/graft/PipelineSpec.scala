@@ -689,6 +689,27 @@ class PipelineSpec extends AnyFunSuite {
     assert((a ++ rest) == all && (a & rest).isEmpty)
   }
 
+  test("weighted sampling: monotone in weight, clamped, deterministic") {
+    import graft.operators.Corpus
+    val df = docsDf((0L until 60L).map(i => (i, s"doc number $i words")): _*)
+      .withColumn("w", (col("doc_id") % 10).cast("double") / 10.0)
+    def keep(weight: org.apache.spark.sql.Column): Set[Long] =
+      Corpus.sampleByWeight(df, weight).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    val a = keep(col("w"))
+    assert(a == keep(col("w"))) // md5 coin, not rand(): rerun-stable
+    // monotone: raising every weight only ADDS rows, never swaps
+    assert(a.subsetOf(keep(col("w") + 0.3)))
+    // clamp contract: weight >= 1 keeps everything, <= 0 keeps nothing
+    assert(keep(lit(5.0)) == df.select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(keep(lit(-1.0)).isEmpty)
+    // weight-0 rows (doc_id % 10 == 0) can never be sampled
+    assert(a.forall(_ % 10 != 0))
+    intercept[IllegalArgumentException] {
+      Corpus.sampleByWeight(df, col("w"), resolution = 1)
+    }
+  }
+
   test("token-budget packing: chunks are contiguous quantized prefix sums") {
     import graft.operators.Corpus
     // same source (even ids -> src0): tokens per doc = 4

@@ -862,6 +862,57 @@ class SqlSpec extends AnyFunSuite {
     assertThrows[ZxSql.ParseError](ZxSql.runStream(st, "select scenes"))
   }
 
+  test("sample from SQL: hash / stratified / weighted, batch + stream (round 12)") {
+    import SparkFixture.spark.implicits._
+    val spark = SparkFixture.spark
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 80L).map(i =>
+      (i, s"doc $i body", if (i % 2 == 0) "en" else "fr",
+        s"src${i % 4}", 40L + (i * 7) % 160)).toSeq
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // hash mode == Corpus API; text is pruned from the face's output
+    val facePct = ZxSql.run(docs, "select sample pct 30")
+    assert(facePct.columns.toSeq == Seq("doc_id", "lang", "source", "n_chars"))
+    assert(ids(facePct) == ids(graft.operators.Corpus.sampleByHash(docs, "doc_id", 30)))
+    // stratified mode == Corpus API with the same rates + default
+    val faceStrat = ZxSql.run(docs, "select sample pct 20 by src1=80, src2=0")
+    assert(ids(faceStrat) == ids(graft.operators.Corpus.sampleStratified(
+      docs, "source", Map("src1" -> 80, "src2" -> 0), defaultPct = 20)))
+    assert(!faceStrat.collect().exists(_.getString(2) == "src2"))
+    // weighted mode == Corpus API at the same scale
+    val faceW = ZxSql.run(docs, "select sample weight n_chars scale 100")
+    assert(ids(faceW) == ids(graft.operators.Corpus.sampleByWeight(
+      docs, col("n_chars").cast("double") / 100.0)))
+    // WHERE composes as a pre-sample gate
+    val gated = ZxSql.run(docs, "select sample pct 30 where lang = 'en'")
+    assert(ids(gated) == ids(facePct.filter(col("lang") === "en")))
+    // grammar guards
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select sample pct 101"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select sample pct 20 by src1=70, src1=5"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select sample pct 20 by src1=200"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select sample weight n_chars scale 0"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select sample"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select sample pct 20 group by lang"))
+    // STREAMING: sample is a stateless filter, so append mode works —
+    // the replay must equal the batch result row-for-row
+    val sdir = java.nio.file.Files.createTempDirectory("graft-sql-sample").toString
+    docs.write.mode("overwrite").parquet(sdir)
+    val st = spark.readStream.schema(docs.schema).parquet(sdir)
+    val out = ZxSql.runStream(st, "select sample weight n_chars scale 100 where lang = 'en'")
+    assert(out.isStreaming)
+    val query = out.writeStream.format("memory").queryName("sample_out")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val streamed = ids(spark.table("sample_out"))
+      assert(streamed == ids(faceW.filter(col("lang") === "en")) && streamed.nonEmpty)
+    } finally query.stop()
+    // other corpus ops still refuse the unbounded source
+    assertThrows[ZxSql.ParseError](ZxSql.runStream(st, "select mixture src1=100"))
+  }
+
   test("expression measures parse: precedence, parens, unary minus, aliases (round 12)") {
     import MeasureExpr._
     val q = ZxSql.parse(
