@@ -2803,6 +2803,20 @@ object SparkEntry {
     graft.sql.ZxSql.run(Tables.documents(s, dir),
       "select sample weight n_chars scale 1500 where lang != 'zh'")
 
+  /** p46: the packing SQL face — x7's token-budget sequence packing
+    * behind a WHERE gate; one window per source, batch-only (prefix sums
+    * are stateful). */
+  private def p46SqlPack(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select pack budget 1500 where n_chars > 100")
+
+  /** p47: the chunking SQL face — x12's overlapping context windows
+    * (24-token windows, stride 12) behind a lang gate; a stateless
+    * narrow explode, so the same statement also runs on streams. */
+  private def p47SqlChunks(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select chunks size 24 stride 12 where lang = 'en'")
+
   /** x20: WEIGHTED deterministic sampling — keep each document with
     * probability proportional to its own length (n_chars/2000, clamped
     * to 1), so a uniform-over-TOKENS sample falls out of one narrow
@@ -3811,6 +3825,8 @@ object SparkEntry {
     "x20_weight_sample" -> (x20WeightSample _),
     "p44_sql_sample" -> (p44SqlSample _),
     "p45_sql_sample_weight" -> (p45SqlSampleWeight _),
+    "p46_sql_pack" -> (p46SqlPack _),
+    "p47_sql_chunks" -> (p47SqlChunks _),
     "p43_sql_mixture" -> (p43SqlMixture _),
     "x17_quality_probe" -> (x17QualityProbe _),
     "c4_familiarity_gate" -> (c4FamiliarityGate _),
@@ -4896,6 +4912,35 @@ object SparkEntry {
       s"""SELECT doc_id, source, n_chars FROM documents
          |WHERE CAST(${duckShingleHash("doc_id::VARCHAR")} % 1048576 AS DOUBLE) <
          |  least(greatest(CAST(n_chars AS DOUBLE) / 2000.0, 0.0), 1.0) * 1048576""".stripMargin,
+    "p46_sql_pack" ->
+      // x7's packing rule behind the gate — SQL's WHERE applies before
+      // window functions, matching the engine's gate-then-pack order
+      """SELECT doc_id, source,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(floor(coalesce(sum(len(string_split(text, ' ')))
+        |   OVER (PARTITION BY source ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 1500)
+        |   AS BIGINT) AS chunk_id
+        |FROM documents WHERE n_chars > 100""".stripMargin,
+    "p47_sql_chunks" ->
+      // x12's window arithmetic at size 24 / stride 12 behind a lang gate
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE lang = 'en'
+        |), k AS (
+        |  SELECT doc_id, toks, len(toks)::INT AS n,
+        |    CAST(greatest(0, ceil((len(toks) - 24) / 12.0)) AS INT) AS kmax
+        |  FROM t
+        |), e AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(range(0, kmax + 1)) AS chunk_idx FROM k
+        |)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(chunk_idx * 12 AS INT) AS start_tok,
+        |  CAST(least(24, n - chunk_idx * 12) AS INT) AS n_tok,
+        |  array_to_string(list_slice(toks, chunk_idx * 12 + 1,
+        |    least(chunk_idx * 12 + 24, n)), ' ') AS chunk_text
+        |FROM e""".stripMargin,
     "p44_sql_sample" ->
       // gate-then-stratified-sample: x10's hash rule with p44's rates
       s"""SELECT doc_id, lang, source, n_chars FROM documents

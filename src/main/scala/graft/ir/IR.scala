@@ -352,6 +352,17 @@ object SeqOp {
     * probability `col / scale`, clamped to [0, 1]. SQL:
     * `select sample weight <col> [scale <n>] [where …]`. */
   final case class SampleWeight(col: String, scale: Long) extends SeqOp
+  /** Token-budget sequence packing (x7) —
+    * [[graft.operators.Corpus.packByTokenBudget]]: contiguous ~budget-token
+    * chunks per source via one window (stateful — batch only). SQL:
+    * `select pack budget <n> [where …]`. */
+  final case class Pack(budget: Long) extends SeqOp
+  /** Overlapping context-window chunking (x12) —
+    * [[graft.operators.Corpus.chunkByWindow]]: window k covers tokens
+    * [k·stride, k·stride + size). A stateless narrow explode, so it
+    * streams like `sample`. SQL:
+    * `select chunks [size <n>] [stride <m>] [where …]`. */
+  final case class Chunks(size: Int, stride: Int) extends SeqOp
 }
 
 sealed trait SortDir

@@ -538,7 +538,7 @@ object ZxSql {
         atIdent("anomaly") || atIdent("profile") || atIdent("similar") ||
         atIdent("neardup") || atIdent("knn") || atIdent("mmr") ||
         atIdent("trend") || atIdent("scenes") || atIdent("mixture") ||
-        atIdent("sample") ||
+        atIdent("sample") || atIdent("pack") || atIdent("chunks") ||
         ((atIdent("decay") || atIdent("argmax")) && toks.lift(pos + 1).contains(Sym("(")))
     def seqOpClause(): SeqOp = {
       val kw = ident()
@@ -725,6 +725,27 @@ object ZxSql {
             SeqOp.SampleRows(pct, strata)
           } else throw ParseError(
             "sample takes `pct <n> [by src=<pct>, …]` or `weight <col> [scale <n>]`")
+        case "pack" =>
+          // `pack budget <n>` — contiguous ~n-token training chunks
+          if (!atIdent("budget")) throw ParseError("pack takes `budget <tokens>`")
+          next()
+          val b = parseLong(num("pack budget"), "pack budget")
+          if (b < 1) throw ParseError(s"pack budget must be ≥ 1, got $b")
+          SeqOp.Pack(b)
+        case "chunks" =>
+          // `chunks [size <n>] [stride <m>]` — overlapping context windows
+          var size = 32; var stride = 8
+          if (atIdent("size")) {
+            next(); size = parseLong(num("chunk size"), "chunk size").toInt
+            stride = size // explicit size defaults to non-overlapping
+          }
+          if (atIdent("stride")) {
+            next(); stride = parseLong(num("chunk stride"), "chunk stride").toInt
+          }
+          if (size < 1 || stride < 1 || stride > size)
+            throw ParseError(
+              s"chunks needs 1 ≤ stride ≤ size, got size=$size stride=$stride")
+          SeqOp.Chunks(size, stride)
         case other => throw ParseError(s"not a sequence op: $other")
       }
     }
@@ -1479,6 +1500,12 @@ object ZxSql {
           // gate-then-sample: both are narrow filters, so at 100 TB the
           // whole statement runs inside the scan stage; text stays pruned
           compileSample(op, base)
+        case SeqOp.Pack(budget) =>
+          // one window per source — the x7 packing shape at the front door
+          graft.operators.Corpus.packByTokenBudget(base, budget)
+        case SeqOp.Chunks(size, stride) =>
+          // stateless narrow explode (~n/stride rows per doc, zero shuffles)
+          graft.operators.Corpus.chunkByWindow(base, size, stride)
         case SeqOp.Argmax(v, idc) =>
           // deterministic argmax (the a15 aggregate): max(struct(value, id))
           // — lexicographic struct max makes the id a total tiebreak while
@@ -1646,16 +1673,20 @@ object ZxSql {
         "— run it per micro-batch via foreachBatch over ZxSql.run")
     q.seqOp.foreach {
       case op @ (_: SeqOp.SampleRows | _: SeqOp.SampleWeight) =>
-        // the one corpus op with a streaming meaning: a deterministic
-        // sample is a STATELESS narrow filter, so append mode just works
-        // — gate (WHERE) then sample, exactly the batch semantics per row
+        // a corpus op with a streaming meaning: a deterministic sample is
+        // a STATELESS narrow filter, so append mode just works — gate
+        // (WHERE) then sample, exactly the batch semantics per row
         return compileSample(op, Compiler.scanFilter(stream, q, tsCol))
+      case SeqOp.Chunks(size, stride) =>
+        // likewise stateless: a row-local explode into context windows
+        return graft.operators.Corpus.chunkByWindow(
+          Compiler.scanFilter(stream, q, tsCol), size, stride)
       case _ =>
         throw ParseError("sequence/corpus ops (journeys, funnel, decay, argmax, " +
           "retention, attribution, markov, anomaly, profile, trend, spans, " +
-          "similar, neardup, scenes, knn, mmr, mixture) need a bounded frame " +
-          "— run them per micro-batch via foreachBatch over ZxSql.run, or " +
-          "batch (only `sample` streams: it is a stateless filter)")
+          "similar, neardup, scenes, knn, mmr, mixture, pack) need a bounded " +
+          "frame — run them per micro-batch via foreachBatch over ZxSql.run, " +
+          "or batch (only `sample` and `chunks` stream: stateless row-local ops)")
     }
     q.asofJoin.foreach { js =>
       // asof enrichment streams via the broadcast formulation: the deduped

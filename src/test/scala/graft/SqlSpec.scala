@@ -913,6 +913,46 @@ class SqlSpec extends AnyFunSuite {
     assertThrows[ZxSql.ParseError](ZxSql.runStream(st, "select mixture src1=100"))
   }
 
+  test("pack / chunks from SQL: batch parity, guards, chunks streams (round 12)") {
+    import SparkFixture.spark.implicits._
+    val spark = SparkFixture.spark
+    val docs = (0L until 20L).map(i =>
+      (i, (s"w$i " * (3 + (i % 7).toInt)).trim, "en", s"src${i % 2}", 10L)).toSeq
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // pack face == Corpus API at the same budget
+    val facePack = ZxSql.run(docs, "select pack budget 10")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    val opPack = graft.operators.Corpus.packByTokenBudget(docs, 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(facePack == opPack && facePack.nonEmpty)
+    // chunks face == Corpus API; explicit size without stride = no overlap
+    def chunkSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, String)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(4))).toSet
+    val faceCh = chunkSet(ZxSql.run(docs, "select chunks size 4 stride 2"))
+    assert(faceCh == chunkSet(graft.operators.Corpus.chunkByWindow(docs, 4, 2)))
+    assert(chunkSet(ZxSql.run(docs, "select chunks size 4")) ==
+      chunkSet(graft.operators.Corpus.chunkByWindow(docs, 4, 4)))
+    // grammar guards
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select pack"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select pack budget 0"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select chunks size 4 stride 8"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select chunks size 0"))
+    // chunks is a stateless explode → it streams; pack is windowed → batch
+    val sdir = java.nio.file.Files.createTempDirectory("graft-sql-chunk").toString
+    docs.write.mode("overwrite").parquet(sdir)
+    val st = spark.readStream.schema(docs.schema).parquet(sdir)
+    val out = ZxSql.runStream(st, "select chunks size 4 stride 2")
+    assert(out.isStreaming)
+    val query = out.writeStream.format("memory").queryName("chunks_out")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      assert(chunkSet(spark.table("chunks_out")) == faceCh)
+    } finally query.stop()
+    val e = intercept[ZxSql.ParseError](ZxSql.runStream(st, "select pack budget 10"))
+    assert(e.getMessage.contains("pack"))
+  }
+
   test("expression measures parse: precedence, parens, unary minus, aliases (round 12)") {
     import MeasureExpr._
     val q = ZxSql.parse(
