@@ -2817,6 +2817,26 @@ object SparkEntry {
     graft.sql.ZxSql.run(Tables.documents(s, dir),
       "select chunks size 24 stride 12 where lang = 'en'")
 
+  /** x21: bigram-LM fluency scoring — the CCNet-style quality probe.
+    * Tables train on the `lang = 'en'` reference slice (top-300 unigrams
+    * + top-500 bigrams, deterministic tie rule); EVERY document then
+    * scores against them via one broadcast-map fold per row. Per-position
+    * fixed-point quantization (floor(p·2^30)) keeps every sum integer —
+    * engine-exact at any partitioning. mean_p is the one 6dp ratio, an
+    * exact-integer division guarded against zero-bigram docs. */
+  private def x21LmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ref = docs.filter(col("lang") === "en")
+    val uni = graft.operators.Corpus.topUnigrams(ref, k = 300)
+    val big = graft.operators.Corpus.topBigrams(ref, k = 500)
+    graft.operators.Corpus.lmScore(docs, uni, big)
+      .select(col("doc_id"), col("lang"), col("lm_sum_fp"), col("lm_hits"),
+        col("n_bigrams"),
+        when(col("n_bigrams") > 0,
+          round(col("lm_sum_fp").cast(DoubleType) /
+            (col("n_bigrams") * lit(1073741824L)), 6)).as("mean_p"))
+  }
+
   /** x20: WEIGHTED deterministic sampling — keep each document with
     * probability proportional to its own length (n_chars/2000, clamped
     * to 1), so a uniform-over-TOKENS sample falls out of one narrow
@@ -3823,6 +3843,7 @@ object SparkEntry {
     "x18_tfidf_pairs" -> (x18TfidfPairs _),
     "x19_mixture" -> (x19Mixture _),
     "x20_weight_sample" -> (x20WeightSample _),
+    "x21_lm_score" -> (x21LmScore _),
     "p44_sql_sample" -> (p44SqlSample _),
     "p45_sql_sample_weight" -> (p45SqlSampleWeight _),
     "p46_sql_pack" -> (p46SqlPack _),
@@ -4941,6 +4962,46 @@ object SparkEntry {
         |  array_to_string(list_slice(toks, chunk_idx * 12 + 1,
         |    least(chunk_idx * 12 + 24, n)), ' ') AS chunk_text
         |FROM e""".stripMargin,
+    "x21_lm_score" ->
+      // full replay: en-slice unigram/bigram tables with the count-DESC/
+      // key-ASC tie rule, per-position floor(2^30·(c2+1)/(c1+V)) terms
+      // via LEFT joins (misses contribute the smoothed floor), integer
+      // per-doc sums, and the one 6dp exact-integer ratio
+      """WITH ref AS (SELECT text FROM documents WHERE lang = 'en'),
+        |rt AS (SELECT unnest(string_split(text, ' ')) AS tk FROM ref),
+        |uni AS (SELECT tk, n FROM (
+        |    SELECT tk, count(*)::BIGINT AS n,
+        |      row_number() OVER (ORDER BY count(*) DESC, tk ASC) AS rn
+        |    FROM rt GROUP BY tk) WHERE rn <= 300),
+        |rb AS (SELECT unnest(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')), 1)),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bg
+        |  FROM ref),
+        |big AS (SELECT bg, n FROM (
+        |    SELECT bg, count(*)::BIGINT AS n,
+        |      row_number() OVER (ORDER BY count(*) DESC, bg ASC) AS rn
+        |    FROM rb GROUP BY bg) WHERE rn <= 500),
+        |b AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')), 1)),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bg
+        |  FROM documents),
+        |p AS (SELECT b.doc_id,
+        |    CAST(floor(1073741824.0 * (coalesce(big.n, 0) + 1)
+        |      / (coalesce(uni.n, 0) + (SELECT count(*) FROM uni))) AS BIGINT) AS term,
+        |    CASE WHEN big.n IS NULL THEN 0 ELSE 1 END AS hit
+        |  FROM b LEFT JOIN big USING (bg)
+        |    LEFT JOIN uni ON string_split(b.bg, ' ')[1] = uni.tk),
+        |perdoc AS (SELECT doc_id, sum(term)::BIGINT AS lm_sum_fp,
+        |    sum(hit)::BIGINT AS lm_hits, count(*)::BIGINT AS n_bigrams
+        |  FROM p GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang,
+        |  coalesce(pd.lm_sum_fp, 0) AS lm_sum_fp,
+        |  coalesce(pd.lm_hits, 0) AS lm_hits,
+        |  coalesce(pd.n_bigrams, 0) AS n_bigrams,
+        |  CASE WHEN coalesce(pd.n_bigrams, 0) > 0
+        |    THEN round(pd.lm_sum_fp::DOUBLE / (pd.n_bigrams * 1073741824), 6)
+        |  END AS mean_p
+        |FROM documents d LEFT JOIN perdoc pd USING (doc_id)""".stripMargin,
     "p44_sql_sample" ->
       // gate-then-stratified-sample: x10's hash rule with p44's rates
       s"""SELECT doc_id, lang, source, n_chars FROM documents

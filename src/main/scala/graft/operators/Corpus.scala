@@ -250,6 +250,58 @@ object Corpus {
       .withColumn("n_bigrams", greatest(size(bgs), lit(0)).cast(LongType))
   }
 
+  /** Frequency table of the `k` most common whitespace tokens — the
+    * unigram side of [[lmScore]]'s bigram language model. Same plan shape
+    * and tie rule as [[topBigrams]]: one explode + one count shuffle +
+    * TakeOrderedAndProject, ties to the lexicographically smaller token. */
+  def topUnigrams(docs: DataFrame, k: Int, textCol: String = "text"): Seq[(String, Long)] = {
+    require(k > 0 && k <= 100000, s"topUnigrams: k must be in 1..100000, got $k")
+    docs.select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__tok").asc)
+      .limit(k)
+      .collect().toSeq.map(r => r.getString(0) -> r.getLong(1))
+  }
+
+  /** Add-one-smoothed bigram language-model scoring — the CCNet-style
+    * fluency probe: rank documents by how predictable their text is under
+    * a count LM trained on a REFERENCE corpus ([[topUnigrams]] +
+    * [[topBigrams]] over the high-quality slice). Per bigram position
+    * (w1, w2) the transition probability is
+    * `p = (c2(w1 w2) + 1) / (c1(w1) + V)` with `V` = the unigram table
+    * size; the row reports `lm_sum_fp = Σ floor(p·2^30)`, the table hit
+    * count, and the bigram count.
+    *
+    * Engine-exactness is by construction: counts are exact integers in
+    * doubles, the single division is correctly rounded IEEE, ×2^30 only
+    * shifts the exponent (never rounds), and the per-POSITION floor
+    * quantization makes the per-doc sum an integer — order-free, so any
+    * partitioning, engine, or join order agrees bit-for-bit. 100 TB
+    * shape: both tables are bounded collects (≤100k rows) that ride as
+    * broadcast map literals, so scoring is one narrow codegen'd fold per
+    * row — no explode, no join, no shuffle; the corpus scores in its
+    * scan stage. */
+  def lmScore(docs: DataFrame, unigrams: Seq[(String, Long)],
+              bigramTable: Seq[(String, Long)], textCol: String = "text"): DataFrame = {
+    require(unigrams.nonEmpty, "lmScore: empty unigram table")
+    require(bigramTable.nonEmpty, "lmScore: empty bigram table")
+    val v = unigrams.size.toDouble
+    val m1 = typedLit(unigrams.toMap)
+    val m2 = typedLit(bigramTable.toMap)
+    val bgs = bigrams(graft.functions.TextFunctions.tokens(col(textCol)))
+    docs
+      .withColumn("lm_sum_fp", aggregate(bgs, lit(0L), (acc, b) => {
+        val c2 = coalesce(try_element_at(m2, b), lit(0L)).cast(DoubleType)
+        val c1 = coalesce(try_element_at(m1, element_at(split(b, " "), 1)),
+          lit(0L)).cast(DoubleType)
+        acc + floor(lit(1073741824.0) * (c2 + lit(1.0)) / (c1 + lit(v)))
+          .cast(LongType)
+      }))
+      .withColumn("lm_hits", aggregate(bgs, lit(0L),
+        (acc, b) => acc + when(try_element_at(m2, b).isNotNull, 1L).otherwise(0L)))
+      .withColumn("n_bigrams", greatest(size(bgs), lit(0)).cast(LongType))
+  }
+
   /** Cross-document repeated n-gram spans — the SUBSTRING-level duplication
     * signal (exact/MinHash dedup in [[Dedup]] is document-level; training
     * corpora also repeat boilerplate spans INSIDE otherwise-distinct

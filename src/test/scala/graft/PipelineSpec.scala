@@ -710,6 +710,32 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram LM scoring: smoothed fixed-point terms, hits, OOV handling") {
+    import graft.operators.Corpus
+    // reference corpus: "a b" ×3 and "a c" ×1 → c1(a)=4, c1(b)=3, c1(c)=1
+    // (plus c2 tables); vocab V=3
+    val ref = docsDf((0L, "a b"), (1L, "a b"), (2L, "a b"), (3L, "a c"))
+    val uni = Corpus.topUnigrams(ref, k = 10)
+    assert(uni == Seq("a" -> 4L, "b" -> 3L, "c" -> 1L)) // count desc, token asc
+    val big = Corpus.topBigrams(ref, k = 10)
+    assert(big == Seq("a b" -> 3L, "a c" -> 1L))
+    // score "a b z a": bigrams (a b), (b z), (z a)
+    //  (a b): floor(2^30·(3+1)/(4+3)) ; (b z): floor(2^30·1/(3+3)) ;
+    //  (z a): OOV prefix → floor(2^30·1/(0+3))
+    val got = Corpus.lmScore(docsDf((9L, "a b z a")), uni, big)
+      .select("lm_sum_fp", "lm_hits", "n_bigrams")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    val q = 1073741824.0
+    val expected = math.floor(q * 4 / 7).toLong + math.floor(q / 6).toLong +
+      math.floor(q / 3).toLong
+    assert(got == ((expected, 1L, 3L)))
+    // a single-token doc has zero bigrams and a zero score
+    val lone = Corpus.lmScore(docsDf((7L, "a")), uni, big)
+      .select("lm_sum_fp", "n_bigrams").collect().head
+    assert(lone.getLong(0) == 0L && lone.getLong(1) == 0L)
+    intercept[IllegalArgumentException](Corpus.lmScore(ref, Seq(), big))
+  }
+
   test("token-budget packing: chunks are contiguous quantized prefix sums") {
     import graft.operators.Corpus
     // same source (even ids -> src0): tokens per doc = 4

@@ -622,6 +622,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram LM scoring rides the scan stage: broadcast-map fold, no join, no exchange") {
+    val p = plan("x21_lm_score")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"x21 scoring must be one narrow fold over the scan — tables ride as " +
+        s"map literals, never as join sides:\n$p")
+    // executedPlan.toString renders whole-stage-codegen membership as a
+    // `*(n)` node prefix
+    assert(p.contains("*("), s"fold fell out of codegen:\n$p")
+  }
+
   test("asof join is union + one window: no join operator, no explosion") {
     val p = plan("j2_asof_join")
     assert(!p.contains("Join"), s"asof must not plan a join:\n$p")
