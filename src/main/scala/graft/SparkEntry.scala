@@ -2837,6 +2837,15 @@ object SparkEntry {
             (col("n_bigrams") * lit(1073741824L)), 6)).as("mean_p"))
   }
 
+  /** p48: the LM-scoring SQL face — gate the corpus, train the bigram
+    * tables on its en slice, rank every gated document by fluency, all
+    * in one statement. Training slices and scoring set both live behind
+    * the WHERE, unlike x21 (which trains ungated) — the two rows pin
+    * both contracts. */
+  private def p48SqlLmScore(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select lmscore ref lang = 'en' vocab 200 table 400 where n_chars > 100")
+
   /** x20: WEIGHTED deterministic sampling — keep each document with
     * probability proportional to its own length (n_chars/2000, clamped
     * to 1), so a uniform-over-TOKENS sample falls out of one narrow
@@ -3844,6 +3853,7 @@ object SparkEntry {
     "x19_mixture" -> (x19Mixture _),
     "x20_weight_sample" -> (x20WeightSample _),
     "x21_lm_score" -> (x21LmScore _),
+    "p48_sql_lmscore" -> (p48SqlLmScore _),
     "p44_sql_sample" -> (p44SqlSample _),
     "p45_sql_sample_weight" -> (p45SqlSampleWeight _),
     "p46_sql_pack" -> (p46SqlPack _),
@@ -5002,6 +5012,45 @@ object SparkEntry {
         |    THEN round(pd.lm_sum_fp::DOUBLE / (pd.n_bigrams * 1073741824), 6)
         |  END AS mean_p
         |FROM documents d LEFT JOIN perdoc pd USING (doc_id)""".stripMargin,
+    "p48_sql_lmscore" ->
+      // x21's replay with the WHERE gate applied to BOTH the training
+      // slice and the scoring set, at the face's vocab/table sizes
+      """WITH g AS (SELECT doc_id, lang, text FROM documents WHERE n_chars > 100),
+        |ref AS (SELECT text FROM g WHERE lang = 'en'),
+        |rt AS (SELECT unnest(string_split(text, ' ')) AS tk FROM ref),
+        |uni AS (SELECT tk, n FROM (
+        |    SELECT tk, count(*)::BIGINT AS n,
+        |      row_number() OVER (ORDER BY count(*) DESC, tk ASC) AS rn
+        |    FROM rt GROUP BY tk) WHERE rn <= 200),
+        |rb AS (SELECT unnest(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')), 1)),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bg
+        |  FROM ref),
+        |big AS (SELECT bg, n FROM (
+        |    SELECT bg, count(*)::BIGINT AS n,
+        |      row_number() OVER (ORDER BY count(*) DESC, bg ASC) AS rn
+        |    FROM rb GROUP BY bg) WHERE rn <= 400),
+        |b AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')), 1)),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bg
+        |  FROM g),
+        |p AS (SELECT b.doc_id,
+        |    CAST(floor(1073741824.0 * (coalesce(big.n, 0) + 1)
+        |      / (coalesce(uni.n, 0) + (SELECT count(*) FROM uni))) AS BIGINT) AS term,
+        |    CASE WHEN big.n IS NULL THEN 0 ELSE 1 END AS hit
+        |  FROM b LEFT JOIN big USING (bg)
+        |    LEFT JOIN uni ON string_split(b.bg, ' ')[1] = uni.tk),
+        |perdoc AS (SELECT doc_id, sum(term)::BIGINT AS lm_sum_fp,
+        |    sum(hit)::BIGINT AS lm_hits, count(*)::BIGINT AS n_bigrams
+        |  FROM p GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang,
+        |  coalesce(pd.lm_sum_fp, 0) AS lm_sum_fp,
+        |  coalesce(pd.lm_hits, 0) AS lm_hits,
+        |  coalesce(pd.n_bigrams, 0) AS n_bigrams,
+        |  CASE WHEN coalesce(pd.n_bigrams, 0) > 0
+        |    THEN round(pd.lm_sum_fp::DOUBLE / (pd.n_bigrams * 1073741824), 6)
+        |  END AS mean_p
+        |FROM g d LEFT JOIN perdoc pd USING (doc_id)""".stripMargin,
     "p44_sql_sample" ->
       // gate-then-stratified-sample: x10's hash rule with p44's rates
       s"""SELECT doc_id, lang, source, n_chars FROM documents

@@ -363,6 +363,14 @@ object SeqOp {
     * streams like `sample`. SQL:
     * `select chunks [size <n>] [stride <m>] [where …]`. */
   final case class Chunks(size: Int, stride: Int) extends SeqOp
+  /** Bigram-LM fluency scoring (x21) over a documents frame — train
+    * [[graft.operators.Corpus.topUnigrams]] / topBigrams tables on the
+    * `ref`-selected slice of the WHERE-gated frame (the whole gated frame
+    * when no ref), then score every gated row via the broadcast-map fold.
+    * SQL: `select lmscore [ref <col> = <value>] [vocab <n>] [table <n>]
+    * [where …]`. */
+  final case class LmScore(ref: Option[(String, String)], vocab: Int,
+                           table: Int) extends SeqOp
 }
 
 sealed trait SortDir

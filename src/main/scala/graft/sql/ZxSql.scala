@@ -539,6 +539,7 @@ object ZxSql {
         atIdent("neardup") || atIdent("knn") || atIdent("mmr") ||
         atIdent("trend") || atIdent("scenes") || atIdent("mixture") ||
         atIdent("sample") || atIdent("pack") || atIdent("chunks") ||
+        atIdent("lmscore") ||
         ((atIdent("decay") || atIdent("argmax")) && toks.lift(pos + 1).contains(Sym("(")))
     def seqOpClause(): SeqOp = {
       val kw = ident()
@@ -746,6 +747,25 @@ object ZxSql {
             throw ParseError(
               s"chunks needs 1 ≤ stride ≤ size, got size=$size stride=$stride")
           SeqOp.Chunks(size, stride)
+        case "lmscore" =>
+          // `lmscore [ref <col> = <value>] [vocab <n>] [table <n>]` —
+          // bigram-LM fluency scoring; tables train on the ref slice of
+          // the gated frame (the whole gated frame when no ref)
+          var ref: Option[(String, String)] = None
+          var vocab = 300; var table = 500
+          if (atIdent("ref")) {
+            next(); val c = ident(); expectSym("="); ref = Some((c, value()))
+          }
+          if (atIdent("vocab")) {
+            next(); vocab = parseLong(num("vocab size"), "vocab size").toInt
+          }
+          if (atIdent("table")) {
+            next(); table = parseLong(num("table size"), "table size").toInt
+          }
+          if (vocab < 1 || vocab > 100000 || table < 1 || table > 100000)
+            throw ParseError(
+              s"lmscore vocab/table must be in [1,100000], got $vocab/$table")
+          SeqOp.LmScore(ref, vocab, table)
         case other => throw ParseError(s"not a sequence op: $other")
       }
     }
@@ -1506,6 +1526,22 @@ object ZxSql {
         case SeqOp.Chunks(size, stride) =>
           // stateless narrow explode (~n/stride rows per doc, zero shuffles)
           graft.operators.Corpus.chunkByWindow(base, size, stride)
+        case SeqOp.LmScore(ref, v, k) =>
+          // train on the ref slice OF THE GATED FRAME, score the gated
+          // frame — "gate the corpus, pick the high-quality slice, rank
+          // everything by fluency under it" is one statement; scoring is
+          // the broadcast-map fold (no join, no shuffle — PlanSpec)
+          val refDf = ref.map { case (c, rv) =>
+            base.filter(Compiler.colRef(c) === lit(rv))
+          }.getOrElse(base)
+          val uni = graft.operators.Corpus.topUnigrams(refDf, v)
+          val big = graft.operators.Corpus.topBigrams(refDf, k)
+          graft.operators.Corpus.lmScore(base, uni, big)
+            .select(col("doc_id"), col("lang"), col("lm_sum_fp"),
+              col("lm_hits"), col("n_bigrams"),
+              when(col("n_bigrams") > 0,
+                round(col("lm_sum_fp").cast("double") /
+                  (col("n_bigrams") * lit(1073741824L)), 6)).as("mean_p"))
         case SeqOp.Argmax(v, idc) =>
           // deterministic argmax (the a15 aggregate): max(struct(value, id))
           // — lexicographic struct max makes the id a total tiebreak while
@@ -1684,7 +1720,7 @@ object ZxSql {
       case _ =>
         throw ParseError("sequence/corpus ops (journeys, funnel, decay, argmax, " +
           "retention, attribution, markov, anomaly, profile, trend, spans, " +
-          "similar, neardup, scenes, knn, mmr, mixture, pack) need a bounded " +
+          "similar, neardup, scenes, knn, mmr, mixture, pack, lmscore) need a bounded " +
           "frame — run them per micro-batch via foreachBatch over ZxSql.run, " +
           "or batch (only `sample` and `chunks` stream: stateless row-local ops)")
     }

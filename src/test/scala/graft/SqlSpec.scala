@@ -953,6 +953,44 @@ class SqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("pack"))
   }
 
+  test("lmscore from SQL: ref-sliced training, parity with the API, guards (round 12)") {
+    import SparkFixture.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "a b a b a c", "en", "src0", 11L),
+      (2L, "a b a b", "en", "src0", 7L),
+      (3L, "c c c c c", "fr", "src1", 9L),
+      (4L, "a b z", "fr", "src1", 5L)).toSeq
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // face == API when trained on the same en slice
+    val face = ZxSql.run(docs, "select lmscore ref lang = 'en' vocab 10 table 10")
+    assert(face.columns.toSeq ==
+      Seq("doc_id", "lang", "lm_sum_fp", "lm_hits", "n_bigrams", "mean_p"))
+    val ref = docs.filter(col("lang") === "en")
+    val api = graft.operators.Corpus.lmScore(docs,
+      graft.operators.Corpus.topUnigrams(ref, 10),
+      graft.operators.Corpus.topBigrams(ref, 10))
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, Long)] =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("lm_sum_fp"), r.getAs[Long]("lm_hits"),
+          r.getAs[Long]("n_bigrams")))).toMap
+    assert(scores(face) == scores(api) && scores(face).size == 4)
+    // no ref clause → self-trained on the gated frame; WHERE gates BOTH
+    val gated = ZxSql.run(docs, "select lmscore where lang = 'en'")
+    val apiSelf = graft.operators.Corpus.lmScore(ref,
+      graft.operators.Corpus.topUnigrams(ref, 300),
+      graft.operators.Corpus.topBigrams(ref, 500))
+    assert(scores(gated) == scores(apiSelf) && scores(gated).size == 2)
+    // guards: size range, empty ref slice fails loudly, streaming rejects
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select lmscore vocab 0"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select lmscore table 100001"))
+    intercept[IllegalArgumentException](
+      ZxSql.run(docs, "select lmscore ref lang = 'de'"))
+    val sdir = java.nio.file.Files.createTempDirectory("graft-sql-lm").toString
+    val st = SparkFixture.spark.readStream.schema(docs.schema).parquet(sdir)
+    assertThrows[ZxSql.ParseError](ZxSql.runStream(st, "select lmscore"))
+  }
+
   test("expression measures parse: precedence, parens, unary minus, aliases (round 12)") {
     import MeasureExpr._
     val q = ZxSql.parse(
