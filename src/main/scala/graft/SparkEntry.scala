@@ -2837,6 +2837,25 @@ object SparkEntry {
             (col("n_bigrams") * lit(1073741824L)), 6)).as("mean_p"))
   }
 
+  /** p49: COMPOSITE-key equi-join — `on l_partkey = ps_partkey and
+    * l_suppkey = ps_suppkey`, the TPC-H q9 join shape. The offer dim is
+    * a per-(part, supplier) price floor built from history and passed
+    * via the catalog (at 100 TB it is the bounded dim a broadcast or
+    * AQE-chosen strategy handles); the roll-up reads the fact once. */
+  private def p49SqlCompositeJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val offer = li.groupBy(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .agg(min(col("l_extendedprice")).as("ps_min_price"))
+    val sql = "select sum(l_quantity) as sum_qty, count(*) as n " +
+      "from lineitem " +
+      "join offer on l_partkey = ps_partkey and l_suppkey = ps_suppkey " +
+      "where ps_min_price < 20000 " +
+      "group by l_returnflag order by l_returnflag"
+    graft.sql.ZxSql.run(li, sql, tables = Map("offer" -> offer))
+      .select(col("l_returnflag"), round3("sum_qty"), col("n"))
+  }
+
   /** p48: the LM-scoring SQL face — gate the corpus, train the bigram
     * tables on its en slice, rank every gated document by fluency, all
     * in one statement. Training slices and scoring set both live behind
@@ -3854,6 +3873,7 @@ object SparkEntry {
     "x20_weight_sample" -> (x20WeightSample _),
     "x21_lm_score" -> (x21LmScore _),
     "p48_sql_lmscore" -> (p48SqlLmScore _),
+    "p49_sql_composite_join" -> (p49SqlCompositeJoin _),
     "p44_sql_sample" -> (p44SqlSample _),
     "p45_sql_sample_weight" -> (p45SqlSampleWeight _),
     "p46_sql_pack" -> (p46SqlPack _),
@@ -5307,6 +5327,22 @@ object SparkEntry {
         |WHERE o_orderstatus = 'O'
         |GROUP BY n_name
         |ORDER BY sum(coalesce(l_quantity, 0)) DESC, n_name""".stripMargin,
+    "p49_sql_composite_join" ->
+      // the q9-shaped composite-key join: the offer dim is the
+      // per-(part, supplier) price floor; count(*) is the engine's
+      // weighted DOUBLE count
+      """WITH offer AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    min(l_extendedprice) AS ps_min_price
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag,
+        | round(sum(coalesce(l_quantity, 0)), 3) AS sum_qty,
+        | CAST(count(*) AS DOUBLE) AS n
+        |FROM lineitem JOIN offer
+        |  ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |WHERE ps_min_price < 20000
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "p28_sql_expr_measures" ->
       // the q1 pricing-summary shape through the dialect's expression
       // measures — every column is a native double, so the row-wise

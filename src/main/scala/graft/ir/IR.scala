@@ -246,7 +246,10 @@ final case class JoinSpec(
   * the joined aggregates. When `sub` is set, `table` is empty. */
 final case class EquiJoin(
     table: String, keyL: String, keyR: String, leftOuter: Boolean = false,
-    sub: Option[ZxQuery] = None)
+    sub: Option[ZxQuery] = None,
+    /** additional ON pairs for COMPOSITE keys — `on a = ra and b = rb`;
+      * catalog tables only (a derived side's group-by is its single key). */
+    moreKeys: Seq[(String, String)] = Nil)
 
 /** Whole-operator sequence-analytics clause (extension; no reference
   * counterpart — the reference's algebra is pure aggregation and cannot

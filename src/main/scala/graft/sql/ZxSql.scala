@@ -870,7 +870,18 @@ object ZxSql {
         } else None
       val table = if (sub.isEmpty) ident() else ""
       expectIdent("on"); val kl = ident(); expectSym("="); val kr = ident()
-      equiJoins :+= EquiJoin(table, kl, kr, leftOuter, sub = sub)
+      // composite keys: `on a = ra and b = rb …` — nothing else can
+      // follow a join's ON pair with `and`, so the keyword is unambiguous
+      var more = Seq.empty[(String, String)]
+      while (atIdent("and")) {
+        next(); val al = ident(); expectSym("="); val ar = ident()
+        more :+= ((al, ar))
+      }
+      if (sub.nonEmpty && more.nonEmpty)
+        throw ParseError("a derived join side aggregates by exactly one key" +
+          " — composite ON clauses join catalog tables")
+      equiJoins :+= EquiJoin(table, kl, kr, leftOuter, sub = sub,
+        moreKeys = more)
     }
 
     // WHERE parses as a full tree; a pure top-level conjunction of leaves
@@ -1610,7 +1621,8 @@ object ZxSql {
             j.keyR)
         }
         cur = cur.join(right,
-          Compiler.colRef(j.keyL) === Compiler.colRef(rk),
+          ((j.keyL, rk) +: j.moreKeys).map { case (l, r) =>
+            Compiler.colRef(l) === Compiler.colRef(r) }.reduce(_ && _),
           if (j.leftOuter) "left_outer" else "inner")
         if (j.sub.nonEmpty) cur = cur.drop(rk)
       }
@@ -1788,7 +1800,8 @@ object ZxSql {
             "windowed enrich joins STATIC dimension tables (stream-stream " +
             "joins need their own watermark contract; use foreachBatch)")
         cur = cur.join(right,
-          Compiler.colRef(j.keyL) === Compiler.colRef(rk),
+          ((j.keyL, rk) +: j.moreKeys).map { case (l, r) =>
+            Compiler.colRef(l) === Compiler.colRef(r) }.reduce(_ && _),
           if (j.leftOuter) "left_outer" else "inner")
         if (j.sub.nonEmpty) cur = cur.drop(rk)
       }

@@ -953,6 +953,29 @@ class SqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("pack"))
   }
 
+  test("composite-key equi-join: on a = ra and b = rb (round 12)") {
+    import SparkFixture.spark.implicits._
+    import org.apache.spark.sql.functions._
+    val fact = Seq((1L, 1L, "x", 10.0), (1L, 2L, "x", 20.0),
+      (2L, 1L, "y", 30.0), (2L, 2L, "y", 40.0))
+      .toDF("fk1", "fk2", "grp", "v")
+    val dim = Seq((1L, 1L, "a"), (2L, 2L, "b"))
+      .toDF("dk1", "dk2", "tag")
+    val got = ZxSql.run(fact,
+      "select sum(v) as s, count(*) as n " +
+        "join dim on fk1 = dk1 and fk2 = dk2 group by tag order by tag",
+      tables = Map("dim" -> dim))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // only (1,1)→a and (2,2)→b match: the single-key join would also
+    // admit the (1,2)/(2,1) rows — composite keys must exclude them
+    assert(got == Seq(("a", 10.0), ("b", 40.0)))
+    // a derived join side takes exactly one key
+    val e = intercept[ZxSql.ParseError](ZxSql.parse(
+      "select sum(v) as s join (select mean(v) as m from t group by k) " +
+        "on fk1 = k and fk2 = k group by grp"))
+    assert(e.getMessage.contains("one key"))
+  }
+
   test("lmscore from SQL: ref-sliced training, parity with the API, guards (round 12)") {
     import SparkFixture.spark.implicits._
     import org.apache.spark.sql.functions.col
