@@ -2865,6 +2865,14 @@ object SparkEntry {
     graft.sql.ZxSql.run(Tables.documents(s, dir),
       "select lmscore ref lang = 'en' vocab 200 table 400 where n_chars > 100")
 
+  /** x22: curriculum sharding — exact global rank under a length-based
+    * quality score, cut into 8 ordered shards, WITHOUT a corpus-wide
+    * sort: bounded score-bucket histogram → broadcast cumulative bases →
+    * per-bucket rank windows. */
+  private def x22Curriculum(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.curriculumShards(Tables.documents(s, dir),
+      col("n_chars").cast(DoubleType) / lit(2000.0), nShards = 8)
+
   /** x20: WEIGHTED deterministic sampling — keep each document with
     * probability proportional to its own length (n_chars/2000, clamped
     * to 1), so a uniform-over-TOKENS sample falls out of one narrow
@@ -3872,6 +3880,7 @@ object SparkEntry {
     "x19_mixture" -> (x19Mixture _),
     "x20_weight_sample" -> (x20WeightSample _),
     "x21_lm_score" -> (x21LmScore _),
+    "x22_curriculum" -> (x22Curriculum _),
     "p48_sql_lmscore" -> (p48SqlLmScore _),
     "p49_sql_composite_join" -> (p49SqlCompositeJoin _),
     "p44_sql_sample" -> (p44SqlSample _),
@@ -5032,6 +5041,17 @@ object SparkEntry {
         |    THEN round(pd.lm_sum_fp::DOUBLE / (pd.n_bigrams * 1073741824), 6)
         |  END AS mean_p
         |FROM documents d LEFT JOIN perdoc pd USING (doc_id)""".stripMargin,
+    "x22_curriculum" ->
+      // the whole point of the bounded-histogram plan is that it equals
+      // the naive global row_number — which IS the oracle formulation
+      """WITH s AS (SELECT doc_id,
+        |  CAST(floor(least(greatest(n_chars / 2000.0, 0.0), 1.0) * 1048576)
+        |    AS BIGINT) AS qs FROM documents),
+        |r AS (SELECT doc_id, qs,
+        |  row_number() OVER (ORDER BY qs, doc_id) - 1 AS rank0 FROM s)
+        |SELECT doc_id, qs, rank0::BIGINT AS rank0,
+        |  CAST((rank0 * 8) // (SELECT count(*) FROM s) AS BIGINT) AS shard
+        |FROM r""".stripMargin,
     "p48_sql_lmscore" ->
       // x21's replay with the WHERE gate applied to BOTH the training
       // slice and the scoring set, at the face's vocab/table sizes

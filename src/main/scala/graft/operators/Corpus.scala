@@ -302,6 +302,66 @@ object Corpus {
       .withColumn("n_bigrams", greatest(size(bgs), lit(0)).cast(LongType))
   }
 
+  /** Curriculum sharding: EXACT global rank of every document under
+    * (score, key) order, cut into `nShards` equal ordered shards — the
+    * "sort the corpus by quality and feed it easiest-first" step of
+    * curriculum training, and the deterministic what-goes-where manifest
+    * for ordered shard files.
+    *
+    * The trap at 100 TB is the obvious plan: `row_number() OVER (ORDER BY
+    * score)` is a single-partition window — one task sorts the corpus.
+    * This operator gets the SAME exact ranks from bounded pieces: the
+    * score clamps to [0,1] and quantizes to `2^quantBits` fixed-point
+    * buckets (floor of an exact power-of-two product — engine-exact, and
+    * the quantized value IS the sort key, so no precision is lost to
+    * ranking); a per-bucket histogram (≤ 2^quantBits + 1 rows) takes the
+    * one tiny global window for cumulative base ranks and broadcasts; each
+    * document's rank is then base(bucket) + rank-within-bucket, a window
+    * PARTITIONED by bucket — parallel across the cluster. Two scans of the
+    * slim (key, score) projection, one bounded broadcast, zero
+    * corpus-wide sorts. `shard = rank·nShards / total` in exact Long
+    * arithmetic.
+    *
+    * Skew is audited, not silent (the [[Dedup]] cap discipline): a single
+    * score value holding more than `maxBucket` documents fails loudly —
+    * raise quantBits (finer buckets) or pre-jitter the score. */
+  def curriculumShards(docs: DataFrame, score: Column, nShards: Int,
+                       keyCol: String = "doc_id", quantBits: Int = 20,
+                       maxBucket: Long = 10000000L): DataFrame = {
+    require(nShards >= 1 && nShards <= 1000000,
+      s"curriculumShards: nShards must be in 1..1e6, got $nShards")
+    require(quantBits >= 1 && quantBits <= 40,
+      s"curriculumShards: quantBits must be in 1..40, got $quantBits")
+    require(maxBucket >= 1, s"curriculumShards: bad maxBucket $maxBucket")
+    val qs = floor(least(greatest(score, lit(0.0)), lit(1.0)) *
+      lit((1L << quantBits).toDouble)).cast(LongType)
+    val slim = docs.select(col(keyCol), qs.as("qs"))
+    val hist = slim.groupBy(col("qs")).agg(count(lit(1)).as("__n"))
+    val stats = hist.agg(max(col("__n")), sum(col("__n"))).head()
+    if (stats.isNullAt(0)) return slim.withColumn("rank0", lit(0L))
+      .withColumn("shard", lit(0L)).limit(0)
+    val (mx, total) = (stats.getLong(0), stats.getLong(1))
+    require(mx <= maxBucket,
+      s"curriculumShards: a score bucket holds $mx documents (cap " +
+        s"$maxBucket) — the per-bucket rank window would hot-spot one " +
+        "task; raise quantBits or pre-jitter the score")
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.orderBy(col("qs"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ≤ 2^quantBits + 1 rows: the ONLY unpartitioned window in the plan
+    // rides the bounded histogram, never the corpus
+    val bases = hist.select(col("qs"),
+      coalesce(sum(col("__n")).over(wCum), lit(0L)).as("__base"))
+    val wIn = Window.partitionBy(col("qs")).orderBy(col(keyCol))
+    slim.join(broadcast(bases), Seq("qs"))
+      .withColumn("rank0",
+        row_number().over(wIn).cast(LongType) - 1L + col("__base"))
+      // integer DIV, not `/` (Long / Long is a DOUBLE in Spark — inexact
+      // past 2^53, and the oracle's `//` is integer division)
+      .withColumn("shard", expr(s"(rank0 * $nShards) DIV $total"))
+      .select(col(keyCol), col("qs"), col("rank0"), col("shard"))
+  }
+
   /** Cross-document repeated n-gram spans — the SUBSTRING-level duplication
     * signal (exact/MinHash dedup in [[Dedup]] is document-level; training
     * corpora also repeat boilerplate spans INSIDE otherwise-distinct

@@ -736,6 +736,30 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Corpus.lmScore(ref, Seq(), big))
   }
 
+  test("curriculum sharding: exact global ranks from bounded pieces") {
+    import graft.operators.Corpus
+    val df = docsDf((0L until 50L).map(i => (i, "t" * ((i % 7) + 1).toInt)): _*)
+    val score = col("n_chars").cast("double") / 7.0
+    val got = Corpus.curriculumShards(df, score, nShards = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // brute-force reference: sort by (quantized score, id), rank, cut
+    val q = df.select(col("doc_id"), floor(least(greatest(score, lit(0.0)),
+        lit(1.0)) * 1048576.0).cast("long").as("qs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = q.sortBy(p => (p._2, p._1)).zipWithIndex
+      .map { case ((id, _), r) => (id, r.toLong, r.toLong * 5 / 50) }.toSet
+    assert(got.toSet == expect && got.length == 50)
+    // ranks are a permutation of 0..n-1 and shards are balanced
+    assert(got.map(_._2).sorted.toSeq == (0L until 50L))
+    assert(got.groupBy(_._3).values.map(_.length).toSet == Set(10))
+    // the skew audit fails loudly: one bucket over the cap
+    val e = intercept[IllegalArgumentException](
+      Corpus.curriculumShards(df, lit(0.5), nShards = 5, maxBucket = 10))
+    assert(e.getMessage.contains("hot-spot"))
+    // empty input yields an empty, correctly-shaped frame
+    assert(Corpus.curriculumShards(df.limit(0), score, 3).count() == 0)
+  }
+
   test("token-budget packing: chunks are contiguous quantized prefix sums") {
     import graft.operators.Corpus
     // same source (even ids -> src0): tokens per doc = 4

@@ -632,6 +632,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), s"fold fell out of codegen:\n$p")
   }
 
+  test("curriculum sharding never sorts the corpus in one partition") {
+    val p = plan("x22_curriculum")
+    // the corpus-side rank window is PARTITIONED by the score bucket; the
+    // only unpartitioned window (cumulative bases) rides the bounded
+    // histogram behind a broadcast — so the single-partition exchange that
+    // a naive global row_number() would need must not touch the doc scan
+    assert(p.contains("BroadcastExchange"),
+      s"histogram bases must broadcast:\n$p")
+    val winSpecs = "Window \\[.*?\\], \\[".r.findAllIn(p).size
+    assert(p.contains("windowspecdefinition(qs#") ||
+        p.contains(", [qs#"),
+      s"corpus rank window must be partitioned by the score bucket:\n$p")
+    assert(winSpecs >= 1, s"expected window operators in:\n$p")
+  }
+
   test("asof join is union + one window: no join operator, no explosion") {
     val p = plan("j2_asof_join")
     assert(!p.contains("Join"), s"asof must not plan a join:\n$p")
