@@ -2856,6 +2856,13 @@ object SparkEntry {
       .select(col("l_returnflag"), round3("sum_qty"), col("n"))
   }
 
+  /** p50: the curriculum SQL face — gate, rank by the scaled length
+    * score, cut 6 ordered shards over the SURVIVORS (ranks re-pack after
+    * the gate, which the oracle replays). */
+  private def p50SqlCurriculum(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select curriculum score n_chars scale 2000 shards 6 where lang != 'fr'")
+
   /** p48: the LM-scoring SQL face — gate the corpus, train the bigram
     * tables on its en slice, rank every gated document by fluency, all
     * in one statement. Training slices and scoring set both live behind
@@ -3881,6 +3888,7 @@ object SparkEntry {
     "x20_weight_sample" -> (x20WeightSample _),
     "x21_lm_score" -> (x21LmScore _),
     "x22_curriculum" -> (x22Curriculum _),
+    "p50_sql_curriculum" -> (p50SqlCurriculum _),
     "p48_sql_lmscore" -> (p48SqlLmScore _),
     "p49_sql_composite_join" -> (p49SqlCompositeJoin _),
     "p44_sql_sample" -> (p44SqlSample _),
@@ -5051,6 +5059,16 @@ object SparkEntry {
         |  row_number() OVER (ORDER BY qs, doc_id) - 1 AS rank0 FROM s)
         |SELECT doc_id, qs, rank0::BIGINT AS rank0,
         |  CAST((rank0 * 8) // (SELECT count(*) FROM s) AS BIGINT) AS shard
+        |FROM r""".stripMargin,
+    "p50_sql_curriculum" ->
+      // x22's naive-global-row_number oracle over the gated survivors
+      """WITH s AS (SELECT doc_id,
+        |  CAST(floor(least(greatest(n_chars / 2000.0, 0.0), 1.0) * 1048576)
+        |    AS BIGINT) AS qs FROM documents WHERE lang != 'fr'),
+        |r AS (SELECT doc_id, qs,
+        |  row_number() OVER (ORDER BY qs, doc_id) - 1 AS rank0 FROM s)
+        |SELECT doc_id, qs, rank0::BIGINT AS rank0,
+        |  CAST((rank0 * 6) // (SELECT count(*) FROM s) AS BIGINT) AS shard
         |FROM r""".stripMargin,
     "p48_sql_lmscore" ->
       // x21's replay with the WHERE gate applied to BOTH the training

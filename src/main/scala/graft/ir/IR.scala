@@ -374,6 +374,12 @@ object SeqOp {
     * [where …]`. */
   final case class LmScore(ref: Option[(String, String)], vocab: Int,
                            table: Int) extends SeqOp
+  /** Curriculum sharding (x22) —
+    * [[graft.operators.Corpus.curriculumShards]] under score `col/scale`
+    * clamped to [0,1]. SQL:
+    * `select curriculum score <col> [scale <n>] [shards <n>] [where …]`. */
+  final case class Curriculum(col: String, scale: Long,
+                              shards: Int) extends SeqOp
 }
 
 sealed trait SortDir

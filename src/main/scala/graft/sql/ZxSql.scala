@@ -539,7 +539,7 @@ object ZxSql {
         atIdent("neardup") || atIdent("knn") || atIdent("mmr") ||
         atIdent("trend") || atIdent("scenes") || atIdent("mixture") ||
         atIdent("sample") || atIdent("pack") || atIdent("chunks") ||
-        atIdent("lmscore") ||
+        atIdent("lmscore") || atIdent("curriculum") ||
         ((atIdent("decay") || atIdent("argmax")) && toks.lift(pos + 1).contains(Sym("(")))
     def seqOpClause(): SeqOp = {
       val kw = ident()
@@ -766,6 +766,24 @@ object ZxSql {
             throw ParseError(
               s"lmscore vocab/table must be in [1,100000], got $vocab/$table")
           SeqOp.LmScore(ref, vocab, table)
+        case "curriculum" =>
+          // `curriculum score <col> [scale <n>] [shards <n>]` — exact
+          // global quality ranks cut into ordered shards
+          if (!atIdent("score"))
+            throw ParseError("curriculum takes `score <col> [scale <n>] [shards <n>]`")
+          next()
+          val c = ident()
+          var scale = 1L; var shards = 8
+          if (atIdent("scale")) {
+            next(); scale = parseLong(num("score scale"), "score scale")
+          }
+          if (atIdent("shards")) {
+            next(); shards = parseLong(num("shard count"), "shard count").toInt
+          }
+          if (scale < 1) throw ParseError(s"curriculum scale must be ≥ 1, got $scale")
+          if (shards < 1 || shards > 1000000)
+            throw ParseError(s"curriculum shards must be in [1,1e6], got $shards")
+          SeqOp.Curriculum(c, scale, shards)
         case other => throw ParseError(s"not a sequence op: $other")
       }
     }
@@ -1553,6 +1571,12 @@ object ZxSql {
               when(col("n_bigrams") > 0,
                 round(col("lm_sum_fp").cast("double") /
                   (col("n_bigrams") * lit(1073741824L)), 6)).as("mean_p"))
+        case SeqOp.Curriculum(c, scale, shards) =>
+          // exact global ranks from bounded pieces (no corpus-wide sort) —
+          // WHERE gates the corpus BEFORE ranking, so shards cut the
+          // survivors
+          graft.operators.Corpus.curriculumShards(base,
+            Compiler.colRef(c).cast("double") / lit(scale.toDouble), shards)
         case SeqOp.Argmax(v, idc) =>
           // deterministic argmax (the a15 aggregate): max(struct(value, id))
           // — lexicographic struct max makes the id a total tiebreak while
@@ -1732,7 +1756,8 @@ object ZxSql {
       case _ =>
         throw ParseError("sequence/corpus ops (journeys, funnel, decay, argmax, " +
           "retention, attribution, markov, anomaly, profile, trend, spans, " +
-          "similar, neardup, scenes, knn, mmr, mixture, pack, lmscore) need a bounded " +
+          "similar, neardup, scenes, knn, mmr, mixture, pack, lmscore, " +
+          "curriculum) need a bounded " +
           "frame — run them per micro-batch via foreachBatch over ZxSql.run, " +
           "or batch (only `sample` and `chunks` stream: stateless row-local ops)")
     }

@@ -976,6 +976,29 @@ class SqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("one key"))
   }
 
+  test("curriculum from SQL: gate-then-rank parity, guards (round 12)") {
+    import SparkFixture.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 30L).map(i =>
+      (i, "t", if (i % 3 == 0) "en" else "fr", s"src${i % 2}", (i * 11) % 97)).toSeq
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val face = ZxSql.run(docs,
+      "select curriculum score n_chars scale 100 shards 4 where lang = 'fr'")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val api = graft.operators.Corpus.curriculumShards(
+      docs.filter(col("lang") === "fr"),
+      col("n_chars").cast("double") / 100.0, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(face == api && face.size == 20)
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select curriculum"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select curriculum score s scale 0"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select curriculum score s shards 0"))
+    val sdir = java.nio.file.Files.createTempDirectory("graft-sql-cur").toString
+    val st = SparkFixture.spark.readStream.schema(docs.schema).parquet(sdir)
+    assertThrows[ZxSql.ParseError](
+      ZxSql.runStream(st, "select curriculum score n_chars"))
+  }
+
   test("lmscore from SQL: ref-sliced training, parity with the API, guards (round 12)") {
     import SparkFixture.spark.implicits._
     import org.apache.spark.sql.functions.col
