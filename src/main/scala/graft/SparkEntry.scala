@@ -2856,6 +2856,18 @@ object SparkEntry {
       .select(col("l_returnflag"), round3("sum_qty"), col("n"))
   }
 
+  /** st_lmscore: LIVE quality scoring — the documents table replayed as
+    * a stream through `lmscore train ref` with the reference model
+    * trained once on a static en slice; stateless fold, so append mode
+    * emits every score in the first micro-batch. Shares x21's oracle
+    * verbatim (same model: en-trained 300/500 tables, full corpus
+    * scored). */
+  private def stLmScore(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.replayDocs(s, dir, "st-lmscore") { stream =>
+      graft.sql.ZxSql.runStream(stream, "select lmscore train ref",
+        tables = Map("ref" -> Tables.documents(s, dir).filter(col("lang") === "en")))
+    }
+
   /** p50: the curriculum SQL face — gate, rank by the scaled length
     * score, cut 6 ordered shards over the SURVIVORS (ranks re-pack after
     * the gate, which the oracle replays). */
@@ -3890,6 +3902,7 @@ object SparkEntry {
     "x22_curriculum" -> (x22Curriculum _),
     "p50_sql_curriculum" -> (p50SqlCurriculum _),
     "p48_sql_lmscore" -> (p48SqlLmScore _),
+    "st_lmscore" -> (stLmScore _),
     "p49_sql_composite_join" -> (p49SqlCompositeJoin _),
     "p44_sql_sample" -> (p44SqlSample _),
     "p45_sql_sample_weight" -> (p45SqlSampleWeight _),
@@ -4213,6 +4226,50 @@ object SparkEntry {
          |WHERE (bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1)) +
          |   bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3))) <= $maxHamming""".stripMargin
   }
+
+  /** x21's oracle, shared verbatim by the streaming replay row
+    * `st_lmscore` (the StreamReplay contract: the batch oracle verifies
+    * the streaming path against the ORIGINAL testdata). */
+  private val x21OracleSql: String =
+      // full replay: en-slice unigram/bigram tables with the count-DESC/
+      // key-ASC tie rule, per-position floor(2^30*(c2+1)/(c1+V)) terms
+      // via LEFT joins (misses contribute the smoothed floor), integer
+      // per-doc sums, and the one 6dp exact-integer ratio
+      """WITH ref AS (SELECT text FROM documents WHERE lang = 'en'),
+        |rt AS (SELECT unnest(string_split(text, ' ')) AS tk FROM ref),
+        |uni AS (SELECT tk, n FROM (
+        |    SELECT tk, count(*)::BIGINT AS n,
+        |      row_number() OVER (ORDER BY count(*) DESC, tk ASC) AS rn
+        |    FROM rt GROUP BY tk) WHERE rn <= 300),
+        |rb AS (SELECT unnest(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')), 1)),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bg
+        |  FROM ref),
+        |big AS (SELECT bg, n FROM (
+        |    SELECT bg, count(*)::BIGINT AS n,
+        |      row_number() OVER (ORDER BY count(*) DESC, bg ASC) AS rn
+        |    FROM rb GROUP BY bg) WHERE rn <= 500),
+        |b AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')), 1)),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bg
+        |  FROM documents),
+        |p AS (SELECT b.doc_id,
+        |    CAST(floor(1073741824.0 * (coalesce(big.n, 0) + 1)
+        |      / (coalesce(uni.n, 0) + (SELECT count(*) FROM uni))) AS BIGINT) AS term,
+        |    CASE WHEN big.n IS NULL THEN 0 ELSE 1 END AS hit
+        |  FROM b LEFT JOIN big USING (bg)
+        |    LEFT JOIN uni ON string_split(b.bg, ' ')[1] = uni.tk),
+        |perdoc AS (SELECT doc_id, sum(term)::BIGINT AS lm_sum_fp,
+        |    sum(hit)::BIGINT AS lm_hits, count(*)::BIGINT AS n_bigrams
+        |  FROM p GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang,
+        |  coalesce(pd.lm_sum_fp, 0) AS lm_sum_fp,
+        |  coalesce(pd.lm_hits, 0) AS lm_hits,
+        |  coalesce(pd.n_bigrams, 0) AS n_bigrams,
+        |  CASE WHEN coalesce(pd.n_bigrams, 0) > 0
+        |    THEN round(pd.lm_sum_fp::DOUBLE / (pd.n_bigrams * 1073741824), 6)
+        |  END AS mean_p
+        |FROM documents d LEFT JOIN perdoc pd USING (doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = { val base = Map(
     "t1_time_scan" ->
@@ -5009,46 +5066,8 @@ object SparkEntry {
         |  array_to_string(list_slice(toks, chunk_idx * 12 + 1,
         |    least(chunk_idx * 12 + 24, n)), ' ') AS chunk_text
         |FROM e""".stripMargin,
-    "x21_lm_score" ->
-      // full replay: en-slice unigram/bigram tables with the count-DESC/
-      // key-ASC tie rule, per-position floor(2^30·(c2+1)/(c1+V)) terms
-      // via LEFT joins (misses contribute the smoothed floor), integer
-      // per-doc sums, and the one 6dp exact-integer ratio
-      """WITH ref AS (SELECT text FROM documents WHERE lang = 'en'),
-        |rt AS (SELECT unnest(string_split(text, ' ')) AS tk FROM ref),
-        |uni AS (SELECT tk, n FROM (
-        |    SELECT tk, count(*)::BIGINT AS n,
-        |      row_number() OVER (ORDER BY count(*) DESC, tk ASC) AS rn
-        |    FROM rt GROUP BY tk) WHERE rn <= 300),
-        |rb AS (SELECT unnest(list_transform(
-        |    range(1, greatest(len(string_split(text, ' ')), 1)),
-        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bg
-        |  FROM ref),
-        |big AS (SELECT bg, n FROM (
-        |    SELECT bg, count(*)::BIGINT AS n,
-        |      row_number() OVER (ORDER BY count(*) DESC, bg ASC) AS rn
-        |    FROM rb GROUP BY bg) WHERE rn <= 500),
-        |b AS (SELECT doc_id, unnest(list_transform(
-        |    range(1, greatest(len(string_split(text, ' ')), 1)),
-        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bg
-        |  FROM documents),
-        |p AS (SELECT b.doc_id,
-        |    CAST(floor(1073741824.0 * (coalesce(big.n, 0) + 1)
-        |      / (coalesce(uni.n, 0) + (SELECT count(*) FROM uni))) AS BIGINT) AS term,
-        |    CASE WHEN big.n IS NULL THEN 0 ELSE 1 END AS hit
-        |  FROM b LEFT JOIN big USING (bg)
-        |    LEFT JOIN uni ON string_split(b.bg, ' ')[1] = uni.tk),
-        |perdoc AS (SELECT doc_id, sum(term)::BIGINT AS lm_sum_fp,
-        |    sum(hit)::BIGINT AS lm_hits, count(*)::BIGINT AS n_bigrams
-        |  FROM p GROUP BY doc_id)
-        |SELECT d.doc_id, d.lang,
-        |  coalesce(pd.lm_sum_fp, 0) AS lm_sum_fp,
-        |  coalesce(pd.lm_hits, 0) AS lm_hits,
-        |  coalesce(pd.n_bigrams, 0) AS n_bigrams,
-        |  CASE WHEN coalesce(pd.n_bigrams, 0) > 0
-        |    THEN round(pd.lm_sum_fp::DOUBLE / (pd.n_bigrams * 1073741824), 6)
-        |  END AS mean_p
-        |FROM documents d LEFT JOIN perdoc pd USING (doc_id)""".stripMargin,
+    "x21_lm_score" -> x21OracleSql,
+    "st_lmscore" -> x21OracleSql,
     "x22_curriculum" ->
       // the whole point of the bounded-histogram plan is that it equals
       // the naive global row_number — which IS the oracle formulation

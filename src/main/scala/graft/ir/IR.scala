@@ -370,10 +370,14 @@ object SeqOp {
     * [[graft.operators.Corpus.topUnigrams]] / topBigrams tables on the
     * `ref`-selected slice of the WHERE-gated frame (the whole gated frame
     * when no ref), then score every gated row via the broadcast-map fold.
-    * SQL: `select lmscore [ref <col> = <value>] [vocab <n>] [table <n>]
-    * [where …]`. */
+    * With `train <table>` the tables train on that STATIC catalog table
+    * instead (ref slices it) — which also makes the op streamable: the
+    * scoring fold is stateless, so a live document stream scores against
+    * the fixed reference model in append mode. SQL:
+    * `select lmscore [train <table>] [ref <col> = <value>] [vocab <n>]
+    * [table <n>] [where …]`. */
   final case class LmScore(ref: Option[(String, String)], vocab: Int,
-                           table: Int) extends SeqOp
+                           table: Int, train: Option[String] = None) extends SeqOp
   /** Curriculum sharding (x22) —
     * [[graft.operators.Corpus.curriculumShards]] under score `col/scale`
     * clamped to [0,1]. SQL:

@@ -753,6 +753,8 @@ object ZxSql {
           // the gated frame (the whole gated frame when no ref)
           var ref: Option[(String, String)] = None
           var vocab = 300; var table = 500
+          var train: Option[String] = None
+          if (atIdent("train")) { next(); train = Some(ident()) }
           if (atIdent("ref")) {
             next(); val c = ident(); expectSym("="); ref = Some((c, value()))
           }
@@ -765,7 +767,7 @@ object ZxSql {
           if (vocab < 1 || vocab > 100000 || table < 1 || table > 100000)
             throw ParseError(
               s"lmscore vocab/table must be in [1,100000], got $vocab/$table")
-          SeqOp.LmScore(ref, vocab, table)
+          SeqOp.LmScore(ref, vocab, table, train)
         case "curriculum" =>
           // `curriculum score <col> [scale <n>] [shards <n>]` — exact
           // global quality ranks cut into ordered shards
@@ -1244,6 +1246,35 @@ object ZxSql {
     sampled.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** Shared batch/stream compile for `lmscore` — training collects run at
+    * plan time against a bounded frame (the gated batch frame, or the
+    * static `train` catalog table); scoring is the stateless broadcast-map
+    * fold, which is what makes the trained form streamable. */
+  private def compileLmScore(op: SeqOp.LmScore, base: DataFrame,
+                             tables: Map[String, DataFrame]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val trainBase = op.train match {
+      case Some(t) =>
+        val df = tables.getOrElse(t, throw ParseError(
+          s"unknown train table '$t' — pass it via tables = Map(...)"))
+        if (df.isStreaming) throw ParseError(s"train table '$t' is a " +
+          "stream — the reference model trains on a STATIC table")
+        df
+      case None => base
+    }
+    val refDf = op.ref.map { case (c, rv) =>
+      trainBase.filter(Compiler.colRef(c) === lit(rv))
+    }.getOrElse(trainBase)
+    val uni = graft.operators.Corpus.topUnigrams(refDf, op.vocab)
+    val big = graft.operators.Corpus.topBigrams(refDf, op.table)
+    graft.operators.Corpus.lmScore(base, uni, big)
+      .select(col("doc_id"), col("lang"), col("lm_sum_fp"),
+        col("lm_hits"), col("n_bigrams"),
+        when(col("n_bigrams") > 0,
+          round(col("lm_sum_fp").cast("double") /
+            (col("n_bigrams") * lit(1073741824L)), 6)).as("mean_p"))
+  }
+
   private def compileSubquery(sub0: ZxQuery, tsCol: String,
                               tables: Map[String, DataFrame]): DataFrame = {
     // a membership subquery's own WHERE may carry scalar subqueries
@@ -1555,22 +1586,13 @@ object ZxSql {
         case SeqOp.Chunks(size, stride) =>
           // stateless narrow explode (~n/stride rows per doc, zero shuffles)
           graft.operators.Corpus.chunkByWindow(base, size, stride)
-        case SeqOp.LmScore(ref, v, k) =>
-          // train on the ref slice OF THE GATED FRAME, score the gated
-          // frame — "gate the corpus, pick the high-quality slice, rank
-          // everything by fluency under it" is one statement; scoring is
-          // the broadcast-map fold (no join, no shuffle — PlanSpec)
-          val refDf = ref.map { case (c, rv) =>
-            base.filter(Compiler.colRef(c) === lit(rv))
-          }.getOrElse(base)
-          val uni = graft.operators.Corpus.topUnigrams(refDf, v)
-          val big = graft.operators.Corpus.topBigrams(refDf, k)
-          graft.operators.Corpus.lmScore(base, uni, big)
-            .select(col("doc_id"), col("lang"), col("lm_sum_fp"),
-              col("lm_hits"), col("n_bigrams"),
-              when(col("n_bigrams") > 0,
-                round(col("lm_sum_fp").cast("double") /
-                  (col("n_bigrams") * lit(1073741824L)), 6)).as("mean_p"))
+        case op: SeqOp.LmScore =>
+          // train on the ref slice of the gated frame (or of a static
+          // `train` catalog table), score the gated frame — "gate the
+          // corpus, pick the high-quality slice, rank everything by
+          // fluency under it" is one statement; scoring is the
+          // broadcast-map fold (no join, no shuffle — PlanSpec)
+          compileLmScore(op, base, tables)
         case SeqOp.Curriculum(c, scale, shards) =>
           // exact global ranks from bounded pieces (no corpus-wide sort) —
           // WHERE gates the corpus BEFORE ranking, so shards cut the
@@ -1753,6 +1775,16 @@ object ZxSql {
         // likewise stateless: a row-local explode into context windows
         return graft.operators.Corpus.chunkByWindow(
           Compiler.scanFilter(stream, q, tsCol), size, stride)
+      case op: SeqOp.LmScore if op.train.nonEmpty =>
+        // the trained form streams: the model is fixed at stream
+        // construction (static `train` table) and the scoring fold is a
+        // stateless per-row expression — live quality-scoring of an
+        // ingest stream in append mode
+        return compileLmScore(op, Compiler.scanFilter(stream, q, tsCol), tables)
+      case _: SeqOp.LmScore =>
+        throw ParseError("streaming lmscore needs `train <table>` — the " +
+          "model cannot train on an unbounded source; pass a static " +
+          "reference table via tables = Map(...)")
       case _ =>
         throw ParseError("sequence/corpus ops (journeys, funnel, decay, argmax, " +
           "retention, attribution, markov, anomaly, profile, trend, spans, " +

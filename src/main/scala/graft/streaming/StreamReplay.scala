@@ -92,6 +92,51 @@ object StreamReplay {
       in
     })
 
+  private val stagedDocInputs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureStagedDocs(s: SparkSession, dir: String): String =
+    stagedDocInputs.computeIfAbsent(dir, _ => {
+      val srcP = new org.apache.hadoop.fs.Path(dir + "/documents.parquet")
+      val st = srcP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getFileStatus(srcP)
+      val in = "target/graft-stream-q/docs-v1/" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        s"-${st.getLen}-${st.getModificationTime}"
+      val ok = new java.io.File(in, "_STAGED_OK")
+      if (!ok.exists()) {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(in))
+        graft.sources.Tables.documents(s, dir).write
+          .mode("overwrite").parquet(in)
+        java.nio.file.Files.writeString(ok.toPath, "ok")
+      }
+      in
+    })
+
+  /** Finite replay of the `documents` table through a STATELESS streaming
+    * transform — the docs-frame counterpart of [[replayEvents]] with none
+    * of its event-time machinery: no watermark, no sentinel, because a
+    * stateless operator emits every row inside the first micro-batch, so
+    * the sink holds the complete result after `processAllAvailable`. Same
+    * per-(dir, generation) staging cache; same driver-oracle purpose —
+    * the batch row's DuckDB SQL verifies the streaming path verbatim. */
+  def replayDocs(s: SparkSession, dir: String, name: String)
+                (build: DataFrame => DataFrame): DataFrame = {
+    val in = ensureStagedDocs(s, dir)
+    val stage = "target/graft-stream-q/" + name + "/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    val schema = graft.sources.Tables.documents(s, dir).schema
+    val out = build(s.readStream.schema(schema).parquet(in))
+    val query = out.writeStream.format("parquet")
+      .option("path", stage + "/out")
+      .option("checkpointLocation", stage + "/ckpt")
+      .outputMode("append")
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    s.read.parquet(stage + "/out")
+  }
+
   /** Stage `events` (cached per dir — data + sentinel), run
     * `build(stream)` to a parquet sink with `processAllAvailable`, and
     * return the sink contents. Callers filter out the sentinel's own group

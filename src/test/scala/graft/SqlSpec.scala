@@ -1032,9 +1032,29 @@ class SqlSpec extends AnyFunSuite {
     assertThrows[ZxSql.ParseError](ZxSql.parse("select lmscore table 100001"))
     intercept[IllegalArgumentException](
       ZxSql.run(docs, "select lmscore ref lang = 'de'"))
+    // `train <table>`: the model comes from a static catalog table —
+    // batch parity with training on that table directly
+    val trained = ZxSql.run(docs, "select lmscore train mydim vocab 10 table 10",
+      tables = Map("mydim" -> ref))
+    assert(scores(trained) == scores(api))
+    // …and the trained form STREAMS (stateless fold, fixed model)
     val sdir = java.nio.file.Files.createTempDirectory("graft-sql-lm").toString
+    docs.write.mode("overwrite").parquet(sdir)
     val st = SparkFixture.spark.readStream.schema(docs.schema).parquet(sdir)
     assertThrows[ZxSql.ParseError](ZxSql.runStream(st, "select lmscore"))
+    val out = ZxSql.runStream(st, "select lmscore train mydim vocab 10 table 10",
+      tables = Map("mydim" -> ref))
+    assert(out.isStreaming)
+    val query = out.writeStream.format("memory").queryName("lm_out")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      assert(scores(SparkFixture.spark.table("lm_out")) == scores(api))
+    } finally query.stop()
+    // a streaming train table is refused — the model must be static
+    val e2 = intercept[ZxSql.ParseError](ZxSql.runStream(st,
+      "select lmscore train mydim", tables = Map("mydim" -> st)))
+    assert(e2.getMessage.contains("STATIC"))
   }
 
   test("expression measures parse: precedence, parens, unary minus, aliases (round 12)") {
