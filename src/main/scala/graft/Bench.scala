@@ -114,7 +114,8 @@ object Bench {
       "x17_quality_probe", "c10_merge_delete", "c12_point_prune",
       "c12b_bloom_prune", "c12c_string_point",
       "s10_recall_audit", "st_tumbling", "st_session", "st_hopping",
-      "st_gap", "st_heatmap", "st_enrich", "st_lmscore",
+      "st_gap", "st_heatmap", "st_enrich", "st_lmscore", "st_sample",
+      "st_chunks",
       "x21_lm_score", "p48_sql_lmscore", "c6b_zorder3", "c8b_string_prune",
       "c11_schema_evolution", "c14_change_feed",
       "c15_incremental_ivm", "c16_snapshot_clone",

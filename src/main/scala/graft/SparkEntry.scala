@@ -2868,6 +2868,23 @@ object SparkEntry {
         tables = Map("ref" -> Tables.documents(s, dir).filter(col("lang") === "en")))
     }
 
+  /** st_sample: p45's weighted sampling replayed as a STREAM (the
+    * stateless md5-coin filter in append mode) — shares p45's oracle
+    * verbatim, so the whole streaming path is hash-verified. */
+  private def stSample(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.replayDocs(s, dir, "st-sample") { stream =>
+      graft.sql.ZxSql.runStream(stream,
+        "select sample weight n_chars scale 1500 where lang != 'zh'")
+    }
+
+  /** st_chunks: p47's context-window chunking replayed as a STREAM (the
+    * stateless explode in append mode) — shares p47's oracle verbatim. */
+  private def stChunks(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.replayDocs(s, dir, "st-chunks") { stream =>
+      graft.sql.ZxSql.runStream(stream,
+        "select chunks size 24 stride 12 where lang = 'en'")
+    }
+
   /** p50: the curriculum SQL face — gate, rank by the scaled length
     * score, cut 6 ordered shards over the SURVIVORS (ranks re-pack after
     * the gate, which the oracle replays). */
@@ -3903,6 +3920,8 @@ object SparkEntry {
     "p50_sql_curriculum" -> (p50SqlCurriculum _),
     "p48_sql_lmscore" -> (p48SqlLmScore _),
     "st_lmscore" -> (stLmScore _),
+    "st_sample" -> (stSample _),
+    "st_chunks" -> (stChunks _),
     "p49_sql_composite_join" -> (p49SqlCompositeJoin _),
     "p44_sql_sample" -> (p44SqlSample _),
     "p45_sql_sample_weight" -> (p45SqlSampleWeight _),
@@ -4226,6 +4245,37 @@ object SparkEntry {
          |WHERE (bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1)) +
          |   bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3))) <= $maxHamming""".stripMargin
   }
+
+  /** p45's oracle, shared verbatim by the streaming replay row
+    * `st_sample` (the StreamReplay contract: the batch oracle verifies
+    * the streaming path against the ORIGINAL testdata). */
+  private val p45OracleSql: String =
+    // gate-then-weighted-sample: x20's coin rule at scale 1500
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE lang != 'zh' AND
+       |  CAST(${duckShingleHash("doc_id::VARCHAR")} % 1048576 AS DOUBLE) <
+       |  least(greatest(CAST(n_chars AS DOUBLE) / 1500.0, 0.0), 1.0) * 1048576""".stripMargin
+
+  /** p47's oracle, shared verbatim by `st_chunks`. */
+  private val p47OracleSql: String =
+    // x12's window arithmetic at size 24 / stride 12 behind a lang gate
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE lang = 'en'
+      |), k AS (
+      |  SELECT doc_id, toks, len(toks)::INT AS n,
+      |    CAST(greatest(0, ceil((len(toks) - 24) / 12.0)) AS INT) AS kmax
+      |  FROM t
+      |), e AS (
+      |  SELECT doc_id, toks, n,
+      |    unnest(range(0, kmax + 1)) AS chunk_idx FROM k
+      |)
+      |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+      |  CAST(chunk_idx * 12 AS INT) AS start_tok,
+      |  CAST(least(24, n - chunk_idx * 12) AS INT) AS n_tok,
+      |  array_to_string(list_slice(toks, chunk_idx * 12 + 1,
+      |    least(chunk_idx * 12 + 24, n)), ' ') AS chunk_text
+      |FROM e""".stripMargin
 
   /** x21's oracle, shared verbatim by the streaming replay row
     * `st_lmscore` (the StreamReplay contract: the batch oracle verifies
@@ -5047,25 +5097,7 @@ object SparkEntry {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 1500)
         |   AS BIGINT) AS chunk_id
         |FROM documents WHERE n_chars > 100""".stripMargin,
-    "p47_sql_chunks" ->
-      // x12's window arithmetic at size 24 / stride 12 behind a lang gate
-      """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        |  WHERE lang = 'en'
-        |), k AS (
-        |  SELECT doc_id, toks, len(toks)::INT AS n,
-        |    CAST(greatest(0, ceil((len(toks) - 24) / 12.0)) AS INT) AS kmax
-        |  FROM t
-        |), e AS (
-        |  SELECT doc_id, toks, n,
-        |    unnest(range(0, kmax + 1)) AS chunk_idx FROM k
-        |)
-        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
-        |  CAST(chunk_idx * 12 AS INT) AS start_tok,
-        |  CAST(least(24, n - chunk_idx * 12) AS INT) AS n_tok,
-        |  array_to_string(list_slice(toks, chunk_idx * 12 + 1,
-        |    least(chunk_idx * 12 + 24, n)), ' ') AS chunk_text
-        |FROM e""".stripMargin,
+    "p47_sql_chunks" -> p47OracleSql,
     "x21_lm_score" -> x21OracleSql,
     "st_lmscore" -> x21OracleSql,
     "x22_curriculum" ->
@@ -5133,12 +5165,9 @@ object SparkEntry {
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE n_chars > 120 AND ${duckShingleHash("doc_id::VARCHAR")} % 100 <
          |  CASE source WHEN 'src1' THEN 70 WHEN 'src4' THEN 5 ELSE 25 END""".stripMargin,
-    "p45_sql_sample_weight" ->
-      // gate-then-weighted-sample: x20's coin rule at scale 1500
-      s"""SELECT doc_id, lang, source, n_chars FROM documents
-         |WHERE lang != 'zh' AND
-         |  CAST(${duckShingleHash("doc_id::VARCHAR")} % 1048576 AS DOUBLE) <
-         |  least(greatest(CAST(n_chars AS DOUBLE) / 1500.0, 0.0), 1.0) * 1048576""".stripMargin,
+    "p45_sql_sample_weight" -> p45OracleSql,
+    "st_sample" -> p45OracleSql,
+    "st_chunks" -> p47OracleSql,
     "x11_redact" ->
       // same \b-wrapped literal-word patterns; Java and RE2 agree on ASCII
       // word boundaries, and the scrubbed text is pinned via md5 prefix
