@@ -2885,6 +2885,19 @@ object SparkEntry {
         "select chunks size 24 stride 12 where lang = 'en'")
     }
 
+  /** p51: the exact-dedup SQL face — fingerprint groups over a gated
+    * corpus; the count shuffle carries 16-hex fingerprints, never text. */
+  private def p51SqlDedup(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select dedup where n_chars > 150")
+
+  /** p52: the decontamination SQL face — shingle-overlap report of the
+    * gated corpus against its src2/src3 slice at shingle 4 / hits 2
+    * (deliberately different from d7's 5/1 defaults). */
+  private def p52SqlDecontaminate(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select decontaminate src2, src3 shingle 4 hits 2 where n_chars > 120")
+
   /** p50: the curriculum SQL face — gate, rank by the scaled length
     * score, cut 6 ordered shards over the SURVIVORS (ranks re-pack after
     * the gate, which the oracle replays). */
@@ -3918,6 +3931,8 @@ object SparkEntry {
     "x21_lm_score" -> (x21LmScore _),
     "x22_curriculum" -> (x22Curriculum _),
     "p50_sql_curriculum" -> (p50SqlCurriculum _),
+    "p51_sql_dedup" -> (p51SqlDedup _),
+    "p52_sql_decontaminate" -> (p52SqlDecontaminate _),
     "p48_sql_lmscore" -> (p48SqlLmScore _),
     "st_lmscore" -> (stLmScore _),
     "st_sample" -> (stSample _),
@@ -5111,6 +5126,29 @@ object SparkEntry {
         |SELECT doc_id, qs, rank0::BIGINT AS rank0,
         |  CAST((rank0 * 8) // (SELECT count(*) FROM s) AS BIGINT) AS shard
         |FROM r""".stripMargin,
+    "p51_sql_dedup" ->
+      // d1's grouping rule behind the gate
+      """SELECT substr(md5(text), 1, 16) AS fp, min(doc_id) AS keeper_id,
+        | CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents WHERE n_chars > 150 GROUP BY 1""".stripMargin,
+    "p52_sql_decontaminate" ->
+      // d7's overlap rule with the face's sources/shingle/hits and the
+      // WHERE gate applied to BOTH the benchmark slice and the corpus
+      s"""WITH th0 AS (SELECT doc_id, source, $duckTokenHashes AS th
+         |  FROM documents WHERE n_chars > 120),
+         |shd AS (SELECT doc_id, source,
+         |  list_distinct(${duckHashedShinglesN(4)}) AS sh FROM th0),
+         |bsh AS (SELECT DISTINCT unnest(sh) AS h FROM shd
+         |  WHERE source IN ('src2', 'src3')),
+         |corp AS (SELECT doc_id, sh FROM shd
+         |  WHERE source NOT IN ('src2', 'src3')),
+         |hits AS (SELECT c.doc_id, count(*) AS n_hits
+         |  FROM (SELECT doc_id, unnest(sh) AS h FROM corp) c
+         |  JOIN bsh USING (h) GROUP BY c.doc_id)
+         |SELECT corp.doc_id, CAST(len(corp.sh) AS INT) AS n_shingles,
+         | CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+         | (coalesce(hits.n_hits, 0) >= 2) AS contaminated
+         |FROM corp LEFT JOIN hits USING (doc_id)""".stripMargin,
     "p50_sql_curriculum" ->
       // x22's naive-global-row_number oracle over the gated survivors
       """WITH s AS (SELECT doc_id,

@@ -384,6 +384,18 @@ object SeqOp {
     * `select curriculum score <col> [scale <n>] [shards <n>] [where …]`. */
   final case class Curriculum(col: String, scale: Long,
                               shards: Int) extends SeqOp
+  /** Exact dedup groups (d1) over a documents frame —
+    * [[graft.operators.Dedup.exactGroups]]: text fingerprint → keeper
+    * (min id) + multiplicity. SQL: `select dedup [where …]`. */
+  case object DedupExact extends SeqOp
+  /** Decontamination overlap report (d7) —
+    * [[graft.operators.Decontaminate.overlapReport]]: shingle overlap of
+    * the corpus against the benchmark slice named by source values (both
+    * drawn from the WHERE-gated frame). SQL:
+    * `select decontaminate <src>[, <src> …] [shingle <n>] [hits <n>]
+    * [where …]`. */
+  final case class Decontaminate(sources: Seq[String], shingleN: Int,
+                                 minHits: Int) extends SeqOp
 }
 
 sealed trait SortDir

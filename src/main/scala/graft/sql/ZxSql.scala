@@ -540,6 +540,7 @@ object ZxSql {
         atIdent("trend") || atIdent("scenes") || atIdent("mixture") ||
         atIdent("sample") || atIdent("pack") || atIdent("chunks") ||
         atIdent("lmscore") || atIdent("curriculum") ||
+        atIdent("dedup") || atIdent("decontaminate") ||
         ((atIdent("decay") || atIdent("argmax")) && toks.lift(pos + 1).contains(Sym("(")))
     def seqOpClause(): SeqOp = {
       val kw = ident()
@@ -786,6 +787,30 @@ object ZxSql {
           if (shards < 1 || shards > 1000000)
             throw ParseError(s"curriculum shards must be in [1,1e6], got $shards")
           SeqOp.Curriculum(c, scale, shards)
+        case "dedup" => SeqOp.DedupExact
+        case "decontaminate" =>
+          // `decontaminate <src>[, <src> …] [shingle <n>] [hits <n>]`
+          val srcs = commaList { () =>
+            next() match {
+              case Ident(v) => v
+              case Str(v)   => v
+              case other => throw ParseError(s"expected a source name, got $other")
+            }
+          }
+          if (srcs.distinct.size != srcs.size)
+            throw ParseError("duplicate decontaminate source")
+          var shingleN = 5; var hits = 1
+          if (atIdent("shingle")) {
+            next(); shingleN = parseLong(num("shingle length"), "shingle length").toInt
+          }
+          if (atIdent("hits")) {
+            next(); hits = parseLong(num("hit threshold"), "hit threshold").toInt
+          }
+          if (shingleN < 2 || shingleN > 16)
+            throw ParseError(s"decontaminate shingle must be in [2,16], got $shingleN")
+          if (hits < 1)
+            throw ParseError(s"decontaminate hits must be ≥ 1, got $hits")
+          SeqOp.Decontaminate(srcs, shingleN, hits)
         case other => throw ParseError(s"not a sequence op: $other")
       }
     }
@@ -1599,6 +1624,14 @@ object ZxSql {
           // survivors
           graft.operators.Corpus.curriculumShards(base,
             Compiler.colRef(c).cast("double") / lit(scale.toDouble), shards)
+        case SeqOp.DedupExact =>
+          // one count shuffle on the 16-hex fingerprint, never the text
+          graft.operators.Dedup.exactGroups(base)
+        case SeqOp.Decontaminate(srcs, n, h) =>
+          // benchmark slice = the named sources OF THE GATED FRAME; the
+          // broadcast keeps the corpus side shuffle-free (overlapReport)
+          graft.operators.Decontaminate.overlapReport(base,
+            col("source").isin(srcs: _*), shingleN = n, minHits = h)
         case SeqOp.Argmax(v, idc) =>
           // deterministic argmax (the a15 aggregate): max(struct(value, id))
           // — lexicographic struct max makes the id a total tiebreak while
@@ -1789,7 +1822,7 @@ object ZxSql {
         throw ParseError("sequence/corpus ops (journeys, funnel, decay, argmax, " +
           "retention, attribution, markov, anomaly, profile, trend, spans, " +
           "similar, neardup, scenes, knn, mmr, mixture, pack, lmscore, " +
-          "curriculum) need a bounded " +
+          "curriculum, dedup, decontaminate) need a bounded " +
           "frame — run them per micro-batch via foreachBatch over ZxSql.run, " +
           "or batch (only `sample` and `chunks` stream: stateless row-local ops)")
     }

@@ -999,6 +999,42 @@ class SqlSpec extends AnyFunSuite {
       ZxSql.runStream(st, "select curriculum score n_chars"))
   }
 
+  test("dedup / decontaminate from SQL: parity, guards (round 12)") {
+    import SparkFixture.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "same text here now", "en", "src0", 18L),
+      (2L, "same text here now", "en", "src1", 18L),
+      (3L, "other words entirely differ", "en", "src1", 27L),
+      (4L, "same text here now", "fr", "src2", 18L)).toSeq
+      .toDF("doc_id", "text", "lang", "source", "src")
+      .withColumnRenamed("src", "n_chars")
+    // dedup face == exactGroups: the triple-duplicated text keeps id 1
+    val face = ZxSql.run(docs, "select dedup")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val api = graft.operators.Dedup.exactGroups(docs)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(face == api && face == Set((1L, 3L), (3L, 1L)))
+    // decontaminate face == overlapReport with the same params; the
+    // corpus doc sharing the src0 benchmark's text is contaminated
+    val rep = ZxSql.run(docs, "select decontaminate src0 shingle 3 hits 1")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val apiRep = graft.operators.Decontaminate.overlapReport(docs,
+      col("source").isin("src0"), shingleN = 3, minHits = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(rep == apiRep && rep == Map(2L -> true, 3L -> false, 4L -> true))
+    // guards + streaming rejection
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select decontaminate"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select decontaminate src0, src0"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select decontaminate src0 shingle 1"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select decontaminate src0 hits 0"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select dedup group by lang"))
+    val sdir = java.nio.file.Files.createTempDirectory("graft-sql-dd").toString
+    val st = SparkFixture.spark.readStream.schema(docs.schema).parquet(sdir)
+    assertThrows[ZxSql.ParseError](ZxSql.runStream(st, "select dedup"))
+    assertThrows[ZxSql.ParseError](ZxSql.runStream(st, "select decontaminate src0"))
+  }
+
   test("lmscore from SQL: ref-sliced training, parity with the API, guards (round 12)") {
     import SparkFixture.spark.implicits._
     import org.apache.spark.sql.functions.col
