@@ -2885,6 +2885,18 @@ object SparkEntry {
         "select chunks size 24 stride 12 where lang = 'en'")
     }
 
+  /** p53: the quality SQL face — per-doc C4-style metrics behind a lang
+    * gate; a stateless narrow map (the face also streams). */
+  private def p53SqlQuality(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select quality where lang = 'en'")
+
+  /** p54: the redaction SQL face — \b-literal counts + scrubbed-text
+    * fingerprint for caller-chosen terms (not x11's fixture terms). */
+  private def p54SqlRedact(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select redact spark, data where source != 'src0'")
+
   /** p51: the exact-dedup SQL face — fingerprint groups over a gated
     * corpus; the count shuffle carries 16-hex fingerprints, never text. */
   private def p51SqlDedup(s: SparkSession, dir: String): DataFrame =
@@ -3933,6 +3945,8 @@ object SparkEntry {
     "p50_sql_curriculum" -> (p50SqlCurriculum _),
     "p51_sql_dedup" -> (p51SqlDedup _),
     "p52_sql_decontaminate" -> (p52SqlDecontaminate _),
+    "p53_sql_quality" -> (p53SqlQuality _),
+    "p54_sql_redact" -> (p54SqlRedact _),
     "p48_sql_lmscore" -> (p48SqlLmScore _),
     "st_lmscore" -> (stLmScore _),
     "st_sample" -> (stSample _),
@@ -5126,6 +5140,31 @@ object SparkEntry {
         |SELECT doc_id, qs, rank0::BIGINT AS rank0,
         |  CAST((rank0 * 8) // (SELECT count(*) FROM s) AS BIGINT) AS shard
         |FROM r""".stripMargin,
+    "p53_sql_quality" -> {
+      // x2's metric rules behind the lang gate
+      val en = graft.functions.TextFunctions.langStopwords.head._2
+        .map(w => s"'$w'").mkString(",")
+      val pc = graft.functions.TextFunctions.punctChars
+      s"""SELECT doc_id,
+         | CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         | (length(text) - length(regexp_replace(text, '[$pc]', '', 'g')))::DOUBLE
+         |   / length(text)::DOUBLE AS punct_ratio,
+         | len(list_filter(string_split(text, ' '), t -> list_contains([$en], t)))::DOUBLE
+         |   / len(string_split(text, ' '))::DOUBLE AS stop_ratio,
+         | (length(text) >= 100 AND len(string_split(text, ' ')) >= 20
+         |   AND (length(text) - length(regexp_replace(text, '[$pc]', '', 'g')))::DOUBLE / length(text)::DOUBLE <= 0.1
+         |   AND len(list_filter(string_split(text, ' '), t -> list_contains([$en], t)))::DOUBLE / len(string_split(text, ' '))::DOUBLE >= 0.01) AS quality_ok
+         |FROM documents WHERE lang = 'en'""".stripMargin
+    },
+    "p54_sql_redact" ->
+      // x11's \b-literal rule with the face's terms and gate
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '\bspark\b')) AS INT) AS n_spark,
+        | CAST(len(regexp_extract_all(text, '\bdata\b')) AS INT) AS n_data,
+        | substr(md5(regexp_replace(regexp_replace(text,
+        |   '\bspark\b', '<PII>', 'g'), '\bdata\b', '<PII>', 'g')), 1, 16)
+        |   AS redacted_fp
+        |FROM documents WHERE source != 'src0'""".stripMargin,
     "p51_sql_dedup" ->
       // d1's grouping rule behind the gate
       """SELECT substr(md5(text), 1, 16) AS fp, min(doc_id) AS keeper_id,

@@ -396,6 +396,14 @@ object SeqOp {
     * [where …]`. */
   final case class Decontaminate(sources: Seq[String], shingleN: Int,
                                  minHits: Int) extends SeqOp
+  /** Per-document quality metrics (x2) — token count, punctuation and
+    * stopword ratios, C4-style gate. Stateless narrow map, so it streams
+    * like `sample`/`chunks`. SQL: `select quality [where …]`. */
+  case object Quality extends SeqOp
+  /** Term redaction report (x11) — per-term \b-literal counts + the md5
+    * fingerprint of the scrubbed text. Stateless, streams. SQL:
+    * `select redact <term>[, <term> …] [where …]`. */
+  final case class Redact(terms: Seq[String]) extends SeqOp
 }
 
 sealed trait SortDir

@@ -541,6 +541,7 @@ object ZxSql {
         atIdent("sample") || atIdent("pack") || atIdent("chunks") ||
         atIdent("lmscore") || atIdent("curriculum") ||
         atIdent("dedup") || atIdent("decontaminate") ||
+        atIdent("quality") || atIdent("redact") ||
         ((atIdent("decay") || atIdent("argmax")) && toks.lift(pos + 1).contains(Sym("(")))
     def seqOpClause(): SeqOp = {
       val kw = ident()
@@ -811,6 +812,24 @@ object ZxSql {
           if (hits < 1)
             throw ParseError(s"decontaminate hits must be ≥ 1, got $hits")
           SeqOp.Decontaminate(srcs, shingleN, hits)
+        case "quality" => SeqOp.Quality
+        case "redact" =>
+          // `redact <term>[, <term> …]` — \b-wrapped LITERAL words, so
+          // the terms must be word-charset-only (a regex metachar would
+          // change the pattern's meaning silently)
+          val terms = commaList { () =>
+            next() match {
+              case Ident(v) => v
+              case Str(v)   => v
+              case other => throw ParseError(s"expected a term, got $other")
+            }
+          }
+          if (terms.distinct.size != terms.size)
+            throw ParseError("duplicate redact term")
+          terms.find(!_.matches("[A-Za-z0-9_]+")).foreach(t =>
+            throw ParseError(s"redact term '$t' must be letters/digits/_ " +
+              "only (terms are \\b-wrapped literal words)"))
+          SeqOp.Redact(terms)
         case other => throw ParseError(s"not a sequence op: $other")
       }
     }
@@ -1300,6 +1319,28 @@ object ZxSql {
             (col("n_bigrams") * lit(1073741824L)), 6)).as("mean_p"))
   }
 
+  /** Shared batch/stream compile for the stateless per-document map ops
+    * (`quality`, `redact`) — pure narrow projections, so one code path
+    * serves `run` and append-mode `runStream`. */
+  private def compileDocMap(op: SeqOp, base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    op match {
+      case SeqOp.Quality =>
+        base.select(col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          punctRatio(col("text")).as("punct_ratio"),
+          stopwordRatio(col("text")).as("stop_ratio"),
+          qualityOk(col("text")).as("quality_ok"))
+      case SeqOp.Redact(terms) =>
+        base.select(col("doc_id") +:
+          terms.map(t => termCount(col("text"), t).as(s"n_$t")) :+
+          substring(md5(redactTerms(col("text"), terms)), 1, 16)
+            .as("redacted_fp"): _*)
+      case other => throw ParseError(s"not a doc-map op: $other")
+    }
+  }
+
   private def compileSubquery(sub0: ZxQuery, tsCol: String,
                               tables: Map[String, DataFrame]): DataFrame = {
     // a membership subquery's own WHERE may carry scalar subqueries
@@ -1632,6 +1673,9 @@ object ZxSql {
           // broadcast keeps the corpus side shuffle-free (overlapReport)
           graft.operators.Decontaminate.overlapReport(base,
             col("source").isin(srcs: _*), shingleN = n, minHits = h)
+        case op @ (SeqOp.Quality | _: SeqOp.Redact) =>
+          // stateless narrow maps — scan-stage work at any scale
+          compileDocMap(op, base)
         case SeqOp.Argmax(v, idc) =>
           // deterministic argmax (the a15 aggregate): max(struct(value, id))
           // — lexicographic struct max makes the id a total tiebreak while
@@ -1808,6 +1852,9 @@ object ZxSql {
         // likewise stateless: a row-local explode into context windows
         return graft.operators.Corpus.chunkByWindow(
           Compiler.scanFilter(stream, q, tsCol), size, stride)
+      case op @ (SeqOp.Quality | _: SeqOp.Redact) =>
+        // stateless per-row maps stream like `sample`/`chunks`
+        return compileDocMap(op, Compiler.scanFilter(stream, q, tsCol))
       case op: SeqOp.LmScore if op.train.nonEmpty =>
         // the trained form streams: the model is fixed at stream
         // construction (static `train` table) and the scoring fold is a
@@ -1824,7 +1871,8 @@ object ZxSql {
           "similar, neardup, scenes, knn, mmr, mixture, pack, lmscore, " +
           "curriculum, dedup, decontaminate) need a bounded " +
           "frame — run them per micro-batch via foreachBatch over ZxSql.run, " +
-          "or batch (only `sample` and `chunks` stream: stateless row-local ops)")
+          "or batch (sample, chunks, quality, redact, and trained lmscore " +
+          "stream: stateless row-local ops)")
     }
     q.asofJoin.foreach { js =>
       // asof enrichment streams via the broadcast formulation: the deduped

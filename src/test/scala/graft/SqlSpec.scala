@@ -1035,6 +1035,43 @@ class SqlSpec extends AnyFunSuite {
     assertThrows[ZxSql.ParseError](ZxSql.runStream(st, "select decontaminate src0"))
   }
 
+  test("quality / redact from SQL: parity, guards, both stream (round 12)") {
+    import SparkFixture.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions._
+    val docs = Seq(
+      (1L, "the key point is the key", "en", "src0", 24L),
+      (2L, "no sensitive words at all", "en", "src1", 25L)).toSeq
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // quality face == the x2 projection
+    val q = ZxSql.run(docs, "select quality")
+    assert(q.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "punct_ratio", "stop_ratio", "quality_ok"))
+    assert(q.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap ==
+      Map(1L -> 6, 2L -> 5))
+    // redact face: per-term counts + scrubbed fingerprint
+    val r = ZxSql.run(docs, "select redact key")
+    assert(r.columns.toSeq == Seq("doc_id", "n_key", "redacted_fp"))
+    val byId = r.collect().map(x => x.getLong(0) -> ((x.getInt(1), x.getString(2)))).toMap
+    assert(byId(1L)._1 == 2 && byId(2L)._1 == 0)
+    val expFp = docs.filter(col("doc_id") === 1L)
+      .select(org.apache.spark.sql.functions.substring(
+        org.apache.spark.sql.functions.md5(
+          redactTerms(col("text"), Seq("key"))), 1, 16))
+      .collect().head.getString(0)
+    assert(byId(1L)._2 == expFp)
+    // guards
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select redact"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select redact key, key"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select redact 'a.b'"))
+    // both stream (stateless row maps)
+    val sdir = java.nio.file.Files.createTempDirectory("graft-sql-qr").toString
+    docs.write.mode("overwrite").parquet(sdir)
+    val st = SparkFixture.spark.readStream.schema(docs.schema).parquet(sdir)
+    assert(ZxSql.runStream(st, "select quality").isStreaming)
+    assert(ZxSql.runStream(st, "select redact key").isStreaming)
+  }
+
   test("lmscore from SQL: ref-sliced training, parity with the API, guards (round 12)") {
     import SparkFixture.spark.implicits._
     import org.apache.spark.sql.functions.col
