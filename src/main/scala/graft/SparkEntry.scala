@@ -2885,6 +2885,19 @@ object SparkEntry {
         "select chunks size 24 stride 12 where lang = 'en'")
     }
 
+  /** p55: the embedding near-dup SQL face — d5's label-blocked cosine
+    * pairs at a caller threshold, behind a label gate (the WHERE prunes
+    * blocks BEFORE the quadratic). */
+  private def p55SqlNeardupEmbed(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.embeddings(s, dir),
+      "select neardup embeddings threshold 35 where label != 3")
+
+  /** p56: the language-ID SQL face — x1's stopword-profile heuristic
+    * behind a source gate; stateless (the face also streams). */
+  private def p56SqlLangId(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select langid where source != 'src5'")
+
   /** p53: the quality SQL face — per-doc C4-style metrics behind a lang
     * gate; a stateless narrow map (the face also streams). */
   private def p53SqlQuality(s: SparkSession, dir: String): DataFrame =
@@ -3947,6 +3960,8 @@ object SparkEntry {
     "p52_sql_decontaminate" -> (p52SqlDecontaminate _),
     "p53_sql_quality" -> (p53SqlQuality _),
     "p54_sql_redact" -> (p54SqlRedact _),
+    "p55_sql_neardup_embed" -> (p55SqlNeardupEmbed _),
+    "p56_sql_langid" -> (p56SqlLangId _),
     "p48_sql_lmscore" -> (p48SqlLmScore _),
     "st_lmscore" -> (stLmScore _),
     "st_sample" -> (stSample _),
@@ -5140,6 +5155,24 @@ object SparkEntry {
         |SELECT doc_id, qs, rank0::BIGINT AS rank0,
         |  CAST((rank0 * 8) // (SELECT count(*) FROM s) AS BIGINT) AS shard
         |FROM r""".stripMargin,
+    "p55_sql_neardup_embed" -> {
+      // d5's pair rule at threshold 0.35 with the gate applied before
+      // blocking (both the block-size count and the join see survivors)
+      val cos = graft.functions.VectorFunctions.cosineSql("a.embedding", "b.embedding", 64)
+      s"""WITH g AS (SELECT * FROM embeddings WHERE label != 3),
+         |e AS (SELECT *, count(*) OVER (PARTITION BY label) AS bn FROM g)
+         |SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+         | round($cos, 6) AS cos
+         |FROM e a JOIN e b
+         | ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE $cos >= 0.35 AND a.bn <= 4096""".stripMargin
+    },
+    "p56_sql_langid" -> {
+      val pred = graft.functions.TextFunctions.langIdSql("text")
+      s"""SELECT doc_id, lang, lang_pred, (lang_pred = lang) AS agree
+         |FROM (SELECT doc_id, lang, $pred AS lang_pred FROM documents
+         |  WHERE source != 'src5') t""".stripMargin
+    },
     "p53_sql_quality" -> {
       // x2's metric rules behind the lang gate
       val en = graft.functions.TextFunctions.langStopwords.head._2

@@ -404,6 +404,14 @@ object SeqOp {
     * fingerprint of the scrubbed text. Stateless, streams. SQL:
     * `select redact <term>[, <term> …] [where …]`. */
   final case class Redact(terms: Seq[String]) extends SeqOp
+  /** Language identification (x1) — stopword-profile n-gram heuristic
+    * vs the labeled lang. Stateless, streams. SQL: `select langid [where …]`. */
+  case object LangId extends SeqOp
+  /** Embedding near-duplicate pairs (d5) over an embeddings frame —
+    * [[graft.operators.Dedup.embeddingPairs]]: label-blocked cosine at
+    * `thresholdPct`/100, maxBlock-capped. SQL:
+    * `select neardup embeddings [threshold <pct>] [where …]`. */
+  final case class NearDupEmbeddings(thresholdPct: Int) extends SeqOp
 }
 
 sealed trait SortDir

@@ -541,7 +541,7 @@ object ZxSql {
         atIdent("sample") || atIdent("pack") || atIdent("chunks") ||
         atIdent("lmscore") || atIdent("curriculum") ||
         atIdent("dedup") || atIdent("decontaminate") ||
-        atIdent("quality") || atIdent("redact") ||
+        atIdent("quality") || atIdent("redact") || atIdent("langid") ||
         ((atIdent("decay") || atIdent("argmax")) && toks.lift(pos + 1).contains(Sym("(")))
     def seqOpClause(): SeqOp = {
       val kw = ident()
@@ -623,7 +623,16 @@ object ZxSql {
             throw ParseError(s"similar maxdfpct must be in [1,100], got ${maxDfPct.get}")
           SeqOp.Similar(topK, minDf, maxDf, maxDfPct)
         case "neardup" =>
-          if (atIdent("images") || atIdent("audio")) {
+          if (atIdent("embeddings")) {
+            next()
+            var pct = 42
+            if (atIdent("threshold")) {
+              next(); pct = parseLong(num("threshold pct"), "threshold pct").toInt
+            }
+            if (pct < 1 || pct > 100)
+              throw ParseError(s"neardup embeddings threshold must be in [1,100], got $pct")
+            SeqOp.NearDupEmbeddings(pct)
+          } else if (atIdent("images") || atIdent("audio")) {
             val modality = ident()
             var mh = if (modality == "images") 8 else 16
             if (atIdent("hamming")) { next(); mh = parseLong(num("hamming bits"), "hamming bits").toInt }
@@ -813,6 +822,7 @@ object ZxSql {
             throw ParseError(s"decontaminate hits must be ≥ 1, got $hits")
           SeqOp.Decontaminate(srcs, shingleN, hits)
         case "quality" => SeqOp.Quality
+        case "langid" => SeqOp.LangId
         case "redact" =>
           // `redact <term>[, <term> …]` — \b-wrapped LITERAL words, so
           // the terms must be word-charset-only (a regex metachar would
@@ -1337,6 +1347,11 @@ object ZxSql {
           terms.map(t => termCount(col("text"), t).as(s"n_$t")) :+
           substring(md5(redactTerms(col("text"), terms)), 1, 16)
             .as("redacted_fp"): _*)
+      case SeqOp.LangId =>
+        base.select(col("doc_id"), col("lang"), tokens(col("text")).as("__toks"))
+          .select(col("doc_id"), col("lang"),
+            langIdFromTokens(col("__toks")).as("lang_pred"))
+          .withColumn("agree", col("lang_pred") === col("lang"))
       case other => throw ParseError(s"not a doc-map op: $other")
     }
   }
@@ -1673,9 +1688,14 @@ object ZxSql {
           // broadcast keeps the corpus side shuffle-free (overlapReport)
           graft.operators.Decontaminate.overlapReport(base,
             col("source").isin(srcs: _*), shingleN = n, minHits = h)
-        case op @ (SeqOp.Quality | _: SeqOp.Redact) =>
+        case op @ (SeqOp.Quality | _: SeqOp.Redact | SeqOp.LangId) =>
           // stateless narrow maps — scan-stage work at any scale
           compileDocMap(op, base)
+        case SeqOp.NearDupEmbeddings(pct) =>
+          // label-blocked cosine pairs over an embeddings frame; maxBlock
+          // caps the per-label quadratic like the d5 API path
+          graft.operators.Dedup.embeddingPairs(base, threshold = pct / 100.0)
+            .withColumn("cos", round(col("cos"), 6))
         case SeqOp.Argmax(v, idc) =>
           // deterministic argmax (the a15 aggregate): max(struct(value, id))
           // — lexicographic struct max makes the id a total tiebreak while
@@ -1852,7 +1872,7 @@ object ZxSql {
         // likewise stateless: a row-local explode into context windows
         return graft.operators.Corpus.chunkByWindow(
           Compiler.scanFilter(stream, q, tsCol), size, stride)
-      case op @ (SeqOp.Quality | _: SeqOp.Redact) =>
+      case op @ (SeqOp.Quality | _: SeqOp.Redact | SeqOp.LangId) =>
         // stateless per-row maps stream like `sample`/`chunks`
         return compileDocMap(op, Compiler.scanFilter(stream, q, tsCol))
       case op: SeqOp.LmScore if op.train.nonEmpty =>

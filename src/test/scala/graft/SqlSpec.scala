@@ -1035,6 +1035,39 @@ class SqlSpec extends AnyFunSuite {
     assertThrows[ZxSql.ParseError](ZxSql.runStream(st, "select decontaminate src0"))
   }
 
+  test("langid / neardup embeddings from SQL: parity, guards (round 12)") {
+    import SparkFixture.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "the of and to in", "en", "src0", 16L),
+      (2L, "el la de que en", "es", "src0", 15L)).toSeq
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val lid = ZxSql.run(docs, "select langid")
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(3)))).toMap
+    assert(lid(1L)._1 == "en" && lid(1L)._2 && lid(2L)._1 == "es" && lid(2L)._2)
+    val sdir = java.nio.file.Files.createTempDirectory("graft-sql-lid").toString
+    val st = SparkFixture.spark.readStream.schema(docs.schema).parquet(sdir)
+    assert(ZxSql.runStream(st, "select langid").isStreaming)
+    // neardup embeddings: same-label near-identical vectors pair; the
+    // cross-label near-identical pair is blocked out by design
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.999f, 0.01f), 0),
+      (3L, Seq(1.0f, 0.0f), 1), (4L, Seq(-1.0f, 0.0f), 0)).toSeq
+      .toDF("vec_id", "embedding", "label")
+    val pairs = ZxSql.run(emb, "select neardup embeddings threshold 90")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val api = graft.operators.Dedup.embeddingPairs(emb, threshold = 0.90)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == api && pairs == Set((1L, 2L)))
+    // WHERE prunes blocks before the quadratic
+    assert(ZxSql.run(emb, "select neardup embeddings threshold 90 where label = 1")
+      .collect().isEmpty)
+    assertThrows[ZxSql.ParseError](
+      ZxSql.parse("select neardup embeddings threshold 0"))
+    assertThrows[ZxSql.ParseError](
+      ZxSql.runStream(st, "select neardup embeddings"))
+  }
+
   test("quality / redact from SQL: parity, guards, both stream (round 12)") {
     import SparkFixture.spark.implicits._
     import org.apache.spark.sql.functions.col
