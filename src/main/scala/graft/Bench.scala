@@ -116,7 +116,8 @@ object Bench {
       "s10_recall_audit", "st_tumbling", "st_session", "st_hopping",
       "st_gap", "st_heatmap", "st_enrich", "st_lmscore", "st_sample",
       "st_chunks",
-      "x21_lm_score", "p48_sql_lmscore", "c6b_zorder3", "c8b_string_prune",
+      "x21_lm_score", "x21b_lm_score_joined", "p48_sql_lmscore",
+      "c6b_zorder3", "c8b_string_prune",
       "c11_schema_evolution", "c14_change_feed",
       "c15_incremental_ivm", "c16_snapshot_clone",
       "c17_cdc_follow", "c17b_durable_follow",

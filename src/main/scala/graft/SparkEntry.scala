@@ -2939,6 +2939,24 @@ object SparkEntry {
     graft.sql.ZxSql.run(Tables.documents(s, dir),
       "select lmscore ref lang = 'en' vocab 200 table 400 where n_chars > 100")
 
+  /** x21b: the LARGE-MODEL LM-scoring formulation — explode + broadcast
+    * hash joins + order-free integer regroup, for models where the
+    * literal map's O(tableSize) linear probe would dominate. Identical
+    * results by construction; SHARES x21's oracle verbatim, so the claim
+    * is hash-checked, and the mean_p projection matches x21's. */
+  private def x21bLmScoreJoined(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ref = docs.filter(col("lang") === "en")
+    val uni = graft.operators.Corpus.topUnigrams(ref, k = 300)
+    val big = graft.operators.Corpus.topBigrams(ref, k = 500)
+    graft.operators.Corpus.lmScoreJoined(docs, uni, big)
+      .select(col("doc_id"), col("lang"), col("lm_sum_fp"), col("lm_hits"),
+        col("n_bigrams"),
+        when(col("n_bigrams") > 0,
+          round(col("lm_sum_fp").cast(DoubleType) /
+            (col("n_bigrams") * lit(1073741824L)), 6)).as("mean_p"))
+  }
+
   /** x22: curriculum sharding — exact global rank under a length-based
     * quality score, cut into 8 ordered shards, WITHOUT a corpus-wide
     * sort: bounded score-bucket histogram → broadcast cumulative bases →
@@ -3954,6 +3972,7 @@ object SparkEntry {
     "x19_mixture" -> (x19Mixture _),
     "x20_weight_sample" -> (x20WeightSample _),
     "x21_lm_score" -> (x21LmScore _),
+    "x21b_lm_score_joined" -> (x21bLmScoreJoined _),
     "x22_curriculum" -> (x22Curriculum _),
     "p50_sql_curriculum" -> (p50SqlCurriculum _),
     "p51_sql_dedup" -> (p51SqlDedup _),
@@ -5143,6 +5162,7 @@ object SparkEntry {
         |FROM documents WHERE n_chars > 100""".stripMargin,
     "p47_sql_chunks" -> p47OracleSql,
     "x21_lm_score" -> x21OracleSql,
+    "x21b_lm_score_joined" -> x21OracleSql,
     "st_lmscore" -> x21OracleSql,
     "x22_curriculum" ->
       // the whole point of the bounded-histogram plan is that it equals

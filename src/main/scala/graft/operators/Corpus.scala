@@ -362,6 +362,50 @@ object Corpus {
       .select(col(keyCol), col("qs"), col("rank0"), col("shard"))
   }
 
+  /** The LARGE-MODEL formulation of [[lmScore]]: explode bigram positions,
+    * broadcast-join the two count tables, regroup per doc. Results are
+    * IDENTICAL by construction — every per-position term is the same
+    * fixed-point integer, and integer sums are order-free — but the cost
+    * shape differs: [[lmScore]]'s literal-map probe is O(tableSize) per
+    * position (ArrayBasedMapData is a linear scan — fine at hundreds of
+    * entries, wrong at 100k), while this pays one explode (~n_bigrams
+    * rows/doc) + two broadcast hash joins (O(1) probes) + one regroup
+    * shuffle on doc_id. Pick by model size; the spec pins row-for-row
+    * equality between the two. Non-doc columns to carry through the
+    * regroup ride `carryCols`. */
+  def lmScoreJoined(docs: DataFrame, unigrams: Seq[(String, Long)],
+                    bigramTable: Seq[(String, Long)], textCol: String = "text",
+                    idCol: String = "doc_id",
+                    carryCols: Seq[String] = Seq("lang")): DataFrame = {
+    require(unigrams.nonEmpty, "lmScoreJoined: empty unigram table")
+    require(bigramTable.nonEmpty, "lmScoreJoined: empty bigram table")
+    val v = unigrams.size.toDouble
+    val uniDf = broadcast(
+      docs.sparkSession.createDataFrame(unigrams).toDF("__w1", "__c1"))
+    val bigDf = broadcast(
+      docs.sparkSession.createDataFrame(bigramTable).toDF("__bg", "__c2"))
+    val carry = carryCols.map(col)
+    val bgs = bigrams(graft.functions.TextFunctions.tokens(col(textCol)))
+    val exploded = docs
+      .select(col(idCol) +: carry :+ explode_outer(bgs).as("__bg"): _*)
+    val terms = exploded
+      .join(bigDf, Seq("__bg"), "left")
+      .join(uniDf,
+        element_at(split(col("__bg"), " "), 1) === col("__w1"), "left")
+      .select(col(idCol) +: carry :+
+        when(col("__bg").isNotNull,
+          floor(lit(1073741824.0) *
+            (coalesce(col("__c2"), lit(0L)).cast(DoubleType) + lit(1.0)) /
+            (coalesce(col("__c1"), lit(0L)).cast(DoubleType) + lit(v)))
+            .cast(LongType)).as("__term") :+
+        when(col("__bg").isNotNull && col("__c2").isNotNull, 1L)
+          .otherwise(lit(0L)).as("__hit"): _*)
+    terms.groupBy((col(idCol) +: carry): _*)
+      .agg(coalesce(sum(col("__term")), lit(0L)).as("lm_sum_fp"),
+        sum(col("__hit")).as("lm_hits"),
+        count(col("__term")).as("n_bigrams"))
+  }
+
   /** Cross-document repeated n-gram spans — the SUBSTRING-level duplication
     * signal (exact/MinHash dedup in [[Dedup]] is document-level; training
     * corpora also repeat boilerplate spans INSIDE otherwise-distinct

@@ -734,6 +734,14 @@ class PipelineSpec extends AnyFunSuite {
       .select("lm_sum_fp", "n_bigrams").collect().head
     assert(lone.getLong(0) == 0L && lone.getLong(1) == 0L)
     intercept[IllegalArgumentException](Corpus.lmScore(ref, Seq(), big))
+    // the large-model (explode + broadcast-join) formulation is
+    // row-for-row identical — per-position terms are the same integers
+    val docs2 = docsDf((9L, "a b z a"), (10L, "a"), (11L, "c a b"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "lm_sum_fp", "lm_hits", "n_bigrams")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows(Corpus.lmScoreJoined(docs2, uni, big, carryCols = Nil)) ==
+      rows(Corpus.lmScore(docs2, uni, big)))
   }
 
   test("curriculum sharding: exact global ranks from bounded pieces") {

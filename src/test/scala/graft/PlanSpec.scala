@@ -632,6 +632,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), s"fold fell out of codegen:\n$p")
   }
 
+  test("large-model LM scoring joins both tables as broadcasts") {
+    val p = plan("x21b_lm_score_joined")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj == 2, s"expected 2 broadcast joins (bigram + unigram), got $bhj:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a bounded model table must never sort-merge against the corpus:\n$p")
+  }
+
   test("curriculum sharding never sorts the corpus in one partition") {
     val p = plan("x22_curriculum")
     // the corpus-side rank window is PARTITIONED by the score bucket; the
