@@ -57,12 +57,14 @@ object Corpus {
     * underrepresented by uniform row sampling); quality-score weights
     * give soft curation (keep the best, thin the worst, never a hard
     * cliff). Monotone in the weight: raising any row's weight can only
-    * add rows, never swap them — thresholds tune without resampling. */
+    * add rows, never swap them — thresholds tune without resampling.
+    * A NULL weight is DEFINED as 0 (never sampled) rather than left to
+    * three-valued filter logic — same outcome, but by contract. */
   def sampleByWeight(df: DataFrame, weight: Column, keyCol: String = "doc_id",
                      resolution: Int = 1 << 20): DataFrame = {
     require(resolution >= 2, s"resolution must be >= 2, got $resolution")
     df.filter(hashBucket(col(keyCol), resolution).cast(DoubleType) <
-      least(greatest(weight, lit(0.0)), lit(1.0)) * resolution)
+      least(greatest(coalesce(weight, lit(0.0)), lit(0.0)), lit(1.0)) * resolution)
   }
 
   /** Token-budget MIXTURE sampling — the data-mixing step of assembling a
@@ -333,8 +335,11 @@ object Corpus {
     require(quantBits >= 1 && quantBits <= 40,
       s"curriculumShards: quantBits must be in 1..40, got $quantBits")
     require(maxBucket >= 1, s"curriculumShards: bad maxBucket $maxBucket")
-    val qs = floor(least(greatest(score, lit(0.0)), lit(1.0)) *
-      lit((1L << quantBits).toDouble)).cast(LongType)
+    // a NULL score quantizes to NULL, and a null bucket key would match
+    // nothing in the base join — rows would vanish SILENTLY. Define it
+    // instead: null ranks first (score 0), like any other clamped-low row
+    val qs = floor(least(greatest(coalesce(score, lit(0.0)), lit(0.0)),
+      lit(1.0)) * lit((1L << quantBits).toDouble)).cast(LongType)
     val slim = docs.select(col(keyCol), qs.as("qs"))
     val hist = slim.groupBy(col("qs")).agg(count(lit(1)).as("__n"))
     val stats = hist.agg(max(col("__n")), sum(col("__n"))).head()

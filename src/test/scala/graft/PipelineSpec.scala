@@ -705,6 +705,8 @@ class PipelineSpec extends AnyFunSuite {
     assert(keep(lit(-1.0)).isEmpty)
     // weight-0 rows (doc_id % 10 == 0) can never be sampled
     assert(a.forall(_ % 10 != 0))
+    // a NULL weight is a defined 0, not three-valued mystery
+    assert(keep(lit(null).cast("double")).isEmpty)
     intercept[IllegalArgumentException] {
       Corpus.sampleByWeight(df, col("w"), resolution = 1)
     }
@@ -766,6 +768,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("hot-spot"))
     // empty input yields an empty, correctly-shaped frame
     assert(Corpus.curriculumShards(df.limit(0), score, 3).count() == 0)
+    // NULL scores must not vanish — they rank first at bucket 0
+    val withNull = Corpus.curriculumShards(df,
+      when(col("doc_id") === 7L, lit(null)).otherwise(score), nShards = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(withNull.size == 50, "a null score silently dropped its row")
+    assert(withNull(7L)._1 == 0L, "null score must quantize to bucket 0")
   }
 
   test("token-budget packing: chunks are contiguous quantized prefix sums") {
