@@ -776,6 +776,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(withNull(7L)._1 == 0L, "null score must quantize to bucket 0")
   }
 
+  test("curriculum sharding property: equals brute-force sort ranks on seeded random data") {
+    import graft.operators.Corpus
+    import org.apache.spark.sql.types.{StructType, StructField, LongType, DoubleType}
+    val rnd = new scala.util.Random(0xC0FFEE)
+    for ((n, shards) <- Seq((1, 1), (37, 4), (250, 7), (400, 16))) {
+      // scores: clamped-range doubles with heavy ties, out-of-range
+      // values, and ~5% nulls — every clamp/quantize path exercised
+      val rows = (0L until n.toLong).map { i =>
+        val s: java.lang.Double = rnd.nextInt(20) match {
+          case 0 => null
+          case 1 => -0.5 + rnd.nextDouble()
+          case 2 => 1.0 + rnd.nextDouble()
+          case k if k < 8 => 0.25 // tie block
+          case _ => rnd.nextDouble()
+        }
+        Row(i, s)
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4),
+        StructType(Seq(StructField("doc_id", LongType, false),
+          StructField("score", DoubleType, true))))
+      val got = Corpus.curriculumShards(df, col("score"), shards)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+      // brute: same quantization, global sort by (qs, id), integer cut
+      val brute = rows.map { r =>
+        val s = Option(r.get(1)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+        val clamped = math.min(1.0, math.max(0.0, s))
+        (r.getLong(0), math.floor(clamped * 1048576.0).toLong)
+      }.sortBy(p => (p._2, p._1)).zipWithIndex
+        .map { case ((id, _), r) => (id, r.toLong, r.toLong * shards / n) }.toSet
+      assert(got == brute, s"mismatch at n=$n shards=$shards")
+    }
+  }
+
   test("token-budget packing: chunks are contiguous quantized prefix sums") {
     import graft.operators.Corpus
     // same source (even ids -> src0): tokens per doc = 4
