@@ -2910,6 +2910,14 @@ object SparkEntry {
     graft.sql.ZxSql.run(Tables.documents(s, dir),
       "select redact spark, data where source != 'src0'")
 
+  /** d1b: NORMALIZED exact dedup — case/punctuation/whitespace variants
+    * of the same content land in one group (lower → strip non-[a-z0-9 ]
+    * → collapse runs → trim, the engine-portable canonicalization);
+    * exercised through the SQL face so the grammar path is the tested
+    * path. */
+  private def d1bDedupNormalized(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir), "select dedup normalized")
+
   /** p51: the exact-dedup SQL face — fingerprint groups over a gated
     * corpus; the count shuffle carries 16-hex fingerprints, never text. */
   private def p51SqlDedup(s: SparkSession, dir: String): DataFrame =
@@ -3975,6 +3983,7 @@ object SparkEntry {
     "x21b_lm_score_joined" -> (x21bLmScoreJoined _),
     "x22_curriculum" -> (x22Curriculum _),
     "p50_sql_curriculum" -> (p50SqlCurriculum _),
+    "d1b_dedup_normalized" -> (d1bDedupNormalized _),
     "p51_sql_dedup" -> (p51SqlDedup _),
     "p52_sql_decontaminate" -> (p52SqlDecontaminate _),
     "p53_sql_quality" -> (p53SqlQuality _),
@@ -5218,6 +5227,13 @@ object SparkEntry {
         |   '\bspark\b', '<PII>', 'g'), '\bdata\b', '<PII>', 'g')), 1, 16)
         |   AS redacted_fp
         |FROM documents WHERE source != 'src0'""".stripMargin,
+    "d1b_dedup_normalized" ->
+      // the same canonicalization, spelled in DuckDB's regex dialect
+      """SELECT substr(md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))), 1, 16) AS fp,
+        |  min(doc_id) AS keeper_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
     "p51_sql_dedup" ->
       // d1's grouping rule behind the gate
       """SELECT substr(md5(text), 1, 16) AS fp, min(doc_id) AS keeper_id,

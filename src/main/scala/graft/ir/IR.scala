@@ -388,6 +388,10 @@ object SeqOp {
     * [[graft.operators.Dedup.exactGroups]]: text fingerprint → keeper
     * (min id) + multiplicity. SQL: `select dedup [where …]`. */
   case object DedupExact extends SeqOp
+  /** Exact dedup groups over NORMALIZED text (d1b) —
+    * [[graft.operators.Dedup.exactGroupsNormalized]]. SQL:
+    * `select dedup normalized [where …]`. */
+  case object DedupNormalized extends SeqOp
   /** Decontamination overlap report (d7) —
     * [[graft.operators.Decontaminate.overlapReport]]: shingle overlap of
     * the corpus against the benchmark slice named by source values (both

@@ -28,6 +28,23 @@ object Dedup {
     docs.groupBy(fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Canonical text normalization for dedup: lowercase, strip everything
+    * outside [a-z0-9 ] to spaces, collapse runs, trim. Deliberately
+    * engine-portable (lower + two regexp_replace + trim — identical
+    * semantics in DuckDB), so normalized fingerprints hash-verify. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "),
+      " +", " "))
+
+  /** Exact dedup groups over NORMALIZED text (d1b) — the form production
+    * pipelines use: case, punctuation, and whitespace variants of the
+    * same content land in one group. Same plan as [[exactGroups]]: one
+    * count shuffle on the md5-prefix fingerprint, never the text. */
+  def exactGroupsNormalized(docs: DataFrame, textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(fingerprint(normalizeText(col(textCol))).as("fp"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
   /** Exact-dedup survivor set: one row per distinct text (the min-id row). */
   def exactDedup(docs: DataFrame, textCol: String = "text",
                  idCol: String = "doc_id"): DataFrame = {

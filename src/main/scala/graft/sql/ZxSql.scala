@@ -797,7 +797,9 @@ object ZxSql {
           if (shards < 1 || shards > 1000000)
             throw ParseError(s"curriculum shards must be in [1,1e6], got $shards")
           SeqOp.Curriculum(c, scale, shards)
-        case "dedup" => SeqOp.DedupExact
+        case "dedup" =>
+          if (atIdent("normalized")) { next(); SeqOp.DedupNormalized }
+          else SeqOp.DedupExact
         case "decontaminate" =>
           // `decontaminate <src>[, <src> …] [shingle <n>] [hits <n>]`
           val srcs = commaList { () =>
@@ -1683,6 +1685,8 @@ object ZxSql {
         case SeqOp.DedupExact =>
           // one count shuffle on the 16-hex fingerprint, never the text
           graft.operators.Dedup.exactGroups(base)
+        case SeqOp.DedupNormalized =>
+          graft.operators.Dedup.exactGroupsNormalized(base)
         case SeqOp.Decontaminate(srcs, n, h) =>
           // benchmark slice = the named sources OF THE GATED FRAME; the
           // broadcast keeps the corpus side shuffle-free (overlapReport)

@@ -1023,6 +1023,19 @@ class SqlSpec extends AnyFunSuite {
       col("source").isin("src0"), shingleN = 3, minHits = 1)
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(rep == apiRep && rep == Map(2L -> true, 3L -> false, 4L -> true))
+    // normalized dedup merges case/punct/whitespace variants the plain
+    // form keeps apart
+    val vars = Seq(
+      (10L, "Same text, HERE (now)!", "en", "src0", 21L),
+      (11L, "same   text here now", "en", "src0", 20L),
+      (12L, "different entirely", "en", "src0", 18L)).toSeq
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val norm = ZxSql.run(vars, "select dedup normalized")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(norm == Set((10L, 2L), (12L, 1L)))
+    assert(ZxSql.run(vars, "select dedup").count() == 3)
+    assert(norm == graft.operators.Dedup.exactGroupsNormalized(vars)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet)
     // guards + streaming rejection
     assertThrows[ZxSql.ParseError](ZxSql.parse("select decontaminate"))
     assertThrows[ZxSql.ParseError](ZxSql.parse("select decontaminate src0, src0"))
