@@ -543,6 +543,19 @@ object SparkEntry {
     * (type), and the grand total together; data-missing keys stay `__nil`,
     * rolled-up levels render `__all` (distinguishable by construction —
     * keys coalesce BEFORE the rollup). */
+  /** o7: GROUPING SETS — caller-chosen subtotal levels {(type, user),
+    * (user), ()}: rollup's prefix rule can't produce a user-only margin
+    * and cube would add the unwanted type-only level; sets is the general
+    * form, same one-Expand-pass plan and __nil/__all sentinels. */
+  private def o7GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val sql = "select sum(value), count(value) from events " +
+      "group by sets (event_type, user_id), (user_id), () " +
+      "order by sum(value) desc"
+    graft.sql.ZxSql.run(Tables.events(s, dir), sql)
+      .select(col("event_type"), col("user_id"),
+        round3("sum_value"), round3("count_value"))
+  }
+
   private def o5Rollup(s: SparkSession, dir: String): DataFrame = {
     val sql = "select sum(value), count(value) from events " +
       "group by rollup event_type, user_id order by sum(value) desc"
@@ -3880,6 +3893,7 @@ object SparkEntry {
     "p6_sql_journeys" -> (p6SqlJourneys _),
     "o5_rollup" -> (o5Rollup _),
     "o6_cube" -> (o6Cube _),
+    "o7_grouping_sets" -> (o7GroupingSets _),
     "p7_sql_funnel" -> (p7SqlFunnel _),
     "p8_sql_decay" -> (p8SqlDecay _),
     "p9_sql_argmax" -> (p9SqlArgmax _),
@@ -4710,6 +4724,16 @@ object SparkEntry {
         |  round(sum(coalesce(value, 0)), 3) AS sum_value,
         |  round(CAST(count(value) AS DOUBLE), 3) AS count_value
         |FROM e GROUP BY ROLLUP (et, uid)""".stripMargin,
+    "o7_grouping_sets" ->
+      // the same __nil-then-__all sentinel trick over caller-chosen levels
+      """WITH e AS (SELECT coalesce(event_type, '__nil') AS et,
+        |    coalesce(CAST(user_id AS VARCHAR), '__nil') AS uid, value
+        |  FROM events)
+        |SELECT coalesce(et, '__all') AS event_type,
+        |  coalesce(uid, '__all') AS user_id,
+        |  round(sum(coalesce(value, 0)), 3) AS sum_value,
+        |  round(CAST(count(value) AS DOUBLE), 3) AS count_value
+        |FROM e GROUP BY GROUPING SETS ((et, uid), (uid), ())""".stripMargin,
     "o6_cube" ->
       // same null-free-input trick, all four key subsets
       """WITH e AS (SELECT coalesce(event_type, '__nil') AS et,

@@ -303,7 +303,7 @@ object Compiler {
       .filterNot(s => q.selects.contains(s) || s.agg == Agg.Raw || s.agg == Agg.Heatmap)
       .distinct
     val grouped = havingFilter(withPostSelects(
-      if (q.rollup || q.cube)
+      if (q.rollup || q.cube || q.groupingSets.nonEmpty)
         rollupAgg(filtered, keys, q, q.selects ++ extraSels, df.schema)
       else Aggregates.groupedAgg(filtered, keys, q.groupBy,
         q.selects ++ extraSels, df.schema, q.skewSalt), q), q.having)
@@ -357,6 +357,24 @@ object Compiler {
       "rollup/cube with salt is unsupported: the Expand levels already " +
         "spread a hot key's rows across (level × key) groups")
     val aggs = Aggregates.compileAll(sels, schema)
+    if (q.groupingSets.nonEmpty) {
+      // caller-chosen levels: the coalesced keys materialize as TEMP
+      // columns first, so each set's plain column refs match the grouping
+      // columns STRUCTURALLY (aliased expressions re-analyze to fresh
+      // exprIds inside groupingSets and silently match nothing — every
+      // key would render rolled-up); measures still see the originals
+      val tmp = q.groupBy.map(g => g -> s"__gs_$g").toMap
+      val prepped = q.groupBy.zip(keys).foldLeft(filtered) {
+        case (d, (g, k)) => d.withColumn(tmp(g), k)
+      }
+      return prepped
+        .groupingSets(q.groupingSets.map(_.map(g => col(tmp(g)))),
+          q.groupBy.map(g => col(tmp(g))): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(q.groupBy.map(g =>
+          coalesce(col(tmp(g)), lit("__all")).as(g)) ++
+          sels.map(s => colRef(s.key)): _*)
+    }
     val leveled =
       if (q.cube) filtered.cube(keys: _*).agg(aggs.head, aggs.tail: _*)
       else filtered.rollup(keys: _*).agg(aggs.head, aggs.tail: _*)

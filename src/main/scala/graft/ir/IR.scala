@@ -521,6 +521,13 @@ final case class ZxQuery(
       * `__nil`/`__all` sentinel discipline as [[rollup]]. SQL face:
       * `group by cube <col, …>`. */
     cube: Boolean = false,
+    /** GROUPING SETS over the groupBy keys (extension): caller-chosen
+      * subtotal levels — the general form [[rollup]]/[[cube]] specialize.
+      * `groupBy` is the ordered union of all set columns; the same ONE
+      * Expand pass and `__nil`/`__all` sentinel discipline. SQL face:
+      * `group by sets (<col, …>), (<col, …>), …` (an empty `()` is the
+      * grand total). */
+    groupingSets: Seq[Seq[String]] = Nil,
     /** Post-aggregate expression selects (extension):
       * `100 * sum(a) / sum(b) as pct` — arithmetic OVER aggregates,
       * computed as a scalar projection after the one aggregation exchange

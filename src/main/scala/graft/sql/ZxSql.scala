@@ -1009,6 +1009,7 @@ object ZxSql {
     var groupBy = Seq.empty[String]
     var rollup = false
     var cube = false
+    var groupingSets = Seq.empty[Seq[String]]
     if (atIdent("group")) {
       next(); expectIdent("by")
       // `group by rollup a, b` / `group by cube a, b` (extensions):
@@ -1018,7 +1019,34 @@ object ZxSql {
       } else if (atIdent("cube") && toks.lift(pos + 1).exists(_.isInstanceOf[Ident])) {
         next(); cube = true
       }
-      groupBy = commaList(ident _)
+      if (atIdent("sets") && toks.lift(pos + 1).contains(Sym("("))) {
+        // `group by sets (a, b), (a), ()` — caller-chosen subtotal
+        // levels (the general form rollup/cube specialize)
+        if (rollup || cube)
+          throw ParseError("rollup/cube and sets do not mix — sets IS the general form")
+        next()
+        groupingSets = commaList { () =>
+          expectSym("(")
+          val cols =
+            if (peek.contains(Sym(")"))) Seq.empty[String]
+            else commaList(ident _)
+          expectSym(")")
+          cols
+        }
+        if (groupingSets.size > 16)
+          throw ParseError(s"grouping sets: ${groupingSets.size} levels " +
+            "multiply every input row through Expand — cap at 16")
+        if (groupingSets.distinct.size != groupingSets.size)
+          throw ParseError("duplicate grouping set")
+        groupingSets.foreach(set =>
+          if (set.distinct.size != set.size)
+            throw ParseError(s"duplicate column in grouping set (${set.mkString(", ")})"))
+        groupBy = groupingSets.flatten.distinct
+        if (groupBy.isEmpty)
+          throw ParseError("grouping sets need at least one non-empty set")
+      } else {
+        groupBy = commaList(ident _)
+      }
       if (cube && groupBy.size > 4)
         throw ParseError(s"cube over ${groupBy.size} keys expands 2^${groupBy.size} " +
           "levels per row — cap at 4 keys (use rollup for deep hierarchies)")
@@ -1158,17 +1186,18 @@ object ZxSql {
       parseLong(v, "$t_end epoch seconds") }
     val realConds = conds.filterNot(c => c.column == "$t_start" || c.column == "$t_end")
 
-    if ((rollup || cube) && (sessionGap.nonEmpty || slide.nonEmpty || exactWindows ||
+    val subtotals = rollup || cube || groupingSets.nonEmpty
+    if (subtotals && (sessionGap.nonEmpty || slide.nonEmpty || exactWindows ||
         salt.nonEmpty || joinSpec.nonEmpty || seqOp.nonEmpty))
-      throw ParseError("rollup/cube route through the top-groups path — they " +
+      throw ParseError("rollup/cube/sets route through the top-groups path — they " +
         "do not take session / slide / exact / salt / joins / sequence ops")
-    if ((rollup || cube) && selects.forall(_.agg == Agg.Raw) && postSelects.isEmpty)
-      throw ParseError("rollup/cube need aggregate select items")
+    if (subtotals && selects.forall(_.agg == Agg.Raw) && postSelects.isEmpty)
+      throw ParseError("rollup/cube/sets need aggregate select items")
     limitPer.foreach { per =>
       if (orderBy.isEmpty)
         throw ParseError("limit per needs order by — the ranking that picks each partition's top rows")
-      if (rollup || cube)
-        throw ParseError("limit per ranks real groups, not rollup/cube subtotal levels")
+      if (subtotals)
+        throw ParseError("limit per ranks real groups, not rollup/cube/sets subtotal levels")
       if (seqOp.nonEmpty || joinSpec.nonEmpty)
         throw ParseError("limit per applies to aggregate and raw-projection queries")
       val isAggQuery = selects.exists(_.agg != Agg.Raw) || postSelects.nonEmpty
@@ -1201,9 +1230,9 @@ object ZxSql {
       // session / slide COMPOSE with equi-joins (the windowed stream-enrich
       // shape: join the dims, then window); exact/rollup/cube stay batch
       // roll-up constructs
-      if (exactWindows || rollup || cube)
+      if (exactWindows || subtotals)
         throw ParseError("equi-join queries aggregate by group keys — " +
-          "no exact / rollup / cube")
+          "no exact / rollup / cube / sets")
       // group by is OPTIONAL: without it the query is the global roll-up
       // over the joined frame (the q14 promo-ratio shape)
       if ((selects.isEmpty && postSelects.isEmpty) || selects.exists(s =>
@@ -1255,6 +1284,7 @@ object ZxSql {
       equiJoins = equiJoins,
       having = having, sessionGapSec = sessionGap, slideSec = slide,
       skewSalt = salt, seqOp = seqOp, rollup = rollup, cube = cube,
+      groupingSets = groupingSets,
       postSelects = postSelects, limitPer = limitPer,
       semiJoins = semiJoins), pos)
   }
@@ -1820,7 +1850,8 @@ object ZxSql {
         case (Some(k), None) => sorted.limit(k)
         case _               => sorted
       }
-    } else if (q.orderBy.nonEmpty || q.rollup || q.cube || derived || forceSorted)
+    } else if (q.orderBy.nonEmpty || q.rollup || q.cube ||
+        q.groupingSets.nonEmpty || derived || forceSorted)
       // `derived`: an outer aggregate over a derived table ALWAYS takes
       // the sorted (non-windowed) path — there is no timestamp to bucket.
       // `forceSorted`: an inner query whose ORDER BY was stripped keeps
@@ -1981,8 +2012,8 @@ object ZxSql {
     if (q.skewSalt.nonEmpty)
       throw ParseError("salt is batch-only: the streaming aggregations shard " +
         "state by group key and have no salted form")
-    if (q.rollup || q.cube)
-      throw ParseError("rollup/cube are batch-only: subtotal levels would " +
+    if (q.rollup || q.cube || q.groupingSets.nonEmpty)
+      throw ParseError("rollup/cube/sets are batch-only: subtotal levels would " +
         "need per-level streaming state — aggregate per level downstream instead")
     if (q.selects.forall(_.agg == Agg.Raw) && q.postSelects.isEmpty)
       EventStream.rawStream(stream, q, tsCol)

@@ -558,6 +558,28 @@ class SqlSpec extends AnyFunSuite {
       ZxSql.parse("select sum(foo) group by rollup y salt 4"))
     assertThrows[ZxSql.ParseError](
       ZxSql.parse("select sum(foo) group by cube a, b, c, d, e"))
+    // grouping sets: caller-chosen levels — {(y,x), (x), ()} is a shape
+    // neither rollup (no x-only margin) nor cube (adds unwanted y-only)
+    // produces: 10 (y,x) pairs + 10 x margins + 1 grand total
+    assert(ZxSql.run(fixture,
+      "select count(foo) group by sets (y, x), (x), ()").count() == 21)
+    // a single-set `sets` equals the plain top-groups aggregate
+    val plain = ZxSql.run(fixture,
+      "select sum(foo) group by y order by sum(foo) desc")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    val oneSet = ZxSql.run(fixture,
+      "select sum(foo) group by sets (y) order by sum(foo) desc")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(oneSet == plain)
+    // guards
+    assertThrows[ZxSql.ParseError](
+      ZxSql.parse("select sum(foo) group by sets ()"))
+    assertThrows[ZxSql.ParseError](
+      ZxSql.parse("select sum(foo) group by sets (y), (y)"))
+    assertThrows[ZxSql.ParseError](
+      ZxSql.parse("select sum(foo) group by rollup sets (y)"))
+    assertThrows[ZxSql.ParseError](
+      ZxSql.parse("select foo group by sets (y)"))
   }
 
   test("sequence ops: journeys / funnel / decay / argmax from SQL (VERDICT r9 #3)") {
