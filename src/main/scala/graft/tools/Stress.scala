@@ -353,6 +353,37 @@ object Stress {
       graft.operators.Corpus.similarDocPairs(rep(10), topK = 50,
         maxDfPct = Some(20)).count()
     }
+    // curriculum at 10×: two slim scans + bounded-histogram window +
+    // bucket-partitioned rank windows — the cost that scales is the
+    // partitioned window, never a corpus-wide sort
+    time("x22_curriculum_10x") {
+      graft.operators.Corpus.curriculumShards(rep(10),
+        col("n_chars").cast("double") / 2000.0, nShards = 64).count()
+    }
+    // the adversarial case: EVERY document shares one score — one bucket
+    // holds the whole corpus, so the per-bucket rank window runs in a
+    // single task (this is exactly what the maxBucket audit exists to
+    // refuse at real scale; at 50k rows it passes and shows the cost)
+    time("x22_curriculum_10x_hot") {
+      graft.operators.Corpus.curriculumShards(rep(10), lit(0.5),
+        nShards = 64).count()
+    }
+    // LM scoring at 10×, fold (literal-map probe) vs broadcast-join —
+    // the two formulations' cost crossover is the thing to watch as the
+    // model table grows
+    locally {
+      val en = docs.filter(col("lang") === "en")
+      val uni = graft.operators.Corpus.topUnigrams(en, 300)
+      val big = graft.operators.Corpus.topBigrams(en, 500)
+      time("x21_lmscore_fold_10x") {
+        graft.operators.Corpus.lmScore(rep(10), uni, big)
+          .filter(col("lm_sum_fp") > 0).count()
+      }
+      time("x21b_lmscore_joined_10x") {
+        graft.operators.Corpus.lmScoreJoined(rep(10), uni, big)
+          .filter(col("lm_sum_fp") > 0).count()
+      }
+    }
     spark.stop()
   }
 }
