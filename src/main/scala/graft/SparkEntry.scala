@@ -2881,6 +2881,13 @@ object SparkEntry {
         tables = Map("ref" -> Tables.documents(s, dir).filter(col("lang") === "en")))
     }
 
+  /** st_quality: p53's quality metrics replayed as a STREAM — the "score
+    * documents as they arrive" stage, sharing p53's oracle verbatim. */
+  private def stQuality(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.replayDocs(s, dir, "st-quality") { stream =>
+      graft.sql.ZxSql.runStream(stream, "select quality where lang = 'en'")
+    }
+
   /** st_sample: p45's weighted sampling replayed as a STREAM (the
     * stateless md5-coin filter in append mode) — shares p45's oracle
     * verbatim, so the whole streaming path is hash-verified. */
@@ -4008,6 +4015,7 @@ object SparkEntry {
     "st_lmscore" -> (stLmScore _),
     "st_sample" -> (stSample _),
     "st_chunks" -> (stChunks _),
+    "st_quality" -> (stQuality _),
     "p49_sql_composite_join" -> (p49SqlCompositeJoin _),
     "p44_sql_sample" -> (p44SqlSample _),
     "p45_sql_sample_weight" -> (p45SqlSampleWeight _),
@@ -4341,6 +4349,24 @@ object SparkEntry {
        |WHERE lang != 'zh' AND
        |  CAST(${duckShingleHash("doc_id::VARCHAR")} % 1048576 AS DOUBLE) <
        |  least(greatest(CAST(n_chars AS DOUBLE) / 1500.0, 0.0), 1.0) * 1048576""".stripMargin
+
+  /** p53's oracle, shared verbatim by `st_quality`. */
+  private val p53OracleSql: String = {
+    // x2's metric rules behind the lang gate
+    val en = graft.functions.TextFunctions.langStopwords.head._2
+      .map(w => s"'$w'").mkString(",")
+    val pc = graft.functions.TextFunctions.punctChars
+    s"""SELECT doc_id,
+       | CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       | (length(text) - length(regexp_replace(text, '[$pc]', '', 'g')))::DOUBLE
+       |   / length(text)::DOUBLE AS punct_ratio,
+       | len(list_filter(string_split(text, ' '), t -> list_contains([$en], t)))::DOUBLE
+       |   / len(string_split(text, ' '))::DOUBLE AS stop_ratio,
+       | (length(text) >= 100 AND len(string_split(text, ' ')) >= 20
+       |   AND (length(text) - length(regexp_replace(text, '[$pc]', '', 'g')))::DOUBLE / length(text)::DOUBLE <= 0.1
+       |   AND len(list_filter(string_split(text, ' '), t -> list_contains([$en], t)))::DOUBLE / len(string_split(text, ' '))::DOUBLE >= 0.01) AS quality_ok
+       |FROM documents WHERE lang = 'en'""".stripMargin
+  }
 
   /** p47's oracle, shared verbatim by `st_chunks`. */
   private val p47OracleSql: String =
@@ -5226,22 +5252,8 @@ object SparkEntry {
          |FROM (SELECT doc_id, lang, $pred AS lang_pred FROM documents
          |  WHERE source != 'src5') t""".stripMargin
     },
-    "p53_sql_quality" -> {
-      // x2's metric rules behind the lang gate
-      val en = graft.functions.TextFunctions.langStopwords.head._2
-        .map(w => s"'$w'").mkString(",")
-      val pc = graft.functions.TextFunctions.punctChars
-      s"""SELECT doc_id,
-         | CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-         | (length(text) - length(regexp_replace(text, '[$pc]', '', 'g')))::DOUBLE
-         |   / length(text)::DOUBLE AS punct_ratio,
-         | len(list_filter(string_split(text, ' '), t -> list_contains([$en], t)))::DOUBLE
-         |   / len(string_split(text, ' '))::DOUBLE AS stop_ratio,
-         | (length(text) >= 100 AND len(string_split(text, ' ')) >= 20
-         |   AND (length(text) - length(regexp_replace(text, '[$pc]', '', 'g')))::DOUBLE / length(text)::DOUBLE <= 0.1
-         |   AND len(list_filter(string_split(text, ' '), t -> list_contains([$en], t)))::DOUBLE / len(string_split(text, ' '))::DOUBLE >= 0.01) AS quality_ok
-         |FROM documents WHERE lang = 'en'""".stripMargin
-    },
+    "p53_sql_quality" -> p53OracleSql,
+    "st_quality" -> p53OracleSql,
     "p54_sql_redact" ->
       // x11's \b-literal rule with the face's terms and gate
       """SELECT doc_id,

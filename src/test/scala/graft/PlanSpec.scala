@@ -632,6 +632,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), s"fold fell out of codegen:\n$p")
   }
 
+  test("grouping sets is one Expand pass, like rollup/cube") {
+    val p = plan("o7_grouping_sets")
+    val expands = "Expand".r.findAllIn(p).size
+    assert(expands == 1,
+      s"sets must compute all levels in ONE Expand, got $expands:\n$p")
+    assert("HashAggregate".r.findAllIn(p).nonEmpty)
+  }
+
   test("large-model LM scoring joins both tables as broadcasts") {
     val p = plan("x21b_lm_score_joined")
     val bhj = "BroadcastHashJoin".r.findAllIn(p).size
