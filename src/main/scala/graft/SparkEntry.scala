@@ -2993,6 +2993,15 @@ object SparkEntry {
     graft.operators.Corpus.curriculumShards(Tables.documents(s, dir),
       col("n_chars").cast(DoubleType) / lit(2000.0), nShards = 8)
 
+  /** x23: QUALITY-ordered mixture — each source's token budget fills
+    * best-first (length score at scale 2000) from the gated survivors;
+    * the curation counterpart of x19's fair sample, exercised through
+    * the SQL face. */
+  private def x23MixtureScored(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select mixture score n_chars scale 2000 " +
+        "src1=600, src2=400, src3=1500 where n_chars > 120")
+
   /** x20: WEIGHTED deterministic sampling — keep each document with
     * probability proportional to its own length (n_chars/2000, clamped
     * to 1), so a uniform-over-TOKENS sample falls out of one narrow
@@ -4003,6 +4012,7 @@ object SparkEntry {
     "x21_lm_score" -> (x21LmScore _),
     "x21b_lm_score_joined" -> (x21bLmScoreJoined _),
     "x22_curriculum" -> (x22Curriculum _),
+    "x23_mixture_scored" -> (x23MixtureScored _),
     "p50_sql_curriculum" -> (p50SqlCurriculum _),
     "d1b_dedup_normalized" -> (d1bDedupNormalized _),
     "p51_sql_dedup" -> (p51SqlDedup _),
@@ -5223,6 +5233,23 @@ object SparkEntry {
     "x21_lm_score" -> x21OracleSql,
     "x21b_lm_score_joined" -> x21OracleSql,
     "st_lmscore" -> x21OracleSql,
+    "x23_mixture_scored" ->
+      // the scored greedy rule replayed with a full window: quality
+      // bucket = 4095 - floor(clamped(n_chars/2000)·4096) (best first,
+      // ×4096 exact), prefix token sums in (bucket, id) order < budget
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    4095 - CAST(least(floor(least(greatest(n_chars / 2000.0, 0.0), 1.0)
+        |      * 4096), 4095) AS BIGINT) AS bkt
+        |  FROM documents
+        |  WHERE source IN ('src1', 'src2', 'src3') AND n_chars > 120),
+        |p AS (SELECT doc_id, source, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY bkt, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        |  FROM d)
+        |SELECT doc_id, source, n_tokens FROM p
+        |WHERE prefix < CASE source WHEN 'src1' THEN 600
+        |  WHEN 'src2' THEN 400 ELSE 1500 END""".stripMargin,
     "x22_curriculum" ->
       // the whole point of the bounded-histogram plan is that it equals
       // the naive global row_number — which IS the oracle formulation

@@ -342,7 +342,13 @@ object SeqOp {
     * [[graft.operators.Corpus.mixtureByTokenBudget]]. WHERE composes as a
     * pre-mixture quality gate (budgets then fill from the SURVIVORS). SQL:
     * `select mixture <src>=<tokens>, <src>=<tokens>, … [where …]`. */
-  final case class Mixture(budgets: Seq[(String, Long)]) extends SeqOp
+  final case class Mixture(budgets: Seq[(String, Long)],
+                           /** quality-ordered fill (x23): budgets fill
+                             * best-first under score `col/scale` clamped
+                             * to [0,1] instead of the deterministic hash
+                             * order. SQL: `select mixture score <col>
+                             * [scale <n>] <src>=<tokens>, …`. */
+                           score: Option[(String, Long)] = None) extends SeqOp
   /** Deterministic hash sampling over a documents frame —
     * [[graft.operators.Corpus.sampleByHash]] /
     * [[graft.operators.Corpus.sampleStratified]]. `strata` overrides the

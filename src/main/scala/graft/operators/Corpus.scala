@@ -93,7 +93,38 @@ object Corpus {
   def mixtureByTokenBudget(docs: DataFrame, budgets: Map[String, Long],
                            sourceCol: String = "source", idCol: String = "doc_id",
                            textCol: String = "text",
-                           buckets: Int = 4096): DataFrame = {
+                           buckets: Int = 4096): DataFrame =
+    mixtureCore(docs, budgets, hashBucket(col(idCol), buckets), buckets,
+      sourceCol, idCol, textCol)
+
+  /** QUALITY-ordered token-budget mixture (x23) — [[mixtureByTokenBudget]]
+    * with the greedy order flipped from "random deterministic" to "best
+    * first": each source's budget fills from its HIGHEST-scoring documents
+    * (score clamps to [0,1]; highest score → bucket 0, ties inside a
+    * quality bucket break by id). The curation counterpart of x19: "give
+    * me the best 20 B tokens of web" instead of "a fair 20 B-token
+    * sample". Same two-phase plan and the same provably-invisible
+    * bucket-prefix pre-filter — the admitted buckets are a PREFIX of the
+    * greedy (bucket, id) order by construction, whatever the bucketing
+    * expression, so the one wide window still runs over a candidate set
+    * sized by the OUTPUT budget. ×buckets is a power of two (4096), so
+    * the quantization is engine-exact like x22's. */
+  def mixtureByTokenBudgetScored(docs: DataFrame, budgets: Map[String, Long],
+                                 score: Column,
+                                 sourceCol: String = "source",
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text",
+                                 buckets: Int = 4096): DataFrame = {
+    val clamped = least(greatest(coalesce(score, lit(0.0)), lit(0.0)), lit(1.0))
+    val qualityBucket = (lit(buckets - 1) -
+      least(floor(clamped * buckets), lit((buckets - 1).toLong))).cast(LongType)
+    mixtureCore(docs, budgets, qualityBucket, buckets, sourceCol, idCol, textCol)
+  }
+
+  private def mixtureCore(docs: DataFrame, budgets: Map[String, Long],
+                          bucketCol: Column, buckets: Int,
+                          sourceCol: String, idCol: String,
+                          textCol: String): DataFrame = {
     require(budgets.nonEmpty, "mixture needs at least one source budget")
     budgets.foreach { case (s, b) =>
       require(b > 0, s"budget for '$s' must be positive, got $b") }
@@ -109,7 +140,7 @@ object Corpus {
       .select(col(idCol), col(sourceCol),
         size(graft.functions.TextFunctions.tokens(col(textCol)))
           .cast(LongType).as("n_tokens"),
-        hashBucket(col(idCol), buckets).as("__bkt"))
+        bucketCol.as("__bkt"))
     // phase 1: bucket-prefix cutoffs. The histogram window runs over at
     // most sources × buckets rows; only one (source, cutoff) row per
     // source is collected — driver metadata, not data.

@@ -682,7 +682,20 @@ object ZxSql {
           SeqOp.Trend(c)
         case "scenes" => SeqOp.Scenes
         case "mixture" =>
-          // `mixture src1=800, src2=500, …` — per-source token budgets
+          // `mixture [score <col> [scale <n>]] src1=800, src2=500, …` —
+          // per-source token budgets, hash-ordered or best-first
+          var score: Option[(String, Long)] = None
+          if (atIdent("score")) {
+            next()
+            val c = ident()
+            var scale = 1L
+            if (atIdent("scale")) {
+              next(); scale = parseLong(num("score scale"), "score scale")
+            }
+            if (scale < 1)
+              throw ParseError(s"mixture score scale must be ≥ 1, got $scale")
+            score = Some((c, scale))
+          }
           val pairs = commaList { () =>
             val src = next() match {
               case Ident(v) => v
@@ -696,7 +709,7 @@ object ZxSql {
           }
           val dup = pairs.groupBy(_._1).collectFirst { case (s, ps) if ps.size > 1 => s }
           dup.foreach(s => throw ParseError(s"duplicate mixture source '$s'"))
-          SeqOp.Mixture(pairs)
+          SeqOp.Mixture(pairs, score)
         case "sample" =>
           // `sample pct <n> [by src=<pct>, …]` — deterministic hash /
           // stratified sampling; `sample weight <col> [scale <n>]` —
@@ -1685,10 +1698,18 @@ object ZxSql {
           graft.operators.Multimodal.sceneChanges(
             graft.operators.Multimodal.sampleFrames(
               graft.operators.Multimodal.packBinary(base)))
-        case SeqOp.Mixture(budgets) =>
+        case SeqOp.Mixture(budgets, score) =>
           // WHERE has already gated `base`, so budgets fill from the
-          // SURVIVORS — quality-gate-then-mix in one statement
-          graft.operators.Corpus.mixtureByTokenBudget(base, budgets.toMap)
+          // SURVIVORS — quality-gate-then-mix in one statement; with a
+          // score clause the fill is best-first instead of hash-ordered
+          score match {
+            case Some((c, scale)) =>
+              graft.operators.Corpus.mixtureByTokenBudgetScored(base,
+                budgets.toMap,
+                Compiler.colRef(c).cast("double") / lit(scale.toDouble))
+            case None =>
+              graft.operators.Corpus.mixtureByTokenBudget(base, budgets.toMap)
+          }
         case op @ (_: SeqOp.SampleRows | _: SeqOp.SampleWeight) =>
           // gate-then-sample: both are narrow filters, so at 100 TB the
           // whole statement runs inside the scan stage; text stays pruned

@@ -378,6 +378,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("scored mixture: budgets fill best-first, not hash-first") {
+    import graft.operators.Corpus
+    import graft.sql.ZxSql
+    // src0 (even ids): 4-token docs with quality = doc_id/20 — the
+    // best-first fill must take the HIGHEST ids, whatever their hash
+    val docs = docsDf((1L to 20L).map(i => (i, "w w w w")): _*)
+    val got = Corpus.mixtureByTokenBudgetScored(docs,
+      budgets = Map("src0" -> 10L),
+      score = col("doc_id").cast("double") / 20.0)
+      .collect().map(_.getLong(0)).toSet
+    // prefix sums 0,4,8 < 10 → exactly the top-3 even ids {20, 18, 16}
+    assert(got == Set(20L, 18L, 16L))
+    // same budget hash-ordered picks a DIFFERENT (hash-determined) trio
+    val hashed = Corpus.mixtureByTokenBudget(docs, Map("src0" -> 10L))
+      .collect().map(_.getLong(0)).toSet
+    assert(hashed.size == 3 && hashed != got)
+    // face == API; score clause parses with scale; guards hold
+    val viaSql = ZxSql.run(docs,
+      "select mixture score doc_id scale 20 src0=10")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaSql == got)
+    assertThrows[ZxSql.ParseError](
+      ZxSql.parse("select mixture score s scale 0 src0=10"))
+  }
+
   test("mixtureByTokenBudget: greedy prefix cut, <1-doc overshoot, pre-filter invisible") {
     import graft.operators.Corpus
     // 20 docs across two sources, 3 tokens each (doc "w w w")
