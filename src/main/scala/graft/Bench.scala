@@ -115,7 +115,7 @@ object Bench {
       "c12b_bloom_prune", "c12c_string_point",
       "s10_recall_audit", "st_tumbling", "st_session", "st_hopping",
       "st_gap", "st_heatmap", "st_enrich", "st_lmscore", "st_sample",
-      "st_chunks", "st_quality",
+      "st_chunks", "st_quality", "st_langid", "st_redact",
       "x21_lm_score", "x21b_lm_score_joined", "p48_sql_lmscore",
       "c6b_zorder3", "c8b_string_prune",
       "c11_schema_evolution", "c14_change_feed",

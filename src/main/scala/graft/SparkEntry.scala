@@ -2881,6 +2881,20 @@ object SparkEntry {
         tables = Map("ref" -> Tables.documents(s, dir).filter(col("lang") === "en")))
     }
 
+  /** st_langid / st_redact: the remaining stateless faces replayed as
+    * STREAMS, sharing p56's / p54's oracles verbatim — the full
+    * runStream-accepted set is now hash-verified on the streaming path. */
+  private def stLangId(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.replayDocs(s, dir, "st-langid") { stream =>
+      graft.sql.ZxSql.runStream(stream, "select langid where source != 'src5'")
+    }
+
+  private def stRedact(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.replayDocs(s, dir, "st-redact") { stream =>
+      graft.sql.ZxSql.runStream(stream,
+        "select redact spark, data where source != 'src0'")
+    }
+
   /** st_quality: p53's quality metrics replayed as a STREAM — the "score
     * documents as they arrive" stage, sharing p53's oracle verbatim. */
   private def stQuality(s: SparkSession, dir: String): DataFrame =
@@ -4026,6 +4040,8 @@ object SparkEntry {
     "st_sample" -> (stSample _),
     "st_chunks" -> (stChunks _),
     "st_quality" -> (stQuality _),
+    "st_langid" -> (stLangId _),
+    "st_redact" -> (stRedact _),
     "p49_sql_composite_join" -> (p49SqlCompositeJoin _),
     "p44_sql_sample" -> (p44SqlSample _),
     "p45_sql_sample_weight" -> (p45SqlSampleWeight _),
@@ -4359,6 +4375,24 @@ object SparkEntry {
        |WHERE lang != 'zh' AND
        |  CAST(${duckShingleHash("doc_id::VARCHAR")} % 1048576 AS DOUBLE) <
        |  least(greatest(CAST(n_chars AS DOUBLE) / 1500.0, 0.0), 1.0) * 1048576""".stripMargin
+
+  /** p54's / p56's oracles, shared verbatim by `st_redact` / `st_langid`. */
+  private val p54OracleSql: String =
+      // x11's \b-literal rule with the face's terms and gate
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '\bspark\b')) AS INT) AS n_spark,
+        | CAST(len(regexp_extract_all(text, '\bdata\b')) AS INT) AS n_data,
+        | substr(md5(regexp_replace(regexp_replace(text,
+        |   '\bspark\b', '<PII>', 'g'), '\bdata\b', '<PII>', 'g')), 1, 16)
+        |   AS redacted_fp
+        |FROM documents WHERE source != 'src0'""".stripMargin
+
+  private val p56OracleSql: String = {
+    val pred = graft.functions.TextFunctions.langIdSql("text")
+    s"""SELECT doc_id, lang, lang_pred, (lang_pred = lang) AS agree
+       |FROM (SELECT doc_id, lang, $pred AS lang_pred FROM documents
+       |  WHERE source != 'src5') t""".stripMargin
+  }
 
   /** p53's oracle, shared verbatim by `st_quality`. */
   private val p53OracleSql: String = {
@@ -5273,23 +5307,12 @@ object SparkEntry {
          | ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE $cos >= 0.35 AND a.bn <= 4096""".stripMargin
     },
-    "p56_sql_langid" -> {
-      val pred = graft.functions.TextFunctions.langIdSql("text")
-      s"""SELECT doc_id, lang, lang_pred, (lang_pred = lang) AS agree
-         |FROM (SELECT doc_id, lang, $pred AS lang_pred FROM documents
-         |  WHERE source != 'src5') t""".stripMargin
-    },
+    "p56_sql_langid" -> p56OracleSql,
+    "st_langid" -> p56OracleSql,
     "p53_sql_quality" -> p53OracleSql,
     "st_quality" -> p53OracleSql,
-    "p54_sql_redact" ->
-      // x11's \b-literal rule with the face's terms and gate
-      """SELECT doc_id,
-        | CAST(len(regexp_extract_all(text, '\bspark\b')) AS INT) AS n_spark,
-        | CAST(len(regexp_extract_all(text, '\bdata\b')) AS INT) AS n_data,
-        | substr(md5(regexp_replace(regexp_replace(text,
-        |   '\bspark\b', '<PII>', 'g'), '\bdata\b', '<PII>', 'g')), 1, 16)
-        |   AS redacted_fp
-        |FROM documents WHERE source != 'src0'""".stripMargin,
+    "p54_sql_redact" -> p54OracleSql,
+    "st_redact" -> p54OracleSql,
     "d1b_dedup_normalized" ->
       // the same canonicalization, spelled in DuckDB's regex dialect
       """SELECT substr(md5(trim(regexp_replace(regexp_replace(lower(text),

@@ -685,7 +685,9 @@ object ZxSql {
           // `mixture [score <col> [scale <n>]] src1=800, src2=500, …` —
           // per-source token budgets, hash-ordered or best-first
           var score: Option[(String, Long)] = None
-          if (atIdent("score")) {
+          // lookahead: `score <col>` is the clause; `score=<n>` is a
+          // SOURCE literally named score (the rollup-keyword pattern)
+          if (atIdent("score") && toks.lift(pos + 1).exists(_.isInstanceOf[Ident])) {
             next()
             val c = ident()
             var scale = 1L
