@@ -1333,7 +1333,7 @@ object ZxSql {
     * the same code serves `run` and append-mode `runStream`; the text
     * column is pruned from the output so blobs never flow downstream. */
   private def compileSample(op: SeqOp, base: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.lit
     val sampled = op match {
       case SeqOp.SampleRows(pct, strata) =>
         if (strata.isEmpty) graft.operators.Corpus.sampleByHash(base, "doc_id", pct)
@@ -1344,7 +1344,9 @@ object ZxSql {
           base, Compiler.colRef(c).cast("double") / lit(scale.toDouble))
       case other => throw ParseError(s"not a sample op: $other")
     }
-    sampled.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    // schema-agnostic: keep every metadata column the frame carries, prune
+    // only the blob (a frame without `text` passes through untouched)
+    sampled.drop("text")
   }
 
   /** Shared batch/stream compile for `lmscore` — training collects run at
