@@ -2952,6 +2952,15 @@ object SparkEntry {
   private def d1bDedupNormalized(s: SparkSession, dir: String): DataFrame =
     graft.sql.ZxSql.run(Tables.documents(s, dir), "select dedup normalized")
 
+  /** p57: the sampling face on a NON-document table — `key event_id`
+    * points the md5 coin at the events table's stable id, so
+    * deterministic trace-sampling ("keep 10% of events, reproducibly")
+    * is the same one-liner as corpus sampling. */
+  private def p57SqlSampleEvents(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir),
+      "select sample pct 10 key event_id where value >= 1")
+      .select(col("event_id"), col("event_type"), col("value"))
+
   /** p51: the exact-dedup SQL face — fingerprint groups over a gated
     * corpus; the count shuffle carries 16-hex fingerprints, never text. */
   private def p51SqlDedup(s: SparkSession, dir: String): DataFrame =
@@ -4035,6 +4044,7 @@ object SparkEntry {
     "p54_sql_redact" -> (p54SqlRedact _),
     "p55_sql_neardup_embed" -> (p55SqlNeardupEmbed _),
     "p56_sql_langid" -> (p56SqlLangId _),
+    "p57_sql_sample_events" -> (p57SqlSampleEvents _),
     "p48_sql_lmscore" -> (p48SqlLmScore _),
     "st_lmscore" -> (stLmScore _),
     "st_sample" -> (stSample _),
@@ -5309,6 +5319,11 @@ object SparkEntry {
     },
     "p56_sql_langid" -> p56OracleSql,
     "st_langid" -> p56OracleSql,
+    "p57_sql_sample_events" ->
+      // the same md5 coin pointed at event_id, behind the value gate
+      s"""SELECT event_id, event_type, value FROM events
+         |WHERE value >= 1 AND
+         |  ${duckShingleHash("event_id::VARCHAR")} % 100 < 10""".stripMargin,
     "p53_sql_quality" -> p53OracleSql,
     "st_quality" -> p53OracleSql,
     "p54_sql_redact" -> p54OracleSql,

@@ -355,12 +355,17 @@ object SeqOp {
     * default rate per source value. WHERE composes as a pre-sample gate.
     * SQL: `select sample pct <n> [by <src>=<pct>, …] [where …]`. */
   final case class SampleRows(defaultPct: Int,
-                              strata: Seq[(String, Int)]) extends SeqOp
+                              strata: Seq[(String, Int)],
+                              /** hash-key column — `doc_id` by default;
+                                * `key <col>` points the face at any
+                                * table's stable id (events, embeddings). */
+                              keyCol: String = "doc_id") extends SeqOp
   /** Weighted deterministic sampling (x20) —
     * [[graft.operators.Corpus.sampleByWeight]] with acceptance
     * probability `col / scale`, clamped to [0, 1]. SQL:
     * `select sample weight <col> [scale <n>] [where …]`. */
-  final case class SampleWeight(col: String, scale: Long) extends SeqOp
+  final case class SampleWeight(col: String, scale: Long,
+                                keyCol: String = "doc_id") extends SeqOp
   /** Token-budget sequence packing (x7) —
     * [[graft.operators.Corpus.packByTokenBudget]]: contiguous ~budget-token
     * chunks per source via one window (stateful — batch only). SQL:

@@ -716,6 +716,8 @@ object ZxSql {
           // `sample pct <n> [by src=<pct>, …]` — deterministic hash /
           // stratified sampling; `sample weight <col> [scale <n>]` —
           // acceptance probability col/scale, clamped to [0,1]
+          def sampleKey(): String =
+            if (atIdent("key")) { next(); ident() } else "doc_id"
           if (atIdent("weight")) {
             next()
             val c = ident()
@@ -725,7 +727,7 @@ object ZxSql {
             }
             if (scale < 1)
               throw ParseError(s"sample weight scale must be ≥ 1, got $scale")
-            SeqOp.SampleWeight(c, scale)
+            SeqOp.SampleWeight(c, scale, sampleKey())
           } else if (atIdent("pct")) {
             next()
             val pct = parseLong(num("sample pct"), "sample pct").toInt
@@ -749,9 +751,10 @@ object ZxSql {
               val dup = strata.groupBy(_._1).collectFirst { case (s, ps) if ps.size > 1 => s }
               dup.foreach(s => throw ParseError(s"duplicate sample stratum '$s'"))
             }
-            SeqOp.SampleRows(pct, strata)
+            SeqOp.SampleRows(pct, strata, sampleKey())
           } else throw ParseError(
-            "sample takes `pct <n> [by src=<pct>, …]` or `weight <col> [scale <n>]`")
+            "sample takes `pct <n> [by src=<pct>, …]` or `weight <col> " +
+              "[scale <n>]`, each with an optional trailing `key <col>`")
         case "pack" =>
           // `pack budget <n>` — contiguous ~n-token training chunks
           if (!atIdent("budget")) throw ParseError("pack takes `budget <tokens>`")
@@ -1335,13 +1338,14 @@ object ZxSql {
   private def compileSample(op: SeqOp, base: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val sampled = op match {
-      case SeqOp.SampleRows(pct, strata) =>
-        if (strata.isEmpty) graft.operators.Corpus.sampleByHash(base, "doc_id", pct)
+      case SeqOp.SampleRows(pct, strata, key) =>
+        if (strata.isEmpty) graft.operators.Corpus.sampleByHash(base, key, pct)
         else graft.operators.Corpus.sampleStratified(
-          base, "source", strata.toMap, defaultPct = pct)
-      case SeqOp.SampleWeight(c, scale) =>
+          base, "source", strata.toMap, defaultPct = pct, keyCol = key)
+      case SeqOp.SampleWeight(c, scale, key) =>
         graft.operators.Corpus.sampleByWeight(
-          base, Compiler.colRef(c).cast("double") / lit(scale.toDouble))
+          base, Compiler.colRef(c).cast("double") / lit(scale.toDouble),
+          keyCol = key)
       case other => throw ParseError(s"not a sample op: $other")
     }
     // schema-agnostic: keep every metadata column the frame carries, prune

@@ -933,6 +933,13 @@ class SqlSpec extends AnyFunSuite {
     } finally query.stop()
     // other corpus ops still refuse the unbounded source
     assertThrows[ZxSql.ParseError](ZxSql.runStream(st, "select mixture src1=100"))
+    // `key <col>` points the coin at any stable id — same subset as the
+    // API with that key, and a doc_id-less frame works
+    val ev = docs.withColumnRenamed("doc_id", "event_id")
+    val keyed = ZxSql.run(ev, "select sample pct 30 key event_id")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(keyed == ids(graft.operators.Corpus.sampleByHash(ev, "event_id", 30)
+      .withColumnRenamed("event_id", "doc_id")))
   }
 
   test("pack / chunks from SQL: batch parity, guards, chunks streams (round 12)") {
