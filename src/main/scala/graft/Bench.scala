@@ -83,7 +83,12 @@ object Bench {
       // time — the honest cost — with the per-run errors marking it broken.
       val good = timed.collect { case (dt, true) => dt }.sorted
       val all = timed.map(_._1).sorted
-      name -> (if (good.nonEmpty) good(good.size / 2) else all(all.size / 2))
+      val med = if (good.nonEmpty) good(good.size / 2) else all(all.size / 2)
+      // keep the raw per-run times (execution order) next to the median:
+      // a 13s median of (40, 13, 0.3) means a slow PLAN, of (13, 13, 0.3)
+      // a warm-up cliff — round 12's j6 outlier was unadjudicable because
+      // the artifact only carried the one number
+      name -> (med, timed.map(_._1))
     }
     // 3-decimal (ms) precision: full-precision doubles tripled the line
     // length and the harness tail buffer was truncating the JSON mid-string
@@ -91,11 +96,16 @@ object Bench {
     // noise anyway
     def r3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    // per-run arrays, same order as execution — the self-adjudication
+    // evidence for any outlier median (durable file only; tiny)
+    val runsSec = results.map { case (k, (_, rs)) =>
+      s"\"" + k + "\":" + rs.map(r3).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     // build-class queries TRAIN their index/codebook/frequency artifacts
     // inside the timed call by design (in production these are one-off
     // build steps, not query-path work) — flagged so regression budgets
@@ -123,8 +133,8 @@ object Bench {
       "c17_cdc_follow", "c17b_durable_follow",
       "j6b_bucketed_build").filter(results.contains)
     val buildJson = buildClass.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val buildTotal = buildClass.map(results).sum
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","runs":$runs,"build_queries":$buildJson,"build_sec":${r3(buildTotal)},"calib_sec":${r3(calibSec)}}"""
+    val buildTotal = buildClass.map(results(_)._1).sum
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"runs_sec":$runsSec,"errors":$errs,"sf":"$sfDir","runs":$runs,"build_queries":$buildJson,"build_sec":${r3(buildTotal)},"calib_sec":${r3(calibSec)}}"""
     // The harness captures a bounded (~2000 char) stdout tail: three
     // rounds running, the full per-query line truncated there into an
     // unparseable fragment. stdout now gets a SHORT self-contained

@@ -508,6 +508,26 @@ object SparkEntry {
         coalesce(round(col("sum_r_value"), 3), lit(0.0)))
   }
 
+  /** p61: COMPOSITE-key as-of join from SQL — `on user_id = r_user and
+    * event_type = r_type`, the (user, device)-style pair key a real
+    * events store sessionizes on. Both sides compile into ONE struct key
+    * (single exchange kept); right-side versions are a derived per-
+    * (user, type) mark table passed via the catalog, deduped by the
+    * max-payload rule; DuckDB replays with its native multi-key ASOF
+    * LEFT JOIN. */
+  private def p61SqlAsofComposite(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("ts_sec", col("ts").cast(LongType))
+    val marks = Tables.events(s, dir).select(
+      col("user_id").as("r_user"), col("event_type").as("r_type"),
+      col("ts").cast(LongType).as("r_ts"), col("value").as("r_value"))
+    graft.sql.ZxSql.run(ev,
+      "select event_id, user_id, event_type, ts_sec " +
+        "asof join marks on user_id = r_user and event_type = r_type " +
+        "at ts_sec >= r_ts carry r_value",
+      tables = Map("marks" -> marks))
+  }
+
   /** P1 + a12: journey mining through the SQL front door (VERDICT r9 #3 —
     * the reference surface is SQL-first, lib.rs:815-844). The WHERE rides
     * the shared scan/filter front half, so sequence mining over a filtered
@@ -2952,6 +2972,41 @@ object SparkEntry {
   private def d1bDedupNormalized(s: SparkSession, dir: String): DataFrame =
     graft.sql.ZxSql.run(Tables.documents(s, dir), "select dedup normalized")
 
+  /** p59: `select distinct` — the raw-projection dedup primitive: one
+    * shuffle on the (narrow, already-projected) columns, ORDER BY after.
+    * Closes the r12 "set operations at the front door" gap with p60. */
+  private def p59SqlDistinct(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select distinct lang, source where n_chars > 200")
+
+  /** p60: `union` between two gated sub-queries — the corpus-slice
+    * composition shape ("the long docs plus everything from src1, as one
+    * deduped slice"). Plain `union` is SQL-standard distinct; the gates
+    * OVERLAP by construction so the dedup is load-bearing in the oracle
+    * compare. Each branch keeps its own pushed-down gate. */
+  private def p60SqlUnion(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.runCatalog(Map("documents" -> Tables.documents(s, dir)),
+      "select doc_id, source from documents where n_chars > 300 " +
+        "union select doc_id, source from documents where source = 'src1'")
+
+  /** p62: FULL-OUTER equi-join — the reconciliation audit ("which side
+    * matched nothing"): a per-user activity rollup FULL JOIN customer,
+    * per segment. Unmatched users surface under the `__nil` segment via
+    * the standard group-key rendering; unmatched customers show up as
+    * n_rows − n_matched. DuckDB replays with its native FULL JOIN. */
+  private def p62SqlFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val prof = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    graft.sql.ZxSql.run(prof,
+      "select count(*) as n_rows, sum(n_events) as sum_ev, " +
+        "count(n_events) as n_matched " +
+        "full join customer on user_id = c_custkey " +
+        "group by c_mktsegment order by c_mktsegment",
+      tables = Map("customer" -> Tables.customer(s, dir)))
+      .select(col("c_mktsegment"), round3("n_rows"), round3("sum_ev"),
+        round3("n_matched"))
+  }
+
   /** p57: the sampling face on a NON-document table — `key event_id`
     * points the md5 coin at the events table's stable id, so
     * deterministic trace-sampling ("keep 10% of events, reproducibly")
@@ -3342,6 +3397,22 @@ object SparkEntry {
       .head().getSeq[Double](0).toIndexedSeq
     graft.operators.Similarity.ivfProbeIndex(s, path, cents, qv, k = 10)
       .withColumn("cos", round(col("cos"), 6))
+  }
+
+  /** p58: INDEX-BACKED kNN at the FRONT DOOR — `knn using <index>` probes
+    * the s4-built cell-partitioned artifact resolved from the catalog
+    * (read-only: nProbe/nlist of storage via planning-time partition
+    * pruning, PlanSpec-pinned; a missing or un-built index fails loudly).
+    * Closes the r12 verdict gap where the SQL face silently brute-forced.
+    * Same probe parameters as s4_ivf_knn, so the rows share one oracle. */
+  private def p58SqlKnnIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (path, cents) = ensureIvfIndex(s, dir)
+    graft.sql.ZxSql.runCatalog(Map(
+      "embeddings" -> Tables.embeddings(s, dir),
+      "emb_index" -> s.read.parquet(path),
+      "emb_index_centroids" -> cents.toDF("cid", "centroid")),
+      "select knn using emb_index top 10 query 0 probe 2 from embeddings")
   }
 
   private def s3LshStats(s: SparkSession, dir: String): DataFrame =
@@ -4045,6 +4116,10 @@ object SparkEntry {
     "p55_sql_neardup_embed" -> (p55SqlNeardupEmbed _),
     "p56_sql_langid" -> (p56SqlLangId _),
     "p57_sql_sample_events" -> (p57SqlSampleEvents _),
+    "p59_sql_distinct" -> (p59SqlDistinct _),
+    "p60_sql_union" -> (p60SqlUnion _),
+    "p61_sql_asof_composite" -> (p61SqlAsofComposite _),
+    "p62_sql_full_outer" -> (p62SqlFullOuter _),
     "p48_sql_lmscore" -> (p48SqlLmScore _),
     "st_lmscore" -> (stLmScore _),
     "st_sample" -> (stSample _),
@@ -4077,6 +4152,7 @@ object SparkEntry {
     "s3_lsh_stats" -> (s3LshStats _),
     "s4_ivf_build" -> (s4IvfBuild _),
     "s4_ivf_knn" -> (s4IvfKnn _),
+    "p58_sql_knn_index" -> (p58SqlKnnIndex _),
     "s5_quant_knn" -> (s5QuantKnn _),
     "s6_batch_knn" -> (s6BatchKnn _),
     "s7_embed_stats" -> (s7EmbedStats _),
@@ -4420,6 +4496,22 @@ object SparkEntry {
        |   AND (length(text) - length(regexp_replace(text, '[$pc]', '', 'g')))::DOUBLE / length(text)::DOUBLE <= 0.1
        |   AND len(list_filter(string_split(text, ' '), t -> list_contains([$en], t)))::DOUBLE / len(string_split(text, ' '))::DOUBLE >= 0.01) AS quality_ok
        |FROM documents WHERE lang = 'en'""".stripMargin
+  }
+
+  /** s4_ivf_knn's oracle — the full DuckDB replay of centroid training,
+    * probe-cell ranking (nProbe=2) and in-cell exact cosine. Shared
+    * verbatim by `p58_sql_knn_index` (same index, same parameters through
+    * the SQL front door). */
+  private lazy val s4KnnOracleSql: String = {
+    val cos = s"${duckIvfDot("e.v", "q.qv")} / (sqrt(${duckIvfDot("e.v", "e.v")}) * sqrt(${duckIvfDot("q.qv", "q.qv")}))"
+    s"""WITH $duckIvfTrainCtes,
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |qsel AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${duckIvfDot("c.cv", "q.qv")} DESC, c.cid) AS rn
+       |  FROM cent2 c, q) WHERE rn <= 2)
+       |SELECT e.vec_id, e.label, a.cell, round($cos, 6) AS cos
+       |FROM e JOIN as2 a USING (vec_id) JOIN qsel ON a.cell = qsel.cid, q
+       |ORDER BY $cos DESC, e.vec_id
+       |LIMIT 10""".stripMargin
   }
 
   /** p47's oracle, shared verbatim by `st_chunks`. */
@@ -5324,6 +5416,39 @@ object SparkEntry {
       s"""SELECT event_id, event_type, value FROM events
          |WHERE value >= 1 AND
          |  ${duckShingleHash("event_id::VARCHAR")} % 100 < 10""".stripMargin,
+    "p61_sql_asof_composite" ->
+      // DuckDB's native multi-key ASOF LEFT JOIN over the same
+      // deterministically-deduped (user, type, ts) mark versions
+      """WITH m0 AS (SELECT user_id AS r_user, event_type AS r_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS r_ts, value AS r_value
+        |  FROM events),
+        |m1 AS (SELECT *, row_number() OVER (PARTITION BY r_user, r_type, r_ts
+        |    ORDER BY r_value DESC) AS rn FROM m0),
+        |m AS (SELECT r_user, r_type, r_ts, r_value FROM m1 WHERE rn = 1),
+        |e AS (SELECT event_id, user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events)
+        |SELECT e.event_id, e.user_id, e.event_type, e.ts_sec, m.r_value
+        |FROM e ASOF LEFT JOIN m
+        |  ON e.user_id = m.r_user AND e.event_type = m.r_type
+        |  AND e.ts_sec >= m.r_ts""".stripMargin,
+    "p62_sql_full_outer" ->
+      // native FULL JOIN; the engine's weighted DOUBLE counts,
+      // null-as-zero sum, and '__nil' group-key rendering
+      """WITH prof AS (SELECT user_id, count(*) AS n_events FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY user_id)
+        |SELECT coalesce(CAST(c_mktsegment AS VARCHAR), '__nil') AS c_mktsegment,
+        |  CAST(count(*) AS DOUBLE) AS n_rows,
+        |  round(CAST(sum(coalesce(n_events, 0)) AS DOUBLE), 3) AS sum_ev,
+        |  CAST(count(n_events) AS DOUBLE) AS n_matched
+        |FROM prof FULL JOIN customer ON user_id = c_custkey
+        |GROUP BY 1""".stripMargin,
+    "p59_sql_distinct" ->
+      "SELECT DISTINCT lang, source FROM documents WHERE n_chars > 200",
+    "p60_sql_union" ->
+      // overlapping gates, so the UNION's dedup is load-bearing
+      """SELECT doc_id, source FROM documents WHERE n_chars > 300
+        |UNION
+        |SELECT doc_id, source FROM documents WHERE source = 'src1'""".stripMargin,
     "p53_sql_quality" -> p53OracleSql,
     "st_quality" -> p53OracleSql,
     "p54_sql_redact" -> p54OracleSql,
@@ -6307,17 +6432,10 @@ object SparkEntry {
          |SELECT CAST(cell AS INT) AS cell, CAST(count(*) AS BIGINT) AS n,
          | min(vec_id) AS min_id, max(vec_id) AS max_id
          |FROM as2 GROUP BY 1""".stripMargin,
-    "s4_ivf_knn" -> {
-      val cos = s"${duckIvfDot("e.v", "q.qv")} / (sqrt(${duckIvfDot("e.v", "e.v")}) * sqrt(${duckIvfDot("q.qv", "q.qv")}))"
-      s"""WITH $duckIvfTrainCtes,
-         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-         |qsel AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${duckIvfDot("c.cv", "q.qv")} DESC, c.cid) AS rn
-         |  FROM cent2 c, q) WHERE rn <= 2)
-         |SELECT e.vec_id, e.label, a.cell, round($cos, 6) AS cos
-         |FROM e JOIN as2 a USING (vec_id) JOIN qsel ON a.cell = qsel.cid, q
-         |ORDER BY $cos DESC, e.vec_id
-         |LIMIT 10""".stripMargin
-    },
+    "s4_ivf_knn" -> s4KnnOracleSql,
+    // p58 probes the SAME index with the same (k=10, nProbe=2, query 0)
+    // through the SQL front door — one oracle serves both rows
+    "p58_sql_knn_index" -> s4KnnOracleSql,
     "s12_filtered_ann" -> {
       // s4's probe replay with the metadata predicate applied BEFORE the
       // top-k (the engine's in-scan filter) and the widened 4-cell probe

@@ -242,9 +242,13 @@ object TextFunctions {
   def simhash16FromNibbles(nibbles: Column): Column =
     graft.expressions.SimHash16.simhash16(nibbles)
 
-  /** Convenience single-expression form (tests / one-off selects). Inlines
-    * the nibble pass 16×; hot paths use the two-step form. */
-  def simhash16(text: Column): Column = simhash16FromNibbles(simhashNibbles(text))
+  /** Single-expression form — the native one-digest-per-token pass
+    * (graft.expressions.SimHash16FromTokens), bit-identical to the nibble
+    * composition above (spec-pinned) without its 4-md5-strings-per-token
+    * HOF cost. The nibble pair stays exported for the pin itself and the
+    * oracle CTE rendering. */
+  def simhash16(text: Column): Column =
+    graft.expressions.SimHash16.simhash16FromTokens(tokens(text))
 
   /** DuckDB renderings of the same SimHash, split for CTE use:
     * `simhashNibblesSql` computes the per-token nibble lists (alias it as

@@ -221,7 +221,13 @@ final case class JoinSpec(
     table: String, keyL: String, keyR: String, timeL: String, timeR: String,
     payload: Seq[String] = Nil,
     trailingSec: Option[Long] = None,
-    aggs: Seq[Select] = Nil)
+    aggs: Seq[Select] = Nil,
+    /** additional ON pairs for COMPOSITE keys (p61) — `on a = ra and b =
+      * rb`: the sides compile into ONE struct key column per side, so the
+      * operator keeps its single exchange (a real events store keys
+      * sessions on (user, device) pairs). Every left key must be selected,
+      * like `keyL`. */
+    moreKeys: Seq[(String, String)] = Nil)
 
 /** Plain equi-join clause (extension — the single most common analytics
   * shape, `fact join dim on key`, which the reference cannot express at
@@ -245,7 +251,13 @@ final case class JoinSpec(
   * the outer WHERE's expression predicates compare fact columns against
   * the joined aggregates. When `sub` is set, `table` is empty. */
 final case class EquiJoin(
-    table: String, keyL: String, keyR: String, leftOuter: Boolean = false,
+    table: String, keyL: String, keyR: String,
+    /** Spark join-type name: `inner` (default), `left_outer`,
+      * `right_outer`, or `full_outer` (p62 — the reconciliation shape:
+      * "which dim rows matched nothing"). Unmatched-side group keys are
+      * genuine SQL NULLs out of the join, so they surface through the
+      * aggregate paths' standard `__nil` rendering. */
+    joinType: String = "inner",
     sub: Option[ZxQuery] = None,
     /** additional ON pairs for COMPOSITE keys — `on a = ra and b = rb`;
       * catalog tables only (a derived side's group-by is its single key). */
@@ -308,6 +320,17 @@ object SeqOp {
   /** Brute-force cosine kNN (s1) over an embeddings frame. SQL:
     * `select knn [top <k>] [query <vecId>] [where …]`. */
   final case class Knn(topK: Int, queryId: Long) extends SeqOp
+  /** INDEX-BACKED kNN (p58): probe a PREBUILT cell-partitioned IVF index
+    * resolved from the catalog — a stateless read (nProbe/nlist of
+    * storage at planning time), never training. The front door's answer
+    * to "don't silently brute-force a 100 TB corpus". `centroids` names
+    * the trained-centroid table; None → `<index>_centroids`. The query
+    * vector resolves by id from the gated FROM frame; WHERE also gates
+    * the index scan (filtered ANN, the s12 shape). SQL:
+    * `select knn using <index> [centroids <table>] [top <k>]
+    *  [query <vecId>] [probe <n>] [from <emb>] [where …]`. */
+  final case class KnnIndex(index: String, centroids: Option[String],
+                            topK: Int, queryId: Long, nProbe: Int) extends SeqOp
   /** MMR diverse re-rank (s13) over an embeddings frame, default
     * 0.7/0.3 weights. SQL:
     * `select mmr [top <k>] [query <vecId>] [shortlist <n>] [where …]`. */
@@ -562,4 +585,18 @@ final case class ZxQuery(
       * per group to the single window exchange, the 100 TB-safe
       * top-N-per-group. Requires ORDER BY and `limit`; `col` must be a
       * group key (aggregate path) or a selected column (raw path). */
-    limitPer: Option[String] = None)
+    limitPer: Option[String] = None,
+    /** True iff the query SPELLED a `granularity` clause (the parser sets
+      * it; `granularitySec` alone can't distinguish an explicit 300 from
+      * the reference default). Routing reads it for derived-table inners:
+      * an aggregate inner with no ORDER BY and no explicit window clause
+      * takes the sorted (per-key totals) path — defaulting it into 300 s
+      * tumbling windows would hand the outer query per-(key, window) rows
+      * it has no way to see (ADVICE r12). */
+    granSet: Boolean = false,
+    /** `select distinct` (extension, p59): dedup the raw projection —
+      * one shuffle on the projected columns, the relational primitive
+      * corpus-slice composition needs next to `union`. Raw-projection
+      * queries only (parse-guarded); ORDER BY / LIMIT apply AFTER the
+      * dedup. Batch-only (a streaming distinct is unbounded state). */
+    distinctRows: Boolean = false)

@@ -376,12 +376,16 @@ object Dedup {
       .toDF("doc_id", "cluster_id", "cluster_size")
   }
 
-  /** Per-doc 16-bit SimHash fingerprints. Two-step projection: the md5
-    * nibble pass materializes once, the 16 bit-sums fold over it. */
+  /** Per-doc 16-bit SimHash fingerprints — the single-pass native form:
+    * one md5 digest per token, no nibble-array materialization, no HOF
+    * lambda interpretation (graft.expressions.SimHash16FromTokens;
+    * spec-pinned bit-identical to the nibble composition the DuckDB
+    * oracle replays — round 13 cut d3's signature scan ~2× with it). */
   def simhashes(docs: DataFrame, textCol: String = "text",
                 idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol), simhashNibbles(col(textCol)).as("__nibs"))
-      .select(col(idCol), simhash16FromNibbles(col("__nibs")).as("simhash16"))
+    docs.select(col(idCol), graft.expressions.SimHash16
+      .simhash16FromTokens(graft.functions.TextFunctions.tokens(col(textCol)))
+      .as("simhash16"))
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming.
     *

@@ -535,10 +535,24 @@ object Similarity {
                     cents: Seq[(Int, Seq[Double])], queryVec: Seq[Double],
                     k: Int, nProbe: Int = 2, idCol: String = "vec_id",
                     vecCol: String = "embedding",
+                    where: Column = lit(true)): DataFrame =
+    ivfProbeFrame(spark.read.parquet(path), cents, queryVec, k, nProbe,
+      idCol, vecCol, where)
+
+  /** [[ivfProbeIndex]] over an already-resolved index FRAME — the form the
+    * SQL face needs (its catalog holds DataFrames, not paths). When the
+    * frame is a parquet read of a cell-partitioned index, the `cell IN`
+    * filter still prunes at PLANNING time (PartitionFilters — the pruning
+    * property belongs to the frame's partition column, not to who opened
+    * it; PlanSpec-pinned for the p58 face). */
+  def ivfProbeFrame(index: DataFrame, cents: Seq[(Int, Seq[Double])],
+                    queryVec: Seq[Double], k: Int, nProbe: Int = 2,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
                     where: Column = lit(true)): DataFrame = {
+    require(k >= 1 && nProbe >= 1, s"ivfProbeFrame: need k/nProbe >= 1, got $k/$nProbe")
     val qn = math.sqrt(foldDot(queryVec, queryVec))
     val probe = rankProbes(cents, queryVec, nProbe)
-    spark.read.parquet(path)
+    index
       .filter(col("cell").isin(probe: _*))
       .filter(where)
       .withColumn("cos", dot(col(vecCol), typedLit(queryVec)) /
@@ -546,6 +560,29 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
       .drop(vecCol)
+  }
+
+  /** Collect a (cid, centroid) catalog TABLE to the driver-held form the
+    * probe planners take — budget-gated like every centroid collect, and
+    * schema-checked loudly (the SQL face resolves this from a user-named
+    * table; a wrong table must fail with words, not a ClassCastException). */
+  def collectCentroids(centDf: DataFrame): Seq[(Int, Seq[Double])] = {
+    val cols = centDf.columns.toSet
+    require(Set("cid", "centroid").subsetOf(cols),
+      s"collectCentroids: expected columns (cid, centroid) — the " +
+        s"writeCentroids artifact — got ${centDf.columns.mkString(", ")}")
+    val n = centDf.limit(MaxCentroidSlots.toInt + 1).count()
+    requireCentroidBudget(n, 1L, "collectCentroids")
+    val cents = centDf.select(
+        col("cid").cast(org.apache.spark.sql.types.IntegerType),
+        toDouble(col("centroid")))
+      .collect().toSeq
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toIndexedSeq)
+      .sortBy(_._1)
+    require(cents.nonEmpty, "collectCentroids: centroid table is empty")
+    requireCentroidBudget(cents.size.toLong, cents.head._2.size.toLong,
+      "collectCentroids")
+    cents
   }
 
   /** Batched kNN: exact top-k for EVERY query in one corpus pass — the

@@ -1309,11 +1309,13 @@ object EventStore {
     * disagree. Safe-by-default (VERDICT r9 "what's wrong" #3); callers no
     * longer need to cache. */
   def mergeInto(spark: SparkSession, path: String, updates: DataFrame,
-                keyCols: Seq[String], tsCol: String = "ts"): MergeStats = {
+                keyCols: Seq[String], tsCol: String = "ts",
+                driverBudgetBytes: Long = 64L << 20): MergeStats = {
     require(keyCols.nonEmpty, "mergeInto: need at least one key column")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifest = readManifestFile(fs, root)
+    requireDetectionBudget("mergeInto", manifest.size, driverBudgetBytes)
     val gen = nextGen()
     val upd = updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1373,10 +1375,12 @@ object EventStore {
     * `predicate` must be deterministic and null-rejecting (a null
     * predicate value keeps the row, SQL WHERE-NOT semantics). */
   def deleteWhere(spark: SparkSession, path: String, predicate: Column,
-                  tsCol: String = "ts"): MergeStats = {
+                  tsCol: String = "ts",
+                  driverBudgetBytes: Long = 64L << 20): MergeStats = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifest = readManifestFile(fs, root)
+    requireDetectionBudget("deleteWhere", manifest.size, driverBudgetBytes)
     val gen = nextGen()
     // detection: per-file (matching, total) counts — one job, file-granular
     val counts = readPinned(spark, path)
@@ -1403,6 +1407,25 @@ object EventStore {
     commitCow(fs, root, "deleteWhere", (dropped ++ partial).toSet, rewritten)
     MergeStats(manifest.size - dropped.size - partial.size, partial.size,
       dropped.size, 0, rowsDeleted, 0L)
+  }
+
+  /** Loud driver-memory guard on the COW DETECTION maps: both [[mergeInto]]
+    * and [[deleteWhere]] collect one constant-width (file, counts) row per
+    * manifested file — the same driver dimension as Spark's own FileIndex —
+    * but at 10^6 files that map is ~100 MB and deserves the same explicit
+    * budget the key-set sidecar has ([[writeFileKeySets]]), not an implicit
+    * OOM. 512 bytes/file is a deliberate overestimate (relative path string
+    * + boxed longs + HashMap node); the check runs BEFORE the detection job
+    * so an over-budget manifest fails before materializing anything. */
+  private def requireDetectionBudget(op: String, nFiles: Int,
+                                     driverBudgetBytes: Long): Unit = {
+    require(driverBudgetBytes >= 1, s"$op: bad driverBudgetBytes $driverBudgetBytes")
+    val est = nFiles.toLong * 512L
+    require(est <= driverBudgetBytes,
+      s"$op: the per-file detection map over $nFiles manifested files is " +
+        s"~$est bytes on the driver, over driverBudgetBytes=" +
+        s"$driverBudgetBytes — compact the store first (compact/" +
+        "compactManifested) or raise the budget deliberately")
   }
 
   /** The shared copy-on-write commit: remove `replaced`, add `added`, as

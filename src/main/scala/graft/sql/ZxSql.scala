@@ -527,6 +527,14 @@ object ZxSql {
 
     expectIdent("select")
 
+    // `select distinct <col, …>` (extension): dedup the raw projection —
+    // the corpus-slice composition primitive (p59). `distinct` is a
+    // reserved word in leading-select position, like `case` in measure
+    // position; a storage column of that name stays reachable after any
+    // other select item.
+    var distinctRows = false
+    if (atIdent("distinct")) { next(); distinctRows = true }
+
     // Sequence-analytics clauses (extension — VERDICT r9 #3: the round-9
     // operators were Scala-API only while the reference surface is
     // SQL-first, lib.rs:815-844). Detected by leading keyword; `decay` /
@@ -655,11 +663,36 @@ object ZxSql {
             SeqOp.NearDup(pct)
           }
         case "knn" =>
+          // `knn using <index>` probes a PREBUILT catalog-resolved IVF
+          // index (read-only — the build half stays an API/lifecycle op);
+          // without `using`, the exact brute-force scan
+          var index: Option[String] = None
+          var centTable: Option[String] = None
+          if (atIdent("using")) { next(); index = Some(ident()) }
+          if (atIdent("centroids")) {
+            if (index.isEmpty)
+              throw ParseError("centroids names a `knn using <index>`'s " +
+                "trained-centroid table — brute-force knn has no index")
+            next(); centTable = Some(ident())
+          }
           var topK = 10; var qid = 0L
           if (atIdent("top")) { next(); topK = parseLong(num("top count"), "top count").toInt }
           if (atIdent("query")) { next(); qid = parseLong(num("query id"), "query id") }
+          var nProbe = 2
+          var probeSet = false
+          if (atIdent("probe")) {
+            next(); nProbe = parseLong(num("probe cells"), "probe cells").toInt
+            probeSet = true
+          }
           if (topK < 1) throw ParseError(s"knn top must be ≥ 1, got $topK")
-          SeqOp.Knn(topK, qid)
+          if (index.isEmpty && probeSet)
+            throw ParseError("probe widens a `knn using <index>` scan — " +
+              "brute-force knn always scans everything")
+          if (nProbe < 1) throw ParseError(s"knn probe must be ≥ 1, got $nProbe")
+          index match {
+            case Some(ix) => SeqOp.KnnIndex(ix, centTable, topK, qid, nProbe)
+            case None     => SeqOp.Knn(topK, qid)
+          }
         case "mmr" =>
           var topK = 10; var qid = 0L; var shortlist = 50
           var qids = Seq.empty[Long]
@@ -763,11 +796,16 @@ object ZxSql {
           if (b < 1) throw ParseError(s"pack budget must be ≥ 1, got $b")
           SeqOp.Pack(b)
         case "chunks" =>
-          // `chunks [size <n>] [stride <m>]` — overlapping context windows
-          var size = 32; var stride = 8
+          // `chunks [size <n>] [stride <m>]` — context windows. ONE default
+          // rule: stride = size (non-overlapping) unless `stride` is spelled
+          // — overlap is always an explicit choice, so adding `size` to a
+          // bare `chunks` can never silently change overlap semantics
+          // (ADVICE r12: the old bare default was overlapping 32/8 while
+          // `size N` flipped to non-overlapping).
+          var size = 32; var stride = 32
           if (atIdent("size")) {
             next(); size = parseLong(num("chunk size"), "chunk size").toInt
-            stride = size // explicit size defaults to non-overlapping
+            stride = size
           }
           if (atIdent("stride")) {
             next(); stride = parseLong(num("chunk stride"), "chunk stride").toInt
@@ -916,11 +954,19 @@ object ZxSql {
       next(); expectIdent("join")
       val table = ident()
       expectIdent("on"); val kl = ident(); expectSym("="); val kr = ident()
+      // composite keys (p61): `on a = ra and b = rb …` — `at` terminates
+      // the pair list, so the keyword is unambiguous
+      var moreKeys = Seq.empty[(String, String)]
+      while (atIdent("and")) {
+        next(); val al = ident(); expectSym("="); val ar = ident()
+        moreKeys :+= ((al, ar))
+      }
       expectIdent("at"); val tl = ident(); expectSym(">="); val tr = ident()
       joinSpec = Some(
         if (!trailing) {
           expectIdent("carry")
-          JoinSpec(table, kl, kr, tl, tr, payload = commaList(ident _))
+          JoinSpec(table, kl, kr, tl, tr, payload = commaList(ident _),
+            moreKeys = moreKeys)
         } else {
           expectIdent("within")
           val w = next() match {
@@ -935,22 +981,33 @@ object ZxSql {
           aggs.find(_.expr.nonEmpty).foreach(_ =>
             throw ParseError("trailing agg aggregates a right-table column, " +
               "not an expression — compute it into the right table upstream"))
-          JoinSpec(table, kl, kr, tl, tr, trailingSec = Some(w), aggs = aggs)
+          JoinSpec(table, kl, kr, tl, tr, trailingSec = Some(w), aggs = aggs,
+            moreKeys = moreKeys)
         })
       joinSpec.filter(_ => selects.exists(_.agg != Agg.Raw) || postSelects.nonEmpty).foreach(_ =>
         throw ParseError("join queries select bare left columns only (aggregates go in the `agg` clause)"))
-      joinSpec.filterNot(js => selects.exists(_.column == js.keyL) &&
+      joinSpec.filterNot(js => (js.keyL +: js.moreKeys.map(_._1)).forall(k =>
+          selects.exists(_.column == k)) &&
           selects.exists(_.column == js.timeL)).foreach(js =>
-        throw ParseError(s"join queries must select the join key '${js.keyL}' and time '${js.timeL}'"))
+        throw ParseError("join queries must select every join key (" +
+          (js.keyL +: js.moreKeys.map(_._1)).mkString(", ") +
+          s") and time '${js.timeL}'"))
     }
 
     // plain equi-join clauses (extension — the fact-join-dim roll-up):
-    //   [left] join <table> on <keyL> = <keyR>   (repeatable, chains)
+    //   [left|right|full] join <table> on <keyL> = <keyR>  (repeatable,
+    // chains). right/full (p62) are the reconciliation shapes — unmatched
+    // sides surface as `__nil` group keys through the standard rendering.
     var equiJoins = Seq.empty[EquiJoin]
-    while (atIdent("join") ||
-        (atIdent("left") && toks.lift(pos + 1).contains(Ident("join")))) {
-      val leftOuter = atIdent("left")
-      if (leftOuter) next()
+    def atOuterKw: Boolean =
+      (atIdent("left") || atIdent("right") || atIdent("full")) &&
+        toks.lift(pos + 1).contains(Ident("join"))
+    while (atIdent("join") || atOuterKw) {
+      val joinType =
+        if (atIdent("left")) { next(); "left_outer" }
+        else if (atIdent("right")) { next(); "right_outer" }
+        else if (atIdent("full")) { next(); "full_outer" }
+        else "inner"
       next() // join
       // `join (select …)` — derived aggregate right side (the
       // correlated-threshold shape); otherwise a catalog table name
@@ -974,7 +1031,11 @@ object ZxSql {
       if (sub.nonEmpty && more.nonEmpty)
         throw ParseError("a derived join side aggregates by exactly one key" +
           " — composite ON clauses join catalog tables")
-      equiJoins :+= EquiJoin(table, kl, kr, leftOuter, sub = sub,
+      if (sub.nonEmpty && joinType != "inner" && joinType != "left_outer")
+        throw ParseError("a derived join side carries per-key thresholds — " +
+          "right/full outer against it has no threshold to carry; join the " +
+          "catalog table instead")
+      equiJoins :+= EquiJoin(table, kl, kr, joinType, sub = sub,
         moreKeys = more)
     }
 
@@ -1276,6 +1337,20 @@ object ZxSql {
       }
     }
 
+    // DISTINCT is a raw-projection construct: aggregates have count_distinct
+    // and group by; everything else would make "which rows dedup" ambiguous
+    if (distinctRows) {
+      if (selects.isEmpty || selects.exists(_.agg != Agg.Raw) ||
+          postSelects.nonEmpty || seqOp.nonEmpty)
+        throw ParseError("select distinct projects bare columns — " +
+          "aggregate queries dedup via count_distinct / group by")
+      if (joinSpec.nonEmpty || equiJoins.nonEmpty || groupBy.nonEmpty ||
+          having.nonEmpty || subtotals || sessionGap.nonEmpty ||
+          slide.nonEmpty || exactWindows || salt.nonEmpty)
+        throw ParseError("select distinct takes only where / order by / " +
+          "limit — no joins, grouping, windows, or salt")
+    }
+
     // the OUTER level of a derived table runs over an aggregate frame with
     // no timestamp column — every time-anchored construct belongs on the
     // inner query, and saying so beats silently mis-scanning
@@ -1304,7 +1379,8 @@ object ZxSql {
       skewSalt = salt, seqOp = seqOp, rollup = rollup, cube = cube,
       groupingSets = groupingSets,
       postSelects = postSelects, limitPer = limitPer,
-      semiJoins = semiJoins), pos)
+      semiJoins = semiJoins, granSet = granSet,
+      distinctRows = distinctRows), pos)
   }
 
   // --------------------------------------------------------------- executor
@@ -1374,7 +1450,22 @@ object ZxSql {
     }.getOrElse(trainBase)
     val uni = graft.operators.Corpus.topUnigrams(refDf, op.vocab)
     val big = graft.operators.Corpus.topBigrams(refDf, op.table)
-    graft.operators.Corpus.lmScore(base, uni, big)
+    // Two result-identical formulations (spec-pinned row-for-row equal,
+    // x21/x21b): the literal-map fold probes an ArrayBasedMapData — an
+    // O(tableSize) linear scan per bigram position, sane only for small
+    // models — while the joined form pays two broadcast hash joins with
+    // O(1) probes + one regroup. The face accepts vocab/table up to 100k,
+    // so LARGE models route through the joined form (ADVICE r12: the fold
+    // is "wrong at 100k"). Streams keep the fold at any size: the joined
+    // regroup is a stateful streaming aggregation, which would break the
+    // append-mode contract — and a 100k-entry interpreted probe per row is
+    // slow, not wrong.
+    val largeModel = math.max(uni.size, big.size) > 1024
+    val scored =
+      if (largeModel && !base.isStreaming)
+        graft.operators.Corpus.lmScoreJoined(base, uni, big)
+      else graft.operators.Corpus.lmScore(base, uni, big)
+    scored
       .select(col("doc_id"), col("lang"), col("lm_sum_fp"),
         col("lm_hits"), col("n_bigrams"),
         when(col("n_bigrams") > 0,
@@ -1553,26 +1644,81 @@ object ZxSql {
       case other => other
     }
 
+  /** Parse a COMPOUND statement: `query [union [all] query]*` (extension,
+    * p60 — the corpus-slice composition shape: union two gated sub-queries,
+    * optionally `select distinct` on top via a branch's own projection).
+    * Returns the head query and the (isAll, query) tail. One flavor per
+    * statement: mixing `union` and `union all` would make "what dedups"
+    * depend on association order — rejected loudly. */
+  private def parseCompound(sql: String): (ZxQuery, Seq[(Boolean, ZxQuery)]) = {
+    val toks = lex(sql)
+    val (head, p0) = parseTokens(toks, 0, nested = true)
+    var pos = p0
+    val tail = Seq.newBuilder[(Boolean, ZxQuery)]
+    while (toks.lift(pos).contains(Ident("union"))) {
+      pos += 1
+      val all = toks.lift(pos).contains(Ident("all"))
+      if (all) pos += 1
+      val (z, p2) = parseTokens(toks, pos, nested = true)
+      tail += ((all, z)); pos = p2
+    }
+    if (pos < toks.length)
+      throw ParseError(s"trailing input from token $pos: ${toks.drop(pos).take(5)}")
+    val branches = tail.result()
+    if (branches.map(_._1).distinct.size > 1)
+      throw ParseError("union and union all do not mix in one statement — " +
+        "pick one flavor (dedup everything, or keep every row)")
+    (head, branches)
+  }
+
+  /** Combine compiled union branches: identical output schemas required
+    * (name AND type, positionally — a silent coercion here would corrupt
+    * the very slices the user is composing); `union all` keeps every row,
+    * plain `union` is SQL-standard distinct over the combined rows. */
+  private def combineUnion(frames: Seq[DataFrame],
+                           isAll: Boolean): DataFrame = {
+    def sig(df: DataFrame): Seq[(String, String)] =
+      df.schema.fields.toSeq.map(f => (f.name, f.dataType.simpleString))
+    val headSig = sig(frames.head)
+    frames.tail.zipWithIndex.foreach { case (f, i) =>
+      if (sig(f) != headSig) throw ParseError(
+        s"union branch ${i + 2} schema (${sig(f).map { case (n, t) => s"$n $t" }
+          .mkString(", ")}) does not match branch 1 (${headSig
+          .map { case (n, t) => s"$n $t" }.mkString(", ")}) — " +
+          "union needs identical output schemas; alias/cast in the branches")
+    }
+    val u = frames.reduce(_.union(_))
+    if (isAll) u else u.distinct()
+  }
+
   def runCatalog(tables: Map[String, DataFrame], sql: String,
                  tsCol: String = Compiler.DefaultTsCol,
                  exact: Boolean = false,
                  idCol: Option[String] = None): DataFrame = {
-    val q = parse(sql)
+    val (q, rest) = parseCompound(sql)
     // a derived FROM chains down: the INNERMOST query names the base table
     def baseName(z: graft.ir.ZxQuery): Option[String] =
       z.fromTable.orElse(z.fromSub.flatMap(baseName))
-    val from = baseName(q).getOrElse(throw ParseError(
-      "runCatalog needs a `from <table>` clause to pick the base frame"))
-    val df = tables.getOrElse(from, throw ParseError(
-      s"unknown from table '$from' — catalog has: " +
-        tables.keys.toSeq.sorted.mkString(", ")))
-    runParsed(df, q, tsCol, exact, idCol, tables)
+    def oneBranch(z: ZxQuery): DataFrame = {
+      val from = baseName(z).getOrElse(throw ParseError(
+        "runCatalog needs a `from <table>` clause to pick the base frame"))
+      val df = tables.getOrElse(from, throw ParseError(
+        s"unknown from table '$from' — catalog has: " +
+          tables.keys.toSeq.sorted.mkString(", ")))
+      runParsed(df, z, tsCol, exact, idCol, tables)
+    }
+    if (rest.isEmpty) oneBranch(q)
+    else combineUnion((q +: rest.map(_._2)).map(oneBranch), rest.head._1)
   }
 
   def run(df0: DataFrame, sql: String, tsCol: String = Compiler.DefaultTsCol,
           exact: Boolean = false, idCol: Option[String] = None,
-          tables: Map[String, DataFrame] = Map.empty): DataFrame =
-    runParsed(df0, parse(sql), tsCol, exact, idCol, tables)
+          tables: Map[String, DataFrame] = Map.empty): DataFrame = {
+    val (q, rest) = parseCompound(sql)
+    if (rest.isEmpty) runParsed(df0, q, tsCol, exact, idCol, tables)
+    else combineUnion((q +: rest.map(_._2))
+      .map(runParsed(df0, _, tsCol, exact, idCol, tables)), rest.head._1)
+  }
 
   private def runParsed(df0: DataFrame, q0: ZxQuery, tsCol: String,
                         exact: Boolean, idCol: Option[String],
@@ -1601,10 +1747,21 @@ object ZxSql {
           q.postSelects.isEmpty && q.orderBy.isEmpty
         val strip = sub0.orderBy.nonEmpty && sub0.limit.isEmpty &&
           sub0.limitPer.isEmpty && !outerPassThrough
+        // An aggregate inner with NO order by and NO explicit window
+        // clause means per-key totals, not the reference's default 300 s
+        // tumbling buckets: the outer query would otherwise silently
+        // aggregate per-(key, window) rows (the q13 custdist shape minus
+        // its inner ORDER BY returned window-multiplied counts with no
+        // error — ADVICE r12 medium). Only an EXPLICIT granularity /
+        // session / slide / exact opts a derived inner into windows.
+        val innerAgg = sub0.selects.exists(_.agg != Agg.Raw) ||
+          sub0.postSelects.nonEmpty
+        val unwindowed = innerAgg && sub0.orderBy.isEmpty && !sub0.granSet &&
+          sub0.sessionGapSec.isEmpty && sub0.slideSec.isEmpty && !sub0.exact
         val sub = if (strip) sub0.copy(orderBy = Nil) else sub0
         val innerBase = sub.fromTable.flatMap(tables.get).getOrElse(df0)
         runParsed(innerBase, sub, tsCol, exact, idCol, tables,
-          forceSorted = strip)
+          forceSorted = strip || unwindowed)
       case None => df0
     }
     // membership subqueries apply to the scanned frame BEFORE anything
@@ -1683,6 +1840,41 @@ object ZxSql {
           // the dialect's reach into the embeddings table; cos rounded to
           // 6dp like the s1 row (float-sum parity band with the replay)
           graft.operators.Similarity.bruteForceKnn(base, queryId = qid, k = k)
+            .withColumn("cos", round(col("cos"), 6))
+        case SeqOp.KnnIndex(ixName, centName, k, qid, nProbe) =>
+          // READ-ONLY probe of a prebuilt index: no training, no O(corpus)
+          // scan — a missing or un-built index fails with words, never a
+          // silent brute-force fallback (VERDICT r12 #2). `cell` must be a
+          // real column of the resolved frame (the ivfWriteIndex artifact);
+          // centroids resolve from `<index>_centroids` unless named.
+          val ix = tables.getOrElse(ixName, throw ParseError(
+            s"unknown index table '$ixName' — pass the BUILT index " +
+              "(Similarity.ivfWriteIndex output) via tables/runCatalog " +
+              s"(have: ${tables.keys.toSeq.sorted.mkString(", ")})"))
+          if (!ix.columns.contains("cell"))
+            throw ParseError(s"'$ixName' is not a built IVF index — no " +
+              "'cell' partition column; build one with ivfWriteIndex " +
+              "(training is a lifecycle step, not a query)")
+          val cn = centName.getOrElse(ixName + "_centroids")
+          val centDf = tables.getOrElse(cn, throw ParseError(
+            s"unknown centroids table '$cn' — the index's trained " +
+              "centroids (Similarity.writeCentroids artifact); register " +
+              "it in the catalog or name one with `centroids <table>`"))
+          val cents = graft.operators.Similarity.collectCentroids(centDf)
+          // query vector: by id from the gated FROM frame (brute-face
+          // semantics — the gate applies to the query row too)
+          val qRows = base.filter(col("vec_id") === qid)
+            .select(graft.functions.VectorFunctions.toDouble(col("embedding")))
+            .limit(1).collect()
+          if (qRows.isEmpty) throw ParseError(
+            s"knn query id $qid not found in the gated FROM frame")
+          val qv = qRows.head.getSeq[Double](0).toIndexedSeq
+          // the WHERE gate ALSO prunes the index scan (filtered ANN, the
+          // s12 shape): compile the same predicate tree against the index
+          // frame, INSIDE the cell-pruned read, BEFORE the top-k
+          val gatedIx = Compiler.scanFilter(ix, q, tsCol)
+          graft.operators.Similarity.ivfProbeFrame(gatedIx, cents, qv,
+              k = k, nProbe = nProbe)
             .withColumn("cos", round(col("cos"), 6))
         case SeqOp.Mmr(k, qid, shortlist) =>
           graft.operators.Similarity.mmrRerank(base, queryId = qid, k = k,
@@ -1781,14 +1973,34 @@ object ZxSql {
       val right = tables.getOrElse(js.table, throw ParseError(
         s"unknown join table '${js.table}' — pass it via run(..., tables = Map(...))"))
       // left = the reference scan/filter/project pipeline, then one
-      // single-exchange asof or trailing window (AsofJoin scaladoc)
-      val left = Compiler.runRaw(df, q.copy(limit = None), tsCol)
+      // single-exchange asof or trailing window (AsofJoin scaladoc).
+      // COMPOSITE keys (p61) compile to ONE struct column per side — the
+      // window still partitions on a single expression, so the operator
+      // keeps its single exchange; the internal key is dropped after.
+      import org.apache.spark.sql.functions.struct
+      val left0 = Compiler.runRaw(df, q.copy(limit = None), tsCol)
+      val composite = js.moreKeys.nonEmpty
+      val lKeys = js.keyL +: js.moreKeys.map(_._1)
+      val rKeys = js.keyR +: js.moreKeys.map(_._2)
+      // POSITIONAL field aliases (k0, k1, …) on BOTH sides: the operator
+      // unions the sides by name, and unionByName resolves NESTED struct
+      // fields by name too — differently-named key fields would null out
+      // one side's key and silently match nothing (caught by the p61 spec)
+      def keyStruct(cols: Seq[String]) = struct(cols.zipWithIndex.map {
+        case (c, i) => Compiler.colRef(c).as(s"k$i") }: _*)
+      val (left, kl2) =
+        if (!composite) (left0, js.keyL)
+        else (left0.withColumn("__ckl", keyStruct(lKeys)), "__ckl")
+      val (rightK, kr2) =
+        if (!composite) (right, js.keyR)
+        else (right.withColumn("__ckr", keyStruct(rKeys)), "__ckr")
       return js.trailingSec match {
         case None =>
           val latest = graft.operators.AsofJoin.latestPerKeyTime(
-            right, js.keyR, js.timeR, js.payload.head)
-          graft.operators.AsofJoin.asof(left, latest,
-            js.keyL, js.keyR, js.timeL, js.timeR, js.payload)
+            rightK, kr2, js.timeR, js.payload.head)
+          val out = graft.operators.AsofJoin.asof(left, latest,
+            kl2, kr2, js.timeL, js.timeR, js.payload)
+          if (composite) out.drop("__ckl") else out
         case Some(w) =>
           import org.apache.spark.sql.functions.{sum, count, min, max, avg, col}
           val aggs = js.aggs.map(sel => sel.key -> (sel.agg match {
@@ -1799,8 +2011,12 @@ object ZxSql {
             case Agg.Mean  => avg(col(sel.column))
             case other     => throw ParseError(s"unsupported trailing agg ${other.name}")
           })).toMap
-          graft.operators.AsofJoin.trailingWindow(left, right,
-            js.keyL, js.keyR, js.timeL, js.timeR, w, aggs)
+          // the raw right key columns would ride the union as dead weight
+          // (and could collide with left names) — the struct carries them
+          val rightT = if (composite) rightK.drop(rKeys: _*) else rightK
+          val out = graft.operators.AsofJoin.trailingWindow(left, rightT,
+            kl2, kr2, js.timeL, js.timeR, w, aggs)
+          if (composite) out.drop("__ckl") else out
       }
     }
     if (q.equiJoins.nonEmpty) {
@@ -1829,7 +2045,7 @@ object ZxSql {
         cur = cur.join(right,
           ((j.keyL, rk) +: j.moreKeys).map { case (l, r) =>
             Compiler.colRef(l) === Compiler.colRef(r) }.reduce(_ && _),
-          if (j.leftOuter) "left_outer" else "inner")
+          j.joinType)
         if (j.sub.nonEmpty) cur = cur.drop(rk)
       }
       // default: plain grouped aggregation (the sorted path: group keys
@@ -1860,7 +2076,10 @@ object ZxSql {
       // raw projection; ORDER BY here sorts the projected columns directly
       q.orderBy.find(_.select.agg != Agg.Raw).foreach(ob => throw ParseError(
         s"cannot order a bare-column select by aggregate ${ob.select.agg.name}(...)"))
-      val base = Compiler.runRaw(df, q.copy(limit = None), tsCol)
+      val projected = Compiler.runRaw(df, q.copy(limit = None), tsCol)
+      // `select distinct` dedups the projection BEFORE order/limit — one
+      // shuffle on the (already narrow) projected columns
+      val base = if (q.distinctRows) projected.distinct() else projected
       val ord = q.orderBy.map { ob =>
         val c = Compiler.colRef(ob.select.column)
         ob.dir match { case SortDir.Asc => c.asc; case SortDir.Desc => c.desc }
@@ -1869,13 +2088,22 @@ object ZxSql {
       (q.limit, q.limitPer) match {
         case (Some(k), Some(per)) =>
           // raw top-k per partition (the o3 shape at the front door):
-          // rank window + rn<=k — WindowGroupLimit keeps it scalable
+          // rank window + rn<=k — WindowGroupLimit keeps it scalable.
+          // The remaining SELECTED columns append as ascending tiebreaks
+          // (the aggregate path's group-key discipline): a user ORDER BY
+          // that doesn't totally order rows within a partition would
+          // otherwise make the cut partitioning-dependent luck
+          // (ADVICE r12 low).
           import org.apache.spark.sql.functions.{col, row_number}
+          val obNamed = q.orderBy.map(_.select.column).toSet
+          val ties = q.selects.map(_.column)
+            .filterNot(c => obNamed.contains(c) || c == per)
+            .map(Compiler.colRef(_).asc)
           val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(Compiler.colRef(per)).orderBy(ord: _*)
+            .partitionBy(Compiler.colRef(per)).orderBy(ord ++ ties: _*)
           base.withColumn("__rn", row_number().over(w))
             .filter(col("__rn") <= k).drop("__rn")
-            .orderBy(ord: _*)
+            .orderBy(ord ++ ties: _*)
         case (Some(k), None) => sorted.limit(k)
         case _               => sorted
       }
@@ -1918,6 +2146,13 @@ object ZxSql {
                 tsCol: String = Compiler.DefaultTsCol,
                 tables: Map[String, DataFrame] = Map.empty): DataFrame = {
     import graft.streaming.{EventStream, GapWindowStream}
+    locally {
+      val (_, rest) = parseCompound(sql)
+      if (rest.nonEmpty)
+        throw ParseError("union composes BOUNDED frames — a batch shape; " +
+          "run per micro-batch via foreachBatch over ZxSql.run, or union " +
+          "the source streams upstream")
+    }
     val q0 = parse(sql)
     // scalar subqueries resolve ONCE against the static tables at stream
     // construction — `where value > (select p99(value) from history)` is
@@ -1970,6 +2205,10 @@ object ZxSql {
           "right, ...)(consume), the tested foreachBatch helper")
       if (q.groupBy.nonEmpty || q.orderBy.nonEmpty || q.limit.nonEmpty)
         throw ParseError("asof join queries do not take group by / order by / limit")
+      if (js.moreKeys.nonEmpty)
+        throw ParseError("composite-key asof joins are batch-only — the " +
+          "broadcast probe's plan-literal history map takes scalar keys; " +
+          "concat the key pair into one column upstream, or foreachBatch")
       val right = tables.getOrElse(js.table, throw ParseError(
         s"unknown join table '${js.table}' — pass it via runStream(..., tables = Map(...))"))
       val latest = graft.operators.AsofJoin.latestPerKeyTime(
@@ -2021,16 +2260,25 @@ object ZxSql {
           throw ParseError(s"join table '${j.table}' is a stream — the " +
             "windowed enrich joins STATIC dimension tables (stream-stream " +
             "joins need their own watermark contract; use foreachBatch)")
+        if (j.joinType == "right_outer" || j.joinType == "full_outer")
+          throw ParseError("right/full outer joins against a streaming left " +
+            "are unsupported by Structured Streaming (the static side's " +
+            "unmatched rows would need end-of-stream knowledge) — batch " +
+            "shape; run per micro-batch via foreachBatch over ZxSql.run")
         cur = cur.join(right,
           ((j.keyL, rk) +: j.moreKeys).map { case (l, r) =>
             Compiler.colRef(l) === Compiler.colRef(r) }.reduce(_ && _),
-          if (j.leftOuter) "left_outer" else "inner")
+          j.joinType)
         if (j.sub.nonEmpty) cur = cur.drop(rk)
       }
       return if (q.sessionGapSec.nonEmpty)
         EventStream.sessionAgg(cur, q, watermark, tsCol, preWatermarked = true)
       else EventStream.hoppingAgg(cur, q, watermark, tsCol, preWatermarked = true)
     }
+    if (q.distinctRows)
+      throw ParseError("select distinct has no streaming meaning — a " +
+        "streaming dedup holds unbounded state; use `dedup` per micro-batch " +
+        "via foreachBatch, or the streaming dedup operator with a watermark")
     if (q.orderBy.nonEmpty)
       throw ParseError("order by has no streaming meaning (no total order on an unbounded source)")
     if (q.limit.nonEmpty)

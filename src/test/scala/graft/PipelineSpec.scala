@@ -72,6 +72,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("native simhash16FromTokens == nibble composition on varied inputs (round 13)") {
+    // the d3 hot path switched to the one-digest-per-token native
+    // expression; this pins it bit-identical to the oracle-portable
+    // nibble composition across unicode, punctuation, repeats, empties
+    val texts = Seq(
+      "alpha beta gamma delta epsilon", "", "x", "a a a a a a",
+      "héllo wörld ünïcode", "tabs\tand spaces  double", "123 456 789 0",
+      "punct! @here #tag $5 6% (7) [8] {9}", "日本語 中文 한국어",
+      (0 until 500).map(i => s"tok$i").mkString(" "))
+    val df = docsDf(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+    val both = df.select(col("doc_id"),
+      TextFunctions.simhash16FromNibbles(
+        TextFunctions.simhashNibbles(col("text"))).as("composed"),
+      graft.expressions.SimHash16.simhash16FromTokens(
+        TextFunctions.tokens(col("text"))).as("native")).collect()
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"doc ${r.getLong(0)}: composed ${r.getLong(1)} != native ${r.getLong(2)}"))
+  }
+
   test("exact dedup keeps the min-id copy and counts multiplicity") {
     val df = docsDf((1L, "same text here"), (2L, "same text here"), (3L, "different"))
     val groups = Dedup.exactGroups(df).collect()

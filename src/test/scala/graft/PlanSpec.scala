@@ -231,6 +231,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"ADC scan must not shuffle:\n$p")
   }
 
+  test("p58 knn using <index>: the SQL face's probe prunes cell partitions too (round 13)") {
+    val p = plan("p58_sql_knn_index")
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"the front-door index probe must prune at planning time:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must stay per-partition TakeOrdered, no global sort:\n$p")
+    assert(!p.contains("Join"),
+      s"a read-only probe never joins — centroids are driver-held:\n$p")
+  }
+
   test("IVF-PQ probe prunes cell partitions and stays exchange-free") {
     val p = plan("s9_ivfpq_knn")
     assert(p.contains("PartitionFilters") && p.contains("cell"),

@@ -263,6 +263,22 @@ class PostAggSpec extends AnyFunSuite {
         "group by n order by k desc, n desc")
       .collect().map(r => (r.getString(0), r.getAs[Double]("k"))).toSeq
     assert(hist == Seq(("7.0", 1.0), ("2.0", 1.0), ("1.0", 1.0)))
+    // ADVICE r12 medium: the SAME shape WITHOUT the inner ORDER BY must
+    // route identically (per-key totals, the sorted path) — an aggregate
+    // inner with no order/window clause must never silently fall into the
+    // default 300 s tumbling buckets and hand the outer per-(key, window)
+    // rows
+    val hist2 = ZxSql.run(fixture,
+      "select count(*) as k from (select count(*) as n group by y) " +
+        "group by n order by k desc, n desc")
+      .collect().map(r => (r.getString(0), r.getAs[Double]("k"))).toSeq
+    assert(hist2 == hist)
+    // …while an EXPLICIT granularity still opts the inner into windows
+    // (more window-rows than the 3 per-key totals)
+    val nWin = ZxSql.run(fixture,
+      "select count(*) as k from (select count(*) as n group by y granularity 2)")
+      .collect().head.getAs[Double]("k")
+    assert(nWin > 3.0)
     // runCatalog resolves the INNERMOST from
     val cat = ZxSql.runCatalog(Map("t" -> fixture),
       "select max(s) as mx from (select sum(foo) as s from t group by y order by s)")

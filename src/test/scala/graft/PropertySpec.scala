@@ -44,7 +44,11 @@ object ParserProps extends Properties("ZxSql") {
     ex <- Gen.oneOf(true, false)
     // salt composes with aggregation but not with the exact gap walk
     salt <- if (ex) Gen.const(None) else Gen.option(Gen.choose(1, 4096))
-  } yield ZxQuery(sels, conds, gb, ob, ts, te, g, lim, exact = ex, skewSalt = salt)
+    // render() always spells the granularity clause, and the parser
+    // records an explicitly-spelled clause in granSet (round 13) — the
+    // generated IR must say so for the round-trip to be exact
+  } yield ZxQuery(sels, conds, gb, ob, ts, te, g, lim, exact = ex,
+    skewSalt = salt, granSet = true)
 
   private def render(q: ZxQuery): String = {
     def sel(s: Select): String = s"${s.agg.name}(${s.column})"

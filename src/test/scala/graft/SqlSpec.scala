@@ -961,6 +961,11 @@ class SqlSpec extends AnyFunSuite {
     assert(faceCh == chunkSet(graft.operators.Corpus.chunkByWindow(docs, 4, 2)))
     assert(chunkSet(ZxSql.run(docs, "select chunks size 4")) ==
       chunkSet(graft.operators.Corpus.chunkByWindow(docs, 4, 4)))
+    // ONE default rule (round 13): stride = size unless spelled — bare
+    // `chunks` is non-overlapping 32/32, so adding `size` never silently
+    // changes overlap semantics
+    assert(chunkSet(ZxSql.run(docs, "select chunks")) ==
+      chunkSet(graft.operators.Corpus.chunkByWindow(docs, 32, 32)))
     // grammar guards
     assertThrows[ZxSql.ParseError](ZxSql.parse("select pack"))
     assertThrows[ZxSql.ParseError](ZxSql.parse("select pack budget 0"))
@@ -1203,6 +1208,263 @@ class SqlSpec extends AnyFunSuite {
     val e2 = intercept[ZxSql.ParseError](ZxSql.runStream(st,
       "select lmscore train mydim", tables = Map("mydim" -> st)))
     assert(e2.getMessage.contains("STATIC"))
+  }
+
+  test("lmscore large models route through the joined form, results identical (round 13)") {
+    import SparkFixture.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // >1024 distinct unigrams in the ref slice → the ACTUAL table size
+    // (not the requested cap) trips the joined-form routing
+    val wide = (0 until 1500).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, wide, "en", "src0", 10L),
+      (2L, "w1 w2 w3 w4", "en", "src0", 7L),
+      (3L, "w9 zq w1", "fr", "src1", 5L)).toSeq
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val face = ZxSql.run(docs, "select lmscore ref lang = 'en' vocab 5000 table 5000")
+    val ref = docs.filter(col("lang") === "en")
+    val api = graft.operators.Corpus.lmScore(docs,
+      graft.operators.Corpus.topUnigrams(ref, 5000),
+      graft.operators.Corpus.topBigrams(ref, 5000))
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, Long)] =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("lm_sum_fp"), r.getAs[Long]("lm_hits"),
+          r.getAs[Long]("n_bigrams")))).toMap
+    assert(scores(face) == scores(api) && scores(face).size == 3)
+    // the routing genuinely engaged: the large-model plan is the two
+    // broadcast hash joins, not the literal-map fold
+    assert(face.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    // …and a small model keeps the join-free fold
+    val small = ZxSql.run(docs, "select lmscore ref lang = 'en' vocab 10 table 10")
+    assert(!small.queryExecution.executedPlan.toString.contains("Join"))
+  }
+
+  test("raw limit-per: selected columns break ties, cut is partitioning-independent (round 13)") {
+    import SparkFixture.spark.implicits._
+    // n_chars ties WITHIN each source right at the cut boundary — without
+    // the doc_id tiebreak the kept pair would be partitioning luck
+    val docs = Seq(
+      (5L, "s0", 10L), (3L, "s0", 10L), (9L, "s0", 10L),
+      (8L, "s1", 7L), (1L, "s1", 7L), (2L, "s1", 9L)).toSeq
+      .toDF("doc_id", "source", "n_chars")
+    val sql = "select doc_id, source, n_chars order by n_chars desc limit 2 per source"
+    def cut(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      ZxSql.run(df, sql).collect().map(_.getLong(0)).toSet
+    // (n_chars desc, doc_id asc): s0 keeps 3,5 of the 10-tie; s1 keeps 2,1
+    val expect = Set(3L, 5L, 2L, 1L)
+    assert(cut(docs) == expect)
+    assert(cut(docs.repartition(7)) == expect)
+    assert(cut(docs.repartition(1)) == expect)
+  }
+
+  test("knn using <index>: read-only probe parity, filtered ANN, loud guards (round 13)") {
+    import SparkFixture.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val spark = SparkFixture.spark
+    val Sim = graft.operators.Similarity
+    // 40 deterministic 4-dim vectors, 2 labels
+    val emb = (0L until 40L).map { i =>
+      (i, Array(math.sin(i * 1.7).toFloat, math.cos(i * 0.9).toFloat,
+        ((i % 7) / 7.0).toFloat, ((i % 3) / 3.0).toFloat), (i % 2).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val cents = Sim.ivfTrain(emb, nlist = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-knn-ix").toString
+    Sim.ivfWriteIndex(emb, cents, dir)
+    val cat = Map("emb" -> emb, "ix" -> spark.read.parquet(dir),
+      "ix_centroids" -> cents.toDF("cid", "centroid"))
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().map(_.getAs[Long]("vec_id")).toSeq
+    // face == API probe at the same (k, nProbe, query)
+    val face = ZxSql.runCatalog(cat,
+      "select knn using ix top 5 query 3 probe 2 from emb")
+    val qv = emb.filter(col("vec_id") === 3L)
+      .select(graft.functions.VectorFunctions.toDouble(col("embedding")))
+      .head().getSeq[Double](0).toIndexedSeq
+    assert(ids(face) == ids(Sim.ivfProbeIndex(spark, dir, cents, qv, k = 5, nProbe = 2)))
+    // default centroids table name <index>_centroids; default probe 2
+    assert(ids(ZxSql.runCatalog(cat, "select knn using ix top 5 query 3 from emb"))
+      == ids(face))
+    // explicit centroids clause
+    val cat2 = cat - "ix_centroids" + ("mycents" -> cents.toDF("cid", "centroid"))
+    assert(ids(ZxSql.runCatalog(cat2,
+      "select knn using ix centroids mycents top 5 query 3 from emb")) == ids(face))
+    // WHERE gates the INDEX scan (filtered ANN) and the query lookup frame
+    val filtered = ZxSql.runCatalog(cat,
+      "select knn using ix top 5 query 3 probe 4 from emb where label = 1")
+    assert(filtered.collect().forall(_.getAs[Int]("label") == 1))
+    assert(ids(filtered) == ids(Sim.ivfProbeIndex(spark, dir, cents, qv,
+      k = 5, nProbe = 4, where = col("label") === 1)))
+    // guards: unknown index / not-an-index / missing centroids / missing
+    // query id / probe or centroids on the brute face
+    for ((sql, needle) <- Seq(
+      ("select knn using nope top 5 query 3 from emb", "unknown index table"),
+      ("select knn using emb top 5 query 3 from emb", "not a built IVF index"),
+      ("select knn using ix top 5 query 99 from emb", "not found"),
+      ("select knn top 5 query 3 probe 2 from emb", "brute-force"),
+      ("select knn centroids mycents top 5 from emb", "brute-force knn has no index"),
+      ("select knn using ix probe 0 from emb", "probe must be"))) {
+      val e = intercept[Exception](ZxSql.runCatalog(cat, sql))
+      assert(e.getMessage.contains(needle), s"$sql → ${e.getMessage}")
+    }
+    val eCent = intercept[ZxSql.ParseError](ZxSql.runCatalog(
+      Map("emb" -> emb, "ix" -> spark.read.parquet(dir)),
+      "select knn using ix top 5 query 3 from emb"))
+    assert(eCent.getMessage.contains("centroids"))
+  }
+
+  test("select distinct + union: composition parity and loud guards (round 13)") {
+    import SparkFixture.spark.implicits._
+    val spark = SparkFixture.spark
+    val docs = Seq(
+      (1L, "a", "en", "src0", 500L), (2L, "b", "en", "src0", 100L),
+      (3L, "c", "fr", "src1", 400L), (4L, "d", "en", "src1", 50L),
+      (5L, "e", "fr", "src1", 350L), (6L, "f", "en", "src0", 500L)).toSeq
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // distinct == DataFrame distinct on the projection
+    val d = ZxSql.run(docs, "select distinct lang, source where n_chars > 90")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(d == Set(("en", "src0"), ("fr", "src1")))
+    // order/limit compose AFTER the dedup
+    val dl = ZxSql.run(docs, "select distinct lang, source order by lang, source limit 2")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(dl == Seq(("en", "src0"), ("en", "src1")))
+    // union dedups across overlapping gates; union all keeps every row
+    val cat = Map("docs" -> docs)
+    val u = ZxSql.runCatalog(cat,
+      "select doc_id, source from docs where n_chars > 300 " +
+        "union select doc_id, source from docs where source = 'src1'")
+    assert(u.collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L, 5L, 6L))
+    assert(u.count() == 5)
+    val ua = ZxSql.runCatalog(cat,
+      "select doc_id, source from docs where n_chars > 300 " +
+        "union all select doc_id, source from docs where source = 'src1'")
+    assert(ua.count() == 7) // (1,3,5,6) + (3,4,5): 3 and 5 kept twice
+    // three branches chain; union composes with run(df, …) too
+    val u3 = ZxSql.run(docs,
+      "select doc_id where doc_id = 1 union select doc_id where doc_id = 2 " +
+        "union select doc_id where doc_id = 1")
+    assert(u3.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // aggregate branches union too when their output schemas agree
+    val ug = ZxSql.runCatalog(cat,
+      "select count(*) as n from docs where lang = 'en' group by source order by source " +
+        "union all select count(*) as n from docs where lang = 'fr' group by source order by source")
+    assert(ug.columns.toSeq == Seq("source", "n") && ug.count() == 3)
+    // different group-key names = different schemas — loud
+    val eSchema = intercept[ZxSql.ParseError](ZxSql.runCatalog(cat,
+      "select count(*) as n from docs group by source order by source " +
+        "union select count(*) as n from docs group by lang order by lang").collect())
+    assert(eSchema.getMessage.contains("identical output schemas"))
+    // mixed flavors rejected
+    val eMix = intercept[ZxSql.ParseError](ZxSql.runCatalog(cat,
+      "select doc_id from docs union select doc_id from docs " +
+        "union all select doc_id from docs"))
+    assert(eMix.getMessage.contains("do not mix"))
+    // distinct guards: aggregates / joins / group by
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select distinct count(*) as n"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse(
+      "select distinct lang group by lang"))
+    // streaming rejections: distinct and union are bounded shapes
+    val sdir = java.nio.file.Files.createTempDirectory("graft-du-st").toString
+    docs.write.mode("overwrite").parquet(sdir)
+    val st = spark.readStream.schema(docs.schema).parquet(sdir)
+    val eD = intercept[ZxSql.ParseError](ZxSql.runStream(st, "select distinct lang"))
+    assert(eD.getMessage.contains("streaming"))
+    val eU = intercept[ZxSql.ParseError](ZxSql.runStream(st,
+      "select doc_id union select doc_id"))
+    assert(eU.getMessage.contains("BOUNDED"))
+  }
+
+  test("composite-key asof/trailing joins: struct-key parity and guards (round 13)") {
+    import SparkFixture.spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val spark = SparkFixture.spark
+    // left: (id, key-pair, time); right: versioned values per key-pair
+    val left = Seq(
+      (1L, 10L, "a", 100L), (2L, 10L, "b", 100L), (3L, 10L, "a", 250L),
+      (4L, 20L, "a", 150L), (5L, 99L, "z", 500L)).toSeq
+      .toDF("event_id", "uid", "dev", "ts_sec")
+      .withColumn("ts", timestamp_seconds(col("ts_sec")))
+    val right = Seq(
+      (10L, "a", 50L, 1.0), (10L, "a", 200L, 2.0), (10L, "b", 120L, 3.0),
+      (20L, "a", 150L, 4.0), (20L, "a", 150L, 5.0)).toSeq // (20,a,150) dup: max wins
+      .toDF("r_uid", "r_dev", "r_ts", "r_val")
+    val asof = ZxSql.run(left,
+      "select event_id, uid, dev, ts_sec " +
+        "asof join marks on uid = r_uid and dev = r_dev at ts_sec >= r_ts " +
+        "carry r_val",
+      tables = Map("marks" -> right))
+      .collect().map(r => r.getLong(0) -> Option(r.get(4))).toMap
+    // 1: (10,a)@100 → v@50 = 1.0; 2: (10,b)@100 → none (120 > 100); 3:
+    // (10,a)@250 → v@200 = 2.0; 4: (20,a)@150 → dup instant, max = 5.0;
+    // 5: (99,z) → no key
+    assert(asof == Map(1L -> Some(1.0), 2L -> None, 3L -> Some(2.0),
+      4L -> Some(5.0), 5L -> None))
+    assert(!asof.keySet.exists(_ => false)) // schema: no __ckl leak
+    val trail = ZxSql.run(left,
+      "select event_id, uid, dev, ts_sec " +
+        "trailing join marks on uid = r_uid and dev = r_dev at ts_sec >= r_ts " +
+        "within 100 agg sum(r_val), count(r_val)",
+      tables = Map("marks" -> right))
+    assert(!trail.columns.contains("__ckl"))
+    val tm = trail.collect().map(r =>
+      r.getLong(0) -> (Option(r.getAs[Any]("sum_r_val")), r.getAs[Long]("count_r_val"))).toMap
+    // window [t-100, t]: 1 → v@50 only (1.0); 3 → v@200 (2.0); 4 → both
+    // dup-instant versions (4+5=9); 2 and 5 → none
+    assert(tm(1L) == (Some(1.0), 1L) && tm(3L) == (Some(2.0), 1L))
+    assert(tm(4L) == (Some(9.0), 2L) && tm(2L)._2 == 0L && tm(5L)._2 == 0L)
+    // every join key must be selected
+    val eSel = intercept[ZxSql.ParseError](ZxSql.parse(
+      "select event_id, uid, ts_sec asof join marks on uid = r_uid and " +
+        "dev = r_dev at ts_sec >= r_ts carry r_val"))
+    assert(eSel.getMessage.contains("every join key"))
+    // composite asof is batch-only on the streaming path
+    val sdir = java.nio.file.Files.createTempDirectory("graft-casof-st").toString
+    left.write.mode("overwrite").parquet(sdir)
+    val st = spark.readStream.schema(left.schema).parquet(sdir)
+    val eSt = intercept[ZxSql.ParseError](ZxSql.runStream(st,
+      "select event_id, uid, dev, ts_sec asof join marks on uid = r_uid " +
+        "and dev = r_dev at ts_sec >= r_ts carry r_val",
+      tables = Map("marks" -> right)))
+    assert(eSt.getMessage.contains("batch-only"))
+  }
+
+  test("right/full outer equi-join faces: reconciliation shape and guards (round 13)") {
+    import SparkFixture.spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val spark = SparkFixture.spark
+    // fact has key 3 the dim lacks; dim has key 4 the fact lacks
+    val fact = Seq((1L, 1L, 5.0), (2L, 2L, 7.0), (3L, 3L, 9.0)).toSeq
+      .toDF("fid", "k", "v")
+      .withColumn("ts", timestamp_seconds(col("fid")))
+    val dim = Seq((1L, "x"), (2L, "y"), (4L, "y")).toSeq.toDF("dk", "seg")
+    val cat = Map("dim" -> dim)
+    def agg(sql: String): Map[String, (Double, Double)] =
+      ZxSql.run(fact, sql, tables = cat).collect()
+        .map(r => r.getString(0) -> (r.getAs[Double]("n"), r.getAs[Double]("s"))).toMap
+    // full: unmatched fact row → __nil segment; unmatched dim row counts
+    // with zero value contribution
+    val full = agg("select count(*) as n, sum(v) as s " +
+      "full join dim on k = dk group by seg")
+    assert(full == Map("x" -> (1.0, 5.0), "y" -> (2.0, 7.0), "__nil" -> (1.0, 9.0)))
+    // right: unmatched FACT rows drop, unmatched dim rows stay
+    val right = agg("select count(*) as n, sum(v) as s " +
+      "right join dim on k = dk group by seg")
+    assert(right == Map("x" -> (1.0, 5.0), "y" -> (2.0, 7.0)))
+    // left (pre-existing): unmatched dim rows drop
+    val lft = agg("select count(*) as n, sum(v) as s " +
+      "left join dim on k = dk group by seg")
+    assert(lft == Map("x" -> (1.0, 5.0), "y" -> (1.0, 7.0), "__nil" -> (1.0, 9.0)))
+    // guards: derived right side takes inner/left only; streaming rejects
+    val eDer = intercept[ZxSql.ParseError](ZxSql.parse(
+      "select count(*) as n full join (select mean(v) as m from f group by dk) on k = dk group by k"))
+    assert(eDer.getMessage.contains("derived join side"))
+    val sdir = java.nio.file.Files.createTempDirectory("graft-fo-st").toString
+    fact.write.mode("overwrite").parquet(sdir)
+    val st = spark.readStream.schema(fact.schema).parquet(sdir)
+    val eSt = intercept[ZxSql.ParseError](ZxSql.runStream(st,
+      "select count(*) as n full join dim on k = dk group by seg slide 60",
+      tables = cat))
+    assert(eSt.getMessage.contains("unsupported by Structured Streaming"))
   }
 
   test("expression measures parse: precedence, parens, unary minus, aliases (round 12)") {

@@ -170,6 +170,17 @@ class StoreStreamSpec extends AnyFunSuite {
     // a delete that matches nothing is a no-op commit-wise: all untouched
     val d3 = EventStore.deleteWhere(spark, dir, col("user_id") < 0)
     assert(d3.rowsDeleted == 0 && d3.filesRewritten == 0 && d3.filesDropped == 0)
+    // driver-budget guard (round 13): an over-budget manifest fails BEFORE
+    // the detection job materializes its per-file map — and before any
+    // state changes (both ops re-run fine right after, proven below by d4)
+    for (msg <- Seq(
+        intercept[IllegalArgumentException](EventStore.deleteWhere(spark, dir,
+          col("user_id") < 0, driverBudgetBytes = 16L)).getMessage,
+        intercept[IllegalArgumentException](EventStore.mergeInto(spark, dir,
+          updates, Seq("event_id"), driverBudgetBytes = 16L)).getMessage))
+      assert(msg.contains("driverBudgetBytes") && msg.contains("detection"))
+    val d4 = EventStore.deleteWhere(spark, dir, col("user_id") < 0)
+    assert(d4.rowsDeleted == 0 && d4.filesRewritten == 0 && d4.filesDropped == 0)
     // emptying the store via delete is refused loudly — that's reset()'s job
     val boom = intercept[IllegalArgumentException] {
       EventStore.deleteWhere(spark, dir, lit(true))
