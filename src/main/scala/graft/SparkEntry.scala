@@ -3007,6 +3007,21 @@ object SparkEntry {
         round3("n_matched"))
   }
 
+  /** p63: `except` — subtract a slice from a slice (the "drop the
+    * contaminated sources from the long-docs cut" shape). SQL-standard
+    * DISTINCT set semantics, like p60's union. */
+  private def p63SqlExcept(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.runCatalog(Map("documents" -> Tables.documents(s, dir)),
+      "select doc_id, source from documents where n_chars > 300 " +
+        "except select doc_id, source from documents where source = 'src1'")
+
+  /** p64: `intersect` — the common core of two gated slices (the
+    * "docs that are BOTH long AND high-scoring" composition). */
+  private def p64SqlIntersect(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.runCatalog(Map("documents" -> Tables.documents(s, dir)),
+      "select doc_id, lang from documents where n_chars > 300 " +
+        "intersect select doc_id, lang from documents where lang = 'en'")
+
   /** p57: the sampling face on a NON-document table — `key event_id`
     * points the md5 coin at the events table's stable id, so
     * deterministic trace-sampling ("keep 10% of events, reproducibly")
@@ -4118,6 +4133,8 @@ object SparkEntry {
     "p57_sql_sample_events" -> (p57SqlSampleEvents _),
     "p59_sql_distinct" -> (p59SqlDistinct _),
     "p60_sql_union" -> (p60SqlUnion _),
+    "p63_sql_except" -> (p63SqlExcept _),
+    "p64_sql_intersect" -> (p64SqlIntersect _),
     "p61_sql_asof_composite" -> (p61SqlAsofComposite _),
     "p62_sql_full_outer" -> (p62SqlFullOuter _),
     "p48_sql_lmscore" -> (p48SqlLmScore _),
@@ -5444,6 +5461,14 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     "p59_sql_distinct" ->
       "SELECT DISTINCT lang, source FROM documents WHERE n_chars > 200",
+    "p63_sql_except" ->
+      """SELECT doc_id, source FROM documents WHERE n_chars > 300
+        |EXCEPT
+        |SELECT doc_id, source FROM documents WHERE source = 'src1'""".stripMargin,
+    "p64_sql_intersect" ->
+      """SELECT doc_id, lang FROM documents WHERE n_chars > 300
+        |INTERSECT
+        |SELECT doc_id, lang FROM documents WHERE lang = 'en'""".stripMargin,
     "p60_sql_union" ->
       // overlapping gates, so the UNION's dedup is load-bearing
       """SELECT doc_id, source FROM documents WHERE n_chars > 300

@@ -1644,51 +1644,70 @@ object ZxSql {
       case other => other
     }
 
-  /** Parse a COMPOUND statement: `query [union [all] query]*` (extension,
-    * p60 — the corpus-slice composition shape: union two gated sub-queries,
-    * optionally `select distinct` on top via a branch's own projection).
-    * Returns the head query and the (isAll, query) tail. One flavor per
-    * statement: mixing `union` and `union all` would make "what dedups"
-    * depend on association order — rejected loudly. */
-  private def parseCompound(sql: String): (ZxQuery, Seq[(Boolean, ZxQuery)]) = {
+  /** Parse a COMPOUND statement: `query [<op> query]*` with op ∈ `union`,
+    * `union all`, `except`, `intersect` (extension, p60/p63/p64 — the
+    * corpus-slice composition shapes: union two gated sub-queries,
+    * subtract a contaminated slice, keep the common core). Returns the
+    * head query and the (op, query) tail. ONE op kind per statement:
+    * SQL's mixed-op precedence rules (INTERSECT binds tighter) are a
+    * standing source of silent surprise — a chain of one operator is
+    * unambiguous, and richer compositions nest as separate statements. */
+  private def parseCompound(sql: String): (ZxQuery, Seq[(String, ZxQuery)]) = {
     val toks = lex(sql)
     val (head, p0) = parseTokens(toks, 0, nested = true)
     var pos = p0
-    val tail = Seq.newBuilder[(Boolean, ZxQuery)]
-    while (toks.lift(pos).contains(Ident("union"))) {
+    val tail = Seq.newBuilder[(String, ZxQuery)]
+    def atOp: Option[String] = toks.lift(pos) match {
+      case Some(Ident("union"))     => Some("union")
+      case Some(Ident("except"))    => Some("except")
+      case Some(Ident("intersect")) => Some("intersect")
+      case _                        => None
+    }
+    var op = atOp
+    while (op.nonEmpty) {
       pos += 1
-      val all = toks.lift(pos).contains(Ident("all"))
-      if (all) pos += 1
+      val kind =
+        if (op.contains("union") && toks.lift(pos).contains(Ident("all"))) {
+          pos += 1; "union all"
+        } else op.get
       val (z, p2) = parseTokens(toks, pos, nested = true)
-      tail += ((all, z)); pos = p2
+      tail += ((kind, z)); pos = p2
+      op = atOp
     }
     if (pos < toks.length)
       throw ParseError(s"trailing input from token $pos: ${toks.drop(pos).take(5)}")
     val branches = tail.result()
     if (branches.map(_._1).distinct.size > 1)
-      throw ParseError("union and union all do not mix in one statement — " +
-        "pick one flavor (dedup everything, or keep every row)")
+      throw ParseError("set operators do not mix in one statement (" +
+        branches.map(_._1).distinct.mkString(" vs ") + ") — chain one " +
+        "kind; richer compositions are separate statements")
     (head, branches)
   }
 
-  /** Combine compiled union branches: identical output schemas required
+  /** Combine compiled set-op branches: identical output schemas required
     * (name AND type, positionally — a silent coercion here would corrupt
-    * the very slices the user is composing); `union all` keeps every row,
-    * plain `union` is SQL-standard distinct over the combined rows. */
-  private def combineUnion(frames: Seq[DataFrame],
-                           isAll: Boolean): DataFrame = {
+    * the very slices the user is composing). `union all` keeps every row;
+    * `union`/`except`/`intersect` are SQL-standard DISTINCT set
+    * semantics (Spark's except/intersect already are; union gets the
+    * explicit distinct). except/intersect fold left-associatively. */
+  private def combineSetOps(frames: Seq[DataFrame], op: String): DataFrame = {
     def sig(df: DataFrame): Seq[(String, String)] =
       df.schema.fields.toSeq.map(f => (f.name, f.dataType.simpleString))
     val headSig = sig(frames.head)
     frames.tail.zipWithIndex.foreach { case (f, i) =>
       if (sig(f) != headSig) throw ParseError(
-        s"union branch ${i + 2} schema (${sig(f).map { case (n, t) => s"$n $t" }
+        s"$op branch ${i + 2} schema (${sig(f).map { case (n, t) => s"$n $t" }
           .mkString(", ")}) does not match branch 1 (${headSig
           .map { case (n, t) => s"$n $t" }.mkString(", ")}) — " +
-          "union needs identical output schemas; alias/cast in the branches")
+          "set operations need identical output schemas; alias/cast in the branches")
     }
-    val u = frames.reduce(_.union(_))
-    if (isAll) u else u.distinct()
+    op match {
+      case "union all" => frames.reduce(_.union(_))
+      case "union"     => frames.reduce(_.union(_)).distinct()
+      case "except"    => frames.reduce(_.except(_))
+      case "intersect" => frames.reduce(_.intersect(_))
+      case other       => throw ParseError(s"unknown set operator '$other'")
+    }
   }
 
   def runCatalog(tables: Map[String, DataFrame], sql: String,
@@ -1708,7 +1727,7 @@ object ZxSql {
       runParsed(df, z, tsCol, exact, idCol, tables)
     }
     if (rest.isEmpty) oneBranch(q)
-    else combineUnion((q +: rest.map(_._2)).map(oneBranch), rest.head._1)
+    else combineSetOps((q +: rest.map(_._2)).map(oneBranch), rest.head._1)
   }
 
   def run(df0: DataFrame, sql: String, tsCol: String = Compiler.DefaultTsCol,
@@ -1716,7 +1735,7 @@ object ZxSql {
           tables: Map[String, DataFrame] = Map.empty): DataFrame = {
     val (q, rest) = parseCompound(sql)
     if (rest.isEmpty) runParsed(df0, q, tsCol, exact, idCol, tables)
-    else combineUnion((q +: rest.map(_._2))
+    else combineSetOps((q +: rest.map(_._2))
       .map(runParsed(df0, _, tsCol, exact, idCol, tables)), rest.head._1)
   }
 
@@ -2149,9 +2168,9 @@ object ZxSql {
     locally {
       val (_, rest) = parseCompound(sql)
       if (rest.nonEmpty)
-        throw ParseError("union composes BOUNDED frames — a batch shape; " +
-          "run per micro-batch via foreachBatch over ZxSql.run, or union " +
-          "the source streams upstream")
+        throw ParseError("set operations (union/except/intersect) compose " +
+          "BOUNDED frames — a batch shape; run per micro-batch via " +
+          "foreachBatch over ZxSql.run, or union the source streams upstream")
     }
     val q0 = parse(sql)
     // scalar subqueries resolve ONCE against the static tables at stream

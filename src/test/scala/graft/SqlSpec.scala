@@ -1354,11 +1354,24 @@ class SqlSpec extends AnyFunSuite {
       "select count(*) as n from docs group by source order by source " +
         "union select count(*) as n from docs group by lang order by lang").collect())
     assert(eSchema.getMessage.contains("identical output schemas"))
-    // mixed flavors rejected
+    // except / intersect: SQL-standard DISTINCT set semantics
+    val ex = ZxSql.runCatalog(cat,
+      "select doc_id from docs where n_chars > 300 " +
+        "except select doc_id from docs where source = 'src1'")
+    assert(ex.collect().map(_.getLong(0)).toSet == Set(1L, 6L)) // {1,3,5,6} - {3,4,5}
+    val ix = ZxSql.runCatalog(cat,
+      "select doc_id from docs where n_chars > 300 " +
+        "intersect select doc_id from docs where source = 'src1'")
+    assert(ix.collect().map(_.getLong(0)).toSet == Set(3L, 5L))
+    // mixed operators rejected (any two kinds)
     val eMix = intercept[ZxSql.ParseError](ZxSql.runCatalog(cat,
       "select doc_id from docs union select doc_id from docs " +
         "union all select doc_id from docs"))
     assert(eMix.getMessage.contains("do not mix"))
+    val eMix2 = intercept[ZxSql.ParseError](ZxSql.runCatalog(cat,
+      "select doc_id from docs union select doc_id from docs " +
+        "except select doc_id from docs"))
+    assert(eMix2.getMessage.contains("do not mix"))
     // distinct guards: aggregates / joins / group by
     assertThrows[ZxSql.ParseError](ZxSql.parse("select distinct count(*) as n"))
     assertThrows[ZxSql.ParseError](ZxSql.parse(
