@@ -3430,6 +3430,20 @@ object SparkEntry {
       "select knn using emb_index top 10 query 0 probe 2 from embeddings")
   }
 
+  /** p65: INDEX-BACKED MMR — `mmr using <index>`: the diverse re-rank's
+    * shortlist from the cell-pruned probe (nProbe/nlist of storage)
+    * instead of the brute corpus pass; the greedy walk is s13's exact
+    * loop on that shortlist. Same read-only resolution rules as p58. */
+  private def p65SqlMmrIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (path, cents) = ensureIvfIndex(s, dir)
+    graft.sql.ZxSql.runCatalog(Map(
+      "embeddings" -> Tables.embeddings(s, dir),
+      "emb_index" -> s.read.parquet(path),
+      "emb_index_centroids" -> cents.toDF("cid", "centroid")),
+      "select mmr using emb_index top 8 query 0 shortlist 30 probe 2 from embeddings")
+  }
+
   private def s3LshStats(s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.lshBucketStats(Tables.embeddings(s, dir))
 
@@ -4170,6 +4184,7 @@ object SparkEntry {
     "s4_ivf_build" -> (s4IvfBuild _),
     "s4_ivf_knn" -> (s4IvfKnn _),
     "p58_sql_knn_index" -> (p58SqlKnnIndex _),
+    "p65_sql_mmr_index" -> (p65SqlMmrIndex _),
     "s5_quant_knn" -> (s5QuantKnn _),
     "s6_batch_knn" -> (s6BatchKnn _),
     "s7_embed_stats" -> (s7EmbedStats _),
@@ -4336,14 +4351,22 @@ object SparkEntry {
     * shortlist and the pairwise sim table are MATERIALIZED: default CTE
     * inlining re-expands the parquet scan per reference and exhausts
     * file handles. */
+  /** `withPrefix` prepends extra CTEs (p65 passes the IVF train/assign
+    * replay), `embFrom` overrides the candidate relation (p65 restricts
+    * it to the probed cells); the query vector still resolves from the
+    * candidate relation — equivalent to the engine's base-frame lookup
+    * whenever the query row survives the restriction (p65's does by
+    * construction: a vector's own cell is its top-ranked probe). */
   private def mmrOracle(queryId: Long, k: Int, shortlist: Int,
                         relW: Double, divW: Double,
-                        extraWhere: String = ""): String = {
+                        extraWhere: String = "",
+                        withPrefix: String = "",
+                        embFrom: String = "embeddings"): String = {
     import graft.functions.VectorFunctions.cosineSql
     val cosq = cosineSql("embedding", "qe", 64)
     val pwCos = cosineSql("a.embedding", "b.embedding", 64)
     val head =
-      s"""WITH emb AS (SELECT * FROM embeddings WHERE 1=1 $extraWhere),
+      s"""WITH $withPrefix emb AS (SELECT * FROM $embFrom WHERE 1=1 $extraWhere),
          |q AS (SELECT embedding AS qe FROM emb WHERE vec_id = $queryId),
          |sl AS MATERIALIZED (SELECT vec_id, label, embedding, $cosq AS rel
          |  FROM emb, q ORDER BY $cosq DESC, vec_id LIMIT $shortlist),
@@ -6461,6 +6484,21 @@ object SparkEntry {
     // p58 probes the SAME index with the same (k=10, nProbe=2, query 0)
     // through the SQL front door — one oracle serves both rows
     "p58_sql_knn_index" -> s4KnnOracleSql,
+    "p65_sql_mmr_index" -> {
+      // s13's greedy replay with the shortlist restricted to the probed
+      // cells: the IVF train/assign CTEs + the s4 probe-cell selection
+      // prefix the standard MMR oracle, whose candidate relation becomes
+      // the probed-cell slice of embeddings
+      val prefix =
+        s"""$duckIvfTrainCtes,
+           |qv AS (SELECT v FROM e WHERE vec_id = 0),
+           |qsel AS (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${duckIvfDot("c.cv", "qv.v")} DESC, c.cid) AS rn
+           |  FROM cent2 c, qv) WHERE rn <= 2),
+           |""".stripMargin
+      mmrOracle(queryId = 0L, k = 8, shortlist = 30, relW = 0.7, divW = 0.3,
+        withPrefix = prefix,
+        embFrom = "(SELECT em.* FROM embeddings em JOIN as2 ON em.vec_id = as2.vec_id JOIN qsel ON as2.cell = qsel.cid)")
+    },
     "s12_filtered_ann" -> {
       // s4's probe replay with the metadata predicate applied BEFORE the
       // top-k (the engine's in-scan filter) and the widened 4-cell probe

@@ -335,6 +335,15 @@ object SeqOp {
     * 0.7/0.3 weights. SQL:
     * `select mmr [top <k>] [query <vecId>] [shortlist <n>] [where …]`. */
   final case class Mmr(topK: Int, queryId: Long, shortlist: Int) extends SeqOp
+  /** INDEX-BACKED MMR (p65): shortlist from a cell-pruned probe of a
+    * PREBUILT IVF index (the [[KnnIndex]] resolution rules: catalog
+    * index + `<index>_centroids`, loud failures, no training), greedy
+    * identical to [[Mmr]]. SQL:
+    * `select mmr using <index> [centroids <t>] [top <k>] [query <id>]
+    *  [shortlist <n>] [probe <n>] [from <emb>] [where …]`. */
+  final case class MmrIndex(index: String, centroids: Option[String],
+                            topK: Int, queryId: Long, shortlist: Int,
+                            nProbe: Int) extends SeqOp
   /** Exact integer linear-trend slope pair (a21) of `valCol` over
     * day-of-month, per event type. SQL:
     * `select trend [(<col>)] [where …]`. */

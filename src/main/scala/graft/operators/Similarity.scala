@@ -724,14 +724,61 @@ object Similarity {
       .collect()
     require(top.nonEmpty,
       s"mmrRerank: query id $queryId not found (or filtered out) — empty shortlist")
+    mmrFromShortlist(emb.sparkSession, top, k, relWeight, divWeight,
+      idCol, labelCol)
+  }
+
+  /** The shared tail of every MMR face: collected (id, label, rel, vec)
+    * shortlist rows → greedy walk → ranked frame. One implementation so
+    * the brute, batched, and index-backed faces have definitionally
+    * identical trajectories. */
+  private def mmrFromShortlist(spark: org.apache.spark.sql.SparkSession,
+                               top: Array[org.apache.spark.sql.Row], k: Int,
+                               relWeight: Double, divWeight: Double,
+                               idCol: String, labelCol: String): DataFrame = {
     val cands = top.map(r => MmrCand(r.getLong(0), r.getInt(1), r.getDouble(2),
       r.getSeq[Float](3).toArray)).toSeq
-    val spark = emb.sparkSession
     import spark.implicits._
     mmrGreedy(cands, k, relWeight, divWeight).zipWithIndex
       .map { case (c, i) => (i + 1L, c.id, c.label,
         BigDecimal(c.rel).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
       .toDF("rank", idCol, labelCol, "rel")
+  }
+
+  /** INDEX-BACKED MMR: the shortlist comes from a cell-pruned probe of a
+    * prebuilt IVF index ([[ivfProbeFrame]]'s read shape, keeping the
+    * vector column — the greedy needs candidate vectors for pairwise
+    * sims) instead of an O(corpus) brute pass; the greedy walk is
+    * [[mmrGreedy]], bit-identical to [[mmrRerank]]'s on the same
+    * shortlist. At 100 TB this reads nProbe/nlist of storage at planning
+    * time — the p65 front-door shape. `where` filters INSIDE the pruned
+    * scan, before the shortlist cut (the filtered-ANN rule). */
+  def mmrRerankIndexed(index: DataFrame, cents: Seq[(Int, Seq[Double])],
+                       queryVec: Seq[Double], k: Int, shortlist: Int = 50,
+                       nProbe: Int = 2, relWeight: Double = 0.7,
+                       divWeight: Double = 0.3, idCol: String = "vec_id",
+                       vecCol: String = "embedding", labelCol: String = "label",
+                       where: Column = lit(true)): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"mmrRerankIndexed: need 1 ≤ k ≤ shortlist, got $k/$shortlist")
+    require(shortlist <= 10000,
+      s"mmrRerankIndexed: a $shortlist-row shortlist is not a bounded driver artifact")
+    val qn = math.sqrt(foldDot(queryVec, queryVec))
+    val probe = rankProbes(cents, queryVec, nProbe)
+    val top = index
+      .filter(col("cell").isin(probe: _*))
+      .filter(where)
+      .withColumn("rel", dot(col(vecCol), typedLit(queryVec)) /
+        (norm(col(vecCol)) * lit(qn)))
+      .orderBy(col("rel").desc, col(idCol).asc)
+      .limit(shortlist)
+      .select(col(idCol), col(labelCol), col("rel"), col(vecCol))
+      .collect()
+    require(top.nonEmpty,
+      "mmrRerankIndexed: empty shortlist — the probed cells hold no " +
+        "(post-filter) rows; widen nProbe or loosen the filter")
+    mmrFromShortlist(index.sparkSession, top, k, relWeight, divWeight,
+      idCol, labelCol)
   }
 
   private final case class MmrCand(id: Long, label: Int, rel: Double,

@@ -694,6 +694,17 @@ object ZxSql {
             case None     => SeqOp.Knn(topK, qid)
           }
         case "mmr" =>
+          // `mmr using <index>` builds the shortlist from a PREBUILT
+          // catalog-resolved IVF index (read-only, like `knn using`)
+          var index: Option[String] = None
+          var centTable: Option[String] = None
+          if (atIdent("using")) { next(); index = Some(ident()) }
+          if (atIdent("centroids")) {
+            if (index.isEmpty)
+              throw ParseError("centroids names a `mmr using <index>`'s " +
+                "trained-centroid table — brute-force mmr has no index")
+            next(); centTable = Some(ident())
+          }
           var topK = 10; var qid = 0L; var shortlist = 50
           var qids = Seq.empty[Long]
           if (atIdent("top")) { next(); topK = parseLong(num("top count"), "top count").toInt }
@@ -702,13 +713,30 @@ object ZxSql {
             next(); qids = commaList(() => parseLong(num("query id"), "query id"))
           }
           if (atIdent("shortlist")) { next(); shortlist = parseLong(num("shortlist size"), "shortlist size").toInt }
+          var nProbe = 2
+          var probeSet = false
+          if (atIdent("probe")) {
+            next(); nProbe = parseLong(num("probe cells"), "probe cells").toInt
+            probeSet = true
+          }
           if (topK < 1 || shortlist < topK)
             throw ParseError(s"mmr needs 1 ≤ top ≤ shortlist, got $topK/$shortlist")
-          if (qids.nonEmpty) {
-            if (qids.distinct.size != qids.size)
-              throw ParseError("mmr queries must be distinct ids")
-            SeqOp.MmrBatch(topK, qids, shortlist)
-          } else SeqOp.Mmr(topK, qid, shortlist)
+          if (index.isEmpty && probeSet)
+            throw ParseError("probe widens a `mmr using <index>` scan — " +
+              "brute-force mmr always scans everything")
+          if (nProbe < 1) throw ParseError(s"mmr probe must be ≥ 1, got $nProbe")
+          if (index.nonEmpty && qids.nonEmpty)
+            throw ParseError("mmr using <index> takes a single `query <id>` " +
+              "— batch the probes per statement")
+          index match {
+            case Some(ix) => SeqOp.MmrIndex(ix, centTable, topK, qid,
+              shortlist, nProbe)
+            case None if qids.nonEmpty =>
+              if (qids.distinct.size != qids.size)
+                throw ParseError("mmr queries must be distinct ids")
+              SeqOp.MmrBatch(topK, qids, shortlist)
+            case None => SeqOp.Mmr(topK, qid, shortlist)
+          }
         case "trend" =>
           var c = "value"
           if (toks.lift(pos).contains(Sym("("))) { next(); c = ident(); expectSym(")") }
@@ -1500,6 +1528,42 @@ object ZxSql {
     }
   }
 
+  /** Resolve a `using <index>` clause to the (index frame, driver-held
+    * centroids) pair — shared by the knn (p58) and mmr (p65) faces. Loud
+    * failures throughout: missing index, a table without the `cell`
+    * partition column (= not an ivfWriteIndex artifact), missing
+    * centroids table. NO training, NO brute fallback. */
+  private def resolveIvfIndex(ixName: String, centName: Option[String],
+                              tables: Map[String, DataFrame])
+      : (DataFrame, Seq[(Int, Seq[Double])]) = {
+    val ix = tables.getOrElse(ixName, throw ParseError(
+      s"unknown index table '$ixName' — pass the BUILT index " +
+        "(Similarity.ivfWriteIndex output) via tables/runCatalog " +
+        s"(have: ${tables.keys.toSeq.sorted.mkString(", ")})"))
+    if (!ix.columns.contains("cell"))
+      throw ParseError(s"'$ixName' is not a built IVF index — no " +
+        "'cell' partition column; build one with ivfWriteIndex " +
+        "(training is a lifecycle step, not a query)")
+    val cn = centName.getOrElse(ixName + "_centroids")
+    val centDf = tables.getOrElse(cn, throw ParseError(
+      s"unknown centroids table '$cn' — the index's trained " +
+        "centroids (Similarity.writeCentroids artifact); register " +
+        "it in the catalog or name one with `centroids <table>`"))
+    (ix, graft.operators.Similarity.collectCentroids(centDf))
+  }
+
+  /** Query vector by id from the gated FROM frame (brute-face semantics —
+    * the gate applies to the query row too). */
+  private def queryVecFromBase(base: DataFrame, qid: Long): IndexedSeq[Double] = {
+    import org.apache.spark.sql.functions.col
+    val qRows = base.filter(col("vec_id") === qid)
+      .select(graft.functions.VectorFunctions.toDouble(col("embedding")))
+      .limit(1).collect()
+    if (qRows.isEmpty) throw ParseError(
+      s"query id $qid not found in the gated FROM frame")
+    qRows.head.getSeq[Double](0).toIndexedSeq
+  }
+
   private def compileSubquery(sub0: ZxQuery, tsCol: String,
                               tables: Map[String, DataFrame]): DataFrame = {
     // a membership subquery's own WHERE may carry scalar subqueries
@@ -1681,6 +1745,16 @@ object ZxSql {
       throw ParseError("set operators do not mix in one statement (" +
         branches.map(_._1).distinct.mkString(" vs ") + ") — chain one " +
         "kind; richer compositions are separate statements")
+    // Branch ORDER BY is branch-scoped and the set operator destroys it —
+    // a bare ORDER BY in a compound statement is a silent no-op dressed
+    // as a result ordering. With LIMIT it is top-k (semantic) and stays.
+    if (branches.nonEmpty)
+      (head +: branches.map(_._2)).zipWithIndex.foreach { case (z, i) =>
+        if (z.orderBy.nonEmpty && z.limit.isEmpty) throw ParseError(
+          s"set-op branch ${i + 1} has ORDER BY without LIMIT — branches " +
+            "are bags (the set operator destroys their order); drop it, " +
+            "or add LIMIT if the branch means top-k")
+      }
     (head, branches)
   }
 
@@ -1724,11 +1798,21 @@ object ZxSql {
       val df = tables.getOrElse(from, throw ParseError(
         s"unknown from table '$from' — catalog has: " +
           tables.keys.toSeq.sorted.mkString(", ")))
-      runParsed(df, z, tsCol, exact, idCol, tables)
+      runParsed(df, z, tsCol, exact, idCol, tables,
+        forceSorted = rest.nonEmpty && unwindowedAggBranch(z))
     }
     if (rest.isEmpty) oneBranch(q)
     else combineSetOps((q +: rest.map(_._2)).map(oneBranch), rest.head._1)
   }
+
+  /** An aggregate set-op branch with no ORDER BY and no explicit window
+    * clause means per-key totals (the derived-table-inner rule): compound
+    * statements route it through the sorted path rather than silently
+    * defaulting to 300 s tumbling buckets no branch asked for. */
+  private def unwindowedAggBranch(z: ZxQuery): Boolean =
+    (z.selects.exists(_.agg != Agg.Raw) || z.postSelects.nonEmpty) &&
+      z.orderBy.isEmpty && !z.granSet && z.sessionGapSec.isEmpty &&
+      z.slideSec.isEmpty && !z.exact
 
   def run(df0: DataFrame, sql: String, tsCol: String = Compiler.DefaultTsCol,
           exact: Boolean = false, idCol: Option[String] = None,
@@ -1736,7 +1820,8 @@ object ZxSql {
     val (q, rest) = parseCompound(sql)
     if (rest.isEmpty) runParsed(df0, q, tsCol, exact, idCol, tables)
     else combineSetOps((q +: rest.map(_._2))
-      .map(runParsed(df0, _, tsCol, exact, idCol, tables)), rest.head._1)
+      .map(z => runParsed(df0, z, tsCol, exact, idCol, tables,
+        forceSorted = unwindowedAggBranch(z))), rest.head._1)
   }
 
   private def runParsed(df0: DataFrame, q0: ZxQuery, tsCol: String,
@@ -1863,38 +1948,24 @@ object ZxSql {
         case SeqOp.KnnIndex(ixName, centName, k, qid, nProbe) =>
           // READ-ONLY probe of a prebuilt index: no training, no O(corpus)
           // scan — a missing or un-built index fails with words, never a
-          // silent brute-force fallback (VERDICT r12 #2). `cell` must be a
-          // real column of the resolved frame (the ivfWriteIndex artifact);
-          // centroids resolve from `<index>_centroids` unless named.
-          val ix = tables.getOrElse(ixName, throw ParseError(
-            s"unknown index table '$ixName' — pass the BUILT index " +
-              "(Similarity.ivfWriteIndex output) via tables/runCatalog " +
-              s"(have: ${tables.keys.toSeq.sorted.mkString(", ")})"))
-          if (!ix.columns.contains("cell"))
-            throw ParseError(s"'$ixName' is not a built IVF index — no " +
-              "'cell' partition column; build one with ivfWriteIndex " +
-              "(training is a lifecycle step, not a query)")
-          val cn = centName.getOrElse(ixName + "_centroids")
-          val centDf = tables.getOrElse(cn, throw ParseError(
-            s"unknown centroids table '$cn' — the index's trained " +
-              "centroids (Similarity.writeCentroids artifact); register " +
-              "it in the catalog or name one with `centroids <table>`"))
-          val cents = graft.operators.Similarity.collectCentroids(centDf)
-          // query vector: by id from the gated FROM frame (brute-face
-          // semantics — the gate applies to the query row too)
-          val qRows = base.filter(col("vec_id") === qid)
-            .select(graft.functions.VectorFunctions.toDouble(col("embedding")))
-            .limit(1).collect()
-          if (qRows.isEmpty) throw ParseError(
-            s"knn query id $qid not found in the gated FROM frame")
-          val qv = qRows.head.getSeq[Double](0).toIndexedSeq
-          // the WHERE gate ALSO prunes the index scan (filtered ANN, the
-          // s12 shape): compile the same predicate tree against the index
-          // frame, INSIDE the cell-pruned read, BEFORE the top-k
+          // silent brute-force fallback (VERDICT r12 #2). The WHERE gate
+          // ALSO prunes the index scan (filtered ANN, the s12 shape):
+          // the same predicate tree compiles against the index frame,
+          // INSIDE the cell-pruned read, BEFORE the top-k.
+          val (ix, cents) = resolveIvfIndex(ixName, centName, tables)
+          val qv = queryVecFromBase(base, qid)
           val gatedIx = Compiler.scanFilter(ix, q, tsCol)
           graft.operators.Similarity.ivfProbeFrame(gatedIx, cents, qv,
               k = k, nProbe = nProbe)
             .withColumn("cos", round(col("cos"), 6))
+        case SeqOp.MmrIndex(ixName, centName, k, qid, shortlist, nProbe) =>
+          // same read-only resolution; the shortlist comes from the
+          // pruned probe, the greedy walk is the brute face's exact loop
+          val (ix, cents) = resolveIvfIndex(ixName, centName, tables)
+          val qv = queryVecFromBase(base, qid)
+          val gatedIx = Compiler.scanFilter(ix, q, tsCol)
+          graft.operators.Similarity.mmrRerankIndexed(gatedIx, cents, qv,
+            k = k, shortlist = shortlist, nProbe = nProbe)
         case SeqOp.Mmr(k, qid, shortlist) =>
           graft.operators.Similarity.mmrRerank(base, queryId = qid, k = k,
             shortlist = shortlist)

@@ -1310,6 +1310,25 @@ class SqlSpec extends AnyFunSuite {
       Map("emb" -> emb, "ix" -> spark.read.parquet(dir)),
       "select knn using ix top 5 query 3 from emb"))
     assert(eCent.getMessage.contains("centroids"))
+    // ---- mmr using <index> (p65): same resolution rules, greedy parity
+    def ranked(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("vec_id"))).toSeq.sorted
+    val mFace = ZxSql.runCatalog(cat,
+      "select mmr using ix top 4 query 3 shortlist 12 probe 2 from emb")
+    assert(ranked(mFace) == ranked(Sim.mmrRerankIndexed(
+      spark.read.parquet(dir), cents, qv, k = 4, shortlist = 12, nProbe = 2)))
+    // probing EVERY cell makes the index shortlist the brute shortlist —
+    // the face must then equal the brute mmr exactly
+    val mAll = ZxSql.runCatalog(cat,
+      "select mmr using ix top 4 query 3 shortlist 12 probe 4 from emb")
+    assert(ranked(mAll) == ranked(Sim.mmrRerank(emb, queryId = 3L, k = 4,
+      shortlist = 12)))
+    // guards: batch probes, probe on the brute face
+    assertThrows[ZxSql.ParseError](ZxSql.parse(
+      "select mmr using ix queries 1, 2 from emb"))
+    val eP = intercept[ZxSql.ParseError](ZxSql.parse(
+      "select mmr top 4 query 3 probe 2 from emb"))
+    assert(eP.getMessage.contains("brute-force"))
   }
 
   test("select distinct + union: composition parity and loud guards (round 13)") {
@@ -1344,16 +1363,28 @@ class SqlSpec extends AnyFunSuite {
       "select doc_id where doc_id = 1 union select doc_id where doc_id = 2 " +
         "union select doc_id where doc_id = 1")
     assert(u3.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
-    // aggregate branches union too when their output schemas agree
+    // aggregate branches union too when their output schemas agree —
+    // and WITHOUT order by they still take the sorted (per-key totals)
+    // path, never the 300 s default windows (the derived-inner rule)
     val ug = ZxSql.runCatalog(cat,
-      "select count(*) as n from docs where lang = 'en' group by source order by source " +
-        "union all select count(*) as n from docs where lang = 'fr' group by source order by source")
+      "select count(*) as n from docs where lang = 'en' group by source " +
+        "union all select count(*) as n from docs where lang = 'fr' group by source")
     assert(ug.columns.toSeq == Seq("source", "n") && ug.count() == 3)
     // different group-key names = different schemas — loud
     val eSchema = intercept[ZxSql.ParseError](ZxSql.runCatalog(cat,
-      "select count(*) as n from docs group by source order by source " +
-        "union select count(*) as n from docs group by lang order by lang").collect())
+      "select count(*) as n from docs group by source " +
+        "union select count(*) as n from docs group by lang").collect())
     assert(eSchema.getMessage.contains("identical output schemas"))
+    // a bare branch ORDER BY is a silent no-op (the set op destroys it) —
+    // rejected; with LIMIT it is top-k and composes
+    val eOb = intercept[ZxSql.ParseError](ZxSql.runCatalog(cat,
+      "select doc_id from docs order by doc_id " +
+        "union select doc_id from docs"))
+    assert(eOb.getMessage.contains("ORDER BY without LIMIT"))
+    val topk = ZxSql.runCatalog(cat,
+      "select doc_id from docs order by n_chars desc, doc_id limit 2 " +
+        "union select doc_id from docs where doc_id = 4")
+    assert(topk.collect().map(_.getLong(0)).toSet == Set(1L, 6L, 4L))
     // except / intersect: SQL-standard DISTINCT set semantics
     val ex = ZxSql.runCatalog(cat,
       "select doc_id from docs where n_chars > 300 " +
