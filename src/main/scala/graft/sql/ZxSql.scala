@@ -9,11 +9,21 @@ import graft.operators.GapWindows
   * expr.rs:106-230) as a hand-rolled recursive-descent parser to [[ZxQuery]].
   *
   * Accepted subset (reference-parity, lowercased like lib.rs:818-820):
-  *   select <item, …> [from <ignored>] [where <boolexpr>]
-  *   [group by <col, …>] [having <aggitem cmp num and …>]
+  *   select [distinct] <item, …> [from <table> | from (select …)]
+  *   [where <boolexpr>]
+  *   [asof|trailing join <t> on k = rk [and k2 = rk2 …] at tl >= tr …]
+  *   [[left|right|full] join <t|(select …)> on k = rk [and …]]*
+  *   [group by [rollup|cube|sets] <col, …>] [having <aggitem cmp num and …>]
   *   [order by <item> [asc|desc], …]
-  *   [limit <n>] [granularity <seconds>] [slide <seconds>]
+  *   [limit <n> [per <col>]] [granularity <seconds>] [slide <seconds>]
   *   [session <gapSeconds>] [salt <n>] [exact]
+  * and statements compose with set operators (one kind per statement):
+  *   <query> union [all] <query> | <query> except <query>
+  *   | <query> intersect <query>
+  * plus the sequence/corpus operator clauses (journeys/funnel/…/sample/
+  * mixture/dedup/knn/mmr — see the grammar below), where `knn using
+  * <index>` and `mmr using <index>` probe a PREBUILT catalog-resolved
+  * IVF index read-only instead of brute-forcing the corpus.
   * where item := col | count|sum|max|min|count_distinct|mean|p50|heatmap
   *               |approx_count_distinct|p50_approx(col) | count(*)
   *               | agg(measure-expr) as name | agg(col) as name
@@ -2427,6 +2437,12 @@ object ZxSql {
                     watermark: String = "10 minutes",
                     tsCol: String = Compiler.DefaultTsCol)(
       consume: String => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    locally {
+      val (_, rest) = parseCompound(sql)
+      if (rest.nonEmpty)
+        throw ParseError("set operations (union/except/intersect) compose " +
+          "BOUNDED frames — a batch shape; foreachBatch over ZxSql.run")
+    }
     val q = parse(sql)
     if (q.selects.forall(_.agg == Agg.Raw) && q.postSelects.isEmpty)
       throw ParseError("the JSON result shape needs windows — raw projections stream via tailConsole")

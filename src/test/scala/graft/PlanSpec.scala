@@ -249,6 +249,22 @@ class PlanSpec extends AnyFunSuite {
       s"probe must be a pruned scan + narrow ADC + TakeOrdered:\n$p")
   }
 
+  test("p61 composite-key asof: the struct key adds ZERO exchanges vs single-key (round 13)") {
+    def exchanges(name: String) =
+      "Exchange hashpartitioning".r.findAllIn(plan(name)).length
+    // same operator shape as the single-key asof face (p4): one exchange
+    // for the right side's (key, time) version dedup, one for the asof
+    // union-window — a composite key that shuffled a third time would be
+    // paying for its struct
+    assert(exchanges("p61_sql_asof_composite") == exchanges("p4_sql_asof"),
+      s"composite=${exchanges("p61_sql_asof_composite")} " +
+        s"single=${exchanges("p4_sql_asof")}")
+    // and the internal struct key never reaches the output schema
+    assert(!SparkEntry.queries("p61_sql_asof_composite")(spark, dir)
+      .columns.contains("__ckl"),
+      "composite key column leaked into the output schema")
+  }
+
   test("broadcast asof probe is exchange- and window-free") {
     val p = plan("j4_asof_broadcast")
     assert(!p.contains("Exchange") && !p.contains("Window") && !p.contains("Join"),
