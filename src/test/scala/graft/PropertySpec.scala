@@ -84,6 +84,10 @@ object ParserProps extends Properties("ZxSql") {
       "limit", "granularity", "session", "slide", "salt", "exact",
       "having", "and", "or", "not", "like", "in", "between", "asof",
       "trailing", "join", "on", "sum", "count", "mean", "count_distinct",
+      // round-13 surface: set ops, outer joins, index faces, distinct
+      "distinct", "union", "all", "except", "intersect", "left", "right",
+      "full", "using", "centroids", "probe", "knn", "mmr", "per", "carry",
+      "at", "within", "agg",
       "(", ")", ",", "=", "!=", ">", "<", ">=", "<=", "*", "'a b'",
       "'%x%'", "$t_start", "$t_end"),
     3 -> identGen,
@@ -93,6 +97,21 @@ object ParserProps extends Properties("ZxSql") {
     forAll(Gen.listOf(sqlTokenGen).map(_.take(24))) { toks =>
       try { ZxSql.parse(toks.mkString(" ")); true }
       catch {
+        case _: ZxSql.ParseError => true
+        case _: Throwable => false
+      }
+    }
+
+  // …and the COMPOUND front doors are total too: run/runCatalog route
+  // through parseCompound (set operators), which must keep the same
+  // contract — plan-build exceptions from compile steps are fine, but
+  // never a parser MatchError/NPE/IndexOutOfBounds
+  property("compound parser is total on token soup") =
+    forAll(Gen.listOf(sqlTokenGen).map(_.take(24))) { toks =>
+      try {
+        ZxSql.runCatalog(Map.empty, toks.mkString(" "))
+        true
+      } catch {
         case _: ZxSql.ParseError => true
         case _: Throwable => false
       }
