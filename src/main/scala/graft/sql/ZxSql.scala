@@ -1726,7 +1726,7 @@ object ZxSql {
     * SQL's mixed-op precedence rules (INTERSECT binds tighter) are a
     * standing source of silent surprise — a chain of one operator is
     * unambiguous, and richer compositions nest as separate statements. */
-  private def parseCompound(sql: String): (ZxQuery, Seq[(String, ZxQuery)]) = {
+  private def parseCompound(sql: String): Compound = {
     val toks = lex(sql)
     val (head, p0) = parseTokens(toks, 0, nested = true)
     var pos = p0
@@ -1755,18 +1755,41 @@ object ZxSql {
       throw ParseError("set operators do not mix in one statement (" +
         branches.map(_._1).distinct.mkString(" vs ") + ") — chain one " +
         "kind; richer compositions are separate statements")
-    // Branch ORDER BY is branch-scoped and the set operator destroys it —
-    // a bare ORDER BY in a compound statement is a silent no-op dressed
-    // as a result ordering. With LIMIT it is top-k (semantic) and stays.
-    if (branches.nonEmpty)
-      (head +: branches.map(_._2)).zipWithIndex.foreach { case (z, i) =>
-        if (z.orderBy.nonEmpty && z.limit.isEmpty) throw ParseError(
-          s"set-op branch ${i + 1} has ORDER BY without LIMIT — branches " +
-            "are bags (the set operator destroys their order); drop it, " +
-            "or add LIMIT if the branch means top-k")
-      }
-    (head, branches)
+    if (branches.isEmpty) return Compound(head, branches, Nil, None)
+    // SQL-standard binding: a trailing ORDER BY / LIMIT after the last
+    // branch orders/cuts the COMPOSED result (the grammar parses it into
+    // the last branch — lift it out). Branches themselves are BAGS: any
+    // other branch-level ORDER BY or LIMIT is rejected loudly — the set
+    // operator destroys branch order, and a per-branch top-k spells
+    // unambiguously as a derived table:
+    //   select k from (select k, s from t order by s desc limit 5)
+    //     union …
+    val lastIdx = branches.size - 1
+    val last = branches(lastIdx)._2
+    val (coOrder, coLimit) = (last.orderBy, last.limit)
+    if (last.limitPer.nonEmpty)
+      throw ParseError("limit per ranks within ONE query — wrap the " +
+        "branch in a derived table, or rank the composed result downstream")
+    coOrder.find(_.select.agg != Agg.Raw).foreach(ob => throw ParseError(
+      s"a compound statement's ORDER BY binds to the composed result — " +
+        s"order by its output COLUMN names, not ${ob.select.agg.name}(...)"))
+    val cleaned = branches.updated(lastIdx,
+      (branches(lastIdx)._1, last.copy(orderBy = Nil, limit = None)))
+    (head +: cleaned.map(_._2)).zipWithIndex.foreach { case (z, i) =>
+      if (z.orderBy.nonEmpty || z.limit.nonEmpty) throw ParseError(
+        s"set-op branch ${i + 1} has ORDER BY/LIMIT — branches are bags " +
+          "(the operator destroys their order); a trailing ORDER BY/LIMIT " +
+          "binds to the COMPOSED result, and a per-branch top-k spells as " +
+          "a derived table: select … from (select … order by … limit k)")
+    }
+    Compound(head, cleaned, coOrder, coLimit)
   }
+
+  /** A parsed compound statement: `branches` empty means a plain single
+    * query; otherwise `order`/`limit` bind to the COMPOSED result. */
+  private final case class Compound(head: ZxQuery,
+                                    branches: Seq[(String, ZxQuery)],
+                                    order: Seq[OrderBy], limit: Option[Int])
 
   /** Combine compiled set-op branches: identical output schemas required
     * (name AND type, positionally — a silent coercion here would corrupt
@@ -1774,7 +1797,8 @@ object ZxSql {
     * `union`/`except`/`intersect` are SQL-standard DISTINCT set
     * semantics (Spark's except/intersect already are; union gets the
     * explicit distinct). except/intersect fold left-associatively. */
-  private def combineSetOps(frames: Seq[DataFrame], op: String): DataFrame = {
+  private def combineSetOps(frames: Seq[DataFrame], co: Compound): DataFrame = {
+    val op = co.branches.head._1
     def sig(df: DataFrame): Seq[(String, String)] =
       df.schema.fields.toSeq.map(f => (f.name, f.dataType.simpleString))
     val headSig = sig(frames.head)
@@ -1785,20 +1809,32 @@ object ZxSql {
           .map { case (n, t) => s"$n $t" }.mkString(", ")}) — " +
           "set operations need identical output schemas; alias/cast in the branches")
     }
-    op match {
+    val combined = op match {
       case "union all" => frames.reduce(_.union(_))
       case "union"     => frames.reduce(_.union(_)).distinct()
       case "except"    => frames.reduce(_.except(_))
       case "intersect" => frames.reduce(_.intersect(_))
       case other       => throw ParseError(s"unknown set operator '$other'")
     }
+    // SQL-standard trailing clauses: ORDER BY / LIMIT over the COMPOSED
+    // result, bound by output column name (parseCompound guarantees Raw)
+    val outCols = combined.columns.toSet
+    co.order.find(ob => !outCols.contains(ob.select.column)).foreach(ob =>
+      throw ParseError(s"compound ORDER BY column '${ob.select.column}' " +
+        s"is not in the composed output (${combined.columns.mkString(", ")})"))
+    val ord = co.order.map { ob =>
+      val c = Compiler.colRef(ob.select.column)
+      ob.dir match { case SortDir.Asc => c.asc; case SortDir.Desc => c.desc }
+    }
+    val sorted = if (ord.nonEmpty) combined.orderBy(ord: _*) else combined
+    co.limit.map(sorted.limit).getOrElse(sorted)
   }
 
   def runCatalog(tables: Map[String, DataFrame], sql: String,
                  tsCol: String = Compiler.DefaultTsCol,
                  exact: Boolean = false,
                  idCol: Option[String] = None): DataFrame = {
-    val (q, rest) = parseCompound(sql)
+    val co = parseCompound(sql)
     // a derived FROM chains down: the INNERMOST query names the base table
     def baseName(z: graft.ir.ZxQuery): Option[String] =
       z.fromTable.orElse(z.fromSub.flatMap(baseName))
@@ -1809,10 +1845,10 @@ object ZxSql {
         s"unknown from table '$from' — catalog has: " +
           tables.keys.toSeq.sorted.mkString(", ")))
       runParsed(df, z, tsCol, exact, idCol, tables,
-        forceSorted = rest.nonEmpty && unwindowedAggBranch(z))
+        forceSorted = co.branches.nonEmpty && unwindowedAggBranch(z))
     }
-    if (rest.isEmpty) oneBranch(q)
-    else combineSetOps((q +: rest.map(_._2)).map(oneBranch), rest.head._1)
+    if (co.branches.isEmpty) oneBranch(co.head)
+    else combineSetOps((co.head +: co.branches.map(_._2)).map(oneBranch), co)
   }
 
   /** An aggregate set-op branch with no ORDER BY and no explicit window
@@ -1827,11 +1863,11 @@ object ZxSql {
   def run(df0: DataFrame, sql: String, tsCol: String = Compiler.DefaultTsCol,
           exact: Boolean = false, idCol: Option[String] = None,
           tables: Map[String, DataFrame] = Map.empty): DataFrame = {
-    val (q, rest) = parseCompound(sql)
-    if (rest.isEmpty) runParsed(df0, q, tsCol, exact, idCol, tables)
-    else combineSetOps((q +: rest.map(_._2))
+    val co = parseCompound(sql)
+    if (co.branches.isEmpty) runParsed(df0, co.head, tsCol, exact, idCol, tables)
+    else combineSetOps((co.head +: co.branches.map(_._2))
       .map(z => runParsed(df0, z, tsCol, exact, idCol, tables,
-        forceSorted = unwindowedAggBranch(z))), rest.head._1)
+        forceSorted = unwindowedAggBranch(z))), co)
   }
 
   private def runParsed(df0: DataFrame, q0: ZxQuery, tsCol: String,
@@ -2247,8 +2283,7 @@ object ZxSql {
                 tables: Map[String, DataFrame] = Map.empty): DataFrame = {
     import graft.streaming.{EventStream, GapWindowStream}
     locally {
-      val (_, rest) = parseCompound(sql)
-      if (rest.nonEmpty)
+      if (parseCompound(sql).branches.nonEmpty)
         throw ParseError("set operations (union/except/intersect) compose " +
           "BOUNDED frames — a batch shape; run per micro-batch via " +
           "foreachBatch over ZxSql.run, or union the source streams upstream")
@@ -2438,8 +2473,7 @@ object ZxSql {
                     tsCol: String = Compiler.DefaultTsCol)(
       consume: String => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     locally {
-      val (_, rest) = parseCompound(sql)
-      if (rest.nonEmpty)
+      if (parseCompound(sql).branches.nonEmpty)
         throw ParseError("set operations (union/except/intersect) compose " +
           "BOUNDED frames — a batch shape; foreachBatch over ZxSql.run")
     }

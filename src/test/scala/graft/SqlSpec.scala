@@ -1375,14 +1375,29 @@ class SqlSpec extends AnyFunSuite {
       "select count(*) as n from docs group by source " +
         "union select count(*) as n from docs group by lang").collect())
     assert(eSchema.getMessage.contains("identical output schemas"))
-    // a bare branch ORDER BY is a silent no-op (the set op destroys it) —
-    // rejected; with LIMIT it is top-k and composes
+    // SQL-standard binding: trailing ORDER BY / LIMIT cut the COMPOSED
+    // result; a NON-trailing branch ORDER BY/LIMIT is rejected loudly
+    // (branches are bags — per-branch top-k spells as a derived table)
+    val composed = ZxSql.runCatalog(cat,
+      "select doc_id, n_chars from docs where source = 'src0' " +
+        "union select doc_id, n_chars from docs where n_chars > 300 " +
+        "order by n_chars desc, doc_id limit 3")
+      .collect().map(_.getLong(0)).toSeq
+    // union = {1,2,6} ∪ {1,3,5,6} = {1,2,3,5,6}; by (n_chars desc, id):
+    // 1(500), 6(500), 3(400)
+    assert(composed == Seq(1L, 6L, 3L))
     val eOb = intercept[ZxSql.ParseError](ZxSql.runCatalog(cat,
-      "select doc_id from docs order by doc_id " +
+      "select doc_id from docs order by doc_id limit 2 " +
         "union select doc_id from docs"))
-    assert(eOb.getMessage.contains("ORDER BY without LIMIT"))
+    assert(eOb.getMessage.contains("derived table"))
+    // compound ORDER BY binds output columns only
+    val eCol = intercept[ZxSql.ParseError](ZxSql.runCatalog(cat,
+      "select doc_id from docs union select doc_id from docs order by n_chars"))
+    assert(eCol.getMessage.contains("not in the composed output"))
+    // per-branch top-k via a derived table, exactly as the error suggests
     val topk = ZxSql.runCatalog(cat,
-      "select doc_id from docs order by n_chars desc, doc_id limit 2 " +
+      "select doc_id from (select doc_id, n_chars from docs " +
+        "order by n_chars desc limit 2) " +
         "union select doc_id from docs where doc_id = 4")
     assert(topk.collect().map(_.getLong(0)).toSet == Set(1L, 6L, 4L))
     // except / intersect: SQL-standard DISTINCT set semantics
