@@ -3022,6 +3022,14 @@ object SparkEntry {
       "select doc_id, lang from documents where n_chars > 300 " +
         "intersect select doc_id, lang from documents where lang = 'en'")
 
+  /** p66: EXACT-count deterministic sampling — `sample exact <n>`: the
+    * n smallest hash coins of the gated frame, key-tiebroken; nested
+    * across sizes (exact-100 ⊆ exact-300, spec-pinned) and rerun-stable.
+    * One per-partition TakeOrderedAndProject over the gated scan. */
+  private def p66SqlSampleExact(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select sample exact 300 where lang != 'zh'")
+
   /** p57: the sampling face on a NON-document table — `key event_id`
     * points the md5 coin at the events table's stable id, so
     * deterministic trace-sampling ("keep 10% of events, reproducibly")
@@ -4145,6 +4153,7 @@ object SparkEntry {
     "p55_sql_neardup_embed" -> (p55SqlNeardupEmbed _),
     "p56_sql_langid" -> (p56SqlLangId _),
     "p57_sql_sample_events" -> (p57SqlSampleEvents _),
+    "p66_sql_sample_exact" -> (p66SqlSampleExact _),
     "p59_sql_distinct" -> (p59SqlDistinct _),
     "p60_sql_union" -> (p60SqlUnion _),
     "p63_sql_except" -> (p63SqlExcept _),
@@ -5497,6 +5506,12 @@ object SparkEntry {
       """SELECT doc_id, source FROM documents WHERE n_chars > 300
         |UNION
         |SELECT doc_id, source FROM documents WHERE source = 'src1'""".stripMargin,
+    "p66_sql_sample_exact" ->
+      // the same md5-prefix coin, globally smallest-300 with id tiebreak
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE lang != 'zh'
+         |ORDER BY ${duckShingleHash("doc_id::VARCHAR")}, doc_id
+         |LIMIT 300""".stripMargin,
     "p53_sql_quality" -> p53OracleSql,
     "st_quality" -> p53OracleSql,
     "p54_sql_redact" -> p54OracleSql,

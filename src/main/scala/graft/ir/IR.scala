@@ -398,6 +398,12 @@ object SeqOp {
     * `select sample weight <col> [scale <n>] [where …]`. */
   final case class SampleWeight(col: String, scale: Long,
                                 keyCol: String = "doc_id") extends SeqOp
+  /** EXACT-count deterministic sample (p66) —
+    * [[graft.operators.Corpus.sampleExactN]]: the n smallest hash coins,
+    * key-tiebroken; nested across sizes. Batch-only (a global rank needs
+    * the bounded frame). SQL:
+    * `select sample exact <n> [key <col>] [where …]`. */
+  final case class SampleExact(n: Int, keyCol: String = "doc_id") extends SeqOp
   /** Token-budget sequence packing (x7) —
     * [[graft.operators.Corpus.packByTokenBudget]]: contiguous ~budget-token
     * chunks per source via one window (stateful — batch only). SQL:

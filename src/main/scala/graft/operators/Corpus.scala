@@ -30,6 +30,29 @@ object Corpus {
     df.filter(hashBucket(col(keyCol), 100) < pct)
   }
 
+  /** The un-bucketed 32-bit hash coin itself ([[hashBucket]] without the
+    * modulus) — the rank key of [[sampleExactN]]. */
+  def hashValue(key: Column): Column =
+    conv(substring(md5(key.cast(StringType).cast(BinaryType)), 1, 8), 16, 10)
+      .cast(LongType)
+
+  /** EXACT-count deterministic sample: the `n` rows whose hash coin ranks
+    * smallest, ties broken by the key — "exactly 10k eval docs,
+    * reproducibly" where [[sampleByHash]]'s rate form gives ~pct%.
+    * `orderBy + limit` compiles to per-partition TakeOrderedAndProject
+    * (each partition forwards ≤ n rows, tiny driver merge — no global
+    * sort), so at 100 TB the cost is the scan. Rank-prefix property: the
+    * exact-5k sample is a SUBSET of the exact-10k sample of the same key
+    * (spec-pinned) — nested eval sets for free. `n` is require-bounded:
+    * the merged result is driver-resident by construction; corpus-scale
+    * cuts belong to the rate/budget forms (sampleByHash / mixture). */
+  def sampleExactN(df: DataFrame, keyCol: String, n: Int): DataFrame = {
+    require(n >= 1 && n <= (1 << 22),
+      s"sampleExactN: n must be in [1, ${1 << 22}], got $n — an exact " +
+        "top-n is driver-merged; rate-based sampling scales unboundedly")
+    df.orderBy(hashValue(col(keyCol)).asc, col(keyCol).asc).limit(n)
+  }
+
   /** Stratified deterministic sampling — the source-rebalancing primitive:
     * per-stratum keep percentages (e.g. downsample a crawl source to 10%,
     * keep curated sources at 50%) with the same md5 hash-bucket

@@ -789,7 +789,17 @@ object ZxSql {
           // acceptance probability col/scale, clamped to [0,1]
           def sampleKey(): String =
             if (atIdent("key")) { next(); ident() } else "doc_id"
-          if (atIdent("weight")) {
+          if (atIdent("exact")) {
+            // `sample exact <n> [key <col>]` — exact-count deterministic
+            // cut (the n smallest hash coins; nested across sizes)
+            next()
+            val n = parseLong(num("exact sample count"), "exact sample count")
+            if (n < 1 || n > (1L << 22))
+              throw ParseError(s"sample exact must be in [1, ${1 << 22}], " +
+                s"got $n — the cut is driver-merged; use pct/weight for " +
+                "unbounded rates")
+            SeqOp.SampleExact(n.toInt, sampleKey())
+          } else if (atIdent("weight")) {
             next()
             val c = ident()
             var scale = 1L
@@ -824,8 +834,9 @@ object ZxSql {
             }
             SeqOp.SampleRows(pct, strata, sampleKey())
           } else throw ParseError(
-            "sample takes `pct <n> [by src=<pct>, …]` or `weight <col> " +
-              "[scale <n>]`, each with an optional trailing `key <col>`")
+            "sample takes `exact <n>`, `pct <n> [by src=<pct>, …]`, or " +
+              "`weight <col> [scale <n>]`, each with an optional trailing " +
+              "`key <col>`")
         case "pack" =>
           // `pack budget <n>` — contiguous ~n-token training chunks
           if (!atIdent("budget")) throw ParseError("pack takes `budget <tokens>`")
@@ -1460,6 +1471,8 @@ object ZxSql {
         graft.operators.Corpus.sampleByWeight(
           base, Compiler.colRef(c).cast("double") / lit(scale.toDouble),
           keyCol = key)
+      case SeqOp.SampleExact(n, key) =>
+        graft.operators.Corpus.sampleExactN(base, key, n)
       case other => throw ParseError(s"not a sample op: $other")
     }
     // schema-agnostic: keep every metadata column the frame carries, prune
@@ -2046,9 +2059,11 @@ object ZxSql {
             case None =>
               graft.operators.Corpus.mixtureByTokenBudget(base, budgets.toMap)
           }
-        case op @ (_: SeqOp.SampleRows | _: SeqOp.SampleWeight) =>
-          // gate-then-sample: both are narrow filters, so at 100 TB the
-          // whole statement runs inside the scan stage; text stays pruned
+        case op @ (_: SeqOp.SampleRows | _: SeqOp.SampleWeight |
+                   _: SeqOp.SampleExact) =>
+          // gate-then-sample: the rate forms are narrow filters (scan-
+          // stage work at 100 TB); the exact form is one per-partition
+          // TakeOrdered over the gated scan; text stays pruned
           compileSample(op, base)
         case SeqOp.Pack(budget) =>
           // one window per source — the x7 packing shape at the front door
@@ -2298,10 +2313,14 @@ object ZxSql {
         "— run it per micro-batch via foreachBatch over ZxSql.run")
     q.seqOp.foreach {
       case op @ (_: SeqOp.SampleRows | _: SeqOp.SampleWeight) =>
-        // a corpus op with a streaming meaning: a deterministic sample is
-        // a STATELESS narrow filter, so append mode just works — gate
-        // (WHERE) then sample, exactly the batch semantics per row
+        // a corpus op with a streaming meaning: a deterministic RATE
+        // sample is a STATELESS narrow filter, so append mode just works —
+        // gate (WHERE) then sample, exactly the batch semantics per row
         return compileSample(op, Compiler.scanFilter(stream, q, tsCol))
+      case _: SeqOp.SampleExact =>
+        throw ParseError("sample exact is a GLOBAL rank over a bounded " +
+          "frame — batch shape (an unbounded stream has no stable " +
+          "smallest-n); use the rate forms (pct/weight) on streams")
       case SeqOp.Chunks(size, stride) =>
         // likewise stateless: a row-local explode into context windows
         return graft.operators.Corpus.chunkByWindow(

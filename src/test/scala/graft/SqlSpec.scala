@@ -1526,6 +1526,36 @@ class SqlSpec extends AnyFunSuite {
     assert(eSt.getMessage.contains("unsupported by Structured Streaming"))
   }
 
+  test("sample exact: nested deterministic cuts, face parity, guards (round 13)") {
+    import SparkFixture.spark.implicits._
+    val spark = SparkFixture.spark
+    val docs = (0L until 60L).map(i =>
+      (i, s"text $i", if (i % 3 == 0) "zh" else "en", s"src${i % 2}", i * 7L)).toSeq
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getAs[Long]("doc_id")).toSet
+    val five = ids(ZxSql.run(docs, "select sample exact 5"))
+    val ten = ids(ZxSql.run(docs, "select sample exact 10"))
+    assert(five.size == 5 && ten.size == 10 && five.subsetOf(ten),
+      s"exact cuts must nest: $five vs $ten")
+    // face == API; the gate applies BEFORE the cut; text stays pruned
+    val gated = ZxSql.run(docs, "select sample exact 8 where lang = 'en'")
+    assert(ids(gated) == ids(graft.operators.Corpus.sampleExactN(
+      docs.filter(org.apache.spark.sql.functions.col("lang") === "en"),
+      "doc_id", 8)))
+    assert(!gated.columns.contains("text"))
+    // rerun-stable under any partitioning
+    assert(ids(ZxSql.run(docs.repartition(7), "select sample exact 10")) == ten)
+    // guards + streaming rejection (a global rank needs a bounded frame)
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select sample exact 0"))
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select sample exact 99999999"))
+    val sdir = java.nio.file.Files.createTempDirectory("graft-sex-st").toString
+    docs.write.mode("overwrite").parquet(sdir)
+    val st = spark.readStream.schema(docs.schema).parquet(sdir)
+    val e = intercept[ZxSql.ParseError](ZxSql.runStream(st, "select sample exact 5"))
+    assert(e.getMessage.contains("GLOBAL rank"))
+  }
+
   test("expression measures parse: precedence, parens, unary minus, aliases (round 12)") {
     import MeasureExpr._
     val q = ZxSql.parse(
