@@ -241,6 +241,14 @@ class PlanSpec extends AnyFunSuite {
       s"a read-only probe never joins — centroids are driver-held:\n$p")
   }
 
+  test("p66 sample exact: per-partition TakeOrdered, no global sort or shuffle (round 13)") {
+    val p = plan("p66_sql_sample_exact")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the exact cut must be per-partition top-n, never a global sort:\n$p")
+    assert(!p.contains("Exchange") && !"(?<!TakeOrdered)Sort".r.findFirstIn(p).isDefined,
+      s"exact sampling must stay scan-stage work:\n$p")
+  }
+
   test("IVF-PQ probe prunes cell partitions and stays exchange-free") {
     val p = plan("s9_ivfpq_knn")
     assert(p.contains("PartitionFilters") && p.contains("cell"),

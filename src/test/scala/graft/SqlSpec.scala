@@ -1431,6 +1431,11 @@ class SqlSpec extends AnyFunSuite {
     val eU = intercept[ZxSql.ParseError](ZxSql.runStream(st,
       "select doc_id union select doc_id"))
     assert(eU.getMessage.contains("BOUNDED"))
+    // …and the JSON-result streaming face rejects compounds with the
+    // same words, not a generic trailing-input error
+    val eJ = intercept[ZxSql.ParseError](ZxSql.runStreamJson(st,
+      "select count(*) group by lang union select count(*) group by lang")(_ => ()))
+    assert(eJ.getMessage.contains("BOUNDED"))
   }
 
   test("composite-key asof/trailing joins: struct-key parity and guards (round 13)") {
