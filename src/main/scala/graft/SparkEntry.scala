@@ -3030,6 +3030,48 @@ object SparkEntry {
     graft.sql.ZxSql.run(Tables.documents(s, dir),
       "select sample exact 300 where lang != 'zh'")
 
+  /** p67: CTEs at the front door — `with` names two statement-level
+    * frames: a set-op UNION body (a compound INSIDE the CTE, which a
+    * derived table cannot spell) and an aggregate body reading the
+    * first CTE (per-key totals via the derived-table-inner rule); the
+    * main statement gates the second CTE's output. DuckDB replays the
+    * WITH natively. */
+  private def p67SqlCte(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.runCatalog(Map("documents" -> Tables.documents(s, dir)),
+      "with merged as (" +
+        "select doc_id, source, n_chars from documents where n_chars > 300 " +
+        "union " +
+        "select doc_id, source, n_chars from documents where source = 'src1'), " +
+        "per_src as (select count(*) as n, sum(n_chars) as chars " +
+        "from merged group by source) " +
+        "select source, n, chars from per_src where n > 5 order by source")
+      .select(col("source"), round3("n"), round3("chars"))
+
+  /** p68: analytic window functions + QUALIFY — the dedup-keep-best
+    * primitive: top-2 longest docs per (lang, source), ranked by a
+    * row_number with a unique tiebreak (total order ⇒ deterministic
+    * cut), filtered by `qualify rn <= 2`, which Spark rewrites to
+    * per-partition WindowGroupLimit (each input partition forwards ≤ k
+    * rows per group to the ONE window exchange — the 100 TB-safe
+    * top-N-per-group). DuckDB replays with native QUALIFY. */
+  private def p68SqlWindowQualify(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select doc_id, lang, source, n_chars, " +
+        "row_number() over (partition by lang, source " +
+        "order by n_chars desc, doc_id) as rn " +
+        "where n_chars > 100 qualify rn <= 2 order by lang, source, rn")
+
+  /** p69: lag/lead offsets — previous/next value per user in event-time
+    * order (the session-delta primitive). Both items share one window
+    * spec, so Catalyst collapses them into ONE Window operator behind
+    * ONE exchange on user_id (PlanSpec-pinned). */
+  private def p69SqlLagLead(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir),
+      "select event_id, user_id, value, " +
+        "lag(value) over (partition by user_id order by ts, event_id) as prev_value, " +
+        "lead(value) over (partition by user_id order by ts, event_id) as next_value " +
+        "where value >= 1 order by user_id, event_id limit 500")
+
   /** p57: the sampling face on a NON-document table — `key event_id`
     * points the md5 coin at the events table's stable id, so
     * deterministic trace-sampling ("keep 10% of events, reproducibly")
@@ -3436,6 +3478,29 @@ object SparkEntry {
       "emb_index" -> s.read.parquet(path),
       "emb_index_centroids" -> cents.toDF("cid", "centroid")),
       "select knn using emb_index top 10 query 0 probe 2 from embeddings")
+  }
+
+  /** p70: the IVF-PQ index probed from the FRONT DOOR — `knn using` a
+    * catalog-resolved index whose rows carry PQ residual codes: the face
+    * detects the codes column, resolves the codebook table
+    * (`<index>_books`, the booksToDF artifact) next to the centroids,
+    * and runs the ADC scan (LUT lookups inside the cell-pruned read, no
+    * dot products) + exact re-rank of the 100-row shortlist. Same
+    * parameters as s9_ivfpq_knn, so the rows share the full-replay
+    * oracle verbatim — billion-scale ANN reads, no training, no silent
+    * brute-force. */
+  private def p70SqlKnnPqIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (path, cents, books) = ensureIvfPqIndex(s, dir)
+    graft.sql.ZxSql.runCatalog(Map(
+      "embeddings" -> Tables.embeddings(s, dir),
+      "pq_index" -> s.read.parquet(path),
+      "pq_index_centroids" -> cents.toDF("cid", "centroid"),
+      "pq_index_books" -> graft.operators.Similarity.booksToDF(s, books)),
+      "select knn using pq_index top 10 query 0 probe 2 shortlist 100 " +
+        "from embeddings")
+      .select(col("vec_id"), col("label"),
+        col("cell").cast(IntegerType).as("cell"), col("adc"), col("cos"))
   }
 
   /** p65: INDEX-BACKED MMR — `mmr using <index>`: the diverse re-rank's
@@ -4160,6 +4225,9 @@ object SparkEntry {
     "p64_sql_intersect" -> (p64SqlIntersect _),
     "p61_sql_asof_composite" -> (p61SqlAsofComposite _),
     "p62_sql_full_outer" -> (p62SqlFullOuter _),
+    "p67_sql_cte" -> (p67SqlCte _),
+    "p68_sql_window_qualify" -> (p68SqlWindowQualify _),
+    "p69_sql_lag_lead" -> (p69SqlLagLead _),
     "p48_sql_lmscore" -> (p48SqlLmScore _),
     "st_lmscore" -> (stLmScore _),
     "st_sample" -> (stSample _),
@@ -4193,6 +4261,7 @@ object SparkEntry {
     "s4_ivf_build" -> (s4IvfBuild _),
     "s4_ivf_knn" -> (s4IvfKnn _),
     "p58_sql_knn_index" -> (p58SqlKnnIndex _),
+    "p70_sql_knn_pq_index" -> (p70SqlKnnPqIndex _),
     "p65_sql_mmr_index" -> (p65SqlMmrIndex _),
     "s5_quant_knn" -> (s5QuantKnn _),
     "s6_batch_knn" -> (s6BatchKnn _),
@@ -4559,6 +4628,44 @@ object SparkEntry {
        |  FROM cent2 c, q) WHERE rn <= 2)
        |SELECT e.vec_id, e.label, a.cell, round($cos, 6) AS cos
        |FROM e JOIN as2 a USING (vec_id) JOIN qsel ON a.cell = qsel.cid, q
+       |ORDER BY $cos DESC, e.vec_id
+       |LIMIT 10""".stripMargin
+  }
+
+  /** s9's oracle — the full IVF-PQ replay: coarse train (duckIvfTrainCtes:
+    * e/cent2/as2) → per-row residuals → PQ train+encode over them
+    * (p-prefixed CTEs) → probe-cell selection (same dot-ranked rule as
+    * s4) → per-cell query-residual ADC, folded in subspace order →
+    * top-100 shortlist → exact re-rank. Every stage mirrors the Spark
+    * arithmetic exactly. Shared verbatim by `p70_sql_knn_pq_index` (the
+    * SQL face probing the same materialized index). */
+  private lazy val s9IvfPqOracleSql: String = {
+    val cos = s"${duckIvfDot("e.v", "q.qv")} / (sqrt(${duckIvfDot("e.v", "e.v")}) * sqrt(${duckIvfDot("q.qv", "q.qv")}))"
+    s"""WITH $duckIvfTrainCtes,
+       |res AS (SELECT e.vec_id, list_transform(range(1, 65), i -> e.v[i] - c.cv[i]) AS rv
+       |  FROM e JOIN as2 a USING (vec_id) JOIN cent2 c ON a.cell = c.cid),
+       |${duckPqTrainCtes("res", "rv", "p")},
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |qsel AS (SELECT cid FROM (SELECT c.cid,
+       |    row_number() OVER (ORDER BY ${duckIvfDot("c.cv", "q.qv")} DESC, c.cid) AS rn
+       |  FROM cent2 c, q) WHERE rn <= 2),
+       |qr AS (SELECT c.cid AS cell, list_transform(range(1, 65), i -> q.qv[i] - c.cv[i]) AS rv
+       |  FROM cent2 c JOIN qsel ON c.cid = qsel.cid, q),
+       |qrs AS (SELECT cell, j, list_slice(rv, j*4 + 1, j*4 + 4) AS qsv
+       |  FROM qr CROSS JOIN (SELECT unnest(range(0, 16)) AS j)),
+       |padc AS (SELECT vec_id, list_reduce(list(s ORDER BY j), (acc, x) -> acc + x) AS adc
+       |  FROM (SELECT a.vec_id, a.j, ${duckPqDot("r.qsv", "c.cv")} AS s
+       |    FROM pas1 a
+       |    JOIN as2 o ON a.vec_id = o.vec_id
+       |    JOIN qrs r ON r.cell = o.cell AND r.j = a.j
+       |    JOIN pcb1 c ON c.j = a.j AND c.cid = a.code)
+       |  GROUP BY vec_id),
+       |sl AS (SELECT vec_id, adc FROM (
+       |  SELECT vec_id, adc, row_number() OVER (ORDER BY adc DESC, vec_id) AS rn
+       |  FROM padc) WHERE rn <= 100)
+       |SELECT e.vec_id, e.label, o.cell::INT AS cell,
+       |  round(sl.adc, 6) AS adc, round($cos, 6) AS cos
+       |FROM sl JOIN e USING (vec_id) JOIN as2 o USING (vec_id), q
        |ORDER BY $cos DESC, e.vec_id
        |LIMIT 10""".stripMargin
   }
@@ -5493,6 +5600,34 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     "p59_sql_distinct" ->
       "SELECT DISTINCT lang, source FROM documents WHERE n_chars > 200",
+    "p68_sql_window_qualify" ->
+      // native QUALIFY; Spark row_number is INT (DuckDB's is BIGINT)
+      """SELECT doc_id, lang, source, n_chars,
+        |  CAST(row_number() OVER (PARTITION BY lang, source
+        |    ORDER BY n_chars DESC, doc_id) AS INT) AS rn
+        |FROM documents WHERE n_chars > 100
+        |QUALIFY rn <= 2 ORDER BY lang, source, rn""".stripMargin,
+    "p69_sql_lag_lead" ->
+      // one shared window spec; ts order replays identically on the raw
+      // parquet timestamp (same total order under the UTC normalization)
+      """SELECT event_id, user_id, value,
+        |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+        |  lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+        |FROM events WHERE value >= 1
+        |ORDER BY user_id, event_id LIMIT 500""".stripMargin,
+    "p67_sql_cte" ->
+      // the same WITH, replayed natively; engine counts/sums are weighted
+      // DOUBLEs and the group key renders as the output column
+      """WITH merged AS (
+        |  SELECT doc_id, source, n_chars FROM documents WHERE n_chars > 300
+        |  UNION
+        |  SELECT doc_id, source, n_chars FROM documents WHERE source = 'src1'),
+        |per_src AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(coalesce(n_chars, 0)) AS DOUBLE) AS chars
+        |  FROM merged GROUP BY source)
+        |SELECT source, round(n, 3) AS n, round(chars, 3) AS chars
+        |FROM per_src WHERE n > 5 ORDER BY source""".stripMargin,
     "p63_sql_except" ->
       """SELECT doc_id, source FROM documents WHERE n_chars > 300
         |EXCEPT
@@ -6571,41 +6706,11 @@ object SparkEntry {
          |${duckPqTrainCtes("e", "v", "")}
          |SELECT j::INT AS j, code::INT AS code, count(*)::BIGINT AS n
          |FROM as1 GROUP BY 1, 2""".stripMargin,
-    "s9_ivfpq_knn" -> {
-      // full IVF-PQ replay: coarse train (duckIvfTrainCtes: e/cent2/as2)
-      // → per-row residuals → PQ train+encode over them (p-prefixed CTEs)
-      // → probe-cell selection (same dot-ranked rule as s4) → per-cell
-      // query-residual ADC, folded in subspace order → top-100 shortlist
-      // → exact re-rank. Every stage mirrors the Spark arithmetic exactly.
-      val cos = s"${duckIvfDot("e.v", "q.qv")} / (sqrt(${duckIvfDot("e.v", "e.v")}) * sqrt(${duckIvfDot("q.qv", "q.qv")}))"
-      s"""WITH $duckIvfTrainCtes,
-         |res AS (SELECT e.vec_id, list_transform(range(1, 65), i -> e.v[i] - c.cv[i]) AS rv
-         |  FROM e JOIN as2 a USING (vec_id) JOIN cent2 c ON a.cell = c.cid),
-         |${duckPqTrainCtes("res", "rv", "p")},
-         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-         |qsel AS (SELECT cid FROM (SELECT c.cid,
-         |    row_number() OVER (ORDER BY ${duckIvfDot("c.cv", "q.qv")} DESC, c.cid) AS rn
-         |  FROM cent2 c, q) WHERE rn <= 2),
-         |qr AS (SELECT c.cid AS cell, list_transform(range(1, 65), i -> q.qv[i] - c.cv[i]) AS rv
-         |  FROM cent2 c JOIN qsel ON c.cid = qsel.cid, q),
-         |qrs AS (SELECT cell, j, list_slice(rv, j*4 + 1, j*4 + 4) AS qsv
-         |  FROM qr CROSS JOIN (SELECT unnest(range(0, 16)) AS j)),
-         |padc AS (SELECT vec_id, list_reduce(list(s ORDER BY j), (acc, x) -> acc + x) AS adc
-         |  FROM (SELECT a.vec_id, a.j, ${duckPqDot("r.qsv", "c.cv")} AS s
-         |    FROM pas1 a
-         |    JOIN as2 o ON a.vec_id = o.vec_id
-         |    JOIN qrs r ON r.cell = o.cell AND r.j = a.j
-         |    JOIN pcb1 c ON c.j = a.j AND c.cid = a.code)
-         |  GROUP BY vec_id),
-         |sl AS (SELECT vec_id, adc FROM (
-         |  SELECT vec_id, adc, row_number() OVER (ORDER BY adc DESC, vec_id) AS rn
-         |  FROM padc) WHERE rn <= 100)
-         |SELECT e.vec_id, e.label, o.cell::INT AS cell,
-         |  round(sl.adc, 6) AS adc, round($cos, 6) AS cos
-         |FROM sl JOIN e USING (vec_id) JOIN as2 o USING (vec_id), q
-         |ORDER BY $cos DESC, e.vec_id
-         |LIMIT 10""".stripMargin
-    },
+    "s9_ivfpq_knn" -> s9IvfPqOracleSql,
+    // p70 probes the SAME materialized IVF-PQ index with the same
+    // parameters through the SQL face, so the identity claim is
+    // hash-checked against the full replay verbatim
+    "p70_sql_knn_pq_index" -> s9IvfPqOracleSql,
     "s10_recall_audit" -> {
       // full-stack recall replay: ONE statement re-derives every index
       // (IVF train, raw-PQ train 'r', residual-PQ train 'p' — the same

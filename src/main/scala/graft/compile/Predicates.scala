@@ -47,6 +47,27 @@ object Predicates {
     // try_cast philosophy; the reference panics, lib.rs:443-444)
     def numV: Column = cond.value.toDoubleOption
       .map(lit).getOrElse(lit(null).cast(DoubleType))
+    // INTEGRAL columns with an exactly-integral literal compare in the
+    // COLUMN'S OWN type, so the bound pushes into the Parquet scan
+    // (row-group min/max pruning + filter pushdown). The double view
+    // would wrap the column in an implicit cast — unpushable, and lossy
+    // above 2^53 where native comparison also matches the oracle
+    // exactly. A literal outside the column type's range keeps the
+    // double path (row-wise correct; such a bound selects all-or-none
+    // rows anyway).
+    def nativeIntCmp: Option[(Column, Column)] = fieldType.flatMap {
+      case t @ (ByteType | ShortType | IntegerType | LongType) =>
+        cond.value.toLongOption.flatMap { v =>
+        val fits = t match {
+          case ByteType    => v >= Byte.MinValue && v <= Byte.MaxValue
+          case ShortType   => v >= Short.MinValue && v <= Short.MaxValue
+          case IntegerType => v >= Int.MinValue && v <= Int.MaxValue
+          case _           => true
+        }
+        if (fits) Some((c, lit(v).cast(t))) else None
+      }
+      case _ => None
+    }
     // Temporal columns take DATE / DATETIME literals ('1995-03-15',
     // '1995-03-15 10:30:00') on the range comparators, compared in the
     // COLUMN'S OWN type so the bound pushes into the Parquet scan:
@@ -74,25 +95,28 @@ object Predicates {
     def numLit: Option[Double] = cond.value.toDoubleOption
     def eqC: Column = fieldType match {
       case Some(_: NumericType) =>
-        numLit.map(v => c === lit(v)).getOrElse(lit(false))
+        nativeIntCmp.map { case (a, b) => a === b }.getOrElse(
+          numLit.map(v => c === lit(v)).getOrElse(lit(false)))
       case Some(StringType) | None => c === lit(cond.value)
       case _                       => c.cast(StringType) === lit(cond.value)
     }
     def neC: Column = fieldType match {
       case Some(_: NumericType) =>
         // every present value differs from an unparseable literal
-        numLit.map(v => c =!= lit(v)).getOrElse(c.isNotNull)
+        nativeIntCmp.map { case (a, b) => a =!= b }.getOrElse(
+          numLit.map(v => c =!= lit(v)).getOrElse(c.isNotNull))
       case Some(StringType) | None => c =!= lit(cond.value)
       case _                       => c.cast(StringType) =!= lit(cond.value)
     }
+    def rangeCmp: Option[(Column, Column)] = temporalCmp.orElse(nativeIntCmp)
 
     cond.cmp match {
       case Cmp.Eq            => eqC
       case Cmp.Ne            => neC
-      case Cmp.Gt            => temporalCmp.map { case (a, b) => a > b }.getOrElse(numC > numV)
-      case Cmp.Lt            => temporalCmp.map { case (a, b) => a < b }.getOrElse(numC < numV)
-      case Cmp.Gte           => temporalCmp.map { case (a, b) => a >= b }.getOrElse(numC >= numV)
-      case Cmp.Lte           => temporalCmp.map { case (a, b) => a <= b }.getOrElse(numC <= numV)
+      case Cmp.Gt            => rangeCmp.map { case (a, b) => a > b }.getOrElse(numC > numV)
+      case Cmp.Lt            => rangeCmp.map { case (a, b) => a < b }.getOrElse(numC < numV)
+      case Cmp.Gte           => rangeCmp.map { case (a, b) => a >= b }.getOrElse(numC >= numV)
+      case Cmp.Lte           => rangeCmp.map { case (a, b) => a <= b }.getOrElse(numC <= numV)
       case Cmp.Exists        => c.isNotNull
       case Cmp.NotExists     => c.isNull
       case Cmp.StartsWith    => strC.startsWith(cond.value)

@@ -328,9 +328,18 @@ object SeqOp {
     * vector resolves by id from the gated FROM frame; WHERE also gates
     * the index scan (filtered ANN, the s12 shape). SQL:
     * `select knn using <index> [centroids <table>] [top <k>]
-    *  [query <vecId>] [probe <n>] [from <emb>] [where …]`. */
+    *  [query <vecId>] [probe <n>] [from <emb>] [where …]`.
+    * An IVF-PQ index (rows carry residual `codes` — the ivfPqWriteIndex
+    * artifact) resolves through the same clause: the probe detects the
+    * codes column, additionally resolves the codebook table (`books
+    * <table>`; None → `<index>_books`, the booksToDF artifact) and runs
+    * the ADC scan + exact re-rank of a `shortlist <n>` (default 100)
+    * instead of full-vector cosine over the pruned cells. books/
+    * shortlist on a plain IVF index (or the brute face) fail loudly. */
   final case class KnnIndex(index: String, centroids: Option[String],
-                            topK: Int, queryId: Long, nProbe: Int) extends SeqOp
+                            topK: Int, queryId: Long, nProbe: Int,
+                            books: Option[String] = None,
+                            shortlist: Option[Int] = None) extends SeqOp
   /** MMR diverse re-rank (s13) over an embeddings frame, default
     * 0.7/0.3 weights. SQL:
     * `select mmr [top <k>] [query <vecId>] [shortlist <n>] [where …]`. */
@@ -614,4 +623,35 @@ final case class ZxQuery(
       * corpus-slice composition needs next to `union`. Raw-projection
       * queries only (parse-guarded); ORDER BY / LIMIT apply AFTER the
       * dedup. Batch-only (a streaming distinct is unbounded state). */
-    distinctRows: Boolean = false)
+    distinctRows: Boolean = false,
+    /** Analytic window functions (extension, p68):
+      * `row_number()/rank()/dense_rank()/lag(col[,n])/lead(col[,n])
+      * over (partition by … order by …) as name`. Raw-projection queries
+      * only; `partition by` is REQUIRED (an unpartitioned window is a
+      * single-partition global sort — the curriculum operator is the
+      * scale path for global ranks); exactly ONE exchange on the
+      * partition keys serves every window item sharing that partition
+      * list. Batch-only. */
+    winSelects: Seq[WinSelect] = Nil,
+    /** Output column names in select-list order when [[winSelects]] is
+      * non-empty (raw names and window aliases interleave — the windowed
+      * projection re-orders by this). */
+    winOutOrder: Seq[String] = Nil,
+    /** `qualify <boolexpr>` (extension): the post-window row filter —
+      * SQL's "keep rank 1 of each group" primitive (dedup-keep-best).
+      * Binds window aliases and selected columns; requires
+      * [[winSelects]]. Same condition-tree grammar as WHERE, evaluated
+      * AFTER the window projection (never pushed into the scan). */
+    qualify: Option[ConditionTree] = None)
+
+/** One analytic window select item — see [[ZxQuery.winSelects]].
+  * `offset` applies to lag/lead only (default 1). `orderBy` is required
+  * at parse: every supported function is order-sensitive and an
+  * unordered rank would be partitioning luck. */
+final case class WinSelect(
+    func: String,
+    arg: Option[String],
+    offset: Int,
+    partitionBy: Seq[String],
+    orderBy: Seq[(String, SortDir)],
+    alias: String)

@@ -463,7 +463,22 @@ object Similarity {
                  cents: Seq[(Int, Seq[Double])],
                  books: Seq[Seq[(Int, Seq[Double])]], queryVec: Seq[Double],
                  k: Int, nProbe: Int = 2, shortlist: Int = 100,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfPqProbeFrame(spark.read.parquet(path), cents, books, queryVec, k,
+      nProbe, shortlist, idCol, vecCol)
+
+  /** [[ivfPqProbe]] over an already-resolved index FRAME — the form the
+    * SQL face needs (`knn using <pq-index>`; its catalog holds
+    * DataFrames, not paths). Planning-time cell pruning still applies
+    * when the frame reads a cell-partitioned write (the property belongs
+    * to the frame's partition column). `where` is the filtered-ANN
+    * metadata gate, applied INSIDE the pruned scan BEFORE the ADC top-k
+    * (post-filtering a k-list would return fewer than k). */
+  def ivfPqProbeFrame(index: DataFrame, cents: Seq[(Int, Seq[Double])],
+                      books: Seq[Seq[(Int, Seq[Double])]], queryVec: Seq[Double],
+                      k: Int, nProbe: Int = 2, shortlist: Int = 100,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      where: Column = lit(true)): DataFrame = {
     require(shortlist >= k, s"ivfPqProbe: shortlist $shortlist must be >= k=$k")
     // the per-cell LUTs ride in the plan: nProbe × Σ|book_j| double slots
     requireCentroidBudget(nProbe.toLong * books.map(_.size.toLong).sum, 1L,
@@ -478,8 +493,9 @@ object Similarity {
       case (acc, (c, e)) => acc.when(col("cell") === c, e)
     }
     val qn = math.sqrt(foldDot(queryVec, queryVec))
-    spark.read.parquet(path)
+    index
       .filter(col("cell").isin(probe: _*))
+      .filter(where)
       .withColumn("adc", adcCase)
       .orderBy(col("adc").desc, col(idCol).asc)
       .limit(shortlist)
@@ -488,6 +504,47 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
       .drop(vecCol, "codes")
+  }
+
+  /** PQ codebooks as a CATALOG table — one row per (subspace, code) with
+    * its sub-centroid: the persistable build artifact the SQL face
+    * resolves for `knn using <pq-index>` (the codebook analogue of
+    * [[writeCentroids]]). Round-trips through [[collectBooks]]. */
+  def booksToDF(spark: org.apache.spark.sql.SparkSession,
+                books: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.map { case (code, cent) => (j, code, cent) }
+    }.toDF("j", "code", "centroid")
+  }
+
+  /** Collect a (j, code, centroid) codebook TABLE back to the driver-held
+    * form the ADC planners take — budget-gated like every centroid
+    * collect, schema-checked loudly (the SQL face resolves this from a
+    * user-named table). Subspaces must be dense 0..m-1; codes sort
+    * within each subspace. */
+  def collectBooks(booksDf: DataFrame): Seq[Seq[(Int, Seq[Double])]] = {
+    val cols = booksDf.columns.toSet
+    require(Set("j", "code", "centroid").subsetOf(cols),
+      s"collectBooks: expected columns (j, code, centroid) — the " +
+        s"booksToDF artifact — got ${booksDf.columns.mkString(", ")}")
+    val n = booksDf.limit(MaxCentroidSlots.toInt + 1).count()
+    requireCentroidBudget(n, 1L, "collectBooks")
+    val rows = booksDf.select(
+        col("j").cast(org.apache.spark.sql.types.IntegerType),
+        col("code").cast(org.apache.spark.sql.types.IntegerType),
+        toDouble(col("centroid")))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toIndexedSeq))
+    require(rows.nonEmpty, "collectBooks: codebook table is empty")
+    requireCentroidBudget(rows.size.toLong, rows.head._3.size.toLong,
+      "collectBooks")
+    val byJ = rows.groupBy(_._1)
+    val m = byJ.keySet.max + 1
+    require(byJ.keySet == (0 until m).toSet,
+      s"collectBooks: subspaces must be dense 0..${m - 1}, got " +
+        byJ.keySet.toSeq.sorted.mkString(", "))
+    (0 until m).map(j => byJ(j).sortBy(_._2).map(r => (r._2, r._3: Seq[Double])))
   }
 
   /** Materialize the IVF index as a CELL-PARTITIONED parquet table — the

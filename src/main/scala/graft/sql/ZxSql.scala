@@ -9,11 +9,16 @@ import graft.operators.GapWindows
   * expr.rs:106-230) as a hand-rolled recursive-descent parser to [[ZxQuery]].
   *
   * Accepted subset (reference-parity, lowercased like lib.rs:818-820):
+  *   [with <name> as (<statement>) [, <name> as (…)]*]   — CTEs; each
+  *     body is a full statement (set ops included), later CTEs and the
+  *     main statement see earlier ones by name (runCatalog only: CTEs
+  *     resolve tables by NAME; run(df, …)/streams reject it loudly)
   *   select [distinct] <item, …> [from <table> | from (select …)]
   *   [where <boolexpr>]
   *   [asof|trailing join <t> on k = rk [and k2 = rk2 …] at tl >= tr …]
   *   [[left|right|full] join <t|(select …)> on k = rk [and …]]*
   *   [group by [rollup|cube|sets] <col, …>] [having <aggitem cmp num and …>]
+  *   [qualify <boolexpr over window aliases + selected cols>]
   *   [order by <item> [asc|desc], …]
   *   [limit <n> [per <col>]] [granularity <seconds>] [slide <seconds>]
   *   [session <gapSeconds>] [salt <n>] [exact]
@@ -27,6 +32,13 @@ import graft.operators.GapWindows
   * where item := col | count|sum|max|min|count_distinct|mean|p50|heatmap
   *               |approx_count_distinct|p50_approx(col) | count(*)
   *               | agg(measure-expr) as name | agg(col) as name
+  *               | row_number|rank|dense_rank() over (partition by <col, …>
+  *                 order by <col [asc|desc], …>) as name
+  *               | lag|lead(col [, n]) over (…) as name
+  *                 (analytic window items — raw-projection queries only;
+  *                 partition by AND order by are required; `qualify`
+  *                 filters the windowed frame: dedup-keep-best is
+  *                 `qualify rn = 1`)
   * and measure-expr := arithmetic over columns and numeric literals with
   * `+ - * /`, parens, unary minus (standard precedence; `/` is
   * null-on-zero-divisor on both engines) — `sum(price * (1 - discount))
@@ -685,6 +697,17 @@ object ZxSql {
                 "trained-centroid table — brute-force knn has no index")
             next(); centTable = Some(ident())
           }
+          // `books <table>` / `shortlist <n>`: the IVF-PQ probe's extra
+          // resolution (codebooks) and ADC-rescue width — only meaningful
+          // against a `using` index whose rows carry codes (checked at
+          // compile, where the frame's schema is known)
+          var booksTable: Option[String] = None
+          if (atIdent("books")) {
+            if (index.isEmpty)
+              throw ParseError("books names a `knn using <index>`'s PQ " +
+                "codebook table — brute-force knn has no index")
+            next(); booksTable = Some(ident())
+          }
           var topK = 10; var qid = 0L
           if (atIdent("top")) { next(); topK = parseLong(num("top count"), "top count").toInt }
           if (atIdent("query")) { next(); qid = parseLong(num("query id"), "query id") }
@@ -694,13 +717,24 @@ object ZxSql {
             next(); nProbe = parseLong(num("probe cells"), "probe cells").toInt
             probeSet = true
           }
+          var shortlist: Option[Int] = None
+          if (atIdent("shortlist")) {
+            if (index.isEmpty)
+              throw ParseError("shortlist sizes a PQ index probe's ADC " +
+                "rescue — brute-force knn is already exact")
+            next()
+            shortlist = Some(parseLong(num("shortlist size"), "shortlist size").toInt)
+          }
           if (topK < 1) throw ParseError(s"knn top must be ≥ 1, got $topK")
+          shortlist.filter(_ < topK).foreach(sl => throw ParseError(
+            s"knn needs shortlist ≥ top, got $sl/$topK"))
           if (index.isEmpty && probeSet)
             throw ParseError("probe widens a `knn using <index>` scan — " +
               "brute-force knn always scans everything")
           if (nProbe < 1) throw ParseError(s"knn probe must be ≥ 1, got $nProbe")
           index match {
-            case Some(ix) => SeqOp.KnnIndex(ix, centTable, topK, qid, nProbe)
+            case Some(ix) => SeqOp.KnnIndex(ix, centTable, topK, qid, nProbe,
+              booksTable, shortlist)
             case None     => SeqOp.Knn(topK, qid)
           }
         case "mmr" =>
@@ -956,8 +990,71 @@ object ZxSql {
     }
 
     val seqOp: Option[SeqOp] = if (atSeqOp) Some(seqOpClause()) else None
+    // Analytic window items (extension, p68): intercepted at the head of
+    // each select-list entry — the five names are not aggregates, so the
+    // grammar stays conflict-free. `partition by` is REQUIRED (an
+    // unpartitioned window is a one-partition global sort; exact global
+    // ranks are the curriculum operator's job) and so is `order by`
+    // (every supported function is order-sensitive).
+    val winFuncNames = Set("row_number", "rank", "dense_rank", "lag", "lead")
+    val winBuf = Seq.newBuilder[WinSelect]
+    val outOrderBuf = Seq.newBuilder[String]
+    def winSelect(): WinSelect = {
+      val f = ident(); expectSym("(")
+      var arg: Option[String] = None; var off = 1
+      if (f == "lag" || f == "lead") {
+        arg = Some(ident())
+        if (peek.contains(Sym(","))) {
+          next(); off = parseLong(num("offset"), "offset").toInt
+          if (off < 1) throw ParseError(s"$f offset must be ≥ 1, got $off")
+        }
+      } else if (!peek.contains(Sym(")")))
+        throw ParseError(s"$f() takes no arguments")
+      expectSym(")")
+      expectIdent("over"); expectSym("(")
+      var parts = Seq.empty[String]
+      if (atIdent("partition")) { next(); expectIdent("by"); parts = commaList(ident _) }
+      if (parts.isEmpty)
+        throw ParseError(s"$f over (…) needs `partition by` — an " +
+          "unpartitioned window moves every row to ONE partition for a " +
+          "global sort; for exact global ranks use `curriculum` " +
+          "(histogram-partitioned, no global sort)")
+      if (!atIdent("order"))
+        throw ParseError(s"$f over (…) needs `order by` — an unordered " +
+          "rank/offset is partitioning luck (add a unique tiebreak " +
+          "column for a total order)")
+      next(); expectIdent("by")
+      val obs = commaList { () =>
+        val c = ident()
+        val d =
+          if (atIdent("desc")) { next(); SortDir.Desc }
+          else { if (atIdent("asc")) next(); SortDir.Asc }
+        (c, d)
+      }
+      expectSym(")")
+      if (!atIdent("as"))
+        throw ParseError("window selects need `as <name>` — the " +
+          "rank/offset column has no canonical name")
+      next()
+      WinSelect(f, arg, off, parts, obs, ident())
+    }
     val entries: Seq[Either[Select, PostSelect]] =
-      if (seqOp.isDefined) Nil else commaList(() => selectEntry())
+      if (seqOp.isDefined) Nil
+      else commaList { () =>
+        (peek match {
+          case Some(Ident(f)) if winFuncNames(f) &&
+              toks.lift(pos + 1).contains(Sym("(")) =>
+            val w = winSelect(); winBuf += w; outOrderBuf += w.alias
+            None
+          case _ =>
+            val e = selectEntry()
+            outOrderBuf += (e match {
+              case Left(s) => s.key; case Right(p) => p.alias })
+            Some(e)
+        }): Option[Either[Select, PostSelect]]
+      }.flatten
+    val winSelects = winBuf.result()
+    val winOutOrder = if (winSelects.isEmpty) Nil else outOrderBuf.result()
     val selects = entries.collect { case Left(s) => s }
     val postSelects = entries.collect { case Right(p) => p }
     // output-name discipline: post aliases must not shadow a select item's
@@ -1213,6 +1310,23 @@ object ZxSql {
       having = buf.result()
     }
 
+    // QUALIFY (extension, p68): the post-window row filter — binds window
+    // aliases and selected columns, evaluated AFTER the window projection
+    // (dedup-keep-best: `qualify rn = 1`). Same condition grammar as
+    // WHERE; subqueries have no meaning post-window and are rejected.
+    var qualifyTree: Option[ConditionTree] = None
+    if (atIdent("qualify")) {
+      next()
+      val t = orExpr()
+      if (containsSubquery(t) || containsScalarSub(t))
+        throw ParseError("qualify filters the WINDOWED frame — " +
+          "subqueries belong in WHERE (they gate the scan)")
+      if (ConditionTree.columns(t).exists(c => c == "$t_start" || c == "$t_end"))
+        throw ParseError("$t_start/$t_end are the scan's time range — " +
+          "they belong in WHERE, not qualify")
+      qualifyTree = Some(t)
+    }
+
     var orderBy = Seq.empty[OrderBy]
     if (atIdent("order")) {
       next(); expectIdent("by")
@@ -1400,6 +1514,41 @@ object ZxSql {
           "limit — no joins, grouping, windows, or salt")
     }
 
+    // analytic window items: a RAW-frame construct — aggregates have
+    // group by, and every clause that reshapes rows is rejected with a
+    // pointer at the composition that does work (CTE / derived table)
+    if (winSelects.nonEmpty) {
+      if (selects.exists(_.agg != Agg.Raw) || postSelects.nonEmpty ||
+          seqOp.nonEmpty)
+        throw ParseError("window functions project over a RAW frame — " +
+          "aggregates / post-aggregates / sequence ops do not mix; " +
+          "aggregate in a CTE or derived table first")
+      if (groupBy.nonEmpty || having.nonEmpty || subtotals)
+        throw ParseError("window functions take no group by / having — " +
+          "`partition by` IS the grouping; aggregate in a CTE first")
+      if (joinSpec.nonEmpty || equiJoins.nonEmpty)
+        throw ParseError("window functions and join clauses do not mix " +
+          "in one statement — join in a CTE or derived table first")
+      if (sessionGap.nonEmpty || slide.nonEmpty || exactWindows || granSet ||
+          salt.nonEmpty)
+        throw ParseError("window functions are row-anchored — no " +
+          "session / slide / exact / granularity / salt")
+      if (distinctRows)
+        throw ParseError("select distinct and window functions do not " +
+          "mix — dedup in a CTE first (or use qualify over row_number)")
+      if (limitPer.nonEmpty)
+        throw ParseError("limit per IS a window top-k — use `qualify " +
+          "rn <= k` over a row_number item instead")
+      val outNames = selects.map(_.key) ++ winSelects.map(_.alias)
+      if (outNames.distinct.size != outNames.size)
+        throw ParseError("duplicate output column in the windowed select list")
+      winSelects.map(_.alias).find(_.startsWith("__")).foreach(a =>
+        throw ParseError(s"alias '$a' uses the engine-internal prefix __"))
+    }
+    if (qualifyTree.nonEmpty && winSelects.isEmpty)
+      throw ParseError("qualify filters WINDOW columns — without window " +
+        "items in the select list, use where")
+
     // the OUTER level of a derived table runs over an aggregate frame with
     // no timestamp column — every time-anchored construct belongs on the
     // inner query, and saying so beats silently mis-scanning
@@ -1429,7 +1578,8 @@ object ZxSql {
       groupingSets = groupingSets,
       postSelects = postSelects, limitPer = limitPer,
       semiJoins = semiJoins, granSet = granSet,
-      distinctRows = distinctRows), pos)
+      distinctRows = distinctRows, winSelects = winSelects,
+      winOutOrder = winOutOrder, qualify = qualifyTree), pos)
   }
 
   // --------------------------------------------------------------- executor
@@ -1741,7 +1891,18 @@ object ZxSql {
     * unambiguous, and richer compositions nest as separate statements. */
   private def parseCompound(sql: String): Compound = {
     val toks = lex(sql)
-    val (head, p0) = parseTokens(toks, 0, nested = true)
+    val (co, pos) = parseCompoundAt(toks, 0)
+    if (pos < toks.length)
+      throw ParseError(s"trailing input from token $pos: ${toks.drop(pos).take(5)}")
+    co
+  }
+
+  /** Resumable compound parse: one query, then zero or more set-op
+    * branches of ONE operator kind; stops at the first token that is
+    * neither (a closing `)` of a CTE body, more statement, …). Returns
+    * the compound and the resume position. */
+  private def parseCompoundAt(toks: Vector[Tok], start: Int): (Compound, Int) = {
+    val (head, p0) = parseTokens(toks, start, nested = true)
     var pos = p0
     val tail = Seq.newBuilder[(String, ZxQuery)]
     def atOp: Option[String] = toks.lift(pos) match {
@@ -1761,14 +1922,12 @@ object ZxSql {
       tail += ((kind, z)); pos = p2
       op = atOp
     }
-    if (pos < toks.length)
-      throw ParseError(s"trailing input from token $pos: ${toks.drop(pos).take(5)}")
     val branches = tail.result()
     if (branches.map(_._1).distinct.size > 1)
       throw ParseError("set operators do not mix in one statement (" +
         branches.map(_._1).distinct.mkString(" vs ") + ") — chain one " +
         "kind; richer compositions are separate statements")
-    if (branches.isEmpty) return Compound(head, branches, Nil, None)
+    if (branches.isEmpty) return (Compound(head, branches, Nil, None), pos)
     // SQL-standard binding: a trailing ORDER BY / LIMIT after the last
     // branch orders/cuts the COMPOSED result (the grammar parses it into
     // the last branch — lift it out). Branches themselves are BAGS: any
@@ -1795,7 +1954,7 @@ object ZxSql {
           "binds to the COMPOSED result, and a per-branch top-k spells as " +
           "a derived table: select … from (select … order by … limit k)")
     }
-    Compound(head, cleaned, coOrder, coLimit)
+    (Compound(head, cleaned, coOrder, coLimit), pos)
   }
 
   /** A parsed compound statement: `branches` empty means a plain single
@@ -1803,6 +1962,48 @@ object ZxSql {
   private final case class Compound(head: ZxQuery,
                                     branches: Seq[(String, ZxQuery)],
                                     order: Seq[OrderBy], limit: Option[Int])
+
+  /** CTE prefix: `with <name> as (<statement>) [, <name> as (…)]*`.
+    * Each body is a FULL statement (set operators included); later CTEs
+    * and the main statement see earlier ones by name. Returns the
+    * definitions in order plus the resume position (0 names ⇒ no WITH).
+    * Duplicate names are rejected; a CTE may shadow a catalog table
+    * (SQL-standard — the statement-local name wins, like a derived
+    * table's would). */
+  /** Loud guard for the faces that cannot resolve CTEs. */
+  private def rejectWith(sql: String, why: String): Unit =
+    if (lex(sql).headOption.contains(Ident("with")))
+      throw ParseError(s"`with` (CTEs): $why")
+
+  private def parseWithPrefix(toks: Vector[Tok]): (Seq[(String, Compound)], Int) = {
+    if (!toks.headOption.contains(Ident("with"))) return (Nil, 0)
+    var pos = 1
+    val defs = Seq.newBuilder[(String, Compound)]
+    val seen = scala.collection.mutable.Set.empty[String]
+    var more = true
+    while (more) {
+      val name = toks.lift(pos) match {
+        case Some(Ident(n)) => pos += 1; n
+        case other => throw ParseError(s"with: expected a CTE name, got $other")
+      }
+      if (!seen.add(name))
+        throw ParseError(s"with: duplicate CTE name '$name'")
+      if (!toks.lift(pos).contains(Ident("as")))
+        throw ParseError(s"with $name: expected 'as', got ${toks.lift(pos)}")
+      pos += 1
+      if (!toks.lift(pos).contains(Sym("(")))
+        throw ParseError(s"with $name as: expected '(', got ${toks.lift(pos)}")
+      pos += 1
+      val (body, p2) = parseCompoundAt(toks, pos)
+      if (!toks.lift(p2).contains(Sym(")")))
+        throw ParseError(s"with $name: expected ')' closing the CTE body, " +
+          s"got ${toks.lift(p2)}")
+      pos = p2 + 1
+      defs += ((name, body))
+      if (toks.lift(pos).contains(Sym(","))) pos += 1 else more = false
+    }
+    (defs.result(), pos)
+  }
 
   /** Combine compiled set-op branches: identical output schemas required
     * (name AND type, positionally — a silent coercion here would corrupt
@@ -1847,7 +2048,32 @@ object ZxSql {
                  tsCol: String = Compiler.DefaultTsCol,
                  exact: Boolean = false,
                  idCol: Option[String] = None): DataFrame = {
-    val co = parseCompound(sql)
+    val toks = lex(sql)
+    val (ctes, p0) = parseWithPrefix(toks)
+    val (co, p1) = parseCompoundAt(toks, p0)
+    if (p1 < toks.length)
+      throw ParseError(s"trailing input from token $p1: ${toks.drop(p1).take(5)}")
+    // CTEs evaluate in order, each seeing the catalog plus every earlier
+    // CTE (chaining). "Evaluate" is LOGICAL-plan construction only — a CTE
+    // referenced twice repeats its subtree, exactly like a derived table
+    // would; nothing materializes here.
+    val full = ctes.foldLeft(tables) { case (acc, (name, body)) =>
+      acc + (name -> runCompound(acc, body, tsCol, exact, idCol,
+        innerFrame = true))
+    }
+    runCompound(full, co, tsCol, exact, idCol)
+  }
+
+  /** Compile one statement (head + any set-op branches) against a
+    * by-name catalog — the shared engine under [[runCatalog]] and each
+    * CTE body. `innerFrame` marks a statement whose result feeds ANOTHER
+    * statement (a CTE body): an unwindowed aggregate there means per-key
+    * totals (the derived-table-inner rule), never the default tumbling
+    * windows no clause asked for. */
+  private def runCompound(tables: Map[String, DataFrame], co: Compound,
+                          tsCol: String, exact: Boolean,
+                          idCol: Option[String],
+                          innerFrame: Boolean = false): DataFrame = {
     // a derived FROM chains down: the INNERMOST query names the base table
     def baseName(z: graft.ir.ZxQuery): Option[String] =
       z.fromTable.orElse(z.fromSub.flatMap(baseName))
@@ -1858,7 +2084,8 @@ object ZxSql {
         s"unknown from table '$from' — catalog has: " +
           tables.keys.toSeq.sorted.mkString(", ")))
       runParsed(df, z, tsCol, exact, idCol, tables,
-        forceSorted = co.branches.nonEmpty && unwindowedAggBranch(z))
+        forceSorted = (co.branches.nonEmpty || innerFrame) &&
+          unwindowedAggBranch(z))
     }
     if (co.branches.isEmpty) oneBranch(co.head)
     else combineSetOps((co.head +: co.branches.map(_._2)).map(oneBranch), co)
@@ -1876,6 +2103,9 @@ object ZxSql {
   def run(df0: DataFrame, sql: String, tsCol: String = Compiler.DefaultTsCol,
           exact: Boolean = false, idCol: Option[String] = None,
           tables: Map[String, DataFrame] = Map.empty): DataFrame = {
+    rejectWith(sql, "run(df, …) binds the base frame positionally and " +
+      "ignores FROM (reference parity) — CTEs resolve every table by " +
+      "NAME; use runCatalog(tables, sql)")
     val co = parseCompound(sql)
     if (co.branches.isEmpty) runParsed(df0, co.head, tsCol, exact, idCol, tables)
     else combineSetOps((co.head +: co.branches.map(_._2))
@@ -1937,6 +2167,52 @@ object ZxSql {
       d.join(sub,
         Compiler.colRef(sj.column) === org.apache.spark.sql.functions.col("__sq_match"),
         if (sj.anti) "left_anti" else "left_semi")
+    }
+    // analytic window functions (p68): gate (WHERE pushes into the scan),
+    // add every window column — items sharing one partition list share
+    // ONE exchange (Catalyst collapses same-spec Window operators) —
+    // then QUALIFY, then project the select-list order, then ORDER BY /
+    // LIMIT. Spark rewrites a `qualify rn <= k` over row_number into
+    // per-partition WindowGroupLimit, the same 100 TB-safe plan as
+    // `limit per`.
+    if (q.winSelects.nonEmpty) {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{row_number, rank, dense_rank, lag, lead}
+      val base = Compiler.scanFilter(df, q, tsCol)
+      val withWin = q.winSelects.foldLeft(base) { (d, w) =>
+        val ord = w.orderBy.map { case (c, dir) => dir match {
+          case SortDir.Asc  => Compiler.colRef(c).asc
+          case SortDir.Desc => Compiler.colRef(c).desc } }
+        val spec = Window.partitionBy(w.partitionBy.map(Compiler.colRef): _*)
+          .orderBy(ord: _*)
+        val e = w.func match {
+          case "row_number" => row_number()
+          case "rank"       => rank()
+          case "dense_rank" => dense_rank()
+          case "lag"        => lag(Compiler.colRef(w.arg.get), w.offset)
+          case "lead"       => lead(Compiler.colRef(w.arg.get), w.offset)
+          case other => throw ParseError(s"unknown window function '$other'")
+        }
+        d.withColumn(w.alias, e.over(spec))
+      }
+      val qualified = q.qualify.map(t =>
+        withWin.filter(graft.compile.Predicates.compileTree(t, withWin.schema)))
+        .getOrElse(withWin)
+      val projected = qualified.select(q.winOutOrder.map(Compiler.colRef): _*)
+      val sorted =
+        if (q.orderBy.isEmpty) projected
+        else projected.orderBy(q.orderBy.map { ob =>
+          if (ob.select.agg != Agg.Raw)
+            throw ParseError("a windowed query's ORDER BY binds output " +
+              s"COLUMN names, not ${ob.select.agg.name}(...)")
+          if (!q.winOutOrder.contains(ob.select.column))
+            throw ParseError(s"order by '${ob.select.column}' is not in " +
+              s"the windowed output (${q.winOutOrder.mkString(", ")})")
+          ob.dir match {
+            case SortDir.Asc  => Compiler.colRef(ob.select.column).asc
+            case SortDir.Desc => Compiler.colRef(ob.select.column).desc }
+        }: _*)
+      return q.limit.map(sorted.limit).getOrElse(sorted)
     }
     q.seqOp.foreach { op =>
       import org.apache.spark.sql.functions._
@@ -2004,19 +2280,42 @@ object ZxSql {
           // 6dp like the s1 row (float-sum parity band with the replay)
           graft.operators.Similarity.bruteForceKnn(base, queryId = qid, k = k)
             .withColumn("cos", round(col("cos"), 6))
-        case SeqOp.KnnIndex(ixName, centName, k, qid, nProbe) =>
+        case SeqOp.KnnIndex(ixName, centName, k, qid, nProbe, booksT, slOpt) =>
           // READ-ONLY probe of a prebuilt index: no training, no O(corpus)
           // scan — a missing or un-built index fails with words, never a
           // silent brute-force fallback (VERDICT r12 #2). The WHERE gate
           // ALSO prunes the index scan (filtered ANN, the s12 shape):
           // the same predicate tree compiles against the index frame,
-          // INSIDE the cell-pruned read, BEFORE the top-k.
+          // INSIDE the cell-pruned read, BEFORE the top-k. An index whose
+          // rows carry PQ `codes` routes through the ADC scan (LUT
+          // lookups, no dot products) + exact re-rank of the shortlist;
+          // its codebooks resolve like centroids do (`<index>_books`).
           val (ix, cents) = resolveIvfIndex(ixName, centName, tables)
           val qv = queryVecFromBase(base, qid)
           val gatedIx = Compiler.scanFilter(ix, q, tsCol)
-          graft.operators.Similarity.ivfProbeFrame(gatedIx, cents, qv,
-              k = k, nProbe = nProbe)
-            .withColumn("cos", round(col("cos"), 6))
+          if (ix.columns.contains("codes")) {
+            val bn = booksT.getOrElse(ixName + "_books")
+            val booksDf = tables.getOrElse(bn, throw ParseError(
+              s"unknown codebook table '$bn' — a PQ index probe needs " +
+                "its trained codebooks (Similarity.booksToDF artifact); " +
+                "register it in the catalog or name one with `books <table>`"))
+            val books = graft.operators.Similarity.collectBooks(booksDf)
+            graft.operators.Similarity.ivfPqProbeFrame(gatedIx, cents, books,
+                qv, k = k, nProbe = nProbe, shortlist = slOpt.getOrElse(100))
+              .withColumn("adc", round(col("adc"), 6))
+              .withColumn("cos", round(col("cos"), 6))
+          } else {
+            booksT.foreach(_ => throw ParseError(
+              s"'$ixName' has no PQ codes column — `books` applies to " +
+                "IVF-PQ indexes (ivfPqWriteIndex artifacts) only"))
+            slOpt.foreach(_ => throw ParseError(
+              s"'$ixName' has no PQ codes column — `shortlist` sizes the " +
+                "ADC rescue of an IVF-PQ probe; the IVF probe is already " +
+                "exact within its cells"))
+            graft.operators.Similarity.ivfProbeFrame(gatedIx, cents, qv,
+                k = k, nProbe = nProbe)
+              .withColumn("cos", round(col("cos"), 6))
+          }
         case SeqOp.MmrIndex(ixName, centName, k, qid, shortlist, nProbe) =>
           // same read-only resolution; the shortlist comes from the
           // pruned probe, the greedy walk is the brute face's exact loop
@@ -2298,6 +2597,8 @@ object ZxSql {
                 tables: Map[String, DataFrame] = Map.empty): DataFrame = {
     import graft.streaming.{EventStream, GapWindowStream}
     locally {
+      rejectWith(sql, "CTEs compose BOUNDED statements — a batch shape; " +
+        "run per micro-batch via foreachBatch over ZxSql.runCatalog")
       if (parseCompound(sql).branches.nonEmpty)
         throw ParseError("set operations (union/except/intersect) compose " +
           "BOUNDED frames — a batch shape; run per micro-batch via " +
@@ -2433,6 +2734,10 @@ object ZxSql {
       throw ParseError("select distinct has no streaming meaning — a " +
         "streaming dedup holds unbounded state; use `dedup` per micro-batch " +
         "via foreachBatch, or the streaming dedup operator with a watermark")
+    if (q.winSelects.nonEmpty)
+      throw ParseError("window functions (row_number/rank/lag/…) rank a " +
+        "BOUNDED partition — a streaming rank is unbounded state; run per " +
+        "micro-batch via foreachBatch over ZxSql.run")
     if (q.orderBy.nonEmpty)
       throw ParseError("order by has no streaming meaning (no total order on an unbounded source)")
     if (q.limit.nonEmpty)
@@ -2492,6 +2797,8 @@ object ZxSql {
                     tsCol: String = Compiler.DefaultTsCol)(
       consume: String => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     locally {
+      rejectWith(sql, "CTEs compose BOUNDED statements — a batch shape; " +
+        "foreachBatch over ZxSql.runCatalog")
       if (parseCompound(sql).branches.nonEmpty)
         throw ParseError("set operations (union/except/intersect) compose " +
           "BOUNDED frames — a batch shape; foreachBatch over ZxSql.run")

@@ -241,6 +241,16 @@ class PlanSpec extends AnyFunSuite {
       s"a read-only probe never joins — centroids are driver-held:\n$p")
   }
 
+  test("p70 knn using <pq-index>: front-door ADC probe prunes cells, join-free (round 13)") {
+    val p = plan("p70_sql_knn_pq_index")
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"the front-door PQ probe must prune at planning time:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"shortlist/re-rank must stay per-partition TakeOrdered:\n$p")
+    assert(!p.contains("Join"),
+      s"ADC never joins — codebooks and centroids are plan literals:\n$p")
+  }
+
   test("p66 sample exact: per-partition TakeOrdered, no global sort or shuffle (round 13)") {
     val p = plan("p66_sql_sample_exact")
     assert(p.contains("TakeOrderedAndProject"),
@@ -825,5 +835,26 @@ class PlanSpec extends AnyFunSuite {
       s"lineitem date bound must push into the lineitem scan:\n$p")
     assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
       s"dim predicate must push into the customer scan:\n$p")
+  }
+
+  test("qualify rn <= k rewrites to WindowGroupLimit; WHERE still pushes (p68)") {
+    val p = plan("p68_sql_window_qualify")
+    // Spark's InferWindowGroupLimit turns the post-window rank filter into
+    // the per-partition top-k forward — each input partition sends ≤ k
+    // rows per group to the one window exchange (the limit-per plan)
+    assert(p.contains("WindowGroupLimit"),
+      s"qualify rank filter must become WindowGroupLimit:\n$p")
+    assert(p.contains("GreaterThan(n_chars,100)"),
+      s"the WHERE gate must still push into the parquet scan:\n$p")
+  }
+
+  test("lag+lead sharing one window spec collapse into ONE Window, one exchange (p69)") {
+    val df = SparkEntry.queries("p69_sql_lag_lead")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.split("\\bWindow\\b").length - 1 == 1,
+      s"two same-spec window items must share one Window operator:\n$p")
+    val exchanges = p.split("\n").count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"expected exactly one hash exchange (user_id), got $exchanges:\n$p")
   }
 }

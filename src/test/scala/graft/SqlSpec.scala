@@ -1331,6 +1331,73 @@ class SqlSpec extends AnyFunSuite {
     assert(eP.getMessage.contains("brute-force"))
   }
 
+  test("knn using <pq-index>: ADC probe parity, books round-trip, loud guards (round 13)") {
+    import SparkFixture.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val spark = SparkFixture.spark
+    val Sim = graft.operators.Similarity
+    val emb = (0L until 48L).map { i =>
+      (i, Array(math.sin(i * 1.3).toFloat, math.cos(i * 0.7).toFloat,
+        ((i % 5) / 5.0).toFloat, ((i % 4) / 4.0).toFloat), (i % 2).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val cents = Sim.ivfTrain(emb, nlist = 4, iters = 2)
+    val books = Sim.ivfPqTrain(emb, cents, m = 2, ksub = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-ix").toString
+    Sim.ivfPqWriteIndex(emb, cents, books, dir)
+    // books catalog round-trip: the (j, code, centroid) table re-collects
+    // to the exact driver-held codebooks (order, codes, values)
+    assert(Sim.collectBooks(Sim.booksToDF(spark, books)) ==
+      books.map(_.map { case (c, v) => (c, v: Seq[Double]) }))
+    val cat = Map("emb" -> emb, "pqix" -> spark.read.parquet(dir),
+      "pqix_centroids" -> cents.toDF("cid", "centroid"),
+      "pqix_books" -> Sim.booksToDF(spark, books))
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().map(_.getAs[Long]("vec_id")).toSeq
+    // face == API probe at the same (k, nProbe, shortlist, query)
+    val face = ZxSql.runCatalog(cat,
+      "select knn using pqix top 5 query 3 probe 2 shortlist 12 from emb")
+    val qv = emb.filter(col("vec_id") === 3L)
+      .select(graft.functions.VectorFunctions.toDouble(col("embedding")))
+      .head().getSeq[Double](0).toIndexedSeq
+    assert(ids(face) == ids(Sim.ivfPqProbe(spark, dir, cents, books, qv,
+      k = 5, nProbe = 2, shortlist = 12)))
+    // default books table <index>_books and default shortlist 100
+    assert(ids(ZxSql.runCatalog(cat,
+      "select knn using pqix top 5 query 3 probe 2 from emb")) ==
+      ids(Sim.ivfPqProbe(spark, dir, cents, books, qv, k = 5, nProbe = 2,
+        shortlist = 100)))
+    // explicit books clause
+    val cat2 = cat - "pqix_books" + ("mybooks" -> Sim.booksToDF(spark, books))
+    assert(ids(ZxSql.runCatalog(cat2,
+      "select knn using pqix books mybooks top 5 query 3 probe 2 shortlist 12 from emb"))
+      == ids(face))
+    // loud guards: books/shortlist on the brute face or a plain IVF
+    // index, missing books table, shortlist < top, wrong books schema
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft-ivf-ix2").toString
+    Sim.ivfWriteIndex(emb, cents, ivfDir)
+    val catBoth = cat + ("ivfix" -> spark.read.parquet(ivfDir)) +
+      ("ivfix_centroids" -> cents.toDF("cid", "centroid"))
+    for ((sql, needle) <- Seq(
+      ("select knn books mybooks top 5 from emb", "brute-force knn has no index"),
+      ("select knn shortlist 20 top 5 from emb", "brute-force knn is already exact"),
+      ("select knn using ivfix books pqix_books top 5 query 3 from emb",
+        "no PQ codes column"),
+      ("select knn using ivfix top 5 query 3 shortlist 20 from emb",
+        "no PQ codes column"),
+      ("select knn using pqix top 5 query 3 shortlist 2 from emb",
+        "shortlist ≥ top"))) {
+      val e = intercept[Exception](ZxSql.runCatalog(catBoth, sql))
+      assert(e.getMessage.contains(needle), s"$sql → ${e.getMessage}")
+    }
+    val eBooks = intercept[ZxSql.ParseError](ZxSql.runCatalog(
+      cat - "pqix_books", "select knn using pqix top 5 query 3 from emb"))
+    assert(eBooks.getMessage.contains("unknown codebook table"))
+    val eSchema = intercept[Exception](ZxSql.runCatalog(
+      cat + ("pqix_books" -> emb),
+      "select knn using pqix top 5 query 3 from emb"))
+    assert(eSchema.getMessage.contains("expected columns (j, code, centroid)"))
+  }
+
   test("select distinct + union: composition parity and loud guards (round 13)") {
     import SparkFixture.spark.implicits._
     val spark = SparkFixture.spark
@@ -1436,6 +1503,154 @@ class SqlSpec extends AnyFunSuite {
     val eJ = intercept[ZxSql.ParseError](ZxSql.runStreamJson(st,
       "select count(*) group by lang union select count(*) group by lang")(_ => ()))
     assert(eJ.getMessage.contains("BOUNDED"))
+  }
+
+  test("with (CTEs): chaining, shadowing, routing, and loud guards (round 13)") {
+    import SparkFixture.spark.implicits._
+    val spark = SparkFixture.spark
+    val docs = Seq(
+      (1L, "a", "en", "src0", 500L), (2L, "b", "en", "src0", 100L),
+      (3L, "c", "fr", "src1", 400L), (4L, "d", "en", "src1", 50L),
+      (5L, "e", "fr", "src1", 350L), (6L, "f", "en", "src0", 500L)).toSeq
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cat = Map("docs" -> docs)
+    // a CTE body is a FULL statement — set ops inside, which a derived
+    // table cannot spell; the main statement reads it by name
+    val u = ZxSql.runCatalog(cat,
+      "with merged as (select doc_id, source from docs where n_chars > 300 " +
+        "union select doc_id, source from docs where source = 'src1') " +
+        "select doc_id from merged where doc_id != 4 order by doc_id")
+    assert(u.collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L, 6L))
+    // chaining: a later CTE reads an earlier one; an aggregate CTE body
+    // with NO order by takes the per-key-totals path (the derived-inner
+    // rule) — its frame must NOT grow w_start/w_end window columns
+    val agg = ZxSql.runCatalog(cat,
+      "with en as (select doc_id, source, n_chars from docs where lang = 'en'), " +
+        "per_src as (select count(*) as n from en group by source) " +
+        "select source, n from per_src order by source")
+    assert(agg.columns.toSeq == Seq("source", "n"))
+    assert(agg.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("src0", 3.0), ("src1", 1.0)))
+    // one CTE, referenced twice in one statement (scan + membership
+    // subquery) — plan-subtree reuse, no materialization, same frame
+    val twice = ZxSql.runCatalog(cat,
+      "with big as (select doc_id, n_chars from docs where n_chars > 300) " +
+        "select doc_id from big where doc_id in " +
+        "(select doc_id from big where n_chars > 450) order by doc_id")
+    assert(twice.collect().map(_.getLong(0)).toSeq == Seq(1L, 6L))
+    // SQL-standard shadowing: a CTE may shadow a catalog table; its own
+    // body still reads the CATALOG frame (non-recursive WITH — the name
+    // binds only for LATER bodies and the main statement)
+    val sh = ZxSql.runCatalog(cat,
+      "with docs as (select doc_id from docs where doc_id = 2) " +
+        "select doc_id from docs")
+    assert(sh.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // the main statement may itself be compound over CTE + catalog frames
+    val cmp = ZxSql.runCatalog(cat,
+      "with src1 as (select doc_id from docs where source = 'src1') " +
+        "select doc_id from docs where n_chars > 300 " +
+        "except select doc_id from src1 order by doc_id")
+    assert(cmp.collect().map(_.getLong(0)).toSeq == Seq(1L, 6L))
+    // loud guards: duplicate names; unknown FROM lists the CTE names;
+    // malformed prefix; run(df, …) and both stream faces reject by name
+    val eDup = intercept[ZxSql.ParseError](ZxSql.runCatalog(cat,
+      "with a as (select doc_id from docs), a as (select doc_id from docs) " +
+        "select doc_id from a"))
+    assert(eDup.getMessage.contains("duplicate CTE name"))
+    val eUnk = intercept[ZxSql.ParseError](ZxSql.runCatalog(cat,
+      "with a as (select doc_id from docs) select doc_id from nope"))
+    assert(eUnk.getMessage.contains("catalog has: a, docs"))
+    val eParen = intercept[ZxSql.ParseError](ZxSql.runCatalog(cat,
+      "with a as select doc_id from docs select doc_id from a"))
+    assert(eParen.getMessage.contains("expected '('"))
+    val eRun = intercept[ZxSql.ParseError](ZxSql.run(docs,
+      "with a as (select doc_id from docs) select doc_id from a"))
+    assert(eRun.getMessage.contains("runCatalog"))
+    val sdir = java.nio.file.Files.createTempDirectory("graft-cte-st").toString
+    docs.write.mode("overwrite").parquet(sdir)
+    val st = spark.readStream.schema(docs.schema).parquet(sdir)
+    val eSt = intercept[ZxSql.ParseError](ZxSql.runStream(st,
+      "with a as (select doc_id from docs) select doc_id from a"))
+    assert(eSt.getMessage.contains("foreachBatch"))
+    val eJ = intercept[ZxSql.ParseError](ZxSql.runStreamJson(st,
+      "with a as (select doc_id from docs) select count(*) from a")(_ => ()))
+    assert(eJ.getMessage.contains("foreachBatch"))
+  }
+
+  test("window functions + qualify: ranks, offsets, and loud guards (round 13)") {
+    import SparkFixture.spark.implicits._
+    val spark = SparkFixture.spark
+    val docs = Seq(
+      (1L, "en", "src0", 500L), (2L, "en", "src0", 100L),
+      (3L, "fr", "src1", 400L), (4L, "en", "src1", 50L),
+      (5L, "fr", "src1", 350L), (6L, "en", "src0", 500L)).toSeq
+      .toDF("doc_id", "lang", "source", "n_chars")
+    // dedup-keep-best: row_number + qualify rn = 1, doc_id tiebreak makes
+    // the cut total (6 ties 1 on n_chars; lower doc_id wins)
+    val best = ZxSql.run(docs,
+      "select doc_id, lang, source, " +
+        "row_number() over (partition by lang, source " +
+        "order by n_chars desc, doc_id) as rn " +
+        "qualify rn = 1 order by lang, source")
+    assert(best.columns.toSeq == Seq("doc_id", "lang", "source", "rn"))
+    assert(best.collect().map(r => (r.getLong(0), r.getInt(3))).toSeq ==
+      Seq((1L, 1), (4L, 1), (3L, 1)))
+    // rank vs dense_rank on ties; WHERE gates BEFORE the window (rank
+    // re-packs over survivors)
+    val rk = ZxSql.run(docs,
+      "select doc_id, rank() over (partition by lang order by n_chars desc) as r, " +
+        "dense_rank() over (partition by lang order by n_chars desc) as dr " +
+        "where source = 'src0' order by doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rk.toSeq == Seq((1L, 1, 1), (2L, 3, 2), (6L, 1, 1)))
+    // lag/lead with explicit offset; partition edges are NULL
+    val ll = ZxSql.run(docs,
+      "select doc_id, lag(n_chars) over (partition by lang order by doc_id) as prev, " +
+        "lead(n_chars, 2) over (partition by lang order by doc_id) as nxt " +
+        "order by doc_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    // en by doc_id: 1,2,4,6 — lag: null,500,100,50; lead2: 50,500,-,-
+    assert(ll.toSeq == Seq((1L, -1L, 50L), (2L, 500L, 500L), (3L, -1L, -1L),
+      (4L, 100L, -1L), (5L, 400L, -1L), (6L, 50L, -1L)))
+    // qualify composes over raw columns too; select-list order preserved
+    // with window items interleaved
+    val mix = ZxSql.run(docs,
+      "select lang, row_number() over (partition by lang " +
+        "order by n_chars desc, doc_id) as rn, doc_id " +
+        "qualify rn <= 2 and lang = 'en' order by rn, doc_id")
+    assert(mix.columns.toSeq == Seq("lang", "rn", "doc_id"))
+    assert(mix.collect().map(_.getLong(2)).toSeq == Seq(1L, 6L))
+    // loud guards
+    def bad(sql: String, frag: String): Unit = {
+      val e = intercept[ZxSql.ParseError](ZxSql.run(docs, sql).collect())
+      assert(e.getMessage.contains(frag), s"'$sql' → ${e.getMessage}")
+    }
+    bad("select doc_id, row_number() over (order by doc_id) as rn",
+      "partition by")
+    bad("select doc_id, row_number() over (partition by lang) as rn",
+      "order by")
+    bad("select doc_id, row_number() over (partition by lang order by doc_id)",
+      "as <name>")
+    bad("select count(*) as n, row_number() over (partition by lang " +
+      "order by doc_id) as rn group by lang", "RAW frame")
+    bad("select doc_id, rank(n_chars) over (partition by lang " +
+      "order by doc_id) as r", "takes no arguments")
+    bad("select doc_id, lag(n_chars, 0) over (partition by lang " +
+      "order by doc_id) as p", "offset must be")
+    bad("select doc_id qualify doc_id = 1", "use where")
+    bad("select distinct lang, row_number() over (partition by lang " +
+      "order by lang) as rn", "do not mix")
+    bad("select doc_id, row_number() over (partition by lang " +
+      "order by doc_id) as rn order by n_chars", "not in")
+    // streaming rejection by name
+    val sdir = java.nio.file.Files.createTempDirectory("graft-win-st").toString
+    docs.write.mode("overwrite").parquet(sdir)
+    val st = spark.readStream.schema(docs.schema).parquet(sdir)
+    val eSt = intercept[ZxSql.ParseError](ZxSql.runStream(st,
+      "select doc_id, row_number() over (partition by lang order by doc_id) as rn"))
+    assert(eSt.getMessage.contains("BOUNDED"))
   }
 
   test("composite-key asof/trailing joins: struct-key parity and guards (round 13)") {
