@@ -2972,6 +2972,93 @@ object SparkEntry {
   private def d1bDedupNormalized(s: SparkSession, dir: String): DataFrame =
     graft.sql.ZxSql.run(Tables.documents(s, dir), "select dedup normalized")
 
+  /** p71: row-wise EXPRESSION PROJECTIONS on the raw path —
+    * `select price * (1 - discount) as net` without an aggregate. The
+    * measure compiler evaluates the arithmetic (same try_divide
+    * null-on-zero contract as filters and aggregate measures), so a
+    * computed column codegens like a plain one and column pruning sees
+    * through it (the scan reads only the referenced storage columns —
+    * PlanSpec-pinned). ORDER BY binds the alias; the tiebreak keys make
+    * the LIMIT cut a total order. */
+  private def p71SqlExprProject(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.lineitem(s, dir),
+      "select l_orderkey, l_linenumber, " +
+        "l_extendedprice * (1 - l_discount) as net, " +
+        "l_extendedprice / l_quantity as unit_price " +
+        "where l_quantity > 45 " +
+        "order by net desc, l_orderkey, l_linenumber limit 200")
+
+  /** p72: COMPOSITE-KEY SEMI JOIN — EXISTS at the front door: short docs
+    * whose (lang, source) pair also occurs among long docs. The right
+    * side is a gated derived key set over the SAME table (self-join:
+    * the internal key rename keeps resolution unambiguous); duplicate
+    * right pairs never multiply rows, and the filter applies BEFORE the
+    * projection, so everything downstream composes. Oracle = DuckDB
+    * EXISTS (NOT IN's three-valued null trap is exactly what this face
+    * avoids). */
+  private def p72SqlSemiJoin(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.runCatalog(Map("documents" -> Tables.documents(s, dir)),
+      "select doc_id, lang, source from documents " +
+        "semi join (select lang, source from documents where n_chars > 450) " +
+        "on lang = lang and source = source " +
+        "where n_chars < 150 order by doc_id")
+
+  /** p73: ANTI JOIN — NOT EXISTS reconciliation: per-segment counts of
+    * customers with no large order. The right side is a gated key set
+    * (every customer has SOME order in this testdata — the gate makes
+    * the anti join load-bearing); the aggregate runs on the filtered
+    * frame. */
+  private def p73SqlAntiJoin(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.runCatalog(Map(
+      "customer" -> Tables.customer(s, dir), "orders" -> Tables.orders(s, dir)),
+      "select count(*) as n from customer " +
+        "anti join (select o_custkey from orders where o_totalprice > 300000) " +
+        "on c_custkey = o_custkey " +
+        "group by c_mktsegment order by n desc")
+      .select(col("c_mktsegment"), round3("n"))
+
+  /** p74: AGGREGATE window functions — the running-total primitive:
+    * per-customer cumulative revenue in order-date order (SQL default
+    * RANGE frame on both engines) next to a whole-partition count (no
+    * ORDER BY = partition total). Both items partition on o_custkey, so
+    * they share ONE exchange (PlanSpec-pinned); window aggregates are
+    * plain SQL row semantics (unweighted — the reference's weighted
+    * forms are the grouped aggregates). */
+  private def p74SqlWindowAgg(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.orders(s, dir),
+      "select o_orderkey, o_custkey, " +
+        "sum(o_totalprice) over (partition by o_custkey " +
+        "order by o_orderdate, o_orderkey) as running, " +
+        "count(*) over (partition by o_custkey) as n_orders " +
+        "where o_custkey < 50 order by o_custkey, o_orderkey")
+      .select(col("o_orderkey"), col("o_custkey"), round3("running"),
+        col("n_orders"))
+
+  /** p75: navigation + bucketing windows — first/last value per user in
+    * event-time order (last_value over the FULL partition frame, or it
+    * would be the current row) and the ntile quartile. The (ts,
+    * event_id) order is total, so every item is deterministic. */
+  private def p75SqlWindowNav(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir),
+      "select event_id, user_id, " +
+        "first_value(value) over (partition by user_id order by ts, event_id) as first_v, " +
+        "last_value(value) over (partition by user_id order by ts, event_id) as last_v, " +
+        "ntile(4) over (partition by user_id order by ts, event_id) as quartile " +
+        "where value >= 1 order by user_id, event_id limit 400")
+
+  /** p76: SCALAR FUNCTIONS in the measure grammar — abs/sqrt as WHERE
+    * expression predicates, round/length as expression projections. All
+    * row-wise with identical IEEE semantics on both engines; length reads
+    * the raw string (and BIGINTs like DuckDB), round's digit count is a
+    * plan constant. The non-function conjunct still pushes into the
+    * scan. */
+  private def p76SqlScalarFuncs(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select doc_id, round(n_chars / 100, 2) as hundreds, " +
+        "length(text) as len " +
+        "where abs(n_chars - 300) < 150 and sqrt(n_chars) > 12 " +
+        "and lang = 'en' order by doc_id limit 300")
+
   /** p59: `select distinct` — the raw-projection dedup primitive: one
     * shuffle on the (narrow, already-projected) columns, ORDER BY after.
     * Closes the r12 "set operations at the front door" gap with p60. */
@@ -4220,6 +4307,12 @@ object SparkEntry {
     "p57_sql_sample_events" -> (p57SqlSampleEvents _),
     "p66_sql_sample_exact" -> (p66SqlSampleExact _),
     "p59_sql_distinct" -> (p59SqlDistinct _),
+    "p71_sql_expr_project" -> (p71SqlExprProject _),
+    "p72_sql_semi_join" -> (p72SqlSemiJoin _),
+    "p73_sql_anti_join" -> (p73SqlAntiJoin _),
+    "p74_sql_window_agg" -> (p74SqlWindowAgg _),
+    "p75_sql_window_nav" -> (p75SqlWindowNav _),
+    "p76_sql_scalar_funcs" -> (p76SqlScalarFuncs _),
     "p60_sql_union" -> (p60SqlUnion _),
     "p63_sql_except" -> (p63SqlExcept _),
     "p64_sql_intersect" -> (p64SqlIntersect _),
@@ -5600,6 +5693,59 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     "p59_sql_distinct" ->
       "SELECT DISTINCT lang, source FROM documents WHERE n_chars > 200",
+    "p71_sql_expr_project" ->
+      // row-wise IEEE arithmetic is order-free per row, so exact equality
+      // holds without rounding; the ORDER BY tiebreaks make the cut total
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1 - l_discount) AS net,
+        |  l_extendedprice / l_quantity AS unit_price
+        |FROM lineitem WHERE l_quantity > 45
+        |ORDER BY net DESC, l_orderkey, l_linenumber LIMIT 200""".stripMargin,
+    "p72_sql_semi_join" ->
+      // EXISTS, not IN: the face's null semantics are EXISTS's
+      """SELECT doc_id, lang, source FROM documents d
+        |WHERE n_chars < 150 AND EXISTS (
+        |  SELECT 1 FROM documents r
+        |  WHERE r.n_chars > 450 AND r.lang = d.lang AND r.source = d.source)
+        |ORDER BY doc_id""".stripMargin,
+    "p73_sql_anti_join" ->
+      """SELECT coalesce(CAST(c_mktsegment AS VARCHAR), '__nil') AS c_mktsegment,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS n
+        |FROM customer WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_totalprice > 300000 AND o_custkey = c_custkey)
+        |GROUP BY 1""".stripMargin,
+    "p74_sql_window_agg" ->
+      // both engines' DEFAULT ordered frame is RANGE UNBOUNDED
+      // PRECEDING..CURRENT ROW — the running form; the (date, key) order
+      // is total, so the prefix accumulation order is identical and the
+      // round(…, 3) only hides display noise
+      """SELECT o_orderkey, o_custkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey), 3) AS running,
+        |  count(*) OVER (PARTITION BY o_custkey) AS n_orders
+        |FROM orders WHERE o_custkey < 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "p76_sql_scalar_funcs" ->
+      // identical IEEE row-wise functions; length is chars on both
+      """SELECT doc_id, round(n_chars / 100, 2) AS hundreds,
+        |  length(text) AS len
+        |FROM documents
+        |WHERE abs(n_chars - 300) < 150 AND sqrt(n_chars) > 12
+        |  AND lang = 'en'
+        |ORDER BY doc_id LIMIT 300""".stripMargin,
+    "p75_sql_window_nav" ->
+      // last_value needs the full-partition frame spelled on both engines;
+      // Spark ntile is INT (DuckDB's is BIGINT)
+      """SELECT event_id, user_id,
+        |  first_value(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS first_v,
+        |  last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v,
+        |  CAST(ntile(4) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS INT) AS quartile
+        |FROM events WHERE value >= 1
+        |ORDER BY user_id, event_id LIMIT 400""".stripMargin,
     "p68_sql_window_qualify" ->
       // native QUALIFY; Spark row_number is INT (DuckDB's is BIGINT)
       """SELECT doc_id, lang, source, n_chars,

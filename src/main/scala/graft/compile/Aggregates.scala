@@ -74,6 +74,40 @@ object Aggregates {
         case "/" => try_divide(a, b)
         case other => throw new IllegalArgumentException(s"bad measure op '$other'")
       }
+    case MeasureExpr.Func(name, args) =>
+      // scalar functions (p76): IDENTICAL IEEE semantics on both engines.
+      // floor/ceil cast back to double (Spark returns LONG, DuckDB
+      // DOUBLE); length reads the RAW column (a numeric cast would
+      // destroy the string) and casts to LONG (DuckDB BIGINT). round's
+      // digit count is a parse-enforced integer literal (Spark's scale
+      // is a plan constant).
+      def a(i: Int) = measureCol(args(i), schema)
+      name match {
+        case "abs"   => abs(a(0))
+        case "floor" => floor(a(0)).cast(DoubleType)
+        case "ceil"  => ceil(a(0)).cast(DoubleType)
+        case "sqrt"  => sqrt(a(0))
+        case "exp"   => exp(a(0))
+        case "ln"    => log(a(0))
+        case "log10" => log10(a(0))
+        case "pow"   => pow(a(0), a(1))
+        case "round" =>
+          val d = args.lift(1) match {
+            case Some(MeasureExpr.Lit(v)) => v.toInt
+            case None                     => 0
+            case other => throw new IllegalArgumentException(
+              s"round digits must be an integer literal, got $other")
+          }
+          round(a(0), d)
+        case "length" => args.head match {
+          case MeasureExpr.Col(n) =>
+            length(Compiler.colRef(n)).cast(LongType)
+          case other => throw new IllegalArgumentException(
+            s"length takes a string column, got $other")
+        }
+        case other => throw new IllegalArgumentException(
+          s"unknown scalar function '$other'")
+      }
     case MeasureExpr.Case(branches, orElse) =>
       // conditional measure: branch predicates reuse the WHERE compiler
       // verbatim (same comparator/like/in/between semantics as filters),

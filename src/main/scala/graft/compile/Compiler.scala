@@ -383,12 +383,27 @@ object Compiler {
         sels.map(s => colRef(s.key)): _*)
   }
 
+  /** Select-list projection for a raw query: plain columns by reference
+    * semantics; computed expression projections (extension —
+    * `select price * (1 - discount) as net`) through the measure
+    * compiler, so row-wise arithmetic codegens identically whether it
+    * feeds a filter, an aggregate, or the projection itself. Only the
+    * referenced storage columns reach the scan (column pruning sees
+    * through the expressions). */
+  def rawProjection(selects: Seq[Select],
+                    schema: org.apache.spark.sql.types.StructType): Seq[Column] =
+    selects.map {
+      case s if s.agg == Agg.Raw && s.expr.nonEmpty =>
+        Aggregates.measureCol(s.expr.get, schema).as(s.key)
+      case s => colRef(s.column)
+    }
+
   /** Raw projection — what a bare `SELECT col` parses to (expr.rs:120-125);
     * `unimplemented!()` in the reference (lib.rs:659-661). Columns are pruned
     * to the select list, so the Parquet scan reads only what is projected. */
   def runRaw(df: DataFrame, q: ZxQuery, tsCol: String = DefaultTsCol): DataFrame = {
     val filtered = scanFilter(df, q, tsCol)
-    val cols = q.selects.map(s => colRef(s.column))
+    val cols = rawProjection(q.selects, filtered.schema)
     val projected = if (cols.nonEmpty) filtered.select(cols: _*) else filtered
     q.limit.map(projected.limit).getOrElse(projected)
   }

@@ -145,6 +145,13 @@ object MeasureExpr {
     * map-side like every other measure. */
   final case class Case(branches: Seq[(ConditionTree, MeasureExpr)],
                         orElse: Option[MeasureExpr]) extends MeasureExpr
+  /** Scalar function call (extension, p76): `abs(x - y)`, `round(p, 2)`,
+    * `sqrt(v)`, `length(text)`, … — row-wise numeric functions with
+    * IDENTICAL IEEE semantics on Spark and DuckDB, usable anywhere the
+    * measure grammar reaches (inside aggregates, WHERE/QUALIFY expression
+    * predicates, raw expression projections). Arity and literal-argument
+    * constraints are parse-enforced; see ZxSql's `scalarFuncs`. */
+  final case class Func(name: String, args: Seq[MeasureExpr]) extends MeasureExpr
 
   /** Columns the expression reads — for projection pruning and guards. */
   def columns(e: MeasureExpr): Set[String] = e match {
@@ -152,6 +159,7 @@ object MeasureExpr {
     case Lit(_)        => Set.empty
     case Bin(_, l, r)  => columns(l) ++ columns(r)
     case Neg(x)        => columns(x)
+    case Func(_, as)   => as.flatMap(columns).toSet
     case Case(bs, el)  =>
       bs.flatMap { case (c, v) => ConditionTree.columns(c) ++ columns(v) }.toSet ++
         el.map(columns).getOrElse(Set.empty)
@@ -262,6 +270,23 @@ final case class EquiJoin(
     /** additional ON pairs for COMPOSITE keys — `on a = ra and b = rb`;
       * catalog tables only (a derived side's group-by is its single key). */
     moreKeys: Seq[(String, String)] = Nil)
+
+/** `semi join` / `anti join` (extension, p72): EXISTS / NOT EXISTS at the
+  * front door as relational FILTERS — keep (semi) or drop (anti) the left
+  * rows with a right match on ALL key equalities; right columns never
+  * surface and duplicate right keys never multiply rows. Applied to the
+  * scanned frame BEFORE every other construct (generalizing the
+  * single-column membership subqueries to composite keys and derived key
+  * sets), so aggregates, windows, sequence ops, and set-op branches all
+  * compose on the filtered frame. Compiles to Spark `left_semi` /
+  * `left_anti` — AQE broadcasts a small key set; otherwise the composite
+  * key rides one hash exchange. NULL semantics are EXISTS's: a null key
+  * never matches (semi drops it, anti keeps it) — unlike NOT IN's
+  * three-valued trap, which is why the oracle replays with EXISTS. A
+  * stream-static semi/anti join is stateless (each micro-batch probes the
+  * static key set), so the clause streams. */
+final case class FilterJoin(table: String, anti: Boolean,
+    keys: Seq[(String, String)], sub: Option[ZxQuery] = None)
 
 /** Whole-operator sequence-analytics clause (extension; no reference
   * counterpart — the reference's algebra is pure aggregation and cannot
@@ -601,6 +626,10 @@ final case class ZxQuery(
       * a full dialect query (scan/filter/group/having) whose FROM
       * resolves from the caller's table catalog. */
     semiJoins: Seq[ConditionTree.InSubquery] = Nil,
+    /** `semi join` / `anti join` clauses (extension, p72) — see
+      * [[FilterJoin]]. Row FILTERS, applied with [[semiJoins]] before
+      * everything else. */
+    filterJoins: Seq[FilterJoin] = Nil,
     /** `limit <k> per <col>` (extension): keep the top-k rows of each
       * partition of `col` under the ORDER BY ranking (ties broken by the
       * remaining keys, so the cut is total). Compiles to a rank window
@@ -645,9 +674,15 @@ final case class ZxQuery(
     qualify: Option[ConditionTree] = None)
 
 /** One analytic window select item — see [[ZxQuery.winSelects]].
-  * `offset` applies to lag/lead only (default 1). `orderBy` is required
-  * at parse: every supported function is order-sensitive and an
-  * unordered rank would be partitioning luck. */
+  * Functions: ranks (row_number/rank/dense_rank), offsets (lag/lead —
+  * `offset` is the lookback/lookahead, default 1), AGGREGATE windows
+  * (sum/mean/min/max/count — plain SQL row semantics, unweighted; with
+  * `orderBy` the RUNNING form under SQL's default RANGE frame, without
+  * it the whole-partition total), navigation (first_value/last_value —
+  * last_value over the full-partition frame, or it would be the current
+  * row) and bucketing (ntile — `offset` carries the bucket count).
+  * `orderBy` is required at parse for every order-SENSITIVE function;
+  * only aggregate windows may omit it. */
 final case class WinSelect(
     func: String,
     arg: Option[String],

@@ -17,6 +17,11 @@ import graft.operators.GapWindows
   *   [where <boolexpr>]
   *   [asof|trailing join <t> on k = rk [and k2 = rk2 …] at tl >= tr …]
   *   [[left|right|full] join <t|(select …)> on k = rk [and …]]*
+  *   [[semi|anti] join <t|(select …)> on k = rk [and …]]*   — EXISTS /
+  *     NOT EXISTS as row FILTERS (composite keys, derived key sets;
+  *     applied BEFORE everything else, so they compose with aggregates,
+  *     windows, distinct, sequence ops, and streams — a stream-static
+  *     semi/anti probe is stateless)
   *   [group by [rollup|cube|sets] <col, …>] [having <aggitem cmp num and …>]
   *   [qualify <boolexpr over window aliases + selected cols>]
   *   [order by <item> [asc|desc], …]
@@ -35,17 +40,36 @@ import graft.operators.GapWindows
   *               | row_number|rank|dense_rank() over (partition by <col, …>
   *                 order by <col [asc|desc], …>) as name
   *               | lag|lead(col [, n]) over (…) as name
+  *               | sum|mean|min|max|count(col)|count(*) over
+  *                 (partition by … [order by …]) as name   — aggregate
+  *                 windows: whole-partition total without order by, the
+  *                 RUNNING form with it (SQL default RANGE frame, ties
+  *                 as peers — both plain row semantics, unweighted)
+  *               | first_value|last_value(col) over (…) as name
+  *               | ntile(n) over (…) as name
   *                 (analytic window items — raw-projection queries only;
-  *                 partition by AND order by are required; `qualify`
-  *                 filters the windowed frame: dedup-keep-best is
-  *                 `qualify rn = 1`)
-  * and measure-expr := arithmetic over columns and numeric literals with
-  * `+ - * /`, parens, unary minus (standard precedence; `/` is
+  *                 partition by is required, order by wherever the
+  *                 function is order-sensitive; `qualify` filters the
+  *                 windowed frame: dedup-keep-best is `qualify rn = 1`)
+  * and measure-expr := arithmetic over columns, numeric literals, and
+  * SCALAR FUNCTION calls (p76: abs, floor, ceil, sqrt, exp, ln, log10,
+  * pow, round(x[, digits]), length — row-wise, identical IEEE semantics
+  * on both engines; in call position these names are reserved, as bare
+  * columns they stay reachable) with `+ - * /`, parens, unary minus
+  * (standard precedence; `/` is
   * null-on-zero-divisor on both engines) — `sum(price * (1 - discount))
   * as revenue`, evaluated row-wise so it codegens and partial-aggregates
   * exactly like a plain column. Expression measures REQUIRE `as` (no
   * canonical name exists); `having`/`order by` reference the alias by
   * name. heatmap and the `exact` gap walk take plain columns only.
+  * The same arithmetic works as a RAW-PATH projection (p71):
+  * `select id, price * (1 - discount) as net` — compiled by the measure
+  * compiler, so computed columns codegen like plain ones, column pruning
+  * sees through them, DISTINCT / ORDER BY (by alias) / LIMIT compose,
+  * analytic windows can partition/order by them, and they stream
+  * (stateless row arithmetic). Raw expression projections do not mix
+  * with aggregates in one select list (row arithmetic goes INSIDE the
+  * aggregate there).
   * and boolexpr := full boolean structure with OR / AND / NOT / parens
   * (precedence NOT > AND > OR — extension: the reference is AND-only,
   * expr.rs:75-80, and punts every other operator, expr.rs:99)
@@ -103,6 +127,18 @@ object ZxSql {
     case ConditionTree.Not(c)            => containsScalarSub(c)
     case _                               => false
   }
+
+  /** Scalar functions usable anywhere the measure grammar reaches (p76):
+    * name → (minArity, maxArity). All are row-wise with identical IEEE
+    * semantics on Spark and DuckDB; `round`'s digit count must be an
+    * integer literal, `length` takes a bare string column. In call
+    * position these names are reserved; as bare column references they
+    * stay reachable. */
+  private val scalarFuncs: Map[String, (Int, Int)] = Map(
+    "abs" -> ((1, 1)), "floor" -> ((1, 1)), "ceil" -> ((1, 1)),
+    "sqrt" -> ((1, 1)), "exp" -> ((1, 1)), "ln" -> ((1, 1)),
+    "log10" -> ((1, 1)), "pow" -> ((2, 2)), "round" -> ((1, 2)),
+    "length" -> ((1, 1)))
 
   private val aggNames: Map[String, Agg] = Map(
     "count" -> Agg.Count, "sum" -> Agg.Sum, "max" -> Agg.Max,
@@ -228,6 +264,25 @@ object ZxSql {
         val orElse = if (atIdent("else")) { next(); Some(measureSum()) } else None
         expectIdent("end")
         MeasureExpr.Case(bs.result(), orElse)
+      case Some(Ident(f)) if scalarFuncs.contains(f) &&
+          toks.lift(pos + 1).contains(Sym("(")) =>
+        // scalar function call (p76). In call position the name is
+        // reserved; a bare column of the same name parses below.
+        next(); next() // f, (
+        val args = Seq.newBuilder[MeasureExpr]
+        args += measureSum()
+        while (peek.contains(Sym(","))) { next(); args += measureSum() }
+        expectSym(")")
+        val as = args.result()
+        val (lo, hi) = scalarFuncs(f)
+        if (as.size < lo || as.size > hi)
+          throw ParseError(s"$f takes ${if (lo == hi) s"$lo" else s"$lo-$hi"} " +
+            s"argument(s), got ${as.size}")
+        if (f == "round" && as.size == 2 && !as(1).isInstanceOf[MeasureExpr.Lit])
+          throw ParseError("round's digit count must be an integer literal")
+        if (f == "length" && !as.head.isInstanceOf[MeasureExpr.Col])
+          throw ParseError("length takes a string column")
+        MeasureExpr.Func(f, as)
       case Some(Ident(v)) => next(); MeasureExpr.Col(v)
       case other => throw ParseError(s"expected a measure term, got ${other.getOrElse("end of input")}")
     }
@@ -267,6 +322,16 @@ object ZxSql {
     // the shared leaf of plain select items, HAVING/ORDER BY references,
     // trailing-agg lists, AND the post-aggregate expression grammar below.
     def aggCallOrRaw(): Select = {
+      // a scalar-function ATOM in select position (p76): parse it with
+      // the measure machinery and carry it as a Raw expression select —
+      // aggSum composes arithmetic around it, selectEntry demands the
+      // alias
+      peek match {
+        case Some(Ident(f)) if scalarFuncs.contains(f) &&
+            toks.lift(pos + 1).contains(Sym("(")) =>
+          return Select(Agg.Raw, "", expr = Some(measureAtom()))
+        case _ =>
+      }
       val name = ident()
       if (peek.contains(Sym("("))) {
         val agg = aggNames.getOrElse(name,
@@ -375,7 +440,7 @@ object ZxSql {
         if (atIdent("as")) {
           next()
           val a = ident()
-          if (sel.agg == Agg.Raw)
+          if (sel.agg == Agg.Raw && sel.expr.isEmpty)
             throw ParseError("`as` aliases apply to aggregate selects — raw columns keep their names")
           Left(sel.copy(alias = Some(a)))
         } else if (sel.expr.nonEmpty)
@@ -387,10 +452,32 @@ object ZxSql {
         if (calls.isEmpty)
           throw ParseError("a select expression needs at least one aggregate " +
             "call — arithmetic over bare literals has nothing to aggregate")
-        calls.find(_.agg == Agg.Raw).foreach(c => throw ParseError(
-          s"'${c.column}' reads a raw column — arithmetic over aggregates " +
-            s"takes aggregate calls and literals only; row-wise arithmetic " +
-            s"goes INSIDE the aggregate: sum(${c.column} * …)"))
+        // ALL leaves raw → a ROW-WISE expression projection (extension,
+        // p71): `select price * (1 - discount) as net` on the raw path.
+        // Compiled by the measure compiler (same arithmetic/try_divide
+        // semantics as filter and aggregate measures). Alias REQUIRED.
+        if (calls.forall(_.agg == Agg.Raw)) {
+          def toMeasure(x: AggExpr): MeasureExpr = x match {
+            case AggExpr.Call(s) =>
+              s.expr.getOrElse(MeasureExpr.Col(s.column))
+            case AggExpr.Lit(v)        => MeasureExpr.Lit(v)
+            case AggExpr.Bin(o, l, r)  => MeasureExpr.Bin(o, toMeasure(l), toMeasure(r))
+            case AggExpr.Neg(x2)       => MeasureExpr.Neg(toMeasure(x2))
+          }
+          if (!atIdent("as"))
+            throw ParseError("expression projections need `as <name>` — " +
+              "there is no canonical column name for row-wise arithmetic")
+          next()
+          return Left(Select(Agg.Raw, "", expr = Some(toMeasure(e)),
+            alias = Some(ident())))
+        }
+        calls.find(_.agg == Agg.Raw).foreach { c =>
+          val what = if (c.expr.nonEmpty) "a scalar function" else s"'${c.column}'"
+          throw ParseError(
+            s"$what reads raw columns — arithmetic over aggregates " +
+              s"takes aggregate calls and literals only; row-wise arithmetic " +
+              s"goes INSIDE the aggregate: sum(${if (c.column.isEmpty) "…" else c.column} * …)")
+        }
         calls.find(_.agg == Agg.Heatmap).foreach(_ => throw ParseError(
           "heatmap(...) is not a scalar aggregate — it cannot appear in arithmetic"))
         if (!atIdent("as"))
@@ -997,6 +1084,11 @@ object ZxSql {
     // ranks are the curriculum operator's job) and so is `order by`
     // (every supported function is order-sensitive).
     val winFuncNames = Set("row_number", "rank", "dense_rank", "lag", "lead")
+    // AGGREGATE window functions (p74) + navigation/bucketing (p75).
+    // These share names with grouped aggregates, so the dispatch below
+    // looks PAST the matching ')' for `over` before routing here.
+    val aggWinNames = Set("sum", "mean", "min", "max", "count")
+    val navWinNames = Set("first_value", "last_value", "ntile")
     val winBuf = Seq.newBuilder[WinSelect]
     val outOrderBuf = Seq.newBuilder[String]
     def winSelect(): WinSelect = {
@@ -1008,6 +1100,13 @@ object ZxSql {
           next(); off = parseLong(num("offset"), "offset").toInt
           if (off < 1) throw ParseError(s"$f offset must be ≥ 1, got $off")
         }
+      } else if (f == "ntile") {
+        off = parseLong(num("ntile buckets"), "ntile buckets").toInt
+        if (off < 1) throw ParseError(s"ntile needs ≥ 1 buckets, got $off")
+      } else if (aggWinNames(f) || f == "first_value" || f == "last_value") {
+        // count(*) counts the frame's rows; everything else takes a column
+        if (f == "count" && peek.contains(Sym("*"))) { next(); arg = Some("*") }
+        else arg = Some(ident())
       } else if (!peek.contains(Sym(")")))
         throw ParseError(s"$f() takes no arguments")
       expectSym(")")
@@ -1019,18 +1118,27 @@ object ZxSql {
           "unpartitioned window moves every row to ONE partition for a " +
           "global sort; for exact global ranks use `curriculum` " +
           "(histogram-partitioned, no global sort)")
-      if (!atIdent("order"))
+      // ORDER BY is required wherever the result is order-SENSITIVE. An
+      // aggregate window without it is the whole-partition total (SQL
+      // semantics, deterministic); WITH it, the RUNNING form (SQL default
+      // RANGE frame — ties are peers, so even a non-total order stays
+      // deterministic).
+      if (!atIdent("order") && !aggWinNames(f))
         throw ParseError(s"$f over (…) needs `order by` — an unordered " +
           "rank/offset is partitioning luck (add a unique tiebreak " +
           "column for a total order)")
-      next(); expectIdent("by")
-      val obs = commaList { () =>
-        val c = ident()
-        val d =
-          if (atIdent("desc")) { next(); SortDir.Desc }
-          else { if (atIdent("asc")) next(); SortDir.Asc }
-        (c, d)
-      }
+      val obs =
+        if (!atIdent("order")) Seq.empty[(String, SortDir)]
+        else {
+          next(); expectIdent("by")
+          commaList { () =>
+            val c = ident()
+            val d =
+              if (atIdent("desc")) { next(); SortDir.Desc }
+              else { if (atIdent("asc")) next(); SortDir.Asc }
+            (c, d)
+          }
+        }
       expectSym(")")
       if (!atIdent("as"))
         throw ParseError("window selects need `as <name>` — the " +
@@ -1038,12 +1146,27 @@ object ZxSql {
       next()
       WinSelect(f, arg, off, parts, obs, ident())
     }
+    // true iff the call starting at `p` (Ident + "(") has `over` after its
+    // matching ")" — distinguishes `sum(x) over (…)` from the aggregate
+    def isWindowCall(p: Int): Boolean = {
+      var i = p + 2; var depth = 1
+      while (i < toks.length && depth > 0) {
+        toks(i) match {
+          case Sym("(") => depth += 1
+          case Sym(")") => depth -= 1
+          case _        =>
+        }
+        i += 1
+      }
+      depth == 0 && toks.lift(i).contains(Ident("over"))
+    }
     val entries: Seq[Either[Select, PostSelect]] =
       if (seqOp.isDefined) Nil
       else commaList { () =>
         (peek match {
-          case Some(Ident(f)) if winFuncNames(f) &&
-              toks.lift(pos + 1).contains(Sym("(")) =>
+          case Some(Ident(f)) if toks.lift(pos + 1).contains(Sym("(")) &&
+              (winFuncNames(f) ||
+                ((aggWinNames(f) || navWinNames(f)) && isWindowCall(pos))) =>
             val w = winSelect(); winBuf += w; outOrderBuf += w.alias
             None
           case _ =>
@@ -1071,6 +1194,24 @@ object ZxSql {
     if (postSelects.nonEmpty && selects.exists(_.agg == Agg.Raw))
       throw ParseError("bare columns do not mix with post-aggregate " +
         "expressions — dimensions surface via group by")
+    // row-wise expression projections (p71) live on the RAW path only:
+    // with aggregates present, row arithmetic goes INSIDE the aggregate
+    // (sum(a * b)); as a computed group key, in a derived table
+    locally {
+      val exprSels = selects.filter(s => s.agg == Agg.Raw && s.expr.nonEmpty)
+      if (exprSels.nonEmpty) {
+        if (selects.exists(_.agg != Agg.Raw))
+          throw ParseError("expression projections do not mix with " +
+            "aggregates — put the arithmetic INSIDE the aggregate " +
+            "(sum(a * b) as x), or compute the column in a derived table")
+        exprSels.map(_.key).foreach { a =>
+          if (a.startsWith("__"))
+            throw ParseError(s"alias '$a' uses the engine-internal prefix __")
+          if (selects.count(_.key == a) > 1)
+            throw ParseError(s"duplicate output column '$a'")
+        }
+      }
+    }
     // tolerated + ignored by run(df, …) like expr.rs (never reads FROM);
     // recorded so runCatalog can resolve the base frame from it.
     // `from (select …)` is a DERIVED TABLE: the outer query scans the
@@ -1145,10 +1286,40 @@ object ZxSql {
     // chains). right/full (p62) are the reconciliation shapes — unmatched
     // sides surface as `__nil` group keys through the standard rendering.
     var equiJoins = Seq.empty[EquiJoin]
+    // semi/anti joins (extension, p72): EXISTS/NOT EXISTS as row FILTERS
+    // — parsed alongside the join clauses, applied BEFORE everything else
+    // (they generalize membership subqueries to composite keys), so they
+    // compose with aggregates, windows, distinct, and sequence ops
+    var filterJoins = Seq.empty[FilterJoin]
     def atOuterKw: Boolean =
       (atIdent("left") || atIdent("right") || atIdent("full")) &&
         toks.lift(pos + 1).contains(Ident("join"))
-    while (atIdent("join") || atOuterKw) {
+    def atFilterKw: Boolean =
+      (atIdent("semi") || atIdent("anti")) &&
+        toks.lift(pos + 1).contains(Ident("join"))
+    while (atIdent("join") || atOuterKw || atFilterKw) {
+      if (atFilterKw) {
+        val anti = atIdent("anti")
+        next(); next() // semi|anti, join
+        val sub: Option[ZxQuery] =
+          if (peek.contains(Sym("(")) && toks.lift(pos + 1).contains(Ident("select"))) {
+            next() // (
+            val (z, after) = parseTokens(toks, pos, nested = true)
+            pos = after
+            expectSym(")")
+            Some(z)
+          } else None
+        val table = if (sub.isEmpty) ident() else ""
+        expectIdent("on")
+        var pairs = Seq.empty[(String, String)]
+        val kl0 = ident(); expectSym("="); val kr0 = ident()
+        pairs :+= ((kl0, kr0))
+        while (atIdent("and")) {
+          next(); val al = ident(); expectSym("="); val ar = ident()
+          pairs :+= ((al, ar))
+        }
+        filterJoins :+= FilterJoin(table, anti, pairs, sub)
+      } else {
       val joinType =
         if (atIdent("left")) { next(); "left_outer" }
         else if (atIdent("right")) { next(); "right_outer" }
@@ -1183,6 +1354,7 @@ object ZxSql {
           "catalog table instead")
       equiJoins :+= EquiJoin(table, kl, kr, joinType, sub = sub,
         moreKeys = more)
+      }
     }
 
     // WHERE parses as a full tree; a pure top-level conjunction of leaves
@@ -1561,7 +1733,7 @@ object ZxSql {
       if (seqOp.nonEmpty)
         throw ParseError("sequence/corpus ops read base tables — run them " +
           "on the inner query, not over a derived table")
-      if (joinSpec.nonEmpty || equiJoins.nonEmpty)
+      if (joinSpec.nonEmpty || equiJoins.nonEmpty || filterJoins.nonEmpty)
         throw ParseError("joins belong on the inner query — the outer " +
           "level of a derived table is filter/aggregate/project only")
       if (selects.exists(_.agg == Agg.Heatmap))
@@ -1572,7 +1744,7 @@ object ZxSql {
     (ZxQuery(selects, realConds, groupBy, orderBy, tStart, tEnd, gran, limitN,
       exact = exactWindows, fromTable = fromName, fromSub = fromSub,
       where = whereTree, asofJoin = joinSpec,
-      equiJoins = equiJoins,
+      equiJoins = equiJoins, filterJoins = filterJoins,
       having = having, sessionGapSec = sessionGap, slideSec = slide,
       skewSalt = salt, seqOp = seqOp, rollup = rollup, cube = cube,
       groupingSets = groupingSets,
@@ -1737,6 +1909,58 @@ object ZxSql {
     qRows.head.getSeq[Double](0).toIndexedSeq
   }
 
+  /** Apply one `semi join` / `anti join` clause ([[FilterJoin]], p72) to
+    * the frame: resolve the right side (catalog table, or a derived
+    * scan/filter/projection that must select every ON right key — a
+    * computed key via an expression projection works), rename the key
+    * columns to positional internal names (self-joins — gating a table
+    * against a slice of ITSELF — stay unambiguous), and left_semi/
+    * left_anti join on the conjunction of all key equalities. Duplicate
+    * right keys never multiply rows, so no dedup pass is spent; AQE
+    * broadcasts a small key frame. */
+  private def applyFilterJoin(d: DataFrame, fj: FilterJoin, idx: Int,
+                              tsCol: String,
+                              tables: Map[String, DataFrame]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val right = fj.sub match {
+      case Some(sub0) =>
+        val sub = sub0.copy(where = sub0.where.map(resolveScalarSubs(_, tsCol, tables)))
+        val from = sub.fromTable.getOrElse(throw ParseError(
+          "semi/anti join (select …) needs a `from <table>` clause"))
+        val base = tables.getOrElse(from, throw ParseError(
+          s"unknown semi/anti-join table '$from' — pass it via tables/" +
+            s"runCatalog (have: ${tables.keys.toSeq.sorted.mkString(", ")})"))
+        if (sub.selects.isEmpty || sub.selects.exists(_.agg != Agg.Raw))
+          throw ParseError("a semi/anti-join subquery projects the bare ON " +
+            "key columns (computed keys via `expr as name` work) — " +
+            "aggregates have no row to match")
+        fj.keys.map(_._2).find(k => !sub.selects.exists(_.key == k)).foreach(k =>
+          throw ParseError(s"the semi/anti-join subquery must select ON key '$k'"))
+        if (sub.orderBy.nonEmpty || sub.limit.nonEmpty || sub.limitPer.nonEmpty ||
+            sub.seqOp.nonEmpty || sub.asofJoin.nonEmpty || sub.equiJoins.nonEmpty ||
+            sub.filterJoins.nonEmpty || sub.sessionGapSec.nonEmpty ||
+            sub.slideSec.nonEmpty || sub.exact || sub.rollup || sub.cube ||
+            sub.groupBy.nonEmpty || sub.having.nonEmpty ||
+            sub.postSelects.nonEmpty || sub.semiJoins.nonEmpty ||
+            sub.skewSalt.nonEmpty || sub.fromSub.nonEmpty ||
+            sub.winSelects.nonEmpty || sub.distinctRows)
+          throw ParseError("semi/anti-join subqueries are scan/filter/" +
+            "project only — a key set needs no ordering, grouping, or " +
+            "dedup (semi/anti never multiply rows); compute anything " +
+            "richer as its own table upstream")
+        Compiler.runRaw(base, sub, tsCol)
+      case None => tables.getOrElse(fj.table, throw ParseError(
+        s"unknown join table '${fj.table}' — pass it via run(..., " +
+          "tables = Map(...))"))
+    }
+    val keyCols = fj.keys.map(_._2).zipWithIndex.map { case (rk, j) =>
+      Compiler.colRef(rk).as(s"__fj${idx}_k$j") }
+    val cond = fj.keys.zipWithIndex.map { case ((lk, _), j) =>
+      Compiler.colRef(lk) === col(s"__fj${idx}_k$j") }.reduce(_ && _)
+    d.join(right.select(keyCols: _*), cond,
+      if (fj.anti) "left_anti" else "left_semi")
+  }
+
   private def compileSubquery(sub0: ZxQuery, tsCol: String,
                               tables: Map[String, DataFrame]): DataFrame = {
     // a membership subquery's own WHERE may carry scalar subqueries
@@ -1752,6 +1976,7 @@ object ZxSql {
     val matchCol = sub.selects.head.column
     if (sub.orderBy.nonEmpty || sub.limit.nonEmpty || sub.seqOp.nonEmpty ||
         sub.asofJoin.nonEmpty || sub.equiJoins.nonEmpty ||
+        sub.filterJoins.nonEmpty ||
         sub.sessionGapSec.nonEmpty || sub.slideSec.nonEmpty || sub.exact ||
         sub.rollup || sub.cube || sub.postSelects.nonEmpty ||
         sub.semiJoins.nonEmpty || sub.skewSalt.nonEmpty)
@@ -1812,6 +2037,7 @@ object ZxSql {
         s"right key ('$keyR'), got: ${sub.groupBy.mkString(", ")}")
     if (sub.orderBy.nonEmpty || sub.limit.nonEmpty || sub.limitPer.nonEmpty ||
         sub.seqOp.nonEmpty || sub.asofJoin.nonEmpty || sub.equiJoins.nonEmpty ||
+        sub.filterJoins.nonEmpty ||
         sub.sessionGapSec.nonEmpty || sub.slideSec.nonEmpty || sub.exact ||
         sub.rollup || sub.cube || sub.postSelects.nonEmpty ||
         sub.semiJoins.nonEmpty || sub.skewSalt.nonEmpty || sub.fromSub.nonEmpty)
@@ -1848,7 +2074,8 @@ object ZxSql {
         "aggregate — the comparison threshold")
     if (sub.groupBy.nonEmpty || sub.having.nonEmpty || sub.orderBy.nonEmpty ||
         sub.limit.nonEmpty || sub.seqOp.nonEmpty || sub.asofJoin.nonEmpty ||
-        sub.equiJoins.nonEmpty || sub.sessionGapSec.nonEmpty ||
+        sub.equiJoins.nonEmpty || sub.filterJoins.nonEmpty ||
+        sub.sessionGapSec.nonEmpty ||
         sub.slideSec.nonEmpty || sub.exact || sub.rollup || sub.cube ||
         sub.postSelects.nonEmpty || sub.semiJoins.nonEmpty ||
         sub.skewSalt.nonEmpty)
@@ -2161,12 +2388,19 @@ object ZxSql {
     // else — a semi/anti join is a row filter relationally, so every
     // downstream path (windows, sorts, joins, sequence ops) composes
     // unchanged on the filtered frame
-    val df = q.semiJoins.foldLeft(base0) { (d, sj) =>
-      val sub = compileSubquery(sj.sub, tsCol, tables)
-        .toDF("__sq_match") // unique name: self-joins stay unambiguous
-      d.join(sub,
-        Compiler.colRef(sj.column) === org.apache.spark.sql.functions.col("__sq_match"),
-        if (sj.anti) "left_anti" else "left_semi")
+    val df = {
+      val afterSq = q.semiJoins.foldLeft(base0) { (d, sj) =>
+        val sub = compileSubquery(sj.sub, tsCol, tables)
+          .toDF("__sq_match") // unique name: self-joins stay unambiguous
+        d.join(sub,
+          Compiler.colRef(sj.column) === org.apache.spark.sql.functions.col("__sq_match"),
+          if (sj.anti) "left_anti" else "left_semi")
+      }
+      // semi/anti join clauses (p72) are the same relational filter with
+      // composite keys and derived key sets — same early application
+      q.filterJoins.zipWithIndex.foldLeft(afterSq) { case (d, (fj, i)) =>
+        applyFilterJoin(d, fj, i, tsCol, tables)
+      }
     }
     // analytic window functions (p68): gate (WHERE pushes into the scan),
     // add every window column — items sharing one partition list share
@@ -2178,22 +2412,56 @@ object ZxSql {
     if (q.winSelects.nonEmpty) {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions.{row_number, rank, dense_rank, lag, lead}
-      val base = Compiler.scanFilter(df, q, tsCol)
+      // expression projections (p71) compute BEFORE the windows, so a
+      // window can partition/order by a computed column and qualify can
+      // filter on it
+      val base = q.selects.filter(s => s.agg == Agg.Raw && s.expr.nonEmpty)
+        .foldLeft(Compiler.scanFilter(df, q, tsCol)) { (d, s) =>
+          d.withColumn(s.key,
+            graft.compile.Aggregates.measureCol(s.expr.get, d.schema))
+        }
       val withWin = q.winSelects.foldLeft(base) { (d, w) =>
+        import org.apache.spark.sql.functions.{sum, avg, min, max, count,
+          first, last, ntile, lit}
         val ord = w.orderBy.map { case (c, dir) => dir match {
           case SortDir.Asc  => Compiler.colRef(c).asc
           case SortDir.Desc => Compiler.colRef(c).desc } }
-        val spec = Window.partitionBy(w.partitionBy.map(Compiler.colRef): _*)
-          .orderBy(ord: _*)
+        val partSpec = Window.partitionBy(w.partitionBy.map(Compiler.colRef): _*)
+        // no ORDER BY (aggregate windows only — parse-guarded) = the
+        // whole-partition frame; with ORDER BY, Spark's default frame is
+        // SQL's (RANGE UNBOUNDED PRECEDING..CURRENT ROW — the RUNNING
+        // form, ties as peers), identical to DuckDB's default
+        val spec =
+          if (w.orderBy.isEmpty) partSpec else partSpec.orderBy(ord: _*)
+        // window aggregates are plain SQL row semantics (unweighted) —
+        // the reference's weighted forms are the GROUPED aggregates;
+        // numeric() keeps parse-on-demand string storage working
+        def num0 = graft.compile.Aggregates.numeric(w.arg.get, d.schema)
         val e = w.func match {
           case "row_number" => row_number()
           case "rank"       => rank()
           case "dense_rank" => dense_rank()
           case "lag"        => lag(Compiler.colRef(w.arg.get), w.offset)
           case "lead"       => lead(Compiler.colRef(w.arg.get), w.offset)
+          case "sum"        => sum(num0)
+          case "mean"       => avg(num0)
+          case "min"        => min(Compiler.colRef(w.arg.get))
+          case "max"        => max(Compiler.colRef(w.arg.get))
+          case "count" =>
+            if (w.arg.contains("*")) count(lit(1))
+            else count(Compiler.colRef(w.arg.get))
+          case "first_value" => first(Compiler.colRef(w.arg.get))
+          case "last_value"  => last(Compiler.colRef(w.arg.get))
+          case "ntile"       => ntile(w.offset)
           case other => throw ParseError(s"unknown window function '$other'")
         }
-        d.withColumn(w.alias, e.over(spec))
+        // last-in-partition-ORDER needs the full frame — the default
+        // frame would make last_value ≡ the current row
+        val spec2 =
+          if (w.func == "last_value")
+            spec.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+          else spec
+        d.withColumn(w.alias, e.over(spec2))
       }
       val qualified = q.qualify.map(t =>
         withWin.filter(graft.compile.Predicates.compileTree(t, withWin.schema)))
@@ -2546,7 +2814,7 @@ object ZxSql {
           // (ADVICE r12 low).
           import org.apache.spark.sql.functions.{col, row_number}
           val obNamed = q.orderBy.map(_.select.column).toSet
-          val ties = q.selects.map(_.column)
+          val ties = q.selects.map(_.key)
             .filterNot(c => obNamed.contains(c) || c == per)
             .map(Compiler.colRef(_).asc)
           val w = org.apache.spark.sql.expressions.Window
@@ -2592,7 +2860,7 @@ object ZxSql {
     * rejected at parse level: ORDER BY / LIMIT (no total order on an
     * unbounded source), asof/trailing joins (use foreachBatch), heatmap
     * (needs data-adaptive bounds over the full range). */
-  def runStream(stream: DataFrame, sql: String, watermark: String = "10 minutes",
+  def runStream(stream0: DataFrame, sql: String, watermark: String = "10 minutes",
                 tsCol: String = Compiler.DefaultTsCol,
                 tables: Map[String, DataFrame] = Map.empty): DataFrame = {
     import graft.streaming.{EventStream, GapWindowStream}
@@ -2609,6 +2877,21 @@ object ZxSql {
     // construction — `where value > (select p99(value) from history)` is
     // a legitimate streaming gate with a fixed threshold
     val q = q0.copy(where = q0.where.map(resolveScalarSubs(_, tsCol, tables)))
+    // semi/anti joins STREAM (p72): a stream-static left_semi/left_anti
+    // probe of a STATIC key set is stateless — each micro-batch probes the
+    // fixed keys, exactly like the stream-static equi enrich. The filter
+    // wraps the source before any routing, so every downstream construct
+    // (windows, samples, raw tail) composes on the filtered stream.
+    val stream = {
+      q.filterJoins.find(fj => fj.sub.isEmpty &&
+          tables.get(fj.table).exists(_.isStreaming)).foreach(fj =>
+        throw ParseError(s"semi/anti-join table '${fj.table}' is a stream — " +
+          "the filter probes a STATIC key set (stream-stream joins need " +
+          "their own watermark contract; use foreachBatch)"))
+      q.filterJoins.zipWithIndex.foldLeft(stream0) { case (d, (fj, i)) =>
+        applyFilterJoin(d, fj, i, tsCol, tables)
+      }
+    }
     if (q.fromSub.nonEmpty)
       throw ParseError("a derived table is a bounded two-level aggregation " +
         "— run it per micro-batch via foreachBatch over ZxSql.run")

@@ -205,7 +205,9 @@ object EventStream {
     require(q.limit.isEmpty,
       "LIMIT is undefined on an unbounded stream; use tailConsole(numRows = ...)")
     val filtered = preFilter(stream, q, tsCol)
-    val cols = q.selects.map(s => graft.compile.Compiler.colRef(s.column))
+    // expression projections (p71) are stateless row arithmetic — they
+    // stream exactly like plain columns
+    val cols = graft.compile.Compiler.rawProjection(q.selects, filtered.schema)
     if (cols.nonEmpty) filtered.select(cols: _*) else filtered
   }
 

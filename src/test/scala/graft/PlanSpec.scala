@@ -857,4 +857,45 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1,
       s"expected exactly one hash exchange (user_id), got $exchanges:\n$p")
   }
+
+  test("semi/anti joins push both gates into their scans; key set broadcasts (p72/p73)") {
+    val p72 = plan("p72_sql_semi_join")
+    assert(p72.contains("LeftSemi"), s"semi join type missing:\n$p72")
+    assert(p72.contains("LessThan(n_chars,150)") &&
+      p72.contains("GreaterThan(n_chars,450)"),
+      s"both sides' gates must push into their parquet scans:\n$p72")
+    val p73 = plan("p73_sql_anti_join")
+    assert(p73.contains("LeftAnti"), s"anti join type missing:\n$p73")
+    assert(p73.contains("GreaterThan(o_totalprice,300000"),
+      s"the key-set gate must push into the orders scan:\n$p73")
+    assert(p73.contains("BroadcastHashJoin") || p73.contains("broadcast"),
+      s"a gated key set this small should broadcast:\n$p73")
+  }
+
+  test("window aggregates sharing a partition list share ONE exchange (p74)") {
+    val df = SparkEntry.queries("p74_sql_window_agg")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // running (ordered frame) + total (whole partition) are different
+    // Window operators, but both partition on o_custkey — one shuffle
+    val exchanges = p.split("\n").count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"expected exactly one hash exchange (o_custkey), got $exchanges:\n$p")
+    assert(p.contains("LessThan(o_custkey,50)"),
+      s"the WHERE gate must push into the parquet scan:\n$p")
+  }
+
+  test("expression projections prune the scan to referenced columns; WHERE pushes (p71)") {
+    val df = SparkEntry.queries("p71_sql_expr_project")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // column pruning sees THROUGH the arithmetic: only the five referenced
+    // storage columns reach the parquet reader
+    assert(!p.contains("l_shipdate") && !p.contains("l_returnflag"),
+      s"unreferenced columns reached the scan:\n$p")
+    assert(p.contains("GreaterThan(l_quantity,45.0)"),
+      s"the WHERE gate must push into the parquet scan:\n$p")
+    // top-k over the computed column is a TakeOrderedAndProject, not a
+    // global sort
+    assert(p.contains("TakeOrderedAndProject"),
+      s"order+limit must compile to per-partition top-k:\n$p")
+  }
 }

@@ -1776,6 +1776,250 @@ class SqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("GLOBAL rank"))
   }
 
+  test("expression projections: raw-path arithmetic, composition, guards (round 13)") {
+    import SparkFixture.spark.implicits._
+    val spark = SparkFixture.spark
+    val rows = Seq(
+      (1L, "a", 10.0, 0.1, 2.0), (2L, "a", 20.0, 0.5, 4.0),
+      (3L, "b", 30.0, 0.0, 0.0), (4L, "b", 40.0, 0.25, 8.0)).toSeq
+      .toDF("id", "k", "price", "disc", "qty")
+    // values: same IEEE arithmetic as a hand-built projection; division
+    // by zero is NULL (try_divide), never an error
+    val net = ZxSql.run(rows,
+      "select id, price * (1 - disc) as net, price / qty as unit order by id")
+    assert(net.columns.toSeq == Seq("id", "net", "unit"))
+    val got = net.collect().map(r => (r.getLong(0), r.getDouble(1),
+      if (r.isNullAt(2)) -1.0 else r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 10.0 * 0.9, 5.0), (2L, 10.0, 5.0),
+      (3L, 30.0, -1.0), (4L, 30.0, 5.0)))
+    // ORDER BY binds the alias; WHERE gates before; LIMIT composes
+    val top = ZxSql.run(rows,
+      "select id, price * (1 - disc) as net where qty > 1 " +
+        "order by net desc, id limit 2").collect().map(_.getLong(0))
+    assert(top.toSeq == Seq(4L, 2L))
+    // distinct composes over the computed projection
+    val d = ZxSql.run(rows, "select distinct k, price / price as one order by k")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(d.toSeq == Seq(("a", 1.0), ("b", 1.0)))
+    // windows partition/order over a computed column; qualify sees it
+    val w = ZxSql.run(rows,
+      "select k, id, price * (1 - disc) as net, " +
+        "row_number() over (partition by k order by net desc, id) as rn " +
+        "qualify rn = 1 order by k").collect().map(_.getLong(1))
+    // partition b ties at net = 30.0 (30 × 1.0 vs 40 × 0.75) — the id
+    // tiebreak makes the keep deterministic
+    assert(w.toSeq == Seq(2L, 3L))
+    // streaming: a computed projection is stateless and streams
+    val sdir = java.nio.file.Files.createTempDirectory("graft-exprproj").toString
+    rows.write.mode("overwrite").parquet(sdir)
+    val st = spark.readStream.schema(rows.schema).parquet(sdir)
+    val outDf = ZxSql.runStream(st, "select id, price * 2 as dbl")
+    val qx = outDf.writeStream.format("memory").queryName("exprproj_st")
+      .outputMode("append").start()
+    qx.processAllAvailable(); qx.stop()
+    val stGot = spark.sql("select * from exprproj_st").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(stGot.toSeq == Seq((1L, 20.0), (2L, 40.0), (3L, 60.0), (4L, 80.0)))
+    // loud guards
+    def bad(sql: String, frag: String): Unit = {
+      val e = intercept[ZxSql.ParseError](ZxSql.run(rows, sql).collect())
+      assert(e.getMessage.contains(frag), s"'$sql' → ${e.getMessage}")
+    }
+    bad("select id, price * 2", "as <name>")
+    bad("select price * 2 as x, sum(qty) as s group by k", "INSIDE the aggregate")
+    bad("select price * 2 as id, id", "duplicate output column")
+    bad("select price * 2 as __x", "engine-internal prefix")
+  }
+
+  test("semi/anti joins: composite keys, derived sides, composition, guards (round 13)") {
+    import SparkFixture.spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val spark = SparkFixture.spark
+    val facts = Seq(
+      (1L, "a", "x", 10.0), (2L, "a", "y", 20.0), (3L, "b", "x", 30.0),
+      (4L, "b", "y", 40.0), (5L, null.asInstanceOf[String], "x", 50.0)).toSeq
+      .toDF("id", "k1", "k2", "v")
+      .withColumn("ts", timestamp_seconds(col("id")))
+    val keys = Seq(("a", "x"), ("b", "y"), (null.asInstanceOf[String], "x")).toSeq
+      .toDF("r1", "r2")
+    val tabs = Map("keys" -> keys, "facts" -> facts)
+    def ids(sql: String): Seq[Long] =
+      ZxSql.run(facts, sql, tables = tabs).collect().map(_.getAs[Long]("id")).sorted.toSeq
+    // composite-key semi: EXISTS null semantics — the null-keyed fact row
+    // NEVER matches (dropped), even though the key set has a null pair
+    assert(ids("select id, v from facts semi join keys on k1 = r1 and k2 = r2") ==
+      Seq(1L, 4L))
+    // anti keeps the null-keyed row (no match found — NOT EXISTS, not NOT IN)
+    assert(ids("select id, v from facts anti join keys on k1 = r1 and k2 = r2") ==
+      Seq(2L, 3L, 5L))
+    // derived right side with its own gate; single key
+    assert(ids("select id, v from facts semi join " +
+      "(select r1 from keys where r2 = 'y') on k1 = r1") == Seq(3L, 4L))
+    // composes with aggregates (the filter applies BEFORE the group)
+    val agg = ZxSql.run(facts,
+      "select sum(v) as s from facts semi join keys on k1 = r1 and k2 = r2 " +
+        "group by k1 order by s desc", tables = tabs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(agg.toSeq == Seq(("b", 40.0), ("a", 10.0)))
+    // composes with distinct and with window functions
+    assert(ZxSql.run(facts, "select distinct k2 from facts " +
+      "semi join keys on k1 = r1 and k2 = r2", tables = tabs)
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("x", "y"))
+    val win = ZxSql.run(facts,
+      "select id, row_number() over (partition by k2 order by v desc, id) as rn " +
+        "from facts anti join keys on k1 = r1 and k2 = r2 qualify rn = 1 " +
+        "order by id", tables = tabs)
+    assert(win.collect().map(_.getLong(0)).toSeq == Seq(2L, 5L))
+    // streaming: stream-static semi/anti is stateless and streams
+    val sdir = java.nio.file.Files.createTempDirectory("graft-fj-st").toString
+    facts.write.mode("overwrite").parquet(sdir)
+    val st = spark.readStream.schema(facts.schema).parquet(sdir)
+    val outDf = ZxSql.runStream(st,
+      "select id, v from facts anti join keys on k1 = r1 and k2 = r2",
+      tables = tabs)
+    val qx = outDf.writeStream.format("memory").queryName("fj_st")
+      .outputMode("append").start()
+    qx.processAllAvailable(); qx.stop()
+    assert(spark.sql("select id from fj_st").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(2L, 3L, 5L))
+    // loud guards
+    def bad(sql: String, frag: String): Unit = {
+      val e = intercept[ZxSql.ParseError](
+        ZxSql.run(facts, sql, tables = tabs).collect())
+      assert(e.getMessage.contains(frag), s"'$sql' → ${e.getMessage}")
+    }
+    bad("select id from facts semi join nope on k1 = r1", "unknown join table")
+    bad("select id from facts semi join (select count(r1) as c from keys) " +
+      "on k1 = c", "bare ON")
+    bad("select id from facts semi join (select r1 from keys order by r1) " +
+      "on k1 = r1", "scan/filter")
+    bad("select id from facts semi join (select r2 from keys) on k1 = r1",
+      "must select ON key")
+    // a streaming right side is rejected with words
+    val eSt = intercept[ZxSql.ParseError](ZxSql.runStream(st,
+      "select id from facts semi join facts2 on k1 = r1",
+      tables = tabs + ("facts2" -> st)))
+    assert(eSt.getMessage.contains("STATIC key set"))
+  }
+
+  test("aggregate/navigation window functions: running, totals, ntile, guards (round 13)") {
+    import SparkFixture.spark.implicits._
+    val rows = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
+      (4L, "b", 5.0), (5L, "b", 15.0)).toSeq.toDF("id", "k", "v")
+    // running sum (ordered = SQL default RANGE frame) next to the
+    // whole-partition total (unordered) — same partition list
+    val r = ZxSql.run(rows,
+      "select id, sum(v) over (partition by k order by id) as running, " +
+        "sum(v) over (partition by k) as total, " +
+        "count(*) over (partition by k) as n, " +
+        "mean(v) over (partition by k) as m order by id")
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2),
+        x.getLong(3), x.getDouble(4)))
+    assert(r.toSeq == Seq(
+      (1L, 10.0, 60.0, 3L, 20.0), (2L, 30.0, 60.0, 3L, 20.0),
+      (3L, 60.0, 60.0, 3L, 20.0), (4L, 5.0, 20.0, 2L, 10.0),
+      (5L, 20.0, 20.0, 2L, 10.0)))
+    // RANGE-frame tie semantics: peers aggregate together (SQL default)
+    val ties = ZxSql.run(Seq((1L, "a", 7.0), (2L, "a", 8.0)).toSeq
+        .toDF("id", "k", "v").withColumn("o", org.apache.spark.sql.functions.lit(0)),
+      "select id, sum(v) over (partition by k order by o) as s order by id")
+      .collect().map(_.getDouble(1))
+    assert(ties.toSeq == Seq(15.0, 15.0))
+    // first/last/ntile; last_value reads the FULL partition frame
+    val nav = ZxSql.run(rows,
+      "select id, first_value(v) over (partition by k order by id) as f, " +
+        "last_value(v) over (partition by k order by id) as l, " +
+        "ntile(2) over (partition by k order by id) as t order by id")
+      .collect().map(x => (x.getDouble(1), x.getDouble(2), x.getInt(3)))
+    assert(nav.toSeq == Seq((10.0, 30.0, 1), (10.0, 30.0, 1), (10.0, 30.0, 2),
+      (5.0, 15.0, 1), (5.0, 15.0, 2)))
+    // count(*) parity with count(col) on non-null data; min/max windows
+    val mm = ZxSql.run(rows,
+      "select id, min(v) over (partition by k) as lo, " +
+        "max(v) over (partition by k) as hi, " +
+        "count(v) over (partition by k) as c order by id limit 1")
+      .collect().map(x => (x.getDouble(1), x.getDouble(2), x.getLong(3)))
+    assert(mm.toSeq == Seq((10.0, 30.0, 3L)))
+    // qualify composes over aggregate windows (rows above partition mean)
+    // — the expression-predicate form: a bare `v > m` would keep the
+    // reference's string-literal RHS semantics
+    val q = ZxSql.run(rows,
+      "select id, v, mean(v) over (partition by k) as m " +
+        "qualify v - m > 0 order by id").collect().map(_.getLong(0))
+    assert(q.toSeq == Seq(3L, 5L))
+    // the GROUPED aggregate stays the grouped aggregate: sum(v) without
+    // `over` still routes to the aggregation paths
+    val g = ZxSql.run(rows.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_seconds(
+          org.apache.spark.sql.functions.col("id"))),
+      "select sum(v) as s group by k order by s desc")
+      .collect().map(_.getDouble(1))
+    assert(g.toSeq == Seq(60.0, 20.0))
+    // loud guards: order-sensitive functions still demand order by
+    def bad(sql: String, frag: String): Unit = {
+      val e = intercept[ZxSql.ParseError](ZxSql.run(rows, sql).collect())
+      assert(e.getMessage.contains(frag), s"'$sql' → ${e.getMessage}")
+    }
+    bad("select id, first_value(v) over (partition by k) as f", "order by")
+    bad("select id, ntile(2) over (partition by k) as t", "order by")
+    bad("select id, ntile(0) over (partition by k order by id) as t",
+      "≥ 1 buckets")
+    bad("select id, sum(v) over (order by id) as s", "partition by")
+  }
+
+  test("scalar functions: projections, predicates, inside aggregates, guards (round 13)") {
+    import SparkFixture.spark.implicits._
+    val rows = Seq(
+      (1L, "ab", -4.0, 2.0), (2L, "abc", 9.0, 3.0),
+      (3L, "abcd", -16.0, 4.0), (4L, "x", 100.0, 0.5)).toSeq
+      .toDF("id", "s", "v", "w")
+    // projections: every function, hand-checked values
+    val p = ZxSql.run(rows,
+      "select id, abs(v) as av, sqrt(abs(v)) as sq, round(v / 3, 2) as r, " +
+        "pow(w, 2) as p2, floor(w) as fl, ceil(w) as ce, length(s) as n " +
+        "order by id")
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2),
+        x.getDouble(3), x.getDouble(4), x.getDouble(5), x.getDouble(6),
+        x.getLong(7)))
+    assert(p.toSeq == Seq(
+      (1L, 4.0, 2.0, -1.33, 4.0, 2.0, 2.0, 2L),
+      (2L, 9.0, 3.0, 3.0, 9.0, 3.0, 3.0, 3L),
+      (3L, 16.0, 4.0, -5.33, 16.0, 4.0, 4.0, 4L),
+      (4L, 100.0, 10.0, 33.33, 0.25, 0.0, 1.0, 1L)))
+    // ln/exp/log10 round-trips
+    val le = ZxSql.run(rows,
+      "select id, round(exp(ln(abs(v))), 6) as rt, log10(abs(v)) as lg " +
+        "where id = 4").collect().head
+    assert(le.getDouble(1) == 100.0 && le.getDouble(2) == 2.0)
+    // WHERE/QUALIFY expression predicates with functions
+    assert(ZxSql.run(rows, "select id where abs(v) - 10 > 0 order by id")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L, 4L))
+    assert(ZxSql.run(rows,
+      "select id where length(s) >= 3 and length(s) <= 4 order by id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    // group keys are COLUMNS — `group by length(s)` is a loud parse error
+    assertThrows[ZxSql.ParseError](ZxSql.run(rows,
+      "select sum(abs(v)) as s group by length(s) order by s desc"))
+    // inside aggregates: sum/mean over function measures
+    val ag2 = ZxSql.run(rows.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_seconds(
+          org.apache.spark.sql.functions.col("id"))),
+      "select sum(abs(v)) as s, mean(pow(w, 2)) as m order by s desc")
+      .collect().head
+    assert(ag2.getDouble(0) == 129.0 && ag2.getDouble(1) == (4.0 + 9.0 + 16.0 + 0.25) / 4)
+    // loud guards
+    def bad(sql: String, frag: String): Unit = {
+      val e = intercept[ZxSql.ParseError](ZxSql.run(rows, sql).collect())
+      assert(e.getMessage.contains(frag), s"'$sql' → ${e.getMessage}")
+    }
+    bad("select id, abs(v)", "as <name>")
+    bad("select abs(v, 2) as a", "argument")
+    bad("select round(v, w) as r", "integer literal")
+    bad("select length(v + 1) as n", "string column")
+    bad("select sum(v) * abs(v) as x", "INSIDE the aggregate")
+  }
+
   test("expression measures parse: precedence, parens, unary minus, aliases (round 12)") {
     import MeasureExpr._
     val q = ZxSql.parse(
