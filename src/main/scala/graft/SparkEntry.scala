@@ -2915,6 +2915,22 @@ object SparkEntry {
         "select redact spark, data where source != 'src0'")
     }
 
+  /** st_filter_join: p72's composite-key SEMI JOIN replayed as a STREAM —
+    * the stream-static probe of a static key set is stateless, so append
+    * mode emits every surviving row in its arrival micro-batch; the key
+    * set builds ONCE from the static catalog table at stream
+    * construction. Shares p72's oracle verbatim, so the streaming
+    * filter-join path is hash-verified end to end. */
+  private def stFilterJoin(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.replayDocs(s, dir, "st-filter-join") { stream =>
+      graft.sql.ZxSql.runStream(stream,
+        "select doc_id, lang, source " +
+          "semi join (select lang, source from docs_ref where n_chars > 450) " +
+          "on lang = lang and source = source " +
+          "where n_chars < 150",
+        tables = Map("docs_ref" -> Tables.documents(s, dir)))
+    }
+
   /** st_quality: p53's quality metrics replayed as a STREAM — the "score
     * documents as they arrive" stage, sharing p53's oracle verbatim. */
   private def stQuality(s: SparkSession, dir: String): DataFrame =
@@ -3058,6 +3074,34 @@ object SparkEntry {
         "length(text) as len " +
         "where abs(n_chars - 300) < 150 and sqrt(n_chars) > 12 " +
         "and lang = 'en' order by doc_id limit 300")
+
+  /** p77: CASE expression projections — the row-labeling primitive
+    * (`case when … then … end as size_class`) on the raw path, same
+    * conditional-measure machinery as inside aggregates (first true
+    * branch wins, no else → NULL, three-valued predicates). Values are
+    * numeric (the measure grammar); the oracle CASTs DuckDB's integer
+    * literals to DOUBLE for type parity. */
+  private def p77SqlCaseProject(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select doc_id, n_chars, " +
+        "case when n_chars > 400 then 2 when n_chars > 200 then 1 else 0 end " +
+        "as size_class " +
+        "where lang = 'en' order by doc_id limit 400")
+
+  /** p78: COMPUTED GROUP KEYS — bucket-then-aggregate through a derived
+    * table: the p77 CASE labels rows, the outer groups by the label.
+    * Catalyst collapses the composition into ONE scan+aggregate pass —
+    * the label becomes a direct grouping expression and the read schema
+    * shrinks to n_chars alone (doc_id pruned through the derived table;
+    * PlanSpec-pinned). The shape every curriculum/mixture bucketing
+    * starts from. */
+  private def p78SqlBucketAgg(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.runCatalog(Map("documents" -> Tables.documents(s, dir)),
+      "select count(*) as c, mean(n_chars) as m from " +
+        "(select doc_id, n_chars, case when n_chars > 400 then 2 " +
+        "when n_chars > 200 then 1 else 0 end as cls from documents) " +
+        "group by cls order by c desc")
+      .select(col("cls"), round3("c"), round3("m"))
 
   /** p59: `select distinct` — the raw-projection dedup primitive: one
     * shuffle on the (narrow, already-projected) columns, ORDER BY after.
@@ -4313,6 +4357,8 @@ object SparkEntry {
     "p74_sql_window_agg" -> (p74SqlWindowAgg _),
     "p75_sql_window_nav" -> (p75SqlWindowNav _),
     "p76_sql_scalar_funcs" -> (p76SqlScalarFuncs _),
+    "p77_sql_case_project" -> (p77SqlCaseProject _),
+    "p78_sql_bucket_agg" -> (p78SqlBucketAgg _),
     "p60_sql_union" -> (p60SqlUnion _),
     "p63_sql_except" -> (p63SqlExcept _),
     "p64_sql_intersect" -> (p64SqlIntersect _),
@@ -4326,6 +4372,7 @@ object SparkEntry {
     "st_sample" -> (stSample _),
     "st_chunks" -> (stChunks _),
     "st_quality" -> (stQuality _),
+    "st_filter_join" -> (stFilterJoin _),
     "st_langid" -> (stLangId _),
     "st_redact" -> (stRedact _),
     "p49_sql_composite_join" -> (p49SqlCompositeJoin _),
@@ -4692,6 +4739,16 @@ object SparkEntry {
   }
 
   /** p53's oracle, shared verbatim by `st_quality`. */
+  /** p72 + st_filter_join (batch ≡ stream): EXISTS, not IN — the face's
+    * null semantics are EXISTS's. The stream replay emits no ORDER BY
+    * but the compare canonicalizes row order. */
+  private val p72OracleSql: String =
+    """SELECT doc_id, lang, source FROM documents d
+      |WHERE n_chars < 150 AND EXISTS (
+      |  SELECT 1 FROM documents r
+      |  WHERE r.n_chars > 450 AND r.lang = d.lang AND r.source = d.source)
+      |ORDER BY doc_id""".stripMargin
+
   private val p53OracleSql: String = {
     // x2's metric rules behind the lang gate
     val en = graft.functions.TextFunctions.langStopwords.head._2
@@ -5701,13 +5758,8 @@ object SparkEntry {
         |  l_extendedprice / l_quantity AS unit_price
         |FROM lineitem WHERE l_quantity > 45
         |ORDER BY net DESC, l_orderkey, l_linenumber LIMIT 200""".stripMargin,
-    "p72_sql_semi_join" ->
-      // EXISTS, not IN: the face's null semantics are EXISTS's
-      """SELECT doc_id, lang, source FROM documents d
-        |WHERE n_chars < 150 AND EXISTS (
-        |  SELECT 1 FROM documents r
-        |  WHERE r.n_chars > 450 AND r.lang = d.lang AND r.source = d.source)
-        |ORDER BY doc_id""".stripMargin,
+    "p72_sql_semi_join" -> p72OracleSql,
+    "st_filter_join" -> p72OracleSql,
     "p73_sql_anti_join" ->
       """SELECT coalesce(CAST(c_mktsegment AS VARCHAR), '__nil') AS c_mktsegment,
         |  round(CAST(count(*) AS DOUBLE), 3) AS n
@@ -5726,6 +5778,23 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY o_custkey) AS n_orders
         |FROM orders WHERE o_custkey < 50
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "p78_sql_bucket_agg" ->
+      // the engine renders group keys as strings (the __nil convention's
+      // carrier type); DuckDB CASTs the double label to match
+      """SELECT CAST(cls AS VARCHAR) AS cls,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS c,
+        |  round(CAST(avg(n_chars) AS DOUBLE), 3) AS m
+        |FROM (SELECT doc_id, n_chars,
+        |  CAST(CASE WHEN n_chars > 400 THEN 2 WHEN n_chars > 200 THEN 1
+        |    ELSE 0 END AS DOUBLE) AS cls
+        |  FROM documents)
+        |GROUP BY cls""".stripMargin,
+    "p77_sql_case_project" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(CASE WHEN n_chars > 400 THEN 2 WHEN n_chars > 200 THEN 1
+        |    ELSE 0 END AS DOUBLE) AS size_class
+        |FROM documents WHERE lang = 'en'
+        |ORDER BY doc_id LIMIT 400""".stripMargin,
     "p76_sql_scalar_funcs" ->
       // identical IEEE row-wise functions; length is chars on both
       """SELECT doc_id, round(n_chars / 100, 2) AS hundreds,

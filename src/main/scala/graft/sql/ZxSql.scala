@@ -322,13 +322,15 @@ object ZxSql {
     // the shared leaf of plain select items, HAVING/ORDER BY references,
     // trailing-agg lists, AND the post-aggregate expression grammar below.
     def aggCallOrRaw(): Select = {
-      // a scalar-function ATOM in select position (p76): parse it with
-      // the measure machinery and carry it as a Raw expression select —
-      // aggSum composes arithmetic around it, selectEntry demands the
-      // alias
+      // a scalar-function ATOM (p76) or a CASE expression (p77) in select
+      // position: parse it with the measure machinery and carry it as a
+      // Raw expression select — aggSum composes arithmetic around it,
+      // selectEntry demands the alias
       peek match {
         case Some(Ident(f)) if scalarFuncs.contains(f) &&
             toks.lift(pos + 1).contains(Sym("(")) =>
+          return Select(Agg.Raw, "", expr = Some(measureAtom()))
+        case Some(Ident("case")) if toks.lift(pos + 1).contains(Ident("when")) =>
           return Select(Agg.Raw, "", expr = Some(measureAtom()))
         case _ =>
       }

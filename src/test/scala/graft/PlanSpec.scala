@@ -884,6 +884,18 @@ class PlanSpec extends AnyFunSuite {
       s"the WHERE gate must push into the parquet scan:\n$p")
   }
 
+  test("bucket-then-aggregate collapses the derived table into one pass (p78)") {
+    val df = SparkEntry.queries("p78_sql_bucket_agg")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the CASE label becomes a direct grouping expression; the derived
+    // table's unused doc_id is pruned THROUGH the projection
+    assert(p.contains("ReadSchema: struct<n_chars:bigint>"),
+      s"the scan must read n_chars alone (doc_id pruned through the derived table):\n$p")
+    val exchanges = p.split("== Initial Plan ==").head.split("\n")
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"one aggregation exchange expected, got $exchanges:\n$p")
+  }
+
   test("expression projections prune the scan to referenced columns; WHERE pushes (p71)") {
     val df = SparkEntry.queries("p71_sql_expr_project")(spark, dir)
     val p = df.queryExecution.executedPlan.toString

@@ -2020,6 +2020,27 @@ class SqlSpec extends AnyFunSuite {
     bad("select sum(v) * abs(v) as x", "INSIDE the aggregate")
   }
 
+  test("case expression projections label rows on the raw path (round 13)") {
+    import SparkFixture.spark.implicits._
+    val rows = Seq((1L, 500L), (2L, 300L), (3L, 100L), (4L, 201L)).toSeq
+      .toDF("id", "n")
+    val r = ZxSql.run(rows,
+      "select id, case when n > 400 then 2 when n > 200 then 1 else 0 end " +
+        "as cls order by id")
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    assert(r.toSeq == Seq((1L, 2.0), (2L, 1.0), (3L, 0.0), (4L, 1.0)))
+    // no else → NULL; arithmetic composes around the case atom
+    val r2 = ZxSql.run(rows,
+      "select id, case when n > 400 then 1 end * 10 as flag10 order by id")
+      .collect().map(x => (x.getLong(0),
+        if (x.isNullAt(1)) -1.0 else x.getDouble(1)))
+    assert(r2.toSeq == Seq((1L, 10.0), (2L, -1.0), (3L, -1.0), (4L, -1.0)))
+    // alias still required
+    val e = intercept[ZxSql.ParseError](ZxSql.run(rows,
+      "select id, case when n > 400 then 2 else 0 end"))
+    assert(e.getMessage.contains("as <name>"))
+  }
+
   test("expression measures parse: precedence, parens, unary minus, aliases (round 12)") {
     import MeasureExpr._
     val q = ZxSql.parse(
