@@ -3103,6 +3103,31 @@ object SparkEntry {
         "group by cls order by c desc")
       .select(col("cls"), round3("c"), round3("m"))
 
+  /** p79: STRING functions — lower/upper/trim/substr as projections and
+    * the case-insensitive gate (`where lower(lang) = 'en'`). String
+    * expressions compare for EQUALITY only (order would ride collation);
+    * arithmetic over strings is a parse error. substr is 1-based on both
+    * engines. */
+  private def p79SqlStringFuncs(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select doc_id, upper(lang) as lang_u, substr(source, 1, 4) as src4 " +
+        "where lower(lang) = 'en' and length(text) > 100 " +
+        "order by doc_id limit 300")
+
+  /** p80: STRING CASE LABELS feeding a computed group key — the
+    * human-readable bucket-then-aggregate: label rows 'long'/'mid'/
+    * 'short' in a derived table, group by the label. Same one-pass
+    * collapsed plan as p78; the group key is natively a string, so the
+    * rendering needs no cast on either engine. */
+  private def p80SqlCaseLabel(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.runCatalog(Map("documents" -> Tables.documents(s, dir)),
+      "select count(*) as c, mean(n_chars) as m from " +
+        "(select doc_id, n_chars, case when n_chars > 400 then 'long' " +
+        "when n_chars > 200 then 'mid' else 'short' end as bucket " +
+        "from documents) " +
+        "group by bucket order by c desc")
+      .select(col("bucket"), round3("c"), round3("m"))
+
   /** p59: `select distinct` — the raw-projection dedup primitive: one
     * shuffle on the (narrow, already-projected) columns, ORDER BY after.
     * Closes the r12 "set operations at the front door" gap with p60. */
@@ -4359,6 +4384,8 @@ object SparkEntry {
     "p76_sql_scalar_funcs" -> (p76SqlScalarFuncs _),
     "p77_sql_case_project" -> (p77SqlCaseProject _),
     "p78_sql_bucket_agg" -> (p78SqlBucketAgg _),
+    "p79_sql_string_funcs" -> (p79SqlStringFuncs _),
+    "p80_sql_case_label" -> (p80SqlCaseLabel _),
     "p60_sql_union" -> (p60SqlUnion _),
     "p63_sql_except" -> (p63SqlExcept _),
     "p64_sql_intersect" -> (p64SqlIntersect _),
@@ -5778,6 +5805,20 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY o_custkey) AS n_orders
         |FROM orders WHERE o_custkey < 50
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "p79_sql_string_funcs" ->
+      """SELECT doc_id, upper(lang) AS lang_u, substr(source, 1, 4) AS src4
+        |FROM documents
+        |WHERE lower(lang) = 'en' AND length(text) > 100
+        |ORDER BY doc_id LIMIT 300""".stripMargin,
+    "p80_sql_case_label" ->
+      // the label is natively VARCHAR — no cast needed on either engine
+      """SELECT bucket, round(CAST(count(*) AS DOUBLE), 3) AS c,
+        |  round(CAST(avg(n_chars) AS DOUBLE), 3) AS m
+        |FROM (SELECT doc_id, n_chars,
+        |  CASE WHEN n_chars > 400 THEN 'long' WHEN n_chars > 200 THEN 'mid'
+        |    ELSE 'short' END AS bucket
+        |  FROM documents)
+        |GROUP BY bucket""".stripMargin,
     "p78_sql_bucket_agg" ->
       // the engine renders group keys as strings (the __nil convention's
       // carrier type); DuckDB CASTs the double label to match

@@ -64,6 +64,7 @@ object Aggregates {
   def measureCol(e: MeasureExpr, schema: StructType): Column = e match {
     case MeasureExpr.Col(n)       => numeric(n, schema)
     case MeasureExpr.Lit(v)       => lit(v)
+    case MeasureExpr.StrLit(v)    => lit(v)
     case MeasureExpr.Neg(x)       => -measureCol(x, schema)
     case MeasureExpr.Bin(op, l, r) =>
       val a = measureCol(l, schema); val b = measureCol(r, schema)
@@ -105,6 +106,24 @@ object Aggregates {
           case other => throw new IllegalArgumentException(
             s"length takes a string column, got $other")
         }
+        // string functions (p79): the argument is a RAW column or a
+        // nested string expression — never the numeric view
+        case "lower" | "upper" | "trim" | "substr" =>
+          def strArg(x: MeasureExpr): Column = x match {
+            case MeasureExpr.Col(n) => Compiler.colRef(n)
+            case other if MeasureExpr.isString(other) => measureCol(other, schema)
+            case other => throw new IllegalArgumentException(
+              s"$name takes a string column/expression, got $other")
+          }
+          name match {
+            case "lower" => lower(strArg(args.head))
+            case "upper" => upper(strArg(args.head))
+            case "trim"  => trim(strArg(args.head))
+            case _ => // substr(s, start, len) — 1-based on both engines
+              val st = args(1).asInstanceOf[MeasureExpr.Lit].value.toInt
+              val ln = args(2).asInstanceOf[MeasureExpr.Lit].value.toInt
+              substring(strArg(args.head), st, ln)
+          }
         case other => throw new IllegalArgumentException(
           s"unknown scalar function '$other'")
       }

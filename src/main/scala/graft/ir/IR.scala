@@ -152,17 +152,38 @@ object MeasureExpr {
     * predicates, raw expression projections). Arity and literal-argument
     * constraints are parse-enforced; see ZxSql's `scalarFuncs`. */
   final case class Func(name: String, args: Seq[MeasureExpr]) extends MeasureExpr
+  /** String literal (p79) — the value side of string-expression
+    * comparisons (`lower(lang) = 'en'`) and string CASE labels
+    * (`then 'long'`). Parse guards keep strings out of arithmetic and
+    * aggregate measures. */
+  final case class StrLit(value: String) extends MeasureExpr
 
   /** Columns the expression reads — for projection pruning and guards. */
   def columns(e: MeasureExpr): Set[String] = e match {
     case Col(n)        => Set(n)
     case Lit(_)        => Set.empty
+    case StrLit(_)     => Set.empty
     case Bin(_, l, r)  => columns(l) ++ columns(r)
     case Neg(x)        => columns(x)
     case Func(_, as)   => as.flatMap(columns).toSet
     case Case(bs, el)  =>
       bs.flatMap { case (c, v) => ConditionTree.columns(c) ++ columns(v) }.toSet ++
         el.map(columns).getOrElse(Set.empty)
+  }
+
+  /** String-returning function names (p79). */
+  val stringFuncs: Set[String] = Set("lower", "upper", "trim", "substr")
+
+  /** True when the expression is STRING-typed by construction: string
+    * literals, string functions, and CASE whose branch values are
+    * strings. Columns are untyped at parse (schemaless store) — a bare
+    * Col stays "numeric" and the legacy condition grammar handles its
+    * string comparisons. */
+  def isString(e: MeasureExpr): Boolean = e match {
+    case StrLit(_)    => true
+    case Func(f, _)   => stringFuncs(f)
+    case Case(bs, el) => bs.exists(b => isString(b._2)) || el.exists(isString)
+    case _            => false
   }
 }
 

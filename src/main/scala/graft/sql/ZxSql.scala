@@ -55,7 +55,11 @@ import graft.operators.GapWindows
   * SCALAR FUNCTION calls (p76: abs, floor, ceil, sqrt, exp, ln, log10,
   * pow, round(x[, digits]), length — row-wise, identical IEEE semantics
   * on both engines; in call position these names are reserved, as bare
-  * columns they stay reachable) with `+ - * /`, parens, unary minus
+  * columns they stay reachable; p79 adds STRING functions lower/upper/
+  * trim/substr(s, start, len) and string literals — string expressions
+  * project, label CASE branches, and compare with = / != ONLY (order
+  * would ride collation); they never enter arithmetic or aggregates)
+  * with `+ - * /`, parens, unary minus
   * (standard precedence; `/` is
   * null-on-zero-divisor on both engines) — `sum(price * (1 - discount))
   * as revenue`, evaluated row-wise so it codegens and partial-aggregates
@@ -138,7 +142,11 @@ object ZxSql {
     "abs" -> ((1, 1)), "floor" -> ((1, 1)), "ceil" -> ((1, 1)),
     "sqrt" -> ((1, 1)), "exp" -> ((1, 1)), "ln" -> ((1, 1)),
     "log10" -> ((1, 1)), "pow" -> ((2, 2)), "round" -> ((1, 2)),
-    "length" -> ((1, 1)))
+    "length" -> ((1, 1)),
+    // string functions (p79) — STRING-typed results; parse guards keep
+    // them out of arithmetic and aggregate measures
+    "lower" -> ((1, 1)), "upper" -> ((1, 1)), "trim" -> ((1, 1)),
+    "substr" -> ((3, 3)))
 
   private val aggNames: Map[String, Agg] = Map(
     "count" -> Agg.Count, "sum" -> Agg.Sum, "max" -> Agg.Max,
@@ -231,7 +239,7 @@ object ZxSql {
     // that IS a subtraction, handled explicitly below.
     def measureAtom(): MeasureExpr = peek match {
       case Some(Sym("(")) => next(); val e = measureSum(); expectSym(")"); e
-      case Some(Sym("-")) => next(); MeasureExpr.Neg(measureAtom())
+      case Some(Sym("-")) => next(); MeasureExpr.Neg(numOnly(measureAtom()))
       case Some(Num(v)) =>
         next()
         MeasureExpr.Lit(v.toDoubleOption.getOrElse(
@@ -263,6 +271,16 @@ object ZxSql {
         }
         val orElse = if (atIdent("else")) { next(); Some(measureSum()) } else None
         expectIdent("end")
+        // branch values must be uniformly string or numeric (p79/p80) —
+        // a mixed case would silently coerce on one engine and not the
+        // other
+        locally {
+          val vals = bs.result().map(_._2) ++ orElse
+          if (vals.exists(MeasureExpr.isString) &&
+              !vals.forall(MeasureExpr.isString))
+            throw ParseError("case branches mix string and numeric values" +
+              " — pick one carrier type for every then/else")
+        }
         MeasureExpr.Case(bs.result(), orElse)
       case Some(Ident(f)) if scalarFuncs.contains(f) &&
           toks.lift(pos + 1).contains(Sym("(")) =>
@@ -282,15 +300,43 @@ object ZxSql {
           throw ParseError("round's digit count must be an integer literal")
         if (f == "length" && !as.head.isInstanceOf[MeasureExpr.Col])
           throw ParseError("length takes a string column")
+        if (MeasureExpr.stringFuncs(f) &&
+            !(as.head.isInstanceOf[MeasureExpr.Col] || MeasureExpr.isString(as.head)))
+          throw ParseError(s"$f takes a string column or string expression")
+        if (f == "substr") {
+          val ok = as.tail.forall {
+            case MeasureExpr.Lit(v) => v == v.toInt.toDouble
+            case _                  => false
+          }
+          if (!ok) throw ParseError("substr(s, start, len) takes integer literals")
+          val MeasureExpr.Lit(st) = as(1): @unchecked
+          if (st < 1) throw ParseError("substr start is 1-based (≥ 1)")
+        }
+        if (!MeasureExpr.stringFuncs(f) && f != "length" &&
+            as.exists(MeasureExpr.isString))
+          throw ParseError(s"$f takes numeric arguments — string " +
+            "expressions compare with = / != or project directly")
         MeasureExpr.Func(f, as)
+      case Some(Str(v)) =>
+        // string literal in measure position (p79) — the value side of a
+        // string-expression comparison or a string CASE label
+        next(); MeasureExpr.StrLit(v)
       case Some(Ident(v)) => next(); MeasureExpr.Col(v)
       case other => throw ParseError(s"expected a measure term, got ${other.getOrElse("end of input")}")
+    }
+    // strings never enter arithmetic (p79): compare with = / !=, or
+    // project them — the guard fires at the operator, with words
+    def numOnly(e: MeasureExpr): MeasureExpr = {
+      if (MeasureExpr.isString(e))
+        throw ParseError("string expressions do not enter arithmetic — " +
+          "compare with = / !=, or project them directly")
+      e
     }
     def measureTerm(): MeasureExpr = {
       var e = measureAtom()
       while (peek.contains(Sym("*")) || peek.contains(Sym("/"))) {
         val Sym(op) = next(): @unchecked
-        e = MeasureExpr.Bin(op, e, measureAtom())
+        e = MeasureExpr.Bin(op, numOnly(e), numOnly(measureAtom()))
       }
       e
     }
@@ -298,8 +344,10 @@ object ZxSql {
       var e = measureTerm()
       var more = true
       while (more) peek match {
-        case Some(Sym("+")) => next(); e = MeasureExpr.Bin("+", e, measureTerm())
-        case Some(Sym("-")) => next(); e = MeasureExpr.Bin("-", e, measureTerm())
+        case Some(Sym("+")) =>
+          next(); e = MeasureExpr.Bin("+", numOnly(e), numOnly(measureTerm()))
+        case Some(Sym("-")) =>
+          next(); e = MeasureExpr.Bin("-", numOnly(e), numOnly(measureTerm()))
         case Some(Num(v)) if v.startsWith("-") =>
           // `a -3` lexes as Ident(a), Num(-3): subtraction of the
           // positive — which opens a TERM, so `a -3 * b` still binds
@@ -312,7 +360,7 @@ object ZxSql {
             val Sym(op) = next(): @unchecked
             t = MeasureExpr.Bin(op, t, measureAtom())
           }
-          e = MeasureExpr.Bin("-", e, t)
+          e = MeasureExpr.Bin("-", numOnly(e), t)
         case _ => more = false
       }
       e
@@ -352,6 +400,10 @@ object ZxSql {
             expectSym(")")
             if (agg == Agg.Heatmap)
               throw ParseError("heatmap buckets a plain storage column, not an expression")
+            if (MeasureExpr.isString(e))
+              throw ParseError(s"${agg.name} takes a numeric measure — " +
+                "string expressions belong in projections and = / != " +
+                "predicates (group by a derived-table label to count them)")
             Select(agg, "", expr = Some(e))
         }
       } else Select(Agg.Raw, name)
@@ -459,12 +511,24 @@ object ZxSql {
         // Compiled by the measure compiler (same arithmetic/try_divide
         // semantics as filter and aggregate measures). Alias REQUIRED.
         if (calls.forall(_.agg == Agg.Raw)) {
+          // select-list arithmetic composes at the AggExpr layer, so the
+          // measure grammar's string guard re-applies after conversion
           def toMeasure(x: AggExpr): MeasureExpr = x match {
             case AggExpr.Call(s) =>
               s.expr.getOrElse(MeasureExpr.Col(s.column))
-            case AggExpr.Lit(v)        => MeasureExpr.Lit(v)
-            case AggExpr.Bin(o, l, r)  => MeasureExpr.Bin(o, toMeasure(l), toMeasure(r))
-            case AggExpr.Neg(x2)       => MeasureExpr.Neg(toMeasure(x2))
+            case AggExpr.Lit(v)       => MeasureExpr.Lit(v)
+            case AggExpr.Bin(o, l, r) =>
+              val (ml, mr) = (toMeasure(l), toMeasure(r))
+              if (MeasureExpr.isString(ml) || MeasureExpr.isString(mr))
+                throw ParseError("string expressions do not enter " +
+                  "arithmetic — compare with = / !=, or project them directly")
+              MeasureExpr.Bin(o, ml, mr)
+            case AggExpr.Neg(x2) =>
+              val m = toMeasure(x2)
+              if (MeasureExpr.isString(m))
+                throw ParseError("string expressions do not enter " +
+                  "arithmetic — compare with = / !=, or project them directly")
+              MeasureExpr.Neg(m)
           }
           if (!atIdent("as"))
             throw ParseError("expression projections need `as <name>` — " +
@@ -557,7 +621,14 @@ object ZxSql {
           case other => throw ParseError("expression predicates take " +
             s"numeric comparators (= != > < >= <=), got $other")
         }
-        ConditionTree.ExprLeaf(l, cmp, measureSum())
+        val r = measureSum()
+        // string expressions compare for EQUALITY only (p79): an order
+        // comparison would ride collation, which the two engines need
+        // not share
+        if ((MeasureExpr.isString(l) || MeasureExpr.isString(r)) &&
+            cmp != Cmp.Eq && cmp != Cmp.Ne)
+          throw ParseError("string expressions compare with = / != only")
+        ConditionTree.ExprLeaf(l, cmp, r)
     }
     // comparator right side: a literal/identifier value, or a SCALAR
     // subquery `(select <agg>(…) from <table> …)` resolved to a literal

@@ -2041,6 +2041,44 @@ class SqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("as <name>"))
   }
 
+  test("string functions: projections, equality gates, case labels, guards (round 13)") {
+    import SparkFixture.spark.implicits._
+    val rows = Seq(
+      (1L, "EN", " src0 ", 500L), (2L, "en", "src11", 100L),
+      (3L, "Fr", "src2", 300L)).toSeq.toDF("id", "lang", "src", "n")
+    // lower/upper/trim/substr as projections; substr is 1-based
+    val p = ZxSql.run(rows,
+      "select id, lower(lang) as lo, upper(lang) as up, trim(src) as t, " +
+        "substr(src, 2, 3) as mid order by id")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2),
+        x.getString(3), x.getString(4)))
+    assert(p.toSeq == Seq((1L, "en", "EN", "src0", "src"),
+      (2L, "en", "EN", "src11", "rc1"), (3L, "fr", "FR", "src2", "rc2")))
+    // the case-insensitive gate; nesting composes (trim then lower)
+    assert(ZxSql.run(rows, "select id where lower(lang) = 'en' order by id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(ZxSql.run(rows, "select id where lower(trim(src)) != 'src0' order by id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    // string CASE labels; qualify/where over the label by equality
+    val lbl = ZxSql.run(rows,
+      "select id, case when n > 400 then 'long' else 'short' end as b order by id")
+      .collect().map(_.getString(1))
+    assert(lbl.toSeq == Seq("long", "short", "short"))
+    // loud guards
+    def bad(sql: String, frag: String): Unit = {
+      val e = intercept[ZxSql.ParseError](ZxSql.run(rows, sql).collect())
+      assert(e.getMessage.contains(frag), s"'$sql' → ${e.getMessage}")
+    }
+    bad("select id, lower(lang) + 1 as x", "do not enter arithmetic")
+    bad("select id where lower(lang) > 'en'", "= / != only")
+    bad("select sum(lower(lang)) as s", "numeric measure")
+    bad("select id, lower(n + 1) as x", "string column or string expression")
+    bad("select id, substr(src, 0, 2) as x", "1-based")
+    bad("select id, substr(src, 1, n) as x", "integer literals")
+    bad("select id, case when n > 1 then 'a' else 0 end as x", "mix string")
+    bad("select id, sqrt(lower(lang)) as x", "numeric arguments")
+  }
+
   test("expression measures parse: precedence, parens, unary minus, aliases (round 12)") {
     import MeasureExpr._
     val q = ZxSql.parse(
