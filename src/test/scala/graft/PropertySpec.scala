@@ -298,3 +298,140 @@ object StringBoundsProps extends Properties("TruncatedStringBounds") {
         truncatedStringBounds(mn + "\u00e9", mx + "\u00e9", 64).isEmpty
     }
 }
+
+/** Round-13 grammar equivalences: the engine's row-wise expression
+  * compiler against an INDEPENDENT Scala interpreter, and two structural
+  * invariants (semi/anti partition, running-vs-total windows). Small
+  * case counts — every case runs a Spark job. */
+object GrammarEquivProps extends Properties("ZxSqlGrammar") {
+  import MeasureExpr._
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters) =
+    p.withMinSuccessfulTests(25)
+
+  private lazy val spark = SparkFixture.spark
+
+  private lazy val exprDf = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("v", DoubleType, nullable = false),
+      StructField("w", DoubleType, nullable = false)))
+    val rows = (0 until 12).map { i =>
+      org.apache.spark.sql.Row(i, (i - 6) * 1.5, (i % 4).toDouble)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+  }
+
+  // expressions over v/w with non-negative literals and the always-total
+  // functions (abs/floor/ceil/round2) — sqrt/ln diverge from the plain
+  // Scala interpreter only on domain errors, which is Spark-vs-Java
+  // semantics, not grammar semantics; keep the differential total
+  private def exprGen(depth: Int): Gen[MeasureExpr] =
+    if (depth == 0) Gen.oneOf(Gen.const(Col("v")), Gen.const(Col("w")),
+      Gen.choose(0, 20).map(n => Lit(n / 2.0)))
+    else Gen.frequency(
+      2 -> exprGen(0),
+      3 -> (for {
+        op <- Gen.oneOf("+", "-", "*", "/")
+        l <- exprGen(depth - 1); r <- exprGen(depth - 1)
+      } yield Bin(op, l, r)),
+      1 -> exprGen(depth - 1).map(Neg(_)),
+      2 -> (for {
+        f <- Gen.oneOf("abs", "floor", "ceil")
+        a <- exprGen(depth - 1)
+      } yield Func(f, Seq(a))),
+      1 -> exprGen(depth - 1).map(a => Func("round", Seq(a, Lit(2)))))
+
+  private def rend(e: MeasureExpr): String = e match {
+    case Col(n)        => n
+    case Lit(x)        => x.toString
+    case Bin(op, l, r) => s"(${rend(l)} $op ${rend(r)})"
+    case Neg(x)        => s"(- ${rend(x)})"
+    case Func("round", Seq(a, Lit(d))) => s"round(${rend(a)}, ${d.toInt})"
+    case Func(f, as)   => s"$f(${as.map(rend).mkString(", ")})"
+    case other         => throw new IllegalArgumentException(other.toString)
+  }
+
+  /** The independent interpreter: IEEE doubles, None on zero divisor
+    * (try_divide), HALF_UP rounding through Double.toString — the same
+    * contracts the scaladoc promises. */
+  private def ev(e: MeasureExpr, v: Double, w: Double): Option[Double] = e match {
+    case Col("v") => Some(v)
+    case Col("w") => Some(w)
+    case Lit(x)   => Some(x)
+    case Neg(x)   => ev(x, v, w).map(d => -d)
+    case Bin("/", l, r) =>
+      for (a <- ev(l, v, w); b <- ev(r, v, w); q <- if (b == 0.0) None else Some(a / b)) yield q
+    case Bin(op, l, r) =>
+      for (a <- ev(l, v, w); b <- ev(r, v, w)) yield op match {
+        case "+" => a + b; case "-" => a - b; case "*" => a * b
+      }
+    case Func("abs", Seq(a))   => ev(a, v, w).map(math.abs)
+    case Func("floor", Seq(a)) => ev(a, v, w).map(math.floor)
+    case Func("ceil", Seq(a))  => ev(a, v, w).map(math.ceil)
+    case Func("round", Seq(a, Lit(d))) => ev(a, v, w).map(x =>
+      BigDecimal(x.toString).setScale(d.toInt, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    case other => throw new IllegalArgumentException(other.toString)
+  }
+
+  // the driver's compare semantics: NaN ≡ NaN, and ±0.0 are equal (the
+  // engine's floor/ceil round-trip through LONG drops a negative zero's
+  // sign — invisible to the oracle, so invisible here)
+  private def sameVal(a: Option[Double], b: Option[Double]): Boolean = (a, b) match {
+    case (None, None)       => true
+    case (Some(x), Some(y)) => x == y || (x.isNaN && y.isNaN)
+    case _                  => false
+  }
+
+  property("expression projections match the independent interpreter") =
+    forAll(exprGen(3)) { e0 =>
+      // the select list needs at least one column read and a non-trivial
+      // expression (a bare column keeps its name, no alias)
+      val e = e0 match {
+        case c if MeasureExpr.columns(c).isEmpty => Bin("+", c, Col("v"))
+        case c: Col                              => Bin("*", c, Lit(1.0))
+        case c                                   => c
+      }
+      val got = ZxSql.run(exprDf, s"select id, ${rend(e)} as x order by id")
+        .collect().map(r => r.getInt(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      val want = exprDf.select("id", "v", "w").collect().map(r =>
+        r.getInt(0) -> ev(e, r.getDouble(1), r.getDouble(2))).toMap
+      got.keySet == want.keySet && got.keys.forall(k => sameVal(got(k), want(k)))
+    }
+
+  private lazy val fjLeft = {
+    import spark.implicits._
+    Seq((0, "a", "x"), (1, "a", "y"), (2, "b", "x"), (3, "b", "y"),
+      (4, null.asInstanceOf[String], "x"), (5, "c", "z")).toSeq
+      .toDF("id", "k1", "k2")
+  }
+
+  property("semi and anti joins PARTITION the left frame, any key set") =
+    forAll(Gen.listOf(Gen.zip(Gen.oneOf("a", "b", "c", null), Gen.oneOf("x", "y", "z")))) { pairs =>
+      import spark.implicits._
+      val right = (pairs :+ (("seed", "seed"))).toDF("r1", "r2") // never empty
+      val tabs = Map("keys" -> right)
+      def ids(anti: String): Set[Int] =
+        ZxSql.run(fjLeft, s"select id from facts $anti join keys on k1 = r1 and k2 = r2",
+          tables = tabs).collect().map(_.getInt(0)).toSet
+      val (semi, anti) = (ids("semi"), ids("anti"))
+      semi.intersect(anti).isEmpty && (semi ++ anti) == (0 to 5).toSet &&
+        (!anti.isEmpty || pairs.nonEmpty) && anti.contains(4) // null never matches
+    }
+
+  property("running window sum reaches the partition total at the last row") =
+    forAll(Gen.listOfN(12, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(-9, 9)))) { kvs =>
+      import spark.implicits._
+      val df = kvs.zipWithIndex.map { case ((k, x), i) => (i.toLong, k, x.toDouble) }
+        .toDF("id", "k", "x")
+      val out = ZxSql.run(df,
+        "select id, k, sum(x) over (partition by k order by id) as running, " +
+          "sum(x) over (partition by k) as total order by id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+      // whole-valued doubles: addition exact, any order
+      val lastPerK = out.groupBy(_._2).values.map(_.maxBy(_._1))
+      kvs.isEmpty || lastPerK.forall(r => r._3 == r._4)
+    }
+}
