@@ -3128,6 +3128,66 @@ object SparkEntry {
         "group by bucket order by c desc")
       .select(col("bucket"), round3("c"), round3("m"))
 
+  /** p81: DISPERSION aggregates — `stddev`/`variance` (SAMPLE forms,
+    * plain ANSI semantics: unweighted like the percentile family, NULL
+    * when a group has < 2 values) ride the same hash-aggregate plan as
+    * every other measure, including over a computed expression. Oracle =
+    * DuckDB's native stddev_samp/var_samp; 3dp rounding absorbs the
+    * engines' different partial-merge orders (~1e-12 relative). */
+  private def p81SqlStddev(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir),
+      "select stddev(value) as sd, variance(value) as vr, " +
+        "stddev(value / 10) as sd10, count(*) as n " +
+        "group by event_type order by sd desc")
+      .select(col("event_type"), round3("sd"), round3("vr"),
+        round3("sd10"), round3("n"))
+
+  /** p82: CALENDAR ROLLUP — `year(o_orderdate)` labels rows in a derived
+    * table, the outer groups by the year: the "orders per year" staple
+    * the granularity windows cannot spell (they bucket epoch seconds, not
+    * calendar fields). Catalyst collapses the composition into ONE
+    * scan+aggregate pass like p78. Every aggregate here is
+    * order-independent-EXACT (counts, distinct count, max), so the row
+    * carries zero float-summation risk. */
+  private def p82SqlCalendar(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.runCatalog(Map("orders" -> Tables.orders(s, dir)),
+      "select count(*) as n, count_distinct(o_custkey) as custs, " +
+        "max(o_totalprice) as mx from " +
+        "(select o_orderkey, o_custkey, o_totalprice, " +
+        "year(o_orderdate) as yr from orders) " +
+        "group by yr order by yr asc")
+      .select(col("yr"), round3("n"), col("custs"), col("mx"))
+
+  /** p83: HOUR-OF-DAY PROFILE over the events table — `hour(ts)` under
+    * the engine-wide UTC timestamp contract (Tables.events normalizes
+    * every historical parquet encoding to one session-zoned ts; DuckDB
+    * reads the same file as a naive timestamp — identical wall-clock
+    * fields). The diurnal-activity shape every observability UI draws. */
+  private def p83SqlHourProfile(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.runCatalog(Map("events" -> Tables.events(s, dir)),
+      "select count(*) as n, sum(value) as sv, max(value) as mx from " +
+        "(select value, hour(ts) as hr from events " +
+        "where event_type = 'click') " +
+        "group by hr order by hr asc")
+      .select(col("hr"), round3("n"), round3("sv"), col("mx"))
+
+  /** p84: NULL-HANDLING scalars — `nullif` manufactures SQL NULLs from a
+    * sentinel (here: the sub-100 value band), `coalesce` pads them back,
+    * `greatest`/`least` clamp while SKIPPING nulls (null only when every
+    * argument is null — both engines agree). Exercises the aggregates'
+    * null discipline end-to-end: mean skips the manufactured nulls, sum
+    * treats them as zero-contribution. */
+  private def p84SqlNullSafe(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir),
+      "select count(*) as n, " +
+        "mean(nullif(floor(value / 100), 0)) as m_nz, " +
+        "sum(coalesce(nullif(floor(value / 100), 0), -1)) as s_pad, " +
+        "sum(least(value, 100)) as s_cap, " +
+        "max(greatest(value, 400)) as mx " +
+        "group by event_type order by n desc")
+      .select(col("event_type"), round3("n"), round6("m_nz"),
+        round3("s_pad"), round3("s_cap"), round3("mx"))
+
   /** p59: `select distinct` — the raw-projection dedup primitive: one
     * shuffle on the (narrow, already-projected) columns, ORDER BY after.
     * Closes the r12 "set operations at the front door" gap with p60. */
@@ -4386,6 +4446,10 @@ object SparkEntry {
     "p78_sql_bucket_agg" -> (p78SqlBucketAgg _),
     "p79_sql_string_funcs" -> (p79SqlStringFuncs _),
     "p80_sql_case_label" -> (p80SqlCaseLabel _),
+    "p81_sql_stddev" -> (p81SqlStddev _),
+    "p82_sql_calendar" -> (p82SqlCalendar _),
+    "p83_sql_hour_profile" -> (p83SqlHourProfile _),
+    "p84_sql_null_safe" -> (p84SqlNullSafe _),
     "p60_sql_union" -> (p60SqlUnion _),
     "p63_sql_except" -> (p63SqlExcept _),
     "p64_sql_intersect" -> (p64SqlIntersect _),
@@ -5819,6 +5883,41 @@ object SparkEntry {
         |    ELSE 'short' END AS bucket
         |  FROM documents)
         |GROUP BY bucket""".stripMargin,
+    "p81_sql_stddev" ->
+      // SAMPLE dispersion — both engines NULL a singleton group; 3dp
+      // absorbs partial-merge order differences
+      """SELECT event_type, round(stddev_samp(value), 3) AS sd,
+        |  round(var_samp(value), 3) AS vr,
+        |  round(stddev_samp(value / 10), 3) AS sd10,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "p82_sql_calendar" ->
+      // the engine renders group keys as strings; year() is BIGINT on
+      // both engines under the UTC contract
+      """SELECT CAST(yr AS VARCHAR) AS yr,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS n,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS custs,
+        |  max(o_totalprice) AS mx
+        |FROM (SELECT o_custkey, o_totalprice, year(o_orderdate) AS yr
+        |  FROM orders)
+        |GROUP BY yr""".stripMargin,
+    "p83_sql_hour_profile" ->
+      """SELECT CAST(hr AS VARCHAR) AS hr,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS n,
+        |  round(sum(value), 3) AS sv, max(value) AS mx
+        |FROM (SELECT value, hour(ts) AS hr FROM events
+        |  WHERE event_type = 'click')
+        |GROUP BY hr""".stripMargin,
+    "p84_sql_null_safe" ->
+      // nullif manufactures NULLs (sub-100 band → floor() = 0 → NULL);
+      // avg skips them, the engine's sum treats them as 0-contribution —
+      // same value; greatest/least skip NULLs on both engines
+      """SELECT event_type, round(CAST(count(*) AS DOUBLE), 3) AS n,
+        |  round(avg(nullif(floor(value / 100), 0)), 6) AS m_nz,
+        |  round(sum(coalesce(nullif(floor(value / 100), 0), -1)), 3) AS s_pad,
+        |  round(sum(least(value, 100)), 3) AS s_cap,
+        |  round(max(greatest(value, 400)), 3) AS mx
+        |FROM events GROUP BY event_type""".stripMargin,
     "p78_sql_bucket_agg" ->
       // the engine renders group keys as strings (the __nil convention's
       // carrier type); DuckDB CASTs the double label to match

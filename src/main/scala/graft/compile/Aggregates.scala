@@ -106,6 +106,53 @@ object Aggregates {
           case other => throw new IllegalArgumentException(
             s"length takes a string column, got $other")
         }
+        // calendar field extractors (p82): read the RAW timestamp/date
+        // column (the numeric view would destroy it) and cast the field
+        // to LONG — DuckDB's year()/month()/… return BIGINT. Both engines
+        // extract the same wall-clock field under the UTC contract.
+        case f if MeasureExpr.timeFuncs(f) =>
+          val c = args.head match {
+            case MeasureExpr.Col(n) => Compiler.colRef(n)
+            case other => throw new IllegalArgumentException(
+              s"$f takes a timestamp (or date) column, got $other")
+          }
+          (f match {
+            case "year"  => year(c)
+            case "month" => month(c)
+            case "day"   => dayofmonth(c)
+            case "hour"  => hour(c)
+            case _       => minute(c)
+          }).cast(LongType)
+        // null-handling scalars (p84): identical semantics on both
+        // engines — coalesce takes the first non-null, nullif(x, y) nulls
+        // x when it equals y, greatest/least SKIP nulls (null only when
+        // every argument is null; DuckDB agrees)
+        case "coalesce" => coalesce(args.indices.map(a): _*)
+        case "nullif"   => nullif(a(0), a(1))
+        case "greatest" => greatest(args.indices.map(a): _*)
+        case "least"    => least(args.indices.map(a): _*)
+        // JSON props extraction (p85): the schemaless-event staple. The
+        // key is a parse-enforced simple identifier (no dots/quotes —
+        // path-syntax differences between engines never engage); a
+        // missing key is NULL on both engines. json_num try_casts the
+        // extracted scalar (dirty data degrades to NULL, never kills the
+        // job); json_str is the STRING form under the p79 discipline.
+        // Malformed-JSON divergence documented at the SQL face: we yield
+        // NULL (get_json_object), DuckDB errors — the oracle's input is
+        // valid JSON by construction.
+        case "json_num" | "json_str" =>
+          val src = args.head match {
+            case MeasureExpr.Col(nm) => Compiler.colRef(nm)
+            case other => throw new IllegalArgumentException(
+              s"$name takes a JSON string column, got $other")
+          }
+          val key = args(1) match {
+            case MeasureExpr.StrLit(k) => k
+            case other => throw new IllegalArgumentException(
+              s"$name key must be a string literal, got $other")
+          }
+          val ex = get_json_object(src, "$." + key)
+          if (name == "json_num") ex.try_cast(DoubleType) else ex
         // string functions (p79): the argument is a RAW column or a
         // nested string expression — never the numeric view
         case "lower" | "upper" | "trim" | "substr" =>
@@ -204,6 +251,12 @@ object Aggregates {
       case Agg.P90       => percentile(v, lit(0.9))
       case Agg.P99       => percentile(v, lit(0.99))
       case Agg.P50Approx => percentile_approx(v, lit(0.5), lit(10000))
+      // dispersion (extensions): SAMPLE forms with plain ANSI semantics —
+      // unweighted like the percentile family (a weighted stddev has no
+      // standard definition and no oracle counterpart); NULL when the
+      // group has < 2 non-null values on both engines
+      case Agg.Stddev    => stddev_samp(v)
+      case Agg.Variance  => var_samp(v)
       case Agg.Raw | Agg.Heatmap =>
         throw new IllegalArgumentException(
           s"${sel.agg.name} is handled at the pipeline level, not as an aggregate")

@@ -118,6 +118,15 @@ object Agg {
   // HLL distinct and a bounded-memory quantile sketch
   case object ApproxCountDistinct extends Agg("approx_count_distinct")
   case object P50Approx           extends Agg("p50_approx")
+  // dispersion aggregates (extensions): SAMPLE stddev/variance with plain
+  // ANSI semantics — unweighted by design, like the percentile family, so
+  // the oracle is the direct stddev_samp/var_samp call; NULL when a group
+  // has fewer than two non-null values (both engines agree since the
+  // legacy-NaN behavior was retired). Not salt-decomposable (re-merging
+  // partial variances is numerically a different algorithm) — the salted
+  // path rejects them loudly like count_distinct/p50.
+  case object Stddev   extends Agg("stddev")
+  case object Variance extends Agg("variance")
 }
 
 /** Arithmetic measure expression (extension — the reference aggregates
@@ -171,8 +180,19 @@ object MeasureExpr {
         el.map(columns).getOrElse(Set.empty)
   }
 
-  /** String-returning function names (p79). */
-  val stringFuncs: Set[String] = Set("lower", "upper", "trim", "substr")
+  /** String-returning function names (p79; p85 adds `json_str(col,
+    * 'key')` — a schemaless-event store lives on JSON props extraction,
+    * and the string form joins the p79 discipline: project, label, = / !=
+    * compare). */
+  val stringFuncs: Set[String] = Set("lower", "upper", "trim", "substr",
+    "json_str")
+
+  /** Calendar field extractors (p82): `year/month/day/hour/minute(<col>)`
+    * over a RAW timestamp (or date) column — BIGINT fields, identical on
+    * both engines under the engine-wide UTC contract (Tables.events pins
+    * the session zone). The argument must be a bare column: the numeric
+    * measure view would destroy a timestamp. */
+  val timeFuncs: Set[String] = Set("year", "month", "day", "hour", "minute")
 
   /** True when the expression is STRING-typed by construction: string
     * literals, string functions, and CASE whose branch values are
@@ -457,8 +477,14 @@ object SeqOp {
     * [[graft.operators.Corpus.sampleExactN]]: the n smallest hash coins,
     * key-tiebroken; nested across sizes. Batch-only (a global rank needs
     * the bounded frame). SQL:
-    * `select sample exact <n> [key <col>] [where …]`. */
-  final case class SampleExact(n: Int, keyCol: String = "doc_id") extends SeqOp
+    * `select sample exact <n> [key <col>] [where …]`.
+    * With `per <col>` (p88): exactly n rows from EVERY group of `col` —
+    * the stratified-split staple ("1k eval docs per source"). Compiles to
+    * a rank window over the hash coin with per-partition WindowGroupLimit,
+    * so unlike the global form the cut is never driver-resident and n is
+    * unbounded — the 100 TB-safe exact stratified sample. */
+  final case class SampleExact(n: Int, keyCol: String = "doc_id",
+                               per: Option[String] = None) extends SeqOp
   /** Token-budget sequence packing (x7) —
     * [[graft.operators.Corpus.packByTokenBudget]]: contiguous ~budget-token
     * chunks per source via one window (stateful — batch only). SQL:
@@ -692,7 +718,22 @@ final case class ZxQuery(
       * Binds window aliases and selected columns; requires
       * [[winSelects]]. Same condition-tree grammar as WHERE, evaluated
       * AFTER the window projection (never pushed into the scan). */
-    qualify: Option[ConditionTree] = None)
+    qualify: Option[ConditionTree] = None,
+    /** `explode(<col>, '<sep>') as <name>` (p85, extension): the
+      * GENERATOR select item — split a delimited string column and emit
+      * one row per element (the reference's `tag` column holds "t1,t2"
+      * lists it can only CONTAINS-probe; this unnests them). Raw-path
+      * queries only, one per query; other selected columns repeat per
+      * element. Applied AFTER the WHERE gate (SQL visibility: WHERE
+      * cannot see the alias), BEFORE distinct/order/limit, so
+      * `select distinct explode(…)` dedups elements and an aggregating
+      * OUTER query over a derived exploded table is the word/tag-count
+      * shape. The separator is a LITERAL (regex-quoted on Spark; DuckDB's
+      * string_split is literal-only) — both engines agree on the edge
+      * cases: NULL input → zero rows, '' → one ''-element row, a
+      * trailing separator → a trailing '' element. A stateless narrow
+      * explode (zero shuffles), so it also STREAMS. */
+    explodeCol: Option[(String, String, String)] = None)
 
 /** One analytic window select item — see [[ZxQuery.winSelects]].
   * Functions: ranks (row_number/rank/dense_rank), offsets (lag/lead —
@@ -710,4 +751,10 @@ final case class WinSelect(
     offset: Int,
     partitionBy: Seq[String],
     orderBy: Seq[(String, SortDir)],
-    alias: String)
+    alias: String,
+    /** `rows <n> preceding` (p87): a MOVING frame — ROWS BETWEEN n
+      * PRECEDING AND CURRENT ROW, the k-row moving average/sum staple.
+      * Aggregate window functions with ORDER BY only. Standard-SQL
+      * caveat applies on BOTH engines: a ROWS frame over a non-total
+      * ORDER BY is tie-order-dependent — spell a unique tiebreak. */
+    rowsPreceding: Option[Int] = None)

@@ -53,6 +53,26 @@ object Corpus {
     df.orderBy(hashValue(col(keyCol)).asc, col(keyCol).asc).limit(n)
   }
 
+  /** EXACT-count deterministic sample PER GROUP: exactly `n` rows from
+    * every group of `groupCol` (fewer when the group is smaller) — the
+    * stratified-split staple ("1k eval docs per source, reproducibly").
+    * Same coin as [[sampleExactN]] (md5 of the key, key-tiebroken), so
+    * membership is rerun- and partitioning-stable and nested across sizes
+    * per group. Unlike the global form the cut is NEVER driver-resident:
+    * the rank window's `rn <= n` filter compiles to per-partition
+    * WindowGroupLimit — each input partition forwards at most n rows per
+    * group to the single hash exchange on `groupCol` — so `n` needs no
+    * driver bound and the op holds at 100 TB. */
+  def sampleExactNPerGroup(df: DataFrame, keyCol: String, n: Int,
+                           groupCol: String): DataFrame = {
+    require(n >= 1, s"sampleExactNPerGroup: n must be ≥ 1, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hashValue(col(keyCol)).asc, col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
   /** Stratified deterministic sampling — the source-rebalancing primitive:
     * per-stratum keep percentages (e.g. downsample a crawl source to 10%,
     * keep curated sources at 50%) with the same md5 hash-bucket

@@ -65,6 +65,16 @@ object GapWindows {
       "the exact gap walk aggregates storage columns only — compute the " +
         "expression into a column upstream, or drop `exact` (expression " +
         "measures compose with tumbling/session/hopping windows)")
+    // reject at PLAN time, not inside an executor task — the per-window
+    // fold below supports exactly the reference's aggregate set (+ p50)
+    val walkAggs: Set[Agg] = Set(Agg.Sum, Agg.Max, Agg.Min, Agg.Count,
+      Agg.CountDistinct, Agg.Mean, Agg.P50)
+    q.selects.find(s => !walkAggs(s.agg)).foreach { s =>
+      throw new IllegalArgumentException(
+        s"gap windows: unsupported agg ${s.agg.name} — the exact walk " +
+          "replays the reference's aggregate set (sum/max/min/count/" +
+          "count_distinct/mean) plus p50; drop `exact` for the rest")
+    }
     val filtered = Compiler.scanFilter(df, q, tsCol)
     val keys = Compiler.groupKeys(q, df.schema)
 

@@ -35,7 +35,8 @@ import graft.operators.GapWindows
   * <index>` and `mmr using <index>` probe a PREBUILT catalog-resolved
   * IVF index read-only instead of brute-forcing the corpus.
   * where item := col | count|sum|max|min|count_distinct|mean|p50|heatmap
-  *               |approx_count_distinct|p50_approx(col) | count(*)
+  *               |approx_count_distinct|p50_approx|stddev|variance(col)
+  *               | count(*)
   *               | agg(measure-expr) as name | agg(col) as name
   *               | row_number|rank|dense_rank() over (partition by <col, …>
   *                 order by <col [asc|desc], …>) as name
@@ -58,7 +59,12 @@ import graft.operators.GapWindows
   * columns they stay reachable; p79 adds STRING functions lower/upper/
   * trim/substr(s, start, len) and string literals — string expressions
   * project, label CASE branches, and compare with = / != ONLY (order
-  * would ride collation); they never enter arithmetic or aggregates)
+  * would ride collation); they never enter arithmetic or aggregates;
+  * p82 adds CALENDAR extractors year/month/day/hour/minute(<ts col>) —
+  * BIGINT fields under the UTC contract, so `group by` a derived-table
+  * `year(o_orderdate) as yr` is the calendar rollup; p84 adds
+  * null-handling coalesce(x, …)/nullif(x, y)/greatest/least — greatest
+  * and least SKIP nulls on both engines)
   * with `+ - * /`, parens, unary minus
   * (standard precedence; `/` is
   * null-on-zero-divisor on both engines) — `sum(price * (1 - discount))
@@ -146,7 +152,19 @@ object ZxSql {
     // string functions (p79) — STRING-typed results; parse guards keep
     // them out of arithmetic and aggregate measures
     "lower" -> ((1, 1)), "upper" -> ((1, 1)), "trim" -> ((1, 1)),
-    "substr" -> ((3, 3)))
+    "substr" -> ((3, 3)),
+    // calendar field extractors (p82) — a RAW timestamp/date column →
+    // BIGINT field under the engine-wide UTC contract; the argument must
+    // be a bare column (parse-guarded below)
+    "year" -> ((1, 1)), "month" -> ((1, 1)), "day" -> ((1, 1)),
+    "hour" -> ((1, 1)), "minute" -> ((1, 1)),
+    // null-handling scalars (p84) — numeric measure arguments; greatest/
+    // least SKIP nulls on both engines (null only when all args are null)
+    "coalesce" -> ((2, 4)), "nullif" -> ((2, 2)),
+    "greatest" -> ((2, 4)), "least" -> ((2, 4)),
+    // JSON props extraction (p85) — json_num numeric, json_str string;
+    // key is a simple-identifier string literal (parse-guarded)
+    "json_num" -> ((2, 2)), "json_str" -> ((2, 2)))
 
   private val aggNames: Map[String, Agg] = Map(
     "count" -> Agg.Count, "sum" -> Agg.Sum, "max" -> Agg.Max,
@@ -155,7 +173,10 @@ object ZxSql {
     "p99" -> Agg.P99, "heatmap" -> Agg.Heatmap,
     // sketch variants for 100 TB cardinalities/quantiles (extensions)
     "approx_count_distinct" -> Agg.ApproxCountDistinct,
-    "p50_approx" -> Agg.P50Approx)
+    "p50_approx" -> Agg.P50Approx,
+    // dispersion aggregates (p81) — SAMPLE forms, plain ANSI semantics
+    // (unweighted like the percentile family); NULL when n < 2
+    "stddev" -> Agg.Stddev, "variance" -> Agg.Variance)
 
   // ------------------------------------------------------------------ lexer
 
@@ -300,6 +321,20 @@ object ZxSql {
           throw ParseError("round's digit count must be an integer literal")
         if (f == "length" && !as.head.isInstanceOf[MeasureExpr.Col])
           throw ParseError("length takes a string column")
+        if (MeasureExpr.timeFuncs(f) && !as.head.isInstanceOf[MeasureExpr.Col])
+          throw ParseError(s"$f takes a timestamp (or date) column — " +
+            "extract the field first, then compute")
+        if (f == "json_num" || f == "json_str") {
+          if (!as.head.isInstanceOf[MeasureExpr.Col])
+            throw ParseError(s"$f takes a JSON string column first")
+          as(1) match {
+            case MeasureExpr.StrLit(k)
+              if k.nonEmpty && k.forall(ch => ch.isLetterOrDigit || ch == '_') =>
+            case _ => throw ParseError(s"$f key must be a simple " +
+              "identifier string literal ('k', 'user_id', …) — nested " +
+              "paths would ride engine-specific path syntax")
+          }
+        }
         if (MeasureExpr.stringFuncs(f) &&
             !(as.head.isInstanceOf[MeasureExpr.Col] || MeasureExpr.isString(as.head)))
           throw ParseError(s"$f takes a string column or string expression")
@@ -312,7 +347,7 @@ object ZxSql {
           val MeasureExpr.Lit(st) = as(1): @unchecked
           if (st < 1) throw ParseError("substr start is 1-based (≥ 1)")
         }
-        if (!MeasureExpr.stringFuncs(f) && f != "length" &&
+        if (!MeasureExpr.stringFuncs(f) && f != "length" && f != "json_num" &&
             as.exists(MeasureExpr.isString))
           throw ParseError(s"$f takes numeric arguments — string " +
             "expressions compare with = / != or project directly")
@@ -984,15 +1019,22 @@ object ZxSql {
           def sampleKey(): String =
             if (atIdent("key")) { next(); ident() } else "doc_id"
           if (atIdent("exact")) {
-            // `sample exact <n> [key <col>]` — exact-count deterministic
-            // cut (the n smallest hash coins; nested across sizes)
+            // `sample exact <n> [key <col>] [per <col>]` — exact-count
+            // deterministic cut (the n smallest hash coins; nested across
+            // sizes); `per <col>` = exactly n from EVERY group (p88 — the
+            // stratified split, WindowGroupLimit-compiled, no driver bound)
             next()
             val n = parseLong(num("exact sample count"), "exact sample count")
-            if (n < 1 || n > (1L << 22))
+            if (n < 1)
+              throw ParseError(s"sample exact must be ≥ 1, got $n")
+            val key = sampleKey()
+            val per = if (atIdent("per")) { next(); Some(ident()) } else None
+            if (per.isEmpty && n > (1L << 22))
               throw ParseError(s"sample exact must be in [1, ${1 << 22}], " +
-                s"got $n — the cut is driver-merged; use pct/weight for " +
-                "unbounded rates")
-            SeqOp.SampleExact(n.toInt, sampleKey())
+                s"got $n — the GLOBAL cut is driver-merged; `per <col>` " +
+                "is unbounded (per-partition WindowGroupLimit), and " +
+                "pct/weight are the unbounded rates")
+            SeqOp.SampleExact(n.toInt, key, per)
           } else if (atIdent("weight")) {
             next()
             val c = ident()
@@ -1212,12 +1254,30 @@ object ZxSql {
             (c, d)
           }
         }
+      // `rows <n> preceding` (p87): the MOVING frame — ROWS BETWEEN n
+      // PRECEDING AND CURRENT ROW. Aggregate windows with ORDER BY only;
+      // the standard-SQL caveat (tie-order dependence under a non-total
+      // ORDER BY) applies on both engines — spell a unique tiebreak.
+      var rowsPrec: Option[Int] = None
+      if (atIdent("rows")) {
+        next()
+        val n = parseLong(num("rows frame size"), "rows frame size").toInt
+        expectIdent("preceding")
+        if (!aggWinNames(f))
+          throw ParseError(s"rows frames apply to aggregate windows " +
+            s"(${aggWinNames.toSeq.sorted.mkString("/")}), not $f")
+        if (obs.isEmpty)
+          throw ParseError("a rows frame needs `order by` — an unordered " +
+            "moving window has no notion of 'preceding'")
+        if (n < 1) throw ParseError(s"rows frame size must be ≥ 1, got $n")
+        rowsPrec = Some(n)
+      }
       expectSym(")")
       if (!atIdent("as"))
         throw ParseError("window selects need `as <name>` — the " +
           "rank/offset column has no canonical name")
       next()
-      WinSelect(f, arg, off, parts, obs, ident())
+      WinSelect(f, arg, off, parts, obs, ident(), rowsPreceding = rowsPrec)
     }
     // true iff the call starting at `p` (Ident + "(") has `over` after its
     // matching ")" — distinguishes `sum(x) over (…)` from the aggregate
@@ -1233,10 +1293,35 @@ object ZxSql {
       }
       depth == 0 && toks.lift(i).contains(Ident("over"))
     }
+    var explodeSpec: Option[(String, String, String)] = None
     val entries: Seq[Either[Select, PostSelect]] =
       if (seqOp.isDefined) Nil
       else commaList { () =>
         (peek match {
+          case Some(Ident("explode")) if toks.lift(pos + 1).contains(Sym("(")) =>
+            // generator select item (p85): explode(col, '<sep>') as name —
+            // one per query; surfaces as a plain Raw column downstream
+            next(); next()
+            val src = ident()
+            expectSym(",")
+            val sep = peek match {
+              case Some(Str(v)) if v.nonEmpty => next(); v
+              case _ => throw ParseError(
+                "explode(col, '<sep>') takes a non-empty literal separator")
+            }
+            expectSym(")")
+            if (!atIdent("as"))
+              throw ParseError("explode(col, '<sep>') needs `as <name>` — " +
+                "the element column has no canonical name")
+            next(); val alias = ident()
+            if (alias.startsWith("__"))
+              throw ParseError(s"alias '$alias' uses the engine-internal prefix __")
+            if (explodeSpec.nonEmpty)
+              throw ParseError("one explode(…) per query — nest a derived " +
+                "table for multi-level unnesting")
+            explodeSpec = Some((src, sep, alias))
+            outOrderBuf += alias
+            Some(Left(Select(Agg.Raw, alias))): Option[Either[Select, PostSelect]]
           case Some(Ident(f)) if toks.lift(pos + 1).contains(Sym("(")) &&
               (winFuncNames(f) ||
                 ((aggWinNames(f) || navWinNames(f)) && isWindowCall(pos))) =>
@@ -1794,6 +1879,39 @@ object ZxSql {
       throw ParseError("qualify filters WINDOW columns — without window " +
         "items in the select list, use where")
 
+    // explode is a RAW-path generator: aggregates/windows compose through
+    // a derived table over the exploded frame (the word/tag-count shape)
+    explodeSpec.foreach { case (src, _, alias) =>
+      if (selects.exists(_.agg != Agg.Raw) || postSelects.nonEmpty ||
+          seqOp.nonEmpty)
+        throw ParseError("explode projects over a RAW frame — aggregate " +
+          "OVER a derived exploded table (select count(*) from (select " +
+          "explode(col, ',') as item from t) group by item)")
+      if (winSelects.nonEmpty)
+        throw ParseError("explode and window functions do not mix in one " +
+          "statement — explode in a derived table first")
+      if (groupBy.nonEmpty || having.nonEmpty || subtotals ||
+          sessionGap.nonEmpty || slide.nonEmpty || exactWindows ||
+          salt.nonEmpty || joinSpec.nonEmpty || equiJoins.nonEmpty)
+        throw ParseError("explode takes only where / distinct / order by " +
+          "/ limit — compose the rest over a derived exploded table")
+      if (selects.exists(s => s.agg == Agg.Raw && s.expr.nonEmpty &&
+          MeasureExpr.columns(s.expr.get).contains(alias)))
+        throw ParseError("expression projections cannot read the explode " +
+          "alias — it does not exist until after the explode; compute " +
+          "over it in a derived table")
+      if (selects.count(_.key == alias) > 1)
+        throw ParseError(s"duplicate output column '$alias'")
+      if (src == alias)
+        throw ParseError("the explode alias shadows its source column — " +
+          "pick a different name")
+      if (whereTree.exists(t => ConditionTree.columns(t).contains(alias)) ||
+          realConds.exists(_.column == alias))
+        throw ParseError("where cannot see the explode alias (SQL " +
+          "visibility: the explode applies AFTER where) — filter " +
+          "elements in an outer query over a derived exploded table")
+    }
+
     // the OUTER level of a derived table runs over an aggregate frame with
     // no timestamp column — every time-anchored construct belongs on the
     // inner query, and saying so beats silently mis-scanning
@@ -1824,7 +1942,8 @@ object ZxSql {
       postSelects = postSelects, limitPer = limitPer,
       semiJoins = semiJoins, granSet = granSet,
       distinctRows = distinctRows, winSelects = winSelects,
-      winOutOrder = winOutOrder, qualify = qualifyTree), pos)
+      winOutOrder = winOutOrder, qualify = qualifyTree,
+      explodeCol = explodeSpec), pos)
   }
 
   // --------------------------------------------------------------- executor
@@ -1866,8 +1985,9 @@ object ZxSql {
         graft.operators.Corpus.sampleByWeight(
           base, Compiler.colRef(c).cast("double") / lit(scale.toDouble),
           keyCol = key)
-      case SeqOp.SampleExact(n, key) =>
-        graft.operators.Corpus.sampleExactN(base, key, n)
+      case SeqOp.SampleExact(n, key, per) =>
+        per.map(g => graft.operators.Corpus.sampleExactNPerGroup(base, key, n, g))
+          .getOrElse(graft.operators.Corpus.sampleExactN(base, key, n))
       case other => throw ParseError(s"not a sample op: $other")
     }
     // schema-agnostic: keep every metadata column the frame carries, prune
@@ -2529,11 +2649,14 @@ object ZxSql {
           case other => throw ParseError(s"unknown window function '$other'")
         }
         // last-in-partition-ORDER needs the full frame — the default
-        // frame would make last_value ≡ the current row
+        // frame would make last_value ≡ the current row. A `rows <n>
+        // preceding` item (p87) takes the MOVING frame instead of the
+        // default RANGE running frame (parse guarantees aggregate func +
+        // order by); same spelling, same semantics in DuckDB.
         val spec2 =
           if (w.func == "last_value")
             spec.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-          else spec
+          else w.rowsPreceding.map(n => spec.rowsBetween(-n, 0)).getOrElse(spec)
         d.withColumn(w.alias, e.over(spec2))
       }
       val qualified = q.qualify.map(t =>
@@ -2867,7 +2990,22 @@ object ZxSql {
       // raw projection; ORDER BY here sorts the projected columns directly
       q.orderBy.find(_.select.agg != Agg.Raw).foreach(ob => throw ParseError(
         s"cannot order a bare-column select by aggregate ${ob.select.agg.name}(...)"))
-      val projected = Compiler.runRaw(df, q.copy(limit = None), tsCol)
+      val projected = q.explodeCol match {
+        case Some((src, sep, alias)) =>
+          // generator path (p85): WHERE gates first (pushdown intact —
+          // the alias is invisible to it by SQL visibility), then ONE
+          // narrow explode (zero shuffles), then the projection. The
+          // separator is literal on both engines (regex-quoted here;
+          // DuckDB string_split never regexes).
+          import org.apache.spark.sql.functions.{explode, split}
+          val filtered = Compiler.scanFilter(df, q.copy(limit = None), tsCol)
+          val exploded = filtered.withColumn(alias,
+            explode(split(Compiler.colRef(src),
+              java.util.regex.Pattern.quote(sep))))
+          exploded.select(
+            Compiler.rawProjection(q.selects, exploded.schema): _*)
+        case None => Compiler.runRaw(df, q.copy(limit = None), tsCol)
+      }
       // `select distinct` dedups the projection BEFORE order/limit — one
       // shuffle on the (already narrow) projected columns
       val base = if (q.distinctRows) projected.distinct() else projected

@@ -206,9 +206,18 @@ object EventStream {
       "LIMIT is undefined on an unbounded stream; use tailConsole(numRows = ...)")
     val filtered = preFilter(stream, q, tsCol)
     // expression projections (p71) are stateless row arithmetic — they
-    // stream exactly like plain columns
-    val cols = graft.compile.Compiler.rawProjection(q.selects, filtered.schema)
-    if (cols.nonEmpty) filtered.select(cols: _*) else filtered
+    // stream exactly like plain columns; the explode generator (p85) is
+    // a stateless narrow row-multiplier, legal in append mode
+    val based = q.explodeCol match {
+      case Some((src, sep, alias)) =>
+        import org.apache.spark.sql.functions.{explode, split}
+        filtered.withColumn(alias,
+          explode(split(graft.compile.Compiler.colRef(src),
+            java.util.regex.Pattern.quote(sep))))
+      case None => filtered
+    }
+    val cols = graft.compile.Compiler.rawProjection(q.selects, based.schema)
+    if (cols.nonEmpty) based.select(cols: _*) else based
   }
 
   /** Live bounded view of a raw stream: append-mode console sink printing

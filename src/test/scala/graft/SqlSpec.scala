@@ -2079,6 +2079,77 @@ class SqlSpec extends AnyFunSuite {
     bad("select id, sqrt(lower(lang)) as x", "numeric arguments")
   }
 
+  test("dispersion aggregates, calendar extractors, null scalars (round 13)") {
+    import SparkFixture.spark.implicits._
+    import org.apache.spark.sql.functions.{col => c, timestamp_seconds}
+    val rows = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 4.0),
+      (4L, "b", 7.0)).toSeq.toDF("id", "k", "v")
+    // stddev/variance: SAMPLE forms; a singleton group is NULL (both
+    // engines agree — the retired legacy behavior was NaN)
+    val d = ZxSql.run(rows, "select stddev(v) as sd, variance(v) as vr " +
+        "group by k order by sd desc")
+      .collect().map(x => (x.getString(0),
+        if (x.isNullAt(1)) None else Some(math.round(x.getDouble(1) * 1e6) / 1e6),
+        if (x.isNullAt(2)) None else Some(math.round(x.getDouble(2) * 1e6) / 1e6)))
+    assert(d.toSeq == Seq(("a", Some(1.527525), Some(2.333333)),
+      ("b", None, None)))
+    // over an expression measure too
+    val d2 = ZxSql.run(rows,
+      "select variance(v * 2) as vr where k = 'a' order by vr desc")
+      .collect().head.getDouble(0)
+    assert(math.abs(d2 - 4 * 7.0 / 3) < 1e-9)
+    // NOT salt-decomposable — rejected loudly like count_distinct
+    val se = intercept[IllegalArgumentException](ZxSql.run(rows,
+      "select stddev(v) as sd group by k order by sd desc salt 4").collect())
+    assert(se.getMessage.contains("decomposable"))
+    // NOT in the exact gap walk's aggregate set
+    val ge = intercept[IllegalArgumentException](ZxSql.run(
+      rows.withColumn("ts", timestamp_seconds(c("id"))),
+      "select stddev(v) group by k granularity 10 exact").collect())
+    assert(ge.getMessage.contains("unsupported agg"))
+
+    // calendar extractors: 2024-01-05 13:45:31 UTC = epoch 1704462331
+    val tsRows = Seq((1L, 1704462331L, 9.0)).toDF("id", "sec", "v")
+      .withColumn("ts", timestamp_seconds(c("sec"))).drop("sec")
+    val cal = ZxSql.run(tsRows,
+      "select id, year(ts) as y, month(ts) as mo, day(ts) as d, " +
+        "hour(ts) as h, minute(ts) as mi")
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5))).head
+    assert(cal == ((2024L, 1L, 5L, 13L, 45L)))
+    // fields are LONG → they enter arithmetic and predicates
+    assert(ZxSql.run(tsRows, "select id where hour(ts) * 60 + minute(ts) > 820")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // the argument must be a bare column — a computed timestamp has no
+    // meaning in the measure grammar
+    val te = intercept[ZxSql.ParseError](ZxSql.run(tsRows,
+      "select id, year(v + 1) as y"))
+    assert(te.getMessage.contains("timestamp (or date) column"))
+
+    // null scalars: nullif manufactures NULL, coalesce pads it back,
+    // greatest/least SKIP nulls (null only when all args are null)
+    val ns = ZxSql.run(rows,
+      "select id, nullif(v, 2) as nz, coalesce(nullif(v, 2), -1) as pad, " +
+        "greatest(v, 3) as g, least(v, 3) as l order by id")
+      .collect().map(x => (x.getLong(0),
+        if (x.isNullAt(1)) -99.0 else x.getDouble(1), x.getDouble(2),
+        x.getDouble(3), x.getDouble(4)))
+    assert(ns.toSeq == Seq((1L, 1.0, 1.0, 3.0, 1.0), (2L, -99.0, -1.0, 3.0, 2.0),
+      (3L, 4.0, 4.0, 4.0, 3.0), (4L, 7.0, 7.0, 7.0, 3.0)))
+    // greatest over a manufactured NULL skips it: greatest(nullif(2,2), v)
+    // is v on row 2, not NULL
+    val g2 = ZxSql.run(rows, "select id, greatest(nullif(v, 2), 0) as g " +
+        "where id = 2").collect().head
+    assert(g2.getDouble(1) == 0.0)
+    // arity guards
+    val ae = intercept[ZxSql.ParseError](ZxSql.run(rows,
+      "select id, nullif(v) as x"))
+    assert(ae.getMessage.contains("argument"))
+    val ce2 = intercept[ZxSql.ParseError](ZxSql.run(rows,
+      "select id, coalesce(v, 1, 2, 3, 4) as x"))
+    assert(ce2.getMessage.contains("argument"))
+  }
+
   test("expression measures parse: precedence, parens, unary minus, aliases (round 12)") {
     import MeasureExpr._
     val q = ZxSql.parse(
