@@ -3188,6 +3188,81 @@ object SparkEntry {
       .select(col("event_type"), round3("n"), round6("m_nz"),
         round3("s_pad"), round3("s_cap"), round3("mx"))
 
+  /** p85: JSON PROPS EXTRACTION — the schemaless-event staple the
+    * reference's observability store implies but cannot spell.
+    * `json_num(props, 'k')` gates, aggregates (integer-valued sums are
+    * order-independent-exact), and `json_str` feeds count_distinct (the
+    * relaxed set-semantics guard). Missing keys are NULL on both engines;
+    * a simple-identifier key is parse-enforced so path-syntax differences
+    * never engage. */
+  private def p85SqlJson(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir),
+      "select sum(json_num(props, 'k')) as sk, " +
+        "count_distinct(json_str(props, 'k')) as dk " +
+        "where json_num(props, 'k') >= 10 " +
+        "group by event_type order by sk desc")
+      .select(col("event_type"), round3("sk"), col("dk"))
+
+  /** p86: EXPLODE + aggregate — the word/tag-count shape: unnest a
+    * delimited string column in a derived table, count elements in the
+    * outer (the reference stores "t1,t2" tag lists it can only
+    * CONTAINS-probe, lib.rs:486-495 — this is their relational form).
+    * The explode is ONE stateless narrow row-multiplier (zero shuffles)
+    * feeding the count's single hash exchange; top-k is
+    * group-key-tiebroken (deterministic). */
+  private def p86SqlExplode(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.runCatalog(Map("documents" -> Tables.documents(s, dir)),
+      "select count(*) as n from " +
+        "(select explode(text, ' ') as w from documents where lang = 'en') " +
+        "group by w order by n desc limit 25")
+      .select(col("w"), round3("n"))
+
+  /** p86b: the RAW exploded projection — (doc_id, element) pairs with
+    * the gate pushed into the scan; the stream-facing form (st_explode
+    * replays this row's oracle verbatim). */
+  private def p86bSqlExplodeRaw(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select doc_id, explode(text, ' ') as w " +
+        "where lang = 'zh' and n_chars < 150")
+
+  /** st_explode: p86b replayed as a STREAM — the explode generator is a
+    * stateless narrow row-multiplier, legal in append mode; shares
+    * p86b's oracle verbatim, so the streaming generator path is
+    * hash-verified, not just spec-asserted. */
+  private def stExplode(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.replayDocs(s, dir, "st-explode") { stream =>
+      graft.sql.ZxSql.runStream(stream,
+        "select doc_id, explode(text, ' ') as w " +
+          "where lang = 'zh' and n_chars < 150")
+    }
+
+  /** p87: MOVING window frame — `rows 6 preceding` turns the running
+    * aggregate window into the 7-row moving average, the smoothing
+    * staple. The ORDER BY is total (ts_sec, then the unique event_id),
+    * so the frame contents are deterministic on both engines; same
+    * ROWS BETWEEN spelling in DuckDB. One window exchange on user_id. */
+  private def p87SqlMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("ts_sec", col("ts").cast(LongType))
+    graft.sql.ZxSql.run(ev,
+      "select user_id, event_id, " +
+        "mean(value) over (partition by user_id order by ts_sec asc, " +
+        "event_id asc rows 6 preceding) as mv7 " +
+        "where user_id < 20 order by user_id asc, event_id asc limit 500")
+      .select(col("user_id"), col("event_id"), round6("mv7"))
+  }
+
+  /** p88: EXACT-count sample PER GROUP — `sample exact 50 per source`:
+    * exactly 50 docs from every source, rerun-stable (the p66 md5 coin,
+    * key-tiebroken, now ranked within each group). Unlike the global
+    * form the cut is never driver-resident: the rank window's rn <= n
+    * compiles to per-partition WindowGroupLimit — each input partition
+    * forwards ≤ 50 rows per source to one hash exchange — so the
+    * stratified split holds at 100 TB with NO bound on n. */
+  private def p88SqlSamplePer(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.runCatalog(Map("documents" -> Tables.documents(s, dir)),
+      "select sample exact 50 per source from documents where n_chars > 100")
+
   /** p59: `select distinct` — the raw-projection dedup primitive: one
     * shuffle on the (narrow, already-projected) columns, ORDER BY after.
     * Closes the r12 "set operations at the front door" gap with p60. */
@@ -4450,6 +4525,12 @@ object SparkEntry {
     "p82_sql_calendar" -> (p82SqlCalendar _),
     "p83_sql_hour_profile" -> (p83SqlHourProfile _),
     "p84_sql_null_safe" -> (p84SqlNullSafe _),
+    "p85_sql_json" -> (p85SqlJson _),
+    "p86_sql_explode" -> (p86SqlExplode _),
+    "p86b_sql_explode_raw" -> (p86bSqlExplodeRaw _),
+    "st_explode" -> (stExplode _),
+    "p87_sql_moving_avg" -> (p87SqlMovingAvg _),
+    "p88_sql_sample_per" -> (p88SqlSamplePer _),
     "p60_sql_union" -> (p60SqlUnion _),
     "p63_sql_except" -> (p63SqlExcept _),
     "p64_sql_intersect" -> (p64SqlIntersect _),
@@ -4912,6 +4993,14 @@ object SparkEntry {
   }
 
   /** p47's oracle, shared verbatim by `st_chunks`. */
+  /** p86b's oracle, shared verbatim by `st_explode`: the raw exploded
+    * (doc_id, element) pairs — both engines agree on the edges (NULL
+    * input → zero rows, '' → one ''-element row, trailing separator → a
+    * trailing '' element; the separator is literal on both). */
+  private val p86bOracleSql: String =
+    """SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |FROM documents WHERE lang = 'zh' AND n_chars < 150""".stripMargin
+
   private val p47OracleSql: String =
     // x12's window arithmetic at size 24 / stride 12 behind a lang gate
     """WITH t AS (
@@ -5918,6 +6007,37 @@ object SparkEntry {
         |  round(sum(least(value, 100)), 3) AS s_cap,
         |  round(max(greatest(value, 400)), 3) AS mx
         |FROM events GROUP BY event_type""".stripMargin,
+    "p85_sql_json" ->
+      // json_extract_string strips quotes like get_json_object; the k
+      // values are integers, so the double sum is order-independent-exact
+      """SELECT event_type,
+        |  round(sum(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)), 3) AS sk,
+        |  CAST(count(DISTINCT json_extract_string(props, '$.k')) AS BIGINT) AS dk
+        |FROM events
+        |WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 10
+        |GROUP BY event_type""".stripMargin,
+    "p86_sql_explode" ->
+      // engine top-k appends the group key ascending as the tiebreak
+      """SELECT w, round(CAST(count(*) AS DOUBLE), 3) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE lang = 'en')
+        |GROUP BY w ORDER BY count(*) DESC, w ASC LIMIT 25""".stripMargin,
+    "p86b_sql_explode_raw" -> p86bOracleSql,
+    "st_explode" -> p86bOracleSql,
+    "p87_sql_moving_avg" ->
+      """SELECT user_id, event_id,
+        |  round(avg(value) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS mv7
+        |FROM events WHERE user_id < 20
+        |ORDER BY user_id, event_id LIMIT 500""".stripMargin,
+    "p88_sql_sample_per" ->
+      // the p66 md5 coin ranked WITHIN each source; QUALIFY is DuckDB's
+      // native per-group cut; the sample faces prune the text blob
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE n_chars > 100
+         |QUALIFY row_number() OVER (PARTITION BY source
+         |  ORDER BY ${duckShingleHash("doc_id::VARCHAR")}, doc_id) <= 50""".stripMargin,
     "p78_sql_bucket_agg" ->
       // the engine renders group keys as strings (the __nil convention's
       // carrier type); DuckDB CASTs the double label to match

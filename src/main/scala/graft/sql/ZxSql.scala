@@ -64,7 +64,28 @@ import graft.operators.GapWindows
   * BIGINT fields under the UTC contract, so `group by` a derived-table
   * `year(o_orderdate) as yr` is the calendar rollup; p84 adds
   * null-handling coalesce(x, …)/nullif(x, y)/greatest/least — greatest
-  * and least SKIP nulls on both engines)
+  * and least SKIP nulls on both engines; p85 adds JSON props extraction
+  * json_num/json_str(<col>, '<key>') — simple-identifier keys only,
+  * missing key → NULL, json_num try_casts (dirty data degrades, never
+  * kills the job), json_str joins the p79 string discipline and the
+  * distinct-counting aggregates accept string expressions)
+  *
+  * Generator (p85/p86): `explode(<col>, '<sep>') as <name>` — one per
+  * query, RAW path only (aggregate over a derived exploded table for
+  * word/tag counts); applied AFTER where (SQL visibility), BEFORE
+  * distinct/order/limit; literal separator, string_split edge parity
+  * (NULL → zero rows, '' → one '' row, trailing sep → trailing '');
+  * stateless narrow row-multiplier, so it STREAMS.
+  *
+  * Aggregate windows take an optional MOVING frame (p87): `sum(v) over
+  * (partition by k order by t [, tiebreak…] rows <n> preceding) as m`
+  * = ROWS BETWEEN n PRECEDING AND CURRENT ROW; order-sensitive under
+  * ties like all of SQL — spell a unique tiebreak.
+  *
+  * `sample exact <n> [key <col>] per <col>` (p88): exactly n rows from
+  * EVERY group — the same md5 coin as the global form ranked within
+  * each group; WindowGroupLimit-compiled, so unlike the global form n
+  * is unbounded (never driver-resident).
   * with `+ - * /`, parens, unary minus
   * (standard precedence; `/` is
   * null-on-zero-divisor on both engines) — `sum(price * (1 - discount))
@@ -435,10 +456,15 @@ object ZxSql {
             expectSym(")")
             if (agg == Agg.Heatmap)
               throw ParseError("heatmap buckets a plain storage column, not an expression")
-            if (MeasureExpr.isString(e))
+            // distinct-counting is SET semantics — a string expression
+            // (json_str, lower, a CASE label) is a legitimate distinct
+            // key; every other aggregate is numeric arithmetic
+            if (MeasureExpr.isString(e) &&
+                agg != Agg.CountDistinct && agg != Agg.ApproxCountDistinct)
               throw ParseError(s"${agg.name} takes a numeric measure — " +
-                "string expressions belong in projections and = / != " +
-                "predicates (group by a derived-table label to count them)")
+                "string expressions belong in projections, = / != " +
+                "predicates, and count_distinct (group by a derived-table " +
+                "label to aggregate per label)")
             Select(agg, "", expr = Some(e))
         }
       } else Select(Agg.Raw, name)

@@ -910,4 +910,43 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"),
       s"order+limit must compile to per-partition top-k:\n$p")
   }
+
+  test("per-group exact sample compiles to WindowGroupLimit; gate pushes (p88)") {
+    val df = SparkEntry.queries("p88_sql_sample_per")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the rn <= n filter becomes the per-partition top-k forward — each
+    // input partition sends ≤ n rows per source to the one exchange, so
+    // the stratified cut needs no driver bound (unlike the global form)
+    assert(p.contains("WindowGroupLimit"),
+      s"per-group cut must compile to WindowGroupLimit:\n$p")
+    assert(p.contains("GreaterThan(n_chars,100)"),
+      s"the WHERE gate must push into the parquet scan:\n$p")
+  }
+
+  test("explode word count: gate pushes, scan reads text alone, one exchange (p86)") {
+    val df = SparkEntry.queries("p86_sql_explode")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Generate explode"),
+      s"the generator must be a native Generate (codegen'd explode):\n$p")
+    assert(p.contains("EqualTo(lang,en)"),
+      s"the WHERE gate must push into the parquet scan:\n$p")
+    // pruning sees through the derived table: only text and the gated
+    // lang column reach the reader — doc_id and friends never load
+    assert(!p.contains("doc_id") && !p.contains("n_chars:"),
+      s"unreferenced columns reached the scan:\n$p")
+    val exchanges = p.split("== Initial Plan ==").head.split("\n")
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"one aggregation exchange expected (the explode is narrow), got $exchanges:\n$p")
+  }
+
+  test("moving frame rides the same single window exchange (p87)") {
+    val df = SparkEntry.queries("p87_sql_moving_avg")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("RowFrame, -6, currentrow"),
+      s"the moving ROWS frame must appear in the Window spec:\n$p")
+    val exchanges = p.split("\n").count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"expected exactly one hash exchange (user_id), got $exchanges:\n$p")
+  }
 }

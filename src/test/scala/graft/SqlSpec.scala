@@ -2150,6 +2150,107 @@ class SqlSpec extends AnyFunSuite {
     assert(ce2.getMessage.contains("argument"))
   }
 
+  test("explode generator: semantics, edges, guards (round 13)") {
+    import SparkFixture.spark.implicits._
+    val rows = Seq((1L, "a,b"), (2L, "c"), (3L, null: String), (4L, ""),
+      (5L, "d,")).toSeq.toDF("id", "tag")
+    // one row per element; NULL → zero rows; '' → one '' row; trailing
+    // separator keeps the trailing '' (string_split parity)
+    val r = ZxSql.run(rows, "select id, explode(tag, ',') as t order by id")
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    assert(r.toSeq == Seq((1L, "a"), (1L, "b"), (2L, "c"), (4L, ""),
+      (5L, "d"), (5L, "")))
+    // the separator is LITERAL, not a regex — '.' splits on dots only
+    val dot = ZxSql.run(Seq((1L, "a.b")).toDF("id", "tag"),
+      "select explode(tag, '.') as t order by t")
+      .collect().map(_.getString(0))
+    assert(dot.toSeq == Seq("a", "b"))
+    // distinct composes after the explode (dedup elements)
+    val d = ZxSql.run(rows, "select distinct explode(tag, ',') as t order by t")
+      .collect().map(_.getString(0))
+    assert(d.toSeq == Seq("", "a", "b", "c", "d"))
+    // aggregation over a derived exploded table (the word-count shape)
+    val wc = ZxSql.run(rows,
+      "select count(*) as n from (select explode(tag, ',') as t) " +
+        "group by t order by n desc limit 2")
+      .collect().map(x => (x.getString(0), x.getDouble(1)))
+    assert(wc.toSeq == Seq(("", 2.0), ("a", 1.0)))
+    // guards
+    def bad(sql: String, frag: String): Unit = {
+      val e = intercept[ZxSql.ParseError](ZxSql.run(rows, sql).collect())
+      assert(e.getMessage.contains(frag), s"'$sql' → ${e.getMessage}")
+    }
+    bad("select explode(tag, ',') as t, count(*) as n", "RAW frame")
+    bad("select id, explode(tag, ',') as t, explode(tag, ',') as u",
+      "one explode")
+    bad("select explode(tag, ',') as t where t != ''", "cannot see")
+    bad("select explode(tag, ',') as tag", "shadows")
+    bad("select explode(tag, '') as t", "non-empty literal separator")
+    bad("select explode(tag, ',') as t group by t", "derived exploded table")
+    bad("select explode(tag, ',')", "as <name>")
+  }
+
+  test("json extraction and rows frames and sample per: guards (round 13)") {
+    import SparkFixture.spark.implicits._
+    val rows = Seq((1L, """{"k": 7, "s": "x"}""", 2.0),
+      (2L, """{"s": "y"}""", 5.0), (3L, "not json", 1.0))
+      .toSeq.toDF("id", "props", "v")
+    // json_num: missing key → NULL, malformed → NULL (documented
+    // divergence: DuckDB errors on malformed; our contract is
+    // dirty-data-degrades); json_str strips quotes
+    val j = ZxSql.run(rows,
+      "select id, json_num(props, 'k') as k, json_str(props, 's') as s " +
+        "order by id")
+      .collect().map(x => (x.getLong(0),
+        if (x.isNullAt(1)) -1.0 else x.getDouble(1),
+        if (x.isNullAt(2)) "∅" else x.getString(2)))
+    assert(j.toSeq == Seq((1L, 7.0, "x"), (2L, -1.0, "y"), (3L, -1.0, "∅")))
+    // json_num gates and aggregates; json_str counts distinct
+    assert(ZxSql.run(rows, "select id where json_num(props, 'k') > 5")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val cd = ZxSql.run(rows,
+      "select count_distinct(json_str(props, 's')) as ds order by ds desc")
+      .collect().head.getLong(0)
+    assert(cd == 3L) // x, y + the +1-nil bucket for the malformed row
+    def bad(sql: String, frag: String): Unit = {
+      val e = intercept[ZxSql.ParseError](ZxSql.run(rows, sql).collect())
+      assert(e.getMessage.contains(frag), s"'$sql' → ${e.getMessage}")
+    }
+    bad("select id, json_num(props, 'a.b') as x", "simple identifier")
+    bad("select id, json_num(lower(props), 'k') as x", "JSON string column")
+    bad("select id, json_str(props, v) as x", "string literal")
+    // sum over the string form is still rejected; the numeric form sums
+    bad("select sum(json_str(props, 's')) as x", "numeric measure")
+    // rows frames: aggregate windows with order by only
+    bad("select id, row_number() over (partition by id order by v " +
+      "rows 3 preceding) as r", "aggregate windows")
+    bad("select id, sum(v) over (partition by id rows 3 preceding) as r",
+      "needs `order by`")
+    bad("select id, sum(v) over (partition by id order by v rows 0 " +
+      "preceding) as r", "≥ 1")
+    // moving sum vs running sum on a tiny fixture
+    val mv = ZxSql.run(Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 4.0))
+        .toDF("id", "k", "v"),
+      "select id, sum(v) over (partition by k order by id rows 1 " +
+        "preceding) as m2, sum(v) over (partition by k order by id) as run " +
+        "order by id")
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2)))
+    assert(mv.toSeq == Seq((1L, 1.0, 1.0), (2L, 3.0, 3.0), (3L, 6.0, 7.0)))
+    // sample exact per: nested across sizes per group, no global bound
+    val docs = (1L to 40L).map(i => (i, s"t$i", if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "text", "source")
+    val s5 = ZxSql.run(docs, "select sample exact 5 per source")
+      .collect().map(_.getLong(0)).toSet
+    val s10 = ZxSql.run(docs, "select sample exact 10 per source")
+      .collect().map(_.getLong(0)).toSet
+    assert(s5.size == 10 && s10.size == 20 && s5.subsetOf(s10))
+    // the global form keeps its driver bound; the per form does not
+    val ge = intercept[ZxSql.ParseError](ZxSql.run(docs,
+      s"select sample exact ${1 << 23}"))
+    assert(ge.getMessage.contains("driver-merged"))
+    ZxSql.parse(s"select sample exact ${1 << 23} per source") // no throw
+  }
+
   test("expression measures parse: precedence, parens, unary minus, aliases (round 12)") {
     import MeasureExpr._
     val q = ZxSql.parse(
