@@ -3263,6 +3263,58 @@ object SparkEntry {
     graft.sql.ZxSql.runCatalog(Map("documents" -> Tables.documents(s, dir)),
       "select sample exact 50 per source from documents where n_chars > 100")
 
+  /** p85b: the RAW JSON projection — extract-and-gate as a plain
+    * row-wise enrichment (no aggregate), the form that STREAMS;
+    * st_json replays this row's oracle verbatim. */
+  private def p85bSqlJsonRaw(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir),
+      "select event_id, json_num(props, 'k') as k, " +
+        "json_str(props, 'k') as ks " +
+        "where json_num(props, 'k') >= 95")
+
+  /** st_json: p85b replayed as a STREAM — JSON extraction is stateless
+    * row arithmetic, so the live-enrichment path ("parse props as events
+    * arrive") is hash-verified against the same DuckDB oracle. */
+  private def stJson(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.replayEvents(s, dir, "st-json") { stream =>
+      graft.sql.ZxSql.runStream(stream,
+        "select event_id, json_num(props, 'k') as k, " +
+          "json_str(props, 'k') as ks " +
+          "where json_num(props, 'k') >= 95")
+    }
+
+  /** p89: RELATIVE-POSITION ranks — percent_rank/cume_dist complete the
+    * rank family (the "where does this doc sit in its source's length
+    * distribution" normalizer feeding curriculum-style ordering).
+    * Identical definitions on both engines; the ORDER BY is total
+    * (n_chars, then unique doc_id), one window exchange. */
+  private def p89SqlPercentRank(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select doc_id, n_chars, " +
+        "percent_rank() over (partition by source order by n_chars asc, " +
+        "doc_id asc) as pr, " +
+        "cume_dist() over (partition by source order by n_chars asc, " +
+        "doc_id asc) as cd " +
+        "where lang = 'en' order by doc_id asc limit 400")
+      .select(col("doc_id"), col("n_chars"), round6("pr"), round6("cd"))
+
+  /** p90: DATE ARITHMETIC across a join — `datediff(l_shipdate,
+    * o_orderdate)` inside aggregate measures is the shipping-delay
+    * report (the TPC-H q12 family's primitive). Both engines count
+    * whole day-boundary crossings under the UTC contract; the measure
+    * codegens row-wise like any other, so the join + aggregate plan is
+    * unchanged (AQE picks the join strategy from post-filter sizes). */
+  private def p90SqlDateDiff(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.lineitem(s, dir),
+      "select mean(datediff(l_shipdate, o_orderdate)) as avg_delay, " +
+        "max(datediff(l_shipdate, o_orderdate)) as mx, count(*) as n " +
+        "from lineitem join orders on l_orderkey = o_orderkey " +
+        "where o_orderstatus = 'F' " +
+        "group by o_orderpriority order by avg_delay desc",
+      tables = Map("orders" -> Tables.orders(s, dir)))
+      .select(col("o_orderpriority"), round6("avg_delay"), col("mx"),
+        round3("n"))
+
   /** p59: `select distinct` — the raw-projection dedup primitive: one
     * shuffle on the (narrow, already-projected) columns, ORDER BY after.
     * Closes the r12 "set operations at the front door" gap with p60. */
@@ -4526,6 +4578,10 @@ object SparkEntry {
     "p83_sql_hour_profile" -> (p83SqlHourProfile _),
     "p84_sql_null_safe" -> (p84SqlNullSafe _),
     "p85_sql_json" -> (p85SqlJson _),
+    "p85b_sql_json_raw" -> (p85bSqlJsonRaw _),
+    "st_json" -> (stJson _),
+    "p89_sql_percent_rank" -> (p89SqlPercentRank _),
+    "p90_sql_datediff" -> (p90SqlDateDiff _),
     "p86_sql_explode" -> (p86SqlExplode _),
     "p86b_sql_explode_raw" -> (p86bSqlExplodeRaw _),
     "st_explode" -> (stExplode _),
@@ -4993,6 +5049,16 @@ object SparkEntry {
   }
 
   /** p47's oracle, shared verbatim by `st_chunks`. */
+  /** p85b's oracle, shared verbatim by `st_json`: the raw extract-and-
+    * gate enrichment — k values are integer-valued, so no rounding is
+    * needed on either engine. */
+  private val p85bOracleSql: String =
+    """SELECT event_id,
+      |  TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k,
+      |  json_extract_string(props, '$.k') AS ks
+      |FROM events
+      |WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 95""".stripMargin
+
   /** p86b's oracle, shared verbatim by `st_explode`: the raw exploded
     * (doc_id, element) pairs — both engines agree on the edges (NULL
     * input → zero rows, '' → one ''-element row, trailing separator → a
@@ -6016,6 +6082,26 @@ object SparkEntry {
         |FROM events
         |WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 10
         |GROUP BY event_type""".stripMargin,
+    "p85b_sql_json_raw" -> p85bOracleSql,
+    "st_json" -> p85bOracleSql,
+    "p89_sql_percent_rank" ->
+      """SELECT doc_id, n_chars,
+        |  round(percent_rank() OVER (PARTITION BY source
+        |    ORDER BY n_chars, doc_id), 6) AS pr,
+        |  round(cume_dist() OVER (PARTITION BY source
+        |    ORDER BY n_chars, doc_id), 6) AS cd
+        |FROM documents WHERE lang = 'en'
+        |ORDER BY doc_id LIMIT 400""".stripMargin,
+    "p90_sql_datediff" ->
+      // date_diff('day', start, end) boundary-counts exactly like
+      // Spark's datediff(end, start) under UTC; the max is exact BIGINT
+      """SELECT o_orderpriority,
+        |  round(avg(date_diff('day', o_orderdate, l_shipdate)), 6) AS avg_delay,
+        |  CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS mx,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority""".stripMargin,
     "p86_sql_explode" ->
       // engine top-k appends the group key ascending as the tiebreak
       """SELECT w, round(CAST(count(*) AS DOUBLE), 3) AS n

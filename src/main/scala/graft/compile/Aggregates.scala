@@ -110,6 +110,16 @@ object Aggregates {
         // column (the numeric view would destroy it) and cast the field
         // to LONG — DuckDB's year()/month()/… return BIGINT. Both engines
         // extract the same wall-clock field under the UTC contract.
+        // datediff(end, start) (p90): whole day-boundary crossings — both
+        // engines truncate to the date under the UTC contract and diff
+        // days, so timestamps with time-of-day agree; BIGINT result
+        case "datediff" =>
+          val cs = args.map {
+            case MeasureExpr.Col(n) => Compiler.colRef(n)
+            case other => throw new IllegalArgumentException(
+              s"datediff takes timestamp (or date) columns, got $other")
+          }
+          datediff(cs(0), cs(1)).cast(LongType)
         case f if MeasureExpr.timeFuncs(f) =>
           val c = args.head match {
             case MeasureExpr.Col(n) => Compiler.colRef(n)

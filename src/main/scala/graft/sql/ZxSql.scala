@@ -38,7 +38,8 @@ import graft.operators.GapWindows
   *               |approx_count_distinct|p50_approx|stddev|variance(col)
   *               | count(*)
   *               | agg(measure-expr) as name | agg(col) as name
-  *               | row_number|rank|dense_rank() over (partition by <col, …>
+  *               | row_number|rank|dense_rank|percent_rank|cume_dist()
+  *                 over (partition by <col, …>
   *                 order by <col [asc|desc], …>) as name
   *               | lag|lead(col [, n]) over (…) as name
   *               | sum|mean|min|max|count(col)|count(*) over
@@ -185,7 +186,11 @@ object ZxSql {
     "greatest" -> ((2, 4)), "least" -> ((2, 4)),
     // JSON props extraction (p85) — json_num numeric, json_str string;
     // key is a simple-identifier string literal (parse-guarded)
-    "json_num" -> ((2, 2)), "json_str" -> ((2, 2)))
+    "json_num" -> ((2, 2)), "json_str" -> ((2, 2)),
+    // datediff(end, start) (p90) — whole DAY-BOUNDARY crossings between
+    // two timestamp/date columns (both engines boundary-count under the
+    // UTC contract); BIGINT, so it enters arithmetic and aggregates
+    "datediff" -> ((2, 2)))
 
   private val aggNames: Map[String, Agg] = Map(
     "count" -> Agg.Count, "sum" -> Agg.Sum, "max" -> Agg.Max,
@@ -345,6 +350,9 @@ object ZxSql {
         if (MeasureExpr.timeFuncs(f) && !as.head.isInstanceOf[MeasureExpr.Col])
           throw ParseError(s"$f takes a timestamp (or date) column — " +
             "extract the field first, then compute")
+        if (f == "datediff" && !as.forall(_.isInstanceOf[MeasureExpr.Col]))
+          throw ParseError("datediff(end, start) takes two timestamp " +
+            "(or date) columns")
         if (f == "json_num" || f == "json_str") {
           if (!as.head.isInstanceOf[MeasureExpr.Col])
             throw ParseError(s"$f takes a JSON string column first")
@@ -1224,7 +1232,11 @@ object ZxSql {
     // unpartitioned window is a one-partition global sort; exact global
     // ranks are the curriculum operator's job) and so is `order by`
     // (every supported function is order-sensitive).
-    val winFuncNames = Set("row_number", "rank", "dense_rank", "lag", "lead")
+    val winFuncNames = Set("row_number", "rank", "dense_rank", "lag", "lead",
+      // relative-position ranks (p89): percent_rank = (rank-1)/(n-1),
+      // cume_dist = rank-from-behind/n — identical definitions on both
+      // engines; order-sensitive, so `order by` stays required
+      "percent_rank", "cume_dist")
     // AGGREGATE window functions (p74) + navigation/bucketing (p75).
     // These share names with grouped aggregates, so the dispatch below
     // looks PAST the matching ')' for `over` before routing here.
@@ -2660,6 +2672,10 @@ object ZxSql {
           case "row_number" => row_number()
           case "rank"       => rank()
           case "dense_rank" => dense_rank()
+          case "percent_rank" =>
+            org.apache.spark.sql.functions.percent_rank()
+          case "cume_dist" =>
+            org.apache.spark.sql.functions.cume_dist()
           case "lag"        => lag(Compiler.colRef(w.arg.get), w.offset)
           case "lead"       => lead(Compiler.colRef(w.arg.get), w.offset)
           case "sum"        => sum(num0)

@@ -2217,6 +2217,7 @@ class SqlSpec extends AnyFunSuite {
       assert(e.getMessage.contains(frag), s"'$sql' → ${e.getMessage}")
     }
     bad("select id, json_num(props, 'a.b') as x", "simple identifier")
+    bad("select id, datediff(v, 1) as x", "timestamp")
     bad("select id, json_num(lower(props), 'k') as x", "JSON string column")
     bad("select id, json_str(props, v) as x", "string literal")
     // sum over the string form is still rejected; the numeric form sums
@@ -2249,6 +2250,27 @@ class SqlSpec extends AnyFunSuite {
       s"select sample exact ${1 << 23}"))
     assert(ge.getMessage.contains("driver-merged"))
     ZxSql.parse(s"select sample exact ${1 << 23} per source") // no throw
+  }
+
+  test("percent_rank and cume_dist complete the rank family (round 13)") {
+    import SparkFixture.spark.implicits._
+    val rows = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 20.0),
+      (4L, "a", 40.0), (5L, "b", 7.0)).toSeq.toDF("id", "k", "v")
+    // percent_rank = (rank-1)/(n-1) with ties sharing a rank; cume_dist
+    // counts peers-from-behind/n; a singleton partition is pr=0, cd=1
+    val r = ZxSql.run(rows,
+      "select id, percent_rank() over (partition by k order by v asc, " +
+        "id asc) as pr, cume_dist() over (partition by k order by v asc) " +
+        "as cd order by id")
+      .collect().map(x => (x.getLong(0),
+        math.round(x.getDouble(1) * 1e6) / 1e6,
+        math.round(x.getDouble(2) * 1e6) / 1e6))
+    assert(r.toSeq == Seq((1L, 0.0, 0.25), (2L, 0.333333, 0.75),
+      (3L, 0.666667, 0.75), (4L, 1.0, 1.0), (5L, 0.0, 1.0)))
+    // order-sensitive: order by stays required
+    val e = intercept[ZxSql.ParseError](ZxSql.run(rows,
+      "select id, percent_rank() over (partition by k) as pr"))
+    assert(e.getMessage.contains("order by"))
   }
 
   test("expression measures parse: precedence, parens, unary minus, aliases (round 12)") {
