@@ -3315,6 +3315,22 @@ object SparkEntry {
       .select(col("o_orderpriority"), round6("avg_delay"), col("mx"),
         round3("n"))
 
+  /** p91: TWO-ARGUMENT dispersion — Pearson correlation and sample
+    * covariance, arguments riding the full measure grammar
+    * (`length(text)` is a scalar-function measure): n_chars vs the
+    * actual text length correlate ≈ 1 (the data-quality sanity check —
+    * "does the metadata column actually describe the blob"), doc_id vs
+    * n_chars ≈ 0 (the null hypothesis). Pairs with either side NULL are
+    * skipped on both engines; unweighted like stddev. */
+  private def p91SqlCorr(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select corr(n_chars, length(text)) as c, " +
+        "covar_samp(n_chars, length(text)) as cv, " +
+        "corr(doc_id, n_chars) as c0, count(*) as n " +
+        "group by lang order by n desc")
+      .select(col("lang"), round6("c"), round3("cv"), round6("c0"),
+        round3("n"))
+
   /** p59: `select distinct` — the raw-projection dedup primitive: one
     * shuffle on the (narrow, already-projected) columns, ORDER BY after.
     * Closes the r12 "set operations at the front door" gap with p60. */
@@ -4582,6 +4598,7 @@ object SparkEntry {
     "st_json" -> (stJson _),
     "p89_sql_percent_rank" -> (p89SqlPercentRank _),
     "p90_sql_datediff" -> (p90SqlDateDiff _),
+    "p91_sql_corr" -> (p91SqlCorr _),
     "p86_sql_explode" -> (p86SqlExplode _),
     "p86b_sql_explode_raw" -> (p86bSqlExplodeRaw _),
     "st_explode" -> (stExplode _),
@@ -6102,6 +6119,12 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority""".stripMargin,
+    "p91_sql_corr" ->
+      """SELECT lang, round(corr(n_chars, length(text)), 6) AS c,
+        |  round(covar_samp(n_chars, length(text)), 3) AS cv,
+        |  round(corr(doc_id, n_chars), 6) AS c0,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS n
+        |FROM documents GROUP BY lang""".stripMargin,
     "p86_sql_explode" ->
       // engine top-k appends the group key ascending as the tiebreak
       """SELECT w, round(CAST(count(*) AS DOUBLE), 3) AS n

@@ -267,6 +267,14 @@ object Aggregates {
       // group has < 2 non-null values on both engines
       case Agg.Stddev    => stddev_samp(v)
       case Agg.Variance  => var_samp(v)
+      // two-argument dispersion: pairs with either side NULL are skipped
+      // on both engines; arguments ride the measure grammar
+      case Agg.Corr =>
+        corr(measureCol(sel.expr.get, schema),
+          measureCol(sel.expr2.get, schema))
+      case Agg.CovarSamp =>
+        covar_samp(measureCol(sel.expr.get, schema),
+          measureCol(sel.expr2.get, schema))
       case Agg.Raw | Agg.Heatmap =>
         throw new IllegalArgumentException(
           s"${sel.agg.name} is handled at the pipeline level, not as an aggregate")

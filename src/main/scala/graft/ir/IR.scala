@@ -127,6 +127,12 @@ object Agg {
   // path rejects them loudly like count_distinct/p50.
   case object Stddev   extends Agg("stddev")
   case object Variance extends Agg("variance")
+  // two-argument dispersion (extensions): Pearson correlation and SAMPLE
+  // covariance — plain ANSI semantics (pairs with either side NULL are
+  // skipped on both engines); unweighted like stddev; aliases REQUIRED
+  // (no canonical name for a two-argument call); not salt-decomposable.
+  case object Corr      extends Agg("corr")
+  case object CovarSamp extends Agg("covar_samp")
 }
 
 /** Arithmetic measure expression (extension — the reference aggregates
@@ -209,7 +215,11 @@ object MeasureExpr {
 
 final case class Select(agg: Agg, column: String,
                         expr: Option[MeasureExpr] = None,
-                        alias: Option[String] = None) {
+                        alias: Option[String] = None,
+                        /** SECOND argument of a two-argument aggregate
+                          * (corr/covar_samp) — both arguments ride the
+                          * measure grammar. */
+                        expr2: Option[MeasureExpr] = None) {
   /** Stable output-column name — the reference's `aggregate_key`
     * "$$sum(foo)" scheme (lib.rs:801-813) made identifier-safe;
     * `count(*)` lands as `count_star`. An `as` alias (extension)

@@ -36,7 +36,8 @@ import graft.operators.GapWindows
   * IVF index read-only instead of brute-forcing the corpus.
   * where item := col | count|sum|max|min|count_distinct|mean|p50|heatmap
   *               |approx_count_distinct|p50_approx|stddev|variance(col)
-  *               | count(*)
+  *               | count(*) | corr|covar_samp(x, y) as name  — two-arg
+  *                 dispersion over measure-grammar arguments (p91)
   *               | agg(measure-expr) as name | agg(col) as name
   *               | row_number|rank|dense_rank|percent_rank|cume_dist()
   *                 over (partition by <col, …>
@@ -107,6 +108,7 @@ import graft.operators.GapWindows
   * expr.rs:75-80, and punts every other operator, expr.rs:99)
   * over cond := col (=|!=|<>|>|<|>=|<=) value | col [not] like pattern
   *            | col [not] in (value, …) | col [not] between lo and hi
+  *            | col is [not] null   — SQL spelling of exists/notexists
   *            | measure-expr (=|!=|<>|>|<|>=|<=) measure-expr
   * (IN desugars to OR-of-equalities, BETWEEN to Gte AND Lte — both ride
   * the condition tree and still push into the scan). An arithmetic LEFT
@@ -202,7 +204,9 @@ object ZxSql {
     "p50_approx" -> Agg.P50Approx,
     // dispersion aggregates (p81) — SAMPLE forms, plain ANSI semantics
     // (unweighted like the percentile family); NULL when n < 2
-    "stddev" -> Agg.Stddev, "variance" -> Agg.Variance)
+    "stddev" -> Agg.Stddev, "variance" -> Agg.Variance,
+    // two-argument dispersion (p91) — alias required
+    "corr" -> Agg.Corr, "covar_samp" -> Agg.CovarSamp)
 
   // ------------------------------------------------------------------ lexer
 
@@ -451,6 +455,17 @@ object ZxSql {
         val agg = aggNames.getOrElse(name,
           throw ParseError(s"unknown aggregate '$name' (have: ${aggNames.keys.mkString(", ")})"))
         next() // (
+        // two-argument aggregates (p91): corr(x, y) / covar_samp(x, y) —
+        // both arguments ride the measure grammar; alias required (the
+        // expr-select rule: no canonical name for a two-argument call)
+        if (agg == Agg.Corr || agg == Agg.CovarSamp) {
+          val x = measureSum(); expectSym(","); val y = measureSum()
+          expectSym(")")
+          if (MeasureExpr.isString(x) || MeasureExpr.isString(y))
+            throw ParseError(s"${agg.name} takes numeric measures — " +
+              "string expressions do not correlate")
+          return Select(agg, "", expr = Some(x), expr2 = Some(y))
+        }
         // count(*) — the README's own example shape; * counts every row
         if (peek.contains(Sym("*"))) {
           next()
@@ -736,6 +751,17 @@ object ZxSql {
         }
         case Ident("exists")      => ConditionTree.Leaf(Condition(Cmp.Exists, c))
         case Ident("notexists")   => ConditionTree.Leaf(Condition(Cmp.NotExists, c))
+        // SQL-standard spelling of the presence comparators: `is null` =
+        // the column is ABSENT on the row (NotExists), `is not null` =
+        // present (Exists) — same Cmp leaves, so pushdown is unchanged
+        case Ident("is")          => next() match {
+          case Ident("null") => ConditionTree.Leaf(Condition(Cmp.NotExists, c))
+          case Ident("not")  =>
+            expectIdent("null")
+            ConditionTree.Leaf(Condition(Cmp.Exists, c))
+          case other => throw ParseError(
+            s"expected null / not null after is, got $other")
+        }
         case other                => throw ParseError(s"unsupported operator $other")
       }
     }

@@ -434,4 +434,43 @@ object GrammarEquivProps extends Properties("ZxSqlGrammar") {
       val lastPerK = out.groupBy(_._2).values.map(_.maxBy(_._1))
       kvs.isEmpty || lastPerK.forall(r => r._3 == r._4)
     }
+
+  property("explode matches an independent split on random strings/seps") =
+    forAll(
+      Gen.listOfN(8, Gen.listOf(Gen.oneOf("a", "bb", "", "c d", ","))
+        .map(_.mkString("|"))),
+      Gen.oneOf("|", ",", ".", " ")) { (texts, sep) =>
+      import spark.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "tag")
+      val got = ZxSql.run(df, s"select id, explode(tag, '$sep') as t order by id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      // the documented contract: LITERAL separator split keeping ALL
+      // empty elements (string_split parity) — independent reference
+      // implementation via a manual scan, no regex anywhere
+      def refSplit(s: String): Seq[String] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var cur = new StringBuilder; var i = 0
+        while (i < s.length) {
+          if (s.startsWith(sep, i)) { out += cur.result(); cur = new StringBuilder; i += sep.length }
+          else { cur += s(i); i += 1 }
+        }
+        out += cur.result(); out.toSeq
+      }
+      val want = texts.zipWithIndex.flatMap { case (t, i) =>
+        refSplit(t).map(e => (i.toLong, e)) }
+      got == want
+    }
+
+  property("per-group exact sample is partitioning-invariant and nested") =
+    forAll(Gen.choose(1, 6), Gen.choose(1, 7)) { (n, parts) =>
+      import spark.implicits._
+      val docs = (1L to 30L).map(i => (i, s"t$i", if (i % 3 == 0) "a" else "b"))
+        .toDF("doc_id", "text", "source")
+      def cut(d: org.apache.spark.sql.DataFrame, k: Int): Set[Long] =
+        ZxSql.run(d, s"select sample exact $k per source")
+          .collect().map(_.getLong(0)).toSet
+      val base = cut(docs, n)
+      base == cut(docs.repartition(parts), n) && base.subsetOf(cut(docs, n + 1))
+    }
 }

@@ -2273,6 +2273,57 @@ class SqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("order by"))
   }
 
+  test("corr and covar_samp: two-argument aggregates (round 13)") {
+    import SparkFixture.spark.implicits._
+    val rows = Seq((1L, "a", 1.0, 2.0), (2L, "a", 2.0, 4.0),
+      (3L, "a", 3.0, 6.0), (4L, "b", 5.0, 1.0)).toSeq
+      .toDF("id", "k", "x", "y")
+    // exact linear relation → corr 1; covar_samp hand-checked; a
+    // singleton group is NULL for both
+    val r = ZxSql.run(rows,
+      "select corr(x, y) as c, covar_samp(x, y) as cv group by k " +
+        "order by c desc")
+      .collect().map(z => (z.getString(0),
+        if (z.isNullAt(1)) None else Some(math.round(z.getDouble(1) * 1e6) / 1e6),
+        if (z.isNullAt(2)) None else Some(math.round(z.getDouble(2) * 1e6) / 1e6)))
+    assert(r.toSeq == Seq(("a", Some(1.0), Some(2.0)), ("b", None, None)))
+    // arguments ride the measure grammar (scalar funcs, arithmetic)
+    val e2 = ZxSql.run(rows,
+      "select corr(x * 2, y + 1) as c where k = 'a' order by c desc")
+      .collect().head.getDouble(0)
+    assert(math.abs(e2 - 1.0) < 1e-9)
+    def bad(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](ZxSql.run(rows, sql).collect())
+      assert(e.getMessage.contains(frag), s"'$sql' → ${e.getMessage}")
+    }
+    bad("select corr(x, y) group by k order by corr(x, y) desc",
+      "as <name>")
+    bad("select corr(x, lower(k)) as c group by k order by c desc",
+      "numeric measures")
+    bad("select corr(x, y) as c group by k order by c desc salt 4",
+      "decomposable")
+    // the exact walk rejects corr upstream via its expression-measure
+    // guard (a two-arg aggregate always carries expr)
+    bad("select corr(x, y) as c group by k granularity 10 exact",
+      "storage columns only")
+  }
+
+  test("is null / is not null spell the presence comparators (round 13)") {
+    import SparkFixture.spark.implicits._
+    val rows = Seq((1L, Some("x")), (2L, None), (3L, Some("y")))
+      .toDF("id", "v")
+    assert(ZxSql.run(rows, "select id where v is null")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(ZxSql.run(rows, "select id where v is not null order by id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // same leaves as exists/notexists — boolean structure composes
+    assert(ZxSql.run(rows, "select id where v is null or v = 'y' order by id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    val e = intercept[ZxSql.ParseError](ZxSql.run(rows,
+      "select id where v is missing"))
+    assert(e.getMessage.contains("null / not null"))
+  }
+
   test("expression measures parse: precedence, parens, unary minus, aliases (round 12)") {
     import MeasureExpr._
     val q = ZxSql.parse(
