@@ -3331,6 +3331,26 @@ object SparkEntry {
       .select(col("lang"), round6("c"), round3("cv"), round6("c0"),
         round3("n"))
 
+  /** p92: LEAST-SQUARES REGRESSION — regr_slope/regr_intercept(y, x)
+    * with measure-grammar arguments (the x here is a JSON-extracted
+    * field): the front-door form of the a21 trend operator. Identical
+    * argument order and NULL-pair skipping on both engines. */
+  private def p92SqlRegr(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir),
+      "select regr_slope(value, json_num(props, 'k')) as sl, " +
+        "regr_intercept(value, json_num(props, 'k')) as ic, " +
+        "count(*) as n group by event_type order by n desc")
+      .select(col("event_type"), round6("sl"), round3("ic"), round3("n"))
+
+  /** p93: CONCAT — NULL-propagating string concatenation building
+    * composite labels (`lang-source`), feeding distinct/group-by like
+    * any string expression; the oracle spells `||` (DuckDB's own
+    * concat() SKIPS nulls — documented trap, never used). */
+  private def p93SqlConcat(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select distinct concat(lang, '-', source) as tag " +
+        "where n_chars > 450 order by tag asc")
+
   /** p59: `select distinct` — the raw-projection dedup primitive: one
     * shuffle on the (narrow, already-projected) columns, ORDER BY after.
     * Closes the r12 "set operations at the front door" gap with p60. */
@@ -4599,6 +4619,8 @@ object SparkEntry {
     "p89_sql_percent_rank" -> (p89SqlPercentRank _),
     "p90_sql_datediff" -> (p90SqlDateDiff _),
     "p91_sql_corr" -> (p91SqlCorr _),
+    "p92_sql_regr" -> (p92SqlRegr _),
+    "p93_sql_concat" -> (p93SqlConcat _),
     "p86_sql_explode" -> (p86SqlExplode _),
     "p86b_sql_explode_raw" -> (p86bSqlExplodeRaw _),
     "st_explode" -> (stExplode _),
@@ -6125,6 +6147,18 @@ object SparkEntry {
         |  round(corr(doc_id, n_chars), 6) AS c0,
         |  round(CAST(count(*) AS DOUBLE), 3) AS n
         |FROM documents GROUP BY lang""".stripMargin,
+    "p92_sql_regr" ->
+      """SELECT event_type,
+        |  round(regr_slope(value, TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS sl,
+        |  round(regr_intercept(value, TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)), 3) AS ic,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "p93_sql_concat" ->
+      // `||` NULL-propagates on both engines (DuckDB's concat() skips
+      // NULLs — never use it in an oracle)
+      """SELECT DISTINCT lang || '-' || source AS tag
+        |FROM documents WHERE n_chars > 450
+        |ORDER BY tag""".stripMargin,
     "p86_sql_explode" ->
       // engine top-k appends the group key ascending as the tiebreak
       """SELECT w, round(CAST(count(*) AS DOUBLE), 3) AS n

@@ -165,7 +165,7 @@ object Aggregates {
           if (name == "json_num") ex.try_cast(DoubleType) else ex
         // string functions (p79): the argument is a RAW column or a
         // nested string expression — never the numeric view
-        case "lower" | "upper" | "trim" | "substr" =>
+        case "lower" | "upper" | "trim" | "substr" | "concat" =>
           def strArg(x: MeasureExpr): Column = x match {
             case MeasureExpr.Col(n) => Compiler.colRef(n)
             case other if MeasureExpr.isString(other) => measureCol(other, schema)
@@ -176,6 +176,11 @@ object Aggregates {
             case "lower" => lower(strArg(args.head))
             case "upper" => upper(strArg(args.head))
             case "trim"  => trim(strArg(args.head))
+            // concat (p93): NULL-PROPAGATING (any NULL piece → NULL) —
+            // Spark's concat; the oracle spells `a || b`, which DuckDB
+            // also NULL-propagates (DuckDB's own concat() skips NULLs,
+            // so oracles must never use it)
+            case "concat" => concat(args.map(strArg): _*)
             case _ => // substr(s, start, len) — 1-based on both engines
               val st = args(1).asInstanceOf[MeasureExpr.Lit].value.toInt
               val ln = args(2).asInstanceOf[MeasureExpr.Lit].value.toInt
@@ -275,6 +280,12 @@ object Aggregates {
       case Agg.CovarSamp =>
         covar_samp(measureCol(sel.expr.get, schema),
           measureCol(sel.expr2.get, schema))
+      case Agg.RegrSlope =>
+        regr_slope(measureCol(sel.expr.get, schema),
+          measureCol(sel.expr2.get, schema))
+      case Agg.RegrIntercept =>
+        regr_intercept(measureCol(sel.expr.get, schema),
+          measureCol(sel.expr2.get, schema))
       case Agg.Raw | Agg.Heatmap =>
         throw new IllegalArgumentException(
           s"${sel.agg.name} is handled at the pipeline level, not as an aggregate")
@@ -326,9 +337,33 @@ object Aggregates {
     * uniform across a hot key's rows. AQE's skew handling covers joins;
     * this is the aggregation-side counterpart, now reachable from the IR
     * instead of a side entry point. */
-  def groupedAgg(df: org.apache.spark.sql.DataFrame, keys: Seq[Column],
-                 keyNames: Seq[String], sels: Seq[Select], schema: StructType,
-                 skewSalt: Option[Int]): org.apache.spark.sql.DataFrame =
+  def groupedAgg(df0: org.apache.spark.sql.DataFrame, keys: Seq[Column],
+                 keyNames: Seq[String], sels0: Seq[Select], schema: StructType,
+                 skewSalt: Option[Int]): org.apache.spark.sql.DataFrame = {
+    // Two-argument aggregates (corr/covar_samp/regr_*) are Declarative-
+    // Aggregates that expand each input into SEVERAL update terms, and
+    // Catalyst does not CSE across aggregate buffers — an expensive scalar
+    // argument (get_json_object) would re-evaluate AND re-codegen per term
+    // (p92 measured 4.7 s/plan vs 0.9 s pre-extracted at sf0.1).
+    // Materialize both arguments ONCE in a projection below the aggregate;
+    // the rewritten args are plain numeric column reads, semantically
+    // identical by construction.
+    val (df, sels) =
+      if (!sels0.exists(s => Agg.twoArg(s.agg))) (df0, sels0)
+      else {
+        var d = df0
+        val out = sels0.zipWithIndex.map { case (s, i) =>
+          if (!Agg.twoArg(s.agg)) s
+          else {
+            val (ca, cb) = (s"__mx$i", s"__my$i")
+            d = d.withColumn(ca, measureCol(s.expr.get, df0.schema))
+              .withColumn(cb, measureCol(s.expr2.get, df0.schema))
+            s.copy(expr = Some(MeasureExpr.Col(ca)),
+              expr2 = Some(MeasureExpr.Col(cb)))
+          }
+        }
+        (d, out)
+      }
     skewSalt match {
       case None =>
         val aggs = compileAll(sels, schema)
@@ -345,4 +380,5 @@ object Aggregates {
           partial.groupBy(keyNames.map(col): _*).agg(finals.head, finals.tail: _*)
         else partial.agg(finals.head, finals.tail: _*)
     }
+  }
 }

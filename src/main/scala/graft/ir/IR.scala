@@ -133,6 +133,14 @@ object Agg {
   // (no canonical name for a two-argument call); not salt-decomposable.
   case object Corr      extends Agg("corr")
   case object CovarSamp extends Agg("covar_samp")
+  // least-squares regression of y on x (extensions, same two-argument
+  // contract as corr): `regr_slope(y, x)` / `regr_intercept(y, x)` —
+  // identical argument order and NULL-pair skipping on both engines
+  case object RegrSlope     extends Agg("regr_slope")
+  case object RegrIntercept extends Agg("regr_intercept")
+
+  /** The two-argument aggregates — parsed as `agg(x, y) as name`. */
+  val twoArg: Set[Agg] = Set(Corr, CovarSamp, RegrSlope, RegrIntercept)
 }
 
 /** Arithmetic measure expression (extension — the reference aggregates
@@ -191,7 +199,11 @@ object MeasureExpr {
     * and the string form joins the p79 discipline: project, label, = / !=
     * compare). */
   val stringFuncs: Set[String] = Set("lower", "upper", "trim", "substr",
-    "json_str")
+    "json_str",
+    // concat (p93): NULL-propagating concatenation (any NULL piece →
+    // NULL — Spark concat; the oracle spells it `||`, which DuckDB also
+    // NULL-propagates, unlike DuckDB's own concat())
+    "concat")
 
   /** Calendar field extractors (p82): `year/month/day/hour/minute(<col>)`
     * over a RAW timestamp (or date) column — BIGINT fields, identical on

@@ -176,7 +176,7 @@ object ZxSql {
     // string functions (p79) — STRING-typed results; parse guards keep
     // them out of arithmetic and aggregate measures
     "lower" -> ((1, 1)), "upper" -> ((1, 1)), "trim" -> ((1, 1)),
-    "substr" -> ((3, 3)),
+    "substr" -> ((3, 3)), "concat" -> ((2, 4)),
     // calendar field extractors (p82) — a RAW timestamp/date column →
     // BIGINT field under the engine-wide UTC contract; the argument must
     // be a bare column (parse-guarded below)
@@ -205,8 +205,9 @@ object ZxSql {
     // dispersion aggregates (p81) — SAMPLE forms, plain ANSI semantics
     // (unweighted like the percentile family); NULL when n < 2
     "stddev" -> Agg.Stddev, "variance" -> Agg.Variance,
-    // two-argument dispersion (p91) — alias required
-    "corr" -> Agg.Corr, "covar_samp" -> Agg.CovarSamp)
+    // two-argument dispersion + regression (p91/p92) — alias required
+    "corr" -> Agg.Corr, "covar_samp" -> Agg.CovarSamp,
+    "regr_slope" -> Agg.RegrSlope, "regr_intercept" -> Agg.RegrIntercept)
 
   // ------------------------------------------------------------------ lexer
 
@@ -357,6 +358,10 @@ object ZxSql {
         if (f == "datediff" && !as.forall(_.isInstanceOf[MeasureExpr.Col]))
           throw ParseError("datediff(end, start) takes two timestamp " +
             "(or date) columns")
+        if (f == "concat" && !as.forall(x =>
+            x.isInstanceOf[MeasureExpr.Col] || MeasureExpr.isString(x)))
+          throw ParseError("concat takes string columns / expressions / " +
+            "literals — numbers need no concatenation, label them in a CASE")
         if (f == "json_num" || f == "json_str") {
           if (!as.head.isInstanceOf[MeasureExpr.Col])
             throw ParseError(s"$f takes a JSON string column first")
@@ -458,7 +463,7 @@ object ZxSql {
         // two-argument aggregates (p91): corr(x, y) / covar_samp(x, y) —
         // both arguments ride the measure grammar; alias required (the
         // expr-select rule: no canonical name for a two-argument call)
-        if (agg == Agg.Corr || agg == Agg.CovarSamp) {
+        if (Agg.twoArg(agg)) {
           val x = measureSum(); expectSym(","); val y = measureSum()
           expectSym(")")
           if (MeasureExpr.isString(x) || MeasureExpr.isString(y))

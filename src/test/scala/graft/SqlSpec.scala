@@ -2306,6 +2306,21 @@ class SqlSpec extends AnyFunSuite {
     // guard (a two-arg aggregate always carries expr)
     bad("select corr(x, y) as c group by k granularity 10 exact",
       "storage columns only")
+    // regression: y = 2x exactly → slope 2, intercept 0
+    val rg = ZxSql.run(rows,
+      "select regr_slope(y, x) as sl, regr_intercept(y, x) as ic " +
+        "where k = 'a' order by sl desc").collect().head
+    assert(math.abs(rg.getDouble(0) - 2.0) < 1e-9 &&
+      math.abs(rg.getDouble(1)) < 1e-9)
+    // concat: NULL-propagating; literals interleave; distinct composes
+    val cc = ZxSql.run(Seq((1L, "en", "s1"), (2L, null: String, "s2"))
+        .toDF("id", "lang", "src"),
+      "select id, concat(lang, '-', src) as tag order by id")
+      .collect().map(z => if (z.isNullAt(1)) "∅" else z.getString(1))
+    assert(cc.toSeq == Seq("en-s1", "∅"))
+    // numeric literals stay out of concat (columns are untyped at parse —
+    // the schemaless contract — but a bare number is knowably not a string)
+    bad("select id, concat(k, 5) as t", "string columns")
   }
 
   test("is null / is not null spell the presence comparators (round 13)") {
