@@ -261,7 +261,7 @@ object ZxSql {
     // def-to-def forward references don't cross a value definition
     var paN = 0
     val paByShape = scala.collection.mutable.LinkedHashMap
-      .empty[(Agg, String, Option[MeasureExpr]), String]
+      .empty[(Agg, String, Option[MeasureExpr], Option[MeasureExpr]), String]
     def peek: Option[Tok] = toks.lift(pos)
     def next(): Tok = {
       if (pos >= toks.length) throw ParseError("unexpected end of input")
@@ -284,6 +284,16 @@ object ZxSql {
 
     def parseLong(v: String, what: String): Long =
       v.toLongOption.getOrElse(throw ParseError(s"expected integer $what, got '$v'"))
+
+    // Bounds-checked Long→Int for parse sites whose IR field is an Int:
+    // a silent `.toInt` on 2^32+1 wraps to 1 and samples one row with no
+    // error — reject loudly instead.
+    def parseInt(v: String, what: String): Int = {
+      val n = parseLong(v, what)
+      if (n > Int.MaxValue || n < Int.MinValue)
+        throw ParseError(s"$what must fit in a 32-bit int, got $n")
+      n.toInt
+    }
 
     // Arithmetic measure grammar (extension): standard precedence
     // (* / over + -), parens, unary minus. The lexer folds a minus
@@ -526,7 +536,7 @@ object ZxSql {
     // once.
     def internalize(e: AggExpr): AggExpr = e match {
       case AggExpr.Call(s) =>
-        val a = paByShape.getOrElseUpdate((s.agg, s.column, s.expr),
+        val a = paByShape.getOrElseUpdate((s.agg, s.column, s.expr, s.expr2),
           { val n = s"__pa$paN"; paN += 1; n })
         AggExpr.Call(s.copy(alias = Some(a)))
       case AggExpr.Bin(op, l, r) => AggExpr.Bin(op, internalize(l), internalize(r))
@@ -838,8 +848,8 @@ object ZxSql {
       kw match {
         case "journeys" =>
           var topK = 20; var steps = 8
-          if (atIdent("top")) { next(); topK = parseLong(num("top count"), "top count").toInt }
-          if (atIdent("steps")) { next(); steps = parseLong(num("steps count"), "steps count").toInt }
+          if (atIdent("top")) { next(); topK = parseInt(num("top count"), "top count") }
+          if (atIdent("steps")) { next(); steps = parseInt(num("steps count"), "steps count") }
           if (topK < 1 || steps < 1)
             throw ParseError(s"journeys needs top/steps ≥ 1, got $topK/$steps")
           SeqOp.Journeys(topK, steps)
@@ -850,7 +860,7 @@ object ZxSql {
         case "decay" =>
           expectSym("("); val c = ident(); expectSym(")")
           var last = 64
-          if (atIdent("last")) { next(); last = parseLong(num("last count"), "last count").toInt }
+          if (atIdent("last")) { next(); last = parseInt(num("last count"), "last count") }
           if (last < 1) throw ParseError(s"decay last must be ≥ 1, got $last")
           SeqOp.Decay(c, last)
         case "argmax" =>
@@ -859,8 +869,8 @@ object ZxSql {
           SeqOp.Argmax(v, idc)
         case "spans" =>
           var topK = 40; var size = 5
-          if (atIdent("top")) { next(); topK = parseLong(num("top count"), "top count").toInt }
-          if (atIdent("size")) { next(); size = parseLong(num("size tokens"), "size tokens").toInt }
+          if (atIdent("top")) { next(); topK = parseInt(num("top count"), "top count") }
+          if (atIdent("size")) { next(); size = parseInt(num("size tokens"), "size tokens") }
           if (topK < 1 || size < 2)
             throw ParseError(s"spans needs top ≥ 1 and size ≥ 2, got $topK/$size")
           SeqOp.Spans(topK, size)
@@ -874,7 +884,7 @@ object ZxSql {
         case "markov" =>
           var iters = 20
           var distributed = false
-          if (atIdent("iters")) { next(); iters = parseLong(num("iters count"), "iters count").toInt }
+          if (atIdent("iters")) { next(); iters = parseInt(num("iters count"), "iters count") }
           if (atIdent("distributed")) { next(); distributed = true }
           if (iters < 1 || iters > 100)
             throw ParseError(s"markov iters must be in [1,100], got $iters")
@@ -895,11 +905,11 @@ object ZxSql {
           var topK = 50; var minDf = 2L; var maxDf = 100L
           var maxDfSet = false
           var maxDfPct: Option[Int] = None
-          if (atIdent("top")) { next(); topK = parseLong(num("top count"), "top count").toInt }
+          if (atIdent("top")) { next(); topK = parseInt(num("top count"), "top count") }
           if (atIdent("mindf")) { next(); minDf = parseLong(num("mindf"), "mindf") }
           if (atIdent("maxdf")) { next(); maxDf = parseLong(num("maxdf"), "maxdf"); maxDfSet = true }
           if (atIdent("maxdfpct")) {
-            next(); maxDfPct = Some(parseLong(num("maxdfpct"), "maxdfpct").toInt)
+            next(); maxDfPct = Some(parseInt(num("maxdfpct"), "maxdfpct"))
           }
           // the engine takes ONE df cap: silently preferring the fractional
           // one (and skipping mindf<=maxdf validation) would make the other
@@ -917,7 +927,7 @@ object ZxSql {
             next()
             var pct = 42
             if (atIdent("threshold")) {
-              next(); pct = parseLong(num("threshold pct"), "threshold pct").toInt
+              next(); pct = parseInt(num("threshold pct"), "threshold pct")
             }
             if (pct < 1 || pct > 100)
               throw ParseError(s"neardup embeddings threshold must be in [1,100], got $pct")
@@ -925,7 +935,7 @@ object ZxSql {
           } else if (atIdent("images") || atIdent("audio")) {
             val modality = ident()
             var mh = if (modality == "images") 8 else 16
-            if (atIdent("hamming")) { next(); mh = parseLong(num("hamming bits"), "hamming bits").toInt }
+            if (atIdent("hamming")) { next(); mh = parseInt(num("hamming bits"), "hamming bits") }
             if (mh < 0 || mh > 64)
               throw ParseError(s"neardup $modality hamming must be in [0,64], got $mh")
             if (modality == "images") SeqOp.NearDupImages(mh)
@@ -933,13 +943,13 @@ object ZxSql {
           } else if (atIdent("video")) {
             next()
             var shared = 2
-            if (atIdent("shared")) { next(); shared = parseLong(num("shared frames"), "shared frames").toInt }
+            if (atIdent("shared")) { next(); shared = parseInt(num("shared frames"), "shared frames") }
             if (shared < 1)
               throw ParseError(s"neardup video shared must be ≥ 1, got $shared")
             SeqOp.NearDupVideo(shared)
           } else {
             var pct = 50
-            if (atIdent("threshold")) { next(); pct = parseLong(num("threshold pct"), "threshold pct").toInt }
+            if (atIdent("threshold")) { next(); pct = parseInt(num("threshold pct"), "threshold pct") }
             if (pct < 1 || pct > 100)
               throw ParseError(s"neardup threshold must be in [1,100], got $pct")
             SeqOp.NearDup(pct)
@@ -969,12 +979,12 @@ object ZxSql {
             next(); booksTable = Some(ident())
           }
           var topK = 10; var qid = 0L
-          if (atIdent("top")) { next(); topK = parseLong(num("top count"), "top count").toInt }
+          if (atIdent("top")) { next(); topK = parseInt(num("top count"), "top count") }
           if (atIdent("query")) { next(); qid = parseLong(num("query id"), "query id") }
           var nProbe = 2
           var probeSet = false
           if (atIdent("probe")) {
-            next(); nProbe = parseLong(num("probe cells"), "probe cells").toInt
+            next(); nProbe = parseInt(num("probe cells"), "probe cells")
             probeSet = true
           }
           var shortlist: Option[Int] = None
@@ -983,7 +993,7 @@ object ZxSql {
               throw ParseError("shortlist sizes a PQ index probe's ADC " +
                 "rescue — brute-force knn is already exact")
             next()
-            shortlist = Some(parseLong(num("shortlist size"), "shortlist size").toInt)
+            shortlist = Some(parseInt(num("shortlist size"), "shortlist size"))
           }
           if (topK < 1) throw ParseError(s"knn top must be ≥ 1, got $topK")
           shortlist.filter(_ < topK).foreach(sl => throw ParseError(
@@ -1011,16 +1021,16 @@ object ZxSql {
           }
           var topK = 10; var qid = 0L; var shortlist = 50
           var qids = Seq.empty[Long]
-          if (atIdent("top")) { next(); topK = parseLong(num("top count"), "top count").toInt }
+          if (atIdent("top")) { next(); topK = parseInt(num("top count"), "top count") }
           if (atIdent("query")) { next(); qid = parseLong(num("query id"), "query id") }
           else if (atIdent("queries")) {
             next(); qids = commaList(() => parseLong(num("query id"), "query id"))
           }
-          if (atIdent("shortlist")) { next(); shortlist = parseLong(num("shortlist size"), "shortlist size").toInt }
+          if (atIdent("shortlist")) { next(); shortlist = parseInt(num("shortlist size"), "shortlist size") }
           var nProbe = 2
           var probeSet = false
           if (atIdent("probe")) {
-            next(); nProbe = parseLong(num("probe cells"), "probe cells").toInt
+            next(); nProbe = parseInt(num("probe cells"), "probe cells")
             probeSet = true
           }
           if (topK < 1 || shortlist < topK)
@@ -1090,8 +1100,8 @@ object ZxSql {
             // stratified split, WindowGroupLimit-compiled, no driver bound)
             next()
             val n = parseLong(num("exact sample count"), "exact sample count")
-            if (n < 1)
-              throw ParseError(s"sample exact must be ≥ 1, got $n")
+            if (n < 1 || n > Int.MaxValue)
+              throw ParseError(s"sample exact must be in [1, ${Int.MaxValue}], got $n")
             val key = sampleKey()
             val per = if (atIdent("per")) { next(); Some(ident()) } else None
             if (per.isEmpty && n > (1L << 22))
@@ -1112,7 +1122,7 @@ object ZxSql {
             SeqOp.SampleWeight(c, scale, sampleKey())
           } else if (atIdent("pct")) {
             next()
-            val pct = parseLong(num("sample pct"), "sample pct").toInt
+            val pct = parseInt(num("sample pct"), "sample pct")
             if (pct < 0 || pct > 100)
               throw ParseError(s"sample pct must be in [0,100], got $pct")
             var strata = Seq.empty[(String, Int)]
@@ -1125,7 +1135,7 @@ object ZxSql {
                   case other => throw ParseError(s"expected a source name, got $other")
                 }
                 expectSym("=")
-                val p = parseLong(num("stratum pct"), "stratum pct").toInt
+                val p = parseInt(num("stratum pct"), "stratum pct")
                 if (p < 0 || p > 100)
                   throw ParseError(s"sample pct for '$src' must be in [0,100], got $p")
                 (src, p)
@@ -1154,11 +1164,11 @@ object ZxSql {
           // `size N` flipped to non-overlapping).
           var size = 32; var stride = 32
           if (atIdent("size")) {
-            next(); size = parseLong(num("chunk size"), "chunk size").toInt
+            next(); size = parseInt(num("chunk size"), "chunk size")
             stride = size
           }
           if (atIdent("stride")) {
-            next(); stride = parseLong(num("chunk stride"), "chunk stride").toInt
+            next(); stride = parseInt(num("chunk stride"), "chunk stride")
           }
           if (size < 1 || stride < 1 || stride > size)
             throw ParseError(
@@ -1176,10 +1186,10 @@ object ZxSql {
             next(); val c = ident(); expectSym("="); ref = Some((c, value()))
           }
           if (atIdent("vocab")) {
-            next(); vocab = parseLong(num("vocab size"), "vocab size").toInt
+            next(); vocab = parseInt(num("vocab size"), "vocab size")
           }
           if (atIdent("table")) {
-            next(); table = parseLong(num("table size"), "table size").toInt
+            next(); table = parseInt(num("table size"), "table size")
           }
           if (vocab < 1 || vocab > 100000 || table < 1 || table > 100000)
             throw ParseError(
@@ -1197,7 +1207,7 @@ object ZxSql {
             next(); scale = parseLong(num("score scale"), "score scale")
           }
           if (atIdent("shards")) {
-            next(); shards = parseLong(num("shard count"), "shard count").toInt
+            next(); shards = parseInt(num("shard count"), "shard count")
           }
           if (scale < 1) throw ParseError(s"curriculum scale must be ≥ 1, got $scale")
           if (shards < 1 || shards > 1000000)
@@ -1219,10 +1229,10 @@ object ZxSql {
             throw ParseError("duplicate decontaminate source")
           var shingleN = 5; var hits = 1
           if (atIdent("shingle")) {
-            next(); shingleN = parseLong(num("shingle length"), "shingle length").toInt
+            next(); shingleN = parseInt(num("shingle length"), "shingle length")
           }
           if (atIdent("hits")) {
-            next(); hits = parseLong(num("hit threshold"), "hit threshold").toInt
+            next(); hits = parseInt(num("hit threshold"), "hit threshold")
           }
           if (shingleN < 2 || shingleN > 16)
             throw ParseError(s"decontaminate shingle must be in [2,16], got $shingleN")
@@ -1281,11 +1291,11 @@ object ZxSql {
       if (f == "lag" || f == "lead") {
         arg = Some(ident())
         if (peek.contains(Sym(","))) {
-          next(); off = parseLong(num("offset"), "offset").toInt
+          next(); off = parseInt(num("offset"), "offset")
           if (off < 1) throw ParseError(s"$f offset must be ≥ 1, got $off")
         }
       } else if (f == "ntile") {
-        off = parseLong(num("ntile buckets"), "ntile buckets").toInt
+        off = parseInt(num("ntile buckets"), "ntile buckets")
         if (off < 1) throw ParseError(s"ntile needs ≥ 1 buckets, got $off")
       } else if (aggWinNames(f) || f == "first_value" || f == "last_value") {
         // count(*) counts the frame's rows; everything else takes a column
@@ -1330,7 +1340,7 @@ object ZxSql {
       var rowsPrec: Option[Int] = None
       if (atIdent("rows")) {
         next()
-        val n = parseLong(num("rows frame size"), "rows frame size").toInt
+        val n = parseInt(num("rows frame size"), "rows frame size")
         expectIdent("preceding")
         if (!aggWinNames(f))
           throw ParseError(s"rows frames apply to aggregate windows " +
@@ -1746,7 +1756,7 @@ object ZxSql {
     if (atIdent("limit")) {
       next()
       limitN = next() match {
-        case Num(v) => Some(parseLong(v, "limit count").toInt)
+        case Num(v) => Some(parseInt(v, "limit count"))
         case other  => throw ParseError(s"expected limit count, got $other")
       }
       // `limit <k> per <col>` (extension): top-k rows of each partition

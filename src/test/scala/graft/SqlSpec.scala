@@ -2323,6 +2323,38 @@ class SqlSpec extends AnyFunSuite {
     bad("select id, concat(k, 5) as t", "string columns")
   }
 
+  test("post-aggregate arithmetic distinguishes two-arg calls by second argument (round 14)") {
+    import SparkFixture.spark.implicits._
+    // corr(x,a)=+1, corr(x,b)=-1 exactly — if the internal-alias dedup
+    // keyed only on (agg, column, expr) both calls would collapse to one
+    // __pa slot and the difference would be 0 (or an ambiguous-reference
+    // AnalysisException); the correct answer is 2
+    val rows = Seq((1L, "g", 1.0, 10.0, 30.0), (2L, "g", 2.0, 20.0, 20.0),
+      (3L, "g", 3.0, 30.0, 10.0)).toDF("id", "k", "x", "a", "b")
+    val d = ZxSql.run(rows,
+      "select corr(x, a) - corr(x, b) as d group by k order by d desc")
+      .collect().head.getDouble(1)
+    assert(math.abs(d - 2.0) < 1e-9)
+    // same second-arg shape IS still shared: one slot, no ambiguity
+    val s = ZxSql.run(rows,
+      "select corr(x, a) + corr(x, a) as s group by k order by s desc")
+      .collect().head.getDouble(1)
+    assert(math.abs(s - 2.0) < 1e-9)
+  }
+
+  test("integer parse sites reject values that overflow Int (round 14)") {
+    // 2^32+1 wraps to 1 under a silent .toInt — must be a loud ParseError
+    val e1 = intercept[ZxSql.ParseError](
+      ZxSql.parse("select sample exact 4294967297 per source"))
+    assert(e1.getMessage.contains("4294967297"))
+    val e2 = intercept[ZxSql.ParseError](ZxSql.parse(
+      "select sum(x) over (partition by k order by id rows 4294967297 preceding) as s"))
+    assert(e2.getMessage.contains("32-bit"))
+    val e3 = intercept[ZxSql.ParseError](
+      ZxSql.parse("select count group by k order by count desc limit 4294967297"))
+    assert(e3.getMessage.contains("32-bit"))
+  }
+
   test("is null / is not null spell the presence comparators (round 13)") {
     import SparkFixture.spark.implicits._
     val rows = Seq((1L, Some("x")), (2L, None), (3L, Some("y")))
