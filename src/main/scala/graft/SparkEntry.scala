@@ -3351,6 +3351,68 @@ object SparkEntry {
       "select distinct concat(lang, '-', source) as tag " +
         "where n_chars > 450 order by tag asc")
 
+  // the CTAS slice every p94 face materializes: two OVERLAPPING gates
+  // composed with distinct-union (the dedup is load-bearing in the
+  // oracle compare), so the written table is a genuine front-door
+  // composition, not a pass-through copy
+  private val CtasSliceSql =
+    "create table corpus_slice as " +
+      "select doc_id, lang, source, n_chars from documents " +
+      "where lang = 'en' and n_chars >= 300 " +
+      "union " +
+      "select doc_id, lang, source, n_chars from documents " +
+      "where source = 'src1' and n_chars >= 100"
+
+  /** p94: CTAS at the front door — S1's SQL WRITE face (the reference's
+    * `ZX.I` third command, lib.rs:846-856, generalized to any compound
+    * statement). Full lifecycle per call: reset → `create table … as
+    * <union of two gated slices>` through EventStore.createTable's
+    * staged-move + manifest-v0 commit → return the manifest-PINNED
+    * read-back, so the oracle compare verifies what durably landed on
+    * disk, not what the plan produced. */
+  private def p94SqlCtas(s: SparkSession, dir: String): DataFrame = {
+    val wh = "target/graft-ctas/lifecycle/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.sources.EventStore.reset(s, wh + "/corpus_slice")
+    graft.sql.ZxSql.runCreate(
+      Map("documents" -> Tables.documents(s, dir)), CtasSliceSql, wh)
+  }
+
+  /** The shared CTAS store p94b reads back — built once per (dir,
+    * source-generation) per JVM, the ensure* artifact pattern; a crashed
+    * half-create (dir without a committed manifest) is reset and
+    * rebuilt. */
+  private val ctasShared =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureCtasSlice(s: SparkSession, dir: String): String =
+    ctasShared.computeIfAbsent(dir, _ => {
+      val srcP = new org.apache.hadoop.fs.Path(dir + "/documents.parquet")
+      val st = srcP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getFileStatus(srcP)
+      val wh = "target/graft-ctas/shared/" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        s"-${st.getLen}-${st.getModificationTime}"
+      val store = wh + "/corpus_slice"
+      val committed = scala.util.Try(
+        graft.sources.EventStore.manifestVersion(s, store)).isSuccess
+      if (!committed) {
+        graft.sources.EventStore.reset(s, store)
+        graft.sql.ZxSql.runCreate(
+          Map("documents" -> Tables.documents(s, dir)), CtasSliceSql, wh)
+      }
+      store
+    })
+
+  /** p94b: the round trip's second half — an aggregate over the
+    * COMMITTED store (pinned read of the p94-shaped table), proving the
+    * CTAS output serves downstream queries; DuckDB replays the same
+    * aggregate over the slice's defining SELECT. */
+  private def p94bSqlCtasReadback(s: SparkSession, dir: String): DataFrame =
+    graft.sources.EventStore.readPinned(s, ensureCtasSlice(s, dir))
+      .groupBy(col("lang"))
+      .agg(round(count(lit(1)).cast(DoubleType), 3).as("n"),
+        round(sum(col("n_chars")).cast(DoubleType), 3).as("total"))
+
   /** p59: `select distinct` — the raw-projection dedup primitive: one
     * shuffle on the (narrow, already-projected) columns, ORDER BY after.
     * Closes the r12 "set operations at the front door" gap with p60. */
@@ -4621,6 +4683,8 @@ object SparkEntry {
     "p91_sql_corr" -> (p91SqlCorr _),
     "p92_sql_regr" -> (p92SqlRegr _),
     "p93_sql_concat" -> (p93SqlConcat _),
+    "p94_sql_ctas" -> (p94SqlCtas _),
+    "p94b_sql_ctas_readback" -> (p94bSqlCtasReadback _),
     "p86_sql_explode" -> (p86SqlExplode _),
     "p86b_sql_explode_raw" -> (p86bSqlExplodeRaw _),
     "st_explode" -> (stExplode _),
@@ -6153,6 +6217,24 @@ object SparkEntry {
         |  round(regr_intercept(value, TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)), 3) AS ic,
         |  round(CAST(count(*) AS DOUBLE), 3) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    "p94_sql_ctas" ->
+      // the oracle replays the CTAS body's SELECT — the engine row is the
+      // committed store's pinned READ-BACK, so a hash match proves the
+      // write+read round trip, not just the plan
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang = 'en' AND n_chars >= 300
+        |UNION
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE source = 'src1' AND n_chars >= 100""".stripMargin,
+    "p94b_sql_ctas_readback" ->
+      """SELECT lang, round(CAST(count(*) AS DOUBLE), 3) AS n,
+        |  round(CAST(sum(n_chars) AS DOUBLE), 3) AS total
+        |FROM (SELECT doc_id, lang, source, n_chars FROM documents
+        |  WHERE lang = 'en' AND n_chars >= 300
+        |  UNION
+        |  SELECT doc_id, lang, source, n_chars FROM documents
+        |  WHERE source = 'src1' AND n_chars >= 100)
+        |GROUP BY lang""".stripMargin,
     "p93_sql_concat" ->
       // `||` NULL-propagates on both engines (DuckDB's concat() skips
       // NULLs — never use it in an oracle)

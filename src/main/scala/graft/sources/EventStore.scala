@@ -190,8 +190,9 @@ object EventStore {
     * let [[writeManifest]] adopt crash debris and [[vacuum]] delete the
     * very files [[readRetrying]]'s recovery message points at. */
   private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
-                            root: org.apache.hadoop.fs.Path): Seq[String] =
-    fs.listStatus(root).toSeq
+                            root: org.apache.hadoop.fs.Path): Seq[String] = {
+    val listing = fs.listStatus(root).toSeq
+    val partitioned = listing
       .filter(s => s.isDirectory && !s.getPath.getName.startsWith(".")
         && s.getPath.getName.contains("="))
       .flatMap { p =>
@@ -199,7 +200,17 @@ object EventStore {
           .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
             && !f.getPath.getName.startsWith("."))
           .map(f => p.getPath.getName + "/" + f.getPath.getName)
-      }.sorted
+      }
+    // FLAT stores ([[createTable]] of a result with no timestamp column)
+    // keep their data files at the root — manifests (`_graft_manifest*`),
+    // markers (`_SUCCESS`) and locks/staging (dot-prefixed) are excluded
+    // by the same prefix rules the partition listing uses
+    val flat = listing
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+        && !f.getPath.getName.startsWith("."))
+      .map(_.getPath.getName)
+    (partitioned ++ flat).sorted
+  }
 
   /** Files that only a MAINTENANCE commit may introduce to the manifest:
     * [[compactInPlace]]/[[clusterInPlace]] move their outputs into the
@@ -209,7 +220,7 @@ object EventStore {
     * (their commit is coming) or crash debris (vacuum's to reclaim).
     * Without this rule, a crashed compaction's moved-in files would be
     * double-counted next to the originals they never replaced. */
-  private val MaintenanceFile = """(?:compact|zorder|merge|delete|ingest)-\d+-.*""".r
+  private val MaintenanceFile = """(?:compact|zorder|merge|delete|ingest|ctas)-\d+-.*""".r
 
   /** Serialize manifest commits: an exclusive-create lock file arbitrates,
     * because a plain rename-to-destination OVERWRITES on local/POSIX
@@ -367,6 +378,75 @@ object EventStore {
       val current = manifestVersions(fs, root).lastOption
         .map(v => readManifestFile(fs, root, v)).getOrElse(Seq.empty)
       commitLocked(fs, root, current ++ moved, Some((app, batchId)))
+    }
+    moved
+  }
+
+  /** CTAS commit — materialize `df` as a NEW manifested store at `path`
+    * (the write half of the SQL front door's `create table … as`; the
+    * reference's third command is the insert face, lib.rs:846-856).
+    *
+    * Layout: date-partitioned on `tsCol` when the result carries it as a
+    * timestamp (full store parity — partition pruning, compaction,
+    * z-order, time travel all apply), FLAT otherwise (arbitrary result
+    * schemas: a grouped aggregate or a documents slice has no event
+    * time; flat stores still get manifest-pinned reads, writeManifest
+    * refresh, time travel, and vacuum — partition-level maintenance is
+    * date-store-only by construction).
+    *
+    * Protocol is [[appendCommitted]]'s: write to hidden staging, move the
+    * files in under `ctas-{gen}-*` maintenance names, commit them as
+    * manifest v0. Every crash window leaves only unmanifested debris
+    * ([[vacuum]]'s to reclaim, [[writeManifest]] never adopts maintenance
+    * names) — never a half-visible table.
+    *
+    * Collisions are LOUD: an existing manifest, data files, or non-empty
+    * directory at `path` fails the call — CTAS creates, it never
+    * overwrites or merges ([[reset]] first, or [[appendCommitted]] to
+    * grow an existing store). Returns the committed relative paths. */
+  def createTable(df: DataFrame, path: String, tsCol: String = "ts"): Seq[String] = {
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) {
+      require(manifestVersions(fs, root).isEmpty,
+        s"createTable: $path is already a manifested store — reset it " +
+          "first, or appendCommitted into it")
+      require(listDataFiles(fs, root).isEmpty && !fs.listStatus(root)
+          .exists(s => s.isFile && s.getPath.getName == "_SUCCESS"),
+        s"createTable: $path already holds data files — CTAS never " +
+          "overwrites; reset the path or pick another name")
+    }
+    val partitioned = df.schema.fields.exists(f =>
+      f.name == tsCol && f.dataType.typeName == "timestamp")
+    val gen = nextGen()
+    val staged = new org.apache.hadoop.fs.Path(root, s".ctas-staging-$gen")
+    fs.delete(staged, true)
+    if (partitioned)
+      df.withColumn("event_date", to_date(col(tsCol)))
+        .write.partitionBy("event_date").mode(SaveMode.Overwrite)
+        .parquet(staged.toString)
+    else df.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    val moved =
+      if (partitioned) moveStagedIn(fs, root, staged, "ctas", gen)
+      else fs.listStatus(staged).toSeq
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+          && !f.getPath.getName.startsWith("."))
+        .map { f =>
+          val name = s"ctas-$gen-${f.getPath.getName}"
+          require(fs.rename(f.getPath, new org.apache.hadoop.fs.Path(root, name)),
+            s"createTable: moving ${f.getPath} into $root failed")
+          name
+        }
+    fs.delete(staged, true)
+    require(moved.nonEmpty,
+      s"createTable: the statement produced no data files for $path — an " +
+        "empty table has no schema to pin; gate less or skip the CTAS")
+    withCommitLock(fs, root) {
+      require(manifestVersions(fs, root).isEmpty,
+        s"createTable: $path gained a manifest mid-create (concurrent " +
+          "creator?) — the moved files are unmanifested debris for vacuum")
+      commitLocked(fs, root, moved)
     }
     moved
   }
@@ -1581,7 +1661,7 @@ object EventStore {
     // readRetrying's recovery message points operators at it.
     val staging = ("""^\..*\.compact-staging(?:-\d+)?$|^\.zorder-staging(?:-\d+)?$""" +
       """|^\.(?:merge|delete)-(?:rewrite|insert)-\d+$""" +
-      """|^\.ingest-staging-\d+$""").r
+      """|^\.(?:ingest|ctas)-staging-\d+$""").r
     fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && staging.pattern.matcher(s.getPath.getName).matches()
         && s.getModificationTime <= cutoff)

@@ -2548,6 +2548,9 @@ object ZxSql {
                  exact: Boolean = false,
                  idCol: Option[String] = None): DataFrame = {
     val toks = lex(sql)
+    if (toks.headOption.contains(Ident("create")))
+      throw ParseError("`create table … as` WRITES through a warehouse — " +
+        "use runCreate(tables, sql, warehouseDir); runCatalog is read-only")
     val (ctes, p0) = parseWithPrefix(toks)
     val (co, p1) = parseCompoundAt(toks, p0)
     if (p1 < toks.length)
@@ -2561,6 +2564,65 @@ object ZxSql {
         innerFrame = true))
     }
     runCompound(full, co, tsCol, exact, idCol)
+  }
+
+  /** `create table <name> as <statement>` — the SQL WRITE face (the
+    * reference's third command is the insert face, `ZX.I`
+    * lib.rs:846-856; ours generalizes it to materializing ANY compound
+    * statement). The body is a full [[runCatalog]] statement — CTEs, set
+    * ops, joins, gates, dedup, the whole front door — whose result is
+    * committed as a new manifested store at `<warehouseDir>/<name>` via
+    * [[graft.sources.EventStore.createTable]] (staged write → move-in →
+    * manifest v0; crash-safe, collision-loud), then READ BACK pinned to
+    * that manifest — the returned frame proves what durably landed, not
+    * what the plan produced.
+    *
+    * The body follows the CTE-body windowing rule (its result feeds a
+    * TABLE, not a report): an unwindowed aggregate means per-key totals,
+    * never the reference's default 300 s tumbling buckets. A result
+    * carrying `tsCol` as a timestamp lands date-partitioned (and its
+    * read-back gains the store's `event_date` partition column, like any
+    * store read); any other schema lands flat. Name collisions — with a
+    * catalog table, a CTE, or an existing store — fail loudly. */
+  def runCreate(tables: Map[String, DataFrame], sql: String,
+                warehouseDir: String,
+                tsCol: String = Compiler.DefaultTsCol,
+                exact: Boolean = false,
+                idCol: Option[String] = None): DataFrame = {
+    val toks = lex(sql)
+    if (!(toks.headOption.contains(Ident("create")) &&
+          toks.lift(1).contains(Ident("table"))))
+      throw ParseError("runCreate takes `create table <name> as " +
+        "<statement>` — for a read-only statement use runCatalog")
+    val name = toks.lift(2) match {
+      case Some(Ident(n)) => n
+      case other => throw ParseError(s"create table: expected a table name, got $other")
+    }
+    if (!name.matches("[a-z_][a-z0-9_]*"))
+      throw ParseError(s"create table: '$name' is not a valid table name " +
+        "([a-z_][a-z0-9_]* — it becomes a directory under the warehouse)")
+    if (tables.contains(name))
+      throw ParseError(s"create table: '$name' already names a catalog " +
+        "table — CTAS never shadows or overwrites; pick another name")
+    if (!toks.lift(3).contains(Ident("as")))
+      throw ParseError(s"create table $name: expected 'as', got ${toks.lift(3)}")
+    val body = toks.drop(4)
+    if (body.isEmpty)
+      throw ParseError(s"create table $name as: missing the statement body")
+    val (ctes, p0) = parseWithPrefix(body)
+    if (ctes.exists(_._1 == name))
+      throw ParseError(s"create table: '$name' also names a CTE in its " +
+        "own body — the target must be a fresh name")
+    val (co, p1) = parseCompoundAt(body, p0)
+    if (p1 < body.length)
+      throw ParseError(s"trailing input from token ${p1 + 4}: ${body.drop(p1).take(5)}")
+    val full = ctes.foldLeft(tables) { case (acc, (n, b)) =>
+      acc + (n -> runCompound(acc, b, tsCol, exact, idCol, innerFrame = true))
+    }
+    val result = runCompound(full, co, tsCol, exact, idCol, innerFrame = true)
+    val target = warehouseDir.stripSuffix("/") + "/" + name
+    graft.sources.EventStore.createTable(result, target, tsCol)
+    graft.sources.EventStore.readPinned(result.sparkSession, target)
   }
 
   /** Compile one statement (head + any set-op branches) against a
@@ -2605,6 +2667,9 @@ object ZxSql {
     rejectWith(sql, "run(df, …) binds the base frame positionally and " +
       "ignores FROM (reference parity) — CTEs resolve every table by " +
       "NAME; use runCatalog(tables, sql)")
+    if (lex(sql).headOption.contains(Ident("create")))
+      throw ParseError("`create table … as` WRITES through a warehouse — " +
+        "use runCreate(tables, sql, warehouseDir)")
     val co = parseCompound(sql)
     if (co.branches.isEmpty) runParsed(df0, co.head, tsCol, exact, idCol, tables)
     else combineSetOps((co.head +: co.branches.map(_._2))
@@ -3161,6 +3226,11 @@ object ZxSql {
     locally {
       rejectWith(sql, "CTEs compose BOUNDED statements — a batch shape; " +
         "run per micro-batch via foreachBatch over ZxSql.runCatalog")
+      if (lex(sql).headOption.contains(Ident("create")))
+        throw ParseError("`create table … as` materializes a BOUNDED " +
+          "result — a batch shape; a continuous ingest is the streaming " +
+          "sink path (writeStream / EventStore.appendCommitted per batch), " +
+          "not CTAS")
       if (parseCompound(sql).branches.nonEmpty)
         throw ParseError("set operations (union/except/intersect) compose " +
           "BOUNDED frames — a batch shape; run per micro-batch via " +

@@ -2376,4 +2376,64 @@ class StoreStreamSpec extends AnyFunSuite {
       assert(EventStore.manifestFiles(spark, dir, v).nonEmpty, s"version $v unreadable")
     }
   }
+  test("createTable / runCreate: CTAS lifecycle, layouts, collisions (round 14)") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-ctas").toString
+    val docs = Seq(
+      (1L, "aa bb", "en", "web", 5L), (2L, "cc", "de", "web", 2L),
+      (3L, "dd ee ff", "en", "book", 8L), (4L, "gg", "en", "web", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // FLAT layout: no timestamp column → data files at the store root,
+    // manifest-pinned read-back returns exactly the gated slice
+    val out = graft.sql.ZxSql.runCreate(Map("documents" -> docs),
+      "create table en_slice as select doc_id, lang, n_chars " +
+        "from documents where lang = 'en'", wh)
+    assert(out.columns.toSeq == Seq("doc_id", "lang", "n_chars"))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
+    // the store is durable + manifested: a fresh pinned read agrees, and
+    // writeManifest-style refresh machinery sees the flat files
+    assert(EventStore.readPinned(spark, s"$wh/en_slice").count() == 3)
+    assert(EventStore.manifestVersion(spark, s"$wh/en_slice") == 0L)
+    // CTE body + aggregate body: per-key totals (the table rule, never
+    // default tumbling windows), and the read-back hash-equals the plan
+    val agg = graft.sql.ZxSql.runCreate(Map("documents" -> docs),
+      "create table by_lang as with en as (select doc_id, lang, n_chars " +
+        "from documents where n_chars >= 2) " +
+        "select sum(n_chars) as total from en group by lang", wh)
+    assert(agg.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap ==
+      Map("en" -> 15.0, "de" -> 2.0))
+    // PARTITIONED layout: a ts-carrying result lands date-partitioned and
+    // the read-back gains the store's event_date partition column
+    val ev = Seq((1L, 100L), (2L, 200L)).toDF("event_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec") + 1704412800L)).drop("sec")
+    val evOut = graft.sql.ZxSql.runCreate(Map("events" -> ev),
+      "create table ev_copy as select event_id, ts from events", wh)
+    assert(evOut.columns.contains("event_date"))
+    assert(evOut.count() == 2)
+    // collisions are loud: existing store, catalog name, CTE name, bad name
+    def bad(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](
+        graft.sql.ZxSql.runCreate(Map("documents" -> docs), sql, wh))
+      assert(e.getMessage.contains(frag), s"'$sql' → ${e.getMessage}")
+    }
+    bad("create table en_slice as select doc_id from documents", "reset")
+    bad("create table documents as select doc_id from documents", "catalog")
+    bad("create table t as with t as (select doc_id from documents) " +
+      "select doc_id from t", "fresh name")
+    bad("create table a.b as select doc_id from documents", "valid table name")
+    // read-only faces reject the write shape loudly
+    val eCat = intercept[graft.sql.ZxSql.ParseError](graft.sql.ZxSql.runCatalog(
+      Map("documents" -> docs), "create table x as select doc_id from documents"))
+    assert(eCat.getMessage.contains("runCreate"))
+    val eRun = intercept[graft.sql.ZxSql.ParseError](graft.sql.ZxSql.run(
+      docs, "create table x as select doc_id"))
+    assert(eRun.getMessage.contains("runCreate"))
+    val sdir = Files.createTempDirectory("graft-ctas-st").toString
+    docs.write.mode("overwrite").parquet(sdir)
+    val st = spark.readStream.schema(docs.schema).parquet(sdir)
+    val eSt = intercept[graft.sql.ZxSql.ParseError](graft.sql.ZxSql.runStream(
+      st, "create table x as select doc_id"))
+    assert(eSt.getMessage.contains("batch shape"))
+  }
+
 }
