@@ -57,14 +57,72 @@ object Bench {
       }.sorted
       ts(1)
     }
+    // Fixed-work I/O calibration probes (VERDICT r13 #1): calib_sec is
+    // CPU-only, but the expensive rows it kept failing to explain
+    // (j6_bucketed_join's build, every st_* lifecycle) are WAREHOUSE- and
+    // CHECKPOINT-bound — two rounds of driver-box blowouts were only
+    // attributable by inference. These two probes measure the box's disk
+    // path with the exact operations those rows pay, so a cross-round
+    // ratio on an I/O-bound row can be normalized by the artifact itself:
+    //  - io_calib_sec: drop + bucketed saveAsTable (2M rows, 8 buckets)
+    //    through the warehouse dir + full read-back checksum — j6's
+    //    build-and-probe shape, data-independent;
+    //  - stream_calib_sec: one complete checkpointed micro-stream
+    //    lifecycle (stage parquet input → readStream → parquet sink +
+    //    checkpoint → processAllAvailable → read back) — the st_* shape
+    //    with a trivial operator, so it prices the lifecycle, not the
+    //    operator. Medians of 3, like calib_sec.
+    val ioCalibSec = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.sql("drop table if exists graft_io_probe")
+        spark.range(0, 2L << 20, 1, 8)
+          .selectExpr("id", "id % 997 as k", "cast(id as string) as s")
+          .write.bucketBy(8, "k").sortBy("k")
+          .format("parquet").saveAsTable("graft_io_probe")
+        spark.table("graft_io_probe")
+          .selectExpr("bit_xor(xxhash64(id, k, s)) as h").collect()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      spark.sql("drop table if exists graft_io_probe")
+      ts(1)
+    }
+    val streamCalibSec = {
+      val base = "target/graft-bench-io/stream-probe"
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+        spark.range(0, 200000, 1, 4).selectExpr("id", "id % 97 as k")
+          .write.parquet(base + "/in")
+        val st = spark.readStream
+          .schema("id bigint, k bigint").parquet(base + "/in")
+        val q = st.writeStream.format("parquet")
+          .option("path", base + "/out")
+          .option("checkpointLocation", base + "/ckpt")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        spark.read.parquet(base + "/out")
+          .selectExpr("bit_xor(xxhash64(id, k)) as h").collect()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      ts(1)
+    }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // per-run micro-batch processing times of each st_* lifecycle (ms,
+    // triggerExecution per trigger) — see StreamReplay.lastBatchMs
+    val streamMs = scala.collection.mutable.LinkedHashMap
+      .empty[String, Seq[Seq[Long]]]
     // Per-query time = MEDIAN of `runs` back-to-back executions, state reset
     // between each — a single-shot time conflates the plan's cost with
     // whatever JVM state the previous 50 queries left behind (JIT, GC debt,
     // leaked cache blocks), and round-3's tail-of-map queries regressed 4×
     // from exactly that. Medians make a slow number mean a slow PLAN.
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // st_* rows replay under a dash-spelled name ("st_gap" → "st-gap")
+      val replayKey = name.replace('_', '-')
       val timed = (1 to runs).map { i =>
+        graft.streaming.StreamReplay.lastBatchMs.remove(replayKey)
         val t0 = System.nanoTime()
         val ok = try { evaluate(fn(spark, sfDir)); true } catch {
           case e: Throwable =>
@@ -74,6 +132,9 @@ object Bench {
             false
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        graft.streaming.StreamReplay.lastBatchMs.get(replayKey).foreach { ms =>
+          streamMs(name) = streamMs.getOrElse(name, Seq.empty) :+ ms
+        }
         cleanup(spark)
         (dt, ok)
       }
@@ -132,17 +193,21 @@ object Bench {
       "c11_schema_evolution", "c14_change_feed",
       "c15_incremental_ivm", "c16_snapshot_clone",
       "c17_cdc_follow", "c17b_durable_follow",
-      "j6b_bucketed_build").filter(results.contains)
+      "j6b_bucketed_build", "p94_sql_ctas").filter(results.contains)
     val buildJson = buildClass.map("\"" + _ + "\"").mkString("[", ",", "]")
     val buildTotal = buildClass.map(results(_)._1).sum
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"runs_sec":$runsSec,"errors":$errs,"sf":"$sfDir","runs":$runs,"build_queries":$buildJson,"build_sec":${r3(buildTotal)},"calib_sec":${r3(calibSec)}}"""
+    val streamJson = streamMs.map { case (k, runsArr) =>
+      s"\"" + k + "\":" + runsArr.map(_.mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"runs_sec":$runsSec,"errors":$errs,"sf":"$sfDir","runs":$runs,"build_queries":$buildJson,"build_sec":${r3(buildTotal)},"calib_sec":${r3(calibSec)},"io_calib_sec":${r3(ioCalibSec)},"stream_calib_sec":${r3(streamCalibSec)},"stream_ms":$streamJson}"""
     // The harness captures a bounded (~2000 char) stdout tail: three
     // rounds running, the full per-query line truncated there into an
     // unparseable fragment. stdout now gets a SHORT self-contained
     // summary (fits any tail buffer, still one parseable JSON object);
     // the complete per-query map lives ONLY in the durable file.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${results.size},"n_errors":${errors.size},"build_n":${buildClass.size},"build_sec":${r3(buildTotal)},"calib_sec":${r3(calibSec)},"queries_file":"$out"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${results.size},"n_errors":${errors.size},"build_n":${buildClass.size},"build_sec":${r3(buildTotal)},"calib_sec":${r3(calibSec)},"io_calib_sec":${r3(ioCalibSec)},"stream_calib_sec":${r3(streamCalibSec)},"queries_file":"$out"}""")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}") }

@@ -32,8 +32,15 @@ object AsofJoin {
     * replay. One shuffle on (key, time); at scale this is the same exchange
     * shape as the asof window itself. */
   def latestPerKeyTime(right: DataFrame, keyCol: String, timeCol: String,
-                       tieCol: String): DataFrame = {
-    val w = Window.partitionBy(col(keyCol), col(timeCol))
+                       tieCol: String): DataFrame =
+    latestPerKeysTime(right, Seq(keyCol), timeCol, tieCol)
+
+  /** Composite-key face of [[latestPerKeyTime]] — one right row per
+    * (key tuple, time), same max-`tieCol` rule, same single exchange. */
+  def latestPerKeysTime(right: DataFrame, keyCols: Seq[String],
+                        timeCol: String, tieCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "latestPerKeysTime needs at least one key")
+    val w = Window.partitionBy(keyCols.map(col) :+ col(timeCol): _*)
       .orderBy(col(tieCol).desc)
     right.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
@@ -151,12 +158,34 @@ object AsofJoin {
     * no equivalent plan exists and failing loudly beats hanging. */
   def asofBroadcast(left: DataFrame, right: DataFrame,
                     keyL: String, keyR: String, timeL: String, timeR: String,
-                    payload: Seq[String], maxRightRows: Int = 10000): DataFrame = {
+                    payload: Seq[String], maxRightRows: Int = 10000): DataFrame =
+    asofBroadcastKeys(left, right, Seq(keyL), Seq(keyR), timeL, timeR,
+      payload, maxRightRows)
+
+  /** Composite-key face of [[asofBroadcast]] — the (user, device)-style
+    * pair key a real session store versions on. The plan-literal history
+    * map's keys become positional-field STRUCT literals
+    * (`struct(k0, k1, …)`), and each left row probes with the same-shaped
+    * struct of its own key columns; field names are positional on both
+    * sides, so mismatched source column names can never null the lookup.
+    * A left row with ANY null key component matches nothing (SQL equality
+    * per component — the probe struct is nulled before the lookup rather
+    * than trusting struct-equality null semantics); right rows with any
+    * null component are dropped like the scalar path's null keys. Same
+    * plan-resident bound, same loud contracts, same STREAMING soundness
+    * (no window, shuffle, or state — the probe is a narrow map). */
+  def asofBroadcastKeys(left: DataFrame, right: DataFrame,
+                        keysL: Seq[String], keysR: Seq[String],
+                        timeL: String, timeR: String,
+                        payload: Seq[String], maxRightRows: Int = 10000): DataFrame = {
+    require(keysL.nonEmpty && keysL.length == keysR.length,
+      s"asofBroadcast needs matched key lists, got $keysL vs $keysR")
+    val nK = keysL.length
     require(payload.nonEmpty, "asofBroadcast needs at least one payload column")
     require(!payload.contains("__vt"), "payload name __vt is reserved")
     val dup = payload.toSet & left.columns.toSet
     require(dup.isEmpty, s"payload names collide with left columns: $dup")
-    val rows = right.select(col(keyR) +: col(timeR) +: payload.map(col): _*)
+    val rows = right.select(keysR.map(col) ++ (col(timeR) +: payload.map(col)): _*)
       .limit(maxRightRows + 1).collect()
     if (rows.length > maxRightRows) {
       require(!left.isStreaming,
@@ -172,15 +201,20 @@ object AsofJoin {
       // grows. One audit job over the right side, distributed; the
       // (null-key, null-time) corner mirrors the collected path, which
       // drops null keys before the null-time check.
+      val allKeysNotNull = keysR.map(col(_).isNotNull).reduce(_ && _)
       val bad = right
-        .select(col(keyR).as("__k"), col(timeR).as("__t"))
-        .groupBy(col("__k"), col("__t")).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > 1 || (col("__t").isNull && col("__k").isNotNull))
+        .select(keysR.zipWithIndex.map { case (k, i) => col(k).as(s"__k$i") }
+          :+ col(timeR).as("__t"): _*)
+        .groupBy((0 until nK).map(i => col(s"__k$i")) :+ col("__t"): _*)
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1 || (col("__t").isNull &&
+          (0 until nK).map(i => col(s"__k$i").isNotNull).reduce(_ && _)))
         .limit(1).collect()
       bad.headOption.foreach { r =>
-        if (r.getLong(2) > 1) throw new IllegalArgumentException(
+        if (r.getLong(nK + 1) > 1) throw new IllegalArgumentException(
           s"asofBroadcast: duplicate (key, time) right rows at " +
-            s"(${r.get(0)}, ${r.get(1)}) — pre-dedupe with latestPerKeyTime")
+            s"(${(0 to nK).map(r.get).mkString(", ")}) — pre-dedupe with " +
+            "latestPerKeyTime")
         else throw new IllegalArgumentException(
           s"asofBroadcast: right rows have a null $timeR — a null version " +
             "time can never match; filter them out or fix the source")
@@ -193,25 +227,37 @@ object AsofJoin {
       // null-key right rows match nothing in the broadcast probe (SQL
       // equality); asof()'s window would group them WITH null-key left
       // rows, so drop them to keep the boundary behavior identical
-      val keyedRight = right.filter(col(keyR).isNotNull)
+      val keyedRight = right.filter(allKeysNotNull)
       require(!keyedRight.isEmpty, "asofBroadcast: every right row has a null key")
-      return asof(left, keyedRight, keyL, keyR, timeL, timeR, payload)
+      if (nK == 1)
+        return asof(left, keyedRight, keysL.head, keysR.head, timeL, timeR, payload)
+      // composite fallback: ONE struct key per side (positional field
+      // names — asof() unions the sides by name), dropped after; same
+      // single-exchange plan the batch SQL face compiles to
+      def keyStruct(cols: Seq[String]) = struct(cols.zipWithIndex.map {
+        case (c, i) => col(c).as(s"k$i") }: _*)
+      return asof(left.withColumn("__bkl", keyStruct(keysL)),
+        keyedRight.withColumn("__bkr", keyStruct(keysR)),
+        "__bkl", "__bkr", timeL, timeR, payload).drop("__bkl")
     }
     require(rows.nonEmpty, "asofBroadcast: right side is empty")
-    val dupKT = rows.groupBy(r => (r.get(0), r.get(1))).filter(_._2.length > 1).keys
+    val dupKT = rows.groupBy(r => (0 to nK).map(r.get))
+      .filter(_._2.length > 1).keys
     require(dupKT.isEmpty,
-      s"asofBroadcast: duplicate (key, time) right rows at ${dupKT.take(3).mkString(", ")} — " +
+      s"asofBroadcast: duplicate (key, time) right rows at ${dupKT.take(3)
+        .map(_.mkString("(", ", ", ")")).mkString(", ")} — " +
         "pre-dedupe with latestPerKeyTime")
-    // SQL equality semantics: a null key matches nothing (DuckDB's ASOF JOIN
-    // agrees) — and a null map-literal key would throw at runtime anyway
-    val keyed = rows.filter(!_.isNullAt(0))
+    // SQL equality semantics: a null key (any component) matches nothing
+    // (DuckDB's ASOF JOIN agrees) — and a null map-literal key would
+    // throw at runtime anyway
+    val keyed = rows.filter(r => (0 until nK).forall(i => !r.isNullAt(i)))
     require(keyed.nonEmpty, "asofBroadcast: every right row has a null key")
     // a null version time could NEVER match (__vt <= t is null-false in the
     // probe) but would sort by luck among its key's history — reject loudly,
     // mirroring the null-key rule's explicitness rather than its silence:
     // a null key is standard SQL match-nothing, a null version TIME is
     // almost certainly upstream data corruption
-    val nullT = keyed.filter(_.isNullAt(1))
+    val nullT = keyed.filter(_.isNullAt(nK))
     require(nullT.isEmpty,
       s"asofBroadcast: ${nullT.length} right rows have a null $timeR — a null " +
         "version time can never match; filter them out or fix the source")
@@ -225,15 +271,27 @@ object AsofJoin {
             s"(${x.getClass.getName} vs ${y.getClass.getName})")
       }
     }
-    val entries = keyed.groupBy(_.get(0)).toSeq.map { case (k, vs) =>
-      val arr = array(vs.sortBy(_.get(1))(ord).toSeq.map { r =>
-        struct(lit(r.get(1)).as("__vt") +:
-          payload.zipWithIndex.map { case (p, i) => lit(r.get(2 + i)).as(p) }: _*)
-      }: _*)
-      lit(k) -> arr
+    val entries = keyed.groupBy(r => (0 until nK).map(r.get)).toSeq.map {
+      case (k, vs) =>
+        val arr = array(vs.sortBy(_.get(nK))(ord).toSeq.map { r =>
+          struct(lit(r.get(nK)).as("__vt") +:
+            payload.zipWithIndex.map { case (p, i) =>
+              lit(r.get(nK + 1 + i)).as(p) }: _*)
+        }: _*)
+        val keyLit =
+          if (nK == 1) lit(k.head)
+          else struct(k.zipWithIndex.map { case (v, i) => lit(v).as(s"k$i") }: _*)
+        keyLit -> arr
     }
     val histMap = map(entries.flatMap { case (k, v) => Seq(k, v) }: _*)
-    val visible = filter(try_element_at(histMap, col(keyL)),
+    // the probe key mirrors the literal shape; a composite probe with ANY
+    // null component is nulled BEFORE the lookup (match-nothing per SQL
+    // equality) rather than trusting struct-equality null semantics
+    val probeKey =
+      if (nK == 1) col(keysL.head)
+      else when(keysL.map(col(_).isNotNull).reduce(_ && _),
+        struct(keysL.zipWithIndex.map { case (c, i) => col(c).as(s"k$i") }: _*))
+    val visible = filter(try_element_at(histMap, probeKey),
       v => v.getField("__vt") <= col(timeL))
     val matched = try_element_at(visible, lit(-1))
     payload.foldLeft(left) { case (df, p) =>

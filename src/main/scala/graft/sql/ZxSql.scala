@@ -3307,17 +3307,20 @@ object ZxSql {
           "right, ...)(consume), the tested foreachBatch helper")
       if (q.groupBy.nonEmpty || q.orderBy.nonEmpty || q.limit.nonEmpty)
         throw ParseError("asof join queries do not take group by / order by / limit")
-      if (js.moreKeys.nonEmpty)
-        throw ParseError("composite-key asof joins are batch-only — the " +
-          "broadcast probe's plan-literal history map takes scalar keys; " +
-          "concat the key pair into one column upstream, or foreachBatch")
       val right = tables.getOrElse(js.table, throw ParseError(
         s"unknown join table '${js.table}' — pass it via runStream(..., tables = Map(...))"))
-      val latest = graft.operators.AsofJoin.latestPerKeyTime(
-        right, js.keyR, js.timeR, js.payload.head)
-      return graft.operators.AsofJoin.asofBroadcast(
+      // COMPOSITE keys stream too (round 14; was batch-only): the
+      // plan-literal history map's keys become positional-field struct
+      // literals and the probe is the same-shaped struct of stream
+      // columns — still stateless, still no exchange
+      // (AsofJoin.asofBroadcastKeys scaladoc)
+      val lKeys = js.keyL +: js.moreKeys.map(_._1)
+      val rKeys = js.keyR +: js.moreKeys.map(_._2)
+      val latest = graft.operators.AsofJoin.latestPerKeysTime(
+        right, rKeys, js.timeR, js.payload.head)
+      return graft.operators.AsofJoin.asofBroadcastKeys(
         EventStream.rawStream(stream, q.copy(asofJoin = None, limit = None), tsCol),
-        latest, js.keyL, js.keyR, js.timeL, js.timeR, js.payload)
+        latest, lKeys, rKeys, js.timeL, js.timeR, js.payload)
     }
     if (q.semiJoins.nonEmpty)
       throw ParseError("in (select …) joins a membership set built from a " +

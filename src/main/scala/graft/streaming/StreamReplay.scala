@@ -36,6 +36,23 @@ object StreamReplay {
 
   val SentinelType = "__sentinel"
 
+  /** Per-micro-batch `triggerExecution` durations (ms) of each name's LAST
+    * replay — the st_* lifecycles' wall times are dominated by lifecycle
+    * I/O (staging, checkpoint commits, sink writes), so a wall-time swing
+    * alone cannot distinguish a slow box from a slow OPERATOR. These are
+    * the engine's actual per-trigger processing times, captured from
+    * `query.recentProgress` before `stop()`; Bench surfaces them per st_*
+    * row (`stream_ms`), which makes a lifecycle outlier attributable:
+    * batch times flat while wall time grows ⇒ box I/O, batch times
+    * growing ⇒ a real operator regression. */
+  val lastBatchMs = new scala.collection.concurrent.TrieMap[String, Seq[Long]]()
+
+  private def recordProgress(name: String,
+      query: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    lastBatchMs(name) = query.recentProgress.toSeq
+      .map(p => Option(p.durationMs.get("triggerExecution"))
+        .map(_.longValue).getOrElse(0L))
+
   /** The staged (data + sentinel) input is IMMUTABLE per source dir, so
     * it is built once per JVM and shared by every st_* query and every
     * bench re-run (the ensure* artifact pattern) — only the checkpoint
@@ -133,7 +150,8 @@ object StreamReplay {
       .option("checkpointLocation", stage + "/ckpt")
       .outputMode("append")
       .start()
-    try query.processAllAvailable() finally query.stop()
+    try { query.processAllAvailable(); recordProgress(name, query) }
+    finally query.stop()
     s.read.parquet(stage + "/out")
   }
 
@@ -154,7 +172,8 @@ object StreamReplay {
       .option("checkpointLocation", stage + "/ckpt")
       .outputMode("append")
       .start()
-    try query.processAllAvailable() finally query.stop()
+    try { query.processAllAvailable(); recordProgress(name, query) }
+    finally query.stop()
     s.read.parquet(stage + "/out")
   }
 }

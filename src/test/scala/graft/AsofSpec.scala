@@ -268,4 +268,63 @@ class AsofSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(3)).toMap
     assert(got == Map((1L, 10L) -> "y", (1L, 11L) -> "z"))
   }
+  test("asofBroadcastKeys: composite struct-keyed probe — parity, fallback, nulls (round 14)") {
+    // (uid, dev) pair key: two versioned dims that only differ in the
+    // SECOND component — a scalar-keyed probe would conflate them
+    val right = Seq(
+      (1L, "a", 10L, 100L), (1L, "a", 20L, 200L),
+      (1L, "b", 15L, 300L), (2L, "a", 5L, 400L)
+    ).toDF("ruid", "rdev", "rt", "rv")
+    val left = Seq((1L, "a", 19L), (1L, "a", 20L), (1L, "b", 14L),
+      (1L, "b", 16L), (2L, "a", 99L), (3L, "a", 50L))
+      .toDF("uid", "dev", "t")
+      .withColumn("eid", col("uid") * 1000 + col("t"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("eid", "rv").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toSet
+    val expected = Set(1019L -> Some(100L), 1020L -> Some(200L),
+      1014L -> None, 1016L -> Some(300L), 2099L -> Some(400L), 3050L -> None)
+    val bc = AsofJoin.asofBroadcastKeys(left, right,
+      Seq("uid", "dev"), Seq("ruid", "rdev"), "t", "rt", Seq("rv"))
+    assert(canon(bc) == expected)
+    // no exchange/window in the broadcast plan — the probe is a narrow map
+    assert(!bc.queryExecution.executedPlan.toString.contains("Window"))
+    // above maxRightRows the composite fallback (struct-keyed asof())
+    // must produce the identical output
+    val fellBack = AsofJoin.asofBroadcastKeys(left, right,
+      Seq("uid", "dev"), Seq("ruid", "rdev"), "t", "rt", Seq("rv"),
+      maxRightRows = 2)
+    assert(canon(fellBack) == expected, "composite fallback diverged")
+    assert(!fellBack.columns.contains("__bkl"), "internal key leaked")
+    // a null in ANY key component: right rows dropped, left rows match
+    // nothing — on both sides of the boundary
+    val nullRight = Seq((Some(1L), Option.empty[String], 10L, 999L))
+      .toDF("ruid", "rdev", "rt", "rv")
+    val nl = Seq((Some(1L), Option.empty[String], 50L))
+      .toDF("uid", "dev", "t").withColumn("eid", lit(1L))
+    assert(AsofJoin.asofBroadcastKeys(nl, right,
+      Seq("uid", "dev"), Seq("ruid", "rdev"), "t", "rt", Seq("rv"))
+      .head().isNullAt(4), "null left component must match nothing")
+    assert(intercept[IllegalArgumentException](
+      AsofJoin.asofBroadcastKeys(left, nullRight,
+        Seq("uid", "dev"), Seq("ruid", "rdev"), "t", "rt", Seq("rv")))
+      .getMessage.contains("null key"))
+    // composite duplicate (key tuple, time): loud, both sides
+    val dupRight = Seq((1L, "a", 10L, 1L), (1L, "a", 10L, 2L))
+      .toDF("ruid", "rdev", "rt", "rv")
+    assert(intercept[IllegalArgumentException](
+      AsofJoin.asofBroadcastKeys(left, dupRight,
+        Seq("uid", "dev"), Seq("ruid", "rdev"), "t", "rt", Seq("rv")))
+      .getMessage.contains("latestPerKeyTime"))
+    assert(intercept[IllegalArgumentException](
+      AsofJoin.asofBroadcastKeys(left, dupRight,
+        Seq("uid", "dev"), Seq("ruid", "rdev"), "t", "rt", Seq("rv"),
+        maxRightRows = 1)).getMessage.contains("latestPerKeyTime"))
+    // mismatched key lists: loud
+    assert(intercept[IllegalArgumentException](
+      AsofJoin.asofBroadcastKeys(left, right,
+        Seq("uid", "dev"), Seq("ruid"), "t", "rt", Seq("rv")))
+      .getMessage.contains("matched key lists"))
+  }
+
 }

@@ -1696,15 +1696,29 @@ class SqlSpec extends AnyFunSuite {
       "select event_id, uid, ts_sec asof join marks on uid = r_uid and " +
         "dev = r_dev at ts_sec >= r_ts carry r_val"))
     assert(eSel.getMessage.contains("every join key"))
-    // composite asof is batch-only on the streaming path
+    // composite asof STREAMS (round 14; was batch-only): the struct-keyed
+    // broadcast probe is stateless, so the streamed result must equal the
+    // batch result row for row
     val sdir = java.nio.file.Files.createTempDirectory("graft-casof-st").toString
     left.write.mode("overwrite").parquet(sdir)
     val st = spark.readStream.schema(left.schema).parquet(sdir)
-    val eSt = intercept[ZxSql.ParseError](ZxSql.runStream(st,
+    val outSt = ZxSql.runStream(st,
       "select event_id, uid, dev, ts_sec asof join marks on uid = r_uid " +
         "and dev = r_dev at ts_sec >= r_ts carry r_val",
-      tables = Map("marks" -> right)))
-    assert(eSt.getMessage.contains("batch-only"))
+      tables = Map("marks" -> right))
+    val q = outSt.writeStream.format("memory").queryName("casof_st").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("casof_st").collect()
+      .map(r => r.getLong(0) -> Option(r.get(4))).toMap
+    assert(streamed == asof, "stream/batch composite-asof divergence")
+    // a null key COMPONENT matches nothing on the streamed probe too
+    val nullLeft = Seq((9L, Option.empty[java.lang.Long], Option("a"), Option(300L)))
+      .toDF("event_id", "uid", "dev", "ts_sec")
+    val nb = ZxSql.run(nullLeft,
+      "select event_id, uid, dev, ts_sec asof join marks on uid = r_uid " +
+        "and dev = r_dev at ts_sec >= r_ts carry r_val",
+      tables = Map("marks" -> right)).collect().head
+    assert(nb.isNullAt(4), "null key component must match nothing")
   }
 
   test("right/full outer equi-join faces: reconciliation shape and guards (round 13)") {
