@@ -12,7 +12,14 @@ import graft.operators.GapWindows
   *   [with <name> as (<statement>) [, <name> as (…)]*]   — CTEs; each
   *     body is a full statement (set ops included), later CTEs and the
   *     main statement see earlier ones by name (runCatalog only: CTEs
-  *     resolve tables by NAME; run(df, …)/streams reject it loudly)
+  *     resolve tables by NAME; run(df, …)/streams reject it loudly).
+  *     MULTI-REFERENCE contract: a CTE referenced N times repeats its
+  *     logical subtree (no eager cache), and the physical planner
+  *     dedupes the identical exchange subtrees — everything at or below
+  *     a shuffle inside the body computes ONCE (PlanSpec-pinned
+  *     ReusedExchange); a pure-scan body re-plans per reference so each
+  *     keeps its own pushed-down gates — the right trade at 100 TB,
+  *     where caching would defeat pushdown and materialize the body
   *   select [distinct] <item, …> [from <table> | from (select …)]
   *   [where <boolexpr>]
   *   [asof|trailing join <t> on k = rk [and k2 = rk2 …] at tl >= tr …]
@@ -2558,7 +2565,12 @@ object ZxSql {
     // CTEs evaluate in order, each seeing the catalog plus every earlier
     // CTE (chaining). "Evaluate" is LOGICAL-plan construction only — a CTE
     // referenced twice repeats its subtree, exactly like a derived table
-    // would; nothing materializes here.
+    // would; nothing materializes here. That recompute is the CONTRACT
+    // (grammar doc above): Spark's exchange reuse makes any shuffle
+    // inside the body compute once physically, and a shuffle-free body
+    // re-scans WITH each reference's own pushdown — an eager cache/
+    // localCheckpoint here would trade both away for executor-storage
+    // materialization of the full body.
     val full = ctes.foldLeft(tables) { case (acc, (name, body)) =>
       acc + (name -> runCompound(acc, body, tsCol, exact, idCol,
         innerFrame = true))

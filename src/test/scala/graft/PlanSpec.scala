@@ -949,4 +949,43 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1,
       s"expected exactly one hash exchange (user_id), got $exchanges:\n$p")
   }
+  test("CTE multi-reference: shuffles compute once (ReusedExchange), pure scans keep per-reference pushdown (round 14)") {
+    import spark.implicits._
+    val docs = (1 to 2000).map(i => (i.toLong, s"t$i",
+      if (i % 3 == 0) "en" else "de", s"src${i % 5}", (i % 400).toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // Contract (grammar doc, ZxSql WITH scaladoc): a CTE referenced N
+    // times repeats its LOGICAL subtree — nothing is eagerly cached —
+    // and Spark's physical planner dedupes the identical exchange
+    // subtrees, so everything at or below a shuffle inside the body
+    // (scan, partial agg, the exchange itself) is computed ONCE. An
+    // eager cache/localCheckpoint would pin this at the cost of
+    // destroying per-reference filter pushdown and materializing the
+    // full body — the wrong trade at 100 TB.
+    val agg = graft.sql.ZxSql.runCatalog(Map("documents" -> docs),
+      "with totals as (select sum(n_chars) as total from documents group by lang) " +
+        "select total from totals where total >= 0 " +
+        "union all select total from totals where total >= 1")
+    agg.collect() // AQE finalizes stage reuse at execution
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(aggPlan.contains("ReusedExchange"),
+      s"twice-referenced aggregating CTE did not reuse its shuffle:\n$aggPlan")
+    // a PURE-SCAN CTE re-plans per reference — and each reference keeps
+    // its OWN pushed-down gate (the reason recompute beats caching)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cte-scan").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val pq = spark.read.parquet(dir)
+    val scan = graft.sql.ZxSql.runCatalog(Map("documents" -> pq),
+      "with base as (select doc_id, lang, n_chars from documents) " +
+        "select doc_id, lang, n_chars from base where lang = 'en' " +
+        "union all select doc_id, lang, n_chars from base where n_chars >= 350")
+    scan.collect()
+    val scanPlan = scan.queryExecution.executedPlan.toString
+    assert(scanPlan.contains("EqualTo(lang,en)") &&
+      scanPlan.contains("GreaterThanOrEqual(n_chars,350)"),
+      s"per-reference gates not pushed into the parquet scans:\n$scanPlan")
+    assert(!scanPlan.contains("text"),
+      s"CTE projection did not prune the scan:\n$scanPlan")
+  }
+
 }
