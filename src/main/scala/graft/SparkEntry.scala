@@ -3413,6 +3413,26 @@ object SparkEntry {
       .agg(round(count(lit(1)).cast(DoubleType), 3).as("n"),
         round(sum(col("n_chars")).cast(DoubleType), 3).as("total"))
 
+  /** p95: the write lifecycle COMPOSED — `create table … as` then
+    * `insert into` the same store (the reference's literal `ZX.I` append
+    * shape, lib.rs:846-856), returning the post-insert pinned read-back.
+    * Bag semantics are load-bearing: the two gates OVERLAP, and INSERT
+    * appends — the oracle is UNION ALL, where p94's CTAS oracle is the
+    * deduping UNION. Each call is a full reset → create (manifest v0) →
+    * insert (v1) → pinned read lifecycle. */
+  private def p95SqlInsert(s: SparkSession, dir: String): DataFrame = {
+    val wh = "target/graft-ctas/insert-lifecycle/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.sources.EventStore.reset(s, wh + "/slice2")
+    val cat = Map("documents" -> Tables.documents(s, dir))
+    graft.sql.ZxSql.runCreate(cat,
+      "create table slice2 as select doc_id, lang, source, n_chars " +
+        "from documents where lang = 'en' and n_chars >= 300", wh)
+    graft.sql.ZxSql.runInsert(cat,
+      "insert into slice2 select doc_id, lang, source, n_chars " +
+        "from documents where source = 'src1' and n_chars >= 100", wh)
+  }
+
   /** p59: `select distinct` — the raw-projection dedup primitive: one
     * shuffle on the (narrow, already-projected) columns, ORDER BY after.
     * Closes the r12 "set operations at the front door" gap with p60. */
@@ -4685,6 +4705,7 @@ object SparkEntry {
     "p93_sql_concat" -> (p93SqlConcat _),
     "p94_sql_ctas" -> (p94SqlCtas _),
     "p94b_sql_ctas_readback" -> (p94bSqlCtasReadback _),
+    "p95_sql_insert" -> (p95SqlInsert _),
     "p86_sql_explode" -> (p86SqlExplode _),
     "p86b_sql_explode_raw" -> (p86bSqlExplodeRaw _),
     "st_explode" -> (stExplode _),
@@ -6235,6 +6256,14 @@ object SparkEntry {
         |  SELECT doc_id, lang, source, n_chars FROM documents
         |  WHERE source = 'src1' AND n_chars >= 100)
         |GROUP BY lang""".stripMargin,
+    "p95_sql_insert" ->
+      // create-then-insert with OVERLAPPING gates: UNION ALL (bag) — the
+      // dup rows prove INSERT appended rather than merged
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang = 'en' AND n_chars >= 300
+        |UNION ALL
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE source = 'src1' AND n_chars >= 100""".stripMargin,
     "p93_sql_concat" ->
       // `||` NULL-propagates on both engines (DuckDB's concat() skips
       // NULLs — never use it in an oracle)

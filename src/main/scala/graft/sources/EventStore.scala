@@ -451,6 +451,72 @@ object EventStore {
     moved
   }
 
+  /** INSERT commit — append `df` to an EXISTING manifested store (the
+    * companion of [[createTable]]; together they are the SQL front door's
+    * write faces, `create table … as` / `insert into`). The target's
+    * layout is read from its manifest (partitioned paths contain '/'),
+    * and `df` must match the stored schema exactly — positionally, by
+    * name AND type, minus the partition column a date store derives —
+    * because a silent coercion or column shuffle here would corrupt the
+    * table for every later reader. Same staged-move + manifest protocol
+    * as [[appendCommitted]] (minus the txn id — SQL INSERT carries no
+    * replay identity; exactly-once ingest stays the API's contract):
+    * crash windows leave only unmanifested debris, and the commit is one
+    * atomic manifest version on top of the current files. Returns the
+    * committed relative paths. */
+  def insertInto(df: DataFrame, path: String, tsCol: String = "ts"): Seq[String] = {
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(manifestVersions(fs, root).nonEmpty,
+      s"insertInto: $path is not a manifested store — create table first " +
+        "(or append + writeManifest)")
+    val partitioned = readManifestFile(fs, root).head.contains("/")
+    val stored = readPinned(spark, path).schema
+    val want =
+      if (partitioned) stored.fields.toSeq.filter(_.name != "event_date")
+      else stored.fields.toSeq
+    val got = df.schema.fields.toSeq
+    def sig(fs0: Seq[org.apache.spark.sql.types.StructField]) =
+      fs0.map(f => s"${f.name} ${f.dataType.simpleString}").mkString(", ")
+    require(got.map(f => (f.name, f.dataType)) == want.map(f => (f.name, f.dataType)),
+      s"insertInto: statement schema (${sig(got)}) does not match the " +
+        s"stored table (${sig(want)}) — INSERT never coerces or reorders; " +
+        "alias/cast the statement to the table's exact shape")
+    if (partitioned) require(
+      df.schema.fields.exists(f => f.name == tsCol && f.dataType.typeName == "timestamp"),
+      s"insertInto: $path is date-partitioned but the statement result " +
+        s"has no timestamp '$tsCol' to derive partitions from")
+    val gen = nextGen()
+    val staged = new org.apache.hadoop.fs.Path(root, s".ctas-staging-$gen")
+    fs.delete(staged, true)
+    if (partitioned)
+      df.withColumn("event_date", to_date(col(tsCol)))
+        .write.partitionBy("event_date").mode(SaveMode.Overwrite)
+        .parquet(staged.toString)
+    else df.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    val moved =
+      if (partitioned) moveStagedIn(fs, root, staged, "ctas", gen)
+      else fs.listStatus(staged).toSeq
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+          && !f.getPath.getName.startsWith("."))
+        .map { f =>
+          val name = s"ctas-$gen-${f.getPath.getName}"
+          require(fs.rename(f.getPath, new org.apache.hadoop.fs.Path(root, name)),
+            s"insertInto: moving ${f.getPath} into $root failed")
+          name
+        }
+    fs.delete(staged, true)
+    // an empty statement inserts nothing: no version burned (the
+    // appendCommitted rule), the table is simply unchanged
+    if (moved.nonEmpty) withCommitLock(fs, root) {
+      val current = manifestVersions(fs, root).lastOption
+        .map(v => readManifestFile(fs, root, v)).getOrElse(Seq.empty)
+      commitLocked(fs, root, current ++ moved)
+    }
+    moved
+  }
+
   /** Adopt (or refresh) the manifest: snapshot the CURRENT visible data
     * files as the store's committed set, as a NEW immutable manifest
     * version. Run after every append batch; anything not in the manifest

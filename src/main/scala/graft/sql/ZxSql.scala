@@ -2555,9 +2555,11 @@ object ZxSql {
                  exact: Boolean = false,
                  idCol: Option[String] = None): DataFrame = {
     val toks = lex(sql)
-    if (toks.headOption.contains(Ident("create")))
-      throw ParseError("`create table … as` WRITES through a warehouse — " +
-        "use runCreate(tables, sql, warehouseDir); runCatalog is read-only")
+    if (toks.headOption.contains(Ident("create")) ||
+        toks.headOption.contains(Ident("insert")))
+      throw ParseError("`create table … as` / `insert into` WRITE through " +
+        "a warehouse — use runCreate/runInsert(tables, sql, warehouseDir); " +
+        "runCatalog is read-only")
     val (ctes, p0) = parseWithPrefix(toks)
     val (co, p1) = parseCompoundAt(toks, p0)
     if (p1 < toks.length)
@@ -2618,23 +2620,71 @@ object ZxSql {
         "table — CTAS never shadows or overwrites; pick another name")
     if (!toks.lift(3).contains(Ident("as")))
       throw ParseError(s"create table $name: expected 'as', got ${toks.lift(3)}")
-    val body = toks.drop(4)
-    if (body.isEmpty)
-      throw ParseError(s"create table $name as: missing the statement body")
-    val (ctes, p0) = parseWithPrefix(body)
-    if (ctes.exists(_._1 == name))
-      throw ParseError(s"create table: '$name' also names a CTE in its " +
-        "own body — the target must be a fresh name")
-    val (co, p1) = parseCompoundAt(body, p0)
-    if (p1 < body.length)
-      throw ParseError(s"trailing input from token ${p1 + 4}: ${body.drop(p1).take(5)}")
-    val full = ctes.foldLeft(tables) { case (acc, (n, b)) =>
-      acc + (n -> runCompound(acc, b, tsCol, exact, idCol, innerFrame = true))
-    }
-    val result = runCompound(full, co, tsCol, exact, idCol, innerFrame = true)
+    val result = compileWriteBody(tables, toks.drop(4), 4, name, tsCol,
+      exact, idCol)
     val target = warehouseDir.stripSuffix("/") + "/" + name
     graft.sources.EventStore.createTable(result, target, tsCol)
     graft.sources.EventStore.readPinned(result.sparkSession, target)
+  }
+
+  /** `insert into <name> <statement>` — the append half of the write
+    * face (the reference's literal `ZX.I` shape, lib.rs:846-856). The
+    * target must already be a manifested store under `warehouseDir`
+    * ([[runCreate]] makes one); the statement's schema must match the
+    * table exactly ([[graft.sources.EventStore.insertInto]] contract —
+    * INSERT never coerces). Bag semantics: inserted rows append, never
+    * dedupe. Returns the whole table's pinned read-back AFTER the
+    * commit, so the caller verifies the new durable state. */
+  def runInsert(tables: Map[String, DataFrame], sql: String,
+                warehouseDir: String,
+                tsCol: String = Compiler.DefaultTsCol,
+                exact: Boolean = false,
+                idCol: Option[String] = None): DataFrame = {
+    val toks = lex(sql)
+    if (!(toks.headOption.contains(Ident("insert")) &&
+          toks.lift(1).contains(Ident("into"))))
+      throw ParseError("runInsert takes `insert into <name> <statement>` " +
+        "— for a new table use runCreate, for a read use runCatalog")
+    val name = toks.lift(2) match {
+      case Some(Ident(n)) => n
+      case other => throw ParseError(s"insert into: expected a table name, got $other")
+    }
+    if (!name.matches("[a-z_][a-z0-9_]*"))
+      throw ParseError(s"insert into: '$name' is not a valid table name " +
+        "([a-z_][a-z0-9_]* — it resolves to a directory under the warehouse)")
+    if (tables.contains(name))
+      throw ParseError(s"insert into: '$name' names a CATALOG frame — " +
+        "INSERT targets warehouse stores; materialize catalog frames " +
+        "with create table first")
+    val result = compileWriteBody(tables, toks.drop(3), 3, name, tsCol,
+      exact, idCol)
+    val target = warehouseDir.stripSuffix("/") + "/" + name
+    graft.sources.EventStore.insertInto(result, target, tsCol)
+    graft.sources.EventStore.readPinned(result.sparkSession, target)
+  }
+
+  /** Shared body compiler for the write faces: a full runCatalog
+    * statement (CTE prefix + compound), compiled under the table rule
+    * (`innerFrame` — the result feeds a TABLE, so an unwindowed
+    * aggregate means per-key totals, never default tumbling buckets). */
+  private def compileWriteBody(tables: Map[String, DataFrame],
+                               body: Vector[Tok], offset: Int, name: String,
+                               tsCol: String, exact: Boolean,
+                               idCol: Option[String]): DataFrame = {
+    if (body.isEmpty)
+      throw ParseError(s"write statement for '$name': missing the body")
+    val (ctes, p0) = parseWithPrefix(body)
+    if (ctes.exists(_._1 == name))
+      throw ParseError(s"'$name' also names a CTE in its own body — the " +
+        "write target must be a fresh name")
+    val (co, p1) = parseCompoundAt(body, p0)
+    if (p1 < body.length)
+      throw ParseError(s"trailing input from token ${p1 + offset}: " +
+        s"${body.drop(p1).take(5)}")
+    val full = ctes.foldLeft(tables) { case (acc, (n, b)) =>
+      acc + (n -> runCompound(acc, b, tsCol, exact, idCol, innerFrame = true))
+    }
+    runCompound(full, co, tsCol, exact, idCol, innerFrame = true)
   }
 
   /** Compile one statement (head + any set-op branches) against a
@@ -2679,9 +2729,10 @@ object ZxSql {
     rejectWith(sql, "run(df, …) binds the base frame positionally and " +
       "ignores FROM (reference parity) — CTEs resolve every table by " +
       "NAME; use runCatalog(tables, sql)")
-    if (lex(sql).headOption.contains(Ident("create")))
-      throw ParseError("`create table … as` WRITES through a warehouse — " +
-        "use runCreate(tables, sql, warehouseDir)")
+    if (lex(sql).headOption.contains(Ident("create")) ||
+        lex(sql).headOption.contains(Ident("insert")))
+      throw ParseError("`create table … as` / `insert into` WRITE through " +
+        "a warehouse — use runCreate/runInsert(tables, sql, warehouseDir)")
     val co = parseCompound(sql)
     if (co.branches.isEmpty) runParsed(df0, co.head, tsCol, exact, idCol, tables)
     else combineSetOps((co.head +: co.branches.map(_._2))
@@ -3238,8 +3289,10 @@ object ZxSql {
     locally {
       rejectWith(sql, "CTEs compose BOUNDED statements — a batch shape; " +
         "run per micro-batch via foreachBatch over ZxSql.runCatalog")
-      if (lex(sql).headOption.contains(Ident("create")))
-        throw ParseError("`create table … as` materializes a BOUNDED " +
+      if (lex(sql).headOption.contains(Ident("create")) ||
+          lex(sql).headOption.contains(Ident("insert")))
+        throw ParseError("`create table … as` / `insert into` materialize " +
+          "a BOUNDED " +
           "result — a batch shape; a continuous ingest is the streaming " +
           "sink path (writeStream / EventStore.appendCommitted per batch), " +
           "not CTAS")

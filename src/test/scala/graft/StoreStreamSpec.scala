@@ -2436,4 +2436,57 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(eSt.getMessage.contains("batch shape"))
   }
 
+  test("insertInto / runInsert: append commit, schema contract, guards (round 14)") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-insert").toString
+    val docs = Seq(
+      (1L, "aa", "en", "web", 5L), (2L, "cc", "de", "web", 2L),
+      (3L, "dd", "en", "book", 8L), (4L, "gg", "fr", "web", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cat = Map("documents" -> docs)
+    graft.sql.ZxSql.runCreate(cat,
+      "create table slice as select doc_id, lang, n_chars " +
+        "from documents where lang = 'en'", wh)
+    val v0 = EventStore.manifestVersion(spark, s"$wh/slice")
+    // INSERT appends with bag semantics (doc 3 lands twice) and returns
+    // the whole table's pinned read-back after the commit
+    val after = graft.sql.ZxSql.runInsert(cat,
+      "insert into slice select doc_id, lang, n_chars " +
+        "from documents where n_chars >= 3", wh)
+    assert(after.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 1L, 3L, 3L, 4L))
+    // one new manifest version; the OLD version still time-travels to
+    // the pre-insert table (commit is additive, never a rewrite)
+    assert(EventStore.manifestVersion(spark, s"$wh/slice") == v0 + 1)
+    assert(EventStore.readPinned(spark, s"$wh/slice", v0).count() == 2)
+    // schema contract: wrong column set / order / type fails loudly
+    val eSchema = intercept[IllegalArgumentException](graft.sql.ZxSql.runInsert(
+      cat, "insert into slice select doc_id, n_chars from documents", wh))
+    assert(eSchema.getMessage.contains("does not match"))
+    val eOrder = intercept[IllegalArgumentException](graft.sql.ZxSql.runInsert(
+      cat, "insert into slice select lang, doc_id, n_chars from documents", wh))
+    assert(eOrder.getMessage.contains("does not match"))
+    // target must exist as a manifested store
+    val eMissing = intercept[IllegalArgumentException](graft.sql.ZxSql.runInsert(
+      cat, "insert into nope select doc_id, lang, n_chars from documents", wh))
+    assert(eMissing.getMessage.contains("not a manifested store"))
+    // catalog names are not insert targets
+    val eCat2 = intercept[graft.sql.ZxSql.ParseError](graft.sql.ZxSql.runInsert(
+      cat, "insert into documents select doc_id, lang, n_chars from documents", wh))
+    assert(eCat2.getMessage.contains("CATALOG"))
+    // read-only faces reject the insert shape loudly
+    val eRead = intercept[graft.sql.ZxSql.ParseError](graft.sql.ZxSql.runCatalog(
+      cat, "insert into slice select doc_id, lang, n_chars from documents"))
+    assert(eRead.getMessage.contains("runInsert"))
+    // a DATE-PARTITIONED store inserts through the same face: partition
+    // derivation from ts, read-back carries event_date
+    val ev = Seq((1L, 100L), (2L, 200L)).toDF("event_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec") + 1704412800L)).drop("sec")
+    graft.sql.ZxSql.runCreate(Map("events" -> ev),
+      "create table evs as select event_id, ts from events", wh)
+    val afterEv = graft.sql.ZxSql.runInsert(Map("events" -> ev),
+      "insert into evs select event_id, ts from events where event_id = 2", wh)
+    assert(afterEv.count() == 3 && afterEv.columns.contains("event_date"))
+  }
+
 }
