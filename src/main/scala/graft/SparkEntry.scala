@@ -3433,6 +3433,25 @@ object SparkEntry {
         "from documents where source = 'src1' and n_chars >= 100", wh)
   }
 
+  /** p96: `delete from … where` — the destructive third of the SQL
+    * write face, through the COW deleteWhere (detection pass → drop
+    * fully-matching files unread → rewrite partial files → one atomic
+    * manifest commit; c10's machinery behind a SQL spelling, here on a
+    * FLAT store). Lifecycle per call: reset → create → delete → pinned
+    * read-back; the oracle is the slice gate AND NOT the delete
+    * predicate. */
+  private def p96SqlDelete(s: SparkSession, dir: String): DataFrame = {
+    val wh = "target/graft-ctas/delete-lifecycle/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.sources.EventStore.reset(s, wh + "/slice3")
+    val cat = Map("documents" -> Tables.documents(s, dir))
+    graft.sql.ZxSql.runCreate(cat,
+      "create table slice3 as select doc_id, lang, source, n_chars " +
+        "from documents where n_chars >= 200", wh)
+    graft.sql.ZxSql.runDelete(cat,
+      "delete from slice3 where lang = 'de' or n_chars < 250", wh)
+  }
+
   /** p59: `select distinct` — the raw-projection dedup primitive: one
     * shuffle on the (narrow, already-projected) columns, ORDER BY after.
     * Closes the r12 "set operations at the front door" gap with p60. */
@@ -4706,6 +4725,7 @@ object SparkEntry {
     "p94_sql_ctas" -> (p94SqlCtas _),
     "p94b_sql_ctas_readback" -> (p94bSqlCtasReadback _),
     "p95_sql_insert" -> (p95SqlInsert _),
+    "p96_sql_delete" -> (p96SqlDelete _),
     "p86_sql_explode" -> (p86SqlExplode _),
     "p86b_sql_explode_raw" -> (p86bSqlExplodeRaw _),
     "st_explode" -> (stExplode _),
@@ -6264,6 +6284,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE source = 'src1' AND n_chars >= 100""".stripMargin,
+    "p96_sql_delete" ->
+      // create gate AND NOT delete predicate = the surviving rows
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE n_chars >= 200 AND NOT (lang = 'de' OR n_chars < 250)""".stripMargin,
     "p93_sql_concat" ->
       // `||` NULL-propagates on both engines (DuckDB's concat() skips
       // NULLs — never use it in an oracle)

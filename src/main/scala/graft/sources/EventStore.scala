@@ -1528,9 +1528,16 @@ object EventStore {
     val manifest = readManifestFile(fs, root)
     requireDetectionBudget("deleteWhere", manifest.size, driverBudgetBytes)
     val gen = nextGen()
+    // FLAT stores (createTable of a ts-free result) manifest BARE file
+    // names — the relative-path extraction must match, or detection keys
+    // miss the manifest entirely and the delete silently no-ops
+    val partitioned = manifest.head.contains("/")
+    val fileKeyCol =
+      if (partitioned) relFileCol
+      else regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1)
     // detection: per-file (matching, total) counts — one job, file-granular
     val counts = readPinned(spark, path)
-      .select(relFileCol.as("__file"),
+      .select(fileKeyCol.as("__file"),
         when(predicate, 1L).otherwise(0L).as("__m"))
       .groupBy(col("__file"))
       .agg(sum(col("__m")).as("m"), count(lit(1)).as("n"))
@@ -1538,15 +1545,31 @@ object EventStore {
     val dropped = manifest.filter(f => counts.get(f).exists { case (m, n) => m == n && n > 0 })
     val partial = manifest.filter(f => counts.get(f).exists { case (m, n) => m > 0 && m < n })
     val rowsDeleted = counts.values.map(_._1).sum
+    // FLAT stores rewrite without the partition round-trip — same COW
+    // protocol, root-level move-in
     val rewritten = if (partial.isEmpty) Seq.empty[String] else {
       val staged = new org.apache.hadoop.fs.Path(root, s".delete-rewrite-$gen")
       fs.delete(staged, true)
-      readFiles(spark, path, partial).drop("event_date")
+      val kept = readFiles(spark, path, partial)
         .filter(!coalesce(predicate, lit(false)))
-        .withColumn("event_date", to_date(col(tsCol)))
-        .write.partitionBy("event_date").mode(SaveMode.Overwrite)
-        .parquet(staged.toString)
-      val moved = moveStagedIn(fs, root, staged, "delete", gen)
+      val moved = if (partitioned) {
+        kept.drop("event_date")
+          .withColumn("event_date", to_date(col(tsCol)))
+          .write.partitionBy("event_date").mode(SaveMode.Overwrite)
+          .parquet(staged.toString)
+        moveStagedIn(fs, root, staged, "delete", gen)
+      } else {
+        kept.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+        fs.listStatus(staged).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+            && !f.getPath.getName.startsWith("."))
+          .map { f =>
+            val name = s"delete-$gen-${f.getPath.getName}"
+            require(fs.rename(f.getPath, new org.apache.hadoop.fs.Path(root, name)),
+              s"deleteWhere: moving ${f.getPath} into $root failed")
+            name
+          }
+      }
       fs.delete(staged, true)
       moved
     }

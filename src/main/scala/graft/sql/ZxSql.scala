@@ -2555,11 +2555,11 @@ object ZxSql {
                  exact: Boolean = false,
                  idCol: Option[String] = None): DataFrame = {
     val toks = lex(sql)
-    if (toks.headOption.contains(Ident("create")) ||
-        toks.headOption.contains(Ident("insert")))
-      throw ParseError("`create table … as` / `insert into` WRITE through " +
-        "a warehouse — use runCreate/runInsert(tables, sql, warehouseDir); " +
-        "runCatalog is read-only")
+    if (Seq("create", "insert", "delete").exists(w =>
+        toks.headOption.contains(Ident(w))))
+      throw ParseError("`create table … as` / `insert into` / `delete from` " +
+        "WRITE through a warehouse — use runCreate/runInsert/runDelete" +
+        "(tables, sql, warehouseDir); runCatalog is read-only")
     val (ctes, p0) = parseWithPrefix(toks)
     val (co, p1) = parseCompoundAt(toks, p0)
     if (p1 < toks.length)
@@ -2661,6 +2661,73 @@ object ZxSql {
     val target = warehouseDir.stripSuffix("/") + "/" + name
     graft.sources.EventStore.insertInto(result, target, tsCol)
     graft.sources.EventStore.readPinned(result.sparkSession, target)
+  }
+
+  /** `delete from <name> where <boolexpr>` — the destructive third of the
+    * write face, routed through the COW
+    * [[graft.sources.EventStore.deleteWhere]]: one distributed detection
+    * pass finds the files holding matching rows, fully-matching files
+    * drop from the manifest without being read, partially-matching files
+    * rewrite without the matched rows, and ONE atomic manifest version
+    * commits the result — old versions still time-travel to the
+    * pre-delete table. The WHERE is the dialect's full boolean tree
+    * (comparators, and/or/not, in/between, expression predicates);
+    * scalar subqueries resolve against the catalog. A DELETE with no
+    * WHERE is rejected — truncation spells `EventStore.reset`, loudly,
+    * not an accidentally-unbounded predicate. Returns the post-commit
+    * pinned read-back. */
+  def runDelete(tables: Map[String, DataFrame], sql: String,
+                warehouseDir: String,
+                tsCol: String = Compiler.DefaultTsCol): DataFrame = {
+    val toks = lex(sql)
+    if (!(toks.headOption.contains(Ident("delete")) &&
+          toks.lift(1).contains(Ident("from"))))
+      throw ParseError("runDelete takes `delete from <name> where " +
+        "<predicate>`")
+    val name = toks.lift(2) match {
+      case Some(Ident(n)) => n
+      case other => throw ParseError(s"delete from: expected a table name, got $other")
+    }
+    if (!name.matches("[a-z_][a-z0-9_]*"))
+      throw ParseError(s"delete from: '$name' is not a valid table name")
+    if (tables.contains(name))
+      throw ParseError(s"delete from: '$name' names a CATALOG frame — " +
+        "DELETE targets warehouse stores")
+    if (!toks.lift(3).contains(Ident("where")))
+      throw ParseError("delete from needs a WHERE — deleting every row " +
+        "spells EventStore.reset (explicitly), not an unbounded predicate")
+    // parse the predicate by re-entering the statement grammar with a
+    // synthetic head — token-level, so string literals can't confuse it
+    val (q, p1) = parseTokens(
+      Vector(Ident("select"), Ident("count")) ++ toks.drop(3), 0, nested = false)
+    if (p1 < toks.length - 1)
+      throw ParseError(s"trailing input after the DELETE predicate: " +
+        s"${toks.drop(p1 + 1).take(5)}")
+    if (q.semiJoins.nonEmpty)
+      throw ParseError("delete from takes a row predicate — `in (select …)` " +
+        "membership deletes spell as EventStore.deleteWhere over a " +
+        "computed key set, or materialize the keys and use a literal IN")
+    if (q.orderBy.nonEmpty || q.limit.nonEmpty || q.groupBy.nonEmpty ||
+        q.granSet || q.seqOp.nonEmpty || q.asofJoin.nonEmpty ||
+        q.equiJoins.nonEmpty || q.sessionGapSec.nonEmpty || q.slideSec.nonEmpty)
+      throw ParseError("delete from takes ONLY a WHERE predicate — " +
+        "ordering, limits, grouping, windows, and joins have no meaning " +
+        "for a row delete")
+    // a plain AND-chain parses into the reference-parity conditions list,
+    // not the boolean tree — accept both spellings
+    val tree = q.where.orElse(
+      if (q.conditions.nonEmpty)
+        Some(ConditionTree.And(q.conditions.map(ConditionTree.Leaf)): ConditionTree)
+      else None
+    ).getOrElse(throw ParseError("delete from needs a WHERE predicate"))
+    val resolved = resolveScalarSubs(tree, tsCol, tables)
+    val target = warehouseDir.stripSuffix("/") + "/" + name
+    val spark = tables.headOption.map(_._2.sparkSession).getOrElse(
+      org.apache.spark.sql.SparkSession.active)
+    val frame = graft.sources.EventStore.readPinned(spark, target)
+    graft.sources.EventStore.deleteWhere(spark, target,
+      graft.compile.Predicates.compileTree(resolved, frame.schema), tsCol)
+    graft.sources.EventStore.readPinned(spark, target)
   }
 
   /** Shared body compiler for the write faces: a full runCatalog

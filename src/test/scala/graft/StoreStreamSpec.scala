@@ -2489,4 +2489,44 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(afterEv.count() == 3 && afterEv.columns.contains("event_date"))
   }
 
+  test("runDelete: COW delete from SQL — flat and partitioned, time travel, guards (round 14)") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-delete").toString
+    val docs = Seq(
+      (1L, "aa", "en", "web", 5L), (2L, "cc", "de", "web", 2L),
+      (3L, "dd", "en", "book", 8L), (4L, "gg", "fr", "web", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cat = Map("documents" -> docs)
+    graft.sql.ZxSql.runCreate(cat,
+      "create table d as select doc_id, lang, n_chars from documents", wh)
+    val v0 = EventStore.manifestVersion(spark, s"$wh/d")
+    // boolean-tree predicate on a FLAT store; read-back is post-commit
+    val after = graft.sql.ZxSql.runDelete(cat,
+      "delete from d where lang = 'en' or n_chars < 3", wh)
+    assert(after.collect().map(_.getLong(0)).toSeq == Seq(4L))
+    // additive commit: the pre-delete version still time-travels
+    assert(EventStore.manifestVersion(spark, s"$wh/d") > v0)
+    assert(EventStore.readPinned(spark, s"$wh/d", v0).count() == 4)
+    // a DATE-PARTITIONED store deletes through the same face
+    val ev = Seq((1L, 100L), (2L, 200L), (3L, 90000L))
+      .toDF("event_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec") + 1704412800L)).drop("sec")
+    graft.sql.ZxSql.runCreate(Map("events" -> ev),
+      "create table evd as select event_id, ts from events", wh)
+    val afterEv = graft.sql.ZxSql.runDelete(Map("events" -> ev),
+      "delete from evd where event_id = 2", wh)
+    assert(afterEv.select("event_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // guards: WHERE required, no trailing clauses, catalog names rejected
+    def bad(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](graft.sql.ZxSql.runDelete(cat, sql, wh))
+      assert(e.getMessage.contains(frag), s"'$sql' → ${e.getMessage}")
+    }
+    bad("delete from d", "WHERE")
+    bad("delete from d where doc_id = 1 order by doc_id", "ONLY a WHERE")
+    bad("delete from documents where doc_id = 1", "CATALOG")
+    val eRead = intercept[graft.sql.ZxSql.ParseError](graft.sql.ZxSql.runCatalog(
+      cat, "delete from d where doc_id = 1"))
+    assert(eRead.getMessage.contains("runDelete"))
+  }
+
 }
