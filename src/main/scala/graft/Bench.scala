@@ -194,7 +194,7 @@ object Bench {
       "c15_incremental_ivm", "c16_snapshot_clone",
       "c17_cdc_follow", "c17b_durable_follow",
       "j6b_bucketed_build", "p94_sql_ctas", "p95_sql_insert",
-      "p96_sql_delete").filter(results.contains)
+      "p96_sql_delete", "p97_sql_update").filter(results.contains)
     val buildJson = buildClass.map("\"" + _ + "\"").mkString("[", ",", "]")
     val buildTotal = buildClass.map(results(_)._1).sum
     val streamJson = streamMs.map { case (k, runsArr) =>

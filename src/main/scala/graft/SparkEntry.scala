@@ -3452,6 +3452,25 @@ object SparkEntry {
       "delete from slice3 where lang = 'de' or n_chars < 250", wh)
   }
 
+  /** p97: `update … set … where` — the fourth verb of the SQL write
+    * face, through the COW updateWhere (detection pass → rewrite ONLY
+    * the files holding matches with when(pred, new).otherwise(old) →
+    * one atomic manifest commit). Measure-grammar assignments cast back
+    * to the column's stored type; the oracle replays the update as a
+    * CASE projection over the defining slice. Lifecycle per call. */
+  private def p97SqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    val wh = "target/graft-ctas/update-lifecycle/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.sources.EventStore.reset(s, wh + "/slice4")
+    val cat = Map("documents" -> Tables.documents(s, dir))
+    graft.sql.ZxSql.runCreate(cat,
+      "create table slice4 as select doc_id, lang, source, n_chars " +
+        "from documents where n_chars >= 200", wh)
+    graft.sql.ZxSql.runUpdate(cat,
+      "update slice4 set n_chars = n_chars * 2 + 1, " +
+        "source = upper(source) where lang = 'en'", wh)
+  }
+
   /** p59: `select distinct` — the raw-projection dedup primitive: one
     * shuffle on the (narrow, already-projected) columns, ORDER BY after.
     * Closes the r12 "set operations at the front door" gap with p60. */
@@ -4726,6 +4745,7 @@ object SparkEntry {
     "p94b_sql_ctas_readback" -> (p94bSqlCtasReadback _),
     "p95_sql_insert" -> (p95SqlInsert _),
     "p96_sql_delete" -> (p96SqlDelete _),
+    "p97_sql_update" -> (p97SqlUpdate _),
     "p86_sql_explode" -> (p86SqlExplode _),
     "p86b_sql_explode_raw" -> (p86bSqlExplodeRaw _),
     "st_explode" -> (stExplode _),
@@ -6288,6 +6308,12 @@ object SparkEntry {
       // create gate AND NOT delete predicate = the surviving rows
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE n_chars >= 200 AND NOT (lang = 'de' OR n_chars < 250)""".stripMargin,
+    "p97_sql_update" ->
+      // the update replayed as a CASE projection; integer-exact arithmetic
+      """SELECT doc_id, lang,
+        |  CASE WHEN lang = 'en' THEN upper(source) ELSE source END AS source,
+        |  CASE WHEN lang = 'en' THEN n_chars * 2 + 1 ELSE n_chars END AS n_chars
+        |FROM documents WHERE n_chars >= 200""".stripMargin,
     "p93_sql_concat" ->
       // `||` NULL-propagates on both engines (DuckDB's concat() skips
       // NULLs — never use it in an oracle)

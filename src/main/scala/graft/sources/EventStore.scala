@@ -1578,6 +1578,100 @@ object EventStore {
       dropped.size, 0, rowsDeleted, 0L)
   }
 
+  /** COW UPDATE by predicate — rewrite the rows `predicate` matches with
+    * `sets` applied (each value a Column over the row's columns; the
+    * other rows and files byte-survive). The fourth verb of the SQL
+    * write face (`update … set … where`), and simpler than [[mergeInto]]
+    * because the transform is row-local: ONE detection pass finds the
+    * files holding matches, ONE rewrite job re-writes exactly those
+    * files with `when(pred, new).otherwise(old)` per assigned column,
+    * and one atomic manifest commit swaps them in. Untouched files are
+    * never opened. Assigned columns must exist and keep their TYPE (a
+    * silent type change would corrupt the table for every reader).
+    * Updating `tsCol` on a date-partitioned store is allowed — rewritten
+    * rows land in their new date partitions, the same row-moves-partition
+    * contract [[mergeInto]] has. */
+  def updateWhere(spark: SparkSession, path: String, predicate: Column,
+                  sets: Map[String, Column], tsCol: String = "ts",
+                  driverBudgetBytes: Long = 64L << 20): MergeStats = {
+    require(sets.nonEmpty, "updateWhere: no SET assignments")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = readManifestFile(fs, root)
+    requireDetectionBudget("updateWhere", manifest.size, driverBudgetBytes)
+    val gen = nextGen()
+    val partitioned = manifest.head.contains("/")
+    val fileKeyCol =
+      if (partitioned) relFileCol
+      else regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1)
+    val stored = readPinned(spark, path)
+    val dataSchema =
+      if (partitioned) org.apache.spark.sql.types.StructType(
+        stored.schema.fields.filter(_.name != "event_date"))
+      else stored.schema
+    sets.keys.foreach { c =>
+      require(dataSchema.fieldNames.contains(c),
+        s"updateWhere: SET column '$c' does not exist (have: " +
+          s"${dataSchema.fieldNames.mkString(", ")})")
+      require(c != "event_date",
+        "updateWhere: event_date derives from the timestamp — SET the " +
+          s"'$tsCol' column instead")
+    }
+    // detection: which files hold at least one matching row
+    val counts = stored
+      .select(fileKeyCol.as("__file"),
+        when(predicate, 1L).otherwise(0L).as("__m"))
+      .groupBy(col("__file")).agg(sum(col("__m")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val affected = manifest.filter(f => counts.get(f).exists(_ > 0))
+    val rowsMatched = counts.values.sum
+    if (affected.isEmpty)
+      return MergeStats(manifest.size, 0, 0, 0, 0L, 0L)
+    val pred = coalesce(predicate, lit(false))
+    val staged = new org.apache.hadoop.fs.Path(root, s".merge-rewrite-$gen")
+    fs.delete(staged, true)
+    val base = readFiles(spark, path, affected)
+    val base2 = if (partitioned) base.drop("event_date") else base
+    // ALL assignments evaluate against the OLD row (SQL semantics):
+    // stage every new value into a temp column over the original frame
+    // first, then swap them in — a naive chained withColumn would let a
+    // later assignment read an earlier one's result
+    val staged0 = sets.toSeq.zipWithIndex
+    val withTmp = staged0.foldLeft(base2) { case (df, ((c, v), i)) =>
+      val out = df.withColumn(s"__set$i", when(pred, v).otherwise(col(c)))
+      require(out.schema(s"__set$i").dataType == base2.schema(c).dataType,
+        s"updateWhere: SET changes '$c' from " +
+          s"${base2.schema(c).dataType.simpleString} to " +
+          s"${out.schema(s"__set$i").dataType.simpleString} — cast the " +
+          "expression to the column's type; UPDATE never retypes a table")
+      out
+    }
+    val updated = staged0.foldLeft(withTmp) { case (df, ((c, _), i)) =>
+      df.withColumn(c, col(s"__set$i"))
+    }.drop(staged0.map { case (_, i) => s"__set$i" }: _*)
+    val moved = if (partitioned) {
+      updated.withColumn("event_date", to_date(col(tsCol)))
+        .write.partitionBy("event_date").mode(SaveMode.Overwrite)
+        .parquet(staged.toString)
+      moveStagedIn(fs, root, staged, "merge", gen)
+    } else {
+      updated.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+      fs.listStatus(staged).toSeq
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+          && !f.getPath.getName.startsWith("."))
+        .map { f =>
+          val name = s"merge-$gen-${f.getPath.getName}"
+          require(fs.rename(f.getPath, new org.apache.hadoop.fs.Path(root, name)),
+            s"updateWhere: moving ${f.getPath} into $root failed")
+          name
+        }
+    }
+    fs.delete(staged, true)
+    commitCow(fs, root, "updateWhere", affected.toSet, moved)
+    MergeStats(manifest.size - affected.size, affected.size, 0, 0,
+      0L, rowsMatched)
+  }
+
   /** Loud driver-memory guard on the COW DETECTION maps: both [[mergeInto]]
     * and [[deleteWhere]] collect one constant-width (file, counts) row per
     * manifested file — the same driver dimension as Spark's own FileIndex —

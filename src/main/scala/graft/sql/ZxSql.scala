@@ -2555,11 +2555,12 @@ object ZxSql {
                  exact: Boolean = false,
                  idCol: Option[String] = None): DataFrame = {
     val toks = lex(sql)
-    if (Seq("create", "insert", "delete").exists(w =>
+    if (Seq("create", "insert", "delete", "update").exists(w =>
         toks.headOption.contains(Ident(w))))
       throw ParseError("`create table … as` / `insert into` / `delete from` " +
-        "WRITE through a warehouse — use runCreate/runInsert/runDelete" +
-        "(tables, sql, warehouseDir); runCatalog is read-only")
+        "/ `update … set` WRITE through a warehouse — use runCreate/" +
+        "runInsert/runDelete/runUpdate(tables, sql, warehouseDir); " +
+        "runCatalog is read-only")
     val (ctes, p0) = parseWithPrefix(toks)
     val (co, p1) = parseCompoundAt(toks, p0)
     if (p1 < toks.length)
@@ -2727,6 +2728,146 @@ object ZxSql {
     val frame = graft.sources.EventStore.readPinned(spark, target)
     graft.sources.EventStore.deleteWhere(spark, target,
       graft.compile.Predicates.compileTree(resolved, frame.schema), tsCol)
+    graft.sources.EventStore.readPinned(spark, target)
+  }
+
+  /** `update <name> set <col> = <expr> [, …] where <boolexpr>` — the
+    * fourth verb of the write face, through the COW
+    * [[graft.sources.EventStore.updateWhere]]: one detection pass finds
+    * the files holding matches, exactly those files rewrite with the
+    * assignments applied (`when(pred, new).otherwise(old)` per column —
+    * untouched files are never opened), one atomic manifest version
+    * commits. Assignments take the measure grammar (arithmetic, scalar/
+    * string/calendar functions, literals); every RHS evaluates against
+    * the OLD row, and each value is cast to its column's existing type —
+    * UPDATE never retypes a table (fraction-to-integer assignment
+    * truncates, Spark cast semantics). A WHERE is required, like
+    * [[runDelete]]. Returns the post-commit pinned read-back. */
+  def runUpdate(tables: Map[String, DataFrame], sql: String,
+                warehouseDir: String,
+                tsCol: String = Compiler.DefaultTsCol): DataFrame = {
+    val toks = lex(sql)
+    if (!toks.headOption.contains(Ident("update")))
+      throw ParseError("runUpdate takes `update <name> set <col> = <expr> " +
+        "[, …] where <predicate>`")
+    val name = toks.lift(1) match {
+      case Some(Ident(n)) => n
+      case other => throw ParseError(s"update: expected a table name, got $other")
+    }
+    if (!name.matches("[a-z_][a-z0-9_]*"))
+      throw ParseError(s"update: '$name' is not a valid table name")
+    if (tables.contains(name))
+      throw ParseError(s"update: '$name' names a CATALOG frame — UPDATE " +
+        "targets warehouse stores")
+    if (!toks.lift(2).contains(Ident("set")))
+      throw ParseError(s"update $name: expected 'set', got ${toks.lift(2)}")
+    // find the top-level WHERE (paren-depth-aware: `round(x, 2)` commas
+    // and a hypothetical nested `where` never split the SET list)
+    var depth = 0
+    var whereIdx = -1
+    var i = 3
+    while (i < toks.length && whereIdx < 0) {
+      toks(i) match {
+        case Sym("(") => depth += 1
+        case Sym(")") => depth -= 1
+        case Ident("where") if depth == 0 => whereIdx = i
+        case _ => ()
+      }
+      i += 1
+    }
+    if (whereIdx < 0)
+      throw ParseError("update needs a WHERE — rewriting every row " +
+        "deserves an explicit predicate (`where 1 = 1` if you mean it)")
+    val setToks = toks.slice(3, whereIdx)
+    if (setToks.isEmpty) throw ParseError("update: empty SET list")
+    // split assignments on top-level commas
+    val groups = Seq.newBuilder[Vector[Tok]]
+    var cur = Vector.newBuilder[Tok]
+    depth = 0
+    setToks.foreach {
+      case Sym(",") if depth == 0 => groups += cur.result(); cur = Vector.newBuilder
+      case t =>
+        t match {
+          case Sym("(") => depth += 1
+          case Sym(")") => depth -= 1
+          case _ => ()
+        }
+        cur += t
+    }
+    groups += cur.result()
+    val assigns = groups.result().map { g =>
+      val c = g.headOption match {
+        case Some(Ident(n)) => n
+        case other => throw ParseError(s"update SET: expected a column, got $other")
+      }
+      if (!g.lift(1).contains(Sym("=")))
+        throw ParseError(s"update SET $c: expected '=', got ${g.lift(1)}")
+      val exprToks = g.drop(2)
+      if (exprToks.isEmpty) throw ParseError(s"update SET $c: missing the value")
+      val e = exprToks match {
+        // bare leaves compile directly — the select grammar refuses a
+        // lone column (raw items refuse aliases) and a lone literal
+        // (nothing to aggregate), but as SET values both are ordinary
+        case Vector(Ident(n)) => MeasureExpr.Col(n)
+        case Vector(Num(v)) => MeasureExpr.Lit(v.toDoubleOption.getOrElse(
+          throw ParseError(s"update SET $c: bad numeric literal '$v'")))
+        case Vector(Str(v)) => MeasureExpr.StrLit(v)
+        case _ =>
+          // parse the RHS by re-entering the measure grammar:
+          // parenthesized, aliased — the expression-measure select-item
+          // shape
+          val (q, p) = parseTokens(Vector(Ident("select"), Sym("(")) ++
+            exprToks ++ Vector(Sym(")"), Ident("as"), Ident("zz_set_value")),
+            0, nested = false)
+          if (p < exprToks.length + 5)
+            throw ParseError(s"update SET $c: trailing input in the value: " +
+              s"${exprToks.drop(p - 5).take(5)}")
+          q.selects.headOption.flatMap(_.expr).getOrElse(
+            throw ParseError(s"update SET $c: could not parse the value " +
+              "as an expression"))
+      }
+      c -> e
+    }
+    val dupCols = assigns.groupBy(_._1).filter(_._2.size > 1).keys
+    if (dupCols.nonEmpty)
+      throw ParseError(s"update SET assigns ${dupCols.mkString(", ")} twice")
+    // predicate: same re-entry as runDelete
+    val (qw, pw) = parseTokens(
+      Vector(Ident("select"), Ident("count")) ++ toks.drop(whereIdx), 0,
+      nested = false)
+    if (pw < toks.length - whereIdx + 2)
+      throw ParseError(s"trailing input after the UPDATE predicate: " +
+        s"${toks.drop(whereIdx + pw - 2).take(5)}")
+    if (qw.semiJoins.nonEmpty || qw.orderBy.nonEmpty || qw.limit.nonEmpty ||
+        qw.groupBy.nonEmpty || qw.granSet || qw.seqOp.nonEmpty ||
+        qw.asofJoin.nonEmpty || qw.equiJoins.nonEmpty)
+      throw ParseError("update takes ONLY a WHERE row predicate")
+    val tree = qw.where.orElse(
+      if (qw.conditions.nonEmpty)
+        Some(ConditionTree.And(qw.conditions.map(ConditionTree.Leaf)): ConditionTree)
+      else None
+    ).getOrElse(throw ParseError("update needs a WHERE predicate"))
+    val resolved = resolveScalarSubs(tree, tsCol, tables)
+    val target = warehouseDir.stripSuffix("/") + "/" + name
+    val spark = tables.headOption.map(_._2.sparkSession).getOrElse(
+      org.apache.spark.sql.SparkSession.active)
+    val frame = graft.sources.EventStore.readPinned(spark, target)
+    val sets = assigns.map { case (c, e) =>
+      require(frame.schema.fieldNames.contains(c),
+        s"update: SET column '$c' does not exist (have: " +
+          s"${frame.schema.fieldNames.filter(_ != "event_date").mkString(", ")})")
+      val target0 = frame.schema(c).dataType
+      // a BARE column RHS copies the raw column (no numeric view — a
+      // string column must survive a string copy); compound expressions
+      // ride the measure grammar, then cast to the column's type
+      val rhs = e match {
+        case MeasureExpr.Col(n) => Compiler.colRef(n)
+        case other => graft.compile.Aggregates.measureCol(other, frame.schema)
+      }
+      c -> rhs.cast(target0)
+    }.toMap
+    graft.sources.EventStore.updateWhere(spark, target,
+      graft.compile.Predicates.compileTree(resolved, frame.schema), sets, tsCol)
     graft.sources.EventStore.readPinned(spark, target)
   }
 

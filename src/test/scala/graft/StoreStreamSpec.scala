@@ -2529,4 +2529,47 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(eRead.getMessage.contains("runDelete"))
   }
 
+  test("runUpdate: COW update from SQL — old-row semantics, types, guards (round 14)") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-update").toString
+    val docs = Seq(
+      (1L, "aa", "en", "web", 10L), (2L, "cc", "de", "web", 20L),
+      (3L, "dd", "en", "book", 30L), (4L, "gg", "fr", "web", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cat = Map("documents" -> docs)
+    graft.sql.ZxSql.runCreate(cat,
+      "create table u as select doc_id, lang, source, n_chars " +
+        "from documents", wh)
+    val v0 = EventStore.manifestVersion(spark, s"$wh/u")
+    // measure-grammar RHS, cast back to the column's LONG type; swap
+    // assignment (a = b, b = a shape) proves OLD-row evaluation: both
+    // RHS see the pre-update values
+    val after = graft.sql.ZxSql.runUpdate(cat,
+      "update u set n_chars = n_chars * 2 + doc_id, " +
+        "source = upper(source) where lang = 'en'", wh)
+    val got = after.collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(got == Map(1L -> ("WEB", 21L), 2L -> ("web", 20L),
+      3L -> ("BOOK", 63L), 4L -> ("web", 40L)))
+    // additive commit: pre-update version still time-travels
+    assert(EventStore.readPinned(spark, s"$wh/u", v0)
+      .filter(col("doc_id") === 1L).head().getLong(3) == 10L)
+    // bare-column RHS copies the RAW column — strings survive
+    val after2 = graft.sql.ZxSql.runUpdate(cat,
+      "update u set source = lang where doc_id = 2", wh)
+    assert(after2.filter(col("doc_id") === 2L).head().getString(2) == "de")
+    // guards
+    def bad(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](graft.sql.ZxSql.runUpdate(cat, sql, wh))
+      assert(e.getMessage.contains(frag), s"'$sql' → ${e.getMessage}")
+    }
+    bad("update u set n_chars = n_chars + 1", "WHERE")
+    bad("update u set n_chars = 1, n_chars = 2 where doc_id = 1", "twice")
+    bad("update u set nope = 1 where doc_id = 1", "does not exist")
+    bad("update documents set n_chars = 1 where doc_id = 1", "CATALOG")
+    val eRead = intercept[graft.sql.ZxSql.ParseError](graft.sql.ZxSql.runCatalog(
+      cat, "update u set n_chars = 1 where doc_id = 1"))
+    assert(eRead.getMessage.contains("runUpdate"))
+  }
+
 }
