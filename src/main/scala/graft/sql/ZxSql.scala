@@ -214,7 +214,10 @@ object ZxSql {
     "stddev" -> Agg.Stddev, "variance" -> Agg.Variance,
     // two-argument dispersion + regression (p91/p92) — alias required
     "corr" -> Agg.Corr, "covar_samp" -> Agg.CovarSamp,
-    "regr_slope" -> Agg.RegrSlope, "regr_intercept" -> Agg.RegrIntercept)
+    "regr_slope" -> Agg.RegrSlope, "regr_intercept" -> Agg.RegrIntercept,
+    // spelling aliases — the names SQL users actually type; same Agg,
+    // same default output name as the canonical spelling
+    "avg" -> Agg.Mean, "median" -> Agg.P50)
 
   // ------------------------------------------------------------------ lexer
 
@@ -2662,6 +2665,44 @@ object ZxSql {
     val target = warehouseDir.stripSuffix("/") + "/" + name
     graft.sources.EventStore.insertInto(result, target, tsCol)
     graft.sources.EventStore.readPinned(result.sparkSession, target)
+  }
+
+  /** `drop table [if exists] <name>` — the store's directory (data plus
+    * every manifest version) deletes recursively through
+    * [[graft.sources.EventStore.reset]]; time travel necessarily dies
+    * with it, which is exactly why truncation-by-DELETE is rejected
+    * while DROP is this explicit. A missing target is loud unless
+    * `if exists`. */
+  def runDrop(sql: String, warehouseDir: String): Unit = {
+    val toks = lex(sql)
+    if (!(toks.headOption.contains(Ident("drop")) &&
+          toks.lift(1).contains(Ident("table"))))
+      throw ParseError("runDrop takes `drop table [if exists] <name>`")
+    var pos = 2
+    var ifExists = false
+    if (toks.lift(pos).contains(Ident("if"))) {
+      if (!toks.lift(pos + 1).contains(Ident("exists")))
+        throw ParseError(s"drop table if: expected 'exists', got ${toks.lift(pos + 1)}")
+      ifExists = true; pos += 2
+    }
+    val name = toks.lift(pos) match {
+      case Some(Ident(n)) => n
+      case other => throw ParseError(s"drop table: expected a table name, got $other")
+    }
+    if (!name.matches("[a-z_][a-z0-9_]*"))
+      throw ParseError(s"drop table: '$name' is not a valid table name")
+    if (pos + 1 < toks.length)
+      throw ParseError(s"trailing input after drop table: ${toks.drop(pos + 1).take(5)}")
+    val target = warehouseDir.stripSuffix("/") + "/" + name
+    val spark = org.apache.spark.sql.SparkSession.active
+    val root = new org.apache.hadoop.fs.Path(target)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) {
+      if (ifExists) return
+      throw ParseError(s"drop table: no store at $target — `if exists` " +
+        "makes a missing table a no-op")
+    }
+    graft.sources.EventStore.reset(spark, target)
   }
 
   /** `delete from <name> where <boolexpr>` — the destructive third of the

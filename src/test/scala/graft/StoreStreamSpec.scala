@@ -2572,4 +2572,36 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(eRead.getMessage.contains("runUpdate"))
   }
 
+  test("runDrop: drop table [if exists] (round 14)") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-drop").toString
+    val docs = Seq((1L, "en", 5L)).toDF("doc_id", "lang", "n_chars")
+    graft.sql.ZxSql.runCreate(Map("documents" -> docs),
+      "create table dz as select doc_id, lang, n_chars from documents", wh)
+    assert(EventStore.readPinned(spark, s"$wh/dz").count() == 1)
+    graft.sql.ZxSql.runDrop("drop table dz", wh)
+    assert(!new java.io.File(s"$wh/dz").exists())
+    // missing: loud without the guard, no-op with it
+    val e = intercept[graft.sql.ZxSql.ParseError](
+      graft.sql.ZxSql.runDrop("drop table dz", wh))
+    assert(e.getMessage.contains("if exists"))
+    graft.sql.ZxSql.runDrop("drop table if exists dz", wh)
+    val e2 = intercept[graft.sql.ZxSql.ParseError](
+      graft.sql.ZxSql.runDrop("drop table dz extra", wh))
+    assert(e2.getMessage.contains("trailing"))
+  }
+
+  test("avg and median spell mean and p50 (round 14)") {
+    import spark.implicits._
+    val rows = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 6.0),
+      (4L, "b", 4.0)).toDF("id", "k", "v")
+    val a = graft.sql.ZxSql.run(rows,
+      "select avg(v) as m, median(v) as p group by k order by m desc")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val b = graft.sql.ZxSql.run(rows,
+      "select mean(v) as m, p50(v) as p group by k order by m desc")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(a.toSeq == b.toSeq && a.head == ("b", 4.0, 4.0))
+  }
+
 }
