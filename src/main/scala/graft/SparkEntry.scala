@@ -3471,6 +3471,32 @@ object SparkEntry {
         "source = upper(source) where lang = 'en'", wh)
   }
 
+  /** p98: `select *` — the whole-row projection every SQL user types
+    * first, expanded at compile against the base frame's columns (order
+    * preserved); composes with where/order/limit like any raw
+    * projection, and the scan still prunes NOTHING here by design — the
+    * projection is the whole row. */
+  private def p98SqlStar(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.runCatalog(
+      Map("documents" -> Tables.documents(s, dir)),
+      "select * from documents where lang = 'en' and n_chars >= 300 " +
+        "order by doc_id limit 50")
+
+  /** p99: the warehouse round trip CLOSED in SQL — `select … from
+    * corpus_slice` resolves the p94-created store BY NAME through
+    * EventStore.warehouseCatalog (manifest-pinned lazy frames, half-
+    * created debris invisible), so a user who just CTAS'd can query the
+    * result without leaving the dialect. Shares p94b's ensured store;
+    * different aggregate so the rows are independent evidence. */
+  private def p99SqlWarehouse(s: SparkSession, dir: String): DataFrame = {
+    val store = ensureCtasSlice(s, dir) // <wh>/corpus_slice
+    val wh = store.stripSuffix("/corpus_slice")
+    graft.sql.ZxSql.runCatalog(
+      graft.sources.EventStore.warehouseCatalog(s, wh),
+      "select max(n_chars) as mx, count(*) as n " +
+        "from corpus_slice group by source order by mx desc, n desc")
+  }
+
   /** p59: `select distinct` — the raw-projection dedup primitive: one
     * shuffle on the (narrow, already-projected) columns, ORDER BY after.
     * Closes the r12 "set operations at the front door" gap with p60. */
@@ -4746,6 +4772,8 @@ object SparkEntry {
     "p95_sql_insert" -> (p95SqlInsert _),
     "p96_sql_delete" -> (p96SqlDelete _),
     "p97_sql_update" -> (p97SqlUpdate _),
+    "p98_sql_star" -> (p98SqlStar _),
+    "p99_sql_warehouse" -> (p99SqlWarehouse _),
     "p86_sql_explode" -> (p86SqlExplode _),
     "p86b_sql_explode_raw" -> (p86bSqlExplodeRaw _),
     "st_explode" -> (stExplode _),
@@ -6314,6 +6342,20 @@ object SparkEntry {
         |  CASE WHEN lang = 'en' THEN upper(source) ELSE source END AS source,
         |  CASE WHEN lang = 'en' THEN n_chars * 2 + 1 ELSE n_chars END AS n_chars
         |FROM documents WHERE n_chars >= 200""".stripMargin,
+    "p98_sql_star" ->
+      """SELECT * FROM documents WHERE lang = 'en' AND n_chars >= 300
+        |ORDER BY doc_id LIMIT 50""".stripMargin,
+    "p99_sql_warehouse" ->
+      // group keys render as strings through the engine's __nil carrier;
+      // source is already VARCHAR — aggregate over the slice's SELECT
+      """SELECT source, round(CAST(max(n_chars) AS DOUBLE), 3) AS mx,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS n
+        |FROM (SELECT doc_id, lang, source, n_chars FROM documents
+        |  WHERE lang = 'en' AND n_chars >= 300
+        |  UNION
+        |  SELECT doc_id, lang, source, n_chars FROM documents
+        |  WHERE source = 'src1' AND n_chars >= 100)
+        |GROUP BY source ORDER BY mx DESC, n DESC""".stripMargin,
     "p93_sql_concat" ->
       // `||` NULL-propagates on both engines (DuckDB's concat() skips
       // NULLs — never use it in an oracle)

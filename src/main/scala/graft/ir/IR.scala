@@ -708,6 +708,13 @@ final case class ZxQuery(
       * top-N-per-group. Requires ORDER BY and `limit`; `col` must be a
       * group key (aggregate path) or a selected column (raw path). */
     limitPer: Option[String] = None,
+    /** `select [distinct] *` (extension, p98): project EVERY column of
+      * the base frame, expanded at compile time against the concrete
+      * base (runParsed / runStream) — `selects` is empty while this is
+      * set. Scan/filter/distinct/order/limit/membership shapes only
+      * (parse-guarded): anything that reshapes the column set spells its
+      * columns. */
+    star: Boolean = false,
     /** True iff the query SPELLED a `granularity` clause (the parser sets
       * it; `granularitySec` alone can't distinguish an explicit 300 from
       * the reference default). Routing reads it for derived-table inners:

@@ -517,6 +517,38 @@ object EventStore {
     moved
   }
 
+  /** Name → manifest-pinned frame for every store under a warehouse
+    * directory — the read half of the SQL front door's warehouse story:
+    * `runCatalog(EventStore.warehouseCatalog(spark, wh) ++ extras, sql)`
+    * lets a statement SELECT from any table a previous `create table` /
+    * `insert into` committed, by name. Only manifested stores list
+    * (half-created debris and foreign dirs are invisible, matching the
+    * write faces' crash contract); `pin` overrides individual tables to
+    * a historical manifest version (time travel at the catalog level).
+    * The frames are lazy plans — building the catalog reads manifests,
+    * never data. */
+  def warehouseCatalog(spark: SparkSession, warehouseDir: String,
+                       pin: Map[String, Long] = Map.empty)
+      : Map[String, DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(warehouseDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Map.empty
+    val names = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith(".")
+        && !st.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName)
+      .filter(n => manifestVersions(fs,
+        new org.apache.hadoop.fs.Path(root, n)).nonEmpty)
+    val unknown = pin.keySet -- names.toSet
+    require(unknown.isEmpty,
+      s"warehouseCatalog: pinned tables not in the warehouse: " +
+        s"${unknown.mkString(", ")} (have: ${names.sorted.mkString(", ")})")
+    names.map { n =>
+      n -> readPinned(spark, warehouseDir.stripSuffix("/") + "/" + n,
+        pin.getOrElse(n, -1L))
+    }.toMap
+  }
+
   /** Adopt (or refresh) the manifest: snapshot the CURRENT visible data
     * files as the store's committed set, as a NEW immutable manifest
     * version. Run after every append batch; anything not in the manifest

@@ -836,6 +836,13 @@ object ZxSql {
     // other select item.
     var distinctRows = false
     if (atIdent("distinct")) { next(); distinctRows = true }
+    // `select [distinct] *` (extension, p98): whole-row projection — the
+    // first query every SQL user types. Expanded to the base frame's
+    // columns at compile (runParsed/runStream), so it needs a concrete
+    // base: scan/filter/distinct/order/limit/membership compose; anything
+    // that reshapes columns (aggregates, joins, windows, explode) spells
+    // its columns.
+    var star = false
 
     // Sequence-analytics clauses (extension — VERDICT r9 #3: the round-9
     // operators were Scala-API only while the reference surface is
@@ -1385,6 +1392,7 @@ object ZxSql {
     var explodeSpec: Option[(String, String, String)] = None
     val entries: Seq[Either[Select, PostSelect]] =
       if (seqOp.isDefined) Nil
+      else if (peek.contains(Sym("*"))) { next(); star = true; Nil }
       else commaList { () =>
         (peek match {
           case Some(Ident("explode")) if toks.lift(pos + 1).contains(Sym("(")) =>
@@ -1922,7 +1930,7 @@ object ZxSql {
     // DISTINCT is a raw-projection construct: aggregates have count_distinct
     // and group by; everything else would make "which rows dedup" ambiguous
     if (distinctRows) {
-      if (selects.isEmpty || selects.exists(_.agg != Agg.Raw) ||
+      if ((selects.isEmpty && !star) || selects.exists(_.agg != Agg.Raw) ||
           postSelects.nonEmpty || seqOp.nonEmpty)
         throw ParseError("select distinct projects bare columns — " +
           "aggregate queries dedup via count_distinct / group by")
@@ -2021,6 +2029,20 @@ object ZxSql {
           "the base table")
     }
 
+    if (star) {
+      if (fromSub.nonEmpty)
+        throw ParseError("select * needs a named base table — a derived " +
+          "table's output columns are the inner query's; spell them")
+      if (groupBy.nonEmpty || having.nonEmpty || rollup || cube ||
+          groupingSets.nonEmpty || joinSpec.nonEmpty || equiJoins.nonEmpty ||
+          explodeSpec.nonEmpty || granSet || sessionGap.nonEmpty ||
+          slide.nonEmpty || exactWindows || salt.nonEmpty ||
+          limitPer.nonEmpty)
+        throw ParseError("select * is the whole-row projection — it " +
+          "composes with where/order by/limit/distinct and membership " +
+          "filters; aggregates, joins, windows, and explode spell their " +
+          "columns")
+    }
     (ZxQuery(selects, realConds, groupBy, orderBy, tStart, tEnd, gran, limitN,
       exact = exactWindows, fromTable = fromName, fromSub = fromSub,
       where = whereTree, asofJoin = joinSpec,
@@ -2032,7 +2054,7 @@ object ZxSql {
       semiJoins = semiJoins, granSet = granSet,
       distinctRows = distinctRows, winSelects = winSelects,
       winOutOrder = winOutOrder, qualify = qualifyTree,
-      explodeCol = explodeSpec), pos)
+      explodeCol = explodeSpec, star = star), pos)
   }
 
   // --------------------------------------------------------------- executor
@@ -2993,6 +3015,14 @@ object ZxSql {
                         exact: Boolean, idCol: Option[String],
                         tables: Map[String, DataFrame],
                         forceSorted: Boolean = false): DataFrame = {
+    // `select *` expands HERE, against the concrete base frame (derived
+    // FROM is parse-rejected, so df0 — positionally bound or
+    // catalog-resolved by the caller — IS the base): the star becomes an
+    // ordinary raw projection of every column, in frame order
+    if (q0.star)
+      return runParsed(df0, q0.copy(star = false,
+        selects = df0.columns.toSeq.map(Select(Agg.Raw, _))),
+        tsCol, exact, idCol, tables, forceSorted)
     // scalar subqueries → literal leaves (one tiny aggregation each, at
     // plan-build; the literal then pushes into the main scan)
     val q = q0.copy(where = q0.where.map(resolveScalarSubs(_, tsCol, tables)))
@@ -3550,7 +3580,11 @@ object ZxSql {
           "BOUNDED frames — a batch shape; run per micro-batch via " +
           "foreachBatch over ZxSql.run, or union the source streams upstream")
     }
-    val q0 = parse(sql)
+    val q00 = parse(sql)
+    // `select *` on a stream: same whole-row expansion as batch, against
+    // the stream's own columns — the raw tail is stateless, so it streams
+    val q0 = if (q00.star) q00.copy(star = false,
+      selects = stream0.columns.toSeq.map(Select(Agg.Raw, _))) else q00
     // scalar subqueries resolve ONCE against the static tables at stream
     // construction — `where value > (select p99(value) from history)` is
     // a legitimate streaming gate with a fixed threshold

@@ -64,7 +64,8 @@ class SqlSpec extends AnyFunSuite {
   }
 
   test("rejects malformed input with a named error") {
-    assertThrows[ZxSql.ParseError](ZxSql.parse("select median(foo)"))
+    // (`median` graduated to a p50 alias in round 14 — `mode` stays unknown)
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select mode(foo)"))
     assertThrows[ZxSql.ParseError](ZxSql.parse("sum(foo)"))
     assertThrows[ZxSql.ParseError](ZxSql.parse("select foo where x ="))
   }
@@ -2551,4 +2552,39 @@ class SqlSpec extends AnyFunSuite {
           Some(MeasureExpr.Bin("*", MeasureExpr.Col("foo"), MeasureExpr.Lit(2.0))),
           Some("s"))))))
   }
+  test("select * projects every column; composes with distinct/where/order/limit; guards (round 14)") {
+    import SparkFixture.spark.implicits._
+    val spark = SparkFixture.spark
+    val rows = Seq((1L, "a", 10.0), (2L, "b", 20.0), (2L, "b", 20.0),
+      (3L, "a", 30.0)).toDF("id", "k", "v")
+    val all = ZxSql.run(rows, "select * order by id desc limit 2")
+    assert(all.columns.toSeq == Seq("id", "k", "v"))
+    assert(all.collect().map(_.getLong(0)).toSeq == Seq(3L, 2L))
+    // distinct * dedups whole rows
+    assert(ZxSql.run(rows, "select distinct *").count() == 3)
+    // catalog face resolves the base by name; membership filters compose
+    val dims = Seq(("a", 1L)).toDF("dk", "dv")
+    val cat = ZxSql.runCatalog(Map("t" -> rows, "dims" -> dims),
+      "select * from t where k in (select dk from dims) order by id")
+    assert(cat.collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // streams: same expansion, stateless raw tail
+    val sdir = java.nio.file.Files.createTempDirectory("graft-star-st").toString
+    rows.write.mode("overwrite").parquet(sdir)
+    val st = spark.readStream.schema(rows.schema).parquet(sdir)
+    val outSt = ZxSql.runStream(st, "select * where v >= 20")
+    val q = outSt.writeStream.format("memory").queryName("star_st").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("star_st").columns.toSeq == Seq("id", "k", "v"))
+    assert(spark.table("star_st").count() == 3)
+    // guards: column-reshaping clauses spell their columns
+    def bad(sql: String, frag: String): Unit = {
+      val e = intercept[ZxSql.ParseError](ZxSql.parse(sql))
+      assert(e.getMessage.contains(frag), s"'$sql' → ${e.getMessage}")
+    }
+    bad("select * group by k", "spell their columns")
+    bad("select * granularity 60", "spell their columns")
+    bad("select * from (select id from t)", "named base table")
+    bad("select *, id", "trailing input")
+  }
+
 }

@@ -2604,4 +2604,34 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq && a.head == ("b", 4.0, 4.0))
   }
 
+  test("warehouseCatalog: SELECT from created tables by name; debris invisible; pin time-travels (round 14)") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-whcat").toString
+    val docs = Seq((1L, "en", 5L), (2L, "de", 9L)).toDF("doc_id", "lang", "n_chars")
+    val cat0 = Map("documents" -> docs)
+    graft.sql.ZxSql.runCreate(cat0,
+      "create table a as select doc_id, lang, n_chars from documents", wh)
+    graft.sql.ZxSql.runCreate(cat0,
+      "create table b as select doc_id from documents where lang = 'en'", wh)
+    // a non-store dir (debris / foreign) must not list
+    new java.io.File(s"$wh/junk").mkdirs()
+    val cat = EventStore.warehouseCatalog(spark, wh)
+    assert(cat.keySet == Set("a", "b"))
+    val out = graft.sql.ZxSql.runCatalog(cat,
+      "select sum(n_chars) as t from a group by lang order by t desc")
+    assert(out.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap ==
+      Map("de" -> 9.0, "en" -> 5.0))
+    // pin: v0 view of a table after an insert
+    graft.sql.ZxSql.runInsert(cat0,
+      "insert into b select doc_id from documents where lang = 'de'", wh)
+    assert(EventStore.warehouseCatalog(spark, wh)("b").count() == 2)
+    assert(EventStore.warehouseCatalog(spark, wh,
+      pin = Map("b" -> 0L))("b").count() == 1)
+    val e = intercept[IllegalArgumentException](
+      EventStore.warehouseCatalog(spark, wh, pin = Map("zz" -> 0L)))
+    assert(e.getMessage.contains("zz"))
+    // an empty / missing warehouse is an empty catalog, not an error
+    assert(EventStore.warehouseCatalog(spark, wh + "/nope").isEmpty)
+  }
+
 }
