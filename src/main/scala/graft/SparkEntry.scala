@@ -3497,6 +3497,16 @@ object SparkEntry {
         "from corpus_slice group by source order by mx desc, n desc")
   }
 
+  /** p100: positional LIKE — `_`/interior-`%` patterns compile to real
+    * SQL LIKE (edge-only patterns keep the tighter Contains/StartsWith
+    * desugar; the reference treats every pattern as raw contains,
+    * expr.rs:81-98 — documented fix). `sr_1%` matches src1 and
+    * src10-src19; NOT LIKE composes three-valued. */
+  private def p100SqlLike(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select doc_id, source, n_chars where source like 'sr_1%' " +
+        "and source not like '%_9' and n_chars >= 400 order by doc_id")
+
   /** p59: `select distinct` — the raw-projection dedup primitive: one
     * shuffle on the (narrow, already-projected) columns, ORDER BY after.
     * Closes the r12 "set operations at the front door" gap with p60. */
@@ -4774,6 +4784,7 @@ object SparkEntry {
     "p97_sql_update" -> (p97SqlUpdate _),
     "p98_sql_star" -> (p98SqlStar _),
     "p99_sql_warehouse" -> (p99SqlWarehouse _),
+    "p100_sql_like" -> (p100SqlLike _),
     "p86_sql_explode" -> (p86SqlExplode _),
     "p86b_sql_explode_raw" -> (p86bSqlExplodeRaw _),
     "st_explode" -> (stExplode _),
@@ -6356,6 +6367,10 @@ object SparkEntry {
         |  SELECT doc_id, lang, source, n_chars FROM documents
         |  WHERE source = 'src1' AND n_chars >= 100)
         |GROUP BY source ORDER BY mx DESC, n DESC""".stripMargin,
+    "p100_sql_like" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE source LIKE 'sr_1%' AND source NOT LIKE '%_9'
+        |  AND n_chars >= 400 ORDER BY doc_id""".stripMargin,
     "p93_sql_concat" ->
       // `||` NULL-propagates on both engines (DuckDB's concat() skips
       // NULLs — never use it in an oracle)

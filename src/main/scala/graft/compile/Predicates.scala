@@ -123,6 +123,10 @@ object Predicates {
       case Cmp.NotStartsWith => !strC.startsWith(cond.value)
       case Cmp.Contains      => strC.contains(cond.value)
       case Cmp.NotContains   => !strC.contains(cond.value)
+      // SQL LIKE semantics on both engines (%/_ wildcards, three-valued:
+      // NULL column → NULL → row drops, negated too)
+      case Cmp.Like          => strC.like(cond.value)
+      case Cmp.NotLike       => !strC.like(cond.value)
     }
   }
 

@@ -25,8 +25,14 @@ object Cmp {
   case object NotStartsWith extends Cmp("notstartswith")
   case object Contains      extends Cmp("contains")
   case object NotContains   extends Cmp("notcontains")
+  /** Full SQL LIKE (extension beyond the reference's 12): `%`/`_`
+    * anywhere in the pattern; the parser still DESUGARS edge-only
+    * patterns to Contains/StartsWith/Eq (tighter parquet pushdown), so
+    * these two carry only genuinely positional patterns. */
+  case object Like          extends Cmp("like")
+  case object NotLike       extends Cmp("notlike")
   val all: Seq[Cmp] = Seq(Eq, Ne, Gt, Lt, Gte, Lte, Exists, NotExists,
-    StartsWith, NotStartsWith, Contains, NotContains)
+    StartsWith, NotStartsWith, Contains, NotContains, Like, NotLike)
 }
 
 /** One conjunct; conditions AND-chain (lib.rs:197-200, expr.rs:75-80). */

@@ -672,8 +672,11 @@ object ZxSql {
     def likeCond(c: String, negated: Boolean): Condition = {
       val pat = value()
       val inner = pat.stripPrefix("%").stripSuffix("%")
+      // positional wildcards (interior % or any _) take full SQL LIKE
+      // (round 14); edge-only patterns keep the tighter desugar below —
+      // Contains/StartsWith/Eq push into the parquet scan directly
       if (inner.contains("%") || inner.contains("_"))
-        throw ParseError(s"unsupported LIKE pattern '$pat' (only leading/trailing %)")
+        return Condition(if (negated) Cmp.NotLike else Cmp.Like, c, pat)
       (pat.startsWith("%"), pat.endsWith("%")) match {
         case (true, _)      => Condition(if (negated) Cmp.NotContains else Cmp.Contains, c, inner)
         case (false, true)  => Condition(if (negated) Cmp.NotStartsWith else Cmp.StartsWith, c, inner)

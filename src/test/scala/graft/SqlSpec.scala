@@ -2587,4 +2587,22 @@ class SqlSpec extends AnyFunSuite {
     bad("select *, id", "trailing input")
   }
 
+  test("LIKE with positional wildcards compiles to real SQL LIKE (round 14)") {
+    import SparkFixture.spark.implicits._
+    val rows = Seq((1L, "src1"), (2L, "src10"), (3L, "srcX"),
+      (4L, "abc1"), (5L, null: String)).toDF("id", "s")
+    def ids(sql: String) = ZxSql.run(rows, sql).collect().map(_.getLong(0)).toSet
+    // interior _ : positional
+    assert(ids("select id where s like 'sr_1%'") == Set(1L, 2L))
+    // NOT LIKE is three-valued — the null row drops on both polarities
+    assert(ids("select id where s not like 'sr_1%'") == Set(3L, 4L))
+    // _ as exact-one-char: 'src_' matches src1/srcX, not src10
+    assert(ids("select id where s like 'src_'") == Set(1L, 3L))
+    // edge-only patterns keep the desugared comparators (parse shape)
+    val q = ZxSql.parse("select id where s like 'src%'")
+    assert(q.conditions.head.cmp == graft.ir.Cmp.StartsWith)
+    val q2 = ZxSql.parse("select id where s like '%rc_%'")
+    assert(q2.conditions.head.cmp == graft.ir.Cmp.Like)
+  }
+
 }
