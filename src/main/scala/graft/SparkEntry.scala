@@ -528,6 +528,37 @@ object SparkEntry {
       tables = Map("marks" -> marks))
   }
 
+  /** st_asof: the COMPOSITE-key broadcast asof as a full hash-verified
+    * STREAMING lifecycle (round 14 — the feature's spec-only parity gap
+    * closed the way the st_* family closes everything: stage → stream →
+    * sink → read back vs the batch oracle on the ORIGINAL data). The
+    * dimension is one latest-version row per (user, type) pair bounded
+    * by construction (user_id < 500 → ≤ 500 × |types| plan-resident
+    * rows at EVERY SF); the probe is the stateless struct-keyed map, so
+    * the whole stream is a narrow projection — no watermark, no state.
+    * The `user_id >= 0` gate excludes the replay sentinel on the engine
+    * side and is a no-op on the oracle's original data. */
+  private def stAsof(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("r_user"), col("r_type"))
+      .orderBy(col("r_ts").desc, col("r_value").desc_nulls_last)
+    val marks = Tables.events(s, dir)
+      .filter(col("user_id") < 500)
+      .select(col("user_id").as("r_user"), col("event_type").as("r_type"),
+        col("ts").cast(LongType).as("r_ts"), col("value").as("r_value"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    graft.streaming.StreamReplay.replayEvents(s, dir, "st-asof") { stream =>
+      graft.sql.ZxSql.runStream(
+        stream.withColumn("ts_sec", col("ts").cast(LongType)),
+        "select event_id, user_id, event_type, ts_sec " +
+          "asof join marks on user_id = r_user and event_type = r_type " +
+          "at ts_sec >= r_ts carry r_value " +
+          "where user_id >= 0",
+        tables = Map("marks" -> marks))
+    }
+  }
+
   /** P1 + a12: journey mining through the SQL front door (VERDICT r9 #3 —
     * the reference surface is SQL-first, lib.rs:815-844). The WHERE rides
     * the shared scan/filter front half, so sequence mining over a filtered
@@ -4785,6 +4816,7 @@ object SparkEntry {
     "p98_sql_star" -> (p98SqlStar _),
     "p99_sql_warehouse" -> (p99SqlWarehouse _),
     "p100_sql_like" -> (p100SqlLike _),
+    "st_asof" -> (stAsof _),
     "p86_sql_explode" -> (p86SqlExplode _),
     "p86b_sql_explode_raw" -> (p86bSqlExplodeRaw _),
     "st_explode" -> (stExplode _),
@@ -6371,6 +6403,22 @@ object SparkEntry {
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE source LIKE 'sr_1%' AND source NOT LIKE '%_9'
         |  AND n_chars >= 400 ORDER BY doc_id""".stripMargin,
+    "st_asof" ->
+      // the streaming composite asof vs DuckDB's native multi-key ASOF
+      // LEFT JOIN on the original data; NULLS LAST spelled on both sides
+      """WITH m0 AS (SELECT user_id AS r_user, event_type AS r_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS r_ts, value AS r_value
+        |  FROM events WHERE user_id < 500),
+        |m1 AS (SELECT *, row_number() OVER (PARTITION BY r_user, r_type
+        |    ORDER BY r_ts DESC, r_value DESC NULLS LAST) AS rn FROM m0),
+        |m AS (SELECT r_user, r_type, r_ts, r_value FROM m1 WHERE rn = 1),
+        |e AS (SELECT event_id, user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events
+        |  WHERE user_id >= 0)
+        |SELECT e.event_id, e.user_id, e.event_type, e.ts_sec, m.r_value
+        |FROM e ASOF LEFT JOIN m
+        |  ON e.user_id = m.r_user AND e.event_type = m.r_type
+        |  AND e.ts_sec >= m.r_ts""".stripMargin,
     "p93_sql_concat" ->
       // `||` NULL-propagates on both engines (DuckDB's concat() skips
       // NULLs — never use it in an oracle)
