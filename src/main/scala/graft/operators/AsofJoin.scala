@@ -128,21 +128,25 @@ object AsofJoin {
     * using any of them would be silently clobbered by withColumn. */
   private val Reserved = Seq("__k", "__t", "__side", "__pay", "__last")
 
-  /** Broadcast ASOF: the stateless, exchange-free formulation for a SMALL
-    * right side — the sorted version history of every key rides in the
-    * PLAN (the centroid-literal pattern), and each left row probes it with
-    * codegen'd higher-order functions: `try_element_at(map, key)` pulls the
-    * key's version array, `filter(v.t ≤ t)` keeps the visible prefix, and
-    * `try_element_at(arr, -1)` takes its last (= latest ≤ t) element.
-    * Missing key or no visible version → null payload, exactly [[asof]]'s
-    * left-outer semantics; same-instant versions are visible (≤, like
-    * [[asof]]'s right-sorts-first tie rule).
+  /** Broadcast ASOF: the stateless, shuffle-free formulation for a SMALL
+    * right side — the sorted version history of every key rides as a
+    * plan-resident LocalRelation that BROADCAST-HASH-joins onto the left
+    * (one broadcast, zero shuffles; the hash relation probes O(1) where
+    * the earlier map-literal probe was a linear scan per row — the
+    * st_asof per-micro-batch instrumentation caught that at 3k keys ×
+    * 100k rows). Each left row then applies codegen'd higher-order
+    * functions to its key's history: `filter(v.t ≤ t)` keeps the visible
+    * prefix and `try_element_at(arr, -1)` takes its last (= latest ≤ t)
+    * element. Missing key or no visible version → null payload, exactly
+    * [[asof]]'s left-outer semantics; same-instant versions are visible
+    * (≤, like [[asof]]'s right-sorts-first tie rule).
     *
-    * Because no window, shuffle, or state is involved, the SAME call works
-    * on a STREAMING left side — this is the streaming face of the asof
-    * family (j2) for dimension enrichment: at 100 TB/day of events and a
-    * bounded dimension (service catalog, deploy history), the probe is a
-    * narrow map over the stream. The right side is require-bounded at
+    * Because no window, shuffle, or state is involved (a stream-static
+    * left join is append-mode legal), the SAME call works on a STREAMING
+    * left side — this is the streaming face of the asof family (j2) for
+    * dimension enrichment: at 100 TB/day of events and a bounded
+    * dimension (service catalog, deploy history), the probe is a narrow
+    * hash lookup over the stream. The right side is require-bounded at
     * `maxRightRows` plan-resident rows; a bigger right side belongs in the
     * single-exchange [[asof]] (batch) or a stateful stream-stream join.
     *
@@ -163,17 +167,13 @@ object AsofJoin {
       payload, maxRightRows)
 
   /** Composite-key face of [[asofBroadcast]] — the (user, device)-style
-    * pair key a real session store versions on. The plan-literal history
-    * map's keys become positional-field STRUCT literals
-    * (`struct(k0, k1, …)`), and each left row probes with the same-shaped
-    * struct of its own key columns; field names are positional on both
-    * sides, so mismatched source column names can never null the lookup.
-    * A left row with ANY null key component matches nothing (SQL equality
-    * per component — the probe struct is nulled before the lookup rather
-    * than trusting struct-equality null semantics); right rows with any
-    * null component are dropped like the scalar path's null keys. Same
+    * pair key a real session store versions on. Composite keys are plain
+    * MULTI-CONDITION equi-join keys on the broadcast hash relation (no
+    * struct packing); a left row with ANY null key component matches
+    * nothing (SQL equality per condition), and right rows with any null
+    * component are dropped like the scalar path's null keys. Same
     * plan-resident bound, same loud contracts, same STREAMING soundness
-    * (no window, shuffle, or state — the probe is a narrow map). */
+    * (no window, shuffle, or state — the probe is a hash lookup). */
   def asofBroadcastKeys(left: DataFrame, right: DataFrame,
                         keysL: Seq[String], keysR: Seq[String],
                         timeL: String, timeR: String,
@@ -271,32 +271,53 @@ object AsofJoin {
             s"(${x.getClass.getName} vs ${y.getClass.getName})")
       }
     }
-    val entries = keyed.groupBy(r => (0 until nK).map(r.get)).toSeq.map {
+    // PROBE PLAN (round 14): a BROADCAST HASH JOIN against the collected
+    // histories, not a plan-literal map — GetMapValue on a map literal is
+    // a LINEAR SCAN per probe (O(|keys|) comparisons per row; st_asof's
+    // per-micro-batch instrumentation showed ~9 s/batch at 3k keys ×
+    // 100k rows), where the broadcast hash relation probes O(1). The
+    // history rows are built on the DRIVER from the already-collected,
+    // already-validated rows (a LocalRelation — the right source is
+    // never re-scanned and NOTHING aggregates in the plan, so the only
+    // exchange is the broadcast itself), composite keys are plain
+    // multi-condition equi-join keys (no struct packing needed — null
+    // components match nothing by SQL equality), and the stream stays
+    // stateless: a stream-static left-outer join is append-mode legal.
+    // Semantics unchanged: missing key → null history → null payload;
+    // per-row visibility filter + last element exactly as before.
+    val spark = right.sparkSession
+    val selSchema = right
+      .select(keysR.map(col) ++ (col(timeR) +: payload.map(col)): _*).schema
+    val bk = keysR.indices.map(i => s"__bk$i")
+    val clash = (bk :+ "__hist").toSet & left.columns.toSet
+    require(clash.isEmpty, s"left columns collide with asof internals: $clash")
+    val histSchema = org.apache.spark.sql.types.StructType(
+      keysR.indices.map(i => selSchema(i).copy(name = bk(i))) :+
+        org.apache.spark.sql.types.StructField("__hist",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StructType(
+              selSchema(nK).copy(name = "__vt") +:
+                payload.zipWithIndex.map { case (p, i) =>
+                  selSchema(nK + 1 + i).copy(name = p)
+                }))))
+    val histRows = keyed.groupBy(r => (0 until nK).map(r.get)).toSeq.map {
       case (k, vs) =>
-        val arr = array(vs.sortBy(_.get(nK))(ord).toSeq.map { r =>
-          struct(lit(r.get(nK)).as("__vt") +:
-            payload.zipWithIndex.map { case (p, i) =>
-              lit(r.get(nK + 1 + i)).as(p) }: _*)
-        }: _*)
-        val keyLit =
-          if (nK == 1) lit(k.head)
-          else struct(k.zipWithIndex.map { case (v, i) => lit(v).as(s"k$i") }: _*)
-        keyLit -> arr
+        org.apache.spark.sql.Row.fromSeq(k ++ Seq(
+          vs.sortBy(_.get(nK))(ord).toSeq.map { r =>
+            org.apache.spark.sql.Row.fromSeq(
+              r.get(nK) +: payload.indices.map(i => r.get(nK + 1 + i)))
+          }))
     }
-    val histMap = map(entries.flatMap { case (k, v) => Seq(k, v) }: _*)
-    // the probe key mirrors the literal shape; a composite probe with ANY
-    // null component is nulled BEFORE the lookup (match-nothing per SQL
-    // equality) rather than trusting struct-equality null semantics
-    val probeKey =
-      if (nK == 1) col(keysL.head)
-      else when(keysL.map(col(_).isNotNull).reduce(_ && _),
-        struct(keysL.zipWithIndex.map { case (c, i) => col(c).as(s"k$i") }: _*))
-    val visible = filter(try_element_at(histMap, probeKey),
-      v => v.getField("__vt") <= col(timeL))
+    import scala.jdk.CollectionConverters._
+    val hist = spark.createDataFrame(histRows.asJava, histSchema)
+    val cond = keysL.zip(bk).map { case (l, b) => col(l) === col(b) }
+      .reduce(_ && _)
+    val joined = left.join(broadcast(hist), cond, "left")
+    val visible = filter(col("__hist"), v => v.getField("__vt") <= col(timeL))
     val matched = try_element_at(visible, lit(-1))
-    payload.foldLeft(left) { case (df, p) =>
+    payload.foldLeft(joined) { case (df, p) =>
       df.withColumn(p, matched.getField(p))
-    }
+    }.drop("__hist").drop(bk: _*)
   }
 
   def asof(left: DataFrame, right: DataFrame,

@@ -136,10 +136,15 @@ class AsofSpec extends AnyFunSuite {
     val bc = AsofJoin.asofBroadcast(left, right(), "k", "k", "t", "t", Seq("v", "tag"))
     assert(canon(bc) == canon(
       AsofJoin.asof(left, right(), "k", "k", "t", "t", Seq("v", "tag"))))
-    // the entire point: a narrow plan — no shuffle, no window sort
+    // the entire point: no SHUFFLE, no window sort — the only exchange
+    // is the broadcast of the plan-resident history relation, and the
+    // probe is a hash join (round 14: the map-literal probe was a linear
+    // scan per row)
     val plan = bc.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange") && !plan.contains("Window"),
-      s"broadcast asof must stay exchange-free:\n$plan")
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Window"),
+      s"broadcast asof must stay shuffle-free:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"broadcast asof should probe via a hash join:\n$plan")
   }
 
   test("asofBroadcast matches brute force on seeded random data") {

@@ -283,10 +283,14 @@ class PlanSpec extends AnyFunSuite {
       "composite key column leaked into the output schema")
   }
 
-  test("broadcast asof probe is exchange- and window-free") {
+  test("broadcast asof probe is shuffle- and window-free (hash join, round 14)") {
+    // the probe is a BroadcastHashJoin against the plan-resident history
+    // relation (round 14 — the earlier map-literal probe linear-scanned
+    // all keys per row); no shuffle, no window sort anywhere
     val p = plan("j4_asof_broadcast")
-    assert(!p.contains("Exchange") && !p.contains("Window") && !p.contains("Join"),
-      s"broadcast asof must be a narrow map:\n$p")
+    assert(!p.contains("ShuffleExchange") && !p.contains("Window") &&
+      p.contains("BroadcastHashJoin"),
+      s"broadcast asof must be a broadcast hash probe:\n$p")
   }
 
   test("familiarity scoring is join-free: the bigram table rides as a map literal") {
