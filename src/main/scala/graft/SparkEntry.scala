@@ -3538,6 +3538,150 @@ object SparkEntry {
       "select doc_id, source, n_chars where source like 'sr_1%' " +
         "and source not like '%_9' and n_chars >= 400 order by doc_id")
 
+  /** p101: STRING SURGERY at the front door — literal replace, 1-based
+    * field extraction (out-of-range → '' on both engines), padding with
+    * truncation, reversal, and strpos (1-based, 0 when absent — BIGINT,
+    * so it gates rows in WHERE). All compile to codegen'd Catalyst
+    * string expressions; search/separator/pad arguments are
+    * parse-enforced non-empty literals so engine-specific empty-pattern
+    * conventions never engage. */
+  private def p101SqlStrings(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.orders(s, dir),
+      "select o_orderkey, replace(o_orderpriority, '-', '_') as pri, " +
+        "split_part(o_orderpriority, '-', 2) as word, " +
+        "split_part(o_orderpriority, '-', 3) as oob, " +
+        "lpad(o_orderstatus, 3, '.') as padded, " +
+        "reverse(o_orderpriority) as rev, " +
+        "strpos(o_orderpriority, 'E') as ep " +
+        "where o_orderkey < 500 and strpos(o_orderpriority, 'I') > 0 " +
+        "order by o_orderkey")
+
+  /** p102: max_by/min_by — argmax as an AGGREGATE, DETERMINISTIC by
+    * contract (ties in the ordering value break toward the larger/
+    * smaller carried value — ANSI leaves ties undefined, which no oracle
+    * can verify). Compiled to ONE struct-ordered max/min: one hash
+    * aggregate with map-side partials, no window, no second pass — at
+    * 100 TB this is "latest value per key" without a sort. The carried
+    * value keeps its RAW type (l_linestatus is a string); the oracle
+    * mirrors the tie contract with DuckDB's own struct_pack max/min. */
+  private def p102SqlMaxBy(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.lineitem(s, dir),
+      "select max_by(l_linestatus, l_extendedprice) as top_status, " +
+        "min_by(l_suppkey, l_quantity) as cheap_supp, " +
+        "max_by(l_extendedprice, l_quantity) as heavy_price " +
+        "group by l_returnflag order by l_returnflag")
+      .select(col("l_returnflag"), col("top_status"), col("cheap_supp"),
+        round3("heavy_price"))
+
+  /** p103: string_agg — a group's values joined by a literal separator,
+    * SORTED ascending by value (deterministic contract: ANSI's undefined
+    * order has no oracle; DuckDB spells the same contract with
+    * `ORDER BY` inside the call). NULLs are skipped; an all-null group
+    * is NULL, not ''. The one collect_list in the SQL registry — output
+    * size is the group's value payload, the same scale class as the
+    * result row itself. */
+  private def p103SqlStringAgg(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.nation(s, dir),
+      "select string_agg(n_name, ',') as nations, count(*) as n " +
+        "group by n_regionkey order by n_regionkey")
+      .select(col("n_regionkey"), col("nations"), round3("n"))
+
+  /** p104: count(distinct x) — the ANSI spelling next to the reference's
+    * +1-nil count_distinct (a5): NULL is NOT counted, so a CASE-gated
+    * argument counts only the rows that satisfy the gate ("distinct
+    * heavy users") — the conditional-distinct staple. Compiles to
+    * Spark's count_distinct (expand + two-phase aggregate). */
+  private def p104SqlCountDistinct(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir),
+      "select count(distinct case when value > 90 then user_id end) " +
+        "as heavy_users, count(distinct event_type) as kinds, " +
+        "count(*) as n group by event_type order by event_type")
+      .select(col("event_type"), col("heavy_users"), col("kinds"), round3("n"))
+
+  /** p105: LIMIT/OFFSET pagination — rows m+1 … m+n of a TOTAL order
+    * (doc_id breaks n_chars ties). Spark folds offset+limit into one
+    * TakeOrdered boundary: the page costs what the first m+n rows cost,
+    * never a global materialization — the 100 TB-safe page fetch. */
+  private def p105SqlOffset(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select doc_id, source, n_chars where n_chars >= 200 " +
+        "order by n_chars desc, doc_id limit 25 offset 40")
+
+  /** p106: explicit `nulls first/last` — the engines' DEFAULTS DIFFER
+    * (Spark ASC puts nulls first, DuckDB last), so a nullable sort key
+    * must spell the placement to be portable; here a CASE-gated measure
+    * is null on ~half the rows and the spelled `nulls last` makes both
+    * engines agree on the page. */
+  private def p106SqlNullsOrder(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir),
+      "select event_id, case when value > 50 then value end as v " +
+        "where event_id < 160 order by v desc nulls last, event_id limit 150")
+      .select(col("event_id"), round3("v"))
+
+  /** p107: date_trunc — the CALENDAR ROLLUP key (p82's field extractors
+    * label rows with numbers; this yields the real month TIMESTAMP, so
+    * the rollup keeps calendar identity). The truncation projects in a
+    * derived table and the outer groups by it — Catalyst collapses the
+    * composition into one scan+aggregate pass, and the group key renders
+    * through the engine's string carrier like every key. DuckDB returns
+    * DATE for day-and-coarser units, so the oracle casts to TIMESTAMP
+    * first. */
+  private def p107SqlDateTrunc(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.runCatalog(Map("orders" -> Tables.orders(s, dir)),
+      "select count(*) as n, max(o_totalprice) as mx from " +
+        "(select date_trunc('month', o_orderdate) as mo, o_totalprice " +
+        "from orders where o_orderkey < 3000) group by mo order by mo")
+      .select(col("mo"), round3("n"), round3("mx"))
+
+  /** p109: percentile(x, q) — the ARBITRARY exact interpolated quantile
+    * (p50/p90/p99 generalize to any literal q; DuckDB: quantile_cont);
+    * expression measures quantile too. Alias required — two quantiles of
+    * one column must not collide on a default name. */
+  private def p109SqlPercentile(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.lineitem(s, dir),
+      "select percentile(l_extendedprice, 0.25) as q1, " +
+        "percentile(l_extendedprice, 0.75) as q3, " +
+        "percentile(l_quantity * (1 - l_discount), 0.9) as eff90 " +
+        "group by l_returnflag order by l_returnflag")
+      .select(col("l_returnflag"), round6("q1"), round6("q3"), round6("eff90"))
+
+  /** p110: boolean HAVING — `(… or …) and not …` over aggregate
+    * comparisons, the same OR/AND/NOT/parens structure WHERE has (the
+    * legacy HAVING was AND-only). Filter-only aggregates (max/min here)
+    * ride the same hash aggregate and are pruned from the output; the
+    * whole filter runs post-aggregation, so at scale it prunes groups
+    * before any sort stage. NOT is three-valued like SQL. */
+  private def p110SqlHavingBool(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir),
+      "select count(*) as n, mean(value) as m group by user_id " +
+        "having (mean(value) > 52 or max(value) > 300) " +
+        "and not min(value) < 0.5 order by user_id")
+      .select(col("user_id"), round3("n"), round6("m"))
+
+  /** p111: isodow/second — the day-of-week profile (p83's hour profile
+    * by calendar DAY instead): isodow is ISO 1=Monday…7=Sunday on both
+    * engines (Spark spells it weekday()+1), second truncates the
+    * fraction on both. Same one-pass derived-key collapse as p107. */
+  private def p111SqlDow(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.runCatalog(Map("events" -> Tables.events(s, dir)),
+      "select count(*) as n, mean(value) as m, count(distinct sec) as secs " +
+        "from (select isodow(ts) as dw, second(ts) as sec, value " +
+        "from events) group by dw order by dw")
+      .select(col("dw"), round3("n"), round6("m"), col("secs"))
+
+  /** p108: `%` and sign() — modulo bucketing (the poor man's hash
+    * partition key) and signum. The remainder is C-style (sign of the
+    * DIVIDEND, null on a zero divisor) computed in double like every
+    * measure; DuckDB's `%` agrees exactly — its fmod() is the FLOORED
+    * variant and never appears in an oracle. sign() is DOUBLE here,
+    * integer-typed in DuckDB (the oracle casts). */
+  private def p108SqlModSign(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.runCatalog(Map("lineitem" -> Tables.lineitem(s, dir)),
+      "select count(*) as n, sum(sign(l_extendedprice - 30000)) as bal from " +
+        "(select l_orderkey % 7 as b, l_extendedprice from lineitem) " +
+        "group by b order by b")
+      .select(col("b"), round3("n"), round3("bal"))
+
   /** p59: `select distinct` — the raw-projection dedup primitive: one
     * shuffle on the (narrow, already-projected) columns, ORDER BY after.
     * Closes the r12 "set operations at the front door" gap with p60. */
@@ -4816,6 +4960,17 @@ object SparkEntry {
     "p98_sql_star" -> (p98SqlStar _),
     "p99_sql_warehouse" -> (p99SqlWarehouse _),
     "p100_sql_like" -> (p100SqlLike _),
+    "p101_sql_strings" -> (p101SqlStrings _),
+    "p102_sql_max_by" -> (p102SqlMaxBy _),
+    "p103_sql_string_agg" -> (p103SqlStringAgg _),
+    "p104_sql_count_distinct" -> (p104SqlCountDistinct _),
+    "p105_sql_offset" -> (p105SqlOffset _),
+    "p106_sql_nulls_order" -> (p106SqlNullsOrder _),
+    "p107_sql_date_trunc" -> (p107SqlDateTrunc _),
+    "p108_sql_mod_sign" -> (p108SqlModSign _),
+    "p109_sql_percentile" -> (p109SqlPercentile _),
+    "p110_sql_having_bool" -> (p110SqlHavingBool _),
+    "p111_sql_dow" -> (p111SqlDow _),
     "st_asof" -> (stAsof _),
     "p86_sql_explode" -> (p86SqlExplode _),
     "p86b_sql_explode_raw" -> (p86bSqlExplodeRaw _),
@@ -6403,6 +6558,99 @@ object SparkEntry {
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE source LIKE 'sr_1%' AND source NOT LIKE '%_9'
         |  AND n_chars >= 400 ORDER BY doc_id""".stripMargin,
+    "p101_sql_strings" ->
+      // literal search/replace and 1-based field ops — identical edge
+      // semantics (out-of-range split_part → '', lpad truncates)
+      """SELECT o_orderkey, replace(o_orderpriority, '-', '_') AS pri,
+        |  split_part(o_orderpriority, '-', 2) AS word,
+        |  split_part(o_orderpriority, '-', 3) AS oob,
+        |  lpad(o_orderstatus, 3, '.') AS padded,
+        |  reverse(o_orderpriority) AS rev,
+        |  strpos(o_orderpriority, 'E') AS ep
+        |FROM orders
+        |WHERE o_orderkey < 500 AND strpos(o_orderpriority, 'I') > 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "p102_sql_max_by" ->
+      // DuckDB's max_by leaves ties undefined — the struct-ordered
+      // max/min spells the SAME deterministic tie contract as the engine
+      // (ties in o break toward the larger/smaller v)
+      """SELECT l_returnflag,
+        |  (max(struct_pack(o := l_extendedprice, v := l_linestatus))).v
+        |    AS top_status,
+        |  (min(struct_pack(o := l_quantity, v := l_suppkey))).v
+        |    AS cheap_supp,
+        |  round((max(struct_pack(o := l_quantity, v := l_extendedprice))).v,
+        |    3) AS heavy_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "p103_sql_string_agg" ->
+      // ORDER BY inside the call = the engine's sorted-ascending contract
+      """SELECT CAST(n_regionkey AS VARCHAR) AS n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS n
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
+    "p104_sql_count_distinct" ->
+      // ANSI distinct: NULL (the CASE fall-through) is NOT counted
+      """SELECT event_type,
+        |  CAST(count(DISTINCT CASE WHEN value > 90 THEN user_id END)
+        |    AS BIGINT) AS heavy_users,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS kinds,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "p105_sql_offset" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE n_chars >= 200
+        |ORDER BY n_chars DESC, doc_id LIMIT 25 OFFSET 40""".stripMargin,
+    "p106_sql_nulls_order" ->
+      // the spelled placement is what makes the two engines agree —
+      // their ASC/DESC defaults for NULLs are opposite
+      """SELECT event_id,
+        |  round(CASE WHEN value > 50 THEN value END, 3) AS v
+        |FROM events WHERE event_id < 160
+        |ORDER BY v DESC NULLS LAST, event_id LIMIT 150""".stripMargin,
+    "p107_sql_date_trunc" ->
+      // DuckDB date_trunc returns DATE for day-and-coarser units — cast
+      // to TIMESTAMP to match the engine's timestamp contract; the group
+      // key then renders through the string carrier like every key
+      """SELECT CAST(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+        |    AS VARCHAR) AS mo,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS n,
+        |  round(max(o_totalprice), 3) AS mx
+        |FROM orders WHERE o_orderkey < 3000
+        |GROUP BY 1""".stripMargin,
+    "p111_sql_dow" ->
+      // isodow is 1=Monday on both engines; second truncates fractions
+      """SELECT CAST(isodow(ts) AS VARCHAR) AS dw,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS n,
+        |  round(avg(value), 6) AS m,
+        |  CAST(count(DISTINCT second(ts)) AS BIGINT) AS secs
+        |FROM events GROUP BY 1""".stripMargin,
+    "p110_sql_having_bool" ->
+      // boolean HAVING over aggregate comparisons — the group key
+      // renders through the engine's string carrier
+      """SELECT CAST(user_id AS VARCHAR) AS user_id,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS n,
+        |  round(avg(value), 6) AS m
+        |FROM events GROUP BY user_id
+        |HAVING (avg(value) > 52 OR max(value) > 300)
+        |  AND NOT min(value) < 0.5""".stripMargin,
+    "p109_sql_percentile" ->
+      // exact interpolated quantiles — quantile_cont is DuckDB's
+      // spelling of the same interpolation; 6dp like a11
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS q1,
+        |  round(quantile_cont(l_extendedprice, 0.75), 6) AS q3,
+        |  round(quantile_cont(l_quantity * (1 - l_discount), 0.9), 6)
+        |    AS eff90
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "p108_sql_mod_sign" ->
+      // `%` (NOT fmod — DuckDB's fmod is floored): sign-of-dividend
+      // remainder, double like the engine's measures; sign() casts to
+      // DOUBLE (DuckDB's is integer-typed)
+      """SELECT CAST(CAST(l_orderkey AS DOUBLE) % 7 AS VARCHAR) AS b,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS n,
+        |  round(sum(CAST(sign(l_extendedprice - 30000) AS DOUBLE)), 3)
+        |    AS bal
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "st_asof" ->
       // the streaming composite asof vs DuckDB's native multi-key ASOF
       // LEFT JOIN on the original data; NULLS LAST spelled on both sides

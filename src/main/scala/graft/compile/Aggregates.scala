@@ -73,6 +73,12 @@ object Aggregates {
         case "-" => a - b
         case "*" => a * b
         case "/" => try_divide(a, b)
+        // `%` (p108): C-style remainder — sign of the DIVIDEND, computed
+        // in double like every measure; DuckDB's `%` agrees exactly
+        // (sign of dividend, NULL on a zero divisor — its fmod() is the
+        // FLOORED variant and must never appear in an oracle). The
+        // when-guard pins the zero case to null on dirty data.
+        case "%" => when(b === lit(0.0), lit(null)).otherwise(a % b)
         case other => throw new IllegalArgumentException(s"bad measure op '$other'")
       }
     case MeasureExpr.Func(name, args) =>
@@ -127,11 +133,16 @@ object Aggregates {
               s"$f takes a timestamp (or date) column, got $other")
           }
           (f match {
-            case "year"  => year(c)
-            case "month" => month(c)
-            case "day"   => dayofmonth(c)
-            case "hour"  => hour(c)
-            case _       => minute(c)
+            case "year"   => year(c)
+            case "month"  => month(c)
+            case "day"    => dayofmonth(c)
+            case "hour"   => hour(c)
+            case "minute" => minute(c)
+            // p111: integer seconds (fraction truncated, both engines)
+            case "second" => second(c)
+            // p111: ISO day-of-week 1=Monday…7=Sunday — Spark's weekday()
+            // is 0=Monday; DuckDB's isodow is already 1-based
+            case _        => weekday(c) + lit(1)
           }).cast(LongType)
         // null-handling scalars (p84): identical semantics on both
         // engines — coalesce takes the first non-null, nullif(x, y) nulls
@@ -163,9 +174,51 @@ object Aggregates {
           }
           val ex = get_json_object(src, "$." + key)
           if (name == "json_num") ex.try_cast(DoubleType) else ex
+        // sign (p108): signum in double — DuckDB's sign() returns an
+        // integer-typed -1/0/1, so oracles cast (sign(x)::DOUBLE)
+        case "sign" => signum(a(0))
+        // mod(x, y) (p108): the named spelling of `%` — same C-style
+        // remainder, same null-on-zero-divisor discipline
+        case "mod" => when(a(1) === lit(0.0), lit(null)).otherwise(a(0) % a(1))
+        // date_trunc (p107): calendar truncation to a real TIMESTAMP
+        // under the UTC contract — the monthly/weekly rollup key. Spark
+        // and DuckDB agree on every accepted unit (ISO weeks start
+        // Monday on both) — but DuckDB RETURNS DATE for day-and-coarser
+        // units, so oracles spell CAST(date_trunc(…) AS TIMESTAMP).
+        // Unit is a parse-enforced literal from the shared vocabulary;
+        // the argument is a bare timestamp column.
+        case "date_trunc" =>
+          val unit = args.head match {
+            case MeasureExpr.StrLit(u) => u
+            case other => throw new IllegalArgumentException(
+              s"date_trunc unit must be a string literal, got $other")
+          }
+          val c = args(1) match {
+            case MeasureExpr.Col(n) => Compiler.colRef(n)
+            case other => throw new IllegalArgumentException(
+              s"date_trunc takes a timestamp (or date) column, got $other")
+          }
+          date_trunc(unit, c)
+        // strpos (p101): 1-based position of a literal substring, 0 when
+        // absent — BIGINT on both engines, so it enters arithmetic and
+        // predicates (`strpos(url, '://') > 0`)
+        case "strpos" =>
+          val sub = args(1) match {
+            case MeasureExpr.StrLit(v) => v
+            case other => throw new IllegalArgumentException(
+              s"strpos search must be a string literal, got $other")
+          }
+          val src = args.head match {
+            case MeasureExpr.Col(n) => Compiler.colRef(n)
+            case e if MeasureExpr.isString(e) => measureCol(e, schema)
+            case other => throw new IllegalArgumentException(
+              s"strpos takes a string column/expression, got $other")
+          }
+          instr(src, sub).cast(LongType)
         // string functions (p79): the argument is a RAW column or a
         // nested string expression — never the numeric view
-        case "lower" | "upper" | "trim" | "substr" | "concat" =>
+        case "lower" | "upper" | "trim" | "substr" | "concat" |
+             "replace" | "split_part" | "lpad" | "rpad" | "reverse" =>
           def strArg(x: MeasureExpr): Column = x match {
             case MeasureExpr.Col(n) => Compiler.colRef(n)
             case other if MeasureExpr.isString(other) => measureCol(other, schema)
@@ -181,6 +234,27 @@ object Aggregates {
             // also NULL-propagates (DuckDB's own concat() skips NULLs,
             // so oracles must never use it)
             case "concat" => concat(args.map(strArg): _*)
+            // p101 string surgery — literal search/separator/pad
+            // arguments are parse-enforced (non-empty string literals),
+            // so both engines see the same well-defined edge behavior
+            case "replace" =>
+              val MeasureExpr.StrLit(se) = args(1): @unchecked
+              val MeasureExpr.StrLit(re) = args(2): @unchecked
+              // LITERAL search/replace (StringReplace, codegen'd) —
+              // never a regex, so '.'/'%' need no escaping
+              org.apache.spark.sql.functions.replace(
+                strArg(args.head), lit(se), lit(re))
+            case "split_part" =>
+              val MeasureExpr.StrLit(sp) = args(1): @unchecked
+              val MeasureExpr.Lit(ix) = args(2): @unchecked
+              // 1-based; an out-of-range index yields '' on BOTH engines
+              split_part(strArg(args.head), lit(sp), lit(ix.toInt))
+            case "lpad" | "rpad" =>
+              val MeasureExpr.Lit(len) = args(1): @unchecked
+              val MeasureExpr.StrLit(pad) = args(2): @unchecked
+              if (name == "lpad") lpad(strArg(args.head), len.toInt, pad)
+              else rpad(strArg(args.head), len.toInt, pad)
+            case "reverse" => reverse(strArg(args.head))
             case _ => // substr(s, start, len) — 1-based on both engines
               val st = args(1).asInstanceOf[MeasureExpr.Lit].value.toInt
               val ln = args(2).asInstanceOf[MeasureExpr.Lit].value.toInt
@@ -204,6 +278,16 @@ object Aggregates {
       orElse.map(e2 => chained.otherwise(measureCol(e2, schema))).getOrElse(chained)
   }
 
+  /** RAW-preserving view of a measure expression: a bare column reads
+    * its STORAGE type (string/timestamp survive — the numeric view would
+    * destroy them), anything else compiles through [[measureCol]]. The
+    * value/ordering arguments of max_by/min_by/string_agg, where "the
+    * value" means the stored value, not its numeric parse. */
+  def rawish(e: MeasureExpr, schema: StructType): Column = e match {
+    case MeasureExpr.Col(n) => Compiler.colRef(n)
+    case other              => measureCol(other, schema)
+  }
+
   /** Post-aggregate expression column ([[AggExpr]]): a scalar projection
     * over component aggregate outputs — each leaf call reads the column
     * its internal alias named in the same aggregation; `/` keeps the
@@ -220,6 +304,7 @@ object Aggregates {
         case "-" => a - b
         case "*" => a * b
         case "/" => try_divide(a, b)
+        case "%" => when(b === lit(0.0), lit(null)).otherwise(a % b)
         case other => throw new IllegalArgumentException(s"bad post-aggregate op '$other'")
       }
   }
@@ -265,6 +350,16 @@ object Aggregates {
       case Agg.P50       => percentile(v, lit(0.5))
       case Agg.P90       => percentile(v, lit(0.9))
       case Agg.P99       => percentile(v, lit(0.99))
+      // arbitrary exact quantile (p109): q rides expr2 as a parse-
+      // enforced literal; same interpolated machinery as P50 (DuckDB:
+      // quantile_cont)
+      case Agg.Percentile =>
+        val q = sel.expr2 match {
+          case Some(MeasureExpr.Lit(d)) => d
+          case other => throw new IllegalArgumentException(
+            s"percentile fraction must be a literal, got $other")
+        }
+        percentile(v, lit(q))
       case Agg.P50Approx => percentile_approx(v, lit(0.5), lit(10000))
       // dispersion (extensions): SAMPLE forms with plain ANSI semantics —
       // unweighted like the percentile family (a weighted stddev has no
@@ -286,6 +381,42 @@ object Aggregates {
       case Agg.RegrIntercept =>
         regr_intercept(measureCol(sel.expr.get, schema),
           measureCol(sel.expr2.get, schema))
+      // max_by/min_by (p102): ONE struct-ordered max/min — the ordering
+      // value leads the struct, the carried value follows, so ties in y
+      // break toward the larger (max_by) / smaller (min_by) x and the
+      // result is DETERMINISTIC (ANSI leaves ties undefined — an oracle
+      // cannot verify that). Rows with NULL y are skipped via the when-
+      // guard (the struct itself goes NULL and max/min ignore NULLs).
+      // Bare columns keep their RAW type (a string x is the dedup-keep-
+      // best carrier; a timestamp y is "latest value"); expressions ride
+      // the measure grammar. One hash aggregate, map-side partials.
+      case Agg.MaxBy | Agg.MinBy =>
+        val x = rawish(sel.expr.get, schema)
+        val y = rawish(sel.expr2.get, schema)
+        val pair = when(y.isNotNull, struct(y.as("o"), x.as("v")))
+        (if (sel.agg == Agg.MaxBy) max(pair) else min(pair)).getField("v")
+      // string_agg (p103): the group's values, NULLs skipped, SORTED
+      // ascending by value (deterministic contract — ANSI's undefined
+      // order has no oracle), joined by the literal separator. A group
+      // with zero non-null values yields NULL (DuckDB string_agg
+      // parity — concat_ws alone would yield ''). collect_list is the
+      // one non-codegen aggregate in the registry: output size is the
+      // group's value payload, the same scale class as the result row.
+      case Agg.StringAgg =>
+        val c = rawish(sel.expr.getOrElse(MeasureExpr.Col(sel.column)), schema)
+        val sep = sel.expr2 match {
+          case Some(MeasureExpr.StrLit(v)) => v
+          case other => throw new IllegalArgumentException(
+            s"string_agg separator must be a string literal, got $other")
+        }
+        when(count(c) === lit(0L), lit(null).cast(StringType))
+          .otherwise(concat_ws(sep, array_sort(collect_list(c.cast(StringType)))))
+      // count(distinct x) (p104): the ANSI spelling — NULL is NOT
+      // counted, unlike the reference's +1-nil count_distinct. Plain
+      // selects count distinct STORAGE values (string identity, like
+      // count_distinct); expression measures count the computed value.
+      case Agg.DistinctCount =>
+        countDistinct(sel.expr.map(_ => v).getOrElse(Compiler.colRef(sel.column)))
       case Agg.Raw | Agg.Heatmap =>
         throw new IllegalArgumentException(
           s"${sel.agg.name} is handled at the pipeline level, not as an aggregate")
@@ -356,8 +487,14 @@ object Aggregates {
           if (!Agg.twoArg(s.agg)) s
           else {
             val (ca, cb) = (s"__mx$i", s"__my$i")
-            d = d.withColumn(ca, measureCol(s.expr.get, df0.schema))
-              .withColumn(cb, measureCol(s.expr2.get, df0.schema))
+            // max_by/min_by carry RAW values (string/timestamp survive);
+            // the numeric pre-materialization would destroy them
+            val mat: MeasureExpr => Column =
+              if (s.agg == Agg.MaxBy || s.agg == Agg.MinBy)
+                rawish(_, df0.schema)
+              else measureCol(_, df0.schema)
+            d = d.withColumn(ca, mat(s.expr.get))
+              .withColumn(cb, mat(s.expr2.get))
             s.copy(expr = Some(MeasureExpr.Col(ca)),
               expr2 = Some(MeasureExpr.Col(cb)))
           }

@@ -83,6 +83,22 @@ object Compiler {
     preds.reduceOption(_ && _).map(timeBounded.filter).getOrElse(timeBounded)
   }
 
+  /** One sort key: direction plus the explicit `nulls first/last`
+    * placement when the query spelled one (p106). Without a spelling the
+    * engine default applies (Spark: ASC nulls first / DESC nulls last —
+    * DuckDB's default is the opposite, so nullable sort keys should
+    * always spell it; the engine's own keys are non-null by
+    * construction). */
+  def orderCol(c: Column, ob: OrderBy): Column =
+    (ob.dir, ob.nullsFirst) match {
+      case (SortDir.Asc, None)         => c.asc
+      case (SortDir.Desc, None)        => c.desc
+      case (SortDir.Asc, Some(true))   => c.asc_nulls_first
+      case (SortDir.Asc, Some(false))  => c.asc_nulls_last
+      case (SortDir.Desc, Some(true))  => c.desc_nulls_first
+      case (SortDir.Desc, Some(false)) => c.desc_nulls_last
+    }
+
   /** Group keys with the reference's `__nil` sentinel for missing values
     * (lib.rs:547-551). Rendered as strings, as the reference does. */
   def groupKeys(q: ZxQuery, schema: StructType): Seq[Column] =
@@ -108,8 +124,9 @@ object Compiler {
     * UNROUNDED aggregate outputs (map-side partials already merged), so at
     * scale it prunes groups before any sort/limit stage. Numeric-literal
     * comparators only — an aggregate output is always numeric. */
-  private[graft] def havingFilter(df: DataFrame, having: Seq[Having]): DataFrame = {
-    val preds = having.map { h =>
+  private[graft] def havingFilter(df: DataFrame, having: Seq[Having],
+                                  tree: Option[HavingTree] = None): DataFrame = {
+    def leaf(h: Having): Column = {
       val c = colRef(h.select.key)
       val v = h.value.toDoubleOption.map(lit).getOrElse(throw new IllegalArgumentException(
         s"having ${h.select.key}: numeric literal required, got '${h.value}'"))
@@ -124,8 +141,24 @@ object Compiler {
           s"having supports numeric comparators, got ${other.name}")
       }
     }
+    // boolean HAVING structure (p110): same three-valued semantics as
+    // WHERE — NOT(NULL) stays NULL, the group drops
+    def treeCol(t: HavingTree): Column = t match {
+      case HavingTree.Leaf(h)  => leaf(h)
+      case HavingTree.And(cs)  => cs.map(treeCol).reduce(_ && _)
+      case HavingTree.Or(cs)   => cs.map(treeCol).reduce(_ || _)
+      case HavingTree.Not(c)   => !treeCol(c)
+    }
+    val preds = having.map(leaf) ++ tree.map(treeCol)
     preds.reduceOption(_ && _).map(df.filter).getOrElse(df)
   }
+
+  /** Every aggregate a query's HAVING references — conjunct vector plus
+    * boolean-tree leaves. These ride the same hash aggregate as visible
+    * selects and are pruned from the output. */
+  private[graft] def havingSelects(q: ZxQuery): Seq[Select] =
+    q.having.map(_.select) ++
+      q.havingTree.map(HavingTree.selects).getOrElse(Nil)
 
   /** Component aggregates the post-aggregate selects need — they ride the
     * SAME hash aggregate (and salted decomposition) as visible selects,
@@ -148,12 +181,12 @@ object Compiler {
     val wStart = (floor(col(tsCol).cast(LongType) / q.granularitySec) *
       q.granularitySec).cast(LongType).as("w_start")
     val keys = groupKeys(q, df.schema) :+ wStart
-    val extraSels = (q.having.map(_.select) ++ postComponents(q))
+    val extraSels = (havingSelects(q) ++ postComponents(q))
       .filterNot(s => q.selects.contains(s) || s.agg == Agg.Raw).distinct
     val grouped = withPostSelects(
       Aggregates.groupedAgg(filtered, keys, q.groupBy :+ "w_start",
         q.selects ++ extraSels, df.schema, q.skewSalt), q)
-    val kept = havingFilter(grouped, q.having)
+    val kept = havingFilter(grouped, q.having, q.havingTree)
     val pruned = if (extraSels.nonEmpty || q.postSelects.nonEmpty)
       kept.select((q.groupBy.map(colRef) :+ col("w_start")) ++
         q.selects.map(s => colRef(s.key)) ++
@@ -177,12 +210,12 @@ object Compiler {
     val win = window(timestamp_seconds(col(tsCol).cast(LongType)),
       s"${q.granularitySec} seconds", s"$slide seconds")
     val keys = groupKeys(q, df.schema) :+ win.as("__w")
-    val extraSels = (q.having.map(_.select) ++ postComponents(q))
+    val extraSels = (havingSelects(q) ++ postComponents(q))
       .filterNot(s => q.selects.contains(s) || s.agg == Agg.Raw).distinct
     val grouped = withPostSelects(
       Aggregates.groupedAgg(filtered, keys, q.groupBy :+ "__w",
         q.selects ++ extraSels, df.schema, q.skewSalt), q)
-    havingFilter(grouped, q.having)
+    havingFilter(grouped, q.having, q.havingTree)
       .select((q.groupBy.map(colRef) ++ Seq(
         col("__w.start").cast(LongType).as("w_start"),
         col("__w.end").cast(LongType).as("w_end")) ++
@@ -214,12 +247,12 @@ object Compiler {
     val sw = session_window(
       timestamp_seconds(col(tsCol).cast(LongType)), s"$gap seconds")
     val keys = groupKeys(q, df.schema) :+ sw.as("__sw")
-    val extraSels = (q.having.map(_.select) ++ postComponents(q))
+    val extraSels = (havingSelects(q) ++ postComponents(q))
       .filterNot(s => q.selects.contains(s) || s.agg == Agg.Raw).distinct
     val grouped = withPostSelects(
       Aggregates.groupedAgg(filtered, keys, q.groupBy :+ "__sw",
         q.selects ++ extraSels, df.schema, None), q)
-    havingFilter(grouped, q.having)
+    havingFilter(grouped, q.having, q.havingTree)
       .select((q.groupBy.map(colRef) ++ Seq(
         col("__sw.start").cast(LongType).as("w_start"),
         col("__sw.end").cast(LongType).as("w_end")) ++
@@ -256,7 +289,7 @@ object Compiler {
     val gap = q.sessionGapSec.getOrElse(
       throw new IllegalArgumentException("runSessionTwoLevel needs sessionGapSec"))
     require(salts > 0, s"salts must be positive, got $salts")
-    val extraSels = (q.having.map(_.select) ++ postComponents(q))
+    val extraSels = (havingSelects(q) ++ postComponents(q))
       .filterNot(s => q.selects.contains(s) || s.agg == Agg.Raw).distinct
     val sels = q.selects ++ extraSels
     val (partials, finals) = sels.zipWithIndex
@@ -278,7 +311,7 @@ object Compiler {
     val merged = withPostSelects(level1
       .groupBy(q.groupBy.map(colRef) :+ sw2.as("__sw2"): _*)
       .agg(finals.head, finals.tail: _*), q)
-    havingFilter(merged, q.having)
+    havingFilter(merged, q.having, q.havingTree)
       .select((q.groupBy.map(colRef) ++ Seq(
         col("__sw2.start").cast(LongType).as("w_start"),
         col("__sw2.end").cast(LongType).as("w_end")) ++
@@ -298,7 +331,7 @@ object Compiler {
                 sortOutput: Boolean = true): DataFrame = {
     val filtered = scanFilter(df, q, tsCol)
     val keys = groupKeys(q, df.schema)
-    val extraSels = (q.orderBy.map(_.select) ++ q.having.map(_.select) ++
+    val extraSels = (q.orderBy.map(_.select) ++ havingSelects(q) ++
         postComponents(q))
       .filterNot(s => q.selects.contains(s) || s.agg == Agg.Raw || s.agg == Agg.Heatmap)
       .distinct
@@ -306,11 +339,9 @@ object Compiler {
       if (q.rollup || q.cube || q.groupingSets.nonEmpty)
         rollupAgg(filtered, keys, q, q.selects ++ extraSels, df.schema)
       else Aggregates.groupedAgg(filtered, keys, q.groupBy,
-        q.selects ++ extraSels, df.schema, q.skewSalt), q), q.having)
-    val ordCols = q.orderBy.map { ob =>
-      val c = colRef(ob.select.key)
-      ob.dir match { case SortDir.Asc => c.asc; case SortDir.Desc => c.desc }
-    } ++ q.groupBy.map(colRef(_).asc)
+        q.selects ++ extraSels, df.schema, q.skewSalt), q), q.having, q.havingTree)
+    val ordCols = q.orderBy.map(ob => orderCol(colRef(ob.select.key), ob)) ++
+      q.groupBy.map(colRef(_).asc)
     // `sortOutput = false` (derived-table inner whose ORDER BY was
     // stripped): the frame feeds an outer aggregate, so the total-order
     // contract buys nothing — skip the range shuffle entirely
@@ -330,8 +361,14 @@ object Compiler {
         grouped.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") <= k).drop("__rn")
           .orderBy(ordCols: _*)
-      case (Some(k), None) => sorted.limit(k)
-      case _               => sorted
+      case (Some(k), None) =>
+        // pagination (p105): LIMIT n OFFSET m = rows m+1 … m+n of the
+        // ordered output. Spark folds offset+limit into ONE
+        // CollectLimit/TakeOrdered boundary — the page costs what the
+        // first m+n rows cost, never a full materialization.
+        q.offset.map(m => sorted.offset(m)).getOrElse(sorted).limit(k)
+      case (None, None) if q.offset.nonEmpty => sorted.offset(q.offset.get)
+      case _ => sorted
     }
     if (extraSels.nonEmpty || q.postSelects.nonEmpty)
       limited.select((q.groupBy.map(colRef) ++ q.selects.map(s => colRef(s.key)) ++

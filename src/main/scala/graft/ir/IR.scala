@@ -144,9 +144,39 @@ object Agg {
   // identical argument order and NULL-pair skipping on both engines
   case object RegrSlope     extends Agg("regr_slope")
   case object RegrIntercept extends Agg("regr_intercept")
+  // argmax/argmin as AGGREGATES (extensions): `max_by(x, y)` = the x of
+  // the row with the largest y — DETERMINISTIC by contract, unlike ANSI:
+  // ties in y break toward the larger x (max_by) / smaller x (min_by),
+  // so two engines (and two shuffle orders) always agree. Rows whose y
+  // is NULL are skipped (ANSI arg_max parity); x may be a string column
+  // (the dedup-keep-best carrier) or any numeric measure. Compiled as a
+  // single struct-ordered max/min — one hash aggregate, map-side
+  // partials, no window, no second pass.
+  case object MaxBy extends Agg("max_by")
+  case object MinBy extends Agg("min_by")
+  // `string_agg(col, 'sep')` (extension): concatenate a group's values —
+  // SORTED ascending by the value itself (deterministic by contract;
+  // ANSI leaves the order undefined, which no oracle can verify). NULLs
+  // are skipped; a group with no non-null values yields NULL (DuckDB
+  // string_agg parity). The separator is a string literal riding expr2.
+  case object StringAgg extends Agg("string_agg")
+  // `count(distinct x)` — the ANSI spelling: NULL is NOT counted (unlike
+  // the reference's count_distinct +1-nil convention, lib.rs:626-635,
+  // which keeps its own name). Accepts string expressions like the other
+  // distinct-counting aggregates.
+  case object DistinctCount extends Agg("distinct_count")
+  // `percentile(x, q)` (extension): the ARBITRARY exact interpolated
+  // quantile — p50/p90/p99 generalize to any q ∈ [0, 1] (the q rides
+  // Select.expr2 as a parse-enforced numeric literal). Same exact
+  // percentile machinery as P50 (DuckDB: quantile_cont); alias required
+  // — two quantiles of one column would otherwise collide on a default
+  // name. Unweighted like the whole percentile family; not
+  // salt-decomposable.
+  case object Percentile extends Agg("percentile")
 
   /** The two-argument aggregates — parsed as `agg(x, y) as name`. */
-  val twoArg: Set[Agg] = Set(Corr, CovarSamp, RegrSlope, RegrIntercept)
+  val twoArg: Set[Agg] = Set(Corr, CovarSamp, RegrSlope, RegrIntercept,
+    MaxBy, MinBy)
 }
 
 /** Arithmetic measure expression (extension — the reference aggregates
@@ -209,14 +239,44 @@ object MeasureExpr {
     // concat (p93): NULL-propagating concatenation (any NULL piece →
     // NULL — Spark concat; the oracle spells it `||`, which DuckDB also
     // NULL-propagates, unlike DuckDB's own concat())
-    "concat")
+    "concat",
+    // string-surgery functions (p101): literal search/replace, 1-based
+    // field extraction, padding (truncates when the input is already
+    // longer — both engines), and byte-order reversal — all identical
+    // row-wise semantics on Spark and DuckDB; search/separator/pad
+    // arguments are parse-enforced non-empty string literals so
+    // engine-specific empty-pattern conventions never engage
+    "replace", "split_part", "lpad", "rpad", "reverse")
+
+  /** Timestamp-RETURNING functions (p107): `date_trunc('<unit>', <ts
+    * col>)` — the calendar-rollup key. The result is a real TIMESTAMP
+    * under the engine-wide UTC contract: it projects, groups (via a
+    * derived table, like every computed key), and feeds max/min/
+    * count_distinct; it never enters arithmetic (extract fields with
+    * year/month/… for that) and never labels CASE branches. */
+  val timestampFuncs: Set[String] = Set("date_trunc")
+
+  /** Units both engines truncate identically (ISO weeks start Monday on
+    * both; quarters align to Jan/Apr/Jul/Oct). */
+  val dateTruncUnits: Set[String] =
+    Set("year", "quarter", "month", "week", "day", "hour", "minute")
+
+  /** True when the expression is TIMESTAMP-typed by construction. */
+  def isTimestamp(e: MeasureExpr): Boolean = e match {
+    case Func(f, _) => timestampFuncs(f)
+    case _          => false
+  }
 
   /** Calendar field extractors (p82): `year/month/day/hour/minute(<col>)`
     * over a RAW timestamp (or date) column — BIGINT fields, identical on
     * both engines under the engine-wide UTC contract (Tables.events pins
     * the session zone). The argument must be a bare column: the numeric
     * measure view would destroy a timestamp. */
-  val timeFuncs: Set[String] = Set("year", "month", "day", "hour", "minute")
+  val timeFuncs: Set[String] = Set("year", "month", "day", "hour", "minute",
+    // p111: second (integer seconds, fraction truncated on both engines)
+    // and isodow (ISO day-of-week, 1 = Monday … 7 = Sunday — DuckDB's
+    // isodow; Spark spells it weekday()+1) — the day-of-week profile key
+    "second", "isodow")
 
   /** True when the expression is STRING-typed by construction: string
     * literals, string functions, and CASE whose branch values are
@@ -579,8 +639,16 @@ object SeqOp {
 sealed trait SortDir
 object SortDir { case object Asc extends SortDir; case object Desc extends SortDir }
 
-/** Sort key for the runSorted path — lib.rs:178-188. */
-final case class OrderBy(select: Select, dir: SortDir)
+/** Sort key for the runSorted path — lib.rs:178-188.
+  *
+  * `nullsFirst` (extension): explicit SQL `nulls first` / `nulls last`.
+  * `None` keeps each engine's default — which DIFFERS (Spark ASC puts
+  * nulls first, DuckDB ASC puts nulls last), so any sort key that can be
+  * NULL should spell the placement explicitly; the engine's own sort
+  * keys (group keys, aggregate outputs under the `__nil` discipline) are
+  * non-null by construction and never need it. */
+final case class OrderBy(select: Select, dir: SortDir,
+                         nullsFirst: Option[Boolean] = None)
 
 /** Post-aggregation group filter (extension — SQL HAVING; the reference has
   * no aggregate filtering at all). `select` names the aggregate, `cmp` must
@@ -588,6 +656,39 @@ final case class OrderBy(select: Select, dir: SortDir)
   * aggregate named only in HAVING is computed for the filter and dropped
   * from the output, like sort-only aggregates. */
 final case class Having(select: Select, cmp: Cmp, value: String)
+
+/** Boolean STRUCTURE over HAVING comparisons (extension, p110): `having
+  * (sum(a) > 100 or count(*) > 50) and not min(b) < 3` — the same
+  * OR/AND/NOT/parens grammar WHERE has, with aggregate comparisons as
+  * leaves. A plain AND-chain keeps parsing to the legacy `Seq[Having]`
+  * (identical plans); only a query that actually spells OR/NOT carries a
+  * tree. NOT is three-valued like SQL: NOT(NULL) is NULL, the group
+  * drops. */
+sealed trait HavingTree
+object HavingTree {
+  final case class Leaf(h: Having) extends HavingTree
+  final case class And(children: Seq[HavingTree]) extends HavingTree
+  final case class Or(children: Seq[HavingTree]) extends HavingTree
+  final case class Not(child: HavingTree) extends HavingTree
+
+  /** Every aggregate comparison in the tree — the selects the
+    * aggregation must compute for the filter (then prune). */
+  def selects(t: HavingTree): Seq[Select] = t match {
+    case Leaf(h)      => Seq(h.select)
+    case And(cs)      => cs.flatMap(selects)
+    case Or(cs)       => cs.flatMap(selects)
+    case Not(c)       => selects(c)
+  }
+
+  /** A pure AND-of-leaves flattens to the legacy conjunct vector. */
+  def flatten(t: HavingTree): Option[Seq[Having]] = t match {
+    case Leaf(h) => Some(Seq(h))
+    case And(cs) =>
+      val fs = cs.map(flatten)
+      if (fs.forall(_.nonEmpty)) Some(fs.flatten.flatten) else None
+    case _ => None
+  }
+}
 
 /** Whole query — lib.rs:51-69. Time bounds are epoch seconds, inclusive,
   * defaulting to (epoch 0, now) (expr.rs:107-108); granularity defaults to
@@ -614,6 +715,13 @@ final case class ZxQuery(
     tEnd: Option[Long] = None,
     granularitySec: Long = 300L,
     limit: Option[Int] = None,
+    /** `offset <m>` (extension): skip the first m rows of the final
+      * ordered output — the pagination clause. Requires ORDER BY (an
+      * unordered offset is nondeterministic) and composes with `limit`
+      * as LIMIT n OFFSET m (rows m+1 … m+n). Deterministic only when the
+      * ORDER BY is a total order, same contract as `limit`. Batch-only;
+      * mutually exclusive with `limit per`. */
+    offset: Option[Int] = None,
     skewSalt: Option[Int] = None,
     exact: Boolean = false,
     /** The `from <table>` name, when the query spelled one. `run(df, …)`
@@ -646,6 +754,10 @@ final case class ZxQuery(
     equiJoins: Seq[EquiJoin] = Nil,
     /** HAVING conjuncts applied after aggregation (extension). */
     having: Seq[Having] = Nil,
+    /** Boolean HAVING structure (p110): set ONLY when the query spells
+      * OR / NOT / parens — a plain AND-chain stays in [[having]]. ANDed
+      * with [[having]] when both are set (they never are today). */
+    havingTree: Option[HavingTree] = None,
     /** Session windows (extension): group events whose gap to the previous
       * event is < this many seconds into one window (sessionization), in
       * place of fixed tumbling buckets. Mutually exclusive with `exact`

@@ -29,10 +29,22 @@ import graft.operators.GapWindows
   *     applied BEFORE everything else, so they compose with aggregates,
   *     windows, distinct, sequence ops, and streams — a stream-static
   *     semi/anti probe is stateless)
-  *   [group by [rollup|cube|sets] <col, …>] [having <aggitem cmp num and …>]
+  *   [group by [rollup|cube|sets] <col, …>]
+  *   [having <boolexpr over aggregate comparisons>]   — full OR/AND/NOT/
+  *     parens structure (p110, WHERE precedence); leaves are `aggitem
+  *     cmp num`; filter-only aggregates are computed and pruned; a pure
+  *     AND-chain keeps the legacy compile exactly
   *   [qualify <boolexpr over window aliases + selected cols>]
-  *   [order by <item> [asc|desc], …]
-  *   [limit <n> [per <col>]] [granularity <seconds>] [slide <seconds>]
+  *   [order by <item> [asc|desc] [nulls first|last], …]   — the engines'
+  *     null-placement DEFAULTS differ (Spark ASC = nulls first, DuckDB
+  *     ASC = nulls last): nullable sort keys spell it explicitly (p106)
+  *   [limit <n> [per <col>]] [offset <m>]   — LIMIT n OFFSET m = rows
+  *     m+1 … m+n of the ordered output (pagination, p105): ORDER BY
+  *     required, folds with the limit into ONE TakeOrdered boundary
+  *     (never a global sort); rejected with `limit per` (a per-group cut
+  *     has no global row order); a compound's trailing offset pages the
+  *     COMPOSED result
+  *   [granularity <seconds>] [slide <seconds>]
   *   [session <gapSeconds>] [salt <n>] [exact]
   * and statements compose with set operators (one kind per statement):
   *   <query> union [all] <query> | <query> except <query>
@@ -46,6 +58,20 @@ import graft.operators.GapWindows
   *               | count(*) | corr|covar_samp(x, y) as name  — two-arg
   *                 dispersion over measure-grammar arguments (p91)
   *               | agg(measure-expr) as name | agg(col) as name
+  *               | max_by|min_by(x, y) as name  — argmax aggregates
+  *                 (p102): the x of the row with the largest/smallest y,
+  *                 DETERMINISTIC by contract (ties in y break toward the
+  *                 larger/smaller x); rows with NULL y are skipped; x
+  *                 keeps its RAW type (strings/timestamps carry), y is a
+  *                 sortable measure; ONE struct-ordered max/min — no
+  *                 window, no second pass
+  *               | string_agg(col, 'sep') [as name]  — the group's
+  *                 values SORTED ascending (p103; ANSI leaves the order
+  *                 undefined — unverifiable), NULLs skipped, all-null
+  *                 group → NULL (DuckDB parity); literal separator
+  *               | count(distinct col|measure-expr) [as name]  — the
+  *                 ANSI spelling (p104): NULL is NOT counted, unlike
+  *                 count_distinct's reference +1-nil convention
   *               | row_number|rank|dense_rank|percent_rank|cume_dist()
   *                 over (partition by <col, …>
   *                 order by <col [asc|desc], …>) as name
@@ -63,7 +89,18 @@ import graft.operators.GapWindows
   *                 windowed frame: dedup-keep-best is `qualify rn = 1`)
   * and measure-expr := arithmetic over columns, numeric literals, and
   * SCALAR FUNCTION calls (p76: abs, floor, ceil, sqrt, exp, ln, log10,
-  * pow, round(x[, digits]), length — row-wise, identical IEEE semantics
+  * pow, round(x[, digits]), length; p108 adds `%`/mod(x, y) — C-style
+  * remainder, sign of the DIVIDEND, null on a zero divisor (DuckDB's `%`
+  * agrees exactly; its fmod() is FLOORED and never appears in oracles) —
+  * and sign(x) as DOUBLE; p101 adds string surgery replace(s, 'a', 'b')/
+  * split_part(s, 'sep', n)/lpad/rpad(s, n, 'p')/reverse(s) — string-
+  * typed, literal non-empty search/separator/pad args — plus
+  * strpos(s, 'sub'): 1-based position, 0 when absent, BIGINT so it
+  * gates and computes; p107 adds date_trunc('<unit>', <ts col>) —
+  * a real TIMESTAMP under the UTC contract (unit ∈ year/quarter/month/
+  * week/day/hour/minute, ISO weeks): it projects and groups (derived
+  * table) and feeds max/min/count(distinct …), never arithmetic or CASE
+  * — row-wise, identical IEEE semantics
   * on both engines; in call position these names are reserved, as bare
   * columns they stay reachable; p79 adds STRING functions lower/upper/
   * trim/substr(s, start, len) and string literals — string expressions
@@ -71,7 +108,9 @@ import graft.operators.GapWindows
   * would ride collation); they never enter arithmetic or aggregates;
   * p82 adds CALENDAR extractors year/month/day/hour/minute(<ts col>) —
   * BIGINT fields under the UTC contract, so `group by` a derived-table
-  * `year(o_orderdate) as yr` is the calendar rollup; p84 adds
+  * `year(o_orderdate) as yr` is the calendar rollup; p111 adds second
+  * (fraction truncated on both engines) and isodow (ISO day-of-week,
+  * 1 = Monday … 7 = Sunday — the day-of-week profile key); p84 adds
   * null-handling coalesce(x, …)/nullif(x, y)/greatest/least — greatest
   * and least SKIP nulls on both engines; p85 adds JSON props extraction
   * json_num/json_str(<col>, '<key>') — simple-identifier keys only,
@@ -189,6 +228,10 @@ object ZxSql {
     // be a bare column (parse-guarded below)
     "year" -> ((1, 1)), "month" -> ((1, 1)), "day" -> ((1, 1)),
     "hour" -> ((1, 1)), "minute" -> ((1, 1)),
+    // p111: second (fraction truncated) + ISO day-of-week (1 = Monday …
+    // 7 = Sunday; Spark weekday()+1 ≡ DuckDB isodow) — BIGINT fields
+    // under the UTC contract like the rest of the extractor family
+    "second" -> ((1, 1)), "isodow" -> ((1, 1)),
     // null-handling scalars (p84) — numeric measure arguments; greatest/
     // least SKIP nulls on both engines (null only when all args are null)
     "coalesce" -> ((2, 4)), "nullif" -> ((2, 2)),
@@ -199,7 +242,26 @@ object ZxSql {
     // datediff(end, start) (p90) — whole DAY-BOUNDARY crossings between
     // two timestamp/date columns (both engines boundary-count under the
     // UTC contract); BIGINT, so it enters arithmetic and aggregates
-    "datediff" -> ((2, 2)))
+    "datediff" -> ((2, 2)),
+    // string surgery (p101) — literal search/separator/pad arguments
+    // (non-empty string literals, parse-guarded), identical edge
+    // semantics on both engines: replace is LITERAL (never regex),
+    // split_part is 1-based with '' for an out-of-range index, lpad/rpad
+    // truncate when the input is already longer
+    "replace" -> ((3, 3)), "split_part" -> ((3, 3)),
+    "lpad" -> ((3, 3)), "rpad" -> ((3, 3)), "reverse" -> ((1, 1)),
+    // strpos(s, 'sub') (p101) — 1-based position, 0 when absent; BIGINT,
+    // so it enters arithmetic and predicates
+    "strpos" -> ((2, 2)),
+    // sign / mod (p108) — sign returns -1/0/1 as DOUBLE (DuckDB's is
+    // integer-typed: oracles cast); mod is the named spelling of `%`
+    // (C-style remainder, sign of the dividend, null on zero divisor)
+    "sign" -> ((1, 1)), "mod" -> ((2, 2)),
+    // date_trunc('<unit>', <ts col>) (p107) — calendar truncation to a
+    // real TIMESTAMP (UTC contract; ISO weeks start Monday on both
+    // engines); projects and groups (derived table), feeds max/min/
+    // distinct counts, never enters arithmetic
+    "date_trunc" -> ((2, 2)))
 
   private val aggNames: Map[String, Agg] = Map(
     "count" -> Agg.Count, "sum" -> Agg.Sum, "max" -> Agg.Max,
@@ -215,6 +277,15 @@ object ZxSql {
     // two-argument dispersion + regression (p91/p92) — alias required
     "corr" -> Agg.Corr, "covar_samp" -> Agg.CovarSamp,
     "regr_slope" -> Agg.RegrSlope, "regr_intercept" -> Agg.RegrIntercept,
+    // argmax/argmin aggregates (p102) — DETERMINISTIC by contract (ties
+    // in y break toward the larger/smaller x); alias required
+    "max_by" -> Agg.MaxBy, "min_by" -> Agg.MinBy,
+    // string_agg(col, 'sep') (p103) — values sorted ascending, NULLs
+    // skipped, NULL for an all-null group (DuckDB parity)
+    "string_agg" -> Agg.StringAgg,
+    // percentile(x, q) (p109) — arbitrary exact interpolated quantile;
+    // q is a numeric literal in [0, 1]; alias required
+    "percentile" -> Agg.Percentile,
     // spelling aliases — the names SQL users actually type; same Agg,
     // same default output name as the canonical spelling
     "avg" -> Agg.Mean, "median" -> Agg.P50)
@@ -248,7 +319,7 @@ object ZxSql {
       } else if (s.startsWith("!=", i) || s.startsWith("<>", i) ||
                  s.startsWith(">=", i) || s.startsWith("<=", i)) {
         out += Sym(s.substring(i, i + 2)); i += 2
-      } else if ("=><(),*+/-".contains(c)) { out += Sym(c.toString); i += 1 }
+      } else if ("=><(),*+/-%".contains(c)) { out += Sym(c.toString); i += 1 }
       else throw ParseError(s"unexpected character '$c' at $i")
     }
     out.result()
@@ -352,6 +423,9 @@ object ZxSql {
               !vals.forall(MeasureExpr.isString))
             throw ParseError("case branches mix string and numeric values" +
               " — pick one carrier type for every then/else")
+          if (vals.exists(MeasureExpr.isTimestamp))
+            throw ParseError("case branches carry numeric or string " +
+              "values — truncate/extract the timestamp outside the case")
         }
         MeasureExpr.Case(bs.result(), orElse)
       case Some(Ident(f)) if scalarFuncs.contains(f) &&
@@ -405,10 +479,48 @@ object ZxSql {
           val MeasureExpr.Lit(st) = as(1): @unchecked
           if (st < 1) throw ParseError("substr start is 1-based (≥ 1)")
         }
+        // p101 string surgery: search/separator/pad arguments are
+        // NON-EMPTY STRING LITERALS — empty patterns ride engine-specific
+        // conventions (DuckDB and Spark disagree on replace(s, '', x))
+        def strLitArg(i: Int, what: String): String = as(i) match {
+          case MeasureExpr.StrLit(v) if v.nonEmpty => v
+          case _ => throw ParseError(
+            s"$f $what must be a non-empty string literal")
+        }
+        def intLitArg(i: Int, what: String, min: Int): Int = as(i) match {
+          case MeasureExpr.Lit(v) if v == v.toInt.toDouble && v.toInt >= min =>
+            v.toInt
+          case _ => throw ParseError(s"$f $what must be an integer literal ≥ $min")
+        }
+        f match {
+          case "replace" => strLitArg(1, "search"); as(2) match {
+            case MeasureExpr.StrLit(_) =>
+            case _ => throw ParseError("replace replacement must be a string literal")
+          }
+          case "split_part" => strLitArg(1, "separator"); intLitArg(2, "index", 1)
+          case "lpad" | "rpad" => intLitArg(1, "length", 0); strLitArg(2, "pad")
+          case "strpos" => strLitArg(1, "search")
+          case "date_trunc" =>
+            as.head match {
+              case MeasureExpr.StrLit(u) if MeasureExpr.dateTruncUnits(u) =>
+              case _ => throw ParseError("date_trunc unit must be one of " +
+                MeasureExpr.dateTruncUnits.toSeq.sorted.mkString("'", "'/'", "'") +
+                " (a string literal)")
+            }
+            if (!as(1).isInstanceOf[MeasureExpr.Col])
+              throw ParseError("date_trunc takes a timestamp (or date) column")
+          case _ =>
+        }
         if (!MeasureExpr.stringFuncs(f) && f != "length" && f != "json_num" &&
+            f != "strpos" && f != "date_trunc" &&
             as.exists(MeasureExpr.isString))
           throw ParseError(s"$f takes numeric arguments — string " +
             "expressions compare with = / != or project directly")
+        if (!MeasureExpr.timestampFuncs(f) && !MeasureExpr.timeFuncs(f) &&
+            f != "datediff" && as.exists(MeasureExpr.isTimestamp))
+          throw ParseError(s"$f takes numeric arguments — truncated " +
+            "timestamps project or group; extract fields (year/month/…) " +
+            "to compute")
         MeasureExpr.Func(f, as)
       case Some(Str(v)) =>
         // string literal in measure position (p79) — the value side of a
@@ -423,11 +535,15 @@ object ZxSql {
       if (MeasureExpr.isString(e))
         throw ParseError("string expressions do not enter arithmetic — " +
           "compare with = / !=, or project them directly")
+      if (MeasureExpr.isTimestamp(e))
+        throw ParseError("timestamp expressions do not enter arithmetic — " +
+          "extract fields (year/month/…) or datediff to compute")
       e
     }
     def measureTerm(): MeasureExpr = {
       var e = measureAtom()
-      while (peek.contains(Sym("*")) || peek.contains(Sym("/"))) {
+      while (peek.contains(Sym("*")) || peek.contains(Sym("/")) ||
+             peek.contains(Sym("%"))) {
         val Sym(op) = next(): @unchecked
         e = MeasureExpr.Bin(op, numOnly(e), numOnly(measureAtom()))
       }
@@ -449,7 +565,8 @@ object ZxSql {
           var t: MeasureExpr = MeasureExpr.Lit(
             v.drop(1).toDoubleOption.getOrElse(
               throw ParseError(s"bad numeric literal '$v'")))
-          while (peek.contains(Sym("*")) || peek.contains(Sym("/"))) {
+          while (peek.contains(Sym("*")) || peek.contains(Sym("/")) ||
+                 peek.contains(Sym("%"))) {
             val Sym(op) = next(): @unchecked
             t = MeasureExpr.Bin(op, t, measureAtom())
           }
@@ -482,14 +599,81 @@ object ZxSql {
         next() // (
         // two-argument aggregates (p91): corr(x, y) / covar_samp(x, y) —
         // both arguments ride the measure grammar; alias required (the
-        // expr-select rule: no canonical name for a two-argument call)
+        // expr-select rule: no canonical name for a two-argument call).
+        // max_by/min_by (p102) carry ANY value x (string/timestamp
+        // included — the dedup-keep-best carrier) ordered by a sortable
+        // y; the dispersion family stays numeric-only.
         if (Agg.twoArg(agg)) {
           val x = measureSum(); expectSym(","); val y = measureSum()
           expectSym(")")
-          if (MeasureExpr.isString(x) || MeasureExpr.isString(y))
+          val argish = agg == Agg.MaxBy || agg == Agg.MinBy
+          if (!argish && (MeasureExpr.isString(x) || MeasureExpr.isString(y)))
             throw ParseError(s"${agg.name} takes numeric measures — " +
               "string expressions do not correlate")
+          if (argish && MeasureExpr.isString(y))
+            throw ParseError(s"${agg.name} orders by a sortable measure — " +
+              "a string ordering key would ride collation; rank strings " +
+              "with a window instead")
           return Select(agg, "", expr = Some(x), expr2 = Some(y))
+        }
+        // string_agg(col, 'sep') (p103): value then a LITERAL separator
+        if (agg == Agg.StringAgg) {
+          val x = measureSum()
+          expectSym(",")
+          val sep = next() match {
+            case Str(v) => v
+            case other => throw ParseError(
+              s"string_agg separator must be a string literal, got $other")
+          }
+          expectSym(")")
+          if (MeasureExpr.isTimestamp(x))
+            throw ParseError("string_agg concatenates string values — " +
+              "extract/format the timestamp first")
+          return (x match {
+            // bare column keeps the canonical name (string_agg_<col>);
+            // expressions require `as` like every expression measure
+            case MeasureExpr.Col(c) =>
+              Select(agg, c, expr2 = Some(MeasureExpr.StrLit(sep)))
+            case e =>
+              Select(agg, "", expr = Some(e),
+                expr2 = Some(MeasureExpr.StrLit(sep)))
+          })
+        }
+        // percentile(x, q) (p109): arbitrary exact quantile — q is a
+        // parse-enforced numeric literal in [0, 1]; the Select always
+        // carries the expr form, so the alias-required rule applies
+        // (two quantiles of one column must not collide on a name)
+        if (agg == Agg.Percentile) {
+          val x = measureSum()
+          expectSym(",")
+          val qv = next() match {
+            case Num(v) =>
+              val d = v.toDoubleOption.getOrElse(
+                throw ParseError(s"bad percentile fraction '$v'"))
+              if (d < 0.0 || d > 1.0)
+                throw ParseError(s"percentile fraction must be in [0, 1], got $d")
+              d
+            case other => throw ParseError(
+              s"percentile takes a numeric literal fraction, got $other")
+          }
+          expectSym(")")
+          if (MeasureExpr.isString(x) || MeasureExpr.isTimestamp(x))
+            throw ParseError("percentile takes a numeric measure")
+          return Select(agg, "", expr = Some(x),
+            expr2 = Some(MeasureExpr.Lit(qv)))
+        }
+        // count(distinct x) (p104): the ANSI spelling — NULL not counted
+        // (the reference's +1-nil convention keeps its own name,
+        // count_distinct); string expressions are legitimate distinct
+        // keys, like the other distinct-counting aggregates
+        if (agg == Agg.Count && atIdent("distinct")) {
+          next()
+          val e = measureSum()
+          expectSym(")")
+          return (e match {
+            case MeasureExpr.Col(c) => Select(Agg.DistinctCount, c)
+            case e2                 => Select(Agg.DistinctCount, "", expr = Some(e2))
+          })
         }
         // count(*) — the README's own example shape; * counts every row
         if (peek.contains(Sym("*"))) {
@@ -508,11 +692,22 @@ object ZxSql {
             // (json_str, lower, a CASE label) is a legitimate distinct
             // key; every other aggregate is numeric arithmetic
             if (MeasureExpr.isString(e) &&
-                agg != Agg.CountDistinct && agg != Agg.ApproxCountDistinct)
+                agg != Agg.CountDistinct && agg != Agg.ApproxCountDistinct &&
+                agg != Agg.DistinctCount)
               throw ParseError(s"${agg.name} takes a numeric measure — " +
                 "string expressions belong in projections, = / != " +
                 "predicates, and count_distinct (group by a derived-table " +
                 "label to aggregate per label)")
+            // a truncated timestamp is orderable and countable, nothing
+            // else — max/min ("latest month seen") and the distinct
+            // counts take it; sums/means/percentiles do not
+            if (MeasureExpr.isTimestamp(e) &&
+                agg != Agg.Max && agg != Agg.Min &&
+                agg != Agg.CountDistinct && agg != Agg.ApproxCountDistinct &&
+                agg != Agg.DistinctCount)
+              throw ParseError(s"${agg.name} takes a numeric measure — " +
+                "timestamps aggregate via max/min/count(distinct …), or " +
+                "extract fields (year/month/…) to compute")
             Select(agg, "", expr = Some(e))
         }
       } else Select(Agg.Raw, name)
@@ -566,7 +761,8 @@ object ZxSql {
     }
     def aggTerm(): AggExpr = {
       var e = aggAtom()
-      while (peek.contains(Sym("*")) || peek.contains(Sym("/"))) {
+      while (peek.contains(Sym("*")) || peek.contains(Sym("/")) ||
+             peek.contains(Sym("%"))) {
         val Sym(op) = next(): @unchecked
         e = AggExpr.Bin(op, e, aggAtom())
       }
@@ -631,12 +827,20 @@ object ZxSql {
               if (MeasureExpr.isString(ml) || MeasureExpr.isString(mr))
                 throw ParseError("string expressions do not enter " +
                   "arithmetic — compare with = / !=, or project them directly")
+              if (MeasureExpr.isTimestamp(ml) || MeasureExpr.isTimestamp(mr))
+                throw ParseError("timestamp expressions do not enter " +
+                  "arithmetic — extract fields (year/month/…) or datediff " +
+                  "to compute")
               MeasureExpr.Bin(o, ml, mr)
             case AggExpr.Neg(x2) =>
               val m = toMeasure(x2)
               if (MeasureExpr.isString(m))
                 throw ParseError("string expressions do not enter " +
                   "arithmetic — compare with = / !=, or project them directly")
+              if (MeasureExpr.isTimestamp(m))
+                throw ParseError("timestamp expressions do not enter " +
+                  "arithmetic — extract fields (year/month/…) or datediff " +
+                  "to compute")
               MeasureExpr.Neg(m)
           }
           if (!atIdent("as"))
@@ -655,6 +859,13 @@ object ZxSql {
         }
         calls.find(_.agg == Agg.Heatmap).foreach(_ => throw ParseError(
           "heatmap(...) is not a scalar aggregate — it cannot appear in arithmetic"))
+        calls.find(_.agg == Agg.StringAgg).foreach(_ => throw ParseError(
+          "string_agg(...) is string-valued — it cannot appear in arithmetic"))
+        calls.find(c => (c.agg == Agg.MaxBy || c.agg == Agg.MinBy) &&
+            c.expr.exists(e => MeasureExpr.isString(e) ||
+              MeasureExpr.isTimestamp(e))).foreach(c => throw ParseError(
+          s"${c.agg.name} carries a non-numeric value here — it cannot " +
+            "appear in arithmetic"))
         if (!atIdent("as"))
           throw ParseError("post-aggregate expressions need `as <name>` — " +
             "there is no canonical column name for sum(a)/sum(b)")
@@ -1711,6 +1922,7 @@ object ZxSql {
     // and-chained numeric comparisons over aggregate items; an aggregate
     // named only here is computed for the filter and dropped from output
     var having = Seq.empty[Having]
+    var havingTree = Option.empty[HavingTree]
     if (atIdent("having")) {
       next()
       def havingCond(): Having = {
@@ -1734,10 +1946,33 @@ object ZxSql {
         }
         Having(sel, cmp, value())
       }
-      val buf = Seq.newBuilder[Having]
-      buf += havingCond()
-      while (atIdent("and")) { next(); buf += havingCond() }
-      having = buf.result()
+      // full boolean structure (p110): OR / AND / NOT / parens with the
+      // same precedence as WHERE (NOT > AND > OR). A leaf always starts
+      // with an identifier (aggregate or alias), so '(' here is always
+      // grouping. A pure AND-chain flattens back to the legacy conjunct
+      // vector — identical plans for every pre-p110 query.
+      def hAtom(): HavingTree = peek match {
+        case Some(Ident("not")) => next(); HavingTree.Not(hAtom())
+        case Some(Sym("(")) => next(); val t = hOr(); expectSym(")"); t
+        case _ => HavingTree.Leaf(havingCond())
+      }
+      def hAnd(): HavingTree = {
+        val cs = Seq.newBuilder[HavingTree]
+        cs += hAtom()
+        while (atIdent("and")) { next(); cs += hAtom() }
+        val r = cs.result(); if (r.size == 1) r.head else HavingTree.And(r)
+      }
+      def hOr(): HavingTree = {
+        val cs = Seq.newBuilder[HavingTree]
+        cs += hAnd()
+        while (atIdent("or")) { next(); cs += hAnd() }
+        val r = cs.result(); if (r.size == 1) r.head else HavingTree.Or(r)
+      }
+      val tree = hOr()
+      HavingTree.flatten(tree) match {
+        case Some(leaves) => having = leaves
+        case None         => havingTree = Some(tree)
+      }
     }
 
     // QUALIFY (extension, p68): the post-window row filter — binds window
@@ -1768,12 +2003,25 @@ object ZxSql {
         val dir =
           if (atIdent("desc")) { next(); SortDir.Desc }
           else { if (atIdent("asc")) next(); SortDir.Asc }
-        OrderBy(sel, dir)
+        // `nulls first` / `nulls last` (p106, extension): the engines'
+        // DEFAULTS DIFFER (Spark ASC puts nulls first, DuckDB last) —
+        // any nullable sort key should spell the placement; the engine's
+        // own keys (__nil-coalesced groups, aggregate outputs) never
+        // need it
+        val nf: Option[Boolean] =
+          if (atIdent("nulls")) {
+            next()
+            if (atIdent("first")) { next(); Some(true) }
+            else if (atIdent("last")) { next(); Some(false) }
+            else throw ParseError("expected `nulls first` or `nulls last`")
+          } else None
+        OrderBy(sel, dir, nf)
       }
     }
 
     var limitN: Option[Int] = None
     var limitPer: Option[String] = None
+    var offsetN: Option[Int] = None
     if (atIdent("limit")) {
       next()
       limitN = next() match {
@@ -1784,6 +2032,23 @@ object ZxSql {
       // of <col> under the ORDER BY ranking — compiles to the
       // WindowGroupLimit rank-filter plan
       if (atIdent("per")) { next(); limitPer = Some(ident()) }
+    }
+    // `offset <m>` (p105, extension): pagination — skip the first m rows
+    // of the ordered output (LIMIT n OFFSET m = rows m+1 … m+n). ORDER BY
+    // required (an unordered page is nondeterministic); `limit per` cuts
+    // per group, where a global row offset has no meaning.
+    if (atIdent("offset")) {
+      next()
+      offsetN = next() match {
+        case Num(v) => Some(parseInt(v, "offset count"))
+        case other  => throw ParseError(s"expected offset count, got $other")
+      }
+      if (orderBy.isEmpty)
+        throw ParseError("offset needs order by — an unordered page is " +
+          "a different page every run")
+      if (limitPer.nonEmpty)
+        throw ParseError("offset does not compose with limit per — the " +
+          "per-group cut has no global row order to page")
     }
 
     var gran = 300L // 5 minutes, expr.rs:226
@@ -2047,10 +2312,12 @@ object ZxSql {
           "columns")
     }
     (ZxQuery(selects, realConds, groupBy, orderBy, tStart, tEnd, gran, limitN,
+      offset = offsetN,
       exact = exactWindows, fromTable = fromName, fromSub = fromSub,
       where = whereTree, asofJoin = joinSpec,
       equiJoins = equiJoins, filterJoins = filterJoins,
-      having = having, sessionGapSec = sessionGap, slideSec = slide,
+      having = having, havingTree = havingTree,
+      sessionGapSec = sessionGap, slideSec = slide,
       skewSalt = salt, seqOp = seqOp, rollup = rollup, cube = cube,
       groupingSets = groupingSets,
       postSelects = postSelects, limitPer = limitPer,
@@ -2248,6 +2515,7 @@ object ZxSql {
             sub.filterJoins.nonEmpty || sub.sessionGapSec.nonEmpty ||
             sub.slideSec.nonEmpty || sub.exact || sub.rollup || sub.cube ||
             sub.groupBy.nonEmpty || sub.having.nonEmpty ||
+            sub.havingTree.nonEmpty ||
             sub.postSelects.nonEmpty || sub.semiJoins.nonEmpty ||
             sub.skewSalt.nonEmpty || sub.fromSub.nonEmpty ||
             sub.winSelects.nonEmpty || sub.distinctRows)
@@ -2290,23 +2558,25 @@ object ZxSql {
       throw ParseError("membership subqueries are scan/filter/group/having " +
         "only — no order/limit/windows/joins/rollup/salt/nested subqueries")
     val scanned = Compiler.scanFilter(df, sub, tsCol)
+    val subHaving = sub.having.nonEmpty || sub.havingTree.nonEmpty
     if (sub.groupBy.isEmpty) {
-      if (sub.having.nonEmpty)
+      if (subHaving)
         throw ParseError("subquery having needs group by")
       scanned.select(Compiler.colRef(matchCol))
     } else {
       if (!sub.groupBy.contains(matchCol))
         throw ParseError(s"subquery selects '$matchCol', which must be one " +
           "of its group by keys")
-      if (sub.having.isEmpty) scanned.select(Compiler.colRef(matchCol))
+      if (!subHaving) scanned.select(Compiler.colRef(matchCol))
       else {
-        val aggSels = sub.having.map(_.select).filterNot(_.agg == Agg.Raw).distinct
+        val aggSels = Compiler.havingSelects(sub)
+          .filterNot(_.agg == Agg.Raw).distinct
         if (aggSels.isEmpty)
           throw ParseError("subquery having must filter aggregates")
         val grouped = graft.compile.Aggregates.groupedAgg(scanned,
           sub.groupBy.map(Compiler.colRef), sub.groupBy, aggSels,
           df.schema, None)
-        Compiler.havingFilter(grouped, sub.having)
+        Compiler.havingFilter(grouped, sub.having, sub.havingTree)
           .select(Compiler.colRef(matchCol))
       }
     }
@@ -2351,12 +2621,12 @@ object ZxSql {
       throw ParseError("join subqueries are scan/filter/group/having only " +
         "— compute anything richer as its own table upstream")
     val scanned = Compiler.scanFilter(df, sub, tsCol)
-    val aggSels = (sub.selects ++ sub.having.map(_.select)
+    val aggSels = (sub.selects ++ Compiler.havingSelects(sub)
       .filterNot(s => sub.selects.contains(s) || s.agg == Agg.Raw)).distinct
     val grouped = graft.compile.Aggregates.groupedAgg(scanned,
       Seq(Compiler.colRef(keyR)), Seq(keyR), aggSels, df.schema, None)
     val uniq = s"__dj${idx}_key"
-    (Compiler.havingFilter(grouped, sub.having)
+    (Compiler.havingFilter(grouped, sub.having, sub.havingTree)
       .select(Compiler.colRef(keyR).as(uniq) +:
         sub.selects.map(s => Compiler.colRef(s.key)): _*), uniq)
   }
@@ -2379,7 +2649,8 @@ object ZxSql {
         sub.selects.head.agg == Agg.Heatmap)
       throw ParseError("a scalar subquery selects exactly ONE scalar " +
         "aggregate — the comparison threshold")
-    if (sub.groupBy.nonEmpty || sub.having.nonEmpty || sub.orderBy.nonEmpty ||
+    if (sub.groupBy.nonEmpty || sub.having.nonEmpty ||
+        sub.havingTree.nonEmpty || sub.orderBy.nonEmpty ||
         sub.limit.nonEmpty || sub.seqOp.nonEmpty || sub.asofJoin.nonEmpty ||
         sub.equiJoins.nonEmpty || sub.filterJoins.nonEmpty ||
         sub.sessionGapSec.nonEmpty ||
@@ -2461,7 +2732,8 @@ object ZxSql {
       throw ParseError("set operators do not mix in one statement (" +
         branches.map(_._1).distinct.mkString(" vs ") + ") — chain one " +
         "kind; richer compositions are separate statements")
-    if (branches.isEmpty) return (Compound(head, branches, Nil, None), pos)
+    if (branches.isEmpty)
+      return (Compound(head, branches, Nil, None, None), pos)
     // SQL-standard binding: a trailing ORDER BY / LIMIT after the last
     // branch orders/cuts the COMPOSED result (the grammar parses it into
     // the last branch — lift it out). Branches themselves are BAGS: any
@@ -2472,7 +2744,7 @@ object ZxSql {
     //     union …
     val lastIdx = branches.size - 1
     val last = branches(lastIdx)._2
-    val (coOrder, coLimit) = (last.orderBy, last.limit)
+    val (coOrder, coLimit, coOffset) = (last.orderBy, last.limit, last.offset)
     if (last.limitPer.nonEmpty)
       throw ParseError("limit per ranks within ONE query — wrap the " +
         "branch in a derived table, or rank the composed result downstream")
@@ -2480,22 +2752,26 @@ object ZxSql {
       s"a compound statement's ORDER BY binds to the composed result — " +
         s"order by its output COLUMN names, not ${ob.select.agg.name}(...)"))
     val cleaned = branches.updated(lastIdx,
-      (branches(lastIdx)._1, last.copy(orderBy = Nil, limit = None)))
+      (branches(lastIdx)._1, last.copy(orderBy = Nil, limit = None,
+        offset = None)))
     (head +: cleaned.map(_._2)).zipWithIndex.foreach { case (z, i) =>
-      if (z.orderBy.nonEmpty || z.limit.nonEmpty) throw ParseError(
+      if (z.orderBy.nonEmpty || z.limit.nonEmpty || z.offset.nonEmpty)
+        throw ParseError(
         s"set-op branch ${i + 1} has ORDER BY/LIMIT — branches are bags " +
           "(the operator destroys their order); a trailing ORDER BY/LIMIT " +
           "binds to the COMPOSED result, and a per-branch top-k spells as " +
           "a derived table: select … from (select … order by … limit k)")
     }
-    (Compound(head, cleaned, coOrder, coLimit), pos)
+    (Compound(head, cleaned, coOrder, coLimit, coOffset), pos)
   }
 
   /** A parsed compound statement: `branches` empty means a plain single
-    * query; otherwise `order`/`limit` bind to the COMPOSED result. */
+    * query; otherwise `order`/`limit`/`offset` bind to the COMPOSED
+    * result. */
   private final case class Compound(head: ZxQuery,
                                     branches: Seq[(String, ZxQuery)],
-                                    order: Seq[OrderBy], limit: Option[Int])
+                                    order: Seq[OrderBy], limit: Option[Int],
+                                    offset: Option[Int])
 
   /** CTE prefix: `with <name> as (<statement>) [, <name> as (…)]*`.
     * Each body is a FULL statement (set operators included); later CTEs
@@ -2570,12 +2846,11 @@ object ZxSql {
     co.order.find(ob => !outCols.contains(ob.select.column)).foreach(ob =>
       throw ParseError(s"compound ORDER BY column '${ob.select.column}' " +
         s"is not in the composed output (${combined.columns.mkString(", ")})"))
-    val ord = co.order.map { ob =>
-      val c = Compiler.colRef(ob.select.column)
-      ob.dir match { case SortDir.Asc => c.asc; case SortDir.Desc => c.desc }
-    }
+    val ord = co.order.map(ob =>
+      Compiler.orderCol(Compiler.colRef(ob.select.column), ob))
     val sorted = if (ord.nonEmpty) combined.orderBy(ord: _*) else combined
-    co.limit.map(sorted.limit).getOrElse(sorted)
+    val paged = co.offset.map(sorted.offset).getOrElse(sorted)
+    co.limit.map(paged.limit).getOrElse(paged)
   }
 
   def runCatalog(tables: Map[String, DataFrame], sql: String,
@@ -3048,7 +3323,7 @@ object ZxSql {
         val outerPassThrough = q.selects.forall(_.agg == Agg.Raw) &&
           q.postSelects.isEmpty && q.orderBy.isEmpty
         val strip = sub0.orderBy.nonEmpty && sub0.limit.isEmpty &&
-          sub0.limitPer.isEmpty && !outerPassThrough
+          sub0.limitPer.isEmpty && sub0.offset.isEmpty && !outerPassThrough
         // An aggregate inner with NO order by and NO explicit window
         // clause means per-key totals, not the reference's default 300 s
         // tumbling buckets: the outer query would otherwise silently
@@ -3165,11 +3440,10 @@ object ZxSql {
           if (!q.winOutOrder.contains(ob.select.column))
             throw ParseError(s"order by '${ob.select.column}' is not in " +
               s"the windowed output (${q.winOutOrder.mkString(", ")})")
-          ob.dir match {
-            case SortDir.Asc  => Compiler.colRef(ob.select.column).asc
-            case SortDir.Desc => Compiler.colRef(ob.select.column).desc }
+          Compiler.orderCol(Compiler.colRef(ob.select.column), ob)
         }: _*)
-      return q.limit.map(sorted.limit).getOrElse(sorted)
+      val paged = q.offset.map(sorted.offset).getOrElse(sorted)
+      return q.limit.map(paged.limit).getOrElse(paged)
     }
     q.seqOp.foreach { op =>
       import org.apache.spark.sql.functions._
@@ -3467,7 +3741,7 @@ object ZxSql {
     }
     if (q.orderBy.exists(_.select.agg == Agg.Heatmap))
       throw ParseError("cannot order by heatmap(...)")
-    if (q.having.nonEmpty) {
+    if (q.having.nonEmpty || q.havingTree.nonEmpty) {
       if (q.selects.forall(_.agg == Agg.Raw) && q.postSelects.isEmpty)
         throw ParseError("having needs an aggregate query")
       if (exact || q.exact)
@@ -3502,10 +3776,8 @@ object ZxSql {
       // `select distinct` dedups the projection BEFORE order/limit — one
       // shuffle on the (already narrow) projected columns
       val base = if (q.distinctRows) projected.distinct() else projected
-      val ord = q.orderBy.map { ob =>
-        val c = Compiler.colRef(ob.select.column)
-        ob.dir match { case SortDir.Asc => c.asc; case SortDir.Desc => c.desc }
-      }
+      val ord = q.orderBy.map(ob =>
+        Compiler.orderCol(Compiler.colRef(ob.select.column), ob))
       val sorted = if (ord.nonEmpty) base.orderBy(ord: _*) else base
       (q.limit, q.limitPer) match {
         case (Some(k), Some(per)) =>
@@ -3526,8 +3798,11 @@ object ZxSql {
           base.withColumn("__rn", row_number().over(w))
             .filter(col("__rn") <= k).drop("__rn")
             .orderBy(ord ++ ties: _*)
-        case (Some(k), None) => sorted.limit(k)
-        case _               => sorted
+        case (Some(k), None) =>
+          // pagination (p105): one CollectLimit boundary carries both
+          q.offset.map(sorted.offset).getOrElse(sorted).limit(k)
+        case (None, None) if q.offset.nonEmpty => sorted.offset(q.offset.get)
+        case _ => sorted
       }
     } else if (q.orderBy.nonEmpty || q.rollup || q.cube ||
         q.groupingSets.nonEmpty || derived || forceSorted)
@@ -3757,7 +4032,7 @@ object ZxSql {
     else if (q.sessionGapSec.nonEmpty) EventStream.sessionAgg(stream, q, watermark, tsCol)
     else if (q.slideSec.nonEmpty) EventStream.hoppingAgg(stream, q, watermark, tsCol)
     else if (q.exact) {
-      if (q.having.nonEmpty)
+      if (q.having.nonEmpty || q.havingTree.nonEmpty)
         throw ParseError("having is not supported with exact gap windows")
       import org.apache.spark.sql.functions.{col, element_at}
       // reshape GwOut (key, w_start, w_end, values[]) to the batch

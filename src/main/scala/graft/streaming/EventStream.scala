@@ -56,7 +56,7 @@ object EventStream {
     * compilers' extraSels — incl. the Raw/Heatmap exclusion: those are not
     * scalar aggregates a HAVING can compare against). */
   private def havingExtras(q: ZxQuery): Seq[Select] =
-    (q.having.map(_.select) ++ Compiler.postComponents(q))
+    (Compiler.havingSelects(q) ++ Compiler.postComponents(q))
       .filterNot(s => q.selects.contains(s) || s.agg == Agg.Raw || s.agg == Agg.Heatmap)
       .distinct
 
@@ -86,7 +86,7 @@ object EventStream {
     val aggs = Aggregates.compileAll(q.selects ++ havingExtras(q), schema)
     val grouped = Compiler.withPostSelects(
       filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*), q)
-    Compiler.havingFilter(grouped, q.having)
+    Compiler.havingFilter(grouped, q.having, q.havingTree)
       .select((q.groupBy.map(graft.compile.Compiler.colRef) :+
         col("window.start").cast(LongType).as("w_start") :+
         col("window.end").cast(LongType).as("w_end")) ++
@@ -146,7 +146,7 @@ object EventStream {
     val aggs = Aggregates.compileAll(q.selects ++ havingExtras(q), schema)
     val grouped = Compiler.withPostSelects(
       filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*), q)
-    Compiler.havingFilter(grouped, q.having)
+    Compiler.havingFilter(grouped, q.having, q.havingTree)
       .select((q.groupBy.map(graft.compile.Compiler.colRef) :+
         col("window.start").cast(LongType).as("w_start") :+
         col("window.end").cast(LongType).as("w_end")) ++
@@ -184,7 +184,7 @@ object EventStream {
     val aggs = Aggregates.compileAll(q.selects ++ havingExtras(q), schema)
     val grouped = Compiler.withPostSelects(
       filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*), q)
-    Compiler.havingFilter(grouped, q.having)
+    Compiler.havingFilter(grouped, q.having, q.havingTree)
       .select((q.groupBy.map(graft.compile.Compiler.colRef) :+
         col("__sw.start").cast(LongType).as("w_start") :+
         col("__sw.end").cast(LongType).as("w_end")) ++

@@ -953,6 +953,49 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1,
       s"expected exactly one hash exchange (user_id), got $exchanges:\n$p")
   }
+  test("offset pagination folds into ONE TakeOrdered boundary (p105, round 14)") {
+    val p = plan("p105_sql_offset")
+    // offset+limit ride the same per-partition top-(m+n) operator — the
+    // page costs what the first 65 rows cost; a global range sort here
+    // would be the 100 TB regression
+    assert(p.contains("TakeOrderedAndProject(limit=65, offset=40"),
+      s"offset must fold into TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"pagination must not global-sort:\n$p")
+    assert(p.contains("GreaterThanOrEqual(n_chars,200)"),
+      s"the WHERE gate must push into the parquet scan:\n$p")
+  }
+
+  test("max_by/min_by: one struct-ordered aggregate — no window, no join (p102, round 14)") {
+    val p = plan("p102_sql_max_by")
+    val fin = p.split("== Initial Plan ==").head
+    assert(!fin.contains("Window") && !fin.contains("Join"),
+      s"argmax aggregates must not plan a window or join:\n$fin")
+    // struct max/min is sort-aggregated (structs don't hash-aggregate) —
+    // still ONE exchange with map-side partials
+    assert(fin.contains("partial_max(CASE WHEN isnotnull"),
+      s"map-side partials expected for the struct max:\n$fin")
+    val exchanges = fin.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"one aggregation exchange expected, got $exchanges:\n$fin")
+  }
+
+  test("date_trunc derived-table rollup collapses to one scan+aggregate pass (p107, round 14)") {
+    val p = plan("p107_sql_date_trunc")
+    val fin = p.split("== Initial Plan ==").head
+    // the truncation computes BELOW the partial aggregate (one pass) and
+    // the derived table's gate reaches the parquet reader
+    assert(fin.contains("date_trunc(month"),
+      s"truncation must compute under the aggregate:\n$fin")
+    assert(fin.contains("LessThan(o_orderkey,3000)"),
+      s"the inner WHERE must push into the parquet scan:\n$fin")
+    val exchanges = fin.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"one aggregation exchange expected, got $exchanges:\n$fin")
+    assert(!fin.contains("o_custkey"),
+      s"unreferenced columns reached the scan:\n$fin")
+  }
+
   test("CTE multi-reference: shuffles compute once (ReusedExchange), pure scans keep per-reference pushdown (round 14)") {
     import spark.implicits._
     val docs = (1 to 2000).map(i => (i.toLong, s"t$i",

@@ -35,20 +35,26 @@ object ParserProps extends Properties("ZxSql") {
     sels <- Gen.nonEmptyListOf(selectGen).map(_.take(4))
     conds <- Gen.listOf(condGen).map(_.take(4))
     gb <- Gen.listOf(identGen).map(_.take(3).distinct)
-    ob <- Gen.listOf(Gen.zip(selectGen, Gen.oneOf(SortDir.Asc, SortDir.Desc))
-      .map { case (s, d) => OrderBy(s, d) }).map(_.take(2))
+    ob <- Gen.listOf(for {
+      s <- selectGen
+      d <- Gen.oneOf(SortDir.Asc, SortDir.Desc)
+      // p106: explicit nulls placement round-trips; None = engine default
+      nf <- Gen.oneOf(None, Some(true), Some(false))
+    } yield OrderBy(s, d, nf)).map(_.take(2))
     ts <- Gen.option(Gen.choose(0L, 2000000000L))
     te <- Gen.option(Gen.choose(0L, 2000000000L))
     g <- Gen.choose(1L, 86400L)
     lim <- Gen.option(Gen.choose(1, 10000))
+    // p105: offset requires ORDER BY (parse-enforced)
+    off <- if (ob.isEmpty) Gen.const(None) else Gen.option(Gen.choose(0, 10000))
     ex <- Gen.oneOf(true, false)
     // salt composes with aggregation but not with the exact gap walk
     salt <- if (ex) Gen.const(None) else Gen.option(Gen.choose(1, 4096))
     // render() always spells the granularity clause, and the parser
     // records an explicitly-spelled clause in granSet (round 13) — the
     // generated IR must say so for the round-trip to be exact
-  } yield ZxQuery(sels, conds, gb, ob, ts, te, g, lim, exact = ex,
-    skewSalt = salt, granSet = true)
+  } yield ZxQuery(sels, conds, gb, ob, ts, te, g, lim, offset = off,
+    exact = ex, skewSalt = salt, granSet = true)
 
   private def render(q: ZxQuery): String = {
     def sel(s: Select): String = s"${s.agg.name}(${s.column})"
@@ -64,8 +70,14 @@ object ParserProps extends Properties("ZxSql") {
       if (conds.nonEmpty) Some(s"where ${conds.mkString(" and ")}") else None,
       if (q.groupBy.nonEmpty) Some(s"group by ${q.groupBy.mkString(", ")}") else None,
       if (q.orderBy.nonEmpty) Some("order by " + q.orderBy.map(o =>
-        sel(o.select) + (if (o.dir == SortDir.Desc) " desc" else " asc")).mkString(", ")) else None,
+        sel(o.select) + (if (o.dir == SortDir.Desc) " desc" else " asc") +
+          (o.nullsFirst match {
+            case Some(true)  => " nulls first"
+            case Some(false) => " nulls last"
+            case None        => ""
+          })).mkString(", ")) else None,
       q.limit.map(n => s"limit $n"),
+      q.offset.map(n => s"offset $n"),
       Some(s"granularity ${q.granularitySec}"),
       q.skewSalt.map(n => s"salt $n"),
       if (q.exact) Some("exact") else None
@@ -88,6 +100,12 @@ object ParserProps extends Properties("ZxSql") {
       "distinct", "union", "all", "except", "intersect", "left", "right",
       "full", "using", "centroids", "probe", "knn", "mmr", "per", "carry",
       "at", "within", "agg",
+      // round-14 surface: pagination, null placement, argmax/string
+      // aggregates, quantiles, string surgery, calendar truncation
+      "offset", "nulls", "first", "last", "max_by", "min_by",
+      "string_agg", "percentile", "replace", "split_part", "lpad",
+      "strpos", "sign", "mod", "date_trunc", "isodow", "second", "%",
+      "'month'", "0.5",
       "(", ")", ",", "=", "!=", ">", "<", ">=", "<=", "*", "'a b'",
       "'%x%'", "$t_start", "$t_end"),
     3 -> identGen,

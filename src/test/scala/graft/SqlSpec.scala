@@ -2605,4 +2605,220 @@ class SqlSpec extends AnyFunSuite {
     assert(q2.conditions.head.cmp == graft.ir.Cmp.Like)
   }
 
+  // ------------------------------------------------ round 14, second half
+
+  private def parseErr(sql: String, frag: String): Unit = {
+    val e = intercept[ZxSql.ParseError](ZxSql.parse(sql))
+    assert(e.getMessage.contains(frag), s"'$sql' → ${e.getMessage}")
+  }
+
+  test("p101 string surgery: replace/split_part/lpad/rpad/reverse/strpos (round 14)") {
+    import SparkFixture.spark.implicits._
+    val rows = Seq((1L, "a-b-c"), (2L, "xy"), (3L, null: String))
+      .toDF("id", "s")
+    val got = ZxSql.run(rows,
+      "select id, replace(s, '-', '_') as r, split_part(s, '-', 2) as p2, " +
+        "split_part(s, '-', 9) as oob, lpad(s, 4, '0') as lp, " +
+        "rpad(s, 4, 'z') as rp, reverse(s) as rev, strpos(s, 'b') as bp " +
+        "order by id")
+      .collect()
+    assert(got(0).getString(1) == "a_b_c" && got(0).getString(2) == "b")
+    assert(got(0).getString(3) == "", "out-of-range split_part index is ''")
+    assert(got(0).getString(4) == "a-b-" && got(0).getString(5) == "a-b-",
+      "lpad/rpad TRUNCATE when the input is already longer")
+    assert(got(1).getString(4) == "00xy" && got(1).getString(5) == "xyzz")
+    assert(got(0).getString(6) == "c-b-a")
+    assert(got(0).getLong(7) == 3L, "strpos is 1-based")
+    assert(got(1).getLong(7) == 0L, "strpos is 0 when absent")
+    assert((1 to 7).forall(got(2).isNullAt), "NULL input propagates")
+    // literal-argument guards: engine-specific empty-pattern conventions
+    // never engage
+    parseErr("select replace(s, '', 'x') as r", "non-empty string literal")
+    parseErr("select split_part(s, '-', 0) as p", "integer literal ≥ 1")
+    parseErr("select lpad(s, -1, 'x') as p", "integer literal ≥ 0")
+    parseErr("select strpos(s, sub) as p", "strpos search")
+    // strpos is numeric: it enters arithmetic and predicates
+    val gated = ZxSql.run(rows, "select id where strpos(s, '-') > 0")
+      .collect().map(_.getLong(0)).toSet
+    assert(gated == Set(1L))
+  }
+
+  test("p108 `%` and mod(): sign of the dividend, null on zero divisor (round 14)") {
+    import SparkFixture.spark.implicits._
+    val rows = Seq((1L, 7.5, 2.0), (2L, -7.5, 2.0), (3L, 7.5, 0.0))
+      .toDF("id", "a", "b")
+    val got = ZxSql.run(rows,
+      "select id, a % b as m, mod(a, b) as m2 order by id").collect()
+    assert(got(0).getDouble(1) == 1.5 && got(0).getDouble(2) == 1.5)
+    assert(got(1).getDouble(1) == -1.5, "sign of the DIVIDEND (C/Java/DuckDB %)")
+    assert(got(2).isNullAt(1) && got(2).isNullAt(2), "zero divisor → null")
+    // % binds at term level: 1 + 7 % 3 = 2, not (1+7)%3
+    val prec = ZxSql.run(rows, "select id, 1 + a % 2 as p where id = 1").collect()
+    assert(prec(0).getDouble(1) == 1 + 7.5 % 2)
+  }
+
+  test("p102 max_by/min_by: deterministic argmax aggregates (round 14)") {
+    import SparkFixture.spark.implicits._
+    def jd(v: Double): java.lang.Double = v
+    val rows = Seq(
+      ("g1", "a", jd(1.0)), ("g1", "b", jd(3.0)), ("g1", "c", jd(3.0)), // tie
+      ("g2", "z", jd(5.0)), ("g2", null, jd(9.0)), // null x carried
+      ("g3", "q", null: java.lang.Double))         // null ordering → skipped
+      .toDF("k", "x", "v")
+    val got = ZxSql.run(rows,
+      "select max_by(x, v) as best, min_by(x, v) as worst group by k order by k")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got("g1") == (("c", "a")), "ties in v break toward the LARGER x")
+    assert(got("g2")._1 == null, "a null x at the max v is carried, not skipped")
+    assert(got("g3") == ((null, null)), "all ordering values null → null")
+    // expression arguments ride the measure grammar
+    val e = ZxSql.run(rows,
+      "select max_by(v * 2, v) as m2 where k = 'g1' group by k order by k").collect()
+    assert(e(0).getDouble(1) == 6.0)
+    // guards
+    parseErr("select max_by(x, v)", "need `as")
+    parseErr("select max_by(x, lower(x)) as m group by k", "sortable measure")
+    parseErr("select max_by(lower(x), v) + 1 as m group by k",
+      "cannot appear in arithmetic")
+  }
+
+  test("p103 string_agg: sorted values, NULLs skipped, all-null group → NULL (round 14)") {
+    import SparkFixture.spark.implicits._
+    val rows = Seq(("g1", "b"), ("g1", "a"), ("g1", null), ("g2", null))
+      .toDF("k", "x")
+    val got = ZxSql.run(rows, "select string_agg(x, '|') as xs group by k order by k")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("g1") == "a|b", "values sort ascending — deterministic by contract")
+    assert(got("g2") == null, "an all-null group is NULL (DuckDB parity), not ''")
+    parseErr("select string_agg(x, sep) as xs group by k", "string literal")
+    parseErr("select string_agg(x, ',') - 1 as xs group by k",
+      "cannot appear in arithmetic")
+  }
+
+  test("p104 count(distinct x): ANSI — NULL not counted, unlike count_distinct (round 14)") {
+    val got = ZxSql.run(fixture,
+      "select count(distinct tag) as ansi, count_distinct(tag) as ref " +
+      "order by ansi").collect()
+    assert(got(0).getLong(0) == 4L, "t1 / t1,t2 / t3 / t2 — null NOT counted")
+    assert(got(0).getLong(1) == 5L, "the reference convention counts the nil bucket")
+    // string expressions are legitimate distinct keys
+    val expr = ZxSql.run(fixture,
+      "select count(distinct upper(tag)) as n order by n").collect()
+    assert(expr(0).getLong(0) == 4L)
+  }
+
+  test("p105 offset: pagination over a total order, both paths (round 14)") {
+    // raw path: rows m+1 … m+n
+    val raw = ZxSql.run(fixture, "select id order by id limit 3 offset 2")
+      .collect().map(_.getLong(0))
+    assert(raw.toSeq == Seq(3L, 4L, 5L))
+    // aggregate path: the middle group by sum
+    val agg = ZxSql.run(fixture,
+      "select sum(foo) as s group by y order by s limit 1 offset 1").collect()
+    assert(agg(0).getDouble(1) == 1400.0)
+    // offset alone (no limit) drops the first page
+    val rest = ZxSql.run(fixture, "select id order by id offset 8")
+      .collect().map(_.getLong(0))
+    assert(rest.toSeq == Seq(9L, 10L))
+    parseErr("select id offset 3", "offset needs order by")
+    parseErr("select id, y order by id limit 2 per y offset 1",
+      "does not compose with limit per")
+  }
+
+  test("p106 nulls first/last: explicit placement on both paths (round 14)") {
+    // fixture y is null on 7 of 10 rows
+    val last = ZxSql.run(fixture, "select id, y order by y desc nulls last, id")
+      .collect().map(_.getString(1))
+    assert(last.take(3).toSeq == Seq("9", "9", "1") && last.drop(3).forall(_ == null))
+    val first = ZxSql.run(fixture, "select id, y order by y asc nulls first, id")
+      .collect().map(_.getString(1))
+    assert(first.take(7).forall(_ == null) && first.drop(7).toSeq == Seq("1", "9", "9"))
+    parseErr("select id order by id nulls sometimes", "nulls first")
+  }
+
+  test("p110 boolean HAVING: or/not/parens with WHERE precedence; AND-chains stay legacy (round 14)") {
+    // fixture sums by y: 1→100 (count 1), 9→1400 (count 2), __nil→4000
+    // (count 7). The OR admits the extremes, the NOT evicts singletons.
+    val got = ZxSql.run(fixture,
+      "select sum(foo) as s group by y " +
+        "having (sum(foo) > 3000 or sum(foo) < 200) and not count(foo) = 1 " +
+        "order by s").collect()
+    assert(got.map(_.getDouble(1)).toSeq == Seq(4000.0),
+      "y=1 dies on NOT count=1, y=9 on both OR branches")
+    // a pure AND-chain still parses to the legacy conjunct vector —
+    // identical plans for every pre-p110 query
+    val flat = ZxSql.parse("select sum(foo) as s group by y " +
+      "having sum(foo) > 100 and count(foo) > 1")
+    assert(flat.having.size == 2 && flat.havingTree.isEmpty)
+    val tree = ZxSql.parse("select sum(foo) as s group by y " +
+      "having sum(foo) > 100 or count(foo) > 1")
+    assert(tree.having.isEmpty && tree.havingTree.nonEmpty)
+    // filter-only aggregates (max here) are computed and pruned
+    val cols = ZxSql.run(fixture,
+      "select sum(foo) as s group by y " +
+        "having max(foo) > 900 or count(foo) = 1 order by s").columns.toSeq
+    assert(cols == Seq("y", "s"))
+    // guards unchanged: having still needs an aggregate query
+    parseErr("select foo having (foo > 1 or foo < 0)", "having filters aggregates")
+  }
+
+  test("p109 percentile(x, q): arbitrary exact quantile; alias + literal fraction enforced (round 14)") {
+    import SparkFixture.spark.implicits._
+    val rows = (1 to 9).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val got = ZxSql.run(rows,
+      "select percentile(v, 0.25) as q1, percentile(v, 0.5) as med, " +
+        "percentile(v, 1) as mx group by k order by k").collect()
+    assert(got(0).getDouble(1) == 3.0 && got(0).getDouble(2) == 5.0 &&
+      got(0).getDouble(3) == 9.0)
+    // interpolation between ranks — same contract as DuckDB quantile_cont
+    val four = ZxSql.run(rows,
+      "select percentile(v, 0.5) as med where v <= 4 group by k order by k")
+      .collect()
+    assert(four(0).getDouble(1) == 2.5)
+    parseErr("select percentile(v, 1.5) as q group by k", "in [0, 1]")
+    parseErr("select percentile(v, q) as q2 group by k", "numeric literal")
+    parseErr("select percentile(v, 0.5) group by k", "need `as")
+  }
+
+  test("p107 date_trunc: timestamp-typed calendar truncation; grouping via derived table (round 14)") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    import SparkFixture.spark.implicits._
+    // 2026-08-16 10:11:12 UTC (a Sunday) and 2026-07-16 05:00:00 UTC
+    val rows = Seq((1L, 1786875072L), (2L, 1786875073L), (3L, 1784178000L))
+      .toDF("id", "sec").withColumn("ts", timestamp_seconds(col("sec")))
+    val got = ZxSql.run(rows,
+      "select id, date_trunc('month', ts) as mo, date_trunc('week', ts) as wk " +
+        "where id = 1")
+      .collect()
+    assert(got(0).getTimestamp(1).toInstant.toString == "2026-08-01T00:00:00Z")
+    assert(got(0).getTimestamp(2).toInstant.toString == "2026-08-10T00:00:00Z",
+      "ISO weeks start Monday")
+    // the calendar-rollup shape: group by a derived-table truncation
+    val monthly = ZxSql.runCatalog(Map("t" -> rows),
+      "select count(*) as n from (select date_trunc('month', ts) as mo " +
+        "from t) group by mo order by n desc")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(monthly == Map("2026-08-01 00:00:00" -> 2.0, "2026-07-01 00:00:00" -> 1.0))
+    // aggregates: orderable/countable only
+    val agg = ZxSql.run(rows,
+      "select max(date_trunc('month', ts)) as last_mo, " +
+        "count(distinct date_trunc('month', ts)) as months order by months").collect()
+    assert(agg(0).getTimestamp(0).toInstant.toString == "2026-08-01T00:00:00Z")
+    assert(agg(0).getLong(1) == 2L)
+    // p111 extractors: isodow is ISO (2026-08-16 is a SUNDAY → 7;
+    // Spark's raw dayofweek would say 1); second truncates the fraction
+    val dw = ZxSql.run(rows,
+      "select id, isodow(ts) as dw, second(ts) as sec where id <= 2 order by id")
+      .collect()
+    assert(dw(0).getLong(1) == 7L && dw(0).getLong(2) == 12L)
+    assert(dw(1).getLong(2) == 13L)
+    // guards: never arithmetic, never CASE labels, literal unit, bare column
+    parseErr("select date_trunc('month', ts) + 1 as z", "do not enter arithmetic")
+    parseErr("select sum(date_trunc('month', ts)) as z", "numeric measure")
+    parseErr("select date_trunc('fortnight', ts) as z", "date_trunc unit")
+    parseErr("select date_trunc('day', sec + 1) as z", "timestamp (or date) column")
+    parseErr("select case when id = 1 then date_trunc('day', ts) end as z",
+      "numeric or string")
+  }
+
 }
