@@ -3464,6 +3464,38 @@ object SparkEntry {
         "from documents where source = 'src1' and n_chars >= 100", wh)
   }
 
+  /** p113: max/min of STRING EXPRESSIONS — the lexical extreme ("last
+    * language seen", "first tag"). A bare string column keeps the
+    * reference's parse-on-demand NUMERIC aggregate semantics
+    * (lib.rs:566-572); a typed string expression aggregates in its type.
+    * Binary/UTF8 order agrees across engines for the ASCII corpus. */
+  private def p113SqlStrExtremes(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select max(upper(lang)) as last_lang, " +
+        "min(concat(lang, '-', source)) as first_tag, " +
+        "count(*) as n group by source order by source")
+      .select(col("source"), col("last_lang"), col("first_tag"), round3("n"))
+
+  /** p112: `insert into … values (…), (…)` — literal rows, the small-
+    * dimension/backfill staple that closes the write face (p95's INSERT
+    * only takes SELECT bodies). Cells are positional against the STORED
+    * schema and each casts to its column's stored type (ANSI — a
+    * mis-typed literal fails loudly); a NULL literal spells null.
+    * Lifecycle per call: reset → create → insert values → pinned
+    * read-back; the oracle UNION ALLs the same literal rows. */
+  private def p112SqlInsertValues(s: SparkSession, dir: String): DataFrame = {
+    val wh = "target/graft-ctas/values-lifecycle/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.sources.EventStore.reset(s, wh + "/slice5")
+    val cat = Map("documents" -> Tables.documents(s, dir))
+    graft.sql.ZxSql.runCreate(cat,
+      "create table slice5 as select doc_id, lang, source, n_chars " +
+        "from documents where lang = 'de' and n_chars >= 400", wh)
+    graft.sql.ZxSql.runInsert(cat,
+      "insert into slice5 values (9000001, 'xx', 'manual', 42), " +
+        "(9000002, null, 'manual', 7)", wh)
+  }
+
   /** p96: `delete from … where` — the destructive third of the SQL
     * write face, through the COW deleteWhere (detection pass → drop
     * fully-matching files unread → rewrite partial files → one atomic
@@ -4971,6 +5003,8 @@ object SparkEntry {
     "p109_sql_percentile" -> (p109SqlPercentile _),
     "p110_sql_having_bool" -> (p110SqlHavingBool _),
     "p111_sql_dow" -> (p111SqlDow _),
+    "p112_sql_insert_values" -> (p112SqlInsertValues _),
+    "p113_sql_str_extremes" -> (p113SqlStrExtremes _),
     "st_asof" -> (stAsof _),
     "p86_sql_explode" -> (p86SqlExplode _),
     "p86b_sql_explode_raw" -> (p86bSqlExplodeRaw _),
@@ -6530,6 +6564,24 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE source = 'src1' AND n_chars >= 100""".stripMargin,
+    "p113_sql_str_extremes" ->
+      // lexical max/min of string EXPRESSIONS — `||` NULL-propagates
+      // like the engine's concat; binary order on ASCII data
+      """SELECT source, max(upper(lang)) AS last_lang,
+        |  min(lang || '-' || source) AS first_tag,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS n
+        |FROM documents GROUP BY source""".stripMargin,
+    "p112_sql_insert_values" ->
+      // the created slice plus the literal rows, as a bag — DuckDB types
+      // VALUES per column, the casts pin BIGINT/VARCHAR parity
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang = 'de' AND n_chars >= 400
+        |UNION ALL
+        |SELECT * FROM (VALUES
+        |  (CAST(9000001 AS BIGINT), CAST('xx' AS VARCHAR),
+        |   CAST('manual' AS VARCHAR), CAST(42 AS BIGINT)),
+        |  (CAST(9000002 AS BIGINT), NULL, 'manual', CAST(7 AS BIGINT)))
+        |  v(doc_id, lang, source, n_chars)""".stripMargin,
     "p96_sql_delete" ->
       // create gate AND NOT delete predicate = the surviving rows
       """SELECT doc_id, lang, source, n_chars FROM documents

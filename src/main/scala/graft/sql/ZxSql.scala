@@ -691,13 +691,18 @@ object ZxSql {
             // distinct-counting is SET semantics — a string expression
             // (json_str, lower, a CASE label) is a legitimate distinct
             // key; every other aggregate is numeric arithmetic
+            // distinct-counting takes string keys; max/min of a STRING
+            // EXPRESSION is the lexical extreme (p113 — a bare string
+            // column keeps the reference's parse-on-demand NUMERIC
+            // semantics, but a typed expression aggregates in its type;
+            // binary/UTF8 order agrees across engines for ASCII data)
             if (MeasureExpr.isString(e) &&
                 agg != Agg.CountDistinct && agg != Agg.ApproxCountDistinct &&
-                agg != Agg.DistinctCount)
+                agg != Agg.DistinctCount && agg != Agg.Max && agg != Agg.Min)
               throw ParseError(s"${agg.name} takes a numeric measure — " +
                 "string expressions belong in projections, = / != " +
-                "predicates, and count_distinct (group by a derived-table " +
-                "label to aggregate per label)")
+                "predicates, count_distinct, and max/min (group by a " +
+                "derived-table label to aggregate per label)")
             // a truncated timestamp is orderable and countable, nothing
             // else — max/min ("latest month seen") and the distinct
             // counts take it; sums/means/percentiles do not
@@ -2960,9 +2965,61 @@ object ZxSql {
       throw ParseError(s"insert into: '$name' names a CATALOG frame — " +
         "INSERT targets warehouse stores; materialize catalog frames " +
         "with create table first")
+    val target = warehouseDir.stripSuffix("/") + "/" + name
+    // `insert into <t> values (…), (…)` (p112): literal rows — the small-
+    // dimension/backfill staple. Cells are positional against the STORED
+    // schema; literals are untyped by nature, so each cell CASTS to its
+    // column's stored type (ANSI: a mis-typed literal fails loudly, never
+    // silently nulls) — the one place the never-coerce INSERT contract
+    // does not apply, because a literal has no schema to contract with.
+    if (toks.lift(3).contains(Ident("values"))) {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val schema = graft.sources.EventStore.readPinned(spark, target).schema
+      var pos = 4
+      def parseRow(): Seq[Option[String]] = {
+        if (!toks.lift(pos).contains(Sym("(")))
+          throw ParseError(s"values: expected '(', got ${toks.lift(pos)}")
+        pos += 1
+        val cells = Seq.newBuilder[Option[String]]
+        var more = true
+        while (more) {
+          toks.lift(pos) match {
+            case Some(Num(v))        => cells += Some(v); pos += 1
+            case Some(Str(v))        => cells += Some(v); pos += 1
+            case Some(Ident("null")) => cells += None; pos += 1
+            case other => throw ParseError(
+              s"values: expected a literal (number, 'string', null), got $other")
+          }
+          toks.lift(pos) match {
+            case Some(Sym(","))  => pos += 1
+            case Some(Sym(")"))  => pos += 1; more = false
+            case other => throw ParseError(s"values: expected ',' or ')', got $other")
+          }
+        }
+        cells.result()
+      }
+      val rows = Seq.newBuilder[Seq[Option[String]]]
+      rows += parseRow()
+      while (toks.lift(pos).contains(Sym(","))) { pos += 1; rows += parseRow() }
+      if (pos < toks.length)
+        throw ParseError(s"trailing input from token $pos: ${toks.drop(pos).take(5)}")
+      val rs = rows.result()
+      rs.find(_.size != schema.size).foreach(r => throw ParseError(
+        s"values row has ${r.size} cells — '$name' has ${schema.size} " +
+          s"columns (${schema.fieldNames.mkString(", ")}), positional"))
+      val strSchema = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+        org.apache.spark.sql.types.StructField(f.name,
+          org.apache.spark.sql.types.StringType, nullable = true)))
+      val df0 = spark.createDataFrame(
+        java.util.Arrays.asList(rs.map(r =>
+          org.apache.spark.sql.Row(r.map(_.orNull): _*)): _*), strSchema)
+      val typed = df0.select(schema.fields.toIndexedSeq.map(f =>
+        Compiler.colRef(f.name).cast(f.dataType).as(f.name)): _*)
+      graft.sources.EventStore.insertInto(typed, target, tsCol)
+      return graft.sources.EventStore.readPinned(spark, target)
+    }
     val result = compileWriteBody(tables, toks.drop(3), 3, name, tsCol,
       exact, idCol)
-    val target = warehouseDir.stripSuffix("/") + "/" + name
     graft.sources.EventStore.insertInto(result, target, tsCol)
     graft.sources.EventStore.readPinned(result.sparkSession, target)
   }

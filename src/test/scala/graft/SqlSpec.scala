@@ -2736,6 +2736,96 @@ class SqlSpec extends AnyFunSuite {
     parseErr("select id order by id nulls sometimes", "nulls first")
   }
 
+  test("p113 max/min of string expressions is the lexical extreme; bare columns stay numeric (round 14)") {
+    import SparkFixture.spark.implicits._
+    val rows = Seq(("g", "beta"), ("g", "alpha"), ("g", null))
+      .toDF("k", "s")
+    val got = ZxSql.run(rows,
+      "select max(upper(s)) as mx, min(lower(s)) as mn group by k order by k")
+      .collect()
+    assert(got(0).getString(1) == "BETA" && got(0).getString(2) == "alpha")
+    // a BARE string column keeps the reference's numeric parse semantics:
+    // non-numeric text parses to NULL, so the extreme is NULL (documented
+    // divergence surface, lib.rs:566-572)
+    val bare = ZxSql.run(rows, "select max(s) as mx group by k order by k").collect()
+    assert(bare(0).isNullAt(1))
+    // sums stay numeric-only
+    parseErr("select sum(upper(s)) as z group by k", "numeric measure")
+  }
+
+  test("p112 insert values: literal rows cast to the STORED schema; arity and types loud (round 14)") {
+    import SparkFixture.spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-values").toString
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "k", "v")
+    ZxSql.runCreate(Map("t" -> base),
+      "create table dim as select id, k, v from t", wh)
+    val after = ZxSql.runInsert(Map.empty,
+      "insert into dim values (3, 'c', 30), (4, null, -7)", wh)
+    val got = after.collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSet
+    assert(got == Set((1L, Some("a"), 10L), (2L, Some("b"), 20L),
+      (3L, Some("c"), 30L), (4L, None, -7L)))
+    // positional contract: wrong arity is loud
+    val e = intercept[ZxSql.ParseError](ZxSql.runInsert(Map.empty,
+      "insert into dim values (5, 'x')", wh))
+    assert(e.getMessage.contains("3 columns"))
+    // a mis-typed literal fails loudly (ANSI cast), never silently nulls
+    intercept[Exception] { ZxSql.runInsert(Map.empty,
+      "insert into dim values ('oops', 'x', 1)", wh).collect() }
+    // a missing target store is loud (VALUES cannot create)
+    intercept[Exception] { ZxSql.runInsert(Map.empty,
+      "insert into nope values (1, 'x', 2)", wh) }
+  }
+
+  test("round-14 scalar surface STREAMS: string surgery, %, strpos gates — stateless row maps") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    val rows = Seq((1L, "a-b"), (2L, "cd")).toDF("id", "s")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-p101-st").toString
+    rows.write.mode("overwrite").parquet(dir2)
+    val st = spark.readStream.schema(rows.schema).parquet(dir2)
+    val out = ZxSql.runStream(st,
+      "select id, split_part(s, '-', 2) as p, id % 2 as par " +
+        "where strpos(s, '-') > 0")
+    val q = out.writeStream.format("memory").queryName("p101_st").start()
+    try q.processAllAvailable() finally q.stop()
+    val r = spark.table("p101_st").collect()
+    assert(r.length == 1 && r(0).getString(1) == "b" && r(0).getDouble(2) == 1.0)
+  }
+
+  test("boolean HAVING streams through the windowed aggregator (round 14)") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    val rows = Seq((1L, "a", 5.0), (2L, "a", 6.0), (3L, "b", 1.0))
+      .toDF("sec", "k", "v").withColumn("ts", timestamp_seconds(col("sec")))
+      .drop("sec")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-hav-st").toString
+    rows.write.mode("overwrite").parquet(dir2)
+    val st = spark.readStream.schema(spark.read.parquet(dir2).schema).parquet(dir2)
+    val out = ZxSql.runStream(st,
+      "select sum(v) as sv group by k " +
+        "having (sum(v) > 10 or count(v) > 5) and not min(v) < 0.5 " +
+        "granularity 60")
+    val q = out.writeStream.format("memory").outputMode("complete")
+      .queryName("hav_st").start()
+    try q.processAllAvailable() finally q.stop()
+    val r = spark.table("hav_st").collect()
+    assert(r.length == 1 && r(0).getAs[String]("k") == "a" &&
+      r(0).getAs[Double]("sv") == 11.0,
+      "only group a survives: b fails both OR branches")
+  }
+
+  test("compound trailing offset pages the COMPOSED result (round 14)") {
+    import SparkFixture.spark.implicits._
+    val rows = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val got = ZxSql.runCatalog(Map("t" -> rows),
+      "select id from t where id <= 2 union all " +
+        "select id from t where id >= 2 order by id limit 3 offset 1")
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(2L, 2L, 3L), "bag [1,2,2,3,4] paged to rows 2-4")
+  }
+
   test("p110 boolean HAVING: or/not/parens with WHERE precedence; AND-chains stay legacy (round 14)") {
     // fixture sums by y: 1→100 (count 1), 9→1400 (count 2), __nil→4000
     // (count 7). The OR admits the extremes, the NOT evicts singletons.
