@@ -227,6 +227,36 @@ object SparkEntry {
       .withColumn("mean_value", stableMean("sum_value", "count_value"))
   }
 
+  /** a8c: windowed aggregation + BOOLEAN HAVING (p110's tree on the
+    * windowed path): the or/not filter runs post-aggregation per
+    * (key, window) group; mean/max/min are computed for the filter and
+    * pruned from the output. st_having replays the same query through
+    * the streaming aggregator and shares this oracle verbatim. */
+  private def a8cWindowHaving(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir),
+      "select sum(value) as sv, count(*) as n group by event_type " +
+        "having (mean(value) > 55 or max(value) > 320) " +
+        "and not min(value) < 1 granularity 3600")
+      .select(col("event_type"), col("w_start"), col("w_end"),
+        round3("sv"), round3("n"))
+
+  /** st_having ≡ a8c through the streaming windowed aggregator: the
+    * boolean HAVING tree filters each micro-batch's FINALIZED windows
+    * (append mode — a group emits once, after the watermark passes), so
+    * batch == stream per window, hash-checked via a8c's oracle. */
+  private def stHaving(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.streaming.StreamReplay.replayEvents(s, dir, "st-having") {
+      stream => graft.sql.ZxSql.runStream(stream,
+        "select sum(value) as sv, count(*) as n group by event_type " +
+          "having (mean(value) > 55 or max(value) > 320) " +
+          "and not min(value) < 1 granularity 3600",
+        watermark = "0 seconds")
+    }
+    notSentinel(out)
+      .select(col("event_type"), col("w_start"), col("w_end"),
+        round3("sv"), round3("n"))
+  }
+
   // ----------------------------------------------------------- O1: top groups
 
   /** O1 aggregate-then-sort, the "top groups" path (lib.rs:222-246, 735-784)
@@ -3283,6 +3313,34 @@ object SparkEntry {
       .select(col("user_id"), col("event_id"), round6("mv7"))
   }
 
+  /** p114: nth_value — the partition's n-th row in ORDER BY order over
+    * the FULL frame ("who is the runner-up in each source"), composed
+    * with row_number + QUALIFY for the keep-best-with-context shape.
+    * Both windows share the one partition exchange. */
+  private def p114SqlNthValue(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select source, doc_id, n_chars, " +
+        "nth_value(doc_id, 2) over (partition by source " +
+        "order by n_chars desc, doc_id) as runner_up, " +
+        "row_number() over (partition by source " +
+        "order by n_chars desc, doc_id) as rn " +
+        "qualify rn = 1 order by source")
+
+  /** p115: the TWO-SIDED moving frame — `rows between 2 preceding and 2
+    * following`, the centered 5-row smoother (p87's trailing frame looks
+    * back only). Same one-exchange window plan, same unique-tiebreak
+    * discipline. */
+  private def p115SqlCenteredAvg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("ts_sec", col("ts").cast(LongType))
+    graft.sql.ZxSql.run(ev,
+      "select user_id, event_id, " +
+        "mean(value) over (partition by user_id order by ts_sec asc, " +
+        "event_id asc rows between 2 preceding and 2 following) as ctr5 " +
+        "where user_id < 20 order by user_id asc, event_id asc limit 500")
+      .select(col("user_id"), col("event_id"), round6("ctr5"))
+  }
+
   /** p88: EXACT-count sample PER GROUP — `sample exact 50 per source`:
     * exactly 50 docs from every source, rerun-stable (the p66 md5 coin,
     * key-tiebroken, now ranked within each group). Unlike the global
@@ -3494,6 +3552,45 @@ object SparkEntry {
     graft.sql.ZxSql.runInsert(cat,
       "insert into slice5 values (9000001, 'xx', 'manual', 42), " +
         "(9000002, null, 'manual', 7)", wh)
+  }
+
+  /** p116: the SCRIPT face — create → delete → insert values → aggregate
+    * read, four statements in ONE call (`ZxSql.runScript`), the catalog
+    * re-derived from the warehouse before each so later statements see
+    * earlier writes. The oracle replays the same pipeline as relational
+    * algebra (slice AND NOT deleted, UNION ALL the literal row,
+    * aggregate). */
+  private def p116SqlScript(s: SparkSession, dir: String): DataFrame = {
+    val wh = "target/graft-ctas/script-lifecycle/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.sources.EventStore.reset(s, wh + "/slice6")
+    graft.sql.ZxSql.runScript(Map("documents" -> Tables.documents(s, dir)),
+      "create table slice6 as select doc_id, lang, source, n_chars " +
+        "from documents where n_chars >= 350; " +
+        "delete from slice6 where lang = 'zh'; " +
+        "insert into slice6 values (9000005, 'xx', 'manual', 11); " +
+        "select count(*) as n, max(n_chars) as mx from slice6 " +
+        "group by source order by source", wh)
+      .select(col("source"), round3("n"), round3("mx"))
+  }
+
+  /** p117: TIME TRAVEL at the front door — `from <name> version <k>`
+    * pins a read to manifest version k (create = v0, every commit +1),
+    * rewritten to a pinned catalog entry so ONE statement reads TWO
+    * versions of the same store: `… from ttl version 0 except … from
+    * ttl` is exactly "what did the delete remove". The c7 API machinery
+    * (manifest-pinned file lists — no data is ever copied for history)
+    * behind a SQL spelling. */
+  private def p117SqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val wh = "target/graft-ctas/timetravel-lifecycle/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.sources.EventStore.reset(s, wh + "/ttl")
+    graft.sql.ZxSql.runScript(Map("documents" -> Tables.documents(s, dir)),
+      "create table ttl as select doc_id, lang, n_chars from documents " +
+        "where n_chars >= 450; " +
+        "delete from ttl where n_chars < 470; " +
+        "select doc_id, lang, n_chars from ttl version 0 " +
+        "except select doc_id, lang, n_chars from ttl", wh)
   }
 
   /** p96: `delete from … where` — the destructive third of the SQL
@@ -5005,6 +5102,10 @@ object SparkEntry {
     "p111_sql_dow" -> (p111SqlDow _),
     "p112_sql_insert_values" -> (p112SqlInsertValues _),
     "p113_sql_str_extremes" -> (p113SqlStrExtremes _),
+    "p114_sql_nth_value" -> (p114SqlNthValue _),
+    "p115_sql_centered_avg" -> (p115SqlCenteredAvg _),
+    "p116_sql_script" -> (p116SqlScript _),
+    "p117_sql_time_travel" -> (p117SqlTimeTravel _),
     "st_asof" -> (stAsof _),
     "p86_sql_explode" -> (p86SqlExplode _),
     "p86b_sql_explode_raw" -> (p86bSqlExplodeRaw _),
@@ -5099,6 +5200,8 @@ object SparkEntry {
     "c17b_durable_follow" -> (c17bDurableFollow _),
     "c16_snapshot_clone" -> (c16SnapshotClone _),
     "st_tumbling" -> (stTumbling _),
+    "a8c_window_having" -> (a8cWindowHaving _),
+    "st_having" -> (stHaving _),
     "st_session" -> (stSession _),
     "st_hopping" -> (stHopping _),
     "st_gap" -> (stGap _),
@@ -5636,6 +5739,17 @@ object SparkEntry {
         | round(round(sum(coalesce(value, 0)), 3)
         |   / round(CAST(count(value) AS DOUBLE), 3), 6) AS mean_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "a8c_window_having" ->
+      // boolean HAVING on the windowed path — mean/max/min computed for
+      // the filter only; st_having shares this oracle verbatim
+      """SELECT event_type,
+        | CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS w_start,
+        | CAST(floor(epoch(ts) / 3600) * 3600 + 3600 AS BIGINT) AS w_end,
+        | round(sum(coalesce(value, 0)), 3) AS sv,
+        | round(CAST(count(*) AS DOUBLE), 3) AS n
+        |FROM events GROUP BY 1, 2, 3
+        |HAVING (avg(value) > 55 OR max(value) > 320)
+        |  AND NOT min(value) < 1""".stripMargin,
     "a11_percentiles" ->
       """SELECT event_type,
         | round(quantile_cont(value, 0.5), 6) AS p50_value,
@@ -6571,6 +6685,22 @@ object SparkEntry {
         |  min(lang || '-' || source) AS first_tag,
         |  round(CAST(count(*) AS DOUBLE), 3) AS n
         |FROM documents GROUP BY source""".stripMargin,
+    "p117_sql_time_travel" ->
+      // version-0 EXCEPT current = exactly the deleted rows
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE n_chars >= 450 AND n_chars < 470""".stripMargin,
+    "p116_sql_script" ->
+      // the script pipeline as one relational expression: slice AND NOT
+      // deleted, UNION ALL the literal row, aggregate per source
+      """SELECT source, round(CAST(count(*) AS DOUBLE), 3) AS n,
+        |  round(CAST(max(n_chars) AS DOUBLE), 3) AS mx
+        |FROM (
+        |  SELECT doc_id, lang, source, n_chars FROM documents
+        |  WHERE n_chars >= 350 AND NOT lang = 'zh'
+        |  UNION ALL
+        |  SELECT CAST(9000005 AS BIGINT), CAST('xx' AS VARCHAR),
+        |    CAST('manual' AS VARCHAR), CAST(11 AS BIGINT))
+        |GROUP BY source""".stripMargin,
     "p112_sql_insert_values" ->
       // the created slice plus the literal rows, as a bag — DuckDB types
       // VALUES per column, the casts pin BIGINT/VARCHAR parity
@@ -6738,6 +6868,25 @@ object SparkEntry {
         |  round(avg(value) OVER (PARTITION BY user_id
         |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS mv7
+        |FROM events WHERE user_id < 20
+        |ORDER BY user_id, event_id LIMIT 500""".stripMargin,
+    "p114_sql_nth_value" ->
+      // nth_value needs the FULL frame spelled in DuckDB (its default
+      // running frame nulls the result until the n-th row arrives)
+      """SELECT source, doc_id, n_chars, runner_up, rn FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    nth_value(doc_id, 2) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS runner_up,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin,
+    "p115_sql_centered_avg" ->
+      """SELECT user_id, event_id,
+        |  round(avg(value) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+        |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS ctr5
         |FROM events WHERE user_id < 20
         |ORDER BY user_id, event_id LIMIT 500""".stripMargin,
     "p88_sql_sample_per" ->
@@ -8407,6 +8556,7 @@ object SparkEntry {
       "st_hopping" -> base("a10_hopping"),
       "st_gap" -> base("a8_gap_window"),
       "st_heatmap" -> base("a7_heatmap"),
-      "st_enrich" -> base("p34_sql_enrich_windowed"))
+      "st_enrich" -> base("p34_sql_enrich_windowed"),
+      "st_having" -> base("a8c_window_having"))
   }
 }

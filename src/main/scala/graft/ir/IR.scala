@@ -904,4 +904,9 @@ final case class WinSelect(
       * Aggregate window functions with ORDER BY only. Standard-SQL
       * caveat applies on BOTH engines: a ROWS frame over a non-total
       * ORDER BY is tie-order-dependent — spell a unique tiebreak. */
-    rowsPreceding: Option[Int] = None)
+    rowsPreceding: Option[Int] = None,
+    /** `rows between <m> preceding and <n> following` (p115): the
+      * TWO-SIDED frame — the centered moving average/smoother. Set
+      * together with [[rowsPreceding]]; same aggregate-window +
+      * ORDER BY + unique-tiebreak discipline. */
+    rowsFollowing: Option[Int] = None)

@@ -8,6 +8,14 @@ import graft.operators.GapWindows
 /** SQL front door — the reference's `ZX.SQL` surface (lib.rs:815-844,
   * expr.rs:106-230) as a hand-rolled recursive-descent parser to [[ZxQuery]].
   *
+  * SCRIPTS (p116, [[runScript]]): `stmt; stmt; …` — create/insert/
+  * delete/update/drop route to the write faces against a warehouse,
+  * reads through the catalog, each statement seeing earlier writes
+  * (manifest-pinned). TIME TRAVEL (p117): any FROM may spell
+  * `<name> version <k>` under runScript — create = v0, each commit +1;
+  * one statement can read two versions of one store (`… from t
+  * version 0 except … from t` = the deleted rows).
+  *
   * Accepted subset (reference-parity, lowercased like lib.rs:818-820):
   *   [with <name> as (<statement>) [, <name> as (…)]*]   — CTEs; each
   *     body is a full statement (set ops included), later CTEs and the
@@ -82,6 +90,8 @@ import graft.operators.GapWindows
   *                 RUNNING form with it (SQL default RANGE frame, ties
   *                 as peers — both plain row semantics, unweighted)
   *               | first_value|last_value(col) over (…) as name
+  *               | nth_value(col, n) over (…) as name  — the partition's
+  *                 n-th row in ORDER BY order over the FULL frame (p114)
   *               | ntile(n) over (…) as name
   *                 (analytic window items — raw-projection queries only;
   *                 partition by is required, order by wherever the
@@ -127,8 +137,10 @@ import graft.operators.GapWindows
   *
   * Aggregate windows take an optional MOVING frame (p87): `sum(v) over
   * (partition by k order by t [, tiebreak…] rows <n> preceding) as m`
-  * = ROWS BETWEEN n PRECEDING AND CURRENT ROW; order-sensitive under
-  * ties like all of SQL — spell a unique tiebreak.
+  * = ROWS BETWEEN n PRECEDING AND CURRENT ROW; p115 adds the TWO-SIDED
+  * spelling `rows between <m> preceding and <n> following` (the centered
+  * smoother); order-sensitive under ties like all of SQL — spell a
+  * unique tiebreak.
   *
   * `sample exact <n> [key <col>] per <col>` (p88): exactly n rows from
   * EVERY group — the same md5 coin as the global form ranked within
@@ -1513,7 +1525,12 @@ object ZxSql {
       // relative-position ranks (p89): percent_rank = (rank-1)/(n-1),
       // cume_dist = rank-from-behind/n — identical definitions on both
       // engines; order-sensitive, so `order by` stays required
-      "percent_rank", "cume_dist")
+      "percent_rank", "cume_dist",
+      // nth_value(col, n) (p114): the partition's n-th row in ORDER BY
+      // order, over the FULL frame (like last_value — the default
+      // running frame would null it until the n-th row arrives; oracles
+      // spell ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      "nth_value")
     // AGGREGATE window functions (p74) + navigation/bucketing (p75).
     // These share names with grouped aggregates, so the dispatch below
     // looks PAST the matching ')' for `over` before routing here.
@@ -1533,6 +1550,10 @@ object ZxSql {
       } else if (f == "ntile") {
         off = parseInt(num("ntile buckets"), "ntile buckets")
         if (off < 1) throw ParseError(s"ntile needs ≥ 1 buckets, got $off")
+      } else if (f == "nth_value") {
+        arg = Some(ident()); expectSym(",")
+        off = parseInt(num("nth_value position"), "nth_value position")
+        if (off < 1) throw ParseError(s"nth_value position is 1-based (≥ 1), got $off")
       } else if (aggWinNames(f) || f == "first_value" || f == "last_value") {
         // count(*) counts the frame's rows; everything else takes a column
         if (f == "count" && peek.contains(Sym("*"))) { next(); arg = Some("*") }
@@ -1574,25 +1595,44 @@ object ZxSql {
       // the standard-SQL caveat (tie-order dependence under a non-total
       // ORDER BY) applies on both engines — spell a unique tiebreak.
       var rowsPrec: Option[Int] = None
+      var rowsFoll: Option[Int] = None
       if (atIdent("rows")) {
         next()
-        val n = parseInt(num("rows frame size"), "rows frame size")
-        expectIdent("preceding")
-        if (!aggWinNames(f))
-          throw ParseError(s"rows frames apply to aggregate windows " +
-            s"(${aggWinNames.toSeq.sorted.mkString("/")}), not $f")
-        if (obs.isEmpty)
-          throw ParseError("a rows frame needs `order by` — an unordered " +
-            "moving window has no notion of 'preceding'")
-        if (n < 1) throw ParseError(s"rows frame size must be ≥ 1, got $n")
-        rowsPrec = Some(n)
+        def frameGuards(): Unit = {
+          if (!aggWinNames(f))
+            throw ParseError(s"rows frames apply to aggregate windows " +
+              s"(${aggWinNames.toSeq.sorted.mkString("/")}), not $f")
+          if (obs.isEmpty)
+            throw ParseError("a rows frame needs `order by` — an unordered " +
+              "moving window has no notion of 'preceding'")
+        }
+        if (atIdent("between")) {
+          // `rows between <m> preceding and <n> following` (p115): the
+          // TWO-SIDED frame — the centered smoother
+          next()
+          val m = parseInt(num("frame preceding"), "frame preceding")
+          expectIdent("preceding"); expectIdent("and")
+          val n2 = parseInt(num("frame following"), "frame following")
+          expectIdent("following")
+          frameGuards()
+          if (m < 0 || n2 < 0)
+            throw ParseError(s"frame bounds must be ≥ 0, got $m/$n2")
+          rowsPrec = Some(m); rowsFoll = Some(n2)
+        } else {
+          val n = parseInt(num("rows frame size"), "rows frame size")
+          expectIdent("preceding")
+          frameGuards()
+          if (n < 1) throw ParseError(s"rows frame size must be ≥ 1, got $n")
+          rowsPrec = Some(n)
+        }
       }
       expectSym(")")
       if (!atIdent("as"))
         throw ParseError("window selects need `as <name>` — the " +
           "rank/offset column has no canonical name")
       next()
-      WinSelect(f, arg, off, parts, obs, ident(), rowsPreceding = rowsPrec)
+      WinSelect(f, arg, off, parts, obs, ident(), rowsPreceding = rowsPrec,
+        rowsFollowing = rowsFoll)
     }
     // true iff the call starting at `p` (Ident + "(") has `over` after its
     // matching ")" — distinguishes `sum(x) over (…)` from the aggregate
@@ -3024,6 +3064,116 @@ object ZxSql {
     graft.sources.EventStore.readPinned(result.sparkSession, target)
   }
 
+  /** Split a script on ';' OUTSIDE string literals; empty statements
+    * (trailing ';', blank lines) drop. */
+  private def splitStatements(sql: String): Seq[String] = {
+    val out = Seq.newBuilder[String]; val cur = new StringBuilder
+    var inStr = false
+    sql.foreach {
+      case '\'' => inStr = !inStr; cur += '\''
+      case ';' if !inStr => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (inStr) throw ParseError("unterminated string literal in script")
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Token → source rendering (the lexer's inverse for this grammar:
+    * idents are already lowercased, strings cannot contain quotes). */
+  private def renderTok(t: Tok): String = t match {
+    case Ident(v) => v
+    case Num(v)   => v
+    case Sym(v)   => v
+    case Str(v)   => s"'$v'"
+  }
+
+  /** Multi-statement SCRIPT face (p116): `stmt; stmt; …` — how a real
+    * user composes a pipeline without leaving SQL. create/insert/delete/
+    * update/drop route to their write faces against `warehouseDir`;
+    * anything else reads through [[runCatalog]]. Before EVERY statement
+    * the catalog re-derives from the warehouse (manifest-pinned frames,
+    * debris invisible) and overlays the caller's frames — so later
+    * statements see earlier writes, and a caller frame shadowed by a
+    * same-named store loses (the durable store is the truth; shadow it
+    * deliberately or rename). Statements split on ';' outside string
+    * literals. Returns the LAST statement's frame (write faces return
+    * their pinned read-back); a script may not END with `drop table` —
+    * nothing would remain to return. Read-only and streaming faces keep
+    * rejecting scripts implicitly (';' never parses there). */
+  def runScript(tables: Map[String, DataFrame], sql: String,
+                warehouseDir: String,
+                tsCol: String = Compiler.DefaultTsCol,
+                exact: Boolean = false,
+                idCol: Option[String] = None): DataFrame = {
+    val stmts = splitStatements(sql)
+    if (stmts.isEmpty) throw ParseError("empty script")
+    val spark = tables.values.headOption.map(_.sparkSession)
+      .getOrElse(org.apache.spark.sql.SparkSession.active)
+    var last: Option[DataFrame] = None
+    stmts.foreach { st0 =>
+      var stToks = lex(st0)
+      // TIME TRAVEL at the front door (p117): `from <name> version <k>`
+      // pins that read to manifest version k (create = v0, each commit
+      // +1). The pinned read rewrites to an internal catalog entry, so
+      // ONE statement can read TWO versions of the same store — the
+      // "what did the delete remove" diff is `select … from t version 0
+      // except select … from t`. Works in ANY statement (a CTAS body
+      // can read the past). A missing version fails loudly in the
+      // manifest read.
+      var pinned = Map.empty[String, DataFrame]
+      locally {
+        var i = 0
+        while (i + 3 < stToks.length + 1) {
+          (stToks.lift(i), stToks.lift(i + 1), stToks.lift(i + 2),
+            stToks.lift(i + 3)) match {
+            case (Some(Ident("from")), Some(Ident(nm)),
+                  Some(Ident("version")), Some(Num(k))) =>
+              val ver = k.toLongOption.getOrElse(
+                throw ParseError(s"bad version number '$k'"))
+              if (ver < 0) throw ParseError(s"version must be ≥ 0, got $ver")
+              val alias = s"${nm}_v$ver"
+              if (tables.contains(alias)) throw ParseError(
+                s"version pin needs internal name '$alias', which a " +
+                  "caller frame already uses — rename it")
+              pinned += alias -> graft.sources.EventStore.readPinned(spark,
+                warehouseDir.stripSuffix("/") + "/" + nm, ver)
+              stToks = stToks.patch(i + 1, Seq(Ident(alias)), 3)
+            case _ =>
+          }
+          i += 1
+        }
+      }
+      val st = if (pinned.isEmpty) st0 else stToks.map(renderTok).mkString(" ")
+      // The write faces' target-name guards protect CALLER frames — but
+      // in a script the target is usually ALSO its own warehouse-catalog
+      // entry (created two statements ago). Drop the target from the
+      // OVERLAY only: a caller frame with the name still collides loudly.
+      val writeTarget: Option[String] = stToks.headOption match {
+        case Some(Ident("insert")) | Some(Ident("delete")) =>
+          stToks.lift(2).collect { case Ident(n) => n }
+        case Some(Ident("update")) =>
+          stToks.lift(1).collect { case Ident(n) => n }
+        case _ => None
+      }
+      val cat = tables ++
+        (graft.sources.EventStore.warehouseCatalog(spark, warehouseDir)
+          -- writeTarget.toSeq) ++ pinned
+      last = stToks.headOption match {
+        case Some(Ident("create")) =>
+          Some(runCreate(cat, st, warehouseDir, tsCol, exact, idCol))
+        case Some(Ident("insert")) =>
+          Some(runInsert(cat, st, warehouseDir, tsCol, exact, idCol))
+        case Some(Ident("delete")) => Some(runDelete(cat, st, warehouseDir, tsCol))
+        case Some(Ident("update")) => Some(runUpdate(cat, st, warehouseDir, tsCol))
+        case Some(Ident("drop"))   => runDrop(st, warehouseDir); None
+        case _ => Some(runCatalog(cat, st, tsCol, exact, idCol))
+      }
+    }
+    last.getOrElse(throw ParseError("script ends with `drop table` — " +
+      "end with a read (or a write, whose pinned read-back returns)"))
+  }
+
   /** `drop table [if exists] <name>` — the store's directory (data plus
     * every manifest version) deletes recursively through
     * [[graft.sources.EventStore.reset]]; time travel necessarily dies
@@ -3470,6 +3620,9 @@ object ZxSql {
             else count(Compiler.colRef(w.arg.get))
           case "first_value" => first(Compiler.colRef(w.arg.get))
           case "last_value"  => last(Compiler.colRef(w.arg.get))
+          case "nth_value" =>
+            org.apache.spark.sql.functions.nth_value(
+              Compiler.colRef(w.arg.get), w.offset)
           case "ntile"       => ntile(w.offset)
           case other => throw ParseError(s"unknown window function '$other'")
         }
@@ -3479,9 +3632,13 @@ object ZxSql {
         // default RANGE running frame (parse guarantees aggregate func +
         // order by); same spelling, same semantics in DuckDB.
         val spec2 =
-          if (w.func == "last_value")
+          if (w.func == "last_value" || w.func == "nth_value")
             spec.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-          else w.rowsPreceding.map(n => spec.rowsBetween(-n, 0)).getOrElse(spec)
+          else (w.rowsPreceding, w.rowsFollowing) match {
+            case (Some(m), Some(n)) => spec.rowsBetween(-m, n) // p115
+            case (Some(m), None)    => spec.rowsBetween(-m, 0) // p87
+            case _                  => spec
+          }
         d.withColumn(w.alias, e.over(spec2))
       }
       val qualified = q.qualify.map(t =>

@@ -2736,6 +2736,71 @@ class SqlSpec extends AnyFunSuite {
     parseErr("select id order by id nulls sometimes", "nulls first")
   }
 
+  test("p116 runScript: statements see earlier writes; drop-ending and quoting guards (round 14)") {
+    import SparkFixture.spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-script").toString
+    val base = Seq((1L, "a;b", 10L), (2L, "c", 20L)).toDF("id", "k", "v")
+    // a ';' INSIDE a string literal is not a statement boundary
+    val out = ZxSql.runScript(Map("t" -> base),
+      "create table s1 as select id, k, v from t; " +
+        "insert into s1 values (3, 'x;y', 30); " +
+        "select id, v from s1 where k = 'x;y' order by id", wh)
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // later statements read earlier writes through the warehouse catalog
+    val n = ZxSql.runScript(Map("t" -> base),
+      "insert into s1 values (4, 'z', 40); select id from s1 order by id", wh)
+    assert(n.count() == 4)
+    // drop ends nothing — a script returns its last frame
+    val e = intercept[ZxSql.ParseError](ZxSql.runScript(Map("t" -> base),
+      "drop table s1", wh))
+    assert(e.getMessage.contains("drop table"))
+    intercept[ZxSql.ParseError](
+      ZxSql.runScript(Map.empty, "select 'unterminated; select 1", wh))
+  }
+
+  test("p117 time travel: `from t version k` pins the manifest; two versions in one statement (round 14)") {
+    import SparkFixture.spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-tt").toString
+    val base = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+    val diff = ZxSql.runScript(Map("t" -> base),
+      "create table tt as select id, v from t; " +
+        "delete from tt where v < 25; " +
+        "select id, v from tt version 0 except select id, v from tt", wh)
+      .collect().map(_.getLong(0)).toSet
+    assert(diff == Set(1L, 2L), "v0 EXCEPT current = the deleted rows")
+    // the bare name reads the CURRENT version
+    assert(ZxSql.runScript(Map.empty, "select id from tt", wh).count() == 1)
+    // a missing version dies in the manifest read, loudly
+    intercept[Exception](ZxSql.runScript(Map.empty,
+      "select id from tt version 9", wh))
+    intercept[ZxSql.ParseError](ZxSql.runScript(Map.empty,
+      "select id from tt version -1", wh))
+  }
+
+  test("p114 nth_value + p115 two-sided frames (round 14)") {
+    import SparkFixture.spark.implicits._
+    val rows = Seq(("g", 1L, 10.0), ("g", 2L, 20.0), ("g", 3L, 30.0),
+      ("g", 4L, 40.0)).toDF("k", "i", "v")
+    // nth_value reads the FULL frame: every row of g sees the 2nd row
+    val nth = ZxSql.run(rows,
+      "select i, nth_value(v, 2) over (partition by k order by i) as second " +
+        "order by i").collect()
+    assert(nth.forall(_.getDouble(1) == 20.0))
+    // two-sided frame: centered mean of [i-1, i+1]
+    val ctr = ZxSql.run(rows,
+      "select i, mean(v) over (partition by k order by i " +
+        "rows between 1 preceding and 1 following) as c order by i")
+      .collect().map(_.getDouble(1)).toSeq
+    assert(ctr == Seq(15.0, 20.0, 30.0, 35.0))
+    // guards
+    parseErr("select i, nth_value(v, 0) over (partition by k order by i) as z",
+      "1-based")
+    parseErr("select i, nth_value(v, 2) over (partition by k) as z",
+      "needs `order by`")
+    parseErr("select i, row_number() over (partition by k order by i " +
+      "rows between 1 preceding and 1 following) as z", "aggregate windows")
+  }
+
   test("p113 max/min of string expressions is the lexical extreme; bare columns stay numeric (round 14)") {
     import SparkFixture.spark.implicits._
     val rows = Seq(("g", "beta"), ("g", "alpha"), ("g", null))
