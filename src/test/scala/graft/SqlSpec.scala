@@ -2746,10 +2746,16 @@ class SqlSpec extends AnyFunSuite {
         "insert into s1 values (3, 'x;y', 30); " +
         "select id, v from s1 where k = 'x;y' order by id", wh)
     assert(out.collect().map(_.getLong(0)).toSeq == Seq(3L))
-    // later statements read earlier writes through the warehouse catalog
+    // later statements read earlier writes through the warehouse catalog;
+    // UPDATE and DELETE target their own store through the same overlay
+    // carve-out INSERT uses
     val n = ZxSql.runScript(Map("t" -> base),
-      "insert into s1 values (4, 'z', 40); select id from s1 order by id", wh)
-    assert(n.count() == 4)
+      "insert into s1 values (4, 'z', 40); " +
+        "update s1 set v = v + 2 where id = 4; " +
+        "delete from s1 where id = 1; " +
+        "select id, v from s1 order by id", wh)
+    val rows2 = n.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows2 == Map(2L -> 20L, 3L -> 30L, 4L -> 42L))
     // drop ends nothing — a script returns its last frame
     val e = intercept[ZxSql.ParseError](ZxSql.runScript(Map("t" -> base),
       "drop table s1", wh))
