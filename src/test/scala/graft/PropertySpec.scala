@@ -47,6 +47,15 @@ object ParserProps extends Properties("ZxSql") {
     lim <- Gen.option(Gen.choose(1, 10000))
     // p105: offset requires ORDER BY (parse-enforced)
     off <- if (ob.isEmpty) Gen.const(None) else Gen.option(Gen.choose(0, 10000))
+    // HAVING conjuncts (AND-chains stay in the legacy vector — p110's
+    // boolean trees only engage when OR/NOT is spelled); leaves must be
+    // aggregate comparisons, so reuse the aggregate select generator
+    hv <- Gen.listOf(for {
+      s <- aggGen.suchThat(_ != Agg.Heatmap).flatMap(a =>
+        identGen.map(c => Select(a, c)))
+      cmp <- Gen.oneOf(Cmp.Eq, Cmp.Ne, Cmp.Gt, Cmp.Lt, Cmp.Gte, Cmp.Lte)
+      v <- Gen.choose(0, 1000000)
+    } yield Having(s, cmp, v.toString)).map(_.take(3))
     ex <- Gen.oneOf(true, false)
     // salt composes with aggregation but not with the exact gap walk
     salt <- if (ex) Gen.const(None) else Gen.option(Gen.choose(1, 4096))
@@ -54,7 +63,7 @@ object ParserProps extends Properties("ZxSql") {
     // records an explicitly-spelled clause in granSet (round 13) — the
     // generated IR must say so for the round-trip to be exact
   } yield ZxQuery(sels, conds, gb, ob, ts, te, g, lim, offset = off,
-    exact = ex, skewSalt = salt, granSet = true)
+    exact = ex, skewSalt = salt, granSet = true, having = hv)
 
   private def render(q: ZxQuery): String = {
     def sel(s: Select): String = s"${s.agg.name}(${s.column})"
@@ -69,6 +78,8 @@ object ParserProps extends Properties("ZxSql") {
       Some(s"select ${q.selects.map(sel).mkString(", ")}"),
       if (conds.nonEmpty) Some(s"where ${conds.mkString(" and ")}") else None,
       if (q.groupBy.nonEmpty) Some(s"group by ${q.groupBy.mkString(", ")}") else None,
+      if (q.having.nonEmpty) Some("having " + q.having.map(h =>
+        s"${sel(h.select)} ${opName(h.cmp)} ${h.value}").mkString(" and ")) else None,
       if (q.orderBy.nonEmpty) Some("order by " + q.orderBy.map(o =>
         sel(o.select) + (if (o.dir == SortDir.Desc) " desc" else " asc") +
           (o.nullsFirst match {

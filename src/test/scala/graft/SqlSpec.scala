@@ -2783,6 +2783,23 @@ class SqlSpec extends AnyFunSuite {
       "select id from tt version -1", wh))
   }
 
+  test("time travel composes into write bodies: CTAS from a pinned version (round 14)") {
+    import SparkFixture.spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-tt2").toString
+    val base = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+    // snapshot-before-delete materialized AFTER the delete happened —
+    // the archival shape: the CTAS body reads the pinned manifest
+    val snap = ZxSql.runScript(Map("t" -> base),
+      "create table tt2 as select id, v from t; " +
+        "delete from tt2 where v < 15; " +
+        "create table snap as select id, v from tt2 version 0; " +
+        "select id from snap order by id", wh)
+    assert(snap.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      "the snapshot carries the pre-delete rows")
+    // and the live table stays deleted
+    assert(ZxSql.runScript(Map.empty, "select id from tt2", wh).count() == 1)
+  }
+
   test("p114 nth_value + p115 two-sided frames (round 14)") {
     import SparkFixture.spark.implicits._
     val rows = Seq(("g", 1L, 10.0), ("g", 2L, 20.0), ("g", 3L, 30.0),
