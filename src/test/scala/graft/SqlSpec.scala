@@ -2783,6 +2783,33 @@ class SqlSpec extends AnyFunSuite {
       "select id from tt version -1", wh))
   }
 
+  test("round-14 edges: offset past the end, limit 0, all-null argmax, empty separator, null-ordered aggregates") {
+    import SparkFixture.spark.implicits._
+    val rows = Seq(("g", null: String, 1.0), ("g", null, 2.0)).toDF("k", "x", "v")
+    // offset past the end is an EMPTY page, never an error
+    assert(ZxSql.run(fixture, "select id order by id offset 999").count() == 0)
+    assert(ZxSql.run(fixture, "select id order by id limit 0").count() == 0)
+    // max_by with every carried value NULL (ordering values present):
+    // the max-v row is carried — its x is null
+    val mb = ZxSql.run(rows,
+      "select max_by(x, v) as b group by k order by k").collect()
+    assert(mb(0).isNullAt(1))
+    // string_agg with an empty separator concatenates bare
+    val sa = ZxSql.run(Seq(("g", "b"), ("g", "a")).toDF("k", "x"),
+      "select string_agg(x, '') as xs group by k order by k").collect()
+    assert(sa(0).getString(1) == "ab")
+    // nulls placement on the AGGREGATE path: corr of a constant is NULL
+    // (zero variance) — `nulls last` puts those groups after real values
+    val ordered = ZxSql.run(fixture,
+      "select corr(foo, x) as c, count(*) as n group by y " +
+        "having count(*) >= 1 order by c desc nulls last, n").collect()
+    assert(!ordered.head.isNullAt(1) || ordered.forall(_.isNullAt(1)),
+      "non-null correlations sort before null ones")
+    assert(ordered.takeWhile(!_.isNullAt(1)).size +
+      ordered.reverse.takeWhile(_.isNullAt(1)).size == ordered.length,
+      "null correlations are contiguous at the END under nulls last")
+  }
+
   test("time travel composes into write bodies: CTAS from a pinned version (round 14)") {
     import SparkFixture.spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-tt2").toString
