@@ -3574,6 +3574,17 @@ object SparkEntry {
       .select(col("source"), round3("n"), round3("mx"))
   }
 
+  /** p118: ifnull/nvl — the two-argument coalesce spellings users type;
+    * a CASE-gated measure is null on the fall-through, ifnull turns the
+    * fall-through into the default so the sum counts every row. */
+  private def p118SqlIfnull(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir),
+      "select sum(ifnull(case when value > 50 then value end, 0)) as s1, " +
+        "mean(nvl(case when value > 50 then 1 end, 0)) as heavy_rate, " +
+        "count(*) as n group by event_type order by event_type")
+      .select(col("event_type"), round3("s1"), round6("heavy_rate"),
+        round3("n"))
+
   /** p117: TIME TRAVEL at the front door — `from <name> version <k>`
     * pins a read to manifest version k (create = v0, every commit +1),
     * rewritten to a pinned catalog entry so ONE statement reads TWO
@@ -5106,6 +5117,7 @@ object SparkEntry {
     "p115_sql_centered_avg" -> (p115SqlCenteredAvg _),
     "p116_sql_script" -> (p116SqlScript _),
     "p117_sql_time_travel" -> (p117SqlTimeTravel _),
+    "p118_sql_ifnull" -> (p118SqlIfnull _),
     "st_asof" -> (stAsof _),
     "p86_sql_explode" -> (p86SqlExplode _),
     "p86b_sql_explode_raw" -> (p86bSqlExplodeRaw _),
@@ -6685,6 +6697,15 @@ object SparkEntry {
         |  min(lang || '-' || source) AS first_tag,
         |  round(CAST(count(*) AS DOUBLE), 3) AS n
         |FROM documents GROUP BY source""".stripMargin,
+    "p118_sql_ifnull" ->
+      // ifnull is DuckDB-native; both engines take the first non-null
+      """SELECT event_type,
+        |  round(sum(ifnull(CASE WHEN value > 50 THEN value END, 0)), 3)
+        |    AS s1,
+        |  round(avg(ifnull(CASE WHEN value > 50 THEN 1 END, 0)), 6)
+        |    AS heavy_rate,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
     "p117_sql_time_travel" ->
       // version-0 EXCEPT current = exactly the deleted rows
       """SELECT doc_id, lang, n_chars FROM documents

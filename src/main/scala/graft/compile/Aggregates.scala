@@ -149,6 +149,8 @@ object Aggregates {
         // x when it equals y, greatest/least SKIP nulls (null only when
         // every argument is null; DuckDB agrees)
         case "coalesce" => coalesce(args.indices.map(a): _*)
+        // ifnull/nvl (p118): two-argument coalesce aliases
+        case "ifnull" | "nvl" => coalesce(a(0), a(1))
         case "nullif"   => nullif(a(0), a(1))
         case "greatest" => greatest(args.indices.map(a): _*)
         case "least"    => least(args.indices.map(a): _*)

@@ -247,6 +247,10 @@ object ZxSql {
     // null-handling scalars (p84) — numeric measure arguments; greatest/
     // least SKIP nulls on both engines (null only when all args are null)
     "coalesce" -> ((2, 4)), "nullif" -> ((2, 2)),
+    // ifnull/nvl (p118): the two-argument spellings of coalesce SQL
+    // users actually type (DuckDB ifnull; Oracle-style nvl) — same
+    // first-non-null semantics, same numeric-measure discipline
+    "ifnull" -> ((2, 2)), "nvl" -> ((2, 2)),
     "greatest" -> ((2, 4)), "least" -> ((2, 4)),
     // JSON props extraction (p85) — json_num numeric, json_str string;
     // key is a simple-identifier string literal (parse-guarded)
