@@ -3585,6 +3585,68 @@ object SparkEntry {
       .select(col("event_type"), round3("s1"), round6("heavy_rate"),
         round3("n"))
 
+  /** p119: ANSI FILTER clause — five differently-gated aggregates in ONE
+    * hash aggregate (the parser rewrites each `filter (where c)` into a
+    * CASE measure, so the plan keeps a single exchange; DuckDB runs its
+    * native FILTER). Contracts under filter: sum keeps missing-as-zero
+    * (the oracle coalesces), mean/max/min of an empty filtered set are
+    * NULL on both engines, count(distinct …) skips gated-out rows, and
+    * max_by gates its ORDERING value (a NULL ordering key skips the row
+    * by the p102 contract — the oracle gates the whole struct). */
+  private def p119SqlFilterAgg(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir),
+      "select sum(value) filter (where value > 120) as hi_sum, " +
+        "count(*) filter (where user_id % 2 = 0) as even_n, " +
+        "mean(value) filter (where value <= 40) as lo_mean, " +
+        "count(distinct user_id) filter (where value > 150) as hot_users, " +
+        "max_by(event_id, value) filter (where value < 100) as mid_peak, " +
+        "count(*) as n group by event_type order by event_type")
+      .select(col("event_type"), round3("hi_sum"), round3("even_n"),
+        round6("lo_mean"), col("hot_users"),
+        round(col("mid_peak").cast("double"), 3).as("mid_peak"),
+        round3("n"))
+
+  /** p120: bool_and/bool_or — boolean quantifiers over a full
+    * WHERE-grammar predicate ("every row satisfies" / "some row does"),
+    * desugared to a three-valued 1/0/NULL indicator so NULL predicates
+    * are SKIPPED exactly like DuckDB's native bool_and/bool_or. One
+    * codegen'd hash aggregate; BOOLEAN outputs hash-compare directly. */
+  private def p120SqlBoolAgg(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir),
+      "select bool_and(value > 0.02) as all_above, " +
+        "bool_or(value > 360) as has_spike, " +
+        "bool_or(value > 120 and user_id % 2 = 0) as even_heavy, " +
+        "bool_and(value > 500) filter (where value > 400) as spikes_hot, " +
+        "count(*) as n group by event_type order by event_type")
+      .select(col("event_type"), col("all_above"), col("has_spike"),
+        col("even_heavy"), col("spikes_hot"), round3("n"))
+
+  /** p121: skewness/kurtosis — POPULATION skewness and EXCESS kurtosis
+    * (Spark's native central-moment formulas). DuckDB's own skewness()/
+    * kurtosis() are the bias-corrected SAMPLE forms — a real semantic
+    * difference — so the oracle spells the population formula explicitly
+    * via a two-pass central-moment computation (stable, no raw-moment
+    * cancellation). */
+  private def p121SqlMoments(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir),
+      "select skewness(value) as skew, kurtosis(value) as kurt, " +
+        "stddev(value) as sd, count(*) as n " +
+        "group by event_type order by event_type")
+      .select(col("event_type"), round6("skew"), round6("kurt"),
+        round6("sd"), round3("n"))
+
+  /** p122: count(distinct a, b) — multi-key distinct counting in ONE
+    * pass; the distinct key is the pair, and rows where EITHER side is
+    * NULL are skipped (ANSI; lineitem has no NULLs, so the spec pins
+    * the skip semantics on a null-bearing fixture instead). */
+  private def p122SqlMultiDistinct(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.lineitem(s, dir),
+      "select count(distinct l_orderkey, l_partkey) as order_parts, " +
+        "count(distinct l_suppkey, l_linestatus) as supp_status, " +
+        "count(*) as n group by l_returnflag order by l_returnflag")
+      .select(col("l_returnflag"), col("order_parts"), col("supp_status"),
+        round3("n"))
+
   /** p117: TIME TRAVEL at the front door — `from <name> version <k>`
     * pins a read to manifest version k (create = v0, every commit +1),
     * rewritten to a pinned catalog entry so ONE statement reads TWO
@@ -5118,6 +5180,10 @@ object SparkEntry {
     "p116_sql_script" -> (p116SqlScript _),
     "p117_sql_time_travel" -> (p117SqlTimeTravel _),
     "p118_sql_ifnull" -> (p118SqlIfnull _),
+    "p119_sql_filter_agg" -> (p119SqlFilterAgg _),
+    "p120_sql_bool_agg" -> (p120SqlBoolAgg _),
+    "p121_sql_moments" -> (p121SqlMoments _),
+    "p122_sql_multi_distinct" -> (p122SqlMultiDistinct _),
     "st_asof" -> (stAsof _),
     "p86_sql_explode" -> (p86SqlExplode _),
     "p86b_sql_explode_raw" -> (p86bSqlExplodeRaw _),
@@ -6706,6 +6772,62 @@ object SparkEntry {
         |    AS heavy_rate,
         |  round(CAST(count(*) AS DOUBLE), 3) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    "p119_sql_filter_agg" ->
+      // native DuckDB FILTER; sum coalesced (engine missing-as-zero
+      // contract), max_by via the p102 struct trick with FILTER on the
+      // struct max (NULL gate = row skipped, same as the engine's gated
+      // ordering key). The distinct count spells its gate as the p104
+      // CASE (ANSI-identical) — DuckDB 1.x crashes on count(DISTINCT)
+      // FILTER next to a struct aggregate (internal shared_ptr error,
+      // reproduced in isolation)
+      """SELECT event_type,
+        |  round(coalesce(sum(value) FILTER (WHERE value > 120), 0), 3)
+        |    AS hi_sum,
+        |  round(CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS DOUBLE),
+        |    3) AS even_n,
+        |  round(avg(value) FILTER (WHERE value <= 40), 6) AS lo_mean,
+        |  CAST(count(DISTINCT CASE WHEN value > 150 THEN user_id END)
+        |    AS BIGINT) AS hot_users,
+        |  round(CAST((max(struct_pack(o := value, v := event_id))
+        |    FILTER (WHERE value < 100)).v AS DOUBLE), 3) AS mid_peak,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "p120_sql_bool_agg" ->
+      // DuckDB-native quantifiers: NULL predicates skipped on both
+      // engines (our 1/0/NULL indicator ≡ its native skip); the
+      // filtered quantifier over an empty subset is NULL on both
+      """SELECT event_type,
+        |  bool_and(value > 0.02) AS all_above,
+        |  bool_or(value > 360) AS has_spike,
+        |  bool_or(value > 120 AND user_id % 2 = 0) AS even_heavy,
+        |  bool_and(value > 500) FILTER (WHERE value > 400) AS spikes_hot,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "p121_sql_moments" ->
+      // POPULATION skewness / EXCESS kurtosis spelled as explicit
+      // central moments (DuckDB's own skewness/kurtosis are the
+      // bias-corrected SAMPLE forms — different statistics); two-pass
+      // about the group mean, so no raw-moment cancellation
+      """WITH m AS (SELECT event_type, avg(value) AS mu FROM events
+        |  WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT e.event_type,
+        |  round(avg(pow(e.value - m.mu, 3))
+        |    / pow(avg(pow(e.value - m.mu, 2)), 1.5), 6) AS skew,
+        |  round(avg(pow(e.value - m.mu, 4))
+        |    / pow(avg(pow(e.value - m.mu, 2)), 2) - 3, 6) AS kurt,
+        |  round(stddev_samp(e.value), 6) AS sd,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS n
+        |FROM events e JOIN m ON e.event_type = m.event_type
+        |GROUP BY e.event_type""".stripMargin,
+    "p122_sql_multi_distinct" ->
+      // the pair-struct distinct — equal to Spark's multi-arg
+      // countDistinct on null-free keys (the ANSI any-null skip is
+      // spec-pinned on a null-bearing fixture)
+      """SELECT l_returnflag,
+        |  count(DISTINCT (l_orderkey, l_partkey)) AS order_parts,
+        |  count(DISTINCT (l_suppkey, l_linestatus)) AS supp_status,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "p117_sql_time_travel" ->
       // version-0 EXCEPT current = exactly the deleted rows
       """SELECT doc_id, lang, n_chars FROM documents

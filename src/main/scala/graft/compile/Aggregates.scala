@@ -418,7 +418,27 @@ object Aggregates {
       // selects count distinct STORAGE values (string identity, like
       // count_distinct); expression measures count the computed value.
       case Agg.DistinctCount =>
-        countDistinct(sel.expr.map(_ => v).getOrElse(Compiler.colRef(sel.column)))
+        sel.expr2 match {
+          // multi-key distinct (p122): the PAIR is the key; Spark's
+          // countDistinct skips rows where ANY argument is NULL (ANSI)
+          // — the oracle filters both-non-null before its distinct.
+          // rawish keeps bare columns in STORAGE type (string identity).
+          case Some(e2) =>
+            countDistinct(rawish(sel.expr.get, schema), rawish(e2, schema))
+          case None =>
+            countDistinct(sel.expr.map(_ => v).getOrElse(Compiler.colRef(sel.column)))
+        }
+      // boolean quantifiers (p120): min/max over the parser's 1/0/NULL
+      // indicator, compared to 1 — BOOLEAN result, NULL-skipping
+      // three-valued semantics, empty/all-null group → NULL (both via
+      // min/max's own null handling). One codegen'd hash aggregate.
+      case Agg.BoolAnd => min(v) === lit(1.0)
+      case Agg.BoolOr  => max(v) === lit(1.0)
+      // population skewness / excess kurtosis (p121): Spark-native
+      // central-moment aggregates; NULL when the moments degenerate
+      // (fewer than the defining count of distinct values)
+      case Agg.Skewness => skewness(v)
+      case Agg.Kurtosis => kurtosis(v)
       case Agg.Raw | Agg.Heatmap =>
         throw new IllegalArgumentException(
           s"${sel.agg.name} is handled at the pipeline level, not as an aggregate")

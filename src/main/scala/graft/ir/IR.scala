@@ -173,6 +173,26 @@ object Agg {
   // name. Unweighted like the whole percentile family; not
   // salt-decomposable.
   case object Percentile extends Agg("percentile")
+  // `bool_and(<pred>)` / `bool_or(<pred>)` (extensions, p120): boolean
+  // quantifiers over a full WHERE-grammar predicate — "every row
+  // satisfies" / "some row satisfies". Three-valued like ANSI: rows
+  // whose predicate is NULL (e.g. a comparison over a NULL column) are
+  // SKIPPED, not counted false — the parser desugars to a CASE carrying
+  // 1 for true, 0 for not-true-and-not-null, NULL otherwise, and the
+  // compile is min/max over that indicator compared to 1, so the result
+  // is BOOLEAN and an empty/all-null group is NULL (DuckDB parity).
+  // Alias required (the predicate has no canonical name).
+  case object BoolAnd extends Agg("bool_and")
+  case object BoolOr  extends Agg("bool_or")
+  // `skewness(x)` / `kurtosis(x)` (extensions): POPULATION skewness and
+  // EXCESS kurtosis over a numeric measure — Spark's native formulas
+  // ((M3/n)/(M2/n)^1.5 and (M4/n)/(M2/n)²−3 over central-moment sums);
+  // the DuckDB oracle spells the same central-moment formula explicitly
+  // (its own skewness()/kurtosis() are the bias-corrected SAMPLE forms
+  // — a semantic difference, not noise). Unweighted like the dispersion
+  // family; not salt-decomposable.
+  case object Skewness extends Agg("skewness")
+  case object Kurtosis extends Agg("kurtosis")
 
   /** The two-argument aggregates — parsed as `agg(x, y) as name`. */
   val twoArg: Set[Agg] = Set(Corr, CovarSamp, RegrSlope, RegrIntercept,

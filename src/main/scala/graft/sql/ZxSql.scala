@@ -80,6 +80,24 @@ import graft.operators.GapWindows
   *               | count(distinct col|measure-expr) [as name]  — the
   *                 ANSI spelling (p104): NULL is NOT counted, unlike
   *                 count_distinct's reference +1-nil convention
+  *               | agg(…) filter (where <boolexpr>) as name  — ANSI
+  *                 filtered aggregation (p119): a parse-level rewrite
+  *                 into the CASE machinery, so N differently-filtered
+  *                 aggregates still cost ONE hash aggregate; `as`
+  *                 required; refused for raw/heatmap/count_distinct/
+  *                 string_agg (see applyFilter)
+  *               | count(distinct a, b) as name  — multi-key distinct
+  *                 (p122): the pair is the key, any-NULL rows skipped
+  *                 (ANSI); wider tuples via a derived-table distinct
+  *               | bool_and|bool_or(<boolexpr>) as name  — boolean
+  *                 quantifiers (p120; every/any spellings too): a full
+  *                 WHERE-grammar predicate, three-valued (NULL
+  *                 predicates skipped, empty set → NULL), BOOLEAN
+  *                 result; never enters arithmetic
+  *               | skewness|kurtosis(measure) as name  — POPULATION
+  *                 skewness / EXCESS kurtosis (p121; DuckDB's own are
+  *                 the bias-corrected SAMPLE forms — oracles spell the
+  *                 central moments explicitly)
   *               | row_number|rank|dense_rank|percent_rank|cume_dist()
   *                 over (partition by <col, …>
   *                 order by <col [asc|desc], …>) as name
@@ -302,9 +320,17 @@ object ZxSql {
     // percentile(x, q) (p109) — arbitrary exact interpolated quantile;
     // q is a numeric literal in [0, 1]; alias required
     "percentile" -> Agg.Percentile,
+    // boolean quantifiers (p120) — a full WHERE-grammar predicate as the
+    // argument; three-valued NULL-skip semantics (see Agg.BoolAnd)
+    "bool_and" -> Agg.BoolAnd, "bool_or" -> Agg.BoolOr,
+    // population skewness / excess kurtosis (p121) — Spark-native
+    // formulas; the oracle spells the same central moments explicitly
+    "skewness" -> Agg.Skewness, "kurtosis" -> Agg.Kurtosis,
     // spelling aliases — the names SQL users actually type; same Agg,
     // same default output name as the canonical spelling
-    "avg" -> Agg.Mean, "median" -> Agg.P50)
+    "avg" -> Agg.Mean, "median" -> Agg.P50,
+    // ANSI spellings of the boolean quantifiers
+    "every" -> Agg.BoolAnd, "any" -> Agg.BoolOr)
 
   // ------------------------------------------------------------------ lexer
 
@@ -595,7 +621,10 @@ object ZxSql {
     // One aggregate call (`sum(expr)`, `count(*)`) or a bare raw column —
     // the shared leaf of plain select items, HAVING/ORDER BY references,
     // trailing-agg lists, AND the post-aggregate expression grammar below.
-    def aggCallOrRaw(): Select = {
+    // Every site also accepts the ANSI `filter (where …)` suffix (p119)
+    // via maybeFilter.
+    def aggCallOrRaw(): Select = maybeFilter(aggCallOrRaw0())
+    def aggCallOrRaw0(): Select = {
       // a scalar-function ATOM (p76) or a CASE expression (p77) in select
       // position: parse it with the measure machinery and carry it as a
       // Raw expression select — aggSum composes arithmetic around it,
@@ -631,6 +660,25 @@ object ZxSql {
               "a string ordering key would ride collation; rank strings " +
               "with a window instead")
           return Select(agg, "", expr = Some(x), expr2 = Some(y))
+        }
+        // bool_and/bool_or (p120): the argument is a full WHERE-grammar
+        // PREDICATE, not a measure — parse it with the condition grammar
+        // and desugar to the three-valued indicator CASE (1 = true, 0 =
+        // determinately false, NULL = unknown → skipped), so the
+        // quantifier rides the same one-pass hash aggregate as any CASE
+        // measure and composes with filter/group/having unchanged.
+        if (agg == Agg.BoolAnd || agg == Agg.BoolOr) {
+          val c = orExpr()
+          if (ConditionTree.columns(c).exists(n => n == "$t_start" || n == "$t_end"))
+            throw ParseError("$t_start/$t_end are the scan's time range — " +
+              s"they cannot appear inside ${agg.name}")
+          if (containsSubquery(c) || containsScalarSub(c))
+            throw ParseError(s"subqueries cannot appear inside ${agg.name}" +
+              " — filter in WHERE, or compute the threshold upstream")
+          expectSym(")")
+          return Select(agg, "", expr = Some(MeasureExpr.Case(Seq(
+            (c, MeasureExpr.Lit(1.0)),
+            (ConditionTree.Not(c), MeasureExpr.Lit(0.0))), None)))
         }
         // string_agg(col, 'sep') (p103): value then a LITERAL separator
         if (agg == Agg.StringAgg) {
@@ -685,6 +733,19 @@ object ZxSql {
         if (agg == Agg.Count && atIdent("distinct")) {
           next()
           val e = measureSum()
+          // multi-key distinct (p122): `count(distinct a, b)` — the
+          // distinct key is the PAIR; rows where EITHER side is NULL
+          // are skipped (ANSI multi-argument COUNT DISTINCT — pinned
+          // against Spark's countDistinct in the spec). Two keys —
+          // wider tuples compose via a derived-table distinct + count.
+          // Alias required (no canonical name for a pair).
+          if (peek.contains(Sym(","))) {
+            next()
+            val e2 = measureSum()
+            expectSym(")")
+            return Select(Agg.DistinctCount, "", expr = Some(e),
+              expr2 = Some(e2))
+          }
           expectSym(")")
           return (e match {
             case MeasureExpr.Col(c) => Select(Agg.DistinctCount, c)
@@ -733,6 +794,67 @@ object ZxSql {
         }
       } else Select(Agg.Raw, name)
     }
+
+    // ANSI FILTER clause (p119): `agg(…) filter (where <cond>)` — a
+    // parse-level rewrite into the CASE machinery (`sum(x) filter (where
+    // c)` ≡ `sum(case when c then x end)`), so filtered aggregates ride
+    // the SAME one-pass hash aggregate, codegen, and salted two-phase
+    // decomposition as everything else; different filters on different
+    // aggregates in one select list cost ONE aggregation, zero extra
+    // shuffles. Null semantics follow from the rewrite: rows failing (or
+    // null under) the predicate contribute nothing — mean/max/min of an
+    // empty filtered set are NULL; sum/count keep the engine's
+    // missing-as-zero contract (the DuckDB oracle spells
+    // `coalesce(sum(x) filter (where c), 0)`). max_by/min_by and the
+    // two-argument dispersion family gate the ORDERING/second argument
+    // (a null member skips the row on both engines); count(*) gates a
+    // constant-1. Refused loudly where the rewrite cannot hold: raw
+    // columns (that's WHERE), heatmap (plain-column contract),
+    // count_distinct/approx (+1-nil would count the filtered-out rows'
+    // NULL as a value), string_agg (values carry RAW strings, the gate
+    // would numeric-view them — gate in WHERE or a derived table).
+    def applyFilter(s: Select, c: ConditionTree): Select = {
+      def gate(e: MeasureExpr): MeasureExpr =
+        MeasureExpr.Case(Seq((c, e)), None)
+      s.agg match {
+        case Agg.Raw => throw ParseError(
+          "filter follows an aggregate call — raw rows are filtered by WHERE")
+        case Agg.Heatmap => throw ParseError(
+          "heatmap buckets a plain storage column — filter rows in WHERE")
+        case Agg.CountDistinct | Agg.ApproxCountDistinct => throw ParseError(
+          s"${s.agg.name}'s +1-nil convention has no filtered form — " +
+            "use the ANSI count(distinct …) filter (where …)")
+        case Agg.StringAgg => throw ParseError(
+          "string_agg carries raw string values — gate the rows in WHERE " +
+            "or aggregate a derived table")
+        case Agg.MaxBy | Agg.MinBy | Agg.Corr | Agg.CovarSamp |
+             Agg.RegrSlope | Agg.RegrIntercept =>
+          s.copy(expr2 = Some(gate(s.expr2.get)))
+        case Agg.Count if s.column == "*" =>
+          s.copy(column = "", expr = Some(gate(MeasureExpr.Lit(1.0))))
+        case _ =>
+          s.copy(column = "",
+            expr = Some(gate(s.expr.getOrElse(MeasureExpr.Col(s.column)))))
+      }
+    }
+
+    // Consume a trailing `filter (where <cond>)` if present — shared by
+    // every aggregate-call parse site (plain select items, post-aggregate
+    // arithmetic atoms, trailing-agg lists), so a filtered aggregate can
+    // sit anywhere an aggregate call can.
+    def maybeFilter(base: Select): Select =
+      if (atIdent("filter") && toks.lift(pos + 1).contains(Sym("("))) {
+        next(); expectSym("("); expectIdent("where")
+        val c = orExpr()
+        if (ConditionTree.columns(c).exists(n => n == "$t_start" || n == "$t_end"))
+          throw ParseError("$t_start/$t_end are the scan's time range — " +
+            "they cannot appear inside filter clauses")
+        if (containsSubquery(c) || containsScalarSub(c))
+          throw ParseError("subqueries cannot appear inside filter " +
+            "clauses — filter in WHERE, or compute the threshold upstream")
+        expectSym(")")
+        applyFilter(base, c)
+      } else base
 
     def selectItem(allowAlias: Boolean = true): Select = {
       val base: Select = aggCallOrRaw()
@@ -882,6 +1004,11 @@ object ZxSql {
           "heatmap(...) is not a scalar aggregate — it cannot appear in arithmetic"))
         calls.find(_.agg == Agg.StringAgg).foreach(_ => throw ParseError(
           "string_agg(...) is string-valued — it cannot appear in arithmetic"))
+        calls.find(c => c.agg == Agg.BoolAnd || c.agg == Agg.BoolOr)
+          .foreach(c => throw ParseError(
+            s"${c.agg.name}(...) is boolean — it cannot appear in " +
+              "arithmetic; count the satisfying rows with a filtered " +
+              "count instead"))
         calls.find(c => (c.agg == Agg.MaxBy || c.agg == Agg.MinBy) &&
             c.expr.exists(e => MeasureExpr.isString(e) ||
               MeasureExpr.isTimestamp(e))).foreach(c => throw ParseError(

@@ -3026,4 +3026,97 @@ class SqlSpec extends AnyFunSuite {
       "numeric or string")
   }
 
+  test("p119 filter clause: ANSI filtered aggregation desugars to the CASE machinery (round 14)") {
+    import SparkFixture.spark.implicits._
+    val rows = Seq(("a", 10.0, 1L), ("a", 20.0, 2L), ("a", 30.0, 3L),
+      ("b", 5.0, 4L), ("b", 50.0, 5L)).toDF("k", "v", "id")
+    val got = ZxSql.run(rows,
+      "select sum(v) filter (where v > 12) as hi, " +
+        "count(*) filter (where id % 2 = 0) as even_n, " +
+        "mean(v) filter (where v > 100) as none_mean, " +
+        "count(distinct id) filter (where v >= 20) as big_ids, " +
+        "max_by(id, v) filter (where v < 30) as mid_id, " +
+        "count(*) as n group by k order by k").collect()
+    // a: hi = 20+30, even ids {2}, no v>100 → NULL mean, big {2,3}, argmax v<30 → id 2
+    assert(got(0).getString(0) == "a" && got(0).getDouble(1) == 50.0 &&
+      got(0).getDouble(2) == 1.0 && got(0).isNullAt(3) &&
+      got(0).getLong(4) == 2L && got(0).getLong(5) == 2L &&
+      got(0).getDouble(6) == 3.0)
+    // b: hi = 50, even {4}, big {5}, argmax v<30 → id 4
+    assert(got(1).getString(0) == "b" && got(1).getDouble(1) == 50.0 &&
+      got(1).getDouble(2) == 1.0 && got(1).isNullAt(3) &&
+      got(1).getLong(4) == 1L && got(1).getLong(5) == 4L &&
+      got(1).getDouble(6) == 2.0)
+    // the rewrite IS the CASE form — same one-exchange plan, same results
+    val byCase = ZxSql.run(rows,
+      "select sum(case when v > 12 then v end) as hi " +
+        "group by k order by k").collect().map(_.getDouble(1)).toSeq
+    assert(byCase == Seq(50.0, 50.0))
+    // sum over an empty filtered set keeps the engine's missing-as-zero
+    val zero = ZxSql.run(rows,
+      "select sum(v) filter (where v > 999) as z group by k order by k")
+      .collect()
+    assert(zero(0).getDouble(1) == 0.0)
+    // refusals: raw, heatmap, +1-nil distinct, string_agg, and the
+    // clause guards shared with CASE
+    parseErr("select v filter (where v > 1)", "raw rows are filtered by WHERE")
+    parseErr("select heatmap(v) filter (where v > 1) as h group by k",
+      "filter rows in WHERE")
+    parseErr("select count_distinct(id) filter (where v > 1) as c group by k",
+      "+1-nil convention")
+    parseErr("select string_agg(k, ',') filter (where v > 1) as s group by k",
+      "raw string values")
+    parseErr("select sum(v) filter (where $t_start = 1) as s group by k",
+      "time range")
+    parseErr("select sum(v) filter (where v > 12) group by k", "need `as")
+  }
+
+  test("p120 bool_and/bool_or: three-valued quantifiers over predicates (round 14)") {
+    import SparkFixture.spark.implicits._
+    val rows = Seq(("a", Some(10.0)), ("a", Some(20.0)), ("a", None),
+      ("b", Some(-5.0)), ("b", Some(3.0))).toDF("k", "v")
+    val got = ZxSql.run(rows,
+      "select bool_and(v > 0) as all_pos, bool_or(v > 15) as any_big, " +
+        "bool_and(v > 100) as none_such, count(*) as n " +
+        "group by k order by k").collect()
+    // a: the NULL v row is SKIPPED (unknown ≠ false) → all_pos true
+    assert(got(0).getBoolean(1) && got(0).getBoolean(2) && !got(0).getBoolean(3))
+    assert(!got(1).getBoolean(1) && !got(1).getBoolean(2) && !got(1).getBoolean(3))
+    // quantifier over an empty filtered subset is NULL, not false
+    val empty = ZxSql.run(rows,
+      "select bool_or(v > 0) filter (where v > 999) as q group by k order by k")
+      .collect()
+    assert(empty(0).isNullAt(1) && empty(1).isNullAt(1))
+    // ANSI spellings ride the same Aggs
+    val sp = ZxSql.run(rows,
+      "select every(v > 0) as e, any(v > 15) as o group by k order by k")
+      .collect()
+    assert(!sp(1).getBoolean(1) && !sp(1).getBoolean(2))
+    parseErr("select bool_and(v > 0) / 2 as z group by k", "cannot appear in")
+    parseErr("select bool_and(v > 0) group by k", "need `as")
+  }
+
+  test("p121 skewness/kurtosis: population/excess central-moment golden values (round 14)") {
+    import SparkFixture.spark.implicits._
+    val rows = Seq(1.0, 2.0, 3.0, 4.0, 10.0).map(("g", _)).toDF("k", "v")
+    val got = ZxSql.run(rows,
+      "select skewness(v) as sk, kurtosis(v) as ku group by k order by k").collect()
+    // mu=4, m2=10, m3=36, m4=278.8 → skew=36/10^1.5, kurt=278.8/100−3
+    assert(math.abs(got(0).getDouble(1) - 36.0 / math.pow(10.0, 1.5)) < 1e-9)
+    assert(math.abs(got(0).getDouble(2) - (278.8 / 100.0 - 3.0)) < 1e-9)
+  }
+
+  test("p122 count(distinct a, b): pair key, any-NULL row skipped (round 14)") {
+    import SparkFixture.spark.implicits._
+    val rows = Seq(("g", Some(1L), Some("x")), ("g", Some(1L), Some("x")),
+      ("g", Some(2L), None), ("g", None, Some("y")), ("g", Some(3L), Some("z")))
+      .toDF("k", "a", "b")
+    val got = ZxSql.run(rows,
+      "select count(distinct a, b) as pairs, count(*) as n " +
+        "group by k order by k").collect()
+    // (1,x) dedupes; any-null rows skipped → {(1,x),(3,z)}
+    assert(got(0).getLong(1) == 2L && got(0).getDouble(2) == 5.0)
+    parseErr("select count(distinct a, b) group by k", "need `as")
+  }
+
 }
