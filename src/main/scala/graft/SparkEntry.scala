@@ -3647,6 +3647,55 @@ object SparkEntry {
       .select(col("l_returnflag"), col("order_parts"), col("supp_status"),
         round3("n"))
 
+  /** p123: conditional-aggregation pivot — `pivot <agg>(<m>) by <col>
+    * in (…)` desugars each value to a filtered aggregate, so the whole
+    * K-column pivot is ONE hash aggregate (the plan conditional
+    * aggregation would hand-write; no pivot physical operator, no
+    * second pass). Value list explicit and literal by design: dynamic
+    * pivot's output schema would be data-dependent — two passes and a
+    * 100 TB anti-pattern. */
+  private def p123SqlPivot(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir),
+      "select pivot sum(value) by event_type in " +
+        "('click', 'view' as views, 'purchase'), " +
+        "pivot count(*) by event_type in ('error' as err_n, 'signup' as signup_n), " +
+        "count(*) as n group by user_id order by user_id")
+      .select(col("user_id"), round3("click"), round3("views"),
+        round3("purchase"), round3("err_n"), round3("signup_n"), round3("n"))
+
+  /** p124: deterministic mode — most frequent value per group, ties
+    * toward the SMALLEST value (Spark mode(expr, deterministic=true);
+    * ANSI/DuckDB leave ties undefined, so the oracle spells the same
+    * contract as ORDER BY count DESC, value ASC). Carriers: numeric
+    * measure, string expression, calendar field. */
+  private def p124SqlMode(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.lineitem(s, dir),
+      "select mode(l_quantity) as common_qty, " +
+        "mode(upper(l_linestatus)) as common_status, " +
+        "mode(month(l_shipdate)) as common_month, " +
+        "count(*) as n group by l_returnflag order by l_returnflag")
+      .select(col("l_returnflag"), round3("common_qty"),
+        col("common_status"), col("common_month"), round3("n"))
+
+  /** p125: regexp at the front door — `col [not] regexp 'pat'`
+    * predicates (WHERE and inside bool_or), and regexp_extract as a
+    * string function feeding distinct counting. Patterns are parse-
+    * restricted to the java.regex ∩ RE2 portable subset (no lookaround/
+    * backreferences) so the two engines can never disagree; regex never
+    * pushes into the scan — the sibling LIKE/equality conjuncts still
+    * do. */
+  private def p125SqlRegexp(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.documents(s, dir),
+      "select count(*) as n, " +
+        "count(distinct regexp_extract(source, '^src([0-9]+)$', 1)) " +
+        "as src_ids, " +
+        "bool_or(text regexp 'vector (join|batch)') as has_vec_pair, " +
+        "mean(n_chars) as mc " +
+        "where text regexp 'spark' and lang not regexp '^(zh|ko)$' " +
+        "group by lang order by lang")
+      .select(col("lang"), round3("n"), col("src_ids"),
+        col("has_vec_pair"), round6("mc"))
+
   /** p117: TIME TRAVEL at the front door — `from <name> version <k>`
     * pins a read to manifest version k (create = v0, every commit +1),
     * rewritten to a pinned catalog entry so ONE statement reads TWO
@@ -5184,6 +5233,9 @@ object SparkEntry {
     "p120_sql_bool_agg" -> (p120SqlBoolAgg _),
     "p121_sql_moments" -> (p121SqlMoments _),
     "p122_sql_multi_distinct" -> (p122SqlMultiDistinct _),
+    "p123_sql_pivot" -> (p123SqlPivot _),
+    "p124_sql_mode" -> (p124SqlMode _),
+    "p125_sql_regexp" -> (p125SqlRegexp _),
     "st_asof" -> (stAsof _),
     "p86_sql_explode" -> (p86SqlExplode _),
     "p86b_sql_explode_raw" -> (p86bSqlExplodeRaw _),
@@ -6828,6 +6880,64 @@ object SparkEntry {
         |  count(DISTINCT (l_suppkey, l_linestatus)) AS supp_status,
         |  round(CAST(count(*) AS DOUBLE), 3) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "p123_sql_pivot" ->
+      // the pivot IS conditional aggregation — the oracle writes the
+      // desugared form directly; sum cells keep missing-as-zero
+      """SELECT CAST(user_id AS VARCHAR) AS user_id,
+        |  round(coalesce(sum(value) FILTER (WHERE event_type = 'click'),
+        |    0), 3) AS click,
+        |  round(coalesce(sum(value) FILTER (WHERE event_type = 'view'),
+        |    0), 3) AS views,
+        |  round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'),
+        |    0), 3) AS purchase,
+        |  round(CAST(count(*) FILTER (WHERE event_type = 'error')
+        |    AS DOUBLE), 3) AS err_n,
+        |  round(CAST(count(*) FILTER (WHERE event_type = 'signup')
+        |    AS DOUBLE), 3) AS signup_n,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS n
+        |FROM events GROUP BY user_id""".stripMargin,
+    "p124_sql_mode" ->
+      // deterministic mode = ORDER BY count DESC, value ASC, rank 1 —
+      // one two-level block per carrier, joined on the group
+      """WITH q AS (SELECT l_returnflag g, l_quantity v, count(*) c
+        |    FROM lineitem GROUP BY 1, 2),
+        |  qm AS (SELECT g, v FROM (SELECT g, v, row_number() OVER
+        |    (PARTITION BY g ORDER BY c DESC, v ASC) rn FROM q)
+        |    WHERE rn = 1),
+        |  s AS (SELECT l_returnflag g, upper(l_linestatus) v, count(*) c
+        |    FROM lineitem GROUP BY 1, 2),
+        |  sm AS (SELECT g, v FROM (SELECT g, v, row_number() OVER
+        |    (PARTITION BY g ORDER BY c DESC, v ASC) rn FROM s)
+        |    WHERE rn = 1),
+        |  mo AS (SELECT l_returnflag g, month(l_shipdate) v, count(*) c
+        |    FROM lineitem GROUP BY 1, 2),
+        |  mm AS (SELECT g, v FROM (SELECT g, v, row_number() OVER
+        |    (PARTITION BY g ORDER BY c DESC, v ASC) rn FROM mo)
+        |    WHERE rn = 1),
+        |  base AS (SELECT l_returnflag g, count(*) n FROM lineitem
+        |    GROUP BY 1)
+        |SELECT base.g AS l_returnflag,
+        |  round(qm.v, 3) AS common_qty,
+        |  sm.v AS common_status,
+        |  CAST(mm.v AS BIGINT) AS common_month,
+        |  round(CAST(base.n AS DOUBLE), 3) AS n
+        |FROM base JOIN qm ON base.g = qm.g JOIN sm ON base.g = sm.g
+        |  JOIN mm ON base.g = mm.g""".stripMargin,
+    "p125_sql_regexp" ->
+      // regexp_matches = regexp_like; both engines '' -extract on no
+      // match; the portable-subset pattern means RE2 and java.regex
+      // read it identically
+      """SELECT lang,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS n,
+        |  CAST(count(DISTINCT regexp_extract(source, '^src([0-9]+)$', 1))
+        |    AS BIGINT) AS src_ids,
+        |  bool_or(regexp_matches(text, 'vector (join|batch)'))
+        |    AS has_vec_pair,
+        |  round(avg(n_chars), 6) AS mc
+        |FROM documents
+        |WHERE regexp_matches(text, 'spark')
+        |  AND NOT regexp_matches(lang, '^(zh|ko)$')
+        |GROUP BY lang""".stripMargin,
     "p117_sql_time_travel" ->
       // version-0 EXCEPT current = exactly the deleted rows
       """SELECT doc_id, lang, n_chars FROM documents

@@ -220,7 +220,8 @@ object Aggregates {
         // string functions (p79): the argument is a RAW column or a
         // nested string expression — never the numeric view
         case "lower" | "upper" | "trim" | "substr" | "concat" |
-             "replace" | "split_part" | "lpad" | "rpad" | "reverse" =>
+             "replace" | "split_part" | "lpad" | "rpad" | "reverse" |
+             "regexp_extract" =>
           def strArg(x: MeasureExpr): Column = x match {
             case MeasureExpr.Col(n) => Compiler.colRef(n)
             case other if MeasureExpr.isString(other) => measureCol(other, schema)
@@ -251,6 +252,12 @@ object Aggregates {
               val MeasureExpr.Lit(ix) = args(2): @unchecked
               // 1-based; an out-of-range index yields '' on BOTH engines
               split_part(strArg(args.head), lit(sp), lit(ix.toInt))
+            // regexp_extract (p125): portable-subset pattern and a
+            // parse-validated group index; '' on no match (BOTH engines)
+            case "regexp_extract" =>
+              val MeasureExpr.StrLit(pt) = args(1): @unchecked
+              val MeasureExpr.Lit(gi) = args(2): @unchecked
+              regexp_extract(strArg(args.head), pt, gi.toInt)
             case "lpad" | "rpad" =>
               val MeasureExpr.Lit(len) = args(1): @unchecked
               val MeasureExpr.StrLit(pad) = args(2): @unchecked
@@ -439,6 +446,11 @@ object Aggregates {
       // (fewer than the defining count of distinct values)
       case Agg.Skewness => skewness(v)
       case Agg.Kurtosis => kurtosis(v)
+      // deterministic mode (p124): Spark's mode(expr, deterministic) —
+      // among equally-frequent values the SMALLEST wins, so two engines
+      // (and two shuffle orders) always agree; the oracle spells the
+      // same contract as ORDER BY count DESC, value ASC
+      case Agg.Mode => mode(v, deterministic = true)
       case Agg.Raw | Agg.Heatmap =>
         throw new IllegalArgumentException(
           s"${sel.agg.name} is handled at the pipeline level, not as an aggregate")

@@ -127,6 +127,11 @@ object Predicates {
       // NULL column → NULL → row drops, negated too)
       case Cmp.Like          => strC.like(cond.value)
       case Cmp.NotLike       => !strC.like(cond.value)
+      // regexp (p125): substring-match semantics (regexp_like — anchor
+      // with ^$ for a full match) over the parser-enforced portable
+      // subset; evaluates post-scan (no regex pushdown exists)
+      case Cmp.Regexp        => regexp_like(strC, lit(cond.value))
+      case Cmp.NotRegexp     => !regexp_like(strC, lit(cond.value))
     }
   }
 

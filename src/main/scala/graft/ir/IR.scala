@@ -31,8 +31,20 @@ object Cmp {
     * these two carry only genuinely positional patterns. */
   case object Like          extends Cmp("like")
   case object NotLike       extends Cmp("notlike")
+  /** `col [not] regexp 'pattern'` (extension, p125): full regular-
+    * expression match anywhere in the value (regexp_like semantics on
+    * both engines). The parser enforces the PORTABLE subset — no
+    * lookaround, no backreferences (Spark runs java.util.regex, DuckDB
+    * runs RE2; the portable subset behaves identically, the rest
+    * differs or fails on one engine only). Three-valued: NULL column →
+    * NULL → row drops, negated too. Never pushes into a parquet scan
+    * (no regex row-group stats exist) — spell prefix/contains gates
+    * with LIKE when pushdown matters. */
+  case object Regexp        extends Cmp("regexp")
+  case object NotRegexp     extends Cmp("notregexp")
   val all: Seq[Cmp] = Seq(Eq, Ne, Gt, Lt, Gte, Lte, Exists, NotExists,
-    StartsWith, NotStartsWith, Contains, NotContains, Like, NotLike)
+    StartsWith, NotStartsWith, Contains, NotContains, Like, NotLike,
+    Regexp, NotRegexp)
 }
 
 /** One conjunct; conditions AND-chain (lib.rs:197-200, expr.rs:75-80). */
@@ -184,6 +196,16 @@ object Agg {
   // Alias required (the predicate has no canonical name).
   case object BoolAnd extends Agg("bool_and")
   case object BoolOr  extends Agg("bool_or")
+  // `mode(x)` (extension, p124): the most frequent value, DETERMINISTIC
+  // by contract — ties between equally-frequent values break toward the
+  // SMALLEST value (ANSI/DuckDB leave ties undefined, which no oracle
+  // can verify; Spark's mode(expr, deterministic=true) implements
+  // exactly this contract). NULLs are skipped; an empty/all-null group
+  // is NULL. Takes numeric measures, string expressions (a CASE label,
+  // upper(...)), and truncated timestamps — the classic categorical
+  // profile per group. Not salt-decomposable (the value histogram does
+  // not merge through re-aggregation of partial modes).
+  case object Mode extends Agg("mode")
   // `skewness(x)` / `kurtosis(x)` (extensions): POPULATION skewness and
   // EXCESS kurtosis over a numeric measure — Spark's native formulas
   // ((M3/n)/(M2/n)^1.5 and (M4/n)/(M2/n)²−3 over central-moment sums);
@@ -256,6 +278,9 @@ object MeasureExpr {
     * compare). */
   val stringFuncs: Set[String] = Set("lower", "upper", "trim", "substr",
     "json_str",
+    // regexp_extract (p125): the capture group's text, '' on no match
+    // on BOTH engines; portable-subset pattern enforced at parse
+    "regexp_extract",
     // concat (p93): NULL-propagating concatenation (any NULL piece →
     // NULL — Spark concat; the oracle spells it `||`, which DuckDB also
     // NULL-propagates, unlike DuckDB's own concat())

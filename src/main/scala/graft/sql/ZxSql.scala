@@ -98,6 +98,14 @@ import graft.operators.GapWindows
   *                 skewness / EXCESS kurtosis (p121; DuckDB's own are
   *                 the bias-corrected SAMPLE forms — oracles spell the
   *                 central moments explicitly)
+  *               | mode(measure|string-expr) [as name]  — the most
+  *                 frequent value, DETERMINISTIC (p124): ties break
+  *                 toward the smallest value; NULLs skipped
+  *               | pivot <agg>(<measure>) by <col> in ('v' [as n], …)
+  *                 — conditional-aggregation pivot (p123): each value
+  *                 desugars to a filtered aggregate, K columns = ONE
+  *                 hash aggregate; explicit literal value list only
+  *                 (dynamic pivot = data-dependent schema = two passes)
   *               | row_number|rank|dense_rank|percent_rank|cume_dist()
   *                 over (partition by <col, …>
   *                 order by <col [asc|desc], …>) as name
@@ -124,7 +132,10 @@ import graft.operators.GapWindows
   * split_part(s, 'sep', n)/lpad/rpad(s, n, 'p')/reverse(s) — string-
   * typed, literal non-empty search/separator/pad args — plus
   * strpos(s, 'sub'): 1-based position, 0 when absent, BIGINT so it
-  * gates and computes; p107 adds date_trunc('<unit>', <ts col>) —
+  * gates and computes; p125 adds regexp_extract(s, 'pattern', group) —
+  * the capture group's text, '' on no match (BOTH engines), portable
+  * subset + group index validated at parse; p107 adds
+  * date_trunc('<unit>', <ts col>) —
   * a real TIMESTAMP under the UTC contract (unit ∈ year/quarter/month/
   * week/day/hour/minute, ISO weeks): it projects and groups (derived
   * table) and feeds max/min/count(distinct …), never arithmetic or CASE
@@ -183,6 +194,11 @@ import graft.operators.GapWindows
   * (precedence NOT > AND > OR — extension: the reference is AND-only,
   * expr.rs:75-80, and punts every other operator, expr.rs:99)
   * over cond := col (=|!=|<>|>|<|>=|<=) value | col [not] like pattern
+  *            | col [not] regexp 'pattern'   — regexp_like semantics
+  *              (p125): substring match, ^$ anchors; PORTABLE subset
+  *              only (no lookaround/backreferences — java.regex ∩ RE2),
+  *              pattern pre-compiled at parse; never pushes into the
+  *              scan (use LIKE for pushable prefix/contains gates)
   *            | col [not] in (value, …) | col [not] between lo and hi
   *            | col is [not] null   — SQL spelling of exists/notexists
   *            | measure-expr (=|!=|<>|>|<|>=|<=) measure-expr
@@ -219,6 +235,25 @@ import graft.operators.GapWindows
 object ZxSql {
 
   final case class ParseError(msg: String) extends RuntimeException(msg)
+
+  /** Rejects regex constructs outside the PORTABLE subset (p125): Spark
+    * evaluates java.util.regex, DuckDB evaluates RE2 — they agree only
+    * without lookaround and backreferences, so both are refused at parse
+    * (a pattern must never silently mean two things on the two engines).
+    * Also pre-compiles the pattern so a syntax error is a ParseError at
+    * the front door, not a mid-job executor exception. */
+  private def portableRegexGuard(pat: String): Unit = {
+    if (raw"\(\?[=!<]".r.findFirstIn(pat).nonEmpty)
+      throw ParseError("regexp pattern uses lookaround or a (?<…> named " +
+        "group — outside the portable subset (RE2 has no lookaround; " +
+        "named-group spellings differ); rewrite the pattern")
+    if (raw"(^|[^\\])\\[1-9]".r.findFirstIn(pat).nonEmpty)
+      throw ParseError("regexp pattern uses a backreference — outside " +
+        "the portable subset (RE2 has no backreferences)")
+    try java.util.regex.Pattern.compile(pat)
+    catch { case e: java.util.regex.PatternSyntaxException =>
+      throw ParseError(s"bad regexp pattern: ${e.getDescription}") }
+  }
 
   /** True when the tree contains a membership subquery anywhere. */
   private def containsSubquery(t: ConditionTree): Boolean = t match {
@@ -283,6 +318,11 @@ object ZxSql {
     // split_part is 1-based with '' for an out-of-range index, lpad/rpad
     // truncate when the input is already longer
     "replace" -> ((3, 3)), "split_part" -> ((3, 3)),
+    // regexp_extract(s, 'pattern', group) (p125) — the capture group's
+    // text, '' when the pattern does not match (BOTH engines); pattern
+    // restricted to the portable subset, group index validated against
+    // the pattern's capture count at parse
+    "regexp_extract" -> ((3, 3)),
     "lpad" -> ((3, 3)), "rpad" -> ((3, 3)), "reverse" -> ((1, 1)),
     // strpos(s, 'sub') (p101) — 1-based position, 0 when absent; BIGINT,
     // so it enters arithmetic and predicates
@@ -326,6 +366,8 @@ object ZxSql {
     // population skewness / excess kurtosis (p121) — Spark-native
     // formulas; the oracle spells the same central moments explicitly
     "skewness" -> Agg.Skewness, "kurtosis" -> Agg.Kurtosis,
+    // deterministic mode (p124) — ties break toward the smallest value
+    "mode" -> Agg.Mode,
     // spelling aliases — the names SQL users actually type; same Agg,
     // same default output name as the canonical spelling
     "avg" -> Agg.Mean, "median" -> Agg.P50,
@@ -540,6 +582,13 @@ object ZxSql {
             case _ => throw ParseError("replace replacement must be a string literal")
           }
           case "split_part" => strLitArg(1, "separator"); intLitArg(2, "index", 1)
+          case "regexp_extract" =>
+            val p = strLitArg(1, "pattern")
+            portableRegexGuard(p)
+            val g = intLitArg(2, "group", 0)
+            val caps = java.util.regex.Pattern.compile(p).matcher("").groupCount()
+            if (g > caps) throw ParseError(
+              s"regexp_extract group $g exceeds the pattern's $caps capture group(s)")
           case "lpad" | "rpad" => intLitArg(1, "length", 0); strLitArg(2, "pad")
           case "strpos" => strLitArg(1, "search")
           case "date_trunc" =>
@@ -775,7 +824,8 @@ object ZxSql {
             // binary/UTF8 order agrees across engines for ASCII data)
             if (MeasureExpr.isString(e) &&
                 agg != Agg.CountDistinct && agg != Agg.ApproxCountDistinct &&
-                agg != Agg.DistinctCount && agg != Agg.Max && agg != Agg.Min)
+                agg != Agg.DistinctCount && agg != Agg.Max && agg != Agg.Min &&
+                agg != Agg.Mode)
               throw ParseError(s"${agg.name} takes a numeric measure — " +
                 "string expressions belong in projections, = / != " +
                 "predicates, count_distinct, and max/min (group by a " +
@@ -786,7 +836,7 @@ object ZxSql {
             if (MeasureExpr.isTimestamp(e) &&
                 agg != Agg.Max && agg != Agg.Min &&
                 agg != Agg.CountDistinct && agg != Agg.ApproxCountDistinct &&
-                agg != Agg.DistinctCount)
+                agg != Agg.DistinctCount && agg != Agg.Mode)
               throw ParseError(s"${agg.name} takes a numeric measure — " +
                 "timestamps aggregate via max/min/count(distinct …), or " +
                 "extract fields (year/month/…) to compute")
@@ -1043,6 +1093,23 @@ object ZxSql {
       }
     }
 
+    // `col [not] regexp 'pattern'` (p125): regexp_like semantics —
+    // substring match, anchor with ^$ for full-value. The pattern must
+    // be a string literal in the PORTABLE regex subset: Spark runs
+    // java.util.regex, DuckDB runs RE2, and they agree only without
+    // lookaround ((?=…), (?!…), (?<…)) and backreferences (\1…\9) —
+    // both rejected at parse so a query can never silently mean two
+    // different things on the two engines.
+    def regexpCond(c: String, negated: Boolean): Condition = {
+      val pat = next() match {
+        case Str(v) if v.nonEmpty => v
+        case other => throw ParseError(
+          s"regexp takes a non-empty string-literal pattern, got $other")
+      }
+      portableRegexGuard(pat)
+      Condition(if (negated) Cmp.NotRegexp else Cmp.Regexp, c, pat)
+    }
+
     // `col in (v, …)` desugars to OR-of-equalities, `col between a and b`
     // to Gte AND Lte — both ride the ConditionTree for free (Catalyst still
     // pushes the disjunction/range into the scan). NOT IN / NOT BETWEEN
@@ -1124,10 +1191,12 @@ object ZxSql {
         case Sym(">=")            => cmpRight(c, Cmp.Gte)
         case Sym("<=")            => cmpRight(c, Cmp.Lte)
         case Ident("like")        => ConditionTree.Leaf(likeCond(c, negated = false))
+        case Ident("regexp")      => ConditionTree.Leaf(regexpCond(c, negated = false))
         case Ident("in")          => inTree(c)
         case Ident("between")     => betweenTree(c)
         case Ident("not")         => next() match {
           case Ident("like")    => ConditionTree.Leaf(likeCond(c, negated = true))
+          case Ident("regexp")  => ConditionTree.Leaf(regexpCond(c, negated = true))
           case Ident("in")      => inTree(c) match {
             // `not in (select …)` is the ANTI join, not a negated predicate
             case sq: ConditionTree.InSubquery => sq.copy(anti = true)
@@ -1783,8 +1852,60 @@ object ZxSql {
     val entries: Seq[Either[Select, PostSelect]] =
       if (seqOp.isDefined) Nil
       else if (peek.contains(Sym("*"))) { next(); star = true; Nil }
-      else commaList { () =>
+      else commaList[Seq[Either[Select, PostSelect]]] { () =>
         (peek match {
+          case Some(Ident("pivot")) =>
+            // conditional-aggregation pivot (p123):
+            //   pivot <agg>(<measure>) by <col> in ('v' [as name], …)
+            // Each IN value desugars to `agg(…) filter (where col =
+            // 'v') as <name>` — a K-column pivot is K gated aggregates
+            // in ONE hash aggregate: no pivot physical operator, no
+            // second pass, map-side partials intact; the SAME plan
+            // conditional aggregation would hand-write, at any scale.
+            // The value list is explicit and literal (like SQL PIVOT
+            // IN): dynamic pivot would make the output schema
+            // data-dependent — two passes by definition, and a 100 TB
+            // anti-pattern. A value that is not a valid column name
+            // takes `as`; a pre-gated aggregate composes (the gates
+            // nest).
+            next()
+            val b = aggCallOrRaw()
+            if (b.agg == Agg.Raw)
+              throw ParseError("pivot takes an aggregate call — " +
+                "`pivot sum(x) by <col> in (…)`")
+            expectIdent("by")
+            val pcol = ident()
+            expectIdent("in")
+            expectSym("(")
+            val items = commaList { () =>
+              val v = next() match {
+                case Str(s) => s
+                case Num(s) => s
+                case other  => throw ParseError(
+                  s"pivot values are literals, got $other")
+              }
+              val alias =
+                if (atIdent("as")) { next(); ident() }
+                else {
+                  val id = v.toLowerCase
+                  if (!id.matches("[a-z_][a-z0-9_]*"))
+                    throw ParseError(s"pivot value '$v' is not a valid " +
+                      "column name — give it `as <name>`")
+                  id
+                }
+              (v, alias)
+            }
+            expectSym(")")
+            if (items.map(_._2).distinct.size != items.size)
+              throw ParseError("pivot output columns collide — rename with `as`")
+            items.map { case (v, a) =>
+              if (a.startsWith("__"))
+                throw ParseError(s"alias '$a' uses the engine-internal prefix __")
+              outOrderBuf += a
+              Left(applyFilter(b, ConditionTree.Leaf(
+                Condition(Cmp.Eq, pcol, v))).copy(alias = Some(a)))
+                : Either[Select, PostSelect]
+            }
           case Some(Ident("explode")) if toks.lift(pos + 1).contains(Sym("(")) =>
             // generator select item (p85): explode(col, '<sep>') as name —
             // one per query; surfaces as a plain Raw column downstream
@@ -1808,18 +1929,18 @@ object ZxSql {
                 "table for multi-level unnesting")
             explodeSpec = Some((src, sep, alias))
             outOrderBuf += alias
-            Some(Left(Select(Agg.Raw, alias))): Option[Either[Select, PostSelect]]
+            Seq(Left(Select(Agg.Raw, alias))): Seq[Either[Select, PostSelect]]
           case Some(Ident(f)) if toks.lift(pos + 1).contains(Sym("(")) &&
               (winFuncNames(f) ||
                 ((aggWinNames(f) || navWinNames(f)) && isWindowCall(pos))) =>
             val w = winSelect(); winBuf += w; outOrderBuf += w.alias
-            None
+            Seq.empty
           case _ =>
             val e = selectEntry()
             outOrderBuf += (e match {
               case Left(s) => s.key; case Right(p) => p.alias })
-            Some(e)
-        }): Option[Either[Select, PostSelect]]
+            Seq(e)
+        }): Seq[Either[Select, PostSelect]]
       }.flatten
     val winSelects = winBuf.result()
     val winOutOrder = if (winSelects.isEmpty) Nil else outOrderBuf.result()

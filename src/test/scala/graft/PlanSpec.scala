@@ -1035,4 +1035,24 @@ class PlanSpec extends AnyFunSuite {
       s"CTE projection did not prune the scan:\n$scanPlan")
   }
 
+  test("pivot desugar: a 5-column pivot is ONE hash aggregate — single exchange, no second pass (round 14)") {
+    val p = plan("p123_sql_pivot")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"pivot should cost one aggregation exchange, found $exchanges:\n$p")
+    assert(!p.toLowerCase.contains("pivotfirst"),
+      s"pivot compiled through a pivot physical operator instead of the " +
+        s"conditional-aggregation desugar:\n$p")
+    // filtered aggregates in one list likewise share one aggregation;
+    // the second exchange is Spark's exact-distinct expansion (the
+    // count(distinct …) partial on (group, key)) — intrinsic to exact
+    // distinct counting, not the filter desugar (the pivot row above,
+    // distinct-free, holds the single-exchange bound)
+    val f = plan("p119_sql_filter_agg")
+    val fex = "Exchange hashpartitioning".r.findAllIn(f).length
+    assert(fex == 2,
+      s"five differently-filtered aggregates should cost one aggregation " +
+        s"+ one distinct expansion, found $fex:\n$f")
+  }
+
 }

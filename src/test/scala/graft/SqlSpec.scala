@@ -64,8 +64,8 @@ class SqlSpec extends AnyFunSuite {
   }
 
   test("rejects malformed input with a named error") {
-    // (`median` graduated to a p50 alias in round 14 — `mode` stays unknown)
-    assertThrows[ZxSql.ParseError](ZxSql.parse("select mode(foo)"))
+    // (`median` and `mode` both graduated to real aggregates in round 14)
+    assertThrows[ZxSql.ParseError](ZxSql.parse("select hyperloglog(foo)"))
     assertThrows[ZxSql.ParseError](ZxSql.parse("sum(foo)"))
     assertThrows[ZxSql.ParseError](ZxSql.parse("select foo where x ="))
   }
@@ -3117,6 +3117,85 @@ class SqlSpec extends AnyFunSuite {
     // (1,x) dedupes; any-null rows skipped → {(1,x),(3,z)}
     assert(got(0).getLong(1) == 2L && got(0).getDouble(2) == 5.0)
     parseErr("select count(distinct a, b) group by k", "need `as")
+  }
+
+  test("p123 pivot: conditional-aggregation desugar — K columns, one hash aggregate (round 14)") {
+    import SparkFixture.spark.implicits._
+    val rows = Seq(("u1", "click", 10.0), ("u1", "view", 5.0),
+      ("u1", "click", 2.0), ("u2", "view", 7.0)).toDF("u", "t", "v")
+    val got = ZxSql.run(rows,
+      "select pivot sum(v) by t in ('click', 'view' as views), " +
+        "count(*) as n group by u order by u")
+    assert(got.columns.toSeq == Seq("u", "click", "views", "n"))
+    val r = got.collect()
+    assert(r(0).getDouble(1) == 12.0 && r(0).getDouble(2) == 5.0 &&
+      r(0).getDouble(3) == 3.0)
+    // a group with no matching rows keeps sum's missing-as-zero
+    assert(r(1).getDouble(1) == 0.0 && r(1).getDouble(2) == 7.0)
+    // count(*)/mean pivots and a pre-gated pivot compose
+    val m = ZxSql.run(rows,
+      "select pivot count(*) by t in ('click' as c_n, 'view' as v_n), " +
+        "pivot mean(v) filter (where v > 4) by t in ('click' as big_click) " +
+        "group by u order by u").collect()
+    assert(m(0).getDouble(1) == 2.0 && m(0).getDouble(2) == 1.0 &&
+      m(0).getDouble(3) == 10.0)
+    assert(m(1).getDouble(1) == 0.0 && m(1).isNullAt(3))
+    parseErr("select pivot u by t in ('click') group by u",
+      "pivot takes an aggregate call")
+    parseErr("select pivot sum(v) by t in ('a b c') group by u",
+      "not a valid column name")
+    parseErr("select pivot sum(v) by t in ('x', 'x') group by u",
+      "columns collide")
+  }
+
+  test("p124 mode: deterministic most-frequent — ties toward the smallest value (round 14)") {
+    import SparkFixture.spark.implicits._
+    val rows = Seq(("g", Some(3.0), "b"), ("g", Some(3.0), "b"),
+      ("g", Some(1.0), "a"), ("g", Some(1.0), "a"), ("g", Some(2.0), "c"),
+      ("g", None, "c")).toDF("k", "v", "s")
+    val got = ZxSql.run(rows,
+      "select mode(v) as mv, mode(upper(s)) as ms, count(*) as n " +
+        "group by k order by k").collect()
+    // v: {3×2, 1×2, 2×1} tie → smallest (1.0); NULL v skipped
+    assert(got(0).getDouble(1) == 1.0)
+    // s: {b×2, a×2, c×2} all tie → 'A' after upper
+    assert(got(0).getString(2) == "A")
+    // all-null group → NULL mode
+    val nulls = Seq(("h", Option.empty[Double])).toDF("k", "v")
+    val ng = ZxSql.run(nulls, "select mode(v) as mv group by k order by k")
+      .collect()
+    assert(ng(0).isNullAt(1))
+  }
+
+  test("p125 regexp: portable-subset predicates and extraction (round 14)") {
+    import SparkFixture.spark.implicits._
+    val rows = Seq(("src12", "alpha beta 42"), ("src7", "gamma"),
+      ("other", "beta 7"), ("src3", null)).toDF("s", "t")
+    // substring-match semantics; NULL column drops under both polarities
+    val got = ZxSql.run(rows,
+      "select s, t where t regexp '[0-9]+' order by s").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("other", "src12"))
+    val neg = ZxSql.run(rows,
+      "select s, t where t not regexp '[0-9]+' order by s").collect()
+    assert(neg.map(_.getString(0)).toSeq == Seq("src7"))
+    // anchored full-match + alternation; extraction feeds distinct count
+    val agg = ZxSql.run(rows,
+      "select count(*) as n, " +
+        "count(distinct regexp_extract(s, '^src([0-9]+)$', 1)) as ids " +
+        "where s regexp '^src[0-9]+$' group by s order by s").collect()
+    assert(agg.length == 3 && agg.forall(_.getLong(2) == 1L))
+    // no-match extraction is '' (both engines), a countable value
+    val e = ZxSql.run(rows,
+      "select s, regexp_extract(t, '([0-9]+)', 1) as num where s = 'src7'")
+      .collect()
+    assert(e(0).getString(1) == "")
+    // portable-subset guards: lookaround, backreference, bad syntax,
+    // overflowing group index — all ParseErrors at the front door
+    parseErr("select s where t regexp 'a(?=b)'", "lookaround")
+    parseErr("select s where t regexp '(a)\\1'", "backreference")
+    parseErr("select s where t regexp '[a-'", "bad regexp pattern")
+    parseErr("select regexp_extract(t, '(a)', 2) as x where s = 'src7'",
+      "exceeds the pattern's")
   }
 
 }

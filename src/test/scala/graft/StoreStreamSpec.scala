@@ -2634,4 +2634,42 @@ class StoreStreamSpec extends AnyFunSuite {
     assert(EventStore.warehouseCatalog(spark, wh + "/nope").isEmpty)
   }
 
+  test("round-14 aggregates stream: filter/bool_and/bool_or in a tumbling window, batch == stream") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    import SparkFixture.spark.implicits._
+    val dir = Files.createTempDirectory("graft-r14stream").toString
+    val base = 1704067200L
+    val rows = Seq(
+      ("a", base + 1L, 10.0), ("a", base + 2L, 200.0), ("a", base + 3L, 50.0),
+      ("b", base + 4L, 5.0), ("b", base + 400L, 500.0))
+    val df = rows.toDF("k", "sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    df.write.mode("overwrite").parquet(dir)
+    // the new aggregate surface rides the SAME groupedAgg compile in the
+    // windowed path, so runStream accepts it with zero new code — pin
+    // batch == stream on one SQL string
+    val sql = "select sum(v) filter (where v > 40) as hi, " +
+      "bool_or(v > 400) as spiked, bool_and(v > 1) as all_pos, " +
+      "count(*) as n group by k granularity 300"
+    def canon(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("k"), r.getAs[Long]("w_start"),
+        r.getAs[Double]("hi"), r.getAs[Boolean]("spiked"),
+        r.getAs[Boolean]("all_pos"), r.getAs[Double]("n"))
+    val batch = graft.sql.ZxSql.run(spark.read.parquet(dir), sql)
+      .collect().map(canon).toSet
+    val out = graft.sql.ZxSql.runStream(
+      spark.readStream.schema(df.schema).parquet(dir), sql,
+      watermark = "0 seconds")
+    // complete mode: append would hold back the newest window (the
+    // watermark never passes its end on a finite replay)
+    val q = out.writeStream.format("memory").queryName("r14agg_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("r14agg_out")
+      .collect().map(canon).toSet
+    assert(streamed == batch && batch.nonEmpty,
+      s"stream $streamed != batch $batch")
+  }
+
 }
