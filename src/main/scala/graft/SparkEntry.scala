@@ -3696,6 +3696,43 @@ object SparkEntry {
       .select(col("lang"), round3("n"), col("src_ids"),
         col("has_vec_pair"), round6("mc"))
 
+  /** p126: script-scoped VIEWS — `create view` registers a named
+    * statement (nothing materializes); the body re-compiles against
+    * each later statement's catalog, so the view RE-READS its base
+    * store at use time: the insert committed after creation is visible
+    * through it (the oracle replays the same algebra with the insert
+    * inside). A second view layers on the first. */
+  private def p126SqlView(s: SparkSession, dir: String): DataFrame = {
+    val wh = "target/graft-ctas/view-lifecycle/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.sources.EventStore.reset(s, wh + "/vbase")
+    graft.sql.ZxSql.runScript(Map("documents" -> Tables.documents(s, dir)),
+      "create table vbase as select doc_id, lang, n_chars from documents " +
+        "where n_chars >= 400; " +
+        "create view west as select doc_id, lang, n_chars from vbase " +
+        "where lang = 'en' or lang = 'de'; " +
+        "create view west_big as select doc_id, lang, n_chars from west " +
+        "where n_chars >= 450; " +
+        "insert into vbase values (9000001, 'en', 999); " +
+        "select count(*) as n, max(n_chars) as mx from west_big " +
+        "group by lang order by lang", wh)
+      .select(col("lang"), round3("n"), round3("mx"))
+  }
+
+  /** p127: filtered aggregates INSIDE post-aggregate arithmetic — the
+    * "share of X" shape every dashboard needs: `sum(v) filter (where c)
+    * / sum(v)`. The gated and ungated sums ride ONE hash aggregate
+    * (internal __pa aliases, deduped by shape including the gate), and
+    * the ratio is a scalar projection after the exchange. */
+  private def p127SqlFilterShare(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir),
+      "select sum(value) filter (where event_type = 'purchase') / " +
+        "sum(value) as purchase_share, " +
+        "count(*) filter (where value > 150) / count(*) as heavy_rate, " +
+        "count(*) as n group by user_id order by user_id")
+      .select(col("user_id"), round6("purchase_share"),
+        round6("heavy_rate"), round3("n"))
+
   /** p117: TIME TRAVEL at the front door — `from <name> version <k>`
     * pins a read to manifest version k (create = v0, every commit +1),
     * rewritten to a pinned catalog entry so ONE statement reads TWO
@@ -5236,6 +5273,8 @@ object SparkEntry {
     "p123_sql_pivot" -> (p123SqlPivot _),
     "p124_sql_mode" -> (p124SqlMode _),
     "p125_sql_regexp" -> (p125SqlRegexp _),
+    "p126_sql_view" -> (p126SqlView _),
+    "p127_sql_filter_share" -> (p127SqlFilterShare _),
     "st_asof" -> (stAsof _),
     "p86_sql_explode" -> (p86SqlExplode _),
     "p86b_sql_explode_raw" -> (p86bSqlExplodeRaw _),
@@ -6938,6 +6977,32 @@ object SparkEntry {
         |WHERE regexp_matches(text, 'spark')
         |  AND NOT regexp_matches(lang, '^(zh|ko)$')
         |GROUP BY lang""".stripMargin,
+    "p126_sql_view" ->
+      // the script as one relational expression: the view layers are
+      // plain CTEs with the post-view insert INSIDE the base — exactly
+      // the "views re-read at use time" contract
+      """WITH vbase AS (
+        |    SELECT doc_id, lang, n_chars FROM documents
+        |    WHERE n_chars >= 400
+        |    UNION ALL SELECT 9000001, 'en', 999),
+        |  west AS (SELECT doc_id, lang, n_chars FROM vbase
+        |    WHERE lang = 'en' OR lang = 'de'),
+        |  west_big AS (SELECT doc_id, lang, n_chars FROM west
+        |    WHERE n_chars >= 450)
+        |SELECT lang, round(CAST(count(*) AS DOUBLE), 3) AS n,
+        |  round(CAST(max(n_chars) AS DOUBLE), 3) AS mx
+        |FROM west_big GROUP BY lang""".stripMargin,
+    "p127_sql_filter_share" ->
+      // the engine's sum keeps missing-as-zero, so the numerator
+      // coalesces; division by the never-zero denominator matches the
+      // null-on-zero-divisor contract on both engines
+      """SELECT CAST(user_id AS VARCHAR) AS user_id,
+        |  round(coalesce(sum(value) FILTER (WHERE event_type =
+        |    'purchase'), 0) / sum(value), 6) AS purchase_share,
+        |  round(CAST(count(*) FILTER (WHERE value > 150) AS DOUBLE)
+        |    / count(*), 6) AS heavy_rate,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS n
+        |FROM events GROUP BY user_id""".stripMargin,
     "p117_sql_time_travel" ->
       // version-0 EXCEPT current = exactly the deleted rows
       """SELECT doc_id, lang, n_chars FROM documents

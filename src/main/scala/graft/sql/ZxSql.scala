@@ -11,7 +11,13 @@ import graft.operators.GapWindows
   * SCRIPTS (p116, [[runScript]]): `stmt; stmt; …` — create/insert/
   * delete/update/drop route to the write faces against a warehouse,
   * reads through the catalog, each statement seeing earlier writes
-  * (manifest-pinned). TIME TRAVEL (p117): any FROM may spell
+  * (manifest-pinned). VIEWS (p126): `create view <name> as
+  * <statement>` / `drop view [if exists] <name>` — script-scoped named
+  * statements, nothing materializes; a view body RE-COMPILES against
+  * each later statement's catalog, so it re-reads its base stores at
+  * use time (an insert after creation is visible through the view;
+  * CTAS is the materialized counterpart). Views are read-only, never
+  * shadow, and layer in creation order. TIME TRAVEL (p117): any FROM may spell
   * `<name> version <k>` under runScript — create = v0, each commit +1;
   * one statement can read two versions of one store (`… from t
   * version 0 except … from t` = the deleted rows).
@@ -43,7 +49,10 @@ import graft.operators.GapWindows
   *     cmp num`; filter-only aggregates are computed and pruned; a pure
   *     AND-chain keeps the legacy compile exactly
   *   [qualify <boolexpr over window aliases + selected cols>]
-  *   [order by <item> [asc|desc] [nulls first|last], …]   — the engines'
+  *   [order by <item>|<ordinal> [asc|desc] [nulls first|last], …] —
+  *     an ordinal is the 1-based SELECT-LIST position (group keys
+  *     surface separately in this dialect and are ordered by name);
+  *     the engines'
   *     null-placement DEFAULTS differ (Spark ASC = nulls first, DuckDB
   *     ASC = nulls last): nullable sort keys spell it explicitly (p106)
   *   [limit <n> [per <col>]] [offset <m>]   — LIMIT n OFFSET m = rows
@@ -1943,7 +1952,10 @@ object ZxSql {
         }): Seq[Either[Select, PostSelect]]
       }.flatten
     val winSelects = winBuf.result()
-    val winOutOrder = if (winSelects.isEmpty) Nil else outOrderBuf.result()
+    // the select list's output names in written order — the window
+    // projection's order AND the referent of ORDER BY ordinals
+    val outOrder = outOrderBuf.result()
+    val winOutOrder = if (winSelects.isEmpty) Nil else outOrder
     val selects = entries.collect { case Left(s) => s }
     val postSelects = entries.collect { case Right(p) => p }
     // output-name discipline: post aliases must not shadow a select item's
@@ -2296,7 +2308,23 @@ object ZxSql {
         // a bare name here may be a select-list `as` alias — it compiles
         // to a Raw select whose key IS the alias, so runSorted orders by
         // the aliased output column directly
-        val sel = selectItem(allowAlias = false)
+        val sel = peek match {
+          // ORDER BY <ordinal> (extension): 1-based SELECT-LIST
+          // position — resolved AT PARSE to the output column name, so
+          // every compile path sees a plain alias reference (DuckDB
+          // resolves its ordinals the same way; nothing to divge on)
+          case Some(Num(v)) =>
+            next()
+            val i = v.toIntOption.filter(_ >= 1).getOrElse(throw ParseError(
+              s"order by ordinal must be a positive integer, got '$v'"))
+            if (star || outOrder.isEmpty)
+              throw ParseError("order by ordinal needs an explicit select list")
+            if (i > outOrder.length)
+              throw ParseError(s"order by $i exceeds the " +
+                s"${outOrder.length}-item select list")
+            Select(Agg.Raw, outOrder(i - 1))
+          case _ => selectItem(allowAlias = false)
+        }
         val dir =
           if (atIdent("desc")) { next(); SortDir.Desc }
           else { if (atIdent("asc")) next(); SortDir.Asc }
@@ -3363,6 +3391,14 @@ object ZxSql {
     val spark = tables.values.headOption.map(_.sparkSession)
       .getOrElse(org.apache.spark.sql.SparkSession.active)
     var last: Option[DataFrame] = None
+    // script-scoped VIEWS (p126): `create view <name> as <statement>`
+    // registers the statement TEXT; nothing materializes. The body
+    // re-compiles against EACH later statement's fresh catalog, so a
+    // view re-reads its base stores at USE time — an insert committed
+    // after the view was created is visible through it (true view
+    // semantics; CTAS is the materialized counterpart). Creation order
+    // is kept so later views can layer on earlier ones.
+    var views = Vector.empty[(String, String)]
     stmts.foreach { st0 =>
       var stToks = lex(st0)
       // TIME TRAVEL at the front door (p117): `from <name> version <k>`
@@ -3408,10 +3444,54 @@ object ZxSql {
           stToks.lift(1).collect { case Ident(n) => n }
         case _ => None
       }
-      val cat = tables ++
-        (graft.sources.EventStore.warehouseCatalog(spark, warehouseDir)
-          -- writeTarget.toSeq) ++ pinned
+      val wcat = graft.sources.EventStore.warehouseCatalog(spark, warehouseDir)
+      val cat0 = tables ++ (wcat -- writeTarget.toSeq) ++ pinned
+      // overlay the views, re-compiled against THIS statement's FULL
+      // catalog (write target included — `insert into t select … from
+      // v_over_t` must resolve) in creation order, so views layer; a
+      // view whose base store was dropped mid-script fails loudly here
+      // at the next statement (drop the view first)
+      val full = tables ++ wcat ++ pinned
+      val cat = cat0 ++ views.foldLeft(Map.empty[String, DataFrame]) {
+        case (acc, (n, body)) =>
+          acc + (n -> runCatalog(full ++ acc, body, tsCol, exact, idCol)) }
+      writeTarget.filter(t => views.exists(_._1 == t)).foreach { t =>
+        throw ParseError(s"'$t' is a view — views are read-only; write " +
+          "to the base store, or CTAS a real table") }
       last = stToks.headOption match {
+        case Some(Ident("create")) if stToks.lift(1).contains(Ident("view")) =>
+          val name = stToks.lift(2) match {
+            case Some(Ident(n)) => n
+            case other => throw ParseError(s"create view needs a name, got $other")
+          }
+          if (!stToks.lift(3).contains(Ident("as")))
+            throw ParseError("create view spells `create view <name> as <statement>`")
+          if (cat.contains(name) || views.exists(_._1 == name))
+            throw ParseError(s"view name '$name' collides with an " +
+              "existing table, frame, or view — views never shadow")
+          val body = stToks.drop(4).map(renderTok).mkString(" ")
+          if (body.isEmpty) throw ParseError("create view body is empty")
+          // compile NOW against the current catalog: a broken body is a
+          // front-door error at creation, not a surprise N statements in
+          runCatalog(cat, body, tsCol, exact, idCol)
+          views :+= ((name, body))
+          None
+        case Some(Ident("drop")) if stToks.lift(1).contains(Ident("view")) =>
+          var p2 = 2; var ifExists = false
+          if (stToks.lift(p2).contains(Ident("if"))) {
+            if (!stToks.lift(p2 + 1).contains(Ident("exists")))
+              throw ParseError("drop view if: expected 'exists'")
+            ifExists = true; p2 += 2
+          }
+          val name = stToks.lift(p2) match {
+            case Some(Ident(n)) => n
+            case other => throw ParseError(s"drop view needs a name, got $other")
+          }
+          if (!views.exists(_._1 == name) && !ifExists)
+            throw ParseError(s"no view named '$name' (use `drop view if " +
+              "exists`, or `drop table` for a store)")
+          views = views.filterNot(_._1 == name)
+          None
         case Some(Ident("create")) =>
           Some(runCreate(cat, st, warehouseDir, tsCol, exact, idCol))
         case Some(Ident("insert")) =>
@@ -3422,8 +3502,9 @@ object ZxSql {
         case _ => Some(runCatalog(cat, st, tsCol, exact, idCol))
       }
     }
-    last.getOrElse(throw ParseError("script ends with `drop table` — " +
-      "end with a read (or a write, whose pinned read-back returns)"))
+    last.getOrElse(throw ParseError("script ends with a statement that " +
+      "returns nothing (drop table / drop view / create view) — end " +
+      "with a read (or a write, whose pinned read-back returns)"))
   }
 
   /** `drop table [if exists] <name>` — the store's directory (data plus

@@ -2764,6 +2764,69 @@ class SqlSpec extends AnyFunSuite {
       ZxSql.runScript(Map.empty, "select 'unterminated; select 1", wh))
   }
 
+  test("p126 create view: re-reads base at use time; layering, read-only, no shadowing (round 14)") {
+    import SparkFixture.spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-view").toString
+    val base = Seq((1L, "en", 500L), (2L, "de", 460L), (3L, "zh", 480L),
+      (4L, "en", 420L)).toDF("id", "lang", "nc")
+    // a view sees an insert committed AFTER its creation (re-read, not
+    // snapshot), and a second view layers on the first
+    val out = ZxSql.runScript(Map("t" -> base),
+      "create table vb as select id, lang, nc from t; " +
+        "create view west as select id, lang, nc from vb " +
+        "where lang = 'en' or lang = 'de'; " +
+        "create view west_big as select id, lang, nc from west " +
+        "where nc >= 450; " +
+        "insert into vb values (5, 'en', 470); " +
+        "select count(*) as n from west_big group by lang order by lang", wh)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("en" -> 2.0, "de" -> 1.0),
+      "the post-creation insert (5, en, 470) must be visible through both views")
+    // views are read-only; names never shadow; drop view works and the
+    // dangling-base case is loud
+    val cat = Map("t" -> base)
+    val ro = intercept[ZxSql.ParseError](ZxSql.runScript(cat,
+      "create view w2 as select id from vb; " +
+        "insert into w2 values (9); select id from vb", wh))
+    assert(ro.getMessage.contains("read-only"))
+    val shadow = intercept[ZxSql.ParseError](ZxSql.runScript(cat,
+      "create view vb as select id from vb; select id from vb", wh))
+    assert(shadow.getMessage.contains("never shadow"))
+    val dropped = ZxSql.runScript(cat,
+      "create view w3 as select id from vb; drop view w3; " +
+        "create view w3 as select id, nc from vb; " +
+        "select count(*) as n from w3 group by nc order by nc", wh)
+    assert(dropped.count() >= 1)
+    intercept[ZxSql.ParseError](ZxSql.runScript(cat,
+      "drop view nope; select id from vb", wh))
+    // a broken body fails AT CREATION, not N statements later
+    intercept[Exception](ZxSql.runScript(cat,
+      "create view bad as select id from no_such_table; select id from vb", wh))
+    // ends-with-create-view returns nothing → loud
+    intercept[ZxSql.ParseError](ZxSql.runScript(cat,
+      "create view w4 as select id from vb", wh))
+  }
+
+  test("order by ordinal: 1-based select-list position, parse-resolved (round 14)") {
+    import SparkFixture.spark.implicits._
+    val rows = Seq(("a", 1.0), ("a", 3.0), ("b", 9.0)).toDF("k", "v")
+    // ordinal 1 = first select item (sum alias); identical to by-name
+    val byOrd = ZxSql.run(rows,
+      "select sum(v) as s, count(*) as n group by k order by 1 desc")
+      .collect().map(_.getDouble(1)).toSeq
+    val byName = ZxSql.run(rows,
+      "select sum(v) as s, count(*) as n group by k order by s desc")
+      .collect().map(_.getDouble(1)).toSeq
+    assert(byOrd == Seq(9.0, 4.0) && byOrd == byName)
+    // raw path + mixed ordinal/name + desc per key
+    val raw = ZxSql.run(rows, "select k, v order by 2 desc, k")
+      .collect().map(_.getDouble(1)).toSeq
+    assert(raw == Seq(9.0, 3.0, 1.0))
+    parseErr("select k, v order by 3", "exceeds the 2-item select list")
+    parseErr("select k, v order by 0", "positive integer")
+    parseErr("select * order by 1", "explicit select list")
+  }
+
   test("p117 time travel: `from t version k` pins the manifest; two versions in one statement (round 14)") {
     import SparkFixture.spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-tt").toString
