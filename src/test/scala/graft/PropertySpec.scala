@@ -117,6 +117,11 @@ object ParserProps extends Properties("ZxSql") {
       "string_agg", "percentile", "replace", "split_part", "lpad",
       "strpos", "sign", "mod", "date_trunc", "isodow", "second", "%",
       "'month'", "0.5",
+      // round-14 third-session surface: filtered aggregation, boolean
+      // quantifiers, moments, pivot, mode, regexp, ordinals
+      "filter", "bool_and", "bool_or", "every", "any", "skewness",
+      "kurtosis", "mode", "pivot", "regexp", "regexp_extract",
+      "'[0-9]+'", "view",
       "(", ")", ",", "=", "!=", ">", "<", ">=", "<=", "*", "'a b'",
       "'%x%'", "$t_start", "$t_end"),
     3 -> identGen,
