@@ -188,6 +188,7 @@ object Bench {
       "st_gap", "st_heatmap", "st_enrich", "st_lmscore", "st_sample",
       "st_chunks", "st_quality", "st_langid", "st_redact",
       "st_filter_join", "st_json", "st_explode", "st_asof", "st_having",
+      "st_filter",
       "x21_lm_score", "x21b_lm_score_joined", "p48_sql_lmscore",
       "c6b_zorder3", "c8b_string_prune",
       "c11_schema_evolution", "c14_change_feed",

@@ -240,6 +240,39 @@ object SparkEntry {
       .select(col("event_type"), col("w_start"), col("w_end"),
         round3("sv"), round3("n"))
 
+  /** a8d: the round-14 aggregate surface on the WINDOWED path —
+    * filtered sums/counts and a boolean quantifier per tumbling window.
+    * The FILTER desugar is a parse-level CASE, so the windowed
+    * aggregator (and its streaming twin below) runs it with zero new
+    * code. */
+  private def a8dWindowFilter(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.run(Tables.events(s, dir),
+      "select sum(value) filter (where value > 100) as hot_sv, " +
+        "count(*) filter (where user_id % 2 = 0) as even_n, " +
+        "bool_or(value > 300) as spiked, count(*) as n " +
+        "group by event_type granularity 3600")
+      .select(col("event_type"), col("w_start"), col("w_end"),
+        round3("hot_sv"), round3("even_n"), col("spiked"), round3("n"))
+
+  /** st_filter ≡ a8d through the streaming windowed aggregator —
+    * filtered aggregates and bool_or fold per micro-batch exactly like
+    * their batch forms (same CASE measures, same partial merge), so
+    * batch == stream per finalized window, hash-checked via a8d's
+    * oracle. */
+  private def stFilter(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.streaming.StreamReplay.replayEvents(s, dir, "st-filter") {
+      stream => graft.sql.ZxSql.runStream(stream,
+        "select sum(value) filter (where value > 100) as hot_sv, " +
+          "count(*) filter (where user_id % 2 = 0) as even_n, " +
+          "bool_or(value > 300) as spiked, count(*) as n " +
+          "group by event_type granularity 3600",
+        watermark = "0 seconds")
+    }
+    notSentinel(out)
+      .select(col("event_type"), col("w_start"), col("w_end"),
+        round3("hot_sv"), round3("even_n"), col("spiked"), round3("n"))
+  }
+
   /** st_having ≡ a8c through the streaming windowed aggregator: the
     * boolean HAVING tree filters each micro-batch's FINALIZED windows
     * (append mode — a group emits once, after the watermark passes), so
@@ -5371,6 +5404,8 @@ object SparkEntry {
     "st_tumbling" -> (stTumbling _),
     "a8c_window_having" -> (a8cWindowHaving _),
     "st_having" -> (stHaving _),
+    "a8d_window_filter" -> (a8dWindowFilter _),
+    "st_filter" -> (stFilter _),
     "st_session" -> (stSession _),
     "st_hopping" -> (stHopping _),
     "st_gap" -> (stGap _),
@@ -5907,6 +5942,19 @@ object SparkEntry {
         | round(CAST(count(value) AS DOUBLE), 3) AS count_value,
         | round(round(sum(coalesce(value, 0)), 3)
         |   / round(CAST(count(value) AS DOUBLE), 3), 6) AS mean_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "a8d_window_filter" ->
+      // FILTER + bool_or on the windowed path; st_filter shares this
+      // oracle verbatim (sum keeps missing-as-zero → coalesce)
+      """SELECT event_type,
+        | CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS w_start,
+        | CAST(floor(epoch(ts) / 3600) * 3600 + 3600 AS BIGINT) AS w_end,
+        | round(coalesce(sum(value) FILTER (WHERE value > 100), 0), 3)
+        |   AS hot_sv,
+        | round(CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS DOUBLE),
+        |   3) AS even_n,
+        | bool_or(value > 300) AS spiked,
+        | round(CAST(count(*) AS DOUBLE), 3) AS n
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
     "a8c_window_having" ->
       // boolean HAVING on the windowed path — mean/max/min computed for
@@ -8875,6 +8923,7 @@ object SparkEntry {
       "st_gap" -> base("a8_gap_window"),
       "st_heatmap" -> base("a7_heatmap"),
       "st_enrich" -> base("p34_sql_enrich_windowed"),
-      "st_having" -> base("a8c_window_having"))
+      "st_having" -> base("a8c_window_having"),
+      "st_filter" -> base("a8d_window_filter"))
   }
 }
