@@ -3766,6 +3766,40 @@ object SparkEntry {
       .select(col("user_id"), round6("purchase_share"),
         round6("heavy_rate"), round3("n"))
 
+  /** p128: the features compose — a calendar rollup pivoted by event
+    * type: derived-table day-of-month extraction (p82) under a pivot (p123)
+    * with a gated branch (p119), still ONE hash aggregate over the
+    * derived projection. */
+  private def p128SqlMonthlyPivot(s: SparkSession, dir: String): DataFrame =
+    graft.sql.ZxSql.runCatalog(Map("events" -> Tables.events(s, dir)),
+      "select pivot count(*) by event_type in " +
+        "('click', 'view' as views, 'purchase'), " +
+        "pivot sum(value) filter (where value > 100) by event_type in " +
+        "('purchase' as hot_purchase), " +
+        "count(*) as n from (select event_type, value, day(ts) as d " +
+        "from events) group by d order by d")
+      .select(col("d"), round3("click"), round3("views"),
+        round3("purchase"), round3("hot_purchase"), round3("n"))
+
+  /** p129: `show tables` — the script's catalog objects (committed
+    * warehouse stores + live views), one sorted name per row; a
+    * dropped table and a dropped view disappear from the listing. The
+    * oracle is the literal expected catalog. */
+  private def p129SqlShowTables(s: SparkSession, dir: String): DataFrame = {
+    val wh = "target/graft-ctas/show-lifecycle/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.sources.EventStore.reset(s, wh + "/sh1")
+    graft.sources.EventStore.reset(s, wh + "/sh2")
+    graft.sql.ZxSql.runScript(Map("documents" -> Tables.documents(s, dir)),
+      "create table sh1 as select doc_id, n_chars from documents " +
+        "where n_chars >= 450; " +
+        "create table sh2 as select doc_id from documents " +
+        "where n_chars < 100; " +
+        "create view shv as select doc_id from sh1; " +
+        "drop table sh2; " +
+        "show tables", wh)
+  }
+
   /** p117: TIME TRAVEL at the front door — `from <name> version <k>`
     * pins a read to manifest version k (create = v0, every commit +1),
     * rewritten to a pinned catalog entry so ONE statement reads TWO
@@ -5308,6 +5342,8 @@ object SparkEntry {
     "p125_sql_regexp" -> (p125SqlRegexp _),
     "p126_sql_view" -> (p126SqlView _),
     "p127_sql_filter_share" -> (p127SqlFilterShare _),
+    "p128_sql_monthly_pivot" -> (p128SqlMonthlyPivot _),
+    "p129_sql_show_tables" -> (p129SqlShowTables _),
     "st_asof" -> (stAsof _),
     "p86_sql_explode" -> (p86SqlExplode _),
     "p86b_sql_explode_raw" -> (p86bSqlExplodeRaw _),
@@ -7051,6 +7087,24 @@ object SparkEntry {
         |    / count(*), 6) AS heavy_rate,
         |  round(CAST(count(*) AS DOUBLE), 3) AS n
         |FROM events GROUP BY user_id""".stripMargin,
+    "p128_sql_monthly_pivot" ->
+      // month() under a pivot — conditional aggregation over the
+      // derived calendar key; sum cells keep missing-as-zero
+      """SELECT CAST(d AS VARCHAR) AS d,
+        |  round(CAST(count(*) FILTER (WHERE event_type = 'click')
+        |    AS DOUBLE), 3) AS click,
+        |  round(CAST(count(*) FILTER (WHERE event_type = 'view')
+        |    AS DOUBLE), 3) AS views,
+        |  round(CAST(count(*) FILTER (WHERE event_type = 'purchase')
+        |    AS DOUBLE), 3) AS purchase,
+        |  round(coalesce(sum(value) FILTER (WHERE event_type =
+        |    'purchase' AND value > 100), 0), 3) AS hot_purchase,
+        |  round(CAST(count(*) AS DOUBLE), 3) AS n
+        |FROM (SELECT event_type, value, day(ts) AS d FROM events)
+        |GROUP BY d""".stripMargin,
+    "p129_sql_show_tables" ->
+      // the literal expected catalog: sh2 dropped, sh1 + the view live
+      """SELECT 'sh1' AS table_name UNION ALL SELECT 'shv'""",
     "p117_sql_time_travel" ->
       // version-0 EXCEPT current = exactly the deleted rows
       """SELECT doc_id, lang, n_chars FROM documents

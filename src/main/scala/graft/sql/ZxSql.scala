@@ -17,7 +17,9 @@ import graft.operators.GapWindows
   * each later statement's catalog, so it re-reads its base stores at
   * use time (an insert after creation is visible through the view;
   * CTAS is the materialized counterpart). Views are read-only, never
-  * shadow, and layer in creation order. TIME TRAVEL (p117): any FROM may spell
+  * shadow, and layer in creation order. `show tables` (p129) lists the
+  * script's catalog objects (committed stores + live views), one
+  * sorted name per row. TIME TRAVEL (p117): any FROM may spell
   * `<name> version <k>` under runScript — create = v0, each commit +1;
   * one statement can read two versions of one store (`… from t
   * version 0 except … from t` = the deleted rows).
@@ -3492,6 +3494,16 @@ object ZxSql {
               "exists`, or `drop table` for a store)")
           views = views.filterNot(_._1 == name)
           None
+        case Some(Ident("show")) if stToks.lift(1).contains(Ident("tables")) =>
+          // `show tables` (p129): the script's catalog objects — the
+          // warehouse's committed stores plus the live views — one name
+          // per row, sorted. Caller-provided frames are function
+          // arguments, not catalog objects, and do not list.
+          if (stToks.length > 2)
+            throw ParseError("show tables takes no arguments")
+          val names = (wcat.keySet ++ views.map(_._1)).toSeq.sorted
+          Some(spark.createDataset(names)(
+            org.apache.spark.sql.Encoders.STRING).toDF("table_name"))
         case Some(Ident("create")) =>
           Some(runCreate(cat, st, warehouseDir, tsCol, exact, idCol))
         case Some(Ident("insert")) =>

@@ -384,6 +384,32 @@ object Stress {
           .filter(col("lm_sum_fp") > 0).count()
       }
     }
+    // pivot width at 10×: a K-column pivot is K gated aggregates in ONE
+    // hash aggregate, so widening K must grow cost sublinearly (more
+    // codegen'd update terms per row, never more passes/shuffles) — the
+    // number to watch is pivot_w12 / pivot_w3 staying far under 4×
+    locally {
+      val ev = graft.sources.Tables.events(spark, dir)
+      val ev10 = (0 until 10)
+        .map(i => ev.withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L)))
+        .reduce(_ union _)
+      def pivotSql(k: Int): String = {
+        val vals = Seq("click", "view", "purchase", "error", "signup")
+        val branches = (0 until k).map { i =>
+          val v = vals(i % vals.length)
+          s"pivot sum(value) filter (where user_id % ${i + 2} = 0) " +
+            s"by event_type in ('$v' as c$i)"
+        }
+        s"select ${branches.mkString(", ")}, count(*) as n " +
+          "group by user_id order by user_id"
+      }
+      time("pivot_w3_10x") {
+        graft.sql.ZxSql.run(ev10, pivotSql(3)).count()
+      }
+      time("pivot_w12_10x") {
+        graft.sql.ZxSql.run(ev10, pivotSql(12)).count()
+      }
+    }
     spark.stop()
   }
 }

@@ -2807,6 +2807,31 @@ class SqlSpec extends AnyFunSuite {
       "create view w4 as select id from vb", wh))
   }
 
+  test("p129 show tables: stores + live views listed sorted, drops disappear (round 14)") {
+    import SparkFixture.spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-show").toString
+    val base = Seq((1L, 10L)).toDF("id", "v")
+    val names = ZxSql.runScript(Map("t" -> base),
+      "create table s_a as select id, v from t; " +
+        "create table s_b as select id from t; " +
+        "create view v_a as select id from s_a; " +
+        "create view v_b as select id from v_a; " +
+        "drop table s_b; " +
+        "show tables", wh)
+      .collect().map(_.getString(0)).toSeq
+    assert(names == Seq("s_a", "v_a", "v_b"))
+    // caller frames ('t') are function arguments, not catalog objects
+    assert(!names.contains("t"))
+    parseErr2(Map("t" -> base),
+      "show tables like 'x'; select id from t", wh, "no arguments")
+  }
+
+  private def parseErr2(cat: Map[String, org.apache.spark.sql.DataFrame],
+                        sql: String, wh: String, frag: String): Unit = {
+    val e = intercept[ZxSql.ParseError](ZxSql.runScript(cat, sql, wh))
+    assert(e.getMessage.contains(frag), s"got: ${e.getMessage}")
+  }
+
   test("order by ordinal: 1-based select-list position, parse-resolved (round 14)") {
     import SparkFixture.spark.implicits._
     val rows = Seq(("a", 1.0), ("a", 3.0), ("b", 9.0)).toDF("k", "v")
