@@ -318,7 +318,7 @@ object Corpus {
     require(table.nonEmpty, "familiarity: empty bigram table")
     val m = typedLit(table.toMap)
     val bgs = bigrams(graft.functions.TextFunctions.tokens(col(textCol)))
-    docs
+    graft.sources.Tables.fanOut(docs)
       .withColumn("fam_sum", aggregate(bgs, lit(0L),
         (acc, b) => acc + coalesce(try_element_at(m, b), lit(0L))))
       .withColumn("fam_hits", aggregate(bgs, lit(0L),
@@ -365,7 +365,7 @@ object Corpus {
     val m1 = typedLit(unigrams.toMap)
     val m2 = typedLit(bigramTable.toMap)
     val bgs = bigrams(graft.functions.TextFunctions.tokens(col(textCol)))
-    docs
+    graft.sources.Tables.fanOut(docs)
       .withColumn("lm_sum_fp", aggregate(bgs, lit(0L), (acc, b) => {
         val c2 = coalesce(try_element_at(m2, b), lit(0L)).cast(DoubleType)
         val c1 = coalesce(try_element_at(m1, element_at(split(b, " "), 1)),
@@ -514,7 +514,7 @@ object Corpus {
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast(ArrayType(StringType)))
-    docs
+    graft.sources.Tables.fanOut(docs)
       .select(col(idCol), explode(spans).as("span"))
       .groupBy(col("span"))
       .agg(count(lit(1)).as("n_occur"), countDistinct(col(idCol)).as("n_docs"))
@@ -549,7 +549,7 @@ object Corpus {
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast(ArrayType(StringType)))
-    val counts = docs
+    val counts = graft.sources.Tables.fanOut(docs)
       .select(col(idCol), explode(spans).as("span"))
       .select(col(idCol), rolling_hash(col("span")).as("span_h"))
       .groupBy(col("span_h"))
@@ -557,7 +557,7 @@ object Corpus {
       .filter(col("n_docs") >= minDocs)
       .orderBy(col("n_occur").desc, col("span_h").asc)
       .limit(topK)
-    val recovered = docs
+    val recovered = graft.sources.Tables.fanOut(docs)
       .select(explode(spans).as("span"))
       .select(col("span"), rolling_hash(col("span")).as("span_h"))
       .join(broadcast(counts.select(col("span_h"))), Seq("span_h"))
@@ -587,7 +587,7 @@ object Corpus {
     val cleaned = spans.foldLeft(col(textCol)) { (acc, sp) =>
       call_function("replace", acc, lit(sp), lit(""))
     }
-    docs.select(col(idCol),
+    graft.sources.Tables.fanOut(docs).select(col(idCol),
       length(col(textCol)).cast(LongType).as("n_chars_before"),
       length(cleaned).cast(LongType).as("n_chars_after"),
       substring(md5(cleaned), 1, 16).as("clean_fp"))

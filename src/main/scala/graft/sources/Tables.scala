@@ -16,6 +16,34 @@ object Tables {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Scale-ADAPTIVE fan-out for CPU-heavy narrow work (opt guide §2: derive
+    * partitioning from the input, never from a constant tuned for one box).
+    *
+    * A parquet scan parallelizes at ROW-GROUP granularity, and a table
+    * written as one file with one row group (the shape of small reference
+    * corpora, dimension snapshots, and this repo's testdata) plans as ONE
+    * scan task — so every expensive per-row map riding the scan stage
+    * (tokenization, MinHash folds, LM scoring, span windows, codecs) runs
+    * on one core no matter how many the session has. This helper exchanges
+    * the rows once, IFF the planned scan has fewer partitions than the
+    * session's parallelism; on a 100 TB table the scan already has
+    * thousands of row-group splits, the condition is false, and the call
+    * is a provable no-op (no exchange added — plan-identical).
+    *
+    * Deliberately NOT a blanket setting: callers opt in at the points
+    * where the downstream per-row work dwarfs one small exchange, so pure
+    * scan→filter→aggregate paths keep their zero-exchange plans. Off
+    * switch (`spark.graft.fanout=false`) for plan-shape tests. */
+  def fanOut(df: DataFrame): DataFrame = {
+    // streaming frames pass through: micro-batch parallelism is the
+    // source's business (and .rdd is illegal on an unstarted stream)
+    if (df.isStreaming) return df
+    val s = df.sparkSession
+    if (!s.conf.get("spark.graft.fanout", "true").toBoolean) return df
+    val p = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Raw epoch-nanos companion column kept alongside the converted `ts` —
     * [[graft.compile.Compiler.scanFilter]] mirrors time bounds onto it so the
     * range predicate reaches the Parquet reader (row-group min/max pruning)

@@ -670,14 +670,46 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("bigram LM scoring rides the scan stage: broadcast-map fold, no join, no exchange") {
-    val p = plan("x21_lm_score")
-    assert(!p.contains("Exchange") && !p.contains("Join"),
-      s"x21 scoring must be one narrow fold over the scan — tables ride as " +
+  test("bigram LM scoring rides the scan stage: broadcast-map fold, no join, no keyed exchange") {
+    // r14: the scoring fold is behind Tables.fanOut, so a single-row-group
+    // source gains ONE round-robin exchange (scale-adaptive: a no-op once
+    // the scan has >= parallelism splits). The scale claims stay pinned:
+    // no join, no KEYED exchange — tables ride as map literals and the
+    // fold itself is a narrow per-row map wherever its input lives.
+    val df = SparkEntry.queries("x21_lm_score")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Join"),
+      s"x21 scoring must be one narrow fold — tables ride as " +
         s"map literals, never as join sides:\n$p")
-    // executedPlan.toString renders whole-stage-codegen membership as a
-    // `*(n)` node prefix
-    assert(p.contains("*("), s"fold fell out of codegen:\n$p")
+    // the fan-out exchange makes the plan adaptive, and an unexecuted AQE
+    // plan hides codegen membership — materialize THIS queryExecution
+    // (collect, not a fresh write plan), then read the FINAL `*(n)` markers
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("*("), s"fold fell out of codegen:\n$finalPlan")
+  }
+
+  test("fanOut is scale-adaptive: exchanges a below-parallelism source, no-op otherwise") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    assert(docs.rdd.getNumPartitions < spark.sparkContext.defaultParallelism,
+      "precondition: the testdata scan must be narrower than the session")
+    val fanned = graft.sources.Tables.fanOut(docs)
+    assert(fanned.rdd.getNumPartitions == spark.sparkContext.defaultParallelism,
+      "a single-row-group scan must spread to the session's parallelism")
+    assert(fanned.queryExecution.executedPlan.toString
+      .contains("Exchange RoundRobinPartitioning"))
+    // already-wide input: identical frame back, no exchange added
+    val wide = docs.repartition(spark.sparkContext.defaultParallelism + 1)
+    assert(graft.sources.Tables.fanOut(wide) eq wide,
+      "an input at/above parallelism must pass through untouched")
+    // streams pass through (fanOut is a batch-side helper)
+    val st = spark.readStream.schema(docs.schema)
+      .parquet(dir + "/documents.parquet")
+    assert(graft.sources.Tables.fanOut(st) eq st)
+    // off switch for plan-shape tests
+    spark.conf.set("spark.graft.fanout", "false")
+    try assert(graft.sources.Tables.fanOut(docs) eq docs)
+    finally spark.conf.unset("spark.graft.fanout")
   }
 
   test("grouping sets is one Expand pass, like rollup/cube") {
