@@ -402,15 +402,27 @@ object Funnel {
     // overflow and the loop spends NO driver actions on checks
     val safeForever = states.count() <= headroom / (1L << 36)
     var p = states.withColumn("__p", lit(1L << 36)).localCheckpoint()
+    // Checkpoint CADENCE (r14, opt guide §1.2 "remove passes"): each
+    // iteration references its predecessor exactly once (join → agg →
+    // spine join), so lineage grows LINEARLY — materializing every round
+    // made the loop job-latency-bound (one eager job per iteration over a
+    // tiny table). In the safeForever regime, cut lineage every 4 rounds:
+    // identical fixpoint (pure restructuring of when plans materialize),
+    // ~¼ the driver roundtrips. The !safeForever regime keeps per-round
+    // materialization — its overflow checks must act on each round.
+    var sinceCkpt = 0
     for (i <- 1 to iters) {
       val moved = tr.join(p, tr("prev_type") === p("st"))
         .select(col("next_type").as("st"),
           expr("(__p * n_trans) DIV __rc").as("__m"))
         .groupBy(col("st"))
         .agg(sum(col("__m")).as("__p"))
-      p = states.join(moved, Seq("st"), "left")
+      val next = states.join(moved, Seq("st"), "left")
         .select(col("st"), coalesce(col("__p"), lit(0L)).as("__p"))
-        .localCheckpoint()
+      sinceCkpt += 1
+      p = if (!safeForever || sinceCkpt >= 4 || i == iters) {
+        sinceCkpt = 0; next.localCheckpoint()
+      } else next
       if (!safeForever) {
         // one action: max guards the next iteration's products, min
         // catches a per-state SUM that wrapped negative this iteration

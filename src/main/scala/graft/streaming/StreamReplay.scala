@@ -130,6 +130,31 @@ object StreamReplay {
       in
     })
 
+  /** Scale-ADAPTIVE shuffle/state partitioning for one replay (opt guide
+    * §2: derive partitioning from the input, never a constant): a
+    * streaming aggregation creates `spark.sql.shuffle.partitions` state
+    * stores, and EACH commits a delta file per micro-batch — at the
+    * session default (sized for batch work across the machine) a
+    * megabyte-scale replay pays 32 state-store commits per batch per
+    * stateful operator, pure checkpoint I/O. Derive the partition count
+    * from the staged input's bytes (1 per 16 MB, capped at the session's
+    * parallelism — a production-scale stream hits the cap and behaves as
+    * before), set it for the duration of ONE replay, restore after.
+    * Results are partition-count-independent (aggregations; pinned by the
+    * rows' own oracle hashes). */
+  private def withAdaptiveShuffle[T](s: SparkSession, stagedDir: String)
+                                    (body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val before = s.conf.get(key)
+    val p = new org.apache.hadoop.fs.Path(stagedDir)
+    val bytes = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+    val target = math.max(1L, math.min(
+      s.sparkContext.defaultParallelism.toLong, bytes / (16L << 20) + 1))
+    s.conf.set(key, target.toString)
+    try body finally s.conf.set(key, before)
+  }
+
   /** Finite replay of the `documents` table through a STATELESS streaming
     * transform — the docs-frame counterpart of [[replayEvents]] with none
     * of its event-time machinery: no watermark, no sentinel, because a
@@ -144,14 +169,16 @@ object StreamReplay {
       dir.replaceAll("[^A-Za-z0-9._-]", "_")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
     val schema = graft.sources.Tables.documents(s, dir).schema
-    val out = build(s.readStream.schema(schema).parquet(in))
-    val query = out.writeStream.format("parquet")
-      .option("path", stage + "/out")
-      .option("checkpointLocation", stage + "/ckpt")
-      .outputMode("append")
-      .start()
-    try { query.processAllAvailable(); recordProgress(name, query) }
-    finally query.stop()
+    withAdaptiveShuffle(s, in) {
+      val out = build(s.readStream.schema(schema).parquet(in))
+      val query = out.writeStream.format("parquet")
+        .option("path", stage + "/out")
+        .option("checkpointLocation", stage + "/ckpt")
+        .outputMode("append")
+        .start()
+      try { query.processAllAvailable(); recordProgress(name, query) }
+      finally query.stop()
+    }
     s.read.parquet(stage + "/out")
   }
 
@@ -166,14 +193,16 @@ object StreamReplay {
     val stage = "target/graft-stream-q/" + name + "/" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
-    val out = build(EventStream.read(s, in))
-    val query = out.writeStream.format("parquet")
-      .option("path", stage + "/out")
-      .option("checkpointLocation", stage + "/ckpt")
-      .outputMode("append")
-      .start()
-    try { query.processAllAvailable(); recordProgress(name, query) }
-    finally query.stop()
+    withAdaptiveShuffle(s, in) {
+      val out = build(EventStream.read(s, in))
+      val query = out.writeStream.format("parquet")
+        .option("path", stage + "/out")
+        .option("checkpointLocation", stage + "/ckpt")
+        .outputMode("append")
+        .start()
+      try { query.processAllAvailable(); recordProgress(name, query) }
+      finally query.stop()
+    }
     s.read.parquet(stage + "/out")
   }
 }
