@@ -4226,7 +4226,7 @@ object SparkEntry {
     * each; the two shingle arrays derive from the shared hash pass. */
   private def x8Repetition(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions._
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir))
       .select(col("doc_id"), tokens(col("text")).as("__toks"))
       .select(col("doc_id"), col("__toks"), tokenHashes(col("__toks")).as("__th"))
       .select(col("doc_id"), col("__toks"),
