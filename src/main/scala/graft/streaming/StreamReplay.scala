@@ -69,8 +69,9 @@ object StreamReplay {
       val srcP = new org.apache.hadoop.fs.Path(dir + "/events.parquet")
       val st = srcP.getFileSystem(s.sparkContext.hadoopConfiguration)
         .getFileStatus(srcP)
-      // "v3" = staging FORMAT version (bump when the sentinel layout
-      // changes — a stale staging from older code must never be reused)
+      // "v3" = staging FORMAT version (bump when the sentinel or file
+      // layout changes — a stale staging from older code must never be
+      // reused)
       val in = "target/graft-stream-q/in-v3/" +
         dir.replaceAll("[^A-Za-z0-9._-]", "_") +
         s"-${st.getLen}-${st.getModificationTime}"
@@ -79,6 +80,10 @@ object StreamReplay {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(in))
         val ev = graft.sources.Tables.events(s, dir)
           .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        // single staged data file: the events replays are stateful
+        // aggregations whose map side is trivial — parallelism-many files
+        // measured SLOWER there (per-file open + 33-way-to-few shuffle);
+        // the docs staging (heavy stateless folds) is the one that fans
         ev.write.mode("overwrite").parquet(in)
         val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
         val sentinelTs =
@@ -117,14 +122,16 @@ object StreamReplay {
       val srcP = new org.apache.hadoop.fs.Path(dir + "/documents.parquet")
       val st = srcP.getFileSystem(s.sparkContext.hadoopConfiguration)
         .getFileStatus(srcP)
-      val in = "target/graft-stream-q/docs-v1/" +
+      val in = "target/graft-stream-q/docs-v2/" +
         dir.replaceAll("[^A-Za-z0-9._-]", "_") +
         s"-${st.getLen}-${st.getModificationTime}"
       val ok = new java.io.File(in, "_STAGED_OK")
       if (!ok.exists()) {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(in))
-        graft.sources.Tables.documents(s, dir).write
-          .mode("overwrite").parquet(in)
+        // parallelism-many staged files — see ensureStagedInput
+        graft.sources.Tables.documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(in)
         java.nio.file.Files.writeString(ok.toPath, "ok")
       }
       in
