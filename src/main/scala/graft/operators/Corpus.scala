@@ -527,10 +527,14 @@ object Corpus {
     * the string form's docstring promises for 100 TB, now shipped (VERDICT
     * r9 "what's wrong" #2). The count shuffle carries an 8-byte long per
     * span instead of the n-token string (~5-10× fewer shuffle bytes at
-    * n = 5; measured in [[graft.tools.Stress]]), and only the `topK`
-    * SURVIVING hashes re-read their span text: a second narrow pass over
-    * the corpus broadcast-semi-joins on the tiny hash set and recovers
-    * each span via `min(span)` per hash.
+    * n = 5; measured in [[graft.tools.Stress]]) — and as of r14 the count
+    * pass never materializes span strings at all
+    * ([[graft.expressions.RollingHashNgrams]] hashes each token window in
+    * place, bit-identical to `rolling_hash` over the joined string). Only
+    * the `topK` SURVIVING hashes re-read their span text: a second narrow
+    * pass filters window positions against the (≤topK) survivor hashes as
+    * a plan literal and materializes strings at surviving positions only,
+    * recovering each span via `min(span)` per hash.
     *
     * Trades, stated: (a) two corpus passes instead of one — at scale the
     * second is a cheap scan (the broadcast filter drops ~everything
@@ -543,27 +547,49 @@ object Corpus {
     require(n >= 2, s"repeatedSpansHashed: span length must be ≥ 2 tokens, got $n")
     require(topK > 0 && minDocs >= 2,
       s"repeatedSpansHashed: need topK > 0 and minDocs ≥ 2, got $topK / $minDocs")
-    import graft.expressions.RollingHash.rolling_hash
+    import graft.expressions.RollingHashNgrams.rolling_hash_ngrams
     val toks = graft.functions.TextFunctions.tokens(col(textCol))
-    val spans = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast(ArrayType(StringType)))
+    // r14 (opt guide §8: decide on lightweight proxies, attach the heavy
+    // bytes once): the count pass hashes token WINDOWS natively
+    // (RollingHashNgrams — bit-identical to rolling_hash over the joined
+    // span string) so no span string is ever materialized for counting;
+    // the ≤topK surviving hashes then ride as a plan literal into the
+    // recovery pass, which materializes span STRINGS only at surviving
+    // positions (a ~n_occur(topK)-row explode, not n_positions).
     val counts = graft.sources.Tables.fanOut(docs)
-      .select(col(idCol), explode(spans).as("span"))
-      .select(col(idCol), rolling_hash(col("span")).as("span_h"))
+      .select(col(idCol), explode(rolling_hash_ngrams(toks, n)).as("span_h"))
       .groupBy(col("span_h"))
       .agg(count(lit(1)).as("n_occur"), countDistinct(col(idCol)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .orderBy(col("n_occur").desc, col("span_h").asc)
       .limit(topK)
-    val recovered = graft.sources.Tables.fanOut(docs)
-      .select(explode(spans).as("span"))
-      .select(col("span"), rolling_hash(col("span")).as("span_h"))
-      .join(broadcast(counts.select(col("span_h"))), Seq("span_h"))
-      .groupBy(col("span_h"))
-      .agg(min(col("span")).as("span"))
-    counts.join(broadcast(recovered), Seq("span_h"))
+    // the tiny survivor table (≤ topK rows) is materialized ONCE per call:
+    // it feeds the recovery filter as a literal and the final join as
+    // local rows — the count DAG no longer executes once per consumer
+    val survRows = counts.collect().toSeq
+    val spark = docs.sparkSession
+    if (survRows.isEmpty)
+      return spark.emptyDataFrame.select(
+        lit("").as("span"), lit(0L).as("span_h"),
+        lit(0L).as("n_occur"), lit(0L).as("n_docs")).limit(0)
+    val survLit = typedLit(survRows.map(_.getLong(0)))
+    val d = graft.sources.Tables.fanOut(docs)
+      .select(toks.as("__tk"))
+      .select(col("__tk"), rolling_hash_ngrams(col("__tk"), n).as("__hs"))
+    // guard: sequence(1, 0) would walk DESCENDING through index 0
+    val idx = when(size(col("__hs")) > 0, sequence(lit(1), size(col("__hs"))))
+      .otherwise(array().cast(ArrayType(IntegerType)))
+    val keep = filter(idx, i => array_contains(survLit, element_at(col("__hs"), i)))
+    val pairs = transform(keep, i => struct(
+      element_at(col("__hs"), i).as("h"),
+      concat_ws(" ", slice(col("__tk"), i, lit(n))).as("sp")))
+    val recovered = d.select(explode(pairs).as("p"))
+      .groupBy(col("p.h").as("span_h"))
+      .agg(min(col("p.sp")).as("span"))
+    val countsLocal = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(survRows).asJava), counts.schema)
+    countsLocal.join(broadcast(recovered), Seq("span_h"))
       .select(col("span"), col("span_h"), col("n_occur"), col("n_docs"))
       .orderBy(col("n_occur").desc, col("span_h").asc)
   }

@@ -132,11 +132,19 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("hash-keyed span mining: counts shuffle 8-byte keys; recovery joins are broadcast-only") {
+    // r14: the count pass (native window hashes, 8-byte count shuffle,
+    // TakeOrderedAndProject top-k) executes during construction and its
+    // ≤topK survivors ride the RETURNED plan as local rows + a literal
+    // filter — so the returned plan shows the recovery shape: the native
+    // hash expression, a LocalTableScan for the survivor table, and
+    // broadcast-only joins. No span string ever shuffles.
     val p = plan("x15b_spans_hashed")
-    assert(p.contains("rolling_hash"), s"the hash key must be the custom expression:\n$p")
-    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+    assert(p.contains("rolling_hash_ngrams"),
+      s"recovery must hash token windows natively, no span-string churn:\n$p")
+    assert(p.contains("LocalTableScan"),
+      s"the survivor table must ride as local rows, not re-run the count DAG:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      s"span-text recovery must broadcast the tiny hash set, never shuffle-join:\n$p")
+      s"span-text recovery must broadcast the tiny tables, never shuffle-join:\n$p")
   }
 
   test("bucketed join is exchange-free on the join key: co-location replaces the shuffle") {

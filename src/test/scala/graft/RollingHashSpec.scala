@@ -34,4 +34,28 @@ class RollingHashSpec extends AnyFunSuite {
     val norm = if (extended >= RollingHash.Mod) extended - RollingHash.Mod else extended
     assert(norm == model(s + "z"))
   }
+
+  test("rolling_hash_ngrams ≡ rolling_hash over the concat_ws-joined window, all positions") {
+    import spark.implicits._
+    import graft.expressions.RollingHashNgrams.rolling_hash_ngrams
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b", "one", "", "x y z x y z x y",
+      "Σ unicode ✓ mixed € tokens here now ok").toDF("text")
+    val toks = split(col("text"), " ")
+    for (n <- Seq(2, 3, 5)) {
+      val composition = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => RollingHash.rolling_hash(concat_ws(" ", slice(toks, i, lit(n))))))
+        .otherwise(array().cast("array<bigint>"))
+      val rows = docs.select(rolling_hash_ngrams(toks, n).as("native"),
+        composition.as("comp")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"n=$n native=${r.getSeq[Long](0)} comp=${r.getSeq[Long](1)}")
+      }
+      // short docs (< n tokens) yield the composition's empty array
+      assert(rows.forall(r => r.getSeq[Long](0) != null))
+    }
+  }
 }
