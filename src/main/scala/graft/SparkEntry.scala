@@ -2092,18 +2092,25 @@ object SparkEntry {
       .groupBy(col("event_type"), col("day"))
       .agg(sum(col("__s")).as("n"), sum(col("__s") * col("__fv")).as("sum_fp"))
     // seed state from the pinned v1, then FOLLOW: every delivered delta
-    // merges on the poller thread; localCheckpoint materializes each
-    // state (bounded: |keys| rows) and cuts the merge lineage
+    // merges on the poller thread. r15 (the Funnel checkpoint-cadence
+    // lesson, VERDICT r14 #3): each fold references its predecessor ONCE,
+    // so lineage grows linearly — materializing every delta made the loop
+    // job-latency-bound (one eager localCheckpoint job per delivery over a
+    // |keys|-row state). Cut lineage every 4th fold instead; the deltas'
+    // change feeds are version-pinned reads of immutable files (no vacuum
+    // here), so a lazy chain replays identically at evaluation time.
     var state = keyed(graft.sources.EventStore.readPinned(s, path, v1),
-      lit(1L)).localCheckpoint()
+      lit(1L))
+    var folds = 0
     val follower = new graft.streaming.ChangeFeedFollower(s, path, v1,
       (_, _, feed) => {
         val delta = keyed(feed,
           when(col("_change_type") === "insert", 1L).otherwise(-1L))
-        state = state.unionByName(delta)
+        val next = state.unionByName(delta)
           .groupBy(col("event_type"), col("day"))
           .agg(sum(col("n")).as("n"), sum(col("sum_fp")).as("sum_fp"))
-          .localCheckpoint()
+        folds += 1
+        state = if (folds % 4 == 0) next.localCheckpoint() else next
       }).start()
     try {
       graft.sources.EventStore.appendCommitted(
@@ -2444,8 +2451,14 @@ object SparkEntry {
     val tss = Seq("ts")
     val rsd = 0.05
     val sk = graft.operators.Profile.profileSketch(src, numeric, strings, tss, rsd)
-    val approx = sk.select("column", "n_distinct_approx").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // r15: the sketch pass runs ONCE — its collected rows feed both the
+    // audit (below) and the returned frame (as local rows, x15b's survivor
+    // pattern). Previously `sk.drop(...)` re-executed the whole sketch DAG
+    // at evaluation time, a third full profile job per call.
+    val skRows = sk.collect().toSeq
+    val approxIdx = sk.schema.fieldIndex("n_distinct_approx")
+    val approx = skRows
+      .map(r => r.getString(0) -> r.getLong(approxIdx)).toMap
     graft.operators.Profile.profile(src, numeric, strings, tss)
       .select("column", "n_distinct").collect()
       .map(r => r.getString(0) -> r.getLong(1))
@@ -2454,7 +2467,13 @@ object SparkEntry {
         require(math.abs(est - nd) <= math.max(4.0, 5.0 * rsd * nd),
           s"c13b: HLL estimate for '$c' ($est) outside the audit band of exact $nd")
       }
-    sk.drop("n_distinct_approx")
+    val keep = sk.schema.fields.zipWithIndex.filter(_._1.name != "n_distinct_approx")
+    val outRows = skRows.map(r =>
+      org.apache.spark.sql.Row(keep.map { case (_, i) => r.get(i) }: _*))
+    s.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(outRows).asJava),
+      StructType(keep.map(_._1)))
   }
 
   /** a20: Markov stationary distribution — transition counts distributed
@@ -4722,7 +4741,12 @@ object SparkEntry {
     // bucket-pruned LSH pass, one PQ-encode pass scoring all queries
     // (pqBatchKnn) — instead of 3 passes each; only the index probes
     // (already partition-pruned) run per query, as they would in production
+    // r15: the exact top-10 frame feeds BOTH the overlap join and the
+    // n_exact spine — left lazy, the whole batchKnn corpus pass (scan +
+    // window exchange) executed twice in the audit's one action. It is
+    // ≤ |qids|·k rows by construction: materialize it once, eagerly.
     val exact = Sim.batchKnn(emb, qids, k = 10).select("query_id", "vec_id")
+      .localCheckpoint(true)
     val qvs = emb.filter(col("vec_id").isin(qids: _*))
       .select(col("vec_id"), graft.functions.VectorFunctions.toDouble(col("embedding")))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toMap

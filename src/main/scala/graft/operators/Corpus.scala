@@ -572,14 +572,20 @@ object Corpus {
       return spark.emptyDataFrame.select(
         lit("").as("span"), lit(0L).as("span_h"),
         lit(0L).as("n_occur"), lit(0L).as("n_docs")).limit(0)
-    val survLit = typedLit(survRows.map(_.getLong(0)))
+    // r15 (VERDICT r14 #3): the survivor probe is a SORTED array + binary
+    // search (O(log topK) per window position, one shared reference) where
+    // the previous array_contains over a typedLit array linearly scanned
+    // all ≤topK entries per position — a real constant-factor tax at
+    // topK=1024 × 100 TB of positions, and K literals of plan bloat.
+    val survSet = survRows.map(_.getLong(0))
     val d = graft.sources.Tables.fanOut(docs)
       .select(toks.as("__tk"))
       .select(col("__tk"), rolling_hash_ngrams(col("__tk"), n).as("__hs"))
     // guard: sequence(1, 0) would walk DESCENDING through index 0
     val idx = when(size(col("__hs")) > 0, sequence(lit(1), size(col("__hs"))))
       .otherwise(array().cast(ArrayType(IntegerType)))
-    val keep = filter(idx, i => array_contains(survLit, element_at(col("__hs"), i)))
+    val keep = filter(idx, i => graft.expressions.InSortedLongSet
+      .in_sorted_long_set(element_at(col("__hs"), i), survSet))
     val pairs = transform(keep, i => struct(
       element_at(col("__hs"), i).as("h"),
       concat_ws(" ", slice(col("__tk"), i, lit(n))).as("sp")))

@@ -207,6 +207,18 @@ object Dedup {
     // build, parity count, surrogate mapping. Persist the two-column
     // projection ONCE; every downstream consumer reads the cached rows.
     val pr = pairs.select(col(idA), col(idB)).persist()
+    // r15 fast path: up to maxDriverEdges the component structure fits on
+    // the driver (the dupClustersLong economics), and for STRING ids the
+    // driver can reproduce Spark's sort order exactly (UTF8String binary
+    // order), so the whole surrogate-dictionary machinery — global sort +
+    // zipWithIndex + two mapping joins + two recovery joins, ~8 jobs over
+    // a tiny graph — collapses into one collect + union-find.
+    if (idType == StringType) {
+      val nIn = pr.count()
+      if (nIn <= maxDriverEdges)
+        try return driverUnionFindUtf8(pr, idA, idB)
+        finally pr.unpersist()
+    }
     val dictSchema = StructType(Seq(StructField("id", idType),
       StructField("__sid", LongType, nullable = false)))
     try {
@@ -374,6 +386,60 @@ object Dedup {
     import spark.implicits._
     labels.map { case (id, lbl) => (id, lbl, sizes(lbl)) }
       .toDF("doc_id", "cluster_id", "cluster_size")
+  }
+
+  /** [[driverUnionFind]] for STRING ids — the small-graph fast path of
+    * [[dupClustersAny]]. `cluster_id` is the component's minimum id under
+    * UTF8String BINARY order (unsigned UTF-8 byte comparison), which is
+    * exactly the order the surrogate dictionary's `orderBy(id)` sorts
+    * StringType by — so both paths emit identical rows (spec-pinned).
+    * NULL ids fail loudly with the dictionary path's parity message. */
+  private def driverUnionFindUtf8(pr: DataFrame, idA: String,
+                                  idB: String): DataFrame = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val idx = new java.util.HashMap[String, Integer]()
+    val ids = scala.collection.mutable.ArrayBuffer.empty[String]
+    val parent = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def intern(s: String): Int = {
+      val cached = idx.get(s)
+      if (cached != null) cached.intValue()
+      else { val i = ids.size; idx.put(s, i); ids += s; parent += i; i }
+    }
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    var nulls = 0L
+    pr.collect().foreach { row =>
+      if (row.isNullAt(0) || row.isNullAt(1)) nulls += 1
+      else {
+        val ra = find(intern(row.getString(0)))
+        val rb = find(intern(row.getString(1)))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+    }
+    require(nulls == 0,
+      s"dupClusters: $nulls pairs carry NULL $idA/$idB values")
+    // per-component min id under UTF8 binary order + component sizes
+    val minId = scala.collection.mutable.HashMap.empty[Int, String]
+    val size = scala.collection.mutable.HashMap.empty[Int, Long]
+    ids.indices.foreach { i =>
+      val r = find(i)
+      size(r) = size.getOrElse(r, 0L) + 1L
+      val cur = minId.get(r)
+      if (cur.isEmpty || UTF8String.fromString(ids(i))
+            .compareTo(UTF8String.fromString(cur.get)) < 0)
+        minId(r) = ids(i)
+    }
+    val spark = pr.sparkSession
+    import spark.implicits._
+    ids.indices.map { i =>
+      val r = find(i)
+      (ids(i), minId(r), size(r))
+    }.toDF("doc_id", "cluster_id", "cluster_size")
   }
 
   /** Per-doc 16-bit SimHash fingerprints — the single-pass native form:

@@ -59,18 +59,41 @@ object Profile {
     val ndName = if (rsd.isDefined) "n_distinct_approx" else "n_distinct"
     def counts(c: String) = Seq(
       count(col(c)).as(s"__nn_$c"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nu_$c"),
-      rsd.fold(countDistinct(col(c)))(r => approx_count_distinct(col(c), r))
-        .as(s"__nd_$c"))
-    val aggs: Seq[Column] =
-      numeric.flatMap(c => counts(c) ++ Seq(
-        fp(min(col(c))).as(s"__lo_$c"), fp(max(col(c))).as(s"__hi_$c"))) ++
-      strings.flatMap(c => counts(c) ++ Seq(
-        min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c"))) ++
-      timestamps.flatMap(c => counts(c) ++ Seq(
-        date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"__lo_$c"),
-        date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"__hi_$c")))
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nu_$c"))
+    def aggsWithNd(nd: String => Option[Column]): Seq[Column] = {
+      def block(c: String, lo: Column, hi: Column) =
+        counts(c) ++ nd(c).toSeq ++ Seq(lo.as(s"__lo_$c"), hi.as(s"__hi_$c"))
+      numeric.flatMap(c => block(c, fp(min(col(c))), fp(max(col(c))))) ++
+        strings.flatMap(c => block(c, min(col(c)), max(col(c)))) ++
+        timestamps.flatMap(c => block(c,
+          date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss"),
+          date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss")))
+    }
+    val wide = rsd match {
+      case Some(r) =>
+        // sketch mode: HLL++ state is a fixed register set per column, so
+        // every aggregate rides ONE ordinary partial-merge pass — Expand-free
+        val aggs = aggsWithNd(c =>
+          Some(approx_count_distinct(col(c), r).as(s"__nd_$c")))
+        df.agg(aggs.head, aggs.tail: _*)
+      case None =>
+        // exact mode, Expand-free (r15): multiple countDistinct columns in
+        // one agg plan an Expand that replays EVERY input row once per
+        // column through the aggregate (|columns|× the rows in flight, full
+        // distinct state through one exchange). Instead each column's exact
+        // distinct runs as its OWN two-phase sub-aggregation — partial
+        // dedup map-side, only distinct values cross the wire — and the
+        // non-distinct counts/bounds share one ordinary pass. The 1-row
+        // results crossJoin back into the wide row; the subtrees are
+        // independent, so the scheduler runs their stages concurrently in
+        // the one action, and each scan prunes to a single column.
+        val aggs = aggsWithNd(_ => None)
+        val base = df.agg(aggs.head, aggs.tail: _*)
+        all.foldLeft(base) { (acc, c) =>
+          acc.crossJoin(df.select(col(c))
+            .agg(countDistinct(col(c)).as(s"__nd_$c")))
+        }
+    }
     def entry(c: String, isNum: Boolean) = struct(
       lit(c).as("column"),
       col(s"__nn_$c").as("n_nonnull"), col(s"__nu_$c").as("n_null"),

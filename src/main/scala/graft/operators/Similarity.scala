@@ -289,9 +289,12 @@ object Similarity {
       seedRows.map { case (cid, v) => cid -> v.slice(j * dsub, (j + 1) * dsub) }
     }
     if (iters > 0) {
-      val sub = emb.select(col(idCol), posexplode(array((0 until m).map(j =>
+      // persist pays only when the loop re-reads it: at iters == 1 the
+      // explode is consumed exactly once — caching it would add a full
+      // memory-store write (16 sub-vector rows per vector) for zero reuse
+      val subBase = emb.select(col(idCol), posexplode(array((0 until m).map(j =>
           toDouble(slice(col(vecCol), j * dsub + 1, dsub))): _*)).as(Seq("__j", "__sv")))
-        .persist()
+      val sub = if (iters > 1) subBase.persist() else subBase
       try {
         for (_ <- 0 until iters) {
           val codeExpr = (1 until m).foldLeft(

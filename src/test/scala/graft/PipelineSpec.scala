@@ -168,6 +168,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(strOut == longOut)
   }
 
+  test("dup clusters: string driver fast path equals the dictionary path on non-ASCII ids") {
+    import SparkFixture.spark.implicits._
+    // the r15 driver fast path must reproduce the dictionary path's
+    // cluster_id = min under Spark's BINARY string order. The adversarial
+    // ids are where UTF-16 (Java String.compareTo) and UTF-8 byte order
+    // DISAGREE: U+E000 sorts above a supplementary char in UTF-16 but
+    // below it in UTF-8 — a driver path using String ordering would pick
+    // the wrong component min here.
+    val supp = new String(Character.toChars(0x10000)) // U+10000, surrogate pair
+    val e000 = "\uE000a"                               // the divergent case
+    val pairs = Seq((supp + "a", e000), (supp + "a", supp + "z"),
+      ("\u00e9_a", "\u03b2_b")).toDF("id_a", "id_b")
+    def canon(threshold: Long) =
+      Dedup.dupClusters(pairs, maxDriverEdges = threshold).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val driver = canon(Long.MaxValue) // at/below threshold: driver union-find
+    val dict = canon(0L)              // forced surrogate dictionary path
+    assert(driver == dict)
+    // the component min is the UTF-8-binary min U+E000a -- a driver path
+    // ordering by Java String.compareTo (UTF-16) would pick U+10000a
+    assert(driver.collect { case (_, cid, 3L) => cid } == Set(e000))
+  }
+
   test("dup clusters: null ids fail loudly on both id-type paths") {
     import SparkFixture.spark.implicits._
     val nullLong = Seq((Some(1L), Some(2L)), (Some(2L), None))

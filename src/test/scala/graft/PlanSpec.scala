@@ -96,11 +96,15 @@ class PlanSpec extends AnyFunSuite {
       s"the slope pair must come from plain aggregation:\n$p")
   }
 
-  test("profile: one scan feeds the multi-distinct Expand; unpivot adds no shuffle") {
+  test("profile: exact multi-distinct plans NO Expand — per-column sub-aggregations") {
     val p = plan("c13_profile")
-    assert("FileScan parquet".r.findAllIn(p).length == 1,
-      s"profile must read the table once:\n$p")
-    assert(p.contains("Expand"), s"multi-distinct should plan one Expand:\n$p")
+    assert(!p.contains("Expand"),
+      s"exact profile must not replay every row |columns|× through an Expand:\n$p")
+    // one non-distinct pass + one pruned scan per profiled column (6)
+    assert("FileScan parquet".r.findAllIn(p).length == 7,
+      s"profile should read one pass + one pruned single-column scan per distinct:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"the unpivot must stay shuffle-free:\n$p")
   }
 
   test("sketch profile plans NO Expand: HLL state replaces per-column distinct fan-out") {

@@ -58,4 +58,24 @@ class RollingHashSpec extends AnyFunSuite {
       assert(rows.forall(r => r.getSeq[Long](0) != null))
     }
   }
+
+  test("in_sorted_long_set ≡ array_contains over the literal set, incl. null probe") {
+    import spark.implicits._
+    import graft.expressions.InSortedLongSet.in_sorted_long_set
+    // unsorted, duplicated set + probes around every boundary
+    val set = Seq(17L, -3L, Long.MaxValue, 0L, 17L, Long.MinValue, 42L)
+    val probes = Seq(Some(17L), Some(-3L), Some(18L), Some(0L), Some(1L),
+      Some(Long.MaxValue), Some(Long.MinValue), Some(Long.MinValue + 1), None)
+    val df = probes.toDF("x")
+    val rows = df.select(
+      in_sorted_long_set(col("x"), set).as("native"),
+      array_contains(typedLit(set), col("x")).as("comp")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1) &&
+        (r.isNullAt(0) || r.getBoolean(0) == r.getBoolean(1)),
+        s"native=${r.get(0)} comp=${r.get(1)}")
+    }
+    // and the null probe really is null, as array_contains defines it
+    assert(rows.last.isNullAt(0))
+  }
 }
