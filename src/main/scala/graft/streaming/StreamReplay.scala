@@ -58,6 +58,15 @@ object StreamReplay {
     * bench re-run (the ensure* artifact pattern) — only the checkpoint
     * and sink are per-call lifecycle. A `_STAGED_OK` marker commits the
     * staging: a half-written stage from a crashed run re-stages. */
+  /** Staged events-file count — the replays' map-side parallelism (file
+    * stream source = 1 partition/file). r15 TimeN A/B on st_tumbling/
+    * st_session/st_gap/st_having at 1/4/8 files (A/B/A, 32 cpus, sf0.1):
+    * 1 file 2.2/2.5/3.0/2.0 s; 4 files 2.4/3.0/5.0/4.3; 8 files
+    * 3.0/2.8/3.0/2.0 — one file stays the winner (stateful aggs have a
+    * trivial map side; extra files only add source tracking and task
+    * overhead), confirming r14's 33-file result from the other end. */
+  private[graft] val EventStagingFiles = 1
+
   private val stagedInputs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -72,7 +81,7 @@ object StreamReplay {
       // "v3" = staging FORMAT version (bump when the sentinel or file
       // layout changes — a stale staging from older code must never be
       // reused)
-      val in = "target/graft-stream-q/in-v3/" +
+      val in = s"target/graft-stream-q/in-v4-f$EventStagingFiles/" +
         dir.replaceAll("[^A-Za-z0-9._-]", "_") +
         s"-${st.getLen}-${st.getModificationTime}"
       val ok = new java.io.File(in, "_STAGED_OK")
@@ -80,11 +89,11 @@ object StreamReplay {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(in))
         val ev = graft.sources.Tables.events(s, dir)
           .select("event_id", "ts", "user_id", "event_type", "value", "props")
-        // single staged data file: the events replays are stateful
-        // aggregations whose map side is trivial — parallelism-many files
-        // measured SLOWER there (per-file open + 33-way-to-few shuffle);
-        // the docs staging (heavy stateless folds) is the one that fans
-        ev.write.mode("overwrite").parquet(in)
+        // staged data file COUNT (file stream source = 1 partition/file):
+        // r14 measured parallelism-many (33) files SLOWER for the stateful
+        // events replays (per-file open + 33-way-to-few shuffle) and kept
+        // ONE file; r15 A/B'd the middle ground — see EventStagingFiles
+        ev.repartition(EventStagingFiles).write.mode("overwrite").parquet(in)
         val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
         val sentinelTs =
           new java.sql.Timestamp(maxTs.getTime + 30L * 86400 * 1000L)

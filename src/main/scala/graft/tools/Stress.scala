@@ -59,6 +59,37 @@ object Stress {
     time("d3_simhash_10x") {
       graft.operators.Dedup.simhashPairs(rep(10), maxHamming = 1).count()
     }
+    // r15: the span-miner recovery probe at topK=1024 — every window
+    // position of the 10× corpus probes the survivor set. A/B of the two
+    // probe forms over identical survivors: the sorted-array binary
+    // search (InSortedLongSet, O(log K)/position) vs the r14
+    // array_contains literal scan (O(K)/position). Same outputs by
+    // construction (equality spec-pinned); this measures the probe tax.
+    locally {
+      import graft.expressions.RollingHashNgrams.rolling_hash_ngrams
+      val docs10 = rep(10)
+      val n = 5
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val surv = docs10
+        .select(explode(rolling_hash_ngrams(toks, n)).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("h").asc).limit(1024)
+        .collect().map(_.getLong(0)).toSeq
+      val d = docs10.select(toks.as("__tk"))
+        .select(col("__tk"), rolling_hash_ngrams(col("__tk"), n).as("__hs"))
+      val idx = when(size(col("__hs")) > 0, sequence(lit(1), size(col("__hs"))))
+        .otherwise(array().cast("array<int>"))
+      def positions(probe: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        d.select(explode(filter(idx,
+          i => probe(element_at(col("__hs"), i)))).as("i"))
+      time("x15b_probe1024_binsearch_10x") {
+        positions(h => graft.expressions.InSortedLongSet
+          .in_sorted_long_set(h, surv)).count()
+      }
+      time("x15b_probe1024_arraycontains_10x") {
+        positions(h => array_contains(typedLit(surv), h)).count()
+      }
+    }
     // IVF-PQ at 10× embeddings (fresh ids; seeds stay ids 0..15): train +
     // encode + partitioned index write, then the probe alone — the probe
     // should stay milliseconds-flat (it reads nProbe/nlist partitions and

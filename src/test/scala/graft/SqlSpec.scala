@@ -1214,9 +1214,10 @@ class SqlSpec extends AnyFunSuite {
   test("lmscore large models route through the joined form, results identical (round 13)") {
     import SparkFixture.spark.implicits._
     import org.apache.spark.sql.functions.col
-    // >1024 distinct unigrams in the ref slice → the ACTUAL table size
-    // (not the requested cap) trips the joined-form routing
-    val wide = (0 until 1500).map(i => s"w$i").mkString(" ")
+    // >4096 distinct unigrams in the ref slice → the ACTUAL table size
+    // (not the requested cap) trips the joined-form routing (threshold
+    // measured r15: crossover ≈ 4-5k entries, see ZxSql.compileLmScore)
+    val wide = (0 until 4500).map(i => s"w$i").mkString(" ")
     val docs = Seq(
       (1L, wide, "en", "src0", 10L),
       (2L, "w1 w2 w3 w4", "en", "src0", 7L),
