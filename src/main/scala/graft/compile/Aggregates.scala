@@ -458,8 +458,46 @@ object Aggregates {
     agg.as(sel.key)
   }
 
-  def compileAll(sels: Seq[Select], schema: StructType): Seq[Column] =
-    sels.map(compile(_, schema))
+  /** The literal fraction of a quantile Select, when it is one. */
+  private def quantileFraction(sel: Select): Option[Double] = sel.agg match {
+    case Agg.P50 => Some(0.5)
+    case Agg.P90 => Some(0.9)
+    case Agg.P99 => Some(0.99)
+    case Agg.Percentile => sel.expr2 match {
+      case Some(MeasureExpr.Lit(d)) => Some(d)
+      case _                        => None
+    }
+    case _ => None
+  }
+
+  def compileAll(sels: Seq[Select], schema: StructType): Seq[Column] = {
+    // r15: EXACT quantiles over the same measure share ONE value buffer.
+    // k separate `percentile(v, q)` aggregates each buffer the full
+    // column (an ObjectHashAggregate counts-map per aggregate — the whole
+    // column's distinct values held and shuffled k times); compiled as
+    // `element_at(percentile(v, array(q1..qk)), i)` every select carries
+    // a semantically IDENTICAL aggregate, which physical aggregation
+    // deduplicates into a single function (plan-pinned) — one buffer,
+    // identical per-fraction results (Spark evaluates each fraction of
+    // the array form from the same counts map with the same interpolation
+    // arithmetic as the scalar form). p109's q1/q3 on l_extendedprice and
+    // a11's p50/p90/p99 collapse this way.
+    val fused: Map[(String, Option[MeasureExpr]), Seq[Double]] = sels
+      .filter(s => quantileFraction(s).isDefined)
+      .groupBy(s => (s.column, s.expr))
+      .filter(_._2.size >= 2)
+      .map { case (k, ss) => k -> ss.map(s => quantileFraction(s).get).distinct }
+    sels.map { sel =>
+      quantileFraction(sel) match {
+        case Some(q) if fused.contains((sel.column, sel.expr)) =>
+          val qs = fused((sel.column, sel.expr))
+          val (v, _) = valueAndPresence(sel, schema)
+          element_at(percentile(v, array(qs.map(lit): _*)),
+            qs.indexOf(q) + 1).as(sel.key)
+        case _ => compile(sel, schema)
+      }
+    }
+  }
 
   /** Aggregates a salted two-phase plan can decompose. CountDistinct needs
     * the value set and P50 the full distribution — re-aggregating their

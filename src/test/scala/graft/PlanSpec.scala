@@ -107,6 +107,18 @@ class PlanSpec extends AnyFunSuite {
       s"the unpivot must stay shuffle-free:\n$p")
   }
 
+  test("same-measure exact quantiles fuse into ONE percentile buffer (array fractions)") {
+    // a11's p50/p90/p99 over `value` must plan one percentile function
+    // (each select reads its fraction via element_at), not three counts-map
+    // buffers of the whole column; p109 keeps 2 (two distinct measures)
+    val pa = plan("a11_percentiles")
+    assert("partial_percentile".r.findAllIn(pa).length == 1,
+      s"a11 must carry ONE fused percentile aggregate:\n$pa")
+    val pp = plan("p109_sql_percentile")
+    assert("partial_percentile".r.findAllIn(pp).length == 2,
+      s"p109 must fuse the two l_extendedprice quantiles into one buffer:\n$pp")
+  }
+
   test("sketch profile plans NO Expand: HLL state replaces per-column distinct fan-out") {
     val src = graft.sources.Tables.events(spark, dir)
       .select("event_id", "user_id", "event_type", "value", "props", "ts")
